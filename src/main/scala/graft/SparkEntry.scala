@@ -1,13 +1,132 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import graft.queries._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * Every entry in `queries` has (where SQL-expressible) a DuckDB oracle in
+  * `oracleSql` over the same parquet tables; column names are aligned on
+  * both sides because the driver's compare sorts columns by name before
+  * hashing. Money sums are exact-decimal on both sides (see
+  * queries.Analytics) so no float nondeterminism leaks into the hash.
+  */
 object SparkEntry {
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    Analytics.ordersByMonth(spark, "/root/testdata/sf0.001")
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // — reference parity: aggregations / filters / sorts (SURVEY §2.3, 2.6, 2.8)
+    "q1_agg" -> (Reference.q1Agg(_, _)),
+    "q_orders_by_month" -> (Analytics.ordersByMonth(_, _)),
+    "q_filter_eq" -> (Analytics.filterEq(_, _)),
+    "q_filter_range" -> (Analytics.filterRange(_, _)),
+    "q_like_groupall" -> (Analytics.salesByCategoryLike(_, _)),
+    "q_distinct_category" -> (Analytics.distinctCategories(_, _)),
+    "q_limit_preview" -> (Analytics.limitPreview(_, _)),
+    "q_union_all" -> (Analytics.unionAllLiterals(_, _)),
+    // — joins (SURVEY §2.4 / testdata surface)
+    "q_join_nation_region" -> (Analytics.joinNationRegion(_, _)),
+    "q_join_orders_lineitem" -> (Analytics.joinOrdersLineitem(_, _)),
+    // — windows / percentiles (extension surface, SURVEY §2.7)
+    "q_window_topk" -> (Analytics.topOrdersPerPriority(_, _)),
+    "q_percentiles" -> (Analytics.quantitiesQuartiles(_, _)),
+    // — DV3F reshape pipeline (SURVEY §2.5, T1-T4)
+    "q_unpivot" -> (Dv3fQueries.unpivotLineitem(_, _)),
+    "q_pivot" -> (Dv3fQueries.pivotLineitem(_, _)),
+    "q_split_cod" -> (Dv3fQueries.splitCod(_, _)),
+    "q_uid_sha2" -> (Dv3fQueries.uidSha2(_, _)),
+    "q_dv3f_pipeline" -> (Dv3fQueries.dv3fPipeline(_, _)),
+    // — data quality (SURVEY §2.13)
+    "q_quality_unique" -> (Dv3fQueries.qualityUnique(_, _)),
+    "q_quality_notnull" -> (Dv3fQueries.qualityNotNull(_, _))
+  )
+
+  def oracleSql: Map[String, String] = Map(
+    "q1_agg" ->
+      """SELECT l_returnflag, l_linestatus, sum(l_quantity) AS sum_qty,
+         CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+         CAST(count(*) AS BIGINT) AS count_order
+         FROM lineitem GROUP BY l_returnflag, l_linestatus""",
+    "q_orders_by_month" ->
+      """SELECT date_trunc('month', o_orderdate) AS order_month,
+         count(*) AS number_of_orders,
+         CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sales_usd,
+         CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS average_order_value
+         FROM orders GROUP BY 1 ORDER BY 1 DESC""",
+    "q_filter_eq" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+         WHERE o_orderstatus = 'F' AND o_orderkey < 100""",
+    "q_filter_range" ->
+      """SELECT o_orderstatus, count(*) AS n,
+         CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sales_usd
+         FROM orders WHERE o_orderdate >= '1998-06-01' GROUP BY o_orderstatus""",
+    "q_like_groupall" ->
+      """SELECT o_orderpriority AS category,
+         CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sales_usd
+         FROM orders WHERE o_orderpriority LIKE '%HIGH%'
+         AND CAST(date_part('year', o_orderdate) AS VARCHAR) LIKE '19%'
+         GROUP BY ALL""",
+    "q_distinct_category" ->
+      "SELECT o_orderpriority AS category FROM orders GROUP BY o_orderpriority",
+    "q_limit_preview" ->
+      "SELECT * FROM region ORDER BY r_regionkey LIMIT 10",
+    "q_union_all" ->
+      "SELECT 1 AS id UNION ALL SELECT NULL AS id",
+    "q_join_nation_region" ->
+      """SELECT r_name, CAST(count(*) AS BIGINT) AS n_nations
+         FROM nation JOIN region ON n_regionkey = r_regionkey GROUP BY r_name""",
+    "q_join_orders_lineitem" ->
+      """SELECT o_orderpriority,
+         CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) *
+                  (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue,
+         count(*) AS n_items
+         FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+         GROUP BY o_orderpriority""",
+    "q_window_topk" ->
+      """SELECT o_orderpriority, rk, o_orderkey, o_totalprice FROM (
+           SELECT o_orderpriority, o_orderkey, o_totalprice,
+             CAST(row_number() OVER (PARTITION BY o_orderpriority
+               ORDER BY o_totalprice DESC, o_orderkey) AS INT) AS rk
+           FROM orders) WHERE rk <= 3""",
+    "q_percentiles" ->
+      """SELECT l_returnflag, quantile_cont(l_quantity, 0.25) AS q25,
+         quantile_cont(l_quantity, 0.5) AS median,
+         quantile_cont(l_quantity, 0.75) AS q75
+         FROM lineitem GROUP BY l_returnflag""",
+    "q_unpivot" ->
+      """SELECT l_orderkey, l_linenumber, metric, value FROM (
+           SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice, l_discount, l_tax
+           FROM lineitem)
+         UNPIVOT INCLUDE NULLS (value FOR metric IN (l_quantity, l_extendedprice, l_discount, l_tax))""",
+    "q_pivot" ->
+      """SELECT l_orderkey, l_linenumber,
+         max(CASE WHEN metric = 'l_quantity' THEN value END) AS l_quantity,
+         max(CASE WHEN metric = 'l_extendedprice' THEN value END) AS l_extendedprice,
+         max(CASE WHEN metric = 'l_discount' THEN value END) AS l_discount,
+         max(CASE WHEN metric = 'l_tax' THEN value END) AS l_tax
+         FROM (
+           SELECT l_orderkey, l_linenumber, metric, value FROM (
+             SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice, l_discount, l_tax
+             FROM lineitem)
+           UNPIVOT (value FOR metric IN (l_quantity, l_extendedprice, l_discount, l_tax)))
+         GROUP BY l_orderkey, l_linenumber""",
+    "q_split_cod" ->
+      """SELECT p_partkey,
+         regexp_extract(cod_full, '^(.*)_([^_]*)$', 1) AS metric,
+         regexp_replace(regexp_extract(cod_full, '^(.*)_([^_]*)$', 2), 'cod', '') AS cod
+         FROM (SELECT p_partkey,
+           'valeurfonc_sum_cod' || CAST(p_partkey % 10 AS VARCHAR) AS cod_full FROM part)""",
+    "q_uid_sha2" ->
+      """SELECT n_nationkey,
+         sha256(CAST(n_nationkey AS VARCHAR) || n_name) AS uid FROM nation""",
+    "q_dv3f_pipeline" -> Dv3fOracle.pipelineSql,
+    "q_quality_unique" ->
+      """SELECT count(*) AS violations FROM (
+           SELECT o_orderkey FROM orders GROUP BY o_orderkey HAVING count(*) > 1)""",
+    "q_quality_notnull" ->
+      "SELECT CAST(sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS violations FROM orders"
+  )
 }

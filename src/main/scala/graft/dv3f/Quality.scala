@@ -1,0 +1,44 @@
+package graft.dv3f
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Data-quality checks — the dbt `unique` / `not_null` schema tests as
+  * operators (reference: dbt_core/models/example/schema.yml:4-22).
+  * Each returns the VIOLATION count (0 = pass) so callers can assert or
+  * report. Both are single-pass aggregations — one shuffle for unique
+  * (by the checked column), none for notNull.
+  */
+object Quality {
+
+  /** dbt `unique` test: number of distinct values that occur more than
+    * once. NULLs are ignored (dbt semantics).
+    */
+  def uniqueViolations(df: DataFrame, column: String): Long =
+    df.filter(col(column).isNotNull)
+      .groupBy(col(column)).count()
+      .filter(col("count") > 1)
+      .count()
+
+  /** dbt `not_null` test: number of NULL rows. */
+  def notNullViolations(df: DataFrame, column: String): Long =
+    df.filter(col(column).isNull).count()
+
+  final case class CheckResult(table: String, column: String,
+      check: String, violations: Long) {
+    def passed: Boolean = violations == 0
+  }
+
+  /** Run the reference's test suite shape over a staging frame:
+    * unique(uid) + not_null(uid) (+ not_null on every id var, which the
+    * uid hash requires — SURVEY.md §7.4.4).
+    */
+  def stagingChecks(df: DataFrame, table: StagingTable): Seq[CheckResult] = {
+    val pk = table.primaryKey
+    Seq(
+      CheckResult(table.name, pk, "unique", uniqueViolations(df, pk)),
+      CheckResult(table.name, pk, "not_null", notNullViolations(df, pk))
+    ) ++ table.idVars.map(c =>
+      CheckResult(table.name, c, "not_null", notNullViolations(df, c)))
+  }
+}

@@ -1,0 +1,140 @@
+package graft.queries
+
+import graft.Tables
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** The reference's analytics/query surface (Evidence pages + dbt models —
+  * SURVEY.md §2.3, §2.6, §2.8-2.10), mapped onto the driver testdata per
+  * FIXTURES.md §4: orders.o_orderdate→order_datetime,
+  * o_totalprice→sales, o_orderpriority→category.
+  *
+  * Float determinism note: every sum over a money column goes through
+  * DECIMAL(18,2) (exact arithmetic — identical in Spark and the DuckDB
+  * oracle regardless of partition/accumulation order) and is cast back to
+  * double at the end. Plain double sums are only used where the addends
+  * are small integers stored as doubles (exactly representable).
+  */
+object Analytics {
+
+  /** Exact money sum: associative-order-independent. */
+  def moneySum(c: Column): Column = sum(c.cast(DecimalType(18, 2))).cast(DoubleType)
+
+  /** Evidence orders_by_month (reference:
+    * evidence-workspace/pages/index.md:16-25): date_trunc month, count(*),
+    * sum(sales), sum/count ratio, group by 1 order by 1 desc.
+    * Covers A1, A2, A3, A5, F1, F8, O1, P6.
+    */
+  def ordersByMonth(spark: SparkSession, dir: String): DataFrame =
+    Tables.load(spark, dir, "orders")
+      .groupBy(date_trunc("month", col("o_orderdate")).as("order_month"))
+      .agg(
+        count(lit(1)).as("number_of_orders"),
+        moneySum(col("o_totalprice")).as("sales_usd"))
+      .withColumn("average_order_value",
+        col("sales_usd") / col("number_of_orders"))
+      .orderBy(col("order_month").desc)
+
+  /** dbt my_second_dbt_model-shaped equality filter (P2) with a stable
+    * projection.
+    */
+  def filterEq(spark: SparkSession, dir: String): DataFrame =
+    Tables.load(spark, dir, "orders")
+      .filter(col("o_orderstatus") === "F" && col("o_orderkey") < 100)
+      .select("o_orderkey", "o_custkey", "o_totalprice")
+
+  /** Evidence range predicate on timestamp (P4, reference: index.md:23)
+    * with string→timestamp coercion, aggregated per status.
+    */
+  def filterRange(spark: SparkSession, dir: String): DataFrame =
+    Tables.load(spark, dir, "orders")
+      .filter(col("o_orderdate") >= lit("1998-06-01"))
+      .groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("n"), moneySum(col("o_totalprice")).as("sales_usd"))
+
+  /** Evidence parameterized LIKE + date_part + GROUP BY ALL (P5, F2, F9,
+    * A6 — reference: index.md:87-97). The LIKE over a numeric date_part
+    * result exercises the implicit numeric→string cast (SURVEY.md §7.4.6).
+    */
+  def salesByCategoryLike(spark: SparkSession, dir: String,
+      categoryPattern: String = "%HIGH%", yearPattern: String = "19%"): DataFrame =
+    Tables.load(spark, dir, "orders")
+      .filter(col("o_orderpriority").like(categoryPattern) &&
+        expr("date_part('YEAR', o_orderdate)").cast(StringType).like(yearPattern))
+      .groupBy(col("o_orderpriority").as("category"))
+      .agg(moneySum(col("o_totalprice")).as("sales_usd"))
+
+  /** Evidence distinct-via-group-by (A7, reference: index.md:69-74). */
+  def distinctCategories(spark: SparkSession, dir: String): DataFrame =
+    Tables.load(spark, dir, "orders")
+      .select(col("o_orderpriority").as("category"))
+      .distinct()
+
+  /** Evidence test-page preview (O3, reference: pages/test.md:9-14) —
+    * ordered for determinism.
+    */
+  def limitPreview(spark: SparkSession, dir: String): DataFrame =
+    Tables.load(spark, dir, "region").orderBy("r_regionkey").limit(10)
+
+  /** dbt my_first_dbt_model literal UNION ALL source (S5, U1 — reference:
+    * dbt_core/models/example/my_first_dbt_model.sql:12-18).
+    */
+  def unionAllLiterals(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Seq(Option(1)).toDF("id").union(Seq(Option.empty[Int]).toDF("id"))
+  }
+
+  /** Broadcast dimension join: nation ⋈ region (SURVEY.md §2.4 — the
+    * testdata join surface). region is tiny at ANY scale factor → always
+    * broadcast; no shuffle of nation.
+    */
+  def joinNationRegion(spark: SparkSession, dir: String): DataFrame =
+    Tables.load(spark, dir, "nation")
+      .join(broadcast(Tables.load(spark, dir, "region")),
+        col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("r_name"))
+      .agg(count(lit(1)).cast(LongType).as("n_nations"))
+
+  /** Fact-to-fact join: orders ⋈ lineitem revenue per priority. Both sides
+    * scale with sf → shuffle hash/sort-merge join on the key; AQE picks.
+    * Only the 3 needed columns are scanned on each side (column pruning).
+    */
+  def joinOrdersLineitem(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.load(spark, dir, "orders").select("o_orderkey", "o_orderpriority")
+    val l = Tables.load(spark, dir, "lineitem")
+      .select(col("l_orderkey"),
+        (col("l_extendedprice").cast(DecimalType(18, 2)) *
+          (lit(1).cast(DecimalType(18, 2)) - col("l_discount").cast(DecimalType(18, 2))))
+          .as("rev"))
+    o.join(l, col("o_orderkey") === col("l_orderkey"))
+      .groupBy(col("o_orderpriority"))
+      .agg(sum(col("rev")).cast(DoubleType).as("revenue"),
+        count(lit(1)).as("n_items"))
+  }
+
+  /** Window function (extension surface, SURVEY.md §2.7): top-3 orders per
+    * priority by price, deterministic tiebreak on key.
+    */
+  def topOrdersPerPriority(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("o_orderpriority"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    Tables.load(spark, dir, "orders")
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 3)
+      .select("o_orderpriority", "rk", "o_orderkey", "o_totalprice")
+  }
+
+  /** Percentile recompute (extension surface — the reference's quartile
+    * columns arrive precomputed; SURVEY.md §2.7): exact interpolated
+    * quantiles per group, same definition as DuckDB quantile_cont.
+    */
+  def quantitiesQuartiles(spark: SparkSession, dir: String): DataFrame =
+    Tables.load(spark, dir, "lineitem")
+      .groupBy(col("l_returnflag"))
+      .agg(
+        expr("percentile(l_quantity, 0.25)").as("q25"),
+        expr("percentile(l_quantity, 0.5)").as("median"),
+        expr("percentile(l_quantity, 0.75)").as("q75"))
+}

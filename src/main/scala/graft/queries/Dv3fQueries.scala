@@ -1,0 +1,92 @@
+package graft.queries
+
+import graft.Tables
+import graft.dv3f._
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Pipeline-shaped queries exercising the DV3F reshape/hash/quality
+  * operators (SURVEY.md §2 T1-T4, Q1-Q2, F3-F7) on the driver testdata
+  * plus one self-contained golden pipeline on the FIXTURES.md §1 payload.
+  */
+object Dv3fQueries {
+
+  /** T1 — unpivot lineitem's four numeric metrics long-form. */
+  def unpivotLineitem(spark: SparkSession, dir: String): DataFrame =
+    Reshape.unpivotWide(
+      Tables.load(spark, dir, "lineitem")
+        .select("l_orderkey", "l_linenumber", "l_quantity",
+          "l_extendedprice", "l_discount", "l_tax"),
+      idVars = Seq("l_orderkey", "l_linenumber"))
+      .withColumnRenamed("cod_full", "metric")
+      .withColumnRenamed("valeur", "value")
+
+  /** T3 — pivot the long form back to wide with an explicit value list
+    * (no distinct scan) and a deterministic agg (max).
+    */
+  def pivotLineitem(spark: SparkSession, dir: String): DataFrame = {
+    val metrics = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+    unpivotLineitem(spark, dir)
+      .groupBy(col("l_orderkey"), col("l_linenumber"))
+      .pivot("metric", metrics)
+      .agg(max(col("value")))
+  }
+
+  /** T2 — split-on-last-underscore + "cod" strip over synthesized
+    * `<metric>_cod<N>` strings (the API's wide column naming).
+    */
+  def splitCod(spark: SparkSession, dir: String): DataFrame =
+    Reshape.splitCod(
+      Tables.load(spark, dir, "part")
+        .select(col("p_partkey"),
+          concat(lit("valeurfonc_sum_cod"), (col("p_partkey") % 10).cast(StringType))
+            .as("cod_full")))
+      .select(col("p_partkey"), col("cod_full").as("metric"), col("cod"))
+
+  /** T4/F3-F5 — sha256 content-hash uid over nation. */
+  def uidSha2(spark: SparkSession, dir: String): DataFrame =
+    Tables.load(spark, dir, "nation")
+      .select(col("n_nationkey"),
+        sha2(concat(col("n_nationkey").cast(StringType), col("n_name")), 256).as("uid"))
+
+  /** FIXTURES.md §1 — the wide departement API payload as a literal frame. */
+  def fixtureWide(spark: SparkSession): DataFrame = {
+    val metricCols = Seq(
+      "nbtrans_cod111", "valeurfonc_sum_cod111", "valeurfonc_q25_cod111",
+      "valeurfonc_median_cod111", "valeurfonc_q75_cod111", "pxm2_q25_cod111",
+      "pxm2_median_cod111", "pxm2_q75_cod111", "sbati_sum_cod111",
+      "sbati_median_cod111", "nbtrans_cod121", "valeurfonc_sum_cod121",
+      "valeurfonc_median_cod121", "pxm2_median_cod121")
+    val schema = StructType(
+      Seq("annee", "dep", "libdep").map(StructField(_, StringType)) ++
+        metricCols.map(StructField(_, DoubleType)))
+    val rows = java.util.Arrays.asList(
+      Row("2019", "85", "Vendée",
+        7543.0, 1.23e9, 98000.0, 152000.0, 231000.0, 1450.5, 1980.0, 2610.75,
+        812345.0, 95.0, 312.0, 4.1e7, null, 2100.0),
+      Row("2020", "85", "Vendée",
+        8012.0, 1.41e9, null, null, null, null, null, null, null, null,
+        null, null, null, null))
+    spark.createDataFrame(rows, schema)
+  }
+
+  /** The flagship end-to-end transform: FIXTURES wide payload →
+    * unpivot → split → pivot(first) → sha2 uid (golden rows in
+    * FIXTURES.md §2). Fully self-contained — `dir` unused.
+    */
+  def dv3fPipeline(spark: SparkSession, dir: String): DataFrame =
+    Reshape.transform(fixtureWide(spark), Dv3fConfig.departement)
+
+  /** Q1 — dbt `unique` test as a query (violation count). */
+  def qualityUnique(spark: SparkSession, dir: String): DataFrame =
+    Tables.load(spark, dir, "orders")
+      .groupBy(col("o_orderkey")).count()
+      .filter(col("count") > 1)
+      .agg(count(lit(1)).as("violations"))
+
+  /** Q2 — dbt `not_null` test as a query (violation count). */
+  def qualityNotNull(spark: SparkSession, dir: String): DataFrame =
+    Tables.load(spark, dir, "orders")
+      .agg(sum(when(col("o_custkey").isNull, 1L).otherwise(0L)).as("violations"))
+}
