@@ -41,7 +41,23 @@ object SparkEntry {
     "q_dv3f_pipeline" -> (Dv3fQueries.dv3fPipeline(_, _)),
     // — data quality (SURVEY §2.13)
     "q_quality_unique" -> (Dv3fQueries.qualityUnique(_, _)),
-    "q_quality_notnull" -> (Dv3fQueries.qualityNotNull(_, _))
+    "q_quality_notnull" -> (Dv3fQueries.qualityNotNull(_, _)),
+    // — LLM-pipeline: dedup family
+    "q_dedup_exact" -> (LlmOps.dedupExact(_, _)),
+    "q_dedup_minhash" -> (LlmOps.minhashSignatures(_, _)),
+    "q_dedup_minhash_lsh" -> (LlmOps.minhashLshDedup(_, _)),
+    "q_dedup_ngram_jaccard" -> (LlmOps.ngramJaccard(_, _)),
+    "q_dedup_simhash" -> (LlmOps.simhashSignatures(_, _)),
+    "q_dedup_simhash_pairs" -> (LlmOps.simhashPairs(_, _)),
+    // — LLM-pipeline: text analysis
+    "q_text_stats" -> (LlmOps.textStats(_, _)),
+    "q_doc_fingerprints" -> (LlmOps.docFingerprints(_, _)),
+    // — LLM-pipeline: similarity search
+    "q_embed_topk" -> (LlmOps.embedTopK(_, _)),
+    "q_embed_neardup" -> (LlmOps.embedNearDup(_, _)),
+    "q_embed_ann_ivf" -> (LlmOps.embedAnnIvf(_, _)),
+    // — LLM-pipeline: multimodal plumbing
+    "q_multimodal_meta" -> (LlmOps.multimodalMeta(_, _))
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -127,6 +143,18 @@ object SparkEntry {
       """SELECT count(*) AS violations FROM (
            SELECT o_orderkey FROM orders GROUP BY o_orderkey HAVING count(*) > 1)""",
     "q_quality_notnull" ->
-      "SELECT CAST(sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS violations FROM orders"
+      "SELECT CAST(sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS violations FROM orders",
+    // q_dedup_minhash_lsh / q_dedup_simhash_pairs / q_embed_ann_ivf are
+    // approximate-candidate ops — no SQL oracle (rows-only check);
+    // their exactness-adjacent cousins above ARE oracle-checked.
+    "q_dedup_exact" -> LlmOps.dedupExactSql,
+    "q_dedup_minhash" -> LlmOps.minhashSql,
+    "q_dedup_ngram_jaccard" -> LlmOps.ngramJaccardSql,
+    "q_dedup_simhash" -> LlmOps.simhashSql,
+    "q_text_stats" -> LlmOps.textStatsSql,
+    "q_doc_fingerprints" -> LlmOps.docFingerprintsSql,
+    "q_embed_topk" -> LlmOps.embedTopKSql,
+    "q_embed_neardup" -> LlmOps.embedNearDupSql,
+    "q_multimodal_meta" -> LlmOps.multimodalMetaSql
   )
 }

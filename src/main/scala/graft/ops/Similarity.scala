@@ -1,0 +1,117 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Similarity search over an embedding column (Array[Float]).
+  *
+  * Three tiers, by scale:
+  *  - brute-force cosine top-k: the exact baseline. Map-only score +
+  *    TakeOrderedAndProject — distributed, no shuffle of the corpus,
+  *    O(n·d) work. Right answer at any sf when k is small.
+  *  - LSH (random hyperplane / sign) buckets: candidate generation by
+  *    equality join on bucket id — the scale path for pairwise near-dup.
+  *  - IVF: coarse quantization to nVectors/centroid inverted lists;
+  *    query probes only the closest lists. Centroid assignment is one
+  *    broadcast join; at 100 TB the lists become the partitioning key
+  *    (write bucketed by centroid → searches touch few partitions).
+  *
+  * All vector math is done in double precision via zip_with/aggregate
+  * (codegen'd higher-order functions, no UDF).
+  */
+object Similarity {
+
+  /** Dot product of two array columns, in double. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x.cast(DoubleType) * y.cast(DoubleType)),
+      lit(0.0), (acc, v) => acc + v)
+
+  def norm(a: Column): Column = sqrt(dot(a, a))
+
+  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+
+  /** Exact top-k by cosine to one query vector. The literal query vector
+    * ships with the plan (broadcast by definition); orderBy+limit
+    * compiles to TakeOrderedAndProject — each partition keeps k rows,
+    * driver merges. No full sort, no shuffle.
+    */
+  def bruteForceTopK(corpus: DataFrame, id: Column, emb: Column,
+      queryVec: Seq[Double], k: Int): DataFrame = {
+    val q = array(queryVec.map(lit): _*)
+    corpus.select(id.as("vec_id"), cosine(emb, q).as("cos"))
+      .orderBy(col("cos").desc, col("vec_id"))
+      .limit(k)
+  }
+
+  /** Deterministic random hyperplanes: `nPlanes` × `dim` gaussian weights
+    * from a fixed seed. Small (nPlanes·dim doubles) → plan literal.
+    */
+  def hyperplanes(nPlanes: Int, dim: Int, seed: Long = 42L): Array[Array[Double]] = {
+    val rng = new scala.util.Random(seed)
+    Array.fill(nPlanes, dim)(rng.nextGaussian())
+  }
+
+  /** Sign-LSH bucket id: bit i = (v · plane_i) >= 0. Buckets group
+    * vectors by angular region; cosine-close vectors collide with high
+    * probability. Map-only.
+    */
+  def lshBucket(emb: Column, planes: Array[Array[Double]]): Column =
+    planes.zipWithIndex.map { case (p, i) =>
+      when(dot(emb, array(p.toIndexedSeq.map(lit): _*)) >= 0,
+        shiftleft(lit(1L), i)).otherwise(lit(0L))
+    }.reduce[Column]((a, b) => a.bitwiseOR(b))
+
+  /** Near-duplicate embedding pairs: bucket join on sign-LSH key, then
+    * exact cosine filter. Equality join ⇒ shuffle on bucket id only;
+    * `nPlanes` tunes bucket occupancy (≈ n/2^nPlanes per bucket).
+    */
+  def cosineNearDupPairs(corpus: DataFrame, id: Column, emb: Column,
+      threshold: Double, nPlanes: Int = 8, dim: Int = 64): DataFrame = {
+    val planes = hyperplanes(nPlanes, dim)
+    val bucketed = corpus.select(id.as("vec_id"), emb.as("e"))
+      .withColumn("bucket", lshBucket(col("e"), planes))
+    val l = bucketed.as("l"); val r = bucketed.as("r")
+    l.join(r, col("l.bucket") === col("r.bucket") &&
+        col("l.vec_id") < col("r.vec_id"))
+      .select(col("l.vec_id").as("vec_a"), col("r.vec_id").as("vec_b"),
+        cosine(col("l.e"), col("r.e")).as("cos"))
+      .filter(col("cos") >= threshold)
+  }
+
+  /** IVF index: assign every vector to its nearest centroid (broadcast
+    * the centroids — they are tiny), producing inverted lists keyed by
+    * centroid id. Deterministic centroids: callers pass them (e.g. a
+    * k-means fit, or a fixed sample).
+    */
+  def ivfAssign(corpus: DataFrame, id: Column, emb: Column,
+      centroids: Seq[(Int, Seq[Double])]): DataFrame = {
+    // score against each centroid; argmax via greatest-chain keeps it
+    // one projection (centroid count is small by construction)
+    val scored = centroids.map { case (cid, c) =>
+      struct(cosine(emb, array(c.map(lit): _*)).as("cos"),
+        lit(cid).as("cid"))
+    }
+    corpus.select(id.as("vec_id"), emb.as("e"),
+      greatest(scored: _*).getField("cid").as("centroid"))
+  }
+
+  /** IVF search: find the `nProbe` centroids closest to the query, scan
+    * only their lists, exact top-k within. At scale the lists are
+    * bucketed files — the scan prunes to nProbe/|C| of the data.
+    */
+  def ivfSearch(assigned: DataFrame, centroids: Seq[(Int, Seq[Double])],
+      queryVec: Seq[Double], k: Int, nProbe: Int = 2): DataFrame = {
+    def cos(a: Seq[Double], b: Seq[Double]): Double = {
+      val d = a.zip(b).map { case (x, y) => x * y }.sum
+      d / (math.sqrt(a.map(x => x * x).sum) * math.sqrt(b.map(x => x * x).sum))
+    }
+    val probed = centroids.map { case (cid, c) => (cid, cos(c, queryVec)) }
+      .sortBy { case (cid, s) => (-s, cid) }.take(nProbe).map(_._1)
+    val q = array(queryVec.map(lit): _*)
+    assigned.filter(col("centroid").isin(probed: _*))
+      .select(col("vec_id"), cosine(col("e"), q).as("cos"))
+      .orderBy(col("cos").desc, col("vec_id"))
+      .limit(k)
+  }
+}

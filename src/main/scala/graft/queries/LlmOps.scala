@@ -1,0 +1,224 @@
+package graft.queries
+
+import graft.Tables
+import graft.ops._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Queries exposing the LLM-data-pipeline operators over the
+  * documents/embeddings tables, with matching DuckDB oracle SQL
+  * (generated where the signature math is wide — minhash, simhash —
+  * so Spark and oracle share the exact same constants).
+  */
+object LlmOps {
+
+  // --------------------------------------------------------------- dedup
+
+  def dedupExact(spark: SparkSession, dir: String): DataFrame =
+    Dedup.exactDedup(Tables.load(spark, dir, "documents"),
+      col("doc_id"), col("text"))
+
+  def minhashSignatures(spark: SparkSession, dir: String): DataFrame =
+    Dedup.minHash(Tables.load(spark, dir, "documents"),
+      col("doc_id"), col("text"), n = 3, k = 16)
+
+  /** MinHash-LSH near-dup resolution: LSH candidates (4 bands × 4 rows)
+    * verified by exact Jaccard ≥ 0.5. Approximate candidate step → no SQL
+    * oracle (rows-only check); covered by NgramJaccardSpec instead.
+    */
+  def minhashLshDedup(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.load(spark, dir, "documents")
+    val sig = Dedup.minHash(docs, col("doc_id"), col("text"), n = 3, k = 16)
+    val cand = Dedup.minHashLshCandidates(sig, bands = 4, rowsPerBand = 4)
+    val exact = Dedup.ngramJaccardPairs(docs, col("doc_id"), col("text"),
+      n = 3, threshold = 0.5)
+    cand.join(exact, Seq("doc_a", "doc_b"))
+      .select("doc_a", "doc_b", "jaccard")
+  }
+
+  def ngramJaccard(spark: SparkSession, dir: String): DataFrame =
+    Dedup.ngramJaccardPairs(Tables.load(spark, dir, "documents"),
+      col("doc_id"), col("text"), n = 3, threshold = 0.1)
+
+  def simhashSignatures(spark: SparkSession, dir: String): DataFrame =
+    Tables.load(spark, dir, "documents")
+      .select(col("doc_id"), Dedup.simHash(col("text")).as("simhash"))
+
+  def simhashPairs(spark: SparkSession, dir: String): DataFrame =
+    Dedup.simHashPairs(Tables.load(spark, dir, "documents"),
+      col("doc_id"), col("text"), maxDist = 8, blockBits = 4)
+
+  // ---------------------------------------------------------------- text
+
+  def textStats(spark: SparkSession, dir: String): DataFrame =
+    TextAnalysis.analyzeDocuments(spark, dir)
+
+  def docFingerprints(spark: SparkSession, dir: String): DataFrame =
+    Tables.load(spark, dir, "documents")
+      .select(col("doc_id"),
+        TextAnalysis.bagFingerprint(col("text")).as("bag_fp"),
+        TextAnalysis.rollingFingerprint(col("text")).as("roll_fp"))
+
+  // ---------------------------------------------------------- similarity
+
+  /** Driver-side parameter lookup: the query vector (vec_id 0). This is a
+    * query PARAMETER (one-row lookup), not dataflow.
+    */
+  def queryVector(spark: SparkSession, dir: String): Seq[Double] =
+    Tables.load(spark, dir, "embeddings")
+      .filter(col("vec_id") === 0)
+      .select(col("embedding").cast(ArrayType(DoubleType)))
+      .collect()(0).getSeq[Double](0)
+
+  def embedTopK(spark: SparkSession, dir: String): DataFrame =
+    Similarity.bruteForceTopK(
+      Tables.load(spark, dir, "embeddings"),
+      col("vec_id"), col("embedding"), queryVector(spark, dir), k = 10)
+      .withColumn("cos", round(col("cos"), 6))
+
+  def embedNearDup(spark: SparkSession, dir: String): DataFrame =
+    Similarity.cosineNearDupPairs(Tables.load(spark, dir, "embeddings"),
+      col("vec_id"), col("embedding"), threshold = 0.4,
+      nPlanes = lshPlanes, dim = 64)
+      .withColumn("cos", round(col("cos"), 6))
+
+  /** IVF ANN: centroids = embeddings of vec_ids 0..7 (deterministic
+    * stand-in for a k-means fit), probe the 2 nearest lists.
+    */
+  def embedAnnIvf(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.load(spark, dir, "embeddings")
+    val centroids = emb.filter(col("vec_id") < 8)
+      .select(col("vec_id"), col("embedding").cast(ArrayType(DoubleType)))
+      .collect()
+      .map(r => (r.getLong(0).toInt, r.getSeq[Double](1)))
+      .toSeq.sortBy(_._1)
+    val assigned = Similarity.ivfAssign(emb, col("vec_id"), col("embedding"), centroids)
+    Similarity.ivfSearch(assigned, centroids, queryVector(spark, dir), k = 10)
+      .withColumn("cos", round(col("cos"), 6))
+  }
+
+  // ----------------------------------------------------------- multimodal
+
+  def multimodalMeta(spark: SparkSession, dir: String): DataFrame =
+    Multimodal.mediaMeta(spark, dir)
+
+  // ================================================== oracle SQL builders
+
+  /** Shared DuckDB CTE: distinct word 3-gram shingles per doc. */
+  private val shingleCte =
+    """toks AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS t FROM documents),
+      |sh AS (SELECT DISTINCT doc_id,
+      |  unnest([array_to_string(t[i:i+2], ' ') for i in range(1, len(t)-1)]) AS shingle
+      |  FROM toks)""".stripMargin
+
+  val dedupExactSql: String =
+    """SELECT sha256(text) AS text_hash, min(doc_id) AS keeper_id,
+      |count(*) AS n_copies FROM documents GROUP BY sha256(text)""".stripMargin
+
+  val minhashSql: String = {
+    val aggs = Dedup.minhashParams(16).zipWithIndex.map { case ((a, b), i) =>
+      s"min((h * $a + $b) % ${Dedup.minhashP}) AS m$i"
+    }
+    s"""WITH $shingleCte,
+       |h AS (SELECT doc_id,
+       |  ('0x' || substr(md5(shingle), 1, 15))::BIGINT % ${Dedup.minhashP} AS h
+       |  FROM sh)
+       |SELECT doc_id, ${aggs.mkString(",\n  ")}
+       |FROM h GROUP BY doc_id""".stripMargin
+  }
+
+  val ngramJaccardSql: String =
+    s"""WITH $shingleCte,
+       |freq AS (SELECT shingle FROM sh GROUP BY shingle HAVING count(*) <= 1000),
+       |f AS (SELECT sh.doc_id, sh.shingle FROM sh JOIN freq USING (shingle)),
+       |c AS (SELECT doc_id, count(*) AS n_sh FROM f GROUP BY doc_id),
+       |i AS (SELECT l.doc_id AS doc_a, r.doc_id AS doc_b, count(*) AS inter
+       |  FROM f l JOIN f r ON l.shingle = r.shingle AND l.doc_id < r.doc_id
+       |  GROUP BY 1, 2)
+       |SELECT doc_a, doc_b, inter,
+       |  inter::DOUBLE / (ca.n_sh + cb.n_sh - inter) AS jaccard
+       |FROM i JOIN c ca ON i.doc_a = ca.doc_id JOIN c cb ON i.doc_b = cb.doc_id
+       |WHERE inter::DOUBLE / (ca.n_sh + cb.n_sh - inter) >= 0.1""".stripMargin
+
+  val simhashSql: String = {
+    val votes = (0 until 60).map(i =>
+      s"sum(CASE WHEN (h >> $i) & 1 = 1 THEN 1 ELSE -1 END) AS v$i")
+    val bits = (0 until 60).map(i =>
+      s"(CASE WHEN v$i > 0 THEN 1::BIGINT << $i ELSE 0 END)")
+    s"""WITH toks AS (SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS tok
+       |  FROM documents),
+       |h AS (SELECT doc_id, ('0x' || substr(md5(tok), 1, 15))::BIGINT AS h FROM toks),
+       |votes AS (SELECT doc_id, ${votes.mkString(",\n  ")} FROM h GROUP BY doc_id)
+       |SELECT doc_id, ${bits.mkString(" | ")} AS simhash FROM votes""".stripMargin
+  }
+
+  val textStatsSql: String = {
+    val markers = TextAnalysis.langMarkers
+    def cnt(ms: Seq[String]): String =
+      s"len(list_filter(t, x -> x IN (${ms.map(m => s"'$m'").mkString(",")})))"
+    val langCase = markers.map(_._1).zipWithIndex.map { case (lang, _) =>
+      val others = markers.filter(_._1 != lang).map(m => s"c_${m._1}")
+      s"WHEN c_$lang >= greatest(${others.mkString(",")}) THEN '$lang'"
+    }
+    s"""WITH base AS (SELECT doc_id, text, string_split_regex(trim(text), '\\s+') AS t
+       |  FROM documents),
+       |scored AS (SELECT *,
+       |  ${markers.map { case (l, ms) => s"${cnt(ms)} AS c_$l" }.mkString(",\n  ")}
+       |  FROM base)
+       |SELECT doc_id,
+       |  length(text) AS n_chars,
+       |  len(t) AS n_tokens,
+       |  list_sum(list_transform(t, x -> length(x)))::DOUBLE / len(t) AS mean_token_len,
+       |  c_en::DOUBLE / len(t) AS stopword_ratio,
+       |  len(regexp_extract_all(text, '[^\\w\\s]'))::DOUBLE / length(text) AS punct_ratio,
+       |  len(regexp_extract_all(text, '[A-Za-z]'))::DOUBLE / length(text) AS alpha_ratio,
+       |  CASE ${langCase.mkString(" ")} ELSE 'zh' END AS lang_pred,
+       |  md5(array_to_string(list_sort(list_distinct(t)), ' ')) AS fingerprint
+       |FROM scored""".stripMargin
+  }
+
+  val docFingerprintsSql: String =
+    """WITH base AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS t
+      |  FROM documents)
+      |SELECT doc_id,
+      |  md5(array_to_string(list_sort(list_distinct(t)), ' ')) AS bag_fp,
+      |  list_reduce(
+      |    list_prepend(7::BIGINT,
+      |      list_transform(t, x -> ('0x' || substr(md5(x), 1, 15))::BIGINT % 2147483647)),
+      |    (acc, h) -> (acc * 31 + h) % 2147483647) AS roll_fp
+      |FROM base""".stripMargin
+
+  val embedTopKSql: String =
+    """SELECT e.vec_id,
+      |  round(list_cosine_similarity(e.embedding::DOUBLE[], q.embedding::DOUBLE[]), 6) AS cos
+      |FROM embeddings e,
+      |  (SELECT embedding FROM embeddings WHERE vec_id = 0) q
+      |ORDER BY list_cosine_similarity(e.embedding::DOUBLE[], q.embedding::DOUBLE[]) DESC, e.vec_id
+      |LIMIT 10""".stripMargin
+
+  /** LSH planes inlined as literals so Spark and the oracle share the
+    * exact same hyperplanes (Scala Double.toString round-trips).
+    */
+  val lshPlanes = 8
+  val embedNearDupSql: String = {
+    val planes = Similarity.hyperplanes(lshPlanes, 64)
+    val bucket = planes.zipWithIndex.map { case (p, i) =>
+      val arr = p.map(_.toString).mkString("[", ",", "]")
+      s"(CASE WHEN list_dot_product(e.embedding::DOUBLE[], $arr::DOUBLE[]) >= 0 THEN 1::BIGINT << $i ELSE 0 END)"
+    }.mkString(" | ")
+    s"""WITH b AS (SELECT vec_id, embedding, $bucket AS bucket
+       |  FROM embeddings e)
+       |SELECT l.vec_id AS vec_a, r.vec_id AS vec_b,
+       |  round(list_cosine_similarity(l.embedding::DOUBLE[], r.embedding::DOUBLE[]), 6) AS cos
+       |FROM b l JOIN b r ON l.bucket = r.bucket AND l.vec_id < r.vec_id
+       |WHERE list_cosine_similarity(l.embedding::DOUBLE[], r.embedding::DOUBLE[]) >= 0.4""".stripMargin
+  }
+
+  val multimodalMetaSql: String =
+    """SELECT doc_id, octet_length(encode(text)) AS n_bytes, sha256(text) AS sha,
+      |  octet_length(encode(text)) % 640 + 1 AS width,
+      |  octet_length(encode(text)) % 480 + 1 AS height,
+      |  octet_length(encode(text)) % 30 + 1 AS n_frames
+      |FROM documents""".stripMargin
+}

@@ -1,0 +1,82 @@
+package graft.ops
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class DedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def docs(rows: (Long, String)*) = rows.toDF("doc_id", "text")
+
+  test("shingles: word 3-grams, distinct, short docs drop out") {
+    val got = docs((1L, "a b c d"), (2L, "x y"))
+      .select(col("doc_id"), Dedup.shingles(col("text"), 3).as("sh"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+    assert(got(1L) === Seq("a b c", "b c d"))
+    assert(got(2L) === Seq())
+  }
+
+  test("exactDedup groups identical texts, keeper is min id") {
+    val got = Dedup.exactDedup(
+      docs((5L, "same text"), (2L, "same text"), (9L, "other")),
+      col("doc_id"), col("text"))
+      .orderBy("keeper_id").collect()
+    assert(got.map(r => (r.getLong(1), r.getLong(2))).toSeq ===
+      Seq((2L, 2L), (9L, 1L)))
+  }
+
+  test("minhash: identical texts get identical signatures, disjoint don't") {
+    val sig = Dedup.minHash(
+      docs((1L, "a b c d e f"), (2L, "a b c d e f"), (3L, "q r s t u v")),
+      col("doc_id"), col("text"))
+      .orderBy("doc_id").collect()
+    val s = (i: Int) => sig(i).toSeq.drop(1)
+    assert(s(0) === s(1))
+    assert(s(0) !== s(2))
+  }
+
+  test("minhash LSH candidates find near-identical pairs") {
+    val d = docs(
+      (1L, "the quick brown fox jumps over the lazy dog today"),
+      (2L, "the quick brown fox jumps over the lazy dog tonight"),
+      (3L, "completely different words appear within this very document here"))
+    val sig = Dedup.minHash(d, col("doc_id"), col("text"))
+    val cand = Dedup.minHashLshCandidates(sig, bands = 4, rowsPerBand = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(cand.contains((1L, 2L)))
+    assert(!cand.contains((1L, 3L)) && !cand.contains((2L, 3L)))
+  }
+
+  test("simhash: equal for identical text, near for near-identical, far for disjoint") {
+    val sigs = docs(
+      (1L, "w1 w2 w3 w4 w5 w6 w7 w8 w9 w10 w11 w12"),
+      (2L, "w1 w2 w3 w4 w5 w6 w7 w8 w9 w10 w11 w12"),
+      (3L, "w1 w2 w3 w4 w5 w6 w7 w8 w9 w10 w11 w13"),
+      (4L, "z1 z2 z3 z4 z5 z6 z7 z8 z9 z10 z11 z12"))
+      .select(col("doc_id"), Dedup.simHash(col("text")).as("s"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(ham(sigs(1L), sigs(2L)) === 0)
+    assert(ham(sigs(1L), sigs(3L)) < ham(sigs(1L), sigs(4L)))
+  }
+
+  test("ngramJaccardPairs computes exact jaccard") {
+    // doc1: shingles {a b c, b c d, c d e}; doc2: {a b c, b c d, c d x}
+    // inter=2, union=4 → 0.5
+    val got = Dedup.ngramJaccardPairs(
+      docs((1L, "a b c d e"), (2L, "a b c d x")),
+      col("doc_id"), col("text"), n = 3, threshold = 0.1)
+      .collect()
+    assert(got.length === 1)
+    assert(got(0).getLong(2) === 2L) // inter
+    assert(got(0).getDouble(3) === 0.5)
+  }
+
+  test("ngramJaccardPairs: maxDocFreq drops hot shingles (no blowup)") {
+    val hot = (1L to 20L).map(i => (i, s"hot shingle here unique$i tail"))
+    val got = Dedup.ngramJaccardPairs(hot.toDF("doc_id", "text"),
+      col("doc_id"), col("text"), n = 3, threshold = 0.01, maxDocFreq = 5)
+    // 'hot shingle here' appears in 20 docs > 5 → dropped → no pairs via it
+    assert(got.count() === 0)
+  }
+}

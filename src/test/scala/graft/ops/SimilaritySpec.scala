@@ -1,0 +1,57 @@
+package graft.ops
+
+import graft.SparkSpec
+import graft.queries.LlmOps
+import org.apache.spark.sql.functions._
+
+class SimilaritySpec extends SparkSpec {
+  import spark.implicits._
+
+  test("cosine of known vectors") {
+    val got = Seq((Seq(1.0, 0.0), Seq(0.0, 1.0)), (Seq(1.0, 2.0), Seq(1.0, 2.0)))
+      .toDF("a", "b")
+      .select(Similarity.cosine(col("a"), col("b")).as("c"))
+      .collect().map(_.getDouble(0))
+    assert(math.abs(got(0)) < 1e-12)
+    assert(math.abs(got(1) - 1.0) < 1e-12)
+  }
+
+  test("bruteForceTopK: self is rank 1 with cos 1.0, k rows returned") {
+    val q = LlmOps.queryVector(spark, sf)
+    val top = Similarity.bruteForceTopK(
+      graft.Tables.load(spark, sf, "embeddings"),
+      col("vec_id"), col("embedding"), q, k = 5).collect()
+    assert(top.length === 5)
+    assert(top(0).getLong(0) === 0L)
+    assert(math.abs(top(0).getDouble(1) - 1.0) < 1e-9)
+    val scores = top.map(_.getDouble(1))
+    assert(scores.sameElements(scores.sorted.reverse))
+  }
+
+  test("lshBucket: identical vectors share a bucket") {
+    val planes = Similarity.hyperplanes(8, 4)
+    val got = Seq((1L, Seq(1.0, 2.0, 3.0, 4.0)), (2L, Seq(1.0, 2.0, 3.0, 4.0)),
+      (3L, Seq(-1.0, -2.0, -3.0, -4.0)))
+      .toDF("vec_id", "e")
+      .select(col("vec_id"), Similarity.lshBucket(col("e"), planes).as("b"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got(1L) === got(2L))
+    assert(got(1L) !== got(3L)) // antipodal vectors flip every sign bit
+  }
+
+  test("ivf: assignment picks the nearest centroid; search finds the query itself") {
+    val centroids = Seq(0 -> Seq(1.0, 0.0), 1 -> Seq(0.0, 1.0))
+    val corpus = Seq((10L, Seq(0.9, 0.1)), (11L, Seq(0.1, 0.9))).toDF("vec_id", "embedding")
+    val assigned = Similarity.ivfAssign(corpus, col("vec_id"), col("embedding"), centroids)
+    val byId = assigned.collect().map(r => r.getLong(0) -> r.getInt(2)).toMap
+    assert(byId(10L) === 0 && byId(11L) === 1)
+    val hits = Similarity.ivfSearch(assigned, centroids, Seq(0.9, 0.1), k = 1, nProbe = 1)
+      .collect()
+    assert(hits(0).getLong(0) === 10L)
+  }
+
+  test("hyperplanes are deterministic for a fixed seed") {
+    assert(Similarity.hyperplanes(2, 3).flatten.toSeq ===
+      Similarity.hyperplanes(2, 3).flatten.toSeq)
+  }
+}
