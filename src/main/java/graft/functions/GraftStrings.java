@@ -1,0 +1,103 @@
+package graft.functions;
+
+import java.nio.charset.StandardCharsets;
+import java.security.MessageDigest;
+import java.security.NoSuchAlgorithmException;
+import java.util.LinkedHashSet;
+
+import org.apache.spark.sql.catalyst.util.ArrayData;
+import org.apache.spark.sql.catalyst.util.GenericArrayData;
+import org.apache.spark.unsafe.types.UTF8String;
+
+/**
+ * Row-at-a-time kernels behind the graft custom expressions. Each method
+ * is called from both the interpreted {@code eval} and the generated code
+ * (same JIT-compiled body either way), so Spark's whole-stage codegen
+ * spans stay unbroken and the per-row cost is a single static call —
+ * unlike higher-order-function expression trees, which Catalyst always
+ * evaluates interpreted.
+ *
+ * Hash semantics are bit-identical to the SQL definitions used by the
+ * DuckDB oracle: hash60(s) = first 15 hex chars of md5(s) read base-16
+ * (= conv(substring(md5(s),1,15),16,10)).
+ */
+public final class GraftStrings {
+  private GraftStrings() {}
+
+  private static final ThreadLocal<MessageDigest> MD5 =
+      ThreadLocal.withInitial(() -> {
+        try {
+          return MessageDigest.getInstance("MD5");
+        } catch (NoSuchAlgorithmException e) {
+          throw new IllegalStateException(e);
+        }
+      });
+
+  /** First 60 bits of md5(utf8(s)), as the base-16 value of the first 15
+   *  hex chars — matches {@code conv(substring(md5(c),1,15),16,10)}. */
+  public static long hash60(String s) {
+    MessageDigest md = MD5.get();
+    md.reset();
+    byte[] d = md.digest(s.getBytes(StandardCharsets.UTF_8));
+    long v = 0L;
+    for (int i = 0; i < 7; i++) {
+      v = (v << 8) | (d[i] & 0xffL);
+    }
+    return (v << 4) | ((d[7] >> 4) & 0xfL);
+  }
+
+  /** Whitespace tokens of the space-trimmed input — identical to
+   *  {@code split(trim(text), "\\s+")}: UTF8String.trim() trims ASCII
+   *  space only (NOT all whitespace, unlike java.lang.String#trim), and
+   *  the split is java.util.regex with limit -1, exactly what Spark's
+   *  StringSplit does. */
+  public static String[] tokens(UTF8String text) {
+    return text.trim().toString().split("\\s+", -1);
+  }
+
+  /** Distinct word n-gram shingles in first-occurrence order — identical
+   *  to array_distinct(filter(transform(split(trim(text),"\\s+"), ...)))
+   *  over slice+concat_ws(" "). */
+  public static ArrayData wordShingles(UTF8String text, int n) {
+    String[] toks = tokens(text);
+    if (toks.length < n) {
+      return new GenericArrayData(new Object[0]);
+    }
+    LinkedHashSet<String> out = new LinkedHashSet<>();
+    StringBuilder sb = new StringBuilder();
+    for (int i = 0; i + n <= toks.length; i++) {
+      sb.setLength(0);
+      for (int j = 0; j < n; j++) {
+        if (j > 0) sb.append(' ');
+        sb.append(toks[i + j]);
+      }
+      out.add(sb.toString());
+    }
+    Object[] arr = new Object[out.size()];
+    int i = 0;
+    for (String s : out) {
+      arr[i++] = UTF8String.fromString(s);
+    }
+    return new GenericArrayData(arr);
+  }
+
+  /** 60-bit SimHash over whitespace tokens: every token (duplicates
+   *  included) votes ±1 per bit of its hash60; signature bit i is set iff
+   *  the vote sum is positive. Bit-identical to the aggregate/transform
+   *  formulation in graft.ops.Dedup.simHash. */
+  public static long simHash60(UTF8String text) {
+    String[] toks = tokens(text);
+    int[] votes = new int[60];
+    for (String t : toks) {
+      long h = hash60(t);
+      for (int i = 0; i < 60; i++) {
+        votes[i] += ((h >> i) & 1L) == 1L ? 1 : -1;
+      }
+    }
+    long sig = 0L;
+    for (int i = 0; i < 60; i++) {
+      if (votes[i] > 0) sig |= 1L << i;
+    }
+    return sig;
+  }
+}

@@ -33,14 +33,13 @@ object Dedup {
 
   // ------------------------------------------------------------- shingles
 
-  /** Word n-gram shingles (distinct) of a text column, as an array. */
-  def shingles(text: Column, n: Int): Column = {
-    val toks = split(trim(text), "\\s+")
-    array_distinct(filter(
-      transform(toks, (_, i) => when(i <= size(toks) - n,
-        concat_ws(" ", slice(toks, i + 1, lit(n))))),
-      s => s.isNotNull))
-  }
+  /** Word n-gram shingles (distinct, first-occurrence order) of a text
+    * column. Codegen'd custom expression — the equivalent
+    * transform/slice/array_distinct HOF chain evaluates interpreted and
+    * was the dominant cost of every shingle-based dedup op.
+    */
+  def shingles(text: Column, n: Int): Column =
+    graft.functions.GraftFunctions.wordShingles(text, n)
 
   /** Engine-portable 60-bit hash of a string: first 15 hex chars of md5. */
   def hash60(c: Column): Column =
@@ -75,41 +74,65 @@ object Dedup {
     * signature are candidate pairs. bands·rowsPerBand must equal k.
     * Returns (doc_a, doc_b) with doc_a < doc_b, distinct.
     */
-  def minHashLshCandidates(sig: DataFrame, bands: Int, rowsPerBand: Int): DataFrame = {
-    val banded = (0 until bands).map { b =>
-      val cols = (0 until rowsPerBand).map(r => col(s"m${b * rowsPerBand + r}"))
-      sig.select(col("doc_id"), lit(b).as("band"),
-        md5(concat_ws(":", cols: _*)).as("bsig"))
-    }.reduce(_ unionAll _)
-    val l = banded.as("l"); val r = banded.as("r")
-    l.join(r, col("l.band") === col("r.band") && col("l.bsig") === col("r.bsig") &&
-        col("l.doc_id") < col("r.doc_id"))
-      .select(col("l.doc_id").as("doc_a"), col("r.doc_id").as("doc_b"))
+  /** All (a, b) pairs with a < b from each group's id array: the
+    * bucket-local pair generator shared by the LSH-style candidate ops.
+    * Group sizes are expected bounded (bands/buckets/df-caps upstream),
+    * so the double explode is O(Σ groupSize²) with small groups — no
+    * all-rows self-join, no shuffle beyond the caller's groupBy.
+    */
+  private[graft] def pairsWithinGroups(grouped: DataFrame, ids: Column): DataFrame =
+    grouped.select(explode(ids).as("doc_a"), ids.as("ds"))
+      .select(col("doc_a"), explode(col("ds")).as("doc_b"))
+      .filter(col("doc_a") < col("doc_b"))
       .distinct()
+
+  def minHashLshCandidates(sig: DataFrame, bands: Int, rowsPerBand: Int): DataFrame = {
+    // One pass: band signatures as an array + posexplode — NOT a bands-way
+    // union (which would recompute the upstream signature aggregation per
+    // band). Pairs are generated within (band, bsig) buckets via
+    // collect_list rather than a self-join: bucket occupancy is small by
+    // LSH construction, and one aggregation replaces the join's two
+    // shuffles of the full banded relation.
+    val bandSigs = (0 until bands).map { b =>
+      val cols = (0 until rowsPerBand).map(r => col(s"m${b * rowsPerBand + r}"))
+      md5(concat_ws(":", cols: _*))
+    }
+    val buckets = sig.select(col("doc_id"),
+        posexplode(array(bandSigs: _*)).as(Seq("band", "bsig")))
+      .groupBy(col("band"), col("bsig"))
+      .agg(collect_list(col("doc_id")).as("ds"))
+      .filter(size(col("ds")) >= 2)
+    pairsWithinGroups(buckets, col("ds"))
+  }
+
+  /** Exact Jaccard verification of a candidate-pair relation: join each
+    * side to its (distinct) shingle set and compare with array_intersect.
+    * Work is O(candidates · doc-shingles) — the post-LSH shape where the
+    * candidate set is already near-linear, so no inverted-index self-join
+    * (and none of its shuffle) is needed at all.
+    */
+  def jaccardVerify(cand: DataFrame, df: DataFrame, id: Column, text: Column,
+      n: Int, threshold: Double): DataFrame = {
+    val sets = df.select(id.as("doc_id"), shingles(text, n).as("sh"))
+    cand
+      .join(sets.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), Seq("doc_a"))
+      .join(sets.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")), Seq("doc_b"))
+      .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))))
+      .withColumn("jaccard", col("inter").cast(DoubleType) /
+        (size(col("sh_a")) + size(col("sh_b")) - col("inter")).cast(DoubleType))
+      .filter(col("jaccard") >= threshold)
+      .select(col("doc_a"), col("doc_b"), col("jaccard"))
   }
 
   // -------------------------------------------------------------- simhash
 
   /** 60-bit SimHash: per token, hash60 votes ±1 on each bit; signature
-    * bit = sign of the vote sum. Computed entirely inside one aggregate
-    * expression over the token array — NO shuffle, map-only.
+    * bit = sign of the vote sum. Codegen'd custom expression — map-only,
+    * no shuffle; one md5 per token (the HOF formulation re-evaluated the
+    * digest subtree per bit, interpreted).
     */
-  def simHash(text: Column): Column = {
-    val toks = split(trim(text), "\\s+")
-    val votes = aggregate(
-      toks,
-      array_repeat(lit(0L), 60),
-      (acc, t) => {
-        val h = hash60(t)
-        transform(acc, (v, i) =>
-          v + when(call_function("shiftright", h, i).bitwiseAND(1) === 1, 1L)
-            .otherwise(-1L))
-      })
-    aggregate(
-      transform(votes, (v, i) =>
-        when(v > 0, call_function("shiftleft", lit(1L), i)).otherwise(lit(0L))),
-      lit(0L), (acc, bit) => acc.bitwiseOR(bit))
-  }
+  def simHash(text: Column): Column =
+    graft.functions.GraftFunctions.simhash60(text)
 
   /** Hamming distance between two simhash signatures. */
   def hamming(a: Column, b: Column): Column =
@@ -121,8 +144,12 @@ object Dedup {
     */
   def simHashPairs(df: DataFrame, id: Column, text: Column,
       maxDist: Int = 3, blockBits: Int = 12): DataFrame = {
+    // Signatures are tiny (doc_id, 2 longs) — persist so the self-join
+    // computes the simhash expression once, not once per join side. At
+    // 100 TB the equivalent is writing the signature table out.
     val sigs = df.select(id.as("doc_id"), simHash(text).as("sig"))
       .withColumn("block", shiftright(col("sig"), 60 - blockBits))
+      .persist()
     val l = sigs.as("l"); val r = sigs.as("r")
     l.join(r, col("l.block") === col("r.block") &&
         col("l.doc_id") < col("r.doc_id"))
@@ -145,16 +172,32 @@ object Dedup {
     */
   def ngramJaccardPairs(df: DataFrame, id: Column, text: Column, n: Int = 3,
       threshold: Double = 0.1, maxDocFreq: Long = 1000): DataFrame = {
-    val sh = df.select(id.as("doc_id"), explode(shingles(text, n)).as("shingle"))
-    val filtered = sh.join(
-      sh.groupBy("shingle").agg(count(lit(1)).as("df"))
-        .filter(col("df") <= maxDocFreq).select("shingle"),
-      Seq("shingle"))
-    val counts = filtered.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
-    val l = filtered.as("l"); val r = filtered.as("r")
-    val inter = l.join(r, col("l.shingle") === col("r.shingle") &&
-        col("l.doc_id") < col("r.doc_id"))
-      .groupBy(col("l.doc_id").as("doc_a"), col("r.doc_id").as("doc_b"))
+    // Shape chosen for the 100 TB case:
+    //  - shingles travel as 60-bit md5-derived hashes (8-byte shuffle
+    //    keys; collisions ~n²/2^61 — immaterial, and the hash definition
+    //    is shared with the oracle);
+    //  - hot shingles (doc-freq > maxDocFreq) are identified by a
+    //    partial-combined count whose OUTPUT is tiny (just the hot keys)
+    //    and removed with an anti-join BEFORE any list is collected, so
+    //    no reducer ever materializes an unbounded posting list;
+    //  - intersections come from bucket-local pair explosion over the
+    //    per-shingle posting lists (bounded by maxDocFreq), not from a
+    //    self-equi-join of the full inverted index.
+    val sh = df.select(id.as("doc_id"),
+        explode(shingles(text, n)).as("shingle"))
+      .select(col("doc_id"), hash60(col("shingle")).as("h"))
+    val hot = sh.groupBy("h").agg(count(lit(1)).as("df"))
+      .filter(col("df") > maxDocFreq).select("h")
+    val cleaned = sh.join(hot, Seq("h"), "left_anti").persist()
+    val counts = cleaned.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
+    val postings = cleaned.groupBy("h")
+      .agg(collect_list(col("doc_id")).as("ds"))
+      .filter(size(col("ds")) >= 2)
+    val inter = postings
+      .select(explode(col("ds")).as("doc_a"), col("ds").as("ds"))
+      .select(col("doc_a"), explode(col("ds")).as("doc_b"))
+      .filter(col("doc_a") < col("doc_b"))
+      .groupBy(col("doc_a"), col("doc_b"))
       .agg(count(lit(1)).as("inter"))
     inter
       .join(counts.withColumnRenamed("doc_id", "doc_a")

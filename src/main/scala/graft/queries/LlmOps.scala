@@ -24,17 +24,18 @@ object LlmOps {
       col("doc_id"), col("text"), n = 3, k = 16)
 
   /** MinHash-LSH near-dup resolution: LSH candidates (4 bands × 4 rows)
-    * verified by exact Jaccard ≥ 0.5. Approximate candidate step → no SQL
-    * oracle (rows-only check); covered by NgramJaccardSpec instead.
+    * verified by exact Jaccard ≥ 0.5 — computed ONLY for the candidate
+    * pairs via per-doc shingle-set intersection, never as an all-pairs
+    * join. The signature table is persisted so the band self-join does
+    * not recompute the minhash aggregation per side.
     */
   def minhashLshDedup(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.load(spark, dir, "documents")
     val sig = Dedup.minHash(docs, col("doc_id"), col("text"), n = 3, k = 16)
+      .persist()
     val cand = Dedup.minHashLshCandidates(sig, bands = 4, rowsPerBand = 4)
-    val exact = Dedup.ngramJaccardPairs(docs, col("doc_id"), col("text"),
+    Dedup.jaccardVerify(cand, docs, col("doc_id"), col("text"),
       n = 3, threshold = 0.5)
-    cand.join(exact, Seq("doc_a", "doc_b"))
-      .select("doc_a", "doc_b", "jaccard")
   }
 
   def ngramJaccard(spark: SparkSession, dir: String): DataFrame =
