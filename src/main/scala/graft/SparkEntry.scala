@@ -144,10 +144,10 @@ object SparkEntry {
            SELECT o_orderkey FROM orders GROUP BY o_orderkey HAVING count(*) > 1)""",
     "q_quality_notnull" ->
       "SELECT CAST(sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS violations FROM orders",
-    // q_dedup_minhash_lsh / q_dedup_simhash_pairs / q_embed_ann_ivf are
-    // approximate-candidate ops — no SQL oracle (rows-only check);
-    // their exactness-adjacent cousins above ARE oracle-checked.
     "q_dedup_exact" -> LlmOps.dedupExactSql,
+    "q_dedup_minhash_lsh" -> LlmOps.minhashLshSql,
+    "q_dedup_simhash_pairs" -> LlmOps.simhashPairsSql,
+    "q_embed_ann_ivf" -> LlmOps.embedAnnIvfSql,
     "q_dedup_minhash" -> LlmOps.minhashSql,
     "q_dedup_ngram_jaccard" -> LlmOps.ngramJaccardSql,
     "q_dedup_simhash" -> LlmOps.simhashSql,

@@ -129,6 +129,50 @@ object LlmOps {
        |FROM h GROUP BY doc_id""".stripMargin
   }
 
+  /** Full LSH-dedup oracle: the candidate step is deterministic (md5 band
+    * signatures over the shared minhash constants), so the whole op is
+    * SQL-expressible — bands via UNION ALL, candidate pairs via band-sig
+    * self-join, exact Jaccard via list_intersect on per-doc shingle sets.
+    */
+  lazy val minhashLshSql: String = {
+    val bandSelects = (0 until 4).map { b =>
+      val cols = (0 until 4).map(r => s"m${b * 4 + r}::VARCHAR")
+      s"SELECT doc_id, $b AS band, md5(${cols.mkString(" || ':' || ")}) AS bsig FROM sigs"
+    }
+    s"""WITH $shingleCte,
+       |h AS (SELECT doc_id,
+       |  ('0x' || substr(md5(shingle), 1, 15))::BIGINT % ${Dedup.minhashP} AS h
+       |  FROM sh),
+       |sigs AS (SELECT doc_id, ${Dedup.minhashParams(16).zipWithIndex.map { case ((a, b), i) =>
+             s"min((h * $a + $b) % ${Dedup.minhashP}) AS m$i"
+           }.mkString(",\n  ")}
+       |  FROM h GROUP BY doc_id),
+       |bands AS (${bandSelects.mkString("\n  UNION ALL ")}),
+       |cand AS (SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b
+       |  FROM bands l JOIN bands r
+       |  ON l.band = r.band AND l.bsig = r.bsig AND l.doc_id < r.doc_id),
+       |sets AS (SELECT doc_id, list(shingle) AS s FROM sh GROUP BY doc_id),
+       |scored AS (SELECT doc_a, doc_b,
+       |  len(list_intersect(a.s, b.s)) AS inter, len(a.s) AS n_a, len(b.s) AS n_b
+       |  FROM cand JOIN sets a ON cand.doc_a = a.doc_id
+       |            JOIN sets b ON cand.doc_b = b.doc_id)
+       |SELECT doc_a, doc_b,
+       |  inter::DOUBLE / (n_a + n_b - inter) AS jaccard
+       |FROM scored WHERE inter::DOUBLE / (n_a + n_b - inter) >= 0.5""".stripMargin
+  }
+
+  /** SimHash near-dup pairs oracle: signature = simhashSql, block = top 4
+    * bits, hamming via bit_count(xor). Fully deterministic.
+    */
+  lazy val simhashPairsSql: String =
+    s"""WITH sims AS ($simhashSql)
+       |SELECT l.doc_id AS doc_a, r.doc_id AS doc_b,
+       |  CAST(bit_count(xor(l.simhash, r.simhash)) AS INT) AS dist
+       |FROM (SELECT doc_id, simhash, simhash >> 56 AS block FROM sims) l
+       |JOIN (SELECT doc_id, simhash, simhash >> 56 AS block FROM sims) r
+       |  ON l.block = r.block AND l.doc_id < r.doc_id
+       |WHERE bit_count(xor(l.simhash, r.simhash)) <= 8""".stripMargin
+
   val ngramJaccardSql: String =
     s"""WITH $shingleCte,
        |freq AS (SELECT shingle FROM sh GROUP BY shingle HAVING count(*) <= 1000),
@@ -215,6 +259,29 @@ object LlmOps {
        |FROM b l JOIN b r ON l.bucket = r.bucket AND l.vec_id < r.vec_id
        |WHERE list_cosine_similarity(l.embedding::DOUBLE[], r.embedding::DOUBLE[]) >= 0.4""".stripMargin
   }
+
+  /** IVF ANN oracle: centroids/assignment/probe are all deterministic
+    * (vec_ids 0..7 as centroids, argmax assignment with (cos, cid)
+    * tiebreak, 2 probes). Assignment ties broken exactly like Spark's
+    * greatest-over-structs: cos DESC then cid DESC.
+    */
+  val embedAnnIvfSql: String =
+    """WITH q AS (SELECT embedding::DOUBLE[] AS qe FROM embeddings WHERE vec_id = 0),
+      |cents AS (SELECT vec_id::INT AS cid, embedding::DOUBLE[] AS c
+      |  FROM embeddings WHERE vec_id < 8),
+      |assigned AS (
+      |  SELECT e.vec_id, e.embedding, c.cid,
+      |    list_cosine_similarity(e.embedding::DOUBLE[], c.c) AS cos
+      |  FROM embeddings e CROSS JOIN cents c
+      |  QUALIFY row_number() OVER (PARTITION BY e.vec_id
+      |    ORDER BY cos DESC, c.cid DESC) = 1),
+      |probe AS (SELECT cid FROM cents, q
+      |  ORDER BY list_cosine_similarity(c, qe) DESC, cid LIMIT 2)
+      |SELECT a.vec_id, round(list_cosine_similarity(a.embedding::DOUBLE[], q.qe), 6) AS cos
+      |FROM assigned a, q
+      |WHERE a.cid IN (SELECT cid FROM probe)
+      |ORDER BY list_cosine_similarity(a.embedding::DOUBLE[], q.qe) DESC, a.vec_id
+      |LIMIT 10""".stripMargin
 
   val multimodalMetaSql: String =
     """SELECT doc_id, octet_length(encode(text)) AS n_bytes, sha256(text) AS sha,
