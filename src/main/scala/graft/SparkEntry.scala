@@ -57,7 +57,14 @@ object SparkEntry {
     "q_embed_neardup" -> (LlmOps.embedNearDup(_, _)),
     "q_embed_ann_ivf" -> (LlmOps.embedAnnIvf(_, _)),
     // — LLM-pipeline: multimodal plumbing
-    "q_multimodal_meta" -> (LlmOps.multimodalMeta(_, _))
+    "q_multimodal_meta" -> (LlmOps.multimodalMeta(_, _)),
+    // — streaming operators, batch faces (unified API; streaming runs of
+    //   the same transforms are exercised in EventStreamsSpec)
+    "q_events_tumbling" -> (Events.tumbling(_, _)),
+    "q_events_sliding" -> (Events.sliding(_, _)),
+    "q_events_sessionize" -> (Events.sessionize(_, _)),
+    "q_events_session_window" -> (Events.sessionWindow(_, _)),
+    "q_events_json" -> (Events.jsonProps(_, _))
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -153,6 +160,11 @@ object SparkEntry {
     "q_dedup_simhash" -> LlmOps.simhashSql,
     "q_text_stats" -> LlmOps.textStatsSql,
     "q_doc_fingerprints" -> LlmOps.docFingerprintsSql,
+    "q_events_tumbling" -> Events.tumblingSql,
+    "q_events_sliding" -> Events.slidingSql,
+    "q_events_sessionize" -> Events.sessionizeSql,
+    "q_events_session_window" -> Events.sessionWindowSql,
+    "q_events_json" -> Events.jsonPropsSql,
     "q_embed_topk" -> LlmOps.embedTopKSql,
     "q_embed_neardup" -> LlmOps.embedNearDupSql,
     "q_multimodal_meta" -> LlmOps.multimodalMetaSql

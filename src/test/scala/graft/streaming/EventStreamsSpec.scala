@@ -1,0 +1,98 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import graft.SparkSpec
+import graft.streaming.EventStreams.{Ev, Session}
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.OutputMode
+
+/** Streaming runs of the unified transforms: MemoryStream micro-batches
+  * through the same functions the batch oracle queries use, checked
+  * against their batch results on identical data.
+  */
+class EventStreamsSpec extends SparkSpec {
+  import spark.implicits._
+
+  // base offset: day 1, not epoch 0 — rows at/below the INITIAL watermark
+  // (epoch 0) are dropped as late by stateful operators
+  private def ts(min: Long): Timestamp = new Timestamp((1440L + min) * 60000L)
+
+  private val evs = Seq(
+    Ev(1L, ts(0), "view", 1.0),
+    Ev(1L, ts(10), "click", 2.0),
+    Ev(2L, ts(5), "view", 3.0),
+    Ev(1L, ts(200), "view", 4.0), // > 2h gap: new session for user 1
+    Ev(2L, ts(65), "error", 5.0), // 1h gap: same session for user 2
+    Ev(3L, ts(30), "view", 6.0))
+
+  test("streaming tumbling counts equal the batch transform (complete mode)") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Ev]
+    mem.addData(evs: _*)
+    val q = EventStreams.tumblingCounts(mem.toDF())
+      .writeStream.format("memory").queryName("tumbling_out")
+      .outputMode(OutputMode.Complete()).start()
+    try q.processAllAvailable() finally q.stop()
+    val got = spark.table("tumbling_out")
+      .orderBy("window_start", "event_type")
+      .collect().map(_.toSeq).toSeq
+    val want = EventStreams.tumblingCounts(evs.toDF())
+      .orderBy("window_start", "event_type")
+      .collect().map(_.toSeq).toSeq
+    assert(got == want)
+    assert(got.nonEmpty)
+  }
+
+  test("stateful sessionizer (flatMapGroupsWithState) matches batch lag/cumsum sessions") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Ev]
+    val out = EventStreams.sessionizeStateful(mem.toDS(), gapMs = 2L * 3600 * 1000)
+    val q = out.writeStream.format("memory").queryName("sessions_out")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      mem.addData(evs.take(3): _*)
+      q.processAllAvailable()
+      mem.addData(evs.drop(3): _*)
+      q.processAllAvailable()
+      // watermark flush: a far-future event closes every open session
+      mem.addData(Ev(99L, ts(100000), "view", 0.0))
+      q.processAllAvailable()
+      mem.addData(Ev(99L, ts(100001), "view", 0.0))
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.table("sessions_out")
+      .filter($"user_id" =!= 99L)
+      .select("user_id", "session_start", "session_end", "n_events")
+      .as[Session].collect().toSet
+    val want = EventStreams.sessionizeBatch(evs.toDF())
+      .as[Session].collect().toSet
+    assert(got == want)
+    assert(got.exists(_.n_events == 2)) // multi-event sessions exist
+  }
+
+  test("session_window equals lag/cumsum sessions with +gap end (batch)") {
+    val viaNative = EventStreams.sessionWindowCounts(evs.toDF())
+      .select("user_id", "session_start", "session_end", "n_events")
+      .as[Session].collect().toSet
+    val viaLag = EventStreams.sessionizeBatch(evs.toDF())
+      .withColumn("session_end",
+        col("session_end") + expr("INTERVAL 2 HOURS"))
+      .select("user_id", "session_start", "session_end", "n_events")
+      .as[Session].collect().toSet
+    assert(viaNative == viaLag)
+  }
+
+  test("readEventStream: file-source streaming scan with explicit schema") {
+    val dir = java.nio.file.Files.createTempDirectory("evstream").toString
+    graft.Tables.loadEvents(spark, sf).limit(100)
+      .write.mode("overwrite").parquet(dir)
+    val q = EventStreams.tumblingCounts(
+        EventStreams.readEventStream(spark, dir))
+      .writeStream.format("memory").queryName("file_stream_out")
+      .outputMode(OutputMode.Complete()).start()
+    try q.processAllAvailable() finally q.stop()
+    assert(spark.table("file_stream_out").count() > 0)
+  }
+}
