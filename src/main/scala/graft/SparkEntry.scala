@@ -39,6 +39,7 @@ object SparkEntry {
     "q_split_cod" -> (Dv3fQueries.splitCod(_, _)),
     "q_uid_sha2" -> (Dv3fQueries.uidSha2(_, _)),
     "q_dv3f_pipeline" -> (Dv3fQueries.dv3fPipeline(_, _)),
+    "q_dv3f_source" -> (Dv3fQueries.dv3fSourcePipeline(_, _)),
     // — data quality (SURVEY §2.13)
     "q_quality_unique" -> (Dv3fQueries.qualityUnique(_, _)),
     "q_quality_notnull" -> (Dv3fQueries.qualityNotNull(_, _)),
@@ -146,6 +147,7 @@ object SparkEntry {
       """SELECT n_nationkey,
          sha256(CAST(n_nationkey AS VARCHAR) || n_name) AS uid FROM nation""",
     "q_dv3f_pipeline" -> Dv3fOracle.pipelineSql,
+    "q_dv3f_source" -> Dv3fOracle.pipelineSql,
     "q_quality_unique" ->
       """SELECT count(*) AS violations FROM (
            SELECT o_orderkey FROM orders GROUP BY o_orderkey HAVING count(*) > 1)""",

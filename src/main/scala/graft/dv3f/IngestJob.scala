@@ -67,4 +67,28 @@ object IngestJob {
   def run(spark: SparkSession, fetch: Fetcher, warehouseDir: String,
       scopes: Seq[(String, String)] = Dv3fConfig.defaultScopes): Seq[BranchReport] =
     scopes.map { case (s, c) => runBranch(spark, fetch, warehouseDir)(s, c) }
+
+  /** The at-scale shape: ONE job through the DSv2 `dv3f` source (fetch
+    * and flatten on executors, one InputPartition per (scope, code)),
+    * then ONE upsert per target table instead of a table rewrite per
+    * branch. Error isolation moves down a level: a bad partition fails
+    * its table's batch, the other table still lands.
+    */
+  def runViaSource(spark: SparkSession, payloadDir: String,
+      warehouseDir: String): Seq[BranchReport] = {
+    val longDf = spark.read.format("dv3f")
+      .option("path", payloadDir).load()
+    Dv3fConfig.staging.map { table =>
+      Try {
+        val staged = graft.sources.Dv3fSource.stage(longDf, table)
+        val n = staged.count()
+        if (n > 0)
+          Upsert.upsertByName(spark, s"$warehouseDir/${table.name}", staged, table)
+        n
+      } match {
+        case Success(n) => BranchReport(table.scope, "*", n, None)
+        case Failure(e) => BranchReport(table.scope, "*", 0, Some(e.toString))
+      }
+    }
+  }
 }

@@ -78,6 +78,26 @@ object Dv3fQueries {
   def dv3fPipeline(spark: SparkSession, dir: String): DataFrame =
     Reshape.transform(fixtureWide(spark), Dv3fConfig.departement)
 
+  /** S1 phase 2 — the SAME flagship pipeline, but entering through the
+    * DataSource V2 `format("dv3f")` reader: the fixture payload is
+    * serialized to an API-shaped JSON file, read back with one
+    * InputPartition per (scope, code) (fetch+flatten on executors), then
+    * staged. Oracle-identical to q_dv3f_pipeline — which is the point:
+    * the source is a drop-in scan.
+    */
+  def dv3fSourcePipeline(spark: SparkSession, dir: String): DataFrame = {
+    val tmp = java.nio.file.Files.createTempDirectory("dv3f_api").toFile
+    tmp.deleteOnExit()
+    val results = fixtureWide(spark).toJSON.collect().mkString(",")
+    val payload =
+      s"""{"count":2,"next":null,"previous":null,"results":[$results]}"""
+    java.nio.file.Files.writeString(
+      new java.io.File(tmp, "departement_85.json").toPath, payload)
+    val longDf = spark.read.format("dv3f")
+      .option("path", tmp.getAbsolutePath).load()
+    graft.sources.Dv3fSource.stage(longDf, Dv3fConfig.departement)
+  }
+
   /** Q1 — dbt `unique` test as a query (violation count). */
   def qualityUnique(spark: SparkSession, dir: String): DataFrame =
     Tables.load(spark, dir, "orders")

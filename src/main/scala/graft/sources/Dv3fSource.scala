@@ -1,0 +1,172 @@
+package graft.sources
+
+import java.util.{Map => JMap}
+
+import scala.collection.JavaConverters._
+
+import com.fasterxml.jackson.databind.{JsonNode, ObjectMapper}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.sources.DataSourceRegister
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+
+import graft.dv3f.{Reshape, StagingTable}
+
+/** DataSource V2 reader for the DV3F API shape (SURVEY.md §2.1 S1,
+  * phase 2): `spark.read.format("dv3f").option("path", dir).load()`.
+  *
+  * One InputPartition per (scope, code) — the reference's 119-way Dagster
+  * fan-out (scripts/etl.py:13-22) becomes Spark task parallelism, and the
+  * payload fetch+flatten runs ON EXECUTORS, not the driver. Payloads are
+  * `{count, next, previous, results:[...]}` JSON files named
+  * `<scope>_<code>.json` under `path` — a real deployment swaps the file
+  * read inside Dv3fPartitionReader for the HTTPS GET
+  * (apidf-preprod.cerema.fr, scripts/extract_load.py:78); every other
+  * moving part (planning, partitioning, row emission) is unchanged.
+  *
+  * The table presents the LONG (melted) shape — (scope, code, annee, lib,
+  * cod_full, valeur) — because the API's wide column set is
+  * data-dependent while a DSv2 table schema must be fixed up front. The
+  * wide→long flatten happens row-at-a-time in the reader (cheap,
+  * executor-side); `Dv3fSource.stage` then runs the standard
+  * split→pivot→uid chain to staging shape.
+  */
+object Dv3fSource {
+  val schema: StructType = StructType(Seq(
+    StructField("scope", StringType, nullable = false),
+    StructField("code", StringType, nullable = false),
+    StructField("annee", StringType),
+    StructField("lib", StringType),
+    StructField("cod_full", StringType),
+    StructField("valeur", DoubleType)))
+
+  private[sources] val idFields =
+    Set("annee", "dep", "reg", "libdep", "libreg")
+
+  /** Long source rows → staging rows for one table: rename the generic
+    * (code, lib) columns to the scope's names, then split→pivot→uid.
+    */
+  def stage(longDf: DataFrame, table: StagingTable): DataFrame = {
+    val renamed = longDf.filter(col("scope") === table.scope)
+      .select(col("annee"),
+        col("code").as(table.idVars(1)),
+        col("lib").as(table.idVars(2)),
+        col("cod_full"), col("valeur"))
+    Reshape.withUid(Reshape.pivotFirst(Reshape.splitCod(renamed), table), table)
+      .select(table.schema.fieldNames.map(col): _*)
+  }
+}
+
+class Dv3fDataSource extends TableProvider with DataSourceRegister {
+  override def shortName(): String = "dv3f"
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    Dv3fSource.schema
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+      properties: JMap[String, String]): Table =
+    new Dv3fTable(properties.asScala.toMap)
+}
+
+class Dv3fTable(props: Map[String, String]) extends Table with SupportsRead {
+  override def name(): String = s"dv3f(${props.getOrElse("path", "?")})"
+  override def schema(): StructType = Dv3fSource.schema
+  override def capabilities(): java.util.Set[TableCapability] =
+    java.util.EnumSet.of(TableCapability.BATCH_READ)
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new Dv3fScanBuilder(options.asScala.toMap)
+}
+
+class Dv3fScanBuilder(options: Map[String, String]) extends ScanBuilder {
+  override def build(): Scan = new Dv3fScan(options)
+}
+
+class Dv3fScan(options: Map[String, String]) extends Scan with Batch {
+  private val path = options.getOrElse("path",
+    throw new IllegalArgumentException("dv3f source requires option 'path'"))
+
+  override def readSchema(): StructType = Dv3fSource.schema
+  override def toBatch: Batch = this
+
+  /** Planning: explicit `scopes` option ("departement:85,region:11") or
+    * one partition per payload file found under `path`.
+    */
+  override def planInputPartitions(): Array[InputPartition] = {
+    val scopes: Seq[(String, String)] = options.get("scopes") match {
+      case Some(s) => s.split(",").toSeq.map(_.trim).filter(_.nonEmpty).map { sc =>
+        val Array(scope, code) = sc.split(":", 2)
+        (scope, code)
+      }
+      case None =>
+        val files = Option(new java.io.File(path).listFiles()).getOrElse(Array())
+        files.toSeq.map(_.getName).filter(_.endsWith(".json")).sorted.map { f =>
+          val base = f.stripSuffix(".json")
+          val i = base.lastIndexOf('_')
+          (base.substring(0, i), base.substring(i + 1))
+        }
+    }
+    scopes.map { case (s, c) => Dv3fPartition(s, c): InputPartition }.toArray
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new Dv3fReaderFactory(path)
+}
+
+case class Dv3fPartition(scope: String, code: String) extends InputPartition
+
+class Dv3fReaderFactory(path: String) extends PartitionReaderFactory {
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
+    val p = partition.asInstanceOf[Dv3fPartition]
+    new Dv3fPartitionReader(path, p.scope, p.code)
+  }
+}
+
+/** Executor-side payload fetch + flatten + melt for one (scope, code).
+  * The API page (reference: one paginated GET per partition,
+  * scripts/extract_load.py:69-94) is read, `results` is flattened
+  * (pandas json_normalize equivalent) and melted to long rows on the
+  * fly — no driver involvement, no per-row allocation beyond the emitted
+  * InternalRow.
+  */
+class Dv3fPartitionReader(path: String, scope: String, code: String)
+    extends PartitionReader[InternalRow] {
+
+  private val rows: Iterator[InternalRow] = {
+    val file = new java.io.File(s"$path/${scope}_$code.json")
+    val root = new ObjectMapper().readTree(file)
+    val results = root.get("results")
+    if (results == null || !results.isArray || results.size() == 0)
+      throw new IllegalStateException(
+        s"empty or malformed payload for ($scope, $code)") // extract_load.py:92-94
+    results.elements().asScala.flatMap { obj: JsonNode =>
+      val annee = Option(obj.get("annee")).filterNot(_.isNull).map(_.asText).orNull
+      val lib = Seq("libdep", "libreg").iterator
+        .map(obj.get).find(n => n != null && !n.isNull).map(_.asText).orNull
+      obj.fields().asScala
+        .filterNot(e => Dv3fSource.idFields.contains(e.getKey))
+        .map { e =>
+          val v = e.getValue
+          val row = new GenericInternalRow(6)
+          row.update(0, UTF8String.fromString(scope))
+          row.update(1, UTF8String.fromString(code))
+          row.update(2, if (annee == null) null else UTF8String.fromString(annee))
+          row.update(3, if (lib == null) null else UTF8String.fromString(lib))
+          row.update(4, UTF8String.fromString(e.getKey))
+          if (v == null || v.isNull) row.setNullAt(5)
+          else row.setDouble(5, v.asDouble())
+          row: InternalRow
+        }
+    }
+  }
+
+  private var current: InternalRow = _
+  override def next(): Boolean =
+    if (rows.hasNext) { current = rows.next(); true } else false
+  override def get(): InternalRow = current
+  override def close(): Unit = ()
+}

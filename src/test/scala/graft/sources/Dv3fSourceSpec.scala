@@ -1,0 +1,98 @@
+package graft.sources
+
+import java.io.File
+import java.nio.file.Files
+
+import graft.SparkSpec
+import graft.dv3f.Dv3fConfig
+import graft.queries.Dv3fQueries
+
+class Dv3fSourceSpec extends SparkSpec {
+
+  private def writePayload(dir: File, scope: String, code: String,
+      results: String): Unit =
+    Files.writeString(new File(dir, s"${scope}_$code.json").toPath,
+      s"""{"count":1,"next":null,"previous":null,"results":[$results]}""")
+
+  test("format(\"dv3f\") resolves via DataSourceRegister; one partition per (scope, code)") {
+    val dir = Files.createTempDirectory("dv3fsrc").toFile
+    writePayload(dir, "departement", "85",
+      """{"annee":"2019","dep":"85","libdep":"Vendée","nbtrans_cod111":7.0}""")
+    writePayload(dir, "region", "52",
+      """{"annee":"2019","reg":"52","libreg":"Pays de la Loire","nbtrans_cod111":9.0}""")
+    val df = spark.read.format("dv3f").option("path", dir.getAbsolutePath).load()
+    assert(df.rdd.getNumPartitions == 2)
+    assert(df.count() == 2)
+    val byScope = df.collect().map(r => (r.getString(0), r.getString(1),
+      r.getString(3), r.getDouble(5))).toSet
+    assert(byScope == Set(
+      ("departement", "85", "Vendée", 7.0),
+      ("region", "52", "Pays de la Loire", 9.0)))
+  }
+
+  test("explicit scopes option limits the fan-out") {
+    val dir = Files.createTempDirectory("dv3fsrc2").toFile
+    writePayload(dir, "departement", "85",
+      """{"annee":"2019","dep":"85","libdep":"Vendée","nbtrans_cod111":7.0}""")
+    writePayload(dir, "departement", "44",
+      """{"annee":"2019","dep":"44","libdep":"Loire-Atlantique","nbtrans_cod111":3.0}""")
+    val df = spark.read.format("dv3f")
+      .option("path", dir.getAbsolutePath)
+      .option("scopes", "departement:44").load()
+    assert(df.select("code").collect().map(_.getString(0)).toSeq == Seq("44"))
+  }
+
+  test("null metric values survive as null valeur rows") {
+    val dir = Files.createTempDirectory("dv3fsrc3").toFile
+    writePayload(dir, "departement", "85",
+      """{"annee":"2019","dep":"85","libdep":"V","nbtrans_cod111":7.0,"pxm2_median_cod111":null}""")
+    val df = spark.read.format("dv3f").option("path", dir.getAbsolutePath).load()
+    val vals = df.collect().map(r =>
+      (r.getString(4), if (r.isNullAt(5)) None else Some(r.getDouble(5)))).toMap
+    assert(vals == Map("nbtrans_cod111" -> Some(7.0), "pxm2_median_cod111" -> None))
+  }
+
+  test("golden: source → stage equals the in-memory Reshape.transform pipeline") {
+    val viaSource = Dv3fQueries.dv3fSourcePipeline(spark, sf).collect()
+      .map(_.toSeq).toSet
+    val viaMemory = Dv3fQueries.dv3fPipeline(spark, sf).collect()
+      .map(_.toSeq).toSet
+    assert(viaSource == viaMemory)
+    assert(viaSource.size == 3)
+  }
+
+  test("runViaSource: one upsert per table, idempotent on re-run") {
+    val dir = Files.createTempDirectory("dv3fsrc7").toFile
+    val wh = Files.createTempDirectory("dv3fwh").toFile.getAbsolutePath
+    writePayload(dir, "departement", "85",
+      """{"annee":"2019","dep":"85","libdep":"Vendée","nbtrans_cod111":7.0}""")
+    writePayload(dir, "region", "52",
+      """{"annee":"2019","reg":"52","libreg":"PdL","nbtrans_cod111":9.0}""")
+    val r1 = graft.dv3f.IngestJob.runViaSource(spark, dir.getAbsolutePath, wh)
+    assert(r1.forall(_.ok) && r1.map(_.rows).sum == 2)
+    val r2 = graft.dv3f.IngestJob.runViaSource(spark, dir.getAbsolutePath, wh)
+    assert(r2.forall(_.ok))
+    assert(spark.read.parquet(s"$wh/src_departement").count() == 1)
+    assert(spark.read.parquet(s"$wh/src_region").count() == 1)
+  }
+
+  test("malformed payload (no results) fails the partition read") {
+    val dir = Files.createTempDirectory("dv3fsrc4").toFile
+    Files.writeString(new File(dir, "departement_85.json").toPath,
+      """{"count":0,"results":[]}""")
+    val df = spark.read.format("dv3f").option("path", dir.getAbsolutePath).load()
+    intercept[org.apache.spark.SparkException] { df.count() }
+  }
+
+  test("staging both scopes routes columns by table config") {
+    val dir = Files.createTempDirectory("dv3fsrc5").toFile
+    writePayload(dir, "region", "52",
+      """{"annee":"2019","reg":"52","libreg":"PdL","nbtrans_cod111":9.0,"valeurfonc_sum_cod111":5.5}""")
+    val df = spark.read.format("dv3f").option("path", dir.getAbsolutePath).load()
+    val staged = Dv3fSource.stage(df, Dv3fConfig.region).collect()
+    assert(staged.length == 1)
+    val r = staged(0)
+    assert(r.getAs[String]("reg") == "52" && r.getAs[String]("libreg") == "PdL" &&
+      r.getAs[Long]("nbtrans") == 9L && r.getAs[Double]("valeurfonc_sum") == 5.5)
+  }
+}
