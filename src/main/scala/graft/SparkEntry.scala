@@ -27,6 +27,8 @@ object SparkEntry {
     "q_distinct_category" -> (Analytics.distinctCategories(_, _)),
     "q_limit_preview" -> (Analytics.limitPreview(_, _)),
     "q_union_all" -> (Analytics.unionAllLiterals(_, _)),
+    "q_sql_ordinal" -> (Analytics.sqlOrdinal(_, _)),
+    "q_sql_groupby_all" -> (Analytics.sqlGroupByAll(_, _)),
     // — joins (SURVEY §2.4 / testdata surface)
     "q_join_nation_region" -> (Analytics.joinNationRegion(_, _)),
     "q_join_orders_lineitem" -> (Analytics.joinOrdersLineitem(_, _)),
@@ -56,6 +58,7 @@ object SparkEntry {
     // — LLM-pipeline: similarity search
     "q_embed_topk" -> (LlmOps.embedTopK(_, _)),
     "q_embed_neardup" -> (LlmOps.embedNearDup(_, _)),
+    "q_embed_topk_perlabel" -> (LlmOps.embedTopKPerLabel(_, _)),
     "q_embed_ann_ivf" -> (LlmOps.embedAnnIvf(_, _)),
     // — LLM-pipeline: multimodal plumbing
     "q_multimodal_meta" -> (LlmOps.multimodalMeta(_, _)),
@@ -99,6 +102,14 @@ object SparkEntry {
       "SELECT * FROM region ORDER BY r_regionkey LIMIT 10",
     "q_union_all" ->
       "SELECT 1 AS id UNION ALL SELECT NULL AS id",
+    "q_sql_ordinal" ->
+      """SELECT date_trunc('month', o_orderdate) AS order_month,
+         count(*) AS number_of_orders,
+         CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sales_usd
+         FROM orders GROUP BY 1 ORDER BY 1 DESC""",
+    "q_sql_groupby_all" ->
+      """SELECT o_orderstatus, o_orderpriority, count(*) AS n
+         FROM orders GROUP BY ALL""",
     "q_join_nation_region" ->
       """SELECT r_name, CAST(count(*) AS BIGINT) AS n_nations
          FROM nation JOIN region ON n_regionkey = r_regionkey GROUP BY r_name""",
@@ -169,6 +180,7 @@ object SparkEntry {
     "q_events_json" -> Events.jsonPropsSql,
     "q_embed_topk" -> LlmOps.embedTopKSql,
     "q_embed_neardup" -> LlmOps.embedNearDupSql,
+    "q_embed_topk_perlabel" -> LlmOps.embedTopKPerLabelSql,
     "q_multimodal_meta" -> LlmOps.multimodalMetaSql
   )
 }

@@ -85,6 +85,31 @@ object Analytics {
     Seq(Option(1)).toDF("id").union(Seq(Option.empty[Int]).toDF("id"))
   }
 
+  /** A5/O1 through the SQL layer proper: GROUP BY ordinal + ORDER BY
+    * ordinal DESC (reference: evidence-workspace/pages/index.md:24 —
+    * `group by 1 ... order by 1 desc`), via spark.sql over a registered
+    * view. Spark honors ordinals (groupByOrdinal/orderByOrdinal on by
+    * default), matching DuckDB.
+    */
+  def sqlOrdinal(spark: SparkSession, dir: String): DataFrame = {
+    Tables.load(spark, dir, "orders").createOrReplaceTempView("orders")
+    spark.sql(
+      """SELECT date_trunc('month', o_orderdate) AS order_month,
+        |  count(*) AS number_of_orders,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sales_usd
+        |FROM orders GROUP BY 1 ORDER BY 1 DESC""".stripMargin)
+  }
+
+  /** A6 through the SQL layer proper: GROUP BY ALL (reference:
+    * evidence-workspace/pages/index.md:95).
+    */
+  def sqlGroupByAll(spark: SparkSession, dir: String): DataFrame = {
+    Tables.load(spark, dir, "orders").createOrReplaceTempView("orders")
+    spark.sql(
+      """SELECT o_orderstatus, o_orderpriority, count(*) AS n
+        |FROM orders GROUP BY ALL""".stripMargin)
+  }
+
   /** Broadcast dimension join: nation ⋈ region (SURVEY.md §2.4 — the
     * testdata join surface). region is tiny at ANY scale factor → always
     * broadcast; no shuffle of nation.

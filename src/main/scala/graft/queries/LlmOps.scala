@@ -2,7 +2,7 @@ package graft.queries
 
 import graft.Tables
 import graft.ops._
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, Encoders, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -97,6 +97,26 @@ object LlmOps {
     val assigned = Similarity.ivfAssign(emb, col("vec_id"), col("embedding"), centroids)
     Similarity.ivfSearch(assigned, centroids, queryVector(spark, dir), k = 10)
       .withColumn("cos", round(col("cos"), 6))
+  }
+
+  /** Per-LABEL top-3 by cosine to the query vector, via the typed
+    * TopKAggregator (partial-aggregated O(k) state per group — the scale
+    * path vs a row_number window, which sorts every row per group
+    * through the shuffle).
+    */
+  def embedTopKPerLabel(spark: SparkSession, dir: String): DataFrame = {
+    val topk = udaf(new graft.functions.TopKAggregator(3),
+      Encoders.product[graft.functions.ScoredId])
+    val q = queryVector(spark, dir)
+    Tables.load(spark, dir, "embeddings")
+      .select(col("label"), col("vec_id"),
+        Similarity.cosine(col("embedding"),
+          array(q.map(lit): _*)).as("cos"))
+      .groupBy(col("label"))
+      .agg(topk(col("vec_id"), col("cos")).as("top"))
+      .select(col("label"), explode(col("top.items")).as("s"))
+      .select(col("label"), col("s.id").as("vec_id"),
+        round(col("s.score"), 6).as("cos"))
   }
 
   // ----------------------------------------------------------- multimodal
@@ -282,6 +302,17 @@ object LlmOps {
       |WHERE a.cid IN (SELECT cid FROM probe)
       |ORDER BY list_cosine_similarity(a.embedding::DOUBLE[], q.qe) DESC, a.vec_id
       |LIMIT 10""".stripMargin
+
+  val embedTopKPerLabelSql: String =
+    """SELECT label, vec_id, round(cos, 6) AS cos FROM (
+      |  SELECT e.label, e.vec_id,
+      |    list_cosine_similarity(e.embedding::DOUBLE[], q.qe) AS cos,
+      |    row_number() OVER (PARTITION BY e.label
+      |      ORDER BY list_cosine_similarity(e.embedding::DOUBLE[], q.qe) DESC,
+      |               e.vec_id) AS rk
+      |  FROM embeddings e,
+      |    (SELECT embedding::DOUBLE[] AS qe FROM embeddings WHERE vec_id = 0) q)
+      |WHERE rk <= 3""".stripMargin
 
   val multimodalMetaSql: String =
     """SELECT doc_id, octet_length(encode(text)) AS n_bytes, sha256(text) AS sha,

@@ -1,0 +1,51 @@
+package graft.dv3f
+
+import java.nio.file.Files
+
+import graft.SparkSpec
+
+class CatalogSpec extends SparkSpec {
+
+  test("ingest → catalog tables → SQL over dev.* end to end") {
+    val payloads = Files.createTempDirectory("catsrc").toFile
+    val wh = Files.createTempDirectory("catwh").toFile.getAbsolutePath
+    Files.writeString(new java.io.File(payloads, "departement_85.json").toPath,
+      """{"count":1,"next":null,"previous":null,"results":[
+        |{"annee":"2019","dep":"85","libdep":"Vendée",
+        |"nbtrans_cod111":7.0,"valeurfonc_sum_cod111":100.5}]}""".stripMargin)
+    Files.writeString(new java.io.File(payloads, "region_52.json").toPath,
+      """{"count":1,"next":null,"previous":null,"results":[
+        |{"annee":"2019","reg":"52","libreg":"PdL","nbtrans_cod111":9.0}]}""".stripMargin)
+
+    val reports = IngestJob.runViaSource(spark, payloads.getAbsolutePath, wh)
+    assert(reports.forall(_.ok))
+
+    Catalog.ensureAll(spark, wh)
+    Dv3fConfig.staging.foreach(Catalog.refresh(spark, _))
+    // K2 idempotence: second call is a no-op, not an error
+    Catalog.ensureAll(spark, wh)
+
+    val dep = spark.sql(
+      "SELECT annee, dep, cod, nbtrans FROM dev.src_departement").collect()
+    assert(dep.map(r => (r.getString(0), r.getString(1), r.getString(2),
+      r.getLong(3))).toSeq == Seq(("2019", "85", "111", 7L)))
+
+    // P1: select * staging views over the catalog tables
+    Catalog.registerStagingViews(spark)
+    assert(spark.sql("SELECT count(*) FROM src_region_v").collect()(0).getLong(0) == 1)
+
+    // typed schema came from config, not inference
+    val fields = spark.table("dev.src_departement").schema.fields
+      .map(f => f.name -> f.dataType.simpleString).toMap
+    assert(fields("uid") == "string" && fields("nbtrans") == "bigint" &&
+      fields("valeurfonc_sum") == "double")
+  }
+
+  test("dbt example model graph: views + schema tests pass") {
+    val results = Catalog.exampleModelTests(spark)
+    assert(results.forall(_._2), results.toString)
+    // ephemeral-style inlining: downstream filter over the literal union
+    assert(spark.sql("SELECT * FROM my_second_dbt_model").collect()
+      .map(_.getInt(0)).toSeq == Seq(1))
+  }
+}
