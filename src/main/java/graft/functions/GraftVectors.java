@@ -1,0 +1,52 @@
+package graft.functions;
+
+import org.apache.spark.sql.catalyst.util.ArrayData;
+
+/**
+ * Vector kernels behind the graft cosine expression. Element order and
+ * operation order are IDENTICAL to the composed built-in formulation
+ * {@code dot(a,b) / (sqrt(dot(a,a)) * sqrt(dot(b,b)))} with dot =
+ * left-fold of per-element double products (zip_with + aggregate), so
+ * swapping the HOF chain for this kernel is bit-exact.
+ */
+public final class GraftVectors {
+  private GraftVectors() {}
+
+  /** Cosine similarity of two numeric arrays read as doubles. Arrays are
+   *  float[] or double[] valued ArrayData; elements are widened like
+   *  {@code cast(x as double)}. */
+  public static double cosine(ArrayData a, ArrayData b, boolean aFloat, boolean bFloat) {
+    int n = Math.min(a.numElements(), b.numElements());
+    double dot = 0.0, na = 0.0, nb = 0.0;
+    for (int i = 0; i < n; i++) {
+      double x = aFloat ? (double) a.getFloat(i) : a.getDouble(i);
+      double y = bFloat ? (double) b.getFloat(i) : b.getDouble(i);
+      dot += x * y;
+    }
+    int an = a.numElements();
+    for (int i = 0; i < an; i++) {
+      double x = aFloat ? (double) a.getFloat(i) : a.getDouble(i);
+      na += x * x;
+    }
+    int bn = b.numElements();
+    for (int i = 0; i < bn; i++) {
+      double y = bFloat ? (double) b.getFloat(i) : b.getDouble(i);
+      nb += y * y;
+    }
+    return dot / (Math.sqrt(na) * Math.sqrt(nb));
+  }
+
+  /** Left-fold dot product with cast-to-double widening — identical to
+   *  aggregate(zip_with(a, b, (x, y) -> x*y), 0.0, (acc, v) -> acc+v)
+   *  on equal-length arrays with non-null elements. */
+  public static double dot(ArrayData a, ArrayData b, boolean aFloat, boolean bFloat) {
+    int n = Math.min(a.numElements(), b.numElements());
+    double dot = 0.0;
+    for (int i = 0; i < n; i++) {
+      double x = aFloat ? (double) a.getFloat(i) : a.getDouble(i);
+      double y = bFloat ? (double) b.getFloat(i) : b.getDouble(i);
+      dot += x * y;
+    }
+    return dot;
+  }
+}

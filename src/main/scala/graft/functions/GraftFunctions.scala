@@ -16,4 +16,15 @@ object GraftFunctions {
     */
   def simhash60(text: Column): Column =
     ColumnBridge.column(SimHash60(ColumnBridge.expression(text)))
+
+  /** Cosine similarity of two float/double array columns — codegen'd
+    * replacement for the zip_with+aggregate formulation (bit-identical
+    * operation order).
+    */
+  def cosineSim(a: Column, b: Column): Column =
+    ColumnBridge.column(CosineSim(ColumnBridge.expression(a), ColumnBridge.expression(b)))
+
+  /** Dot product of two float/double array columns (same kernel family). */
+  def dotProd(a: Column, b: Column): Column =
+    ColumnBridge.column(DotProd(ColumnBridge.expression(a), ColumnBridge.expression(b)))
 }

@@ -37,6 +37,92 @@ case class WordShingles(child: Expression, n: Int)
     copy(child = newChild)
 }
 
+/** Cosine similarity over two numeric array columns (float or double
+  * elements), as one codegen'd kernel call. Replaces the
+  * zip_with+aggregate HOF chain, which Catalyst evaluates interpreted —
+  * same IEEE operation order, so results are bit-identical on
+  * equal-length arrays with non-null elements (the embedding-column
+  * contract).
+  */
+case class CosineSim(left: Expression, right: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+
+  private def elemIsFloat(e: Expression): Boolean = e.dataType match {
+    case ArrayType(FloatType, _) => true
+    case _ => false
+  }
+
+  override def checkInputDataTypes(): TypeCheckResult = {
+    def ok(e: Expression) = e.dataType match {
+      case ArrayType(FloatType, _) | ArrayType(DoubleType, _) => true
+      case _ => false
+    }
+    if (ok(left) && ok(right)) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires array<float|double> arguments, got " +
+        s"${left.dataType} / ${right.dataType}")
+  }
+
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "cosine_sim"
+
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    GraftVectors.cosine(
+      a.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData],
+      b.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData],
+      elemIsFloat(left), elemIsFloat(right))
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) =>
+      s"${ev.value} = graft.functions.GraftVectors.cosine($a, $b, " +
+        s"${elemIsFloat(left)}, ${elemIsFloat(right)});")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): CosineSim =
+    copy(left = newLeft, right = newRight)
+}
+
+/** Dot product over two numeric array columns — same kernel family as
+  * CosineSim (left-fold order, cast-to-double widening).
+  */
+case class DotProd(left: Expression, right: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+
+  private def elemIsFloat(e: Expression): Boolean = e.dataType match {
+    case ArrayType(FloatType, _) => true
+    case _ => false
+  }
+
+  override def checkInputDataTypes(): TypeCheckResult = {
+    def ok(e: Expression) = e.dataType match {
+      case ArrayType(FloatType, _) | ArrayType(DoubleType, _) => true
+      case _ => false
+    }
+    if (ok(left) && ok(right)) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires array<float|double> arguments, got " +
+        s"${left.dataType} / ${right.dataType}")
+  }
+
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "dot_prod"
+
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    GraftVectors.dot(
+      a.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData],
+      b.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData],
+      elemIsFloat(left), elemIsFloat(right))
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) =>
+      s"${ev.value} = graft.functions.GraftVectors.dot($a, $b, " +
+        s"${elemIsFloat(left)}, ${elemIsFloat(right)});")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): DotProd =
+    copy(left = newLeft, right = newRight)
+}
+
 /** 60-bit SimHash signature of whitespace-tokenized text; md5-derived
   * per-token hashes, so any engine (incl. the DuckDB oracle) reproduces
   * it. See GraftStrings.simHash60 for the exact bit semantics.

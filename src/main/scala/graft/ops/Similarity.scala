@@ -22,14 +22,18 @@ import org.apache.spark.sql.types._
   */
 object Similarity {
 
-  /** Dot product of two array columns, in double. */
+  /** Dot product of two array columns, in double — codegen'd custom
+    * expression (the zip_with+aggregate formulation evaluates
+    * interpreted; the kernel keeps the identical left-fold IEEE order).
+    */
   def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x.cast(DoubleType) * y.cast(DoubleType)),
-      lit(0.0), (acc, v) => acc + v)
+    graft.functions.GraftFunctions.dotProd(a, b)
 
   def norm(a: Column): Column = sqrt(dot(a, a))
 
-  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+  /** Cosine = dot/(|a||b|) in ONE kernel call per row. */
+  def cosine(a: Column, b: Column): Column =
+    graft.functions.GraftFunctions.cosineSim(a, b)
 
   /** Exact top-k by cosine to one query vector. The literal query vector
     * ships with the plan (broadcast by definition); orderBy+limit
