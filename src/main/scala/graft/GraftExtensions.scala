@@ -1,0 +1,43 @@
+package graft
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
+import org.apache.spark.sql.types.IntegerType
+
+import graft.functions.{CosineSim, DotProd, SimHash60, WordShingles}
+
+/** SparkSessionExtensions hook (SURVEY.md §4.3.4): registers the graft
+  * custom expressions as SQL functions so `spark.sql` users get them too
+  * — `word_shingles(text, n)`, `simhash60(text)`, `cosine_sim(a, b)`,
+  * `dot_prod(a, b)`.
+  *
+  * Activate with
+  * `.config("spark.sql.extensions", "graft.GraftExtensions")` (done in
+  * this repo's session builders) or `.withExtensions(new
+  * GraftExtensions)`.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+
+  private def info(name: String, usage: String) =
+    new ExpressionInfo(classOf[GraftExtensions].getName, null, name, usage, "")
+
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction((FunctionIdentifier("word_shingles"),
+      info("word_shingles", "word_shingles(text, n) - distinct word n-gram shingles"),
+      (exprs: Seq[Expression]) => exprs match {
+        case Seq(text, Literal(n: Int, IntegerType)) => WordShingles(text, n)
+        case _ => throw new IllegalArgumentException(
+          "word_shingles(text, n) requires a literal int n")
+      }))
+    ext.injectFunction((FunctionIdentifier("simhash60"),
+      info("simhash60", "simhash60(text) - 60-bit md5-derived SimHash"),
+      (exprs: Seq[Expression]) => SimHash60(exprs.head)))
+    ext.injectFunction((FunctionIdentifier("cosine_sim"),
+      info("cosine_sim", "cosine_sim(a, b) - cosine similarity of numeric arrays"),
+      (exprs: Seq[Expression]) => CosineSim(exprs(0), exprs(1))))
+    ext.injectFunction((FunctionIdentifier("dot_prod"),
+      info("dot_prod", "dot_prod(a, b) - dot product of numeric arrays"),
+      (exprs: Seq[Expression]) => DotProd(exprs(0), exprs(1))))
+  }
+}

@@ -1,0 +1,33 @@
+package graft.functions
+
+import graft.SparkSpec
+
+/** SQL-layer access to the custom expressions via SparkSessionExtensions
+  * (registered through spark.sql.extensions in the shared test session).
+  */
+class GraftExtensionsSpec extends SparkSpec {
+
+  test("word_shingles is callable from SQL and matches the Column API") {
+    val viaSql = spark.sql(
+      "SELECT word_shingles('a b c d', 3) AS sh").collect()(0).getSeq[String](0)
+    assert(viaSql == Seq("a b c", "b c d"))
+  }
+
+  test("simhash60 from SQL equals Dedup.simHash") {
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    val df = Seq("the quick brown fox").toDF("t")
+    val viaSql = spark.sql(
+      "SELECT simhash60('the quick brown fox') AS s").collect()(0).getLong(0)
+    val viaCol = df.select(graft.ops.Dedup.simHash(col("t"))).collect()(0).getLong(0)
+    assert(viaSql == viaCol)
+  }
+
+  test("cosine_sim / dot_prod from SQL") {
+    val r = spark.sql(
+      """SELECT cosine_sim(array(1.0D, 0.0D), array(1.0D, 0.0D)) AS c,
+        |       dot_prod(array(1.0D, 2.0D), array(3.0D, 4.0D)) AS d""".stripMargin)
+      .collect()(0)
+    assert(r.getDouble(0) == 1.0 && r.getDouble(1) == 11.0)
+  }
+}
