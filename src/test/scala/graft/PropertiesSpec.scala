@@ -1,0 +1,137 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+
+import graft.dv3f.{Dv3fConfig, Reshape, Upsert}
+import graft.ops.Dedup
+
+/** ScalaCheck properties promised by SURVEY.md §5:
+  *  - unpivot ∘ pivot identity on non-null wide data
+  *  - upsert idempotence and last-writer-wins
+  *  - uid determinism/injectivity over the key space
+  *  - custom codegen expressions ≡ the built-in HOF formulations they
+  *    replaced (bit-exactness regression guard)
+  */
+class PropertiesSpec extends SparkSpec {
+  import spark.implicits._
+
+  /** Deterministic property driver: N samples of `gen` via fixed seeds
+    * (raw ScalaCheck Gen — scalatestplus isn't a declared dependency).
+    */
+  private def forAllSeeded[A](gen: Gen[A], n: Int = 20)(body: A => Unit): Unit = {
+    val params = Gen.Parameters.default
+    (1 to n).foreach { i => body(gen.pureApply(params, Seed(i.toLong))) }
+  }
+
+  private val word = Gen.oneOf("the", "quick", "brown", "fox", "über",
+    "déjà", "x1", "y2", "09", "a")
+  private val text: Gen[String] = for {
+    n <- Gen.choose(0, 12)
+    ws <- Gen.listOfN(n, word)
+    sep <- Gen.oneOf(" ", "  ", " \t ")
+  } yield ws.mkString(sep)
+
+  test("property: WordShingles ≡ HOF transform/slice/array_distinct formulation") {
+    def hofShingles(c: org.apache.spark.sql.Column, n: Int) = {
+      val toks = split(trim(c), "\\s+")
+      array_distinct(filter(
+        transform(toks, (_, i) => when(i <= size(toks) - n,
+          concat_ws(" ", slice(toks, i + 1, lit(n))))),
+        s => s.isNotNull))
+    }
+    forAllSeeded(Gen.listOfN(20, text), n = 10) { texts =>
+      val df = texts.toDF("t")
+      val got = df.select(Dedup.shingles(col("t"), 3)).collect().map(_.getSeq[String](0))
+      val want = df.select(hofShingles(col("t"), 3)).collect().map(_.getSeq[String](0))
+      assert(got.toSeq == want.toSeq)
+    }
+  }
+
+  test("property: SimHash60 ≡ HOF vote-loop formulation") {
+    def hofSimHash(c: org.apache.spark.sql.Column) = {
+      val hs = transform(split(trim(c), "\\s+"),
+        t => conv(substring(md5(t), 1, 15), 16, 10).cast(LongType))
+      val votes = aggregate(hs, array_repeat(lit(0L), 60),
+        (acc, h) => transform(acc, (v, i) =>
+          v + call_function("shiftright", h, i).bitwiseAND(1L) * 2L - 1L))
+      aggregate(
+        transform(votes, (v, i) =>
+          when(v > 0, call_function("shiftleft", lit(1L), i)).otherwise(lit(0L))),
+        lit(0L), (acc, bit) => acc.bitwiseOR(bit))
+    }
+    forAllSeeded(Gen.listOfN(10, text), n = 6) { texts =>
+      val df = texts.toDF("t")
+      val got = df.select(Dedup.simHash(col("t"))).collect().map(_.getLong(0))
+      val want = df.select(hofSimHash(col("t"))).collect().map(_.getLong(0))
+      assert(got.toSeq == want.toSeq)
+    }
+  }
+
+  test("property: unpivot ∘ pivot is the identity on non-null wide rows") {
+    val metric = Gen.choose(0.0, 1e6).map(v => math.rint(v * 100) / 100)
+    val row = for {
+      annee <- Gen.oneOf("2018", "2019", "2020")
+      dep <- Gen.oneOf("44", "85")
+      m1 <- metric; m2 <- metric
+    } yield (annee, dep, s"lib$dep", m1, m2)
+    forAllSeeded(Gen.listOfN(8, row), n = 8) { rows0 =>
+      val rows: List[(String, String, String, Double, Double)] =
+        rows0.distinctBy(r => (r._1, r._2))
+      val wide = rows.toDF("annee", "dep", "libdep",
+        "valeurfonc_sum_cod1", "pxm2_median_cod1")
+      val long = Reshape.unpivotWide(wide, Seq("annee", "dep", "libdep"))
+      val back = long.groupBy("annee", "dep", "libdep")
+        .pivot("cod_full", Seq("valeurfonc_sum_cod1", "pxm2_median_cod1"))
+        .agg(first(col("valeur"), ignoreNulls = true))
+      val got = back.select("annee", "dep", "libdep",
+        "valeurfonc_sum_cod1", "pxm2_median_cod1")
+        .collect().map(_.toSeq).toSet
+      assert(got == rows.map(t => Seq(t._1, t._2, t._3, t._4, t._5)).toSet)
+    }
+  }
+
+  test("property: upsert is idempotent and last-writer-wins on uid") {
+    val table = Dv3fConfig.departement
+    val base = Files.tmpDir("prop_upsert")
+    val batch = Seq(
+      ("u1", "2019", "85", "V", "111", 1L),
+      ("u2", "2019", "85", "V", "121", 2L))
+      .toDF("uid", "annee", "dep", "libdep", "cod", "nbtrans")
+    val overwrite = Seq(("u1", "2020", "85", "V", "111", 9L))
+      .toDF("uid", "annee", "dep", "libdep", "cod", "nbtrans")
+
+    Upsert.upsertByName(spark, base, batch, table)
+    Upsert.upsertByName(spark, base, batch, table) // idempotent
+    assert(spark.read.parquet(base).count() == 2)
+    Upsert.upsertByName(spark, base, overwrite, table)
+    val rows = spark.read.parquet(base)
+      .select("uid", "annee", "nbtrans").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+    assert(rows == Set(("u1", "2020", 9L), ("u2", "2019", 2L)))
+  }
+
+  test("property: uid is deterministic and injective over distinct key triples") {
+    val key = for {
+      annee <- Gen.oneOf("2018", "2019", "2020", "2021")
+      code <- Gen.oneOf("01", "2A", "85", "976")
+      cod <- Gen.oneOf("111", "121", "1")
+    } yield (annee, code, cod)
+    forAllSeeded(Gen.listOfN(12, key), n = 10) { keys =>
+      val df = keys.toDF("annee", "dep", "cod")
+      val uids = Reshape.withUid(df, Dv3fConfig.departement)
+        .select("uid").collect().map(_.getString(0))
+      val again = Reshape.withUid(df, Dv3fConfig.departement)
+        .select("uid").collect().map(_.getString(0))
+      assert(uids.toSeq == again.toSeq) // deterministic
+      assert(uids.distinct.length == keys.distinct.size) // injective on keys
+    }
+  }
+}
+
+private object Files {
+  def tmpDir(prefix: String): String =
+    java.nio.file.Files.createTempDirectory(prefix).toString + "/t"
+}
