@@ -52,6 +52,7 @@ object SparkEntry {
     "q_dedup_ngram_jaccard" -> (LlmOps.ngramJaccard(_, _)),
     "q_dedup_simhash" -> (LlmOps.simhashSignatures(_, _)),
     "q_dedup_simhash_pairs" -> (LlmOps.simhashPairs(_, _)),
+    "q_corpus_clean" -> (LlmOps.corpusClean(_, _)),
     // — LLM-pipeline: text analysis
     "q_text_stats" -> (LlmOps.textStats(_, _)),
     "q_doc_fingerprints" -> (LlmOps.docFingerprints(_, _)),
@@ -167,6 +168,7 @@ object SparkEntry {
     "q_dedup_exact" -> LlmOps.dedupExactSql,
     "q_dedup_minhash_lsh" -> LlmOps.minhashLshSql,
     "q_dedup_simhash_pairs" -> LlmOps.simhashPairsSql,
+    "q_corpus_clean" -> LlmOps.corpusCleanSql,
     "q_embed_ann_ivf" -> LlmOps.embedAnnIvfSql,
     "q_dedup_minhash" -> LlmOps.minhashSql,
     "q_dedup_ngram_jaccard" -> LlmOps.ngramJaccardSql,

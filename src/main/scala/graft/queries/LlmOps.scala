@@ -119,6 +119,29 @@ object LlmOps {
         round(col("s.score"), 6).as("cos"))
   }
 
+  /** The composed training-corpus cleaning pipeline — the operators
+    * above chained the way a real 100 TB pre-training run uses them:
+    * keep exact-dedup keepers, drop near-dup losers (LSH-verified,
+    * higher doc_id loses), apply quality gates, report per-language
+    * corpus stats. Each stage is map/shuffle-bounded as documented on
+    * its operator; the composition adds two semi/anti joins on doc_id.
+    */
+  def corpusClean(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.load(spark, dir, "documents")
+    val stats = TextAnalysis.analyzeDocuments(spark, dir)
+    val keepers = Dedup.exactDedup(docs, col("doc_id"), col("text"))
+      .select(col("keeper_id").as("doc_id"))
+    val losers = minhashLshDedup(spark, dir)
+      .select(col("doc_b").as("doc_id")).distinct()
+    stats
+      .join(keepers, Seq("doc_id"), "left_semi")
+      .join(losers, Seq("doc_id"), "left_anti")
+      .filter(col("n_tokens") >= 5 && col("alpha_ratio") > 0.5)
+      .groupBy(col("lang_pred"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).cast("long").as("total_tokens"))
+  }
+
   // ----------------------------------------------------------- multimodal
 
   def multimodalMeta(spark: SparkSession, dir: String): DataFrame =
@@ -313,6 +336,17 @@ object LlmOps {
       |  FROM embeddings e,
       |    (SELECT embedding::DOUBLE[] AS qe FROM embeddings WHERE vec_id = 0) q)
       |WHERE rk <= 3""".stripMargin
+
+  lazy val corpusCleanSql: String =
+    s"""WITH stats AS (SELECT * FROM ($textStatsSql)),
+       |keep AS (SELECT min(doc_id) AS doc_id FROM documents GROUP BY sha256(text)),
+       |losers AS (SELECT DISTINCT doc_b AS doc_id FROM ($minhashLshSql))
+       |SELECT lang_pred, count(*) AS n_docs,
+       |  CAST(sum(n_tokens) AS BIGINT) AS total_tokens
+       |FROM stats JOIN keep USING (doc_id)
+       |WHERE doc_id NOT IN (SELECT doc_id FROM losers)
+       |  AND n_tokens >= 5 AND alpha_ratio > 0.5
+       |GROUP BY lang_pred""".stripMargin
 
   val multimodalMetaSql: String =
     """SELECT doc_id, octet_length(encode(text)) AS n_bytes, sha256(text) AS sha,
