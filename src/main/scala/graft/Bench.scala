@@ -18,7 +18,10 @@ object Bench {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
       Runtime.getRuntime.availableProcessors.toString)
-    val iters = sys.env.getOrElse("SPARK_GRAFT_ITERS", "2").toInt
+    // 3 iterations: this host shows bursty CPU steal (multi-second stalls
+    // visible in /proc/stat); min-of-3 keeps one bad window from
+    // polluting a query's number.
+    val iters = sys.env.getOrElse("SPARK_GRAFT_ITERS", "3").toInt
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
