@@ -66,6 +66,7 @@ object TextAnalysis {
     val nTok = size(toks).cast(DoubleType)
     df.withColumn("n_chars", length(text))
       .withColumn("n_tokens", size(toks))
+      .withColumn("n_bpeish", bpeishCount(text))
       .withColumn("mean_token_len",
         (aggregate(toks, lit(0L), (acc, t) => acc + length(t)).cast(DoubleType) / nTok))
       .withColumn("stopword_ratio",

@@ -257,6 +257,7 @@ object LlmOps {
        |SELECT doc_id,
        |  length(text) AS n_chars,
        |  len(t) AS n_tokens,
+       |  CAST(len(regexp_extract_all(text, '\\w+|[^\\w\\s]')) AS INT) AS n_bpeish,
        |  list_sum(list_transform(t, x -> length(x)))::DOUBLE / len(t) AS mean_token_len,
        |  c_en::DOUBLE / len(t) AS stopword_ratio,
        |  len(regexp_extract_all(text, '[^\\w\\s]'))::DOUBLE / length(text) AS punct_ratio,
