@@ -61,4 +61,58 @@ object Upsert {
     fs.delete(target, true)
     fs.rename(new org.apache.hadoop.fs.Path(stage), target)
   }
+
+  /** Partitioned upsert — the 100 TB shape. The target is laid out
+    * `partitionCol=.../part-*.parquet`; only the partitions PRESENT IN
+    * THE BATCH are read (partition-pruned scan), merged (anti-join on
+    * the key) and swapped in, dynamic-partition-overwrite style.
+    * Untouched partitions are never read nor written — upsert cost
+    * scales with the batch's partition footprint, not the table size.
+    * (The unpartitioned variant above rewrites the whole table; fine for
+    * small staging tables, not for a fact table.)
+    *
+    * The merge is written to a stage directory first and partition dirs
+    * are swapped via rename — Spark (correctly) refuses plans that
+    * overwrite a path they are still reading.
+    */
+  def upsertByNamePartitioned(spark: SparkSession, targetPath: String,
+      incoming: DataFrame, table: StagingTable, partitionCol: String): Unit = {
+    import org.apache.hadoop.fs.Path
+    val aligned = alignByName(incoming, table)
+    val key = table.primaryKey
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(targetPath), spark.sparkContext.hadoopConfiguration)
+    val target = new Path(targetPath)
+
+    val merged =
+      if (!fs.exists(target)) aligned
+      else {
+        val affected = aligned.select(partitionCol).distinct()
+          .collect().map(_.get(0)).toSeq
+        // partition-pruned scan: the filter on the partition column means
+        // only the affected partition directories are listed/read.
+        // Re-align: partition-dir values come back type-INFERRED (e.g.
+        // annee=2019 reads as int), so cast back to the declared schema.
+        val existingAffected = alignByName(
+          spark.read.parquet(targetPath)
+            .filter(col(partitionCol).isin(affected: _*)), table)
+        existingAffected
+          .join(broadcast(aligned.select(key)), Seq(key), "left_anti")
+          .unionByName(aligned)
+      }
+    val stage = new Path(targetPath.stripSuffix("/") + "_pstage")
+    fs.delete(stage, true)
+    merged.write.mode(SaveMode.Overwrite)
+      .partitionBy(partitionCol).parquet(stage.toString)
+    fs.mkdirs(target)
+    // swap ONLY the partitions the batch touched
+    val parts = Option(fs.listStatus(stage)).getOrElse(Array())
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith(s"$partitionCol="))
+    parts.foreach { p =>
+      val dest = new Path(target, p.getPath.getName)
+      fs.delete(dest, true)
+      fs.rename(p.getPath, dest)
+    }
+    fs.delete(stage, true)
+  }
 }

@@ -65,4 +65,33 @@ class UpsertSpec extends SparkSpec {
       spark.read.parquet(dir), Dv3fConfig.departement)
     assert(checks.forall(_.passed), checks.filterNot(_.passed).mkString(", "))
   }
+
+  test("partitioned upsert touches only the batch's partitions") {
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    val table = Dv3fConfig.departement
+    val dir = java.nio.file.Files.createTempDirectory("upsert_part").toString + "/t"
+    def batch(rows: (String, String, Long)*) =
+      rows.toSeq.toDF("uid", "annee", "nbtrans")
+        .withColumn("dep", org.apache.spark.sql.functions.lit("85"))
+
+    Upsert.upsertByNamePartitioned(spark, dir,
+      batch(("a1", "2019", 1L), ("b1", "2020", 2L)), table, "annee")
+    // remember 2019's files; a 2020-only batch must not rewrite them
+    val files2019 = new java.io.File(s"$dir/annee=2019").listFiles()
+      .map(f => (f.getName, f.lastModified)).toSet
+
+    Upsert.upsertByNamePartitioned(spark, dir,
+      batch(("b1", "2020", 9L), ("b2", "2020", 3L)), table, "annee")
+
+    val got = spark.read.parquet(dir)
+      .select("uid", "annee", "nbtrans").collect()
+      .map(r => (r.getString(0), r.get(1).toString, r.getLong(2))).toSet
+    assert(got == Set(("a1", "2019", 1L), ("b1", "2020", 9L), ("b2", "2020", 3L)))
+    val files2019After = new java.io.File(s"$dir/annee=2019").listFiles()
+      .map(f => (f.getName, f.lastModified)).toSet
+    assert(files2019 == files2019After) // untouched partition preserved bit-for-bit
+    // partition-pruned read path works
+    assert(spark.read.parquet(dir).filter(col("annee") === "2020").count() == 2)
+  }
 }

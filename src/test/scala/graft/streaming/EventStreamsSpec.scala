@@ -84,6 +84,43 @@ class EventStreamsSpec extends SparkSpec {
     assert(viaNative == viaLag)
   }
 
+  test("checkpointed file sink: restart resumes exactly-once (no dup sessions)") {
+    implicit val sqlCtx = spark.sqlContext
+    val outDir = java.nio.file.Files.createTempDirectory("sess_out").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("sess_ckpt").toString
+    val mem = MemoryStream[Ev]
+    def start() = EventStreams.sessionizeStateful(mem.toDS(), gapMs = 2L * 3600 * 1000)
+      .writeStream.format("parquet")
+      .option("path", outDir).option("checkpointLocation", ckpt)
+      .outputMode(OutputMode.Append()).start()
+
+    val q1 = start()
+    try {
+      mem.addData(evs.take(3): _*)
+      q1.processAllAvailable()
+    } finally q1.stop()
+
+    // restart from the checkpoint; feed the rest + a watermark-advancing
+    // sentinel that closes every open session
+    val q2 = start()
+    try {
+      mem.addData(evs.drop(3): _*)
+      q2.processAllAvailable()
+      mem.addData(Ev(99L, ts(100000), "view", 0.0))
+      q2.processAllAvailable()
+      mem.addData(Ev(99L, ts(100001), "view", 0.0))
+      q2.processAllAvailable()
+    } finally q2.stop()
+
+    val got = spark.read.parquet(outDir)
+      .filter($"user_id" =!= 99L)
+      .select("user_id", "session_start", "session_end", "n_events")
+      .as[Session].collect()
+    val want = EventStreams.sessionizeBatch(evs.toDF()).as[Session].collect().toSet
+    assert(got.toSet == want)
+    assert(got.length == got.toSet.size) // exactly-once: no duplicate rows
+  }
+
   test("readEventStream: file-source streaming scan with explicit schema") {
     val dir = java.nio.file.Files.createTempDirectory("evstream").toString
     graft.Tables.loadEvents(spark, sf).limit(100)
