@@ -92,6 +92,16 @@ object EventStreams {
       .select("user_id", "session_start", "session_end", "n_events")
   }
 
+  /** Streaming exact dedup — the streaming face of the dedup family:
+    * drop repeated event_ids with state bounded by the watermark
+    * (dropDuplicatesWithinWatermark evicts keys once they age out, so
+    * state never grows with the stream). Batch behavior: plain
+    * dropDuplicates on the key.
+    */
+  def dedupEvents(events: DataFrame, watermark: String = "2 hours"): DataFrame =
+    events.withWatermark("ts", watermark)
+      .dropDuplicatesWithinWatermark("event_id")
+
   // ------------------------------------------------- stateful sessionizer
 
   final case class Ev(user_id: Long, ts: Timestamp, event_type: String, value: Double)

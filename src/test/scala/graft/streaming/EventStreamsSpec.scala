@@ -121,6 +121,24 @@ class EventStreamsSpec extends SparkSpec {
     assert(got.length == got.toSet.size) // exactly-once: no duplicate rows
   }
 
+  test("streaming dedup: repeated event ids collapse, watermark-bounded state") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, java.sql.Timestamp)]
+    val events = mem.toDF().toDF("event_id", "ts")
+    val q = EventStreams.dedupEvents(events)
+      .writeStream.format("memory").queryName("dedup_out")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      mem.addData((1L, ts(10)), (2L, ts(11)), (1L, ts(10))) // intra-batch dup
+      q.processAllAvailable()
+      mem.addData((2L, ts(12)), (3L, ts(12)))               // cross-batch dup
+      q.processAllAvailable()
+    } finally q.stop()
+    val ids = spark.table("dedup_out").select("event_id")
+      .collect().map(_.getLong(0)).sorted.toSeq
+    assert(ids == Seq(1L, 2L, 3L))
+  }
+
   test("readEventStream: file-source streaming scan with explicit schema") {
     val dir = java.nio.file.Files.createTempDirectory("evstream").toString
     graft.Tables.loadEvents(spark, sf).limit(100)
