@@ -5,6 +5,7 @@ import java.security.MessageDigest;
 import java.security.NoSuchAlgorithmException;
 import java.util.LinkedHashSet;
 
+import org.apache.spark.sql.catalyst.expressions.UnsafeArrayData;
 import org.apache.spark.sql.catalyst.util.ArrayData;
 import org.apache.spark.sql.catalyst.util.GenericArrayData;
 import org.apache.spark.unsafe.types.UTF8String;
@@ -79,6 +80,41 @@ public final class GraftStrings {
       arr[i++] = UTF8String.fromString(s);
     }
     return new GenericArrayData(arr);
+  }
+
+  /** MinHash signature over distinct word n-gram shingles, map-only:
+   *  h = hash60(shingle) mod p; sig[i] = min over shingles of
+   *  (h * a_i + b_i) mod p with p = 2^31-1, a_i = 2i+3,
+   *  b_i = 104729*(i+1) mod p — the SAME permutation constants as
+   *  graft.ops.Dedup.minhashParams (and the DuckDB oracle). Returns null
+   *  handled by the expression; docs with fewer than n tokens yield no
+   *  shingles and map to null (matching the explode+groupBy formulation,
+   *  which emits no row for them). All intermediates fit int64:
+   *  h mod p < 2^31, a_i < 2^31 => product < 2^62. */
+  public static long[] minHashSig(UTF8String text, int n, int k) {
+    final long p = 2147483647L;
+    ArrayData shingles = wordShingles(text, n);
+    int m = shingles.numElements();
+    if (m == 0) return null;
+    long[] sig = new long[k];
+    java.util.Arrays.fill(sig, Long.MAX_VALUE);
+    for (int s = 0; s < m; s++) {
+      long h = hash60(shingles.getUTF8String(s).toString()) % p;
+      for (int i = 0; i < k; i++) {
+        long a = 2L * i + 3L;
+        long b = (104729L * (i + 1)) % p;
+        long v = (h * a + b) % p;
+        if (v < sig[i]) sig[i] = v;
+      }
+    }
+    return sig;
+  }
+
+  /** ArrayData face of minHashSig for the MinHashSig expression; null
+   *  when the document has no shingles. */
+  public static ArrayData minHashSigArray(UTF8String text, int n, int k) {
+    long[] sig = minHashSig(text, n, k);
+    return sig == null ? null : UnsafeArrayData.fromPrimitiveArray(sig);
   }
 
   /** 60-bit SimHash over whitespace tokens: every token (duplicates

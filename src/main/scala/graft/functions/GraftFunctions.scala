@@ -17,6 +17,10 @@ object GraftFunctions {
   def simhash60(text: Column): Column =
     ColumnBridge.column(SimHash60(ColumnBridge.expression(text)))
 
+  /** Map-only MinHash signature array (null when no shingles). */
+  def minhashSig(text: Column, n: Int, k: Int): Column =
+    ColumnBridge.column(MinHashSig(ColumnBridge.expression(text), n, k))
+
   /** Cosine similarity of two float/double array columns — codegen'd
     * replacement for the zip_with+aggregate formulation (bit-identical
     * operation order).

@@ -37,6 +37,38 @@ case class WordShingles(child: Expression, n: Int)
     copy(child = newChild)
 }
 
+/** MinHash signature (k permuted min-hashes over distinct word n-gram
+  * shingles) computed MAP-ONLY in one kernel pass — replaces the
+  * explode-shingles → shuffle → 16-min-aggregations formulation: no
+  * exchange at all, signature cost is one scan. Same permutation
+  * constants as Dedup.minhashParams / the DuckDB oracle. NULL for
+  * documents with no shingles (the explode formulation emits no row for
+  * them — callers filter nulls to match).
+  */
+case class MinHashSig(child: Expression, n: Int, k: Int)
+    extends UnaryExpression {
+  require(n >= 1 && k >= 1, s"need n,k >= 1, got n=$n k=$k")
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires a string argument, got ${child.dataType}")
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = true // empty shingle set => null
+  override def prettyName: String = "minhash_sig"
+
+  override protected def nullSafeEval(input: Any): Any =
+    GraftStrings.minHashSigArray(input.asInstanceOf[UTF8String], n, k)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"""${ev.value} = graft.functions.GraftStrings.minHashSigArray($c, $n, $k);
+         |if (${ev.value} == null) { ${ev.isNull} = true; }""".stripMargin)
+
+  override protected def withNewChildInternal(newChild: Expression): MinHashSig =
+    copy(child = newChild)
+}
+
 /** Cosine similarity over two numeric array columns (float or double
   * elements), as one codegen'd kernel call. Replaces the
   * zip_with+aggregate HOF chain, which Catalyst evaluates interpreted —

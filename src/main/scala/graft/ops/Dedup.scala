@@ -55,19 +55,21 @@ object Dedup {
   def minhashParams(k: Int): Seq[(Long, Long)] =
     (0 until k).map(i => (2L * i + 3L, 104729L * (i + 1) % minhashP))
 
-  /** MinHash signatures: explode shingles, one min-aggregation per
-    * permutation. One shuffle on doc id; signature width k columns
+  /** MinHash signatures, MAP-ONLY: the whole k-permutation signature is
+    * one codegen'd kernel pass per document (graft.functions.MinHashSig)
+    * — no shingle explode, no shuffle. The permutation constants are
+    * minhashParams, shared with the DuckDB oracle; documents with no
+    * shingles yield no row (null signature filtered), matching the
+    * previous explode+groupBy formulation. Signature width k columns
     * (m0..m{k-1}).
     */
   def minHash(df: DataFrame, id: Column, text: Column, n: Int = 3,
       k: Int = 16): DataFrame = {
-    val exploded = df.select(id.as("doc_id"),
-      explode(shingles(text, n)).as("shingle"))
-      .withColumn("h", pmod(hash60(col("shingle")), lit(minhashP)))
-    val aggs = minhashParams(k).zipWithIndex.map { case ((a, b), i) =>
-      min(pmod(col("h") * a + b, lit(minhashP))).as(s"m$i")
-    }
-    exploded.groupBy(col("doc_id")).agg(aggs.head, aggs.tail: _*)
+    val sig = graft.functions.GraftFunctions.minhashSig(text, n, k)
+    df.select(id.as("doc_id"), sig.as("__sig"))
+      .filter(col("__sig").isNotNull)
+      .select(col("doc_id") +:
+        (0 until k).map(i => col("__sig")(i).as(s"m$i")): _*)
   }
 
   /** LSH banding over a minhash signature: docs sharing any band's
