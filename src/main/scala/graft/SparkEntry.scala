@@ -29,6 +29,7 @@ object SparkEntry {
     "q_union_all" -> (Analytics.unionAllLiterals(_, _)),
     "q_sql_ordinal" -> (Analytics.sqlOrdinal(_, _)),
     "q_sql_groupby_all" -> (Analytics.sqlGroupByAll(_, _)),
+    "q_sql_params" -> (Analytics.sqlParams(_, _)),
     // — joins (SURVEY §2.4 / testdata surface)
     "q_join_nation_region" -> (Analytics.joinNationRegion(_, _)),
     "q_join_orders_lineitem" -> (Analytics.joinOrdersLineitem(_, _)),
@@ -111,6 +112,12 @@ object SparkEntry {
     "q_sql_groupby_all" ->
       """SELECT o_orderstatus, o_orderpriority, count(*) AS n
          FROM orders GROUP BY ALL""",
+    "q_sql_params" ->
+      """SELECT o_orderpriority AS category,
+         CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sales_usd
+         FROM orders WHERE o_orderpriority LIKE '%HIGH%'
+         AND CAST(date_part('year', o_orderdate) AS VARCHAR) LIKE '19%'
+         GROUP BY ALL ORDER BY sales_usd DESC""",
     "q_join_nation_region" ->
       """SELECT r_name, CAST(count(*) AS BIGINT) AS n_nations
          FROM nation JOIN region ON n_regionkey = r_regionkey GROUP BY r_name""",

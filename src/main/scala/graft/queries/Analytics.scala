@@ -110,6 +110,23 @@ object Analytics {
         |FROM orders GROUP BY ALL""".stripMargin)
   }
 
+  /** The Evidence `${inputs.*}` surface done right (SURVEY §3.3):
+    * named-parameter spark.sql — parameters are BOUND, not interpolated,
+    * so the dashboard's user inputs can't inject SQL. Covers P5 + O2
+    * through the SQL layer.
+    */
+  def sqlParams(spark: SparkSession, dir: String,
+      category: String = "%HIGH%", year: String = "19%"): DataFrame = {
+    Tables.load(spark, dir, "orders").createOrReplaceTempView("orders")
+    spark.sql(
+      """SELECT o_orderpriority AS category,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sales_usd
+        |FROM orders WHERE o_orderpriority LIKE :category
+        |  AND CAST(date_part('YEAR', o_orderdate) AS STRING) LIKE :year
+        |GROUP BY ALL ORDER BY sales_usd DESC""".stripMargin,
+      Map("category" -> category, "year" -> year))
+  }
+
   /** Broadcast dimension join: nation ⋈ region (SURVEY.md §2.4 — the
     * testdata join surface). region is tiny at ANY scale factor → always
     * broadcast; no shuffle of nation.
