@@ -82,19 +82,49 @@ class Dv3fTable(props: Map[String, String]) extends Table with SupportsRead {
     new Dv3fScanBuilder(options.asScala.toMap)
 }
 
-class Dv3fScanBuilder(options: Map[String, String]) extends ScanBuilder {
-  override def build(): Scan = new Dv3fScan(options)
+/** Filter pushdown (SupportsPushDownFilters): equality predicates on the
+  * PARTITION COLUMNS (scope, code) prune InputPartitions at planning
+  * time — a `scope = 'region'` query never fetches departement payloads,
+  * and one scope's bad payload cannot fail another scope's job. All
+  * filters are also left as residuals for Spark to re-apply (safe
+  * double-filtering).
+  */
+class Dv3fScanBuilder(options: Map[String, String]) extends ScanBuilder
+    with SupportsPushDownFilters {
+  import org.apache.spark.sql.sources.{EqualTo, Filter}
+
+  private var scopeEq: Option[String] = None
+  private var codeEq: Option[String] = None
+
+  override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    filters.foreach {
+      case EqualTo("scope", v: String) => scopeEq = Some(v)
+      case EqualTo("code", v: String) => codeEq = Some(v)
+      case _ =>
+    }
+    filters // all stay as residuals
+  }
+  override def pushedFilters(): Array[Filter] =
+    (scopeEq.map(v => EqualTo("scope", v): Filter) ++
+      codeEq.map(v => EqualTo("code", v): Filter)).toArray
+
+  override def build(): Scan = new Dv3fScan(options, scopeEq, codeEq)
 }
 
-class Dv3fScan(options: Map[String, String]) extends Scan with Batch {
+class Dv3fScan(options: Map[String, String], scopeEq: Option[String],
+    codeEq: Option[String]) extends Scan with Batch {
   private val path = options.getOrElse("path",
     throw new IllegalArgumentException("dv3f source requires option 'path'"))
 
   override def readSchema(): StructType = Dv3fSource.schema
   override def toBatch: Batch = this
+  override def description(): String =
+    s"dv3f path=$path pushed=[${(scopeEq.map("scope=" + _) ++
+      codeEq.map("code=" + _)).mkString(", ")}]"
 
   /** Planning: explicit `scopes` option ("departement:85,region:11") or
-    * one partition per payload file found under `path`.
+    * one partition per payload file found under `path`, minus the
+    * partitions excluded by pushed-down scope/code equality filters.
     */
   override def planInputPartitions(): Array[InputPartition] = {
     val scopes: Seq[(String, String)] = options.get("scopes") match {
@@ -110,7 +140,11 @@ class Dv3fScan(options: Map[String, String]) extends Scan with Batch {
           (base.substring(0, i), base.substring(i + 1))
         }
     }
-    scopes.map { case (s, c) => Dv3fPartition(s, c): InputPartition }.toArray
+    scopes
+      .filter { case (s, c) =>
+        scopeEq.forall(_ == s) && codeEq.forall(_ == c)
+      }
+      .map { case (s, c) => Dv3fPartition(s, c): InputPartition }.toArray
   }
 
   override def createReaderFactory(): PartitionReaderFactory =

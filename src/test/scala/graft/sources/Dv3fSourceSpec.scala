@@ -76,6 +76,36 @@ class Dv3fSourceSpec extends SparkSpec {
     assert(spark.read.parquet(s"$wh/src_region").count() == 1)
   }
 
+  test("runViaSource error isolation: a bad scope fails alone, the other table lands") {
+    val dir = Files.createTempDirectory("dv3fsrc8").toFile
+    val wh = Files.createTempDirectory("dv3fwh8").toFile.getAbsolutePath
+    Files.writeString(new File(dir, "departement_85.json").toPath,
+      """{"count":0,"results":[]}""") // malformed: empty results
+    writePayload(dir, "region", "52",
+      """{"annee":"2019","reg":"52","libreg":"PdL","nbtrans_cod111":9.0}""")
+    val reports = graft.dv3f.IngestJob.runViaSource(spark, dir.getAbsolutePath, wh)
+    val byScope = reports.map(r => r.scope -> r).toMap
+    assert(!byScope("departement").ok &&
+      byScope("departement").error.get.contains("empty or malformed"))
+    assert(byScope("region").ok && byScope("region").rows == 1)
+    assert(spark.read.parquet(s"$wh/src_region").count() == 1)
+    assert(!new File(s"$wh/src_departement").exists())
+  }
+
+  test("scope equality filter prunes InputPartitions at planning time") {
+    import org.apache.spark.sql.functions.col
+    val dir = Files.createTempDirectory("dv3fsrc9").toFile
+    writePayload(dir, "departement", "85",
+      """{"annee":"2019","dep":"85","libdep":"V","nbtrans_cod111":7.0}""")
+    writePayload(dir, "region", "52",
+      """{"annee":"2019","reg":"52","libreg":"PdL","nbtrans_cod111":9.0}""")
+    val df = spark.read.format("dv3f").option("path", dir.getAbsolutePath).load()
+    assert(df.filter(col("scope") === "region").rdd.getNumPartitions == 1)
+    assert(df.filter(col("scope") === "region" && col("code") === "99")
+      .rdd.getNumPartitions == 0)
+    assert(df.rdd.getNumPartitions == 2)
+  }
+
   test("malformed payload (no results) fails the partition read") {
     val dir = Files.createTempDirectory("dv3fsrc4").toFile
     Files.writeString(new File(dir, "departement_85.json").toPath,
