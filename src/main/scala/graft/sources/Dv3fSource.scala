@@ -90,11 +90,12 @@ class Dv3fTable(props: Map[String, String]) extends Table with SupportsRead {
   * double-filtering).
   */
 class Dv3fScanBuilder(options: Map[String, String]) extends ScanBuilder
-    with SupportsPushDownFilters {
+    with SupportsPushDownFilters with SupportsPushDownRequiredColumns {
   import org.apache.spark.sql.sources.{EqualTo, Filter}
 
   private var scopeEq: Option[String] = None
   private var codeEq: Option[String] = None
+  private var required: StructType = Dv3fSource.schema
 
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
     filters.foreach {
@@ -108,19 +109,23 @@ class Dv3fScanBuilder(options: Map[String, String]) extends ScanBuilder
     (scopeEq.map(v => EqualTo("scope", v): Filter) ++
       codeEq.map(v => EqualTo("code", v): Filter)).toArray
 
-  override def build(): Scan = new Dv3fScan(options, scopeEq, codeEq)
+  override def pruneColumns(requiredSchema: StructType): Unit =
+    required = requiredSchema
+
+  override def build(): Scan = new Dv3fScan(options, scopeEq, codeEq, required)
 }
 
 class Dv3fScan(options: Map[String, String], scopeEq: Option[String],
-    codeEq: Option[String]) extends Scan with Batch {
+    codeEq: Option[String], required: StructType) extends Scan with Batch {
   private val path = options.getOrElse("path",
     throw new IllegalArgumentException("dv3f source requires option 'path'"))
 
-  override def readSchema(): StructType = Dv3fSource.schema
+  override def readSchema(): StructType = required
   override def toBatch: Batch = this
   override def description(): String =
     s"dv3f path=$path pushed=[${(scopeEq.map("scope=" + _) ++
-      codeEq.map("code=" + _)).mkString(", ")}]"
+      codeEq.map("code=" + _)).mkString(", ")}] " +
+      s"columns=[${required.fieldNames.mkString(", ")}]"
 
   /** Planning: explicit `scopes` option ("departement:85,region:11") or
     * one partition per payload file found under `path`, minus the
@@ -148,15 +153,16 @@ class Dv3fScan(options: Map[String, String], scopeEq: Option[String],
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new Dv3fReaderFactory(path)
+    new Dv3fReaderFactory(path, required)
 }
 
 case class Dv3fPartition(scope: String, code: String) extends InputPartition
 
-class Dv3fReaderFactory(path: String) extends PartitionReaderFactory {
+class Dv3fReaderFactory(path: String, required: StructType)
+    extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val p = partition.asInstanceOf[Dv3fPartition]
-    new Dv3fPartitionReader(path, p.scope, p.code)
+    new Dv3fPartitionReader(path, p.scope, p.code, required)
   }
 }
 
@@ -167,8 +173,11 @@ class Dv3fReaderFactory(path: String) extends PartitionReaderFactory {
   * fly — no driver involvement, no per-row allocation beyond the emitted
   * InternalRow.
   */
-class Dv3fPartitionReader(path: String, scope: String, code: String)
-    extends PartitionReader[InternalRow] {
+class Dv3fPartitionReader(path: String, scope: String, code: String,
+    required: StructType) extends PartitionReader[InternalRow] {
+
+  // column pruning: emit only the pruned schema's fields, in its order
+  private val fieldIdx: Array[String] = required.fieldNames
 
   private val rows: Iterator[InternalRow] = {
     val file = new java.io.File(s"$path/${scope}_$code.json")
@@ -185,14 +194,21 @@ class Dv3fPartitionReader(path: String, scope: String, code: String)
         .filterNot(e => Dv3fSource.idFields.contains(e.getKey))
         .map { e =>
           val v = e.getValue
-          val row = new GenericInternalRow(6)
-          row.update(0, UTF8String.fromString(scope))
-          row.update(1, UTF8String.fromString(code))
-          row.update(2, if (annee == null) null else UTF8String.fromString(annee))
-          row.update(3, if (lib == null) null else UTF8String.fromString(lib))
-          row.update(4, UTF8String.fromString(e.getKey))
-          if (v == null || v.isNull) row.setNullAt(5)
-          else row.setDouble(5, v.asDouble())
+          val row = new GenericInternalRow(fieldIdx.length)
+          fieldIdx.zipWithIndex.foreach { case (name, i) =>
+            name match {
+              case "scope" => row.update(i, UTF8String.fromString(scope))
+              case "code" => row.update(i, UTF8String.fromString(code))
+              case "annee" =>
+                row.update(i, if (annee == null) null else UTF8String.fromString(annee))
+              case "lib" =>
+                row.update(i, if (lib == null) null else UTF8String.fromString(lib))
+              case "cod_full" => row.update(i, UTF8String.fromString(e.getKey))
+              case "valeur" =>
+                if (v == null || v.isNull) row.setNullAt(i)
+                else row.setDouble(i, v.asDouble())
+            }
+          }
           row: InternalRow
         }
     }

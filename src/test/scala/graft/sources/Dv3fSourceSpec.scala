@@ -106,6 +106,23 @@ class Dv3fSourceSpec extends SparkSpec {
     assert(df.rdd.getNumPartitions == 2)
   }
 
+  test("column pruning reaches the reader (pruned schema in the scan)") {
+    import org.apache.spark.sql.functions.col
+    val dir = Files.createTempDirectory("dv3fsrc10").toFile
+    writePayload(dir, "departement", "85",
+      """{"annee":"2019","dep":"85","libdep":"V","nbtrans_cod111":7.0}""")
+    val df = spark.read.format("dv3f").option("path", dir.getAbsolutePath).load()
+    val pruned = df.select("cod_full", "valeur")
+    // physical scan carries only the 2 requested columns
+    val scanDesc = pruned.queryExecution.executedPlan.toString
+    assert(scanDesc.contains("columns=[cod_full, valeur]"), scanDesc)
+    assert(pruned.collect().map(r => (r.getString(0), r.getDouble(1))).toSeq ==
+      Seq(("nbtrans_cod111", 7.0)))
+    // pruning composes with partition-filter pushdown
+    val both = df.filter(col("scope") === "departement").select("valeur")
+    assert(both.collect().map(_.getDouble(0)).toSeq == Seq(7.0))
+  }
+
   test("malformed payload (no results) fails the partition read") {
     val dir = Files.createTempDirectory("dv3fsrc4").toFile
     Files.writeString(new File(dir, "departement_85.json").toPath,
