@@ -139,6 +139,33 @@ class EventStreamsSpec extends SparkSpec {
     assert(ids == Seq(1L, 2L, 3L))
   }
 
+  test("dv3f streaming ingest: new payload files upsert incrementally") {
+    val payloads = java.nio.file.Files.createTempDirectory("dv3fstream").toFile
+    val wh = java.nio.file.Files.createTempDirectory("dv3fstreamwh").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("dv3fstreamck").toString
+    def write(code: String, nbtrans: Double): Unit =
+      java.nio.file.Files.writeString(
+        new java.io.File(payloads, s"departement_$code.json").toPath,
+        s"""{"count":1,"next":null,"previous":null,"results":[
+           |{"annee":"2019","dep":"$code","libdep":"L$code",
+           |"nbtrans_cod111":$nbtrans}]}""".stripMargin)
+
+    write("85", 7.0)
+    val q = Dv3fStreamingIngest.start(spark, payloads.getAbsolutePath, wh, ckpt)
+    try {
+      q.processAllAvailable()
+      val t = s"$wh/src_departement"
+      assert(spark.read.parquet(t).count() == 1)
+      // a second payload for another code lands incrementally
+      write("44", 3.0)
+      q.processAllAvailable()
+      val rows = spark.read.parquet(t)
+        .select("dep", "nbtrans").collect()
+        .map(r => (r.getString(0), r.getLong(1))).toSet
+      assert(rows == Set(("85", 7L), ("44", 3L)))
+    } finally q.stop()
+  }
+
   test("readEventStream: file-source streaming scan with explicit schema") {
     val dir = java.nio.file.Files.createTempDirectory("evstream").toString
     graft.Tables.loadEvents(spark, sf).limit(100)
