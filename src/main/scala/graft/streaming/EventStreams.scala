@@ -102,6 +102,25 @@ object EventStreams {
     events.withWatermark("ts", watermark)
       .dropDuplicatesWithinWatermark("event_id")
 
+  /** Stream-stream interval self-join: pair each event with the SAME
+    * user's events in the following hour (follow-on behavior analysis).
+    * Both sides watermarked; the time-bound join condition lets the
+    * state store evict rows once the watermark passes the interval, so
+    * join state is bounded. Works identically in batch.
+    */
+  def followOnPairs(left: DataFrame, right: DataFrame): DataFrame = {
+    val l = left.withWatermark("ts", "2 hours").alias("l")
+    val r = right.withWatermark("ts", "2 hours").alias("r")
+    l.join(r, expr(
+      """l.user_id = r.user_id AND l.event_id != r.event_id AND
+        |r.ts > l.ts AND r.ts <= l.ts + INTERVAL 1 HOUR""".stripMargin))
+      .select(col("l.user_id").as("user_id"),
+        col("l.event_id").as("first_event"),
+        col("r.event_id").as("next_event"),
+        col("l.event_type").as("first_type"),
+        col("r.event_type").as("next_type"))
+  }
+
   // ------------------------------------------------- stateful sessionizer
 
   final case class Ev(user_id: Long, ts: Timestamp, event_type: String, value: Double)

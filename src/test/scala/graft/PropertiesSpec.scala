@@ -70,6 +70,25 @@ class PropertiesSpec extends SparkSpec {
     }
   }
 
+  test("property: MinHashSig ≡ explode+groupBy formulation") {
+    forAllSeeded(Gen.listOfN(15, text), n = 6) { texts =>
+      val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+        .toDF("doc_id", "t")
+      val got = Dedup.minHash(df, col("doc_id"), col("t"), 3, 16)
+        .collect().map(r => r.getLong(0) -> r.toSeq.tail).toMap
+      // the pre-kernel formulation: explode shingles, 16 min-aggs
+      val exploded = df.select(col("doc_id"),
+          explode(Dedup.shingles(col("t"), 3)).as("shingle"))
+        .withColumn("h", pmod(Dedup.hash60(col("shingle")), lit(Dedup.minhashP)))
+      val aggs = Dedup.minhashParams(16).zipWithIndex.map { case ((a, b), i) =>
+        min(pmod(col("h") * a + b, lit(Dedup.minhashP))).as(s"m$i")
+      }
+      val want = exploded.groupBy(col("doc_id")).agg(aggs.head, aggs.tail: _*)
+        .collect().map(r => r.getLong(0) -> r.toSeq.tail).toMap
+      assert(got == want)
+    }
+  }
+
   test("property: unpivot ∘ pivot is the identity on non-null wide rows") {
     val metric = Gen.choose(0.0, 1e6).map(v => math.rint(v * 100) / 100)
     val row = for {

@@ -139,6 +139,30 @@ class EventStreamsSpec extends SparkSpec {
     assert(ids == Seq(1L, 2L, 3L))
   }
 
+  test("stream-stream interval self-join matches the batch join") {
+    implicit val sqlCtx = spark.sqlContext
+    val rows = Seq( // (event_id, ts, user_id, event_type)
+      (1L, ts(0), 7L, "view"), (2L, ts(30), 7L, "click"),
+      (3L, ts(90), 7L, "buy"), // > 1h after event 1, pairs only with 2
+      (4L, ts(10), 8L, "view"))
+    def name(df: org.apache.spark.sql.DataFrame) =
+      df.toDF("event_id", "ts", "user_id", "event_type")
+    val mem = MemoryStream[(Long, java.sql.Timestamp, Long, String)]
+    mem.addData(rows: _*)
+    val joined = EventStreams.followOnPairs(name(mem.toDF()), name(mem.toDF()))
+    val q = joined.writeStream.format("memory").queryName("follow_out")
+      .outputMode(OutputMode.Append()).start()
+    try q.processAllAvailable() finally q.stop()
+    val got = spark.table("follow_out")
+      .select("first_event", "next_event").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val want = EventStreams.followOnPairs(name(rows.toDF()), name(rows.toDF()))
+      .select("first_event", "next_event").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == want)
+    assert(got == Set((1L, 2L), (2L, 3L)))
+  }
+
   test("dv3f streaming ingest: new payload files upsert incrementally") {
     val payloads = java.nio.file.Files.createTempDirectory("dv3fstream").toFile
     val wh = java.nio.file.Files.createTempDirectory("dv3fstreamwh").toString
