@@ -54,6 +54,8 @@ object SparkEntry {
     "q_dedup_simhash" -> (LlmOps.simhashSignatures(_, _)),
     "q_dedup_simhash_pairs" -> (LlmOps.simhashPairs(_, _)),
     "q_corpus_clean" -> (LlmOps.corpusClean(_, _)),
+    "q_dedup_spans" -> (LlmOps.duplicateSpans(_, _)),
+    "q_vocab_topk" -> (LlmOps.vocabTopK(_, _)),
     // — LLM-pipeline: text analysis
     "q_text_stats" -> (LlmOps.textStats(_, _)),
     "q_doc_fingerprints" -> (LlmOps.docFingerprints(_, _)),
@@ -176,6 +178,8 @@ object SparkEntry {
     "q_dedup_minhash_lsh" -> LlmOps.minhashLshSql,
     "q_dedup_simhash_pairs" -> LlmOps.simhashPairsSql,
     "q_corpus_clean" -> LlmOps.corpusCleanSql,
+    "q_dedup_spans" -> LlmOps.duplicateSpansSql,
+    "q_vocab_topk" -> LlmOps.vocabTopKSql,
     "q_embed_ann_ivf" -> LlmOps.embedAnnIvfSql,
     "q_dedup_minhash" -> LlmOps.minhashSql,
     "q_dedup_ngram_jaccard" -> LlmOps.ngramJaccardSql,

@@ -50,6 +50,32 @@ object LlmOps {
     Dedup.simHashPairs(Tables.load(spark, dir, "documents"),
       col("doc_id"), col("text"), maxDist = 8, blockBits = 4)
 
+  /** Cross-document repeated-span detection (the exact-substring dedup
+    * signal: token 8-grams appearing in ≥2 distinct documents). One
+    * explode + one aggregation on the 60-bit span hash; at 100 TB the
+    * hash is the shuffle key and hot spans partial-aggregate map-side.
+    */
+  def duplicateSpans(spark: SparkSession, dir: String, n: Int = 8): DataFrame =
+    Tables.load(spark, dir, "documents")
+      .select(col("doc_id"), explode(Dedup.shingles(col("text"), n)).as("sh"))
+      .select(col("doc_id"), Dedup.hash60(col("sh")).as("span_hash"))
+      .groupBy(col("span_hash"))
+      .agg(count(lit(1)).as("n_docs"), // shingles are distinct per doc
+        min(col("doc_id")).as("first_doc"), max(col("doc_id")).as("last_doc"))
+      .filter(col("n_docs") >= 2)
+
+  /** Corpus vocabulary: global top-100 tokens by document frequency —
+    * the vocab/stopword-discovery op. TakeOrderedAndProject keeps k per
+    * partition; ties broken by token for determinism.
+    */
+  def vocabTopK(spark: SparkSession, dir: String, k: Int = 100): DataFrame =
+    Tables.load(spark, dir, "documents")
+      .select(explode(array_distinct(TextAnalysis.tokens(col("text")))).as("token"))
+      .groupBy(col("token"))
+      .agg(count(lit(1)).as("df"))
+      .orderBy(col("df").desc, col("token"))
+      .limit(k)
+
   // ---------------------------------------------------------------- text
 
   def textStats(spark: SparkSession, dir: String): DataFrame =
@@ -326,6 +352,23 @@ object LlmOps {
       |WHERE a.cid IN (SELECT cid FROM probe)
       |ORDER BY list_cosine_similarity(a.embedding::DOUBLE[], q.qe) DESC, a.vec_id
       |LIMIT 10""".stripMargin
+
+  val duplicateSpansSql: String =
+    """WITH toks AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS t
+      |  FROM documents),
+      |sh AS (SELECT DISTINCT doc_id,
+      |  unnest([array_to_string(t[i:i+7], ' ') for i in range(1, len(t)-6)]) AS shingle
+      |  FROM toks WHERE len(t) >= 8)
+      |SELECT ('0x' || substr(md5(shingle), 1, 15))::BIGINT AS span_hash,
+      |  count(*) AS n_docs, min(doc_id) AS first_doc, max(doc_id) AS last_doc
+      |FROM sh GROUP BY 1 HAVING count(*) >= 2""".stripMargin
+
+  val vocabTopKSql: String =
+    """WITH toks AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS t
+      |  FROM documents),
+      |d AS (SELECT DISTINCT doc_id, unnest(t) AS token FROM toks)
+      |SELECT token, count(*) AS df FROM d GROUP BY token
+      |ORDER BY df DESC, token LIMIT 100""".stripMargin
 
   val embedTopKPerLabelSql: String =
     """SELECT label, vec_id, round(cos, 6) AS cos FROM (
