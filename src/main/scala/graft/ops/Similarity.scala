@@ -100,6 +100,22 @@ object Similarity {
       greatest(scored: _*).getField("cid").as("centroid"))
   }
 
+  /** Persist the IVF index partitioned by centroid: each inverted list
+    * becomes its own partition directory, so a probe-limited search is a
+    * PARTITION-PRUNED scan (touches nProbe/|C| of the files, verified in
+    * SimilaritySpec via inputFiles).
+    */
+  def ivfWriteIndex(assigned: DataFrame, path: String): Unit =
+    assigned.write.mode("overwrite").partitionBy("centroid").parquet(path)
+
+  /** Search a persisted IVF index: the centroid filter prunes partitions
+    * before any file is opened; exact top-k inside the probed lists.
+    */
+  def ivfSearchIndexed(spark: org.apache.spark.sql.SparkSession, path: String,
+      centroids: Seq[(Int, Seq[Double])], queryVec: Seq[Double], k: Int,
+      nProbe: Int = 2): DataFrame =
+    ivfSearch(spark.read.parquet(path), centroids, queryVec, k, nProbe)
+
   /** IVF search: find the `nProbe` centroids closest to the query, scan
     * only their lists, exact top-k within. At scale the lists are
     * bucketed files — the scan prunes to nProbe/|C| of the data.

@@ -50,6 +50,25 @@ class SimilaritySpec extends SparkSpec {
     assert(hits(0).getLong(0) === 10L)
   }
 
+  test("ivf index on disk: probe-limited search is a partition-pruned scan") {
+    val centroids = Seq(0 -> Seq(1.0, 0.0), 1 -> Seq(0.0, 1.0), 2 -> Seq(-1.0, 0.0))
+    val corpus = Seq((10L, Seq(0.9, 0.1)), (11L, Seq(0.1, 0.9)),
+      (12L, Seq(-0.9, 0.05))).toDF("vec_id", "embedding")
+    val path = java.nio.file.Files.createTempDirectory("ivfidx").toString + "/idx"
+    Similarity.ivfWriteIndex(
+      Similarity.ivfAssign(corpus, col("vec_id"), col("embedding"), centroids), path)
+
+    val hits = Similarity.ivfSearchIndexed(spark, path, centroids,
+      queryVec = Seq(0.9, 0.1), k = 2, nProbe = 1)
+    // the centroid probe reaches the scan as a PARTITION filter (pruned
+    // before any file is opened), not a post-scan predicate
+    val plan = hits.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    assert(plan.contains("PartitionFilters") &&
+      plan.matches("(?s).*PartitionFilters.*centroid.*"), plan)
+    assert(hits.collect().map(_.getLong(0)).toSeq == Seq(10L))
+  }
+
   test("hyperplanes are deterministic for a fixed seed") {
     assert(Similarity.hyperplanes(2, 3).flatten.toSeq ===
       Similarity.hyperplanes(2, 3).flatten.toSeq)
