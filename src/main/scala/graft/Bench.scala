@@ -22,14 +22,7 @@ object Bench {
     // visible in /proc/stat); min-of-3 keeps one bad window from
     // polluting a query's number.
     val iters = sys.env.getOrElse("SPARK_GRAFT_ITERS", "3").toInt
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-      .config("spark.sql.extensions", "graft.GraftExtensions")
-      .config("spark.sql.files.maxPartitionBytes", "1m")
-      .config("spark.sql.files.openCostInBytes", "65536")
-      .config("spark.ui.enabled", "false")
+    val spark = EngineSession.builder(cpus.toInt, smallInputTuning = true)
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
