@@ -41,6 +41,16 @@ class CatalogSpec extends SparkSpec {
       fields("valeurfonc_sum") == "double")
   }
 
+  test("S6 connector parity: csv round-trip with explicit schema") {
+    val dir = java.nio.file.Files.createTempDirectory("csvsrc").toString + "/r"
+    val region = graft.Tables.load(spark, sf, "region")
+    region.write.option("header", "true").csv(dir)
+    val back = spark.read.option("header", "true")
+      .schema(region.schema).csv(dir)
+    assert(back.count() == region.count())
+    assert(back.schema == region.schema)
+  }
+
   test("dbt example model graph: views + schema tests pass") {
     val results = Catalog.exampleModelTests(spark)
     assert(results.forall(_._2), results.toString)
