@@ -30,6 +30,9 @@ object SparkEntry {
     "q_sql_ordinal" -> (Analytics.sqlOrdinal(_, _)),
     "q_sql_groupby_all" -> (Analytics.sqlGroupByAll(_, _)),
     "q_sql_params" -> (Analytics.sqlParams(_, _)),
+    "q_sql_rollup" -> (Analytics.rollupCounts(_, _)),
+    "q_sql_setops" -> (Analytics.setOps(_, _)),
+    "q_window_running" -> (Analytics.runningWindows(_, _)),
     // — joins (SURVEY §2.4 / testdata surface)
     "q_join_nation_region" -> (Analytics.joinNationRegion(_, _)),
     "q_join_orders_lineitem" -> (Analytics.joinOrdersLineitem(_, _)),
@@ -120,6 +123,36 @@ object SparkEntry {
          FROM orders WHERE o_orderpriority LIKE '%HIGH%'
          AND CAST(date_part('year', o_orderdate) AS VARCHAR) LIKE '19%'
          GROUP BY ALL ORDER BY sales_usd DESC""",
+    "q_sql_rollup" ->
+      """SELECT o_orderstatus, o_orderpriority, count(*) AS n,
+         CAST(GROUPING(o_orderstatus, o_orderpriority) AS BIGINT) AS gid
+         FROM orders GROUP BY ROLLUP(o_orderstatus, o_orderpriority)""",
+    "q_sql_setops" ->
+      """SELECT o_orderpriority, 'both' AS op FROM (
+           SELECT o_orderpriority FROM orders
+           WHERE o_orderdate BETWEEN '1995-01-01' AND '1995-06-30'
+           INTERSECT
+           SELECT o_orderpriority FROM orders
+           WHERE o_orderdate BETWEEN '1995-07-01' AND '1995-12-31')
+         UNION ALL
+         SELECT o_orderpriority, 'h1_only' AS op FROM (
+           SELECT o_orderpriority FROM orders
+           WHERE o_orderdate BETWEEN '1995-01-01' AND '1995-06-30'
+           EXCEPT
+           SELECT o_orderpriority FROM orders
+           WHERE o_orderdate BETWEEN '1995-07-01' AND '1995-12-31')""",
+    "q_window_running" ->
+      """WITH monthly AS (
+           SELECT o_orderstatus, date_trunc('month', o_orderdate) AS month,
+             count(*) AS n,
+             CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sales
+           FROM orders GROUP BY 1, 2)
+         SELECT o_orderstatus, month, n,
+           sum(n) OVER (PARTITION BY o_orderstatus ORDER BY month
+             ROWS UNBOUNDED PRECEDING) AS running_n,
+           round(avg(sales) OVER (PARTITION BY o_orderstatus ORDER BY month
+             ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 4) AS sales_ma3
+         FROM monthly""",
     "q_join_nation_region" ->
       """SELECT r_name, CAST(count(*) AS BIGINT) AS n_nations
          FROM nation JOIN region ON n_regionkey = r_regionkey GROUP BY r_name""",

@@ -168,6 +168,48 @@ object Analytics {
       .select("o_orderpriority", "rk", "o_orderkey", "o_totalprice")
   }
 
+  /** Hierarchical aggregation: ROLLUP over (status, priority) with
+    * grouping_id to tag subtotal levels (extension past the reference's
+    * flat GROUP BYs; Catalyst expands to one Expand + aggregation).
+    */
+  def rollupCounts(spark: SparkSession, dir: String): DataFrame =
+    Tables.load(spark, dir, "orders")
+      .rollup(col("o_orderstatus"), col("o_orderpriority"))
+      .agg(count(lit(1)).as("n"), grouping_id().as("gid"))
+
+  /** Set operations: priorities present in BOTH halves of 1995, and
+    * those only in H1 (INTERSECT / EXCEPT — §2.9 had only UNION ALL).
+    */
+  def setOps(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.load(spark, dir, "orders")
+    val h1 = o.filter(col("o_orderdate").between("1995-01-01", "1995-06-30"))
+      .select(col("o_orderpriority"))
+    val h2 = o.filter(col("o_orderdate").between("1995-07-01", "1995-12-31"))
+      .select(col("o_orderpriority"))
+    h1.intersect(h2).withColumn("op", lit("both"))
+      .unionByName(h1.except(h2).withColumn("op", lit("h1_only")))
+  }
+
+  /** Window frames: per-status running order count and 3-month moving
+    * average of monthly sales (ROWS BETWEEN frames — §2.7 extension
+    * beyond ranking).
+    */
+  def runningWindows(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val monthly = Tables.load(spark, dir, "orders")
+      .groupBy(col("o_orderstatus"),
+        date_trunc("month", col("o_orderdate")).as("month"))
+      .agg(count(lit(1)).as("n"), moneySum(col("o_totalprice")).as("sales"))
+    val w = Window.partitionBy(col("o_orderstatus")).orderBy(col("month"))
+    monthly
+      .withColumn("running_n",
+        sum(col("n")).over(w.rowsBetween(Window.unboundedPreceding, 0)))
+      .withColumn("sales_ma3",
+        avg(col("sales")).over(w.rowsBetween(-2, 0)))
+      .withColumn("sales_ma3", round(col("sales_ma3"), 4))
+      .select("o_orderstatus", "month", "n", "running_n", "sales_ma3")
+  }
+
   /** Percentile recompute (extension surface — the reference's quartile
     * columns arrive precomputed; SURVEY.md §2.7): exact interpolated
     * quantiles per group, same definition as DuckDB quantile_cont.
