@@ -1,0 +1,53 @@
+#!/usr/bin/env python3
+"""DuckDB-side wall clock for every oracle SQL — the local stand-in for
+BASELINE.md's "within 2x of the oracle at the same scale factor".
+
+Usage: python3 tools/bench_duck.py <sfDir> <verifyOutDir> [spark_bench.json]
+
+Runs each oracle query from oracle_sql.json in DuckDB over the sf tables
+(min of 3), prints per-query seconds; if a Spark bench JSON is given,
+prints the ratio spark/duck per query, worst first.
+"""
+import json
+import sys
+import time
+
+import duckdb
+
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
+
+
+def main(sf_dir, out_dir, spark_json=None):
+    con = duckdb.connect()
+    for t in TABLES:
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+    oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
+    duck = {}
+    for name, sql in sorted(oracle.items()):
+        best = None
+        for _ in range(3):
+            t0 = time.time()
+            try:
+                con.sql(sql).fetchall()
+            except Exception as e:
+                print(f"{name}: ERROR {str(e)[:120]}")
+                best = None
+                break
+            dt = time.time() - t0
+            best = dt if best is None else min(best, dt)
+        if best is not None:
+            duck[name] = best
+    print(json.dumps({"duck_total": round(sum(duck.values()), 2),
+                      "queries": {k: round(v, 3) for k, v in duck.items()}}))
+    if spark_json:
+        spark = json.load(open(spark_json))["queries"]
+        rows = [(k, spark.get(k), duck.get(k)) for k in duck if k in spark]
+        rows.sort(key=lambda r: -(r[1] / r[2] if r[2] else 0))
+        print(f"\n{'query':32} {'spark':>8} {'duck':>8} {'ratio':>7}")
+        for k, s, d in rows:
+            print(f"{k:32} {s:8.2f} {d:8.3f} {s / d:7.1f}x")
+
+
+if __name__ == "__main__":
+    main(*sys.argv[1:])
