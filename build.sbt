@@ -28,3 +28,7 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
 )
+// Forked run output goes straight to stdout — no sbt "[info] " prefix.
+// The bench driver parses the JSON line from stdout; a logger prefix
+// breaks that (BENCH_r01.json recorded parsed:null).
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
