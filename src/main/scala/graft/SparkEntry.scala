@@ -49,6 +49,7 @@ object SparkEntry {
     // — data quality (SURVEY §2.13)
     "q_quality_unique" -> (Dv3fQueries.qualityUnique(_, _)),
     "q_quality_notnull" -> (Dv3fQueries.qualityNotNull(_, _)),
+    "q_profile" -> (Dv3fQueries.profileOrders(_, _)),
     // — LLM-pipeline: dedup family
     "q_dedup_exact" -> (LlmOps.dedupExact(_, _)),
     "q_dedup_minhash" -> (LlmOps.minhashSignatures(_, _)),
@@ -207,6 +208,12 @@ object SparkEntry {
            SELECT o_orderkey FROM orders GROUP BY o_orderkey HAVING count(*) > 1)""",
     "q_quality_notnull" ->
       "SELECT CAST(sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS violations FROM orders",
+    "q_profile" -> Seq("o_orderstatus", "o_orderpriority", "o_custkey").map(c =>
+      s"""SELECT '$c' AS "column", count(*) AS n,
+          count(*) - count($c) AS n_null,
+          count(DISTINCT $c) AS n_distinct,
+          min($c)::VARCHAR AS min_value, max($c)::VARCHAR AS max_value
+          FROM orders""").mkString(" UNION ALL "),
     "q_dedup_exact" -> LlmOps.dedupExactSql,
     "q_dedup_minhash_lsh" -> LlmOps.minhashLshSql,
     "q_dedup_simhash_pairs" -> LlmOps.simhashPairsSql,

@@ -29,6 +29,30 @@ object Quality {
     def passed: Boolean = violations == 0
   }
 
+  /** One-pass column profiling — the dbt-test family generalized: per
+    * column, row count, null count, exact distinct count, and min/max
+    * (stringified for a uniform schema). All columns profile in a
+    * SINGLE aggregation job (one scan; countDistinct expands to one
+    * Expand + aggregate), then the one wide row is unpivoted driver-free.
+    */
+  def profile(df: DataFrame, columns: Seq[String]): DataFrame = {
+    import org.apache.spark.sql.functions.{count => cnt, _}
+    val aggs = cnt(lit(1)).as("__n") +: columns.flatMap { c =>
+      Seq(cnt(col(c)).as(s"__nn_$c"),
+        countDistinct(col(c)).as(s"__nd_$c"),
+        min(col(c)).cast("string").as(s"__mn_$c"),
+        max(col(c)).cast("string").as(s"__mx_$c"))
+    }
+    val wide = df.agg(aggs.head, aggs.tail: _*)
+    val perCol = columns.map { c =>
+      struct(lit(c).as("column"), col("__n").as("n"),
+        (col("__n") - col(s"__nn_$c")).as("n_null"),
+        col(s"__nd_$c").as("n_distinct"),
+        col(s"__mn_$c").as("min_value"), col(s"__mx_$c").as("max_value"))
+    }
+    wide.select(explode(array(perCol: _*)).as("p")).select("p.*")
+  }
+
   /** Run the reference's test suite shape over a staging frame:
     * unique(uid) + not_null(uid) (+ not_null on every id var, which the
     * uid hash requires — SURVEY.md §7.4.4).

@@ -109,4 +109,11 @@ object Dv3fQueries {
   def qualityNotNull(spark: SparkSession, dir: String): DataFrame =
     Tables.load(spark, dir, "orders")
       .agg(sum(when(col("o_custkey").isNull, 1L).otherwise(0L)).as("violations"))
+
+  /** Column profiling over orders — the dbt-test family generalized
+    * (one scan for all columns; see Quality.profile).
+    */
+  def profileOrders(spark: SparkSession, dir: String): DataFrame =
+    Quality.profile(Tables.load(spark, dir, "orders"),
+      Seq("o_orderstatus", "o_orderpriority", "o_custkey"))
 }
