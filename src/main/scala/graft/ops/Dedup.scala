@@ -188,6 +188,7 @@ object Dedup {
     val sh = df.select(id.as("doc_id"),
         explode(shingles(text, n)).as("shingle"))
       .select(col("doc_id"), hash60(col("shingle")).as("h"))
+      .persist() // read twice: hot-key count + anti-join input
     val hot = sh.groupBy("h").agg(count(lit(1)).as("df"))
       .filter(col("df") > maxDocFreq).select("h")
     val cleaned = sh.join(hot, Seq("h"), "left_anti").persist()
