@@ -117,6 +117,30 @@ public final class GraftStrings {
     return sig == null ? null : UnsafeArrayData.fromPrimitiveArray(sig);
   }
 
+  /** Overlapping token-window chunks (RAG / context-window prep): chunk
+   *  j covers tokens [j*stride, j*stride + window), windows start at
+   *  every stride step while the start is in range, the final windows
+   *  truncate at the end of the document. Equivalent to the DuckDB
+   *  comprehension
+   *  {@code [array_to_string(t[i:i+window-1],' ') for i in range(1, len(t)+1, stride)]}.
+   */
+  public static ArrayData tokenChunks(UTF8String text, int window, int stride) {
+    String[] toks = tokens(text);
+    int n = toks.length;
+    java.util.ArrayList<Object> out = new java.util.ArrayList<>();
+    StringBuilder sb = new StringBuilder();
+    for (int start = 0; start < n; start += stride) {
+      int end = Math.min(start + window, n);
+      sb.setLength(0);
+      for (int i = start; i < end; i++) {
+        if (i > start) sb.append(' ');
+        sb.append(toks[i]);
+      }
+      out.add(UTF8String.fromString(sb.toString()));
+    }
+    return new GenericArrayData(out.toArray());
+  }
+
   /** 60-bit SimHash over whitespace tokens: every token (duplicates
    *  included) votes ±1 per bit of its hash60; signature bit i is set iff
    *  the vote sum is positive. Bit-identical to the aggregate/transform

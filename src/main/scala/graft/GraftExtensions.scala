@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
 import org.apache.spark.sql.types.IntegerType
 
-import graft.functions.{CosineSim, DotProd, SimHash60, WordShingles}
+import graft.functions.{CosineSim, DotProd, SimHash60, TokenChunks, WordShingles}
 
 /** SparkSessionExtensions hook (SURVEY.md §4.3.4): registers the graft
   * custom expressions as SQL functions so `spark.sql` users get them too
@@ -29,6 +29,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         case Seq(text, Literal(n: Int, IntegerType)) => WordShingles(text, n)
         case _ => throw new IllegalArgumentException(
           "word_shingles(text, n) requires a literal int n")
+      }))
+    ext.injectFunction((FunctionIdentifier("token_chunks"),
+      info("token_chunks", "token_chunks(text, window, stride) - overlapping token-window chunks"),
+      (exprs: Seq[Expression]) => exprs match {
+        case Seq(text, Literal(w: Int, IntegerType), Literal(s: Int, IntegerType)) =>
+          TokenChunks(text, w, s)
+        case _ => throw new IllegalArgumentException(
+          "token_chunks(text, window, stride) requires literal int window/stride")
       }))
     ext.injectFunction((FunctionIdentifier("simhash60"),
       info("simhash60", "simhash60(text) - 60-bit md5-derived SimHash"),

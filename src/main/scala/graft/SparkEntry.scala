@@ -70,6 +70,16 @@ object SparkEntry {
     "q_embed_ann_ivf" -> (LlmOps.embedAnnIvf(_, _)),
     // — LLM-pipeline: multimodal plumbing
     "q_multimodal_meta" -> (LlmOps.multimodalMeta(_, _)),
+    // — corpus curation: deterministic sampling / splits / PII / chunking
+    "q_sample_hash" -> (Curation.sampleHash(_, _)),
+    "q_train_test_split" -> (Curation.trainTestSplit(_, _)),
+    "q_sample_stratified" -> (Curation.sampleStratified(_, _)),
+    "q_text_pii" -> (Curation.piiMask(_, _)),
+    "q_chunk_docs" -> (Curation.chunkDocs(_, _)),
+    // — time-series: as-of join, resample/gap-fill, histogram
+    "q_asof_join" -> (Events.asofPurchase(_, _)),
+    "q_resample_1d" -> (Events.resampleDaily(_, _)),
+    "q_histogram" -> (Analytics.histogram(_, _)),
     // — streaming operators, batch faces (unified API; streaming runs of
     //   the same transforms are exercised in EventStreamsSpec)
     "q_events_tumbling" -> (Events.tumbling(_, _)),
@@ -234,6 +244,16 @@ object SparkEntry {
     "q_embed_topk" -> LlmOps.embedTopKSql,
     "q_embed_neardup" -> LlmOps.embedNearDupSql,
     "q_embed_topk_perlabel" -> LlmOps.embedTopKPerLabelSql,
-    "q_multimodal_meta" -> LlmOps.multimodalMetaSql
+    "q_multimodal_meta" -> LlmOps.multimodalMetaSql,
+    "q_sample_hash" -> Curation.sampleHashSql,
+    "q_train_test_split" -> Curation.trainTestSplitSql,
+    "q_sample_stratified" -> Curation.sampleStratifiedSql,
+    "q_text_pii" -> Curation.piiMaskSql,
+    "q_chunk_docs" -> Curation.chunkDocsSql,
+    "q_asof_join" -> Events.asofPurchaseSql,
+    "q_resample_1d" -> Events.resampleDailySql,
+    "q_histogram" ->
+      """SELECT CAST(floor(l_extendedprice/1000)*1000 AS BIGINT) AS bucket_lo,
+         count(*) AS n FROM lineitem GROUP BY 1"""
   )
 }

@@ -17,6 +17,12 @@ object GraftFunctions {
   def simhash60(text: Column): Column =
     ColumnBridge.column(SimHash60(ColumnBridge.expression(text)))
 
+  /** Overlapping token-window chunks: window tokens every stride tokens,
+    * final windows truncated at the document end.
+    */
+  def tokenChunks(text: Column, window: Int, stride: Int): Column =
+    ColumnBridge.column(TokenChunks(ColumnBridge.expression(text), window, stride))
+
   /** Map-only MinHash signature array (null when no shingles). */
   def minhashSig(text: Column, n: Int, k: Int): Column =
     ColumnBridge.column(MinHashSig(ColumnBridge.expression(text), n, k))

@@ -37,6 +37,34 @@ case class WordShingles(child: Expression, n: Int)
     copy(child = newChild)
 }
 
+/** Overlapping token-window chunks — the RAG / context-window prep op.
+  * One kernel call per document inside whole-stage codegen; the
+  * equivalent sequence/transform/slice HOF chain evaluates interpreted
+  * and re-tokenizes per window.
+  */
+case class TokenChunks(child: Expression, window: Int, stride: Int)
+    extends UnaryExpression {
+  require(window >= 1 && stride >= 1,
+    s"need window,stride >= 1, got window=$window stride=$stride")
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires a string argument, got ${child.dataType}")
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "token_chunks"
+
+  override protected def nullSafeEval(input: Any): Any =
+    GraftStrings.tokenChunks(input.asInstanceOf[UTF8String], window, stride)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.GraftStrings.tokenChunks($c, $window, $stride);")
+
+  override protected def withNewChildInternal(newChild: Expression): TokenChunks =
+    copy(child = newChild)
+}
+
 /** MinHash signature (k permuted min-hashes over distinct word n-gram
   * shingles) computed MAP-ONLY in one kernel pass — replaces the
   * explode-shingles → shuffle → 16-min-aggregations formulation: no

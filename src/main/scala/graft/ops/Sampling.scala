@@ -1,0 +1,63 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Deterministic content-hash sampling — the sampling family a 100 TB
+  * training-data pipeline actually uses. `df.sample()` draws from a
+  * per-partition RNG: the sample changes with partitioning, retries and
+  * cluster size, and a row's fate can't be reproduced after the fact.
+  * Hashing a stable key instead gives samples that are
+  *
+  *  - reproducible across runs, partitionings and engines (the hash is
+  *    md5-based, so the DuckDB oracle computes the same buckets);
+  *  - consistent across tables: every table keyed by the same id
+  *    samples the SAME entities, so joins between sampled tables stay
+  *    complete (sample-then-join == join-then-sample);
+  *  - map-only: a codegen'd filter on the scan, no shuffle, no state.
+  *
+  * Bucket = hash60(key) mod `buckets` (default 100, i.e. percent).
+  */
+object Sampling {
+
+  /** Stable bucket in [0, buckets) from the string form of a key column.
+    * hash60 is non-negative (60-bit), so mod == pmod.
+    */
+  def bucketOf(key: Column, buckets: Int = 100): Column =
+    (Dedup.hash60(key.cast(StringType)) % buckets).cast(IntegerType)
+
+  /** Keep rows whose key-bucket falls below `pct` of `buckets` — a
+    * deterministic `pct/buckets` sample.
+    */
+  def hashSample(df: DataFrame, key: Column, pct: Int, buckets: Int = 100): DataFrame =
+    df.filter(bucketOf(key, buckets) < pct)
+
+  /** Deterministic train/val/test assignment by key hash: buckets
+    * [0, trainPct) → train, [trainPct, trainPct+valPct) → val, rest →
+    * test. The split column is computed, never stored state — any job
+    * anywhere re-derives the same membership.
+    */
+  def assignSplit(df: DataFrame, key: Column,
+      trainPct: Int = 80, valPct: Int = 10): DataFrame = {
+    val b = bucketOf(key)
+    df.withColumn("split",
+      when(b < trainPct, "train")
+        .when(b < trainPct + valPct, "val")
+        .otherwise("test"))
+  }
+
+  /** Stratified deterministic sample: per-stratum keep-percentages (e.g.
+    * downsample boilerplate web text hard, keep rare languages whole).
+    * The fraction table is a literal CASE chain — stays inside codegen,
+    * no join, no shuffle; unknown strata fall back to `defaultPct`.
+    */
+  def stratifiedHashSample(df: DataFrame, key: Column, stratum: Column,
+      pctByStratum: Map[String, Int], defaultPct: Int = 0,
+      buckets: Int = 100): DataFrame = {
+    val pct = pctByStratum.foldLeft(lit(defaultPct)) { case (acc, (s, p)) =>
+      when(stratum === s, p).otherwise(acc)
+    }
+    df.filter(bucketOf(key, buckets) < pct)
+  }
+}

@@ -25,6 +25,27 @@ object TextAnalysis {
     */
   def bpeishCount(c: Column): Column = regexp_count(c, lit("\\w+|[^\\w\\s]"))
 
+  // ------------------------------------------------------- PII scrubbing
+
+  /** Email-shaped spans (pattern valid in both Java regex and RE2, so
+    * the DuckDB oracle matches byte-for-byte).
+    */
+  val emailPattern = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+
+  /** Digit runs — the id/phone/account-number shape. */
+  val idPattern = "[0-9]+"
+
+  /** Redact every match of `pattern` (PII masking is map-only: a
+    * codegen'd regexp_replace in the scan projection; at 100 TB it
+    * pipelines with the read, no shuffle).
+    */
+  def mask(c: Column, pattern: String, replacement: String = "#"): Column =
+    regexp_replace(c, pattern, replacement)
+
+  /** Count of `pattern` matches — the detection/reporting face. */
+  def patternCount(c: Column, pattern: String): Column =
+    regexp_count(c, lit(pattern))
+
   /** Small per-language marker lexicons for the n-gram/stopword
     * language-ID heuristic. Deliberately tiny and fixed — the operator
     * shape (per-row scoring + argmax) is what matters; swap lexicons for

@@ -210,6 +210,17 @@ object Analytics {
       .select("o_orderstatus", "month", "n", "running_n", "sales_ma3")
   }
 
+  /** Equi-width histogram of line-item price (extension surface): a
+    * single hash aggregation on the computed bucket — the profile/
+    * distribution op. Bucket arithmetic is plain IEEE double ops, so
+    * the oracle agrees bit-for-bit.
+    */
+  def histogram(spark: SparkSession, dir: String): DataFrame =
+    Tables.load(spark, dir, "lineitem")
+      .groupBy((floor(col("l_extendedprice") / 1000) * 1000)
+        .cast(LongType).as("bucket_lo"))
+      .agg(count(lit(1)).as("n"))
+
   /** Percentile recompute (extension surface — the reference's quartile
     * columns arrive precomputed; SURVEY.md §2.7): exact interpolated
     * quantiles per group, same definition as DuckDB quantile_cont.

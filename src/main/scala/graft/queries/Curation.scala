@@ -1,0 +1,109 @@
+package graft.queries
+
+import graft.Tables
+import graft.ops.{Dedup, Sampling, TextAnalysis}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Corpus-curation query surface: deterministic sampling / train-test
+  * splits, PII scrubbing, and document chunking — the data-curation ops
+  * of a training pipeline, each with a bit-exact DuckDB oracle (the
+  * bucket hash is the same md5-derived hash60 both engines compute).
+  */
+object Curation {
+
+  /** DuckDB spelling of Sampling.bucketOf (hash60(key) % 100). */
+  private def duckBucket(key: String): String =
+    s"('0x' || substr(md5(CAST($key AS VARCHAR)), 1, 15))::BIGINT % 100"
+
+  // ------------------------------------------------------------ sampling
+
+  /** Deterministic 10% sample of documents by doc_id hash. */
+  def sampleHash(spark: SparkSession, dir: String): DataFrame =
+    Sampling.hashSample(Tables.load(spark, dir, "documents"), col("doc_id"), pct = 10)
+      .select(col("doc_id"), Sampling.bucketOf(col("doc_id")).as("bucket"))
+
+  val sampleHashSql: String =
+    s"""SELECT doc_id, CAST(${duckBucket("doc_id")} AS INT) AS bucket
+       |FROM documents WHERE ${duckBucket("doc_id")} < 10""".stripMargin
+
+  /** Deterministic 80/10/10 train/val/test split of the corpus, with
+    * per-split document and char totals (what you report before a run).
+    */
+  def trainTestSplit(spark: SparkSession, dir: String): DataFrame =
+    Sampling.assignSplit(Tables.load(spark, dir, "documents"), col("doc_id"))
+      .groupBy(col("split"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).as("total_chars"))
+
+  val trainTestSplitSql: String =
+    s"""SELECT CASE WHEN b < 80 THEN 'train' WHEN b < 90 THEN 'val'
+       |  ELSE 'test' END AS split,
+       |  count(*) AS n_docs, sum(n_chars) AS total_chars
+       |FROM (SELECT n_chars, ${duckBucket("doc_id")} AS b FROM documents)
+       |GROUP BY 1""".stripMargin
+
+  /** Stratified deterministic sample: keep 50% of URGENT orders, 20% of
+    * HIGH, 5% of everything else — the per-stratum downsampling shape
+    * (rare strata kept, boilerplate cut).
+    */
+  def sampleStratified(spark: SparkSession, dir: String): DataFrame =
+    Sampling.stratifiedHashSample(Tables.load(spark, dir, "orders"),
+      col("o_orderkey"), col("o_orderpriority"),
+      Map("1-URGENT" -> 50, "2-HIGH" -> 20), defaultPct = 5)
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_sampled"))
+
+  val sampleStratifiedSql: String =
+    s"""SELECT o_orderpriority, count(*) AS n_sampled
+       |FROM (SELECT o_orderpriority, ${duckBucket("o_orderkey")} AS b FROM orders)
+       |WHERE b < CASE o_orderpriority WHEN '1-URGENT' THEN 50
+       |  WHEN '2-HIGH' THEN 20 ELSE 5 END
+       |GROUP BY 1""".stripMargin
+
+  // ----------------------------------------------------------------- PII
+
+  /** PII scrub over customer names: mask digit-run identifiers, report
+    * match counts (emails counted too — the pattern surface; this
+    * corpus has none, the count column proves it).
+    */
+  def piiMask(spark: SparkSession, dir: String): DataFrame =
+    Tables.load(spark, dir, "customer")
+      .select(col("c_custkey"),
+        TextAnalysis.mask(col("c_name"), TextAnalysis.idPattern).as("masked_name"),
+        TextAnalysis.patternCount(col("c_name"), TextAnalysis.idPattern).as("n_id_tokens"),
+        TextAnalysis.patternCount(col("c_name"), TextAnalysis.emailPattern).as("n_emails"))
+
+  val piiMaskSql: String =
+    s"""SELECT c_custkey,
+       |  regexp_replace(c_name, '${TextAnalysis.idPattern}', '#', 'g') AS masked_name,
+       |  len(regexp_extract_all(c_name, '${TextAnalysis.idPattern}')) AS n_id_tokens,
+       |  len(regexp_extract_all(c_name, '${TextAnalysis.emailPattern}')) AS n_emails
+       |FROM customer""".stripMargin
+
+  // ------------------------------------------------------------ chunking
+
+  /** RAG-prep chunking: 32-token windows every 16 tokens (50% overlap),
+    * one row per chunk with its corpus-stable hash. The chunk array is
+    * one codegen'd kernel call per document (TokenChunks); posexplode is
+    * the only fan-out — map-only, no shuffle.
+    */
+  def chunkDocs(spark: SparkSession, dir: String): DataFrame =
+    Tables.load(spark, dir, "documents")
+      .select(col("doc_id"),
+        posexplode(graft.functions.GraftFunctions.tokenChunks(col("text"), 32, 16))
+          .as(Seq("chunk_idx", "chunk")))
+      .select(col("doc_id"), col("chunk_idx"), col("chunk"),
+        Dedup.hash60(col("chunk")).as("chunk_hash"))
+
+  val chunkDocsSql: String =
+    """WITH toks AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS t
+      |  FROM documents),
+      |chunks AS (SELECT doc_id,
+      |  unnest([CAST((i-1)//16 AS INT) for i in range(1, len(t)+1, 16)]) AS chunk_idx,
+      |  unnest([array_to_string(t[i:i+31], ' ') for i in range(1, len(t)+1, 16)]) AS chunk
+      |  FROM toks)
+      |SELECT doc_id, chunk_idx, chunk,
+      |  ('0x' || substr(md5(chunk), 1, 15))::BIGINT AS chunk_hash
+      |FROM chunks""".stripMargin
+}

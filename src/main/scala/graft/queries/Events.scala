@@ -37,6 +37,42 @@ object Events {
       .agg(count(lit(1)).as("n"),
         sum(col("value").cast(DecimalType(18, 2))).cast(DoubleType).as("sum_value"))
 
+  /** As-of join: every click joined to the user's most recent purchase
+    * at-or-before it (see graft.ops.AsofJoin for the one-shuffle
+    * formulation). Purchases pre-aggregated per (user, ts) to satisfy
+    * the right-side uniqueness contract.
+    */
+  def asofPurchase(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.loadEvents(spark, dir)
+    val clicks = ev.filter(col("event_type") === "click")
+      .select("event_id", "user_id", "ts")
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .groupBy(col("user_id"), col("ts"))
+      .agg(max(col("value")).as("last_purchase_value"))
+    graft.ops.AsofJoin.asofLeft(clicks, purchases, "user_id", "ts",
+      Seq("last_purchase_value"))
+  }
+
+  /** Time-series resample with gap fill: daily event counts per type on
+    * a dense day grid (missing days as explicit zeros). The grid is
+    * dimension-sized by construction (distinct types × day span), so the
+    * cross join is a broadcast of a tiny relation however large the
+    * fact side; the heavy side is one aggregation.
+    */
+  def resampleDaily(spark: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.loadEvents(spark, dir)
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("n"))
+    val days = daily.agg(min(col("day")).as("lo"), max(col("day")).as("hi"))
+      .select(explode(sequence(col("lo"), col("hi"))).as("day"))
+    daily.select("event_type").distinct()
+      .crossJoin(days)
+      .join(daily, Seq("event_type", "day"), "left")
+      .select(col("event_type"),
+        date_format(col("day"), "yyyy-MM-dd").as("day"),
+        coalesce(col("n"), lit(0L)).as("n"))
+  }
+
   // ----------------------------------------------------------- oracle SQL
 
   private val sumValue =
@@ -82,6 +118,30 @@ object Events {
        |SELECT user_id, min(ts) AS session_start,
        |  max(ts) + INTERVAL 2 HOUR AS session_end, count(*) AS n_events
        |FROM s GROUP BY user_id, sess_id""".stripMargin
+
+  /** DuckDB's native ASOF LEFT JOIN — an independent implementation of
+    * the same semantics (inclusive on equal ts).
+    */
+  val asofPurchaseSql: String =
+    """WITH clicks AS (SELECT event_id, user_id, ts::TIMESTAMP AS ts
+      |  FROM events WHERE event_type = 'click'),
+      |p AS (SELECT user_id, ts::TIMESTAMP AS ts, max(value) AS last_purchase_value
+      |  FROM events WHERE event_type = 'purchase' GROUP BY 1, 2)
+      |SELECT c.event_id, c.user_id, c.ts, p.last_purchase_value
+      |FROM clicks c ASOF LEFT JOIN p
+      |  ON c.user_id = p.user_id AND c.ts >= p.ts""".stripMargin
+
+  val resampleDailySql: String =
+    """WITH d AS (SELECT event_type, ts::DATE AS day, count(*) AS n
+      |  FROM events GROUP BY 1, 2),
+      |b AS (SELECT min(day) AS lo, max(day) AS hi FROM d),
+      |days AS (SELECT unnest(generate_series(lo::TIMESTAMP, hi::TIMESTAMP,
+      |  INTERVAL 1 DAY))::DATE AS day FROM b),
+      |grid AS (SELECT event_type, day
+      |  FROM (SELECT DISTINCT event_type FROM d) CROSS JOIN days)
+      |SELECT g.event_type, strftime(g.day, '%Y-%m-%d') AS day,
+      |  coalesce(d.n, 0) AS n
+      |FROM grid g LEFT JOIN d ON g.event_type = d.event_type AND g.day = d.day""".stripMargin
 
   val jsonPropsSql: String =
     s"""SELECT event_type,

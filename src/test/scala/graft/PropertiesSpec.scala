@@ -50,6 +50,27 @@ class PropertiesSpec extends SparkSpec {
     }
   }
 
+  test("property: TokenChunks ≡ HOF sequence/slice formulation; disjoint chunks rebuild the text") {
+    def hofChunks(c: org.apache.spark.sql.Column, w: Int, s: Int) = {
+      val toks = split(trim(c), "\\s+")
+      transform(sequence(lit(0), size(toks) - 1, lit(s)),
+        start => concat_ws(" ", slice(toks, start + 1, lit(w))))
+    }
+    forAllSeeded(Gen.listOfN(15, text), n = 8) { texts =>
+      val df = texts.toDF("t")
+      val got = df.select(graft.functions.GraftFunctions.tokenChunks(col("t"), 5, 2))
+        .collect().map(_.getSeq[String](0))
+      val want = df.select(hofChunks(col("t"), 5, 2)).collect().map(_.getSeq[String](0))
+      assert(got.toSeq == want.toSeq)
+      // stride == window → chunks are disjoint and rebuild the token stream
+      val rebuilt = df.select(
+        array_join(graft.functions.GraftFunctions.tokenChunks(col("t"), 4, 4), " "),
+        array_join(split(trim(col("t")), "\\s+"), " "))
+        .collect().map(r => (r.getString(0), r.getString(1)))
+      rebuilt.foreach { case (a, b) => assert(a == b) }
+    }
+  }
+
   test("property: SimHash60 ≡ HOF vote-loop formulation") {
     def hofSimHash(c: org.apache.spark.sql.Column) = {
       val hs = transform(split(trim(c), "\\s+"),

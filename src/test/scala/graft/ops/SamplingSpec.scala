@@ -1,0 +1,47 @@
+package graft.ops
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class SamplingSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val ids = (0L until 2000L).toDF("id")
+
+  test("hashSample is deterministic and close to the target fraction") {
+    val a = Sampling.hashSample(ids, $"id", pct = 10).collect().map(_.getLong(0)).sorted
+    val b = Sampling.hashSample(ids, $"id", pct = 10).collect().map(_.getLong(0)).sorted
+    assert(a.toSeq == b.toSeq, "same data, same sample")
+    // md5 buckets are near-uniform: 10% of 2000 within a loose band
+    assert(a.length > 120 && a.length < 280, s"got ${a.length} of 2000")
+  }
+
+  test("sample membership is consistent across tables (sample-then-join == join-then-sample)") {
+    val other = ids.withColumn("payload", $"id" * 2)
+    val sampledJoin = Sampling.hashSample(ids, $"id", 10)
+      .join(Sampling.hashSample(other, $"id", 10), "id")
+    val joinSampled = Sampling.hashSample(ids.join(other, "id"), $"id", 10)
+    assert(sampledJoin.count() == joinSampled.count())
+    assert(sampledJoin.join(joinSampled, Seq("id"), "left_anti").isEmpty)
+  }
+
+  test("assignSplit partitions exhaustively with nested fractions") {
+    val split = Sampling.assignSplit(ids, $"id", trainPct = 80, valPct = 10)
+    assert(split.count() == 2000) // total preserved
+    val byName = split.groupBy("split").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(byName.keySet == Set("train", "val", "test"))
+    assert(byName("train") > byName("val") && byName("train") > byName("test"))
+    // a sample at trainPct is EXACTLY the train split (nested membership)
+    val train = Sampling.hashSample(ids, $"id", 80)
+    assert(train.count() == byName("train"))
+  }
+
+  test("stratifiedHashSample applies per-stratum fractions (default 0 drops)") {
+    val strat = ids.withColumn("s", when($"id" % 2 === 0, "even").otherwise("odd"))
+    val got = Sampling.stratifiedHashSample(strat, $"id", $"s",
+      Map("even" -> 100), defaultPct = 0)
+    assert(got.filter($"s" === "odd").isEmpty)
+    assert(got.filter($"s" === "even").count() == 1000)
+  }
+}
