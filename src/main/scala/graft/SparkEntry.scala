@@ -36,6 +36,8 @@ object SparkEntry {
     // — joins (SURVEY §2.4 / testdata surface)
     "q_join_nation_region" -> (Analytics.joinNationRegion(_, _)),
     "q_join_orders_lineitem" -> (Analytics.joinOrdersLineitem(_, _)),
+    "q_join_5way" -> (Analytics.revenueByNation(_, _)),
+    "q_join_semi_anti" -> (Analytics.churnedCustomers(_, _)),
     // — windows / percentiles (extension surface, SURVEY §2.7)
     "q_window_topk" -> (Analytics.topOrdersPerPriority(_, _)),
     "q_percentiles" -> (Analytics.quantitiesQuartiles(_, _)),
@@ -174,6 +176,21 @@ object SparkEntry {
          count(*) AS n_items
          FROM orders JOIN lineitem ON o_orderkey = l_orderkey
          GROUP BY o_orderpriority""",
+    "q_join_5way" ->
+      """SELECT n_name, CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) *
+           (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
+         FROM customer, orders, lineitem, supplier, nation, region
+         WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey AND l_suppkey = s_suppkey
+           AND c_nationkey = s_nationkey AND s_nationkey = n_nationkey
+           AND n_regionkey = r_regionkey AND r_name = 'ASIA'
+           AND o_orderdate >= DATE '1995-01-01' AND o_orderdate < DATE '1996-01-01'
+         GROUP BY n_name""",
+    "q_join_semi_anti" ->
+      """SELECT c_custkey FROM customer c
+         WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey
+           AND o.o_orderdate >= DATE '1995-01-01' AND o.o_orderdate < DATE '1996-01-01')
+         AND NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey
+           AND o.o_orderdate >= DATE '1996-01-01' AND o.o_orderdate < DATE '1997-01-01')""",
     "q_window_topk" ->
       """SELECT o_orderpriority, rk, o_orderkey, o_totalprice FROM (
            SELECT o_orderpriority, o_orderkey, o_totalprice,

@@ -210,6 +210,57 @@ object Analytics {
       .select("o_orderstatus", "month", "n", "running_n", "sales_ma3")
   }
 
+  /** TPC-H Q5-shaped 5-way join: revenue per nation for one region and
+    * year, customer ⋈ orders ⋈ lineitem ⋈ supplier ⋈ nation ⋈ region
+    * with the Q5 "local supplier" condition (c_nationkey = s_nationkey).
+    * The plan to want at 100 TB: date filter pushed into the orders
+    * scan, region/nation/supplier/customer broadcast (dimension-sized),
+    * ONE shuffle for the fact-fact orders⋈lineitem join, and AQE free
+    * to reorder as sizes change with scale.
+    */
+  def revenueByNation(spark: SparkSession, dir: String): DataFrame = {
+    val customer = Tables.load(spark, dir, "customer").select("c_custkey", "c_nationkey")
+    val orders = Tables.load(spark, dir, "orders")
+      .filter(col("o_orderdate") >= lit("1995-01-01") &&
+        col("o_orderdate") < lit("1996-01-01"))
+      .select("o_orderkey", "o_custkey")
+    val lineitem = Tables.load(spark, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_suppkey"),
+        (col("l_extendedprice").cast(DecimalType(18, 2)) *
+          (lit(1).cast(DecimalType(18, 2)) - col("l_discount").cast(DecimalType(18, 2))))
+          .as("rev"))
+    val supplier = Tables.load(spark, dir, "supplier").select("s_suppkey", "s_nationkey")
+    val nation = Tables.load(spark, dir, "nation")
+      .select("n_nationkey", "n_name", "n_regionkey")
+    val region = Tables.load(spark, dir, "region")
+      .filter(col("r_name") === "ASIA").select("r_regionkey")
+    orders
+      .join(lineitem, col("o_orderkey") === col("l_orderkey"))
+      .join(broadcast(customer), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(supplier),
+        col("l_suppkey") === col("s_suppkey") &&
+          col("c_nationkey") === col("s_nationkey"))
+      .join(broadcast(nation), col("s_nationkey") === col("n_nationkey"))
+      .join(broadcast(region), col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("n_name"))
+      .agg(sum(col("rev")).cast(DoubleType).as("revenue"))
+  }
+
+  /** Semi/anti join surface as an explicit query: customers active in
+    * 1995 that churned in 1996 (EXISTS ∧ NOT EXISTS). Both sides reduce
+    * to ONE shuffle each on the join key and carry no payload columns.
+    */
+  def churnedCustomers(spark: SparkSession, dir: String): DataFrame = {
+    val customer = Tables.load(spark, dir, "customer").select("c_custkey")
+    def ordersIn(year: Int) = Tables.load(spark, dir, "orders")
+      .filter(col("o_orderdate") >= lit(s"$year-01-01") &&
+        col("o_orderdate") < lit(s"${year + 1}-01-01"))
+      .select(col("o_custkey"))
+    customer
+      .join(ordersIn(1995), col("c_custkey") === col("o_custkey"), "left_semi")
+      .join(ordersIn(1996), col("c_custkey") === col("o_custkey"), "left_anti")
+  }
+
   /** Equi-width histogram of line-item price (extension surface): a
     * single hash aggregation on the computed bucket — the profile/
     * distribution op. Bucket arithmetic is plain IEEE double ops, so
