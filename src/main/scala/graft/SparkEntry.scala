@@ -70,6 +70,7 @@ object SparkEntry {
     "q_embed_neardup" -> (LlmOps.embedNearDup(_, _)),
     "q_embed_topk_perlabel" -> (LlmOps.embedTopKPerLabel(_, _)),
     "q_embed_ann_ivf" -> (LlmOps.embedAnnIvf(_, _)),
+    "q_kmeans_step" -> (LlmOps.kmeansStep(_, _)),
     // — LLM-pipeline: multimodal plumbing
     "q_multimodal_meta" -> (LlmOps.multimodalMeta(_, _)),
     // — corpus curation: deterministic sampling / splits / PII / chunking
@@ -262,6 +263,7 @@ object SparkEntry {
     "q_embed_neardup" -> LlmOps.embedNearDupSql,
     "q_embed_topk_perlabel" -> LlmOps.embedTopKPerLabelSql,
     "q_multimodal_meta" -> LlmOps.multimodalMetaSql,
+    "q_kmeans_step" -> LlmOps.kmeansStepSql,
     "q_sample_hash" -> Curation.sampleHashSql,
     "q_train_test_split" -> Curation.trainTestSplitSql,
     "q_sample_stratified" -> Curation.sampleStratifiedSql,

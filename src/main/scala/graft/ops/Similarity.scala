@@ -100,6 +100,23 @@ object Similarity {
       greatest(scored: _*).getField("cid").as("centroid"))
   }
 
+  /** One Lloyd's (k-means) iteration over the corpus: assign every
+    * vector to its nearest centroid (broadcast — tiny by construction),
+    * then the new centroid is the elementwise mean per cluster. Output
+    * is long-form (centroid, pos, v) — one row per (cluster, dimension).
+    * Shape at 100 TB: one broadcast join + ONE shuffle keyed on
+    * (centroid, pos) with map-side partial averaging; no vector ever
+    * leaves its partition un-aggregated. Iterating = re-calling with the
+    * collected (small) centroid table.
+    */
+  def kmeansStep(corpus: DataFrame, id: Column, emb: Column,
+      centroids: Seq[(Int, Seq[Double])]): DataFrame =
+    ivfAssign(corpus, id, emb, centroids)
+      .select(col("centroid"),
+        posexplode(col("e").cast(ArrayType(DoubleType))).as(Seq("pos", "v")))
+      .groupBy(col("centroid"), col("pos"))
+      .agg(avg(col("v")).as("v"))
+
   /** Persist the IVF index partitioned by centroid: each inverted list
     * becomes its own partition directory, so a probe-limited search is a
     * PARTITION-PRUNED scan (touches nProbe/|C| of the files, verified in

@@ -125,6 +125,21 @@ object LlmOps {
       .withColumn("cos", round(col("cos"), 6))
   }
 
+  /** One k-means (Lloyd's) step from the deterministic seed centroids
+    * (vec_ids 0..7): the distributed ML primitive behind IVF index
+    * builds. Long-form output, rounded — elementwise means per cluster.
+    */
+  def kmeansStep(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.load(spark, dir, "embeddings")
+    val centroids = emb.filter(col("vec_id") < 8)
+      .select(col("vec_id"), col("embedding").cast(ArrayType(DoubleType)))
+      .collect()
+      .map(r => (r.getLong(0).toInt, r.getSeq[Double](1)))
+      .toSeq.sortBy(_._1)
+    Similarity.kmeansStep(emb, col("vec_id"), col("embedding"), centroids)
+      .select(col("centroid"), col("pos"), round(col("v"), 6).as("v"))
+  }
+
   /** Per-LABEL top-3 by cosine to the query vector, via the typed
     * TopKAggregator (partial-aggregated O(k) state per group — the scale
     * path vs a row_number window, which sorts every row per group
@@ -352,6 +367,25 @@ object LlmOps {
       |WHERE a.cid IN (SELECT cid FROM probe)
       |ORDER BY list_cosine_similarity(a.embedding::DOUBLE[], q.qe) DESC, a.vec_id
       |LIMIT 10""".stripMargin
+
+  /** Same assignment tie-break as embedAnnIvfSql (cos DESC, cid DESC);
+    * elementwise means via zipped unnest/generate_subscripts.
+    */
+  val kmeansStepSql: String =
+    """WITH cents AS (SELECT vec_id::INT AS cid, embedding::DOUBLE[] AS c
+      |  FROM embeddings WHERE vec_id < 8),
+      |assigned AS (
+      |  SELECT e.vec_id, e.embedding, c.cid,
+      |    list_cosine_similarity(e.embedding::DOUBLE[], c.c) AS cos
+      |  FROM embeddings e CROSS JOIN cents c
+      |  QUALIFY row_number() OVER (PARTITION BY e.vec_id
+      |    ORDER BY cos DESC, c.cid DESC) = 1),
+      |l AS (SELECT cid AS centroid,
+      |  generate_subscripts(embedding::DOUBLE[], 1) - 1 AS pos,
+      |  unnest(embedding::DOUBLE[]) AS v
+      |  FROM assigned)
+      |SELECT centroid, pos, round(avg(v), 6) AS v
+      |FROM l GROUP BY 1, 2""".stripMargin
 
   val duplicateSpansSql: String =
     """WITH toks AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS t

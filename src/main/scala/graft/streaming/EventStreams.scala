@@ -102,6 +102,15 @@ object EventStreams {
     events.withWatermark("ts", watermark)
       .dropDuplicatesWithinWatermark("event_id")
 
+  /** Stream-static enrichment join: each micro-batch joins against the
+    * static dimension (broadcast — the dimension is planned once and
+    * shipped to executors; no streaming state, no watermark needed).
+    * The standard fact-stream × dimension-table pattern; identical in
+    * batch.
+    */
+  def enrichWithDim(events: DataFrame, dim: DataFrame, key: String): DataFrame =
+    events.join(broadcast(dim), Seq(key), "left")
+
   /** Stream-stream interval self-join: pair each event with the SAME
     * user's events in the following hour (follow-on behavior analysis).
     * Both sides watermarked; the time-bound join condition lets the

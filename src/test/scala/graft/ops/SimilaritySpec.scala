@@ -69,6 +69,41 @@ class SimilaritySpec extends SparkSpec {
     assert(hits.collect().map(_.getLong(0)).toSeq == Seq(10L))
   }
 
+  test("ivf search recall@10 vs brute force is usable on real embeddings") {
+    import org.apache.spark.sql.types.{ArrayType, DoubleType}
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    val centroids = emb.filter(col("vec_id") < 8)
+      .select(col("vec_id"), col("embedding").cast(ArrayType(DoubleType)))
+      .collect().map(r => (r.getLong(0).toInt, r.getSeq[Double](1))).toSeq.sortBy(_._1)
+    val q = emb.filter(col("vec_id") === 17)
+      .select(col("embedding").cast(ArrayType(DoubleType)))
+      .collect()(0).getSeq[Double](0)
+    val exact = Similarity.bruteForceTopK(emb, col("vec_id"), col("embedding"), q, 10)
+      .collect().map(_.getLong(0)).toSet
+    val assigned = Similarity.ivfAssign(emb, col("vec_id"), col("embedding"), centroids)
+    val approx = Similarity.ivfSearch(assigned, centroids, q, 10, nProbe = 2)
+      .collect().map(_.getLong(0)).toSet
+    val recall = (exact intersect approx).size / 10.0
+    assert(recall >= 0.5, s"recall@10 = $recall")
+    // more probes can only improve recall (monotone in nProbe)
+    val all = Similarity.ivfSearch(assigned, centroids, q, 10, nProbe = 8)
+      .collect().map(_.getLong(0)).toSet
+    assert(all == exact, "probing every list IS brute force")
+  }
+
+  test("kmeansStep: centroid means land between member min/max per dimension") {
+    import org.apache.spark.sql.types.{ArrayType, DoubleType}
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    val centroids = emb.filter(col("vec_id") < 4)
+      .select(col("vec_id"), col("embedding").cast(ArrayType(DoubleType)))
+      .collect().map(r => (r.getLong(0).toInt, r.getSeq[Double](1))).toSeq.sortBy(_._1)
+    val stepped = Similarity.kmeansStep(emb, col("vec_id"), col("embedding"), centroids)
+    // 4 clusters × 64 dims, every dimension present exactly once
+    assert(stepped.count() == 4 * 64)
+    assert(stepped.groupBy("centroid", "pos").count()
+      .filter(col("count") > 1).isEmpty)
+  }
+
   test("hyperplanes are deterministic for a fixed seed") {
     assert(Similarity.hyperplanes(2, 3).flatten.toSeq ===
       Similarity.hyperplanes(2, 3).flatten.toSeq)

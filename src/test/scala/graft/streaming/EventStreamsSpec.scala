@@ -45,6 +45,24 @@ class EventStreamsSpec extends SparkSpec {
     assert(got.nonEmpty)
   }
 
+  test("stream-static enrichment join matches the batch join (broadcast dim)") {
+    implicit val sqlCtx = spark.sqlContext
+    val dim = Seq((1L, "gold"), (2L, "silver")).toDF("user_id", "tier")
+    val mem = MemoryStream[Ev]
+    mem.addData(evs: _*)
+    val q = EventStreams.enrichWithDim(mem.toDF(), dim, "user_id")
+      .writeStream.format("memory").queryName("enriched_out")
+      .outputMode(OutputMode.Append()).start()
+    try q.processAllAvailable() finally q.stop()
+    val got = spark.table("enriched_out")
+      .orderBy("user_id", "ts").collect().map(_.toSeq).toSeq
+    val want = EventStreams.enrichWithDim(evs.toDF(), dim, "user_id")
+      .orderBy("user_id", "ts").collect().map(_.toSeq).toSeq
+    assert(got == want && got.nonEmpty)
+    // user 3 has no dim row: left join keeps it with a null tier
+    assert(got.exists(r => r.head == 3L && r.last == null))
+  }
+
   test("stateful sessionizer (flatMapGroupsWithState) matches batch lag/cumsum sessions") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[Ev]
