@@ -84,4 +84,29 @@ object Multimodal {
     */
   def sampleFrameOffsets(nBytes: Column, stride: Int): Column =
     sequence(lit(0), nBytes - 1, lit(stride))
+
+  /** STUB — resize. A real implementation decodes, scales to
+    * `targetBytes`-ish, re-encodes; the stub truncates the payload. The
+    * plumbing that matters is the shape: a map-side binary→binary
+    * projection (codegen'd substring on BinaryType) that downstream ops
+    * treat exactly like the original payload column.
+    */
+  def resizeStub(payload: Column, targetBytes: Int): Column =
+    substring(payload, 1, targetBytes)
+
+  /** Per-frame fan-out: one row per sampled frame with its payload
+    * slice — the video shape (decode → sample frames → per-frame
+    * features). Generate (posexplode) is the only fan-out; slicing is
+    * map-side on the already-loaded payload, so no shuffle and the
+    * frame rows flow straight into per-partition feature extraction
+    * (decodeFeatures). `frameBytes` bounds each slice (STUB for a
+    * decoded frame).
+    */
+  def explodeFrames(df: DataFrame, id: Column, payload: Column,
+      stride: Int, frameBytes: Int): DataFrame =
+    df.select(id.as("doc_id"), payload.as("payload"),
+      posexplode(sampleFrameOffsets(octet_length(payload), stride))
+        .as(Seq("frame_idx", "frame_off")))
+      .select(col("doc_id"), col("frame_idx"), col("frame_off"),
+        col("payload").substr(col("frame_off") + 1, lit(frameBytes)).as("frame"))
 }

@@ -41,4 +41,21 @@ class MultimodalSpec extends SparkSpec {
       .collect()(0).getSeq[Int](0)
     assert(got === Seq(0, 4, 8))
   }
+
+  test("resizeStub: binary→binary projection truncates to the target size") {
+    val got = Seq("abcdefghij").toDF("text")
+      .select(Multimodal.resizeStub(Multimodal.fakePayload(col("text")), 4))
+      .collect()(0).getAs[Array[Byte]](0)
+    assert(new String(got, "UTF-8") === "abcd")
+  }
+
+  test("explodeFrames: one row per sampled frame with the right slice") {
+    val media = Seq((7L, "abcdefghij")).toDF("doc_id", "text")
+      .select(col("doc_id"), Multimodal.fakePayload(col("text")).as("payload"))
+    val got = Multimodal.explodeFrames(media, col("doc_id"), col("payload"),
+      stride = 4, frameBytes = 3)
+      .collect().map(r => (r.getInt(1), r.getInt(2),
+        new String(r.getAs[Array[Byte]](3), "UTF-8")))
+    assert(got.toSeq === Seq((0, 0, "abc"), (1, 4, "efg"), (2, 8, "ij")))
+  }
 }
