@@ -96,6 +96,42 @@ object Curation {
       .select(col("doc_id"), col("chunk_idx"), col("chunk"),
         Dedup.hash60(col("chunk")).as("chunk_hash"))
 
+  /** Sequence packing: assign documents (in stable doc_id order) to
+    * training bins of ~`budget` tokens — the "pack short docs into one
+    * context window" prep step. Contiguous-fill semantics: bin id =
+    * budget boundaries crossed by the running token total BEFORE the
+    * doc, so assignment is deterministic and engine-portable (same
+    * window arithmetic in the oracle; a doc straddling a boundary stays
+    * in the earlier bin, documented overflow). One shuffle (the global
+    * order-by window); at 100 TB packing runs per shard — partition by
+    * shard hash first, window within shard.
+    */
+  def packSequences(spark: SparkSession, dir: String, budget: Int = 1000): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    Tables.load(spark, dir, "documents")
+      .select(col("doc_id"),
+        TextAnalysis.tokenCount(col("text")).cast("long").as("n_tokens"))
+      .withColumn("bin_id",
+        (coalesce(sum(col("n_tokens")).over(w), lit(0L)) / budget).cast("long"))
+      .groupBy(col("bin_id"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("bin_tokens"),
+        min(col("doc_id")).as("first_doc"), max(col("doc_id")).as("last_doc"))
+  }
+
+  val packSequencesSql: String =
+    """WITH t AS (SELECT doc_id,
+      |    len(string_split_regex(trim(text), '\s+'))::BIGINT AS n_tokens
+      |  FROM documents),
+      |b AS (SELECT doc_id, n_tokens,
+      |  (coalesce(sum(n_tokens) OVER (ORDER BY doc_id
+      |     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) // 1000) AS bin_id
+      |  FROM t)
+      |SELECT bin_id, count(*) AS n_docs, sum(n_tokens) AS bin_tokens,
+      |  min(doc_id) AS first_doc, max(doc_id) AS last_doc
+      |FROM b GROUP BY bin_id""".stripMargin
+
   val chunkDocsSql: String =
     """WITH toks AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS t
       |  FROM documents),
