@@ -71,6 +71,31 @@ class PropertiesSpec extends SparkSpec {
     }
   }
 
+  test("property: asofLeft ≡ brute-force latest-at-or-before per key") {
+    val row = for {
+      k <- Gen.oneOf("a", "b", "c")
+      t <- Gen.choose(0L, 20L)
+    } yield (k, t)
+    val gen = for {
+      ls <- Gen.listOfN(12, row)
+      rs <- Gen.listOfN(12, row)
+    } yield (ls.distinct, rs.distinct.map { case (k, t) => (k, t, k.hashCode + t) })
+    forAllSeeded(gen, n = 12) { case (ls, rs) =>
+      val left = ls.toDF("k", "t")
+      val right = rs.toDF("k", "t", "v")
+      val got = graft.ops.AsofJoin.asofLeft(left, right, "k", "t", Seq("v"))
+        .collect()
+        .map(r => (r.getString(0), r.getLong(1),
+          Option(r.get(2)).map(_.asInstanceOf[Long])))
+        .sortBy(r => (r._1, r._2)).toSeq
+      val want = ls.sorted.map { case (k, t) =>
+        val m = rs.filter(r => r._1 == k && r._2 <= t)
+        (k, t, m.sortBy(_._2).lastOption.map(_._3))
+      }
+      assert(got == want)
+    }
+  }
+
   test("property: SimHash60 ≡ HOF vote-loop formulation") {
     def hofSimHash(c: org.apache.spark.sql.Column) = {
       val hs = transform(split(trim(c), "\\s+"),
