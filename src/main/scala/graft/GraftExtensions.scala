@@ -10,7 +10,8 @@ import graft.functions.{CosineSim, DotProd, SimHash60, TokenChunks, WordShingles
 /** SparkSessionExtensions hook (SURVEY.md §4.3.4): registers the graft
   * custom expressions as SQL functions so `spark.sql` users get them too
   * — `word_shingles(text, n)`, `simhash60(text)`, `cosine_sim(a, b)`,
-  * `dot_prod(a, b)`.
+  * `dot_prod(a, b)` — and the planner strategy for the native as-of
+  * join ([[graft.plans.AsofJoinStrategy]]).
   *
   * Activate with
   * `.config("spark.sql.extensions", "graft.GraftExtensions")` (done in
@@ -23,6 +24,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     new ExpressionInfo(classOf[GraftExtensions].getName, null, name, usage, "")
 
   override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectPlannerStrategy(_ => graft.plans.AsofJoinStrategy)
     ext.injectFunction((FunctionIdentifier("word_shingles"),
       info("word_shingles", "word_shingles(text, n) - distinct word n-gram shingles"),
       (exprs: Seq[Expression]) => exprs match {

@@ -82,6 +82,7 @@ object SparkEntry {
     "q_pack_sequences" -> (Curation.packSequences(_, _)),
     // — time-series: as-of join, resample/gap-fill, histogram
     "q_asof_join" -> (Events.asofPurchase(_, _)),
+    "q_asof_join_native" -> (Events.asofPurchaseNative(_, _)),
     "q_resample_1d" -> (Events.resampleDaily(_, _)),
     "q_histogram" -> (Analytics.histogram(_, _)),
     // — streaming operators, batch faces (unified API; streaming runs of
@@ -272,6 +273,7 @@ object SparkEntry {
     "q_chunk_docs" -> Curation.chunkDocsSql,
     "q_pack_sequences" -> Curation.packSequencesSql,
     "q_asof_join" -> Events.asofPurchaseSql,
+    "q_asof_join_native" -> Events.asofPurchaseSql,
     "q_resample_1d" -> Events.resampleDailySql,
     "q_histogram" ->
       """SELECT CAST(floor(l_extendedprice/1000)*1000 AS BIGINT) AS bucket_lo,

@@ -53,6 +53,21 @@ object Events {
       Seq("last_purchase_value"))
   }
 
+  /** Same as-of semantics through the native physical operator
+    * (graft.plans.AsofJoinExec) — a second, independent implementation
+    * checked against the same DuckDB ASOF LEFT JOIN oracle.
+    */
+  def asofPurchaseNative(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.loadEvents(spark, dir)
+    val clicks = ev.filter(col("event_type") === "click")
+      .select("event_id", "user_id", "ts")
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .groupBy(col("user_id"), col("ts"))
+      .agg(max(col("value")).as("last_purchase_value"))
+    graft.plans.AsofJoinNative.asofLeft(clicks, purchases, "user_id", "ts",
+      Seq("last_purchase_value"))
+  }
+
   /** Time-series resample with gap fill: daily event counts per type on
     * a dense day grid (missing days as explicit zeros). The grid is
     * dimension-sized by construction (distinct types × day span), so the
