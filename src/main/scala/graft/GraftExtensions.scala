@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
 import org.apache.spark.sql.types.IntegerType
 
-import graft.functions.{CosineSim, DotProd, SimHash60, TokenChunks, WordShingles}
+import graft.functions.{ChunkRows, CosineSim, DotProd, SimHash60, TokenChunks, WordShingles}
 
 /** SparkSessionExtensions hook (SURVEY.md §4.3.4): registers the graft
   * custom expressions as SQL functions so `spark.sql` users get them too
@@ -39,6 +39,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           TokenChunks(text, w, s)
         case _ => throw new IllegalArgumentException(
           "token_chunks(text, window, stride) requires literal int window/stride")
+      }))
+    ext.injectFunction((FunctionIdentifier("chunk_rows"),
+      info("chunk_rows", "chunk_rows(text, window, stride) - streaming (chunk_idx, chunk) rows; use with LATERAL VIEW"),
+      (exprs: Seq[Expression]) => exprs match {
+        case Seq(text, Literal(w: Int, IntegerType), Literal(s: Int, IntegerType)) =>
+          ChunkRows(text, w, s)
+        case _ => throw new IllegalArgumentException(
+          "chunk_rows(text, window, stride) requires literal int window/stride")
       }))
     ext.injectFunction((FunctionIdentifier("simhash60"),
       info("simhash60", "simhash60(text) - 60-bit md5-derived SimHash"),

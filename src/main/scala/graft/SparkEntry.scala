@@ -79,6 +79,7 @@ object SparkEntry {
     "q_sample_stratified" -> (Curation.sampleStratified(_, _)),
     "q_text_pii" -> (Curation.piiMask(_, _)),
     "q_chunk_docs" -> (Curation.chunkDocs(_, _)),
+    "q_chunk_docs_gen" -> (Curation.chunkDocsGen(_, _)),
     "q_pack_sequences" -> (Curation.packSequences(_, _)),
     // — time-series: as-of join, resample/gap-fill, histogram
     "q_asof_join" -> (Events.asofPurchase(_, _)),
@@ -271,6 +272,7 @@ object SparkEntry {
     "q_sample_stratified" -> Curation.sampleStratifiedSql,
     "q_text_pii" -> Curation.piiMaskSql,
     "q_chunk_docs" -> Curation.chunkDocsSql,
+    "q_chunk_docs_gen" -> Curation.chunkDocsSql,
     "q_pack_sequences" -> Curation.packSequencesSql,
     "q_asof_join" -> Events.asofPurchaseSql,
     "q_asof_join_native" -> Events.asofPurchaseSql,

@@ -23,6 +23,14 @@ object GraftFunctions {
   def tokenChunks(text: Column, window: Int, stride: Int): Column =
     ColumnBridge.column(TokenChunks(ColumnBridge.expression(text), window, stride))
 
+  /** Streaming chunk generator (UDTF): emits one (chunk_idx, chunk) row
+    * per token window, O(tokens) memory per document vs the array
+    * formulation's O(tokens·window/stride). Use in `select` beside other
+    * columns; name the output with `.as(Seq("chunk_idx", "chunk"))`.
+    */
+  def chunkRows(text: Column, window: Int, stride: Int): Column =
+    ColumnBridge.column(ChunkRows(ColumnBridge.expression(text), window, stride))
+
   /** Map-only MinHash signature array (null when no shingles). */
   def minhashSig(text: Column, n: Int, k: Int): Column =
     ColumnBridge.column(MinHashSig(ColumnBridge.expression(text), n, k))

@@ -1,0 +1,76 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, Generator, GenericInternalRow, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Overlapping token-window chunks as a table-generating function (the
+  * UDTF tier of SURVEY.md §2.14): one `(chunk_idx, chunk)` row at a time,
+  * streamed per document.
+  *
+  * Same chunk semantics as [[TokenChunks]] + `posexplode` (chunk j covers
+  * tokens [j·stride, j·stride+window); `ChunkRowsSpec` pins the two row
+  * sets to each other), but the array formulation materializes EVERY
+  * chunk of a document at once — with window > stride that is an
+  * amplified copy of the whole document (window/stride ×) held as one
+  * array value before the explode. For book-length documents at 100 TB
+  * that per-row allocation is the difference between streaming through
+  * `GenerateExec` in O(tokens) memory and spiking O(tokens·window/stride)
+  * per document: the generator tokenizes once and builds each chunk on
+  * demand.
+  *
+  * Registered as `chunk_rows(text, window, stride)` — SQL users get
+  * `LATERAL VIEW chunk_rows(...)`.
+  */
+case class ChunkRows(child: Expression, window: Int, stride: Int)
+    extends UnaryExpression with Generator with CodegenFallback {
+  require(window >= 1 && stride >= 1,
+    s"need window,stride >= 1, got window=$window stride=$stride")
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires a string argument, got ${child.dataType}")
+
+  override def elementSchema: StructType = StructType(Seq(
+    StructField("chunk_idx", IntegerType, nullable = false),
+    StructField("chunk", StringType, nullable = false)))
+
+  override def prettyName: String = "chunk_rows"
+
+  override def eval(input: InternalRow): IterableOnce[InternalRow] = {
+    val text = child.eval(input)
+    if (text == null) Iterator.empty
+    else {
+      val toks = GraftStrings.tokens(text.asInstanceOf[UTF8String])
+      val n = toks.length
+      new Iterator[InternalRow] {
+        private var start = 0
+        private var idx = 0
+        override def hasNext: Boolean = start < n
+        override def next(): InternalRow = {
+          val end = math.min(start + window, n)
+          val sb = new java.lang.StringBuilder
+          var i = start
+          while (i < end) {
+            if (i > start) sb.append(' ')
+            sb.append(toks(i))
+            i += 1
+          }
+          val row = new GenericInternalRow(2)
+          row.update(0, idx)
+          row.update(1, UTF8String.fromString(sb.toString))
+          idx += 1
+          start += stride
+          row
+        }
+      }
+    }
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): ChunkRows =
+    copy(child = newChild)
+}

@@ -96,6 +96,19 @@ object Curation {
       .select(col("doc_id"), col("chunk_idx"), col("chunk"),
         Dedup.hash60(col("chunk")).as("chunk_hash"))
 
+  /** Same chunking through the streaming generator
+    * (graft.functions.ChunkRows, the UDTF face): identical rows to
+    * chunkDocs, O(tokens) per-document memory instead of materializing
+    * every chunk as one array value before the explode.
+    */
+  def chunkDocsGen(spark: SparkSession, dir: String): DataFrame =
+    Tables.load(spark, dir, "documents")
+      .select(col("doc_id"),
+        graft.functions.GraftFunctions.chunkRows(col("text"), 32, 16)
+          .as(Seq("chunk_idx", "chunk")))
+      .select(col("doc_id"), col("chunk_idx"), col("chunk"),
+        Dedup.hash60(col("chunk")).as("chunk_hash"))
+
   /** Sequence packing: assign documents (in stable doc_id order) to
     * training bins of ~`budget` tokens — the "pack short docs into one
     * context window" prep step. Contiguous-fill semantics: bin id =
