@@ -49,4 +49,51 @@ public final class GraftVectors {
     }
     return dot;
   }
+
+  /** Symmetric int8 scalar quantization: q_i = floor(x_i·scale + 0.5)
+   *  with scale = 127/max|x| (0 when the vector is all zeros). Every
+   *  step is a deterministic double op — floor(+0.5) instead of a
+   *  rounding mode so any engine (incl. the DuckDB oracle) reproduces
+   *  the exact codes. |x_i·scale| ≤ 127 by construction, so the cast
+   *  to byte never wraps. */
+  public static byte[] quantizeI8(ArrayData v, boolean isFloat) {
+    int n = v.numElements();
+    double maxAbs = 0.0;
+    for (int i = 0; i < n; i++) {
+      double x = isFloat ? (double) v.getFloat(i) : v.getDouble(i);
+      double ax = Math.abs(x);
+      if (ax > maxAbs) maxAbs = ax;
+    }
+    double scale = maxAbs == 0.0 ? 0.0 : 127.0 / maxAbs;
+    byte[] q = new byte[n];
+    for (int i = 0; i < n; i++) {
+      double x = isFloat ? (double) v.getFloat(i) : v.getDouble(i);
+      q[i] = (byte) Math.floor(x * scale + 0.5);
+    }
+    return q;
+  }
+
+  /** The scale factor quantizeI8 used (needed to de-quantize scores). */
+  public static double quantizeScale(ArrayData v, boolean isFloat) {
+    int n = v.numElements();
+    double maxAbs = 0.0;
+    for (int i = 0; i < n; i++) {
+      double x = isFloat ? (double) v.getFloat(i) : v.getDouble(i);
+      double ax = Math.abs(x);
+      if (ax > maxAbs) maxAbs = ax;
+    }
+    return maxAbs == 0.0 ? 0.0 : 127.0 / maxAbs;
+  }
+
+  /** Integer dot product of two int8 code arrays: exact (≤ 127²·n, no
+   *  overflow for any realistic dimension), so equality across engines
+   *  is bit-for-bit. */
+  public static long dotI8(ArrayData a, ArrayData b) {
+    int n = Math.min(a.numElements(), b.numElements());
+    long dot = 0L;
+    for (int i = 0; i < n; i++) {
+      dot += (long) a.getByte(i) * (long) b.getByte(i);
+    }
+    return dot;
+  }
 }

@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
 import org.apache.spark.sql.types.IntegerType
 
-import graft.functions.{ChunkRows, CosineSim, DotProd, SimHash60, TokenChunks, WordShingles}
+import graft.functions.{ChunkRows, CosineSim, DotI8, DotProd, QuantizeI8, QuantizeScale, SimHash60, TokenChunks, WordShingles}
 
 /** SparkSessionExtensions hook (SURVEY.md §4.3.4): registers the graft
   * custom expressions as SQL functions so `spark.sql` users get them too
@@ -58,5 +58,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction((FunctionIdentifier("dot_prod"),
       info("dot_prod", "dot_prod(a, b) - dot product of numeric arrays"),
       (exprs: Seq[Expression]) => DotProd(exprs(0), exprs(1))))
+    ext.injectFunction((FunctionIdentifier("quantize_i8"),
+      info("quantize_i8", "quantize_i8(v) - int8 scalar-quantization codes"),
+      (exprs: Seq[Expression]) => QuantizeI8(exprs.head)))
+    ext.injectFunction((FunctionIdentifier("quantize_scale"),
+      info("quantize_scale", "quantize_scale(v) - the 127/max|x| factor quantize_i8 used"),
+      (exprs: Seq[Expression]) => QuantizeScale(exprs.head)))
+    ext.injectFunction((FunctionIdentifier("dot_i8"),
+      info("dot_i8", "dot_i8(a, b) - exact integer dot product of int8 code arrays"),
+      (exprs: Seq[Expression]) => DotI8(exprs(0), exprs(1))))
   }
 }

@@ -67,6 +67,7 @@ object SparkEntry {
     "q_doc_fingerprints" -> (LlmOps.docFingerprints(_, _)),
     // — LLM-pipeline: similarity search
     "q_embed_topk" -> (LlmOps.embedTopK(_, _)),
+    "q_embed_topk_i8" -> (LlmOps.embedTopKI8(_, _)),
     "q_embed_neardup" -> (LlmOps.embedNearDup(_, _)),
     "q_embed_topk_perlabel" -> (LlmOps.embedTopKPerLabel(_, _)),
     "q_embed_ann_ivf" -> (LlmOps.embedAnnIvf(_, _)),
@@ -263,6 +264,7 @@ object SparkEntry {
     "q_events_session_window" -> Events.sessionWindowSql,
     "q_events_json" -> Events.jsonPropsSql,
     "q_embed_topk" -> LlmOps.embedTopKSql,
+    "q_embed_topk_i8" -> LlmOps.embedTopKI8Sql,
     "q_embed_neardup" -> LlmOps.embedNearDupSql,
     "q_embed_topk_perlabel" -> LlmOps.embedTopKPerLabelSql,
     "q_multimodal_meta" -> LlmOps.multimodalMetaSql,

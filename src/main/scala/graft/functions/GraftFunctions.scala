@@ -45,4 +45,18 @@ object GraftFunctions {
   /** Dot product of two float/double array columns (same kernel family). */
   def dotProd(a: Column, b: Column): Column =
     ColumnBridge.column(DotProd(ColumnBridge.expression(a), ColumnBridge.expression(b)))
+
+  /** Int8 scalar quantization codes of a float/double embedding column
+    * (4× narrower storage/shuffle; engine-portable code values).
+    */
+  def quantizeI8(v: Column): Column =
+    ColumnBridge.column(QuantizeI8(ColumnBridge.expression(v)))
+
+  /** The quantization scale (127/max|x|) paired with quantizeI8. */
+  def quantizeScale(v: Column): Column =
+    ColumnBridge.column(QuantizeScale(ColumnBridge.expression(v)))
+
+  /** Exact integer dot product of two int8 code arrays. */
+  def dotI8(a: Column, b: Column): Column =
+    ColumnBridge.column(DotI8(ColumnBridge.expression(a), ColumnBridge.expression(b)))
 }

@@ -207,3 +207,110 @@ case class SimHash60(child: Expression)
   override protected def withNewChildInternal(newChild: Expression): SimHash60 =
     copy(child = newChild)
 }
+
+/** Int8 scalar quantization of a float/double embedding: the 4× storage
+  * and shuffle-width reduction for vector search at 100 TB. Codes are
+  * engine-portable by construction (floor(x·scale + 0.5), scale =
+  * 127/max|x| — see GraftVectors.quantizeI8), so the DuckDB oracle
+  * reproduces them bit-for-bit and int8 dot products compare exactly.
+  */
+case class QuantizeI8(child: Expression)
+    extends UnaryExpression {
+
+  private def elemIsFloat: Boolean = child.dataType match {
+    case ArrayType(FloatType, _) => true
+    case _ => false
+  }
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType, _) | ArrayType(DoubleType, _) =>
+      TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires an array<float|double> argument, got $other")
+  }
+  override def dataType: DataType = ArrayType(ByteType, containsNull = false)
+  override def prettyName: String = "quantize_i8"
+
+  override protected def nullSafeEval(input: Any): Any =
+    org.apache.spark.sql.catalyst.expressions.UnsafeArrayData.fromPrimitiveArray(
+      GraftVectors.quantizeI8(
+        input.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData],
+        elemIsFloat))
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"""${ev.value} = org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+         |  .fromPrimitiveArray(graft.functions.GraftVectors.quantizeI8($c, $elemIsFloat));
+         |""".stripMargin)
+
+  override protected def withNewChildInternal(newChild: Expression): QuantizeI8 =
+    copy(child = newChild)
+}
+
+/** The scale factor QuantizeI8 applied (127/max|x|; 0 for an all-zero
+  * vector) — needed to turn int8 dot products back into approximate
+  * real-valued scores: dot(a,b) ≈ dot_i8(qa,qb)/(scale_a·scale_b).
+  */
+case class QuantizeScale(child: Expression)
+    extends UnaryExpression {
+
+  private def elemIsFloat: Boolean = child.dataType match {
+    case ArrayType(FloatType, _) => true
+    case _ => false
+  }
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType, _) | ArrayType(DoubleType, _) =>
+      TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires an array<float|double> argument, got $other")
+  }
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "quantize_scale"
+
+  override protected def nullSafeEval(input: Any): Any =
+    GraftVectors.quantizeScale(
+      input.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData],
+      elemIsFloat)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.GraftVectors.quantizeScale($c, $elemIsFloat);")
+
+  override protected def withNewChildInternal(newChild: Expression): QuantizeScale =
+    copy(child = newChild)
+}
+
+/** Exact integer dot product of two int8 code arrays — the hot loop of
+  * quantized vector search, one codegen'd kernel call per row.
+  */
+case class DotI8(left: Expression, right: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = {
+    def ok(e: Expression) = e.dataType match {
+      case ArrayType(ByteType, _) => true
+      case _ => false
+    }
+    if (ok(left) && ok(right)) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires array<tinyint> arguments, got " +
+        s"${left.dataType} / ${right.dataType}")
+  }
+
+  override def dataType: DataType = LongType
+  override def prettyName: String = "dot_i8"
+
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    GraftVectors.dotI8(
+      a.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData],
+      b.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) =>
+      s"${ev.value} = graft.functions.GraftVectors.dotI8($a, $b);")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): DotI8 =
+    copy(left = newLeft, right = newRight)
+}

@@ -104,6 +104,19 @@ object LlmOps {
       col("vec_id"), col("embedding"), queryVector(spark, dir), k = 10)
       .withColumn("cos", round(col("cos"), 6))
 
+  /** Quantized top-k: same search as embedTopK over int8 codes (4×
+    * narrower scan). The query's codes are a driver-side parameter
+    * lookup, like queryVector; the score is the exact integer dot
+    * product, so the oracle compares bit-for-bit.
+    */
+  def embedTopKI8(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.load(spark, dir, "embeddings")
+    val qCodes = Similarity
+      .quantizeI8(emb.filter(col("vec_id") === 0), col("embedding"))
+      .select(col("q_i8")).collect()(0).getSeq[Byte](0)
+    Similarity.quantizedTopK(emb, col("vec_id"), col("embedding"), qCodes, k = 10)
+  }
+
   def embedNearDup(spark: SparkSession, dir: String): DataFrame =
     Similarity.cosineNearDupPairs(Tables.load(spark, dir, "embeddings"),
       col("vec_id"), col("embedding"), threshold = 0.4,
@@ -325,6 +338,25 @@ object LlmOps {
       |FROM embeddings e,
       |  (SELECT embedding FROM embeddings WHERE vec_id = 0) q
       |ORDER BY list_cosine_similarity(e.embedding::DOUBLE[], q.embedding::DOUBLE[]) DESC, e.vec_id
+      |LIMIT 10""".stripMargin
+
+  /** Independent re-derivation of the int8 quantization (same
+    * floor(x·scale+0.5), scale = 127/max|x| recipe — every step one
+    * deterministic double op), scored by DuckDB's list_dot_product.
+    * Integer scores: any engine disagreement is a hard mismatch.
+    */
+  val embedTopKI8Sql: String =
+    """WITH m AS (SELECT vec_id, embedding,
+      |    coalesce(127.0 / nullif(list_max(list_transform(embedding,
+      |      x -> abs(x::DOUBLE))), 0), 0) AS scale
+      |  FROM embeddings),
+      |q8 AS (SELECT vec_id,
+      |    list_transform(embedding, x -> CAST(floor(x::DOUBLE * scale + 0.5) AS BIGINT)) AS q
+      |  FROM m),
+      |qv AS (SELECT q FROM q8 WHERE vec_id = 0)
+      |SELECT e.vec_id, CAST(list_dot_product(e.q, qv.q) AS BIGINT) AS dot_i8
+      |FROM q8 e, qv
+      |ORDER BY dot_i8 DESC, e.vec_id
       |LIMIT 10""".stripMargin
 
   /** LSH planes inlined as literals so Spark and the oracle share the
