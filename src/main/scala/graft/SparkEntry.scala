@@ -38,6 +38,7 @@ object SparkEntry {
     "q_join_orders_lineitem" -> (Analytics.joinOrdersLineitem(_, _)),
     "q_join_5way" -> (Analytics.revenueByNation(_, _)),
     "q_join_semi_anti" -> (Analytics.churnedCustomers(_, _)),
+    "q_join_bloom_prune" -> (Analytics.bloomSemiRevenue(_, _)),
     // — windows / percentiles (extension surface, SURVEY §2.7)
     "q_window_topk" -> (Analytics.topOrdersPerPriority(_, _)),
     "q_percentiles" -> (Analytics.quantitiesQuartiles(_, _)),
@@ -196,6 +197,12 @@ object SparkEntry {
            AND o.o_orderdate >= DATE '1995-01-01' AND o.o_orderdate < DATE '1996-01-01')
          AND NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey
            AND o.o_orderdate >= DATE '1996-01-01' AND o.o_orderdate < DATE '1997-01-01')""",
+    "q_join_bloom_prune" ->
+      """SELECT l_returnflag, sum(l_quantity) AS sum_qty, count(*) AS n_items
+         FROM lineitem l
+         WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey
+           AND o.o_orderpriority = '1-URGENT')
+         GROUP BY 1""",
     "q_window_topk" ->
       """SELECT o_orderpriority, rk, o_orderkey, o_totalprice FROM (
            SELECT o_orderpriority, o_orderkey, o_totalprice,

@@ -283,4 +283,22 @@ object Analytics {
         expr("percentile(l_quantity, 0.25)").as("q25"),
         expr("percentile(l_quantity, 0.5)").as("median"),
         expr("percentile(l_quantity, 0.75)").as("q75"))
+
+  /** Lineitem revenue restricted to urgent orders via the bloom-pruned
+    * semi join (ops.BloomPrune): the bloom subquery drops non-matching
+    * fact rows map-side before the join; the exact semi join removes
+    * the ≤1% false positives, so the oracle is a plain EXISTS.
+    */
+  def bloomSemiRevenue(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.load(spark, dir, "lineitem")
+    val urgent = Tables.load(spark, dir, "orders")
+      .filter(col("o_orderpriority") === "1-URGENT")
+    graft.ops.BloomPrune
+      .semiJoinBloom(li, col("l_orderkey"), urgent, col("o_orderkey"),
+        expectedKeys = 100000)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        sum(col("l_quantity")).as("sum_qty"),
+        count(lit(1)).as("n_items"))
+  }
 }
