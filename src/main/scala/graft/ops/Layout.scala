@@ -44,6 +44,53 @@ object Layout {
       .sortWithinPartitions(cluster)
       .write.mode("overwrite").parquet(path)
 
+  /** Morton (Z-order) interleave of two pre-bucketed non-negative int
+    * columns: bit i of `a` lands at output bit 2i, bit i of `b` at
+    * 2i+1. Pure built-in bit ops (shift/and/or fold), so the whole
+    * z-value stays in whole-stage codegen.
+    */
+  def zInterleave(a: Column, b: Column, bits: Int): Column =
+    (0 until bits).foldLeft(lit(0L)) { (acc, i) =>
+      acc
+        .bitwiseOR(shiftleft(shiftright(a, i).bitwiseAND(lit(1L)), 2 * i))
+        .bitwiseOR(shiftleft(shiftright(b, i).bitwiseAND(lit(1L)), 2 * i + 1))
+    }
+
+  /** Equi-width bucket of a numeric column into [0, 2^bits): one global
+    * min/max lookup, then a map-only projection. Production z-ordering
+    * would use sampled quantile boundaries against skew (same swap as
+    * repartitionByRange's sampler); equi-width keeps the op
+    * deterministic for the oracle-style tests.
+    */
+  def equiWidthBucket(df: DataFrame, c: Column, bits: Int): Column = {
+    val Array(lo, hi) = df.agg(min(c).cast("double"), max(c).cast("double"))
+      .collect()(0).toSeq.map(_.asInstanceOf[Double]).toArray
+    val n = (1L << bits) - 1
+    if (hi == lo) lit(0L)
+    else least(floor((c.cast("double") - lit(lo)) / lit(hi - lo) * (n + 1)), lit(n))
+      .cast("long")
+  }
+
+  /** Write `df` as `nFiles` files clustered by the Z-order curve over
+    * TWO columns. Range clustering on one column gives that column
+    * tight per-file min/max but leaves every other column full-range in
+    * every file; the Z-curve spends the bits evenly, so BOTH columns
+    * get ~sqrt-factor-tighter per-file ranges and predicates on either
+    * one (or both) skip most files. This is the multi-dimensional
+    * locality trade Delta/Iceberg expose as OPTIMIZE ZORDER, expressed
+    * as a plain repartitionByRange on the interleaved value.
+    */
+  def writeZOrdered(df: DataFrame, path: String, a: Column, b: Column,
+      nFiles: Int, bits: Int = 12): Unit = {
+    val z = zInterleave(equiWidthBucket(df, a, bits),
+      equiWidthBucket(df, b, bits), bits)
+    df.withColumn("__z", z)
+      .repartitionByRange(nFiles, col("__z"))
+      .sortWithinPartitions(col("__z"))
+      .drop("__z")
+      .write.mode("overwrite").parquet(path)
+  }
+
   /** Rewrite a parquet directory into ~`targetBytes`-sized files.
     * Returns (filesBefore, filesAfter). Uses the directory's on-disk
     * size to pick the file count — coalesce (no shuffle) since

@@ -42,6 +42,41 @@ class LayoutSpec extends SparkSpec {
     }
   }
 
+  test("zInterleave: bit i of a at 2i, bit i of b at 2i+1") {
+    val got = Seq((5L, 3L)).toDF("a", "b")
+      .select(Layout.zInterleave($"a", $"b", 3).as("z"))
+      .as[Long].collect()(0)
+    // a=101, b=011 -> z bits (b2 a2 b1 a1 b0 a0) = 0 1 1 0 1 1 = 27
+    assert(got == 27L)
+  }
+
+  test("writeZOrdered: both columns get tight per-file ranges; 1-D clustering leaves the other full-range") {
+    // two independent dimensions — a row's x says nothing about its y
+    val rnd = new scala.util.Random(7)
+    val pts = Seq.fill(20000)((rnd.nextInt(1 << 12).toLong,
+      rnd.nextInt(1 << 12).toLong)).toDF("x", "y")
+    def avgSpans(path: String): (Double, Double) = {
+      val rows = spark.read.parquet(path)
+        .groupBy(input_file_name())
+        .agg((max($"x") - min($"x")).as("sx"), (max($"y") - min($"y")).as("sy"))
+        .collect()
+      (rows.map(_.getLong(1)).sum.toDouble / rows.length,
+        rows.map(_.getLong(2)).sum.toDouble / rows.length)
+    }
+    val zPath = tmp("zorder"); val rPath = tmp("range1d")
+    Layout.writeZOrdered(pts, zPath, $"x", $"y", nFiles = 16)
+    Layout.writeRangeClustered(pts, rPath, $"x", nFiles = 16)
+    val (zx, zy) = avgSpans(zPath)
+    val (rx, ry) = avgSpans(rPath)
+    val full = (1 << 12).toDouble
+    // 16 files on a 2-D z-curve ≈ 4×4 tiles: each dimension's span ~1/4
+    assert(zx < full * 0.45 && zy < full * 0.45, s"z spans: $zx $zy")
+    assert(rx < full * 0.15, s"1-D x span: $rx")      // tight on the sort key
+    assert(ry > full * 0.9, s"1-D y span: $ry")       // full-range on the other
+    // same rows either way
+    assert(spark.read.parquet(zPath).count() == 20000)
+  }
+
   test("compact merges small files and preserves the data") {
     val inPath = tmp("frag")
     val outPath = tmp("compacted")
