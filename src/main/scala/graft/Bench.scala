@@ -32,17 +32,23 @@ object Bench {
     spark.range(1000000).selectExpr("sum(id)").collect() // warmup
     val results = selected.map { case (name, fn) =>
       val times = (1 to iters).map { _ =>
+        graft.ops.CacheBin.releaseAll() // drop operator-internal caches
         spark.catalog.clearCache() // no cross-iteration persist reuse
         val t0 = System.nanoTime()
         try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
         (System.nanoTime() - t0) / 1e9
       }
-      name -> times.min
+      name -> times
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v.min }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","iters":$iters,"agg":"min"}""")
+    // Raw per-iteration times: lets a reader distinguish host-noise
+    // spikes (one bad iter) from a real regression (all iters slow).
+    val raw = results.map { case (k, v) =>
+      s"\"" + k + "\":" + v.mkString("[", ",", "]")
+    }.mkString("{", ",", "}")
+    val total = if (results.nonEmpty) results.values.map(_.min).sum else 0.0
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"iters_raw":$raw,"sf":"$sfDir","iters":$iters,"agg":"min"}""")
     spark.stop()
   }
 }

@@ -83,6 +83,7 @@ object SparkEntry {
     "q_chunk_docs" -> (Curation.chunkDocs(_, _)),
     "q_chunk_docs_gen" -> (Curation.chunkDocsGen(_, _)),
     "q_pack_sequences" -> (Curation.packSequences(_, _)),
+    "q_pack_sequences_sharded" -> (Curation.packSequencesSharded(_, _)),
     // — time-series: as-of join, resample/gap-fill, histogram
     "q_asof_join" -> (Events.asofPurchase(_, _)),
     "q_asof_join_native" -> (Events.asofPurchaseNative(_, _)),
@@ -167,8 +168,8 @@ object SparkEntry {
              CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sales
            FROM orders GROUP BY 1, 2)
          SELECT o_orderstatus, month, n,
-           sum(n) OVER (PARTITION BY o_orderstatus ORDER BY month
-             ROWS UNBOUNDED PRECEDING) AS running_n,
+           CAST(sum(n) OVER (PARTITION BY o_orderstatus ORDER BY month
+             ROWS UNBOUNDED PRECEDING) AS BIGINT) AS running_n,
            round(avg(sales) OVER (PARTITION BY o_orderstatus ORDER BY month
              ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 4) AS sales_ma3
          FROM monthly""",
@@ -283,6 +284,7 @@ object SparkEntry {
     "q_chunk_docs" -> Curation.chunkDocsSql,
     "q_chunk_docs_gen" -> Curation.chunkDocsSql,
     "q_pack_sequences" -> Curation.packSequencesSql,
+    "q_pack_sequences_sharded" -> Curation.packSequencesShardedSql,
     "q_asof_join" -> Events.asofPurchaseSql,
     "q_asof_join_native" -> Events.asofPurchaseSql,
     "q_resample_1d" -> Events.resampleDailySql,

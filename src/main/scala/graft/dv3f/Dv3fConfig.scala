@@ -17,7 +17,10 @@ final case class StagingTable(
     scope: String,          // "departement" | "region" — routing key (K4)
     idVars: Seq[String],    // unpivot id columns, e.g. annee, dep, libdep
     codeCol: String,        // dep | reg — second component of the uid hash
-    primaryKey: String = "uid") {
+    primaryKey: String = "uid",
+    // declared check constraints: column -> max string length
+    // (reference: scripts/config/config.yaml:22, annee maxLength 4)
+    maxLengths: Map[String, Int] = Map("annee" -> 4)) {
 
   /** Fixed metric columns (post-pivot), in declared order.
     * reference: scripts/config/config.yaml:37-67 — nbtrans is int64,

@@ -24,6 +24,15 @@ object Quality {
   def notNullViolations(df: DataFrame, column: String): Long =
     df.filter(col(column).isNull).count()
 
+  /** Schema check constraint `maxLength: N` (reference:
+    * scripts/config/config.yaml:22 declares maxLength 4 on annee; the
+    * reference never enforces it — we do): number of non-NULL values
+    * whose string length exceeds `maxLen`. Map-only count, no shuffle.
+    */
+  def maxLengthViolations(df: DataFrame, column: String, maxLen: Int): Long =
+    df.filter(col(column).isNotNull &&
+      length(col(column).cast("string")) > maxLen).count()
+
   final case class CheckResult(table: String, column: String,
       check: String, violations: Long) {
     def passed: Boolean = violations == 0
@@ -55,7 +64,8 @@ object Quality {
 
   /** Run the reference's test suite shape over a staging frame:
     * unique(uid) + not_null(uid) (+ not_null on every id var, which the
-    * uid hash requires — SURVEY.md §7.4.4).
+    * uid hash requires — SURVEY.md §7.4.4), plus the declared maxLength
+    * constraints (config.yaml:22: annee maxLength 4).
     */
   def stagingChecks(df: DataFrame, table: StagingTable): Seq[CheckResult] = {
     val pk = table.primaryKey
@@ -63,6 +73,9 @@ object Quality {
       CheckResult(table.name, pk, "unique", uniqueViolations(df, pk)),
       CheckResult(table.name, pk, "not_null", notNullViolations(df, pk))
     ) ++ table.idVars.map(c =>
-      CheckResult(table.name, c, "not_null", notNullViolations(df, c)))
+      CheckResult(table.name, c, "not_null", notNullViolations(df, c))
+    ) ++ table.maxLengths.toSeq.sortBy(_._1).map { case (c, n) =>
+      CheckResult(table.name, c, s"max_length_$n", maxLengthViolations(df, c, n))
+    }
   }
 }

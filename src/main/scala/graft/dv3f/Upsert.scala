@@ -58,8 +58,15 @@ object Upsert {
       }
     val stage = targetPath.stripSuffix("/") + "_stage"
     merged.write.mode(SaveMode.Overwrite).parquet(stage)
-    fs.delete(target, true)
+    // Swap via rename-aside (target -> _old, stage -> target, drop _old):
+    // a crash mid-swap leaves the data at the live path or at _old —
+    // never a window where the live path is simply missing, which the
+    // delete-then-rename ordering had.
+    val old = new org.apache.hadoop.fs.Path(targetPath.stripSuffix("/") + "_old")
+    fs.delete(old, true)
+    if (fs.exists(target)) fs.rename(target, old)
     fs.rename(new org.apache.hadoop.fs.Path(stage), target)
+    fs.delete(old, true)
   }
 
   /** Partitioned upsert — the 100 TB shape. The target is laid out

@@ -59,4 +59,11 @@ object GraftFunctions {
   /** Exact integer dot product of two int8 code arrays. */
   def dotI8(a: Column, b: Column): Column =
     ColumnBridge.column(DotI8(ColumnBridge.expression(a), ColumnBridge.expression(b)))
+
+  /** Image header decode of a binary payload: [formatCode, width,
+    * height] parsed from real PNG/JPEG/GIF header bytes (GraftMedia);
+    * NULL for unrecognized payloads.
+    */
+  def imageDims(payload: Column): Column =
+    ColumnBridge.column(ImageDims(ColumnBridge.expression(payload)))
 }

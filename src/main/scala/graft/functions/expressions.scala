@@ -314,3 +314,31 @@ case class DotI8(left: Expression, right: Expression)
       newLeft: Expression, newRight: Expression): DotI8 =
     copy(left = newLeft, right = newRight)
 }
+
+/** Image-header dimension decode over a binary payload column:
+  * `[formatCode, width, height]` (1=png 2=jpeg 3=gif) parsed from the
+  * REAL header bytes by the GraftMedia kernel — one static call inside
+  * whole-stage codegen, NULL for payloads that are not a recognized
+  * image (opaque/corrupt media must not fail the task at scale).
+  */
+case class ImageDims(child: Expression) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == BinaryType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires a binary argument, got ${child.dataType}")
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def nullable: Boolean = true // unrecognized payload => null
+  override def prettyName: String = "image_dims"
+
+  override protected def nullSafeEval(input: Any): Any =
+    GraftMedia.dimsArray(input.asInstanceOf[Array[Byte]])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"""${ev.value} = graft.functions.GraftMedia.dimsArray($c);
+         |if (${ev.value} == null) { ${ev.isNull} = true; }""".stripMargin)
+
+  override protected def withNewChildInternal(newChild: Expression): ImageDims =
+    copy(child = newChild)
+}

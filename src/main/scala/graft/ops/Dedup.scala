@@ -148,10 +148,11 @@ object Dedup {
       maxDist: Int = 3, blockBits: Int = 12): DataFrame = {
     // Signatures are tiny (doc_id, 2 longs) — persist so the self-join
     // computes the simhash expression once, not once per join side. At
-    // 100 TB the equivalent is writing the signature table out.
-    val sigs = df.select(id.as("doc_id"), simHash(text).as("sig"))
-      .withColumn("block", shiftright(col("sig"), 60 - blockBits))
-      .persist()
+    // 100 TB the equivalent is writing the signature table out. Pinned
+    // via CacheBin so callers can release after the consuming action.
+    val sigs = CacheBin.pin(
+      df.select(id.as("doc_id"), simHash(text).as("sig"))
+        .withColumn("block", shiftright(col("sig"), 60 - blockBits)))
     val l = sigs.as("l"); val r = sigs.as("r")
     l.join(r, col("l.block") === col("r.block") &&
         col("l.doc_id") < col("r.doc_id"))
@@ -185,13 +186,12 @@ object Dedup {
     //  - intersections come from bucket-local pair explosion over the
     //    per-shingle posting lists (bounded by maxDocFreq), not from a
     //    self-equi-join of the full inverted index.
-    val sh = df.select(id.as("doc_id"),
-        explode(shingles(text, n)).as("shingle"))
-      .select(col("doc_id"), hash60(col("shingle")).as("h"))
-      .persist() // read twice: hot-key count + anti-join input
+    val sh = CacheBin.pin( // read twice: hot-key count + anti-join input
+      df.select(id.as("doc_id"), explode(shingles(text, n)).as("shingle"))
+        .select(col("doc_id"), hash60(col("shingle")).as("h")))
     val hot = sh.groupBy("h").agg(count(lit(1)).as("df"))
       .filter(col("df") > maxDocFreq).select("h")
-    val cleaned = sh.join(hot, Seq("h"), "left_anti").persist()
+    val cleaned = CacheBin.pin(sh.join(hot, Seq("h"), "left_anti"))
     val counts = cleaned.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
     val postings = cleaned.groupBy("h")
       .agg(collect_list(col("doc_id")).as("ds"))

@@ -9,9 +9,15 @@ import graft.Tables
   * `binary` columns plus typed metadata, with decode/feature steps as
   * per-partition batch functions.
   *
-  * The container has no image/audio codecs, so the DECODE ITSELF IS A
-  * CLEARLY-MARKED STUB (deterministic fake derived from the bytes). The
-  * Spark-side plumbing is real and what actually matters at 100 TB:
+  * The IMAGE HEADER DECODE IS REAL: graft.functions.GraftMedia parses
+  * width/height out of genuine PNG/JPEG/GIF header bytes (public
+  * container formats, no codec deps) as one codegen'd kernel call per
+  * payload. The testdata carries no media, so the fixture payloads are
+  * SYNTHESIZED — but with real format headers, which the decode then
+  * actually parses (and the DuckDB oracle independently predicts).
+  * Deeper decode stages (pixel/feature extraction, resize) would need a
+  * codec library the container lacks and remain CLEARLY-MARKED STUBS.
+  * The Spark-side plumbing is what matters at 100 TB:
   *  - payloads never enter a shuffle (metadata is extracted map-side,
   *    joins/groupBys run on the metadata, payload columns are pruned
   *    unless selected);
@@ -24,40 +30,69 @@ import graft.Tables
 object Multimodal {
 
   final case class MediaMeta(doc_id: Long, n_bytes: Int, sha: String,
-      width: Int, height: Int, n_frames: Int)
+      format: Int, width: Int, height: Int)
 
-  /** Synthesize a binary payload column from text (the testdata carries
-    * no real media; this stands in for reading e.g. image bytes).
+  private def hex4(v: Column) = lpad(hex(v), 4, "0")
+  private def hex8(v: Column) = lpad(hex(v), 8, "0")
+  // little-endian u16 as hex: swap the two bytes of the BE form
+  private def le16hex(v: Column) =
+    concat(substring(hex4(v), 3, 2), substring(hex4(v), 1, 2))
+
+  /** Opaque binary payload from text — the generic stand-in for any
+    * non-image media bytes (audio buffers, serialized tensors).
     */
   def fakePayload(text: Column): Column = encode(text, "UTF-8")
 
-  /** Map-side metadata extraction: size + content hash — the part that is
-    * NOT stubbed (binary built-ins).
+  /** Synthesize an image payload from an id + text: a REAL format header
+    * (PNG / JPEG SOF0 / GIF89a by id mod 3) whose dimensions derive from
+    * the id, followed by the text bytes as the stand-in body. The header
+    * bytes are genuine enough that any header parser recovers the
+    * dimensions — which is exactly what mediaMeta then does.
+    */
+  def fakeImagePayload(id: Column, text: Column): Column = {
+    val w = pmod(id, lit(640)) + 1
+    val h = pmod(id, lit(480)) + 1
+    // PNG: signature + IHDR(len=13, w, h, depth 8, color 6, ...) + CRC
+    val png = concat(lit("89504E470D0A1A0A0000000D49484452"),
+      hex8(w), hex8(h), lit("080600000000000000"))
+    // JPEG: SOI + SOF0 (len 0x000B, precision 8, h, w, 1 component)
+    val jpg = concat(lit("FFD8FFC0000B08"), hex4(h), hex4(w), lit("01011100"))
+    // GIF89a: signature + logical screen descriptor (w, h LE) + flags
+    val gif = concat(lit("474946383961"), le16hex(w), le16hex(h), lit("F70000"))
+    val hdr = when(pmod(id, lit(3)) === 0, png)
+      .when(pmod(id, lit(3)) === 1, jpg)
+      .otherwise(gif)
+    concat(unhex(hdr), encode(text, "UTF-8"))
+  }
+
+  /** Map-side metadata extraction: size + content hash (sha-256 over the
+    * payload's hex form — both engines print binary-as-hex identically,
+    * so the oracle reproduces it bit-for-bit).
     */
   def withPayloadMeta(df: DataFrame, payload: Column): DataFrame =
     df.withColumn("n_bytes", octet_length(payload))
-      .withColumn("sha", sha2(payload, 256))
+      .withColumn("sha", sha2(hex(payload), 256))
 
-  /** STUB — decode dimensions from payload bytes. A real deployment
-    * replaces the body with an actual codec call (e.g. javax.imageio /
-    * ffmpeg); everything around it (batching, schema, pruning) stays.
-    * Deterministic fake: dimensions derived from byte length.
+  /** REAL decode of image dimensions from payload header bytes:
+    * [format, width, height] via the GraftMedia PNG/JPEG/GIF parsers,
+    * NULL for unrecognized payloads. Codegen'd, map-only.
     */
-  def stubDecodeDims(nBytes: Column): (Column, Column, Column) =
-    (pmod(nBytes, lit(640)) + 1,           // width
-      pmod(nBytes, lit(480)) + 1,          // height
-      pmod(nBytes, lit(30)) + 1)           // n_frames
+  def decodeDims(payload: Column): Column =
+    graft.functions.GraftFunctions.imageDims(payload)
 
   /** Metadata relation over documents-as-media: payload → (bytes, sha,
-    * stub dims). Pure projection — no shuffle, payload pruned after.
+    * parsed format/dims). Pure projection — no shuffle, payload pruned
+    * after; the dims come from actually parsing the header bytes.
     */
   def mediaMeta(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.load(spark, dir, "documents")
-      .select(col("doc_id"), fakePayload(col("text")).as("payload"))
+      .select(col("doc_id"),
+        fakeImagePayload(col("doc_id"), col("text")).as("payload"))
     val base = withPayloadMeta(docs, col("payload"))
-    val (w, h, f) = stubDecodeDims(col("n_bytes"))
+    val dims = decodeDims(col("payload"))
     base.select(col("doc_id"), col("n_bytes"), col("sha"),
-      w.as("width"), h.as("height"), f.as("n_frames"))
+      dims.getItem(0).as("format"),
+      dims.getItem(1).as("width"), dims.getItem(2).as("height"))
   }
 
   /** Per-partition batched "decode" — the mapInPandas-shaped hot path.

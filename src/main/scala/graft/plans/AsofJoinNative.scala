@@ -129,20 +129,31 @@ case class AsofJoinExec(
       var savedVals: InternalRow = null
       lIter.map { lRow =>
         val lKey = lKeyProj(lRow)
-        val lTs = lTsProj(lRow)
-        var scan = true
-        while (scan && rBuf.hasNext) {
-          val rRow = rBuf.head
-          val c = keyOrd.compare(rKeyProj(rRow), lKey)
-          if (c < 0) rBuf.next() // right side is on an earlier key: skip
-          else if (c == 0 && tsOrd.compare(rTsProj(rRow), lTs) <= 0) {
-            savedKey = lKey.copy()
-            savedVals = rValsProj(rBuf.next()).copy()
-          } else scan = false // right side is ahead: stop for this left row
+        // SQL ON-equality: a NULL key matches nothing (DuckDB ASOF LEFT
+        // JOIN semantics, and the oracle's). Null keys sort first, so
+        // null-key left rows precede every non-null key and emitting
+        // unmatched without consuming right rows keeps the merge aligned.
+        if (lKey.isNullAt(0)) {
+          numOutputRows += 1
+          outProj(joined(lRow, nullVals))
+        } else {
+          val lTs = lTsProj(lRow)
+          var scan = true
+          while (scan && rBuf.hasNext) {
+            val rRow = rBuf.head
+            val rKey = rKeyProj(rRow)
+            // skip null-key right rows too: they can never match
+            val c = if (rKey.isNullAt(0)) -1 else keyOrd.compare(rKey, lKey)
+            if (c < 0) rBuf.next() // right side is on an earlier key: skip
+            else if (c == 0 && tsOrd.compare(rTsProj(rRow), lTs) <= 0) {
+              savedKey = lKey.copy()
+              savedVals = rValsProj(rBuf.next()).copy()
+            } else scan = false // right side is ahead: stop for this left row
+          }
+          val matched = savedKey != null && keyOrd.compare(savedKey, lKey) == 0
+          numOutputRows += 1
+          outProj(joined(lRow, if (matched) savedVals else nullVals))
         }
-        val matched = savedKey != null && keyOrd.compare(savedKey, lKey) == 0
-        numOutputRows += 1
-        outProj(joined(lRow, if (matched) savedVals else nullVals))
       }
     }
   }

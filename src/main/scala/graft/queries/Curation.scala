@@ -39,7 +39,7 @@ object Curation {
   val trainTestSplitSql: String =
     s"""SELECT CASE WHEN b < 80 THEN 'train' WHEN b < 90 THEN 'val'
        |  ELSE 'test' END AS split,
-       |  count(*) AS n_docs, sum(n_chars) AS total_chars
+       |  count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS total_chars
        |FROM (SELECT n_chars, ${duckBucket("doc_id")} AS b FROM documents)
        |GROUP BY 1""".stripMargin
 
@@ -133,6 +133,49 @@ object Curation {
         min(col("doc_id")).as("first_doc"), max(col("doc_id")).as("last_doc"))
   }
 
+  /** Sequence packing, SHARDED — the 100 TB shape. The global-window
+    * variant above funnels every row through ONE reducer (an
+    * unpartitioned Window); here the corpus is split into `nShards`
+    * deterministic hash shards and the running-total window runs WITHIN
+    * each shard (`Window.partitionBy(shard).orderBy(doc_id)`), so the
+    * sort parallelizes across reducers and no task ever sees more than
+    * corpus/nShards rows. Bin ids are made globally unique by offsetting
+    * with shard·2^40 (a shard never packs 2^40 bins), preserving the
+    * "bin ids are stable and disjoint" contract without any cross-shard
+    * coordination. Packing quality is unchanged: bins never straddled
+    * shards in a sharded training layout anyway.
+    */
+  def packSequencesSharded(spark: SparkSession, dir: String,
+      budget: Int = 1000, nShards: Int = 8): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val shard = Sampling.bucketOf(col("doc_id")) % nShards
+    val w = Window.partitionBy(col("shard")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    Tables.load(spark, dir, "documents")
+      .select(col("doc_id"), shard.cast("long").as("shard"),
+        TextAnalysis.tokenCount(col("text")).cast("long").as("n_tokens"))
+      .withColumn("bin_id", col("shard") * (1L << 40) +
+        (coalesce(sum(col("n_tokens")).over(w), lit(0L)) / budget).cast("long"))
+      .groupBy(col("shard"), col("bin_id"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("bin_tokens"),
+        min(col("doc_id")).as("first_doc"), max(col("doc_id")).as("last_doc"))
+  }
+
+  val packSequencesShardedSql: String =
+    s"""WITH t AS (SELECT doc_id,
+      |    len(string_split_regex(trim(text), '\\s+'))::BIGINT AS n_tokens,
+      |    CAST(${duckBucket("doc_id")} % 8 AS BIGINT) AS shard
+      |  FROM documents),
+      |b AS (SELECT doc_id, n_tokens, shard,
+      |  shard * (1::BIGINT << 40) +
+      |  (coalesce(sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+      |     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) // 1000) AS bin_id
+      |  FROM t)
+      |SELECT shard, CAST(bin_id AS BIGINT) AS bin_id, count(*) AS n_docs,
+      |  CAST(sum(n_tokens) AS BIGINT) AS bin_tokens,
+      |  min(doc_id) AS first_doc, max(doc_id) AS last_doc
+      |FROM b GROUP BY shard, bin_id""".stripMargin
+
   val packSequencesSql: String =
     """WITH t AS (SELECT doc_id,
       |    len(string_split_regex(trim(text), '\s+'))::BIGINT AS n_tokens
@@ -141,7 +184,8 @@ object Curation {
       |  (coalesce(sum(n_tokens) OVER (ORDER BY doc_id
       |     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) // 1000) AS bin_id
       |  FROM t)
-      |SELECT bin_id, count(*) AS n_docs, sum(n_tokens) AS bin_tokens,
+      |SELECT CAST(bin_id AS BIGINT) AS bin_id, count(*) AS n_docs,
+      |  CAST(sum(n_tokens) AS BIGINT) AS bin_tokens,
       |  min(doc_id) AS first_doc, max(doc_id) AS last_doc
       |FROM b GROUP BY bin_id""".stripMargin
 

@@ -31,8 +31,8 @@ object LlmOps {
     */
   def minhashLshDedup(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.load(spark, dir, "documents")
-    val sig = Dedup.minHash(docs, col("doc_id"), col("text"), n = 3, k = 16)
-      .persist()
+    val sig = CacheBin.pin(
+      Dedup.minHash(docs, col("doc_id"), col("text"), n = 3, k = 16))
     val cand = Dedup.minHashLshCandidates(sig, bands = 4, rowsPerBand = 4)
     Dedup.jaccardVerify(cand, docs, col("doc_id"), col("text"),
       n = 3, threshold = 0.5)
@@ -458,10 +458,33 @@ object LlmOps {
        |  AND n_tokens >= 5 AND alpha_ratio > 0.5
        |GROUP BY lang_pred""".stripMargin
 
+  /** Independent prediction of mediaMeta: rebuilds the same synthetic
+    * PNG/JPEG/GIF payload bytes (real format headers) and derives the
+    * dims in closed form from doc_id — the Spark side recovers them by
+    * ACTUALLY PARSING the header bytes (GraftMedia), so a parser bug is
+    * a hard mismatch. sha is sha-256 over the payload's (uppercase) hex
+    * form, which both engines print identically.
+    */
   val multimodalMetaSql: String =
-    """SELECT doc_id, octet_length(encode(text)) AS n_bytes, sha256(text) AS sha,
-      |  octet_length(encode(text)) % 640 + 1 AS width,
-      |  octet_length(encode(text)) % 480 + 1 AS height,
-      |  octet_length(encode(text)) % 30 + 1 AS n_frames
-      |FROM documents""".stripMargin
+    """WITH d AS (SELECT doc_id, text,
+      |    doc_id % 640 + 1 AS w, doc_id % 480 + 1 AS h, doc_id % 3 AS m
+      |  FROM documents),
+      |p AS (SELECT doc_id, w, h, m,
+      |  unhex(CASE
+      |    WHEN m = 0 THEN '89504E470D0A1A0A0000000D49484452'
+      |      || lpad(to_hex(w), 8, '0') || lpad(to_hex(h), 8, '0')
+      |      || '080600000000000000'
+      |    WHEN m = 1 THEN 'FFD8FFC0000B08'
+      |      || lpad(to_hex(h), 4, '0') || lpad(to_hex(w), 4, '0') || '01011100'
+      |    ELSE '474946383961'
+      |      || substr(lpad(to_hex(w), 4, '0'), 3, 2) || substr(lpad(to_hex(w), 4, '0'), 1, 2)
+      |      || substr(lpad(to_hex(h), 4, '0'), 3, 2) || substr(lpad(to_hex(h), 4, '0'), 1, 2)
+      |      || 'F70000'
+      |  END) || encode(text) AS payload
+      |  FROM d)
+      |SELECT doc_id, octet_length(payload) AS n_bytes,
+      |  sha256(upper(hex(payload))) AS sha,
+      |  CAST(m + 1 AS INT) AS format,
+      |  CAST(w AS INT) AS width, CAST(h AS INT) AS height
+      |FROM p""".stripMargin
 }

@@ -139,10 +139,13 @@ class Dv3fScan(options: Map[String, String], scopeEq: Option[String],
       }
       case None =>
         val files = Option(new java.io.File(path).listFiles()).getOrElse(Array())
-        files.toSeq.map(_.getName).filter(_.endsWith(".json")).sorted.map { f =>
+        files.toSeq.map(_.getName).filter(_.endsWith(".json")).sorted.flatMap { f =>
+          // tolerate stray files: a payload is <scope>_<code>.json, so a
+          // name with no '_' (or an empty scope) is skipped, not a
+          // planning-time crash for the whole scan
           val base = f.stripSuffix(".json")
           val i = base.lastIndexOf('_')
-          (base.substring(0, i), base.substring(i + 1))
+          if (i <= 0) None else Some((base.substring(0, i), base.substring(i + 1)))
         }
     }
     scopes

@@ -39,10 +39,13 @@ object Dv3fStreamingIngest {
           .map(_.getString(0))
           .map(p => new java.io.File(new java.net.URI(p).getPath).getName)
           .filter(_.endsWith(".json"))
-          .map { f =>
+          .flatMap { f =>
+            // skip stray non-payload files (no '_' or empty scope) rather
+            // than failing the whole micro-batch
             val base = f.stripSuffix(".json")
             val i = base.lastIndexOf('_')
-            s"${base.substring(0, i)}:${base.substring(i + 1)}"
+            if (i <= 0) None
+            else Some(s"${base.substring(0, i)}:${base.substring(i + 1)}")
           }
         if (scopes.nonEmpty) {
           val longDf = spark.read.format("dv3f")

@@ -169,7 +169,10 @@ object EventStreams {
           val t = e.ts.getTime
           open match {
             case Some(s) if t - s.lastMs <= gapMs =>
-              open = Some(s.copy(lastMs = math.max(s.lastMs, t), n = s.n + 1))
+              // a late-but-within-watermark event may precede the open
+              // session's start — widen both ends
+              open = Some(s.copy(startMs = math.min(s.startMs, t),
+                lastMs = math.max(s.lastMs, t), n = s.n + 1))
             case Some(s) =>
               closed += close(s)
               open = Some(OpenSession(t, t, 1))

@@ -22,4 +22,22 @@ class QualitySpec extends SparkSpec {
     assert(Quality.uniqueViolations(df, "id") == 1) // only value 1 repeats
     assert(Quality.notNullViolations(df, "id") == 2)
   }
+
+  test("maxLength violations: config.yaml's maxLength 4 check (NULLs pass)") {
+    val df = Seq(Some("2019"), Some("20199"), Some("x"), None).toDF("annee")
+    assert(Quality.maxLengthViolations(df, "annee", 4) == 1)
+    // non-string columns are checked on their string form
+    val nums = Seq(1234, 12345).toDF("annee")
+    assert(Quality.maxLengthViolations(nums, "annee", 4) == 1)
+  }
+
+  test("stagingChecks includes the declared maxLength constraints") {
+    val table = Dv3fConfig.staging.head
+    val df = Seq(("u1", "2019", "85", "Vendée", "u1cod"))
+      .toDF("uid", "annee", table.idVars(1), table.idVars(2), "extra")
+    val checks = Quality.stagingChecks(Upsert.alignByName(df, table), table)
+    val ml = checks.filter(_.check.startsWith("max_length"))
+    assert(ml.map(c => (c.column, c.check)) == Seq(("annee", "max_length_4")))
+    assert(ml.forall(_.passed))
+  }
 }

@@ -66,6 +66,22 @@ class AsofJoinNativeSpec extends SparkSpec {
     assert(a == b)
   }
 
+  test("NULL join keys never match (SQL ON-equality, DuckDB ASOF semantics)") {
+    val l = Seq((Option("a"), 10L, "la"), (Option.empty[String], 10L, "ln"),
+      (Option.empty[String], 20L, "ln2")).toDF("k", "t", "tag")
+    val r = Seq((Option("a"), 5L, 1.0), (Option.empty[String], 5L, 99.0))
+      .toDF("k", "t", "v")
+    val got = AsofJoinNative.asofLeft(l, r, "k", "t", Seq("v"))
+      .collect().map(x => (Option(x.getString(0)), x.getString(2),
+        Option(x.get(3)))).toSet
+    // null-key left rows come back unmatched; the null-key right row
+    // matches nothing
+    assert(got == Set(
+      (Some("a"), "la", Some(1.0)),
+      (None, "ln", None),
+      (None, "ln2", None)))
+  }
+
   test("multi-partition merge: results independent of partitioning") {
     val l = (1 to 500).map(i => (s"k${i % 7}", (i * 13 % 997).toLong, i))
       .toDF("k", "t", "tag")
