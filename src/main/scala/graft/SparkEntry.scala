@@ -49,6 +49,9 @@ object SparkEntry {
     "q_uid_sha2" -> (Dv3fQueries.uidSha2(_, _)),
     "q_dv3f_pipeline" -> (Dv3fQueries.dv3fPipeline(_, _)),
     "q_dv3f_source" -> (Dv3fQueries.dv3fSourcePipeline(_, _)),
+    // — connector smoke (SURVEY §2.1 S6): real round trips per format
+    "q_csv_scan" -> (Connectors.csvScan(_, _)),
+    "q_jdbc_scan" -> (Connectors.jdbcScan(_, _)),
     // — data quality (SURVEY §2.13)
     "q_quality_unique" -> (Dv3fQueries.qualityUnique(_, _)),
     "q_quality_notnull" -> (Dv3fQueries.qualityNotNull(_, _)),
@@ -243,6 +246,8 @@ object SparkEntry {
          sha256(CAST(n_nationkey AS VARCHAR) || n_name) AS uid FROM nation""",
     "q_dv3f_pipeline" -> Dv3fOracle.pipelineSql,
     "q_dv3f_source" -> Dv3fOracle.pipelineSql,
+    "q_csv_scan" -> Connectors.csvScanSql,
+    "q_jdbc_scan" -> Connectors.jdbcScanSql,
     "q_quality_unique" ->
       """SELECT count(*) AS violations FROM (
            SELECT o_orderkey FROM orders GROUP BY o_orderkey HAVING count(*) > 1)""",

@@ -72,12 +72,15 @@ object Events {
     * a dense day grid (missing days as explicit zeros). The grid is
     * dimension-sized by construction (distinct types × day span), so the
     * cross join is a broadcast of a tiny relation however large the
-    * fact side; the heavy side is one aggregation.
+    * fact side; the heavy side is ONE aggregation — the aggregated
+    * daily relation (dimension-sized) is cached so deriving the day
+    * bounds and the type list never re-scans the fact table.
     */
   def resampleDaily(spark: SparkSession, dir: String): DataFrame = {
-    val daily = Tables.loadEvents(spark, dir)
-      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
-      .agg(count(lit(1)).as("n"))
+    val daily = graft.ops.CacheBin.pin(
+      Tables.loadEvents(spark, dir)
+        .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+        .agg(count(lit(1)).as("n")))
     val days = daily.agg(min(col("day")).as("lo"), max(col("day")).as("hi"))
       .select(explode(sequence(col("lo"), col("hi"))).as("day"))
     daily.select("event_type").distinct()

@@ -170,11 +170,19 @@ class Dv3fReaderFactory(path: String, required: StructType)
 }
 
 /** Executor-side payload fetch + flatten + melt for one (scope, code).
-  * The API page (reference: one paginated GET per partition,
+  * Each API page (reference: paginated GET per partition,
   * scripts/extract_load.py:69-94) is read, `results` is flattened
   * (pandas json_normalize equivalent) and melted to long rows on the
   * fly — no driver involvement, no per-row allocation beyond the emitted
-  * InternalRow.
+  * InternalRow. The payload's `next` locator (extract_load.py:81-91) is
+  * FOLLOWED: all pages of one (scope, code) concatenate within this
+  * partition, lazily (a page is only read when the previous one is
+  * drained). For the file stand-in, `next` is a path relative to the
+  * payload dir — continuation pages conventionally live under a
+  * subdirectory (e.g. `pages/…`) so scan planning, which lists only
+  * top-level `*.json`, never turns them into their own partitions; a
+  * real deployment GETs the `next` URL instead. A visited set guards
+  * against locator cycles.
   */
 class Dv3fPartitionReader(path: String, scope: String, code: String,
     required: StructType) extends PartitionReader[InternalRow] {
@@ -183,12 +191,26 @@ class Dv3fPartitionReader(path: String, scope: String, code: String,
   private val fieldIdx: Array[String] = required.fieldNames
 
   private val rows: Iterator[InternalRow] = {
-    val file = new java.io.File(s"$path/${scope}_$code.json")
-    val root = new ObjectMapper().readTree(file)
-    val results = root.get("results")
-    if (results == null || !results.isArray || results.size() == 0)
-      throw new IllegalStateException(
-        s"empty or malformed payload for ($scope, $code)") // extract_load.py:92-94
+    val mapper = new ObjectMapper()
+    val visited = scala.collection.mutable.Set[String](s"${scope}_$code.json")
+    val pages: Iterator[JsonNode] = Iterator.iterate(
+      Option(mapper.readTree(new java.io.File(s"$path/${scope}_$code.json")))) {
+        case Some(root) =>
+          Option(root.get("next")).filterNot(_.isNull).map(_.asText)
+            .filter(_.nonEmpty).filter(visited.add)
+            .map(n => mapper.readTree(new java.io.File(path, n)))
+        case None => None
+      }.takeWhile(_.isDefined).map(_.get)
+    pages.flatMap { root =>
+      val results = root.get("results")
+      if (results == null || !results.isArray || results.size() == 0)
+        throw new IllegalStateException(
+          s"empty or malformed payload for ($scope, $code)") // extract_load.py:92-94
+      flattenPage(results)
+    }
+  }
+
+  private def flattenPage(results: JsonNode): Iterator[InternalRow] =
     results.elements().asScala.flatMap { obj: JsonNode =>
       val annee = Option(obj.get("annee")).filterNot(_.isNull).map(_.asText).orNull
       val lib = Seq("libdep", "libreg").iterator
@@ -215,7 +237,6 @@ class Dv3fPartitionReader(path: String, scope: String, code: String,
           row: InternalRow
         }
     }
-  }
 
   private var current: InternalRow = _
   override def next(): Boolean =

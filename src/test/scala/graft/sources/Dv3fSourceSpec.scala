@@ -42,6 +42,35 @@ class Dv3fSourceSpec extends SparkSpec {
     assert(df.select("code").collect().map(_.getString(0)).toSeq == Seq("44"))
   }
 
+  test("multi-page payload: the reader follows `next` within one partition") {
+    val dir = Files.createTempDirectory("dv3fsrc_pg").toFile
+    new File(dir, "pages").mkdirs()
+    // page 1 points at page 2 (relative locator; continuation pages live
+    // under pages/ so planning never lists them as partitions)
+    Files.writeString(new File(dir, "departement_85.json").toPath,
+      """{"count":3,"next":"pages/departement_85_2.json","previous":null,
+        |"results":[{"annee":"2019","dep":"85","libdep":"V","nbtrans_cod111":7.0},
+        |           {"annee":"2020","dep":"85","libdep":"V","nbtrans_cod111":8.0}]}""".stripMargin)
+    Files.writeString(new File(dir, "pages/departement_85_2.json").toPath,
+      """{"count":3,"next":null,"previous":"departement_85.json",
+        |"results":[{"annee":"2021","dep":"85","libdep":"V","nbtrans_cod111":9.0}]}""".stripMargin)
+    val df = spark.read.format("dv3f").option("path", dir.getAbsolutePath).load()
+    assert(df.rdd.getNumPartitions == 1) // pages concatenate, not fan out
+    val got = df.collect().map(r => (r.getString(2), r.getDouble(5))).toSet
+    assert(got == Set(("2019", 7.0), ("2020", 8.0), ("2021", 9.0)))
+  }
+
+  test("cyclic `next` locators terminate (visited-set guard)") {
+    val dir = Files.createTempDirectory("dv3fsrc_cyc").toFile
+    Files.writeString(new File(dir, "departement_85.json").toPath,
+      """{"count":1,"next":"departement_85.json","previous":null,
+        |"results":[{"annee":"2019","dep":"85","libdep":"V","nbtrans_cod111":7.0}]}""".stripMargin)
+    val df = spark.read.format("dv3f").option("path", dir.getAbsolutePath).load()
+    // without the visited-set guard this loops forever; with it the
+    // self-reference is dropped and only the seed page is emitted
+    assert(df.count() == 1)
+  }
+
   test("null metric values survive as null valeur rows") {
     val dir = Files.createTempDirectory("dv3fsrc3").toFile
     writePayload(dir, "departement", "85",
