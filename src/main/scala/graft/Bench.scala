@@ -48,7 +48,15 @@ object Bench {
       s"\"" + k + "\":" + v.mkString("[", ",", "]")
     }.mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.map(_.min).sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"iters_raw":$raw,"sf":"$sfDir","iters":$iters,"agg":"min"}""")
+    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"iters_raw":$raw,"sf":"$sfDir","iters":$iters,"agg":"min"}"""
+    println(json)
+    // Also write the full line to a file: the driver's stdout capture
+    // truncates long tails, which last round lost 32 of 67 per-query
+    // numbers — the file always carries the complete data.
+    val outFile = new java.io.File("target/bench_last.json")
+    outFile.getParentFile.mkdirs()
+    val w = new java.io.PrintWriter(outFile)
+    try w.println(json) finally w.close()
     spark.stop()
   }
 }

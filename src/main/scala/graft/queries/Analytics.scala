@@ -214,9 +214,14 @@ object Analytics {
     * year, customer ⋈ orders ⋈ lineitem ⋈ supplier ⋈ nation ⋈ region
     * with the Q5 "local supplier" condition (c_nationkey = s_nationkey).
     * The plan to want at 100 TB: date filter pushed into the orders
-    * scan, region/nation/supplier/customer broadcast (dimension-sized),
-    * ONE shuffle for the fact-fact orders⋈lineitem join, and AQE free
-    * to reorder as sizes change with scale.
+    * scan, ONE shuffle for the fact-fact orders⋈lineitem join, and the
+    * genuinely constant-size dims (region 5 rows, nation 25 rows —
+    * fixed regardless of sf) explicitly broadcast. customer and
+    * supplier scale linearly with sf (150k·sf / 10k·sf rows), so they
+    * carry NO user hint: at bench scale AQE/autoBroadcastJoinThreshold
+    * still picks a broadcast, and at 100× it is free to fall back to a
+    * shuffle join instead of being forced into a multi-GB broadcast
+    * build on every executor.
     */
   def revenueByNation(spark: SparkSession, dir: String): DataFrame = {
     val customer = Tables.load(spark, dir, "customer").select("c_custkey", "c_nationkey")
@@ -236,8 +241,8 @@ object Analytics {
       .filter(col("r_name") === "ASIA").select("r_regionkey")
     orders
       .join(lineitem, col("o_orderkey") === col("l_orderkey"))
-      .join(broadcast(customer), col("o_custkey") === col("c_custkey"))
-      .join(broadcast(supplier),
+      .join(customer, col("o_custkey") === col("c_custkey"))
+      .join(supplier,
         col("l_suppkey") === col("s_suppkey") &&
           col("c_nationkey") === col("s_nationkey"))
       .join(broadcast(nation), col("s_nationkey") === col("n_nationkey"))

@@ -1,0 +1,39 @@
+package graft.ops
+
+import graft.{SparkSpec, Tables}
+import graft.queries.Connectors
+
+/** Connector round-trip specs: values must survive each format's own
+  * serialization, and the JDBC read side must be range-partitioned
+  * (one connection per partition, not a single-threaded drain).
+  */
+class ConnectorsSpec extends SparkSpec {
+
+  private def asMap(df: org.apache.spark.sql.DataFrame) =
+    df.collect().map(r => r.getAs[Number](0).longValue ->
+      (r.getAs[Number](1).longValue, r.getString(2))).toMap
+
+  test("csv round trip matches the parquet original") {
+    val viaCsv = asMap(Connectors.csvScan(spark, sf))
+    val direct = asMap(
+      Tables.load(spark, sf, "nation")
+        .groupBy("n_regionkey")
+        .agg(org.apache.spark.sql.functions.count(
+            org.apache.spark.sql.functions.lit(1)).as("n"),
+          org.apache.spark.sql.functions.min(
+            org.apache.spark.sql.functions.col("n_name")).as("first_name")))
+    assert(viaCsv == direct)
+  }
+
+  test("jdbc scan reads through >1 range-bounded partition") {
+    val df = Connectors.jdbcScan(spark, sf)
+    // the scan under the aggregate: JDBCRelation with numPartitions=4
+    val scanPlan = df.queryExecution.executedPlan.toString
+    assert(scanPlan.contains("JDBCRelation(nation) [numPartitions=4]"),
+      s"jdbc read not range-partitioned:\n$scanPlan")
+    // and the partitioned read agrees with the parquet original
+    val viaJdbc = asMap(df)
+    val direct = asMap(Connectors.csvScan(spark, sf))
+    assert(viaJdbc == direct)
+  }
+}
