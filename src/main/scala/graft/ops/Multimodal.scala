@@ -9,14 +9,17 @@ import graft.Tables
   * `binary` columns plus typed metadata, with decode/feature steps as
   * per-partition batch functions.
   *
-  * The IMAGE HEADER DECODE IS REAL: graft.functions.GraftMedia parses
-  * width/height out of genuine PNG/JPEG/GIF header bytes (public
-  * container formats, no codec deps) as one codegen'd kernel call per
-  * payload. The testdata carries no media, so the fixture payloads are
-  * SYNTHESIZED — but with real format headers, which the decode then
-  * actually parses (and the DuckDB oracle independently predicts).
-  * Deeper decode stages (pixel/feature extraction, resize) would need a
-  * codec library the container lacks and remain CLEARLY-MARKED STUBS.
+  * The IMAGE DECODE IS REAL at two levels. Header level:
+  * graft.functions.GraftMedia parses width/height out of genuine
+  * PNG/JPEG/GIF header bytes (public container formats, no codec deps)
+  * as one codegen'd kernel call per payload. Pixel level: the JDK's own
+  * PNG codec (javax.imageio) encodes and decodes full images —
+  * [[encodePng]]/[[decodeFeatures]]/[[resizePng]] round-trip deflate'd
+  * IDAT data and compute per-channel pixel statistics, oracle-checked
+  * (q_multimodal_feat). The testdata carries no media, so payloads are
+  * SYNTHESIZED — but by the real codec, then actually decoded by it.
+  * Only video/audio stages (frame extraction) lack a codec in this
+  * container and remain CLEARLY-MARKED STUBS.
   * The Spark-side plumbing is what matters at 100 TB:
   *  - payloads never enter a shuffle (metadata is extracted map-side,
   *    joins/groupBys run on the metadata, payload columns are pruned
@@ -95,23 +98,127 @@ object Multimodal {
       dims.getItem(1).as("width"), dims.getItem(2).as("height"))
   }
 
-  /** Per-partition batched "decode" — the mapInPandas-shaped hot path.
-    * `decodeBatch` is invoked once per partition with the full iterator
-    * so a real implementation can amortize codec/model initialization.
-    * STUB: feature = first 8 payload bytes as doubles.
+  // ------------------------------------------------------ real PNG codec
+  // The JDK ships a genuine PNG codec (javax.imageio): deflate-compressed
+  // IDAT, CRC'd chunks, the works. No external library needed, so the
+  // pixel-level decode path is REAL here — only video/audio codecs
+  // remain environment-limited stubs below.
+
+  /** Encode a REAL PNG for one doc id: dims and a per-pixel gradient
+    * derive from the id in closed form (all channel values stay < 256,
+    * so no clipping and the image-wide means are exactly predictable —
+    * which is what the q_multimodal_feat oracle predicts while the
+    * engine actually round-trips the codec). w ≤ 16, h ≤ 8:
+    * r = baseR + x, g = baseG + y, b = baseB + x + y.
+    */
+  def encodePng(id: Long): Array[Byte] = {
+    val w = (id % 16).toInt + 1
+    val h = (id % 8).toInt + 1
+    val baseR = (id % 200).toInt
+    val baseG = (id * 7 % 200).toInt
+    val baseB = (id * 13 % 200).toInt
+    val img = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        img.setRGB(x, y,
+          ((baseR + x) << 16) | ((baseG + y) << 8) | (baseB + x + y))
+        x += 1
+      }
+      y += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  /** documents as REAL PNG payloads: (doc_id, payload) where payload is
+    * an actual codec-encoded PNG (not just a header). Encode runs
+    * per-partition on executors — the ingest-side shape.
+    */
+  def pngPayloads(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.load(spark, dir, "documents")
+      .select(col("doc_id").cast(LongType)).as[Long]
+      .mapPartitions(it => it.map(id => (id, encodePng(id))))
+      .toDF("doc_id", "payload")
+  }
+
+  /** Per-partition batched decode — the mapInPandas-shaped hot path,
+    * REAL for images: ImageIO.read parses the full PNG (inflate + CRC +
+    * defilter), and the features are pixel statistics (dims + per-channel
+    * means). Unrecognized/corrupt payloads produce NULL feature fields,
+    * not task failures — one bad object must never kill a 100 TB scan.
+    * The per-partition iterator shape is the point at scale: a heavier
+    * decoder (or a model) initializes once per partition, not per row.
     */
   def decodeFeatures(spark: SparkSession, media: DataFrame): DataFrame = {
     import spark.implicits._
     val ds = media.select(col("doc_id").cast(LongType),
       col("payload").cast(BinaryType)).as[(Long, Array[Byte])]
     ds.mapPartitions { it =>
-      // real impl: init codec/model HERE, once per partition
+      // heavier codecs/models would initialize HERE, once per partition
       it.map { case (id, bytes) =>
-        val feat = bytes.take(8).map(_.toDouble) // STUB decode
-        (id, feat)
+        decodeOne(bytes) match {
+          case Some((w, h, mr, mg, mb)) =>
+            (id, Option(w), Option(h), Option(mr), Option(mg), Option(mb))
+          case None =>
+            (id, None: Option[Int], None: Option[Int],
+              None: Option[Double], None: Option[Double], None: Option[Double])
+        }
       }
-    }.toDF("doc_id", "feature")
+    }.toDF("doc_id", "px_w", "px_h", "mean_r", "mean_g", "mean_b")
   }
+
+  private def decodeOne(bytes: Array[Byte])
+      : Option[(Int, Int, Double, Double, Double)] =
+    try {
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+      if (img == null) None
+      else {
+        val (w, h) = (img.getWidth, img.getHeight)
+        var (sr, sg, sb) = (0L, 0L, 0L)
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            val rgb = img.getRGB(x, y)
+            sr += (rgb >> 16) & 0xff; sg += (rgb >> 8) & 0xff; sb += rgb & 0xff
+            x += 1
+          }
+          y += 1
+        }
+        val n = (w.toLong * h).toDouble
+        Some((w, h, sr / n, sg / n, sb / n))
+      }
+    } catch { case scala.util.control.NonFatal(_) => None }
+
+  /** REAL resize: decode (ImageIO), scale through Graphics2D bilinear
+    * interpolation, re-encode PNG — a genuine binary→binary map-side
+    * codec round trip (no shuffle; downstream ops treat the output
+    * exactly like the original payload column). NULL on undecodable
+    * input, like [[decodeFeatures]].
+    */
+  def resizePng(payloadBytes: Array[Byte], targetW: Int, targetH: Int): Option[Array[Byte]] =
+    try {
+      val src = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payloadBytes))
+      if (src == null) None
+      else {
+        val dst = new java.awt.image.BufferedImage(targetW, targetH,
+          java.awt.image.BufferedImage.TYPE_INT_RGB)
+        val g = dst.createGraphics()
+        try {
+          g.setRenderingHint(java.awt.RenderingHints.KEY_INTERPOLATION,
+            java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+          g.drawImage(src, 0, 0, targetW, targetH, null)
+        } finally g.dispose()
+        val bos = new java.io.ByteArrayOutputStream()
+        javax.imageio.ImageIO.write(dst, "png", bos)
+        Some(bos.toByteArray)
+      }
+    } catch { case scala.util.control.NonFatal(_) => None }
 
   /** Frame sampling plumbing: every `stride`-th byte as a "frame"
     * offset list (STUB for video frame extraction; the slice/transform
@@ -119,15 +226,6 @@ object Multimodal {
     */
   def sampleFrameOffsets(nBytes: Column, stride: Int): Column =
     sequence(lit(0), nBytes - 1, lit(stride))
-
-  /** STUB — resize. A real implementation decodes, scales to
-    * `targetBytes`-ish, re-encodes; the stub truncates the payload. The
-    * plumbing that matters is the shape: a map-side binary→binary
-    * projection (codegen'd substring on BinaryType) that downstream ops
-    * treat exactly like the original payload column.
-    */
-  def resizeStub(payload: Column, targetBytes: Int): Column =
-    substring(payload, 1, targetBytes)
 
   /** Per-frame fan-out: one row per sampled frame with its payload
     * slice — the video shape (decode → sample frames → per-frame

@@ -234,6 +234,16 @@ object LlmOps {
   def multimodalMeta(spark: SparkSession, dir: String): DataFrame =
     Multimodal.mediaMeta(spark, dir)
 
+  /** Pixel-level feature extraction through the REAL JDK PNG codec:
+    * encode each doc's deterministic gradient image (ImageIO.write —
+    * actual deflate/CRC), then decode it back (ImageIO.read) and compute
+    * dims + per-channel means in the per-partition batch path. The
+    * oracle predicts the stats in closed form from doc_id, so a codec or
+    * stats bug on either leg is a hard mismatch.
+    */
+  def multimodalFeatures(spark: SparkSession, dir: String): DataFrame =
+    Multimodal.decodeFeatures(spark, Multimodal.pngPayloads(spark, dir))
+
   // ================================================== oracle SQL builders
 
   /** Shared DuckDB CTE: distinct word 3-gram shingles per doc. */
@@ -498,6 +508,22 @@ object LlmOps {
     * a hard mismatch. sha is sha-256 over the payload's (uppercase) hex
     * form, which both engines print identically.
     */
+  /** Closed-form prediction of the PNG round trip: the gradient image
+    * for doc_id has w = id%16+1, h = id%8+1 and channel values
+    * r = id%200 + x, g = id*7%200 + y, b = id*13%200 + x + y (all < 256,
+    * no clipping), so the decoded per-channel means are base + mean(x)
+    * and/or + mean(y). Integer sums divided by small counts are exact in
+    * IEEE doubles on both engines — bit-for-bit comparable, no rounding.
+    */
+  val multimodalFeaturesSql: String =
+    """SELECT doc_id,
+      |  CAST(doc_id % 16 + 1 AS INT) AS px_w,
+      |  CAST(doc_id % 8 + 1 AS INT) AS px_h,
+      |  doc_id % 200 + (doc_id % 16) / 2.0 AS mean_r,
+      |  doc_id * 7 % 200 + (doc_id % 8) / 2.0 AS mean_g,
+      |  doc_id * 13 % 200 + (doc_id % 16) / 2.0 + (doc_id % 8) / 2.0 AS mean_b
+      |FROM documents""".stripMargin
+
   val multimodalMetaSql: String =
     """WITH d AS (SELECT doc_id, text,
       |    doc_id % 640 + 1 AS w, doc_id % 480 + 1 AS h, doc_id % 3 AS m

@@ -53,13 +53,39 @@ class MultimodalSpec extends SparkSpec {
     assert(GraftMedia.dims(Array[Byte]()) === null)
   }
 
-  test("decodeFeatures: per-partition batch decode yields one feature row per doc") {
-    val media = Seq((1L, "abcdefghij"), (2L, "xy")).toDF("doc_id", "text")
+  test("decodeFeatures: real ImageIO decode recovers dims and exact channel means") {
+    // ids chosen to hit different (w, h, base) combos incl. id 0 (1x1)
+    val ids = Seq(0L, 1L, 17L, 123L, 4095L)
+    val media = ids.toDF("doc_id")
+      .select(col("doc_id"), udf((id: Long) => Multimodal.encodePng(id))
+        .apply(col("doc_id")).as("payload"))
+    val got = Multimodal.decodeFeatures(spark, media).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    ids.foreach { id =>
+      val r = got(id)
+      val (w, h) = ((id % 16).toInt + 1, (id % 8).toInt + 1)
+      assert(r.getInt(1) === w && r.getInt(2) === h, s"dims for $id")
+      // gradient means in closed form: base + mean(x) / mean(y)
+      assert(r.getDouble(3) === id % 200 + (w - 1) / 2.0, s"mean_r for $id")
+      assert(r.getDouble(4) === id * 7 % 200 + (h - 1) / 2.0, s"mean_g for $id")
+      assert(r.getDouble(5) === id * 13 % 200 + (w - 1) / 2.0 + (h - 1) / 2.0,
+        s"mean_b for $id")
+    }
+  }
+
+  test("decodeFeatures: junk payload yields NULL features, not a task failure") {
+    val media = Seq((1L, "this is not a png"), (2L, "")).toDF("doc_id", "text")
       .select(col("doc_id"), Multimodal.fakePayload(col("text")).as("payload"))
     val got = Multimodal.decodeFeatures(spark, media).collect()
-      .map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
-    assert(got(1L) === "abcdefgh".getBytes.map(_.toDouble).toSeq) // first 8 bytes
-    assert(got(2L) === "xy".getBytes.map(_.toDouble).toSeq)
+    assert(got.length === 2)
+    got.foreach(r => (1 to 5).foreach(i => assert(r.isNullAt(i), s"col $i of $r")))
+  }
+
+  test("resizePng: decode → bilinear scale → re-encode round trips the codec") {
+    val resized = Multimodal.resizePng(Multimodal.encodePng(123L), 4, 3).get
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(resized))
+    assert(img.getWidth === 4 && img.getHeight === 3)
+    assert(Multimodal.resizePng("junk".getBytes, 4, 3) === None)
   }
 
   test("sampleFrameOffsets: stride sequence over payload bytes") {
@@ -67,13 +93,6 @@ class MultimodalSpec extends SparkSpec {
       .select(Multimodal.sampleFrameOffsets(col("n"), 4).as("o"))
       .collect()(0).getSeq[Int](0)
     assert(got === Seq(0, 4, 8))
-  }
-
-  test("resizeStub: binary→binary projection truncates to the target size") {
-    val got = Seq("abcdefghij").toDF("text")
-      .select(Multimodal.resizeStub(Multimodal.fakePayload(col("text")), 4))
-      .collect()(0).getAs[Array[Byte]](0)
-    assert(new String(got, "UTF-8") === "abcd")
   }
 
   test("explodeFrames: one row per sampled frame with the right slice") {
