@@ -145,15 +145,20 @@ object Curation {
     * coordination. Packing quality is unchanged: bins never straddled
     * shards in a sharded training layout anyway.
     */
+  /** Shared projection for both packing faces (batch window + streaming
+    * flatMapGroupsWithState): deterministic shard + token count per doc.
+    */
+  def shardTokens(docs: DataFrame, nShards: Int): DataFrame =
+    docs.select(col("doc_id"),
+      (Sampling.bucketOf(col("doc_id")) % nShards).cast("long").as("shard"),
+      TextAnalysis.tokenCount(col("text")).cast("long").as("n_tokens"))
+
   def packSequencesSharded(spark: SparkSession, dir: String,
       budget: Int = 1000, nShards: Int = 8): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val shard = Sampling.bucketOf(col("doc_id")) % nShards
     val w = Window.partitionBy(col("shard")).orderBy(col("doc_id"))
       .rowsBetween(Window.unboundedPreceding, -1)
-    Tables.load(spark, dir, "documents")
-      .select(col("doc_id"), shard.cast("long").as("shard"),
-        TextAnalysis.tokenCount(col("text")).cast("long").as("n_tokens"))
+    shardTokens(Tables.load(spark, dir, "documents"), nShards)
       .withColumn("bin_id", col("shard") * (1L << 40) +
         (coalesce(sum(col("n_tokens")).over(w), lit(0L)) / budget).cast("long"))
       .groupBy(col("shard"), col("bin_id"))

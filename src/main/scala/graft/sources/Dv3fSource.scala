@@ -26,10 +26,11 @@ import graft.dv3f.{Reshape, StagingTable}
   * fan-out (scripts/etl.py:13-22) becomes Spark task parallelism, and the
   * payload fetch+flatten runs ON EXECUTORS, not the driver. Payloads are
   * `{count, next, previous, results:[...]}` JSON files named
-  * `<scope>_<code>.json` under `path` — a real deployment swaps the file
-  * read inside Dv3fPartitionReader for the HTTPS GET
-  * (apidf-preprod.cerema.fr, scripts/extract_load.py:78); every other
-  * moving part (planning, partitioning, row emission) is unchanged.
+  * `<scope>_<code>.json` under `path` — the fetch boundary is the
+  * pluggable [[PageFetcher]] (default: file-backed), so a real
+  * deployment swaps in an HTTPS fetcher via `option("fetcher", …)`
+  * (reference GET: scripts/extract_load.py:78) with every other moving
+  * part (planning, partitioning, pruning, row emission) unchanged.
   *
   * The table presents the LONG (melted) shape — (scope, code, annee, lib,
   * cod_full, valeur) — because the API's wide column set is
@@ -62,6 +63,40 @@ object Dv3fSource {
     Reshape.withUid(Reshape.pivotFirst(Reshape.splitCod(renamed), table), table)
       .select(table.schema.fieldNames.map(col): _*)
   }
+}
+
+/** The network boundary of the source, factored out of the reader: ONE
+  * page fetch per call, addressed either by the partition's (scope,
+  * code) — the first page — or by the previous page's `next` locator.
+  * The reference GETs `https://…/dvf_opendata/<scope>?code=…&page=…`
+  * (scripts/extract_load.py:78); the sandbox has no network, so the
+  * default implementation reads the payload files instead — swapping in
+  * a real HTTPS deployment is `option("fetcher", classOf[MyHttpFetcher]
+  * .getName)` with NO other change to planning, partitioning, pruning,
+  * pagination or row emission. Implementations must be Serializable
+  * (constructed driver-side, shipped to executors) and take the
+  * source's `path` option as their single constructor argument (base
+  * dir for files, base URL for HTTP).
+  */
+trait PageFetcher extends Serializable {
+  /** First page of one (scope, code) partition. */
+  def firstPage(scope: String, code: String): JsonNode
+  /** The page behind a previous page's `next` locator. */
+  def nextPage(locator: String): JsonNode
+}
+
+/** Default fetcher: payloads as `<path>/<scope>_<code>.json`, `next`
+  * locators as paths relative to `path` (continuation pages
+  * conventionally under a subdirectory, e.g. `pages/…`, so scan
+  * planning — which lists only top-level `*.json` — never turns them
+  * into their own partitions).
+  */
+class FilePageFetcher(path: String) extends PageFetcher {
+  @transient private lazy val mapper = new ObjectMapper()
+  override def firstPage(scope: String, code: String): JsonNode =
+    mapper.readTree(new java.io.File(s"$path/${scope}_$code.json"))
+  override def nextPage(locator: String): JsonNode =
+    mapper.readTree(new java.io.File(path, locator))
 }
 
 class Dv3fDataSource extends TableProvider with DataSourceRegister {
@@ -155,50 +190,56 @@ class Dv3fScan(options: Map[String, String], scopeEq: Option[String],
       .map { case (s, c) => Dv3fPartition(s, c): InputPartition }.toArray
   }
 
-  override def createReaderFactory(): PartitionReaderFactory =
-    new Dv3fReaderFactory(path, required)
+  override def createReaderFactory(): PartitionReaderFactory = {
+    // fetcher is constructed ONCE driver-side (reflective: class name
+    // from the `fetcher` option, single-String ctor taking `path`) and
+    // serialized to executors with the factory
+    val fetcher: PageFetcher = options.get("fetcher") match {
+      case Some(cls) => Class.forName(cls).getConstructor(classOf[String])
+        .newInstance(path).asInstanceOf[PageFetcher]
+      case None => new FilePageFetcher(path)
+    }
+    new Dv3fReaderFactory(fetcher, required)
+  }
 }
 
 case class Dv3fPartition(scope: String, code: String) extends InputPartition
 
-class Dv3fReaderFactory(path: String, required: StructType)
+class Dv3fReaderFactory(fetcher: PageFetcher, required: StructType)
     extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val p = partition.asInstanceOf[Dv3fPartition]
-    new Dv3fPartitionReader(path, p.scope, p.code, required)
+    new Dv3fPartitionReader(fetcher, p.scope, p.code, required)
   }
 }
 
 /** Executor-side payload fetch + flatten + melt for one (scope, code).
   * Each API page (reference: paginated GET per partition,
-  * scripts/extract_load.py:69-94) is read, `results` is flattened
-  * (pandas json_normalize equivalent) and melted to long rows on the
-  * fly — no driver involvement, no per-row allocation beyond the emitted
-  * InternalRow. The payload's `next` locator (extract_load.py:81-91) is
-  * FOLLOWED: all pages of one (scope, code) concatenate within this
-  * partition, lazily (a page is only read when the previous one is
-  * drained). For the file stand-in, `next` is a path relative to the
-  * payload dir — continuation pages conventionally live under a
-  * subdirectory (e.g. `pages/…`) so scan planning, which lists only
-  * top-level `*.json`, never turns them into their own partitions; a
-  * real deployment GETs the `next` URL instead. A visited set guards
-  * against locator cycles.
+  * scripts/extract_load.py:69-94) is fetched through the injected
+  * [[PageFetcher]], `results` is flattened (pandas json_normalize
+  * equivalent) and melted to long rows on the fly — no driver
+  * involvement, no per-row allocation beyond the emitted InternalRow.
+  * The payload's `next` locator (extract_load.py:81-91) is FOLLOWED:
+  * all pages of one (scope, code) concatenate within this partition,
+  * lazily (a page is only fetched when the previous one is drained). A
+  * visited set guards against locator cycles, seeded with the file
+  * convention's first-page name so a `next` pointing back at page 1
+  * terminates.
   */
-class Dv3fPartitionReader(path: String, scope: String, code: String,
+class Dv3fPartitionReader(fetcher: PageFetcher, scope: String, code: String,
     required: StructType) extends PartitionReader[InternalRow] {
 
   // column pruning: emit only the pruned schema's fields, in its order
   private val fieldIdx: Array[String] = required.fieldNames
 
   private val rows: Iterator[InternalRow] = {
-    val mapper = new ObjectMapper()
     val visited = scala.collection.mutable.Set[String](s"${scope}_$code.json")
     val pages: Iterator[JsonNode] = Iterator.iterate(
-      Option(mapper.readTree(new java.io.File(s"$path/${scope}_$code.json")))) {
+      Option(fetcher.firstPage(scope, code))) {
         case Some(root) =>
           Option(root.get("next")).filterNot(_.isNull).map(_.asText)
             .filter(_.nonEmpty).filter(visited.add)
-            .map(n => mapper.readTree(new java.io.File(path, n)))
+            .map(fetcher.nextPage)
         case None => None
       }.takeWhile(_.isDefined).map(_.get)
     pages.flatMap { root =>

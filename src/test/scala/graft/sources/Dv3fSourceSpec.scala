@@ -71,6 +71,32 @@ class Dv3fSourceSpec extends SparkSpec {
     assert(df.count() == 1)
   }
 
+  test("fetcher injection: a non-file PageFetcher drives the same scan unchanged") {
+    FakeHttpServer.reset()
+    val base = "http://fake-api.test/v1"
+    FakeHttpServer.pages = Map(
+      s"$base/departement?code=85&page=1" ->
+        """{"count":3,"next":"http://fake-api.test/v1/departement?code=85&page=2",
+          |"previous":null,
+          |"results":[{"annee":"2019","dep":"85","libdep":"V","nbtrans_cod111":7.0},
+          |           {"annee":"2020","dep":"85","libdep":"V","nbtrans_cod111":8.0}]}""".stripMargin,
+      s"$base/departement?code=85&page=2" ->
+        """{"count":3,"next":null,"previous":null,
+          |"results":[{"annee":"2021","dep":"85","libdep":"V","nbtrans_cod111":9.0}]}""".stripMargin)
+    val df = spark.read.format("dv3f")
+      .option("path", base) // base URL, not a directory
+      .option("fetcher", classOf[FakeHttpPageFetcher].getName)
+      .option("scopes", "departement:85")
+      .load()
+    val got = df.collect().map(r => (r.getString(2), r.getDouble(5))).toSet
+    assert(got == Set(("2019", 7.0), ("2020", 8.0), ("2021", 9.0)))
+    // pagination went through the fetcher: first page by (scope, code),
+    // page 2 by following the payload's own `next` locator
+    assert(FakeHttpServer.gets.reverse == List(
+      s"$base/departement?code=85&page=1",
+      s"$base/departement?code=85&page=2"))
+  }
+
   test("null metric values survive as null valeur rows") {
     val dir = Files.createTempDirectory("dv3fsrc3").toFile
     writePayload(dir, "departement", "85",

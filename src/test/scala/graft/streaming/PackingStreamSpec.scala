@@ -1,0 +1,50 @@
+package graft.streaming
+
+import graft.{SparkSpec, Tables}
+import graft.queries.Curation
+import graft.streaming.PackingStream.DocTok
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.OutputMode
+
+/** The streaming packing face must reproduce the batch face's bins when
+  * the stream delivers documents in doc_id order (the ingest-append
+  * shape) — across multiple micro-batches, with per-shard running
+  * totals carried in state between batches.
+  */
+class PackingStreamSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("streaming sharded packing equals the batch face across micro-batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val budget = 1000
+    val nShards = 8
+    // the same projection the batch face uses (shared shard/token defs)
+    val docs = Curation.shardTokens(Tables.load(spark, sf, "documents"), nShards)
+      .as[DocTok].collect().sortBy(_.doc_id)
+    assert(docs.length > 100)
+
+    val mem = MemoryStream[DocTok]
+    val q = PackingStream.packSequencesStream(mem.toDS(), budget)
+      .writeStream.format("memory").queryName("pack_out")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      // three micro-batches, doc_id ranges in order (within a batch the
+      // op sorts, so feed each batch shuffled to prove it)
+      docs.grouped((docs.length + 2) / 3).foreach { batch =>
+        mem.addData(scala.util.Random.shuffle(batch.toSeq): _*)
+        q.processAllAvailable()
+      }
+    } finally q.stop()
+
+    val got = spark.table("pack_out")
+      .groupBy(col("shard"), col("bin_id"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("bin_tokens"),
+        min(col("doc_id")).as("first_doc"), max(col("doc_id")).as("last_doc"))
+      .collect().map(_.toSeq).toSet
+    val want = Curation.packSequencesSharded(spark, sf, budget, nShards)
+      .collect().map(_.toSeq).toSet
+    assert(got == want)
+    assert(got.nonEmpty)
+  }
+}
