@@ -79,6 +79,7 @@ object SparkEntry {
     // — LLM-pipeline: multimodal plumbing
     "q_multimodal_meta" -> (LlmOps.multimodalMeta(_, _)),
     "q_multimodal_feat" -> (LlmOps.multimodalFeatures(_, _)),
+    "q_multimodal_audio" -> (LlmOps.multimodalAudio(_, _)),
     // — corpus curation: deterministic sampling / splits / PII / chunking
     "q_sample_hash" -> (Curation.sampleHash(_, _)),
     "q_train_test_split" -> (Curation.trainTestSplit(_, _)),
@@ -283,6 +284,7 @@ object SparkEntry {
     "q_embed_topk_perlabel" -> LlmOps.embedTopKPerLabelSql,
     "q_multimodal_meta" -> LlmOps.multimodalMetaSql,
     "q_multimodal_feat" -> LlmOps.multimodalFeaturesSql,
+    "q_multimodal_audio" -> LlmOps.multimodalAudioSql,
     "q_kmeans_step" -> LlmOps.kmeansStepSql,
     "q_sample_hash" -> Curation.sampleHashSql,
     "q_train_test_split" -> Curation.trainTestSplitSql,

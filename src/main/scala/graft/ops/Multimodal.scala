@@ -195,6 +195,97 @@ object Multimodal {
       }
     } catch { case scala.util.control.NonFatal(_) => None }
 
+  // ------------------------------------------------------ real WAV codec
+  // The JDK also ships a genuine audio container codec
+  // (javax.sound.sampled): RIFF/WAVE headers, PCM frame handling. Like
+  // the PNG path, this makes the audio leg of the multimodal story REAL
+  // with zero external deps — only compressed codecs (mp3/aac/video)
+  // are environment-limited.
+
+  /** Encode a REAL WAV for one doc id: PCM 16-bit mono, 8 kHz. The
+    * signal is a ±A square wave alternating every sample with
+    * A = (id%100+1)·100 and n = (id%50+10)·100 samples (always even, so
+    * the mean is 0 and the RMS is exactly A — closed-form predictable
+    * for the oracle while the engine actually round-trips the codec).
+    */
+  def encodeWav(id: Long): Array[Byte] = {
+    val a = ((id % 100).toInt + 1) * 100
+    val n = ((id % 50).toInt + 10) * 100
+    val pcm = new Array[Byte](n * 2) // 16-bit little-endian mono
+    var i = 0
+    while (i < n) {
+      val s = if (i % 2 == 0) a else -a
+      pcm(i * 2) = (s & 0xff).toByte
+      pcm(i * 2 + 1) = ((s >> 8) & 0xff).toByte
+      i += 1
+    }
+    val fmt = new javax.sound.sampled.AudioFormat(8000f, 16, 1, true, false)
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(pcm), fmt, n.toLong)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(ais,
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+    bos.toByteArray
+  }
+
+  /** documents as REAL WAV payloads: (doc_id, payload). */
+  def wavPayloads(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.load(spark, dir, "documents")
+      .select(col("doc_id").cast(LongType)).as[Long]
+      .mapPartitions(it => it.map(id => (id, encodeWav(id))))
+      .toDF("doc_id", "payload")
+  }
+
+  /** Per-partition batched audio decode, REAL: AudioSystem parses the
+    * RIFF/WAVE container and the PCM frames are reduced to
+    * (sample_rate, n_samples, duration_s, rms). NULL features on
+    * unrecognized payloads, same contract as [[decodeFeatures]].
+    */
+  def decodeAudioFeatures(spark: SparkSession, media: DataFrame): DataFrame = {
+    import spark.implicits._
+    val ds = media.select(col("doc_id").cast(LongType),
+      col("payload").cast(BinaryType)).as[(Long, Array[Byte])]
+    ds.mapPartitions { it =>
+      it.map { case (id, bytes) =>
+        decodeWavOne(bytes) match {
+          case Some((rate, n, dur, rms)) =>
+            (id, Option(rate), Option(n), Option(dur), Option(rms))
+          case None =>
+            (id, None: Option[Int], None: Option[Long],
+              None: Option[Double], None: Option[Double])
+        }
+      }
+    }.toDF("doc_id", "sample_rate", "n_samples", "duration_s", "rms")
+  }
+
+  private def decodeWavOne(bytes: Array[Byte])
+      : Option[(Int, Long, Double, Double)] =
+    try {
+      val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(bytes))
+      try {
+        val fmt = ais.getFormat
+        if (fmt.getSampleSizeInBits != 16 || fmt.getChannels != 1) None
+        else {
+          val data = ais.readAllBytes()
+          val n = data.length / 2
+          var sumSq = 0L
+          var i = 0
+          while (i < n) {
+            val lo = data(i * 2) & 0xff
+            val hi = data(i * 2 + 1).toInt // sign-extends
+            val s = (hi << 8) | lo
+            sumSq += s.toLong * s
+            i += 1
+          }
+          val rate = fmt.getSampleRate.toInt
+          Some((rate, n.toLong, n.toDouble / rate,
+            math.sqrt(sumSq.toDouble / n)))
+        }
+      } finally ais.close()
+    } catch { case scala.util.control.NonFatal(_) => None }
+
   /** REAL resize: decode (ImageIO), scale through Graphics2D bilinear
     * interpolation, re-encode PNG — a genuine binary→binary map-side
     * codec round trip (no shuffle; downstream ops treat the output

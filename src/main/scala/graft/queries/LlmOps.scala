@@ -244,6 +244,15 @@ object LlmOps {
   def multimodalFeatures(spark: SparkSession, dir: String): DataFrame =
     Multimodal.decodeFeatures(spark, Multimodal.pngPayloads(spark, dir))
 
+  /** Audio leg of the multimodal story, same contract as
+    * [[multimodalFeatures]]: encode a real PCM WAV per doc (JDK
+    * javax.sound.sampled — actual RIFF/WAVE container), decode it back
+    * and reduce to rate/length/duration/RMS; oracle predicts the
+    * decoded stats in closed form.
+    */
+  def multimodalAudio(spark: SparkSession, dir: String): DataFrame =
+    Multimodal.decodeAudioFeatures(spark, Multimodal.wavPayloads(spark, dir))
+
   // ================================================== oracle SQL builders
 
   /** Shared DuckDB CTE: distinct word 3-gram shingles per doc. */
@@ -522,6 +531,19 @@ object LlmOps {
       |  doc_id % 200 + (doc_id % 16) / 2.0 AS mean_r,
       |  doc_id * 7 % 200 + (doc_id % 8) / 2.0 AS mean_g,
       |  doc_id * 13 % 200 + (doc_id % 16) / 2.0 + (doc_id % 8) / 2.0 AS mean_b
+      |FROM documents""".stripMargin
+
+  /** Closed-form prediction of the WAV round trip: ±A square wave,
+    * A = (id%100+1)·100, n = (id%50+10)·100 samples at 8 kHz — the RMS
+    * of a ±A signal is exactly A, and n·A² stays far below 2^53 so
+    * every arithmetic step is IEEE-exact on both engines.
+    */
+  val multimodalAudioSql: String =
+    """SELECT doc_id,
+      |  CAST(8000 AS INT) AS sample_rate,
+      |  CAST((doc_id % 50 + 10) * 100 AS BIGINT) AS n_samples,
+      |  (doc_id % 50 + 10) * 100 / 8000.0 AS duration_s,
+      |  CAST((doc_id % 100 + 1) * 100 AS DOUBLE) AS rms
       |FROM documents""".stripMargin
 
   val multimodalMetaSql: String =

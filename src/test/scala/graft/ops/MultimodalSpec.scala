@@ -81,6 +81,30 @@ class MultimodalSpec extends SparkSpec {
     got.foreach(r => (1 to 5).foreach(i => assert(r.isNullAt(i), s"col $i of $r")))
   }
 
+  test("decodeAudioFeatures: real WAV decode recovers rate, length and exact RMS") {
+    val ids = Seq(0L, 3L, 49L, 123L, 9999L)
+    val media = ids.toDF("doc_id")
+      .select(col("doc_id"), udf((id: Long) => Multimodal.encodeWav(id))
+        .apply(col("doc_id")).as("payload"))
+    val got = Multimodal.decodeAudioFeatures(spark, media).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    ids.foreach { id =>
+      val r = got(id)
+      val n = (id % 50 + 10) * 100
+      assert(r.getInt(1) === 8000, s"rate for $id")
+      assert(r.getLong(2) === n, s"n_samples for $id")
+      assert(r.getDouble(3) === n / 8000.0, s"duration for $id")
+      assert(r.getDouble(4) === ((id % 100 + 1) * 100).toDouble, s"rms for $id")
+    }
+  }
+
+  test("decodeAudioFeatures: junk payload yields NULL features") {
+    val media = Seq((1L, "not audio")).toDF("doc_id", "text")
+      .select(col("doc_id"), Multimodal.fakePayload(col("text")).as("payload"))
+    val got = Multimodal.decodeAudioFeatures(spark, media).collect()(0)
+    (1 to 4).foreach(i => assert(got.isNullAt(i)))
+  }
+
   test("resizePng: decode → bilinear scale → re-encode round trips the codec") {
     val resized = Multimodal.resizePng(Multimodal.encodePng(123L), 4, 3).get
     val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(resized))

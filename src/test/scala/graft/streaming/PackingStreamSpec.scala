@@ -47,4 +47,39 @@ class PackingStreamSpec extends SparkSpec {
     assert(got == want)
     assert(got.nonEmpty)
   }
+
+  test("checkpointed restart carries the per-shard totals exactly once") {
+    implicit val sqlCtx = spark.sqlContext
+    val budget = 1000
+    val nShards = 8
+    val docs = Curation.shardTokens(Tables.load(spark, sf, "documents"), nShards)
+      .as[DocTok].collect().sortBy(_.doc_id)
+    val (first, second) = docs.splitAt(docs.length / 2)
+    val outDir = java.nio.file.Files.createTempDirectory("pack_out").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("pack_ckpt").toString
+    val mem = MemoryStream[DocTok]
+    def start() = PackingStream.packSequencesStream(mem.toDS(), budget)
+      .writeStream.format("parquet")
+      .option("path", outDir).option("checkpointLocation", ckpt)
+      .outputMode(OutputMode.Append()).start()
+
+    val q1 = start()
+    try { mem.addData(first.toSeq: _*); q1.processAllAvailable() }
+    finally q1.stop()
+    // restart from the checkpoint: the running totals (and therefore bin
+    // ids) must continue where the first run left off, with no dup rows
+    val q2 = start()
+    try { mem.addData(second.toSeq: _*); q2.processAllAvailable() }
+    finally q2.stop()
+
+    val out = spark.read.parquet(outDir)
+    assert(out.count() == docs.length) // exactly-once: every doc once
+    val got = out.groupBy(col("shard"), col("bin_id"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("bin_tokens"),
+        min(col("doc_id")).as("first_doc"), max(col("doc_id")).as("last_doc"))
+      .collect().map(_.toSeq).toSet
+    val want = Curation.packSequencesSharded(spark, sf, budget, nShards)
+      .collect().map(_.toSeq).toSet
+    assert(got == want)
+  }
 }
