@@ -52,6 +52,8 @@ object SparkEntry {
     // — connector smoke (SURVEY §2.1 S6): real round trips per format
     "q_csv_scan" -> (Connectors.csvScan(_, _)),
     "q_jdbc_scan" -> (Connectors.jdbcScan(_, _)),
+    "q_orc_scan" -> (Connectors.orcScan(_, _)),
+    "q_json_scan" -> (Connectors.jsonScan(_, _)),
     // — data quality (SURVEY §2.13)
     "q_quality_unique" -> (Dv3fQueries.qualityUnique(_, _)),
     "q_quality_notnull" -> (Dv3fQueries.qualityNotNull(_, _)),
@@ -250,6 +252,8 @@ object SparkEntry {
     "q_dv3f_source" -> Dv3fOracle.pipelineSql,
     "q_csv_scan" -> Connectors.csvScanSql,
     "q_jdbc_scan" -> Connectors.jdbcScanSql,
+    "q_orc_scan" -> Connectors.orcScanSql,
+    "q_json_scan" -> Connectors.jsonScanSql,
     "q_quality_unique" ->
       """SELECT count(*) AS violations FROM (
            SELECT o_orderkey FROM orders GROUP BY o_orderkey HAVING count(*) > 1)""",

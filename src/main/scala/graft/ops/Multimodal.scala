@@ -101,8 +101,15 @@ object Multimodal {
   // ------------------------------------------------------ real PNG codec
   // The JDK ships a genuine PNG codec (javax.imageio): deflate-compressed
   // IDAT, CRC'd chunks, the works. No external library needed, so the
-  // pixel-level decode path is REAL here — only video/audio codecs
-  // remain environment-limited stubs below.
+  // pixel-level decode path is REAL here — only video codecs remain
+  // environment-limited stubs below.
+
+  // ImageIO defaults to a FILE-backed stream cache: every read/write of
+  // a non-file stream spills through a temp file — disk I/O per image.
+  // In-memory payloads never need that; disabling it is the standard
+  // batch-decode setting (per-JVM, applies on every executor since this
+  // object initializes where it is used).
+  javax.imageio.ImageIO.setUseCache(false)
 
   /** Encode a REAL PNG for one doc id: dims and a per-pixel gradient
     * derive from the id in closed form (all channel values stay < 256,
@@ -140,8 +147,12 @@ object Multimodal {
     */
   def pngPayloads(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
+    // codec work is CPU-bound and much heavier than its 8-byte input
+    // rows: spread it over all cores even when the id scan is a handful
+    // of input splits (shuffling longs costs nothing vs encoding)
     Tables.load(spark, dir, "documents")
       .select(col("doc_id").cast(LongType)).as[Long]
+      .repartition(spark.sparkContext.defaultParallelism)
       .mapPartitions(it => it.map(id => (id, encodePng(id))))
       .toDF("doc_id", "payload")
   }
@@ -201,6 +212,35 @@ object Multimodal {
   // the PNG path, this makes the audio leg of the multimodal story REAL
   // with zero external deps — only compressed codecs (mp3/aac/video)
   // are environment-limited.
+  //
+  // AudioSystem.getAudioInputStream/write re-scan SPI providers per call
+  // under a shared lock — measurably NEGATIVE scaling at 32 decode
+  // threads. The batch path resolves the WAVE reader/writer providers
+  // ONCE per JVM (standard ServiceLoader SPI, same classes AudioSystem
+  // dispatches to) and calls them directly.
+
+  private lazy val wavReaders: Seq[javax.sound.sampled.spi.AudioFileReader] = {
+    import scala.collection.JavaConverters._
+    val all = java.util.ServiceLoader
+      .load(classOf[javax.sound.sampled.spi.AudioFileReader])
+      .iterator().asScala.toSeq
+    // probe once with a real WAV so the WAVE-capable reader is tried
+    // FIRST — the other providers reject by throwing, which costs an
+    // exception per payload per miss otherwise
+    val probe = encodeWav(0L)
+    val (wave, rest) = all.partition { r =>
+      try { r.getAudioInputStream(new java.io.ByteArrayInputStream(probe)); true }
+      catch { case _: Exception => false }
+    }
+    wave ++ rest
+  }
+  private lazy val wavWriter: javax.sound.sampled.spi.AudioFileWriter = {
+    import scala.collection.JavaConverters._
+    java.util.ServiceLoader.load(classOf[javax.sound.sampled.spi.AudioFileWriter])
+      .iterator().asScala
+      .find(_.isFileTypeSupported(javax.sound.sampled.AudioFileFormat.Type.WAVE))
+      .getOrElse(throw new IllegalStateException("no WAVE writer SPI"))
+  }
 
   /** Encode a REAL WAV for one doc id: PCM 16-bit mono, 8 kHz. The
     * signal is a ±A square wave alternating every sample with
@@ -223,8 +263,7 @@ object Multimodal {
     val ais = new javax.sound.sampled.AudioInputStream(
       new java.io.ByteArrayInputStream(pcm), fmt, n.toLong)
     val bos = new java.io.ByteArrayOutputStream()
-    javax.sound.sampled.AudioSystem.write(ais,
-      javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+    wavWriter.write(ais, javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
     bos.toByteArray
   }
 
@@ -233,6 +272,7 @@ object Multimodal {
     import spark.implicits._
     Tables.load(spark, dir, "documents")
       .select(col("doc_id").cast(LongType)).as[Long]
+      .repartition(spark.sparkContext.defaultParallelism)
       .mapPartitions(it => it.map(id => (id, encodeWav(id))))
       .toDF("doc_id", "payload")
   }
@@ -262,8 +302,12 @@ object Multimodal {
   private def decodeWavOne(bytes: Array[Byte])
       : Option[(Int, Long, Double, Double)] =
     try {
-      val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
-        new java.io.ByteArrayInputStream(bytes))
+      val in = new java.io.ByteArrayInputStream(bytes)
+      val ais = wavReaders.iterator.flatMap { r =>
+        in.reset()
+        try Some(r.getAudioInputStream(in))
+        catch { case _: javax.sound.sampled.UnsupportedAudioFileException => None }
+      }.nextOption().getOrElse(return None)
       try {
         val fmt = ais.getFormat
         if (fmt.getSampleSizeInBits != 16 || fmt.getChannels != 1) None

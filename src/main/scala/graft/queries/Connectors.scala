@@ -61,6 +61,33 @@ object Connectors {
       |  CAST(max(length(n_name)) AS INT) AS max_name_len
       |FROM nation GROUP BY n_regionkey""".stripMargin
 
+  /** ORC scan: same round-trip contract as csvScan through Spark's
+    * built-in columnar ORC source (predicate pushdown + column pruning
+    * apply as with parquet). Oracle reads the parquet original — the
+    * values must survive ORC's encoding both ways.
+    */
+  def orcScan(spark: SparkSession, dir: String): DataFrame = {
+    val nation = Tables.load(spark, dir, "nation")
+    val out = tmp("orc_nation", dir)
+    stageOnce(out) { nation.write.mode("overwrite").orc(out) }
+    nationAgg(spark.read.orc(out))
+  }
+
+  val orcScanSql: String = csvScanSql
+
+  /** JSON-lines scan: the row-per-line interchange format (explicit
+    * schema — no inference job, streaming-source style). Values cross
+    * JSON serialization both ways before the aggregate.
+    */
+  def jsonScan(spark: SparkSession, dir: String): DataFrame = {
+    val nation = Tables.load(spark, dir, "nation")
+    val out = tmp("json_nation", dir)
+    stageOnce(out) { nation.write.mode("overwrite").json(out) }
+    nationAgg(spark.read.schema(nation.schema).json(out))
+  }
+
+  val jsonScanSql: String = csvScanSql
+
   /** JDBC scan: nation written to an embedded Derby database through
     * `format("jdbc")` and read back the same way (Derby ships with
     * Spark). In-memory DB here; on a cluster the URL points at a real

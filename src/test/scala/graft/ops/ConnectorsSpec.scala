@@ -25,6 +25,12 @@ class ConnectorsSpec extends SparkSpec {
     assert(viaCsv == direct)
   }
 
+  test("orc and json round trips match the csv round trip") {
+    val viaCsv = asMap(Connectors.csvScan(spark, sf))
+    assert(asMap(Connectors.orcScan(spark, sf)) == viaCsv)
+    assert(asMap(Connectors.jsonScan(spark, sf)) == viaCsv)
+  }
+
   test("jdbc scan reads through >1 range-bounded partition") {
     val df = Connectors.jdbcScan(spark, sf)
     // the scan under the aggregate: JDBCRelation with numPartitions=4
