@@ -67,6 +67,8 @@ object SparkEntry {
     "q_dedup_simhash_pairs" -> (LlmOps.simhashPairs(_, _)),
     "q_corpus_clean" -> (LlmOps.corpusClean(_, _)),
     "q_dedup_spans" -> (LlmOps.duplicateSpans(_, _)),
+    "q_dedup_incr_exact" -> (LlmOps.dedupIncrementalExact(_, _)),
+    "q_dedup_incr_lsh" -> (LlmOps.dedupIncrementalLsh(_, _)),
     "q_vocab_topk" -> (LlmOps.vocabTopK(_, _)),
     // — LLM-pipeline: text analysis
     "q_text_stats" -> (LlmOps.textStats(_, _)),
@@ -270,6 +272,8 @@ object SparkEntry {
     "q_dedup_simhash_pairs" -> LlmOps.simhashPairsSql,
     "q_corpus_clean" -> LlmOps.corpusCleanSql,
     "q_dedup_spans" -> LlmOps.duplicateSpansSql,
+    "q_dedup_incr_exact" -> LlmOps.dedupIncrementalExactSql,
+    "q_dedup_incr_lsh" -> LlmOps.dedupIncrementalLshSql,
     "q_vocab_topk" -> LlmOps.vocabTopKSql,
     "q_embed_ann_ivf" -> LlmOps.embedAnnIvfSql,
     "q_dedup_minhash" -> LlmOps.minhashSql,

@@ -88,6 +88,20 @@ object Dedup {
       .filter(col("doc_a") < col("doc_b"))
       .distinct()
 
+  /** (doc_id, band, bsig) banded relation of a minhash signature table —
+    * one pass (array + posexplode), shared by the self- and cross-corpus
+    * candidate generators.
+    */
+  private[graft] def bandSignatures(sig: DataFrame, bands: Int,
+      rowsPerBand: Int): DataFrame = {
+    val bandSigs = (0 until bands).map { b =>
+      val cols = (0 until rowsPerBand).map(r => col(s"m${b * rowsPerBand + r}"))
+      md5(concat_ws(":", cols: _*))
+    }
+    sig.select(col("doc_id"),
+      posexplode(array(bandSigs: _*)).as(Seq("band", "bsig")))
+  }
+
   def minHashLshCandidates(sig: DataFrame, bands: Int, rowsPerBand: Int): DataFrame = {
     // One pass: band signatures as an array + posexplode — NOT a bands-way
     // union (which would recompute the upstream signature aggregation per
@@ -95,17 +109,43 @@ object Dedup {
     // collect_list rather than a self-join: bucket occupancy is small by
     // LSH construction, and one aggregation replaces the join's two
     // shuffles of the full banded relation.
-    val bandSigs = (0 until bands).map { b =>
-      val cols = (0 until rowsPerBand).map(r => col(s"m${b * rowsPerBand + r}"))
-      md5(concat_ws(":", cols: _*))
-    }
-    val buckets = sig.select(col("doc_id"),
-        posexplode(array(bandSigs: _*)).as(Seq("band", "bsig")))
+    val buckets = bandSignatures(sig, bands, rowsPerBand)
       .groupBy(col("band"), col("bsig"))
       .agg(collect_list(col("doc_id")).as("ds"))
       .filter(size(col("ds")) >= 2)
     pairsWithinGroups(buckets, col("ds"))
   }
+
+  // ---------------------------------------------------- incremental dedup
+  // The production ingest gate: dedupe an INCOMING batch against the
+  // EXISTING corpus without ever comparing corpus×corpus. At 100 TB the
+  // corpus sides below are the persisted artifact tables (content-hash /
+  // band-signature tables maintained by LlmOps.dedupArtifacts-style
+  // jobs), and the batch side is small — Spark broadcasts it, so the
+  // corpus is never shuffled at all.
+
+  /** Batch docs whose exact content already exists in the corpus.
+    * Shuffle/broadcast payload is 32-byte digests only — never text.
+    */
+  def incrementalExactDups(batch: DataFrame, corpus: DataFrame,
+      id: Column, text: Column): DataFrame =
+    batch.select(id.as("doc_id"), sha2(text, 256).as("h"))
+      .join(corpus.select(sha2(text, 256).as("h")), Seq("h"), "left_semi")
+      .select(col("doc_id"))
+
+  /** Candidate (batch, corpus) near-dup pairs via a cross-corpus band
+    * join: each side is banded once, then equi-joined on (band, bsig).
+    * Linear in each side — no batch×batch or corpus×corpus pairs.
+    */
+  def crossLshCandidates(batchSig: DataFrame, corpusSig: DataFrame,
+      bands: Int, rowsPerBand: Int): DataFrame =
+    bandSignatures(batchSig, bands, rowsPerBand)
+      .select(col("doc_id").as("doc_a"), col("band"), col("bsig"))
+      .join(bandSignatures(corpusSig, bands, rowsPerBand)
+        .select(col("doc_id").as("doc_b"), col("band"), col("bsig")),
+        Seq("band", "bsig"))
+      .select(col("doc_a"), col("doc_b"))
+      .distinct()
 
   /** Exact Jaccard verification of a candidate-pair relation: join each
     * side to its (distinct) shingle set and compare with array_intersect.

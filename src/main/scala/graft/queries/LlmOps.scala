@@ -38,6 +38,39 @@ object LlmOps {
       n = 3, threshold = 0.5)
   }
 
+  /** Incremental ingest gate, exact: an "incoming batch" checked against
+    * the existing corpus by content hash. The batch is a deterministic
+    * crawl-delta simulation — fresh docs (doc_id % 10 == 0) plus
+    * RE-CRAWLED copies of corpus docs (doc_id % 20 == 5, relabeled with
+    * an offset id, same text) — so the gate genuinely fires: exactly the
+    * re-crawled ids must come back as dups.
+    */
+  def dedupIncrementalExact(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.load(spark, dir, "documents")
+    val batch = docs.filter(col("doc_id") % 10 === 0)
+      .select(col("doc_id"), col("text"))
+      .unionByName(docs.filter(col("doc_id") % 20 === 5)
+        .select((col("doc_id") + 1000000L).as("doc_id"), col("text")))
+    Dedup.incrementalExactDups(batch,
+      docs.filter(col("doc_id") % 10 =!= 0),
+      col("doc_id"), col("text"))
+  }
+
+  /** Incremental ingest gate, near-dup: LSH candidates between the
+    * incoming batch and the corpus only (cross-corpus band join — never
+    * batch×batch or corpus×corpus), verified by exact Jaccard ≥ 0.5.
+    */
+  def dedupIncrementalLsh(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.load(spark, dir, "documents")
+    val sigB = CacheBin.pin(Dedup.minHash(
+      docs.filter(col("doc_id") % 10 === 0), col("doc_id"), col("text"), n = 3, k = 16))
+    val sigC = CacheBin.pin(Dedup.minHash(
+      docs.filter(col("doc_id") % 10 =!= 0), col("doc_id"), col("text"), n = 3, k = 16))
+    val cand = Dedup.crossLshCandidates(sigB, sigC, bands = 4, rowsPerBand = 4)
+    Dedup.jaccardVerify(cand, docs, col("doc_id"), col("text"),
+      n = 3, threshold = 0.5)
+  }
+
   def ngramJaccard(spark: SparkSession, dir: String): DataFrame =
     Dedup.ngramJaccardPairs(Tables.load(spark, dir, "documents"),
       col("doc_id"), col("text"), n = 3, threshold = 0.1)
@@ -278,12 +311,14 @@ object LlmOps {
        |FROM h GROUP BY doc_id""".stripMargin
   }
 
-  /** Full LSH-dedup oracle: the candidate step is deterministic (md5 band
-    * signatures over the shared minhash constants), so the whole op is
-    * SQL-expressible — bands via UNION ALL, candidate pairs via band-sig
-    * self-join, exact Jaccard via list_intersect on per-doc shingle sets.
+  /** LSH-dedup oracle builder: the candidate step is deterministic (md5
+    * band signatures over the shared minhash constants), so the whole op
+    * is SQL-expressible — bands via UNION ALL, candidate pairs via a
+    * band-sig join under `pairCond`, exact Jaccard via list_intersect on
+    * per-doc shingle sets. `pairCond` selects the pair space: `l < r`
+    * for within-corpus dedup, batch×corpus membership for incremental.
     */
-  lazy val minhashLshSql: String = {
+  private def lshPairsSql(pairCond: String): String = {
     val bandSelects = (0 until 4).map { b =>
       val cols = (0 until 4).map(r => s"m${b * 4 + r}::VARCHAR")
       s"SELECT doc_id, $b AS band, md5(${cols.mkString(" || ':' || ")}) AS bsig FROM sigs"
@@ -299,7 +334,7 @@ object LlmOps {
        |bands AS (${bandSelects.mkString("\n  UNION ALL ")}),
        |cand AS (SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b
        |  FROM bands l JOIN bands r
-       |  ON l.band = r.band AND l.bsig = r.bsig AND l.doc_id < r.doc_id),
+       |  ON l.band = r.band AND l.bsig = r.bsig AND ($pairCond)),
        |sets AS (SELECT doc_id, list(shingle) AS s FROM sh GROUP BY doc_id),
        |scored AS (SELECT doc_a, doc_b,
        |  len(list_intersect(a.s, b.s)) AS inter, len(a.s) AS n_a, len(b.s) AS n_b
@@ -309,6 +344,23 @@ object LlmOps {
        |  inter::DOUBLE / (n_a + n_b - inter) AS jaccard
        |FROM scored WHERE inter::DOUBLE / (n_a + n_b - inter) >= 0.5""".stripMargin
   }
+
+  lazy val minhashLshSql: String = lshPairsSql("l.doc_id < r.doc_id")
+
+  /** Incremental near-dup oracle: batch side l (doc_id % 10 = 0) against
+    * corpus side r only.
+    */
+  lazy val dedupIncrementalLshSql: String =
+    lshPairsSql("l.doc_id % 10 = 0 AND r.doc_id % 10 <> 0")
+
+  val dedupIncrementalExactSql: String =
+    """WITH batch AS (
+      |  SELECT doc_id, text FROM documents WHERE doc_id % 10 = 0
+      |  UNION ALL
+      |  SELECT doc_id + 1000000, text FROM documents WHERE doc_id % 20 = 5)
+      |SELECT b.doc_id FROM batch b WHERE EXISTS (
+      |  SELECT 1 FROM documents c WHERE c.doc_id % 10 <> 0
+      |    AND sha256(c.text) = sha256(b.text))""".stripMargin
 
   /** SimHash near-dup pairs oracle: signature = simhashSql, block = top 4
     * bits, hamming via bit_count(xor). Fully deterministic.

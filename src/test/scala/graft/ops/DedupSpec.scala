@@ -60,6 +60,28 @@ class DedupSpec extends SparkSpec {
     assert(ham(sigs(1L), sigs(3L)) < ham(sigs(1L), sigs(4L)))
   }
 
+  test("incrementalExactDups: batch vs corpus only, by content") {
+    val corpus = docs((1L, "the quick brown fox"), (2L, "hello world"))
+    val batch = docs((10L, "the quick brown fox"), // dup of corpus 1
+      (11L, "something new entirely"),
+      (12L, "hello world")) // dup of corpus 2
+    val got = Dedup.incrementalExactDups(batch, corpus,
+      col("doc_id"), col("text")).collect().map(_.getLong(0)).sorted
+    assert(got === Array(10L, 12L))
+  }
+
+  test("crossLshCandidates: pairs span batch×corpus, never within a side") {
+    val all = docs(
+      (1L, "a b c d e f g h i j"), (2L, "totally different words here now ok"),
+      (10L, "a b c d e f g h i j"), // near-identical to corpus 1
+      (11L, "a b c d e f g h i j")) // and to each other — must NOT pair
+    val sigB = Dedup.minHash(all.filter(col("doc_id") >= 10), col("doc_id"), col("text"))
+    val sigC = Dedup.minHash(all.filter(col("doc_id") < 10), col("doc_id"), col("text"))
+    val got = Dedup.crossLshCandidates(sigB, sigC, 4, 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got === Set((10L, 1L), (11L, 1L))) // no (10,11), no (1,2)
+  }
+
   test("ngramJaccardPairs computes exact jaccard") {
     // doc1: shingles {a b c, b c d, c d e}; doc2: {a b c, b c d, c d x}
     // inter=2, union=4 → 0.5
