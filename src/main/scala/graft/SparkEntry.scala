@@ -41,6 +41,8 @@ object SparkEntry {
     "q_join_bloom_prune" -> (Analytics.bloomSemiRevenue(_, _)),
     // — windows / percentiles (extension surface, SURVEY §2.7)
     "q_window_topk" -> (Analytics.topOrdersPerPriority(_, _)),
+    "q_window_ranking" -> (Analytics.rankingFamily(_, _)),
+    "q_window_range_7d" -> (Events.rolling7d(_, _)),
     "q_percentiles" -> (Analytics.quantitiesQuartiles(_, _)),
     // — DV3F reshape pipeline (SURVEY §2.5, T1-T4)
     "q_unpivot" -> (Dv3fQueries.unpivotLineitem(_, _)),
@@ -302,6 +304,8 @@ object SparkEntry {
     "q_chunk_docs_gen" -> Curation.chunkDocsSql,
     "q_pack_sequences" -> Curation.packSequencesSql,
     "q_pack_sequences_sharded" -> Curation.packSequencesShardedSql,
+    "q_window_ranking" -> Analytics.rankingFamilySql,
+    "q_window_range_7d" -> Events.rolling7dSql,
     "q_asof_join" -> Events.asofPurchaseSql,
     "q_asof_join_native" -> Events.asofPurchaseSql,
     "q_resample_1d" -> Events.resampleDailySql,

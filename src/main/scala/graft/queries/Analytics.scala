@@ -266,6 +266,47 @@ object Analytics {
       .join(ordersIn(1996), col("c_custkey") === col("o_custkey"), "left_anti")
   }
 
+  /** The full ranking-function family beyond row_number, with REAL ties
+    * (price bucketed to 10k so rank ≠ dense_rank ≠ row_number):
+    * rank/dense_rank/percent_rank/cume_dist over the tie-carrying
+    * ordering, ntile over a fully-determinized ordering (unique
+    * tie-break key — ntile depends on total row order, so it must never
+    * see an ambiguous sort). percent_rank/cume_dist are exact rationals
+    * → IEEE-deterministic across engines.
+    */
+  def rankingFamily(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val bucket = (floor(col("o_totalprice") / 10000) * 10000).cast(LongType)
+    val wTies = Window.partitionBy(col("o_orderpriority"))
+      .orderBy(col("price_bucket").desc)
+    val wTotal = Window.partitionBy(col("o_orderpriority"))
+      .orderBy(col("price_bucket").desc, col("o_orderkey"))
+    Tables.load(spark, dir, "orders")
+      .select(col("o_orderpriority"), col("o_orderkey"),
+        bucket.as("price_bucket"))
+      .select(col("o_orderpriority"), col("o_orderkey"), col("price_bucket"),
+        rank().over(wTies).as("rk"),
+        dense_rank().over(wTies).as("drk"),
+        percent_rank().over(wTies).as("pr"),
+        cume_dist().over(wTies).as("cd"),
+        ntile(4).over(wTotal).as("quartile"))
+  }
+
+  val rankingFamilySql: String =
+    """SELECT o_orderpriority, o_orderkey,
+      |  CAST(floor(o_totalprice / 10000) * 10000 AS BIGINT) AS price_bucket,
+      |  CAST(rank() OVER wt AS INT) AS rk,
+      |  CAST(dense_rank() OVER wt AS INT) AS drk,
+      |  percent_rank() OVER wt AS pr,
+      |  cume_dist() OVER wt AS cd,
+      |  CAST(ntile(4) OVER wn AS INT) AS quartile
+      |FROM orders
+      |WINDOW
+      |  wt AS (PARTITION BY o_orderpriority
+      |    ORDER BY floor(o_totalprice / 10000) * 10000 DESC),
+      |  wn AS (PARTITION BY o_orderpriority
+      |    ORDER BY floor(o_totalprice / 10000) * 10000 DESC, o_orderkey)""".stripMargin
+
   /** Equi-width histogram of line-item price (extension surface): a
     * single hash aggregation on the computed bucket — the profile/
     * distribution op. Bucket arithmetic is plain IEEE double ops, so

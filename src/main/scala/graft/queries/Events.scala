@@ -91,6 +91,30 @@ object Events {
         coalesce(col("n"), lit(0L)).as("n"))
   }
 
+  /** RANGE-frame rolling window (vs the ROWS frames elsewhere): 7-day
+    * rolling event count and value sum per type over the daily
+    * aggregate. RANGE frames bound by VALUE distance (here: integer day
+    * number, 6 preceding), so gaps in the day sequence shrink the
+    * window — the correct time-series semantics, different from "last 7
+    * rows". One aggregation + one partitioned window; both engines
+    * order by the same integer day number.
+    */
+  def rolling7d(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val daily = Tables.loadEvents(spark, dir)
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast(DecimalType(18, 2))).as("s"))
+      .withColumn("day_num", datediff(col("day"), lit("1970-01-01").cast("date")))
+    val w = Window.partitionBy(col("event_type")).orderBy(col("day_num"))
+      .rangeBetween(-6, 0)
+    daily.select(col("event_type"),
+      date_format(col("day"), "yyyy-MM-dd").as("day"),
+      col("n"),
+      sum(col("n")).over(w).as("n_7d"),
+      sum(col("s")).over(w).cast(DoubleType).as("sum_7d"))
+  }
+
   // ----------------------------------------------------------- oracle SQL
 
   private val sumValue =
@@ -160,6 +184,18 @@ object Events {
       |SELECT g.event_type, strftime(g.day, '%Y-%m-%d') AS day,
       |  coalesce(d.n, 0) AS n
       |FROM grid g LEFT JOIN d ON g.event_type = d.event_type AND g.day = d.day""".stripMargin
+
+  val rolling7dSql: String =
+    """WITH d AS (SELECT event_type, ts::TIMESTAMP::DATE AS day, count(*) AS n,
+      |    sum(value::DECIMAL(18,2)) AS s,
+      |    datediff('day', DATE '1970-01-01', ts::TIMESTAMP::DATE) AS day_num
+      |  FROM events GROUP BY 1, 2, 5)
+      |SELECT event_type, strftime(day, '%Y-%m-%d') AS day, n,
+      |  CAST(sum(n) OVER w AS BIGINT) AS n_7d,
+      |  CAST(sum(s) OVER w AS DOUBLE) AS sum_7d
+      |FROM d
+      |WINDOW w AS (PARTITION BY event_type ORDER BY day_num
+      |  RANGE BETWEEN 6 PRECEDING AND CURRENT ROW)""".stripMargin
 
   val jsonPropsSql: String =
     s"""SELECT event_type,
