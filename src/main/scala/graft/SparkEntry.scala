@@ -31,6 +31,8 @@ object SparkEntry {
     "q_sql_groupby_all" -> (Analytics.sqlGroupByAll(_, _)),
     "q_sql_params" -> (Analytics.sqlParams(_, _)),
     "q_sql_rollup" -> (Analytics.rollupCounts(_, _)),
+    "q_sql_cube" -> (Analytics.cubeCounts(_, _)),
+    "q_sql_correlated" -> (Analytics.sqlCorrelated(_, _)),
     "q_sql_setops" -> (Analytics.setOps(_, _)),
     "q_window_running" -> (Analytics.runningWindows(_, _)),
     // — joins (SURVEY §2.4 / testdata surface)
@@ -59,6 +61,8 @@ object SparkEntry {
     // — data quality (SURVEY §2.13)
     "q_quality_unique" -> (Dv3fQueries.qualityUnique(_, _)),
     "q_quality_notnull" -> (Dv3fQueries.qualityNotNull(_, _)),
+    "q_quality_accepted" -> (Dv3fQueries.qualityAcceptedValues(_, _)),
+    "q_quality_relationship" -> (Dv3fQueries.qualityRelationship(_, _)),
     "q_profile" -> (Dv3fQueries.profileOrders(_, _)),
     // — LLM-pipeline: dedup family
     "q_dedup_exact" -> (LlmOps.dedupExact(_, _)),
@@ -258,6 +262,17 @@ object SparkEntry {
     "q_jdbc_scan" -> Connectors.jdbcScanSql,
     "q_orc_scan" -> Connectors.orcScanSql,
     "q_json_scan" -> Connectors.jsonScanSql,
+    "q_sql_cube" -> Analytics.cubeCountsSql,
+    "q_sql_correlated" -> Analytics.sqlCorrelatedSql,
+    "q_quality_accepted" ->
+      """SELECT count(*) AS violations,
+           coalesce(min(o_orderstatus), '') AS first_bad
+         FROM orders WHERE o_orderstatus IS NOT NULL
+           AND o_orderstatus NOT IN ('O', 'F', 'P')""",
+    "q_quality_relationship" ->
+      """SELECT count(*) AS violations FROM lineitem l
+         WHERE l.l_orderkey IS NOT NULL AND NOT EXISTS (
+           SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey)""",
     "q_quality_unique" ->
       """SELECT count(*) AS violations FROM (
            SELECT o_orderkey FROM orders GROUP BY o_orderkey HAVING count(*) > 1)""",

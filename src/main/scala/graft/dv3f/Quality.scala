@@ -33,6 +33,25 @@ object Quality {
     df.filter(col(column).isNotNull &&
       length(col(column).cast("string")) > maxLen).count()
 
+  /** dbt `accepted_values` test: number of non-NULL rows whose value is
+    * outside the allowed set. Map-only (the set is a literal IN list).
+    */
+  def acceptedValuesViolations(df: DataFrame, column: String,
+      allowed: Seq[String]): Long =
+    df.filter(col(column).isNotNull &&
+      !col(column).isin(allowed: _*)).count()
+
+  /** dbt `relationships` test (referential integrity): number of child
+    * rows whose non-NULL foreign key has no match in the parent. ONE
+    * left-anti join on the key — at scale the parent side reduces to its
+    * distinct keys and broadcasts when dimension-sized.
+    */
+  def relationshipViolations(child: DataFrame, fk: String,
+      parent: DataFrame, pk: String): Long =
+    child.filter(col(fk).isNotNull)
+      .join(parent.select(col(pk).as(fk)), Seq(fk), "left_anti")
+      .count()
+
   final case class CheckResult(table: String, column: String,
       check: String, violations: Long) {
     def passed: Boolean = violations == 0

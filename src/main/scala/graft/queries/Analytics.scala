@@ -266,6 +266,43 @@ object Analytics {
       .join(ordersIn(1996), col("c_custkey") === col("o_custkey"), "left_anti")
   }
 
+  /** CUBE grouping (all 4 grouping sets of two dims, vs ROLLUP's 3),
+    * with grouping_id distinguishing the levels — one Expand + one
+    * aggregation, the same single-shuffle shape as rollup.
+    */
+  def cubeCounts(spark: SparkSession, dir: String): DataFrame =
+    Tables.load(spark, dir, "orders")
+      .cube(col("o_orderstatus"), col("o_orderpriority"))
+      .agg(count(lit(1)).as("n"),
+        grouping_id().cast(LongType).as("gid"))
+
+  val cubeCountsSql: String =
+    """SELECT o_orderstatus, o_orderpriority, count(*) AS n,
+      |  CAST(GROUPING(o_orderstatus, o_orderpriority) AS BIGINT) AS gid
+      |FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)""".stripMargin
+
+  /** Correlated scalar subquery (per-row subquery referencing the outer
+    * row): per order, its lineitem count. Catalyst DECORRELATES this
+    * into an aggregate + left join — the plan a hand-written join would
+    * produce, which is exactly why the declarative form is safe at
+    * scale. Integer-exact, so the oracle agrees bit-for-bit.
+    */
+  def sqlCorrelated(spark: SparkSession, dir: String): DataFrame = {
+    Tables.load(spark, dir, "orders").createOrReplaceTempView("orders_v")
+    Tables.load(spark, dir, "lineitem").createOrReplaceTempView("lineitem_v")
+    spark.sql(
+      """SELECT o_orderkey,
+        |  (SELECT count(*) FROM lineitem_v l
+        |   WHERE l.l_orderkey = o.o_orderkey) AS n_items
+        |FROM orders_v o WHERE o_orderkey < 100""".stripMargin)
+  }
+
+  val sqlCorrelatedSql: String =
+    """SELECT o_orderkey,
+      |  (SELECT count(*) FROM lineitem l
+      |   WHERE l.l_orderkey = o.o_orderkey) AS n_items
+      |FROM orders o WHERE o_orderkey < 100""".stripMargin
+
   /** The full ranking-function family beyond row_number, with REAL ties
     * (price bucketed to 10k so rank ≠ dense_rank ≠ row_number):
     * rank/dense_rank/percent_rank/cume_dist over the tie-carrying

@@ -110,6 +110,29 @@ object Dv3fQueries {
     Tables.load(spark, dir, "orders")
       .agg(sum(when(col("o_custkey").isNull, 1L).otherwise(0L)).as("violations"))
 
+  /** dbt `accepted_values` test as a query: orders.o_orderstatus must be
+    * one of O/F/P — per-value violation report (empty when clean) plus
+    * the total, so a dirty value is visible, not just counted. The
+    * grouped shape (vs a bare count) keeps the result deterministic and
+    * diagnosable.
+    */
+  def qualityAcceptedValues(spark: SparkSession, dir: String): DataFrame =
+    Tables.load(spark, dir, "orders")
+      .filter(col("o_orderstatus").isNotNull &&
+        !col("o_orderstatus").isin("O", "F", "P"))
+      .agg(count(lit(1)).as("violations"),
+        coalesce(min(col("o_orderstatus")), lit("")).as("first_bad"))
+
+  /** dbt `relationships` test as a query: every lineitem.l_orderkey must
+    * exist in orders (referential integrity). One anti join on the key.
+    */
+  def qualityRelationship(spark: SparkSession, dir: String): DataFrame =
+    Tables.load(spark, dir, "lineitem")
+      .filter(col("l_orderkey").isNotNull)
+      .join(Tables.load(spark, dir, "orders")
+        .select(col("o_orderkey").as("l_orderkey")), Seq("l_orderkey"), "left_anti")
+      .agg(count(lit(1)).as("violations"))
+
   /** Column profiling over orders — the dbt-test family generalized
     * (one scan for all columns; see Quality.profile).
     */

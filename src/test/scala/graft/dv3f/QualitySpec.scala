@@ -31,6 +31,17 @@ class QualitySpec extends SparkSpec {
     assert(Quality.maxLengthViolations(nums, "annee", 4) == 1)
   }
 
+  test("acceptedValues violations: dbt semantics (NULLs pass, set is literal)") {
+    val df = Seq(Some("O"), Some("F"), Some("X"), Some("Y"), None).toDF("st")
+    assert(Quality.acceptedValuesViolations(df, "st", Seq("O", "F", "P")) == 2)
+  }
+
+  test("relationship violations: orphan foreign keys, NULL fk passes") {
+    val parent = Seq(1L, 2L).toDF("pk")
+    val child = Seq(Some(1L), Some(2L), Some(3L), Some(3L), None).toDF("fk")
+    assert(Quality.relationshipViolations(child, "fk", parent, "pk") == 2)
+  }
+
   test("stagingChecks includes the declared maxLength constraints") {
     val table = Dv3fConfig.staging.head
     val df = Seq(("u1", "2019", "85", "Vendée", "u1cod"))
