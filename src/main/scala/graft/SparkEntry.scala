@@ -58,6 +58,10 @@ object SparkEntry {
     "q_jdbc_scan" -> (Connectors.jdbcScan(_, _)),
     "q_orc_scan" -> (Connectors.orcScan(_, _)),
     "q_json_scan" -> (Connectors.jsonScan(_, _)),
+    // — physical-layout surface through the gate (skew/layout/bucketing)
+    "q_skew_salted_agg" -> (Physical.saltedAgg(_, _)),
+    "q_layout_pruned_scan" -> (Physical.partitionPrunedScan(_, _)),
+    "q_bucketed_join" -> (Physical.bucketedJoin(_, _)),
     // — data quality (SURVEY §2.13)
     "q_quality_unique" -> (Dv3fQueries.qualityUnique(_, _)),
     "q_quality_notnull" -> (Dv3fQueries.qualityNotNull(_, _)),
@@ -262,6 +266,9 @@ object SparkEntry {
     "q_jdbc_scan" -> Connectors.jdbcScanSql,
     "q_orc_scan" -> Connectors.orcScanSql,
     "q_json_scan" -> Connectors.jsonScanSql,
+    "q_skew_salted_agg" -> Physical.saltedAggSql,
+    "q_layout_pruned_scan" -> Physical.partitionPrunedScanSql,
+    "q_bucketed_join" -> Physical.bucketedJoinSql,
     "q_sql_cube" -> Analytics.cubeCountsSql,
     "q_sql_correlated" -> Analytics.sqlCorrelatedSql,
     "q_quality_accepted" ->

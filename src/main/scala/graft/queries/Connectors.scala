@@ -21,17 +21,9 @@ import org.apache.spark.sql.functions._
   */
 object Connectors {
 
-  private val pid = ProcessHandle.current().pid()
-
-  private def tmp(name: String, dir: String): String =
-    new java.io.File(sys.props("java.io.tmpdir"),
-      s"graft_${name}_${pid}_${Integer.toHexString(dir.hashCode)}").getAbsolutePath
-
-  // one-time-per-JVM export guard (thread-safe; keyed by staging path)
-  private val staged = scala.collection.mutable.Set.empty[String]
-  private def stageOnce(key: String)(write: => Unit): Unit = synchronized {
-    if (!staged.contains(key)) { write; staged += key }
-  }
+  import graft.ops.StageOnce.{pid, tmp}
+  private def stageOnce(key: String)(write: => Unit): Unit =
+    graft.ops.StageOnce(key)(write)
 
   private def nationAgg(df: DataFrame): DataFrame =
     df.groupBy(col("n_regionkey"))

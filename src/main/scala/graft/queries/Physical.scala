@@ -1,0 +1,90 @@
+package graft.queries
+
+import graft.Tables
+import graft.ops.{Bucketing, Layout, Skew, StageOnce}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Physical-layout query surface: the skew / layout / bucketing
+  * operators exercised through the DRIVER GATE, not only specs. All
+  * three are semantics-preserving physical rewrites, so each has an
+  * ordinary SQL oracle — the gate proves the rewritten plan computes
+  * the same relation while the plan-asserting specs (SkewSpec,
+  * LayoutSpec, BucketingSpec) prove the physical shape.
+  */
+object Physical {
+
+  /** Salted two-phase aggregation over orders (hot-key defense): result
+    * must equal the plain GROUP BY — the salt only spreads phase 1.
+    */
+  def saltedAgg(spark: SparkSession, dir: String): DataFrame =
+    Skew.saltedAggregate(
+      Tables.load(spark, dir, "orders"),
+      Seq("o_orderpriority"), saltBuckets = 8,
+      partials = scala.collection.immutable.ListMap(
+        "n" -> (count(lit(1)), (c: Column) => sum(c)),
+        "sales_usd" -> (sum(col("o_totalprice").cast(DecimalType(18, 2))),
+          (c: Column) => sum(c).cast(DoubleType))))
+
+  val saltedAggSql: String =
+    """SELECT o_orderpriority, count(*) AS n,
+      |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sales_usd
+      |FROM orders GROUP BY o_orderpriority""".stripMargin
+
+  /** Hive-partitioned write → pruned read: orders laid out by
+    * o_orderstatus (once per JVM), then scanned with a partition filter
+    * — planning-time pruning reads ONLY the matching directory. The
+    * oracle filters the unpartitioned original, so layout round-trip
+    * AND filter semantics are both checked.
+    */
+  def partitionPrunedScan(spark: SparkSession, dir: String): DataFrame = {
+    val out = StageOnce.tmp("part_orders", dir)
+    StageOnce(out) {
+      Layout.writePartitioned(Tables.load(spark, dir, "orders"), out, "o_orderstatus")
+    }
+    spark.read.parquet(out)
+      .filter(col("o_orderstatus") === "F")
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("o_totalprice").cast(DecimalType(18, 2)))
+          .cast(DoubleType).as("sales_usd"))
+  }
+
+  val partitionPrunedScanSql: String =
+    """SELECT o_orderpriority, count(*) AS n,
+      |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sales_usd
+      |FROM orders WHERE o_orderstatus = 'F' GROUP BY o_orderpriority""".stripMargin
+
+  /** Bucketed co-located join: both sides written bucketBy+sortBy on the
+    * join key (once per JVM), joined with ZERO exchanges on the join
+    * itself (BucketingSpec asserts the plan). The oracle is the plain
+    * join — identical relation, shuffle-free plan.
+    */
+  def bucketedJoin(spark: SparkSession, dir: String): DataFrame = {
+    StageOnce(s"bucketed_join_${dir.hashCode}") {
+      val wh = StageOnce.tmp("bucket_wh", dir)
+      Bucketing.writeBucketed(spark,
+        Tables.load(spark, dir, "orders").select("o_orderkey", "o_orderpriority"),
+        "bj_orders", "o_orderkey", 8, s"$wh/bj_orders")
+      Bucketing.writeBucketed(spark,
+        Tables.load(spark, dir, "lineitem")
+          .select("l_orderkey", "l_extendedprice", "l_discount"),
+        "bj_lineitem", "l_orderkey", 8, s"$wh/bj_lineitem")
+    }
+    Bucketing.coLocatedJoin(spark, "bj_orders", "bj_lineitem",
+      "o_orderkey", "l_orderkey")
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_items"),
+        sum(col("l_extendedprice").cast(DecimalType(18, 2)) *
+          (lit(1).cast(DecimalType(18, 2)) - col("l_discount").cast(DecimalType(18, 2))))
+          .cast(DoubleType).as("revenue"))
+  }
+
+  val bucketedJoinSql: String =
+    """SELECT o_orderpriority, count(*) AS n_items,
+      |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) *
+      |    (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
+      |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+      |GROUP BY o_orderpriority""".stripMargin
+}
