@@ -106,6 +106,7 @@ object SparkEntry {
     // — time-series: as-of join, resample/gap-fill, histogram
     "q_asof_join" -> (Events.asofPurchase(_, _)),
     "q_asof_join_native" -> (Events.asofPurchaseNative(_, _)),
+    "q_asof_join_forward" -> (Events.asofNextPurchase(_, _)),
     "q_resample_1d" -> (Events.resampleDaily(_, _)),
     "q_histogram" -> (Analytics.histogram(_, _)),
     // — streaming operators, batch faces (unified API; streaming runs of
@@ -330,6 +331,7 @@ object SparkEntry {
     "q_window_range_7d" -> Events.rolling7dSql,
     "q_asof_join" -> Events.asofPurchaseSql,
     "q_asof_join_native" -> Events.asofPurchaseSql,
+    "q_asof_join_forward" -> Events.asofNextPurchaseSql,
     "q_resample_1d" -> Events.resampleDailySql,
     "q_histogram" ->
       """SELECT CAST(floor(l_extendedprice/1000)*1000 AS BIGINT) AS bucket_lo,

@@ -52,4 +52,28 @@ object AsofJoin {
     }
     filled.filter(col(marker) === 1).drop(marker)
   }
+
+  /** FORWARD as-of join: for every left row, the most IMMINENT right row
+    * with `right.ts >= left.ts` (inclusive) within the same key — "next
+    * observation at-or-after", the mirror of [[asofLeft]] (pandas
+    * `merge_asof(direction='forward')`). Same single-shuffle running-
+    * window formulation, just ordered by ts DESC; right still sorts
+    * before left at equal ts, which keeps the match inclusive.
+    */
+  def asofLeftForward(left: DataFrame, right: DataFrame, key: String,
+      ts: String, valueCols: Seq[String]): DataFrame = {
+    require(valueCols.nonEmpty, "asofLeftForward needs at least one right value column")
+    val marker = "__asof_is_left"
+    val l = left.withColumn(marker, lit(1))
+    val r = right.select((key +: ts +: valueCols).map(col): _*)
+      .withColumn(marker, lit(0))
+    val unioned = l.unionByName(r, allowMissingColumns = true)
+    val w = Window.partitionBy(col(key))
+      .orderBy(col(ts).desc, col(marker).asc)
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val filled = valueCols.foldLeft(unioned) { (d, v) =>
+      d.withColumn(v, last(col(v), ignoreNulls = true).over(w))
+    }
+    filled.filter(col(marker) === 1).drop(marker)
+  }
 }

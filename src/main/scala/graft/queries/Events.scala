@@ -53,6 +53,22 @@ object Events {
       Seq("last_purchase_value"))
   }
 
+  /** FORWARD as-of: every click joined to the user's NEXT purchase
+    * at-or-after it (ops.AsofJoin.asofLeftForward — the
+    * direction='forward' face). Oracle uses DuckDB's ASOF with the
+    * inequality flipped.
+    */
+  def asofNextPurchase(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.loadEvents(spark, dir)
+    val clicks = ev.filter(col("event_type") === "click")
+      .select("event_id", "user_id", "ts")
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .groupBy(col("user_id"), col("ts"))
+      .agg(max(col("value")).as("next_purchase_value"))
+    graft.ops.AsofJoin.asofLeftForward(clicks, purchases, "user_id", "ts",
+      Seq("next_purchase_value"))
+  }
+
   /** Same as-of semantics through the native physical operator
     * (graft.plans.AsofJoinExec) — a second, independent implementation
     * checked against the same DuckDB ASOF LEFT JOIN oracle.
@@ -172,6 +188,21 @@ object Events {
       |SELECT c.event_id, c.user_id, c.ts, p.last_purchase_value
       |FROM clicks c ASOF LEFT JOIN p
       |  ON c.user_id = p.user_id AND c.ts >= p.ts""".stripMargin
+
+  /** Independent formulation (correlated min-ts lookup) rather than
+    * DuckDB ASOF — definitionally "the next purchase at-or-after", so
+    * the window-trick implementation is checked against first
+    * principles, not a twin operator.
+    */
+  val asofNextPurchaseSql: String =
+    """WITH clicks AS (SELECT event_id, user_id, ts::TIMESTAMP AS ts
+      |  FROM events WHERE event_type = 'click'),
+      |p AS (SELECT user_id, ts::TIMESTAMP AS ts, max(value) AS v
+      |  FROM events WHERE event_type = 'purchase' GROUP BY 1, 2)
+      |SELECT c.event_id, c.user_id, c.ts,
+      |  (SELECT v FROM p WHERE p.user_id = c.user_id AND p.ts >= c.ts
+      |   ORDER BY p.ts LIMIT 1) AS next_purchase_value
+      |FROM clicks c""".stripMargin
 
   val resampleDailySql: String =
     """WITH d AS (SELECT event_type, ts::DATE AS day, count(*) AS n

@@ -33,6 +33,19 @@ class AsofJoinSpec extends SparkSpec {
     assert(run.length == left.count())
   }
 
+  test("asofLeftForward picks the earliest right row at-or-after each left ts") {
+    val got = AsofJoin.asofLeftForward(left, right, "k", "t", Seq("v"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getString(2),
+        Option(r.get(3)).map(_.asInstanceOf[Double])))
+      .sortBy(r => (r._1, r._2))
+    assert(got.toSeq == Seq(
+      ("a", 5L, "l0", Some(1.0)),     // next at-or-after 5 is 10
+      ("a", 10L, "l1", Some(1.0)),    // equal ts is inclusive
+      ("a", 20L, "l2", None),         // nothing after 20
+      ("b", 7L, "l3", None),          // b's only right row is before
+      ("c", 1L, "l4", None)))
+  }
+
   test("null right values are carried over (treated as no observation)") {
     val r2 = Seq(("a", 8L, Some(9.0)), ("a", 12L, Option.empty[Double]))
       .toDF("k", "t", "v")
