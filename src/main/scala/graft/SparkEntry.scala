@@ -107,6 +107,7 @@ object SparkEntry {
     "q_asof_join" -> (Events.asofPurchase(_, _)),
     "q_asof_join_native" -> (Events.asofPurchaseNative(_, _)),
     "q_asof_join_forward" -> (Events.asofNextPurchase(_, _)),
+    "q_range_join_sessions" -> (Events.eventSessionAssign(_, _)),
     "q_resample_1d" -> (Events.resampleDaily(_, _)),
     "q_histogram" -> (Analytics.histogram(_, _)),
     // — streaming operators, batch faces (unified API; streaming runs of
@@ -332,6 +333,7 @@ object SparkEntry {
     "q_asof_join" -> Events.asofPurchaseSql,
     "q_asof_join_native" -> Events.asofPurchaseSql,
     "q_asof_join_forward" -> Events.asofNextPurchaseSql,
+    "q_range_join_sessions" -> Events.eventSessionAssignSql,
     "q_resample_1d" -> Events.resampleDailySql,
     "q_histogram" ->
       """SELECT CAST(floor(l_extendedprice/1000)*1000 AS BIGINT) AS bucket_lo,

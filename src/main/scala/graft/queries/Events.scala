@@ -107,6 +107,35 @@ object Events {
         coalesce(col("n"), lit(0L)).as("n"))
   }
 
+  /** Interval join through the binned equi-join formulation
+    * (ops.RangeJoin): every event assigned to its user's session
+    * interval, aggregated back to per-session counts — which must equal
+    * the session sizes the sessionizer itself reported, and the oracle
+    * recomputes the whole thing with a plain BETWEEN join. Exercises a
+    * LARGE×LARGE range join (events × sessions both scale with data; no
+    * broadcast).
+    */
+  def eventSessionAssign(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.loadEvents(spark, dir)
+    val sessions = EventStreams.sessionizeBatch(ev).drop("n_events")
+    graft.ops.RangeJoin.binnedIntervalJoin(
+      ev.select(col("event_id"), col("user_id"), col("ts")),
+      sessions, "user_id", "ts", "session_start", "session_end",
+      binSeconds = 3600)
+      .groupBy(col("user_id"), col("session_start"))
+      .agg(count(lit(1)).as("n_assigned"))
+  }
+
+  lazy val eventSessionAssignSql: String =
+    s"""WITH $sessionCte,
+       |sess AS (SELECT user_id, min(ts) AS session_start, max(ts) AS session_end
+       |  FROM s GROUP BY user_id, sess_id)
+       |SELECT iv.user_id, iv.session_start, count(*) AS n_assigned
+       |FROM (SELECT user_id, ts::TIMESTAMP AS ts FROM events) pt
+       |JOIN sess iv ON pt.user_id = iv.user_id
+       |  AND pt.ts BETWEEN iv.session_start AND iv.session_end
+       |GROUP BY 1, 2""".stripMargin
+
   /** RANGE-frame rolling window (vs the ROWS frames elsewhere): 7-day
     * rolling event count and value sum per type over the daily
     * aggregate. RANGE frames bound by VALUE distance (here: integer day
