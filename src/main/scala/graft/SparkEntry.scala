@@ -77,6 +77,7 @@ object SparkEntry {
     "q_dedup_simhash_pairs" -> (LlmOps.simhashPairs(_, _)),
     "q_corpus_clean" -> (LlmOps.corpusClean(_, _)),
     "q_dedup_spans" -> (LlmOps.duplicateSpans(_, _)),
+    "q_decontaminate" -> (LlmOps.decontaminate(_, _)),
     "q_dedup_incr_exact" -> (LlmOps.dedupIncrementalExact(_, _)),
     "q_dedup_incr_lsh" -> (LlmOps.dedupIncrementalLsh(_, _)),
     "q_vocab_topk" -> (LlmOps.vocabTopK(_, _)),
@@ -298,6 +299,7 @@ object SparkEntry {
     "q_dedup_simhash_pairs" -> LlmOps.simhashPairsSql,
     "q_corpus_clean" -> LlmOps.corpusCleanSql,
     "q_dedup_spans" -> LlmOps.duplicateSpansSql,
+    "q_decontaminate" -> LlmOps.decontaminateSql,
     "q_dedup_incr_exact" -> LlmOps.dedupIncrementalExactSql,
     "q_dedup_incr_lsh" -> LlmOps.dedupIncrementalLshSql,
     "q_vocab_topk" -> LlmOps.vocabTopKSql,

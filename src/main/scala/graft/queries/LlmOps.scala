@@ -97,6 +97,41 @@ object LlmOps {
         min(col("doc_id")).as("first_doc"), max(col("doc_id")).as("last_doc"))
       .filter(col("n_docs") >= 2)
 
+  /** Eval-set DECONTAMINATION: corpus documents sharing ≥ `minShared`
+    * token 8-grams with the eval set (doc_id % 50 == 0 stands in for a
+    * held-out benchmark) — the pre-training hygiene step that keeps
+    * test data out of the training corpus. Shape at 100 TB: the eval
+    * side reduces to a DISTINCT set of 8-byte shingle hashes (tiny —
+    * benchmarks are small) which Spark auto-broadcasts, so the corpus
+    * is scanned once, map-side filtered against the broadcast set, and
+    * only matching (doc, hash) rows reach the one aggregation.
+    */
+  def decontaminate(spark: SparkSession, dir: String,
+      n: Int = 8, minShared: Long = 2): DataFrame = {
+    val sh = Tables.load(spark, dir, "documents")
+      .select(col("doc_id"), explode(Dedup.shingles(col("text"), n)).as("sh"))
+      .select(col("doc_id"), Dedup.hash60(col("sh")).as("h"))
+    val evalSet = sh.filter(col("doc_id") % 50 === 0).select("h").distinct()
+    sh.filter(col("doc_id") % 50 =!= 0)
+      .join(evalSet, Seq("h"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+  }
+
+  val decontaminateSql: String =
+    """WITH toks AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS t
+      |  FROM documents),
+      |sh AS (SELECT DISTINCT doc_id,
+      |  ('0x' || substr(md5(unnest([array_to_string(t[i:i+7], ' ')
+      |     for i in range(1, len(t)-6)])), 1, 15))::BIGINT AS h
+      |  FROM toks WHERE len(t) >= 8),
+      |e AS (SELECT DISTINCT h FROM sh WHERE doc_id % 50 = 0),
+      |c AS (SELECT doc_id, h FROM sh WHERE doc_id % 50 <> 0)
+      |SELECT c.doc_id, count(*) AS n_shared
+      |FROM c JOIN e USING (h)
+      |GROUP BY 1 HAVING count(*) >= 2""".stripMargin
+
   /** Corpus vocabulary: global top-100 tokens by document frequency —
     * the vocab/stopword-discovery op. TakeOrderedAndProject keeps k per
     * partition; ties broken by token for determinism.
