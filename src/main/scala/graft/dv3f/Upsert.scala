@@ -50,7 +50,12 @@ object Upsert {
     val merged =
       if (!fs.exists(target)) aligned
       else {
-        val existing = spark.read.parquet(targetPath)
+        // Align the EXISTING side to the declared schema as well: when
+        // the table declaration evolves (the reference's API adds an
+        // indicator column some year), rows written under the old schema
+        // read back NULL in the new column and dropped columns vanish —
+        // the declared schema is the contract, for both sides.
+        val existing = alignByName(spark.read.parquet(targetPath), table)
         // keep existing rows whose key is NOT in the batch, then add the
         // batch. broadcast(new side) => no shuffle of the big target.
         existing.join(broadcast(aligned.select(key)), Seq(key), "left_anti")

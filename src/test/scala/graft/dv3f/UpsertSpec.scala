@@ -66,6 +66,25 @@ class UpsertSpec extends SparkSpec {
     assert(checks.forall(_.passed), checks.filterNot(_.passed).mkString(", "))
   }
 
+  test("declared-schema evolution: old rows read NULL in a newly added column") {
+    val dir = freshDir()
+    Upsert.upsertByName(spark, dir, staged, Dv3fConfig.departement)
+    // the declaration evolves — the API ships a new id column this year
+    val evolved = Dv3fConfig.departement.copy(
+      idVars = Dv3fConfig.departement.idVars :+ "insee_new")
+    val batch = staged.limit(1)
+      .withColumn("uid", lit("evolved-row"))
+      .withColumn("insee_new", lit("v2"))
+    Upsert.upsertByName(spark, dir, batch, evolved)
+    val out = spark.read.parquet(dir)
+    assert(out.count() === 4)
+    assert(out.columns.contains("insee_new"))
+    // pre-evolution rows carry NULL in the new column; the new row its value
+    assert(out.filter(col("insee_new").isNull).count() === 3)
+    assert(out.filter(col("uid") === "evolved-row")
+      .select("insee_new").collect()(0).getString(0) === "v2")
+  }
+
   test("partitioned upsert touches only the batch's partitions") {
     import org.apache.spark.sql.functions.col
     import spark.implicits._
