@@ -76,6 +76,7 @@ object SparkEntry {
     "q_dedup_simhash" -> (LlmOps.simhashSignatures(_, _)),
     "q_dedup_simhash_pairs" -> (LlmOps.simhashPairs(_, _)),
     "q_corpus_clean" -> (LlmOps.corpusClean(_, _)),
+    "q_prepare_corpus" -> (LlmOps.prepareCorpus(_, _)),
     "q_dedup_spans" -> (LlmOps.duplicateSpans(_, _)),
     "q_decontaminate" -> (LlmOps.decontaminate(_, _)),
     "q_dedup_incr_exact" -> (LlmOps.dedupIncrementalExact(_, _)),
@@ -298,6 +299,7 @@ object SparkEntry {
     "q_dedup_minhash_lsh" -> LlmOps.minhashLshSql,
     "q_dedup_simhash_pairs" -> LlmOps.simhashPairsSql,
     "q_corpus_clean" -> LlmOps.corpusCleanSql,
+    "q_prepare_corpus" -> LlmOps.prepareCorpusSql,
     "q_dedup_spans" -> LlmOps.duplicateSpansSql,
     "q_decontaminate" -> LlmOps.decontaminateSql,
     "q_dedup_incr_exact" -> LlmOps.dedupIncrementalExactSql,

@@ -297,6 +297,46 @@ object LlmOps {
         sum(col("n_tokens")).cast("long").as("total_tokens"))
   }
 
+  /** The END-TO-END corpus preparation pipeline — the library's
+    * operators composed the way a pre-training data job runs them:
+    * persisted dedup artifacts (exact keepers, LSH losers) ∘ eval-set
+    * decontamination ∘ quality gates ∘ deterministic train/val/test
+    * split → per-split doc and token budgets. Per-query work after the
+    * artifacts: one narrow stats scan, three id-only semi/anti joins
+    * (all broadcastable), the decontamination map-side overlap, and one
+    * aggregation.
+    */
+  def prepareCorpus(spark: SparkSession, dir: String): DataFrame = {
+    val art = dedupArtifacts(spark, dir)
+    val contaminated = decontaminate(spark, dir).select("doc_id")
+    val cleaned = spark.read.parquet(s"$art/stats")
+      .join(spark.read.parquet(s"$art/keepers"), Seq("doc_id"), "left_semi")
+      .join(spark.read.parquet(s"$art/losers"), Seq("doc_id"), "left_anti")
+      .join(contaminated, Seq("doc_id"), "left_anti")
+      .filter(col("n_tokens") >= 5 && col("alpha_ratio") > 0.5)
+    graft.ops.Sampling.assignSplit(cleaned, col("doc_id"))
+      .groupBy(col("split"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).cast("long").as("total_tokens"))
+  }
+
+  lazy val prepareCorpusSql: String =
+    s"""WITH stats AS (SELECT * FROM ($textStatsSql)),
+       |keep AS (SELECT min(doc_id) AS doc_id FROM documents GROUP BY sha256(text)),
+       |losers AS (SELECT DISTINCT doc_b AS doc_id FROM ($minhashLshSql)),
+       |cont AS (SELECT doc_id FROM ($decontaminateSql)),
+       |cleaned AS (
+       |  SELECT stats.doc_id, n_tokens,
+       |    ('0x' || substr(md5(CAST(stats.doc_id AS VARCHAR)), 1, 15))::BIGINT % 100 AS b
+       |  FROM stats JOIN keep USING (doc_id)
+       |  WHERE stats.doc_id NOT IN (SELECT doc_id FROM losers)
+       |    AND stats.doc_id NOT IN (SELECT doc_id FROM cont)
+       |    AND n_tokens >= 5 AND alpha_ratio > 0.5)
+       |SELECT CASE WHEN b < 80 THEN 'train' WHEN b < 90 THEN 'val'
+       |  ELSE 'test' END AS split,
+       |  count(*) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS total_tokens
+       |FROM cleaned GROUP BY 1""".stripMargin
+
   // ----------------------------------------------------------- multimodal
 
   def multimodalMeta(spark: SparkSession, dir: String): DataFrame =
