@@ -48,6 +48,26 @@ class PackingStreamSpec extends SparkSpec {
     assert(got.nonEmpty)
   }
 
+  test("noveltyGate: stream-static anti join passes only unseen content") {
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.functions.col
+    val corpus = Seq((1L, "seen before"), (2L, "also known"))
+      .toDF("doc_id", "text")
+    val mem = MemoryStream[(Long, String)]
+    val q = CorpusStream.noveltyGate(mem.toDF().toDF("doc_id", "text"), corpus)
+      .writeStream.format("memory").queryName("novel_out")
+      .outputMode("append").start()
+    try {
+      mem.addData((10L, "seen before"), (11L, "fresh content"))
+      q.processAllAvailable()
+      mem.addData((12L, "also known"), (13L, "more new text"))
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.table("novel_out").select(col("doc_id"))
+      .collect().map(_.getLong(0)).sorted
+    assert(got.toSeq == Seq(11L, 13L))
+  }
+
   test("checkpointed restart carries the per-shard totals exactly once") {
     implicit val sqlCtx = spark.sqlContext
     val budget = 1000
