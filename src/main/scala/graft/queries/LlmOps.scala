@@ -268,6 +268,10 @@ object LlmOps {
         // narrow row per doc), not something to recompute per query
         TextAnalysis.analyzeDocuments(spark, dir)
           .write.mode("overwrite").parquet(s"$out/stats")
+        // so is the decontamination verdict: the eval set changes rarely,
+        // the corpus-vs-eval overlap is recomputed when either does
+        decontaminate(spark, dir).select("doc_id")
+          .write.mode("overwrite").parquet(s"$out/contaminated")
         CacheBin.releaseAll() // drop the LSH pipeline's internal caches
         prepared += out
       }
@@ -308,7 +312,7 @@ object LlmOps {
     */
   def prepareCorpus(spark: SparkSession, dir: String): DataFrame = {
     val art = dedupArtifacts(spark, dir)
-    val contaminated = decontaminate(spark, dir).select("doc_id")
+    val contaminated = spark.read.parquet(s"$art/contaminated")
     val cleaned = spark.read.parquet(s"$art/stats")
       .join(spark.read.parquet(s"$art/keepers"), Seq("doc_id"), "left_semi")
       .join(spark.read.parquet(s"$art/losers"), Seq("doc_id"), "left_anti")
