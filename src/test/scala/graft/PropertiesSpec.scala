@@ -96,6 +96,65 @@ class PropertiesSpec extends SparkSpec {
     }
   }
 
+  test("property: asofLeftForward ≡ brute-force earliest-at-or-after per key") {
+    val row = for {
+      k <- Gen.oneOf("a", "b", "c")
+      t <- Gen.choose(0L, 20L)
+    } yield (k, t)
+    val gen = for {
+      ls <- Gen.listOfN(12, row)
+      rs <- Gen.listOfN(12, row)
+    } yield (ls.distinct, rs.distinct.map { case (k, t) => (k, t, k.hashCode + t) })
+    forAllSeeded(gen, n = 12) { case (ls, rs) =>
+      val left = ls.toDF("k", "t")
+      val right = rs.toDF("k", "t", "v")
+      val got = graft.ops.AsofJoin.asofLeftForward(left, right, "k", "t", Seq("v"))
+        .collect()
+        .map(r => (r.getString(0), r.getLong(1),
+          Option(r.get(2)).map(_.asInstanceOf[Long])))
+        .sortBy(r => (r._1, r._2)).toSeq
+      val want = ls.sorted.map { case (k, t) =>
+        val m = rs.filter(r => r._1 == k && r._2 >= t)
+        (k, t, m.sortBy(_._2).headOption.map(_._3))
+      }
+      assert(got == want)
+    }
+  }
+
+  test("property: binnedIntervalJoin ≡ brute-force BETWEEN join, any bin width") {
+    val gen = for {
+      pts <- Gen.listOfN(15, for {
+        k <- Gen.oneOf("a", "b")
+        t <- Gen.choose(0L, 100L)
+      } yield (k, t))
+      ivs <- Gen.listOfN(6, for {
+        k <- Gen.oneOf("a", "b")
+        lo <- Gen.choose(0L, 90L)
+        len <- Gen.choose(0L, 40L)
+      } yield (k, lo, lo + len))
+      bin <- Gen.oneOf(1L, 7L, 10L, 64L)
+    } yield (pts.distinct, ivs.distinct, bin)
+    forAllSeeded(gen, n = 12) { case (pts, ivs, bin) =>
+      val points = pts.map { case (k, t) => (k, new java.sql.Timestamp(t * 1000)) }
+        .toDF("k", "t")
+      val intervals = ivs.map { case (k, lo, hi) =>
+        (k, new java.sql.Timestamp(lo * 1000), new java.sql.Timestamp(hi * 1000))
+      }.toDF("k", "lo", "hi")
+      val got = graft.ops.RangeJoin
+        .binnedIntervalJoin(points, intervals, "k", "t", "lo", "hi", bin)
+        .collect()
+        .map(r => (r.getString(0), r.getTimestamp(1).getTime / 1000,
+          r.getTimestamp(2).getTime / 1000, r.getTimestamp(3).getTime / 1000))
+        .sorted.toSeq
+      val want = (for {
+        (pk, pt) <- pts
+        (ik, lo, hi) <- ivs
+        if pk == ik && pt >= lo && pt <= hi
+      } yield (pk, pt, lo, hi)).sorted
+      assert(got == want)
+    }
+  }
+
   test("property: SimHash60 ≡ HOF vote-loop formulation") {
     def hofSimHash(c: org.apache.spark.sql.Column) = {
       val hs = transform(split(trim(c), "\\s+"),
