@@ -31,6 +31,33 @@ class ConnectorsSpec extends SparkSpec {
     assert(asMap(Connectors.jsonScan(spark, sf)) == viaCsv)
   }
 
+  test("csv malformed rows: PERMISSIVE captures, FAILFAST raises, DROPMALFORMED skips") {
+    import org.apache.spark.sql.types._
+    val dir = java.nio.file.Files.createTempDirectory("csv_bad").toString
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(s"$dir/x.csv"),
+      "1,alpha\nnot_a_number,beta\n3,gamma\n")
+    val schema = StructType(Seq(StructField("id", LongType),
+      StructField("name", StringType), StructField("_corrupt", StringType)))
+    // PERMISSIVE (default): bad row lands with NULL id + raw line captured
+    val permissive = spark.read.schema(schema)
+      .option("columnNameOfCorruptRecord", "_corrupt").csv(dir)
+    val rows = permissive.collect().sortBy(r => Option(r.getString(1)).getOrElse(""))
+    assert(rows.length == 3)
+    val bad = permissive.filter(org.apache.spark.sql.functions.col("_corrupt").isNotNull)
+      .collect()
+    assert(bad.length == 1 && bad(0).getString(2).startsWith("not_a_number"))
+    // DROPMALFORMED: bad row silently skipped (bare schema — with a
+    // corrupt-record column declared, the row is representable and kept)
+    assert(spark.read.schema(StructType(schema.fields.dropRight(1)))
+      .option("mode", "DROPMALFORMED").csv(dir).count() == 2)
+    // FAILFAST: the batch dies loudly instead of loading garbage
+    intercept[org.apache.spark.SparkException] {
+      spark.read
+        .schema(StructType(schema.fields.dropRight(1)))
+        .option("mode", "FAILFAST").csv(dir).collect()
+    }
+  }
+
   test("jdbc scan reads through >1 range-bounded partition") {
     val df = Connectors.jdbcScan(spark, sf)
     // the scan under the aggregate: JDBCRelation with numPartitions=4
