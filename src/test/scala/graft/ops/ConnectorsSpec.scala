@@ -46,10 +46,12 @@ class ConnectorsSpec extends SparkSpec {
     val bad = permissive.filter(org.apache.spark.sql.functions.col("_corrupt").isNotNull)
       .collect()
     assert(bad.length == 1 && bad(0).getString(2).startsWith("not_a_number"))
-    // DROPMALFORMED: bad row silently skipped (bare schema — with a
-    // corrupt-record column declared, the row is representable and kept)
+    // DROPMALFORMED: bad row silently skipped. Two subtleties pinned
+    // here: a declared corrupt-record column keeps rows representable
+    // (so use the bare schema), and count() prunes every column so the
+    // parser never sees the bad field — materialize to apply the mode.
     assert(spark.read.schema(StructType(schema.fields.dropRight(1)))
-      .option("mode", "DROPMALFORMED").csv(dir).count() == 2)
+      .option("mode", "DROPMALFORMED").csv(dir).collect().length == 2)
     // FAILFAST: the batch dies loudly instead of loading garbage
     intercept[org.apache.spark.SparkException] {
       spark.read
