@@ -39,6 +39,7 @@ object SparkEntry {
     "q_join_nation_region" -> (Analytics.joinNationRegion(_, _)),
     "q_join_orders_lineitem" -> (Analytics.joinOrdersLineitem(_, _)),
     "q_join_5way" -> (Analytics.revenueByNation(_, _)),
+    "q_shipping_priority" -> (Analytics.shippingPriority(_, _)),
     "q_join_semi_anti" -> (Analytics.churnedCustomers(_, _)),
     "q_join_bloom_prune" -> (Analytics.bloomSemiRevenue(_, _)),
     // — windows / percentiles (extension surface, SURVEY §2.7)
@@ -273,6 +274,7 @@ object SparkEntry {
     "q_skew_salted_agg" -> Physical.saltedAggSql,
     "q_layout_pruned_scan" -> Physical.partitionPrunedScanSql,
     "q_bucketed_join" -> Physical.bucketedJoinSql,
+    "q_shipping_priority" -> Analytics.shippingPrioritySql,
     "q_sql_cube" -> Analytics.cubeCountsSql,
     "q_sql_correlated" -> Analytics.sqlCorrelatedSql,
     "q_quality_accepted" ->

@@ -251,6 +251,46 @@ object Analytics {
       .agg(sum(col("rev")).cast(DoubleType).as("revenue"))
   }
 
+  /** TPC-H Q3-shaped shipping-priority query: top-10 undelivered orders
+    * by revenue for one market segment (o_orderpriority standing in for
+    * the fixture-absent ship priority) — two fact joins with BOTH date
+    * filters pushed into their scans, exact-decimal revenue, and a
+    * TakeOrderedAndProject for the top-k (per-partition k, no global
+    * sort materialization). Tie-broken by order key for cross-engine
+    * determinism.
+    */
+  def shippingPriority(spark: SparkSession, dir: String): DataFrame = {
+    val customer = Tables.load(spark, dir, "customer")
+      .filter(col("c_mktsegment") === "BUILDING").select("c_custkey")
+    val orders = Tables.load(spark, dir, "orders")
+      .filter(col("o_orderdate") < lit("1995-03-15"))
+      .select("o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority")
+    val lineitem = Tables.load(spark, dir, "lineitem")
+      .filter(col("l_shipdate") > lit("1995-03-15"))
+      .select(col("l_orderkey"),
+        (col("l_extendedprice").cast(DecimalType(18, 2)) *
+          (lit(1).cast(DecimalType(18, 2)) - col("l_discount").cast(DecimalType(18, 2))))
+          .as("rev"))
+    orders
+      .join(customer, col("o_custkey") === col("c_custkey"), "left_semi")
+      .join(lineitem, col("o_orderkey") === col("l_orderkey"))
+      .groupBy(col("o_orderkey"), col("o_orderdate"), col("o_orderpriority"))
+      .agg(sum(col("rev")).cast(DoubleType).as("revenue"))
+      .orderBy(col("revenue").desc, col("o_orderkey"))
+      .limit(10)
+  }
+
+  val shippingPrioritySql: String =
+    """SELECT o_orderkey, o_orderdate, o_orderpriority,
+      |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) *
+      |    (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
+      |FROM customer, orders, lineitem
+      |WHERE c_mktsegment = 'BUILDING' AND c_custkey = o_custkey
+      |  AND l_orderkey = o_orderkey
+      |  AND o_orderdate < DATE '1995-03-15' AND l_shipdate > DATE '1995-03-15'
+      |GROUP BY o_orderkey, o_orderdate, o_orderpriority
+      |ORDER BY revenue DESC, o_orderkey LIMIT 10""".stripMargin
+
   /** Semi/anti join surface as an explicit query: customers active in
     * 1995 that churned in 1996 (EXISTS ∧ NOT EXISTS). Both sides reduce
     * to ONE shuffle each on the join key and carry no payload columns.
