@@ -258,6 +258,11 @@ class Dv3fPartitionReader(fetcher: PageFetcher, scope: String, code: String,
         .map(obj.get).find(n => n != null && !n.isNull).map(_.asText).orNull
       obj.fields().asScala
         .filterNot(e => Dv3fSource.idFields.contains(e.getKey))
+        // metric fields are numeric (or null) in the API contract; a
+        // string or nested-object field must be SKIPPED, not silently
+        // coerced to 0.0 by asDouble — one malformed indicator should
+        // drop that cell, not fabricate a value
+        .filter(e => e.getValue == null || e.getValue.isNull || e.getValue.isNumber)
         .map { e =>
           val v = e.getValue
           val row = new GenericInternalRow(fieldIdx.length)

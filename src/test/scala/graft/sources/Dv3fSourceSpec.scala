@@ -97,6 +97,16 @@ class Dv3fSourceSpec extends SparkSpec {
       s"$base/departement?code=85&page=2"))
   }
 
+  test("non-numeric metric fields are skipped, not coerced to 0.0") {
+    val dir = Files.createTempDirectory("dv3fsrc_nn").toFile
+    writePayload(dir, "departement", "85",
+      """{"annee":"2019","dep":"85","libdep":"V","nbtrans_cod111":7.0,
+        |"geo_shape":{"type":"Point"},"note":"not a number"}""".stripMargin)
+    val df = spark.read.format("dv3f").option("path", dir.getAbsolutePath).load()
+    val got = df.collect().map(r => (r.getString(4), r.getDouble(5))).toMap
+    assert(got == Map("nbtrans_cod111" -> 7.0)) // object + string dropped
+  }
+
   test("null metric values survive as null valeur rows") {
     val dir = Files.createTempDirectory("dv3fsrc3").toFile
     writePayload(dir, "departement", "85",
