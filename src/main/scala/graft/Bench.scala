@@ -41,7 +41,12 @@ object Bench {
         graft.ops.CacheBin.releaseAll() // drop operator-internal caches
         spark.catalog.clearCache() // no cross-iteration persist reuse
         val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+        // a failing query must not kill the whole bench, but it must be
+        // VISIBLE — otherwise its "time" is a fast, misleading success
+        try { fn(spark, sfDir).count() } catch {
+          case e: Throwable =>
+            System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
+        }
         (System.nanoTime() - t0) / 1e9
       }
       name -> times
