@@ -18,8 +18,11 @@ import graft.Tables
   * IDAT data and compute per-channel pixel statistics, oracle-checked
   * (q_multimodal_feat). The testdata carries no media, so payloads are
   * SYNTHESIZED — but by the real codec, then actually decoded by it.
-  * Only video/audio stages (frame extraction) lack a codec in this
-  * container and remain CLEARLY-MARKED STUBS.
+  * Audio (WAV PCM via javax.sound) and animated-image frame extraction
+  * (APNG written/parsed chunk-by-chunk with real zlib + CRC32) are
+  * REAL too; only interframe-compressed video (H.264 etc.) needs a
+  * codec library the container lacks — `sampleFrameOffsets` remains
+  * the marked stub for that case.
   * The Spark-side plumbing is what matters at 100 TB:
   *  - payloads never enter a shuffle (metadata is extracted map-side,
   *    joins/groupBys run on the metadata, payload columns are pruned
@@ -361,6 +364,180 @@ object Multimodal {
     */
   def sampleFrameOffsets(nBytes: Column, stride: Int): Column =
     sequence(lit(0), nBytes - 1, lit(stride))
+
+  // ----------------------------------------------- real APNG frame codec
+  // Frame extraction is REAL for animated images: APNG (the public
+  // animated-PNG standard) is written chunk-by-chunk here — IHDR/acTL/
+  // fcTL/IDAT/fdAT/IEND with genuine zlib deflate (java.util.zip) and
+  // per-chunk CRC32 — and parsed back the same way. The JDK's own
+  // ImageIO accepts the bytes as a valid PNG (it decodes frame 0),
+  // which the spec uses as an independent conformance check. Only
+  // interframe-compressed VIDEO (H.264 etc.) still needs a codec
+  // library the container lacks.
+
+  private def chunk(typ: String, data: Array[Byte]): Array[Byte] = {
+    val bb = java.nio.ByteBuffer.allocate(12 + data.length)
+    bb.putInt(data.length).put(typ.getBytes("US-ASCII")).put(data)
+    val crc = new java.util.zip.CRC32()
+    crc.update(typ.getBytes("US-ASCII")); crc.update(data)
+    bb.putInt(crc.getValue.toInt)
+    bb.array()
+  }
+
+  private def deflate(raw: Array[Byte]): Array[Byte] = {
+    val d = new java.util.zip.Deflater()
+    d.setInput(raw); d.finish()
+    val out = new java.io.ByteArrayOutputStream()
+    val buf = new Array[Byte](4096)
+    while (!d.finished()) out.write(buf, 0, d.deflate(buf))
+    d.end(); out.toByteArray
+  }
+
+  /** Frame f's raw scanlines (filter byte 0 + RGB rows): a per-frame
+    * gradient r = baseR + 3f + x, g = baseG + 3f + y, b = baseB + 3f —
+    * all < 256, so per-frame channel means are closed-form.
+    */
+  private def frameRows(id: Long, f: Int, w: Int, h: Int): Array[Byte] = {
+    val (br, bg, bb0) = ((id % 100).toInt, (id * 7 % 100).toInt, (id * 13 % 100).toInt)
+    val rows = new Array[Byte](h * (1 + w * 3))
+    var i = 0
+    var y = 0
+    while (y < h) {
+      rows(i) = 0; i += 1 // filter type 0 (None)
+      var x = 0
+      while (x < w) {
+        rows(i) = (br + 3 * f + x).toByte
+        rows(i + 1) = (bg + 3 * f + y).toByte
+        rows(i + 2) = (bb0 + 3 * f).toByte
+        i += 3; x += 1
+      }
+      y += 1
+    }
+    rows
+  }
+
+  /** Encode a REAL multi-frame APNG for one doc id: w = id%8+1,
+    * h = id%4+1, nFrames = id%4+2.
+    */
+  def encodeApng(id: Long): Array[Byte] = {
+    val w = (id % 8).toInt + 1
+    val h = (id % 4).toInt + 1
+    val nFrames = (id % 4).toInt + 2
+    val out = new java.io.ByteArrayOutputStream()
+    out.write(Array(0x89, 'P', 'N', 'G', 0x0D, 0x0A, 0x1A, 0x0A).map(_.toByte))
+    val ihdr = java.nio.ByteBuffer.allocate(13)
+      .putInt(w).putInt(h).put(8.toByte).put(2.toByte) // depth 8, truecolor
+      .put(0.toByte).put(0.toByte).put(0.toByte).array()
+    out.write(chunk("IHDR", ihdr))
+    out.write(chunk("acTL",
+      java.nio.ByteBuffer.allocate(8).putInt(nFrames).putInt(0).array()))
+    var seq = 0
+    def fctl(): Array[Byte] = {
+      val b = java.nio.ByteBuffer.allocate(26)
+        .putInt(seq).putInt(w).putInt(h).putInt(0).putInt(0)
+        .putShort(1.toShort).putShort(10.toShort) // 1/10 s delay
+        .put(0.toByte).put(0.toByte).array()
+      seq += 1; b
+    }
+    (0 until nFrames).foreach { f =>
+      out.write(chunk("fcTL", fctl()))
+      val z = deflate(frameRows(id, f, w, h))
+      if (f == 0) out.write(chunk("IDAT", z))
+      else {
+        val b = java.nio.ByteBuffer.allocate(4 + z.length).putInt(seq).put(z).array()
+        seq += 1
+        out.write(chunk("fdAT", b))
+      }
+    }
+    out.write(chunk("IEND", Array.emptyByteArray))
+    out.toByteArray
+  }
+
+  final case class FrameFeat(frame_idx: Int, mean_r: Double, mean_g: Double,
+      mean_b: Double)
+
+  /** REAL APNG decode + frame sampling: walk the chunk stream, group
+    * IDAT/fdAT payloads per fcTL, inflate each sampled frame (every
+    * `stride`-th) and reduce it to per-channel means. Returns None on
+    * anything unparseable — one bad payload never fails a scan.
+    */
+  def decodeApngFrames(bytes: Array[Byte], stride: Int)
+      : Option[(Int, Int, Int, Seq[FrameFeat])] =
+    try {
+      val bb = java.nio.ByteBuffer.wrap(bytes)
+      val sig = new Array[Byte](8); bb.get(sig)
+      if ((sig(1) & 0xff) != 'P' || (sig(0) & 0xff) != 0x89) return None
+      var (w, h, nFrames) = (0, 0, 0)
+      val frames = scala.collection.mutable.ArrayBuffer.empty[java.io.ByteArrayOutputStream]
+      var stop = false
+      while (bb.remaining() >= 12 && !stop) {
+        val len = bb.getInt
+        val typ = new Array[Byte](4); bb.get(typ)
+        val data = new Array[Byte](len); bb.get(data)
+        bb.getInt // crc (verified implicitly by inflate success)
+        new String(typ, "US-ASCII") match {
+          case "IHDR" =>
+            val d = java.nio.ByteBuffer.wrap(data)
+            w = d.getInt; h = d.getInt
+          case "acTL" => nFrames = java.nio.ByteBuffer.wrap(data).getInt
+          case "fcTL" => frames += new java.io.ByteArrayOutputStream()
+          case "IDAT" => frames.last.write(data)
+          case "fdAT" => frames.last.write(data, 4, data.length - 4) // skip seq
+          case "IEND" => stop = true
+          case _ =>
+        }
+      }
+      if (w == 0 || frames.isEmpty) return None
+      val feats = frames.zipWithIndex
+        .filter { case (_, i) => i % stride == 0 }
+        .map { case (z, i) =>
+          val inf = new java.util.zip.Inflater()
+          inf.setInput(z.toByteArray)
+          val raw = new Array[Byte](h * (1 + w * 3))
+          var off = 0
+          while (off < raw.length && !inf.finished())
+            off += inf.inflate(raw, off, raw.length - off)
+          inf.end()
+          if (off != raw.length) throw new IllegalStateException("short frame")
+          var (sr, sg, sb) = (0L, 0L, 0L)
+          var y = 0
+          while (y < h) {
+            val rowOff = y * (1 + w * 3) + 1 // skip filter byte
+            var x = 0
+            while (x < w) {
+              sr += raw(rowOff + x * 3) & 0xff
+              sg += raw(rowOff + x * 3 + 1) & 0xff
+              sb += raw(rowOff + x * 3 + 2) & 0xff
+              x += 1
+            }
+            y += 1
+          }
+          val n = (w * h).toDouble
+          FrameFeat(i, sr / n, sg / n, sb / n)
+        }.toSeq
+      Some((w, h, nFrames, feats))
+    } catch { case scala.util.control.NonFatal(_) => None }
+
+  /** DataFrame face: one row per SAMPLED frame — the video shape
+    * (decode → sample frames → per-frame features), batched per
+    * partition like the other decoders.
+    */
+  def apngFrameFeatures(spark: SparkSession, media: DataFrame,
+      stride: Int = 2): DataFrame = {
+    import spark.implicits._
+    media.select(col("doc_id").cast(LongType), col("payload").cast(BinaryType))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.flatMap { case (id, bytes) =>
+          decodeApngFrames(bytes, stride) match {
+            case Some((w, h, nf, feats)) =>
+              feats.map(f => (id, w, h, nf, f.frame_idx, f.mean_r, f.mean_g, f.mean_b))
+            case None => Seq.empty
+          }
+        }
+      }.toDF("doc_id", "px_w", "px_h", "n_frames", "frame_idx",
+        "mean_r", "mean_g", "mean_b")
+  }
 
   /** Per-frame fan-out: one row per sampled frame with its payload
     * slice — the video shape (decode → sample frames → per-frame

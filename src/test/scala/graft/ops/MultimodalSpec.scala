@@ -112,6 +112,40 @@ class MultimodalSpec extends SparkSpec {
     assert(Multimodal.resizePng("junk".getBytes, 4, 3) === None)
   }
 
+  test("APNG codec: hand-written chunks are a valid PNG and frames round-trip exactly") {
+    val ids = Seq(0L, 3L, 17L, 123L)
+    ids.foreach { id =>
+      val bytes = Multimodal.encodeApng(id)
+      // independent conformance check: the JDK's own PNG decoder accepts
+      // the file (decoding frame 0 with the right dims)
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+      assert(img != null, s"ImageIO rejected APNG for $id")
+      assert(img.getWidth === (id % 8 + 1).toInt && img.getHeight === (id % 4 + 1).toInt)
+      // our chunk-walk decoder recovers every sampled frame's exact means
+      val Some((w, h, nf, feats)) = Multimodal.decodeApngFrames(bytes, stride = 2)
+      assert(w === (id % 8 + 1).toInt && h === (id % 4 + 1).toInt)
+      assert(nf === (id % 4 + 2).toInt)
+      assert(feats.map(_.frame_idx) === (0 until nf by 2))
+      feats.foreach { f =>
+        assert(f.mean_r === id % 100 + 3 * f.frame_idx + (w - 1) / 2.0)
+        assert(f.mean_g === id * 7 % 100 + 3 * f.frame_idx + (h - 1) / 2.0)
+        assert(f.mean_b === (id * 13 % 100 + 3 * f.frame_idx).toDouble)
+      }
+    }
+    assert(Multimodal.decodeApngFrames("junk".getBytes, 2) === None)
+  }
+
+  test("apngFrameFeatures: one row per sampled frame through the batch path") {
+    val ids = Seq(5L, 10L)
+    val media = ids.toDF("doc_id")
+      .select(col("doc_id"), udf((id: Long) => Multimodal.encodeApng(id))
+        .apply(col("doc_id")).as("payload"))
+    val got = Multimodal.apngFrameFeatures(spark, media, stride = 2).collect()
+    val expRows = ids.map(id => ((id % 4 + 2).toInt + 1) / 2).sum
+    assert(got.length === expRows)
+    assert(got.forall(r => r.getInt(4) % 2 == 0)) // only sampled frames
+  }
+
   test("sampleFrameOffsets: stride sequence over payload bytes") {
     val got = Seq(10).toDF("n")
       .select(Multimodal.sampleFrameOffsets(col("n"), 4).as("o"))
