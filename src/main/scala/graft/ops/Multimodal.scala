@@ -495,8 +495,13 @@ object Multimodal {
           inf.setInput(z.toByteArray)
           val raw = new Array[Byte](h * (1 + w * 3))
           var off = 0
-          while (off < raw.length && !inf.finished())
-            off += inf.inflate(raw, off, raw.length - off)
+          var made = 1
+          // `made == 0` with exhausted input = truncated stream: bail out
+          // (an unguarded loop would spin forever on inflate() == 0)
+          while (off < raw.length && !inf.finished() && made > 0) {
+            made = inf.inflate(raw, off, raw.length - off)
+            off += made
+          }
           inf.end()
           if (off != raw.length) throw new IllegalStateException("short frame")
           var (sr, sg, sb) = (0L, 0L, 0L)

@@ -133,6 +133,9 @@ class MultimodalSpec extends SparkSpec {
       }
     }
     assert(Multimodal.decodeApngFrames("junk".getBytes, 2) === None)
+    // truncated zlib stream: must return None, not hang the task
+    val whole = Multimodal.encodeApng(3L)
+    assert(Multimodal.decodeApngFrames(whole.dropRight(30), 2) === None)
   }
 
   test("apngFrameFeatures: one row per sampled frame through the batch path") {
