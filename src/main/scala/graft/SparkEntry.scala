@@ -83,6 +83,7 @@ object SparkEntry {
     "q_dedup_incr_exact" -> (LlmOps.dedupIncrementalExact(_, _)),
     "q_dedup_incr_lsh" -> (LlmOps.dedupIncrementalLsh(_, _)),
     "q_vocab_topk" -> (LlmOps.vocabTopK(_, _)),
+    "q_bm25_topk" -> ((s, d) => LlmOps.bm25TopK(s, d)),
     // — LLM-pipeline: text analysis
     "q_text_stats" -> (LlmOps.textStats(_, _)),
     "q_doc_fingerprints" -> (LlmOps.docFingerprints(_, _)),
@@ -307,6 +308,7 @@ object SparkEntry {
     "q_dedup_incr_exact" -> LlmOps.dedupIncrementalExactSql,
     "q_dedup_incr_lsh" -> LlmOps.dedupIncrementalLshSql,
     "q_vocab_topk" -> LlmOps.vocabTopKSql,
+    "q_bm25_topk" -> LlmOps.bm25TopKSql,
     "q_embed_ann_ivf" -> LlmOps.embedAnnIvfSql,
     "q_dedup_minhash" -> LlmOps.minhashSql,
     "q_dedup_ngram_jaccard" -> LlmOps.ngramJaccardSql,

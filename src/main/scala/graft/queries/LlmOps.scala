@@ -132,6 +132,65 @@ object LlmOps {
       |FROM c JOIN e USING (h)
       |GROUP BY 1 HAVING count(*) >= 2""".stripMargin
 
+  /** BM25 top-k retrieval over the corpus for a fixed 3-term query —
+    * the lexical-search op of a RAG/retrieval pipeline. Uses the
+    * LOG-FREE idf variant idf = (N - df + 0.5)/(df + 0.5): same
+    * monotonicity as Robertson idf but every arithmetic step is one
+    * correctly-rounded IEEE op, so with an identical expression tree
+    * the oracle matches bit-for-bit (ln() is only within 1 ulp across
+    * engines — unusable for hash equality). Shape at 100 TB: term
+    * df/avgdl are parameter-sized aggregates; the per-doc score is one
+    * narrow join (terms broadcast) + one aggregation; top-k via
+    * TakeOrderedAndProject.
+    */
+  def bm25TopK(spark: SparkSession, dir: String,
+      terms: Seq[String] = Seq("stream", "join", "hash"),
+      k1: Double = 1.2, b: Double = 0.75, k: Int = 20): DataFrame = {
+    val docs = Tables.load(spark, dir, "documents")
+    val n = docs.count().toDouble // corpus size: a parameter, not dataflow
+    val lens = docs.select(col("doc_id"),
+      TextAnalysis.tokenCount(col("text")).cast(DoubleType).as("dl"))
+    val avgdl = lens.agg(avg(col("dl"))).collect()(0).getDouble(0)
+    val tf = docs
+      .select(col("doc_id"), explode(TextAnalysis.tokens(col("text"))).as("tok"))
+      .filter(col("tok").isin(terms: _*))
+      .groupBy(col("doc_id"), col("tok"))
+      .agg(count(lit(1)).cast(DoubleType).as("tf"))
+    val dfreq = tf.groupBy(col("tok"))
+      .agg(count(lit(1)).cast(DoubleType).as("df")) // one row per (doc,tok)
+    tf.join(broadcast(dfreq), Seq("tok"))
+      .join(lens, Seq("doc_id"))
+      .withColumn("score",
+        ((lit(n) - col("df") + lit(0.5)) / (col("df") + lit(0.5))) *
+          (col("tf") * lit(k1 + 1)) /
+          (col("tf") + lit(k1) * (lit(1 - b) + lit(b) * col("dl") / lit(avgdl))))
+      .groupBy(col("doc_id"))
+      .agg(round(sum(col("score")), 6).as("bm25"))
+      .orderBy(col("bm25").desc, col("doc_id"))
+      .limit(k)
+  }
+
+  /** Mirrors bm25TopK's expression tree exactly (same association
+    * order), so every double op rounds identically.
+    */
+  val bm25TopKSql: String =
+    """WITH docs AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS t
+      |  FROM documents),
+      |n AS (SELECT count(*)::DOUBLE AS n FROM docs),
+      |lens AS (SELECT doc_id, len(t)::DOUBLE AS dl FROM docs),
+      |avgdl AS (SELECT avg(dl) AS avgdl FROM lens),
+      |tf AS (SELECT doc_id, tok, count(*)::DOUBLE AS tf
+      |  FROM (SELECT doc_id, unnest(t) AS tok FROM docs)
+      |  WHERE tok IN ('stream', 'join', 'hash') GROUP BY 1, 2),
+      |dfreq AS (SELECT tok, count(*)::DOUBLE AS df FROM tf GROUP BY tok),
+      |scored AS (SELECT tf.doc_id,
+      |    ((n.n - df + 0.5) / (df + 0.5)) * (tf * (1.2 + 1)) /
+      |      (tf + 1.2 * ((1 - 0.75) + 0.75 * dl / avgdl.avgdl)) AS score
+      |  FROM tf JOIN dfreq USING (tok) JOIN lens USING (doc_id), n, avgdl)
+      |SELECT doc_id, round(sum(score), 6) AS bm25
+      |FROM scored GROUP BY doc_id
+      |ORDER BY bm25 DESC, doc_id LIMIT 20""".stripMargin
+
   /** Corpus vocabulary: global top-100 tokens by document frequency —
     * the vocab/stopword-discovery op. TakeOrderedAndProject keeps k per
     * partition; ties broken by token for determinism.
