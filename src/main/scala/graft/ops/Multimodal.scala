@@ -462,7 +462,9 @@ object Multimodal {
     * anything unparseable — one bad payload never fails a scan.
     */
   def decodeApngFrames(bytes: Array[Byte], stride: Int)
-      : Option[(Int, Int, Int, Seq[FrameFeat])] =
+      : Option[(Int, Int, Int, Seq[FrameFeat])] = {
+    // caller misconfiguration must FAIL, not be masked as "no media"
+    require(stride > 0, s"stride must be positive, got $stride")
     try {
       val bb = java.nio.ByteBuffer.wrap(bytes)
       val sig = new Array[Byte](8); bb.get(sig)
@@ -472,6 +474,11 @@ object Multimodal {
       var stop = false
       while (bb.remaining() >= 12 && !stop) {
         val len = bb.getInt
+        // header fields are UNTRUSTED: a corrupt length/dims must take
+        // the None path, not attempt a multi-GB allocation (OOM is a
+        // VirtualMachineError — NOT caught by NonFatal — so bound
+        // everything against the payload's actual size first)
+        if (len < 0 || len > bb.remaining()) return None
         val typ = new Array[Byte](4); bb.get(typ)
         val data = new Array[Byte](len); bb.get(data)
         bb.getInt // crc (verified implicitly by inflate success)
@@ -488,6 +495,12 @@ object Multimodal {
         }
       }
       if (w == 0 || frames.isEmpty) return None
+      // an inflated frame can never exceed the compressed payload by the
+      // zlib maximum ratio on this data (~1032:1); in practice a decoded
+      // frame must fit in a sane bound relative to the input — reject
+      // dims whose raw size dwarfs what the payload could possibly hold
+      if (w.toLong * h * 3 + h > bytes.length.toLong * 1100L + (1 << 20))
+        return None
       val feats = frames.zipWithIndex
         .filter { case (_, i) => i % stride == 0 }
         .map { case (z, i) =>
@@ -522,6 +535,7 @@ object Multimodal {
         }.toSeq
       Some((w, h, nFrames, feats))
     } catch { case scala.util.control.NonFatal(_) => None }
+  }
 
   /** DataFrame face: one row per SAMPLED frame — the video shape
     * (decode → sample frames → per-frame features), batched per

@@ -221,7 +221,10 @@ object Events {
   /** Independent formulation (correlated min-ts lookup) rather than
     * DuckDB ASOF — definitionally "the next purchase at-or-after", so
     * the window-trick implementation is checked against first
-    * principles, not a twin operator.
+    * principles, not a twin operator. `v IS NOT NULL` pins the engine's
+    * null-as-no-observation semantics (last(ignoreNulls) skips
+    * null-valued rows) — the fixture has no null values, but the oracle
+    * must encode ONE semantic, not depend on that.
     */
   val asofNextPurchaseSql: String =
     """WITH clicks AS (SELECT event_id, user_id, ts::TIMESTAMP AS ts
@@ -230,7 +233,7 @@ object Events {
       |  FROM events WHERE event_type = 'purchase' GROUP BY 1, 2)
       |SELECT c.event_id, c.user_id, c.ts,
       |  (SELECT v FROM p WHERE p.user_id = c.user_id AND p.ts >= c.ts
-      |   ORDER BY p.ts LIMIT 1) AS next_purchase_value
+      |   AND v IS NOT NULL ORDER BY p.ts LIMIT 1) AS next_purchase_value
       |FROM clicks c""".stripMargin
 
   val resampleDailySql: String =

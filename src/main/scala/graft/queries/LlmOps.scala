@@ -312,33 +312,27 @@ object LlmOps {
     * dir), which is the same contract at bench scope.
     */
   def dedupArtifacts(spark: SparkSession, dir: String): String = {
-    val out = new java.io.File(sys.props("java.io.tmpdir"),
-      s"graft_dedup_${pid}_${Integer.toHexString(dir.hashCode)}").getAbsolutePath
-    prepared.synchronized {
-      if (!prepared.contains(out)) {
-        val docs = Tables.load(spark, dir, "documents")
-        Dedup.exactDedup(docs, col("doc_id"), col("text"))
-          .select(col("keeper_id").as("doc_id"))
-          .write.mode("overwrite").parquet(s"$out/keepers")
-        minhashLshDedup(spark, dir)
-          .select(col("doc_b").as("doc_id")).distinct()
-          .write.mode("overwrite").parquet(s"$out/losers")
-        // per-doc quality stats are likewise an ingest-time product (one
-        // narrow row per doc), not something to recompute per query
-        TextAnalysis.analyzeDocuments(spark, dir)
-          .write.mode("overwrite").parquet(s"$out/stats")
-        // so is the decontamination verdict: the eval set changes rarely,
-        // the corpus-vs-eval overlap is recomputed when either does
-        decontaminate(spark, dir).select("doc_id")
-          .write.mode("overwrite").parquet(s"$out/contaminated")
-        CacheBin.releaseAll() // drop the LSH pipeline's internal caches
-        prepared += out
-      }
+    val out = graft.ops.StageOnce.tmp("dedup", dir)
+    graft.ops.StageOnce(out) {
+      val docs = Tables.load(spark, dir, "documents")
+      Dedup.exactDedup(docs, col("doc_id"), col("text"))
+        .select(col("keeper_id").as("doc_id"))
+        .write.mode("overwrite").parquet(s"$out/keepers")
+      minhashLshDedup(spark, dir)
+        .select(col("doc_b").as("doc_id")).distinct()
+        .write.mode("overwrite").parquet(s"$out/losers")
+      // per-doc quality stats are likewise an ingest-time product (one
+      // narrow row per doc), not something to recompute per query
+      TextAnalysis.analyzeDocuments(spark, dir)
+        .write.mode("overwrite").parquet(s"$out/stats")
+      // so is the decontamination verdict: the eval set changes rarely,
+      // the corpus-vs-eval overlap is recomputed when either does
+      decontaminate(spark, dir).select("doc_id")
+        .write.mode("overwrite").parquet(s"$out/contaminated")
+      CacheBin.releaseAll() // drop the LSH pipeline's internal caches
     }
     out
   }
-  private val pid = ProcessHandle.current().pid()
-  private val prepared = scala.collection.mutable.Set.empty[String]
 
   /** The composed training-corpus cleaning pipeline — the operators
     * above chained the way a real 100 TB pre-training run uses them:

@@ -62,17 +62,23 @@ object Physical {
     * join — identical relation, shuffle-free plan.
     */
   def bucketedJoin(spark: SparkSession, dir: String): DataFrame = {
-    StageOnce(s"bucketed_join_${dir.hashCode}") {
+    // table names embed the dir hash (like the paths) — a fixed global
+    // name would leak one dir's staging into another dir's query in the
+    // same JVM; the catalog check also re-stages after a session swap
+    val suffix = Integer.toHexString(dir.hashCode)
+    val (tOrders, tLineitem) = (s"bj_orders_$suffix", s"bj_lineitem_$suffix")
+    if (!spark.catalog.tableExists(tOrders) ||
+        !spark.catalog.tableExists(tLineitem)) {
       val wh = StageOnce.tmp("bucket_wh", dir)
       Bucketing.writeBucketed(spark,
         Tables.load(spark, dir, "orders").select("o_orderkey", "o_orderpriority"),
-        "bj_orders", "o_orderkey", 8, s"$wh/bj_orders")
+        tOrders, "o_orderkey", 8, s"$wh/$tOrders")
       Bucketing.writeBucketed(spark,
         Tables.load(spark, dir, "lineitem")
           .select("l_orderkey", "l_extendedprice", "l_discount"),
-        "bj_lineitem", "l_orderkey", 8, s"$wh/bj_lineitem")
+        tLineitem, "l_orderkey", 8, s"$wh/$tLineitem")
     }
-    Bucketing.coLocatedJoin(spark, "bj_orders", "bj_lineitem",
+    Bucketing.coLocatedJoin(spark, tOrders, tLineitem,
       "o_orderkey", "l_orderkey")
       .groupBy(col("o_orderpriority"))
       .agg(count(lit(1)).as("n_items"),

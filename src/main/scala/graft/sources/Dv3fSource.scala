@@ -83,6 +83,12 @@ trait PageFetcher extends Serializable {
   def firstPage(scope: String, code: String): JsonNode
   /** The page behind a previous page's `next` locator. */
   def nextPage(locator: String): JsonNode
+  /** The locator under which [[firstPage]] is addressable — seeds the
+    * reader's visited set so a `next` pointing back at page 1 terminates
+    * instead of re-emitting page 1's rows. Must match the locator form
+    * this fetcher's payloads use (file name, URL, …).
+    */
+  def firstLocator(scope: String, code: String): String
 }
 
 /** Default fetcher: payloads as `<path>/<scope>_<code>.json`, `next`
@@ -97,6 +103,8 @@ class FilePageFetcher(path: String) extends PageFetcher {
     mapper.readTree(new java.io.File(s"$path/${scope}_$code.json"))
   override def nextPage(locator: String): JsonNode =
     mapper.readTree(new java.io.File(path, locator))
+  override def firstLocator(scope: String, code: String): String =
+    s"${scope}_$code.json"
 }
 
 class Dv3fDataSource extends TableProvider with DataSourceRegister {
@@ -222,9 +230,9 @@ class Dv3fReaderFactory(fetcher: PageFetcher, required: StructType)
   * The payload's `next` locator (extract_load.py:81-91) is FOLLOWED:
   * all pages of one (scope, code) concatenate within this partition,
   * lazily (a page is only fetched when the previous one is drained). A
-  * visited set guards against locator cycles, seeded with the file
-  * convention's first-page name so a `next` pointing back at page 1
-  * terminates.
+  * visited set guards against locator cycles, seeded with the FETCHER's
+  * own first-page locator so a `next` pointing back at page 1
+  * terminates for any fetcher (file name or URL alike).
   */
 class Dv3fPartitionReader(fetcher: PageFetcher, scope: String, code: String,
     required: StructType) extends PartitionReader[InternalRow] {
@@ -233,7 +241,8 @@ class Dv3fPartitionReader(fetcher: PageFetcher, scope: String, code: String,
   private val fieldIdx: Array[String] = required.fieldNames
 
   private val rows: Iterator[InternalRow] = {
-    val visited = scala.collection.mutable.Set[String](s"${scope}_$code.json")
+    val visited = scala.collection.mutable.Set[String](
+      fetcher.firstLocator(scope, code))
     val pages: Iterator[JsonNode] = Iterator.iterate(
       Option(fetcher.firstPage(scope, code))) {
         case Some(root) =>

@@ -24,6 +24,8 @@ class FakeHttpPageFetcher(baseUrl: String) extends PageFetcher {
     mapper.readTree(FakeHttpServer.pages(url))
   }
   override def firstPage(scope: String, code: String): JsonNode =
-    get(s"$baseUrl/$scope?code=$code&page=1")
+    get(firstLocator(scope, code))
   override def nextPage(locator: String): JsonNode = get(locator)
+  override def firstLocator(scope: String, code: String): String =
+    s"$baseUrl/$scope?code=$code&page=1"
 }
