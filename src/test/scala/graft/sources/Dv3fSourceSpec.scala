@@ -107,6 +107,24 @@ class Dv3fSourceSpec extends SparkSpec {
     assert(got == Map("nbtrans_cod111" -> 7.0)) // object + string dropped
   }
 
+  test("fetcher injection: a `next` cycling back to page 1 terminates without re-emitting") {
+    FakeHttpServer.reset()
+    val base = "http://fake-api.test/v1"
+    val page1 = s"$base/departement?code=85&page=1"
+    FakeHttpServer.pages = Map(
+      page1 -> s"""{"count":1,"next":"$page1","previous":null,
+        |"results":[{"annee":"2019","dep":"85","libdep":"V","nbtrans_cod111":7.0}]}""".stripMargin)
+    val df = spark.read.format("dv3f")
+      .option("path", base)
+      .option("fetcher", classOf[FakeHttpPageFetcher].getName)
+      .option("scopes", "departement:85")
+      .load()
+    // the visited set is seeded with the FETCHER's first-page locator,
+    // so the self-referencing URL is dropped: one page, no duplicates
+    assert(df.count() == 1)
+    assert(FakeHttpServer.gets == List(page1))
+  }
+
   test("null metric values survive as null valeur rows") {
     val dir = Files.createTempDirectory("dv3fsrc3").toFile
     writePayload(dir, "departement", "85",
