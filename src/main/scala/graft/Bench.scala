@@ -37,6 +37,7 @@ object Bench {
     }
     spark.range(1000000).selectExpr("sum(id)").collect() // warmup
     val results = selected.map { case (name, fn) =>
+      var failed = false
       val times = (1 to iters).map { _ =>
         graft.ops.CacheBin.releaseAll() // drop operator-internal caches
         spark.catalog.clearCache() // no cross-iteration persist reuse
@@ -45,21 +46,29 @@ object Bench {
         // VISIBLE — otherwise its "time" is a fast, misleading success
         try { fn(spark, sfDir).count() } catch {
           case e: Throwable =>
+            failed = true
             System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
         }
         (System.nanoTime() - t0) / 1e9
       }
-      name -> times
+      name -> (times, failed)
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v.min }
-      .mkString("{", ",", "}")
+    // A failed query's number is a SENTINEL (-1), never its partial wall
+    // clock, and it is excluded from the total — a consumer of the JSON
+    // cannot mistake a crash for a fast success.
+    val ok = results.collect { case (k, (v, false)) => k -> v }
+    val failedNames = results.collect { case (k, (_, true)) => k }.toSeq
+    val qs = results.map { case (k, (v, f)) =>
+      s"\"" + k + "\":" + (if (f) "-1" else v.min.toString)
+    }.mkString("{", ",", "}")
     // Raw per-iteration times: lets a reader distinguish host-noise
     // spikes (one bad iter) from a real regression (all iters slow).
-    val raw = results.map { case (k, v) =>
+    val raw = results.map { case (k, (v, _)) =>
       s"\"" + k + "\":" + v.mkString("[", ",", "]")
     }.mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.map(_.min).sum else 0.0
-    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"iters_raw":$raw,"sf":"$sfDir","iters":$iters,"agg":"min"}"""
+    val failedJson = failedNames.map("\"" + _ + "\"").mkString("[", ",", "]")
+    val total = if (ok.nonEmpty) ok.values.map(_.min).sum else 0.0
+    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"iters_raw":$raw,"failed":$failedJson,"sf":"$sfDir","iters":$iters,"agg":"min"}"""
     println(json)
     // Also write the full line to a file: the driver's stdout capture
     // truncates long tails, which last round lost 32 of 67 per-query

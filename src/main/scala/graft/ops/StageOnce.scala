@@ -6,13 +6,29 @@ package graft.ops
   * one — e.g. bench iterations 2..n — only reads, so timings measure
   * the scan, not a write+read round trip. Paths embed the JVM pid so
   * two sessions on one host never race on a shared tmp dir.
+  *
+  * Staleness contract: staging is per-JVM and keyed by the SOURCE PATH,
+  * not the source contents — if data under `dir` changes while the JVM
+  * is alive, the staged copy keeps serving the old bytes. That is the
+  * intended bench semantics (inputs are immutable for a run); callers
+  * with mutable inputs must fold a version token into `name`.
   */
 object StageOnce {
   val pid: Long = ProcessHandle.current().pid()
 
+  /** Path fingerprint is an md5 of the ABSOLUTE path (not hashCode):
+    * 128 collision-free-in-practice bits, so two distinct data dirs in
+    * one JVM can never silently share staged data.
+    */
+  private def fingerprint(dir: String): String = {
+    val abs = new java.io.File(dir).getAbsolutePath
+    val md = java.security.MessageDigest.getInstance("MD5")
+    md.digest(abs.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(16)
+  }
+
   def tmp(name: String, dir: String): String =
     new java.io.File(sys.props("java.io.tmpdir"),
-      s"graft_${name}_${pid}_${Integer.toHexString(dir.hashCode)}").getAbsolutePath
+      s"graft_${name}_${pid}_${fingerprint(dir)}").getAbsolutePath
 
   private val staged = scala.collection.mutable.Set.empty[String]
   def apply(key: String)(write: => Unit): Unit = synchronized {
