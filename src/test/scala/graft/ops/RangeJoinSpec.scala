@@ -26,6 +26,26 @@ class RangeJoinSpec extends SparkSpec {
     assert(got.toSeq == Seq(1L, 2L, 3L, 5L))
   }
 
+  test("binnedIntervalJoin: one corrupt interval never kills the job") {
+    val points = Seq(("a", 1L, ts(15)), ("a", 2L, ts(5))).toDF("k", "id", "t")
+    // year-9999 end at binSeconds=3600 would be a ~70M-element sequence;
+    // inverted and NULL-bounded rows are the other two corruption shapes
+    val y9999 = Timestamp.valueOf("9999-12-31 23:59:59")
+    val intervals = Seq(
+      ("a", ts(10), ts(20)),        // sane — must still match point 1
+      ("a", ts(0), y9999),          // pathological span
+      ("a", ts(50), ts(40)),        // inverted
+      ("a", null, ts(20))           // NULL bound
+    ).toDF("k", "lo", "hi")
+    val got = RangeJoin.binnedIntervalJoin(points, intervals,
+      "k", "t", "lo", "hi", binSeconds = 3600, maxSpanBins = 1000)
+      .select("id").collect().map(_.getLong(0)).toSeq
+    assert(got == Seq(1L))
+    val dropped = RangeJoin.pathologicalIntervals(intervals,
+      "lo", "hi", binSeconds = 3600, maxSpanBins = 1000).count()
+    assert(dropped == 3)
+  }
+
   test("binnedIntervalJoin: no cross-key matches, no duplicate matches") {
     val points = Seq(("a", 1L, ts(15))).toDF("k", "id", "t")
     // interval spans 3 bins — the point must still match exactly once
