@@ -67,6 +67,7 @@ object SparkEntry {
     "q_quality_unique" -> (Dv3fQueries.qualityUnique(_, _)),
     "q_quality_notnull" -> (Dv3fQueries.qualityNotNull(_, _)),
     "q_quality_accepted" -> (Dv3fQueries.qualityAcceptedValues(_, _)),
+    "q_quality_accepted_report" -> (Dv3fQueries.qualityAcceptedReport(_, _)),
     "q_quality_relationship" -> (Dv3fQueries.qualityRelationship(_, _)),
     "q_profile" -> (Dv3fQueries.profileOrders(_, _)),
     // — LLM-pipeline: dedup family
@@ -283,6 +284,11 @@ object SparkEntry {
            coalesce(min(o_orderstatus), '') AS first_bad
          FROM orders WHERE o_orderstatus IS NOT NULL
            AND o_orderstatus NOT IN ('O', 'F', 'P')""",
+    "q_quality_accepted_report" ->
+      """SELECT o_orderpriority AS bad_value, count(*) AS violations
+         FROM orders WHERE o_orderpriority IS NOT NULL
+           AND o_orderpriority NOT IN ('1-URGENT', '2-HIGH', '3-MEDIUM')
+         GROUP BY 1 ORDER BY 1""",
     "q_quality_relationship" ->
       """SELECT count(*) AS violations FROM lineitem l
          WHERE l.l_orderkey IS NOT NULL AND NOT EXISTS (

@@ -41,6 +41,18 @@ object Quality {
     df.filter(col(column).isNotNull &&
       !col(column).isin(allowed: _*)).count()
 
+  /** dbt `accepted_values` with `store_failures`: one row per distinct
+    * offending value with its count, sorted by value (empty when clean).
+    * Shuffle key is the offending value — output cardinality is bounded
+    * by distinct bad values, never by rows.
+    */
+  def acceptedValuesReport(df: DataFrame, column: String,
+      allowed: Seq[String]): DataFrame =
+    df.filter(col(column).isNotNull && !col(column).isin(allowed: _*))
+      .groupBy(col(column).cast("string").as("bad_value"))
+      .agg(count(lit(1)).as("violations"))
+      .orderBy("bad_value")
+
   /** dbt `relationships` test (referential integrity): number of child
     * rows whose non-NULL foreign key has no match in the parent. ONE
     * left-anti join on the key — at scale the parent side reduces to its

@@ -111,10 +111,11 @@ object Dv3fQueries {
       .agg(sum(when(col("o_custkey").isNull, 1L).otherwise(0L)).as("violations"))
 
   /** dbt `accepted_values` test as a query: orders.o_orderstatus must be
-    * one of O/F/P — per-value violation report (empty when clean) plus
-    * the total, so a dirty value is visible, not just counted. The
-    * grouped shape (vs a bare count) keeps the result deterministic and
-    * diagnosable.
+    * one of O/F/P. SINGLE-ROW pass/fail summary — total violation count
+    * plus the lexicographically-first offending value ('' when clean) so
+    * a failure message can name a concrete bad value without a second
+    * scan. For the per-value diagnostic shape (dbt store_failures), see
+    * [[qualityAcceptedReport]].
     */
   def qualityAcceptedValues(spark: SparkSession, dir: String): DataFrame =
     Tables.load(spark, dir, "orders")
@@ -122,6 +123,19 @@ object Dv3fQueries {
         !col("o_orderstatus").isin("O", "F", "P"))
       .agg(count(lit(1)).as("violations"),
         coalesce(min(col("o_orderstatus")), lit("")).as("first_bad"))
+
+  /** dbt `accepted_values` with `store_failures`: one row PER distinct
+    * offending value with its count (empty when clean) — the diagnostic
+    * face of [[qualityAcceptedValues]]. Run here against
+    * orders.o_orderpriority with an allowed set the data genuinely
+    * violates (priorities 4/5 excluded) so the report shape is
+    * hash-checked non-empty. Scale: group on the offending VALUE, so
+    * cardinality is bounded by distinct bad values, not rows.
+    */
+  def qualityAcceptedReport(spark: SparkSession, dir: String): DataFrame =
+    Quality.acceptedValuesReport(
+      Tables.load(spark, dir, "orders"), "o_orderpriority",
+      Seq("1-URGENT", "2-HIGH", "3-MEDIUM"))
 
   /** dbt `relationships` test as a query: every lineitem.l_orderkey must
     * exist in orders (referential integrity). One anti join on the key.

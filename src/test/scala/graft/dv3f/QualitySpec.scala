@@ -36,6 +36,16 @@ class QualitySpec extends SparkSpec {
     assert(Quality.acceptedValuesViolations(df, "st", Seq("O", "F", "P")) == 2)
   }
 
+  test("acceptedValues report: one row per offending value, empty when clean") {
+    val df = Seq(Some("O"), Some("F"), Some("X"), Some("Y"), Some("X"), None)
+      .toDF("st")
+    val rep = Quality.acceptedValuesReport(df, "st", Seq("O", "F", "P"))
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(rep == Seq(("X", 2L), ("Y", 1L)))
+    assert(Quality.acceptedValuesReport(df, "st",
+      Seq("O", "F", "P", "X", "Y")).count() == 0)
+  }
+
   test("relationship violations: orphan foreign keys, NULL fk passes") {
     val parent = Seq(1L, 2L).toDF("pk")
     val child = Seq(Some(1L), Some(2L), Some(3L), Some(3L), None).toDF("fk")
