@@ -94,6 +94,7 @@ object SparkEntry {
     "q_embed_neardup" -> (LlmOps.embedNearDup(_, _)),
     "q_embed_topk_perlabel" -> (LlmOps.embedTopKPerLabel(_, _)),
     "q_embed_ann_ivf" -> (LlmOps.embedAnnIvf(_, _)),
+    "q_embed_ann_ivf_indexed" -> (LlmOps.embedAnnIvfIndexed(_, _)),
     "q_kmeans_step" -> (LlmOps.kmeansStep(_, _)),
     // — LLM-pipeline: multimodal plumbing
     "q_multimodal_meta" -> (LlmOps.multimodalMeta(_, _)),
@@ -316,6 +317,9 @@ object SparkEntry {
     "q_vocab_topk" -> LlmOps.vocabTopKSql,
     "q_bm25_topk" -> LlmOps.bm25TopKSql,
     "q_embed_ann_ivf" -> LlmOps.embedAnnIvfSql,
+    // the persisted-index path must return byte-identical results to the
+    // in-memory assignment path — same oracle
+    "q_embed_ann_ivf_indexed" -> LlmOps.embedAnnIvfSql,
     "q_dedup_minhash" -> LlmOps.minhashSql,
     "q_dedup_ngram_jaccard" -> LlmOps.ngramJaccardSql,
     "q_dedup_simhash" -> LlmOps.simhashSql,

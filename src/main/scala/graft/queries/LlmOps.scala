@@ -265,6 +265,30 @@ object LlmOps {
       .withColumn("cos", round(col("cos"), 6))
   }
 
+  /** IVF ANN against the PERSISTED index: same centroids, query, and
+    * oracle as [[embedAnnIvf]], but the search runs over the index
+    * written to disk partitioned by centroid (staged once per JVM), so
+    * the probe reaches the scan as a partition filter — at 100 TB a
+    * search opens nProbe/|C| of the files, never the corpus
+    * (partition-pruned scan asserted in SimilaritySpec).
+    */
+  def embedAnnIvfIndexed(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.load(spark, dir, "embeddings")
+    val centroids = emb.filter(col("vec_id") < 8)
+      .select(col("vec_id"), col("embedding").cast(ArrayType(DoubleType)))
+      .collect()
+      .map(r => (r.getLong(0).toInt, r.getSeq[Double](1)))
+      .toSeq.sortBy(_._1)
+    val idx = StageOnce.tmp("ivf_index", dir)
+    StageOnce(idx) {
+      Similarity.ivfWriteIndex(
+        Similarity.ivfAssign(emb, col("vec_id"), col("embedding"), centroids), idx)
+    }
+    Similarity.ivfSearchIndexed(spark, idx, centroids,
+      queryVector(spark, dir), k = 10)
+      .withColumn("cos", round(col("cos"), 6))
+  }
+
   /** One k-means (Lloyd's) step from the deterministic seed centroids
     * (vec_ids 0..7): the distributed ML primitive behind IVF index
     * builds. Long-form output, rounded — elementwise means per cluster.
