@@ -31,6 +31,22 @@ object GraftFunctions {
   def chunkRows(text: Column, window: Int, stride: Int): Column =
     ColumnBridge.column(ChunkRows(ColumnBridge.expression(text), window, stride))
 
+  /** Generator: all unordered (doc_a < doc_b) pairs from an array<bigint>
+    * column in O(|array|) memory — the pair-enumeration kernel of the
+    * inverted-index dedup family. Name the output with
+    * `.as(Seq("doc_a", "doc_b"))`.
+    */
+  def longPairs(ids: Column): Column =
+    ColumnBridge.column(LongPairs(ColumnBridge.expression(ids)))
+
+  /** Aggregate: exact doc-frequency + posting list capped at cap+1 ids —
+    * the bounded-memory replacement for `collect_list` in the
+    * inverted-index dedup family. Output struct(df, ids).
+    */
+  def boundedPostings(id: Column, cap: Int): Column =
+    ColumnBridge.column(
+      BoundedPostings(ColumnBridge.expression(id), cap).toAggregateExpression())
+
   /** Map-only MinHash signature array (null when no shingles). */
   def minhashSig(text: Column, n: Int, k: Int): Column =
     ColumnBridge.column(MinHashSig(ColumnBridge.expression(text), n, k))

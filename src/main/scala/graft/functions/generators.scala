@@ -74,3 +74,59 @@ case class ChunkRows(child: Expression, window: Int, stride: Int)
   override protected def withNewChildInternal(newChild: Expression): ChunkRows =
     copy(child = newChild)
 }
+
+/** All unordered pairs `(doc_a, doc_b)` with `doc_a < doc_b` from one
+  * array<bigint> column, streamed one row at a time.
+  *
+  * The explode(ds) × explode(ds) + `a < b` formulation materializes a
+  * copy of the whole array PER element before the second explode (an
+  * O(|ds|²)-element intermediate per posting list) and generates the
+  * full |ds|² cross product only to filter half of it away. This
+  * generator sorts the array once and emits exactly the C(|ds|,2)
+  * surviving pairs in O(|ds|) memory — the pair-enumeration kernel of
+  * the inverted-index dedup family, whose |ds| is bounded by the
+  * hot-shingle cap upstream.
+  */
+case class LongPairs(child: Expression)
+    extends UnaryExpression with Generator with CodegenFallback {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(LongType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires array<bigint>, got $t")
+  }
+
+  override def elementSchema: StructType = StructType(Seq(
+    StructField("doc_a", LongType, nullable = false),
+    StructField("doc_b", LongType, nullable = false)))
+
+  override def prettyName: String = "long_pairs"
+
+  override def eval(input: InternalRow): IterableOnce[InternalRow] = {
+    val v = child.eval(input)
+    if (v == null) Iterator.empty
+    else {
+      val arr = v.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+        .toLongArray()
+      java.util.Arrays.sort(arr)
+      val n = arr.length
+      if (n < 2) Iterator.empty
+      else new Iterator[InternalRow] {
+        private var i = 0
+        private var j = 1
+        override def hasNext: Boolean = i < n - 1
+        override def next(): InternalRow = {
+          val row = new GenericInternalRow(2)
+          row.update(0, arr(i))
+          row.update(1, arr(j))
+          j += 1
+          if (j == n) { i += 1; j = i + 1 }
+          row
+        }
+      }
+    }
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): LongPairs =
+    copy(child = newChild)
+}

@@ -219,27 +219,49 @@ object Dedup {
     //  - shingles travel as 60-bit md5-derived hashes (8-byte shuffle
     //    keys; collisions ~n²/2^61 — immaterial, and the hash definition
     //    is shared with the oracle);
-    //  - hot shingles (doc-freq > maxDocFreq) are identified by a
-    //    partial-combined count whose OUTPUT is tiny (just the hot keys)
-    //    and removed with an anti-join BEFORE any list is collected, so
-    //    no reducer ever materializes an unbounded posting list;
-    //  - intersections come from bucket-local pair explosion over the
-    //    per-shingle posting lists (bounded by maxDocFreq), not from a
+    //  - ONE partial-aggregated exchange on h builds the inverted index:
+    //    graft.functions.BoundedPostings counts exact doc-freq while
+    //    capping the buffered list at maxDocFreq+1 ids, so a hot
+    //    stop-shingle never materializes an unbounded posting list and
+    //    its (truncated) list is discarded by the df filter — the
+    //    previous count → anti-join → collect_list plan paid two extra
+    //    exchanges and a second scan of the exploded shingles for the
+    //    same guarantee;
+    //  - intersections come from bucket-local pair enumeration over the
+    //    surviving posting lists (bounded by maxDocFreq) via the
+    //    LongPairs generator — C(|ds|,2) rows in O(|ds|) memory, not the
+    //    |ds|²-element explode×explode intermediate, and never a
     //    self-equi-join of the full inverted index.
-    val sh = CacheBin.pin( // read twice: hot-key count + anti-join input
+    // `id` must be a bigint column (the posting aggregator is typed).
+    // Both consumers (per-doc counts, pair counts) branch from this ONE
+    // DataFrame: Spark's ReuseExchange serves the h-keyed shuffle to
+    // both, which measured FASTER than a CacheBin.pin — the columnar
+    // cache pays array (de)serialization on every posting list, the
+    // reused exchange streams them.
+    val posts =
       df.select(id.as("doc_id"), explode(shingles(text, n)).as("shingle"))
-        .select(col("doc_id"), hash60(col("shingle")).as("h")))
-    val hot = sh.groupBy("h").agg(count(lit(1)).as("df"))
-      .filter(col("df") > maxDocFreq).select("h")
-    val cleaned = CacheBin.pin(sh.join(hot, Seq("h"), "left_anti"))
-    val counts = cleaned.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
-    val postings = cleaned.groupBy("h")
-      .agg(collect_list(col("doc_id")).as("ds"))
+        .select(col("doc_id"), hash60(col("shingle")).as("h"))
+        .groupBy("h")
+        .agg(graft.functions.GraftFunctions
+          .boundedPostings(col("doc_id"), maxDocFreq.toInt).as("p"))
+        .filter(col("p.df") <= maxDocFreq)
+        .select(col("p.ids").as("ds"))
+    val counts = posts.select(explode(col("ds")).as("doc_id"))
+      .groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
+    val inter = posts
       .filter(size(col("ds")) >= 2)
-    val inter = postings
-      .select(explode(col("ds")).as("doc_a"), col("ds").as("ds"))
-      .select(col("doc_a"), explode(col("ds")).as("doc_b"))
-      .filter(col("doc_a") < col("doc_b"))
+      .select(graft.functions.GraftFunctions.longPairs(col("ds"))
+        .as(Seq("doc_a", "doc_b")))
+      // pair keys are near-unique (most candidate pairs share exactly
+      // one shingle), so partial aggregation combines almost nothing and
+      // the exchange ships ~every pair — and AQE then coalesces the
+      // "small" shuffle to a handful of partitions, strangling the final
+      // aggregate's parallelism right where the row count EXPLODES
+      // relative to the input. Pin the pair exchange at the session's
+      // shuffle parallelism (explicit N disables AQE coalescing for this
+      // exchange only; measured 1.8× on this stage).
+      .repartition(df.sparkSession.sessionState.conf.numShufflePartitions,
+        col("doc_a"), col("doc_b"))
       .groupBy(col("doc_a"), col("doc_b"))
       .agg(count(lit(1)).as("inter"))
     inter

@@ -101,4 +101,28 @@ class DedupSpec extends SparkSpec {
     // 'hot shingle here' appears in 20 docs > 5 → dropped → no pairs via it
     assert(got.count() === 0)
   }
+
+  test("boundedPostings: exact df, list capped at cap+1, full when under cap") {
+    val rows = (1L to 10L).map(i => (if (i <= 7) 100L else 200L, i))
+    val got = rows.toDF("h", "doc_id").repartition(4)
+      .groupBy("h")
+      .agg(graft.functions.GraftFunctions.boundedPostings(col("doc_id"), 4).as("p"))
+      .select(col("h"), col("p.df"), col("p.ids"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getSeq[Long](2))).toList
+      .sortBy(_._1)
+    val (h1, df1, ids1) = got(0) // 7 ids at cap=4 → exact df, list capped at 5
+    assert(h1 == 100L && df1 == 7L && ids1.length == 5 &&
+      ids1.toSet.subsetOf((1L to 7L).toSet))
+    val (h2, df2, ids2) = got(1) // 3 ids under cap → complete list
+    assert(h2 == 200L && df2 == 3L && ids2.toSet == Set(8L, 9L, 10L))
+  }
+
+  test("longPairs: sorted a<b pairs, empty for null/size<2 arrays") {
+    val got = Seq(Seq(3L, 1L, 2L), Seq(5L), Seq.empty[Long])
+      .toDF("ds")
+      .select(graft.functions.GraftFunctions.longPairs(col("ds"))
+        .as(Seq("a", "b")))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toList
+    assert(got == List((1L, 2L), (1L, 3L), (2L, 3L)))
+  }
 }
