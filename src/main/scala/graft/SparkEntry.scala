@@ -100,6 +100,7 @@ object SparkEntry {
     "q_multimodal_meta" -> (LlmOps.multimodalMeta(_, _)),
     "q_multimodal_feat" -> (LlmOps.multimodalFeatures(_, _)),
     "q_multimodal_audio" -> (LlmOps.multimodalAudio(_, _)),
+    "q_multimodal_video" -> (LlmOps.multimodalVideo(_, _)),
     // — corpus curation: deterministic sampling / splits / PII / chunking
     "q_sample_hash" -> (Curation.sampleHash(_, _)),
     "q_train_test_split" -> (Curation.trainTestSplit(_, _)),
@@ -337,6 +338,7 @@ object SparkEntry {
     "q_multimodal_meta" -> LlmOps.multimodalMetaSql,
     "q_multimodal_feat" -> LlmOps.multimodalFeaturesSql,
     "q_multimodal_audio" -> LlmOps.multimodalAudioSql,
+    "q_multimodal_video" -> LlmOps.multimodalVideoSql,
     "q_kmeans_step" -> LlmOps.kmeansStepSql,
     "q_sample_hash" -> Curation.sampleHashSql,
     "q_train_test_split" -> Curation.trainTestSplitSql,

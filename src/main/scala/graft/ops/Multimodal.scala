@@ -18,11 +18,14 @@ import graft.Tables
   * IDAT data and compute per-channel pixel statistics, oracle-checked
   * (q_multimodal_feat). The testdata carries no media, so payloads are
   * SYNTHESIZED — but by the real codec, then actually decoded by it.
-  * Audio (WAV PCM via javax.sound) and animated-image frame extraction
-  * (APNG written/parsed chunk-by-chunk with real zlib + CRC32) are
-  * REAL too; only interframe-compressed video (H.264 etc.) needs a
-  * codec library the container lacks — `sampleFrameOffsets` remains
-  * the marked stub for that case.
+  * Audio (WAV PCM via javax.sound), animated-image frame extraction
+  * (APNG written/parsed chunk-by-chunk with real zlib + CRC32), and
+  * VIDEO frame extraction (Motion JPEG in a hand-written RIFF/AVI
+  * container, frames through the JDK JPEG codec) are REAL too.
+  * Interframe-compressed codecs (H.264 etc.) are out of scope without
+  * a codec library — a capability boundary, not a stub: the container
+  * walk, frame sampling, and feature plumbing are the same ones the
+  * MJPEG path exercises end-to-end.
   * The Spark-side plumbing is what matters at 100 TB:
   *  - payloads never enter a shuffle (metadata is extracted map-side,
   *    joins/groupBys run on the metadata, payload columns are pruned
@@ -358,9 +361,11 @@ object Multimodal {
       }
     } catch { case scala.util.control.NonFatal(_) => None }
 
-  /** Frame sampling plumbing: every `stride`-th byte as a "frame"
-    * offset list (STUB for video frame extraction; the slice/transform
-    * shape is the real plumbing).
+  /** Byte-window sampling: every `stride`-th byte offset as a list —
+    * generic fan-out plumbing for fixed-record payloads (raw tensors,
+    * uncompressed frame buffers). REAL video frame extraction lives in
+    * [[decodeAviFrames]]/[[aviFrameFeatures]]; this stays for payloads
+    * with no container structure at all.
     */
   def sampleFrameOffsets(nBytes: Column, stride: Int): Column =
     sequence(lit(0), nBytes - 1, lit(stride))
@@ -371,9 +376,8 @@ object Multimodal {
   // fcTL/IDAT/fdAT/IEND with genuine zlib deflate (java.util.zip) and
   // per-chunk CRC32 — and parsed back the same way. The JDK's own
   // ImageIO accepts the bytes as a valid PNG (it decodes frame 0),
-  // which the spec uses as an independent conformance check. Only
-  // interframe-compressed VIDEO (H.264 etc.) still needs a codec
-  // library the container lacks.
+  // which the spec uses as an independent conformance check. The video
+  // analogue (MJPEG in RIFF/AVI) follows further below.
 
   private def chunk(typ: String, data: Array[Byte]): Array[Byte] = {
     val bb = java.nio.ByteBuffer.allocate(12 + data.length)
@@ -563,8 +567,9 @@ object Multimodal {
     * features). Generate (posexplode) is the only fan-out; slicing is
     * map-side on the already-loaded payload, so no shuffle and the
     * frame rows flow straight into per-partition feature extraction
-    * (decodeFeatures). `frameBytes` bounds each slice (STUB for a
-    * decoded frame).
+    * (decodeFeatures). `frameBytes` bounds each raw slice — for
+    * container-structured video use [[aviFrameFeatures]], which decodes
+    * real frames instead of slicing bytes.
     */
   def explodeFrames(df: DataFrame, id: Column, payload: Column,
       stride: Int, frameBytes: Int): DataFrame =
@@ -573,4 +578,241 @@ object Multimodal {
         .as(Seq("frame_idx", "frame_off")))
       .select(col("doc_id"), col("frame_idx"), col("frame_off"),
         col("payload").substr(col("frame_off") + 1, lit(frameBytes)).as("frame"))
+
+  // ------------------------------------------------ real MJPEG/AVI codec
+  // VIDEO frame extraction is REAL for Motion JPEG: interframe codecs
+  // (H.264 etc.) need a library this container lacks, but MJPEG does
+  // not — every frame is an independent baseline JPEG, and the JDK
+  // ships a genuine JPEG codec. The classic RIFF/AVI container is
+  // written by hand below (RIFF lists, avih/strh/strf headers, 00dc
+  // frame chunks — the same approach as the APNG codec above; RIFF
+  // lengths are LITTLE-endian where PNG's were big-endian) and each
+  // frame round-trips through ImageIO's real JPEG encode/decode.
+
+  private def le32(v: Int): Array[Byte] =
+    java.nio.ByteBuffer.allocate(4)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN).putInt(v).array()
+
+  /** One RIFF chunk: fourcc + LE length + data (+ pad byte when odd). */
+  private def riffChunk(id: String, data: Array[Byte]): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    out.write(id.getBytes("US-ASCII"))
+    out.write(le32(data.length))
+    out.write(data)
+    if (data.length % 2 == 1) out.write(0)
+    out.toByteArray
+  }
+
+  private def riffList(listType: String, children: Array[Byte]): Array[Byte] =
+    riffChunk("LIST", listType.getBytes("US-ASCII") ++ children)
+
+  // ImageWriter instances are not thread-safe and the SPI registry
+  // lookup is not free — one writer per executor thread, reused across
+  // every frame that thread encodes.
+  private val jpegWriter =
+    new ThreadLocal[javax.imageio.ImageWriter] {
+      override def initialValue(): javax.imageio.ImageWriter =
+        javax.imageio.ImageIO.getImageWritersByFormatName("jpeg").next()
+    }
+
+  /** REAL JPEG bytes of a uniform gray frame (r=g=b=v) at compression
+    * quality 1.0 (all-ones quantization tables). A uniform gray frame
+    * survives the whole lossy pipeline EXACTLY: Y = v and Cb = Cr = 128
+    * are exact in the codec's fixed-point color transform, a constant
+    * block's DCT is DC-only, and a DC coefficient quantized at step 1
+    * loses nothing — so the decoded pixels equal v bit-for-bit (spec
+    * MultimodalSpec sweeps this), which is what lets the q_multimodal
+    * _video oracle predict per-frame means in closed form while the
+    * engine genuinely decodes JPEG.
+    */
+  def encodeJpegGray(v: Int, w: Int, h: Int): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val rgb = (v << 16) | (v << 8) | v
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) { img.setRGB(x, y, rgb); x += 1 }
+      y += 1
+    }
+    val wr = jpegWriter.get()
+    val p = wr.getDefaultWriteParam
+    p.setCompressionMode(javax.imageio.ImageWriteParam.MODE_EXPLICIT)
+    p.setCompressionQuality(1.0f)
+    val bos = new java.io.ByteArrayOutputStream()
+    val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+    try {
+      wr.setOutput(ios)
+      wr.write(null, new javax.imageio.IIOImage(img, null, null), p)
+    } finally ios.close()
+    bos.toByteArray
+  }
+
+  /** Encode a REAL Motion-JPEG AVI for one doc id: w = id%8+1,
+    * h = id%4+1, nFrames = id%4+2 (the APNG conventions), frame f a
+    * uniform gray v = (id·3 + f·7) % 256. Full RIFF structure:
+    * hdrl(avih, strl(strh 'vids'/'MJPG', strf BITMAPINFOHEADER)) +
+    * movi(00dc per frame).
+    */
+  def encodeAviMjpeg(id: Long): Array[Byte] = {
+    val w = (id % 8).toInt + 1
+    val h = (id % 4).toInt + 1
+    val nFrames = (id % 4).toInt + 2
+    val frames = (0 until nFrames)
+      .map(f => encodeJpegGray(((id * 3 + f * 7) % 256).toInt, w, h))
+    val maxFrame = frames.map(_.length).max
+    val avih = {
+      val b = java.nio.ByteBuffer.allocate(56)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      b.putInt(100000) // dwMicroSecPerFrame (10 fps)
+      b.putInt(0).putInt(0).putInt(0) // maxBytesPerSec, padding, flags
+      b.putInt(nFrames).putInt(0).putInt(1) // totalFrames, initial, streams
+      b.putInt(maxFrame).putInt(w).putInt(h) // suggestedBuffer, width, height
+      b.array() // 16 reserved bytes stay zero
+    }
+    val strh = {
+      val b = java.nio.ByteBuffer.allocate(56)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      b.put("vids".getBytes("US-ASCII")).put("MJPG".getBytes("US-ASCII"))
+      b.putInt(0).putShort(0).putShort(0).putInt(0) // flags, prio, lang, initial
+      b.putInt(1).putInt(10) // scale, rate → 10 fps
+      b.putInt(0).putInt(nFrames).putInt(maxFrame) // start, length, bufSize
+      b.putInt(-1).putInt(0) // quality (default), sampleSize (varies)
+      b.putShort(0).putShort(0) // rcFrame left, top
+      b.putShort(w.toShort).putShort(h.toShort)
+      b.array()
+    }
+    val strf = {
+      val b = java.nio.ByteBuffer.allocate(40)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      b.putInt(40).putInt(w).putInt(h) // biSize, biWidth, biHeight
+      b.putShort(1).putShort(24) // planes, bit count
+      b.put("MJPG".getBytes("US-ASCII"))
+      b.putInt(w * h * 3).putInt(0).putInt(0).putInt(0).putInt(0)
+      b.array()
+    }
+    val hdrl = riffList("hdrl",
+      riffChunk("avih", avih) ++
+        riffList("strl", riffChunk("strh", strh) ++ riffChunk("strf", strf)))
+    val movi = riffList("movi",
+      frames.map(riffChunk("00dc", _)).reduce(_ ++ _))
+    riffChunk("RIFF", "AVI ".getBytes("US-ASCII") ++ hdrl ++ movi)
+  }
+
+  /** REAL AVI decode + frame sampling: walk the RIFF chunk tree, read
+    * dims/frame count from avih, decode every `stride`-th 00dc frame
+    * through the JDK JPEG codec and reduce it to per-channel means.
+    * Returns None on anything unparseable — one bad payload never fails
+    * a scan (all lengths are untrusted and bounds-checked before any
+    * allocation, as in the APNG walker).
+    */
+  def decodeAviFrames(bytes: Array[Byte], stride: Int)
+      : Option[(Int, Int, Int, Seq[FrameFeat])] = {
+    require(stride > 0, s"stride must be positive, got $stride")
+    try {
+      val bb = java.nio.ByteBuffer.wrap(bytes)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      def fourcc(): String = {
+        val t = new Array[Byte](4); bb.get(t); new String(t, "US-ASCII")
+      }
+      if (bb.remaining() < 12 || fourcc() != "RIFF") return None
+      bb.getInt // RIFF payload length (implicitly re-checked per chunk)
+      if (fourcc() != "AVI ") return None
+      var (w, h, nFrames) = (0, 0, 0)
+      var frameIdx = 0
+      val feats = scala.collection.mutable.ArrayBuffer.empty[FrameFeat]
+      // walk chunks in [bb.position, end); LIST payloads recurse
+      def walk(end: Int): Option[Unit] = {
+        while (bb.position() < end) {
+          if (end - bb.position() < 8) return None
+          val id = fourcc()
+          val len = bb.getInt
+          if (len < 0 || len > end - bb.position()) return None
+          val chunkEnd = bb.position() + len
+          id match {
+            case "LIST" =>
+              if (len < 4) return None
+              fourcc() // list type is informative only; children decide
+              if (walk(chunkEnd).isEmpty) return None
+            case "avih" =>
+              if (len < 40) return None
+              val base = bb.position()
+              nFrames = bb.getInt(base + 16)
+              w = bb.getInt(base + 32)
+              h = bb.getInt(base + 36)
+              bb.position(chunkEnd)
+            case "00dc" =>
+              if (frameIdx % stride == 0) {
+                val jpeg = new Array[Byte](len)
+                bb.get(jpeg)
+                val img = javax.imageio.ImageIO.read(
+                  new java.io.ByteArrayInputStream(jpeg))
+                if (img == null) return None
+                var (sr, sg, sb) = (0L, 0L, 0L)
+                var y = 0
+                while (y < img.getHeight) {
+                  var x = 0
+                  while (x < img.getWidth) {
+                    val rgb = img.getRGB(x, y)
+                    sr += (rgb >> 16) & 0xff
+                    sg += (rgb >> 8) & 0xff
+                    sb += rgb & 0xff
+                    x += 1
+                  }
+                  y += 1
+                }
+                val n = (img.getWidth * img.getHeight).toDouble
+                feats += FrameFeat(frameIdx, sr / n, sg / n, sb / n)
+              }
+              frameIdx += 1
+              bb.position(chunkEnd)
+            case _ =>
+              bb.position(chunkEnd)
+          }
+          if (len % 2 == 1 && bb.position() < end) bb.get() // pad byte
+        }
+        Some(())
+      }
+      walk(bytes.length).map { _ =>
+        if (w == 0 || frameIdx == 0) return None
+        (w, h, nFrames, feats.toSeq)
+      }
+    } catch { case scala.util.control.NonFatal(_) => None }
+  }
+
+  /** documents as REAL MJPEG/AVI payloads: (doc_id, payload). `every`
+    * keeps one doc in `every` (videos are the heavy modality even
+    * synthesized — the sampled subset keeps the gate data-proportional
+    * without dominating the bench).
+    */
+  def aviPayloads(spark: SparkSession, dir: String, every: Int = 5): DataFrame = {
+    import spark.implicits._
+    Tables.load(spark, dir, "documents")
+      .select(col("doc_id").cast(LongType)).as[Long]
+      .filter((id: Long) => id % every == 0)
+      .repartition(spark.sparkContext.defaultParallelism)
+      .mapPartitions(it => it.map(id => (id, encodeAviMjpeg(id))))
+      .toDF("doc_id", "payload")
+  }
+
+  /** DataFrame face: one row per SAMPLED video frame — identical shape
+    * to [[apngFrameFeatures]], batched per partition; payloads never
+    * shuffle.
+    */
+  def aviFrameFeatures(spark: SparkSession, media: DataFrame,
+      stride: Int = 2): DataFrame = {
+    import spark.implicits._
+    media.select(col("doc_id").cast(LongType), col("payload").cast(BinaryType))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.flatMap { case (id, bytes) =>
+          decodeAviFrames(bytes, stride) match {
+            case Some((w, h, nf, feats)) =>
+              feats.map(f => (id, w, h, nf, f.frame_idx, f.mean_r, f.mean_g, f.mean_b))
+            case None => Seq.empty
+          }
+        }
+      }.toDF("doc_id", "px_w", "px_h", "n_frames", "frame_idx",
+        "mean_r", "mean_g", "mean_b")
+  }
 }

@@ -442,6 +442,18 @@ object LlmOps {
   def multimodalAudio(spark: SparkSession, dir: String): DataFrame =
     Multimodal.decodeAudioFeatures(spark, Multimodal.wavPayloads(spark, dir))
 
+  /** Video leg: encode a real Motion-JPEG AVI per sampled doc (RIFF
+    * container written by hand, frames through the JDK JPEG codec at
+    * quality 1.0), then decode it back — container walk, per-frame JPEG
+    * decode, per-channel means on every 2nd frame. Uniform gray frames
+    * survive the lossy codec exactly (see Multimodal.encodeJpegGray),
+    * so the oracle predicts the decoded means in closed form while the
+    * engine genuinely runs the codec both ways.
+    */
+  def multimodalVideo(spark: SparkSession, dir: String): DataFrame =
+    Multimodal.aviFrameFeatures(spark,
+      Multimodal.aviPayloads(spark, dir, every = 5), stride = 2)
+
   // ================================================== oracle SQL builders
 
   /** Shared DuckDB CTE: distinct word 3-gram shingles per doc. */
@@ -753,6 +765,26 @@ object LlmOps {
       |  (doc_id % 50 + 10) * 100 / 8000.0 AS duration_s,
       |  CAST((doc_id % 100 + 1) * 100 AS DOUBLE) AS rms
       |FROM documents""".stripMargin
+
+  /** Closed-form prediction of the MJPEG/AVI round trip: every 5th doc
+    * carries a video of doc_id%4+2 uniform gray frames (w = doc_id%8+1,
+    * h = doc_id%4+1), every 2nd frame sampled; the gray value
+    * (doc_id·3 + f·7) % 256 survives the quality-1.0 JPEG round trip
+    * exactly, so the decoded per-channel means ARE the gray value.
+    */
+  val multimodalVideoSql: String =
+    """WITH f AS (SELECT doc_id,
+      |    unnest(range(0, doc_id % 4 + 2)) AS fi
+      |  FROM documents WHERE doc_id % 5 = 0)
+      |SELECT doc_id,
+      |  CAST(doc_id % 8 + 1 AS INT) AS px_w,
+      |  CAST(doc_id % 4 + 1 AS INT) AS px_h,
+      |  CAST(doc_id % 4 + 2 AS INT) AS n_frames,
+      |  CAST(fi AS INT) AS frame_idx,
+      |  CAST((doc_id * 3 + fi * 7) % 256 AS DOUBLE) AS mean_r,
+      |  CAST((doc_id * 3 + fi * 7) % 256 AS DOUBLE) AS mean_g,
+      |  CAST((doc_id * 3 + fi * 7) % 256 AS DOUBLE) AS mean_b
+      |FROM f WHERE fi % 2 = 0""".stripMargin
 
   val multimodalMetaSql: String =
     """WITH d AS (SELECT doc_id, text,

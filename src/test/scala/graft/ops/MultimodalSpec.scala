@@ -149,6 +149,49 @@ class MultimodalSpec extends SparkSpec {
     assert(got.forall(r => r.getInt(4) % 2 == 0)) // only sampled frames
   }
 
+  test("MJPEG/AVI codec: RIFF walk + JPEG decode recover exact frame means") {
+    val ids = Seq(0L, 5L, 40L, 125L, 255L)
+    ids.foreach { id =>
+      val bytes = Multimodal.encodeAviMjpeg(id)
+      val Some((w, h, nf, feats)) = Multimodal.decodeAviFrames(bytes, stride = 2)
+      assert(w === (id % 8 + 1).toInt && h === (id % 4 + 1).toInt)
+      assert(nf === (id % 4 + 2).toInt)
+      assert(feats.map(_.frame_idx) === (0 until nf by 2))
+      // uniform gray at JPEG quality 1.0 survives the lossy pipeline
+      // EXACTLY — the closed-form oracle depends on this
+      feats.foreach { f =>
+        val v = ((id * 3 + f.frame_idx * 7) % 256).toDouble
+        assert(f.mean_r === v && f.mean_g === v && f.mean_b === v,
+          s"id=$id frame=${f.frame_idx}: got ${f.mean_r},${f.mean_g},${f.mean_b} want $v")
+      }
+      // every frame when stride=1
+      val Some((_, _, _, all)) = Multimodal.decodeAviFrames(bytes, stride = 1)
+      assert(all.map(_.frame_idx) === (0 until nf))
+    }
+    // corrupt input: None, never an exception or a huge allocation
+    assert(Multimodal.decodeAviFrames("junk".getBytes, 2) === None)
+    val whole = Multimodal.encodeAviMjpeg(5L)
+    assert(Multimodal.decodeAviFrames(whole.take(40), 2) === None)
+    // a frame chunk that declares a length past the end of the payload
+    // must take the None path, never attempt the oversized read
+    val lied = whole.clone()
+    val dc = lied.indices.find(i => lied(i) == '0' && lied(i + 1) == '0' &&
+      lied(i + 2) == 'd' && lied(i + 3) == 'c').get
+    lied(dc + 4) = -1; lied(dc + 5) = -1; lied(dc + 6) = -1; lied(dc + 7) = 0x7f
+    assert(Multimodal.decodeAviFrames(lied, 2) === None)
+  }
+
+  test("aviFrameFeatures: one row per sampled frame through the batch path") {
+    val ids = Seq(5L, 10L, 11L)
+    val media = ids.toDF("doc_id")
+      .select(col("doc_id"), udf((id: Long) => Multimodal.encodeAviMjpeg(id))
+        .apply(col("doc_id")).as("payload"))
+    val got = Multimodal.aviFrameFeatures(spark, media, stride = 2).collect()
+    val expRows = ids.map(id => ((id % 4 + 2).toInt + 1) / 2).sum
+    assert(got.length === expRows)
+    assert(got.forall(r => r.getInt(4) % 2 == 0)) // only sampled frames
+  }
+
   test("sampleFrameOffsets: stride sequence over payload bytes") {
     val got = Seq(10).toDF("n")
       .select(Multimodal.sampleFrameOffsets(col("n"), 4).as("o"))
