@@ -91,9 +91,12 @@ case class LongPairs(child: Expression)
     extends UnaryExpression with Generator with CodegenFallback {
 
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
-    case ArrayType(LongType, _) => TypeCheckResult.TypeCheckSuccess
+    // containsNull must be false: toLongArray on a null element is a
+    // query-killing NPE on one ArrayData implementation and a silent 0L
+    // on another — reject at analysis time instead
+    case ArrayType(LongType, false) => TypeCheckResult.TypeCheckSuccess
     case t => TypeCheckResult.TypeCheckFailure(
-      s"$prettyName requires array<bigint>, got $t")
+      s"$prettyName requires array<bigint> with non-null elements, got $t")
   }
 
   override def elementSchema: StructType = StructType(Seq(

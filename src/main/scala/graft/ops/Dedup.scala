@@ -77,15 +77,17 @@ object Dedup {
     * Returns (doc_a, doc_b) with doc_a < doc_b, distinct.
     */
   /** All (a, b) pairs with a < b from each group's id array: the
-    * bucket-local pair generator shared by the LSH-style candidate ops.
-    * Group sizes are expected bounded (bands/buckets/df-caps upstream),
-    * so the double explode is O(Σ groupSize²) with small groups — no
-    * all-rows self-join, no shuffle beyond the caller's groupBy.
+    * bucket-local pair generator shared by the LSH-style candidate ops
+    * (LongPairs generator — C(|ds|,2) rows in O(|ds|) memory; the
+    * explode×explode formulation materialized an O(|ds|²)-element
+    * intermediate per bucket). Group sizes are bounded upstream
+    * (bands/buckets/df-caps), so pair volume is O(Σ groupSize²) with
+    * small groups — no all-rows self-join, no shuffle beyond the
+    * caller's groupBy. `ids` must be array<bigint>.
     */
   private[graft] def pairsWithinGroups(grouped: DataFrame, ids: Column): DataFrame =
-    grouped.select(explode(ids).as("doc_a"), ids.as("ds"))
-      .select(col("doc_a"), explode(col("ds")).as("doc_b"))
-      .filter(col("doc_a") < col("doc_b"))
+    grouped.select(graft.functions.GraftFunctions.longPairs(ids)
+        .as(Seq("doc_a", "doc_b")))
       .distinct()
 
   /** (doc_id, band, bsig) banded relation of a minhash signature table —

@@ -615,6 +615,34 @@ object Multimodal {
         javax.imageio.ImageIO.getImageWritersByFormatName("jpeg").next()
     }
 
+  // same pooling on the decode side: ImageIO.read re-scans the reader
+  // SPI registry per call; a per-thread JPEG reader skips that for the
+  // per-frame decode loop (streams are memory-backed — setUseCache
+  // (false) above — so no temp-file round trips either way)
+  private val jpegReader =
+    new ThreadLocal[javax.imageio.ImageReader] {
+      override def initialValue(): javax.imageio.ImageReader =
+        javax.imageio.ImageIO.getImageReadersByFormatName("jpeg").next()
+    }
+
+  /** Decode one in-memory JPEG via the pooled per-thread reader; null
+    * when the bytes are not a decodable JPEG (reader reset for reuse).
+    */
+  private def readJpeg(jpeg: Array[Byte]): java.awt.image.BufferedImage = {
+    val r = jpegReader.get()
+    val iis = javax.imageio.ImageIO.createImageInputStream(
+      new java.io.ByteArrayInputStream(jpeg))
+    try {
+      r.setInput(iis, true, true)
+      r.read(0)
+    } catch {
+      case scala.util.control.NonFatal(_) => null
+    } finally {
+      r.setInput(null)
+      iis.close()
+    }
+  }
+
   /** REAL JPEG bytes of a uniform gray frame (r=g=b=v) at compression
     * quality 1.0 (all-ones quantization tables). A uniform gray frame
     * survives the whole lossy pipeline EXACTLY: Y = v and Cb = Cr = 128
@@ -716,7 +744,13 @@ object Multimodal {
         val t = new Array[Byte](4); bb.get(t); new String(t, "US-ASCII")
       }
       if (bb.remaining() < 12 || fourcc() != "RIFF") return None
-      bb.getInt // RIFF payload length (implicitly re-checked per chunk)
+      // walk only the DECLARED RIFF payload: muxers append padding /
+      // index junk after the chunk, and a tolerant reader must not
+      // misparse those trailing bytes as chunk headers (clamped to the
+      // actual buffer — the length is untrusted like every other)
+      val riffLen = bb.getInt
+      if (riffLen < 4) return None
+      val walkEnd = math.min(8L + riffLen, bytes.length.toLong).toInt
       if (fourcc() != "AVI ") return None
       var (w, h, nFrames) = (0, 0, 0)
       var frameIdx = 0
@@ -745,8 +779,7 @@ object Multimodal {
               if (frameIdx % stride == 0) {
                 val jpeg = new Array[Byte](len)
                 bb.get(jpeg)
-                val img = javax.imageio.ImageIO.read(
-                  new java.io.ByteArrayInputStream(jpeg))
+                val img = readJpeg(jpeg)
                 if (img == null) return None
                 var (sr, sg, sb) = (0L, 0L, 0L)
                 var y = 0
@@ -773,7 +806,7 @@ object Multimodal {
         }
         Some(())
       }
-      walk(bytes.length).map { _ =>
+      walk(walkEnd).map { _ =>
         if (w == 0 || frameIdx == 0) return None
         (w, h, nFrames, feats.toSeq)
       }

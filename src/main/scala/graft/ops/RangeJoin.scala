@@ -40,6 +40,14 @@ object RangeJoin {
     * the same arguments; a clamp is deliberately not offered because a
     * silently truncated interval returns wrong matches, while a dropped
     * one is visible in the audit.
+    *
+    * Sizing `maxSpanBins`: the default (2^20) assumes `binSeconds` is
+    * chosen near the typical interval length (the documented cost
+    * model — ~1-2 bins per interval). An interval spanning a MILLION
+    * bins is then either corrupt or evidence of a mis-sized bin: it
+    * would replicate into 10^6 join rows by itself. Callers whose
+    * legitimate spans are genuinely that wide must raise `maxSpanBins`
+    * explicitly (and accept the replication) or re-bin.
     */
   def binnedIntervalJoin(points: DataFrame, intervals: DataFrame,
       key: String, pointTs: String, startCol: String, endCol: String,

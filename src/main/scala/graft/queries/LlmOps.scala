@@ -250,16 +250,26 @@ object LlmOps {
       nPlanes = lshPlanes, dim = 64)
       .withColumn("cos", round(col("cos"), 6))
 
+  /** Deterministic seed centroids shared by every IVF/k-means face:
+    * the embeddings of vec_ids 0..7 (a stand-in for a k-means fit).
+    * Parameter-sized collect — 8 vectors, never data-proportional. All
+    * three consumers (in-memory IVF, indexed IVF, k-means step) MUST
+    * use this one definition: the indexed path's "same results as the
+    * in-memory path" gate depends on identical centroids.
+    */
+  private def seedCentroids(emb: DataFrame): Seq[(Int, Seq[Double])] =
+    emb.filter(col("vec_id") < 8)
+      .select(col("vec_id"), col("embedding").cast(ArrayType(DoubleType)))
+      .collect()
+      .map(r => (r.getLong(0).toInt, r.getSeq[Double](1)))
+      .toSeq.sortBy(_._1)
+
   /** IVF ANN: centroids = embeddings of vec_ids 0..7 (deterministic
     * stand-in for a k-means fit), probe the 2 nearest lists.
     */
   def embedAnnIvf(spark: SparkSession, dir: String): DataFrame = {
     val emb = Tables.load(spark, dir, "embeddings")
-    val centroids = emb.filter(col("vec_id") < 8)
-      .select(col("vec_id"), col("embedding").cast(ArrayType(DoubleType)))
-      .collect()
-      .map(r => (r.getLong(0).toInt, r.getSeq[Double](1)))
-      .toSeq.sortBy(_._1)
+    val centroids = seedCentroids(emb)
     val assigned = Similarity.ivfAssign(emb, col("vec_id"), col("embedding"), centroids)
     Similarity.ivfSearch(assigned, centroids, queryVector(spark, dir), k = 10)
       .withColumn("cos", round(col("cos"), 6))
@@ -274,11 +284,7 @@ object LlmOps {
     */
   def embedAnnIvfIndexed(spark: SparkSession, dir: String): DataFrame = {
     val emb = Tables.load(spark, dir, "embeddings")
-    val centroids = emb.filter(col("vec_id") < 8)
-      .select(col("vec_id"), col("embedding").cast(ArrayType(DoubleType)))
-      .collect()
-      .map(r => (r.getLong(0).toInt, r.getSeq[Double](1)))
-      .toSeq.sortBy(_._1)
+    val centroids = seedCentroids(emb)
     val idx = StageOnce.tmp("ivf_index", dir)
     StageOnce(idx) {
       Similarity.ivfWriteIndex(
@@ -295,11 +301,7 @@ object LlmOps {
     */
   def kmeansStep(spark: SparkSession, dir: String): DataFrame = {
     val emb = Tables.load(spark, dir, "embeddings")
-    val centroids = emb.filter(col("vec_id") < 8)
-      .select(col("vec_id"), col("embedding").cast(ArrayType(DoubleType)))
-      .collect()
-      .map(r => (r.getLong(0).toInt, r.getSeq[Double](1)))
-      .toSeq.sortBy(_._1)
+    val centroids = seedCentroids(emb)
     Similarity.kmeansStep(emb, col("vec_id"), col("embedding"), centroids)
       .select(col("centroid"), col("pos"), round(col("v"), 6).as("v"))
   }

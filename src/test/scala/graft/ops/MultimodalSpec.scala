@@ -168,6 +168,10 @@ class MultimodalSpec extends SparkSpec {
       val Some((_, _, _, all)) = Multimodal.decodeAviFrames(bytes, stride = 1)
       assert(all.map(_.frame_idx) === (0 until nf))
     }
+    // trailing bytes after the declared RIFF payload (muxer padding,
+    // appended junk) must not break a valid video
+    val padded = Multimodal.encodeAviMjpeg(5L) ++ "garbage after the container".getBytes
+    assert(Multimodal.decodeAviFrames(padded, 2).map(_._3) === Some((5 % 4 + 2).toInt))
     // corrupt input: None, never an exception or a huge allocation
     assert(Multimodal.decodeAviFrames("junk".getBytes, 2) === None)
     val whole = Multimodal.encodeAviMjpeg(5L)
