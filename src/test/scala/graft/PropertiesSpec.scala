@@ -121,6 +121,41 @@ class PropertiesSpec extends SparkSpec {
     }
   }
 
+  test("property: ngramJaccardPairs ≡ brute-force Jaccard over df-capped shingle sets") {
+    val gen = for {
+      nDocs <- Gen.choose(3, 10)
+      texts <- Gen.listOfN(nDocs, for {
+        n <- Gen.choose(3, 9)
+        ws <- Gen.listOfN(n, word)
+      } yield ws.mkString(" "))
+      maxDf <- Gen.oneOf(2L, 3L, 1000L)
+      thr <- Gen.oneOf(0.05, 0.3)
+    } yield (texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }, maxDf, thr)
+    forAllSeeded(gen, n = 15) { case (docs, maxDf, thr) =>
+      val got = Dedup.ngramJaccardPairs(docs.toDF("doc_id", "text"),
+        col("doc_id"), col("text"), n = 3, threshold = thr, maxDocFreq = maxDf)
+        .collect()
+        .map(r => ((r.getLong(0), r.getLong(1)), (r.getLong(2), r.getDouble(3))))
+        .toMap
+      // reference: distinct word 3-grams per doc, drop shingles in more
+      // than maxDf docs, exact pairwise Jaccard on what remains
+      val sets = docs.map { case (id, t) =>
+        id -> t.trim.split("\\s+").filter(_.nonEmpty).sliding(3).filter(_.length == 3)
+          .map(_.mkString(" ")).toSet
+      }.toMap
+      val df = sets.values.flatten.groupBy(identity).map { case (s, xs) => s -> xs.size }
+      val kept = sets.map { case (id, s) => id -> s.filter(df(_) <= maxDf) }
+      val want = (for {
+        a <- docs.map(_._1); b <- docs.map(_._1) if a < b
+        inter = (kept(a) intersect kept(b)).size
+        if inter > 0
+        union = kept(a).size + kept(b).size - inter
+        j = inter.toDouble / union if j >= thr
+      } yield (a, b) -> (inter.toLong, j)).toMap
+      assert(got == want, s"maxDf=$maxDf thr=$thr docs=$docs")
+    }
+  }
+
   test("property: binnedIntervalJoin ≡ brute-force BETWEEN join, any bin width") {
     val gen = for {
       pts <- Gen.listOfN(15, for {
