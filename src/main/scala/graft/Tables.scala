@@ -1,6 +1,9 @@
 package graft
 
+import java.util.concurrent.ConcurrentHashMap
+
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.types.StructType
 
 /** Loaders for the driver-provided parquet testdata (see TESTDATA.md).
   * All queries take an `sfDir` so the same code runs at any scale factor.
@@ -10,8 +13,21 @@ object Tables {
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
-  def load(spark: SparkSession, sfDir: String, name: String): DataFrame =
-    spark.read.parquet(s"$sfDir/$name.parquet")
+  /** Schema-by-path cache, playing the catalog's role: a real deployment
+    * resolves table schemas from a metastore instead of re-reading
+    * parquet footers on every query, and at 100 TB per-query footer
+    * inference is both latency and an S3 LIST/HEAD storm. Keyed by the
+    * full path; entries live for the JVM (the testdata contract is that
+    * a path's schema is immutable — regenerating data makes a new dir).
+    */
+  private val schemaCache = new ConcurrentHashMap[String, StructType]()
+
+  def load(spark: SparkSession, sfDir: String, name: String): DataFrame = {
+    val path = s"$sfDir/$name.parquet"
+    val schema = schemaCache.computeIfAbsent(path,
+      p => spark.read.parquet(p).schema)
+    spark.read.schema(schema).parquet(path)
+  }
 
   /** Events table with `ts` as a proper TimestampType. The driver writes
     * nanosecond parquet timestamps, which Spark only reads via
