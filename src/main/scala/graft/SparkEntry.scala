@@ -74,6 +74,7 @@ object SparkEntry {
     "q_dedup_exact" -> (LlmOps.dedupExact(_, _)),
     "q_dedup_minhash" -> (LlmOps.minhashSignatures(_, _)),
     "q_dedup_minhash_lsh" -> (LlmOps.minhashLshDedup(_, _)),
+    "q_dedup_cc" -> (LlmOps.dedupClusters(_, _)),
     "q_dedup_ngram_jaccard" -> (LlmOps.ngramJaccard(_, _)),
     "q_dedup_simhash" -> (LlmOps.simhashSignatures(_, _)),
     "q_dedup_simhash_pairs" -> (LlmOps.simhashPairs(_, _)),
@@ -308,6 +309,7 @@ object SparkEntry {
           FROM orders""").mkString(" UNION ALL "),
     "q_dedup_exact" -> LlmOps.dedupExactSql,
     "q_dedup_minhash_lsh" -> LlmOps.minhashLshSql,
+    "q_dedup_cc" -> LlmOps.dedupClustersSql,
     "q_dedup_simhash_pairs" -> LlmOps.simhashPairsSql,
     "q_corpus_clean" -> LlmOps.corpusCleanSql,
     "q_prepare_corpus" -> LlmOps.prepareCorpusSql,

@@ -1,0 +1,75 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+
+/** Connected components over an undirected edge list — the cluster-
+  * resolution step of near-duplicate removal: pair finders (MinHash-LSH,
+  * SimHash, n-gram Jaccard) emit EDGES; keeping one canonical document
+  * per duplicate *group* needs the transitive closure of those edges.
+  * The component root (its minimum doc id) is the canonical survivor,
+  * every other member is dropped — the standard keep-one policy, and
+  * deterministic.
+  *
+  * Algorithm: iterative min-label propagation with pointer doubling.
+  * Each round every vertex takes the min root over {itself} ∪ its
+  * neighbours' roots (one shuffle join + partial-aggregated min), then
+  * chases its root's root (a second join — pointer doubling). Neighbour
+  * propagation alone needs O(diameter) rounds (a 1000-long crawl chain =
+  * 1000 shuffles); doubling halves the remaining distance to the root
+  * every round, so convergence is O(log diameter) — at 100 TB that is
+  * the difference between ~40 shuffles and a job that never ends. Every
+  * round's result is `localCheckpoint`ed: iterative self-joins otherwise
+  * grow the lineage/plan exponentially and the optimizer re-plans the
+  * whole history each round (on a cluster with a checkpoint dir,
+  * `checkpoint` gives the same truncation with fault tolerance).
+  *
+  * Near-dup graphs in practice have tiny components (a page and its
+  * mirrors), so rounds ≈ 2-3; the log bound is the insurance against the
+  * adversarial case (one template chained across a whole crawl).
+  */
+object ConnectedComponents {
+
+  /** (id, root) for every vertex that appears in `edges` (two long
+    * columns, src/dst); root = min id of the vertex's component.
+    * Vertices with no edges are their own root and are simply absent —
+    * callers union them back if they need total coverage.
+    */
+  def run(edges: DataFrame, src: String = "doc_a", dst: String = "doc_b",
+      maxIter: Int = 50): DataFrame = {
+    val sym = edges
+      .select(col(src).cast("long").as("id"), col(dst).cast("long").as("nb"))
+      .union(edges
+        .select(col(dst).cast("long").as("id"), col(src).cast("long").as("nb")))
+      .filter(col("id") =!= col("nb"))
+      .distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    var labels = sym.select(col("id")).distinct()
+      .withColumn("root", col("id"))
+      .localCheckpoint()
+    var converged = sym.isEmpty
+    var i = 0
+    while (!converged && i < maxIter) {
+      // 1. neighbour-min: root'(v) = min(root(v), min_{u ~ v} root(u))
+      val nbMin = sym
+        .join(labels.withColumnRenamed("id", "nb"), Seq("nb"))
+        .groupBy("id").agg(min(col("root")).as("nb_root"))
+      val stepped = labels.join(nbMin, Seq("id"), "left")
+        .select(col("id"),
+          least(col("root"), coalesce(col("nb_root"), col("root"))).as("root"))
+      // 2. pointer doubling: root''(v) = root'(root'(v))
+      val doubled = stepped
+        .join(stepped.select(col("id").as("root"), col("root").as("rr")),
+          Seq("root"), "left")
+        .select(col("id"), coalesce(col("rr"), col("root")).as("root"))
+        .localCheckpoint()
+      converged = doubled.join(labels.withColumnRenamed("root", "prev"), Seq("id"))
+        .filter(col("root") =!= col("prev")).isEmpty
+      labels = doubled
+      i += 1
+    }
+    sym.unpersist()
+    labels
+  }
+}

@@ -38,6 +38,17 @@ object LlmOps {
       n = 3, threshold = 0.5)
   }
 
+  /** Duplicate-cluster resolution: the LSH-verified near-dup PAIRS are
+    * only edges — keep-one-per-group needs their transitive closure.
+    * Returns (doc_id, root) for every doc in a duplicate cluster, root =
+    * min doc_id of the cluster (the canonical survivor; every row with
+    * doc_id != root is a drop decision). Components via log-round
+    * min-label propagation + pointer doubling (ConnectedComponents).
+    */
+  def dedupClusters(spark: SparkSession, dir: String): DataFrame =
+    ConnectedComponents.run(minhashLshDedup(spark, dir))
+      .select(col("id").as("doc_id"), col("root"))
+
   /** Incremental ingest gate, exact: an "incoming batch" checked against
     * the existing corpus by content hash. The batch is a deterministic
     * crawl-delta simulation — fresh docs (doc_id % 10 == 0) plus
@@ -516,6 +527,21 @@ object LlmOps {
   }
 
   lazy val minhashLshSql: String = lshPairsSql("l.doc_id < r.doc_id")
+
+  /** Connected components of the LSH pair graph via a recursive CTE:
+    * reach(id, r) enumerates every vertex reachable from id (transitive
+    * closure — fine at oracle scale where clusters are tiny), root =
+    * min reachable id. Same edge set as the Spark side (minhashLshSql).
+    */
+  lazy val dedupClustersSql: String =
+    s"""WITH RECURSIVE pairs AS (SELECT doc_a, doc_b FROM ($minhashLshSql) q),
+       |edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+       |  UNION SELECT doc_b, doc_a FROM pairs),
+       |reach(id, r) AS (
+       |  SELECT src, src FROM edges
+       |  UNION
+       |  SELECT e.src, reach.r FROM edges e JOIN reach ON e.dst = reach.id)
+       |SELECT id AS doc_id, min(r) AS root FROM reach GROUP BY id""".stripMargin
 
   /** Incremental near-dup oracle: batch side l (doc_id % 10 = 0) against
     * corpus side r only.

@@ -1,0 +1,63 @@
+package graft.ops
+
+import graft.SparkSpec
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+
+class ConnectedComponentsSpec extends SparkSpec {
+
+  private def cc(edges: Seq[(Long, Long)]): Map[Long, Long] = {
+    import spark.implicits._
+    ConnectedComponents.run(edges.toDF("doc_a", "doc_b"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+  }
+
+  /** Brute-force union-find, the oracle for the property test. */
+  private def unionFind(edges: Seq[(Long, Long)]): Map[Long, Long] = {
+    val parent = scala.collection.mutable.Map.empty[Long, Long]
+    def find(x: Long): Long = {
+      val p = parent.getOrElseUpdate(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    edges.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    // normalize: root = min id of the component
+    val members = parent.keys.toSeq.groupBy(find)
+    members.flatMap { case (_, ms) =>
+      val root = ms.min; ms.map(_ -> root)
+    }.toMap
+  }
+
+  test("two disjoint triangles resolve to their min ids") {
+    val edges = Seq((1L, 2L), (2L, 3L), (1L, 3L), (10L, 11L), (11L, 12L))
+    assert(cc(edges) === Map(1L -> 1L, 2L -> 1L, 3L -> 1L,
+      10L -> 10L, 11L -> 10L, 12L -> 10L))
+  }
+
+  test("a 33-vertex chain converges (pointer doubling beats O(diameter))") {
+    // min-label propagation alone needs 32 rounds here; with doubling the
+    // run must finish well under the 50-iteration cap — and be correct.
+    val edges = (0L until 32L).map(i => (i, i + 1))
+    val got = cc(edges)
+    assert(got.size === 33 && got.values.forall(_ == 0L))
+  }
+
+  test("empty edge list yields empty labels") {
+    import spark.implicits._
+    assert(ConnectedComponents.run(
+      Seq.empty[(Long, Long)].toDF("doc_a", "doc_b")).isEmpty)
+  }
+
+  test("matches brute-force union-find on random graphs") {
+    val edgeGen = Gen.listOfN(25,
+      Gen.zip(Gen.choose(0L, 15L), Gen.choose(0L, 15L)))
+    val params = Gen.Parameters.default
+    (1 to 8).foreach { i =>
+      val edges = edgeGen.pureApply(params, Seed(i.toLong))
+        .filter { case (a, b) => a != b }
+      if (edges.nonEmpty) assert(cc(edges) === unionFind(edges))
+    }
+  }
+}
