@@ -5,6 +5,8 @@ import java.security.MessageDigest;
 import java.security.NoSuchAlgorithmException;
 import java.util.LinkedHashSet;
 
+import org.apache.spark.sql.catalyst.InternalRow;
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow;
 import org.apache.spark.sql.catalyst.expressions.UnsafeArrayData;
 import org.apache.spark.sql.catalyst.util.ArrayData;
 import org.apache.spark.sql.catalyst.util.GenericArrayData;
@@ -159,5 +161,52 @@ public final class GraftStrings {
       if (votes[i] > 0) sig |= 1L << i;
     }
     return sig;
+  }
+
+  /** Gopher-style repetition quality signals, one pass over the tokens:
+   *  (top_frac, dup_frac, dup_large_frac) where top_frac = occurrences
+   *  of the most frequent nSmall-gram / total nSmall-grams, dup_frac =
+   *  1 - distinct/total nSmall-grams, dup_large_frac = the same for
+   *  nLarge-grams (repeated long phrases — boilerplate). Fields are
+   *  null when the document is too short to have such a gram, matching
+   *  the SQL formulation (no gram rows -> NULL aggregate). Division
+   *  order matches the oracle: (double) x / total, subtracted from 1.
+   */
+  public static InternalRow repetitionStats(UTF8String text, int nSmall,
+      int nLarge) {
+    String[] toks = tokens(text);
+    Object[] out = new Object[3];
+    int totalS = toks.length - nSmall + 1;
+    if (totalS > 0) {
+      java.util.HashMap<String, Integer> freq = new java.util.HashMap<>();
+      StringBuilder sb = new StringBuilder();
+      int maxCnt = 0;
+      for (int i = 0; i < totalS; i++) {
+        sb.setLength(0);
+        for (int j = 0; j < nSmall; j++) {
+          if (j > 0) sb.append(' ');
+          sb.append(toks[i + j]);
+        }
+        int c = freq.merge(sb.toString(), 1, Integer::sum);
+        if (c > maxCnt) maxCnt = c;
+      }
+      out[0] = (double) maxCnt / totalS;
+      out[1] = 1 - (double) freq.size() / totalS;
+    }
+    int totalL = toks.length - nLarge + 1;
+    if (totalL > 0) {
+      java.util.HashSet<String> distinct = new java.util.HashSet<>();
+      StringBuilder sb = new StringBuilder();
+      for (int i = 0; i < totalL; i++) {
+        sb.setLength(0);
+        for (int j = 0; j < nLarge; j++) {
+          if (j > 0) sb.append(' ');
+          sb.append(toks[i + j]);
+        }
+        distinct.add(sb.toString());
+      }
+      out[2] = 1 - (double) distinct.size() / totalL;
+    }
+    return new GenericInternalRow(out);
   }
 }

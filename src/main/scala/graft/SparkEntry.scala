@@ -88,6 +88,7 @@ object SparkEntry {
     "q_bm25_topk" -> ((s, d) => LlmOps.bm25TopK(s, d)),
     // — LLM-pipeline: text analysis
     "q_text_stats" -> (LlmOps.textStats(_, _)),
+    "q_text_repetition" -> (LlmOps.textRepetition(_, _)),
     "q_doc_fingerprints" -> (LlmOps.docFingerprints(_, _)),
     // — LLM-pipeline: similarity search
     "q_embed_topk" -> (LlmOps.embedTopK(_, _)),
@@ -327,6 +328,7 @@ object SparkEntry {
     "q_dedup_ngram_jaccard" -> LlmOps.ngramJaccardSql,
     "q_dedup_simhash" -> LlmOps.simhashSql,
     "q_text_stats" -> LlmOps.textStatsSql,
+    "q_text_repetition" -> LlmOps.textRepetitionSql,
     "q_doc_fingerprints" -> LlmOps.docFingerprintsSql,
     "q_events_tumbling" -> Events.tumblingSql,
     "q_events_sliding" -> Events.slidingSql,

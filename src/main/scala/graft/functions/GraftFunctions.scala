@@ -23,6 +23,13 @@ object GraftFunctions {
   def tokenChunks(text: Column, window: Int, stride: Int): Column =
     ColumnBridge.column(TokenChunks(ColumnBridge.expression(text), window, stride))
 
+  /** Repetition quality signals struct(top_frac, dup_frac,
+    * dup_large_frac) over word n-grams, one map-only kernel call.
+    */
+  def repetitionStats(text: Column, nSmall: Int, nLarge: Int): Column =
+    ColumnBridge.column(
+      RepetitionStats(ColumnBridge.expression(text), nSmall, nLarge))
+
   /** Streaming chunk generator (UDTF): emits one (chunk_idx, chunk) row
     * per token window, O(tokens) memory per document vs the array
     * formulation's O(tokens·window/stride). Use in `select` beside other

@@ -97,6 +97,41 @@ case class MinHashSig(child: Expression, n: Int, k: Int)
     copy(child = newChild)
 }
 
+/** Gopher-style repetition quality signals as ONE map-only kernel call:
+  * struct(top_frac, dup_frac, dup_large_frac) — most-frequent
+  * nSmall-gram fraction, duplicate nSmall-gram fraction, duplicate
+  * nLarge-gram fraction. The explode-grams → two groupBys formulation
+  * shuffles every gram of the corpus twice; this computes the same
+  * doubles (identical division order) in the scan's codegen span, so
+  * the corpus-wide quality pass stays exchange-free at any scale.
+  * Struct fields are null when the doc has no gram of that size.
+  */
+case class RepetitionStats(child: Expression, nSmall: Int, nLarge: Int)
+    extends UnaryExpression {
+  require(nSmall >= 1 && nLarge >= nSmall,
+    s"need 1 <= nSmall <= nLarge, got nSmall=$nSmall nLarge=$nLarge")
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires a string argument, got ${child.dataType}")
+  override def dataType: DataType = StructType(Seq(
+    StructField("top_frac", DoubleType, nullable = true),
+    StructField("dup_frac", DoubleType, nullable = true),
+    StructField("dup_large_frac", DoubleType, nullable = true)))
+  override def prettyName: String = "repetition_stats"
+
+  override protected def nullSafeEval(input: Any): Any =
+    GraftStrings.repetitionStats(input.asInstanceOf[UTF8String], nSmall, nLarge)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.GraftStrings.repetitionStats($c, $nSmall, $nLarge);")
+
+  override protected def withNewChildInternal(newChild: Expression): RepetitionStats =
+    copy(child = newChild)
+}
+
 /** Cosine similarity over two numeric array columns (float or double
   * elements), as one codegen'd kernel call. Replaces the
   * zip_with+aggregate HOF chain, which Catalyst evaluates interpreted —

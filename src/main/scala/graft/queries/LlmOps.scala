@@ -219,6 +219,23 @@ object LlmOps {
   def textStats(spark: SparkSession, dir: String): DataFrame =
     TextAnalysis.analyzeDocuments(spark, dir)
 
+  /** Gopher-style repetition quality signals per document: top-bigram
+    * fraction, duplicate-bigram fraction, duplicate-8-gram fraction —
+    * the boilerplate/template detectors a corpus quality pass filters
+    * on. One map-only codegen'd kernel (RepetitionStats): no exchange,
+    * scans stay whole-stage at any corpus size.
+    */
+  def textRepetition(spark: SparkSession, dir: String): DataFrame = {
+    val rep = graft.functions.GraftFunctions
+      .repetitionStats(col("text"), nSmall = 2, nLarge = 8)
+    Tables.load(spark, dir, "documents")
+      .select(col("doc_id"), rep.as("r"))
+      .select(col("doc_id"),
+        col("r.top_frac").as("top2_frac"),
+        col("r.dup_frac").as("dup2_frac"),
+        col("r.dup_large_frac").as("dup8_frac"))
+  }
+
   def docFingerprints(spark: SparkSession, dir: String): DataFrame =
     Tables.load(spark, dir, "documents")
       .select(col("doc_id"),
@@ -582,6 +599,29 @@ object LlmOps {
        |  inter::DOUBLE / (ca.n_sh + cb.n_sh - inter) AS jaccard
        |FROM i JOIN c ca ON i.doc_a = ca.doc_id JOIN c cb ON i.doc_b = cb.doc_id
        |WHERE inter::DOUBLE / (ca.n_sh + cb.n_sh - inter) >= 0.1""".stripMargin
+
+  /** Repetition-signal oracle: same grams, same division order as the
+    * RepetitionStats kernel; docs too short for a gram size LEFT-JOIN to
+    * NULL exactly like the kernel's null fields.
+    */
+  val textRepetitionSql: String =
+    """WITH toks AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS t
+      |  FROM documents),
+      |g2 AS (SELECT doc_id,
+      |  unnest([array_to_string(t[i:i+1], ' ') for i in range(1, len(t))]) AS g
+      |  FROM toks),
+      |g8 AS (SELECT doc_id,
+      |  unnest([array_to_string(t[i:i+7], ' ') for i in range(1, len(t)-6)]) AS g
+      |  FROM toks),
+      |c2 AS (SELECT doc_id, g, count(*) AS cnt FROM g2 GROUP BY 1, 2),
+      |s2 AS (SELECT doc_id, max(cnt)::DOUBLE / sum(cnt) AS top2_frac,
+      |  1 - count(*)::DOUBLE / sum(cnt) AS dup2_frac FROM c2 GROUP BY 1),
+      |s8 AS (SELECT doc_id, 1 - count(DISTINCT g)::DOUBLE / count(*) AS dup8_frac
+      |  FROM g8 GROUP BY 1)
+      |SELECT d.doc_id, s2.top2_frac, s2.dup2_frac, s8.dup8_frac
+      |FROM documents d
+      |LEFT JOIN s2 ON d.doc_id = s2.doc_id
+      |LEFT JOIN s8 ON d.doc_id = s8.doc_id""".stripMargin
 
   val simhashSql: String = {
     val votes = (0 until 60).map(i =>

@@ -56,4 +56,31 @@ class TextAnalysisSpec extends SparkSpec {
     assert(df.count() === df.select("doc_id").distinct().count())
     assert(df.columns.toSet.contains("lang_pred"))
   }
+
+  test("repetitionStats: exact fractions on constructed docs") {
+    val rep = graft.functions.GraftFunctions
+      .repetitionStats(col("text"), nSmall = 2, nLarge = 3)
+    val rows = Seq(
+      // tokens: a b a b a -> bigrams [ab, ba, ab, ba]: top 2/4, dup 1-2/4
+      //         trigrams [aba, bab, aba]: dup 1-2/3
+      "a b a b a",
+      // all-distinct bigrams/trigrams -> top 1/3, dup 0, dup3 0
+      "w x y z",
+      // too short for any gram -> all null
+      "solo")
+      .toDF("text")
+      .select(col("text"), rep.getField("top_frac").as("t"),
+        rep.getField("dup_frac").as("d2"),
+        rep.getField("dup_large_frac").as("d3"))
+      .collect()
+    val byText = rows.map(r => r.getString(0) -> r).toMap
+    val r1 = byText("a b a b a")
+    assert(r1.getDouble(1) === 0.5 && r1.getDouble(2) === 0.5 &&
+      r1.getDouble(3) === 1.0 - 2.0 / 3)
+    val r2 = byText("w x y z")
+    assert(r2.getDouble(1) === 1.0 / 3 && r2.getDouble(2) === 0.0 &&
+      r2.getDouble(3) === 0.0)
+    val r3 = byText("solo")
+    assert(r3.isNullAt(1) && r3.isNullAt(2) && r3.isNullAt(3))
+  }
 }
