@@ -75,6 +75,7 @@ object SparkEntry {
     "q_dedup_minhash" -> (LlmOps.minhashSignatures(_, _)),
     "q_dedup_minhash_lsh" -> (LlmOps.minhashLshDedup(_, _)),
     "q_dedup_cc" -> (LlmOps.dedupClusters(_, _)),
+    "q_dedup_survivors" -> (LlmOps.dedupSurvivors(_, _)),
     "q_dedup_ngram_jaccard" -> (LlmOps.ngramJaccard(_, _)),
     "q_dedup_simhash" -> (LlmOps.simhashSignatures(_, _)),
     "q_dedup_simhash_pairs" -> (LlmOps.simhashPairs(_, _)),
@@ -311,6 +312,7 @@ object SparkEntry {
     "q_dedup_exact" -> LlmOps.dedupExactSql,
     "q_dedup_minhash_lsh" -> LlmOps.minhashLshSql,
     "q_dedup_cc" -> LlmOps.dedupClustersSql,
+    "q_dedup_survivors" -> LlmOps.dedupSurvivorsSql,
     "q_dedup_simhash_pairs" -> LlmOps.simhashPairsSql,
     "q_corpus_clean" -> LlmOps.corpusCleanSql,
     "q_prepare_corpus" -> LlmOps.prepareCorpusSql,

@@ -49,6 +49,21 @@ object LlmOps {
     ConnectedComponents.run(minhashLshDedup(spark, dir))
       .select(col("id").as("doc_id"), col("root"))
 
+  /** The deduped corpus: every document except non-canonical duplicate-
+    * cluster members (doc_id != component root). The end-to-end face of
+    * near-dup removal — pairs → clusters → survivors. The drop list is
+    * tiny relative to the corpus (dups are the exception), so the anti
+    * join broadcasts; at 100 TB it degrades gracefully to a shuffled
+    * left-anti on doc_id.
+    */
+  def dedupSurvivors(spark: SparkSession, dir: String): DataFrame = {
+    val drops = dedupClusters(spark, dir)
+      .filter(col("doc_id") =!= col("root")).select("doc_id")
+    Tables.load(spark, dir, "documents")
+      .join(drops, Seq("doc_id"), "left_anti")
+      .select(col("doc_id"), col("n_chars"))
+  }
+
   /** Incremental ingest gate, exact: an "incoming batch" checked against
     * the existing corpus by content hash. The batch is a deterministic
     * crawl-delta simulation — fresh docs (doc_id % 10 == 0) plus
@@ -559,6 +574,20 @@ object LlmOps {
        |  UNION
        |  SELECT e.src, reach.r FROM edges e JOIN reach ON e.dst = reach.id)
        |SELECT id AS doc_id, min(r) AS root FROM reach GROUP BY id""".stripMargin
+
+  /** Survivor oracle: drop docs whose component root is another doc. */
+  lazy val dedupSurvivorsSql: String =
+    s"""WITH RECURSIVE pairs AS (SELECT doc_a, doc_b FROM ($minhashLshSql) q),
+       |edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+       |  UNION SELECT doc_b, doc_a FROM pairs),
+       |reach(id, r) AS (
+       |  SELECT src, src FROM edges
+       |  UNION
+       |  SELECT e.src, reach.r FROM edges e JOIN reach ON e.dst = reach.id),
+       |roots AS (SELECT id, min(r) AS root FROM reach GROUP BY id)
+       |SELECT d.doc_id, d.n_chars FROM documents d
+       |WHERE NOT EXISTS (
+       |  SELECT 1 FROM roots WHERE roots.id = d.doc_id AND roots.root <> d.doc_id)""".stripMargin
 
   /** Incremental near-dup oracle: batch side l (doc_id % 10 = 0) against
     * corpus side r only.
