@@ -38,16 +38,22 @@ object ConnectedComponents {
     */
   def run(edges: DataFrame, src: String = "doc_a", dst: String = "doc_b",
       maxIter: Int = 50): DataFrame = {
+    // No distinct(): min-aggregation is idempotent, duplicate edges only
+    // repeat a comparison — cheaper than an extra exchange to dedup them.
     val sym = edges
       .select(col(src).cast("long").as("id"), col(dst).cast("long").as("nb"))
       .union(edges
         .select(col(dst).cast("long").as("id"), col(src).cast("long").as("nb")))
       .filter(col("id") =!= col("nb"))
-      .distinct()
       .persist(StorageLevel.MEMORY_AND_DISK)
     var labels = sym.select(col("id")).distinct()
       .withColumn("root", col("id"))
       .localCheckpoint()
+    // Convergence via the sum of roots: labels only ever DECREASE, so an
+    // unchanged sum between rounds means an unchanged labelling — one
+    // tiny aggregate per round instead of a compare-join. Decimal sum:
+    // billions of 64-bit ids would overflow a long.
+    var prevSum: Any = null
     var converged = sym.isEmpty
     var i = 0
     while (!converged && i < maxIter) {
@@ -64,8 +70,9 @@ object ConnectedComponents {
           Seq("root"), "left")
         .select(col("id"), coalesce(col("rr"), col("root")).as("root"))
         .localCheckpoint()
-      converged = doubled.join(labels.withColumnRenamed("root", "prev"), Seq("id"))
-        .filter(col("root") =!= col("prev")).isEmpty
+      val s = doubled.agg(sum(col("root").cast("decimal(38,0)"))).collect()(0).get(0)
+      converged = s == prevSum
+      prevSum = s
       labels = doubled
       i += 1
     }
