@@ -32,6 +32,8 @@ object SparkEntry {
     "q_sql_params" -> (Analytics.sqlParams(_, _)),
     "q_sql_rollup" -> (Analytics.rollupCounts(_, _)),
     "q_sql_cube" -> (Analytics.cubeCounts(_, _)),
+    "q_sql_grouping_sets" -> (Analytics.groupingSetsCounts(_, _)),
+    "q_join_full_outer" -> (Analytics.fullOuterActivity(_, _)),
     "q_sql_correlated" -> (Analytics.sqlCorrelated(_, _)),
     "q_sql_setops" -> (Analytics.setOps(_, _)),
     "q_window_running" -> (Analytics.runningWindows(_, _)),
@@ -283,6 +285,8 @@ object SparkEntry {
     "q_bucketed_join" -> Physical.bucketedJoinSql,
     "q_shipping_priority" -> Analytics.shippingPrioritySql,
     "q_sql_cube" -> Analytics.cubeCountsSql,
+    "q_sql_grouping_sets" -> Analytics.groupingSetsCountsSql,
+    "q_join_full_outer" -> Analytics.fullOuterActivitySql,
     "q_sql_correlated" -> Analytics.sqlCorrelatedSql,
     "q_quality_accepted" ->
       """SELECT count(*) AS violations,

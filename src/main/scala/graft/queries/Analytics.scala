@@ -321,6 +321,52 @@ object Analytics {
       |  CAST(GROUPING(o_orderstatus, o_orderpriority) AS BIGINT) AS gid
       |FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)""".stripMargin
 
+  /** Explicit GROUPING SETS (the general form ROLLUP/CUBE specialize):
+    * per-status and per-priority marginals plus the grand total, tagged
+    * by grouping_id — still ONE Expand + one aggregation, so the cost
+    * is sets× the input rows into a single shuffle, not one job per set.
+    */
+  def groupingSetsCounts(spark: SparkSession, dir: String): DataFrame =
+    Tables.load(spark, dir, "orders")
+      .groupingSets(
+        Seq(Seq(col("o_orderstatus")), Seq(col("o_orderpriority")), Seq()),
+        col("o_orderstatus"), col("o_orderpriority"))
+      .agg(count(lit(1)).as("n"), grouping_id().cast(LongType).as("gid"))
+
+  val groupingSetsCountsSql: String =
+    """SELECT o_orderstatus, o_orderpriority, count(*) AS n,
+      |  CAST(GROUPING(o_orderstatus, o_orderpriority) AS BIGINT) AS gid
+      |FROM orders
+      |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())""".stripMargin
+
+  /** FULL OUTER join (completes the join-type matrix): high-balance
+    * customers against their count of big orders, keeping customers
+    * with no qualifying orders AND order-groups whose customer misses
+    * the balance cut — both null sides are non-empty by construction.
+    * Shuffle join on the key; either side may be null-extended, so no
+    * broadcast shortcut exists (Spark correctly refuses to broadcast a
+    * full-outer side).
+    */
+  def fullOuterActivity(spark: SparkSession, dir: String): DataFrame = {
+    val c = Tables.load(spark, dir, "customer")
+      .filter(col("c_acctbal") > 9000)
+      .select(col("c_custkey"), col("c_name"))
+    val o = Tables.load(spark, dir, "orders")
+      .filter(col("o_totalprice") > 250000)
+      .groupBy(col("o_custkey")).agg(count(lit(1)).as("n_big_orders"))
+    c.join(o, c("c_custkey") === o("o_custkey"), "full_outer")
+      .select(coalesce(col("c_custkey"), col("o_custkey")).as("custkey"),
+        col("c_name"), col("n_big_orders"))
+  }
+
+  val fullOuterActivitySql: String =
+    """WITH c AS (SELECT c_custkey, c_name FROM customer WHERE c_acctbal > 9000),
+      |o AS (SELECT o_custkey, count(*) AS n_big_orders FROM orders
+      |  WHERE o_totalprice > 250000 GROUP BY 1)
+      |SELECT coalesce(c.c_custkey, o.o_custkey) AS custkey, c.c_name,
+      |  o.n_big_orders
+      |FROM c FULL OUTER JOIN o ON c.c_custkey = o.o_custkey""".stripMargin
+
   /** Correlated scalar subquery (per-row subquery referencing the outer
     * row): per order, its lineitem count. Catalyst DECORRELATES this
     * into an aggregate + left join — the plan a hand-written join would
