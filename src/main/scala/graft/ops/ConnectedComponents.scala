@@ -40,13 +40,19 @@ object ConnectedComponents {
       maxIter: Int = 50): DataFrame = {
     // No distinct(): min-aggregation is idempotent, duplicate edges only
     // repeat a comparison — cheaper than an extra exchange to dedup them.
-    val sym = edges
+    val undirected = edges
       .select(col(src).cast("long").as("id"), col(dst).cast("long").as("nb"))
       .union(edges
         .select(col(dst).cast("long").as("id"), col(src).cast("long").as("nb")))
       .filter(col("id") =!= col("nb"))
+    val vertices = undirected.select(col("id")).distinct()
+    // Self-loops make the neighbour-min INCLUDE the vertex's own root,
+    // so each round is join + groupBy-min directly — no separate
+    // merge-with-previous join.
+    val sym = undirected
+      .union(vertices.select(col("id"), col("id").as("nb")))
       .persist(StorageLevel.MEMORY_AND_DISK)
-    var labels = sym.select(col("id")).distinct()
+    var labels = vertices
       .withColumn("root", col("id"))
       .localCheckpoint()
     // Convergence via the sum of roots: labels only ever DECREASE, so an
@@ -57,13 +63,10 @@ object ConnectedComponents {
     var converged = sym.isEmpty
     var i = 0
     while (!converged && i < maxIter) {
-      // 1. neighbour-min: root'(v) = min(root(v), min_{u ~ v} root(u))
-      val nbMin = sym
+      // 1. neighbour-min over {v} ∪ N(v) (self-loops carry v's own root)
+      val stepped = sym
         .join(labels.withColumnRenamed("id", "nb"), Seq("nb"))
-        .groupBy("id").agg(min(col("root")).as("nb_root"))
-      val stepped = labels.join(nbMin, Seq("id"), "left")
-        .select(col("id"),
-          least(col("root"), coalesce(col("nb_root"), col("root"))).as("root"))
+        .groupBy("id").agg(min(col("root")).as("root"))
       // 2. pointer doubling: root''(v) = root'(root'(v))
       val doubled = stepped
         .join(stepped.select(col("id").as("root"), col("root").as("rr")),
