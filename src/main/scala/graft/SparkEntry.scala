@@ -33,6 +33,7 @@ object SparkEntry {
     "q_sql_rollup" -> (Analytics.rollupCounts(_, _)),
     "q_sql_cube" -> (Analytics.cubeCounts(_, _)),
     "q_sql_grouping_sets" -> (Analytics.groupingSetsCounts(_, _)),
+    "q_string_agg" -> (Analytics.stringAggStatuses(_, _)),
     "q_join_full_outer" -> (Analytics.fullOuterActivity(_, _)),
     "q_sql_correlated" -> (Analytics.sqlCorrelated(_, _)),
     "q_sql_setops" -> (Analytics.setOps(_, _)),
@@ -286,6 +287,7 @@ object SparkEntry {
     "q_shipping_priority" -> Analytics.shippingPrioritySql,
     "q_sql_cube" -> Analytics.cubeCountsSql,
     "q_sql_grouping_sets" -> Analytics.groupingSetsCountsSql,
+    "q_string_agg" -> Analytics.stringAggStatusesSql,
     "q_join_full_outer" -> Analytics.fullOuterActivitySql,
     "q_sql_correlated" -> Analytics.sqlCorrelatedSql,
     "q_quality_accepted" ->

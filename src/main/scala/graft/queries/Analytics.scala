@@ -321,6 +321,27 @@ object Analytics {
       |  CAST(GROUPING(o_orderstatus, o_orderpriority) AS BIGINT) AS gid
       |FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)""".stripMargin
 
+  /** Order-deterministic string aggregation (LISTAGG face): the sorted
+    * distinct statuses per priority, concatenated. collect_set is
+    * order-nondeterministic under parallelism — array_sort before the
+    * join is what makes the result reproducible across partitionings,
+    * the same reason the oracle needs ORDER BY inside string_agg.
+    */
+  def stringAggStatuses(spark: SparkSession, dir: String): DataFrame =
+    Tables.load(spark, dir, "orders")
+      .groupBy(col("o_orderpriority"))
+      .agg(
+        array_join(array_sort(collect_set(col("o_orderstatus"))), ",")
+          .as("statuses"),
+        count(lit(1)).as("n"))
+
+  val stringAggStatusesSql: String =
+    """SELECT o_orderpriority,
+      |  string_agg(DISTINCT o_orderstatus, ',' ORDER BY o_orderstatus)
+      |    AS statuses,
+      |  count(*) AS n
+      |FROM orders GROUP BY o_orderpriority""".stripMargin
+
   /** Explicit GROUPING SETS (the general form ROLLUP/CUBE specialize):
     * per-status and per-priority marginals plus the grand total, tagged
     * by grouping_id — still ONE Expand + one aggregation, so the cost
