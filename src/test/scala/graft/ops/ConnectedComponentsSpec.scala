@@ -44,6 +44,12 @@ class ConnectedComponentsSpec extends SparkSpec {
     assert(got.size === 33 && got.values.forall(_ == 0L))
   }
 
+  test("self-loops and duplicate edges change nothing") {
+    val edges = Seq((5L, 5L), (1L, 2L), (2L, 1L), (1L, 2L))
+    // (5,5) is dropped (no real edge -> vertex absent), duplicates merge
+    assert(cc(edges) === Map(1L -> 1L, 2L -> 1L))
+  }
+
   test("empty edge list yields empty labels") {
     import spark.implicits._
     assert(ConnectedComponents.run(
