@@ -34,6 +34,7 @@ object SparkEntry {
     "q_sql_cube" -> (Analytics.cubeCounts(_, _)),
     "q_sql_grouping_sets" -> (Analytics.groupingSetsCounts(_, _)),
     "q_string_agg" -> (Analytics.stringAggStatuses(_, _)),
+    "q_window_nav" -> (Analytics.windowNavigation(_, _)),
     "q_join_full_outer" -> (Analytics.fullOuterActivity(_, _)),
     "q_sql_correlated" -> (Analytics.sqlCorrelated(_, _)),
     "q_sql_setops" -> (Analytics.setOps(_, _)),
@@ -288,6 +289,7 @@ object SparkEntry {
     "q_sql_cube" -> Analytics.cubeCountsSql,
     "q_sql_grouping_sets" -> Analytics.groupingSetsCountsSql,
     "q_string_agg" -> Analytics.stringAggStatusesSql,
+    "q_window_nav" -> Analytics.windowNavigationSql,
     "q_join_full_outer" -> Analytics.fullOuterActivitySql,
     "q_sql_correlated" -> Analytics.sqlCorrelatedSql,
     "q_quality_accepted" ->

@@ -321,6 +321,35 @@ object Analytics {
       |  CAST(GROUPING(o_orderstatus, o_orderpriority) AS BIGINT) AS gid
       |FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)""".stripMargin
 
+  /** Window navigation functions (lag/lead/first_value): per-customer
+    * order timeline — days since the previous order, the next order's
+    * key, and the first order's key. The ORDER BY carries o_orderkey as
+    * a TIEBREAK: two orders on the same date would otherwise make
+    * lead/lag nondeterministic across partitionings (and engines).
+    * One shuffle on the partition key, one sort within partitions.
+    */
+  def windowNavigation(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+    Tables.load(spark, dir, "orders")
+      .select(col("o_custkey"), col("o_orderkey"), col("o_orderdate"))
+      .withColumn("gap_days",
+        datediff(col("o_orderdate").cast("date"),
+          lag(col("o_orderdate"), 1).over(w).cast("date")).cast(LongType))
+      .withColumn("next_key", lead(col("o_orderkey"), 1).over(w))
+      .withColumn("first_key", first(col("o_orderkey")).over(w))
+      .select("o_custkey", "o_orderkey", "gap_days", "next_key", "first_key")
+  }
+
+  val windowNavigationSql: String =
+    """SELECT o_custkey, o_orderkey,
+      |  (o_orderdate::DATE - (lag(o_orderdate) OVER w)::DATE) AS gap_days,
+      |  lead(o_orderkey) OVER w AS next_key,
+      |  first_value(o_orderkey) OVER w AS first_key
+      |FROM orders
+      |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)""".stripMargin
+
   /** Order-deterministic string aggregation (LISTAGG face): the sorted
     * distinct statuses per priority, concatenated. collect_set is
     * order-nondeterministic under parallelism — array_sort before the
