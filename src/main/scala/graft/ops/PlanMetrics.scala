@@ -1,0 +1,64 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.SparkPlan
+import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+import org.apache.spark.sql.execution.exchange.{ReusedExchangeExec, ShuffleExchangeLike}
+
+/** Runtime plan accounting: read the SQL metrics off the FINAL executed
+  * plan (after AQE re-planning) so scale claims are checkable as
+  * assertions, not prose. "This quality pass is map-only" or "bloom
+  * pruning shrinks the shuffle" are properties of the 100 TB run — the
+  * specs pin them at test scale by measuring actual shuffled bytes,
+  * because a plan that LOOKS exchange-free can still be rewritten by an
+  * adaptive rule, and a filter that SHOULD cut shuffle volume can
+  * silently stop pushing after a refactor.
+  *
+  * Usage: execute THIS Dataset's own plan first — `df.collect()` (or
+  * `df.queryExecution.executedPlan.execute().count()`); note that
+  * `df.count()` builds a SEPARATE grouped-count QueryExecution and
+  * leaves this one's metrics untouched — then query it.
+  */
+object PlanMetrics {
+
+  /** The final physical plan nodes, unwrapping AQE wrappers
+    * (AdaptiveSparkPlanExec → its executed plan, query stages → their
+    * materialized subplans, reused exchanges → the original).
+    */
+  def executedNodes(df: DataFrame): Seq[SparkPlan] =
+    expand(df.queryExecution.executedPlan)
+
+  private def expand(p: SparkPlan): Seq[SparkPlan] = {
+    val below = p match {
+      case a: AdaptiveSparkPlanExec => expand(a.executedPlan)
+      case q: QueryStageExec => expand(q.plan)
+      case r: ReusedExchangeExec => expand(r.child)
+      case other => other.children.flatMap(expand)
+    }
+    // scalar/IN subqueries execute too (e.g. the bloom build in
+    // BloomPrune) — their shuffles are part of the query's cost
+    p +: (below ++ p.subqueries.flatMap(expand))
+  }
+
+  /** Shuffle exchanges that actually executed (reuse unwrapped, so a
+    * reused exchange counts once — its bytes were written once).
+    */
+  def shuffleExchanges(df: DataFrame): Seq[ShuffleExchangeLike] =
+    executedNodes(df).collect { case s: ShuffleExchangeLike => s }.distinct
+
+  def exchangeCount(df: DataFrame): Int = shuffleExchanges(df).size
+
+  /** Total bytes written to shuffle storage across the query — the
+    * number a 100 TB capacity plan is built around.
+    */
+  def shuffleBytesWritten(df: DataFrame): Long =
+    shuffleExchanges(df).map { s =>
+      s.metrics.get("shuffleBytesWritten").orElse(s.metrics.get("dataSize"))
+        .map(_.value).getOrElse(0L)
+    }.sum
+
+  /** Rows that crossed any shuffle boundary (written side). */
+  def shuffleRecordsWritten(df: DataFrame): Long =
+    shuffleExchanges(df).map(
+      _.metrics.get("shuffleRecordsWritten").map(_.value).getOrElse(0L)).sum
+}
