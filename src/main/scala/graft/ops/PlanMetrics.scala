@@ -61,4 +61,14 @@ object PlanMetrics {
   def shuffleRecordsWritten(df: DataFrame): Long =
     shuffleExchanges(df).map(
       _.metrics.get("shuffleRecordsWritten").map(_.value).getOrElse(0L)).sum
+
+  /** How many exchange CONSUMPTIONS were served by a reused exchange —
+    * occurrences beyond the first of the same executed instance. > 0
+    * proves a shared subtree was built once and read twice at runtime
+    * (Spark's ReuseExchange), not recomputed per consumer.
+    */
+  def reusedExchangeServings(df: DataFrame): Int = {
+    val all = executedNodes(df).collect { case s: ShuffleExchangeLike => s }
+    all.size - all.distinct.size
+  }
 }

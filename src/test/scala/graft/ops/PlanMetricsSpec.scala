@@ -38,6 +38,15 @@ class PlanMetricsSpec extends SparkSpec {
       s"partial agg ineffective: $crossed of $total rows crossed the shuffle")
   }
 
+  test("ngram-jaccard builds its inverted index ONCE (exchange reuse)") {
+    // both the per-doc counts and the pair enumeration branch from the
+    // same posting-list subtree; the h-keyed shuffle must be served by
+    // ReuseExchange at runtime, not recomputed per consumer
+    val df = LlmOps.ngramJaccard(spark, sf)
+    df.collect()
+    assert(PlanMetrics.reusedExchangeServings(df) > 0)
+  }
+
   test("bloom pruning shrinks the semi-join shuffle volume") {
     val conf = spark.conf
     val saved = Seq(
