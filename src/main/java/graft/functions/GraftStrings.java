@@ -58,6 +58,19 @@ public final class GraftStrings {
     return text.trim().toString().split("\\s+", -1);
   }
 
+  /** The space-joined n-gram starting at token i — THE single
+   *  definition of gram construction; wordShingles, minhash (via
+   *  wordShingles) and repetitionStats must agree byte-for-byte or
+   *  their DuckDB-oracle hash parity silently breaks per caller. */
+  private static String gram(String[] toks, int i, int n, StringBuilder sb) {
+    sb.setLength(0);
+    for (int j = 0; j < n; j++) {
+      if (j > 0) sb.append(' ');
+      sb.append(toks[i + j]);
+    }
+    return sb.toString();
+  }
+
   /** Distinct word n-gram shingles in first-occurrence order — identical
    *  to array_distinct(filter(transform(split(trim(text),"\\s+"), ...)))
    *  over slice+concat_ws(" "). */
@@ -69,12 +82,7 @@ public final class GraftStrings {
     LinkedHashSet<String> out = new LinkedHashSet<>();
     StringBuilder sb = new StringBuilder();
     for (int i = 0; i + n <= toks.length; i++) {
-      sb.setLength(0);
-      for (int j = 0; j < n; j++) {
-        if (j > 0) sb.append(' ');
-        sb.append(toks[i + j]);
-      }
-      out.add(sb.toString());
+      out.add(gram(toks, i, n, sb));
     }
     Object[] arr = new Object[out.size()];
     int i = 0;
@@ -176,18 +184,13 @@ public final class GraftStrings {
       int nLarge) {
     String[] toks = tokens(text);
     Object[] out = new Object[3];
+    StringBuilder sb = new StringBuilder();
     int totalS = toks.length - nSmall + 1;
     if (totalS > 0) {
       java.util.HashMap<String, Integer> freq = new java.util.HashMap<>();
-      StringBuilder sb = new StringBuilder();
       int maxCnt = 0;
       for (int i = 0; i < totalS; i++) {
-        sb.setLength(0);
-        for (int j = 0; j < nSmall; j++) {
-          if (j > 0) sb.append(' ');
-          sb.append(toks[i + j]);
-        }
-        int c = freq.merge(sb.toString(), 1, Integer::sum);
+        int c = freq.merge(gram(toks, i, nSmall, sb), 1, Integer::sum);
         if (c > maxCnt) maxCnt = c;
       }
       out[0] = (double) maxCnt / totalS;
@@ -196,14 +199,8 @@ public final class GraftStrings {
     int totalL = toks.length - nLarge + 1;
     if (totalL > 0) {
       java.util.HashSet<String> distinct = new java.util.HashSet<>();
-      StringBuilder sb = new StringBuilder();
       for (int i = 0; i < totalL; i++) {
-        sb.setLength(0);
-        for (int j = 0; j < nLarge; j++) {
-          if (j > 0) sb.append(' ');
-          sb.append(toks[i + j]);
-        }
-        distinct.add(sb.toString());
+        distinct.add(gram(toks, i, nLarge, sb));
       }
       out[2] = 1 - (double) distinct.size() / totalL;
     }

@@ -62,24 +62,29 @@ object ConnectedComponents {
     var prevSum: Any = null
     var converged = sym.isEmpty
     var i = 0
-    while (!converged && i < maxIter) {
-      // 1. neighbour-min over {v} ∪ N(v) (self-loops carry v's own root)
-      val stepped = sym
-        .join(labels.withColumnRenamed("id", "nb"), Seq("nb"))
-        .groupBy("id").agg(min(col("root")).as("root"))
-      // 2. pointer doubling: root''(v) = root'(root'(v))
-      val doubled = stepped
-        .join(stepped.select(col("id").as("root"), col("root").as("rr")),
-          Seq("root"), "left")
-        .select(col("id"), coalesce(col("rr"), col("root")).as("root"))
-        .localCheckpoint()
-      val s = doubled.agg(sum(col("root").cast("decimal(38,0)"))).collect()(0).get(0)
-      converged = s == prevSum
-      prevSum = s
-      labels = doubled
-      i += 1
-    }
-    sym.unpersist()
+    try {
+      while (!converged && i < maxIter) {
+        // 1. neighbour-min over {v} ∪ N(v) (self-loops carry v's own root)
+        val stepped = sym
+          .join(labels.withColumnRenamed("id", "nb"), Seq("nb"))
+          .groupBy("id").agg(min(col("root")).as("root"))
+        // 2. pointer doubling: root''(v) = root'(root'(v))
+        val doubled = stepped
+          .join(stepped.select(col("id").as("root"), col("root").as("rr")),
+            Seq("root"), "left")
+          .select(col("id"), coalesce(col("rr"), col("root")).as("root"))
+          .localCheckpoint()
+        val s = doubled.agg(sum(col("root").cast("decimal(38,0)"))).collect()(0).get(0)
+        converged = s == prevSum
+        prevSum = s
+        labels = doubled
+        i += 1
+      }
+    } finally sym.unpersist()
+    // an unconverged labelling is WRONG (partially propagated roots) —
+    // fail loudly rather than hand back plausible-looking clusters
+    require(converged, s"connected components did not converge in $maxIter " +
+      "rounds; raise maxIter (rounds needed ~ log2(component diameter))")
     labels
   }
 }

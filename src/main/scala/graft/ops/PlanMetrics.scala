@@ -40,11 +40,23 @@ object PlanMetrics {
     p +: (below ++ p.subqueries.flatMap(expand))
   }
 
+  /** Distinct by REFERENCE identity: two independently executed but
+    * structurally equal exchanges (same exprIds, reuse declined) must
+    * count twice — case-class equality would conflate them, overstating
+    * reuse and dropping bytes from the totals.
+    */
+  private def identityDistinct[T <: AnyRef](xs: Seq[T]): Seq[T] = {
+    val seen = java.util.Collections.newSetFromMap(
+      new java.util.IdentityHashMap[T, java.lang.Boolean]())
+    xs.filter(seen.add)
+  }
+
   /** Shuffle exchanges that actually executed (reuse unwrapped, so a
     * reused exchange counts once — its bytes were written once).
     */
   def shuffleExchanges(df: DataFrame): Seq[ShuffleExchangeLike] =
-    executedNodes(df).collect { case s: ShuffleExchangeLike => s }.distinct
+    identityDistinct(
+      executedNodes(df).collect { case s: ShuffleExchangeLike => s })
 
   def exchangeCount(df: DataFrame): Int = shuffleExchanges(df).size
 
@@ -69,6 +81,6 @@ object PlanMetrics {
     */
   def reusedExchangeServings(df: DataFrame): Int = {
     val all = executedNodes(df).collect { case s: ShuffleExchangeLike => s }
-    all.size - all.distinct.size
+    all.size - identityDistinct(all).size
   }
 }

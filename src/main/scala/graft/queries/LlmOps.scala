@@ -46,7 +46,10 @@ object LlmOps {
     * min-label propagation + pointer doubling (ConnectedComponents).
     */
   def dedupClusters(spark: SparkSession, dir: String): DataFrame =
-    ConnectedComponents.run(minhashLshDedup(spark, dir))
+    // pin the pair set: run() references its edge input four times
+    // (two symmetrization branches + the vertex set), and the LSH
+    // verify join is far too expensive to re-execute per branch
+    ConnectedComponents.run(CacheBin.pin(minhashLshDedup(spark, dir)))
       .select(col("id").as("doc_id"), col("root"))
 
   /** The deduped corpus: every document except non-canonical duplicate-
