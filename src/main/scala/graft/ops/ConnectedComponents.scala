@@ -27,7 +27,11 @@ import org.apache.spark.storage.StorageLevel
   *
   * Near-dup graphs in practice have tiny components (a page and its
   * mirrors), so rounds ≈ 2-3; the log bound is the insurance against the
-  * adversarial case (one template chained across a whole crawl).
+  * adversarial case (one template chained across a whole crawl). The
+  * pointer-doubling idea is the classic PRAM CC technique
+  * (Shiloach-Vishkin 1982), adapted to map-reduce rounds as in Rastogi
+  * et al., "Finding Connected Components in Map-Reduce in Logarithmic
+  * Rounds" (ICDE 2013).
   */
 object ConnectedComponents {
 
