@@ -91,4 +91,22 @@ object ConnectedComponents {
       "rounds; raise maxIter (rounds needed ~ log2(component diameter))")
     labels
   }
+
+  /** Incremental maintenance of a persisted cluster map: fold a new
+    * batch's near-dup pairs into an existing (id, root) labelling
+    * WITHOUT recomputing history. The old map is already a forest —
+    * each (id, root) row is an edge — so the union of forest edges and
+    * new pairs has exactly the merged components, and the iteration
+    * cost scales with the forest + batch, not with every pair ever
+    * seen. Old roots stay stable unless a new pair bridges two
+    * clusters (then the smaller min wins, deterministically).
+    */
+  def merge(clusterMap: DataFrame, newPairs: DataFrame,
+      src: String = "doc_a", dst: String = "doc_b",
+      maxIter: Int = 50): DataFrame = {
+    val forest = clusterMap.select(col("id").as(src), col("root").as(dst))
+    run(forest.unionByName(
+      newPairs.select(col(src).cast("long"), col(dst).cast("long"))),
+      src, dst, maxIter)
+  }
 }

@@ -56,6 +56,37 @@ class ConnectedComponentsSpec extends SparkSpec {
       Seq.empty[(Long, Long)].toDF("doc_a", "doc_b")).isEmpty)
   }
 
+  test("merge folds new pairs into an existing map: bridge + stability") {
+    import spark.implicits._
+    val oldMap = ConnectedComponents.run(
+      Seq((1L, 2L), (5L, 6L), (8L, 9L)).toDF("doc_a", "doc_b"))
+    val merged = ConnectedComponents.merge(
+      oldMap, Seq((2L, 5L)).toDF("doc_a", "doc_b"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // (2,5) bridges {1,2} and {5,6} under root 1; {8,9} is untouched
+    assert(merged === Map(1L -> 1L, 2L -> 1L, 5L -> 1L, 6L -> 1L,
+      8L -> 8L, 9L -> 8L))
+  }
+
+  test("merge(run(p1), p2) equals run(p1 ++ p2) on random splits") {
+    import spark.implicits._
+    val edgeGen = Gen.listOfN(20,
+      Gen.zip(Gen.choose(0L, 12L), Gen.choose(0L, 12L)))
+    val params = Gen.Parameters.default
+    (1 to 4).foreach { i =>
+      val all = edgeGen.pureApply(params, Seed(100L + i))
+        .filter { case (a, b) => a != b }
+      val (p1, p2) = all.splitAt(all.length / 2)
+      if (p1.nonEmpty && p2.nonEmpty) {
+        val incremental = ConnectedComponents.merge(
+          ConnectedComponents.run(p1.toDF("doc_a", "doc_b")),
+          p2.toDF("doc_a", "doc_b"))
+          .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+        assert(incremental === cc(all))
+      }
+    }
+  }
+
   test("matches brute-force union-find on random graphs") {
     val edgeGen = Gen.listOfN(25,
       Gen.zip(Gen.choose(0L, 15L), Gen.choose(0L, 15L)))
