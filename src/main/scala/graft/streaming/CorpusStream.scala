@@ -25,4 +25,27 @@ object CorpusStream {
       .join(corpus.select(sha2(col(textCol), 256).as("__h")).distinct(),
         Seq("__h"), "left_anti")
       .drop("__h")
+
+  /** Repetition-quality gate: drop incoming documents whose n-gram
+    * repetition signals exceed the Gopher-style thresholds. Pure
+    * map-side (the RepetitionStats kernel runs inside the stream's
+    * scan projection, zero streaming state, zero shuffle), so the gate
+    * costs the same per row in a stream as in a batch — the batch and
+    * streaming faces are literally the same transform. Docs too short
+    * to have a gram (null signals) pass: shortness is a different
+    * gate's concern.
+    */
+  def qualityGate(incoming: DataFrame, textCol: String = "text",
+      maxTop2: Double = 0.20, maxDup2: Double = 0.60,
+      maxDup8: Double = 0.30): DataFrame = {
+    val r = graft.functions.GraftFunctions
+      .repetitionStats(col(textCol), nSmall = 2, nLarge = 8)
+    incoming
+      .withColumn("__r", r)
+      .filter(
+        coalesce(col("__r.top_frac") <= maxTop2, lit(true)) &&
+        coalesce(col("__r.dup_frac") <= maxDup2, lit(true)) &&
+        coalesce(col("__r.dup_large_frac") <= maxDup8, lit(true)))
+      .drop("__r")
+  }
 }

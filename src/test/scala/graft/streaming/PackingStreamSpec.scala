@@ -68,6 +68,32 @@ class PackingStreamSpec extends SparkSpec {
     assert(got.toSeq == Seq(11L, 13L))
   }
 
+  test("qualityGate: repetitive docs are dropped in-stream, stateless") {
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.functions.col
+    val mem = MemoryStream[(Long, String)]
+    val q = CorpusStream.qualityGate(mem.toDF().toDF("doc_id", "text"))
+      .writeStream.format("memory").queryName("quality_out")
+      .outputMode("append").start()
+    try {
+      mem.addData(
+        (1L, "spam spam spam spam spam spam"), // top2=1.0 -> dropped
+        (2L, "a perfectly normal varied sentence of words"),
+        (3L, "tiny")) // no grams -> null signals -> passes
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.table("quality_out").select(col("doc_id"))
+      .collect().map(_.getLong(0)).sorted
+    assert(got.toSeq == Seq(2L, 3L))
+    // same transform, batch face: identical verdicts
+    val batch = CorpusStream.qualityGate(
+      Seq((1L, "spam spam spam spam spam spam"),
+        (2L, "a perfectly normal varied sentence of words"),
+        (3L, "tiny")).toDF("doc_id", "text"))
+      .select(col("doc_id")).collect().map(_.getLong(0)).sorted
+    assert(batch.toSeq == got.toSeq)
+  }
+
   test("checkpointed restart carries the per-shard totals exactly once") {
     implicit val sqlCtx = spark.sqlContext
     val budget = 1000
