@@ -56,15 +56,21 @@ object ConnectedComponents {
     val sym = undirected
       .union(vertices.select(col("id"), col("id").as("nb")))
       .persist(StorageLevel.MEMORY_AND_DISK)
-    var labels = vertices
-      .withColumn("root", col("id"))
+    // Seed with round 1 for free: against the identity labelling the
+    // neighbour-min join degenerates to min over N(v) ∪ {v} of the
+    // neighbour IDS — one aggregation over sym, no join. Stars around
+    // their own min vertex (the typical near-dup cluster) are already
+    // converged here; the loop then only confirms.
+    var labels = sym.groupBy("id").agg(min(col("nb")).as("root"))
       .localCheckpoint()
     // Convergence via the sum of roots: labels only ever DECREASE, so an
     // unchanged sum between rounds means an unchanged labelling — one
     // tiny aggregate per round instead of a compare-join. Decimal sum:
     // billions of 64-bit ids would overflow a long.
-    var prevSum: Any = null
     var converged = sym.isEmpty
+    var prevSum: Any =
+      if (converged) null
+      else labels.agg(sum(col("root").cast("decimal(38,0)"))).collect()(0).get(0)
     var i = 0
     try {
       while (!converged && i < maxIter) {
