@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
 import org.apache.spark.sql.types.IntegerType
 
-import graft.functions.{ChunkRows, CosineSim, DotI8, DotProd, QuantizeI8, QuantizeScale, SimHash60, TokenChunks, WordShingles}
+import graft.functions.{ChunkRows, CosineSim, DotI8, DotProd, QuantizeI8, QuantizeScale, RepetitionStats, SimHash60, TokenChunks, WordShingles}
 
 /** SparkSessionExtensions hook (SURVEY.md §4.3.4): registers the graft
   * custom expressions as SQL functions so `spark.sql` users get them too
@@ -48,6 +48,15 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           ChunkRows(text, w, s)
         case _ => throw new IllegalArgumentException(
           "chunk_rows(text, window, stride) requires literal int window/stride")
+      }))
+    ext.injectFunction((FunctionIdentifier("repetition_stats"),
+      info("repetition_stats",
+        "repetition_stats(text, nSmall, nLarge) - struct(top_frac, dup_frac, dup_large_frac) word-n-gram repetition signals"),
+      (exprs: Seq[Expression]) => exprs match {
+        case Seq(text, Literal(s: Int, IntegerType), Literal(l: Int, IntegerType)) =>
+          RepetitionStats(text, s, l)
+        case _ => throw new IllegalArgumentException(
+          "repetition_stats(text, nSmall, nLarge) requires literal int sizes")
       }))
     ext.injectFunction((FunctionIdentifier("simhash60"),
       info("simhash60", "simhash60(text) - 60-bit md5-derived SimHash"),

@@ -30,4 +30,17 @@ class GraftExtensionsSpec extends SparkSpec {
       .collect()(0)
     assert(r.getDouble(0) == 1.0 && r.getDouble(1) == 11.0)
   }
+
+  test("repetition_stats from SQL equals the Column API") {
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    val viaSql = spark.sql(
+      "SELECT repetition_stats('a b a b a', 2, 3).top_frac AS t")
+      .collect()(0).getDouble(0)
+    val viaCol = Seq("a b a b a").toDF("t")
+      .select(graft.functions.GraftFunctions
+        .repetitionStats(col("t"), 2, 3).getField("top_frac"))
+      .collect()(0).getDouble(0)
+    assert(viaSql == viaCol && viaSql == 0.5)
+  }
 }
