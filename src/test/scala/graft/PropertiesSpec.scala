@@ -44,9 +44,39 @@ class PropertiesSpec extends SparkSpec {
     }
     forAllSeeded(Gen.listOfN(20, text), n = 10) { texts =>
       val df = texts.toDF("t")
-      val got = df.select(Dedup.shingles(col("t"), 3)).collect().map(_.getSeq[String](0))
-      val want = df.select(hofShingles(col("t"), 3)).collect().map(_.getSeq[String](0))
-      assert(got.toSeq == want.toSeq)
+      val got = df.select(hofShingles(col("t"), 3).as("h"),
+        Dedup.shingles(col("t"), 3).as("k")).collect()
+      got.foreach(r => assert(r.getSeq[String](0) === r.getSeq[String](1)))
+    }
+  }
+
+  test("property: RepetitionStats kernel ≡ independent Scala oracle") {
+    // replicate the kernel's exact tokenization: ASCII-space trim (what
+    // UTF8String.trim does), then java-regex \s+ split
+    def toks(text: String): Array[String] =
+      text.dropWhile(_ == ' ').reverse.dropWhile(_ == ' ')
+        .reverse.split("\\s+", -1)
+    def expected(text: String, nS: Int, nL: Int) = {
+      val t = toks(text)
+      def grams(n: Int) = (0 to t.length - n).map(i => t.slice(i, i + n).mkString(" "))
+      val gs = grams(nS); val gl = grams(nL)
+      (if (gs.isEmpty) None
+       else Some(gs.groupBy(identity).values.map(_.size).max.toDouble / gs.size),
+       if (gs.isEmpty) None
+       else Some(1 - gs.distinct.size.toDouble / gs.size),
+       if (gl.isEmpty) None
+       else Some(1 - gl.distinct.size.toDouble / gl.size))
+    }
+    forAllSeeded(Gen.listOfN(12, text), n = 10) { texts =>
+      val rep = graft.functions.GraftFunctions.repetitionStats(col("t"), 2, 4)
+      val rows = texts.toDF("t").select(col("t"),
+        rep.getField("top_frac"), rep.getField("dup_frac"),
+        rep.getField("dup_large_frac")).collect()
+      rows.foreach { r =>
+        def opt(i: Int) = if (r.isNullAt(i)) None else Some(r.getDouble(i))
+        assert((opt(1), opt(2), opt(3)) === expected(r.getString(0), 2, 4),
+          s"text='${r.getString(0)}'")
+      }
     }
   }
 
