@@ -52,6 +52,27 @@ object LlmOps {
     ConnectedComponents.run(CacheBin.pin(minhashLshDedup(spark, dir)))
       .select(col("id").as("doc_id"), col("root"))
 
+  /** Incremental cluster maintenance: the corpus's own cluster map
+    * (LSH pairs among corpus docs, resolved once) merged with the
+    * incoming batch's cross pairs via [[ConnectedComponents.merge]] —
+    * the crawl-delta path that never recomputes corpus×corpus. The
+    * oracle resolves components over the union edge set directly, so
+    * the driver gate also proves merge ≡ full recompute.
+    */
+  def dedupClustersIncremental(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.load(spark, dir, "documents")
+    val corpus = docs.filter(col("doc_id") % 10 =!= 0)
+    val sigC = CacheBin.pin(
+      Dedup.minHash(corpus, col("doc_id"), col("text"), n = 3, k = 16))
+    val corpusPairs = Dedup.jaccardVerify(
+      Dedup.minHashLshCandidates(sigC, bands = 4, rowsPerBand = 4),
+      docs, col("doc_id"), col("text"), n = 3, threshold = 0.5)
+    val oldMap = ConnectedComponents.run(CacheBin.pin(corpusPairs))
+    ConnectedComponents
+      .merge(oldMap, CacheBin.pin(dedupIncrementalLsh(spark, dir)))
+      .select(col("id").as("doc_id"), col("root"))
+  }
+
   /** The deduped corpus: every document except non-canonical duplicate-
     * cluster members (doc_id != component root). The end-to-end face of
     * near-dup removal — pairs → clusters → survivors. The cluster map
@@ -587,6 +608,26 @@ object LlmOps {
        |  UNION
        |  SELECT e.src, reach.r FROM edges e JOIN reach ON e.dst = reach.id)
        |SELECT id AS doc_id, min(r) AS root FROM reach GROUP BY id""".stripMargin
+
+  /** Incremental-cluster oracle: components over the UNION of
+    * corpus-internal pairs and batch-cross pairs — the full-recompute
+    * answer merge() must reproduce.
+    */
+  lazy val dedupClustersIncrSql: String = {
+    val corpusPairs =
+      lshPairsSql("l.doc_id % 10 <> 0 AND r.doc_id % 10 <> 0 AND l.doc_id < r.doc_id")
+    s"""WITH RECURSIVE pairs AS (
+       |  SELECT doc_a, doc_b FROM ($corpusPairs) c
+       |  UNION
+       |  SELECT doc_a, doc_b FROM ($dedupIncrementalLshSql) x),
+       |edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+       |  UNION SELECT doc_b, doc_a FROM pairs),
+       |reach(id, r) AS (
+       |  SELECT src, src FROM edges
+       |  UNION
+       |  SELECT e.src, reach.r FROM edges e JOIN reach ON e.dst = reach.id)
+       |SELECT id AS doc_id, min(r) AS root FROM reach GROUP BY id""".stripMargin
+  }
 
   /** Survivor oracle: drop docs whose component root is another doc. */
   lazy val dedupSurvivorsSql: String =
