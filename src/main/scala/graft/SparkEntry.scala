@@ -63,6 +63,7 @@ object SparkEntry {
     "q_jdbc_scan" -> (Connectors.jdbcScan(_, _)),
     "q_orc_scan" -> (Connectors.orcScan(_, _)),
     "q_json_scan" -> (Connectors.jsonScan(_, _)),
+    "q_binaryfile_scan" -> (Connectors.binaryFilesScan(_, _)),
     // — physical-layout surface through the gate (skew/layout/bucketing)
     "q_skew_salted_agg" -> (Physical.saltedAgg(_, _)),
     "q_layout_pruned_scan" -> (Physical.partitionPrunedScan(_, _)),
@@ -283,6 +284,7 @@ object SparkEntry {
     "q_jdbc_scan" -> Connectors.jdbcScanSql,
     "q_orc_scan" -> Connectors.orcScanSql,
     "q_json_scan" -> Connectors.jsonScanSql,
+    "q_binaryfile_scan" -> Connectors.binaryFilesScanSql,
     "q_skew_salted_agg" -> Physical.saltedAggSql,
     "q_layout_pruned_scan" -> Physical.partitionPrunedScanSql,
     "q_bucketed_join" -> Physical.bucketedJoinSql,

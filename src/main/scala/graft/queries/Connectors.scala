@@ -80,6 +80,42 @@ object Connectors {
 
   val jsonScanSql: String = csvScanSql
 
+  /** binaryFile scan: image payloads staged as ONE FILE PER OBJECT —
+    * the shape multimodal corpora actually arrive in — and read back
+    * through Spark's built-in `binaryFile` source. The object id comes
+    * from the path, dims from parsing the REAL PNG bytes (ImageDims
+    * kernel). Files are written executor-side (foreachPartition), the
+    * distributed staging shape; the oracle predicts dims in closed form
+    * from the encodePng contract, so a codec or source bug is a hard
+    * mismatch. At 100 TB the same reader scans an object-store prefix;
+    * `pathGlobFilter`/`modifiedAfter` options give planning-time file
+    * pruning.
+    */
+  def binaryFilesScan(spark: SparkSession, dir: String): DataFrame = {
+    val out = tmp("binfiles", dir)
+    stageOnce(out) {
+      new java.io.File(out).mkdirs()
+      graft.ops.Multimodal.pngPayloads(spark, dir)
+        .foreachPartition { (rows: Iterator[org.apache.spark.sql.Row]) =>
+          rows.foreach { r =>
+            java.nio.file.Files.write(
+              java.nio.file.Paths.get(out, s"${r.getLong(0)}.png"),
+              r.getAs[Array[Byte]](1))
+          }
+        }
+    }
+    val dims = graft.functions.GraftFunctions.imageDims(col("content"))
+    spark.read.format("binaryFile").load(s"$out/*.png")
+      .select(
+        regexp_extract(col("path"), "(\\d+)\\.png$", 1)
+          .cast("long").as("doc_id"),
+        dims.getItem(1).as("width"), dims.getItem(2).as("height"))
+  }
+
+  val binaryFilesScanSql: String =
+    """SELECT doc_id, CAST(doc_id % 16 + 1 AS INT) AS width,
+      |  CAST(doc_id % 8 + 1 AS INT) AS height FROM documents""".stripMargin
+
   /** JDBC scan: nation written to an embedded Derby database through
     * `format("jdbc")` and read back the same way (Derby ships with
     * Spark). In-memory DB here; on a cluster the URL points at a real
