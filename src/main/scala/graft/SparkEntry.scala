@@ -64,6 +64,7 @@ object SparkEntry {
     "q_orc_scan" -> (Connectors.orcScan(_, _)),
     "q_json_scan" -> (Connectors.jsonScan(_, _)),
     "q_binaryfile_scan" -> (Connectors.binaryFilesScan(_, _)),
+    "q_text_scan" -> (Connectors.textScan(_, _)),
     // — physical-layout surface through the gate (skew/layout/bucketing)
     "q_skew_salted_agg" -> (Physical.saltedAgg(_, _)),
     "q_layout_pruned_scan" -> (Physical.partitionPrunedScan(_, _)),
@@ -285,6 +286,7 @@ object SparkEntry {
     "q_orc_scan" -> Connectors.orcScanSql,
     "q_json_scan" -> Connectors.jsonScanSql,
     "q_binaryfile_scan" -> Connectors.binaryFilesScanSql,
+    "q_text_scan" -> Connectors.textScanSql,
     "q_skew_salted_agg" -> Physical.saltedAggSql,
     "q_layout_pruned_scan" -> Physical.partitionPrunedScanSql,
     "q_bucketed_join" -> Physical.bucketedJoinSql,

@@ -80,6 +80,29 @@ object Connectors {
 
   val jsonScanSql: String = csvScanSql
 
+  /** Raw-text scan: the corpus staged as a line-per-document text file
+    * (how raw crawls arrive — no schema, no ids) and read back through
+    * `spark.read.text`. The id problem is solved the way a real
+    * pipeline solves it: a content hash becomes the stable document id
+    * (reproducible on any engine, robust to line order). Oracle derives
+    * the same (hash, token-count) rows from the parquet original.
+    */
+  def textScan(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.load(spark, dir, "documents")
+    val out = tmp("txt_docs", dir)
+    stageOnce(out) {
+      docs.select(col("text")).write.mode("overwrite").text(out)
+    }
+    spark.read.text(out)
+      .select(sha2(col("value"), 256).as("content_id"),
+        size(split(trim(col("value")), "\\s+")).as("n_tokens"))
+  }
+
+  val textScanSql: String =
+    """SELECT sha256(text) AS content_id,
+      |  CAST(len(string_split_regex(trim(text), '\s+')) AS INT) AS n_tokens
+      |FROM documents""".stripMargin
+
   /** binaryFile scan: image payloads staged as ONE FILE PER OBJECT —
     * the shape multimodal corpora actually arrive in — and read back
     * through Spark's built-in `binaryFile` source. The object id comes
