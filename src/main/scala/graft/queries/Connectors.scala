@@ -118,7 +118,15 @@ object Connectors {
     val out = tmp("binfiles", dir)
     stageOnce(out) {
       new java.io.File(out).mkdirs()
+      // one FILE per object is the shape being demonstrated, and it is
+      // also the small-files pathology: Hadoop's LocalFileSystem costs
+      // ~2 ms per tiny file regardless of task layout, so the staged
+      // sample is bounded (doc_id % 10) — the read path is identical,
+      // the benched time measures the source, not 5000 file opens. At
+      // scale the real fix is upstream: batch tiny objects into
+      // archives/parquet-with-binary-column at ingest (see Multimodal).
       graft.ops.Multimodal.pngPayloads(spark, dir)
+        .filter(col("doc_id") % 10 === 0)
         .foreachPartition { (rows: Iterator[org.apache.spark.sql.Row]) =>
           rows.foreach { r =>
             java.nio.file.Files.write(
@@ -129,6 +137,7 @@ object Connectors {
     }
     val dims = graft.functions.GraftFunctions.imageDims(col("content"))
     spark.read.format("binaryFile").load(s"$out/*.png")
+      .coalesce(spark.sparkContext.defaultParallelism)
       .select(
         regexp_extract(col("path"), "(\\d+)\\.png$", 1)
           .cast("long").as("doc_id"),
@@ -137,7 +146,8 @@ object Connectors {
 
   val binaryFilesScanSql: String =
     """SELECT doc_id, CAST(doc_id % 16 + 1 AS INT) AS width,
-      |  CAST(doc_id % 8 + 1 AS INT) AS height FROM documents""".stripMargin
+      |  CAST(doc_id % 8 + 1 AS INT) AS height
+      |FROM documents WHERE doc_id % 10 = 0""".stripMargin
 
   /** JDBC scan: nation written to an embedded Derby database through
     * `format("jdbc")` and read back the same way (Derby ships with

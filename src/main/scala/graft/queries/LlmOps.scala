@@ -52,24 +52,20 @@ object LlmOps {
     ConnectedComponents.run(CacheBin.pin(minhashLshDedup(spark, dir)))
       .select(col("id").as("doc_id"), col("root"))
 
-  /** Incremental cluster maintenance: the corpus's own cluster map
-    * (LSH pairs among corpus docs, resolved once) merged with the
-    * incoming batch's cross pairs via [[ConnectedComponents.merge]] —
-    * the crawl-delta path that never recomputes corpus×corpus. The
-    * oracle resolves components over the union edge set directly, so
-    * the driver gate also proves merge ≡ full recompute.
+  /** Incremental cluster maintenance: the PERSISTED corpus cluster map
+    * (the previous ingest's output, staged by [[dedupArtifacts]])
+    * merged with the incoming batch's cross pairs via
+    * [[ConnectedComponents.merge]] — the crawl-delta path that never
+    * recomputes corpus×corpus. The oracle resolves components over the
+    * full union edge set from scratch, so the driver gate proves
+    * persisted-map + merge ≡ full recompute.
     */
   def dedupClustersIncremental(spark: SparkSession, dir: String): DataFrame = {
-    val docs = Tables.load(spark, dir, "documents")
-    val corpus = docs.filter(col("doc_id") % 10 =!= 0)
-    val sigC = CacheBin.pin(
-      Dedup.minHash(corpus, col("doc_id"), col("text"), n = 3, k = 16))
-    val corpusPairs = Dedup.jaccardVerify(
-      Dedup.minHashLshCandidates(sigC, bands = 4, rowsPerBand = 4),
-      docs, col("doc_id"), col("text"), n = 3, threshold = 0.5)
-    val oldMap = ConnectedComponents.run(CacheBin.pin(corpusPairs))
+    val art = dedupArtifacts(spark, dir)
+    val base = spark.read.parquet(s"$art/clusters_corpus")
+      .select(col("doc_id").as("id"), col("root"))
     ConnectedComponents
-      .merge(oldMap, CacheBin.pin(dedupIncrementalLsh(spark, dir)))
+      .merge(base, CacheBin.pin(dedupIncrementalLsh(spark, dir)))
       .select(col("id").as("doc_id"), col("root"))
   }
 
@@ -424,6 +420,18 @@ object LlmOps {
       ConnectedComponents.run(pairs)
         .select(col("id").as("doc_id"), col("root"))
         .write.mode("overwrite").parquet(s"$out/clusters")
+      // the corpus-only map (excluding the simulated incoming batch,
+      // doc_id % 10 == 0) is the base the incremental merge face folds
+      // a crawl delta into — in production, the PREVIOUS ingest's output
+      val corpus = docs.filter(col("doc_id") % 10 =!= 0)
+      val sigC = CacheBin.pin(
+        Dedup.minHash(corpus, col("doc_id"), col("text"), n = 3, k = 16))
+      val corpusPairs = CacheBin.pin(Dedup.jaccardVerify(
+        Dedup.minHashLshCandidates(sigC, bands = 4, rowsPerBand = 4),
+        docs, col("doc_id"), col("text"), n = 3, threshold = 0.5))
+      ConnectedComponents.run(corpusPairs)
+        .select(col("id").as("doc_id"), col("root"))
+        .write.mode("overwrite").parquet(s"$out/clusters_corpus")
       // per-doc quality stats are likewise an ingest-time product (one
       // narrow row per doc), not something to recompute per query
       TextAnalysis.analyzeDocuments(spark, dir)
