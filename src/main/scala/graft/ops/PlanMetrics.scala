@@ -74,6 +74,17 @@ object PlanMetrics {
     shuffleExchanges(df).map(
       _.metrics.get("shuffleRecordsWritten").map(_.value).getOrElse(0L)).sum
 
+  /** Files actually opened by file-source scans — partition pruning's
+    * runtime truth: a probe-limited query against a partitioned layout
+    * must read strictly fewer files than a full scan, and this is the
+    * number that proves it (the static PartitionFilters line only shows
+    * intent).
+    */
+  def filesRead(df: DataFrame): Long =
+    identityDistinct(executedNodes(df).collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+    }).map(_.metrics.get("numFiles").map(_.value).getOrElse(0L)).sum
+
   /** How many exchange CONSUMPTIONS were served by a reused exchange —
     * occurrences beyond the first of the same executed instance. > 0
     * proves a shared subtree was built once and read twice at runtime

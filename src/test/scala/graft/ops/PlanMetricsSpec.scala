@@ -47,6 +47,26 @@ class PlanMetricsSpec extends SparkSpec {
     assert(PlanMetrics.reusedExchangeServings(df) > 0)
   }
 
+  test("IVF probe limit prunes index files at RUNTIME, not just in the plan") {
+    import spark.implicits._
+    val centroids = Seq(0 -> Seq(1.0, 0.0), 1 -> Seq(0.0, 1.0), 2 -> Seq(-1.0, 0.0))
+    val corpus = Seq((10L, Seq(0.9, 0.1)), (11L, Seq(0.1, 0.9)),
+      (12L, Seq(-0.9, 0.05))).toDF("vec_id", "embedding")
+    val path = java.nio.file.Files.createTempDirectory("ivfidx_rt").toString + "/idx"
+    Similarity.ivfWriteIndex(
+      Similarity.ivfAssign(corpus, col("vec_id"), col("embedding"), centroids), path)
+    def files(nProbe: Int): Long = {
+      val hits = Similarity.ivfSearchIndexed(spark, path, centroids,
+        queryVec = Seq(0.9, 0.1), k = 1, nProbe = nProbe)
+      hits.collect()
+      PlanMetrics.filesRead(hits)
+    }
+    val pruned = files(1)
+    val full = files(3)
+    assert(pruned > 0 && full > pruned,
+      s"probe limit did not prune at runtime: $pruned vs $full files")
+  }
+
   test("bloom pruning shrinks the semi-join shuffle volume") {
     val conf = spark.conf
     val saved = Seq(
