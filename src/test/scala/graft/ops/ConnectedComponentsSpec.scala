@@ -6,9 +6,13 @@ import org.scalacheck.rng.Seed
 
 class ConnectedComponentsSpec extends SparkSpec {
 
-  private def cc(edges: Seq[(Long, Long)]): Map[Long, Long] = {
+  /** localThreshold = 0 forces the distributed loop; the default takes
+    * the driver union-find tier. Tests run the suite through both.
+    */
+  private def cc(edges: Seq[(Long, Long)], localThreshold: Int = 1 << 19): Map[Long, Long] = {
     import spark.implicits._
-    ConnectedComponents.run(edges.toDF("doc_a", "doc_b"))
+    ConnectedComponents.run(edges.toDF("doc_a", "doc_b"),
+      localThreshold = localThreshold)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
   }
 
@@ -30,30 +34,44 @@ class ConnectedComponentsSpec extends SparkSpec {
     }.toMap
   }
 
-  test("two disjoint triangles resolve to their min ids") {
-    val edges = Seq((1L, 2L), (2L, 3L), (1L, 3L), (10L, 11L), (11L, 12L))
-    assert(cc(edges) === Map(1L -> 1L, 2L -> 1L, 3L -> 1L,
-      10L -> 10L, 11L -> 10L, 12L -> 10L))
+  for ((tier, th) <- Seq("local" -> (1 << 19), "distributed" -> 0)) {
+    test(s"[$tier] two disjoint triangles resolve to their min ids") {
+      val edges = Seq((1L, 2L), (2L, 3L), (1L, 3L), (10L, 11L), (11L, 12L))
+      assert(cc(edges, th) === Map(1L -> 1L, 2L -> 1L, 3L -> 1L,
+        10L -> 10L, 11L -> 10L, 12L -> 10L))
+    }
+
+    test(s"[$tier] a 33-vertex chain converges (doubling beats O(diameter))") {
+      // min-label propagation alone needs 32 rounds here; with doubling
+      // the run must finish well under the 50-iteration cap.
+      val edges = (0L until 32L).map(i => (i, i + 1))
+      val got = cc(edges, th)
+      assert(got.size === 33 && got.values.forall(_ == 0L))
+    }
+
+    test(s"[$tier] self-loops and duplicate edges change nothing") {
+      val edges = Seq((5L, 5L), (1L, 2L), (2L, 1L), (1L, 2L))
+      // (5,5) is dropped (no real edge -> vertex absent), duplicates merge
+      assert(cc(edges, th) === Map(1L -> 1L, 2L -> 1L))
+    }
+
+    test(s"[$tier] empty edge list yields empty labels") {
+      import spark.implicits._
+      assert(ConnectedComponents.run(
+        Seq.empty[(Long, Long)].toDF("doc_a", "doc_b"),
+        localThreshold = th).isEmpty)
+    }
   }
 
-  test("a 33-vertex chain converges (pointer doubling beats O(diameter))") {
-    // min-label propagation alone needs 32 rounds here; with doubling the
-    // run must finish well under the 50-iteration cap — and be correct.
-    val edges = (0L until 32L).map(i => (i, i + 1))
-    val got = cc(edges)
-    assert(got.size === 33 && got.values.forall(_ == 0L))
-  }
-
-  test("self-loops and duplicate edges change nothing") {
-    val edges = Seq((5L, 5L), (1L, 2L), (2L, 1L), (1L, 2L))
-    // (5,5) is dropped (no real edge -> vertex absent), duplicates merge
-    assert(cc(edges) === Map(1L -> 1L, 2L -> 1L))
-  }
-
-  test("empty edge list yields empty labels") {
-    import spark.implicits._
-    assert(ConnectedComponents.run(
-      Seq.empty[(Long, Long)].toDF("doc_a", "doc_b")).isEmpty)
+  test("both tiers agree on random graphs") {
+    val edgeGen = Gen.listOfN(30,
+      Gen.zip(Gen.choose(0L, 18L), Gen.choose(0L, 18L)))
+    val params = Gen.Parameters.default
+    (1 to 4).foreach { i =>
+      val edges = edgeGen.pureApply(params, Seed(500L + i))
+        .filter { case (a, b) => a != b }
+      if (edges.nonEmpty) assert(cc(edges, 0) === cc(edges))
+    }
   }
 
   test("merge folds new pairs into an existing map: bridge + stability") {
