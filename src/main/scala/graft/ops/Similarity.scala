@@ -117,6 +117,34 @@ object Similarity {
       .groupBy(col("centroid"), col("pos"))
       .agg(avg(col("v")).as("v"))
 
+  /** Fixed-iteration Lloyd's (k-means) fit: iterate [[kmeansStep]]
+    * `iters` times from `init`, collecting the parameter-sized k×d
+    * centroid table between rounds (the only driver-side data — the
+    * per-round work is the one broadcast join + one (centroid,pos)
+    * shuffle of kmeansStep). Intermediate means are rounded to 6
+    * decimals, which makes the fit ENGINE-PORTABLE: a SQL replica that
+    * rounds the same way lands on bit-identical centroids, so the
+    * trained index can be verified end-to-end by an external oracle.
+    * Clusters that lose every member drop out (the groupBy emits no row
+    * for them — same behavior as a SQL GROUP BY replica). Deterministic
+    * given a deterministic `init`: assignment ties break by centroid id.
+    */
+  def kmeansFit(corpus: DataFrame, id: Column, emb: Column,
+      init: Seq[(Int, Seq[Double])], iters: Int): Seq[(Int, Seq[Double])] = {
+    var cents = init
+    for (_ <- 1 to iters) {
+      cents = kmeansStep(corpus, id, emb, cents)
+        .select(col("centroid"), col("pos"), round(col("v"), 6).as("v"))
+        .collect()
+        .groupBy(_.getInt(0))
+        .map { case (cid, rows) =>
+          (cid, rows.sortBy(_.getInt(1)).map(_.getDouble(2)).toSeq)
+        }
+        .toSeq.sortBy(_._1)
+    }
+    cents
+  }
+
   /** Persist the IVF index partitioned by centroid: each inverted list
     * becomes its own partition directory, so a probe-limited search is a
     * PARTITION-PRUNED scan (touches nProbe/|C| of the files, verified in

@@ -330,27 +330,46 @@ object LlmOps {
       .map(r => (r.getLong(0).toInt, r.getSeq[Double](1)))
       .toSeq.sortBy(_._1)
 
-  /** IVF ANN: centroids = embeddings of vec_ids 0..7 (deterministic
-    * stand-in for a k-means fit), probe the 2 nearest lists.
+  /** TRAINED IVF centroids: `ivfFitIters` Lloyd iterations from the
+    * deterministic seeds, cached per corpus dir — the fit is a
+    * parameter-sized maintenance product (like the persisted index it
+    * feeds), not per-query work. Same-JVM consumers (in-memory IVF,
+    * indexed IVF) share one fit, which the indexed path's staged-index
+    * consistency depends on.
+    */
+  val ivfFitIters = 3
+  private val fitCache =
+    scala.collection.concurrent.TrieMap.empty[String, Seq[(Int, Seq[Double])]]
+  private def fittedCentroids(spark: SparkSession, dir: String): Seq[(Int, Seq[Double])] =
+    fitCache.getOrElseUpdate(dir, {
+      val emb = Tables.load(spark, dir, "embeddings")
+      Similarity.kmeansFit(emb, col("vec_id"), col("embedding"),
+        seedCentroids(emb), ivfFitIters)
+    })
+
+  /** IVF ANN: centroids = a 3-iteration k-means fit seeded from the
+    * embeddings of vec_ids 0..7, probe the 2 nearest lists. The oracle
+    * replays the same fit (unrolled Lloyd iterations in SQL), so the
+    * trained index is verified end to end, not just the search.
     */
   def embedAnnIvf(spark: SparkSession, dir: String): DataFrame = {
     val emb = Tables.load(spark, dir, "embeddings")
-    val centroids = seedCentroids(emb)
+    val centroids = fittedCentroids(spark, dir)
     val assigned = Similarity.ivfAssign(emb, col("vec_id"), col("embedding"), centroids)
     Similarity.ivfSearch(assigned, centroids, queryVector(spark, dir), k = 10)
       .withColumn("cos", round(col("cos"), 6))
   }
 
-  /** IVF ANN against the PERSISTED index: same centroids, query, and
-    * oracle as [[embedAnnIvf]], but the search runs over the index
-    * written to disk partitioned by centroid (staged once per JVM), so
-    * the probe reaches the scan as a partition filter — at 100 TB a
-    * search opens nProbe/|C| of the files, never the corpus
+  /** IVF ANN against the PERSISTED index: same (trained) centroids,
+    * query, and oracle as [[embedAnnIvf]], but the search runs over the
+    * index written to disk partitioned by centroid (staged once per
+    * JVM), so the probe reaches the scan as a partition filter — at
+    * 100 TB a search opens nProbe/|C| of the files, never the corpus
     * (partition-pruned scan asserted in SimilaritySpec).
     */
   def embedAnnIvfIndexed(spark: SparkSession, dir: String): DataFrame = {
     val emb = Tables.load(spark, dir, "embeddings")
-    val centroids = seedCentroids(emb)
+    val centroids = fittedCentroids(spark, dir)
     val idx = StageOnce.tmp("ivf_index", dir)
     StageOnce(idx) {
       Similarity.ivfWriteIndex(
@@ -808,28 +827,47 @@ object LlmOps {
        |WHERE list_cosine_similarity(l.embedding::DOUBLE[], r.embedding::DOUBLE[]) >= 0.4""".stripMargin
   }
 
-  /** IVF ANN oracle: centroids/assignment/probe are all deterministic
-    * (vec_ids 0..7 as centroids, argmax assignment with (cos, cid)
-    * tiebreak, 2 probes). Assignment ties broken exactly like Spark's
-    * greatest-over-structs: cos DESC then cid DESC.
+  /** IVF ANN oracle with TRAINED centroids: the `ivfFitIters` Lloyd
+    * iterations are unrolled into chained CTEs — each round reassigns
+    * every vector (argmax cosine, ties broken cos DESC then cid DESC,
+    * exactly Spark's greatest-over-structs) and recomputes per-dimension
+    * means rounded to 6 decimals, mirroring kmeansFit bit for bit. The
+    * final assignment, 2-probe selection, and top-k then run against the
+    * fitted centroids, so the oracle checks the TRAINING, not just the
+    * search.
     */
-  val embedAnnIvfSql: String =
-    """WITH q AS (SELECT embedding::DOUBLE[] AS qe FROM embeddings WHERE vec_id = 0),
-      |cents AS (SELECT vec_id::INT AS cid, embedding::DOUBLE[] AS c
-      |  FROM embeddings WHERE vec_id < 8),
-      |assigned AS (
-      |  SELECT e.vec_id, e.embedding, c.cid,
-      |    list_cosine_similarity(e.embedding::DOUBLE[], c.c) AS cos
-      |  FROM embeddings e CROSS JOIN cents c
-      |  QUALIFY row_number() OVER (PARTITION BY e.vec_id
-      |    ORDER BY cos DESC, c.cid DESC) = 1),
-      |probe AS (SELECT cid FROM cents, q
-      |  ORDER BY list_cosine_similarity(c, qe) DESC, cid LIMIT 2)
-      |SELECT a.vec_id, round(list_cosine_similarity(a.embedding::DOUBLE[], q.qe), 6) AS cos
-      |FROM assigned a, q
-      |WHERE a.cid IN (SELECT cid FROM probe)
-      |ORDER BY list_cosine_similarity(a.embedding::DOUBLE[], q.qe) DESC, a.vec_id
-      |LIMIT 10""".stripMargin
+  lazy val embedAnnIvfSql: String = {
+    val iterCtes = (1 to ivfFitIters).map { i =>
+      s"""a$i AS (
+         |  SELECT e.vec_id, e.embedding, c.cid
+         |  FROM embeddings e CROSS JOIN cents${i - 1} c
+         |  QUALIFY row_number() OVER (PARTITION BY e.vec_id
+         |    ORDER BY list_cosine_similarity(e.embedding::DOUBLE[], c.c) DESC, c.cid DESC) = 1),
+         |cents$i AS (
+         |  SELECT cid, list(v ORDER BY pos) AS c FROM (
+         |    SELECT cid, pos, round(avg(v), 6) AS v FROM (
+         |      SELECT cid, generate_subscripts(embedding::DOUBLE[], 1) - 1 AS pos,
+         |        unnest(embedding::DOUBLE[]) AS v FROM a$i) GROUP BY 1, 2)
+         |  GROUP BY cid)""".stripMargin
+    }.mkString(",\n")
+    val fin = s"cents$ivfFitIters"
+    s"""WITH q AS (SELECT embedding::DOUBLE[] AS qe FROM embeddings WHERE vec_id = 0),
+       |cents0 AS (SELECT vec_id::INT AS cid, embedding::DOUBLE[] AS c
+       |  FROM embeddings WHERE vec_id < 8),
+       |$iterCtes,
+       |assigned AS (
+       |  SELECT e.vec_id, e.embedding, c.cid
+       |  FROM embeddings e CROSS JOIN $fin c
+       |  QUALIFY row_number() OVER (PARTITION BY e.vec_id
+       |    ORDER BY list_cosine_similarity(e.embedding::DOUBLE[], c.c) DESC, c.cid DESC) = 1),
+       |probe AS (SELECT cid FROM $fin, q
+       |  ORDER BY list_cosine_similarity(c, qe) DESC, cid LIMIT 2)
+       |SELECT a.vec_id, round(list_cosine_similarity(a.embedding::DOUBLE[], q.qe), 6) AS cos
+       |FROM assigned a, q
+       |WHERE a.cid IN (SELECT cid FROM probe)
+       |ORDER BY list_cosine_similarity(a.embedding::DOUBLE[], q.qe) DESC, a.vec_id
+       |LIMIT 10""".stripMargin
+  }
 
   /** Same assignment tie-break as embedAnnIvfSql (cos DESC, cid DESC);
     * elementwise means via zipped unnest/generate_subscripts.
