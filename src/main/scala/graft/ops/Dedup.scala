@@ -182,25 +182,52 @@ object Dedup {
   def hamming(a: Column, b: Column): Column =
     bit_count(a.bitwiseXOR(b))
 
-  /** SimHash near-dup pairs: block on the top `blockBits` bits (near
-    * dups almost always share them), then filter by hamming ≤ maxDist
-    * within blocks. Blocking keeps the self-join linear-ish at scale.
+  /** Band layout for pigeonhole simhash search: `maxDist + 1` disjoint
+    * bit ranges covering the 60-bit signature, sized as evenly as
+    * possible. Any two signatures within hamming distance `maxDist`
+    * differ in at most `maxDist` bands, so they agree EXACTLY on at
+    * least one — banding is a lossless candidate generator (unlike
+    * top-bits blocking, which misses pairs whose flipped bits land in
+    * the block). Shared with the SQL oracle so both sides bucket
+    * identically. Returns (shift, width) per band.
+    */
+  def simhashBands(maxDist: Int): Seq[(Int, Int)] = {
+    val n = maxDist + 1
+    require(n <= 60, s"maxDist $maxDist needs more bands than bits")
+    val sizes = Array.tabulate(n)(i => 60 / n + (if (i < 60 % n) 1 else 0))
+    sizes.scanLeft(0)(_ + _).zip(sizes).toSeq
+  }
+
+  /** SimHash near-dup pairs with a RECALL GUARANTEE: explode each
+    * signature into its `maxDist + 1` pigeonhole bands (one row per
+    * (band, value) — the minhash-LSH shape), self-join on band equality,
+    * verify hamming ≤ maxDist, and de-duplicate pairs that collide in
+    * several bands. Every true pair shares a band by pigeonhole, so the
+    * output is exactly the brute-force pair set (property-tested).
+    * Scale shape: one (band, value)-keyed exchange of (maxDist+1)×n
+    * 16-byte rows; per-bucket occupancy is n/2^width per band — width
+    * (via maxDist) is the occupancy lever, same as LSH band tuning.
     */
   def simHashPairs(df: DataFrame, id: Column, text: Column,
-      maxDist: Int = 3, blockBits: Int = 12): DataFrame = {
+      maxDist: Int = 3): DataFrame = {
     // Signatures are tiny (doc_id, 2 longs) — persist so the self-join
     // computes the simhash expression once, not once per join side. At
     // 100 TB the equivalent is writing the signature table out. Pinned
     // via CacheBin so callers can release after the consuming action.
     val sigs = CacheBin.pin(
-      df.select(id.as("doc_id"), simHash(text).as("sig"))
-        .withColumn("block", shiftright(col("sig"), 60 - blockBits)))
-    val l = sigs.as("l"); val r = sigs.as("r")
-    l.join(r, col("l.block") === col("r.block") &&
+      df.select(id.as("doc_id"), simHash(text).as("sig")))
+    val bandCols = simhashBands(maxDist).map { case (shift, width) =>
+      shiftright(col("sig"), shift).bitwiseAND(lit((1L << width) - 1L))
+    }
+    val banded = sigs.select(col("doc_id"), col("sig"),
+      posexplode(array(bandCols: _*)).as(Seq("band", "bv")))
+    val l = banded.as("l"); val r = banded.as("r")
+    l.join(r, col("l.band") === col("r.band") && col("l.bv") === col("r.bv") &&
         col("l.doc_id") < col("r.doc_id"))
       .filter(hamming(col("l.sig"), col("r.sig")) <= maxDist)
       .select(col("l.doc_id").as("doc_a"), col("r.doc_id").as("doc_b"),
         hamming(col("l.sig"), col("r.sig")).as("dist"))
+      .distinct() // multi-band collisions emit the same pair repeatedly
   }
 
   // ------------------------------------------------------- ngram jaccard

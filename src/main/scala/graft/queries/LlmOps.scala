@@ -130,7 +130,7 @@ object LlmOps {
 
   def simhashPairs(spark: SparkSession, dir: String): DataFrame =
     Dedup.simHashPairs(Tables.load(spark, dir, "documents"),
-      col("doc_id"), col("text"), maxDist = 8, blockBits = 4)
+      col("doc_id"), col("text"), maxDist = 8)
 
   /** Cross-document repeated-span detection (the exact-substring dedup
     * signal: token 8-grams appearing in ≥2 distinct documents). One
@@ -688,14 +688,26 @@ object LlmOps {
   /** SimHash near-dup pairs oracle: signature = simhashSql, block = top 4
     * bits, hamming via bit_count(xor). Fully deterministic.
     */
-  lazy val simhashPairsSql: String =
-    s"""WITH sims AS ($simhashSql)
-       |SELECT l.doc_id AS doc_a, r.doc_id AS doc_b,
+  /** Pigeonhole-banded candidate generation, same band layout as
+    * Dedup.simHashPairs (shared via simhashBands) — the banding is
+    * lossless, so this is exactly the brute-force hamming ≤ 8 pair set.
+    */
+  lazy val simhashPairsSql: String = {
+    val bands = graft.ops.Dedup.simhashBands(8)
+      .map { case (shift, width) =>
+        s"(simhash >> $shift) & ${(1L << width) - 1L}" }
+      .mkString("[", ", ", "]")
+    s"""WITH sims AS ($simhashSql),
+       |banded AS (
+       |  SELECT doc_id, simhash,
+       |    generate_subscripts(b, 1) AS band, unnest(b) AS bv
+       |  FROM (SELECT doc_id, simhash, $bands AS b FROM sims))
+       |SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b,
        |  CAST(bit_count(xor(l.simhash, r.simhash)) AS INT) AS dist
-       |FROM (SELECT doc_id, simhash, simhash >> 56 AS block FROM sims) l
-       |JOIN (SELECT doc_id, simhash, simhash >> 56 AS block FROM sims) r
-       |  ON l.block = r.block AND l.doc_id < r.doc_id
+       |FROM banded l JOIN banded r
+       |  ON l.band = r.band AND l.bv = r.bv AND l.doc_id < r.doc_id
        |WHERE bit_count(xor(l.simhash, r.simhash)) <= 8""".stripMargin
+  }
 
   val ngramJaccardSql: String =
     s"""WITH $shingleCte,

@@ -117,6 +117,34 @@ class DedupSpec extends SparkSpec {
     assert(h2 == 200L && df2 == 3L && ids2.toSet == Set(8L, 9L, 10L))
   }
 
+  test("simHashPairs banding is LOSSLESS: equals brute-force hamming pairs") {
+    // pigeonhole: maxDist+1 disjoint bands -> any pair within maxDist
+    // agrees exactly on >= 1 band, so candidates cover every true pair
+    val docs = graft.Tables.load(spark, sf, "documents")
+      .select(col("doc_id"), col("text"))
+    for (maxDist <- Seq(4, 8)) {
+      val banded = Dedup.simHashPairs(docs, col("doc_id"), col("text"), maxDist)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+      val sigs = docs.select(col("doc_id"), Dedup.simHash(col("text")).as("sig"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1))
+      val brute = (for {
+        (a, sa) <- sigs; (b, sb) <- sigs if a < b
+        d = java.lang.Long.bitCount(sa ^ sb) if d <= maxDist
+      } yield (a, b, d)).toSet
+      assert(banded === brute, s"maxDist=$maxDist")
+      CacheBin.releaseAll()
+    }
+  }
+
+  test("simhashBands: disjoint, cover all 60 bits, maxDist+1 of them") {
+    for (maxDist <- Seq(0, 3, 8, 59)) {
+      val bands = Dedup.simhashBands(maxDist)
+      assert(bands.length === maxDist + 1)
+      val bits = bands.flatMap { case (shift, w) => shift until (shift + w) }
+      assert(bits.sorted === (0 until 60), s"maxDist=$maxDist")
+    }
+  }
+
   test("longPairs: sorted a<b pairs, empty for null/size<2 arrays") {
     val got = Seq(Seq(3L, 1L, 2L), Seq(5L), Seq.empty[Long])
       .toDF("ds")
