@@ -32,6 +32,17 @@ object Catalog {
     * StagingTable config the transform uses — one declarative source of
     * truth, like the reference's YAML.
     */
+  /** The table's live data dir: Upsert's commit pointer resolved (the
+    * upsert protocol keeps each snapshot in an immutable `_v_<n>` dir),
+    * or the plain path for flat/pre-protocol layouts.
+    */
+  private def liveLocation(spark: SparkSession, warehouseDir: String,
+      table: StagingTable): String = {
+    val path = s"$warehouseDir/${table.name}"
+    Upsert.currentSnapshot(spark, path)
+      .flatMap(_.get("")).getOrElse(path)
+  }
+
   def ensureStagingTable(spark: SparkSession, warehouseDir: String,
       table: StagingTable): Unit = {
     ensureDatabase(spark)
@@ -39,13 +50,25 @@ object Catalog {
       .map(f => s"${f.name} ${f.dataType.sql}").mkString(", ")
     spark.sql(
       s"""CREATE TABLE IF NOT EXISTS $database.${table.name} ($cols)
-         |USING parquet LOCATION '$warehouseDir/${table.name}'""".stripMargin)
+         |USING parquet LOCATION '${liveLocation(spark, warehouseDir, table)}'
+         |""".stripMargin)
   }
 
   def ensureAll(spark: SparkSession, warehouseDir: String): Unit =
     Dv3fConfig.staging.foreach(ensureStagingTable(spark, warehouseDir, _))
 
-  /** After an upsert rewrote the location, refresh cached file listings. */
+  /** After an upsert committed a new snapshot, re-point the catalog
+    * table at it and refresh cached file listings. The old snapshot
+    * stays on disk for Upsert.keepCommits commits, so queries planned
+    * against the previous location still read consistent data.
+    */
+  def refresh(spark: SparkSession, warehouseDir: String, table: StagingTable): Unit = {
+    spark.sql(s"ALTER TABLE $database.${table.name} " +
+      s"SET LOCATION '${liveLocation(spark, warehouseDir, table)}'")
+    spark.sql(s"REFRESH TABLE $database.${table.name}")
+  }
+
+  /** Refresh cached file listings only (no location re-point). */
   def refresh(spark: SparkSession, table: StagingTable): Unit =
     spark.sql(s"REFRESH TABLE $database.${table.name}")
 

@@ -294,9 +294,9 @@ class PropertiesSpec extends SparkSpec {
 
     Upsert.upsertByName(spark, base, batch, table)
     Upsert.upsertByName(spark, base, batch, table) // idempotent
-    assert(spark.read.parquet(base).count() == 2)
+    assert(Upsert.read(spark, base).count() == 2)
     Upsert.upsertByName(spark, base, overwrite, table)
-    val rows = spark.read.parquet(base)
+    val rows = Upsert.read(spark, base)
       .select("uid", "annee", "nbtrans").collect()
       .map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
     assert(rows == Set(("u1", "2020", 9L), ("u2", "2019", 2L)))

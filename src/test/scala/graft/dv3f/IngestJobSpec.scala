@@ -38,8 +38,8 @@ class IngestJobSpec extends SparkSpec {
       ("departement", "85"), ("departement", "BAD"), ("region", "52")))
     assert(reports.map(_.ok) === Seq(true, false, true))
     assert(reports(1).error.exists(_.contains("HTTP 500")))
-    assert(spark.read.parquet(s"$wh/src_departement").count() === 1)
-    assert(spark.read.parquet(s"$wh/src_region").count() === 1)
+    assert(Upsert.read(spark, s"$wh/src_departement").count() === 1)
+    assert(Upsert.read(spark, s"$wh/src_region").count() === 1)
   }
 
   test("config routing matches scope substring over table names") {

@@ -20,15 +20,15 @@ class UpsertSpec extends SparkSpec {
   test("first load inserts all rows") {
     val dir = freshDir()
     Upsert.upsertByName(spark, dir, staged, Dv3fConfig.departement)
-    assert(spark.read.parquet(dir).count() === 3)
+    assert(Upsert.read(spark, dir).count() === 3)
   }
 
   test("reloading the same batch is idempotent (count and content)") {
     val dir = freshDir()
     Upsert.upsertByName(spark, dir, staged, Dv3fConfig.departement)
-    val first = spark.read.parquet(dir).orderBy("uid").collect()
+    val first = Upsert.read(spark, dir).orderBy("uid").collect()
     Upsert.upsertByName(spark, dir, staged, Dv3fConfig.departement)
-    val second = spark.read.parquet(dir).orderBy("uid").collect()
+    val second = Upsert.read(spark, dir).orderBy("uid").collect()
     assert(second === first)
   }
 
@@ -39,7 +39,7 @@ class UpsertSpec extends SparkSpec {
       when(col("cod") === "111" && col("annee") === "2019", lit(9999L))
         .otherwise(col("nbtrans")))
     Upsert.upsertByName(spark, dir, changed, Dv3fConfig.departement)
-    val out = spark.read.parquet(dir)
+    val out = Upsert.read(spark, dir)
     assert(out.count() === 3)
     assert(Quality.uniqueViolations(out, "uid") === 0)
     val v = out.filter(col("cod") === "111" && col("annee") === "2019")
@@ -52,7 +52,7 @@ class UpsertSpec extends SparkSpec {
     val partial = staged.select("uid", "annee", "dep", "libdep", "cod", "nbtrans")
       .withColumn("not_in_schema", lit("x"))
     Upsert.upsertByName(spark, dir, partial, Dv3fConfig.departement)
-    val out = spark.read.parquet(dir)
+    val out = Upsert.read(spark, dir)
     assert(out.schema.fieldNames.toSeq ===
       Dv3fConfig.departement.schema.fieldNames.toSeq)
     assert(out.filter(col("valeurfonc_sum").isNotNull).count() === 0)
@@ -62,7 +62,7 @@ class UpsertSpec extends SparkSpec {
     val dir = freshDir()
     Upsert.upsertByName(spark, dir, staged, Dv3fConfig.departement)
     val checks = Quality.stagingChecks(
-      spark.read.parquet(dir), Dv3fConfig.departement)
+      Upsert.read(spark, dir), Dv3fConfig.departement)
     assert(checks.forall(_.passed), checks.filterNot(_.passed).mkString(", "))
   }
 
@@ -76,7 +76,7 @@ class UpsertSpec extends SparkSpec {
       .withColumn("uid", lit("evolved-row"))
       .withColumn("insee_new", lit("v2"))
     Upsert.upsertByName(spark, dir, batch, evolved)
-    val out = spark.read.parquet(dir)
+    val out = Upsert.read(spark, dir)
     assert(out.count() === 4)
     assert(out.columns.contains("insee_new"))
     // pre-evolution rows carry NULL in the new column; the new row its value
@@ -97,20 +97,69 @@ class UpsertSpec extends SparkSpec {
     Upsert.upsertByNamePartitioned(spark, dir,
       batch(("a1", "2019", 1L), ("b1", "2020", 2L)), table, "annee")
     // remember 2019's files; a 2020-only batch must not rewrite them
-    val files2019 = new java.io.File(s"$dir/annee=2019").listFiles()
-      .map(f => (f.getName, f.lastModified)).toSet
+    def files2019() = {
+      val d = Upsert.currentSnapshot(spark, dir).get("2019")
+      new java.io.File(s"$d/annee=2019").listFiles()
+        .map(f => (f.getPath, f.lastModified)).toSet
+    }
+    val before = files2019()
 
     Upsert.upsertByNamePartitioned(spark, dir,
       batch(("b1", "2020", 9L), ("b2", "2020", 3L)), table, "annee")
 
-    val got = spark.read.parquet(dir)
+    val got = Upsert.read(spark, dir)
       .select("uid", "annee", "nbtrans").collect()
       .map(r => (r.getString(0), r.get(1).toString, r.getLong(2))).toSet
     assert(got == Set(("a1", "2019", 1L), ("b1", "2020", 9L), ("b2", "2020", 3L)))
-    val files2019After = new java.io.File(s"$dir/annee=2019").listFiles()
-      .map(f => (f.getName, f.lastModified)).toSet
-    assert(files2019 == files2019After) // untouched partition preserved bit-for-bit
+    // untouched partition preserved bit-for-bit, still owned by commit 1
+    assert(files2019() == before)
     // partition-pruned read path works
-    assert(spark.read.parquet(dir).filter(col("annee") === "2020").count() == 2)
+    assert(Upsert.read(spark, dir).filter(col("annee") === "2020").count() == 2)
+  }
+
+  test("concurrent reader keeps a consistent snapshot across a commit") {
+    val dir = freshDir()
+    Upsert.upsertByName(spark, dir, staged, Dv3fConfig.departement)
+    // reader resolves the commit pointer NOW (plans against snapshot 1)
+    val reader = Upsert.read(spark, dir)
+    val changed = staged.withColumn("nbtrans", lit(777L))
+    Upsert.upsertByName(spark, dir, changed, Dv3fConfig.departement)
+    // the commit happened mid-"query": the reader still sees snapshot 1
+    // in full — not a mix, not an error (its files are immutable and
+    // survive vacuum for keepCommits commits)
+    assert(reader.filter(col("nbtrans") === 777L).count() === 0)
+    assert(reader.count() === 3)
+    // a reader that resolves after the commit sees only snapshot 2
+    val after = Upsert.read(spark, dir)
+    assert(after.filter(col("nbtrans") =!= 777L).count() === 0)
+  }
+
+  test("crashed commit (data dir without marker) is invisible to readers") {
+    val dir = freshDir()
+    Upsert.upsertByName(spark, dir, staged, Dv3fConfig.departement)
+    // simulate a writer that died after writing data, before publishing
+    staged.write.parquet(s"$dir/_v_999")
+    assert(Upsert.read(spark, dir).count() === 3) // still snapshot 1
+    // the next successful commit supersedes and vacuums the orphan
+    Upsert.upsertByName(spark, dir, staged, Dv3fConfig.departement)
+    Upsert.upsertByName(spark, dir, staged, Dv3fConfig.departement)
+    assert(!new java.io.File(s"$dir/_v_999").exists())
+    assert(Upsert.read(spark, dir).count() === 3)
+  }
+
+  test("versioned layout: snapshots are immutable dirs, vacuum bounds them") {
+    val dir = freshDir()
+    (1 to 4).foreach { i =>
+      Upsert.upsertByName(spark, dir,
+        staged.withColumn("nbtrans", lit(i.toLong)), Dv3fConfig.departement)
+    }
+    val names = new java.io.File(dir).listFiles().map(_.getName).toSet
+    // only the last keepCommits snapshots (+ markers) survive
+    val versions = names.filter(_.startsWith("_v_"))
+    val markers = names.filter(_.startsWith("_commit_"))
+    assert(versions === Set("_v_3", "_v_4"), names.mkString(","))
+    assert(markers === Set("_commit_3", "_commit_4"), names.mkString(","))
+    assert(Upsert.read(spark, dir)
+      .select("nbtrans").collect().forall(_.getLong(0) == 4L))
   }
 }

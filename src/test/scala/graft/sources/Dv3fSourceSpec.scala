@@ -155,8 +155,8 @@ class Dv3fSourceSpec extends SparkSpec {
     assert(r1.forall(_.ok) && r1.map(_.rows).sum == 2)
     val r2 = graft.dv3f.IngestJob.runViaSource(spark, dir.getAbsolutePath, wh)
     assert(r2.forall(_.ok))
-    assert(spark.read.parquet(s"$wh/src_departement").count() == 1)
-    assert(spark.read.parquet(s"$wh/src_region").count() == 1)
+    assert(graft.dv3f.Upsert.read(spark, s"$wh/src_departement").count() == 1)
+    assert(graft.dv3f.Upsert.read(spark, s"$wh/src_region").count() == 1)
   }
 
   test("runViaSource error isolation: a bad scope fails alone, the other table lands") {
@@ -171,7 +171,7 @@ class Dv3fSourceSpec extends SparkSpec {
     assert(!byScope("departement").ok &&
       byScope("departement").error.get.contains("empty or malformed"))
     assert(byScope("region").ok && byScope("region").rows == 1)
-    assert(spark.read.parquet(s"$wh/src_region").count() == 1)
+    assert(graft.dv3f.Upsert.read(spark, s"$wh/src_region").count() == 1)
     assert(!new File(s"$wh/src_departement").exists())
   }
 

@@ -197,11 +197,11 @@ class EventStreamsSpec extends SparkSpec {
     try {
       q.processAllAvailable()
       val t = s"$wh/src_departement"
-      assert(spark.read.parquet(t).count() == 1)
+      assert(graft.dv3f.Upsert.read(spark, t).count() == 1)
       // a second payload for another code lands incrementally
       write("44", 3.0)
       q.processAllAvailable()
-      val rows = spark.read.parquet(t)
+      val rows = graft.dv3f.Upsert.read(spark, t)
         .select("dep", "nbtrans").collect()
         .map(r => (r.getString(0), r.getLong(1))).toSet
       assert(rows == Set(("85", 7L), ("44", 3L)))
