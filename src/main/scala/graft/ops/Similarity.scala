@@ -66,21 +66,41 @@ object Similarity {
         shiftleft(lit(1L), i)).otherwise(lit(0L))
     }.reduce[Column]((a, b) => a.bitwiseOR(b))
 
-  /** Near-duplicate embedding pairs: bucket join on sign-LSH key, then
-    * exact cosine filter. Equality join ⇒ shuffle on bucket id only;
-    * `nPlanes` tunes bucket occupancy (≈ n/2^nPlanes per bucket).
+  /** Near-duplicate embedding pairs via BANDED sign-LSH (the minhash
+    * band construction transplanted to hyperplane signatures): draw
+    * `bands × planesPerBand` planes, bucket each vector once per band
+    * on that band's plane signs, take candidates that collide in ANY
+    * band (OR over bands), verify by exact cosine, de-duplicate pairs.
+    *
+    * The two knobs decouple what a single plane set ties together:
+    *  - `planesPerBand` controls OCCUPANCY (≈ n/2^p vectors per bucket
+    *    per band — the within-bucket join stays linear-ish at corpus
+    *    scale);
+    *  - `bands` controls RECALL (a θ-close pair collides in a band with
+    *    prob (1−θ/π)^p, so missing ALL b bands decays exponentially in
+    *    b) — without paying for it in bucket size.
+    * Shuffle shape: ONE (band, bucket)-keyed exchange of b×n narrow
+    * rows, then the bucket-local join — same scale story as minhash LSH.
     */
   def cosineNearDupPairs(corpus: DataFrame, id: Column, emb: Column,
-      threshold: Double, nPlanes: Int = 8, dim: Int = 64): DataFrame = {
-    val planes = hyperplanes(nPlanes, dim)
-    val bucketed = corpus.select(id.as("vec_id"), emb.as("e"))
-      .withColumn("bucket", lshBucket(col("e"), planes))
-    val l = bucketed.as("l"); val r = bucketed.as("r")
-    l.join(r, col("l.bucket") === col("r.bucket") &&
+      threshold: Double, bands: Int = 4, planesPerBand: Int = 6,
+      dim: Int = 64): DataFrame = {
+    val planes = hyperplanes(bands * planesPerBand, dim)
+    val bandBuckets = (0 until bands).map { b =>
+      lshBucket(col("e"),
+        planes.slice(b * planesPerBand, (b + 1) * planesPerBand))
+    }
+    val banded = corpus.select(id.as("vec_id"), emb.as("e"))
+      .select(col("vec_id"), col("e"),
+        posexplode(array(bandBuckets: _*)).as(Seq("band", "bucket")))
+    val l = banded.as("l"); val r = banded.as("r")
+    l.join(r, col("l.band") === col("r.band") &&
+        col("l.bucket") === col("r.bucket") &&
         col("l.vec_id") < col("r.vec_id"))
       .select(col("l.vec_id").as("vec_a"), col("r.vec_id").as("vec_b"),
         cosine(col("l.e"), col("r.e")).as("cos"))
       .filter(col("cos") >= threshold)
+      .distinct() // a pair may collide in several bands
   }
 
   /** IVF index: assign every vector to its nearest centroid (broadcast

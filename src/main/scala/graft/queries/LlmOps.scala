@@ -313,7 +313,7 @@ object LlmOps {
   def embedNearDup(spark: SparkSession, dir: String): DataFrame =
     Similarity.cosineNearDupPairs(Tables.load(spark, dir, "embeddings"),
       col("vec_id"), col("embedding"), threshold = 0.4,
-      nPlanes = lshPlanes, dim = 64)
+      bands = lshBands, planesPerBand = lshPlanesPerBand, dim = 64)
       .withColumn("cos", round(col("cos"), 6))
 
   /** Deterministic seed centroids shared by every IVF/k-means face:
@@ -821,21 +821,30 @@ object LlmOps {
       |ORDER BY dot_i8 DESC, e.vec_id
       |LIMIT 10""".stripMargin
 
-  /** LSH planes inlined as literals so Spark and the oracle share the
-    * exact same hyperplanes (Scala Double.toString round-trips).
+  /** Banded sign-LSH oracle: same plane literals (Scala Double.toString
+    * round-trips), same band slicing, same OR-over-bands candidate set
+    * as Similarity.cosineNearDupPairs — one bucket expression per band,
+    * unnest to (band, bucket) rows, join on band equality, DISTINCT the
+    * multi-band collisions.
     */
-  val lshPlanes = 8
-  val embedNearDupSql: String = {
-    val planes = Similarity.hyperplanes(lshPlanes, 64)
-    val bucket = planes.zipWithIndex.map { case (p, i) =>
-      val arr = p.map(_.toString).mkString("[", ",", "]")
-      s"(CASE WHEN list_dot_product(e.embedding::DOUBLE[], $arr::DOUBLE[]) >= 0 THEN 1::BIGINT << $i ELSE 0 END)"
-    }.mkString(" | ")
-    s"""WITH b AS (SELECT vec_id, embedding, $bucket AS bucket
-       |  FROM embeddings e)
-       |SELECT l.vec_id AS vec_a, r.vec_id AS vec_b,
+  val lshBands = 4
+  val lshPlanesPerBand = 6
+  lazy val embedNearDupSql: String = {
+    val planes = Similarity.hyperplanes(lshBands * lshPlanesPerBand, 64)
+    val bandExprs = (0 until lshBands).map { b =>
+      planes.slice(b * lshPlanesPerBand, (b + 1) * lshPlanesPerBand)
+        .zipWithIndex.map { case (p, i) =>
+          val arr = p.map(_.toString).mkString("[", ",", "]")
+          s"(CASE WHEN list_dot_product(e.embedding::DOUBLE[], $arr::DOUBLE[]) >= 0 THEN 1::BIGINT << $i ELSE 0 END)"
+        }.mkString(" | ")
+    }.mkString("[", ",\n  ", "]")
+    s"""WITH b AS (SELECT vec_id, embedding,
+       |    generate_subscripts(bk, 1) AS band, unnest(bk) AS bucket
+       |  FROM (SELECT vec_id, embedding, $bandExprs AS bk FROM embeddings e))
+       |SELECT DISTINCT l.vec_id AS vec_a, r.vec_id AS vec_b,
        |  round(list_cosine_similarity(l.embedding::DOUBLE[], r.embedding::DOUBLE[]), 6) AS cos
-       |FROM b l JOIN b r ON l.bucket = r.bucket AND l.vec_id < r.vec_id
+       |FROM b l JOIN b r ON l.band = r.band AND l.bucket = r.bucket
+       |  AND l.vec_id < r.vec_id
        |WHERE list_cosine_similarity(l.embedding::DOUBLE[], r.embedding::DOUBLE[]) >= 0.4""".stripMargin
   }
 

@@ -91,6 +91,37 @@ class SimilaritySpec extends SparkSpec {
     assert(all == exact, "probing every list IS brute force")
   }
 
+  test("banded sign-LSH: bucket occupancy bounded, banding only adds recall") {
+    import org.apache.spark.sql.types.{ArrayType, DoubleType}
+    val emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    val n = emb.count()
+    val (bands, p) = (LlmOps.lshBands, LlmOps.lshPlanesPerBand)
+    val planes = Similarity.hyperplanes(bands * p, 64)
+    // per-band occupancy: ≈ n/2^p expected for isotropic data; assert no
+    // bucket degenerates toward the quadratic-join regime
+    val occ = emb.select(col("vec_id"),
+        posexplode(array((0 until bands).map { b =>
+          Similarity.lshBucket(col("embedding").cast(ArrayType(DoubleType)),
+            planes.slice(b * p, (b + 1) * p))
+        }: _*)).as(Seq("band", "bucket")))
+      .groupBy("band", "bucket").count()
+    val maxOcc = occ.agg(max("count")).collect()(0).getLong(0)
+    val expected = n.toDouble / (1 << p)
+    assert(maxOcc <= math.max(8 * expected, 32),
+      s"max bucket occupancy $maxOcc vs expected ~$expected")
+
+    // OR over bands can only ADD candidate pairs vs any single band:
+    // the banded pair set must contain the pairs found by band 0 alone
+    val banded = Similarity.cosineNearDupPairs(emb, col("vec_id"),
+      col("embedding"), threshold = 0.2, bands = bands, planesPerBand = p)
+      .select("vec_a", "vec_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val single = Similarity.cosineNearDupPairs(emb, col("vec_id"),
+      col("embedding"), threshold = 0.2, bands = 1, planesPerBand = p)
+      .select("vec_a", "vec_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(single.subsetOf(banded), "banding lost a band-0 pair")
+    assert(banded.size >= single.size)
+  }
+
   test("kmeansFit is deterministic and trained centroids hit recall@10 >= 0.9") {
     import org.apache.spark.sql.types.{ArrayType, DoubleType}
     // sf0.01: the fit needs enough vectors per cluster to move the
