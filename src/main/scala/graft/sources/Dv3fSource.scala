@@ -91,6 +91,60 @@ trait PageFetcher extends Serializable {
   def firstLocator(scope: String, code: String): String
 }
 
+/** Fetch failure with HTTP-style status classification. The reference
+  * raises on any non-200 (scripts/extract_load.py:80-94); here the
+  * status decides RETRYABILITY: 5xx/429/408 are transient server/rate
+  * conditions worth retrying, any other non-200 (404 unknown code, 403
+  * bad key, …) is permanent — retrying cannot fix it, so it fails the
+  * partition immediately. HTTP fetcher implementations should throw
+  * this; IOExceptions (connection reset, timeout) count as transient.
+  */
+class FetchException(val status: Int, msg: String, cause: Throwable = null)
+    extends RuntimeException(s"HTTP $status: $msg", cause) {
+  def transient: Boolean =
+    status >= 500 || status == 429 || status == 408
+}
+
+/** Retry/backoff decorator over any [[PageFetcher]]: transient failures
+  * ([[FetchException]] with a retryable status, or IOException) are
+  * retried up to `maxRetries` times with exponential backoff; permanent
+  * failures propagate immediately. Failures surface on the EXECUTOR, so
+  * a partition that exhausts its retries fails alone — the driver-level
+  * fan-out (IngestJob D4) or pushed-down partition pruning keeps other
+  * (scope, code) branches unaffected, matching the reference's
+  * per-branch error isolation with production resilience added.
+  */
+class RetryingFetcher(inner: PageFetcher, maxRetries: Int = 3,
+    baseBackoffMs: Long = 100) extends PageFetcher {
+
+  private def isTransient(e: Throwable): Boolean = e match {
+    case fe: FetchException => fe.transient
+    case _: java.io.IOException => true
+    case _ => false
+  }
+
+  private def attempt[A](f: => A): A = {
+    var tries = 0
+    while (true) {
+      try return f
+      catch {
+        case e: Throwable if tries < maxRetries && isTransient(e) =>
+          tries += 1
+          // exponential, deterministic: base, 2x, 4x, ...
+          if (baseBackoffMs > 0) Thread.sleep(baseBackoffMs << (tries - 1))
+      }
+    }
+    sys.error("unreachable")
+  }
+
+  override def firstPage(scope: String, code: String): JsonNode =
+    attempt(inner.firstPage(scope, code))
+  override def nextPage(locator: String): JsonNode =
+    attempt(inner.nextPage(locator))
+  override def firstLocator(scope: String, code: String): String =
+    inner.firstLocator(scope, code)
+}
+
 /** Default fetcher: payloads as `<path>/<scope>_<code>.json`, `next`
   * locators as paths relative to `path` (continuation pages
   * conventionally under a subdirectory, e.g. `pages/…`, so scan
@@ -207,7 +261,14 @@ class Dv3fScan(options: Map[String, String], scopeEq: Option[String],
         .newInstance(path).asInstanceOf[PageFetcher]
       case None => new FilePageFetcher(path)
     }
-    new Dv3fReaderFactory(fetcher, required)
+    // every fetcher gets retry/backoff (fetchRetries=0 disables);
+    // transient 5xx/IO failures are retried executor-side, permanent
+    // 4xx fail only their partition
+    // option keys arrive lowercased (CaseInsensitiveStringMap)
+    val hardened = new RetryingFetcher(fetcher,
+      maxRetries = options.getOrElse("fetchretries", "3").toInt,
+      baseBackoffMs = options.getOrElse("fetchbackoffms", "100").toLong)
+    new Dv3fReaderFactory(hardened, required)
   }
 }
 

@@ -214,6 +214,53 @@ class Dv3fSourceSpec extends SparkSpec {
     intercept[org.apache.spark.SparkException] { df.count() }
   }
 
+  test("transient 5xx is retried with backoff until the page serves") {
+    FlakyFetcher.reset(failuresBeforeSuccess = 2)
+    val df = spark.read.format("dv3f")
+      .option("path", "unused")
+      .option("scopes", "departement:85")
+      .option("fetcher", classOf[FlakyFetcher].getName)
+      .option("fetchBackoffMs", "0")
+      .load()
+    // two 503s then success: the read must succeed without surfacing them
+    assert(df.count() === 1)
+    assert(FlakyFetcher.attempts.get() === 3)
+  }
+
+  test("exhausted retries surface the last transient error") {
+    FlakyFetcher.reset(failuresBeforeSuccess = 99)
+    val df = spark.read.format("dv3f")
+      .option("path", "unused")
+      .option("scopes", "departement:85")
+      .option("fetcher", classOf[FlakyFetcher].getName)
+      .option("fetchRetries", "2").option("fetchBackoffMs", "0")
+      .load()
+    val e = intercept[org.apache.spark.SparkException] { df.count() }
+    assert(e.getMessage.contains("HTTP 503") ||
+      Option(e.getCause).exists(_.getMessage.contains("HTTP 503")))
+    assert(FlakyFetcher.attempts.get() === 3) // initial + 2 retries, no more
+  }
+
+  test("permanent 4xx fails its partition immediately; others isolated") {
+    FlakyFetcher.reset(failuresBeforeSuccess = 0)
+    val df = spark.read.format("dv3f")
+      .option("path", "unused")
+      .option("scopes", "departement:85,departement:404")
+      .option("fetcher", classOf[FlakyFetcher].getName)
+      .option("fetchBackoffMs", "0")
+      .load()
+    // pushed-down pruning: the healthy partition is queryable even
+    // though its sibling 404s — per-(scope,code) error isolation
+    assert(df.filter(org.apache.spark.sql.functions.col("code") === "85")
+      .count() === 1)
+    FlakyFetcher.reset(failuresBeforeSuccess = 0)
+    val e = intercept[org.apache.spark.SparkException] { df.count() }
+    assert(e.getMessage.contains("HTTP 404") ||
+      Option(e.getCause).exists(_.getMessage.contains("HTTP 404")))
+    // exactly ONE attempt on the 404 target: permanent errors never retry
+    assert(FlakyFetcher.notFoundAttempts.get() === 1)
+  }
+
   test("staging both scopes routes columns by table config") {
     val dir = Files.createTempDirectory("dv3fsrc5").toFile
     writePayload(dir, "region", "52",
@@ -224,5 +271,44 @@ class Dv3fSourceSpec extends SparkSpec {
     val r = staged(0)
     assert(r.getAs[String]("reg") == "52" && r.getAs[String]("libreg") == "PdL" &&
       r.getAs[Long]("nbtrans") == 9L && r.getAs[Double]("valeurfonc_sum") == 5.5)
+  }
+}
+
+/** Flaky fake server for the retry specs: code "404" is permanently
+  * missing (FetchException 404); everything else throws 503 for the
+  * first `failuresBeforeSuccess` attempts, then serves one row.
+  * Reflectively constructed by the source (single-String ctor), counters
+  * in the companion (executors share the local JVM).
+  */
+class FlakyFetcher(path: String) extends PageFetcher {
+  @transient private lazy val mapper =
+    new com.fasterxml.jackson.databind.ObjectMapper()
+  override def firstPage(scope: String, code: String)
+      : com.fasterxml.jackson.databind.JsonNode = {
+    if (code == "404") {
+      FlakyFetcher.notFoundAttempts.incrementAndGet()
+      throw new FetchException(404, s"no such code $code")
+    }
+    val n = FlakyFetcher.attempts.incrementAndGet()
+    if (n <= FlakyFetcher.failuresBeforeSuccess.get())
+      throw new FetchException(503, "service unavailable")
+    mapper.readTree(
+      s"""{"count":1,"next":null,"results":[
+         |{"annee":"2019","dep":"$code","libdep":"L","nbtrans_cod111":7.0}]}"""
+        .stripMargin)
+  }
+  override def nextPage(locator: String): com.fasterxml.jackson.databind.JsonNode =
+    throw new FetchException(500, s"unexpected next $locator")
+  override def firstLocator(scope: String, code: String): String =
+    s"$scope/$code"
+}
+
+object FlakyFetcher {
+  val attempts = new java.util.concurrent.atomic.AtomicInteger(0)
+  val notFoundAttempts = new java.util.concurrent.atomic.AtomicInteger(0)
+  val failuresBeforeSuccess = new java.util.concurrent.atomic.AtomicInteger(0)
+  def reset(failuresBeforeSuccess: Int): Unit = {
+    attempts.set(0); notFoundAttempts.set(0)
+    this.failuresBeforeSuccess.set(failuresBeforeSuccess)
   }
 }
