@@ -53,8 +53,12 @@ object IngestJob {
       Upsert.upsertByName(spark, s"$warehouseDir/${table.name}", staged, table)
       n
     } match {
-      case Success(n) => BranchReport(scope, code, n, None)
-      case Failure(e) => BranchReport(scope, code, 0, Some(e.toString))
+      case Success(n) =>
+        val r = BranchReport(scope, code, n, None)
+        RunLog.branch(r); r
+      case Failure(e) =>
+        val r = BranchReport(scope, code, 0, Some(e.toString))
+        RunLog.branch(r); r
     }
   }
 
@@ -86,8 +90,12 @@ object IngestJob {
           Upsert.upsertByName(spark, s"$warehouseDir/${table.name}", staged, table)
         n
       } match {
-        case Success(n) => BranchReport(table.scope, "*", n, None)
-        case Failure(e) => BranchReport(table.scope, "*", 0, Some(e.toString))
+        case Success(n) =>
+          val r = BranchReport(table.scope, "*", n, None)
+          RunLog.branch(r); r
+        case Failure(e) =>
+          val r = BranchReport(table.scope, "*", 0, Some(e.toString))
+          RunLog.branch(r); r
       }
     }
   }

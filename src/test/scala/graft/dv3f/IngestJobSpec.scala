@@ -42,6 +42,26 @@ class IngestJobSpec extends SparkSpec {
     assert(Upsert.read(spark, s"$wh/src_region").count() === 1)
   }
 
+  test("D6: per-branch structured log lines land in the configured file sink") {
+    val logFile = Files.createTempFile("graft-ingest", ".log").toString
+    RunLog.toFile(logFile)
+    val wh = Files.createTempDirectory(
+      java.nio.file.Paths.get(sys.props("java.io.tmpdir")), "graft-ingest-log").toString
+    val fetch: IngestJob.Fetcher = (scope, code) =>
+      if (code == "BAD") throw new RuntimeException("HTTP 503 from api")
+      else payload(scope, code)
+    IngestJob.run(spark, fetch, wh,
+      Seq(("departement", "85"), ("departement", "BAD")))
+    val lines = scala.io.Source.fromFile(logFile).getLines().toSeq
+    // one success line with the branch key/values and the row count...
+    assert(lines.exists(l => l.contains("status=ok") &&
+      l.contains("scope=departement") && l.contains("code=85") &&
+      l.contains("rows=1")), lines.mkString("\n"))
+    // ...and one error line carrying the branch and the cause
+    assert(lines.exists(l => l.contains("status=error") &&
+      l.contains("code=BAD") && l.contains("HTTP 503")), lines.mkString("\n"))
+  }
+
   test("config routing matches scope substring over table names") {
     assert(Dv3fConfig.route("departement").name === "src_departement")
     assert(Dv3fConfig.route("region").name === "src_region")
