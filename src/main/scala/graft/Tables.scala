@@ -19,6 +19,13 @@ object Tables {
     * inference is both latency and an S3 LIST/HEAD storm. Keyed by the
     * full path; entries live for the JVM (the testdata contract is that
     * a path's schema is immutable — regenerating data makes a new dir).
+    * CAVEAT: the cached schema reflects the read CONFIG of the first
+    * session that touched the path (e.g. `spark.sql.legacy.parquet
+    * .nanosAsLong` shapes the events `ts` type) — a later same-JVM
+    * session with different read-affecting conf inherits it. All graft
+    * sessions come from EngineSession.builder with identical conf, so
+    * the cache key stays just the path; fold the conf in if that ever
+    * changes.
     */
   private val schemaCache = new ConcurrentHashMap[String, StructType]()
 

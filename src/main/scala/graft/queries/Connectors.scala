@@ -91,6 +91,15 @@ object Connectors {
     val docs = Tables.load(spark, dir, "documents")
     val out = tmp("txt_docs", dir)
     stageOnce(out) {
+      // line-oriented staging is only content-preserving for texts with
+      // no newline (a '\n' would split one document into two lines and
+      // silently diverge content_id/n_tokens from the original) — make
+      // the contract a hard error instead of an unstated assumption.
+      // One extra scan, paid once per JVM at staging time.
+      val embeddedNewlines = docs.filter(col("text").contains("\n")).count()
+      require(embeddedNewlines == 0,
+        s"textScan stages one document per line; $embeddedNewlines documents " +
+          "contain '\\n' — escape or normalize them before line staging")
       docs.select(col("text")).write.mode("overwrite").text(out)
     }
     spark.read.text(out)
@@ -125,6 +134,11 @@ object Connectors {
       // the benched time measures the source, not 5000 file opens. At
       // scale the real fix is upstream: batch tiny objects into
       // archives/parquet-with-binary-column at ingest (see Multimodal).
+      // NOTE: the executor-side java.nio writes land on LOCAL disks —
+      // correct here (local mode) and on any shared filesystem, but on
+      // a real cluster this staging must target a shared/object store
+      // (the scale story above: the reader scans an object-store
+      // prefix; only this demo's write side is local-FS-bound).
       graft.ops.Multimodal.pngPayloads(spark, dir)
         .filter(col("doc_id") % 10 === 0)
         .foreachPartition { (rows: Iterator[org.apache.spark.sql.Row]) =>
