@@ -142,12 +142,16 @@ object Upsert {
         spark.read.parquet(snap(""))
       case Some(snap) =>
         // one branch per DISTINCT commit (bounded by vacuum), each a
-        // partition-pruned scan of the partitions that commit still owns
+        // partition-pruned scan of the partitions that commit still
+        // owns. allowMissingColumns: an adopted pre-protocol root (or a
+        // snapshot from before a schema evolution) may carry fewer
+        // columns than newer commits — those read back as NULL, the
+        // same contract alignByName gives the merge path.
         snap.groupBy(_._2).map { case (dir, parts) =>
           val pcol = partitionColOf(spark, targetPath)
           spark.read.parquet(dir)
             .filter(col(pcol).isin(parts.keys.toSeq: _*))
-        }.reduce(_ unionByName _)
+        }.reduce(_.unionByName(_, allowMissingColumns = true))
     }
 
   private def partitionColOf(spark: SparkSession, targetPath: String): String = {

@@ -117,6 +117,28 @@ class UpsertSpec extends SparkSpec {
     assert(Upsert.read(spark, dir).filter(col("annee") === "2020").count() == 2)
   }
 
+  test("partitioned: pre-protocol flat layout is adopted as version 0") {
+    import spark.implicits._
+    val table = Dv3fConfig.departement
+    val dir = java.nio.file.Files.createTempDirectory("upsert_legacy").toString + "/t"
+    // a pre-protocol writer laid the table out flat (partition dirs at
+    // the root, no markers)
+    Seq(("a1", "2019", "85", 1L), ("b1", "2020", "85", 2L))
+      .toDF("uid", "annee", "dep", "nbtrans")
+      .write.partitionBy("annee").parquet(dir)
+    // first versioned commit touches only 2020; 2019 must keep being
+    // served from the adopted root (version 0), merged transparently
+    Upsert.upsertByNamePartitioned(spark, dir,
+      Seq(("b1", "2020", "85", 9L)).toDF("uid", "annee", "dep", "nbtrans"),
+      table, "annee")
+    val got = Upsert.read(spark, dir)
+      .select("uid", "annee", "nbtrans").collect()
+      .map(r => (r.getString(0), r.get(1).toString, r.getLong(2))).toSet
+    assert(got == Set(("a1", "2019", 1L), ("b1", "2020", 9L)))
+    val snap = Upsert.currentSnapshot(spark, dir).get
+    assert(snap("2019") == dir && snap("2020") != dir)
+  }
+
   test("concurrent reader keeps a consistent snapshot across a commit") {
     val dir = freshDir()
     Upsert.upsertByName(spark, dir, staged, Dv3fConfig.departement)
