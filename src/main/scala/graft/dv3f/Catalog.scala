@@ -39,8 +39,16 @@ object Catalog {
   private def liveLocation(spark: SparkSession, warehouseDir: String,
       table: StagingTable): String = {
     val path = s"$warehouseDir/${table.name}"
-    Upsert.currentSnapshot(spark, path)
-      .flatMap(_.get("")).getOrElse(path)
+    Upsert.currentSnapshot(spark, path) match {
+      case None => path // flat/pre-protocol (or not-yet-written) layout
+      case Some(snap) => snap.getOrElse("",
+        // a partitioned-protocol snapshot has no single live dir; a
+        // plain-parquet LOCATION over the root would silently scan zero
+        // files (data hides under _v_ dirs) — fail loudly instead
+        throw new IllegalStateException(s"$path uses the PARTITIONED " +
+          "upsert protocol; register it as a partitioned table or read " +
+          "through Upsert.read"))
+    }
   }
 
   def ensureStagingTable(spark: SparkSession, warehouseDir: String,
@@ -71,6 +79,17 @@ object Catalog {
   /** Refresh cached file listings only (no location re-point). */
   def refresh(spark: SparkSession, table: StagingTable): Unit =
     spark.sql(s"REFRESH TABLE $database.${table.name}")
+
+  /** Re-point after a commit IF the table is registered — the ingest
+    * path calls this after every upsert so catalog LOCATIONs track the
+    * live snapshot (vacuum retains only Upsert.keepCommits snapshots;
+    * a pinned stale LOCATION would eventually point at a deleted dir).
+    * No-op before ensureStagingTable has run.
+    */
+  def repointIfRegistered(spark: SparkSession, warehouseDir: String,
+      table: StagingTable): Unit =
+    if (spark.catalog.tableExists(s"$database.${table.name}"))
+      refresh(spark, warehouseDir, table)
 
   /** P1 — `select *` staging views (dbt models dev/sources/src_*). */
   def registerStagingViews(spark: SparkSession): Unit =

@@ -51,6 +51,7 @@ object IngestJob {
       val staged = Reshape.transform(wide, table)
       val n = staged.count()
       Upsert.upsertByName(spark, s"$warehouseDir/${table.name}", staged, table)
+      Catalog.repointIfRegistered(spark, warehouseDir, table)
       n
     } match {
       case Success(n) =>
@@ -86,8 +87,10 @@ object IngestJob {
       Try {
         val staged = graft.sources.Dv3fSource.stage(longDf, table)
         val n = staged.count()
-        if (n > 0)
+        if (n > 0) {
           Upsert.upsertByName(spark, s"$warehouseDir/${table.name}", staged, table)
+          Catalog.repointIfRegistered(spark, warehouseDir, table)
+        }
         n
       } match {
         case Success(n) =>

@@ -26,7 +26,10 @@ object RunLog {
   /** One line per finished branch: stable key=value layout, status
     * first so alert rules match on the prefix.
     */
-  def branch(report: IngestJob.BranchReport): Unit = report.error match {
+  def branch(report: IngestJob.BranchReport): Unit = try branchImpl(report)
+    catch { case _: Throwable => () } // logging must never fail the run
+
+  private def branchImpl(report: IngestJob.BranchReport): Unit = report.error match {
     case None =>
       log.info(s"status=ok scope=${report.scope} code=${report.code} " +
         s"rows=${report.rows}")
@@ -49,8 +52,11 @@ object RunLog {
         .withPattern("%d{ISO8601} %-5p %c %m%n").build()
       // the generic newBuilder() defeats Scala's type inference; the
       // stringly createAppender factory is the stable cross-version way
+      // ignoreExceptions=true: a failing log write (disk full, file
+      // deleted) must never propagate into the ingest job's
+      // never-throws branch contract
       val appender = FileAppender.createAppender(path, "true", "false",
-        name, "true", "false", "true", "8192", layout, null, "false",
+        name, "true", "true", "true", "8192", layout, null, "false",
         null, config)
       appender.start()
       config.addAppender(appender)

@@ -147,8 +147,10 @@ object Upsert {
         // snapshot from before a schema evolution) may carry fewer
         // columns than newer commits — those read back as NULL, the
         // same contract alignByName gives the merge path.
+        if (snap.isEmpty) throw new IllegalStateException(
+          s"marker at $targetPath maps no partitions — empty or corrupt commit")
+        val pcol = partitionColOf(spark, targetPath)
         snap.groupBy(_._2).map { case (dir, parts) =>
-          val pcol = partitionColOf(spark, targetPath)
           spark.read.parquet(dir)
             .filter(col(pcol).isin(parts.keys.toSeq: _*))
         }.reduce(_.unionByName(_, allowMissingColumns = true))
@@ -196,6 +198,13 @@ object Upsert {
       .filter(_.startsWith(VPrefix)).map(_.drop(VPrefix.length).toLong)
       .filter(v => v < keep.last && !referenced(v))
       .foreach(v => fs.delete(new Path(target, s"$VPrefix$v"), true))
+    // a writer that crashed between creating its .commit_tmp_ and the
+    // rename leaks the temp file — collect them here (a LIVE writer's
+    // temp can only vanish if two writers race, which the marker rename
+    // already makes a hard error for the loser)
+    fs.listStatus(target).toSeq.map(_.getPath.getName)
+      .filter(_.startsWith(".commit_tmp_"))
+      .foreach(n => fs.delete(new Path(target, n), false))
   }
 
   /** Upsert `incoming` into the versioned table at `targetPath` keyed
@@ -209,7 +218,9 @@ object Upsert {
     val (fs, target) = fsFor(spark, targetPath)
 
     val existing = currentSnapshot(spark, targetPath) match {
-      case Some(snap) => Some(spark.read.parquet(snap("")))
+      case Some(snap) => Some(spark.read.parquet(snap.getOrElse("",
+        throw new IllegalStateException(s"$targetPath was committed by the " +
+          "PARTITIONED upsert; use upsertByNamePartitioned/read on it"))))
       case None if hasFlatData(fs, target) =>
         Some(spark.read.parquet(targetPath)) // adopt flat layout as v0
       case None => None
@@ -257,8 +268,16 @@ object Upsert {
           .filter(_.startsWith(s"$partitionCol="))
           .map(_.stripPrefix(s"$partitionCol=") -> targetPath).toMap
       }
-    val affected = aligned.select(partitionCol).distinct()
-      .collect().map(_.get(0).toString).toSeq
+    val affectedRaw = aligned.select(partitionCol).distinct().collect()
+    // the marker maps partition VALUES to commits — a null value has no
+    // stable directory name (Hive's __HIVE_DEFAULT_PARTITION__ is a
+    // write-side artifact), so reject it loudly instead of NPE-ing or
+    // silently mis-routing rows
+    require(!affectedRaw.exists(_.isNullAt(0)),
+      s"upsertByNamePartitioned: batch contains NULL in partition column " +
+        s"'$partitionCol' — partition keys must be non-null")
+    val affected = affectedRaw.map(_.get(0).toString).toSeq
+    if (affected.isEmpty) return // empty batch: nothing to commit
 
     val existingAffected = prev.filter(kv => affected.contains(kv._1))
       .groupBy(_._2).map { case (dir, parts) =>

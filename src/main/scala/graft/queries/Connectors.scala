@@ -96,10 +96,12 @@ object Connectors {
       // silently diverge content_id/n_tokens from the original) — make
       // the contract a hard error instead of an unstated assumption.
       // One extra scan, paid once per JVM at staging time.
-      val embeddedNewlines = docs.filter(col("text").contains("\n")).count()
+      val embeddedNewlines = docs.filter(
+        col("text").contains("\n") || col("text").contains("\r")).count()
       require(embeddedNewlines == 0,
         s"textScan stages one document per line; $embeddedNewlines documents " +
-          "contain '\\n' — escape or normalize them before line staging")
+          "contain a line terminator (LineRecordReader splits on CR, LF and " +
+          "CRLF) — escape or normalize them before line staging")
       docs.select(col("text")).write.mode("overwrite").text(out)
     }
     spark.read.text(out)

@@ -119,6 +119,9 @@ class RetryingFetcher(inner: PageFetcher, maxRetries: Int = 3,
 
   private def isTransient(e: Throwable): Boolean = e match {
     case fe: FetchException => fe.transient
+    // a missing file is the file-fetcher analogue of HTTP 404:
+    // retrying cannot make it appear
+    case _: java.io.FileNotFoundException => false
     case _: java.io.IOException => true
     case _ => false
   }

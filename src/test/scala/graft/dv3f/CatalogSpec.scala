@@ -41,6 +41,29 @@ class CatalogSpec extends SparkSpec {
       fields("valeurfonc_sum") == "double")
   }
 
+  test("catalog location follows commits: repeated ingest + vacuum never strands dev.*") {
+    val payloads = Files.createTempDirectory("catsrc2").toFile
+    val wh = Files.createTempDirectory("catwh2").toFile.getAbsolutePath
+    def write(nbtrans: Double): Unit =
+      Files.writeString(new java.io.File(payloads, "departement_85.json").toPath,
+        s"""{"count":1,"next":null,"previous":null,"results":[
+           |{"annee":"2019","dep":"85","libdep":"V","nbtrans_cod111":$nbtrans}]}""".stripMargin)
+    write(1.0)
+    assert(IngestJob.runViaSource(spark, payloads.getAbsolutePath, wh).forall(_.ok))
+    Catalog.ensureAll(spark, wh)
+    // three more commits: vacuum (keepCommits=2) deletes the snapshot
+    // the table was registered against — the ingest path must have
+    // re-pointed the catalog each time, or this query reads a dead dir
+    (2 to 4).foreach { i =>
+      write(i.toDouble)
+      assert(IngestJob.runViaSource(spark, payloads.getAbsolutePath, wh).forall(_.ok))
+    }
+    val n = spark.sql(
+      "SELECT nbtrans FROM dev.src_departement WHERE annee = '2019'")
+      .collect()(0).getLong(0)
+    assert(n === 4L)
+  }
+
   test("S6 connector parity: csv round-trip with explicit schema") {
     val dir = java.nio.file.Files.createTempDirectory("csvsrc").toString + "/r"
     val region = graft.Tables.load(spark, sf, "region")
