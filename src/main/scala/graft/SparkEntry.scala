@@ -106,6 +106,7 @@ object SparkEntry {
     "q_embed_ann_ivf" -> (LlmOps.embedAnnIvf(_, _)),
     "q_embed_ann_ivf_indexed" -> (LlmOps.embedAnnIvfIndexed(_, _)),
     "q_kmeans_step" -> (LlmOps.kmeansStep(_, _)),
+    "q_dedup_semantic" -> (LlmOps.semanticDedup(_, _)),
     // — LLM-pipeline: multimodal plumbing
     "q_multimodal_meta" -> (LlmOps.multimodalMeta(_, _)),
     "q_multimodal_feat" -> (LlmOps.multimodalFeatures(_, _)),
@@ -340,6 +341,7 @@ object SparkEntry {
     // the persisted-index path must return byte-identical results to the
     // in-memory assignment path — same oracle
     "q_embed_ann_ivf_indexed" -> LlmOps.embedAnnIvfSql,
+    "q_dedup_semantic" -> LlmOps.semanticDedupSql,
     "q_dedup_minhash" -> LlmOps.minhashSql,
     "q_dedup_ngram_jaccard" -> LlmOps.ngramJaccardSql,
     "q_dedup_simhash" -> LlmOps.simhashSql,

@@ -380,6 +380,35 @@ object LlmOps {
       .withColumn("cos", round(col("cos"), 6))
   }
 
+  /** SemDeDup-style SEMANTIC dedup (Abbas et al. 2023): embeddings are
+    * clustered by the trained k-means fit, near-duplicate pairs are
+    * generated ONLY within a cluster (cosine ≥ τ — pair search never
+    * crosses clusters, which is the whole point of the clustering),
+    * pairs resolve to connected components, and every non-root member
+    * drops. Returns the surviving vec_ids. Scale shape: the
+    * within-cluster join shuffles on the centroid id, and k grows with
+    * the corpus (k ≈ n / target-cluster-size) so per-cluster pair
+    * counts stay bounded; the fit, the assignment, and the cluster map
+    * are all maintenance artifacts at 100 TB, exactly like the LSH
+    * dedup family's.
+    */
+  val semanticTau = 0.4
+  def semanticDedup(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.load(spark, dir, "embeddings")
+    val fit = fittedCentroids(spark, dir)
+    val assigned = CacheBin.pin(
+      Similarity.ivfAssign(emb, col("vec_id"), col("embedding"), fit))
+    val l = assigned.as("l"); val r = assigned.as("r")
+    val pairs = l.join(r, col("l.centroid") === col("r.centroid") &&
+        col("l.vec_id") < col("r.vec_id"))
+      .filter(Similarity.cosine(col("l.e"), col("r.e")) >= semanticTau)
+      .select(col("l.vec_id").as("doc_a"), col("r.vec_id").as("doc_b"))
+    val drops = ConnectedComponents.run(CacheBin.pin(pairs))
+      .filter(col("id") =!= col("root"))
+      .select(col("id").as("vec_id"))
+    emb.select(col("vec_id")).join(drops, Seq("vec_id"), "left_anti")
+  }
+
   /** One k-means (Lloyd's) step from the deterministic seed centroids
     * (vec_ids 0..7): the distributed ML primitive behind IVF index
     * builds. Long-form output, rounded — elementwise means per cluster.
@@ -857,7 +886,12 @@ object LlmOps {
     * fitted centroids, so the oracle checks the TRAINING, not just the
     * search.
     */
-  lazy val embedAnnIvfSql: String = {
+  /** The fit + final-assignment CTE chain shared by every trained-IVF
+    * oracle: `cents0` seeds, `ivfFitIters` unrolled Lloyd rounds, and
+    * an `assigned` CTE of (vec_id, embedding, cid) against the fitted
+    * centroids `cents<ivfFitIters>`.
+    */
+  private def kmeansFitCtes: String = {
     val iterCtes = (1 to ivfFitIters).map { i =>
       s"""a$i AS (
          |  SELECT e.vec_id, e.embedding, c.cid
@@ -871,16 +905,20 @@ object LlmOps {
          |        unnest(embedding::DOUBLE[]) AS v FROM a$i) GROUP BY 1, 2)
          |  GROUP BY cid)""".stripMargin
     }.mkString(",\n")
-    val fin = s"cents$ivfFitIters"
-    s"""WITH q AS (SELECT embedding::DOUBLE[] AS qe FROM embeddings WHERE vec_id = 0),
-       |cents0 AS (SELECT vec_id::INT AS cid, embedding::DOUBLE[] AS c
+    s"""cents0 AS (SELECT vec_id::INT AS cid, embedding::DOUBLE[] AS c
        |  FROM embeddings WHERE vec_id < 8),
        |$iterCtes,
        |assigned AS (
        |  SELECT e.vec_id, e.embedding, c.cid
-       |  FROM embeddings e CROSS JOIN $fin c
+       |  FROM embeddings e CROSS JOIN cents$ivfFitIters c
        |  QUALIFY row_number() OVER (PARTITION BY e.vec_id
-       |    ORDER BY list_cosine_similarity(e.embedding::DOUBLE[], c.c) DESC, c.cid DESC) = 1),
+       |    ORDER BY list_cosine_similarity(e.embedding::DOUBLE[], c.c) DESC, c.cid DESC) = 1)""".stripMargin
+  }
+
+  lazy val embedAnnIvfSql: String = {
+    val fin = s"cents$ivfFitIters"
+    s"""WITH q AS (SELECT embedding::DOUBLE[] AS qe FROM embeddings WHERE vec_id = 0),
+       |$kmeansFitCtes,
        |probe AS (SELECT cid FROM $fin, q
        |  ORDER BY list_cosine_similarity(c, qe) DESC, cid LIMIT 2)
        |SELECT a.vec_id, round(list_cosine_similarity(a.embedding::DOUBLE[], q.qe), 6) AS cos
@@ -889,6 +927,28 @@ object LlmOps {
        |ORDER BY list_cosine_similarity(a.embedding::DOUBLE[], q.qe) DESC, a.vec_id
        |LIMIT 10""".stripMargin
   }
+
+  /** Semantic-dedup oracle: the shared fit+assignment CTE chain, then
+    * within-cluster cosine pairs, recursive components, and survivors —
+    * everything recomputed from scratch in SQL, so the whole
+    * fit→assign→pair→resolve→drop composition is hash-verified.
+    */
+  lazy val semanticDedupSql: String =
+    s"""WITH RECURSIVE $kmeansFitCtes,
+       |pairs AS (
+       |  SELECT l.vec_id AS a, r.vec_id AS b
+       |  FROM assigned l JOIN assigned r
+       |    ON l.cid = r.cid AND l.vec_id < r.vec_id
+       |  WHERE list_cosine_similarity(l.embedding::DOUBLE[], r.embedding::DOUBLE[]) >= $semanticTau),
+       |edges AS (SELECT a AS src, b AS dst FROM pairs
+       |  UNION SELECT b, a FROM pairs),
+       |reach(id, r) AS (
+       |  SELECT src, src FROM edges
+       |  UNION
+       |  SELECT e.src, reach.r FROM edges e JOIN reach ON e.dst = reach.id),
+       |drops AS (SELECT id FROM reach GROUP BY id HAVING id <> min(r))
+       |SELECT e.vec_id FROM embeddings e
+       |WHERE e.vec_id NOT IN (SELECT id FROM drops)""".stripMargin
 
   /** Same assignment tie-break as embedAnnIvfSql (cos DESC, cid DESC);
     * elementwise means via zipped unnest/generate_subscripts.
