@@ -107,6 +107,7 @@ object SparkEntry {
     "q_embed_ann_ivf_indexed" -> (LlmOps.embedAnnIvfIndexed(_, _)),
     "q_kmeans_step" -> (LlmOps.kmeansStep(_, _)),
     "q_dedup_semantic" -> (LlmOps.semanticDedup(_, _)),
+    "q_sample_cluster_balanced" -> ((s, d) => LlmOps.sampleClusterBalanced(s, d)),
     // — LLM-pipeline: multimodal plumbing
     "q_multimodal_meta" -> (LlmOps.multimodalMeta(_, _)),
     "q_multimodal_feat" -> (LlmOps.multimodalFeatures(_, _)),
@@ -342,6 +343,7 @@ object SparkEntry {
     // in-memory assignment path — same oracle
     "q_embed_ann_ivf_indexed" -> LlmOps.embedAnnIvfSql,
     "q_dedup_semantic" -> LlmOps.semanticDedupSql,
+    "q_sample_cluster_balanced" -> LlmOps.sampleClusterBalancedSql,
     "q_dedup_minhash" -> LlmOps.minhashSql,
     "q_dedup_ngram_jaccard" -> LlmOps.ngramJaccardSql,
     "q_dedup_simhash" -> LlmOps.simhashSql,

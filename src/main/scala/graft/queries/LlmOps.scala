@@ -409,6 +409,32 @@ object LlmOps {
     emb.select(col("vec_id")).join(drops, Seq("vec_id"), "left_anti")
   }
 
+  /** Cluster-BALANCED deterministic sample: up to `perCluster` vectors
+    * per trained k-means cluster, ranked by the stable content hash
+    * (md5-based, shared with the oracle) with id tiebreak — the
+    * data-mixing primitive that pairs with semantic dedup: a training
+    * mix drawn per semantic cluster instead of uniformly, so dominant
+    * clusters can't crowd out rare ones, and the draw is reproducible
+    * across runs, partitionings and engines (same contract as
+    * Sampling.hashSample). One centroid-keyed shuffle for the
+    * per-cluster rank; the window sorts only cluster-sized groups — at
+    * corpus scale swap in the O(k)-state TopKAggregator formulation
+    * (same output, partial-aggregated) if clusters outgrow a sort.
+    */
+  def sampleClusterBalanced(spark: SparkSession, dir: String,
+      perCluster: Int = 32): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val emb = Tables.load(spark, dir, "embeddings")
+    val fit = fittedCentroids(spark, dir)
+    Similarity.ivfAssign(emb, col("vec_id"), col("embedding"), fit)
+      .select(col("vec_id"), col("centroid"),
+        Dedup.hash60(col("vec_id").cast(org.apache.spark.sql.types.StringType)).as("h"))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("centroid")).orderBy(col("h"), col("vec_id"))))
+      .filter(col("rk") <= perCluster)
+      .select(col("vec_id"), col("centroid"))
+  }
+
   /** One k-means (Lloyd's) step from the deterministic seed centroids
     * (vec_ids 0..7): the distributed ML primitive behind IVF index
     * builds. Long-form output, rounded — elementwise means per cluster.
@@ -949,6 +975,20 @@ object LlmOps {
        |drops AS (SELECT id FROM reach GROUP BY id HAVING id <> min(r))
        |SELECT e.vec_id FROM embeddings e
        |WHERE e.vec_id NOT IN (SELECT id FROM drops)""".stripMargin
+
+  /** Cluster-balanced-sample oracle: shared fit+assignment chain, then
+    * the same hash-ranked top-perCluster per cluster (identical 60-bit
+    * md5 hash and (hash, id) order).
+    */
+  lazy val sampleClusterBalancedSql: String =
+    s"""WITH $kmeansFitCtes
+       |SELECT vec_id, cid AS centroid FROM (
+       |  SELECT vec_id, cid,
+       |    row_number() OVER (PARTITION BY cid ORDER BY
+       |      ('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 15))::BIGINT,
+       |      vec_id) AS rk
+       |  FROM assigned)
+       |WHERE rk <= 32""".stripMargin
 
   /** Same assignment tie-break as embedAnnIvfSql (cos DESC, cid DESC);
     * elementwise means via zipped unnest/generate_subscripts.
