@@ -102,6 +102,7 @@ object SparkEntry {
     "q_embed_topk" -> (LlmOps.embedTopK(_, _)),
     "q_embed_topk_i8" -> (LlmOps.embedTopKI8(_, _)),
     "q_embed_neardup" -> (LlmOps.embedNearDup(_, _)),
+    "q_embed_incr_neardup" -> (LlmOps.embedIncrNearDup(_, _)),
     "q_embed_topk_perlabel" -> (LlmOps.embedTopKPerLabel(_, _)),
     "q_embed_ann_ivf" -> (LlmOps.embedAnnIvf(_, _)),
     "q_embed_ann_ivf_indexed" -> (LlmOps.embedAnnIvfIndexed(_, _)),
@@ -358,6 +359,7 @@ object SparkEntry {
     "q_embed_topk" -> LlmOps.embedTopKSql,
     "q_embed_topk_i8" -> LlmOps.embedTopKI8Sql,
     "q_embed_neardup" -> LlmOps.embedNearDupSql,
+    "q_embed_incr_neardup" -> LlmOps.embedIncrNearDupSql,
     "q_embed_topk_perlabel" -> LlmOps.embedTopKPerLabelSql,
     "q_multimodal_meta" -> LlmOps.multimodalMetaSql,
     "q_multimodal_feat" -> LlmOps.multimodalFeaturesSql,

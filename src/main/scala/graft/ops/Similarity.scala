@@ -82,17 +82,26 @@ object Similarity {
     * Shuffle shape: ONE (band, bucket)-keyed exchange of b×n narrow
     * rows, then the bucket-local join — same scale story as minhash LSH.
     */
-  def cosineNearDupPairs(corpus: DataFrame, id: Column, emb: Column,
-      threshold: Double, bands: Int = 4, planesPerBand: Int = 6,
-      dim: Int = 64): DataFrame = {
+  /** (vec_id, e, band, bucket) rows: one row per band, bucket = that
+    * band's plane-sign bits. The shared candidate-generation half of
+    * the banded LSH family below.
+    */
+  def bandedBuckets(df: DataFrame, id: Column, emb: Column,
+      bands: Int, planesPerBand: Int, dim: Int): DataFrame = {
     val planes = hyperplanes(bands * planesPerBand, dim)
     val bandBuckets = (0 until bands).map { b =>
       lshBucket(col("e"),
         planes.slice(b * planesPerBand, (b + 1) * planesPerBand))
     }
-    val banded = corpus.select(id.as("vec_id"), emb.as("e"))
+    df.select(id.as("vec_id"), emb.as("e"))
       .select(col("vec_id"), col("e"),
         posexplode(array(bandBuckets: _*)).as(Seq("band", "bucket")))
+  }
+
+  def cosineNearDupPairs(corpus: DataFrame, id: Column, emb: Column,
+      threshold: Double, bands: Int = 4, planesPerBand: Int = 6,
+      dim: Int = 64): DataFrame = {
+    val banded = bandedBuckets(corpus, id, emb, bands, planesPerBand, dim)
     val l = banded.as("l"); val r = banded.as("r")
     l.join(r, col("l.band") === col("r.band") &&
         col("l.bucket") === col("r.bucket") &&
@@ -101,6 +110,24 @@ object Similarity {
         cosine(col("l.e"), col("r.e")).as("cos"))
       .filter(col("cos") >= threshold)
       .distinct() // a pair may collide in several bands
+  }
+
+  /** Incremental-gate variant: banded candidates BETWEEN two sides only
+    * (batch × corpus — never within a side), verified by exact cosine.
+    * The crawl-delta shape: cost ∝ batch × bucket-occupancy, the corpus
+    * is bucketed once and never self-joined.
+    */
+  def cosineCrossNearDupPairs(batch: DataFrame, corpus: DataFrame,
+      id: Column, emb: Column, threshold: Double, bands: Int = 4,
+      planesPerBand: Int = 6, dim: Int = 64): DataFrame = {
+    val l = bandedBuckets(batch, id, emb, bands, planesPerBand, dim).as("l")
+    val r = bandedBuckets(corpus, id, emb, bands, planesPerBand, dim).as("r")
+    l.join(r, col("l.band") === col("r.band") &&
+        col("l.bucket") === col("r.bucket"))
+      .select(col("l.vec_id").as("vec_a"), col("r.vec_id").as("vec_b"),
+        cosine(col("l.e"), col("r.e")).as("cos"))
+      .filter(col("cos") >= threshold)
+      .distinct()
   }
 
   /** IVF index: assign every vector to its nearest centroid (broadcast

@@ -330,6 +330,24 @@ object LlmOps {
       .map(r => (r.getLong(0).toInt, r.getSeq[Double](1)))
       .toSeq.sortBy(_._1)
 
+  /** Incremental ingest gate in the EMBEDDING space: banded sign-LSH
+    * candidates between the incoming batch (vec_id % 10 == 0, the same
+    * crawl-delta simulation as the text gates) and the corpus only —
+    * never batch×batch or corpus×corpus — verified by exact cosine.
+    * Completes the incremental family: exact text, LSH text, and now
+    * embedding near-dup all gate a delta against the corpus at
+    * delta-proportional cost.
+    */
+  def embedIncrNearDup(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.load(spark, dir, "embeddings")
+    Similarity.cosineCrossNearDupPairs(
+      emb.filter(col("vec_id") % 10 === 0),
+      emb.filter(col("vec_id") % 10 =!= 0),
+      col("vec_id"), col("embedding"), threshold = 0.4,
+      bands = lshBands, planesPerBand = lshPlanesPerBand, dim = 64)
+      .withColumn("cos", round(col("cos"), 6))
+  }
+
   /** TRAINED IVF centroids: `ivfFitIters` Lloyd iterations from the
     * deterministic seeds, cached per corpus dir — the fit is a
     * parameter-sized maintenance product (like the persisted index it
@@ -884,7 +902,11 @@ object LlmOps {
     */
   val lshBands = 4
   val lshPlanesPerBand = 6
-  lazy val embedNearDupSql: String = {
+
+  /** The banded-bucket CTE shared by the sign-LSH oracles: same plane
+    * literals and band slicing as Similarity.bandedBuckets.
+    */
+  private def lshBandedCte: String = {
     val planes = Similarity.hyperplanes(lshBands * lshPlanesPerBand, 64)
     val bandExprs = (0 until lshBands).map { b =>
       planes.slice(b * lshPlanesPerBand, (b + 1) * lshPlanesPerBand)
@@ -893,15 +915,27 @@ object LlmOps {
           s"(CASE WHEN list_dot_product(e.embedding::DOUBLE[], $arr::DOUBLE[]) >= 0 THEN 1::BIGINT << $i ELSE 0 END)"
         }.mkString(" | ")
     }.mkString("[", ",\n  ", "]")
-    s"""WITH b AS (SELECT vec_id, embedding,
+    s"""b AS (SELECT vec_id, embedding,
        |    generate_subscripts(bk, 1) AS band, unnest(bk) AS bucket
-       |  FROM (SELECT vec_id, embedding, $bandExprs AS bk FROM embeddings e))
+       |  FROM (SELECT vec_id, embedding, $bandExprs AS bk FROM embeddings e))""".stripMargin
+  }
+
+  lazy val embedNearDupSql: String =
+    s"""WITH $lshBandedCte
        |SELECT DISTINCT l.vec_id AS vec_a, r.vec_id AS vec_b,
        |  round(list_cosine_similarity(l.embedding::DOUBLE[], r.embedding::DOUBLE[]), 6) AS cos
        |FROM b l JOIN b r ON l.band = r.band AND l.bucket = r.bucket
        |  AND l.vec_id < r.vec_id
        |WHERE list_cosine_similarity(l.embedding::DOUBLE[], r.embedding::DOUBLE[]) >= 0.4""".stripMargin
-  }
+
+  /** Cross-side (batch vs corpus) variant of embedNearDupSql. */
+  lazy val embedIncrNearDupSql: String =
+    s"""WITH $lshBandedCte
+       |SELECT DISTINCT l.vec_id AS vec_a, r.vec_id AS vec_b,
+       |  round(list_cosine_similarity(l.embedding::DOUBLE[], r.embedding::DOUBLE[]), 6) AS cos
+       |FROM b l JOIN b r ON l.band = r.band AND l.bucket = r.bucket
+       |  AND l.vec_id % 10 = 0 AND r.vec_id % 10 <> 0
+       |WHERE list_cosine_similarity(l.embedding::DOUBLE[], r.embedding::DOUBLE[]) >= 0.4""".stripMargin
 
   /** IVF ANN oracle with TRAINED centroids: the `ivfFitIters` Lloyd
     * iterations are unrolled into chained CTEs — each round reassigns
