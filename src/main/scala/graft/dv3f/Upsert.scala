@@ -93,7 +93,7 @@ object Upsert {
     * committed (a racing writer won), and content is never visible
     * half-written.
     */
-  private def publish(fs: FileSystem, target: Path, n: Long, content: String): Unit = {
+  private[dv3f] def publish(fs: FileSystem, target: Path, n: Long, content: String): Unit = {
     val tmp = new Path(target, s".commit_tmp_${java.util.UUID.randomUUID}")
     val out = fs.create(tmp, false)
     try out.write(content.getBytes("UTF-8")) finally out.close()

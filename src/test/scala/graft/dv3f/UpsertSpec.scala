@@ -169,6 +169,24 @@ class UpsertSpec extends SparkSpec {
     assert(Upsert.read(spark, dir).count() === 3)
   }
 
+  test("racing writers: the marker rename is the commit point, loser fails loudly") {
+    val dir = freshDir()
+    Upsert.upsertByName(spark, dir, staged, Dv3fConfig.departement)
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(dir), spark.sparkContext.hadoopConfiguration)
+    val target = new org.apache.hadoop.fs.Path(dir)
+    // both writers would compute next = 2; the faster one publishes...
+    Upsert.publish(fs, target, 2, "")
+    // ...and the slower one's publish of the SAME commit number must
+    // throw, never silently clobber the winner's marker
+    val e = intercept[IllegalStateException] {
+      Upsert.publish(fs, target, 2, "other writer's content")
+    }
+    assert(e.getMessage.contains("lost a race"))
+    // the winner's (empty) marker content is intact
+    assert(Upsert.currentSnapshot(spark, dir).get.keySet === Set(""))
+  }
+
   test("versioned layout: snapshots are immutable dirs, vacuum bounds them") {
     val dir = freshDir()
     (1 to 4).foreach { i =>
