@@ -54,9 +54,13 @@ object Dv3fStreamingIngest {
             .load()
           Dv3fConfig.staging.foreach { table =>
             val staged = Dv3fSource.stage(longDf, table)
-            if (!staged.isEmpty)
+            if (!staged.isEmpty) {
               Upsert.upsertByName(spark,
                 s"$warehouseDir/${table.name}", staged, table)
+              // keep registered dev.* locations on the live snapshot
+              // (vacuum retains only keepCommits of them)
+              graft.dv3f.Catalog.repointIfRegistered(spark, warehouseDir, table)
+            }
           }
         }
         ()
