@@ -2,6 +2,7 @@ package graft.dv3f
 
 import org.apache.hadoop.fs.{FileSystem, Path}
 import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
 import org.apache.spark.sql.functions._
 
 /** Keyed, name-based upsert — the Spark equivalent of the reference's
@@ -16,22 +17,29 @@ import org.apache.spark.sql.functions._
   * pointer, a miniature of the lakehouse-format protocol:
   *
   *   targetPath/
-  *     _v_1/ _v_2/ ...        immutable data dirs (one per commit)
-  *     _commit_1 _commit_2    commit markers; the HIGHEST one is live
+  *     _v_1_ab12cd34/ ...      immutable data dirs, one per commit
+  *                             ATTEMPT — the name carries the commit
+  *                             number AND a writer-unique token
+  *     _commit_1 _commit_2     commit markers; the HIGHEST one is live,
+  *                             its content names the data dir(s)
   *
-  *   - a commit writes its data dir fully, then publishes it by
-  *     RENAMING a temp file to `_commit_<n>` — rename is atomic and
-  *     fails if the marker exists, so of two racing writers exactly one
-  *     wins (the loser throws; single-writer-per-table is the intended
-  *     deployment, as it was for the reference's DuckDB file);
-  *   - readers resolve max(`_commit_*`) once and then only touch that
-  *     snapshot's files: a concurrent commit cannot tear their view —
+  *   - a commit writes its data to a dir no other writer can name
+  *     (version + random token), then publishes it by RENAMING a temp
+  *     file to `_commit_<n>` whose CONTENT records that dir — rename is
+  *     atomic and fails if the marker exists, so of two racing writers
+  *     exactly one wins; the loser throws, and because each attempt
+  *     owns a private data dir the loser's write can never clobber the
+  *     winner's already-published files (its orphan dir is simply
+  *     vacuumed later). A retry after losing re-reads the new snapshot
+  *     and converges;
+  *   - readers resolve max(`_commit_*`) once, then only touch the dirs
+  *     that marker names: a concurrent commit cannot tear their view —
   *     they keep reading the superseded snapshot (snapshot isolation);
   *   - a crash before the marker rename leaves a dangling `_v_` dir
-  *     that no reader resolves and the next vacuum removes: the live
+  *     that no reader resolves and a later vacuum removes: the live
   *     table is never in a half-written state;
-  *   - `vacuum` (run on every upsert) keeps the snapshots referenced by
-  *     the last `keepCommits` markers, so an in-flight reader has a
+  *   - `vacuum` (run on every upsert) keeps the data dirs referenced by
+  *     the last [[keepCommits]] markers, so an in-flight reader has a
   *     full commit's grace before its files disappear — same contract
   *     as lakehouse VACUUM, with the same caveat for very slow readers.
   *
@@ -45,7 +53,7 @@ import org.apache.spark.sql.functions._
   * mitigations built in:
   *   - [[upsertByNamePartitioned]] rewrites only the partitions present
   *     in the batch (each commit's dir holds just those; the marker
-  *     maps every partition to the commit that last wrote it);
+  *     maps every partition to the dir that last wrote it);
   *   - the anti-join broadcasts the NEW side when it is small (the
   *     common ingest shape: small delta vs huge target), so no shuffle
   *     of the target occurs;
@@ -58,6 +66,38 @@ object Upsert {
   private val CPrefix = "_commit_"
   /** Snapshots kept by vacuum (current + grace for in-flight readers). */
   val keepCommits = 2
+  /** A `.commit_tmp_` file younger than this is presumed to belong to a
+    * LIVE writer mid-publish and is left alone by vacuum; only stale
+    * leftovers from crashed writers are collected.
+    */
+  private[dv3f] val tempGraceMs: Long = 10 * 60 * 1000L
+
+  /** Marker value for "served from the pre-protocol flat root". */
+  private val RootDir = "."
+
+  /** Data-dir name for commit attempt `n`: version + writer-unique
+    * token, so two racing writers at the same `n` write DISJOINT dirs
+    * and the marker-rename loser cannot corrupt the winner's data.
+    */
+  private def newDataDirName(n: Long): String =
+    s"$VPrefix${n}_${java.util.UUID.randomUUID.toString.replace("-", "").take(8)}"
+
+  /** Commit number embedded in a data-dir name (`_v_5` or `_v_5_ab12`). */
+  private def versionOfDir(name: String): Long = {
+    val digits = name.drop(VPrefix.length).takeWhile(_.isDigit)
+    if (digits.isEmpty) -1L else digits.toLong
+  }
+
+  /** Partition values are URL-encoded in marker lines so values
+    * containing `=`, newlines, `%` or path-hostile characters survive
+    * the line-oriented `pv=dir` format. Legacy markers wrote raw
+    * values; decoding is identity for values without `%`/`+`, which is
+    * every value a legacy writer could have round-tripped anyway.
+    */
+  private def encodeValue(v: String): String =
+    java.net.URLEncoder.encode(v, "UTF-8")
+  private def decodeValue(v: String): String =
+    java.net.URLDecoder.decode(v, "UTF-8")
 
   /** Align `df` to the declared schema by name: missing → typed NULL,
     * extra dropped, order fixed (the BY NAME half of INSERT OR REPLACE).
@@ -92,6 +132,14 @@ object Upsert {
     * The rename is the atomic commit point; it fails if `n` was already
     * committed (a racing writer won), and content is never visible
     * half-written.
+    *
+    * FILESYSTEM CONTRACT: this relies on rename being atomic and
+    * failing when the destination exists — true on HDFS and local
+    * filesystems (verified: rename-onto-existing returns false here),
+    * NOT on object stores (S3A rename is copy+delete and its existence
+    * check is not atomic with it). Deploying over an object store needs
+    * a conditional-create primitive (e.g. S3 If-None-Match puts) or a
+    * lakehouse table format in place of this protocol.
     */
   private[dv3f] def publish(fs: FileSystem, target: Path, n: Long, content: String): Unit = {
     val tmp = new Path(target, s".commit_tmp_${java.util.UUID.randomUUID}")
@@ -110,22 +158,43 @@ object Upsert {
       !n.startsWith("_") && !n.startsWith(".")
     }
 
+  /** Resolve a marker's dir token to a full path. Tokens: `.` = the
+    * pre-protocol flat root; a bare number = legacy `_v_<n>` layout
+    * (0 = root); anything else = a literal dir name under the root.
+    */
+  private def dirOf(targetPath: String, token: String): String = {
+    val root = targetPath.stripSuffix("/")
+    token match {
+      case RootDir | "0" => targetPath
+      case t if t.forall(_.isDigit) => s"$root/$VPrefix$t"
+      case t => s"$root/$t"
+    }
+  }
+
+  /** Inverse of [[dirOf]] for marker writing: full dir path → token. */
+  private def tokenOf(targetPath: String, dir: String): String =
+    if (dir == targetPath || dir == targetPath.stripSuffix("/")) RootDir
+    else dir.substring(dir.lastIndexOf('/') + 1)
+
   /** Snapshot map for a versioned path: partition value → data dir
-    * (single entry keyed "" when unpartitioned). Partition values map
-    * to the commit that last wrote them; value 0 means the pre-protocol
-    * flat layout at the root.
+    * (single entry keyed "" when unpartitioned).
     */
   def currentSnapshot(spark: SparkSession, targetPath: String): Option[Map[String, String]] = {
     val (fs, target) = fsFor(spark, targetPath)
     currentCommit(fs, target).map { n =>
       val content = readMarker(fs, target, n)
-      def dirOf(v: Long) =
-        if (v == 0) targetPath else s"${targetPath.stripSuffix("/")}/$VPrefix$v"
-      if (content.isEmpty) Map("" -> dirOf(n))
-      else content.linesIterator.filter(_.contains("=")).map { line =>
-        val Array(pv, v) = line.split("=", 2)
-        pv -> dirOf(v.toLong)
-      }.toMap
+      val lines = content.linesIterator.toSeq
+      lines.find(_.startsWith("#dir:")) match {
+        case Some(d) => // unpartitioned, writer-unique dir
+          Map("" -> dirOf(targetPath, d.stripPrefix("#dir:")))
+        case None if content.isEmpty => // legacy unpartitioned marker
+          Map("" -> dirOf(targetPath, n.toString))
+        case None =>
+          lines.filter(l => !l.startsWith("#") && l.contains("=")).map { line =>
+            val Array(pv, v) = line.split("=", 2)
+            decodeValue(pv) -> dirOf(targetPath, v)
+          }.toMap
+      }
     }
   }
 
@@ -151,7 +220,12 @@ object Upsert {
           s"marker at $targetPath maps no partitions — empty or corrupt commit")
         val pcol = partitionColOf(spark, targetPath)
         snap.groupBy(_._2).map { case (dir, parts) =>
+          // partition values are directory-INFERRED per dir, so two
+          // commit dirs can disagree on the type (annee=2019 → int,
+          // annee=unknown → string) and the ANSI union would fail;
+          // the marker speaks strings, so normalize to string first
           spark.read.parquet(dir)
+            .withColumn(pcol, col(pcol).cast("string"))
             .filter(col(pcol).isin(parts.keys.toSeq: _*))
         }.reduce(_.unionByName(_, allowMissingColumns = true))
     }
@@ -171,40 +245,57 @@ object Upsert {
     val dirVersions =
       if (!fs.exists(target)) Seq.empty
       else fs.listStatus(target).toSeq.map(_.getPath.getName)
-        .filter(_.startsWith(VPrefix)).map(_.drop(VPrefix.length).toLong)
+        .filter(_.startsWith(VPrefix)).map(versionOfDir).filter(_ >= 0)
     ((commitNumbers(fs, target) ++ dirVersions) :+ 0L).max + 1
+  }
+
+  /** Dir names (tokens) a marker's snapshot still references. */
+  private def referencedDirNames(fs: FileSystem, target: Path, n: Long): Set[String] = {
+    val content = readMarker(fs, target, n)
+    val lines = content.linesIterator.toSeq
+    lines.find(_.startsWith("#dir:")) match {
+      case Some(d) => Set(d.stripPrefix("#dir:"))
+      case None if content.isEmpty => Set(s"$VPrefix$n") // legacy unpartitioned
+      case None =>
+        lines.filter(l => !l.startsWith("#") && l.contains("=")).map { line =>
+          line.split("=", 2)(1) match {
+            case RootDir | "0" => RootDir
+            case t if t.forall(_.isDigit) => s"$VPrefix$t"
+            case t => t
+          }
+        }.toSet
+    }
   }
 
   /** Drop snapshots no longer reachable from the last [[keepCommits]]
     * markers: their data dirs and markers are deleted; dirs referenced
     * by a retained marker survive even if written long ago (a partition
     * untouched for many commits still lives in its original dir).
-    * Dangling dirs from crashed commits (no marker) are removed too.
+    * Dangling dirs from crashed or race-losing commits (no marker
+    * references them) are removed too, once superseded.
     */
   private def vacuum(fs: FileSystem, target: Path): Unit = {
     val commits = commitNumbers(fs, target).sorted
     if (commits.isEmpty) return
     val keep = commits.takeRight(keepCommits)
-    val referenced: Set[Long] = keep.flatMap { n =>
-      val c = readMarker(fs, target, n)
-      if (c.isEmpty) Seq(n)
-      else c.linesIterator.filter(_.contains("="))
-        .map(_.split("=", 2)(1).toLong).toSeq :+ n
-    }.toSet
+    val referenced: Set[String] =
+      keep.flatMap(n => referencedDirNames(fs, target, n)).toSet
     commits.dropRight(keepCommits)
-      .filterNot(referenced)
       .foreach(n => fs.delete(new Path(target, s"$CPrefix$n"), false))
     fs.listStatus(target).toSeq.map(_.getPath.getName)
-      .filter(_.startsWith(VPrefix)).map(_.drop(VPrefix.length).toLong)
-      .filter(v => v < keep.last && !referenced(v))
-      .foreach(v => fs.delete(new Path(target, s"$VPrefix$v"), true))
+      .filter(_.startsWith(VPrefix))
+      .filter(d => versionOfDir(d) < keep.last && !referenced(d))
+      .foreach(d => fs.delete(new Path(target, d), true))
     // a writer that crashed between creating its .commit_tmp_ and the
-    // rename leaks the temp file — collect them here (a LIVE writer's
-    // temp can only vanish if two writers race, which the marker rename
-    // already makes a hard error for the loser)
-    fs.listStatus(target).toSeq.map(_.getPath.getName)
-      .filter(_.startsWith(".commit_tmp_"))
-      .foreach(n => fs.delete(new Path(target, n), false))
+    // rename leaks the temp file — collect the STALE ones only: a
+    // concurrent writer mid-publish owns a young temp, and deleting it
+    // would fail its rename with a misleading "lost a race" error even
+    // though no marker collision exists
+    val now = System.currentTimeMillis
+    fs.listStatus(target).toSeq
+      .filter(s => s.getPath.getName.startsWith(".commit_tmp_") &&
+        now - s.getModificationTime > tempGraceMs)
+      .foreach(s => fs.delete(s.getPath, false))
   }
 
   /** Upsert `incoming` into the versioned table at `targetPath` keyed
@@ -239,17 +330,18 @@ object Upsert {
           .unionByName(aligned)
     }
     val n = nextCommit(fs, target)
+    val dirName = newDataDirName(n)
     merged.write.mode(SaveMode.Overwrite)
-      .parquet(s"${targetPath.stripSuffix("/")}/$VPrefix$n")
-    publish(fs, target, n, "")
+      .parquet(s"${targetPath.stripSuffix("/")}/$dirName")
+    publish(fs, target, n, s"#dir:$dirName")
     vacuum(fs, target)
   }
 
   /** Partitioned upsert — the 100 TB shape. Only the partitions PRESENT
     * IN THE BATCH are read (partition-pruned scan), merged (anti-join
     * on the key) and committed; the marker maps every partition to the
-    * commit that last wrote it, so untouched partitions are never read
-    * nor written — upsert cost scales with the batch's partition
+    * data dir that last wrote it, so untouched partitions are never
+    * read nor written — upsert cost scales with the batch's partition
     * footprint, not the table size. Readers resolve one marker and see
     * either the whole previous snapshot or the whole new one.
     */
@@ -261,16 +353,31 @@ object Upsert {
 
     // previous snapshot: marker map, or the flat layout's partition
     // dirs adopted as version 0
-    val prev: Map[String, String] = currentSnapshot(spark, targetPath)
-      .getOrElse {
-        if (!fs.exists(target)) Map.empty
-        else fs.listStatus(target).toSeq.map(_.getPath.getName)
-          .filter(_.startsWith(s"$partitionCol="))
-          .map(_.stripPrefix(s"$partitionCol=") -> targetPath).toMap
-      }
+    val snapOpt = currentSnapshot(spark, targetPath)
+    snapOpt.foreach { snap =>
+      // mirror of the unpartitioned guard: merging a partitioned batch
+      // onto an unpartitioned snapshot would carry its "" key into the
+      // new marker and silently drop every pre-existing row whose
+      // partition value is absent from this batch
+      if (snap.contains("")) throw new IllegalStateException(
+        s"$targetPath was committed by the UNPARTITIONED upsert; " +
+          "use upsertByName/read on it")
+      val pc = partitionColOf(spark, targetPath)
+      require(pc == partitionCol,
+        s"$targetPath is partitioned by '$pc', not '$partitionCol'")
+    }
+    val prev: Map[String, String] = snapOpt.getOrElse {
+      if (!fs.exists(target)) Map.empty
+      else fs.listStatus(target).toSeq.map(_.getPath.getName)
+        .filter(_.startsWith(s"$partitionCol="))
+        // dir names carry Hive path-escaping (space → %20 etc.);
+        // unescape so adopted values compare equal to raw batch values
+        .map(n => ExternalCatalogUtils.unescapePathName(
+          n.stripPrefix(s"$partitionCol=")) -> targetPath).toMap
+    }
     val affectedRaw = aligned.select(partitionCol).distinct().collect()
-    // the marker maps partition VALUES to commits — a null value has no
-    // stable directory name (Hive's __HIVE_DEFAULT_PARTITION__ is a
+    // the marker maps partition VALUES to data dirs — a null value has
+    // no stable directory name (Hive's __HIVE_DEFAULT_PARTITION__ is a
     // write-side artifact), so reject it loudly instead of NPE-ing or
     // silently mis-routing rows
     require(!affectedRaw.exists(_.isNullAt(0)),
@@ -283,8 +390,10 @@ object Upsert {
       .groupBy(_._2).map { case (dir, parts) =>
         // partition-pruned: only the affected partition dirs are read.
         // Re-align: partition-dir values come back type-INFERRED (e.g.
-        // annee=2019 reads as int), so cast back to the declared schema.
+        // annee=2019 reads as int), so compare as string (the marker's
+        // currency) and cast back to the declared schema.
         alignByName(spark.read.parquet(dir)
+          .withColumn(partitionCol, col(partitionCol).cast("string"))
           .filter(col(partitionCol).isin(parts.keys.toSeq: _*)), table)
       }.reduceOption(_ unionByName _)
 
@@ -295,17 +404,16 @@ object Upsert {
           .unionByName(aligned)
     }
     val n = nextCommit(fs, target)
+    val dirName = newDataDirName(n)
     merged.write.mode(SaveMode.Overwrite).partitionBy(partitionCol)
-      .parquet(s"${targetPath.stripSuffix("/")}/$VPrefix$n")
+      .parquet(s"${targetPath.stripSuffix("/")}/$dirName")
 
-    // commit-to-dir versions: prior owners keep theirs, affected move to n
-    val prevVersions = prev.map { case (pv, dir) =>
-      pv -> (if (dir == targetPath) 0L
-        else dir.substring(dir.lastIndexOf(VPrefix) + VPrefix.length).toLong)
-    }
-    val newMap = prevVersions ++ affected.map(_ -> n)
+    // prior owners keep their dirs, affected partitions move to this one
+    val prevTokens = prev.map { case (pv, dir) => pv -> tokenOf(targetPath, dir) }
+    val newMap = prevTokens ++ affected.map(_ -> dirName)
     val content = s"#partitionCol:$partitionCol\n" +
-      newMap.toSeq.sortBy(_._1).map { case (pv, v) => s"$pv=$v" }.mkString("\n")
+      newMap.toSeq.sortBy(_._1)
+        .map { case (pv, d) => s"${encodeValue(pv)}=$d" }.mkString("\n")
     publish(fs, target, n, content)
     vacuum(fs, target)
   }

@@ -81,9 +81,18 @@ object PlanMetrics {
     * intent).
     */
   def filesRead(df: DataFrame): Long =
+    distinctFileScans(df)
+      .map(_.metrics.get("numFiles").map(_.value).getOrElse(0L)).sum
+
+  /** File-source scans that executed as DISTINCT instances — a scan
+    * reached through a ReusedExchange is the same object and counts
+    * once. Two entries over the same table mean the table was really
+    * read twice (read amplification), not that a subtree was shared.
+    */
+  def distinctFileScans(df: DataFrame): Seq[org.apache.spark.sql.execution.FileSourceScanExec] =
     identityDistinct(executedNodes(df).collect {
       case f: org.apache.spark.sql.execution.FileSourceScanExec => f
-    }).map(_.metrics.get("numFiles").map(_.value).getOrElse(0L)).sum
+    })
 
   /** How many exchange CONSUMPTIONS were served by a reused exchange —
     * occurrences beyond the first of the same executed instance. > 0

@@ -187,6 +187,145 @@ class UpsertSpec extends SparkSpec {
     assert(Upsert.currentSnapshot(spark, dir).get.keySet === Set(""))
   }
 
+  test("racing DATA writes cannot corrupt the winner: attempts own private dirs") {
+    // the pre-fix protocol wrote both attempts to a SHARED _v_<n> dir
+    // with Overwrite — the loser's write deleted the winner's published
+    // files. Now each attempt owns a writer-unique dir, so a loser that
+    // wrote data AFTER the winner published leaves the winner intact.
+    val dir = freshDir()
+    Upsert.upsertByName(spark, dir, staged, Dv3fConfig.departement)
+    val winner = Upsert.read(spark, dir).orderBy("uid").collect()
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(dir), spark.sparkContext.hadoopConfiguration)
+    val target = new org.apache.hadoop.fs.Path(dir)
+    // the slow loser (which computed the same commit number 1 before the
+    // winner published) now writes ITS data — to its own dir, then fails
+    // at the marker
+    staged.withColumn("nbtrans", lit(-1L))
+      .write.parquet(s"$dir/_v_1_deadbeef")
+    intercept[IllegalStateException] {
+      Upsert.publish(fs, target, 1, "#dir:_v_1_deadbeef")
+    }
+    // the winner's published snapshot is untouched: same rows, no -1s
+    assert(Upsert.read(spark, dir).orderBy("uid").collect() === winner)
+    // the loser's orphan dir is swept once superseded
+    Upsert.upsertByName(spark, dir, staged, Dv3fConfig.departement)
+    Upsert.upsertByName(spark, dir, staged, Dv3fConfig.departement)
+    assert(!new java.io.File(s"$dir/_v_1_deadbeef").exists())
+  }
+
+  test("two genuinely concurrent writers: one commit each, union visible after retries") {
+    import spark.implicits._
+    val table = Dv3fConfig.departement
+    val dir = freshDir()
+    def batch(uid: String, annee: String) =
+      Seq((uid, annee, 1L)).toDF("uid", "annee", "nbtrans")
+        .withColumn("dep", lit("85"))
+    def upsertWithRetry(b: org.apache.spark.sql.DataFrame): Int = {
+      var attempts = 0
+      var done = false
+      while (!done) {
+        attempts += 1
+        try { Upsert.upsertByNamePartitioned(spark, dir, b, table, "annee"); done = true }
+        catch {
+          case e: IllegalStateException if e.getMessage.contains("lost a race")
+            && attempts < 10 => // loser re-reads the new snapshot and retries
+        }
+      }
+      attempts
+    }
+    val barrier = new java.util.concurrent.CyclicBarrier(2)
+    val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    val threads = Seq("2019" -> "w1", "2020" -> "w2").map { case (annee, uid) =>
+      new Thread(() => {
+        try { barrier.await(); upsertWithRetry(batch(uid, annee)) }
+        catch { case t: Throwable => errs.add(t) }
+      })
+    }
+    threads.foreach(_.start()); threads.foreach(_.join())
+    assert(errs.isEmpty, errs.toArray.mkString(", "))
+    // both writers' rows are visible — neither commit was lost
+    val got = Upsert.read(spark, dir).select("uid").as[String].collect().toSet
+    assert(got === Set("w1", "w2"))
+    // markers are a contiguous chain with no duplicate winners
+    val markers = new java.io.File(dir).listFiles()
+      .map(_.getName).filter(_.startsWith("_commit_")).toSet
+    assert(markers === Set("_commit_1", "_commit_2"), markers.mkString(","))
+  }
+
+  test("partitioned upsert onto an UNPARTITIONED table is rejected, not corrupted") {
+    import spark.implicits._
+    val dir = freshDir()
+    Upsert.upsertByName(spark, dir, staged, Dv3fConfig.departement)
+    val e = intercept[IllegalStateException] {
+      Upsert.upsertByNamePartitioned(spark, dir,
+        Seq(("z1", "2020", "85", 1L)).toDF("uid", "annee", "dep", "nbtrans"),
+        Dv3fConfig.departement, "annee")
+    }
+    assert(e.getMessage.contains("UNPARTITIONED"))
+    // and with a DIFFERENT partition column than the table's own
+    val pdir = freshDir()
+    Upsert.upsertByNamePartitioned(spark, pdir,
+      Seq(("z1", "2020", "85", 1L)).toDF("uid", "annee", "dep", "nbtrans"),
+      Dv3fConfig.departement, "annee")
+    intercept[IllegalArgumentException] {
+      Upsert.upsertByNamePartitioned(spark, pdir,
+        Seq(("z2", "2020", "85", 1L)).toDF("uid", "annee", "dep", "nbtrans"),
+        Dv3fConfig.departement, "dep")
+    }
+  }
+
+  test("vacuum leaves a LIVE writer's young commit temp alone, sweeps stale ones") {
+    val dir = freshDir()
+    Upsert.upsertByName(spark, dir, staged, Dv3fConfig.departement)
+    // a concurrent writer mid-publish: temp created, rename not yet done
+    val live = new java.io.File(dir, ".commit_tmp_live-writer")
+    live.createNewFile()
+    Upsert.upsertByName(spark, dir, staged, Dv3fConfig.departement)
+    assert(live.exists(), "vacuum deleted a live writer's young temp file")
+    // the same temp gone stale (crashed writer) is collected
+    live.setLastModified(System.currentTimeMillis - Upsert.tempGraceMs - 60000)
+    Upsert.upsertByName(spark, dir, staged, Dv3fConfig.departement)
+    assert(!live.exists(), "vacuum left a stale temp file behind")
+  }
+
+  test("partition values with '=', spaces and '%' survive the marker round-trip") {
+    import spark.implicits._
+    val table = Dv3fConfig.departement
+    val dir = java.nio.file.Files.createTempDirectory("upsert_esc").toString + "/t"
+    val odd = Seq("20=19", "a b", "50%", "x\ny")
+    Upsert.upsertByNamePartitioned(spark, dir,
+      odd.zipWithIndex.map { case (a, i) => (s"u$i", a, "85", 1L) }
+        .toDF("uid", "annee", "dep", "nbtrans"), table, "annee")
+    // second commit touching ONE odd partition must not lose the others
+    Upsert.upsertByNamePartitioned(spark, dir,
+      Seq(("u0", "20=19", "85", 9L)).toDF("uid", "annee", "dep", "nbtrans"),
+      table, "annee")
+    val got = Upsert.read(spark, dir)
+      .select("uid", "annee", "nbtrans").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+    assert(got === Set(("u0", "20=19", 9L), ("u1", "a b", 1L),
+      ("u2", "50%", 1L), ("u3", "x\ny", 1L)))
+  }
+
+  test("flat-layout adoption unescapes Hive partition dir names") {
+    import spark.implicits._
+    val table = Dv3fConfig.departement
+    val dir = java.nio.file.Files.createTempDirectory("upsert_hive").toString + "/t"
+    // a pre-protocol writer partitioned by a value needing path escaping
+    Seq(("a1", "a b", "85", 1L)).toDF("uid", "annee", "dep", "nbtrans")
+      .write.partitionBy("annee").parquet(dir)
+    // adopting commit touches a different partition; the escaped one
+    // must survive under its RAW value
+    Upsert.upsertByNamePartitioned(spark, dir,
+      Seq(("b1", "2020", "85", 2L)).toDF("uid", "annee", "dep", "nbtrans"),
+      table, "annee")
+    val got = Upsert.read(spark, dir)
+      .select("uid", "annee").collect()
+      .map(r => (r.getString(0), r.getString(1))).toSet
+    assert(got === Set(("a1", "a b"), ("b1", "2020")))
+  }
+
   test("versioned layout: snapshots are immutable dirs, vacuum bounds them") {
     val dir = freshDir()
     (1 to 4).foreach { i =>
@@ -194,10 +333,12 @@ class UpsertSpec extends SparkSpec {
         staged.withColumn("nbtrans", lit(i.toLong)), Dv3fConfig.departement)
     }
     val names = new java.io.File(dir).listFiles().map(_.getName).toSet
-    // only the last keepCommits snapshots (+ markers) survive
+    // only the last keepCommits snapshots (+ markers) survive; dir
+    // names carry a writer-unique token after the version number
     val versions = names.filter(_.startsWith("_v_"))
+      .map(_.drop("_v_".length).takeWhile(_.isDigit).toLong)
     val markers = names.filter(_.startsWith("_commit_"))
-    assert(versions === Set("_v_3", "_v_4"), names.mkString(","))
+    assert(versions === Set(3L, 4L), names.mkString(","))
     assert(markers === Set("_commit_3", "_commit_4"), names.mkString(","))
     assert(Upsert.read(spark, dir)
       .select("nbtrans").collect().forall(_.getLong(0) == 4L))

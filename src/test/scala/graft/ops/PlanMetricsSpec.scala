@@ -45,6 +45,14 @@ class PlanMetricsSpec extends SparkSpec {
     val df = LlmOps.ngramJaccard(spark, sf)
     df.collect()
     assert(PlanMetrics.reusedExchangeServings(df) > 0)
+    // the static plan prints the shingle→postings subtree once per
+    // consumer (3×) — pin that at RUNTIME exactly one documents scan
+    // executed (identity-distinct: scans under ReusedExchange are the
+    // same instance), i.e. no 3× read amplification at 100 TB
+    val docScans = PlanMetrics.distinctFileScans(df)
+      .filter(_.metadata.get("Location").exists(_.contains("documents")))
+    assert(docScans.size === 1,
+      s"documents scanned ${docScans.size}× at runtime — index subtree recomputed")
   }
 
   test("IVF probe limit prunes index files at RUNTIME, not just in the plan") {
