@@ -46,6 +46,13 @@ object GraftFunctions {
   def longPairs(ids: Column): Column =
     ColumnBridge.column(LongPairs(ColumnBridge.expression(ids)))
 
+  /** Generator: hamming-verified simhash pairs from one LSH bucket's
+    * collected (id, sig) entries — see [[HammingSigPairs]].
+    */
+  def hammingSigPairs(entries: Column, maxDist: Int): Column =
+    ColumnBridge.column(
+      HammingSigPairs(ColumnBridge.expression(entries), maxDist))
+
   /** Aggregate: exact doc-frequency + posting list capped at cap+1 ids —
     * the bounded-memory replacement for `collect_list` in the
     * inverted-index dedup family. Output struct(df, ids).

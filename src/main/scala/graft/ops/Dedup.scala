@@ -210,23 +210,25 @@ object Dedup {
     */
   def simHashPairs(df: DataFrame, id: Column, text: Column,
       maxDist: Int = 3): DataFrame = {
-    // Signatures are tiny (doc_id, 2 longs) — persist so the self-join
-    // computes the simhash expression once, not once per join side. At
-    // 100 TB the equivalent is writing the signature table out. Pinned
-    // via CacheBin so callers can release after the consuming action.
-    val sigs = CacheBin.pin(
-      df.select(id.as("doc_id"), simHash(text).as("sig")))
+    val sigs = df.select(id.as("doc_id"), simHash(text).as("sig"))
     val bandCols = simhashBands(maxDist).map { case (shift, width) =>
       shiftright(col("sig"), shift).bitwiseAND(lit((1L << width) - 1L))
     }
     val banded = sigs.select(col("doc_id"), col("sig"),
       posexplode(array(bandCols: _*)).as(Seq("band", "bv")))
-    val l = banded.as("l"); val r = banded.as("r")
-    l.join(r, col("l.band") === col("r.band") && col("l.bv") === col("r.bv") &&
-        col("l.doc_id") < col("r.doc_id"))
-      .filter(hamming(col("l.sig"), col("r.sig")) <= maxDist)
-      .select(col("l.doc_id").as("doc_a"), col("r.doc_id").as("doc_b"),
-        hamming(col("l.sig"), col("r.sig")).as("dist"))
+    // Bucket-local enumeration, verify fused into the generator: ONE
+    // (band, value)-keyed exchange of (maxDist+1)×n 16-byte rows, then
+    // each bucket's C(m,2) candidates are popcount-checked WITHOUT
+    // materializing non-pairs (the former banded self-join built ~9M
+    // join rows for ~300k survivors at sf0.1 and spent the query's time
+    // in join machinery, not hamming arithmetic). Bucket memory is
+    // O(occupancy) — what the sort-merge join buffered per duplicate-key
+    // run anyway; band width remains the occupancy lever at scale.
+    banded.groupBy(col("band"), col("bv"))
+      .agg(collect_list(struct(col("doc_id"), col("sig"))).as("entries"))
+      .select(graft.functions.GraftFunctions
+        .hammingSigPairs(col("entries"), maxDist)
+        .as(Seq("doc_a", "doc_b", "dist")))
       .distinct() // multi-band collisions emit the same pair repeatedly
   }
 
