@@ -67,6 +67,7 @@ object SparkEntry {
     "q_text_scan" -> (Connectors.textScan(_, _)),
     // — physical-layout surface through the gate (skew/layout/bucketing)
     "q_skew_salted_agg" -> (Physical.saltedAgg(_, _)),
+    "q_skew_salted_join" -> (Physical.saltedJoin(_, _)),
     "q_layout_pruned_scan" -> (Physical.partitionPrunedScan(_, _)),
     "q_bucketed_join" -> (Physical.bucketedJoin(_, _)),
     // — data quality (SURVEY §2.13)
@@ -291,6 +292,7 @@ object SparkEntry {
     "q_binaryfile_scan" -> Connectors.binaryFilesScanSql,
     "q_text_scan" -> Connectors.textScanSql,
     "q_skew_salted_agg" -> Physical.saltedAggSql,
+    "q_skew_salted_join" -> Physical.saltedJoinSql,
     "q_layout_pruned_scan" -> Physical.partitionPrunedScanSql,
     "q_bucketed_join" -> Physical.bucketedJoinSql,
     "q_shipping_priority" -> Analytics.shippingPrioritySql,

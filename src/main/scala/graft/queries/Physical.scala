@@ -32,6 +32,29 @@ object Physical {
       |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sales_usd
       |FROM orders GROUP BY o_orderpriority""".stripMargin
 
+  /** Broadcast-replicated salted join over a Zipf-ish key (documents.
+    * lang — the top language holds ~40% of the corpus): the build side
+    * (per-language stats) is replicated once per salt, the probe side
+    * salts randomly, and the join key becomes (lang, salt) so the hot
+    * language spreads over saltBuckets reducers in the shuffle-join
+    * regime. Semantics-preserving — the oracle is the plain join;
+    * SkewSpec pins the salted physical shape (keys include the salt,
+    * build fan-out ×saltBuckets).
+    */
+  def saltedJoin(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.load(spark, dir, "documents")
+    val langDim = docs.groupBy(col("lang"))
+      .agg(count(lit(1)).as("lang_docs"))
+    Skew.saltedJoin(docs.select(col("doc_id"), col("lang")), langDim,
+      "lang", saltBuckets = 8)
+      .select(col("doc_id"), col("lang"), col("lang_docs"))
+  }
+
+  val saltedJoinSql: String =
+    """WITH langs AS (SELECT lang, count(*) AS lang_docs FROM documents GROUP BY lang)
+      |SELECT doc_id, d.lang, lang_docs
+      |FROM documents d JOIN langs USING (lang)""".stripMargin
+
   /** Hive-partitioned write → pruned read: orders laid out by
     * o_orderstatus (once per JVM), then scanned with a partition filter
     * — planning-time pruning reads ONLY the matching directory. The

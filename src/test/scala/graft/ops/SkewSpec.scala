@@ -22,6 +22,39 @@ class SkewSpec extends SparkSpec {
     assert(got.toSeq == want.toSeq)
   }
 
+  test("saltedJoin physical shape: join keys carry the salt, build fans out ×buckets") {
+    val conf = spark.conf
+    val saved = Seq("spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.adaptive.autoBroadcastJoinThreshold")
+      .map(k => k -> conf.getOption(k))
+    // the regime salting exists for: a build side too big to broadcast
+    saved.foreach { case (k, _) => conf.set(k, "-1") }
+    try {
+      val dim = Seq(("hot", "H"), ("a", "A")).toDF("k", "label")
+      val joined = Skew.saltedJoin(skewed, dim, "k", saltBuckets = 4)
+      joined.collect()
+      val nodes = PlanMetrics.executedNodes(joined)
+      // the shuffle join's equi-keys must include the salt — that IS the
+      // skew spread: the hot key hashes to 4 different reducers
+      val joinsOnSalt = nodes.exists {
+        case j: org.apache.spark.sql.execution.joins.ShuffledJoin =>
+          j.leftKeys.map(_.sql).exists(_.contains("__salt"))
+        case _ => false
+      }
+      assert(joinsOnSalt, "no shuffled join keyed on __salt in:\n" +
+        nodes.map(_.nodeName).mkString(", "))
+      // build side replicated once per salt bucket before the exchange
+      val dimRows = 2L
+      val buildFanout = PlanMetrics.shuffleExchanges(joined).map(
+        _.metrics.get("shuffleRecordsWritten").map(_.value).getOrElse(0L))
+      assert(buildFanout.exists(_ == dimRows * 4),
+        s"no exchange carried dim×buckets rows: $buildFanout")
+    } finally saved.foreach {
+      case (k, Some(v)) => conf.set(k, v)
+      case (k, None) => conf.unset(k)
+    }
+  }
+
   test("saltedJoin equals plain inner join") {
     val dim = Seq(("hot", "H"), ("a", "A"), ("missing", "M")).toDF("k", "label")
     val got = Skew.saltedJoin(skewed, dim, "k", saltBuckets = 4)
