@@ -1,0 +1,176 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Scale-stress harness for the DISTRIBUTED tiers: amplifies the sf0.1
+  * corpus k× (id-remapped, content-decorrelated — see below) and runs
+  * the dedup/LSH/CC/packing family on each amplification with the
+  * driver-local shortcuts DISABLED, so the log-round pointer-doubling
+  * CC loop and the sharded packing window actually execute their
+  * distributed paths under measurement, not just under spec.
+  *
+  * Amplification is NOT naive duplication: k verbatim copies would put
+  * every document in a k-clique of exact near-dups, growing the pair
+  * count as k² — a workload artifact that would read as "superlinear
+  * scaling" no matter how the engine behaves. Instead each replica is
+  * DECORRELATED so its internal duplicate structure replicates but no
+  * cross-replica pair exists:
+  *   - documents: every token is prefixed with a replica tag, so
+  *     replica i's shingle space is disjoint from replica j's (minhash/
+  *     LSH candidates stay within a replica; pair count grows ∝ k);
+  *   - embeddings: each replica applies a deterministic per-dimension
+  *     SIGN-FLIP pattern (a diagonal ±1 transform): within-replica dot
+  *     products are exactly preserved (D·x ⋅ D·y = x ⋅ y), while
+  *     cross-replica cosines collapse toward zero even though the
+  *     synthetic embeddings share a strong common direction — circular
+  *     rotation was tried first and does NOT decorrelate such vectors
+  *     (x30 produced 953× the pairs, all cross-replica).
+  * Growth in runtime beyond ∝ k then indicts the ENGINE (a broadcast
+  * flipping to a shuffle explosion, a plan going quadratic), which is
+  * exactly what this harness exists to catch.
+  *
+  * Output: one JSON line per (scale, op) with wall seconds and runtime
+  * plan counts (exchanges, shuffle bytes), plus a summary line with
+  * time ratios normalized to k=1. SCALE_r08.md narrates the results.
+  */
+object ScaleBench {
+
+  private val BaseSf = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+  private val WorkDir = sys.env.getOrElse("SPARK_GRAFT_SCALE_DIR", "/tmp/graft-scale")
+  /** vec_id/doc_id offset per replica — far above any testdata id. */
+  private val IdOffset = 1L << 32
+
+  /** Write the k× amplified corpus under `$WorkDir/x$k` (idempotent:
+    * skips if the marker file exists). Returns the table dir.
+    */
+  def amplify(spark: SparkSession, k: Int): String = {
+    if (k == 1) return BaseSf
+    val out = s"$WorkDir/x$k"
+    val done = new java.io.File(s"$out/_AMPLIFIED")
+    if (done.exists()) return out
+    val docs = Tables.load(spark, BaseSf, "documents")
+    val emb = Tables.load(spark, BaseSf, "embeddings")
+    val dim = 64
+    val docReplicas = (0 until k).map { i =>
+      val salted =
+        if (i == 0) col("text")
+        // disjoint shingle space per replica: tag every token
+        else regexp_replace(col("text"), "(\\S+)", s"r${i}q$$1")
+      docs.select((col("doc_id") + lit(i * IdOffset)).as("doc_id"),
+        salted.as("text"), col("lang"), col("source"), col("n_chars"))
+    }
+    docReplicas.reduce(_ unionByName _)
+      .repartition(32).write.mode("overwrite").parquet(s"$out/documents.parquet")
+    val embReplicas = (0 until k).map { i =>
+      val flipped =
+        if (i == 0) col("embedding")
+        else transform(col("embedding"), (x, j) =>
+          when(pmod(hash(lit(i), j), lit(2)) === 0, x).otherwise(-x))
+      emb.select((col("vec_id") + lit(i * IdOffset)).as("vec_id"),
+        flipped.cast("array<float>").as("embedding"), col("label"))
+    }
+    embReplicas.reduce(_ unionByName _)
+      .repartition(32).write.mode("overwrite").parquet(s"$out/embeddings.parquet")
+    done.getParentFile.mkdirs(); done.createNewFile()
+    out
+  }
+
+  private def time[A](f: => A): (Double, A) = {
+    val t0 = System.nanoTime()
+    val a = f
+    ((System.nanoTime() - t0) / 1e9, a)
+  }
+
+  def main(args: Array[String]): Unit = {
+    val scales = sys.env.getOrElse("SPARK_GRAFT_SCALES", "1,3,10,30")
+      .split(",").map(_.trim.toInt).toSeq
+    val spark = EngineSession.builder(
+      Runtime.getRuntime.availableProcessors, smallInputTuning = false)
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    spark.range(1000000).selectExpr("sum(id)").collect() // warmup
+
+    val results = scales.map { k =>
+      val dir = amplify(spark, k)
+      // min of 2 runs per op: the first pass at a new scale pays codegen
+      // compilation for fresh plan shapes, which would read as
+      // "x1 is slower than x3" noise in the growth ratios. The executed
+      // EXCHANGE COUNT rides along: a plan that degenerates with scale
+      // (broadcast flipping to a shuffle cascade, a join going nested-
+      // loop) shows up as a different count at x30 than at x1.
+      def best(mk: => DataFrame): (Double, Long, Int) = {
+        def one(): (Double, Long, Int) = {
+          graft.ops.CacheBin.releaseAll(); spark.catalog.clearCache()
+          // construct INSIDE the timer: CC's iterative loop runs eagerly
+          // in the builder, and executing the frame's own plan (not
+          // count()'s separate QueryExecution) is what populates the
+          // SQL metrics PlanMetrics reads
+          val (sec, df) = time {
+            val d = mk
+            d.queryExecution.executedPlan.execute().map(_ => 1L).count()
+            d
+          }
+          (sec, df.count(), graft.ops.PlanMetrics.exchangeCount(df))
+        }
+        val a = one(); val b = one()
+        (math.min(a._1, b._1), b._2, b._3)
+      }
+      // pair finding (banded LSH; candidates ∝ k by construction)
+      val (lshSec, lshRows, lshEx) = best(
+        queries.LlmOps.minhashLshDedup(spark, dir))
+      // distributed CC, driver-local tier DISABLED: the pointer-doubling
+      // loop runs its log-round shuffles for real. Pairs pinned first so
+      // CC's time is the resolution loop, not a re-run of LSH.
+      val (ccSec, ccRows, ccEx) = best {
+        val pairs = graft.ops.CacheBin.pin(
+          queries.LlmOps.minhashLshDedup(spark, dir))
+        pairs.count()
+        graft.ops.ConnectedComponents.run(pairs, localThreshold = 0)
+      }
+      // banded sign-LSH near-dup over embeddings (never batch×batch).
+      // The occupancy LEVER is applied as designed: planes per band grow
+      // with log2(corpus), holding per-bucket occupancy — and therefore
+      // candidates per input row — constant. With planes FIXED instead,
+      // bucket occupancy grows ∝ k and candidate pairs ∝ k² (measured:
+      // 14× time at 30× data, ~113M candidates), which is the banding
+      // misconfiguration this harness exists to expose, not engine
+      // behavior. (In production, bands would rise with planes to hold
+      // recall; candidate cost stays ∝ bands × n either way.)
+      val planes = 6 + (math.log(k) / math.log(2)).ceil.toInt
+      val (ndSec, ndRows, ndEx) = best(
+        graft.ops.Similarity.cosineNearDupPairs(
+          Tables.load(spark, dir, "embeddings"),
+          col("vec_id"), col("embedding"), threshold = 0.4,
+          bands = 4, planesPerBand = planes, dim = 64))
+      // sharded packing: the scale path (per-shard windows, no global sort)
+      val (packSec, packRows, packEx) = best(
+        queries.Curation.packSequencesSharded(spark, dir))
+      val row = scala.collection.immutable.ListMap(
+        "lsh_pairs" -> (lshSec, lshRows, lshEx),
+        "cc_distributed" -> (ccSec, ccRows, ccEx),
+        "embed_neardup" -> (ndSec, ndRows, ndEx),
+        "pack_sharded" -> (packSec, packRows, packEx))
+      row.foreach { case (op, (s, r, e)) =>
+        println(s"""{"scale":$k,"op":"$op","sec":$s,"rows":$r,"exchanges":$e}""")
+      }
+      k -> row
+    }
+    // summary: growth ratios vs k=1 (data-proportional ⇒ ratio ≲ k)
+    val base = results.head._2
+    val summary = results.map { case (k, row) =>
+      val ratios = row.map { case (op, (s, _, _)) =>
+        s""""$op":${"%.2f".format(s / base(op)._1)}"""
+      }.mkString(",")
+      s"""{"scale":$k,"ratios_vs_x1":{$ratios}}"""
+    }
+    summary.foreach(println)
+    val w = new java.io.PrintWriter("target/scalebench_last.json")
+    try {
+      results.foreach { case (k, row) => row.foreach { case (op, (s, r, e)) =>
+        w.println(s"""{"scale":$k,"op":"$op","sec":$s,"rows":$r,"exchanges":$e}""") } }
+      summary.foreach(w.println)
+    } finally w.close()
+    spark.stop()
+  }
+}

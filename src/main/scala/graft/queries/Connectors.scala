@@ -152,6 +152,21 @@ object Connectors {
         }
     }
     val dims = graft.functions.GraftFunctions.imageDims(col("content"))
+    // FILES-PER-TASK is the scan's governing ratio: Spark packs files
+    // into splits of `spark.sql.files.maxPartitionBytes`, charging
+    // `spark.sql.files.openCostInBytes` per file, so files per task ≈
+    // maxPartitionBytes / (avgFileSize + openCostInBytes). The ~1 s
+    // floor observed here for 50 tiny files is per-file open/listing
+    // overhead, constant at this scale — but at 50M objects the knobs
+    // matter: RAISE openCostInBytes (8 MB default 4 MB) so thousands of
+    // tiny files pack into each task without starving parallelism, and
+    // keep directory listing off the driver —
+    // `spark.sql.sources.parallelPartitionDiscovery.threshold` (default
+    // 32) distributes the file listing once a prefix holds more paths
+    // than that, which is what stands between "scan a 50M-object
+    // prefix" and a driver-side LIST stall. (EngineSession's
+    // smallInputTuning LOWERS both knobs instead — correct for MB-scale
+    // bench inputs, inverted for a real multimodal corpus.)
     spark.read.format("binaryFile").load(s"$out/*.png")
       .coalesce(spark.sparkContext.defaultParallelism)
       .select(
