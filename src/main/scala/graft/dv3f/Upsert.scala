@@ -90,10 +90,13 @@ object Upsert {
 
   /** Partition values are URL-encoded in marker lines so values
     * containing `=`, newlines, `%` or path-hostile characters survive
-    * the line-oriented `pv=dir` format. Legacy markers wrote raw
-    * values; decoding is identity for values without `%`/`+`, which is
-    * every value a legacy writer could have round-tripped anyway.
+    * the line-oriented `pv=dir` format. Encoded markers carry an
+    * `#enc:url` header; markers WITHOUT it were written by the legacy
+    * raw format and are read verbatim — decoding them instead would
+    * throw on a legacy `50%` and silently turn a legacy `a+b` into
+    * `a b`.
     */
+  private val EncHeader = "#enc:url"
   private def encodeValue(v: String): String =
     java.net.URLEncoder.encode(v, "UTF-8")
   private def decodeValue(v: String): String =
@@ -181,20 +184,25 @@ object Upsert {
     */
   def currentSnapshot(spark: SparkSession, targetPath: String): Option[Map[String, String]] = {
     val (fs, target) = fsFor(spark, targetPath)
-    currentCommit(fs, target).map { n =>
-      val content = readMarker(fs, target, n)
-      val lines = content.linesIterator.toSeq
-      lines.find(_.startsWith("#dir:")) match {
-        case Some(d) => // unpartitioned, writer-unique dir
-          Map("" -> dirOf(targetPath, d.stripPrefix("#dir:")))
-        case None if content.isEmpty => // legacy unpartitioned marker
-          Map("" -> dirOf(targetPath, n.toString))
-        case None =>
-          lines.filter(l => !l.startsWith("#") && l.contains("=")).map { line =>
-            val Array(pv, v) = line.split("=", 2)
-            decodeValue(pv) -> dirOf(targetPath, v)
-          }.toMap
-      }
+    currentCommit(fs, target).map(snapshotAt(fs, target, targetPath, _))
+  }
+
+  private def snapshotAt(fs: FileSystem, target: Path, targetPath: String,
+      n: Long): Map[String, String] = {
+    val content = readMarker(fs, target, n)
+    val lines = content.linesIterator.toSeq
+    val decode: String => String =
+      if (lines.contains(EncHeader)) decodeValue else identity
+    lines.find(_.startsWith("#dir:")) match {
+      case Some(d) => // unpartitioned, writer-unique dir
+        Map("" -> dirOf(targetPath, d.stripPrefix("#dir:")))
+      case None if content.isEmpty => // legacy unpartitioned marker
+        Map("" -> dirOf(targetPath, n.toString))
+      case None =>
+        lines.filter(l => !l.startsWith("#") && l.contains("=")).map { line =>
+          val Array(pv, v) = line.split("=", 2)
+          decode(pv) -> dirOf(targetPath, v)
+        }.toMap
     }
   }
 
@@ -220,15 +228,30 @@ object Upsert {
           s"marker at $targetPath maps no partitions — empty or corrupt commit")
         val pcol = partitionColOf(spark, targetPath)
         snap.groupBy(_._2).map { case (dir, parts) =>
-          // partition values are directory-INFERRED per dir, so two
-          // commit dirs can disagree on the type (annee=2019 → int,
-          // annee=unknown → string) and the ANSI union would fail;
-          // the marker speaks strings, so normalize to string first
-          spark.read.parquet(dir)
-            .withColumn(pcol, col(pcol).cast("string"))
+          scanPartitionAsString(spark, dir, pcol)
             .filter(col(pcol).isin(parts.keys.toSeq: _*))
         }.reduce(_.unionByName(_, allowMissingColumns = true))
     }
+
+  /** Scan a snapshot dir with the partition column pinned to STRING in
+    * a user-supplied schema, so the directory value is taken VERBATIM
+    * (`annee=07` stays "07"). Plain inference would type it (int 7) and
+    * any later normalization re-renders it ("7"), silently mismatching
+    * the marker key — and two commit dirs can infer DIFFERENT types
+    * (annee=2019 int, annee=unknown string), which fails the ANSI
+    * union. The marker speaks raw strings; so does this scan.
+    */
+  private def scanPartitionAsString(spark: SparkSession, dir: String,
+      pcol: String): DataFrame = {
+    val inferred = spark.read.parquet(dir)
+    if (!inferred.columns.contains(pcol)) inferred
+    else {
+      val sch = org.apache.spark.sql.types.StructType(inferred.schema.fields.map(f =>
+        if (f.name == pcol) f.copy(dataType = org.apache.spark.sql.types.StringType)
+        else f))
+      spark.read.schema(sch).parquet(dir)
+    }
+  }
 
   private def partitionColOf(spark: SparkSession, targetPath: String): String = {
     val (fs, target) = fsFor(spark, targetPath)
@@ -241,13 +264,17 @@ object Upsert {
     }
   }
 
-  private def nextCommit(fs: FileSystem, target: Path): Long = {
-    val dirVersions =
-      if (!fs.exists(target)) Seq.empty
-      else fs.listStatus(target).toSeq.map(_.getPath.getName)
-        .filter(_.startsWith(VPrefix)).map(versionOfDir).filter(_ >= 0)
-    ((commitNumbers(fs, target) ++ dirVersions) :+ 0L).max + 1
-  }
+  // NOTE deliberately NO nextCommit(listing) helper: the commit number
+  // is always derived as base+1 from the SAME snapshot resolution the
+  // merge read — a gapless chain is the optimistic-concurrency guard.
+  // Deriving n from a fresh listing (or from in-flight _v_ dirs, as an
+  // earlier revision did) lets a racer that observed a STALE snapshot
+  // land on a HIGHER n than the concurrent winner: its marker becomes
+  // the max the readers resolve, and the winner's committed rows
+  // silently vanish without any rename ever failing. With n = base+1,
+  // any commit that lands after the snapshot was read forces the
+  // marker rename to collide — the stale writer throws and retries
+  // against the new snapshot.
 
   /** Dir names (tokens) a marker's snapshot still references. */
   private def referencedDirNames(fs: FileSystem, target: Path, n: Long): Set[String] = {
@@ -282,19 +309,30 @@ object Upsert {
       keep.flatMap(n => referencedDirNames(fs, target, n)).toSet
     commits.dropRight(keepCommits)
       .foreach(n => fs.delete(new Path(target, s"$CPrefix$n"), false))
-    fs.listStatus(target).toSeq.map(_.getPath.getName)
-      .filter(_.startsWith(VPrefix))
-      .filter(d => versionOfDir(d) < keep.last && !referenced(d))
-      .foreach(d => fs.delete(new Path(target, d), true))
+    // unreferenced data dirs: superseded snapshots and race-losers'
+    // orphans (version < keep.last) go immediately; anything at or
+    // above keep.last that no marker references is either an IN-FLIGHT
+    // writer's dir (version = live max + 1 under the gapless chain —
+    // protected while its files are young) or an ancient crash/
+    // pre-gapless orphan, distinguished by modification-time grace.
+    val nowMs = System.currentTimeMillis
+    fs.listStatus(target).toSeq
+      .filter(_.getPath.getName.startsWith(VPrefix))
+      .filter { s =>
+        val d = s.getPath.getName
+        !referenced(d) && !keep.contains(versionOfDir(d)) &&
+          (versionOfDir(d) < keep.last ||
+            nowMs - s.getModificationTime > tempGraceMs)
+      }
+      .foreach(s => fs.delete(s.getPath, true))
     // a writer that crashed between creating its .commit_tmp_ and the
     // rename leaks the temp file — collect the STALE ones only: a
     // concurrent writer mid-publish owns a young temp, and deleting it
     // would fail its rename with a misleading "lost a race" error even
     // though no marker collision exists
-    val now = System.currentTimeMillis
     fs.listStatus(target).toSeq
       .filter(s => s.getPath.getName.startsWith(".commit_tmp_") &&
-        now - s.getModificationTime > tempGraceMs)
+        nowMs - s.getModificationTime > tempGraceMs)
       .foreach(s => fs.delete(s.getPath, false))
   }
 
@@ -308,7 +346,11 @@ object Upsert {
     val key = table.primaryKey
     val (fs, target) = fsFor(spark, targetPath)
 
-    val existing = currentSnapshot(spark, targetPath) match {
+    // base snapshot and commit number resolve from ONE observation; the
+    // published commit is base+1, so a commit landing in between makes
+    // the marker rename collide (see the gapless-chain note above)
+    val baseCommit = currentCommit(fs, target)
+    val existing = baseCommit.map(snapshotAt(fs, target, targetPath, _)) match {
       case Some(snap) => Some(spark.read.parquet(snap.getOrElse("",
         throw new IllegalStateException(s"$targetPath was committed by the " +
           "PARTITIONED upsert; use upsertByNamePartitioned/read on it"))))
@@ -329,7 +371,7 @@ object Upsert {
           .join(broadcast(aligned.select(key)), Seq(key), "left_anti")
           .unionByName(aligned)
     }
-    val n = nextCommit(fs, target)
+    val n = baseCommit.getOrElse(0L) + 1
     val dirName = newDataDirName(n)
     merged.write.mode(SaveMode.Overwrite)
       .parquet(s"${targetPath.stripSuffix("/")}/$dirName")
@@ -352,8 +394,10 @@ object Upsert {
     val (fs, target) = fsFor(spark, targetPath)
 
     // previous snapshot: marker map, or the flat layout's partition
-    // dirs adopted as version 0
-    val snapOpt = currentSnapshot(spark, targetPath)
+    // dirs adopted as version 0. Base commit and snapshot resolve from
+    // ONE observation; the published commit is base+1 (gapless chain).
+    val baseCommit = currentCommit(fs, target)
+    val snapOpt = baseCommit.map(snapshotAt(fs, target, targetPath, _))
     snapOpt.foreach { snap =>
       // mirror of the unpartitioned guard: merging a partitioned batch
       // onto an unpartitioned snapshot would carry its "" key into the
@@ -384,16 +428,22 @@ object Upsert {
       s"upsertByNamePartitioned: batch contains NULL in partition column " +
         s"'$partitionCol' — partition keys must be non-null")
     val affected = affectedRaw.map(_.get(0).toString).toSeq
+    // "" is as unroutable as null: partitionBy writes it as the Hive
+    // default-partition sentinel (reads back NULL, so the rows turn
+    // invisible) and its marker line would parse to the "" key that
+    // flags an unpartitioned snapshot
+    require(!affected.contains(""),
+      s"upsertByNamePartitioned: batch contains empty-string in partition " +
+        s"column '$partitionCol' — partition keys must be non-empty")
     if (affected.isEmpty) return // empty batch: nothing to commit
 
     val existingAffected = prev.filter(kv => affected.contains(kv._1))
       .groupBy(_._2).map { case (dir, parts) =>
-        // partition-pruned: only the affected partition dirs are read.
-        // Re-align: partition-dir values come back type-INFERRED (e.g.
-        // annee=2019 reads as int), so compare as string (the marker's
-        // currency) and cast back to the declared schema.
-        alignByName(spark.read.parquet(dir)
-          .withColumn(partitionCol, col(partitionCol).cast("string"))
+        // partition-pruned: only the affected partition dirs are read,
+        // with the partition value taken VERBATIM as string (see
+        // scanPartitionAsString) so it compares against the marker's
+        // raw keys; alignByName casts back to the declared schema.
+        alignByName(scanPartitionAsString(spark, dir, partitionCol)
           .filter(col(partitionCol).isin(parts.keys.toSeq: _*)), table)
       }.reduceOption(_ unionByName _)
 
@@ -403,7 +453,7 @@ object Upsert {
         e.join(broadcast(aligned.select(key)), Seq(key), "left_anti")
           .unionByName(aligned)
     }
-    val n = nextCommit(fs, target)
+    val n = baseCommit.getOrElse(0L) + 1
     val dirName = newDataDirName(n)
     merged.write.mode(SaveMode.Overwrite).partitionBy(partitionCol)
       .parquet(s"${targetPath.stripSuffix("/")}/$dirName")
@@ -411,7 +461,7 @@ object Upsert {
     // prior owners keep their dirs, affected partitions move to this one
     val prevTokens = prev.map { case (pv, dir) => pv -> tokenOf(targetPath, dir) }
     val newMap = prevTokens ++ affected.map(_ -> dirName)
-    val content = s"#partitionCol:$partitionCol\n" +
+    val content = s"#partitionCol:$partitionCol\n$EncHeader\n" +
       newMap.toSeq.sortBy(_._1)
         .map { case (pv, d) => s"${encodeValue(pv)}=$d" }.mkString("\n")
     publish(fs, target, n, content)

@@ -157,16 +157,94 @@ class UpsertSpec extends SparkSpec {
   }
 
   test("crashed commit (data dir without marker) is invisible to readers") {
+    def setOld(f: java.io.File): Unit = {
+      f.setLastModified(System.currentTimeMillis - Upsert.tempGraceMs - 60000)
+      Option(f.listFiles()).foreach(_.foreach(setOld))
+    }
     val dir = freshDir()
     Upsert.upsertByName(spark, dir, staged, Dv3fConfig.departement)
     // simulate a writer that died after writing data, before publishing
     staged.write.parquet(s"$dir/_v_999")
     assert(Upsert.read(spark, dir).count() === 3) // still snapshot 1
-    // the next successful commit supersedes and vacuums the orphan
+    // the commit chain is GAPLESS: the dangling dir must NOT bump the
+    // next commit number (that very bump was the stale-base lost-update
+    // hole — a racer steered to a higher n than the concurrent winner)
     Upsert.upsertByName(spark, dir, staged, Dv3fConfig.departement)
+    val markers = new java.io.File(dir).listFiles().map(_.getName)
+      .filter(_.startsWith("_commit_")).toSet
+    assert(markers === Set("_commit_1", "_commit_2"), markers.mkString(","))
+    // a YOUNG unreferenced over-max dir could be an in-flight writer's —
+    // vacuum must leave it; once it is stale (crash long past) it goes
+    Upsert.upsertByName(spark, dir, staged, Dv3fConfig.departement)
+    assert(new java.io.File(s"$dir/_v_999").exists())
+    setOld(new java.io.File(s"$dir/_v_999"))
     Upsert.upsertByName(spark, dir, staged, Dv3fConfig.departement)
     assert(!new java.io.File(s"$dir/_v_999").exists())
     assert(Upsert.read(spark, dir).count() === 3)
+  }
+
+  test("legacy RAW marker (no #enc header) reads verbatim: '50%' and 'a+b' survive") {
+    import spark.implicits._
+    val table = Dv3fConfig.departement
+    val dir = java.nio.file.Files.createTempDirectory("upsert_raw").toString + "/t"
+    // a pre-encoding writer committed values that URL-decoding would
+    // break: decode("50%") throws, decode("a+b") silently -> "a b"
+    Upsert.alignByName(
+      Seq(("u1", "50%", "85", 1L), ("u2", "a+b", "85", 2L))
+        .toDF("uid", "annee", "dep", "nbtrans"), table)
+      .write.partitionBy("annee").parquet(s"$dir/_v_1")
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(dir), spark.sparkContext.hadoopConfiguration)
+    Upsert.publish(fs, new org.apache.hadoop.fs.Path(dir), 1,
+      "#partitionCol:annee\n50%=1\na+b=1")
+    val got = Upsert.read(spark, dir)
+      .select("uid", "annee").collect()
+      .map(r => (r.getString(0), r.getString(1))).toSet
+    assert(got === Set(("u1", "50%"), ("u2", "a+b")))
+    // and a new commit on top round-trips them through the NEW format
+    Upsert.upsertByNamePartitioned(spark, dir,
+      Seq(("u3", "50%", "85", 9L)).toDF("uid", "annee", "dep", "nbtrans"),
+      table, "annee")
+    val after = Upsert.read(spark, dir)
+      .select("uid", "annee").collect()
+      .map(r => (r.getString(0), r.getString(1))).toSet
+    assert(after === Set(("u1", "50%"), ("u2", "a+b"), ("u3", "50%")))
+  }
+
+  test("inference-unstable partition values ('07') round-trip verbatim") {
+    import spark.implicits._
+    val table = Dv3fConfig.departement
+    val dir = java.nio.file.Files.createTempDirectory("upsert_zero").toString + "/t"
+    // "07" infers as int 7; a cast-back-to-string renders "7" and the
+    // marker key "07" silently matches nothing — the scan must take the
+    // directory value verbatim
+    Upsert.upsertByNamePartitioned(spark, dir,
+      Seq(("a1", "07", "85", 1L), ("b1", "2020", "85", 2L))
+        .toDF("uid", "annee", "dep", "nbtrans"), table, "annee")
+    // second commit touches only 2020 — "07" must keep being served
+    Upsert.upsertByNamePartitioned(spark, dir,
+      Seq(("b1", "2020", "85", 9L)).toDF("uid", "annee", "dep", "nbtrans"),
+      table, "annee")
+    val got = Upsert.read(spark, dir)
+      .select("uid", "annee", "nbtrans").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+    assert(got === Set(("a1", "07", 1L), ("b1", "2020", 9L)))
+    // and merging INTO "07" reads its existing rows (no silent discard)
+    Upsert.upsertByNamePartitioned(spark, dir,
+      Seq(("a2", "07", "85", 5L)).toDF("uid", "annee", "dep", "nbtrans"),
+      table, "annee")
+    assert(Upsert.read(spark, dir).filter(col("annee") === "07").count() === 2)
+  }
+
+  test("empty-string partition value is rejected loudly") {
+    import spark.implicits._
+    val dir = freshDir()
+    val e = intercept[IllegalArgumentException] {
+      Upsert.upsertByNamePartitioned(spark, dir,
+        Seq(("a1", "", "85", 1L)).toDF("uid", "annee", "dep", "nbtrans"),
+        Dv3fConfig.departement, "annee")
+    }
+    assert(e.getMessage.contains("non-empty"))
   }
 
   test("racing writers: the marker rename is the commit point, loser fails loudly") {
