@@ -153,4 +153,32 @@ class DedupSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1))).toList
     assert(got == List((1L, 2L), (1L, 3L), (2L, 3L)))
   }
+
+  test("hammingSigPairs: inline verify emits exactly the ≤maxDist pairs, a<b") {
+    // bucket of four: ids 10,20,30,40 with sigs 0b0000, 0b0011, 0b0111,
+    // 0b110000 — pairwise distances (10,20)=2 (10,30)=3 (10,40)=2
+    // (20,30)=1 (20,40)=4 (30,40)=5
+    val entries = Seq(Seq((10L, 0L), (20L, 3L), (30L, 7L), (40L, 48L)))
+      .toDF("es")
+      .select(graft.functions.GraftFunctions
+        .hammingSigPairs(col("es"), maxDist = 2)
+        .as(Seq("a", "b", "d")))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(entries === Set((10L, 20L, 2), (10L, 40L, 2), (20L, 30L, 1)))
+    // degenerate buckets emit nothing
+    val empty = Seq(Seq((1L, 0L)), Seq.empty[(Long, Long)])
+      .toDF("es")
+      .select(graft.functions.GraftFunctions
+        .hammingSigPairs(col("es"), maxDist = 60))
+      .collect()
+    assert(empty.isEmpty)
+    // pair order is (min, max) regardless of array order
+    val rev = Seq(Seq((9L, 0L), (2L, 1L)))
+      .toDF("es")
+      .select(graft.functions.GraftFunctions
+        .hammingSigPairs(col("es"), maxDist = 60)
+        .as(Seq("a", "b", "d")))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toList
+    assert(rev == List((2L, 9L)))
+  }
 }
