@@ -60,6 +60,15 @@ import org.apache.spark.sql.functions._
   *   - with a lakehouse table format this whole object is a one-line
   *     MERGE INTO — the API is format-agnostic on purpose.
   */
+/** A commit lost its optimistic-concurrency race: a rival published
+  * first. Retryable — re-reading the snapshot and re-merging converges
+  * (the keyed upsert is idempotent); [[Upsert.upsertByName]] and
+  * [[Upsert.upsertByNamePartitioned]] do so a bounded number of times
+  * before surfacing it. Subclasses IllegalStateException so callers
+  * that matched the old contract keep working.
+  */
+final class CommitRaceException(msg: String) extends IllegalStateException(msg)
+
 object Upsert {
 
   private val VPrefix = "_v_"
@@ -94,7 +103,10 @@ object Upsert {
     * `#enc:url` header; markers WITHOUT it were written by the legacy
     * raw format and are read verbatim — decoding them instead would
     * throw on a legacy `50%` and silently turn a legacy `a+b` into
-    * `a b`.
+    * `a b`. (Compat domain: the two formats that ever persisted a
+    * durable table are legacy-raw and header+encoded; a transient
+    * in-development revision that encoded without the header existed
+    * for one commit and wrote only test temp dirs.)
     */
   private val EncHeader = "#enc:url"
   private def encodeValue(v: String): String =
@@ -145,12 +157,22 @@ object Upsert {
     * lakehouse table format in place of this protocol.
     */
   private[dv3f] def publish(fs: FileSystem, target: Path, n: Long, content: String): Unit = {
+    // Pre-check: the chain must still END at n-1. A writer stalled
+    // across >= keepCommits rival commits would otherwise find its slot
+    // n VACUUMED (marker deleted) — its rename would succeed into the
+    // gap and report success for a commit no reader will ever resolve.
+    // The check-then-rename window is covered by the rename itself: a
+    // rival landing n in between makes the rename fail below.
+    currentCommit(fs, target).filter(_ >= n).foreach { live =>
+      throw new CommitRaceException(
+        s"commit $n at $target lost a race: chain already at $live")
+    }
     val tmp = new Path(target, s".commit_tmp_${java.util.UUID.randomUUID}")
     val out = fs.create(tmp, false)
     try out.write(content.getBytes("UTF-8")) finally out.close()
     if (!fs.rename(tmp, new Path(target, s"$CPrefix$n"))) {
       fs.delete(tmp, false)
-      throw new IllegalStateException(
+      throw new CommitRaceException(
         s"commit $n at $target lost a race with a concurrent writer")
     }
   }
@@ -184,12 +206,16 @@ object Upsert {
     */
   def currentSnapshot(spark: SparkSession, targetPath: String): Option[Map[String, String]] = {
     val (fs, target) = fsFor(spark, targetPath)
-    currentCommit(fs, target).map(snapshotAt(fs, target, targetPath, _))
+    currentCommit(fs, target).map(n =>
+      parseSnapshot(readMarker(fs, target, n), targetPath, n))
   }
 
-  private def snapshotAt(fs: FileSystem, target: Path, targetPath: String,
+  /** Parse ONE already-read marker into the snapshot map — marker
+    * content is immutable, so everything a caller needs (snapshot map,
+    * partition column) comes from a single read of it.
+    */
+  private def parseSnapshot(content: String, targetPath: String,
       n: Long): Map[String, String] = {
-    val content = readMarker(fs, target, n)
     val lines = content.linesIterator.toSeq
     val decode: String => String =
       if (lines.contains(EncHeader)) decodeValue else identity
@@ -206,32 +232,46 @@ object Upsert {
     }
   }
 
+  private def parsePartitionCol(content: String): Option[String] =
+    content.linesIterator.find(_.startsWith("#partitionCol:"))
+      .map(_.stripPrefix("#partitionCol:"))
+
   /** Read the LIVE snapshot of an upsert-managed table. Resolves the
     * commit pointer once; the returned frame only ever touches that
     * snapshot's immutable files, so it stays consistent under
     * concurrent upserts. Falls back to a plain read for pre-protocol
     * flat layouts.
     */
-  def read(spark: SparkSession, targetPath: String): DataFrame =
-    currentSnapshot(spark, targetPath) match {
+  def read(spark: SparkSession, targetPath: String): DataFrame = {
+    val (fs, target) = fsFor(spark, targetPath)
+    currentCommit(fs, target) match {
       case None => spark.read.parquet(targetPath) // flat/legacy layout
-      case Some(snap) if snap.keySet == Set("") =>
-        spark.read.parquet(snap(""))
-      case Some(snap) =>
-        // one branch per DISTINCT commit (bounded by vacuum), each a
-        // partition-pruned scan of the partitions that commit still
-        // owns. allowMissingColumns: an adopted pre-protocol root (or a
-        // snapshot from before a schema evolution) may carry fewer
-        // columns than newer commits — those read back as NULL, the
-        // same contract alignByName gives the merge path.
-        if (snap.isEmpty) throw new IllegalStateException(
-          s"marker at $targetPath maps no partitions — empty or corrupt commit")
-        val pcol = partitionColOf(spark, targetPath)
-        snap.groupBy(_._2).map { case (dir, parts) =>
-          scanPartitionAsString(spark, dir, pcol)
-            .filter(col(pcol).isin(parts.keys.toSeq: _*))
-        }.reduce(_.unionByName(_, allowMissingColumns = true))
+      case Some(n) =>
+        // ONE marker read serves both the snapshot map and the
+        // partition column — markers are immutable, a second resolve
+        // could observe a different commit
+        val content = readMarker(fs, target, n)
+        val snap = parseSnapshot(content, targetPath, n)
+        if (snap.keySet == Set("")) spark.read.parquet(snap(""))
+        else {
+          // one branch per DISTINCT commit (bounded by vacuum), each a
+          // partition-pruned scan of the partitions that commit still
+          // owns. allowMissingColumns: an adopted pre-protocol root (or
+          // a snapshot from before a schema evolution) may carry fewer
+          // columns than newer commits — those read back as NULL, the
+          // same contract alignByName gives the merge path.
+          if (snap.isEmpty) throw new IllegalStateException(
+            s"marker at $targetPath maps no partitions — empty or corrupt commit")
+          val pcol = parsePartitionCol(content).getOrElse(
+            throw new IllegalStateException(
+              s"marker $n at $targetPath has no partition column header"))
+          snap.groupBy(_._2).map { case (dir, parts) =>
+            scanPartitionAsString(spark, dir, pcol)
+              .filter(col(pcol).isin(parts.keys.toSeq: _*))
+          }.reduce(_.unionByName(_, allowMissingColumns = true))
+        }
     }
+  }
 
   /** Scan a snapshot dir with the partition column pinned to STRING in
     * a user-supplied schema, so the directory value is taken VERBATIM
@@ -240,28 +280,27 @@ object Upsert {
     * the marker key — and two commit dirs can infer DIFFERENT types
     * (annee=2019 int, annee=unknown string), which fails the ANSI
     * union. The marker speaks raw strings; so does this scan.
+    *
+    * The string-pinned schema per dir is CACHED for the JVM: snapshot
+    * dirs are immutable (a new commit is a new dir), so the footer/
+    * listing pass that inference needs runs once per dir, not once per
+    * read — at the 100 TB design point that inference pass is an
+    * object-store LIST/HEAD storm worth exactly one occurrence.
+    * Vacuumed dirs leave dead entries, bounded by commits seen per JVM.
     */
+  private val dirSchemaCache =
+    new java.util.concurrent.ConcurrentHashMap[String, org.apache.spark.sql.types.StructType]()
+
   private def scanPartitionAsString(spark: SparkSession, dir: String,
       pcol: String): DataFrame = {
-    val inferred = spark.read.parquet(dir)
-    if (!inferred.columns.contains(pcol)) inferred
-    else {
-      val sch = org.apache.spark.sql.types.StructType(inferred.schema.fields.map(f =>
+    val sch = dirSchemaCache.computeIfAbsent(s"$dir#$pcol", _ => {
+      val inferred = spark.read.parquet(dir).schema
+      org.apache.spark.sql.types.StructType(inferred.fields.map(f =>
         if (f.name == pcol) f.copy(dataType = org.apache.spark.sql.types.StringType)
         else f))
-      spark.read.schema(sch).parquet(dir)
-    }
-  }
-
-  private def partitionColOf(spark: SparkSession, targetPath: String): String = {
-    val (fs, target) = fsFor(spark, targetPath)
-    val n = currentCommit(fs, target).get
-    readMarker(fs, target, n).linesIterator
-      .find(_.startsWith("#partitionCol:")) match {
-      case Some(l) => l.stripPrefix("#partitionCol:")
-      case None => throw new IllegalStateException(
-        s"marker $n at $targetPath has no partition column header")
-    }
+    })
+    if (!sch.fieldNames.contains(pcol)) spark.read.parquet(dir)
+    else spark.read.schema(sch).parquet(dir)
   }
 
   // NOTE deliberately NO nextCommit(listing) helper: the commit number
@@ -310,11 +349,15 @@ object Upsert {
     commits.dropRight(keepCommits)
       .foreach(n => fs.delete(new Path(target, s"$CPrefix$n"), false))
     // unreferenced data dirs: superseded snapshots and race-losers'
-    // orphans (version < keep.last) go immediately; anything at or
-    // above keep.last that no marker references is either an IN-FLIGHT
-    // writer's dir (version = live max + 1 under the gapless chain —
-    // protected while its files are young) or an ancient crash/
-    // pre-gapless orphan, distinguished by modification-time grace.
+    // orphans (version < keep.last) go immediately — a dir can only
+    // fall below keep.last after its slot was committed by someone
+    // else, so its writer is already doomed to lose loudly (the
+    // publish pre-check); deleting mid-write at worst fails that
+    // writer's job early, never silently. Dirs AT or ABOVE keep.last
+    // are either an in-flight writer's (version = live max + 1 under
+    // the gapless chain — young files, protected) or an ancient
+    // crash/pre-gapless orphan, distinguished by modification-time
+    // grace.
     val nowMs = System.currentTimeMillis
     fs.listStatus(target).toSeq
       .filter(_.getPath.getName.startsWith(VPrefix))
@@ -336,11 +379,37 @@ object Upsert {
       .foreach(s => fs.delete(s.getPath, false))
   }
 
+  /** How many times an upsert re-reads the snapshot and re-merges
+    * after losing a commit race before surfacing the error.
+    */
+  private val raceRetries = 3
+
+  /** Run `f`, retrying on [[CommitRaceException]]: the loser's correct
+    * move is always "re-read the new snapshot and re-merge" (the keyed
+    * upsert is idempotent), so both upsert faces converge under
+    * contention instead of surfacing every genuine race to the caller.
+    */
+  private def withRaceRetry[A](f: => A): A = {
+    var last: CommitRaceException = null
+    var i = 0
+    while (i < raceRetries) {
+      try return f
+      catch { case e: CommitRaceException => last = e; i += 1 }
+    }
+    throw last
+  }
+
   /** Upsert `incoming` into the versioned table at `targetPath` keyed
     * on `table.primaryKey`. Idempotent: re-running the same batch
     * converges (SURVEY.md §7.4.3); each run is one atomic commit.
+    * Losing a concurrent-commit race retries against the fresh
+    * snapshot ([[raceRetries]]×) before surfacing.
     */
   def upsertByName(spark: SparkSession, targetPath: String,
+      incoming: DataFrame, table: StagingTable): Unit =
+    withRaceRetry(upsertByNameOnce(spark, targetPath, incoming, table))
+
+  private def upsertByNameOnce(spark: SparkSession, targetPath: String,
       incoming: DataFrame, table: StagingTable): Unit = {
     val aligned = alignByName(incoming, table)
     val key = table.primaryKey
@@ -350,7 +419,8 @@ object Upsert {
     // published commit is base+1, so a commit landing in between makes
     // the marker rename collide (see the gapless-chain note above)
     val baseCommit = currentCommit(fs, target)
-    val existing = baseCommit.map(snapshotAt(fs, target, targetPath, _)) match {
+    val existing = baseCommit.map(n =>
+      parseSnapshot(readMarker(fs, target, n), targetPath, n)) match {
       case Some(snap) => Some(spark.read.parquet(snap.getOrElse("",
         throw new IllegalStateException(s"$targetPath was committed by the " +
           "PARTITIONED upsert; use upsertByNamePartitioned/read on it"))))
@@ -388,25 +458,35 @@ object Upsert {
     * either the whole previous snapshot or the whole new one.
     */
   def upsertByNamePartitioned(spark: SparkSession, targetPath: String,
+      incoming: DataFrame, table: StagingTable, partitionCol: String): Unit =
+    withRaceRetry(
+      upsertByNamePartitionedOnce(spark, targetPath, incoming, table, partitionCol))
+
+  private def upsertByNamePartitionedOnce(spark: SparkSession, targetPath: String,
       incoming: DataFrame, table: StagingTable, partitionCol: String): Unit = {
     val aligned = alignByName(incoming, table)
     val key = table.primaryKey
     val (fs, target) = fsFor(spark, targetPath)
 
     // previous snapshot: marker map, or the flat layout's partition
-    // dirs adopted as version 0. Base commit and snapshot resolve from
-    // ONE observation; the published commit is base+1 (gapless chain).
+    // dirs adopted as version 0. Base commit, snapshot AND partition
+    // column resolve from ONE marker read; the published commit is
+    // base+1 (gapless chain).
     val baseCommit = currentCommit(fs, target)
-    val snapOpt = baseCommit.map(snapshotAt(fs, target, targetPath, _))
-    snapOpt.foreach { snap =>
+    val contentOpt = baseCommit.map(n => (n, readMarker(fs, target, n)))
+    val snapOpt = contentOpt.map { case (n, c) => parseSnapshot(c, targetPath, n) }
+    contentOpt.foreach { case (_, content) =>
       // mirror of the unpartitioned guard: merging a partitioned batch
       // onto an unpartitioned snapshot would carry its "" key into the
       // new marker and silently drop every pre-existing row whose
       // partition value is absent from this batch
+      val snap = snapOpt.get
       if (snap.contains("")) throw new IllegalStateException(
         s"$targetPath was committed by the UNPARTITIONED upsert; " +
           "use upsertByName/read on it")
-      val pc = partitionColOf(spark, targetPath)
+      val pc = parsePartitionCol(content).getOrElse(
+        throw new IllegalStateException(
+          s"marker at $targetPath has no partition column header"))
       require(pc == partitionCol,
         s"$targetPath is partitioned by '$pc', not '$partitionCol'")
     }

@@ -299,25 +299,17 @@ class UpsertSpec extends SparkSpec {
     def batch(uid: String, annee: String) =
       Seq((uid, annee, 1L)).toDF("uid", "annee", "nbtrans")
         .withColumn("dep", lit("85"))
-    def upsertWithRetry(b: org.apache.spark.sql.DataFrame): Int = {
-      var attempts = 0
-      var done = false
-      while (!done) {
-        attempts += 1
-        try { Upsert.upsertByNamePartitioned(spark, dir, b, table, "annee"); done = true }
-        catch {
-          case e: IllegalStateException if e.getMessage.contains("lost a race")
-            && attempts < 10 => // loser re-reads the new snapshot and retries
-        }
-      }
-      attempts
-    }
+    // no caller-side retry: the upsert itself retries a lost race
+    // against the fresh snapshot (withRaceRetry) — the convergence the
+    // protocol documents must not exist only in prose
     val barrier = new java.util.concurrent.CyclicBarrier(2)
     val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
     val threads = Seq("2019" -> "w1", "2020" -> "w2").map { case (annee, uid) =>
       new Thread(() => {
-        try { barrier.await(); upsertWithRetry(batch(uid, annee)) }
-        catch { case t: Throwable => errs.add(t) }
+        try {
+          barrier.await()
+          Upsert.upsertByNamePartitioned(spark, dir, batch(uid, annee), table, "annee")
+        } catch { case t: Throwable => errs.add(t) }
       })
     }
     threads.foreach(_.start()); threads.foreach(_.join())
@@ -329,6 +321,28 @@ class UpsertSpec extends SparkSpec {
     val markers = new java.io.File(dir).listFiles()
       .map(_.getName).filter(_.startsWith("_commit_")).toSet
     assert(markers === Set("_commit_1", "_commit_2"), markers.mkString(","))
+  }
+
+  test("a writer stalled past vacuum cannot publish into the vacuumed marker gap") {
+    // writer W reads base=1 (target slot 2) and stalls; rivals advance
+    // the chain to 4, whose vacuum deletes marker 2. W's rename of
+    // _commit_2 would SUCCEED into the gap — readers resolve max=4 and
+    // W's "successful" commit is invisible. The publish pre-check must
+    // turn that into a loud race loss instead.
+    val dir = freshDir()
+    (1 to 4).foreach { i =>
+      Upsert.upsertByName(spark, dir,
+        staged.withColumn("nbtrans", lit(i.toLong)), Dv3fConfig.departement)
+    }
+    val names = new java.io.File(dir).listFiles().map(_.getName).toSet
+    assert(!names.contains("_commit_2"), names.mkString(",")) // slot vacuumed
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(dir), spark.sparkContext.hadoopConfiguration)
+    val e = intercept[CommitRaceException] {
+      Upsert.publish(fs, new org.apache.hadoop.fs.Path(dir), 2, "#dir:_v_2_stale")
+    }
+    assert(e.getMessage.contains("chain already at 4"))
+    assert(!new java.io.File(dir, "_commit_2").exists())
   }
 
   test("partitioned upsert onto an UNPARTITIONED table is rejected, not corrupted") {
