@@ -23,15 +23,22 @@ import org.apache.spark.sql.functions._
   *     _commit_1 _commit_2     commit markers; the HIGHEST one is live,
   *                             its content names the data dir(s)
   *
-  *   - a commit writes its data to a dir no other writer can name
-  *     (version + random token), then publishes it by RENAMING a temp
-  *     file to `_commit_<n>` whose CONTENT records that dir — rename is
-  *     atomic and fails if the marker exists, so of two racing writers
-  *     exactly one wins; the loser throws, and because each attempt
-  *     owns a private data dir the loser's write can never clobber the
-  *     winner's already-published files (its orphan dir is simply
-  *     vacuumed later). A retry after losing re-reads the new snapshot
-  *     and converges;
+  *   - OPTIMISTIC CONCURRENCY over a GAPLESS chain: a commit resolves
+  *     its base snapshot ONCE and always targets n = base + 1, writes
+  *     its data to a dir no other writer can name (version + random
+  *     token), then publishes by RENAMING a temp file to `_commit_<n>`
+  *     whose CONTENT records that dir. The rename is atomic and fails
+  *     if the marker exists, so ANY commit that lands after the base
+  *     was read makes the stale writer collide and lose — never derive
+  *     n from a directory listing (a stale racer steered to a higher n
+  *     would win max() and silently bury the rival's commit). A writer
+  *     stalled so long its slot was vacuumed is caught by the publish
+  *     pre-check (chain already past n). Losers throw
+  *     [[CommitRaceException]]; both upsert faces retry internally
+  *     against the fresh snapshot (idempotent merge ⇒ convergence),
+  *     and a private data dir per attempt means a loser's write can
+  *     never clobber the winner's published files (its orphan dir is
+  *     vacuumed later);
   *   - readers resolve max(`_commit_*`) once, then only touch the dirs
   *     that marker names: a concurrent commit cannot tear their view —
   *     they keep reading the superseded snapshot (snapshot isolation);
@@ -242,9 +249,40 @@ object Upsert {
     * concurrent upserts. Falls back to a plain read for pre-protocol
     * flat layouts.
     */
-  def read(spark: SparkSession, targetPath: String): DataFrame = {
+  def read(spark: SparkSession, targetPath: String): DataFrame =
+    readImpl(spark, targetPath, None)
+
+  /** Time travel: read the table AS OF commit `version`. Retention is
+    * bounded by vacuum — only the snapshots reachable from the last
+    * [[keepCommits]] markers are guaranteed on disk, so this serves
+    * "compare against the previous load" (the reference's re-ingest
+    * audit shape), not unbounded history. Asking for a vacuumed or
+    * never-committed version fails loudly.
+    */
+  def readVersion(spark: SparkSession, targetPath: String, version: Long): DataFrame =
+    readImpl(spark, targetPath, Some(version))
+
+  /** Commit versions currently readable (retained markers, ascending). */
+  def versions(spark: SparkSession, targetPath: String): Seq[Long] = {
     val (fs, target) = fsFor(spark, targetPath)
-    currentCommit(fs, target) match {
+    if (!fs.exists(target)) Seq.empty
+    else fs.listStatus(target).toSeq.map(_.getPath.getName)
+      .filter(_.startsWith(CPrefix)).map(_.drop(CPrefix.length).toLong).sorted
+  }
+
+  private def readImpl(spark: SparkSession, targetPath: String,
+      asOf: Option[Long]): DataFrame = {
+    val (fs, target) = fsFor(spark, targetPath)
+    val resolved = asOf match {
+      case Some(v) =>
+        if (!fs.exists(new Path(target, s"$CPrefix$v")))
+          throw new IllegalStateException(
+            s"version $v at $targetPath is not readable (never committed, " +
+              s"or vacuumed — retained: ${versions(spark, targetPath).mkString(",")})")
+        Some(v)
+      case None => currentCommit(fs, target)
+    }
+    resolved match {
       case None => spark.read.parquet(targetPath) // flat/legacy layout
       case Some(n) =>
         // ONE marker read serves both the snapshot map and the

@@ -418,6 +418,28 @@ class UpsertSpec extends SparkSpec {
     assert(got === Set(("a1", "a b"), ("b1", "2020")))
   }
 
+  test("time travel: readVersion serves retained snapshots, fails loudly past vacuum") {
+    val dir = freshDir()
+    (1 to 3).foreach { i =>
+      Upsert.upsertByName(spark, dir,
+        staged.withColumn("nbtrans", lit(i.toLong)), Dv3fConfig.departement)
+    }
+    // keepCommits = 2: versions 2 and 3 retained, 1 vacuumed
+    assert(Upsert.versions(spark, dir) === Seq(2L, 3L))
+    assert(Upsert.readVersion(spark, dir, 2)
+      .select("nbtrans").collect().forall(_.getLong(0) == 2L))
+    assert(Upsert.readVersion(spark, dir, 3)
+      .select("nbtrans").collect().forall(_.getLong(0) == 3L))
+    // the previous-load comparison the reference's re-ingest audit does
+    val prev = Upsert.readVersion(spark, dir, 2).select("uid", "nbtrans")
+    val cur = Upsert.read(spark, dir).select("uid", "nbtrans")
+    assert(cur.join(prev, Seq("uid", "nbtrans"), "left_anti").count() === 3)
+    val e = intercept[IllegalStateException] {
+      Upsert.readVersion(spark, dir, 1)
+    }
+    assert(e.getMessage.contains("retained: 2,3"))
+  }
+
   test("versioned layout: snapshots are immutable dirs, vacuum bounds them") {
     val dir = freshDir()
     (1 to 4).foreach { i =>
