@@ -124,6 +124,7 @@ object SparkEntry {
     "q_chunk_docs_gen" -> (Curation.chunkDocsGen(_, _)),
     "q_pack_sequences" -> (Curation.packSequences(_, _)),
     "q_pack_sequences_sharded" -> (Curation.packSequencesSharded(_, _)),
+    "q_corpus_mix" -> (Curation.corpusMix(_, _)),
     // — time-series: as-of join, resample/gap-fill, histogram
     "q_asof_join" -> (Events.asofPurchase(_, _)),
     "q_asof_join_native" -> (Events.asofPurchaseNative(_, _)),
@@ -376,6 +377,7 @@ object SparkEntry {
     "q_chunk_docs_gen" -> Curation.chunkDocsSql,
     "q_pack_sequences" -> Curation.packSequencesSql,
     "q_pack_sequences_sharded" -> Curation.packSequencesShardedSql,
+    "q_corpus_mix" -> Curation.corpusMixSql,
     "q_window_ranking" -> Analytics.rankingFamilySql,
     "q_window_range_7d" -> Events.rolling7dSql,
     "q_asof_join" -> Events.asofPurchaseSql,

@@ -194,6 +194,61 @@ object Curation {
       |  min(doc_id) AS first_doc, max(doc_id) AS last_doc
       |FROM b GROUP BY bin_id""".stripMargin
 
+  // --------------------------------------------------------- corpus mix
+
+  /** Per-language token budgets for [[corpusMix]]: a 50k-token mixture
+    * at 40/20/20/10/10 shares. Literal so the oracle replays it; in
+    * production this is the mixture-weights config of a pretraining
+    * data recipe.
+    */
+  val mixBudgets: Seq[(String, Long)] = Seq(
+    "en" -> 20000L, "de" -> 10000L, "fr" -> 10000L,
+    "es" -> 5000L, "zh" -> 5000L)
+
+  /** Weighted corpus mixing — build a training mixture hitting per-
+    * language TOKEN budgets (the data-recipe step of a pretraining
+    * run): deterministic order within each language (doc_id), running
+    * token sum, keep every document that STARTS under its language's
+    * budget. The same per-group running-window shape as sequence
+    * packing, so it scales the same way: hash-partitioned by lang, no
+    * global sort; at 100 TB the window runs per-language like packing
+    * runs per-shard (a skewed language can be pre-sharded with the
+    * salting tools if one group dominates).
+    *
+    * "Starts under budget" (prior < budget) rather than "ends under"
+    * makes the mixture slightly overshoot instead of undershoot and is
+    * the same convention sequence packing uses for bin overflow —
+    * deterministic, and both engines agree.
+    */
+  def corpusMix(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("lang")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val budget = mixBudgets.foldLeft(lit(0L)) { case (acc, (l, b)) =>
+      when(col("lang") === l, lit(b)).otherwise(acc)
+    }
+    Tables.load(spark, dir, "documents")
+      .select(col("doc_id"), col("lang"),
+        TextAnalysis.tokenCount(col("text")).cast("long").as("n_tokens"))
+      .withColumn("prior", coalesce(sum(col("n_tokens")).over(w), lit(0L)))
+      .filter(col("prior") < budget)
+      .select(col("doc_id"), col("lang"), col("n_tokens"))
+  }
+
+  val corpusMixSql: String = {
+    val cases = mixBudgets.map { case (l, b) => s"WHEN '$l' THEN $b" }
+      .mkString(" ")
+    s"""WITH t AS (SELECT doc_id, lang,
+       |    len(string_split_regex(trim(text), '\\s+'))::BIGINT AS n_tokens
+       |  FROM documents),
+       |b AS (SELECT doc_id, lang, n_tokens,
+       |  coalesce(sum(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS prior
+       |  FROM t)
+       |SELECT doc_id, lang, n_tokens FROM b
+       |WHERE prior < CASE lang $cases ELSE 0 END""".stripMargin
+  }
+
   val chunkDocsSql: String =
     """WITH toks AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS t
       |  FROM documents),

@@ -16,6 +16,31 @@ class CurationSpec extends SparkSpec {
     assert(!plan.contains("SinglePartition"), plan)
   }
 
+  test("corpusMix: per-language window, budgets respected, deterministic greedy set") {
+    val mix = Curation.corpusMix(spark, sf)
+    val plan = mix.queryExecution.executedPlan.toString
+    // per-language window behind a hash exchange, never a global sort
+    assert(plan.contains("hashpartitioning(lang"), plan)
+    assert(!plan.contains("SinglePartition"), plan)
+    val byLang = mix.groupBy("lang")
+      .agg(sum("n_tokens").as("toks"), count(lit(1)).as("docs"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val budgets = Curation.mixBudgets.toMap
+    byLang.foreach { case (lang, (toks, docs)) =>
+      val b = budgets(lang)
+      // greedy prior<budget: total lands at or just past the budget
+      // (overshoot bounded by the last doc), never wildly past
+      assert(toks >= math.min(b, 1L) && docs > 0)
+      val mixDocs = mix.filter(col("lang") === lang)
+        .orderBy(desc("doc_id")).select("n_tokens").limit(1)
+        .collect()(0).getLong(0)
+      assert(toks - mixDocs < b,
+        s"$lang: selected $toks tokens, budget $b — prior of last doc >= budget")
+    }
+    // deterministic: same set on re-evaluation
+    assert(mix.count() === Curation.corpusMix(spark, sf).count())
+  }
+
   test("packSequencesSharded conserves docs/tokens and keeps shard bins disjoint") {
     val sharded = Curation.packSequencesSharded(spark, sf, budget = 500, nShards = 4)
       .agg(sum("n_docs").as("docs"), sum("bin_tokens").as("toks"))
