@@ -265,30 +265,33 @@ object Upsert {
   /** Commit versions currently readable (retained markers, ascending). */
   def versions(spark: SparkSession, targetPath: String): Seq[Long] = {
     val (fs, target) = fsFor(spark, targetPath)
-    if (!fs.exists(target)) Seq.empty
-    else fs.listStatus(target).toSeq.map(_.getPath.getName)
-      .filter(_.startsWith(CPrefix)).map(_.drop(CPrefix.length).toLong).sorted
+    commitNumbers(fs, target).sorted
   }
 
   private def readImpl(spark: SparkSession, targetPath: String,
       asOf: Option[Long]): DataFrame = {
     val (fs, target) = fsFor(spark, targetPath)
-    val resolved = asOf match {
+    // resolve version AND read its marker as one fallible step: an
+    // exists-then-read would let a concurrent vacuum turn the
+    // documented loud failure into a raw FileNotFoundException
+    val resolved: Option[(Long, String)] = asOf match {
       case Some(v) =>
-        if (!fs.exists(new Path(target, s"$CPrefix$v")))
-          throw new IllegalStateException(
-            s"version $v at $targetPath is not readable (never committed, " +
-              s"or vacuumed — retained: ${versions(spark, targetPath).mkString(",")})")
-        Some(v)
+        try Some((v, readMarker(fs, target, v)))
+        catch {
+          case _: java.io.FileNotFoundException =>
+            throw new IllegalStateException(
+              s"version $v at $targetPath is not readable (never committed, " +
+                s"or vacuumed — retained: ${versions(spark, targetPath).mkString(",")})")
+        }
       case None => currentCommit(fs, target)
+        .map(n => (n, readMarker(fs, target, n)))
     }
     resolved match {
       case None => spark.read.parquet(targetPath) // flat/legacy layout
-      case Some(n) =>
+      case Some((n, content)) =>
         // ONE marker read serves both the snapshot map and the
         // partition column — markers are immutable, a second resolve
         // could observe a different commit
-        val content = readMarker(fs, target, n)
         val snap = parseSnapshot(content, targetPath, n)
         if (snap.keySet == Set("")) spark.read.parquet(snap(""))
         else {

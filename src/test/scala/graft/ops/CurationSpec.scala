@@ -26,19 +26,28 @@ class CurationSpec extends SparkSpec {
       .agg(sum("n_tokens").as("toks"), count(lit(1)).as("docs"))
       .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
     val budgets = Curation.mixBudgets.toMap
+    // what the corpus actually holds per language, for the fill bound
+    val totalByLang = graft.Tables.load(spark, sf, "documents")
+      .groupBy("lang")
+      .agg(sum(TextAnalysis.tokenCount(col("text")).cast("long")).as("t"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     byLang.foreach { case (lang, (toks, docs)) =>
       val b = budgets(lang)
-      // greedy prior<budget: total lands at or just past the budget
-      // (overshoot bounded by the last doc), never wildly past
-      assert(toks >= math.min(b, 1L) && docs > 0)
-      val mixDocs = mix.filter(col("lang") === lang)
+      // greedy prior<budget FILLS: either the whole language fits
+      // under budget (all selected) or selection reaches the budget
+      assert(toks >= math.min(b, totalByLang(lang)) && docs > 0,
+        s"$lang: selected $toks of ${totalByLang(lang)} tokens, budget $b — under-filled")
+      // ...and overshoot is bounded by the last selected doc
+      val lastDoc = mix.filter(col("lang") === lang)
         .orderBy(desc("doc_id")).select("n_tokens").limit(1)
         .collect()(0).getLong(0)
-      assert(toks - mixDocs < b,
+      assert(toks - lastDoc < b,
         s"$lang: selected $toks tokens, budget $b — prior of last doc >= budget")
     }
-    // deterministic: same set on re-evaluation
-    assert(mix.count() === Curation.corpusMix(spark, sf).count())
+    // deterministic: the SAME doc set on re-evaluation, not just a count
+    val again = Curation.corpusMix(spark, sf)
+    assert(mix.select("doc_id").exceptAll(again.select("doc_id")).count() === 0)
+    assert(again.select("doc_id").exceptAll(mix.select("doc_id")).count() === 0)
   }
 
   test("packSequencesSharded conserves docs/tokens and keeps shard bins disjoint") {
