@@ -62,6 +62,7 @@ object SparkEntry {
     "q_csv_scan" -> (Connectors.csvScan(_, _)),
     "q_jdbc_scan" -> (Connectors.jdbcScan(_, _)),
     "q_orc_scan" -> (Connectors.orcScan(_, _)),
+    "q_xml_scan" -> (Connectors.xmlScan(_, _)),
     "q_json_scan" -> (Connectors.jsonScan(_, _)),
     "q_binaryfile_scan" -> (Connectors.binaryFilesScan(_, _)),
     "q_text_scan" -> (Connectors.textScan(_, _)),
@@ -289,6 +290,7 @@ object SparkEntry {
     "q_csv_scan" -> Connectors.csvScanSql,
     "q_jdbc_scan" -> Connectors.jdbcScanSql,
     "q_orc_scan" -> Connectors.orcScanSql,
+    "q_xml_scan" -> Connectors.xmlScanSql,
     "q_json_scan" -> Connectors.jsonScanSql,
     "q_binaryfile_scan" -> Connectors.binaryFilesScanSql,
     "q_text_scan" -> Connectors.textScanSql,

@@ -67,6 +67,29 @@ object Connectors {
 
   val orcScanSql: String = csvScanSql
 
+  /** XML scan: the same round-trip contract through Spark 4's BUILT-IN
+    * xml source (the former spark-xml package, merged into sql/core) —
+    * one `<nation>` element per row under a `<nations>` root. Explicit
+    * schema (no inference job); values cross XML text serialization
+    * both ways before the aggregate, so escaping and numeric
+    * round-trips are checked against the parquet-reading oracle.
+    */
+  def xmlScan(spark: SparkSession, dir: String): DataFrame = {
+    val nation = Tables.load(spark, dir, "nation")
+    val out = tmp("xml_nation", dir)
+    stageOnce(out) {
+      nation.write.mode("overwrite")
+        .option("rootTag", "nations").option("rowTag", "nation")
+        .xml(out)
+    }
+    nationAgg(spark.read.format("xml")
+      .schema(nation.schema)
+      .option("rowTag", "nation")
+      .load(out))
+  }
+
+  val xmlScanSql: String = csvScanSql
+
   /** JSON-lines scan: the row-per-line interchange format (explicit
     * schema — no inference job, streaming-source style). Values cross
     * JSON serialization both ways before the aggregate.

@@ -25,10 +25,11 @@ class ConnectorsSpec extends SparkSpec {
     assert(viaCsv == direct)
   }
 
-  test("orc and json round trips match the csv round trip") {
+  test("orc, json and xml round trips match the csv round trip") {
     val viaCsv = asMap(Connectors.csvScan(spark, sf))
     assert(asMap(Connectors.orcScan(spark, sf)) == viaCsv)
     assert(asMap(Connectors.jsonScan(spark, sf)) == viaCsv)
+    assert(asMap(Connectors.xmlScan(spark, sf)) == viaCsv)
   }
 
   test("csv malformed rows: PERMISSIVE captures, FAILFAST raises, DROPMALFORMED skips") {
