@@ -421,9 +421,14 @@ object Upsert {
   }
 
   /** How many times an upsert re-reads the snapshot and re-merges
-    * after losing a commit race before surfacing the error.
+    * after losing a commit race before surfacing the error. N
+    * simultaneous writers need up to N attempts for the last-place
+    * one (each round crowns exactly one winner), so this bounds the
+    * supported burst concurrency — the intended deployment is
+    * single-writer-per-table with occasional overlap, not sustained
+    * fan-in.
     */
-  private val raceRetries = 3
+  private val raceRetries = 6
 
   /** Run `f`, retrying on [[CommitRaceException]]: the loser's correct
     * move is always "re-read the new snapshot and re-merge" (the keyed

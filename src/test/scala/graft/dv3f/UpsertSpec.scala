@@ -323,6 +323,32 @@ class UpsertSpec extends SparkSpec {
     assert(markers === Set("_commit_1", "_commit_2"), markers.mkString(","))
   }
 
+  test("four simultaneous writers all converge within the retry bound") {
+    import spark.implicits._
+    val table = Dv3fConfig.departement
+    val dir = freshDir()
+    // worst case the 4th-place writer needs 4 attempts (one winner per
+    // round) — must stay under raceRetries regardless of interleaving
+    val barrier = new java.util.concurrent.CyclicBarrier(4)
+    val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    val threads = (1 to 4).map { i =>
+      new Thread(() => {
+        try {
+          barrier.await()
+          Upsert.upsertByNamePartitioned(spark, dir,
+            Seq((s"w$i", s"201$i", "85", i.toLong))
+              .toDF("uid", "annee", "dep", "nbtrans"), table, "annee")
+        } catch { case t: Throwable => errs.add(t) }
+      })
+    }
+    threads.foreach(_.start()); threads.foreach(_.join())
+    assert(errs.isEmpty, errs.toArray.mkString(", "))
+    val got = Upsert.read(spark, dir).select("uid").as[String].collect().toSet
+    assert(got === Set("w1", "w2", "w3", "w4"))
+    // gapless chain: exactly commits 1..4, no vacuumed-slot surprises
+    assert(Upsert.versions(spark, dir) === Seq(3L, 4L)) // keepCommits = 2
+  }
+
   test("a writer stalled past vacuum cannot publish into the vacuumed marker gap") {
     // writer W reads base=1 (target slot 2) and stalls; rivals advance
     // the chain to 4, whose vacuum deletes marker 2. W's rename of
