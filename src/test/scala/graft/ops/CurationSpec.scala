@@ -50,6 +50,32 @@ class CurationSpec extends SparkSpec {
     assert(again.select("doc_id").exceptAll(mix.select("doc_id")).count() === 0)
   }
 
+  test("corpusMix edges: oversized first doc still selected, unbudgeted lang excluded") {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    // reproduce the operator's selection rule on a controlled frame:
+    // same window + prior<budget predicate as corpusMix, literal budgets
+    val docs = Seq(
+      (1L, "en", ("tok " * 50).trim),   // 50 tokens, budget 10: oversized
+      (2L, "en", "a b c"),              //  3 tokens, prior 50 >= 10: dropped
+      (3L, "xx", "a b")                 // no budget -> prior 0 < 0 false
+    ).toDF("doc_id", "lang", "text")
+    val w = Window.partitionBy(col("lang")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val budget = when(col("lang") === "en", lit(10L)).otherwise(lit(0L))
+    val picked = docs
+      .select(col("doc_id"), col("lang"),
+        TextAnalysis.tokenCount(col("text")).cast("long").as("n_tokens"))
+      .withColumn("prior", coalesce(sum(col("n_tokens")).over(w), lit(0L)))
+      .filter(col("prior") < budget)
+      .select("doc_id").as[Long].collect().toSet
+    // the oversized doc STARTS under budget (prior 0 < 10) -> kept: the
+    // mixture overshoots rather than starving a language whose every
+    // document exceeds its budget; everything after it is dropped, and
+    // a language with no budget contributes nothing
+    assert(picked === Set(1L))
+  }
+
   test("packSequencesSharded conserves docs/tokens and keeps shard bins disjoint") {
     val sharded = Curation.packSequencesSharded(spark, sf, budget = 500, nShards = 4)
       .agg(sum("n_docs").as("docs"), sum("bin_tokens").as("toks"))
