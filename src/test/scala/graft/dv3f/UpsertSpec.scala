@@ -323,6 +323,27 @@ class UpsertSpec extends SparkSpec {
     assert(markers === Set("_commit_1", "_commit_2"), markers.mkString(","))
   }
 
+  test("versioned read prunes partitions at RUNTIME despite the string-pinned schema") {
+    import spark.implicits._
+    val table = Dv3fConfig.departement
+    val dir = java.nio.file.Files.createTempDirectory("upsert_prune").toString + "/t"
+    Upsert.upsertByNamePartitioned(spark, dir,
+      (1 to 8).map(i => (s"u$i", s"200$i", "85", i.toLong))
+        .toDF("uid", "annee", "dep", "nbtrans"), table, "annee")
+    // a reader filtering one partition must open ONLY that partition's
+    // files — the user-supplied string schema must not defeat
+    // PartitionFilters (this is the "upsert/read cost ∝ partition
+    // footprint" claim, measured rather than argued)
+    val one = Upsert.read(spark, dir).filter(org.apache.spark.sql.functions.col("annee") === "2003")
+    one.collect()
+    val pruned = graft.ops.PlanMetrics.filesRead(one)
+    val all = Upsert.read(spark, dir)
+    all.collect()
+    val full = graft.ops.PlanMetrics.filesRead(all)
+    assert(pruned > 0 && full >= 8, s"pruned=$pruned full=$full")
+    assert(pruned <= full / 8, s"no runtime pruning: $pruned of $full files read")
+  }
+
   test("four simultaneous writers all converge within the retry bound") {
     import spark.implicits._
     val table = Dv3fConfig.departement
