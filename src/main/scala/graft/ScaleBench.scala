@@ -158,11 +158,19 @@ object ScaleBench {
       // sharded packing: the scale path (per-shard windows, no global sort)
       val (packSec, packRows, packEx) = best(
         queries.Curation.packSequencesSharded(spark, dir))
+      // the two hottest single-query pair finders on the main bench —
+      // inverted-index ngram jaccard (bounded postings, one reused
+      // exchange) and pigeonhole simhash (generator-fused verify):
+      // replica-disjoint shingle/signature spaces ⇒ work ∝ k
+      val (njSec, njRows, njEx) = best(queries.LlmOps.ngramJaccard(spark, dir))
+      val (shSec, shRows, shEx) = best(queries.LlmOps.simhashPairs(spark, dir))
       val row = scala.collection.immutable.ListMap(
         "lsh_pairs" -> (lshSec, lshRows, lshEx),
         "cc_distributed" -> (ccSec, ccRows, ccEx),
         "embed_neardup" -> (ndSec, ndRows, ndEx),
-        "pack_sharded" -> (packSec, packRows, packEx))
+        "pack_sharded" -> (packSec, packRows, packEx),
+        "ngram_jaccard" -> (njSec, njRows, njEx),
+        "simhash_pairs" -> (shSec, shRows, shEx))
       row.foreach { case (op, (s, r, e)) =>
         println(s"""{"scale":$k,"op":"$op","sec":$s,"rows":$r,"exchanges":$e}""")
       }
