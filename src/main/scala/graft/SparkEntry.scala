@@ -37,6 +37,9 @@ object SparkEntry {
     "q_window_nav" -> (Analytics.windowNavigation(_, _)),
     "q_join_full_outer" -> (Analytics.fullOuterActivity(_, _)),
     "q_sql_correlated" -> (Analytics.sqlCorrelated(_, _)),
+    "q_sql_lateral" -> (Analytics.sqlLateral(_, _)),
+    "q_window_ignore_nulls" -> (Analytics.windowIgnoreNulls(_, _)),
+    "q_fuzzy_match" -> (Analytics.fuzzyPartNames(_, _)),
     "q_sql_setops" -> (Analytics.setOps(_, _)),
     "q_window_running" -> (Analytics.runningWindows(_, _)),
     // — joins (SURVEY §2.4 / testdata surface)
@@ -99,6 +102,8 @@ object SparkEntry {
     // — LLM-pipeline: text analysis
     "q_text_stats" -> (LlmOps.textStats(_, _)),
     "q_text_repetition" -> (LlmOps.textRepetition(_, _)),
+    "q_quality_gopher" -> (LlmOps.gopherQuality(_, _)),
+    "q_unigram_lm" -> ((s, d) => LlmOps.unigramLmTopK(s, d)),
     "q_doc_fingerprints" -> (LlmOps.docFingerprints(_, _)),
     // — LLM-pipeline: similarity search
     "q_embed_topk" -> (LlmOps.embedTopK(_, _)),
@@ -305,6 +310,9 @@ object SparkEntry {
     "q_window_nav" -> Analytics.windowNavigationSql,
     "q_join_full_outer" -> Analytics.fullOuterActivitySql,
     "q_sql_correlated" -> Analytics.sqlCorrelatedSql,
+    "q_sql_lateral" -> Analytics.sqlLateralSql,
+    "q_window_ignore_nulls" -> Analytics.windowIgnoreNullsSql,
+    "q_fuzzy_match" -> Analytics.fuzzyPartNamesSql,
     "q_quality_accepted" ->
       """SELECT count(*) AS violations,
            coalesce(min(o_orderstatus), '') AS first_bad
@@ -355,6 +363,8 @@ object SparkEntry {
     "q_dedup_simhash" -> LlmOps.simhashSql,
     "q_text_stats" -> LlmOps.textStatsSql,
     "q_text_repetition" -> LlmOps.textRepetitionSql,
+    "q_quality_gopher" -> LlmOps.gopherQualitySql,
+    "q_unigram_lm" -> LlmOps.unigramLmTopKSql,
     "q_doc_fingerprints" -> LlmOps.docFingerprintsSql,
     "q_events_tumbling" -> Events.tumblingSql,
     "q_events_sliding" -> Events.slidingSql,

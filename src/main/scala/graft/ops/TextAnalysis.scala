@@ -118,6 +118,53 @@ object TextAnalysis {
       (acc, t) => pmod(acc * 31 + pmod(conv(substring(md5(t), 1, 15), 16, 10).cast(LongType), p), p))
   }
 
+  // ----------------------------------------------------- Gopher rules
+
+  /** Gopher-style document-quality rule verdicts (Rae et al. 2021 §A1.1
+    * shape): word-count bounds, mean-word-length bounds, alphabetic-word
+    * fraction, symbol-to-word ratio, minimum distinct stopwords. Every
+    * comparison is integer-exact (ratios are cross-multiplied, never
+    * divided) so the verdict is bit-identical across engines — no float
+    * epsilon at the keep/drop boundary. Map-only over the scan: at
+    * 100 TB this pipelines with the read, no exchange.
+    *
+    * Thresholds are parameters; the defaults are tuned to discriminate
+    * on the synthetic corpus (so the oracle actually exercises both
+    * branches of every rule) while keeping the production shape.
+    */
+  def gopherVerdicts(
+      df: DataFrame,
+      text: Column,
+      minTokens: Int = 20,
+      maxTokens: Int = 90,
+      // mean word length bounds as exact rationals: lo = 7/2, hi = 5/1
+      mwlLoNum: Int = 7, mwlLoDen: Int = 2,
+      mwlHiNum: Int = 5, mwlHiDen: Int = 1,
+      // alpha-word fraction >= 4/5; symbol-to-word ratio <= 1/10
+      alphaNum: Int = 4, alphaDen: Int = 5,
+      symNum: Int = 1, symDen: Int = 10,
+      minStopwords: Int = 2): DataFrame = {
+    val toks = tokens(text)
+    val n = size(toks).cast(LongType)
+    val sumLen = aggregate(toks, lit(0L), (acc, t) => acc + length(t))
+    val nAlpha = size(filter(toks, t => t.rlike("[A-Za-z]"))).cast(LongType)
+    val nSym = (regexp_count(text, lit("#")) +
+      regexp_count(text, lit("\\.\\.\\."))).cast(LongType)
+    val nStop = size(filter(array_distinct(toks),
+      t => t.isin(langMarkers.head._2.map(lit): _*)))
+    df.withColumn("n_tokens", size(toks))
+      .withColumn("rule_word_count", n >= minTokens && n <= maxTokens)
+      .withColumn("rule_mean_word_len",
+        sumLen * mwlLoDen >= n * mwlLoNum && sumLen * mwlHiDen <= n * mwlHiNum)
+      .withColumn("rule_alpha_words", nAlpha * alphaDen >= n * alphaNum)
+      .withColumn("rule_symbol_ratio", nSym * symDen <= n * symNum)
+      .withColumn("rule_stopwords", nStop >= minStopwords)
+      .withColumn("keep",
+        col("rule_word_count") && col("rule_mean_word_len") &&
+          col("rule_alpha_words") && col("rule_symbol_ratio") &&
+          col("rule_stopwords"))
+  }
+
   /** The full per-document analysis over the documents table. */
   def analyzeDocuments(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.load(spark, dir, "documents")

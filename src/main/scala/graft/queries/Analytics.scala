@@ -520,4 +520,85 @@ object Analytics {
         sum(col("l_quantity")).as("sum_qty"),
         count(lit(1)).as("n_items"))
   }
+
+  /** LATERAL correlated subquery with per-row LIMIT: for each region,
+    * its top-2 nations by customer count. Catalyst decorrelates the
+    * lateral into an aggregate + window-rank + join (the same plan the
+    * hand-written window formulation produces) — declarative top-k-per-
+    * group without collecting anything to the driver.
+    */
+  def sqlLateral(spark: SparkSession, dir: String): DataFrame = {
+    Tables.load(spark, dir, "region").createOrReplaceTempView("region_v")
+    Tables.load(spark, dir, "nation").createOrReplaceTempView("nation_v")
+    Tables.load(spark, dir, "customer").createOrReplaceTempView("customer_v")
+    spark.sql(
+      """SELECT r.r_name, t.n_name, t.n_cust
+        |FROM region_v r,
+        |LATERAL (
+        |  SELECT n.n_name, count(*) AS n_cust
+        |  FROM nation_v n JOIN customer_v c ON c.c_nationkey = n.n_nationkey
+        |  WHERE n.n_regionkey = r.r_regionkey
+        |  GROUP BY n.n_name
+        |  ORDER BY n_cust DESC, n.n_name
+        |  LIMIT 2) t""".stripMargin)
+  }
+
+  val sqlLateralSql: String =
+    """SELECT r.r_name, t.n_name, t.n_cust
+      |FROM region r,
+      |LATERAL (
+      |  SELECT n.n_name, count(*) AS n_cust
+      |  FROM nation n JOIN customer c ON c.c_nationkey = n.n_nationkey
+      |  WHERE n.n_regionkey = r.r_regionkey
+      |  GROUP BY n.n_name
+      |  ORDER BY n_cust DESC, n.n_name
+      |  LIMIT 2) t""".stripMargin
+
+  /** IGNORE NULLS window navigation: carry the last purchase amount
+    * forward across each user's event timeline (the classic
+    * last-observation-carried-forward shape — gap-filling sensor/price
+    * streams). The carried value is copied, never recomputed, so floats
+    * stay bit-identical; o_orderkey-style tiebreak on event_id keeps
+    * lead/last deterministic. One shuffle on user_id, one sort.
+    */
+  def windowIgnoreNulls(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.loadEvents(spark, dir)
+      .withColumn("last_purchase",
+        last(when(col("event_type") === "purchase", col("value")),
+          ignoreNulls = true).over(w))
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        col("last_purchase"))
+  }
+
+  val windowIgnoreNullsSql: String =
+    """SELECT event_id, user_id, event_type,
+      |  last_value(CASE WHEN event_type = 'purchase' THEN value END IGNORE NULLS)
+      |    OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS last_purchase
+      |FROM events""".stripMargin
+
+  /** Blocked fuzzy matching over part names (ops.FuzzyMatch): pairs of
+    * distinct names within 2 edits, blocked on the last name token so
+    * the self-join never goes all-pairs. Runs on the distinct-name
+    * vocabulary, not the row dimension.
+    */
+  def fuzzyPartNames(spark: SparkSession, dir: String): DataFrame =
+    graft.ops.FuzzyMatch.blockedPairs(
+      Tables.load(spark, dir, "part"),
+      value = col("p_name"),
+      blockKey = element_at(split(col("p_name"), " "), -1),
+      maxDist = 2)
+
+  val fuzzyPartNamesSql: String =
+    """WITH names AS (SELECT DISTINCT p_name AS value,
+      |    list_extract(string_split(p_name, ' '), len(string_split(p_name, ' '))) AS blk
+      |  FROM part)
+      |SELECT a.value AS value_a, b.value AS value_b,
+      |  levenshtein(a.value, b.value) AS dist
+      |FROM names a JOIN names b ON a.blk = b.blk AND a.value < b.value
+      |WHERE levenshtein(a.value, b.value) <= 2""".stripMargin
 }

@@ -274,6 +274,52 @@ object LlmOps {
         col("r.dup_large_frac").as("dup8_frac"))
   }
 
+  /** Gopher-rule quality verdicts per document (see
+    * TextAnalysis.gopherVerdicts): five integer-exact rule booleans plus
+    * the combined keep flag — the filter face a curation pass joins
+    * against. Map-only, no exchange.
+    */
+  def gopherQuality(spark: SparkSession, dir: String): DataFrame =
+    TextAnalysis.gopherVerdicts(
+      Tables.load(spark, dir, "documents").select(col("doc_id"), col("text")),
+      col("text"))
+      .drop("text")
+
+  /** Corpus-unigram language-model score per document: the mean corpus
+    * relative frequency of the document's tokens — the cheap KenLM-style
+    * quality proxy (fluent/common text scores high, rare-token noise
+    * scores low). The numerator sum(tf_doc(t) * cf_corpus(t)) is exact
+    * int64; only the final normalization divides, so the score is
+    * bit-identical across engines.
+    *
+    * Shape at 100 TB: two token-keyed aggregations (inverted-index
+    * shuffles, linear in corpus tokens) + one join of per-doc term
+    * frequencies against the corpus vocabulary on token — the vocabulary
+    * side is heavy-hitter-skewed, but tf rows per token are bounded by
+    * the doc count and AQE skew-split covers the hot tokens; the corpus
+    * total is a driver-side scalar parameter (one agg row), not dataflow.
+    */
+  def unigramLmTopK(spark: SparkSession, dir: String, k: Int = 50): DataFrame = {
+    val docs = Tables.load(spark, dir, "documents")
+    val toks = docs.select(col("doc_id"),
+      explode(TextAnalysis.tokens(col("text"))).as("token"))
+    val tf = toks.groupBy(col("doc_id"), col("token"))
+      .agg(count(lit(1)).as("tf"))
+    val vocab = CacheBin.pin(
+      toks.groupBy(col("token")).agg(count(lit(1)).as("cf")))
+    val totalTokens = vocab.agg(sum(col("cf"))).collect()(0).getLong(0)
+    tf.join(vocab, Seq("token"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("tf") * col("cf")).as("score_num"),
+        sum(col("tf")).as("n_tokens"))
+      .withColumn("lm_score",
+        col("score_num").cast(DoubleType) /
+          (col("n_tokens") * lit(totalTokens)).cast(DoubleType))
+      .select(col("doc_id"), col("n_tokens"), col("score_num"), col("lm_score"))
+      .orderBy(col("lm_score").desc, col("doc_id"))
+      .limit(k)
+  }
+
   def docFingerprints(spark: SparkSession, dir: String): DataFrame =
     Tables.load(spark, dir, "documents")
       .select(col("doc_id"),
@@ -855,6 +901,49 @@ object LlmOps {
        |  md5(array_to_string(list_sort(list_distinct(t)), ' ')) AS fingerprint
        |FROM scored""".stripMargin
   }
+
+  /** Mirrors TextAnalysis.gopherVerdicts: integer-exact cross-multiplied
+    * comparisons, so the keep/drop boundary is float-free on both sides.
+    */
+  val gopherQualitySql: String = {
+    val stop = TextAnalysis.langMarkers.head._2.map(m => s"'$m'").mkString(",")
+    s"""WITH base AS (SELECT doc_id, text,
+       |    string_split_regex(trim(text), '\\s+') AS t FROM documents),
+       |m AS (SELECT doc_id,
+       |    len(t)::BIGINT AS n,
+       |    list_sum(list_transform(t, x -> length(x)))::BIGINT AS sum_len,
+       |    len(list_filter(t, x -> regexp_matches(x, '[A-Za-z]')))::BIGINT AS n_alpha,
+       |    (len(regexp_extract_all(text, '#')) +
+       |     len(regexp_extract_all(text, '\\.\\.\\.')))::BIGINT AS n_sym,
+       |    len(list_filter(list_distinct(t), x -> x IN ($stop))) AS n_stop
+       |  FROM base)
+       |SELECT doc_id,
+       |  CAST(n AS INT) AS n_tokens,
+       |  (n >= 20 AND n <= 90) AS rule_word_count,
+       |  (sum_len * 2 >= n * 7 AND sum_len * 1 <= n * 5) AS rule_mean_word_len,
+       |  (n_alpha * 5 >= n * 4) AS rule_alpha_words,
+       |  (n_sym * 10 <= n * 1) AS rule_symbol_ratio,
+       |  (n_stop >= 2) AS rule_stopwords,
+       |  (n >= 20 AND n <= 90 AND sum_len * 2 >= n * 7 AND sum_len * 1 <= n * 5
+       |    AND n_alpha * 5 >= n * 4 AND n_sym * 10 <= n * 1
+       |    AND n_stop >= 2) AS keep
+       |FROM m""".stripMargin
+  }
+
+  /** Mirrors unigramLmTopK: exact-int64 numerator, one final division. */
+  val unigramLmTopKSql: String =
+    """WITH toks AS (SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS token
+      |  FROM documents),
+      |tf AS (SELECT doc_id, token, count(*)::BIGINT AS tf FROM toks GROUP BY 1, 2),
+      |vocab AS (SELECT token, count(*)::BIGINT AS cf FROM toks GROUP BY 1),
+      |total AS (SELECT sum(cf)::BIGINT AS total FROM vocab),
+      |scored AS (SELECT doc_id,
+      |    sum(tf * cf)::BIGINT AS score_num, sum(tf)::BIGINT AS n_tokens
+      |  FROM tf JOIN vocab USING (token) GROUP BY doc_id)
+      |SELECT doc_id, n_tokens, score_num,
+      |  score_num::DOUBLE / (n_tokens * total.total)::DOUBLE AS lm_score
+      |FROM scored, total
+      |ORDER BY lm_score DESC, doc_id LIMIT 50""".stripMargin
 
   val docFingerprintsSql: String =
     """WITH base AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS t

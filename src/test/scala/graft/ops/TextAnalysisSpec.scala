@@ -83,4 +83,44 @@ class TextAnalysisSpec extends SparkSpec {
     val r3 = byText("solo")
     assert(r3.isNullAt(1) && r3.isNullAt(2) && r3.isNullAt(3))
   }
+
+  test("gopherVerdicts: each rule fails on its own counterexample") {
+    // 25 tokens of the right shape that passes everything
+    val good = (Seq.fill(10)("the quick") :+ "brown fox and dogs is").mkString(" ")
+    val cases = Seq(
+      ("good", good),
+      ("short", "the cat is a dog"),                       // < 20 tokens
+      ("longwords", Seq.fill(8)("extraordinarily extraordinarily the a")
+        .mkString(" ")),                                   // mean len 8.5 > 5
+      ("symbols", (Seq.fill(5)("# # # the cat") :+ "a of and is x y z w q r")
+        .mkString(" ")),                                   // sym ratio > 0.1
+      ("nostop", Seq.fill(25)("lorem ipsum").mkString(" "))) // 0 stopwords
+    val got = TextAnalysis.gopherVerdicts(
+        cases.toDF("id", "text"), col("text"))
+      .select(col("id"), col("rule_word_count"), col("rule_mean_word_len"),
+        col("rule_symbol_ratio"), col("rule_stopwords"), col("keep"))
+      .collect().map(r => r.getString(0) ->
+        (r.getBoolean(1), r.getBoolean(2), r.getBoolean(3), r.getBoolean(4),
+          r.getBoolean(5))).toMap
+    assert(got("good") === ((true, true, true, true, true)))
+    assert(got("short")._1 === false && got("short")._5 === false)
+    assert(got("longwords")._2 === false && got("longwords")._5 === false)
+    assert(got("symbols")._3 === false && got("symbols")._5 === false)
+    assert(got("nostop")._4 === false && got("nostop")._5 === false)
+  }
+
+  test("unigramLmTopK: common-token docs outscore rare-token docs, exactly") {
+    val dir = java.nio.file.Files.createTempDirectory("unigram").toString
+    // corpus: 'common' appears 4x, 'rare' 1x, 'other' 1x → total 6 tokens
+    Seq((1L, "common common"), (2L, "common common"), (3L, "rare other"))
+      .toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = graft.queries.LlmOps.unigramLmTopK(spark, dir, k = 10)
+      .select(col("doc_id"), col("score_num"), col("lm_score"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    // docs 1,2: score_num = 2*4+... = 8, lm = 8/(2*6); doc 3: 1+1=2, 2/(2*6)
+    assert(got.take(2).map(_._1).toSet === Set(1L, 2L))
+    assert(got.take(2).forall(t => t._2 === 8L && t._3 === 8.0 / 12.0))
+    assert(got(2) === ((3L, 2L, 2.0 / 12.0)))
+  }
 }
