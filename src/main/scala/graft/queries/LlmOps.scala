@@ -303,18 +303,24 @@ object LlmOps {
     val docs = Tables.load(spark, dir, "documents")
     val toks = docs.select(col("doc_id"),
       explode(TextAnalysis.tokens(col("text"))).as("token"))
-    val tf = toks.groupBy(col("doc_id"), col("token"))
-      .agg(count(lit(1)).as("tf"))
+    // One explode+aggregate over the corpus; the vocabulary is derived
+    // from the cached tf (distinct doc-token pairs, far smaller than the
+    // token stream) instead of a second scan. The corpus total rides
+    // along as a broadcast one-row join rather than a separate
+    // collect-job — the whole query is a single Spark job.
+    val tf = CacheBin.pin(toks.groupBy(col("doc_id"), col("token"))
+      .agg(count(lit(1)).as("tf")))
     val vocab = CacheBin.pin(
-      toks.groupBy(col("token")).agg(count(lit(1)).as("cf")))
-    val totalTokens = vocab.agg(sum(col("cf"))).collect()(0).getLong(0)
+      tf.groupBy(col("token")).agg(sum(col("tf")).as("cf")))
+    val total = vocab.agg(sum(col("cf")).as("total"))
     tf.join(vocab, Seq("token"))
       .groupBy(col("doc_id"))
       .agg(sum(col("tf") * col("cf")).as("score_num"),
         sum(col("tf")).as("n_tokens"))
+      .crossJoin(broadcast(total))
       .withColumn("lm_score",
         col("score_num").cast(DoubleType) /
-          (col("n_tokens") * lit(totalTokens)).cast(DoubleType))
+          (col("n_tokens") * col("total")).cast(DoubleType))
       .select(col("doc_id"), col("n_tokens"), col("score_num"), col("lm_score"))
       .orderBy(col("lm_score").desc, col("doc_id"))
       .limit(k)
