@@ -53,6 +53,8 @@ object SparkEntry {
     "q_window_topk" -> (Analytics.topOrdersPerPriority(_, _)),
     "q_window_ranking" -> (Analytics.rankingFamily(_, _)),
     "q_window_range_7d" -> (Events.rolling7d(_, _)),
+    "q_funnel" -> (Events.funnel(_, _)),
+    "q_cohort_retention" -> (Events.cohortRetention(_, _)),
     "q_percentiles" -> (Analytics.quantitiesQuartiles(_, _)),
     // — DV3F reshape pipeline (SURVEY §2.5, T1-T4)
     "q_unpivot" -> (Dv3fQueries.unpivotLineitem(_, _)),
@@ -392,6 +394,8 @@ object SparkEntry {
     "q_corpus_mix" -> Curation.corpusMixSql,
     "q_window_ranking" -> Analytics.rankingFamilySql,
     "q_window_range_7d" -> Events.rolling7dSql,
+    "q_funnel" -> Events.funnelSql,
+    "q_cohort_retention" -> Events.cohortRetentionSql,
     "q_asof_join" -> Events.asofPurchaseSql,
     "q_asof_join_native" -> Events.asofPurchaseSql,
     "q_asof_join_forward" -> Events.asofNextPurchaseSql,

@@ -266,4 +266,90 @@ object Events {
        |  count(*) AS n, $sumValue
        |FROM events WHERE regexp_extract(props, '"k": (\\d+)', 1)::INT >= 50
        |GROUP BY 1, 2""".stripMargin
+
+  /** Ordered conversion funnel signup → click → purchase: users counted
+    * at stage k only if they hit stage k's event STRICTLY AFTER their
+    * stage-k-1 entry time (min-entry semantics, the standard product-
+    * analytics funnel). Each stage is a filtered aggregate joined to the
+    * previous stage's entry times — filters push to the scan, the join
+    * key is user_id, every aggregate is partial-agg-friendly; at 100 TB
+    * the three stage tables shrink monotonically so the later joins ride
+    * on broadcast. Counts are exact ints.
+    */
+  def funnel(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.loadEvents(spark, dir)
+    def stage(tpe: String) = ev.filter(col("event_type") === tpe)
+    val s1 = stage("signup").groupBy(col("user_id")).agg(min(col("ts")).as("t1"))
+    val s2 = stage("click").join(s1, "user_id")
+      .filter(col("ts") > col("t1"))
+      .groupBy(col("user_id")).agg(min(col("ts")).as("t2"))
+    val s3 = stage("purchase").join(s2, "user_id")
+      .filter(col("ts") > col("t2"))
+      .groupBy(col("user_id")).agg(min(col("ts")).as("t3"))
+    val count = (df: DataFrame, st: Int, nm: String) =>
+      df.agg(count_distinct(col("user_id")).as("n_users"))
+        .select(lit(st).as("stage"), lit(nm).as("event_type"), col("n_users"))
+    count(s1, 1, "signup")
+      .unionAll(count(s2, 2, "click"))
+      .unionAll(count(s3, 3, "purchase"))
+  }
+
+  val funnelSql: String =
+    """WITH s1 AS (SELECT user_id, min(ts::TIMESTAMP) AS t1 FROM events
+      |    WHERE event_type = 'signup' GROUP BY user_id),
+      |s2 AS (SELECT e.user_id, min(e.ts::TIMESTAMP) AS t2 FROM events e
+      |    JOIN s1 USING (user_id)
+      |    WHERE e.event_type = 'click' AND e.ts::TIMESTAMP > s1.t1
+      |    GROUP BY e.user_id),
+      |s3 AS (SELECT e.user_id, min(e.ts::TIMESTAMP) AS t3 FROM events e
+      |    JOIN s2 USING (user_id)
+      |    WHERE e.event_type = 'purchase' AND e.ts::TIMESTAMP > s2.t2
+      |    GROUP BY e.user_id)
+      |SELECT 1 AS stage, 'signup' AS event_type, count(DISTINCT user_id) AS n_users FROM s1
+      |UNION ALL
+      |SELECT 2, 'click', count(DISTINCT user_id) FROM s2
+      |UNION ALL
+      |SELECT 3, 'purchase', count(DISTINCT user_id) FROM s3""".stripMargin
+
+  /** Weekly cohort retention: users bucketed by the ISO week of their
+    * first QUALIFYING event (first purchase ≥ 100 — first-touch on every
+    * event would put the whole corpus in cohort 1); each cohort's
+    * distinct active users counted at weekly offsets, negative offsets
+    * (activity before conversion) included. Two aggregations
+    * (first-touch per user, distinct user-week activity) joined on
+    * user_id — both partial-agg shuffles on keys that scale with users,
+    * not events; offsets are exact integer day arithmetic on
+    * Monday-aligned weeks (identical ISO semantics in both engines).
+    */
+  def cohortRetention(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.loadEvents(spark, dir)
+    val firsts = ev
+      .filter(col("event_type") === "purchase" && col("value") >= 100)
+      .groupBy(col("user_id"))
+      .agg(date_trunc("week", min(col("ts"))).cast("date").as("cohort_week"))
+    val activity = ev
+      .select(col("user_id"),
+        date_trunc("week", col("ts")).cast("date").as("week"))
+      .distinct()
+    activity.join(firsts, "user_id")
+      .withColumn("week_offset",
+        (datediff(col("week"), col("cohort_week")) / 7).cast(IntegerType))
+      .groupBy(col("cohort_week"), col("week_offset"))
+      .agg(count_distinct(col("user_id")).as("n_active"))
+      .select(date_format(col("cohort_week"), "yyyy-MM-dd").as("cohort_week"),
+        col("week_offset"), col("n_active"))
+  }
+
+  val cohortRetentionSql: String =
+    """WITH firsts AS (SELECT user_id,
+      |    date_trunc('week', min(ts::TIMESTAMP))::DATE AS cohort_week
+      |  FROM events WHERE event_type = 'purchase' AND value >= 100
+      |  GROUP BY user_id),
+      |activity AS (SELECT DISTINCT user_id,
+      |    date_trunc('week', ts::TIMESTAMP)::DATE AS week FROM events)
+      |SELECT strftime(cohort_week, '%Y-%m-%d') AS cohort_week,
+      |  (datediff('day', cohort_week, week) // 7)::INT AS week_offset,
+      |  count(DISTINCT user_id) AS n_active
+      |FROM activity JOIN firsts USING (user_id)
+      |GROUP BY firsts.cohort_week, week_offset""".stripMargin
 }

@@ -1,0 +1,50 @@
+package graft.ops
+
+import graft.SparkSpec
+import graft.queries.Events
+import java.sql.Timestamp
+
+class FunnelSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  test("funnel counts a stage only when it happens strictly after the prior stage") {
+    val dir = java.nio.file.Files.createTempDirectory("funnel").toString
+    // user 1: full ordered funnel; user 2: click BEFORE signup (stops at
+    // stage 1); user 3: purchase BEFORE click (stops at stage 2).
+    Seq(
+      (1L, ts("2024-01-01 10:00:00"), 1L, "signup", 1.0, "{}"),
+      (2L, ts("2024-01-01 11:00:00"), 1L, "click", 1.0, "{}"),
+      (3L, ts("2024-01-01 12:00:00"), 1L, "purchase", 1.0, "{}"),
+      (4L, ts("2024-01-01 09:00:00"), 2L, "click", 1.0, "{}"),
+      (5L, ts("2024-01-01 10:00:00"), 2L, "signup", 1.0, "{}"),
+      (6L, ts("2024-01-01 10:00:00"), 3L, "signup", 1.0, "{}"),
+      (7L, ts("2024-01-01 12:00:00"), 3L, "click", 1.0, "{}"),
+      (8L, ts("2024-01-01 11:00:00"), 3L, "purchase", 1.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val got = Events.funnel(spark, dir)
+      .as[(Int, String, Long)].collect().sortBy(_._1)
+    assert(got === Array(
+      (1, "signup", 3L), (2, "click", 2L), (3, "purchase", 1L)))
+  }
+
+  test("cohort offsets are week-aligned, including pre-conversion activity") {
+    val dir = java.nio.file.Files.createTempDirectory("cohort").toString
+    // user 1 qualifies (purchase 150) in the week of Jan 8 (Mon), active
+    // the week before (offset -1) and two weeks after (offset 2);
+    // user 2 never qualifies and must not appear.
+    Seq(
+      (1L, ts("2024-01-03 10:00:00"), 1L, "view", 1.0, "{}"),
+      (2L, ts("2024-01-10 10:00:00"), 1L, "purchase", 150.0, "{}"),
+      (3L, ts("2024-01-24 10:00:00"), 1L, "click", 1.0, "{}"),
+      (4L, ts("2024-01-10 10:00:00"), 2L, "purchase", 50.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val got = Events.cohortRetention(spark, dir)
+      .as[(String, Int, Long)].collect().sortBy(_._2)
+    assert(got === Array(
+      ("2024-01-08", -1, 1L), ("2024-01-08", 0, 1L), ("2024-01-08", 2, 1L)))
+  }
+}
