@@ -55,6 +55,8 @@ object SparkEntry {
     "q_window_range_7d" -> (Events.rolling7d(_, _)),
     "q_funnel" -> (Events.funnel(_, _)),
     "q_cohort_retention" -> (Events.cohortRetention(_, _)),
+    "q_event_transitions" -> (Events.eventTransitions(_, _)),
+    "q_pagerank" -> ((s, d) => LlmOps.pagerankTopK(s, d)),
     "q_percentiles" -> (Analytics.quantitiesQuartiles(_, _)),
     // — DV3F reshape pipeline (SURVEY §2.5, T1-T4)
     "q_unpivot" -> (Dv3fQueries.unpivotLineitem(_, _)),
@@ -396,6 +398,8 @@ object SparkEntry {
     "q_window_range_7d" -> Events.rolling7dSql,
     "q_funnel" -> Events.funnelSql,
     "q_cohort_retention" -> Events.cohortRetentionSql,
+    "q_event_transitions" -> Events.eventTransitionsSql,
+    "q_pagerank" -> LlmOps.pagerankTopKSql,
     "q_asof_join" -> Events.asofPurchaseSql,
     "q_asof_join_native" -> Events.asofPurchaseSql,
     "q_asof_join_forward" -> Events.asofNextPurchaseSql,

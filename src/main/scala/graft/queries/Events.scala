@@ -267,6 +267,31 @@ object Events {
        |FROM events WHERE regexp_extract(props, '"k": (\\d+)', 1)::INT >= 50
        |GROUP BY 1, 2""".stripMargin
 
+  /** Event-type transition matrix (first-order Markov counts): for each
+    * user timeline ordered by (ts, event_id), count consecutive
+    * (prev_type → type) pairs — the path-analysis face behind "what do
+    * users do after X". One shuffle on user_id for the lag window, then
+    * a tiny grouped count; integer-exact.
+    */
+  def eventTransitions(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    Tables.loadEvents(spark, dir)
+      .withColumn("prev_type", lag(col("event_type"), 1).over(w))
+      .filter(col("prev_type").isNotNull)
+      .groupBy(col("prev_type"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+  }
+
+  val eventTransitionsSql: String =
+    """WITH t AS (SELECT user_id, event_type,
+      |    lag(event_type) OVER (PARTITION BY user_id
+      |      ORDER BY ts, event_id) AS prev_type
+      |  FROM events)
+      |SELECT prev_type, event_type, count(*) AS n
+      |FROM t WHERE prev_type IS NOT NULL GROUP BY 1, 2""".stripMargin
+
   /** Ordered conversion funnel signup → click → purchase: users counted
     * at stage k only if they hit stage k's event STRICTLY AFTER their
     * stage-k-1 entry time (min-entry semantics, the standard product-

@@ -52,6 +52,40 @@ object LlmOps {
     ConnectedComponents.run(CacheBin.pin(minhashLshDedup(spark, dir)))
       .select(col("id").as("doc_id"), col("root"))
 
+  /** PageRank centrality over the near-dup similarity graph: which
+    * documents sit at the center of duplicate neighborhoods (the
+    * representative-picking / inspection-ranking face of dedup). Top 50
+    * by integer-exact scaled rank (ops.PageRank), full tiebreak.
+    */
+  def pagerankTopK(spark: SparkSession, dir: String, k: Int = 50): DataFrame =
+    PageRank.run(CacheBin.pin(minhashLshDedup(spark, dir)), iters = 3)
+      .orderBy(col("rank").desc, col("id"))
+      .limit(k)
+      .select(col("id").as("doc_id"), col("rank"))
+
+  /** Mirrors pagerankTopK: the same integer floor-division update,
+    * unrolled per iteration (DuckDB `//` ≡ Spark `div` on positive
+    * int64).
+    */
+  lazy val pagerankTopKSql: String = {
+    val iters = 3
+    val scale = 1000000L
+    val steps = (1 to iters).map { i =>
+      s"""r$i AS (SELECT e.dst AS id,
+         |    CAST((${15L * scale} + 85 * sum(r.rank // d.deg)) // 100 AS BIGINT) AS rank
+         |  FROM edges e JOIN r${i - 1} r ON r.id = e.src
+         |  JOIN deg d ON d.src = e.src GROUP BY e.dst)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH pairs AS (SELECT doc_a, doc_b FROM ($minhashLshSql) q),
+       |edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+       |  UNION SELECT doc_b, doc_a FROM pairs),
+       |deg AS (SELECT src, count(*) AS deg FROM edges GROUP BY src),
+       |r0 AS (SELECT src AS id, CAST($scale AS BIGINT) AS rank FROM deg),
+       |$steps
+       |SELECT id AS doc_id, rank FROM r$iters
+       |ORDER BY rank DESC, id LIMIT 50""".stripMargin
+  }
+
   /** Incremental cluster maintenance: the PERSISTED corpus cluster map
     * (the previous ingest's output, staged by [[dedupArtifacts]])
     * merged with the incoming batch's cross pairs via
