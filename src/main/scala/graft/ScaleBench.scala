@@ -164,13 +164,27 @@ object ScaleBench {
       // replica-disjoint shingle/signature spaces ⇒ work ∝ k
       val (njSec, njRows, njEx) = best(queries.LlmOps.ngramJaccard(spark, dir))
       val (shSec, shRows, shEx) = best(queries.LlmOps.simhashPairs(spark, dir))
+      // fixed-iteration PageRank over the same pinned pair graph: each
+      // round is one vertex-keyed shuffle join, so time must scale with
+      // edges (∝ k), iterations constant
+      val (prSec, prRows, prEx) = {
+        graft.ops.CacheBin.releaseAll(); spark.catalog.clearCache()
+        val pairs = graft.ops.CacheBin.pin(
+          queries.LlmOps.minhashLshDedup(spark, dir))
+        pairs.count()
+        val r = bestWith(clearCaches = false)(
+          graft.ops.PageRank.run(pairs, iters = 3))
+        graft.ops.CacheBin.releaseAll()
+        r
+      }
       val row = scala.collection.immutable.ListMap(
         "lsh_pairs" -> (lshSec, lshRows, lshEx),
         "cc_distributed" -> (ccSec, ccRows, ccEx),
         "embed_neardup" -> (ndSec, ndRows, ndEx),
         "pack_sharded" -> (packSec, packRows, packEx),
         "ngram_jaccard" -> (njSec, njRows, njEx),
-        "simhash_pairs" -> (shSec, shRows, shEx))
+        "simhash_pairs" -> (shSec, shRows, shEx),
+        "pagerank" -> (prSec, prRows, prEx))
       row.foreach { case (op, (s, r, e)) =>
         println(s"""{"scale":$k,"op":"$op","sec":$s,"rows":$r,"exchanges":$e}""")
       }

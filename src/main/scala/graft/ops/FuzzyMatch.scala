@@ -33,7 +33,10 @@ object FuzzyMatch {
       value: Column,
       blockKey: Column,
       maxDist: Int): DataFrame = {
-    val names = df.select(value.as("value"), blockKey.as("blk")).distinct()
+    // pinned: both join sides project this distinct aggregate — without
+    // the pin the post-shuffle aggregation executes once per side
+    val names = CacheBin.pin(
+      df.select(value.as("value"), blockKey.as("blk")).distinct())
     val a = names.select(col("blk"), col("value").as("value_a"))
     val b = names.select(col("blk"), col("value").as("value_b"))
     a.join(b, Seq("blk"))

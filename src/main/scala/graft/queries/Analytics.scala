@@ -577,7 +577,7 @@ object Analytics {
   val windowIgnoreNullsSql: String =
     """SELECT event_id, user_id, event_type,
       |  last_value(CASE WHEN event_type = 'purchase' THEN value END IGNORE NULLS)
-      |    OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |    OVER (PARTITION BY user_id ORDER BY ts::TIMESTAMP, event_id
       |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS last_purchase
       |FROM events""".stripMargin
 

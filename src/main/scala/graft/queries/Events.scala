@@ -287,7 +287,7 @@ object Events {
   val eventTransitionsSql: String =
     """WITH t AS (SELECT user_id, event_type,
       |    lag(event_type) OVER (PARTITION BY user_id
-      |      ORDER BY ts, event_id) AS prev_type
+      |      ORDER BY ts::TIMESTAMP, event_id) AS prev_type
       |  FROM events)
       |SELECT prev_type, event_type, count(*) AS n
       |FROM t WHERE prev_type IS NOT NULL GROUP BY 1, 2""".stripMargin
@@ -311,12 +311,13 @@ object Events {
     val s3 = stage("purchase").join(s2, "user_id")
       .filter(col("ts") > col("t2"))
       .groupBy(col("user_id")).agg(min(col("ts")).as("t3"))
-    val count = (df: DataFrame, st: Int, nm: String) =>
-      df.agg(count_distinct(col("user_id")).as("n_users"))
+    // each stage frame is grouped by user_id, so plain count == distinct
+    val stageCount = (df: DataFrame, st: Int, nm: String) =>
+      df.agg(count(lit(1)).as("n_users"))
         .select(lit(st).as("stage"), lit(nm).as("event_type"), col("n_users"))
-    count(s1, 1, "signup")
-      .unionAll(count(s2, 2, "click"))
-      .unionAll(count(s3, 3, "purchase"))
+    stageCount(s1, 1, "signup")
+      .unionAll(stageCount(s2, 2, "click"))
+      .unionAll(stageCount(s3, 3, "purchase"))
   }
 
   val funnelSql: String =
@@ -330,11 +331,11 @@ object Events {
       |    JOIN s2 USING (user_id)
       |    WHERE e.event_type = 'purchase' AND e.ts::TIMESTAMP > s2.t2
       |    GROUP BY e.user_id)
-      |SELECT 1 AS stage, 'signup' AS event_type, count(DISTINCT user_id) AS n_users FROM s1
+      |SELECT 1 AS stage, 'signup' AS event_type, count(*) AS n_users FROM s1
       |UNION ALL
-      |SELECT 2, 'click', count(DISTINCT user_id) FROM s2
+      |SELECT 2, 'click', count(*) FROM s2
       |UNION ALL
-      |SELECT 3, 'purchase', count(DISTINCT user_id) FROM s3""".stripMargin
+      |SELECT 3, 'purchase', count(*) FROM s3""".stripMargin
 
   /** Weekly cohort retention: users bucketed by the ISO week of their
     * first QUALIFYING event (first purchase ≥ 100 — first-touch on every

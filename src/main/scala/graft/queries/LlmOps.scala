@@ -352,9 +352,14 @@ object LlmOps {
       .agg(sum(col("tf") * col("cf")).as("score_num"),
         sum(col("tf")).as("n_tokens"))
       .crossJoin(broadcast(total))
+      // denominator multiplied in DOUBLE space: n_tokens * total would
+      // wrap int64 at real corpus scale (1e5-token docs × 1e14 corpus
+      // tokens); the double product is deterministic IEEE on both
+      // engines. score_num stays int64 (≤ max_doc_tokens × max_cf,
+      // ~1e17 even at 100 TB).
       .withColumn("lm_score",
         col("score_num").cast(DoubleType) /
-          (col("n_tokens") * col("total")).cast(DoubleType))
+          (col("n_tokens").cast(DoubleType) * col("total").cast(DoubleType)))
       .select(col("doc_id"), col("n_tokens"), col("score_num"), col("lm_score"))
       .orderBy(col("lm_score").desc, col("doc_id"))
       .limit(k)
@@ -981,7 +986,7 @@ object LlmOps {
       |    sum(tf * cf)::BIGINT AS score_num, sum(tf)::BIGINT AS n_tokens
       |  FROM tf JOIN vocab USING (token) GROUP BY doc_id)
       |SELECT doc_id, n_tokens, score_num,
-      |  score_num::DOUBLE / (n_tokens * total.total)::DOUBLE AS lm_score
+      |  score_num::DOUBLE / (n_tokens::DOUBLE * total.total::DOUBLE) AS lm_score
       |FROM scored, total
       |ORDER BY lm_score DESC, doc_id LIMIT 50""".stripMargin
 
