@@ -56,6 +56,8 @@ object SparkEntry {
     "q_funnel" -> (Events.funnel(_, _)),
     "q_cohort_retention" -> (Events.cohortRetention(_, _)),
     "q_event_transitions" -> (Events.eventTransitions(_, _)),
+    "q_trend_slope" -> (Events.trendSlope(_, _)),
+    "q_anomaly_days" -> (Events.anomalyDays(_, _)),
     "q_pagerank" -> ((s, d) => LlmOps.pagerankTopK(s, d)),
     "q_percentiles" -> (Analytics.quantitiesQuartiles(_, _)),
     // — DV3F reshape pipeline (SURVEY §2.5, T1-T4)
@@ -399,6 +401,8 @@ object SparkEntry {
     "q_funnel" -> Events.funnelSql,
     "q_cohort_retention" -> Events.cohortRetentionSql,
     "q_event_transitions" -> Events.eventTransitionsSql,
+    "q_trend_slope" -> Events.trendSlopeSql,
+    "q_anomaly_days" -> Events.anomalyDaysSql,
     "q_pagerank" -> LlmOps.pagerankTopKSql,
     "q_asof_join" -> Events.asofPurchaseSql,
     "q_asof_join_native" -> Events.asofPurchaseSql,

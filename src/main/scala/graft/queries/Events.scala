@@ -267,6 +267,77 @@ object Events {
        |FROM events WHERE regexp_extract(props, '"k": (\\d+)', 1)::INT >= 50
        |GROUP BY 1, 2""".stripMargin
 
+  /** Per-type OLS trend of daily event volume, as an EXACT RATIONAL:
+    * slope = (d·Σxy − Σx·Σy) / (d·Σx² − (Σx)²) over (x = day index
+    * from 2024-01-01, y = daily count). Both terms are int64 sums —
+    * engines agree bit-for-bit on num/den, and the emitted double slope
+    * is one deterministic IEEE division. Float regr_slope() would be
+    * summation-order-dependent; this is the associativity-proof
+    * formulation. Two partial-agg shuffles (day grain, then type grain).
+    */
+  def trendSlope(spark: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.loadEvents(spark, dir)
+      .groupBy(col("event_type"),
+        datediff(col("ts").cast("date"), lit("2024-01-01").cast("date"))
+          .cast(LongType).as("x"))
+      .agg(count(lit(1)).as("y"))
+    daily.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("d"), sum(col("x")).as("sx"),
+        sum(col("y")).as("sy"), sum(col("x") * col("y")).as("sxy"),
+        sum(col("x") * col("x")).as("sxx"))
+      .select(col("event_type"),
+        (col("d") * col("sxy") - col("sx") * col("sy")).as("num"),
+        (col("d") * col("sxx") - col("sx") * col("sx")).as("den"))
+      .withColumn("slope",
+        col("num").cast(DoubleType) / col("den").cast(DoubleType))
+  }
+
+  val trendSlopeSql: String =
+    """WITH daily AS (SELECT event_type,
+      |    datediff('day', DATE '2024-01-01', ts::TIMESTAMP::DATE)::BIGINT AS x,
+      |    count(*)::BIGINT AS y
+      |  FROM events GROUP BY 1, 2),
+      |s AS (SELECT event_type, count(*)::BIGINT AS d, sum(x)::BIGINT AS sx,
+      |    sum(y)::BIGINT AS sy, sum(x*y)::BIGINT AS sxy, sum(x*x)::BIGINT AS sxx
+      |  FROM daily GROUP BY 1)
+      |SELECT event_type,
+      |  (d*sxy - sx*sy)::BIGINT AS num, (d*sxx - sx*sx)::BIGINT AS den,
+      |  (d*sxy - sx*sy)::DOUBLE / (d*sxx - sx*sx)::DOUBLE AS slope
+      |FROM s""".stripMargin
+
+  /** Volume-anomaly days per event type: flag days where the daily
+    * count deviates from the type's mean by more than 2 population
+    * standard deviations — entirely in cross-multiplied int64
+    * ((d·y − Σy)² > 4·(d·Σy² − (Σy)²), the float-free form of
+    * |y − μ| > 2σ), so the flag boundary is bit-identical across
+    * engines. Same two-level aggregation as the trend, then a broadcast
+    * join of the 5-row stats table back onto the daily grain.
+    */
+  def anomalyDays(spark: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.loadEvents(spark, dir)
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("y"))
+    val stats = daily.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("d"), sum(col("y")).as("sy"),
+        sum(col("y") * col("y")).as("syy"))
+    val dev = col("d") * col("y") - col("sy")
+    daily.join(broadcast(stats), "event_type")
+      .select(col("event_type"),
+        date_format(col("day"), "yyyy-MM-dd").as("day"), col("y"),
+        (dev * dev > lit(4) * (col("d") * col("syy") - col("sy") * col("sy")))
+          .as("is_anomaly"))
+  }
+
+  val anomalyDaysSql: String =
+    """WITH daily AS (SELECT event_type, ts::TIMESTAMP::DATE AS day,
+      |    count(*)::BIGINT AS y
+      |  FROM events GROUP BY 1, 2),
+      |s AS (SELECT event_type, count(*)::BIGINT AS d, sum(y)::BIGINT AS sy,
+      |    sum(y*y)::BIGINT AS syy FROM daily GROUP BY 1)
+      |SELECT event_type, strftime(day, '%Y-%m-%d') AS day, y,
+      |  ((d*y - sy)*(d*y - sy) > 4*(d*syy - sy*sy)) AS is_anomaly
+      |FROM daily JOIN s USING (event_type)""".stripMargin
+
   /** Event-type transition matrix (first-order Markov counts): for each
     * user timeline ordered by (ts, event_id), count consecutive
     * (prev_type → type) pairs — the path-analysis face behind "what do

@@ -30,6 +30,34 @@ class FunnelSpec extends SparkSpec {
       (1, "signup", 3L), (2, "click", 2L), (3, "purchase", 1L)))
   }
 
+  test("trendSlope: exact rational slope on a constructed series") {
+    val dir = java.nio.file.Files.createTempDirectory("trend").toString
+    // type A daily counts: day0→1, day1→2, day2→3 ⇒ slope exactly 1
+    val rows = for {
+      (day, n) <- Seq((1, 1), (2, 2), (3, 3)); i <- 1 to n
+    } yield (day * 100L + i, ts(f"2024-01-0$day 10:00:00"), i.toLong, "A", 1.0, "{}")
+    rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val got = graft.queries.Events.trendSlope(spark, dir)
+      .as[(String, Long, Long, Double)].collect()
+    assert(got === Array(("A", 6L, 6L, 1.0)))
+  }
+
+  test("anomalyDays flags exactly the >2-sigma day, integer-exactly") {
+    val dir = java.nio.file.Files.createTempDirectory("anomaly").toString
+    // 9 days of 1 event + 1 day of 11: only the spike passes
+    // (d·y − Σ)² > 4(d·Σy² − Σ²) ⟺ 8100 > 3600
+    val rows = for {
+      day <- 1 to 10; i <- 1 to (if (day == 10) 11 else 1)
+    } yield (day * 100L + i, ts(f"2024-01-$day%02d 10:00:00"), i.toLong, "A", 1.0, "{}")
+    rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val got = graft.queries.Events.anomalyDays(spark, dir)
+      .as[(String, String, Long, Boolean)].collect()
+    assert(got.count(_._4) === 1)
+    assert(got.filter(_._4).head._2 === "2024-01-10")
+  }
+
   test("cohort offsets are week-aligned, including pre-conversion activity") {
     val dir = java.nio.file.Files.createTempDirectory("cohort").toString
     // user 1 qualifies (purchase 150) in the week of Jan 8 (Mon), active
