@@ -121,6 +121,46 @@ object LlmOps {
       .select(col("doc_id"), col("n_chars"))
   }
 
+  /** Quality-aware survivor policy: within each duplicate cluster keep
+    * the LONGEST document (n_chars, doc_id tiebreak) instead of the
+    * min-id canonical — the "keep the best copy" curation rule
+    * (truncated mirrors lose to the full text). The ranking window
+    * runs on the cluster-member table only (≪ corpus: just docs that
+    * appear in a near-dup pair), and the drop list broadcasts back as
+    * an anti-join — per-query work at 100 TB is scan + broadcast,
+    * same as [[dedupSurvivors]].
+    */
+  def dedupSurvivorsBest(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val art = dedupArtifacts(spark, dir)
+    val docs = Tables.load(spark, dir, "documents")
+    val members = spark.read.parquet(s"$art/clusters")
+      .join(docs.select(col("doc_id"), col("n_chars")), "doc_id")
+    val w = Window.partitionBy(col("root"))
+      .orderBy(col("n_chars").desc, col("doc_id"))
+    val drops = members.withColumn("rn", row_number().over(w))
+      .filter(col("rn") > 1).select("doc_id")
+    docs.join(drops, Seq("doc_id"), "left_anti")
+      .select(col("doc_id"), col("n_chars"))
+  }
+
+  lazy val dedupSurvivorsBestSql: String =
+    s"""WITH RECURSIVE pairs AS (SELECT doc_a, doc_b FROM ($minhashLshSql) q),
+       |edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+       |  UNION SELECT doc_b, doc_a FROM pairs),
+       |reach(id, r) AS (
+       |  SELECT src, src FROM edges
+       |  UNION
+       |  SELECT e.src, reach.r FROM edges e JOIN reach ON e.dst = reach.id),
+       |roots AS (SELECT id, min(r) AS root FROM reach GROUP BY id),
+       |ranked AS (SELECT r.id AS doc_id,
+       |    row_number() OVER (PARTITION BY r.root
+       |      ORDER BY d.n_chars DESC, r.id) AS rn
+       |  FROM roots r JOIN documents d ON d.doc_id = r.id),
+       |drops AS (SELECT doc_id FROM ranked WHERE rn > 1)
+       |SELECT d.doc_id, d.n_chars FROM documents d
+       |WHERE d.doc_id NOT IN (SELECT doc_id FROM drops)""".stripMargin
+
   /** Incremental ingest gate, exact: an "incoming batch" checked against
     * the existing corpus by content hash. The batch is a deterministic
     * crawl-delta simulation — fresh docs (doc_id % 10 == 0) plus
