@@ -94,6 +94,7 @@ object SparkEntry {
     "q_dedup_cc" -> (LlmOps.dedupClusters(_, _)),
     "q_dedup_survivors" -> (LlmOps.dedupSurvivors(_, _)),
     "q_dedup_survivors_best" -> (LlmOps.dedupSurvivorsBest(_, _)),
+    "q_curation_report" -> (LlmOps.curationReport(_, _)),
     "q_dedup_cc_incr" -> (LlmOps.dedupClustersIncremental(_, _)),
     "q_dedup_ngram_jaccard" -> (LlmOps.ngramJaccard(_, _)),
     "q_dedup_simhash" -> (LlmOps.simhashSignatures(_, _)),
@@ -350,6 +351,7 @@ object SparkEntry {
     "q_dedup_cc" -> LlmOps.dedupClustersSql,
     "q_dedup_survivors" -> LlmOps.dedupSurvivorsSql,
     "q_dedup_survivors_best" -> LlmOps.dedupSurvivorsBestSql,
+    "q_curation_report" -> LlmOps.curationReportSql,
     "q_dedup_cc_incr" -> LlmOps.dedupClustersIncrSql,
     "q_dedup_simhash_pairs" -> LlmOps.simhashPairsSql,
     "q_corpus_clean" -> LlmOps.corpusCleanSql,

@@ -121,6 +121,57 @@ object LlmOps {
       .select(col("doc_id"), col("n_chars"))
   }
 
+  /** Per-source curation funnel report — the operators composed as an
+    * audit: how many documents each source contributes, how many fall
+    * to exact dedup, to near-dup LSH, to the Gopher quality rules, and
+    * how many survive everything. Flags come from the PERSISTED
+    * artifacts (exact keepers, LSH losers) plus the map-only rule
+    * verdicts; both drop lists broadcast onto the scan, so the report
+    * is one pass over documents + one small aggregation. The count
+    * columns are definitionally overlapping (a doc can be both a near
+    * dup and low quality); n_kept is the conjunction.
+    */
+  def curationReport(spark: SparkSession, dir: String): DataFrame = {
+    val art = dedupArtifacts(spark, dir)
+    val docs = Tables.load(spark, dir, "documents")
+    val flagged = TextAnalysis.gopherVerdicts(
+        docs.select(col("doc_id"), col("source"), col("text")), col("text"))
+      .join(spark.read.parquet(s"$art/keepers")
+        .withColumn("is_exact_keep", lit(true)), Seq("doc_id"), "left")
+      .join(spark.read.parquet(s"$art/losers")
+        .withColumn("is_near_drop", lit(true)), Seq("doc_id"), "left")
+    flagged.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("is_exact_keep").isNull, 1L).otherwise(0L)).as("n_exact_dup"),
+        sum(when(col("is_near_drop").isNotNull, 1L).otherwise(0L)).as("n_near_dup"),
+        sum(when(!col("keep"), 1L).otherwise(0L)).as("n_quality_fail"),
+        sum(when(col("is_exact_keep").isNotNull &&
+          col("is_near_drop").isNull && col("keep"), 1L).otherwise(0L))
+          .as("n_kept"))
+  }
+
+  /** Mirrors curationReport: exact keepers = min doc_id per content
+    * hash; near-dup losers = distinct higher-id members of verified LSH
+    * pairs; quality = the Gopher verdict SQL.
+    */
+  lazy val curationReportSql: String =
+    s"""WITH keepers AS (SELECT min(doc_id) AS doc_id FROM documents
+       |  GROUP BY sha256(text)),
+       |losers AS (SELECT DISTINCT doc_b AS doc_id FROM ($minhashLshSql)),
+       |quality AS (SELECT doc_id, keep FROM ($gopherQualitySql)),
+       |flagged AS (SELECT d.doc_id, d.source,
+       |    (d.doc_id IN (SELECT doc_id FROM keepers)) AS is_exact_keep,
+       |    (d.doc_id IN (SELECT doc_id FROM losers)) AS is_near_drop,
+       |    q.keep
+       |  FROM documents d JOIN quality q USING (doc_id))
+       |SELECT source, count(*) AS n_docs,
+       |  CAST(sum(CASE WHEN NOT is_exact_keep THEN 1 ELSE 0 END) AS BIGINT) AS n_exact_dup,
+       |  CAST(sum(CASE WHEN is_near_drop THEN 1 ELSE 0 END) AS BIGINT) AS n_near_dup,
+       |  CAST(sum(CASE WHEN NOT keep THEN 1 ELSE 0 END) AS BIGINT) AS n_quality_fail,
+       |  CAST(sum(CASE WHEN is_exact_keep AND NOT is_near_drop AND keep
+       |    THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
+       |FROM flagged GROUP BY source""".stripMargin
+
   /** Quality-aware survivor policy: within each duplicate cluster keep
     * the LONGEST document (n_chars, doc_id tiebreak) instead of the
     * min-id canonical — the "keep the best copy" curation rule
