@@ -152,7 +152,15 @@ object SparkEntry {
     "q_events_sliding" -> (Events.sliding(_, _)),
     "q_events_sessionize" -> (Events.sessionize(_, _)),
     "q_events_session_window" -> (Events.sessionWindow(_, _)),
-    "q_events_json" -> (Events.jsonProps(_, _))
+    "q_events_json" -> (Events.jsonProps(_, _)),
+    // — table maintenance: CDC merge, incremental aggregates, zone maps
+    "q_cdc_merge" -> (Maintenance.cdcMerge(_, _)),
+    "q_incr_agg" -> (Maintenance.incrAgg(_, _)),
+    "q_zonemap_scan" -> (Maintenance.zonemapScan(_, _)),
+    // — curation: per-language gate, training-order shuffle, projection
+    "q_quality_stratified" -> (Curation.qualityStratifiedGate(_, _)),
+    "q_shuffle_batches" -> ((s, d) => Curation.shuffleBatches(s, d)),
+    "q_embed_project" -> ((s, d) => LlmOps.embedProject(s, d))
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -381,6 +389,12 @@ object SparkEntry {
     "q_events_sessionize" -> Events.sessionizeSql,
     "q_events_session_window" -> Events.sessionWindowSql,
     "q_events_json" -> Events.jsonPropsSql,
+    "q_cdc_merge" -> Maintenance.cdcMergeSql,
+    "q_incr_agg" -> Maintenance.incrAggSql,
+    "q_zonemap_scan" -> Maintenance.zonemapScanSql,
+    "q_quality_stratified" -> Curation.qualityStratifiedGateSql,
+    "q_shuffle_batches" -> Curation.shuffleBatchesSql,
+    "q_embed_project" -> LlmOps.embedProjectSql,
     "q_embed_topk" -> LlmOps.embedTopKSql,
     "q_embed_topk_i8" -> LlmOps.embedTopKI8Sql,
     "q_embed_neardup" -> LlmOps.embedNearDupSql,

@@ -1,0 +1,79 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Incremental aggregate maintenance: keep a small per-key state table
+  * of MERGEABLE partials (count / exact-decimal sum / min / max) and
+  * fold delta batches into it, so a dashboard aggregate over a 100 TB
+  * fact table is served by merging yesterday's state with today's
+  * GB-scale delta instead of rescanning history. The reference recomputes
+  * its dashboard aggregates from the full staging table on every run
+  * (`evidence-workspace/pages/index.md:16-97`); this is the
+  * incremental-view-maintenance upgrade of that surface.
+  *
+  * Algebra: state rows are (keys, cnt, sum, min, max) per measure.
+  *   - `partial(batch)` map-side-combines a batch into state shape;
+  *   - `merge(a, b)` unions state tables and re-combines (cnt/sum add,
+  *     min/max fold) — associative and commutative, so batches can land
+  *     in any order and partials can themselves be pre-merged;
+  *   - `merge(partial(b1), partial(b2), ...)` ≡ `partial(b1 ∪ b2 ∪ ...)`
+  *     exactly, because sums run in DECIMAL(18,2): decimal addition is
+  *     associative (no float re-ordering drift), so the maintained state
+  *     hash-matches a from-scratch recompute — IncrementalAggSpec and
+  *     the q_incr_agg oracle row both pin this.
+  *
+  * Retractions: `partialSigned` accepts a ±1 multiplicity column and
+  * maintains cnt/sum under deletes (cnt = Σmult, sum = Σ x·mult) —
+  * min/max are deliberately absent from the signed face (they are not
+  * retractable without per-key value multisets; a delete-heavy pipeline
+  * recomputes those from the survivor table instead).
+  *
+  * Scale: state cardinality is the GROUP BY key space, not the fact
+  * row count — partial() is one map-side-combined shuffle over the
+  * delta only, and merge() shuffles only two state tables.
+  */
+object IncrementalAgg {
+
+  private def dec(c: Column): Column = c.cast(DecimalType(18, 2))
+
+  /** Collapse one batch to state shape: (keys, n, sum_, min_, max_). */
+  def partial(batch: DataFrame, keys: Seq[String], measure: String): DataFrame =
+    batch.groupBy(keys.map(col): _*)
+      .agg(count(lit(1)).as("n"),
+        sum(dec(col(measure))).as("sum_"),
+        min(col(measure)).as("min_"),
+        max(col(measure)).as("max_"))
+
+  /** Merge any number of state tables into one. */
+  def merge(states: Seq[DataFrame], keys: Seq[String]): DataFrame = {
+    require(states.nonEmpty, "merge needs at least one state table")
+    states.reduce(_ unionByName _)
+      .groupBy(keys.map(col): _*)
+      .agg(sum(col("n")).as("n"),
+        sum(col("sum_")).as("sum_"),
+        min(col("min_")).as("min_"),
+        max(col("max_")).as("max_"))
+  }
+
+  /** Signed (retractable) partial: `multCol` is +1 for insert, -1 for
+    * retraction. State is (keys, n, sum_).
+    */
+  def partialSigned(batch: DataFrame, keys: Seq[String], measure: String,
+      multCol: String): DataFrame =
+    batch.groupBy(keys.map(col): _*)
+      .agg(sum(col(multCol).cast(LongType)).as("n"),
+        sum(dec(col(measure)) * dec(col(multCol))).as("sum_"))
+
+  /** Merge signed states; keys whose net count reaches zero vanish
+    * (their state row would claim "0 rows" forever otherwise).
+    */
+  def mergeSigned(states: Seq[DataFrame], keys: Seq[String]): DataFrame = {
+    require(states.nonEmpty, "mergeSigned needs at least one state table")
+    states.reduce(_ unionByName _)
+      .groupBy(keys.map(col): _*)
+      .agg(sum(col("n")).as("n"), sum(col("sum_")).as("sum_"))
+      .filter(col("n") =!= 0L)
+  }
+}

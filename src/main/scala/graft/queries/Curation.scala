@@ -249,6 +249,88 @@ object Curation {
        |WHERE prior < CASE lang $cases ELSE 0 END""".stripMargin
   }
 
+  /** Per-language percentile quality gate: keep each language's top 75%
+    * of documents by length (drop below the per-language 25th
+    * percent_rank) — the Gopher-style "thresholds are per-language, not
+    * global" curation rule. NOT computed with a per-language sort
+    * window: the top language holds ~40% of the corpus, so a
+    * partitionBy(lang) window sorts 40% of 100 TB on one reducer.
+    * Instead the (lang, n_chars) DISTRIBUTION is aggregated (map-side
+    * combine, cardinality = distinct value pairs), the cumulative
+    * count-below runs over that tiny relation, and qualifying
+    * (lang, n_chars) values broadcast back as a semi-join filter —
+    * the fact table is scanned once, shuffled never. Equivalence with
+    * percent_rank: pr = count_less/(n-1), so pr >= q ⟺ count_less >=
+    * q·(n-1); q = 0.25 makes the product exact in binary floating
+    * point. Single-doc languages drop on both sides (DuckDB/Spark both
+    * define their percent_rank as 0 < q).
+    */
+  def qualityStratifiedGate(spark: SparkSession, dir: String): DataFrame =
+    qualityStratifiedGate(Tables.load(spark, dir, "documents")
+      .select(col("doc_id"), col("lang"), col("n_chars")))
+
+  def qualityStratifiedGate(docs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val dist = docs.groupBy(col("lang"), col("n_chars"))
+      .agg(count(lit(1)).as("cnt"))
+    val wLess = Window.partitionBy(col("lang")).orderBy(col("n_chars"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val cum = dist.withColumn("less", coalesce(sum(col("cnt")).over(wLess), lit(0L)))
+    val totals = docs.groupBy(col("lang")).agg(count(lit(1)).as("n"))
+    val keep = cum.join(totals, "lang")
+      .filter(col("n") > 1 && col("less") >= lit(0.25) * (col("n") - 1))
+      .select(col("lang"), col("n_chars"))
+    docs.join(broadcast(keep), Seq("lang", "n_chars"))
+      .select(col("doc_id"), col("lang"), col("n_chars"))
+  }
+
+  val qualityStratifiedGateSql: String =
+    """SELECT doc_id, lang, n_chars FROM (
+      |  SELECT doc_id, lang, n_chars,
+      |    percent_rank() OVER (PARTITION BY lang ORDER BY n_chars) AS pr
+      |  FROM documents)
+      |WHERE pr >= 0.25""".stripMargin
+
+  /** Deterministic global training-order shuffle: every document gets a
+    * reproducible position in a pseudorandom total order (md5 of
+    * doc_id + seed; doc_id breaks hash-collision ties) and a batch
+    * assignment from it. NOT a single global row_number window: the
+    * first hash byte range-buckets the order into 256 shards, per-shard
+    * positions come from a per-shard window, and the 256 shard offsets
+    * (a driver-side prefix sum over shard counts) lift them to global
+    * positions — the same two-pass rank that lets a 100 TB corpus be
+    * shuffle-ordered with no single-reducer sort. The md5 bucket is the
+    * hash's own prefix, so shard-then-within-shard order IS the global
+    * hash order.
+    */
+  def shuffleBatches(spark: SparkSession, dir: String,
+      batchSize: Int = 64, seed: String = "s42"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.load(spark, dir, "documents")
+      .select(col("doc_id"),
+        md5(concat(col("doc_id").cast("string"), lit("_" + seed))).as("h"))
+      .withColumn("shard", substring(col("h"), 1, 2))
+    val counts = docs.groupBy(col("shard")).count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).sortBy(_._1)
+    val offsets = counts.scanLeft(("", 0L)) { case ((_, acc), (s, c)) => (s, acc + c) }
+      .sliding(2).map { case Array((_, off), (s, _)) => (s, off) }.toSeq
+    val offsetDf = spark.createDataFrame(offsets).toDF("shard", "offset")
+    val wShard = Window.partitionBy(col("shard")).orderBy(col("h"), col("doc_id"))
+    docs.withColumn("rn", row_number().over(wShard))
+      .join(broadcast(offsetDf), "shard")
+      .withColumn("pos", col("offset") + col("rn") - 1)
+      .select(col("doc_id"),
+        (col("pos") / batchSize).cast("int").as("batch"),
+        (col("pos") % batchSize).cast("int").as("pos_in_batch"))
+  }
+
+  val shuffleBatchesSql: String =
+    """SELECT doc_id, CAST((rn - 1) // 64 AS INT) AS batch,
+      |  CAST((rn - 1) % 64 AS INT) AS pos_in_batch
+      |FROM (SELECT doc_id, row_number() OVER (
+      |    ORDER BY md5(doc_id::VARCHAR || '_s42'), doc_id) AS rn
+      |  FROM documents)""".stripMargin
+
   val chunkDocsSql: String =
     """WITH toks AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS t
       |  FROM documents),

@@ -1385,4 +1385,48 @@ object LlmOps {
       |  CAST(m + 1 AS INT) AS format,
       |  CAST(w AS INT) AS width, CAST(h AS INT) AS height
       |FROM p""".stripMargin
+
+  // ------------------------------------------------- dim reduction (RP)
+
+  /** ±1 sign for projection cell (dim i, out-dim j): parity of the
+    * first hex digit of md5("i_j") — a seeded pseudorandom Rademacher
+    * matrix any engine can rebuild (the oracle re-derives it in SQL).
+    */
+  private def rpSign(i: Int, j: Int): Double = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val hex = md.digest(s"${i}_$j".getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    if ("13579bdf".contains(hex.charAt(0))) -1.0 else 1.0
+  }
+
+  /** Random-projection dimensionality reduction (Achlioptas-style
+    * Rademacher signs): 64-dim float embeddings down to k=8 dims via a
+    * driver-built ±1 matrix folded into the plan as array literals —
+    * one codegen'd DotProd per output dim, map-only, no shuffle, no
+    * per-row matrix build. At 100 TB this is THE shape for cheap
+    * embedding compression before ANN indexing: scan once, write k
+    * doubles per row; the sign matrix is bytes, not data. Long output
+    * (vec_id, j, v) keeps the oracle SQL a transform + unnest.
+    * Determinism: DotProd folds left-to-right in double; the oracle's
+    * list_dot_product walks the same order, and round(·, 6) absorbs
+    * nothing — it is belt-and-suspenders, both engines produce the
+    * same doubles.
+    */
+  def embedProject(spark: SparkSession, dir: String, k: Int = 8): DataFrame = {
+    val emb = Tables.load(spark, dir, "embeddings")
+    val dims = emb.select(size(col("embedding"))).head.getInt(0)
+    val projections = array((0 until k).map { j =>
+      val signs = typedLit((1 to dims).map(i => rpSign(i, j)))
+      round(graft.functions.GraftFunctions.dotProd(col("embedding"), signs), 6)
+    }: _*)
+    emb.select(col("vec_id"), posexplode(projections).as(Seq("j", "v")))
+  }
+
+  val embedProjectSql: String =
+    """SELECT vec_id, CAST(j AS INT) AS j,
+      |  round(list_dot_product(embedding::DOUBLE[],
+      |    list_transform(range(1, len(embedding) + 1),
+      |      i -> CASE WHEN instr('13579bdf', substr(md5(i || '_' || j), 1, 1)) > 0
+      |           THEN -1.0 ELSE 1.0 END)::DOUBLE[]), 6) AS v
+      |FROM embeddings, (SELECT unnest(range(0, 8)) AS j)""".stripMargin
 }

@@ -1,0 +1,118 @@
+package graft.queries
+
+import graft.Tables
+import graft.ops.{CdcMerge, IncrementalAgg, Layout, StageOnce, ZoneMaps}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Table-maintenance query surface: CDC merge (MERGE INTO with
+  * deletes), incremental aggregate maintenance, and zone-map file
+  * skipping — the lakehouse upkeep operations a 100 TB warehouse runs
+  * between queries, each exercised through the driver's DuckDB gate so
+  * the maintained/pruned results are proven equal to the from-scratch
+  * formulations.
+  */
+object Maintenance {
+
+  private val orderCols =
+    Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice", "o_orderpriority")
+
+  /** MERGE with latest-wins I/U/D semantics over a deterministic
+    * synthetic change batch (two update waves on overlapping keys prove
+    * the per-key sequence resolution; deletes prove rows vanish;
+    * inserts prove new keys appear). Oracle re-derives the same net
+    * table in SQL.
+    */
+  def cdcMerge(spark: SparkSession, dir: String): DataFrame = {
+    val base = Tables.load(spark, dir, "orders")
+      .select(orderCols.map(col): _*)
+    CdcMerge.applyLatestWins(base,
+      CdcMerge.syntheticOrderChanges(spark, base), keys = Seq("o_orderkey"))
+  }
+
+  val cdcMergeSql: String =
+    """WITH base AS (
+      |  SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderpriority
+      |  FROM orders),
+      |changes AS (
+      |  SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderpriority,
+      |         'D' AS op, 1 AS seq FROM base WHERE o_orderkey % 10 = 3
+      |  UNION ALL
+      |  SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice + 1000.0, o_orderpriority,
+      |         'U', 1 FROM base WHERE o_orderkey % 10 = 4
+      |  UNION ALL
+      |  SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice + 5000.0, o_orderpriority,
+      |         'U', 2 FROM base WHERE o_orderkey % 20 = 4
+      |  UNION ALL
+      |  SELECT o_orderkey + 10000000, o_custkey, 'N', o_totalprice, o_orderpriority,
+      |         'I', 1 FROM base WHERE o_orderkey % 10 = 7),
+      |latest AS (
+      |  SELECT * FROM (
+      |    SELECT c.*, row_number() OVER (PARTITION BY o_orderkey
+      |      ORDER BY seq DESC, op DESC) AS rn FROM changes c) WHERE rn = 1)
+      |SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderpriority
+      |FROM base b
+      |WHERE NOT EXISTS (SELECT 1 FROM latest l WHERE l.o_orderkey = b.o_orderkey)
+      |UNION ALL
+      |SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderpriority
+      |FROM latest WHERE op <> 'D'""".stripMargin
+
+  /** Incrementally-maintained lineitem aggregate: three disjoint delta
+    * batches partial-aggregated independently, then merged — the
+    * maintained state must hash-match the one-shot GROUP BY the oracle
+    * runs (exact-decimal sums make the equality bitwise, not
+    * approximate).
+    */
+  def incrAgg(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.load(spark, dir, "lineitem")
+    val keys = Seq("l_returnflag", "l_linestatus")
+    val partials = (0 until 3).map(i =>
+      IncrementalAgg.partial(li.filter(col("l_orderkey") % 3 === i), keys, "l_quantity"))
+    IncrementalAgg.merge(partials, keys)
+      .select(col("l_returnflag"), col("l_linestatus"), col("n"),
+        col("sum_").cast(DoubleType).as("sum_qty"),
+        col("min_").as("min_qty"), col("max_").as("max_qty"))
+  }
+
+  val incrAggSql: String =
+    """SELECT l_returnflag, l_linestatus, count(*) AS n,
+      |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+      |  min(l_quantity) AS min_qty, max(l_quantity) AS max_qty
+      |FROM lineitem GROUP BY l_returnflag, l_linestatus""".stripMargin
+
+  /** Zone-map-pruned date-range scan: lineitem is laid out
+    * range-clustered on l_shipdate (once per JVM), a per-file min/max
+    * stats table is collected (once), and the query opens only the
+    * files whose envelope intersects the range — LayoutSpec asserts the
+    * file-list shrink; this oracle row asserts the pruned scan loses no
+    * rows vs the full-scan filter.
+    */
+  def zonemapScan(spark: SparkSession, dir: String): DataFrame = {
+    val clustered = StageOnce.tmp("zm_lineitem", dir)
+    val statsPath = StageOnce.tmp("zm_stats", dir)
+    StageOnce(clustered) {
+      Layout.writeRangeClustered(
+        Tables.load(spark, dir, "lineitem"), clustered, col("l_shipdate"),
+        nFiles = 16)
+      ZoneMaps.collect(spark, clustered, "l_shipdate")
+        .coalesce(1).write.mode("overwrite").parquet(statsPath)
+    }
+    val stats = spark.read.parquet(statsPath)
+    val (lo, hi) = (java.sql.Timestamp.valueOf("1996-01-01 00:00:00"),
+      java.sql.Timestamp.valueOf("1996-03-31 23:59:59"))
+    ZoneMaps.prunedScan(spark, clustered, stats, "l_shipdate", lo, hi)
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("l_extendedprice").cast(DecimalType(18, 2)))
+          .cast(DoubleType).as("sum_price"))
+  }
+
+  val zonemapScanSql: String =
+    """SELECT l_returnflag, count(*) AS n,
+      |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+      |FROM lineitem
+      |WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      |  AND l_shipdate <= TIMESTAMP '1996-03-31 23:59:59'
+      |GROUP BY l_returnflag""".stripMargin
+}

@@ -90,4 +90,52 @@ class CurationSpec extends SparkSpec {
       .filter(shiftright(col("bin_id"), 40) =!= col("shard")).count()
     assert(clash == 0)
   }
+
+  test("shuffleBatches: sharded two-pass rank ≡ single global window; no SinglePartition") {
+    import org.apache.spark.sql.expressions.Window
+    val docs = graft.Tables.load(spark, sf, "documents")
+    val sharded = Curation.shuffleBatches(spark, sf)
+    // reference formulation: the global window (what the oracle runs)
+    val h = md5(concat(col("doc_id").cast("string"), lit("_s42")))
+    val global = docs.select(col("doc_id"), h.as("h"))
+      .withColumn("rn", row_number().over(Window.orderBy(col("h"), col("doc_id"))))
+      .select(col("doc_id"), ((col("rn") - 1) / 64).cast("int").as("batch"),
+        ((col("rn") - 1) % 64).cast("int").as("pos_in_batch"))
+    assert(sharded.except(global).count() == 0 && global.except(sharded).count() == 0)
+    val plan = sharded.queryExecution.executedPlan.toString
+    assert(plan.contains("hashpartitioning(shard"), plan)
+    assert(!plan.contains("SinglePartition"), plan)
+    // every batch except the last is exactly full
+    val nDocs = docs.count()
+    val short = sharded.groupBy("batch").count()
+      .filter(col("count") =!= 64 && col("batch") =!= lit(((nDocs - 1) / 64).toInt))
+      .count()
+    assert(short == 0)
+  }
+
+  test("qualityStratifiedGate: distribution-join formulation ≡ percent_rank window") {
+    import org.apache.spark.sql.expressions.Window
+    val docs = graft.Tables.load(spark, sf, "documents")
+      .select(col("doc_id"), col("lang"), col("n_chars"))
+    val gated = Curation.qualityStratifiedGate(spark, sf)
+    val windowed = docs
+      .withColumn("pr", percent_rank().over(
+        Window.partitionBy(col("lang")).orderBy(col("n_chars"))))
+      .filter(col("pr") >= 0.25).drop("pr")
+    assert(gated.except(windowed).count() == 0 && windowed.except(gated).count() == 0)
+    // the fact-table side never sorts per language: the only window in
+    // the plan runs over the tiny (lang, n_chars) distribution
+    val plan = gated.queryExecution.executedPlan.toString
+    assert(!plan.contains("SinglePartition"), plan)
+  }
+
+  test("qualityStratifiedGate: single-doc language drops (percent_rank 0 < 0.25)") {
+    import spark.implicits._
+    val docs = Seq((1L, "xx", 100L), (2L, "yy", 5L), (3L, "yy", 6L),
+      (4L, "yy", 7L), (5L, "yy", 8L), (6L, "yy", 9L)).toDF("doc_id", "lang", "n_chars")
+    val out = Curation.qualityStratifiedGate(docs)
+    // lang xx has one doc -> dropped; yy keeps its top 75% (4 of 5)
+    assert(out.filter($"lang" === "xx").count() == 0)
+    assert(out.filter($"lang" === "yy").count() == 4)
+  }
 }

@@ -1,0 +1,114 @@
+package graft.ops
+
+import graft.SparkSpec
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** CdcMerge / IncrementalAgg / ZoneMaps: the algebraic contracts that
+  * make them safe to run as unattended maintenance at scale —
+  * batch-fold associativity for CDC, partial-merge ≡ recompute for
+  * IVM, and file-pruning soundness (never loses a row, provably opens
+  * fewer files) for zone maps.
+  */
+class MaintenanceSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def rows(df: DataFrame): Set[String] =
+    df.collect().map(_.toSeq.map(String.valueOf).mkString("|")).toSet
+
+  private val base = Seq(
+    (1L, "a", 10.0), (2L, "b", 20.0), (3L, "c", 30.0), (4L, "d", 40.0)
+  ).toDF("k", "s", "v")
+
+  test("cdc: latest change per key wins; D deletes; I inserts; untouched pass through") {
+    val changes = Seq(
+      (2L, "b2", 21.0, "U", 1L), (2L, "b3", 22.0, "U", 2L), // two waves: seq 2 wins
+      (3L, "c", 30.0, "D", 1L), // delete
+      (9L, "i", 90.0, "I", 1L) // insert
+    ).toDF("k", "s", "v", "op", "seq")
+    val out = CdcMerge.applyLatestWins(base, changes, Seq("k"))
+    assert(rows(out) === Set("1|a|10.0", "2|b3|22.0", "4|d|40.0", "9|i|90.0"))
+    assert(out.columns.toSeq === base.columns.toSeq)
+  }
+
+  test("cdc: folding batches one at a time ≡ applying their union at once") {
+    val b1 = Seq((1L, "a1", 11.0, "U", 1L), (2L, "x", 0.0, "D", 2L),
+      (7L, "g", 70.0, "I", 3L)).toDF("k", "s", "v", "op", "seq")
+    val b2 = Seq((2L, "b9", 29.0, "I", 4L), // re-insert after delete
+      (7L, "g2", 71.0, "U", 5L), (1L, "z", 0.0, "D", 6L)).toDF("k", "s", "v", "op", "seq")
+    val folded = CdcMerge.applyLatestWins(
+      CdcMerge.applyLatestWins(base, b1, Seq("k")), b2, Seq("k"))
+    val atOnce = CdcMerge.applyLatestWins(base, b1.unionByName(b2), Seq("k"))
+    assert(rows(folded) === rows(atOnce))
+    assert(rows(folded) === Set("2|b9|29.0", "3|c|30.0", "4|d|40.0", "7|g2|71.0"))
+  }
+
+  test("cdc: equal-seq tie resolves to the update, not the delete") {
+    val changes = Seq((1L, "a9", 19.0, "U", 5L), (1L, "x", 0.0, "D", 5L))
+      .toDF("k", "s", "v", "op", "seq")
+    val out = CdcMerge.applyLatestWins(base, changes, Seq("k"))
+    assert(rows(out.filter($"k" === 1L)) === Set("1|a9|19.0"))
+  }
+
+  private val fact = Seq(
+    ("x", 1.25), ("x", 2.50), ("y", 3.75), ("y", 0.25), ("y", 9.00), ("z", 4.00)
+  ).toDF("g", "v")
+
+  test("ivm: merge of per-batch partials ≡ one-shot partial over the union") {
+    val batches = Seq(fact.filter($"v" < 2.0), fact.filter($"v" >= 2.0 && $"v" < 4.0),
+      fact.filter($"v" >= 4.0))
+    val merged = IncrementalAgg.merge(
+      batches.map(IncrementalAgg.partial(_, Seq("g"), "v")), Seq("g"))
+    val oneShot = IncrementalAgg.partial(fact, Seq("g"), "v")
+    assert(rows(merged) === rows(oneShot))
+    // merge is insensitive to batch arrival order
+    val reordered = IncrementalAgg.merge(
+      batches.reverse.map(IncrementalAgg.partial(_, Seq("g"), "v")), Seq("g"))
+    assert(rows(reordered) === rows(oneShot))
+  }
+
+  test("ivm: empty-batch partial is a merge identity") {
+    val empty = IncrementalAgg.partial(fact.filter($"v" < 0), Seq("g"), "v")
+    val merged = IncrementalAgg.merge(
+      Seq(IncrementalAgg.partial(fact, Seq("g"), "v"), empty), Seq("g"))
+    assert(rows(merged) === rows(IncrementalAgg.partial(fact, Seq("g"), "v")))
+  }
+
+  test("ivm signed: retraction cancels the insert; zero-net keys vanish") {
+    val inserts = fact.withColumn("m", lit(1))
+    val retractZ = fact.filter($"g" === "z").withColumn("m", lit(-1))
+    val s1 = IncrementalAgg.partialSigned(inserts, Seq("g"), "v", "m")
+    val s2 = IncrementalAgg.partialSigned(retractZ, Seq("g"), "v", "m")
+    val net = IncrementalAgg.mergeSigned(Seq(s1, s2), Seq("g"))
+    assert(net.filter($"g" === "z").count() === 0)
+    val unsignedNoZ = IncrementalAgg.partialSigned(
+      inserts.filter($"g" =!= "z"), Seq("g"), "v", "m")
+    assert(rows(net) === rows(unsignedNoZ))
+  }
+
+  test("zone maps: pruned scan opens fewer files and loses no rows") {
+    val dir = java.nio.file.Files.createTempDirectory("zm_spec").toString
+    val data = (1 to 1000).map(i => (i.toLong, i % 7)).toDF("id", "tag")
+    Layout.writeRangeClustered(data, dir, col("id"), nFiles = 10)
+    val stats = ZoneMaps.collect(spark, dir, "id")
+    assert(stats.count() === 10)
+    val candidates = ZoneMaps.candidateFiles(stats, 150L, 250L)
+    // 1000 ids over 10 range-clustered files => ~100-wide envelopes; a
+    // 101-wide range must prune most files but needs at least one
+    assert(candidates.nonEmpty && candidates.size <= 3,
+      s"expected <=3 candidate files, got ${candidates.size}")
+    val pruned = ZoneMaps.prunedScan(spark, dir, stats, "id", 150L, 250L)
+    val full = spark.read.parquet(dir).filter($"id" >= 150L && $"id" <= 250L)
+    assert(rows(pruned) === rows(full))
+  }
+
+  test("zone maps: disjoint range yields an empty, correctly-shaped result") {
+    val dir = java.nio.file.Files.createTempDirectory("zm_spec2").toString
+    val data = (1 to 100).map(i => (i.toLong, s"r$i")).toDF("id", "s")
+    Layout.writeRangeClustered(data, dir, col("id"), nFiles = 4)
+    val stats = ZoneMaps.collect(spark, dir, "id")
+    val out = ZoneMaps.prunedScan(spark, dir, stats, "id", 5000L, 6000L)
+    assert(out.count() === 0)
+    assert(out.columns.toSeq === Seq("id", "s"))
+  }
+}
