@@ -495,6 +495,64 @@ object Upsert {
     vacuum(fs, target)
   }
 
+  /** Transactional CDC MERGE: apply a change batch (declared columns +
+    * `opCol` ∈ {I,U,D} + `seqCol`) to the current snapshot with
+    * [[graft.ops.CdcMerge]]'s latest-wins semantics and commit the
+    * result as the next version — the DELETE face the plain upsert
+    * lacks (takedown / opt-out sweeps), inside the same OCC protocol:
+    * gapless base+1 chain, writer-unique data dir, atomic marker
+    * publish, losing a race retries against the fresh snapshot, and
+    * time travel ([[readVersion]]) still serves the pre-delete
+    * snapshots until vacuum ages them out.
+    *
+    * Scale: identical to upsertByName — the snapshot is never shuffled
+    * (the touched-key set broadcasts into a left-anti join); the
+    * per-key latest-change window runs over the batch only.
+    */
+  def mergeCdc(spark: SparkSession, targetPath: String,
+      changes: DataFrame, table: StagingTable,
+      seqCol: String = "seq", opCol: String = "op"): Unit =
+    withRaceRetry(mergeCdcOnce(spark, targetPath, changes, table, seqCol, opCol))
+
+  private def mergeCdcOnce(spark: SparkSession, targetPath: String,
+      changes: DataFrame, table: StagingTable,
+      seqCol: String, opCol: String): Unit = {
+    // align the payload to the declared schema but carry op/seq through
+    val present = changes.columns.toSet
+    require(present(opCol) && present(seqCol),
+      s"mergeCdc: changes must carry '$opCol' and '$seqCol' columns")
+    val alignedChanges = changes.select(
+      (table.schema.fields.map { f =>
+        if (present(f.name)) col(f.name).cast(f.dataType).as(f.name)
+        else lit(null).cast(f.dataType).as(f.name)
+      } ++ Seq(col(opCol), col(seqCol))).toIndexedSeq: _*)
+    val (fs, target) = fsFor(spark, targetPath)
+
+    val baseCommit = currentCommit(fs, target)
+    val existing = baseCommit.map(n =>
+      parseSnapshot(readMarker(fs, target, n), targetPath, n)) match {
+      case Some(snap) => Some(spark.read.parquet(snap.getOrElse("",
+        throw new IllegalStateException(s"$targetPath was committed by the " +
+          "PARTITIONED upsert; mergeCdc supports unpartitioned tables"))))
+      case None if hasFlatData(fs, target) =>
+        Some(spark.read.parquet(targetPath)) // adopt flat layout as v0
+      case None => None
+    }
+    val base = existing match {
+      case Some(e) => alignByName(e, table)
+      case None => // empty base with the declared schema: I/U rows insert
+        alignByName(changes.limit(0), table)
+    }
+    val merged = graft.ops.CdcMerge.applyLatestWins(
+      base, alignedChanges, Seq(table.primaryKey), seqCol, opCol)
+    val n = baseCommit.getOrElse(0L) + 1
+    val dirName = newDataDirName(n)
+    merged.write.mode(SaveMode.Overwrite)
+      .parquet(s"${targetPath.stripSuffix("/")}/$dirName")
+    publish(fs, target, n, s"#dir:$dirName")
+    vacuum(fs, target)
+  }
+
   /** Partitioned upsert — the 100 TB shape. Only the partitions PRESENT
     * IN THE BATCH are read (partition-pruned scan), merged (anti-join
     * on the key) and committed; the marker maps every partition to the

@@ -504,4 +504,57 @@ class UpsertSpec extends SparkSpec {
     assert(Upsert.read(spark, dir)
       .select("nbtrans").collect().forall(_.getLong(0) == 4L))
   }
+
+  test("mergeCdc: delete commits a new version; time travel keeps the pre-delete snapshot") {
+    val dir = freshDir()
+    Upsert.upsertByName(spark, dir, staged, Dv3fConfig.departement)
+    val victim = staged.orderBy("uid").select("uid").collect()(0).getString(0)
+    val del = staged.filter(col("uid") === victim)
+      .withColumn("op", lit("D")).withColumn("seq", lit(1L))
+    Upsert.mergeCdc(spark, dir, del, Dv3fConfig.departement)
+    val now = Upsert.read(spark, dir)
+    assert(now.count() === 2)
+    assert(now.filter(col("uid") === victim).count() === 0)
+    assert(Upsert.versions(spark, dir) === Seq(1L, 2L))
+    assert(Upsert.readVersion(spark, dir, 1L).count() === 3)
+  }
+
+  test("mergeCdc: mixed I/U/D batch with latest-wins; re-applying it converges") {
+    val dir = freshDir()
+    Upsert.upsertByName(spark, dir, staged, Dv3fConfig.departement)
+    val Array(u0, u1, u2) = staged.orderBy("uid").select("uid")
+      .collect().map(_.getString(0))
+    val changes = staged.filter(col("uid") === u0)
+      .withColumn("nbtrans", lit(111L))
+      .withColumn("op", lit("U")).withColumn("seq", lit(1L))
+      .unionByName(staged.filter(col("uid") === u0) // second wave wins
+        .withColumn("nbtrans", lit(222L))
+        .withColumn("op", lit("U")).withColumn("seq", lit(2L)))
+      .unionByName(staged.filter(col("uid") === u1)
+        .withColumn("op", lit("D")).withColumn("seq", lit(1L)))
+      .unionByName(staged.filter(col("uid") === u2)
+        .withColumn("uid", concat(col("uid"), lit("_new")))
+        .withColumn("op", lit("I")).withColumn("seq", lit(1L)))
+    Upsert.mergeCdc(spark, dir, changes, Dv3fConfig.departement)
+    val out1 = Upsert.read(spark, dir).orderBy("uid").collect()
+    val byUid = Upsert.read(spark, dir)
+    assert(byUid.count() === 3) // 3 - deleted + inserted
+    assert(byUid.filter(col("uid") === u0)
+      .select("nbtrans").collect()(0).getLong(0) === 222L)
+    assert(byUid.filter(col("uid") === u1).count() === 0)
+    assert(byUid.filter(col("uid") === s"${u2}_new").count() === 1)
+    // replaying the identical batch converges to identical content
+    Upsert.mergeCdc(spark, dir, changes, Dv3fConfig.departement)
+    assert(Upsert.read(spark, dir).orderBy("uid").collect() === out1)
+  }
+
+  test("mergeCdc on an empty table: I/U rows insert, D rows are no-ops") {
+    val dir = freshDir()
+    val changes = staged.orderBy(col("uid").asc).limit(1)
+      .withColumn("op", lit("I")).withColumn("seq", lit(1L))
+      .unionByName(staged.orderBy(col("uid").desc).limit(1)
+        .withColumn("op", lit("D")).withColumn("seq", lit(1L)))
+    Upsert.mergeCdc(spark, dir, changes, Dv3fConfig.departement)
+    assert(Upsert.read(spark, dir).count() === 1)
+  }
 }
