@@ -33,6 +33,11 @@ import org.apache.spark.sql.functions._
   * runs on the delta only; the touched-key set (≤ |delta| rows, key
   * columns only) broadcasts into a storage-partition-preserving
   * left-anti join against base, and surviving upserts are unioned on.
+  * `latest` has two consumers, so the DELTA is evaluated twice —
+  * deliberately: the key-only consumer column-prunes to almost
+  * nothing, and caching a delta to save one GB-scale re-read would
+  * cost executor memory better spent elsewhere (PlanMetricsSpec pins
+  * base-scanned-once / delta ≤ 2 / base-never-shuffled at runtime).
   * Set `broadcastTouched = false` only when the delta is itself huge
   * (backfill replay) — then the anti join becomes a shuffle join and
   * AQE sizes it.

@@ -276,7 +276,10 @@ object Curation {
     val wLess = Window.partitionBy(col("lang")).orderBy(col("n_chars"))
       .rowsBetween(Window.unboundedPreceding, -1)
     val cum = dist.withColumn("less", coalesce(sum(col("cnt")).over(wLess), lit(0L)))
-    val totals = docs.groupBy(col("lang")).agg(count(lit(1)).as("n"))
+    // totals derive from the distribution, not a second fact scan: the
+    // two dist subtrees share one shuffle (ReuseExchange), so the fact
+    // table is read exactly twice (dist + final join), not three times
+    val totals = dist.groupBy(col("lang")).agg(sum(col("cnt")).as("n"))
     val keep = cum.join(totals, "lang")
       .filter(col("n") > 1 && col("less") >= lit(0.25) * (col("n") - 1))
       .select(col("lang"), col("n_chars"))

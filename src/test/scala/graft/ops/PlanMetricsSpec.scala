@@ -105,4 +105,47 @@ class PlanMetricsSpec extends SparkSpec {
       case (k, None) => conf.unset(k)
     }
   }
+
+  test("stratified gate reads the fact table at most twice at runtime") {
+    // dist feeds both the cumulative window and the per-lang totals;
+    // those two branches must share one shuffle (ReuseExchange), so
+    // the documents scan executes twice (dist + final join), never 3×
+    val df = graft.queries.Curation.qualityStratifiedGate(spark, sf)
+    df.collect()
+    val docScans = PlanMetrics.distinctFileScans(df)
+      .filter(_.metadata.get("Location").exists(_.contains("documents")))
+    assert(docScans.size <= 2,
+      s"documents scanned ${docScans.size}× at runtime — dist subtree recomputed")
+  }
+
+  test("cdc merge scans the base exactly once; only the small delta twice") {
+    // applyLatestWins references `latest` twice (touched-key anti-join
+    // + surviving upserts), and per-branch column pruning makes those
+    // two subtrees deliberately different (the key side shuffles keys
+    // only) — so the DELTA is read twice, which is fine: it's GB-scale.
+    // What must never happen is the 100 TB BASE being read more than
+    // once, or shuffled at all (the touched keys broadcast).
+    val baseDir = java.nio.file.Files.createTempDirectory("cdc_base").toString
+    val deltaDir = java.nio.file.Files.createTempDirectory("cdc_delta").toString
+    import spark.implicits._
+    (1L to 1000L).map(k => (k, s"v$k")).toDF("k", "v")
+      .write.mode("overwrite").parquet(baseDir)
+    Seq((1L, "v1b", "U", 1L), (2L, "x", "D", 1L), (2000L, "new", "I", 1L))
+      .toDF("k", "v", "op", "seq").write.mode("overwrite").parquet(deltaDir)
+    val df = CdcMerge.applyLatestWins(
+      spark.read.parquet(baseDir), spark.read.parquet(deltaDir), Seq("k"))
+    df.collect()
+    val scansOf = (dir: String) => PlanMetrics.distinctFileScans(df)
+      .count(_.metadata.get("Location").exists(_.contains(
+        new java.io.File(dir).getName)))
+    assert(scansOf(baseDir) === 1,
+      s"base scanned ${scansOf(baseDir)}× — must be exactly once")
+    assert(scansOf(deltaDir) <= 2,
+      s"delta scanned ${scansOf(deltaDir)}× — more than the two consumers")
+    // base never enters a shuffle: the only exchanges are the 3-row
+    // delta window's shuffle (+ the broadcast, which isn't a shuffle) —
+    // 1000 base rows leaking in would blow this byte bound
+    val shuffled = PlanMetrics.shuffleBytesWritten(df)
+    assert(shuffled < 5000, s"shuffled $shuffled bytes — base leaked into a shuffle")
+  }
 }
