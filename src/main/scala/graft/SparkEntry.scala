@@ -160,7 +160,8 @@ object SparkEntry {
     // — curation: per-language gate, training-order shuffle, projection
     "q_quality_stratified" -> (Curation.qualityStratifiedGate(_, _)),
     "q_shuffle_batches" -> ((s, d) => Curation.shuffleBatches(s, d)),
-    "q_embed_project" -> ((s, d) => LlmOps.embedProject(s, d))
+    "q_embed_project" -> ((s, d) => LlmOps.embedProject(s, d)),
+    "q_range_bounds" -> (Physical.rangeBounds(_, _))
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -395,6 +396,7 @@ object SparkEntry {
     "q_quality_stratified" -> Curation.qualityStratifiedGateSql,
     "q_shuffle_batches" -> Curation.shuffleBatchesSql,
     "q_embed_project" -> LlmOps.embedProjectSql,
+    "q_range_bounds" -> Physical.rangeBoundsSql,
     "q_embed_topk" -> LlmOps.embedTopKSql,
     "q_embed_topk_i8" -> LlmOps.embedTopKI8Sql,
     "q_embed_neardup" -> LlmOps.embedNearDupSql,

@@ -109,4 +109,66 @@ object Layout {
       .count(_.getPath.getName.endsWith(".parquet"))
     (files.length, outFiles)
   }
+
+  /** EXACT quantile boundaries of a numeric column — the range-partition
+    * planning primitive (`repartitionByRange` samples and is
+    * nondeterministic across runs; a reproducible 100 TB layout wants
+    * pinned boundaries). Returns one row per requested probability:
+    * (p, boundary) where boundary is the smallest value v with
+    * |{x : x ≤ v}| ≥ ⌈p·n⌉ — percentile_disc semantics, integer-exact.
+    *
+    * Scale shape — NO global sort and NO wide shuffle (a near-unique
+    * numeric column would make even a (value, count) distribution as
+    * big as the data): values are equi-width bucketed into ≤256 coarse
+    * shards off one min/max lookup, per-shard COUNTS (256 rows,
+    * map-side combined) are walked on the DRIVER to find each target
+    * rank's owning shard, and only those ≤|probs| shards — ~0.4% of
+    * rows — are re-scanned into a per-value cumulative window (local
+    * ranks lifted to global by the driver prefix sum, the two-pass
+    * rank of Curation.shuffleBatches restricted to shards that
+    * matter). Cost: three narrow column scans + a window over a
+    * 1/256-sized slice; the only exchanges carry ≤256 and ≤|slice|
+    * rows.
+    */
+  def rangeBoundaries(df: DataFrame, column: String,
+      probs: Seq[Double]): DataFrame = {
+    require(probs.nonEmpty && probs.forall(p => p > 0 && p <= 1),
+      "probs must be in (0, 1]")
+    import org.apache.spark.sql.expressions.Window
+    val spark = df.sparkSession
+    val vals = df.select(col(column).as("v")).filter(col("v").isNotNull)
+    val bucket = equiWidthBucket(vals, col("v"), bits = 8)
+    val sharded = vals.withColumn("shard", bucket)
+    val shardTotals = sharded.groupBy(col("shard"))
+      .agg(count(lit(1)).as("sub")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).sortBy(_._1)
+    val n = shardTotals.map(_._2).sum
+    // per-target owning shard, resolved on the DRIVER over the 256-row
+    // subtotal table: the expensive part (a cumulative walk of every
+    // distinct value) collapses to a window over ONLY the ~|probs|
+    // shards that contain a boundary — at 100 TB that is <2% of the
+    // distribution instead of all of it
+    val cumTotals = shardTotals.scanLeft((0L, 0L)) {
+      case ((_, acc), (s, c)) => (s, acc + c)
+    }.drop(1) // (shard, cumulative-through-shard)
+    val offsets = shardTotals.map(_._1)
+      .zip(0L +: cumTotals.map(_._2).dropRight(1)) // (shard, count-before)
+    val targets = probs.map(p => p -> math.ceil(p * n).toLong)
+    val wantedShards = targets.map { case (_, t) =>
+      cumTotals.find(_._2 >= t).map(_._1)
+        .getOrElse(cumTotals.last._1)
+    }.toSet
+    val offsetDf = spark.createDataFrame(
+      offsets.filter(o => wantedShards(o._1)).toSeq).toDF("shard", "offset")
+    val wShard = Window.partitionBy(col("shard")).orderBy(col("v"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = sharded.filter(col("shard").isin(wantedShards.toSeq: _*))
+      .groupBy(col("shard"), col("v")).agg(count(lit(1)).as("cnt"))
+      .withColumn("local", sum(col("cnt")).over(wShard))
+      .join(broadcast(offsetDf), "shard")
+      .select(col("v"), (col("offset") + col("local")).as("cum"))
+    val probsDf = spark.createDataFrame(probs.map(Tuple1(_))).toDF("p")
+    probsDf.join(cum, col("cum") >= ceil(col("p") * n))
+      .groupBy(col("p")).agg(min(col("v")).as("boundary"))
+  }
 }

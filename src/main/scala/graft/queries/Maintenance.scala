@@ -27,8 +27,8 @@ object Maintenance {
   def cdcMerge(spark: SparkSession, dir: String): DataFrame = {
     val base = Tables.load(spark, dir, "orders")
       .select(orderCols.map(col): _*)
-    CdcMerge.applyLatestWins(base,
-      CdcMerge.syntheticOrderChanges(spark, base), keys = Seq("o_orderkey"))
+    val changes = CdcMerge.syntheticOrderChanges(spark, base)
+    CdcMerge.applyLatestWins(base, changes, keys = Seq("o_orderkey"))
   }
 
   val cdcMergeSql: String =

@@ -116,4 +116,24 @@ object Physical {
       |    (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
       |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
       |GROUP BY o_orderpriority""".stripMargin
+
+  /** Exact range-partition boundaries over lineitem's price column —
+    * percentile_disc semantics via the sharded two-pass cumulative (no
+    * global sort; see Layout.rangeBoundaries). The oracle replays the
+    * same integer-exact selection with a window cumsum.
+    */
+  def rangeBounds(spark: SparkSession, dir: String): DataFrame =
+    Layout.rangeBoundaries(
+      Tables.load(spark, dir, "lineitem"), "l_extendedprice",
+      Seq(0.25, 0.5, 0.75, 0.9))
+
+  val rangeBoundsSql: String =
+    """WITH probs AS (SELECT CAST(p AS DOUBLE) AS p
+      |    FROM (VALUES (0.25), (0.5), (0.75), (0.9)) t(p)),
+      |d AS (SELECT l_extendedprice AS v, count(*) AS cnt
+      |  FROM lineitem GROUP BY 1),
+      |c AS (SELECT v, sum(cnt) OVER (ORDER BY v) AS cum FROM d),
+      |n AS (SELECT count(*) AS n FROM lineitem)
+      |SELECT p, min(v) AS boundary FROM probs, c, n
+      |WHERE cum >= ceil(p * n) GROUP BY p""".stripMargin
 }

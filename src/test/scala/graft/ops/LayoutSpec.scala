@@ -88,4 +88,27 @@ class LayoutSpec extends SparkSpec {
     val b = spark.read.parquet(outPath).orderBy("id").collect()
     assert(a.toSeq == b.toSeq)
   }
+
+  test("rangeBoundaries: sharded two-pass selection ≡ brute-force sorted pick") {
+    // duplicates + skew: values are squares mod 97, so heavy ties
+    val data = (1 to 5000).map(i => ((i * i) % 97).toDouble).toDF("v")
+    val probs = Seq(0.1, 0.25, 0.5, 0.9, 1.0)
+    val got = Layout.rangeBoundaries(data, "v", probs)
+      .collect().map(r => r.getDouble(0) -> r.getDouble(1)).toMap
+    val sorted = data.collect().map(_.getDouble(0)).sorted
+    probs.foreach { p =>
+      val expected = sorted(math.ceil(p * sorted.length).toInt - 1)
+      assert(got(p) === expected, s"p=$p: got ${got(p)}, want $expected")
+    }
+    // p = 1.0 is the max — the last range partition's upper bound
+    assert(got(1.0) === sorted.last)
+  }
+
+  test("rangeBoundaries: boundaries actually balance a range layout") {
+    val data = (1 to 10000).map(i => i.toDouble).toDF("v")
+    val bounds = Layout.rangeBoundaries(data, "v", Seq(0.25, 0.5, 0.75))
+      .collect().map(_.getDouble(1)).sorted
+    // quarter boundaries of 1..10000 are exactly 2500/5000/7500
+    assert(bounds.toSeq === Seq(2500.0, 5000.0, 7500.0))
+  }
 }
