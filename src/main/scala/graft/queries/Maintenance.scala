@@ -115,4 +115,58 @@ object Maintenance {
       |WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
       |  AND l_shipdate <= TIMESTAMP '1996-03-31 23:59:59'
       |GROUP BY l_returnflag""".stripMargin
+
+  /** Z-order + two-dimension zone maps: lineitem laid out on the
+    * Morton curve over (l_partkey, l_suppkey), per-file min/max
+    * collected for BOTH columns, and a conjunctive range query prunes
+    * the file list through both envelopes before any footer I/O.
+    * Range-clustering on one column leaves the other full-range in
+    * every file (its zone maps prune nothing); the Z-curve gives both
+    * columns ~sqrt-factor-tighter envelopes, so two-dimensional
+    * predicates skip most files — LayoutSpec pins the file-count
+    * shrink, this oracle row pins that pruning loses no rows.
+    */
+  def zorderScan(spark: SparkSession, dir: String): DataFrame = {
+    val clustered = StageOnce.tmp("zo_lineitem", dir)
+    val statsPath = StageOnce.tmp("zo_stats", dir)
+    StageOnce(clustered) {
+      Layout.writeZOrdered(
+        Tables.load(spark, dir, "lineitem")
+          .select("l_partkey", "l_suppkey", "l_extendedprice", "l_returnflag"),
+        clustered, col("l_partkey"), col("l_suppkey"), nFiles = 16)
+      ZoneMaps.collect(spark, clustered, "l_partkey")
+        .withColumnRenamed("min_v", "min_p").withColumnRenamed("max_v", "max_p")
+        .join(ZoneMaps.collect(spark, clustered, "l_suppkey")
+          .withColumnRenamed("min_v", "min_s").withColumnRenamed("max_v", "max_s")
+          .drop("rows"), Seq("file_path"))
+        .coalesce(1).write.mode("overwrite").parquet(statsPath)
+    }
+    val stats = spark.read.parquet(statsPath)
+    // data-derived bounds (~1/8 × 1/4 selectivity at every SF); the
+    // oracle derives the same bounds with scalar subqueries
+    val m = Tables.load(spark, dir, "lineitem")
+      .agg(max(col("l_partkey")), max(col("l_suppkey"))).head
+    val (pLo, pHi, sLo, sHi) = (0L, m.getLong(0) / 8, 0L, m.getLong(1) / 4)
+    val files = stats
+      .filter(col("max_p") >= pLo && col("min_p") <= pHi &&
+        col("max_s") >= sLo && col("min_s") <= sHi)
+      .select("file_path").collect().map(_.getString(0)).toSeq
+    val all = spark.read.parquet(clustered)
+    val src = if (files.isEmpty) all.limit(0)
+              else spark.read.schema(all.schema).parquet(files: _*)
+    src.filter(col("l_partkey").between(pLo, pHi) &&
+        col("l_suppkey").between(sLo, sHi))
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("l_extendedprice").cast(DecimalType(18, 2)))
+          .cast(DoubleType).as("sum_price"))
+  }
+
+  val zorderScanSql: String =
+    """SELECT l_returnflag, count(*) AS n,
+      |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+      |FROM lineitem
+      |WHERE l_partkey BETWEEN 0 AND (SELECT max(l_partkey) // 8 FROM lineitem)
+      |  AND l_suppkey BETWEEN 0 AND (SELECT max(l_suppkey) // 4 FROM lineitem)
+      |GROUP BY l_returnflag""".stripMargin
 }

@@ -104,6 +104,32 @@ class LayoutSpec extends SparkSpec {
     assert(got(1.0) === sorted.last)
   }
 
+  test("z-order + 2D zone maps prune where 1D range clustering cannot") {
+    val zDir = tmp("zo2d")
+    val rDir = tmp("rc1d")
+    val data = (0 until 20000)
+      .map(i => ((i * 7919) % 1000L, (i * 104729) % 1000L)).toDF("a", "b")
+    Layout.writeZOrdered(data, zDir, col("a"), col("b"), nFiles = 16)
+    Layout.writeRangeClustered(data, rDir, col("a"), nFiles = 16)
+    def candidates2d(dir: String): Int = {
+      val sa = ZoneMaps.collect(spark, dir, "a")
+      val sb = ZoneMaps.collect(spark, dir, "b")
+      sa.select(col("file_path"), col("min_v").as("min_a"), col("max_v").as("max_a"))
+        .join(sb.select(col("file_path"), col("min_v").as("min_b"), col("max_v").as("max_b")),
+          Seq("file_path"))
+        .filter(col("max_a") >= 0L && col("min_a") <= 250L &&
+          col("max_b") >= 0L && col("min_b") <= 250L)
+        .count().toInt
+    }
+    val (zCand, rCand) = (candidates2d(zDir), candidates2d(rDir))
+    // range clustering on `a` leaves `b` full-range in every file: the
+    // b-envelope prunes nothing, so the corner box keeps ~1/4 of files
+    // (a-dimension only). The Z-curve tightens BOTH envelopes — the
+    // same box must keep strictly fewer files.
+    assert(zCand < rCand, s"zorder=$zCand rangeClustered=$rCand")
+    assert(zCand <= 4, s"corner box kept $zCand of 16 z-ordered files")
+  }
+
   test("rangeBoundaries: boundaries actually balance a range layout") {
     val data = (1 to 10000).map(i => i.toDouble).toDF("v")
     val bounds = Layout.rangeBoundaries(data, "v", Seq(0.25, 0.5, 0.75))
