@@ -122,15 +122,22 @@ object ScaleBench {
       }
       def best(mk: => DataFrame): (Double, Long, Int) =
         bestWith(clearCaches = true)(mk)
+      // optional op subset (comma list) for stressing a new op without
+      // re-running the whole family; unset = all
+      val onlyOps = sys.env.get("SPARK_GRAFT_SCALE_OPS")
+        .map(_.split(",").map(_.trim).toSet)
+      def wanted(op: String) = onlyOps.forall(_.contains(op))
+      def bestIf(op: String)(mk: => DataFrame): (Double, Long, Int) =
+        if (wanted(op)) best(mk) else (0.0, 0L, 0)
       // pair finding (banded LSH; candidates ∝ k by construction)
-      val (lshSec, lshRows, lshEx) = best(
+      val (lshSec, lshRows, lshEx) = bestIf("lsh_pairs")(
         queries.LlmOps.minhashLshDedup(spark, dir))
       // distributed CC, driver-local tier DISABLED: the pointer-doubling
       // loop runs its log-round shuffles for real. Pairs are pinned and
       // MATERIALIZED before the timer (and the timer's iterations keep
       // the pin), so CC's time is the resolution loop alone, not a
       // re-run of LSH.
-      val (ccSec, ccRows, ccEx) = {
+      val (ccSec, ccRows, ccEx) = if (!wanted("cc_distributed")) (0.0, 0L, 0) else {
         graft.ops.CacheBin.releaseAll(); spark.catalog.clearCache()
         val pairs = graft.ops.CacheBin.pin(
           queries.LlmOps.minhashLshDedup(spark, dir))
@@ -150,24 +157,26 @@ object ScaleBench {
       // behavior. (In production, bands would rise with planes to hold
       // recall; candidate cost stays ∝ bands × n either way.)
       val planes = 6 + (math.log(k) / math.log(2)).ceil.toInt
-      val (ndSec, ndRows, ndEx) = best(
+      val (ndSec, ndRows, ndEx) = bestIf("embed_neardup")(
         graft.ops.Similarity.cosineNearDupPairs(
           Tables.load(spark, dir, "embeddings"),
           col("vec_id"), col("embedding"), threshold = 0.4,
           bands = 4, planesPerBand = planes, dim = 64))
       // sharded packing: the scale path (per-shard windows, no global sort)
-      val (packSec, packRows, packEx) = best(
+      val (packSec, packRows, packEx) = bestIf("pack_sharded")(
         queries.Curation.packSequencesSharded(spark, dir))
       // the two hottest single-query pair finders on the main bench —
       // inverted-index ngram jaccard (bounded postings, one reused
       // exchange) and pigeonhole simhash (generator-fused verify):
       // replica-disjoint shingle/signature spaces ⇒ work ∝ k
-      val (njSec, njRows, njEx) = best(queries.LlmOps.ngramJaccard(spark, dir))
-      val (shSec, shRows, shEx) = best(queries.LlmOps.simhashPairs(spark, dir))
+      val (njSec, njRows, njEx) = bestIf("ngram_jaccard")(
+        queries.LlmOps.ngramJaccard(spark, dir))
+      val (shSec, shRows, shEx) = bestIf("simhash_pairs")(
+        queries.LlmOps.simhashPairs(spark, dir))
       // fixed-iteration PageRank over the same pinned pair graph: each
       // round is one vertex-keyed shuffle join, so time must scale with
       // edges (∝ k), iterations constant
-      val (prSec, prRows, prEx) = {
+      val (prSec, prRows, prEx) = if (!wanted("pagerank")) (0.0, 0L, 0) else {
         graft.ops.CacheBin.releaseAll(); spark.catalog.clearCache()
         val pairs = graft.ops.CacheBin.pin(
           queries.LlmOps.minhashLshDedup(spark, dir))
@@ -177,6 +186,14 @@ object ScaleBench {
         graft.ops.CacheBin.releaseAll()
         r
       }
+      // two-pass-rank family: deterministic global shuffle order (256
+      // md5-prefix shards + driver prefix sum) and the per-language
+      // distribution gate — both must grow ∝ rows with flat exchange
+      // counts, since neither has a data-sized sort or wide shuffle
+      val (sbSec, sbRows, sbEx) = bestIf("shuffle_batches")(
+        queries.Curation.shuffleBatches(spark, dir))
+      val (sgSec, sgRows, sgEx) = bestIf("stratified_gate")(
+        queries.Curation.qualityStratifiedGate(spark, dir))
       val row = scala.collection.immutable.ListMap(
         "lsh_pairs" -> (lshSec, lshRows, lshEx),
         "cc_distributed" -> (ccSec, ccRows, ccEx),
@@ -184,7 +201,10 @@ object ScaleBench {
         "pack_sharded" -> (packSec, packRows, packEx),
         "ngram_jaccard" -> (njSec, njRows, njEx),
         "simhash_pairs" -> (shSec, shRows, shEx),
-        "pagerank" -> (prSec, prRows, prEx))
+        "pagerank" -> (prSec, prRows, prEx),
+        "shuffle_batches" -> (sbSec, sbRows, sbEx),
+        "stratified_gate" -> (sgSec, sgRows, sgEx))
+        .filter { case (op, _) => wanted(op) }
       row.foreach { case (op, (s, r, e)) =>
         println(s"""{"scale":$k,"op":"$op","sec":$s,"rows":$r,"exchanges":$e}""")
       }
