@@ -553,6 +553,91 @@ object Upsert {
     vacuum(fs, target)
   }
 
+  /** Partitioned CDC MERGE — [[mergeCdc]]'s 100 TB shape: only the
+    * partitions PRESENT IN THE CHANGE BATCH are read (partition-pruned
+    * scan), merged with latest-wins I/U/D semantics, and committed;
+    * untouched partitions keep their prior data dirs, so a takedown
+    * sweep's cost scales with its partition footprint, not the table.
+    * A partition whose rows are ALL deleted disappears from the marker
+    * map entirely (the partition no longer exists — readers never see
+    * an empty husk). Constraint shared with the partitioned upsert: a
+    * key's partition value is immutable (a "move" must be modeled as
+    * D-in-old + I-in-new, two change rows).
+    */
+  def mergeCdcPartitioned(spark: SparkSession, targetPath: String,
+      changes: DataFrame, table: StagingTable, partitionCol: String,
+      seqCol: String = "seq", opCol: String = "op"): Unit =
+    withRaceRetry(mergeCdcPartitionedOnce(
+      spark, targetPath, changes, table, partitionCol, seqCol, opCol))
+
+  private def mergeCdcPartitionedOnce(spark: SparkSession, targetPath: String,
+      changes: DataFrame, table: StagingTable, partitionCol: String,
+      seqCol: String, opCol: String): Unit = {
+    val present = changes.columns.toSet
+    require(present(opCol) && present(seqCol),
+      s"mergeCdcPartitioned: changes must carry '$opCol' and '$seqCol' columns")
+    val alignedChanges = changes.select(
+      (table.schema.fields.map { f =>
+        if (present(f.name)) col(f.name).cast(f.dataType).as(f.name)
+        else lit(null).cast(f.dataType).as(f.name)
+      } ++ Seq(col(opCol), col(seqCol))).toIndexedSeq: _*)
+    val key = table.primaryKey
+    val (fs, target) = fsFor(spark, targetPath)
+
+    val baseCommit = currentCommit(fs, target)
+    val contentOpt = baseCommit.map(n => (n, readMarker(fs, target, n)))
+    val snapOpt = contentOpt.map { case (n, c) => parseSnapshot(c, targetPath, n) }
+    contentOpt.foreach { case (_, content) =>
+      val snap = snapOpt.get
+      if (snap.contains("")) throw new IllegalStateException(
+        s"$targetPath was committed by the UNPARTITIONED upsert; " +
+          "use mergeCdc/read on it")
+      val pc = parsePartitionCol(content).getOrElse(
+        throw new IllegalStateException(
+          s"marker at $targetPath has no partition column header"))
+      require(pc == partitionCol,
+        s"$targetPath is partitioned by '$pc', not '$partitionCol'")
+    }
+    val prev: Map[String, String] = snapOpt.getOrElse(Map.empty)
+
+    val affectedRaw = alignedChanges.select(partitionCol).distinct().collect()
+    require(!affectedRaw.exists(_.isNullAt(0)),
+      s"mergeCdcPartitioned: batch contains NULL in partition column " +
+        s"'$partitionCol' — every change row must carry its partition")
+    val affected = affectedRaw.map(_.get(0).toString).toSeq
+    require(!affected.contains(""),
+      s"mergeCdcPartitioned: batch contains empty-string in partition " +
+        s"column '$partitionCol'")
+    if (affected.isEmpty) return
+
+    val existingAffected = prev.filter(kv => affected.contains(kv._1))
+      .groupBy(_._2).map { case (dir, parts) =>
+        alignByName(scanPartitionAsString(spark, dir, partitionCol)
+          .filter(col(partitionCol).isin(parts.keys.toSeq: _*)), table)
+      }.reduceOption(_ unionByName _)
+
+    val base = existingAffected.getOrElse(alignByName(changes.limit(0), table))
+    val merged = graft.ops.CdcMerge.applyLatestWins(
+      base, alignedChanges, Seq(key), seqCol, opCol)
+    val n = baseCommit.getOrElse(0L) + 1
+    val dirName = newDataDirName(n)
+    merged.write.mode(SaveMode.Overwrite).partitionBy(partitionCol)
+      .parquet(s"${targetPath.stripSuffix("/")}/$dirName")
+
+    // deletes can empty a partition: only partitions with surviving
+    // rows stay in the map — a fully-deleted partition vanishes
+    val surviving = merged.select(partitionCol).distinct().collect()
+      .map(_.get(0).toString).toSet
+    val prevTokens = prev.map { case (pv, dir) => pv -> tokenOf(targetPath, dir) }
+    val newMap = (prevTokens -- affected) ++
+      affected.filter(surviving).map(_ -> dirName)
+    val content = s"#partitionCol:$partitionCol\n$EncHeader\n" +
+      newMap.toSeq.sortBy(_._1)
+        .map { case (pv, d) => s"${encodeValue(pv)}=$d" }.mkString("\n")
+    publish(fs, target, n, content)
+    vacuum(fs, target)
+  }
+
   /** Partitioned upsert — the 100 TB shape. Only the partitions PRESENT
     * IN THE BATCH are read (partition-pruned scan), merged (anti-join
     * on the key) and committed; the marker maps every partition to the

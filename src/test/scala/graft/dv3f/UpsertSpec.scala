@@ -548,6 +548,52 @@ class UpsertSpec extends SparkSpec {
     assert(Upsert.read(spark, dir).orderBy("uid").collect() === out1)
   }
 
+  test("mergeCdcPartitioned: partition-footprint deletes; emptied partitions vanish") {
+    import spark.implicits._
+    val table = Dv3fConfig.departement
+    val dir = java.nio.file.Files.createTempDirectory("cdc_part").toString + "/t"
+    def batch(rows: (String, String, Long)*) =
+      rows.toSeq.toDF("uid", "annee", "nbtrans")
+        .withColumn("dep", lit("85"))
+    Upsert.upsertByNamePartitioned(spark, dir,
+      batch(("a1", "2019", 1L), ("a2", "2019", 2L), ("b1", "2020", 3L),
+        ("c1", "2021", 4L)), table, "annee")
+    val dir2021Before = Upsert.currentSnapshot(spark, dir).get("2021")
+
+    // one change batch: delete ALL of 2019, update b1 in 2020; 2021 untouched
+    val changes = batch(("a1", "2019", 0L), ("a2", "2019", 0L))
+      .withColumn("op", lit("D")).withColumn("seq", lit(1L))
+      .unionByName(batch(("b1", "2020", 99L))
+        .withColumn("op", lit("U")).withColumn("seq", lit(1L)))
+    Upsert.mergeCdcPartitioned(spark, dir, changes, table, "annee")
+
+    val got = Upsert.read(spark, dir)
+      .select("uid", "annee", "nbtrans").collect()
+      .map(r => (r.getString(0), r.get(1).toString, r.getLong(2))).toSet
+    assert(got === Set(("b1", "2020", 99L), ("c1", "2021", 4L)))
+    val snap = Upsert.currentSnapshot(spark, dir).get
+    // 2019 vanished from the map; 2021 still served by its ORIGINAL dir
+    assert(!snap.contains("2019"), snap.toString)
+    assert(snap("2021") === dir2021Before, "untouched partition was rewritten")
+    // replaying the same change batch converges (idempotent outcome)
+    Upsert.mergeCdcPartitioned(spark, dir, changes, table, "annee")
+    val again = Upsert.read(spark, dir)
+      .select("uid", "annee", "nbtrans").collect()
+      .map(r => (r.getString(0), r.get(1).toString, r.getLong(2))).toSet
+    assert(again === got)
+  }
+
+  test("mergeCdcPartitioned rejects an unpartitioned snapshot loudly") {
+    val dir = freshDir()
+    Upsert.upsertByName(spark, dir, staged, Dv3fConfig.departement)
+    val del = staged.limit(1).orderBy("uid")
+      .withColumn("op", lit("D")).withColumn("seq", lit(1L))
+    val e = intercept[IllegalStateException] {
+      Upsert.mergeCdcPartitioned(spark, dir, del, Dv3fConfig.departement, "annee")
+    }
+    assert(e.getMessage.contains("UNPARTITIONED"))
+  }
+
   test("mergeCdc on an empty table: I/U rows insert, D rows are no-ops") {
     val dir = freshDir()
     val changes = staged.orderBy(col("uid").asc).limit(1)
