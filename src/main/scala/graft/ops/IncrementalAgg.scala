@@ -76,4 +76,56 @@ object IncrementalAgg {
       .agg(sum(col("n")).as("n"), sum(col("sum_")).as("sum_"))
       .filter(col("n") =!= 0L)
   }
+
+  // ------------------------------------------------ persisted state dir
+
+  /** Persisted, EXACTLY-ONCE maintenance protocol. merge() itself is
+    * NOT idempotent — folding the same delta twice double-counts — so
+    * a maintained state table must never re-merge a replayed batch.
+    * Instead of tracking applied-batch watermarks, the state dir holds
+    * one partial per batch id (`batch=<id>/`): appendPartial OVERWRITES
+    * its own batch dir, so an at-least-once delivery (retry, streaming
+    * batch replay, backfill re-run) converges byte-identically, and
+    * readState merges whatever partials exist. compactState folds the
+    * accumulated partials into one (cost ∝ key space, run it on a
+    * maintenance cadence) — reads between compactions pay a union of
+    * #batches tiny tables, never a fact-table scan.
+    */
+  def appendPartial(batch: DataFrame, keys: Seq[String], measure: String,
+      stateDir: String, batchId: Long): Unit =
+    partial(batch, keys, measure)
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .parquet(s"${stateDir.stripSuffix("/")}/batch=$batchId")
+
+  /** Current maintained aggregate: merge of every batch partial. */
+  def readState(spark: org.apache.spark.sql.SparkSession, stateDir: String,
+      keys: Seq[String]): DataFrame =
+    merge(Seq(spark.read.parquet(stateDir).drop("batch")), keys)
+
+  /** Fold all existing partials into a single one under `intoBatchId`
+    * (choose an id no live writer uses, e.g. the max applied id), then
+    * drop the absorbed batch dirs. Readers racing the compaction see
+    * either the old partials or the compacted one plus not-yet-deleted
+    * originals — both merge to the same aggregate ONLY once the
+    * deletes land, so run compaction in the same single-maintainer
+    * window as the writes it absorbs (the versioned Upsert is the
+    * fully-concurrent alternative).
+    */
+  def compactState(spark: org.apache.spark.sql.SparkSession, stateDir: String,
+      keys: Seq[String], intoBatchId: Long): Unit = {
+    val root = new org.apache.hadoop.fs.Path(stateDir)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val absorbed = fs.listStatus(root).toSeq
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("batch="))
+      .map(_.getPath)
+    val folded = readState(spark, stateDir, keys)
+    // stage outside the state dir, then swap in: the compacted partial
+    // must not be read (or deleted) half-written
+    val tmp = new org.apache.hadoop.fs.Path(s"${stateDir.stripSuffix("/")}.compact_tmp")
+    folded.coalesce(1).write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .parquet(tmp.toString)
+    absorbed.foreach(p => fs.delete(p, true))
+    fs.rename(tmp, new org.apache.hadoop.fs.Path(root, s"batch=$intoBatchId"))
+    ()
+  }
 }

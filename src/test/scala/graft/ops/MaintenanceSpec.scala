@@ -86,6 +86,30 @@ class MaintenanceSpec extends SparkSpec {
     assert(rows(net) === rows(unsignedNoZ))
   }
 
+  test("ivm state dir: replayed batches are idempotent; compaction preserves the aggregate") {
+    val stateDir = java.nio.file.Files.createTempDirectory("ivm_state").toString
+    val batches = Seq(fact.filter($"v" < 2.0), fact.filter($"v" >= 2.0 && $"v" < 4.0),
+      fact.filter($"v" >= 4.0))
+    batches.zipWithIndex.foreach { case (b, i) =>
+      IncrementalAgg.appendPartial(b, Seq("g"), "v", stateDir, i.toLong)
+    }
+    val want = rows(IncrementalAgg.partial(fact, Seq("g"), "v"))
+    assert(rows(IncrementalAgg.readState(spark, stateDir, Seq("g"))) === want)
+    // at-least-once delivery: re-appending batch 1 overwrites its own
+    // partial — the state does NOT double-count
+    IncrementalAgg.appendPartial(batches(1), Seq("g"), "v", stateDir, 1L)
+    assert(rows(IncrementalAgg.readState(spark, stateDir, Seq("g"))) === want)
+    // compaction folds the partials without changing the aggregate
+    IncrementalAgg.compactState(spark, stateDir, Seq("g"), intoBatchId = 2L)
+    val dirs = new java.io.File(stateDir).listFiles()
+      .filter(_.getName.startsWith("batch=")).map(_.getName).toSet
+    assert(dirs === Set("batch=2"))
+    assert(rows(IncrementalAgg.readState(spark, stateDir, Seq("g"))) === want)
+    // maintenance continues after compaction
+    IncrementalAgg.appendPartial(fact.limit(0), Seq("g"), "v", stateDir, 3L)
+    assert(rows(IncrementalAgg.readState(spark, stateDir, Seq("g"))) === want)
+  }
+
   test("zone maps: pruned scan opens fewer files and loses no rows") {
     val dir = java.nio.file.Files.createTempDirectory("zm_spec").toString
     val data = (1 to 1000).map(i => (i.toLong, i % 7)).toDF("id", "tag")
@@ -100,6 +124,27 @@ class MaintenanceSpec extends SparkSpec {
     val pruned = ZoneMaps.prunedScan(spark, dir, stats, "id", 150L, 250L)
     val full = spark.read.parquet(dir).filter($"id" >= 150L && $"id" <= 250L)
     assert(rows(pruned) === rows(full))
+  }
+
+  test("zone maps contract: files appended after collect() are invisible until refresh") {
+    // the manifest semantics zone maps share with a lakehouse commit
+    // log: stats are per-commit, not per-query — an unrefreshed stats
+    // table silently hides new files from pruned reads, which is why
+    // collect() must run as part of the write/commit path
+    val dir = java.nio.file.Files.createTempDirectory("zm_stale").toString
+    val data = (1 to 100).map(i => (i.toLong, i % 3)).toDF("id", "tag")
+    Layout.writeRangeClustered(data, dir, col("id"), nFiles = 2)
+    val stats = ZoneMaps.collect(spark, dir, "id").collect()
+    val statsDf = spark.createDataFrame(
+      spark.sparkContext.parallelize(stats.toSeq),
+      ZoneMaps.collect(spark, dir, "id").schema)
+    (101 to 120).map(i => (i.toLong, i % 3)).toDF("id", "tag")
+      .coalesce(1).write.mode("append").parquet(dir)
+    val pruned = ZoneMaps.prunedScan(spark, dir, statsDf, "id", 90L, 120L)
+    assert(pruned.agg(max($"id")).head.getLong(0) === 100L) // new file invisible
+    val refreshed = ZoneMaps.collect(spark, dir, "id")
+    val seen = ZoneMaps.prunedScan(spark, dir, refreshed, "id", 90L, 120L)
+    assert(seen.agg(max($"id")).head.getLong(0) === 120L)
   }
 
   test("zone maps: disjoint range yields an empty, correctly-shaped result") {
