@@ -44,6 +44,21 @@ object ZoneMaps {
         min(col(column)).as("min_v"),
         max(col(column)).as("max_v"))
 
+  /** One-scan stats for SEVERAL columns: (file_path, rows, min_<c>,
+    * max_<c> per column). Collecting per-column would re-scan the table
+    * once per column; a commit-path stats refresh wants one pass.
+    */
+  def collectMany(spark: SparkSession, path: String,
+      columns: Seq[String]): DataFrame = {
+    require(columns.nonEmpty, "collectMany needs at least one column")
+    spark.read.parquet(path)
+      .select((columns.map(col) :+ col("_metadata.file_path").as("file_path")): _*)
+      .groupBy(col("file_path"))
+      .agg(count(lit(1)).as("rows"),
+        columns.flatMap(c =>
+          Seq(min(col(c)).as(s"min_$c"), max(col(c)).as(s"max_$c"))): _*)
+  }
+
   /** Files whose envelope intersects [lo, hi] (inclusive). The stats
     * relation is #files-sized — collecting it to the driver is the
     * metadata lookup, not a data collect.

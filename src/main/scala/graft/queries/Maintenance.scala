@@ -134,11 +134,7 @@ object Maintenance {
         Tables.load(spark, dir, "lineitem")
           .select("l_partkey", "l_suppkey", "l_extendedprice", "l_returnflag"),
         clustered, col("l_partkey"), col("l_suppkey"), nFiles = 16)
-      ZoneMaps.collect(spark, clustered, "l_partkey")
-        .withColumnRenamed("min_v", "min_p").withColumnRenamed("max_v", "max_p")
-        .join(ZoneMaps.collect(spark, clustered, "l_suppkey")
-          .withColumnRenamed("min_v", "min_s").withColumnRenamed("max_v", "max_s")
-          .drop("rows"), Seq("file_path"))
+      ZoneMaps.collectMany(spark, clustered, Seq("l_partkey", "l_suppkey"))
         .coalesce(1).write.mode("overwrite").parquet(statsPath)
     }
     val stats = spark.read.parquet(statsPath)
@@ -148,8 +144,8 @@ object Maintenance {
       .agg(max(col("l_partkey")), max(col("l_suppkey"))).head
     val (pLo, pHi, sLo, sHi) = (0L, m.getLong(0) / 8, 0L, m.getLong(1) / 4)
     val files = stats
-      .filter(col("max_p") >= pLo && col("min_p") <= pHi &&
-        col("max_s") >= sLo && col("min_s") <= sHi)
+      .filter(col("max_l_partkey") >= pLo && col("min_l_partkey") <= pHi &&
+        col("max_l_suppkey") >= sLo && col("min_l_suppkey") <= sHi)
       .select("file_path").collect().map(_.getString(0)).toSeq
     val all = spark.read.parquet(clustered)
     val src = if (files.isEmpty) all.limit(0)

@@ -323,6 +323,39 @@ class UpsertSpec extends SparkSpec {
     assert(markers === Set("_commit_1", "_commit_2"), markers.mkString(","))
   }
 
+  test("concurrent mergeCdc vs upsert: race retry converges, delete is not lost") {
+    import spark.implicits._
+    val table = Dv3fConfig.departement
+    val dir = freshDir()
+    Upsert.upsertByName(spark, dir, staged, Dv3fConfig.departement)
+    val Array(u0, u1, _) = staged.orderBy("uid").select("uid")
+      .collect().map(_.getString(0))
+    // writer A deletes u0 via CDC; writer B upserts a changed u1 —
+    // whichever loses the marker race must retry against the winner's
+    // snapshot, so BOTH effects land regardless of interleaving
+    val del = staged.filter(col("uid") === u0)
+      .withColumn("op", lit("D")).withColumn("seq", lit(1L))
+    val upd = staged.filter(col("uid") === u1).withColumn("nbtrans", lit(555L))
+    val barrier = new java.util.concurrent.CyclicBarrier(2)
+    val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    val threads = Seq(
+      new Thread(() => {
+        try { barrier.await(); Upsert.mergeCdc(spark, dir, del, table) }
+        catch { case t: Throwable => errs.add(t) }
+      }),
+      new Thread(() => {
+        try { barrier.await(); Upsert.upsertByName(spark, dir, upd, table) }
+        catch { case t: Throwable => errs.add(t) }
+      }))
+    threads.foreach(_.start()); threads.foreach(_.join())
+    assert(errs.isEmpty, errs.toArray.mkString(", "))
+    val got = Upsert.read(spark, dir)
+    assert(got.filter(col("uid") === u0).count() === 0, "delete was lost")
+    assert(got.filter(col("uid") === u1)
+      .select("nbtrans").head.getLong(0) === 555L, "update was lost")
+    assert(got.count() === 2)
+  }
+
   test("versioned read prunes partitions at RUNTIME despite the string-pinned schema") {
     import spark.implicits._
     val table = Dv3fConfig.departement
