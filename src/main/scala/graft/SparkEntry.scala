@@ -156,6 +156,7 @@ object SparkEntry {
     // — table maintenance: CDC merge, incremental aggregates, zone maps
     "q_cdc_merge" -> (Maintenance.cdcMerge(_, _)),
     "q_incr_agg" -> (Maintenance.incrAgg(_, _)),
+    "q_incr_agg_state" -> (Maintenance.incrAggState(_, _)),
     "q_zonemap_scan" -> (Maintenance.zonemapScan(_, _)),
     // — curation: per-language gate, training-order shuffle, projection
     "q_quality_stratified" -> (Curation.qualityStratifiedGate(_, _)),
@@ -393,6 +394,7 @@ object SparkEntry {
     "q_events_json" -> Events.jsonPropsSql,
     "q_cdc_merge" -> Maintenance.cdcMergeSql,
     "q_incr_agg" -> Maintenance.incrAggSql,
+    "q_incr_agg_state" -> Maintenance.incrAggStateSql,
     "q_zonemap_scan" -> Maintenance.zonemapScanSql,
     "q_quality_stratified" -> Curation.qualityStratifiedGateSql,
     "q_shuffle_batches" -> Curation.shuffleBatchesSql,

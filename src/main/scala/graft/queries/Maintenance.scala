@@ -81,6 +81,37 @@ object Maintenance {
       |  min(l_quantity) AS min_qty, max(l_quantity) AS max_qty
       |FROM lineitem GROUP BY l_returnflag, l_linestatus""".stripMargin
 
+  /** The PERSISTED exactly-once face of the same aggregate: three delta
+    * batches appended as batch-stamped partials (batch 1 appended
+    * TWICE — the at-least-once replay the protocol absorbs), state
+    * compacted mid-stream, then read back. Must still hash-match the
+    * one-shot GROUP BY oracle: replay-idempotence and compaction are
+    * thereby oracle-checked, not just spec-asserted.
+    */
+  def incrAggState(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.load(spark, dir, "lineitem")
+    val keys = Seq("l_returnflag", "l_linestatus")
+    val stateDir = StageOnce.tmp("ivm_state", dir)
+    StageOnce(stateDir) {
+      (0 until 3).foreach { i =>
+        IncrementalAgg.appendPartial(
+          li.filter(col("l_orderkey") % 3 === i), keys, "l_quantity",
+          stateDir, i.toLong)
+      }
+      // replayed delivery of batch 1 + a compaction pass
+      IncrementalAgg.appendPartial(
+        li.filter(col("l_orderkey") % 3 === 1), keys, "l_quantity",
+        stateDir, 1L)
+      IncrementalAgg.compactState(spark, stateDir, keys, intoBatchId = 2L)
+    }
+    IncrementalAgg.readState(spark, stateDir, keys)
+      .select(col("l_returnflag"), col("l_linestatus"), col("n"),
+        col("sum_").cast(DoubleType).as("sum_qty"),
+        col("min_").as("min_qty"), col("max_").as("max_qty"))
+  }
+
+  val incrAggStateSql: String = incrAggSql
+
   /** Zone-map-pruned date-range scan: lineitem is laid out
     * range-clustered on l_shipdate (once per JVM), a per-file min/max
     * stats table is collected (once), and the query opens only the
