@@ -163,7 +163,8 @@ object SparkEntry {
     "q_shuffle_batches" -> ((s, d) => Curation.shuffleBatches(s, d)),
     "q_embed_project" -> ((s, d) => LlmOps.embedProject(s, d)),
     "q_range_bounds" -> (Physical.rangeBounds(_, _)),
-    "q_zorder_scan" -> (Maintenance.zorderScan(_, _))
+    "q_zorder_scan" -> (Maintenance.zorderScan(_, _)),
+    "q_dedup_span_removal" -> ((s, d) => LlmOps.removeDuplicateSpans(s, d))
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -401,6 +402,7 @@ object SparkEntry {
     "q_embed_project" -> LlmOps.embedProjectSql,
     "q_range_bounds" -> Physical.rangeBoundsSql,
     "q_zorder_scan" -> Maintenance.zorderScanSql,
+    "q_dedup_span_removal" -> LlmOps.removeDuplicateSpansSql,
     "q_embed_topk" -> LlmOps.embedTopKSql,
     "q_embed_topk_i8" -> LlmOps.embedTopKI8Sql,
     "q_embed_neardup" -> LlmOps.embedNearDupSql,

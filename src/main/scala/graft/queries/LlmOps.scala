@@ -271,6 +271,75 @@ object LlmOps {
         min(col("doc_id")).as("first_doc"), max(col("doc_id")).as("last_doc"))
       .filter(col("n_docs") >= 2)
 
+  /** Exact-substring span REMOVAL (the Lee et al. "Deduplicating
+    * Training Data" semantics, at 8-gram granularity): every token
+    * covered by an 8-gram that also appears in an earlier document is
+    * CUT from the later document; the earliest (min doc_id) occurrence
+    * is canonical and keeps its text. Output: one row per document
+    * that lost tokens — (doc_id, n_removed, clean_text). Shape at
+    * 100 TB: positional shingles hash to 8-byte keys, the owner table
+    * is one h-keyed aggregation, removal positions come from one join
+    * on h (work ∝ shingle occurrences, never doc×doc), and text
+    * reassembly is a per-doc sort of surviving tokens. A document
+    * whose every token is removed drops out of the output (no
+    * surviving tokens to reassemble) — symmetric with the SQL oracle.
+    */
+  def removeDuplicateSpans(spark: SparkSession, dir: String,
+      n: Int = 8): DataFrame =
+    removeDuplicateSpans(Tables.load(spark, dir, "documents"), n)
+
+  def removeDuplicateSpans(docs: DataFrame, n: Int): DataFrame = {
+    val base = docs.select(col("doc_id"),
+      split(trim(col("text")), "\\s+").as("t"))
+    val sh = base.filter(size(col("t")) >= n)
+      .select(col("doc_id"), posexplode(
+        transform(sequence(lit(0), size(col("t")) - n),
+          i => array_join(slice(col("t"), i + 1, lit(n)), " ")))
+        .as(Seq("pos", "shingle")))
+      .select(col("doc_id"), col("pos"), Dedup.hash60(col("shingle")).as("h"))
+    val owners = sh.groupBy(col("h"))
+      .agg(min(col("doc_id")).as("owner"),
+        countDistinct(col("doc_id")).as("nd"))
+      .filter(col("nd") >= 2).select(col("h"), col("owner"))
+    val rm = sh.join(owners, "h").filter(col("doc_id") =!= col("owner"))
+    val cov = rm.select(col("doc_id"),
+      explode(sequence(col("pos"), col("pos") + (n - 1))).as("tpos")).distinct()
+    val tk = base.select(col("doc_id"),
+      posexplode(col("t")).as(Seq("tpos", "tok")))
+    val kept = tk.join(cov, Seq("doc_id", "tpos"), "left_anti")
+    val nRemoved = cov.groupBy(col("doc_id")).agg(count(lit(1)).as("n_removed"))
+    kept.groupBy(col("doc_id"))
+      .agg(array_join(
+        transform(array_sort(collect_list(struct(col("tpos"), col("tok")))),
+          x => x.getField("tok")), " ").as("clean_text"))
+      .join(nRemoved, "doc_id")
+      .select(col("doc_id"), col("n_removed"), col("clean_text"))
+  }
+
+  val removeDuplicateSpansSql: String =
+    """WITH toks AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS t
+      |  FROM documents),
+      |sh AS (SELECT doc_id,
+      |    unnest([i - 1 for i in range(1, len(t) - 6)]) AS pos,
+      |    unnest([('0x' || substr(md5(array_to_string(t[i:i+7], ' ')), 1, 15))::BIGINT
+      |            for i in range(1, len(t) - 6)]) AS h
+      |  FROM toks WHERE len(t) >= 8),
+      |owners AS (SELECT h, min(doc_id) AS owner
+      |  FROM (SELECT DISTINCT h, doc_id FROM sh) GROUP BY h
+      |  HAVING count(*) >= 2),
+      |rm AS (SELECT s.doc_id, s.pos FROM sh s JOIN owners o USING (h)
+      |  WHERE s.doc_id <> o.owner),
+      |cov AS (SELECT DISTINCT doc_id, unnest(range(pos, pos + 8)) AS tpos FROM rm),
+      |tk AS (SELECT doc_id, unnest(t) AS tok,
+      |    generate_subscripts(t, 1) - 1 AS tpos FROM toks),
+      |kept AS (SELECT k.* FROM tk k WHERE NOT EXISTS (
+      |    SELECT 1 FROM cov c WHERE c.doc_id = k.doc_id AND c.tpos = k.tpos)),
+      |nrem AS (SELECT doc_id, count(*) AS n_removed FROM cov GROUP BY doc_id),
+      |outp AS (SELECT doc_id, string_agg(tok, ' ' ORDER BY tpos) AS clean_text
+      |  FROM kept GROUP BY doc_id)
+      |SELECT o.doc_id, n.n_removed, o.clean_text
+      |FROM outp o JOIN nrem n USING (doc_id)""".stripMargin
+
   /** Eval-set DECONTAMINATION: corpus documents sharing ≥ `minShared`
     * token 8-grams with the eval set (doc_id % 50 == 0 stands in for a
     * held-out benchmark) — the pre-training hygiene step that keeps

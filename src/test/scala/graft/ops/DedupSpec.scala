@@ -181,4 +181,16 @@ class DedupSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1))).toList
     assert(rev == List((2L, 9L)))
   }
+
+  test("span removal: later docs lose shared 8-grams, canonical and unique docs keep theirs") {
+    val docs = Seq(
+      (1L, "a b c d e f g h X"),     // canonical owner of [a..h]
+      (2L, "p q a b c d e f g h r"), // loses the span mid-document
+      (3L, "u v w"),                 // unique, untouched
+      (4L, "a b c d e f g h i")      // loses the span at the start
+    ).toDF("doc_id", "text")
+    val out = graft.queries.LlmOps.removeDuplicateSpans(docs, n = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSet
+    assert(out === Set((2L, 8L, "p q r"), (4L, 8L, "i")))
+  }
 }
