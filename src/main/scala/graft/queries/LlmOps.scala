@@ -289,19 +289,37 @@ object LlmOps {
     removeDuplicateSpans(Tables.load(spark, dir, "documents"), n)
 
   def removeDuplicateSpans(docs: DataFrame, n: Int): DataFrame = {
-    val base = docs.select(col("doc_id"),
+    val base = docs.select(col("doc_id"), col("text"),
       split(trim(col("text")), "\\s+").as("t"))
+    // positional shingles via the codegen'd TokenChunks kernel (one
+    // tokenize + one StringBuilder pass per doc) instead of a
+    // per-position slice/array_join HOF chain; stride-1 chunks include
+    // tail windows shorter than n, dropped by the position bound
     val sh = base.filter(size(col("t")) >= n)
-      .select(col("doc_id"), posexplode(
-        transform(sequence(lit(0), size(col("t")) - n),
-          i => array_join(slice(col("t"), i + 1, lit(n)), " ")))
+      .select(col("doc_id"), (size(col("t")) - n).as("maxPos"),
+        posexplode(graft.functions.GraftFunctions
+          .tokenChunks(col("text"), window = n, stride = 1))
         .as(Seq("pos", "shingle")))
+      .filter(col("pos") <= col("maxPos"))
       .select(col("doc_id"), col("pos"), Dedup.hash60(col("shingle")).as("h"))
-    val owners = sh.groupBy(col("h"))
+    // one pass over the shingle occurrences: group them by hash WITH
+    // their positions, then emit removal positions for every entry
+    // whose doc is not the canonical (min doc_id) owner. The naive
+    // owners-table-then-join formulation evaluates the 8-gram md5
+    // subtree twice (once per consumer) — this shape hashes each
+    // shingle once and pays ONE h-keyed exchange. Same-doc repeats
+    // pass the size filter but produce no removals (doc == owner).
+    // At 100 TB the collected posting carries a hot-shingle risk the
+    // inverted-index op solves with BoundedPostings; 8-gram postings
+    // are short (stop-8-grams are rare), and a cap would make removal
+    // lossy, so this op keeps them exact.
+    val rm = sh.groupBy(col("h"))
       .agg(min(col("doc_id")).as("owner"),
-        countDistinct(col("doc_id")).as("nd"))
-      .filter(col("nd") >= 2).select(col("h"), col("owner"))
-    val rm = sh.join(owners, "h").filter(col("doc_id") =!= col("owner"))
+        collect_list(struct(col("doc_id"), col("pos"))).as("entries"))
+      .filter(size(col("entries")) >= 2)
+      .select(col("owner"), explode(col("entries")).as("e"))
+      .filter(col("e.doc_id") =!= col("owner"))
+      .select(col("e.doc_id").as("doc_id"), col("e.pos").as("pos"))
     val cov = rm.select(col("doc_id"),
       explode(sequence(col("pos"), col("pos") + (n - 1))).as("tpos")).distinct()
     val tk = base.select(col("doc_id"),
