@@ -164,7 +164,13 @@ object SparkEntry {
     "q_embed_project" -> ((s, d) => LlmOps.embedProject(s, d)),
     "q_range_bounds" -> (Physical.rangeBounds(_, _)),
     "q_zorder_scan" -> (Maintenance.zorderScan(_, _)),
-    "q_dedup_span_removal" -> ((s, d) => LlmOps.removeDuplicateSpans(s, d))
+    "q_dedup_span_removal" -> ((s, d) => LlmOps.removeDuplicateSpans(s, d)),
+    // — portable sketches, graph stats, weighted sampling
+    "q_sketch_hll" -> (SketchOps.sketchHllTokens(_, _)),
+    "q_sketch_kmv" -> (SketchOps.sketchKmvTokens(_, _)),
+    "q_sketch_cms" -> (SketchOps.sketchCmsTokens(_, _)),
+    "q_dedup_graph_stats" -> (SketchOps.dedupGraphStats(_, _)),
+    "q_sample_weighted" -> (SketchOps.sampleWeighted(_, _))
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -403,6 +409,11 @@ object SparkEntry {
     "q_range_bounds" -> Physical.rangeBoundsSql,
     "q_zorder_scan" -> Maintenance.zorderScanSql,
     "q_dedup_span_removal" -> LlmOps.removeDuplicateSpansSql,
+    "q_sketch_hll" -> SketchOps.sketchHllTokensSql,
+    "q_sketch_kmv" -> SketchOps.sketchKmvTokensSql,
+    "q_sketch_cms" -> SketchOps.sketchCmsTokensSql,
+    "q_dedup_graph_stats" -> SketchOps.dedupGraphStatsSql,
+    "q_sample_weighted" -> SketchOps.sampleWeightedSql,
     "q_embed_topk" -> LlmOps.embedTopKSql,
     "q_embed_topk_i8" -> LlmOps.embedTopKI8Sql,
     "q_embed_neardup" -> LlmOps.embedNearDupSql,

@@ -60,4 +60,35 @@ object Sampling {
     }
     df.filter(bucketOf(key, buckets) < pct)
   }
+
+  /** Weight-proportional deterministic sample (e.g. sample documents
+    * proportionally to length, so the TOKEN sample is uniform): keep a
+    * row iff hash40(key) / 2^40 < targetN * weight / totalWeight — each
+    * row kept independently with probability proportional to its
+    * weight, expected sample size ≈ targetN.
+    *
+    * The comparison is exact integer arithmetic, cross-multiplied to
+    * hash40(key) * totalWeight < weight * targetN * 2^40 and evaluated
+    * in DECIMAL(38,0) so no float rounds and no int64 overflows at any
+    * corpus size — the SAME rows are selected by any engine (the DuckDB
+    * oracle runs it in HUGEINT). Float formulations break here: the
+    * keep/drop boundary is a comparison, and a one-ulp disagreement
+    * flips membership.
+    *
+    * Plan shape: the total-weight scalar rides a broadcast one-row
+    * cross join; the filter itself is map-side codegen over the scan —
+    * no shuffle of the data, no state, reproducible under retries.
+    */
+  def weightedSample(df: DataFrame, key: Column, weight: Column,
+      targetN: Int): DataFrame = {
+    val dec = DecimalType(38, 0)
+    val total = df.agg(
+      sum(weight.cast(LongType)).cast(LongType).as("_tw"))
+    df.crossJoin(broadcast(total))
+      .filter(
+        PortableSketches.hash40(key.cast(StringType))
+          .cast(dec) * col("_tw").cast(dec) <
+          weight.cast(dec) * lit(targetN).cast(dec) * lit(1L << 40).cast(dec))
+      .drop("_tw")
+  }
 }

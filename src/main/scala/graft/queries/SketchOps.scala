@@ -1,0 +1,204 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.Tables
+import graft.ops.{CacheBin, PortableSketches, Sampling, Triangles}
+
+/** Query faces for the engine-portable sketches, graph stats and
+  * weighted sampling (see graft.ops.PortableSketches / Triangles /
+  * Sampling for the designs and the 100 TB rationale). All of these are
+  * oracle-hashable — the whole point of md5-deterministic sketches —
+  * so unlike the built-in approximate aggregates each face has a full
+  * DuckDB oracle row, not just a spec bound.
+  */
+object SketchOps {
+
+  private def toks(c: org.apache.spark.sql.Column) = split(trim(c), "\\s+")
+
+  // ------------------------------------------------------------- HLL
+
+  /** Distinct tokens per language, HyperLogLog-estimated: the register
+    * table is <= 256 rows per language however big the corpus, built by
+    * a two-level max-aggregation that map-side combines — vs exact
+    * count(DISTINCT token), which shuffles every distinct token. The
+    * estimate is bit-reproducible (dyadic harmonic sum), so an engine
+    * fleet can share persisted register tables.
+    */
+  def sketchHllTokens(spark: SparkSession, dir: String): DataFrame = {
+    val occ = Tables.load(spark, dir, "documents")
+      .select(col("lang"), explode(toks(col("text"))).as("token"))
+    val regs = PortableSketches.hllRegisters(occ, Seq("lang"), col("token"))
+    PortableSketches.hllEstimate(regs, Seq("lang"))
+  }
+
+  val sketchHllTokensSql: String =
+    """WITH occ AS (
+      |  SELECT lang, unnest(string_split_regex(trim(text), '\s+')) AS token
+      |  FROM documents),
+      |regs AS (
+      |  SELECT lang,
+      |    ('0x' || substr(md5(token), 1, 2))::BIGINT AS reg,
+      |    max(CASE WHEN ('0x' || substr(md5(token), 3, 8))::BIGINT = 0 THEN 33
+      |        ELSE 33 - length(bin(('0x' || substr(md5(token), 3, 8))::BIGINT)) END)
+      |      AS r
+      |  FROM occ GROUP BY 1, 2),
+      |z AS (
+      |  SELECT lang,
+      |    sum(CAST(1.0 AS DOUBLE) / CAST(1::BIGINT << r AS DOUBLE)) AS z_occ,
+      |    count(*) AS n_occ
+      |  FROM regs GROUP BY lang)
+      |SELECT lang,
+      |  round(CAST(0.7213 AS DOUBLE) / (CAST(1.0 AS DOUBLE) + CAST(1.079 AS DOUBLE) / CAST(256.0 AS DOUBLE)) * CAST(65536.0 AS DOUBLE)
+      |        / (z_occ + CAST(256 - n_occ AS DOUBLE)), 6) AS hll_nd
+      |FROM z""".stripMargin
+
+  // ------------------------------------------------------------- KMV
+
+  /** Distinct tokens per language via the KMV bounded aggregator:
+    * O(k=64) state per group, partial-aggregated — the k smallest
+    * distinct 40-bit hashes ARE the sketch, and merging two sketches is
+    * the distinct-union-truncate the aggregator's merge implements.
+    * Exact below k (the sketch holds the whole distinct set), the
+    * (k-1)/kth-min estimator above.
+    */
+  def sketchKmvTokens(spark: SparkSession, dir: String): DataFrame = {
+    val k = 64
+    val kmv = udaf(new graft.functions.KmvAggregator(k))
+    val d = Tables.load(spark, dir, "documents")
+      .select(col("lang"), explode(toks(col("text"))).as("token"))
+      .select(col("lang"), PortableSketches.hash40(col("token")).as("h"))
+    d.groupBy(col("lang"))
+      .agg(kmv(col("h")).as("s"))
+      .select(col("lang"),
+        round(
+          when(col("s.n") < k, col("s.n").cast(DoubleType))
+            .otherwise(lit((k - 1).toDouble) * lit(1099511627776.0) /
+              col("s.kth").cast(DoubleType)),
+          6).as("kmv_nd"))
+  }
+
+  val sketchKmvTokensSql: String =
+    """WITH occ AS (
+      |  SELECT lang, unnest(string_split_regex(trim(text), '\s+')) AS token
+      |  FROM documents),
+      |d AS (
+      |  SELECT DISTINCT lang, ('0x' || substr(md5(token), 1, 10))::BIGINT AS h
+      |  FROM occ),
+      |r AS (
+      |  SELECT lang, h,
+      |    row_number() OVER (PARTITION BY lang ORDER BY h) AS rk,
+      |    count(*) OVER (PARTITION BY lang) AS nd
+      |  FROM d)
+      |SELECT lang,
+      |  round(CASE WHEN max(nd) < 64 THEN CAST(max(nd) AS DOUBLE)
+      |    ELSE CAST(63.0 AS DOUBLE) * CAST(1099511627776.0 AS DOUBLE)
+      |         / CAST(max(CASE WHEN rk = 64 THEN h END) AS DOUBLE) END, 6)
+      |    AS kmv_nd
+      |FROM r GROUP BY lang""".stripMargin
+
+  // ------------------------------------------------------------- CMS
+
+  /** Count-min point estimates for the corpus's 20 hottest tokens:
+    * the sketch is depth 4 x width 512 integer counters built in one
+    * map-side-combined pass; estimation probes it by broadcast join.
+    * Integer-only, so over-estimates are EXACTLY the bucket collisions
+    * the oracle reproduces.
+    */
+  def sketchCmsTokens(spark: SparkSession, dir: String): DataFrame = {
+    val (depth, width) = (4, 512)
+    val occ = CacheBin.pin(Tables.load(spark, dir, "documents")
+      .select(explode(toks(col("text"))).as("token")))
+    val sketch = PortableSketches.cmsSketch(occ, col("token"), depth, width)
+    val truth = occ.groupBy(col("token"))
+      .agg(count(lit(1)).as("true_ct"))
+      .orderBy(col("true_ct").desc, col("token"))
+      .limit(20)
+      .withColumnRenamed("token", "key")
+    PortableSketches.cmsEstimate(truth, sketch, depth, width)
+      .withColumnRenamed("key", "token")
+  }
+
+  val sketchCmsTokensSql: String =
+    """WITH occ AS (
+      |  SELECT unnest(string_split_regex(trim(text), '\s+')) AS token
+      |  FROM documents),
+      |rows_ AS (SELECT unnest(generate_series(0, 3)) AS r),
+      |sketch AS (
+      |  SELECT r,
+      |    ('0x' || substr(md5(CAST(r AS VARCHAR) || ':' || token), 1, 10))::BIGINT % 512 AS b,
+      |    count(*) AS ct
+      |  FROM occ, rows_ GROUP BY 1, 2),
+      |truth AS (
+      |  SELECT token, count(*) AS true_ct FROM occ GROUP BY token
+      |  ORDER BY true_ct DESC, token LIMIT 20)
+      |SELECT t.token, t.true_ct, min(s.ct) AS cms_ct
+      |FROM truth t CROSS JOIN rows_ i
+      |JOIN sketch s ON s.r = i.r
+      |  AND s.b = ('0x' || substr(md5(CAST(i.r AS VARCHAR) || ':' || t.token), 1, 10))::BIGINT % 512
+      |GROUP BY t.token, t.true_ct""".stripMargin
+
+  // ------------------------------------------------------- triangles
+
+  /** Graph-shape stats of the LSH near-dup graph (edges = the verified
+    * minhash-LSH pairs): edge/wedge/triangle counts via degree-ordered
+    * orientation — see graft.ops.Triangles. The edge list is pinned so
+    * the LSH pipeline runs once, not once per join branch.
+    */
+  def dedupGraphStats(spark: SparkSession, dir: String): DataFrame = {
+    val edges = CacheBin.pin(
+      LlmOps.minhashLshDedup(spark, dir).select(col("doc_a"), col("doc_b")))
+    Triangles.stats(edges)
+  }
+
+  lazy val dedupGraphStatsSql: String =
+    s"""WITH edges AS (SELECT doc_a, doc_b FROM (${LlmOps.minhashLshSql})),
+       |deg AS (
+       |  SELECT v, count(*) AS deg FROM (
+       |    SELECT doc_a AS v FROM edges
+       |    UNION ALL SELECT doc_b AS v FROM edges)
+       |  GROUP BY v),
+       |o AS (
+       |  SELECT
+       |    CASE WHEN da.deg < db.deg OR (da.deg = db.deg AND e.doc_a < e.doc_b)
+       |         THEN e.doc_a ELSE e.doc_b END AS src,
+       |    CASE WHEN da.deg < db.deg OR (da.deg = db.deg AND e.doc_a < e.doc_b)
+       |         THEN e.doc_b ELSE e.doc_a END AS dst
+       |  FROM edges e
+       |  JOIN deg da ON da.v = e.doc_a
+       |  JOIN deg db ON db.v = e.doc_b),
+       |wed AS (
+       |  SELECT x.dst AS u, y.dst AS w
+       |  FROM o x JOIN o y ON x.src = y.src AND x.dst < y.dst),
+       |closed AS (
+       |  SELECT count(*) AS n_wedges,
+       |    CAST(coalesce(sum(CASE WHEN e.doc_a IS NULL THEN 0 ELSE 1 END), 0) AS BIGINT)
+       |      AS n_triangles
+       |  FROM wed LEFT JOIN edges e
+       |    ON e.doc_a = least(u, w) AND e.doc_b = greatest(u, w))
+       |SELECT (SELECT count(*) FROM edges) AS n_edges,
+       |  n_wedges, n_triangles
+       |FROM closed""".stripMargin
+
+  // -------------------------------------------------- weighted sample
+
+  /** Length-weighted document sample, expected ~120 docs: every doc kept
+    * with probability proportional to n_chars (so sampled TOKENS are
+    * ~uniform over the corpus). Selection is exact cross-multiplied
+    * integer arithmetic — the oracle picks the identical rows.
+    */
+  def sampleWeighted(spark: SparkSession, dir: String): DataFrame =
+    Sampling.weightedSample(
+      Tables.load(spark, dir, "documents")
+        .select(col("doc_id"), col("lang"), col("n_chars")),
+      col("doc_id"), col("n_chars"), targetN = 120)
+
+  val sampleWeightedSql: String =
+    """WITH t AS (SELECT CAST(sum(n_chars) AS BIGINT) AS tw FROM documents)
+      |SELECT doc_id, lang, n_chars FROM documents, t
+      |WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 10))::BIGINT AS HUGEINT)
+      |        * CAST(tw AS HUGEINT)
+      |      < CAST(n_chars AS HUGEINT) * 120 * 1099511627776""".stripMargin
+}
