@@ -194,6 +194,18 @@ object ScaleBench {
         queries.Curation.shuffleBatches(spark, dir))
       val (sgSec, sgRows, sgEx) = bestIf("stratified_gate")(
         queries.Curation.qualityStratifiedGate(spark, dir))
+      // portable sketches: the flat-state family. Amplified replicas tag
+      // every token, so DISTINCT tokens grow ∝ k — exact distinct state
+      // would grow with the data, but the sketch row counts must stay
+      // FLAT (≤ langs×256 HLL registers, 1 KMV row per lang, ≤ 4×512
+      // CMS counters) while wall time stays ∝ k. `rows` in the output
+      // row IS the state-size claim; a growing value falsifies it.
+      val (hllSec, hllRows, hllEx) = bestIf("sketch_hll")(
+        queries.SketchOps.sketchHllTokens(spark, dir))
+      val (kmvSec, kmvRows, kmvEx) = bestIf("sketch_kmv")(
+        queries.SketchOps.sketchKmvTokens(spark, dir))
+      val (cmsSec, cmsRows, cmsEx) = bestIf("sketch_cms")(
+        queries.SketchOps.sketchCmsTokens(spark, dir))
       val row = scala.collection.immutable.ListMap(
         "lsh_pairs" -> (lshSec, lshRows, lshEx),
         "cc_distributed" -> (ccSec, ccRows, ccEx),
@@ -203,7 +215,10 @@ object ScaleBench {
         "simhash_pairs" -> (shSec, shRows, shEx),
         "pagerank" -> (prSec, prRows, prEx),
         "shuffle_batches" -> (sbSec, sbRows, sbEx),
-        "stratified_gate" -> (sgSec, sgRows, sgEx))
+        "stratified_gate" -> (sgSec, sgRows, sgEx),
+        "sketch_hll" -> (hllSec, hllRows, hllEx),
+        "sketch_kmv" -> (kmvSec, kmvRows, kmvEx),
+        "sketch_cms" -> (cmsSec, cmsRows, cmsEx))
         .filter { case (op, _) => wanted(op) }
       row.foreach { case (op, (s, r, e)) =>
         println(s"""{"scale":$k,"op":"$op","sec":$s,"rows":$r,"exchanges":$e}""")
