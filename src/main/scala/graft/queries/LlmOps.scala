@@ -291,35 +291,7 @@ object LlmOps {
   def removeDuplicateSpans(docs: DataFrame, n: Int): DataFrame = {
     val base = docs.select(col("doc_id"), col("text"),
       split(trim(col("text")), "\\s+").as("t"))
-    // positional shingles via the codegen'd TokenChunks kernel (one
-    // tokenize + one StringBuilder pass per doc) instead of a
-    // per-position slice/array_join HOF chain; stride-1 chunks include
-    // tail windows shorter than n, dropped by the position bound
-    val sh = base.filter(size(col("t")) >= n)
-      .select(col("doc_id"), (size(col("t")) - n).as("maxPos"),
-        posexplode(graft.functions.GraftFunctions
-          .tokenChunks(col("text"), window = n, stride = 1))
-        .as(Seq("pos", "shingle")))
-      .filter(col("pos") <= col("maxPos"))
-      .select(col("doc_id"), col("pos"), Dedup.hash60(col("shingle")).as("h"))
-    // one pass over the shingle occurrences: group them by hash WITH
-    // their positions, then emit removal positions for every entry
-    // whose doc is not the canonical (min doc_id) owner. The naive
-    // owners-table-then-join formulation evaluates the 8-gram md5
-    // subtree twice (once per consumer) — this shape hashes each
-    // shingle once and pays ONE h-keyed exchange. Same-doc repeats
-    // pass the size filter but produce no removals (doc == owner).
-    // At 100 TB the collected posting carries a hot-shingle risk the
-    // inverted-index op solves with BoundedPostings; 8-gram postings
-    // are short (stop-8-grams are rare), and a cap would make removal
-    // lossy, so this op keeps them exact.
-    val rm = sh.groupBy(col("h"))
-      .agg(min(col("doc_id")).as("owner"),
-        collect_list(struct(col("doc_id"), col("pos"))).as("entries"))
-      .filter(size(col("entries")) >= 2)
-      .select(col("owner"), explode(col("entries")).as("e"))
-      .filter(col("e.doc_id") =!= col("owner"))
-      .select(col("e.doc_id").as("doc_id"), col("e.pos").as("pos"))
+    val rm = spanRemovalPositions(docs, n)
     val cov = rm.select(col("doc_id"),
       explode(sequence(col("pos"), col("pos") + (n - 1))).as("tpos")).distinct()
     val tk = base.select(col("doc_id"),
@@ -332,6 +304,45 @@ object LlmOps {
           x => x.getField("tok")), " ").as("clean_text"))
       .join(nRemoved, "doc_id")
       .select(col("doc_id"), col("n_removed"), col("clean_text"))
+  }
+
+  /** Removal positions (doc_id, pos): every positional token n-gram
+    * whose hash also occurs in an earlier (min doc_id) document.
+    * BOUNDED STATE by construction — the h-keyed aggregation carries
+    * two longs per key (min owner + max occupant), never a posting
+    * list, so a boilerplate 8-gram occurring 10⁶–10⁸ times in a web
+    * corpus (navigation chrome, license sentences) costs a skewed but
+    * STREAMABLE join partition — which AQE's skew-join splitting can
+    * further cut, since the owners side is one row per key — instead
+    * of one multi-GB aggregation buffer on a single reducer. The
+    * hashed (doc_id, pos, h) stream is pinned so the tokenize + md5
+    * pass runs once and both consumers (owner aggregation, join back)
+    * read the materialized rows: 24-byte rows, far smaller than the
+    * text they came from. Keys whose occurrences all sit in one
+    * document (internal repeats) die at the hi > owner filter and
+    * never reach the join.
+    */
+  private[graft] def spanRemovalPositions(docs: DataFrame, n: Int): DataFrame = {
+    val base = docs.select(col("doc_id"), col("text"),
+      split(trim(col("text")), "\\s+").as("t"))
+    // positional shingles via the codegen'd TokenChunks kernel (one
+    // tokenize + one StringBuilder pass per doc) instead of a
+    // per-position slice/array_join HOF chain; stride-1 chunks include
+    // tail windows shorter than n, dropped by the position bound
+    val sh = graft.ops.CacheBin.pin(base.filter(size(col("t")) >= n)
+      .select(col("doc_id"), (size(col("t")) - n).as("maxPos"),
+        posexplode(graft.functions.GraftFunctions
+          .tokenChunks(col("text"), window = n, stride = 1))
+        .as(Seq("pos", "shingle")))
+      .filter(col("pos") <= col("maxPos"))
+      .select(col("doc_id"), col("pos"), Dedup.hash60(col("shingle")).as("h")))
+    val owners = sh.groupBy(col("h"))
+      .agg(min(col("doc_id")).as("owner"), max(col("doc_id")).as("hi"))
+      .filter(col("hi") > col("owner")) // an occurrence outside the owner doc
+      .select(col("h"), col("owner"))
+    sh.join(owners, Seq("h"))
+      .filter(col("doc_id") =!= col("owner"))
+      .select(col("doc_id"), col("pos"))
   }
 
   val removeDuplicateSpansSql: String =
