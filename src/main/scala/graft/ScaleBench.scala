@@ -173,6 +173,25 @@ object ScaleBench {
         queries.LlmOps.ngramJaccard(spark, dir))
       val (shSec, shRows, shEx) = bestIf("simhash_pairs")(
         queries.LlmOps.simhashPairs(spark, dir))
+      // ADVERSARIAL hot-key cell for exact-substring span removal: one
+      // fixed 8-token phrase, repeated 13×, is prepended to 10% of the
+      // docs at read time — deliberately NOT replica-tagged, so each of
+      // its 8 rotated 8-gram hashes accumulates occurrences across ALL
+      // replicas (∝ k·docs: ~600k rows per hot key at x100, the
+      // boilerplate-8-gram profile of web text). The bounded-state
+      // owner aggregation must stream these keys (two longs of state
+      // each); the former collect_list posting shape would buffer every
+      // occurrence of a hot key in ONE aggregation buffer on one
+      // reducer, which is the straggler/OOM this cell exists to refute.
+      val (srSec, srRows, srEx) = bestIf("span_removal_hot") {
+        val hot = Seq.fill(13)(
+          "lorem ipsum dolor sit amet consectetur adipiscing elit")
+          .mkString(" ")
+        queries.LlmOps.spanRemovalPositions(
+          Tables.load(spark, dir, "documents").withColumn("text",
+            when(col("doc_id") % 10 === 0, concat(lit(hot + " "), col("text")))
+              .otherwise(col("text"))), n = 8)
+      }
       // fixed-iteration PageRank over the same pinned pair graph: each
       // round is one vertex-keyed shuffle join, so time must scale with
       // edges (∝ k), iterations constant
@@ -213,6 +232,7 @@ object ScaleBench {
         "pack_sharded" -> (packSec, packRows, packEx),
         "ngram_jaccard" -> (njSec, njRows, njEx),
         "simhash_pairs" -> (shSec, shRows, shEx),
+        "span_removal_hot" -> (srSec, srRows, srEx),
         "pagerank" -> (prSec, prRows, prEx),
         "shuffle_batches" -> (sbSec, sbRows, sbEx),
         "stratified_gate" -> (sgSec, sgRows, sgEx),

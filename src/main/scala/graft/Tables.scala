@@ -46,11 +46,18 @@ object Tables {
   def loadEvents(spark: SparkSession, sfDir: String): DataFrame = {
     val raw = load(spark, sfDir, "events")
     import org.apache.spark.sql.functions._
-    import org.apache.spark.sql.types.LongType
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType}
     raw.schema("ts").dataType match {
       case LongType =>
         raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-      case _ => raw // already a timestamp (e.g. regenerated testdata)
+      case TimestampNTZType =>
+        // regenerated testdata writes naive micros (timestamp[us], no
+        // zone) which Spark reads as TIMESTAMP_NTZ. Normalize to the
+        // session-UTC TimestampType every query was written against:
+        // value-identical under the UTC session (EngineSession pins it),
+        // and NTZ notably cannot cast to BIGINT for epoch binning.
+        raw.withColumn("ts", col("ts").cast("timestamp"))
+      case _ => raw // already a (zoned) timestamp
     }
   }
 

@@ -150,6 +150,64 @@ object Upsert {
     try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
   }
 
+  /** Filesystems whose `rename` is verified atomic AND
+    * fails-when-destination-exists — the two properties the commit
+    * protocol stands on. `file` (local/NFS-posix) and HDFS-family
+    * schemes qualify; everything else must opt in explicitly.
+    */
+  private val AtomicRenameSchemes = Set("file", "hdfs", "viewfs", "hopsfs")
+
+  /** Schemes known to VIOLATE the contract: object-store renames are
+    * copy+delete and their destination-existence check is not atomic
+    * with the rename, so two racing writers can both "win" and one
+    * commit silently vanishes.
+    */
+  private val ObjectStoreSchemes = Set(
+    "s3", "s3a", "s3n", "gs", "wasb", "wasbs", "abfs", "abfss",
+    "oss", "cos", "cosn", "swift", "adl", "obs")
+
+  /** Escape hatch for HDFS-compatible filesystems not on the allowlist
+    * (e.g. Ozone's ofs, which implements atomic rename): set this
+    * Hadoop conf key to `true` to assert the deployment's FS honors
+    * the contract. It does NOT make an object store safe.
+    */
+  private[dv3f] val AssumeAtomicRenameKey = "graft.upsert.assumeAtomicRename"
+
+  /** Gate the commit protocol on the FS actually providing its one
+    * primitive. Called at every publish: a misdeployment over S3 fails
+    * fast with the remediation spelled out instead of silently losing
+    * racing commits.
+    */
+  private[dv3f] def requireAtomicRename(fs: FileSystem): Unit = {
+    val scheme = Option(fs.getUri.getScheme).getOrElse("file").toLowerCase
+    if (AtomicRenameSchemes(scheme)) return
+    if (Option(fs.getConf).exists(_.getBoolean(AssumeAtomicRenameKey, false))) {
+      if (ObjectStoreSchemes(scheme))
+        throw new UnsupportedOperationException(
+          s"$AssumeAtomicRenameKey cannot make '$scheme' safe: object-store " +
+            "rename is copy+delete, not an atomic fail-if-exists commit " +
+            "point. Use a conditional-create primitive (S3 If-None-Match) " +
+            "or a lakehouse table format instead of this protocol.")
+      return
+    }
+    val why =
+      if (ObjectStoreSchemes(scheme))
+        "an object store: rename is copy+delete and its existence check " +
+          "is not atomic with it, so racing commits can both 'succeed' " +
+          "and one silently vanishes"
+      else
+        "not on the verified-atomic-rename allowlist " +
+          s"(${AtomicRenameSchemes.toSeq.sorted.mkString(", ")})"
+    throw new UnsupportedOperationException(
+      s"upsert commit protocol refused on filesystem scheme '$scheme': $why. " +
+        (if (ObjectStoreSchemes(scheme))
+          "Object-store deployments need a conditional-create primitive " +
+            "(e.g. S3 If-None-Match puts) or a lakehouse table format."
+        else
+          s"If this FS implements atomic fail-if-exists rename, set " +
+            s"$AssumeAtomicRenameKey=true in the Hadoop conf to assert it."))
+  }
+
   /** Publish commit `n`: write the marker aside, rename into place.
     * The rename is the atomic commit point; it fails if `n` was already
     * committed (a racing writer won), and content is never visible
@@ -159,11 +217,13 @@ object Upsert {
     * failing when the destination exists — true on HDFS and local
     * filesystems (verified: rename-onto-existing returns false here),
     * NOT on object stores (S3A rename is copy+delete and its existence
-    * check is not atomic with it). Deploying over an object store needs
-    * a conditional-create primitive (e.g. S3 If-None-Match puts) or a
-    * lakehouse table format in place of this protocol.
+    * check is not atomic with it). [[requireAtomicRename]] enforces the
+    * contract at every publish: known object-store schemes fail fast
+    * with the remediation (conditional-create puts or a lakehouse
+    * format), unknown schemes need the documented opt-in conf.
     */
   private[dv3f] def publish(fs: FileSystem, target: Path, n: Long, content: String): Unit = {
+    requireAtomicRename(fs)
     // Pre-check: the chain must still END at n-1. A writer stalled
     // across >= keepCommits rival commits would otherwise find its slot
     // n VACUUMED (marker deleted) — its rename would succeed into the

@@ -51,8 +51,14 @@ object CdcMerge {
       seqCol: String = "seq", opCol: String = "op",
       broadcastTouched: Boolean = true): DataFrame = {
     require(keys.nonEmpty, "CDC merge needs at least one key column")
+    // final payload-hash tie-break: two changes with equal (key, seq, op)
+    // but different payloads would otherwise get an arbitrary row_number
+    // winner — stable within one run but not across runs/partitionings,
+    // which would break replay convergence the moment a CDC source emits
+    // such a tie. xxhash64 over the full row is deterministic everywhere.
     val w = Window.partitionBy(keys.map(col): _*)
-      .orderBy(col(seqCol).desc, col(opCol).desc)
+      .orderBy(col(seqCol).desc, col(opCol).desc,
+        xxhash64(struct(changes.columns.map(col).toIndexedSeq: _*)).desc)
     val latest = changes
       .withColumn("__rn", row_number().over(w))
       .filter(col("__rn") === 1)

@@ -97,35 +97,84 @@ object IncrementalAgg {
       .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
       .parquet(s"${stateDir.stripSuffix("/")}/batch=$batchId")
 
-  /** Current maintained aggregate: merge of every batch partial. */
+  /** Batch dirs that are NOT absorbed by a present compacted partial:
+    * each compacted dir carries an `_absorbs` marker naming the dirs it
+    * folded, and any named dir still on disk (a crash interrupted the
+    * post-compaction deletes, or a replayed delivery recreated it) is
+    * garbage whose content the absorber already holds — reading it too
+    * would double-count. Chains are safe: if an absorber is itself
+    * absorbed by a present dir, that dir transitively holds its content.
+    */
+  private def liveBatchPaths(fs: org.apache.hadoop.fs.FileSystem,
+      dirs: Seq[org.apache.hadoop.fs.Path]): Seq[org.apache.hadoop.fs.Path] = {
+    val absorbed = dirs.flatMap { d =>
+      val m = new org.apache.hadoop.fs.Path(d, "_absorbs")
+      if (fs.exists(m)) {
+        val in = fs.open(m)
+        try scala.io.Source.fromInputStream(in, "UTF-8").getLines().toList
+        finally in.close()
+      } else Nil
+    }.toSet
+    dirs.filterNot(d => absorbed(d.getName))
+  }
+
+  private def batchDirs(spark: org.apache.spark.sql.SparkSession,
+      stateDir: String): (org.apache.hadoop.fs.FileSystem, Seq[org.apache.hadoop.fs.Path]) = {
+    val root = new org.apache.hadoop.fs.Path(stateDir)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val dirs = fs.listStatus(root).toSeq
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("batch="))
+      .map(_.getPath)
+    (fs, dirs)
+  }
+
+  /** Current maintained aggregate: merge of every live batch partial
+    * (absorbed-but-still-present dirs are skipped via their absorber's
+    * `_absorbs` marker — see [[compactState]]).
+    */
   def readState(spark: org.apache.spark.sql.SparkSession, stateDir: String,
-      keys: Seq[String]): DataFrame =
-    merge(Seq(spark.read.parquet(stateDir).drop("batch")), keys)
+      keys: Seq[String]): DataFrame = {
+    val (fs, dirs) = batchDirs(spark, stateDir)
+    val live = liveBatchPaths(fs, dirs)
+    require(live.nonEmpty, s"no batch partials under $stateDir")
+    merge(live.map(p => spark.read.parquet(p.toString)), keys)
+  }
 
   /** Fold all existing partials into a single one under `intoBatchId`
-    * (choose an id no live writer uses, e.g. the max applied id), then
-    * drop the absorbed batch dirs. Readers racing the compaction see
-    * either the old partials or the compacted one plus not-yet-deleted
-    * originals — both merge to the same aggregate ONLY once the
-    * deletes land, so run compaction in the same single-maintainer
-    * window as the writes it absorbs (the versioned Upsert is the
-    * fully-concurrent alternative).
+    * — a FRESH id no existing batch dir uses (enforced) — then drop the
+    * absorbed dirs. Crash-durable at every point: the compacted partial
+    * is staged outside the state dir, lands via one rename CARRYING an
+    * `_absorbs` marker that names everything it folded, and only then
+    * are the absorbed dirs deleted. A crash before the rename leaves
+    * the originals; a crash mid-delete leaves the compacted partial
+    * plus stragglers that readState skips via the marker — every crash
+    * point reads to the same aggregate, no manual recovery. The marker
+    * also hardens replay: an at-least-once delivery that recreates an
+    * absorbed batch dir AFTER compaction is skipped, not double-counted.
+    * Writers must still not append NEW batch ids concurrently with a
+    * compaction that might fold a half-written partial — keep writes
+    * and compaction on one maintenance cadence (the versioned Upsert is
+    * the fully-concurrent alternative).
     */
   def compactState(spark: org.apache.spark.sql.SparkSession, stateDir: String,
       keys: Seq[String], intoBatchId: Long): Unit = {
-    val root = new org.apache.hadoop.fs.Path(stateDir)
-    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val absorbed = fs.listStatus(root).toSeq
-      .filter(s => s.isDirectory && s.getPath.getName.startsWith("batch="))
-      .map(_.getPath)
-    val folded = readState(spark, stateDir, keys)
-    // stage outside the state dir, then swap in: the compacted partial
-    // must not be read (or deleted) half-written
+    val (fs, dirs) = batchDirs(spark, stateDir)
+    require(!dirs.exists(_.getName == s"batch=$intoBatchId"),
+      s"intoBatchId $intoBatchId collides with an existing batch dir")
+    val folded = merge(
+      liveBatchPaths(fs, dirs).map(p => spark.read.parquet(p.toString)), keys)
     val tmp = new org.apache.hadoop.fs.Path(s"${stateDir.stripSuffix("/")}.compact_tmp")
     folded.coalesce(1).write.mode(org.apache.spark.sql.SaveMode.Overwrite)
       .parquet(tmp.toString)
-    absorbed.foreach(p => fs.delete(p, true))
-    fs.rename(tmp, new org.apache.hadoop.fs.Path(root, s"batch=$intoBatchId"))
+    // the absorb intent rides INSIDE the compacted partial (underscore-
+    // prefixed ⇒ invisible to parquet readers), so the rename below
+    // publishes data + intent atomically
+    val out = fs.create(new org.apache.hadoop.fs.Path(tmp, "_absorbs"), true)
+    try out.write(dirs.map(_.getName).mkString("\n").getBytes("UTF-8"))
+    finally out.close()
+    fs.rename(tmp, new org.apache.hadoop.fs.Path(
+      new org.apache.hadoop.fs.Path(stateDir), s"batch=$intoBatchId"))
+    dirs.foreach(p => fs.delete(p, true))
     ()
   }
 }

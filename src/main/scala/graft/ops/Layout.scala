@@ -143,6 +143,17 @@ object Layout {
       .agg(count(lit(1)).as("sub")).collect()
       .map(r => r.getLong(0) -> r.getLong(1)).sortBy(_._1)
     val n = shardTotals.map(_._2).sum
+    if (n == 0) {
+      // empty or all-NULL column: no boundaries exist — return an empty
+      // (p, boundary) frame instead of crashing on cumTotals.last
+      return spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("p",
+            org.apache.spark.sql.types.DoubleType, nullable = false),
+          org.apache.spark.sql.types.StructField("boundary",
+            df.schema(column).dataType))))
+    }
     // per-target owning shard, resolved on the DRIVER over the 256-row
     // subtotal table: the expensive part (a cumulative walk of every
     // distinct value) collapses to a window over ONLY the ~|probs|

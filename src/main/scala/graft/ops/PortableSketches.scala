@@ -111,7 +111,11 @@ object PortableSketches {
   /** Point-estimate counts for `keys` (a column named `key`) against a
     * cms sketch: min over the depth rows of the bucket counters. The
     * sketch is broadcast (depth*width rows); estimation is a map-side
-    * probe, never a shuffle of the keys.
+    * probe, never a shuffle of the keys. A bucket with no sketch row
+    * holds count 0, so the probe is a LEFT join with a 0 fill: a cold
+    * key (never sketched) estimates 0 instead of vanishing from the
+    * output, and a key with some empty buckets takes min over the real
+    * counters including that 0.
     */
   def cmsEstimate(keys: DataFrame, sketch: DataFrame, depth: Int, width: Int): DataFrame = {
     val probes = (0 until depth).map { i =>
@@ -120,8 +124,8 @@ object PortableSketches {
     keys
       .select(col("*"), explode(array(probes: _*)).as("rb"))
       .select(col("*"), col("rb.r").as("r"), col("rb.b").as("b")).drop("rb")
-      .join(broadcast(sketch), Seq("r", "b"))
+      .join(broadcast(sketch), Seq("r", "b"), "left")
       .groupBy(keys.columns.map(col): _*)
-      .agg(min(col("ct")).as("cms_ct"))
+      .agg(min(coalesce(col("ct"), lit(0L))).as("cms_ct"))
   }
 }

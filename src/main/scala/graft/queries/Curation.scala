@@ -315,8 +315,11 @@ object Curation {
       .withColumn("shard", substring(col("h"), 1, 2))
     val counts = docs.groupBy(col("shard")).count()
       .collect().map(r => r.getString(0) -> r.getLong(1)).sortBy(_._1)
-    val offsets = counts.scanLeft(("", 0L)) { case ((_, acc), (s, c)) => (s, acc + c) }
-      .sliding(2).map { case Array((_, off), (s, _)) => (s, off) }.toSeq
+    // shard → count-before (exclusive prefix sum); zip, not sliding(2),
+    // so an empty documents table yields an empty offset list (and an
+    // empty result) instead of a MatchError on the 1-element window
+    val offsets = counts.map(_._1)
+      .zip(counts.map(_._2).scanLeft(0L)(_ + _).dropRight(1)).toSeq
     val offsetDf = spark.createDataFrame(offsets).toDF("shard", "offset")
     val wShard = Window.partitionBy(col("shard")).orderBy(col("h"), col("doc_id"))
     docs.withColumn("rn", row_number().over(wShard))

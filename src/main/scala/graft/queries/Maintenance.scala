@@ -102,7 +102,7 @@ object Maintenance {
       IncrementalAgg.appendPartial(
         li.filter(col("l_orderkey") % 3 === 1), keys, "l_quantity",
         stateDir, 1L)
-      IncrementalAgg.compactState(spark, stateDir, keys, intoBatchId = 2L)
+      IncrementalAgg.compactState(spark, stateDir, keys, intoBatchId = 100L)
     }
     IncrementalAgg.readState(spark, stateDir, keys)
       .select(col("l_returnflag"), col("l_linestatus"), col("n"),

@@ -636,4 +636,58 @@ class UpsertSpec extends SparkSpec {
     Upsert.mergeCdc(spark, dir, changes, Dv3fConfig.departement)
     assert(Upsert.read(spark, dir).count() === 1)
   }
+
+  test("publish refuses object-store schemes: the rename contract does not hold") {
+    // a FileSystem that behaves like S3A's worst case: reports scheme
+    // s3a AND happily renames onto an existing destination (copy+delete
+    // semantics — the "both racing writers win" failure the guard
+    // exists to stop). Functionally it's the local FS, so if the guard
+    // DIDN'T trip, the publish would "succeed" and the test would fail.
+    val fs = new FakeObjectStoreFs("s3a")
+    val target = new org.apache.hadoop.fs.Path(freshDir())
+    fs.mkdirs(target)
+    val e = intercept[UnsupportedOperationException] {
+      Upsert.publish(fs, target, 1L, "#dir:_v_1_test")
+    }
+    assert(e.getMessage.contains("s3a"))
+    assert(e.getMessage.contains("object store"))
+    // nothing was committed: no marker landed despite rename "working"
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(target, "_commit_1")))
+    // the opt-in conf is NOT honored for known object stores — asserting
+    // atomic rename over S3 is a misconfiguration, not a capability
+    fs.getConf.setBoolean(Upsert.AssumeAtomicRenameKey, true)
+    intercept[UnsupportedOperationException] {
+      Upsert.publish(fs, target, 1L, "#dir:_v_1_test")
+    }
+  }
+
+  test("publish on an unknown scheme needs the documented opt-in") {
+    val fs = new FakeObjectStoreFs("ofs") // HDFS-compatible, not allowlisted
+    val target = new org.apache.hadoop.fs.Path(freshDir())
+    fs.mkdirs(target)
+    val e = intercept[UnsupportedOperationException] {
+      Upsert.publish(fs, target, 1L, "#dir:_v_1_test")
+    }
+    assert(e.getMessage.contains(Upsert.AssumeAtomicRenameKey))
+    // with the conf asserted, the same publish goes through
+    fs.getConf.setBoolean(Upsert.AssumeAtomicRenameKey, true)
+    Upsert.publish(fs, target, 1L, "#dir:_v_1_test")
+    assert(fs.exists(new org.apache.hadoop.fs.Path(target, "_commit_1")))
+  }
+}
+
+/** Local FS masquerading as a non-HDFS scheme, with object-store rename
+  * semantics (rename-onto-existing succeeds by deleting the destination
+  * first — S3A's copy+delete shape). Used to prove the publish guard
+  * trips BEFORE the broken rename can fake a successful commit.
+  */
+class FakeObjectStoreFs(scheme: String)
+    extends org.apache.hadoop.fs.RawLocalFileSystem {
+  setConf(new org.apache.hadoop.conf.Configuration())
+  override def getUri: java.net.URI = java.net.URI.create(s"$scheme:///")
+  override def rename(src: org.apache.hadoop.fs.Path,
+      dst: org.apache.hadoop.fs.Path): Boolean = {
+    if (exists(dst)) delete(dst, true) // non-atomic overwrite, like S3A
+    super.rename(src, dst)
+  }
 }

@@ -100,13 +100,48 @@ class MaintenanceSpec extends SparkSpec {
     IncrementalAgg.appendPartial(batches(1), Seq("g"), "v", stateDir, 1L)
     assert(rows(IncrementalAgg.readState(spark, stateDir, Seq("g"))) === want)
     // compaction folds the partials without changing the aggregate
-    IncrementalAgg.compactState(spark, stateDir, Seq("g"), intoBatchId = 2L)
+    // (into a FRESH id — reusing a live id is rejected, see below)
+    IncrementalAgg.compactState(spark, stateDir, Seq("g"), intoBatchId = 100L)
     val dirs = new java.io.File(stateDir).listFiles()
       .filter(_.getName.startsWith("batch=")).map(_.getName).toSet
-    assert(dirs === Set("batch=2"))
+    assert(dirs === Set("batch=100"))
     assert(rows(IncrementalAgg.readState(spark, stateDir, Seq("g"))) === want)
     // maintenance continues after compaction
     IncrementalAgg.appendPartial(fact.limit(0), Seq("g"), "v", stateDir, 3L)
+    assert(rows(IncrementalAgg.readState(spark, stateDir, Seq("g"))) === want)
+    // a replayed delivery of an ABSORBED batch (at-least-once redelivery
+    // arriving after the compaction that folded it) is skipped via the
+    // compacted partial's _absorbs marker, not double-counted
+    IncrementalAgg.appendPartial(batches(1), Seq("g"), "v", stateDir, 1L)
+    assert(rows(IncrementalAgg.readState(spark, stateDir, Seq("g"))) === want)
+    // compacting into a still-existing batch id is refused
+    intercept[IllegalArgumentException] {
+      IncrementalAgg.compactState(spark, stateDir, Seq("g"), intoBatchId = 3L)
+    }
+  }
+
+  test("ivm compaction: crash between rename and deletes still reads correctly") {
+    // simulate the crash window the old delete-then-rename order got
+    // wrong: the compacted partial has landed but an absorbed original
+    // is still on disk. readState must NOT double-count the straggler.
+    val stateDir = java.nio.file.Files.createTempDirectory("ivm_crash").toString
+    val batches = Seq(fact.filter($"v" < 3.0), fact.filter($"v" >= 3.0))
+    batches.zipWithIndex.foreach { case (b, i) =>
+      IncrementalAgg.appendPartial(b, Seq("g"), "v", stateDir, i.toLong)
+    }
+    val want = rows(IncrementalAgg.partial(fact, Seq("g"), "v"))
+    // keep a copy of batch=0, compact, then restore it — the on-disk
+    // picture of a crash that deleted batch=1 but not batch=0
+    val b0 = new java.io.File(stateDir, "batch=0")
+    val saved = java.nio.file.Files.createTempDirectory("ivm_saved").toString
+    org.apache.commons.io.FileUtils.copyDirectory(
+      b0, new java.io.File(saved, "batch=0"))
+    IncrementalAgg.compactState(spark, stateDir, Seq("g"), intoBatchId = 9L)
+    org.apache.commons.io.FileUtils.copyDirectory(
+      new java.io.File(saved, "batch=0"), b0)
+    val dirs = new java.io.File(stateDir).listFiles()
+      .filter(_.getName.startsWith("batch=")).map(_.getName).toSet
+    assert(dirs === Set("batch=9", "batch=0")) // straggler present
     assert(rows(IncrementalAgg.readState(spark, stateDir, Seq("g"))) === want)
   }
 

@@ -106,6 +106,29 @@ class PlanMetricsSpec extends SparkSpec {
     }
   }
 
+  test("span removal: owner aggregation carries bounded state, no posting lists") {
+    // the (h → owner) step must be a plain HashAggregate over two longs
+    // per key — spillable, partial-aggregated, hot-key-safe. A
+    // collect_list posting here (an ObjectHashAggregate) is the shape
+    // where one boilerplate 8-gram occurring 10⁶–10⁸ times in a web
+    // corpus becomes one multi-GB buffer on a single reducer; this pin
+    // keeps that shape from coming back.
+    val df = LlmOps.spanRemovalPositions(
+      Tables.load(spark, sf, "documents"), 8)
+    try {
+      df.collect()
+      val objAggs = PlanMetrics.executedNodes(df).collect {
+        case o: org.apache.spark.sql.execution.aggregate.ObjectHashAggregateExec => o
+      }
+      assert(objAggs.isEmpty,
+        "posting-list (object) aggregation reappeared in span removal")
+      // pinned shingle stream feeds both consumers; owner agg + join
+      // back stay at a small constant number of h-keyed exchanges
+      val ex = PlanMetrics.exchangeCount(df)
+      assert(ex <= 3, s"span removal grew to $ex exchanges")
+    } finally CacheBin.releaseAll()
+  }
+
   test("stratified gate reads the fact table at most twice at runtime") {
     // dist feeds both the cumulative window and the per-lang totals;
     // those two branches must share one shuffle (ReuseExchange), so
