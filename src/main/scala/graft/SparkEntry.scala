@@ -169,6 +169,7 @@ object SparkEntry {
     "q_sketch_hll" -> (SketchOps.sketchHllTokens(_, _)),
     "q_sketch_kmv" -> (SketchOps.sketchKmvTokens(_, _)),
     "q_sketch_cms" -> (SketchOps.sketchCmsTokens(_, _)),
+    "q_sketch_builtin_bounds" -> (SketchOps.sketchBuiltinBounds(_, _)),
     "q_dedup_graph_stats" -> (SketchOps.dedupGraphStats(_, _)),
     "q_sample_weighted" -> (SketchOps.sampleWeighted(_, _))
   )
@@ -412,6 +413,7 @@ object SparkEntry {
     "q_sketch_hll" -> SketchOps.sketchHllTokensSql,
     "q_sketch_kmv" -> SketchOps.sketchKmvTokensSql,
     "q_sketch_cms" -> SketchOps.sketchCmsTokensSql,
+    "q_sketch_builtin_bounds" -> SketchOps.sketchBuiltinBoundsSql,
     "q_dedup_graph_stats" -> SketchOps.dedupGraphStatsSql,
     "q_sample_weighted" -> SketchOps.sampleWeightedSql,
     "q_embed_topk" -> LlmOps.embedTopKSql,

@@ -42,6 +42,22 @@ object Dedup {
     graft.functions.GraftFunctions.wordShingles(text, n)
 
   /** Engine-portable 60-bit hash of a string: first 15 hex chars of md5. */
+  /** Parallelism for a pair-keyed exchange whose downstream aggregate
+    * is near-unique-keyed (one hash-map entry per row): grows with the
+    * input's optimizer size estimate (~file bytes — free, no job) at
+    * one partition per 256 KB of source, floored at the session's
+    * shuffle parallelism (small inputs keep the measured-fast pinned
+    * floor) and capped at 4096 (the tiny-task regime). Keeps per-task
+    * aggregate maps around a million entries however big the corpus.
+    */
+  private[graft] def pairExchangeParallelism(df: DataFrame): Int = {
+    val base = df.sparkSession.sessionState.conf.numShufflePartitions.toLong
+    val bytes = df.queryExecution.optimizedPlan.stats.sizeInBytes
+    val byBytes =
+      if (bytes.isValidLong) bytes.toLong / (256L << 10) else 4096L
+    math.min(4096L, math.max(base, byBytes)).toInt
+  }
+
   def hash60(c: Column): Column =
     conv(substring(md5(c), 1, 15), 16, 10).cast(LongType)
 
@@ -288,16 +304,34 @@ object Dedup {
       // the exchange ships ~every pair — and AQE then coalesces the
       // "small" shuffle to a handful of partitions, strangling the final
       // aggregate's parallelism right where the row count EXPLODES
-      // relative to the input. Pin the pair exchange at the session's
-      // shuffle parallelism (explicit N disables AQE coalescing for this
-      // exchange only; measured 1.8× on this stage).
-      .repartition(df.sparkSession.sessionState.conf.numShufflePartitions,
-        col("doc_a"), col("doc_b"))
+      // relative to the input. Pin the pair exchange explicitly (an
+      // explicit N disables AQE coalescing for this exchange only;
+      // measured 1.8× on this stage) — and GROW it with the corpus:
+      // the aggregate after this exchange holds one hash-map entry per
+      // distinct pair in its partition, so at the session floor an
+      // amplified corpus packs ~12M entries per task (a GC wall at
+      // default executor memory; x100 measured 62 s at 8 g vs 22.6 s at
+      // 32 g from exactly this). Size from the scan's optimizer stats
+      // (file bytes — free, no extra job): pair volume tracks corpus
+      // volume when duplicate structure is replica-proportional. The
+      // session floor still rules small inputs; 4096 caps the tiny-task
+      // regime at the top.
+      .repartition(pairExchangeParallelism(df), col("doc_a"), col("doc_b"))
       .groupBy(col("doc_a"), col("doc_b"))
       .agg(count(lit(1)).as("inter"))
     inter
       .join(counts.withColumnRenamed("doc_id", "doc_a")
         .withColumnRenamed("n_sh", "n_a"), Seq("doc_a"))
+      // exactness-preserving prune between the two count joins:
+      // jaccard = inter/union and union >= n_a, so a pair with
+      // inter < threshold*n_a can never reach the threshold. The
+      // inter=1 long tail — the overwhelming majority of candidate
+      // pairs — dies here, so the doc_b-keyed exchange + sort feeding
+      // the second join sees orders of magnitude fewer rows (x100
+      // amplified corpus: ~300M pair rows shrink to ~the true-pair
+      // scale before the second join).
+      .filter(col("inter").cast(DoubleType) >=
+        lit(threshold) * col("n_a").cast(DoubleType))
       .join(counts.withColumnRenamed("doc_id", "doc_b")
         .withColumnRenamed("n_sh", "n_b"), Seq("doc_b"))
       .withColumn("jaccard",

@@ -12,9 +12,15 @@ import org.apache.spark.sql.functions._
   * two-stage hash-aggregate plan as a plain count — constant state per
   * group instead of state proportional to the data.
   *
-  * Approximate results are NOT oracle-hashable (the sketch estimate is
-  * engine-specific); SketchesSpec pins each one to its exact
-  * counterpart within the documented error bound instead.
+  * Approximate results are NOT oracle-hashable directly (the sketch
+  * estimate is engine-specific); SketchesSpec pins each one to its
+  * exact counterpart within the documented error bound, and
+  * `q_sketch_builtin_bounds` (queries.SketchOps.sketchBuiltinBounds)
+  * puts the same bound checks under the driver's DuckDB hash gate —
+  * the estimate is deterministic for a fixed input, so "estimate
+  * within bound" is a hashable boolean. For sketches whose ESTIMATES
+  * are themselves engine-portable and oracle-hashable, see
+  * [[PortableSketches]].
   */
 object Sketches {
 

@@ -201,4 +201,80 @@ object SketchOps {
       |WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 10))::BIGINT AS HUGEINT)
       |        * CAST(tw AS HUGEINT)
       |      < CAST(n_chars AS HUGEINT) * 120 * 1099511627776""".stripMargin
+
+  // --------------------------------------------- built-in sketch bounds
+
+  /** The BUILT-IN approximate aggregates — HLL++ `approx_count_distinct`,
+    * Greenwald-Khanna `percentile_approx`, Karp-heuristic `freqItems` —
+    * under an ORACLE-HASHABLE face. Their estimates are engine-internal
+    * (a DuckDB oracle cannot reproduce Spark's register layout), so each
+    * leg emits the group, an EXACT reference value, and a boolean
+    * asserting the estimate honors its documented error bound; for a
+    * fixed input the estimates are deterministic, so the booleans hash
+    * identically to the oracle's literal TRUE while the Spark side
+    * genuinely executes the sketch — an estimate drifting past its bound
+    * flips the flag and fails the driver's hash gate. Scale shape: each
+    * sketch is its own two-stage hash aggregate with constant per-group
+    * state (the POINT of sketches at 100 TB — the exact references here
+    * exist only to check the bound and would be dropped in production);
+    * the bound joins are group-cardinality-sized and broadcast.
+    *
+    * Bounds checked:
+    *  - HLL++ at rsd=0.05: |est − exact| ≤ 4·rsd·exact (4σ);
+    *  - GK at accuracy=10000: the rank of the returned p50 value is
+    *    within n/accuracy (+1 discreteness slop) of n/2;
+    *  - freqItems at support=0.3: every value with true frequency >
+    *    support appears in the returned candidate array (the algorithm's
+    *    one-sided guarantee; false positives are allowed and ignored).
+    */
+  def sketchBuiltinBounds(spark: SparkSession, dir: String): DataFrame = {
+    import graft.ops.Sketches
+    val li = Tables.load(spark, dir, "lineitem")
+    val rsd = 0.05
+    val hllRow = Sketches
+      .exactDistinct(li, Seq(col("l_returnflag")), col("l_partkey"))
+      .join(Sketches.approxDistinct(li, Seq(col("l_returnflag")),
+        col("l_partkey"), rsd), "l_returnflag")
+      .select(lit("hllpp").as("sketch"), col("l_returnflag").as("grp"),
+        col("exact_nd").as("exact_n"),
+        (abs(col("approx_nd") - col("exact_nd")) <=
+          lit(4 * rsd) * col("exact_nd")).as("ok"))
+    val acc = 10000
+    val q50 = Sketches.approxQuantiles(li, Seq(col("l_returnflag")),
+        col("l_extendedprice"), Seq(0.5), acc)
+      .select(col("l_returnflag"), element_at(col("approx_q"), 1).as("q50"))
+    val gkRow = li.join(broadcast(q50), "l_returnflag")
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("l_extendedprice") <= col("q50"), 1L).otherwise(0L))
+          .as("rank_le"))
+      .select(lit("gk").as("sketch"), col("l_returnflag").as("grp"),
+        col("n").as("exact_n"),
+        (abs(col("rank_le") - col("n") * 0.5) <=
+          col("n").cast(DoubleType) / acc + 1.0).as("ok"))
+    val support = 0.3
+    val fi = Sketches.frequentItems(li, Seq("l_linestatus"), support)
+    val freqRow = li.groupBy(col("l_linestatus")).agg(count(lit(1)).as("c"))
+      .crossJoin(broadcast(li.agg(count(lit(1)).as("tot"))))
+      .filter(col("c") > col("tot") * support)
+      .crossJoin(broadcast(fi))
+      .select(array_contains(col("l_linestatus_freqItems"),
+        col("l_linestatus")).as("found"))
+      .agg(count(lit(1)).as("exact_n"), min(col("found")).as("ok"))
+      .select(lit("freq").as("sketch"), lit("l_linestatus").as("grp"),
+        col("exact_n"), col("ok"))
+    hllRow.unionByName(gkRow).unionByName(freqRow)
+  }
+
+  val sketchBuiltinBoundsSql: String =
+    """SELECT 'hllpp' AS sketch, l_returnflag AS grp,
+      |  CAST(count(DISTINCT l_partkey) AS BIGINT) AS exact_n, TRUE AS ok
+      |FROM lineitem GROUP BY l_returnflag
+      |UNION ALL
+      |SELECT 'gk', l_returnflag, CAST(count(*) AS BIGINT), TRUE
+      |FROM lineitem GROUP BY l_returnflag
+      |UNION ALL
+      |SELECT 'freq', 'l_linestatus', CAST(count(*) AS BIGINT), TRUE
+      |FROM (SELECT l_linestatus FROM lineitem GROUP BY l_linestatus
+      |      HAVING count(*) > 0.3 * (SELECT count(*) FROM lineitem))""".stripMargin
 }
