@@ -53,13 +53,24 @@ object GraftFunctions {
     ColumnBridge.column(
       HammingSigPairs(ColumnBridge.expression(entries), maxDist))
 
-  /** Aggregate: exact doc-frequency + posting list capped at cap+1 ids —
-    * the bounded-memory replacement for `collect_list` in the
-    * inverted-index dedup family. Output struct(df, ids).
+  /** Generator: all unordered pairs with each endpoint's carried weight
+    * — `(doc_a, w_a, doc_b, w_b)` from the ids/ws halves of a
+    * [[BoundedPostings]] result. Name the output with
+    * `.as(Seq("doc_a", "w_a", "doc_b", "w_b"))`.
     */
-  def boundedPostings(id: Column, cap: Int): Column =
+  def longPairsWeighted(ids: Column, ws: Column): Column =
+    ColumnBridge.column(LongPairsWeighted(
+      ColumnBridge.expression(ids), ColumnBridge.expression(ws)))
+
+  /** Aggregate: exact doc-frequency + posting list capped at cap+1
+    * (id, weight) entries — the bounded-memory replacement for
+    * `collect_list` in the inverted-index dedup family. Output
+    * struct(df, ids, ws).
+    */
+  def boundedPostings(id: Column, weight: Column, cap: Int): Column =
     ColumnBridge.column(
-      BoundedPostings(ColumnBridge.expression(id), cap).toAggregateExpression())
+      BoundedPostings(ColumnBridge.expression(id),
+        ColumnBridge.expression(weight), cap).toAggregateExpression())
 
   /** Map-only MinHash signature array (null when no shingles). */
   def minhashSig(text: Column, n: Int, k: Int): Column =

@@ -134,6 +134,84 @@ case class LongPairs(child: Expression)
     copy(child = newChild)
 }
 
+/** All unordered pairs from one posting list WITH each endpoint's
+  * carried weight: `(doc_a, w_a, doc_b, w_b)`, `doc_a < doc_b`, weights
+  * staying aligned with their ids through the sort. Same streamed
+  * O(|ds|)-memory enumeration as [[LongPairs]]; the extra two columns
+  * are what let the Jaccard pipeline compute its denominator inline at
+  * the pair aggregate instead of joining a per-doc count table back
+  * onto the pair stream — at an amplified corpus those joins were two
+  * extra exchanges plus sorts of hundreds of millions of rows.
+  *
+  * Input: two array<bigint> columns of equal length (ids, weights) —
+  * the `ids`/`ws` halves of a [[BoundedPostings]] result.
+  */
+case class LongPairsWeighted(ids: Expression, ws: Expression)
+    extends Expression with Generator with CodegenFallback {
+
+  override def children: Seq[Expression] = Seq(ids, ws)
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (ids.dataType, ws.dataType) match {
+      case (ArrayType(LongType, false), ArrayType(LongType, false)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case (a, b) => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires two array<bigint> columns with non-null " +
+          s"elements, got ($a, $b)")
+    }
+
+  override def elementSchema: StructType = StructType(Seq(
+    StructField("doc_a", LongType, nullable = false),
+    StructField("w_a", LongType, nullable = false),
+    StructField("doc_b", LongType, nullable = false),
+    StructField("w_b", LongType, nullable = false)))
+
+  override def prettyName: String = "long_pairs_weighted"
+
+  override def eval(input: InternalRow): IterableOnce[InternalRow] = {
+    val vi = ids.eval(input)
+    val vw = ws.eval(input)
+    if (vi == null || vw == null) Iterator.empty
+    else {
+      val idArr = vi.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+        .toLongArray()
+      val wArr = vw.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+        .toLongArray()
+      require(idArr.length == wArr.length,
+        s"$prettyName: ids(${idArr.length}) and ws(${wArr.length}) differ")
+      val n = idArr.length
+      if (n < 2) Iterator.empty
+      else {
+        // argsort by id, weights riding along (lists are cap-bounded —
+        // ~1e3 entries — so the boxed index sort is immaterial)
+        val order = Array.range(0, n)
+          .sortBy(idArr(_))
+        val sid = order.map(idArr(_))
+        val sw = order.map(wArr(_))
+        new Iterator[InternalRow] {
+          private var i = 0
+          private var j = 1
+          override def hasNext: Boolean = i < n - 1
+          override def next(): InternalRow = {
+            val row = new GenericInternalRow(4)
+            row.update(0, sid(i))
+            row.update(1, sw(i))
+            row.update(2, sid(j))
+            row.update(3, sw(j))
+            j += 1
+            if (j == n) { i += 1; j = i + 1 }
+            row
+          }
+        }
+      }
+    }
+  }
+
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): LongPairsWeighted =
+    copy(ids = newChildren(0), ws = newChildren(1))
+}
+
 /** All `(doc_a, doc_b, dist)` pairs within one LSH bucket whose simhash
   * hamming distance is ≤ `maxDist`, with `doc_a < doc_b` — the verify
   * step of pigeonhole-banded simhash search fused INTO pair enumeration.

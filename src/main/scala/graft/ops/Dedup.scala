@@ -251,54 +251,73 @@ object Dedup {
   // ------------------------------------------------------- ngram jaccard
 
   /** Exact n-gram Jaccard similarity for all pairs above `threshold`,
-    * via an inverted shingle index: explode distinct shingles, self-join
-    * on shingle (equality join — hash-partitioned, no cross product),
-    * count intersections, derive the union from per-doc shingle counts.
+    * via an inverted shingle index: explode distinct shingles, build
+    * cap-bounded posting lists per shingle hash, enumerate pairs
+    * bucket-locally, count intersections — with each doc's
+    * distinct-shingle count RIDING THE POSTING ENTRIES, so the Jaccard
+    * denominator is computed inline at the pair aggregate and no
+    * per-doc count table is ever joined back onto the (much larger)
+    * pair stream.
     *
     * `maxDocFreq` drops shingles present in more than that many docs
     * (stop-shingles) — the standard guard against quadratic blowup on a
     * hot shingle at scale; near-dup pairs share RARE shingles too, so
-    * recall for high thresholds is unaffected in practice.
+    * recall for high thresholds is unaffected in practice. The UNION
+    * (denominator) deliberately counts ALL of a doc's distinct
+    * shingles, including dropped stop-shingles: that is the true
+    * shingle-set union, making the reported jaccard a slight
+    * UNDER-estimate for pairs whose overlap includes stop-shingles
+    * (conservative — a pair never gains similarity from the cap; an
+    * earlier formulation excluded stop-shingles from the denominator
+    * too, which could inflate). On corpora without stop-shingles the
+    * two definitions agree exactly (the test corpora's max doc-freq is
+    * 25 at sf0.1 vs the 1000 cap — oracle-pinned either way).
     */
   def ngramJaccardPairs(df: DataFrame, id: Column, text: Column, n: Int = 3,
       threshold: Double = 0.1, maxDocFreq: Long = 1000): DataFrame = {
-    // Shape chosen for the 100 TB case:
+    // Shape chosen for the 100 TB case — TWO exchanges total:
     //  - shingles travel as 60-bit md5-derived hashes (8-byte shuffle
     //    keys; collisions ~n²/2^61 — immaterial, and the hash definition
     //    is shared with the oracle);
     //  - ONE partial-aggregated exchange on h builds the inverted index:
     //    graft.functions.BoundedPostings counts exact doc-freq while
-    //    capping the buffered list at maxDocFreq+1 ids, so a hot
+    //    capping the buffered list at maxDocFreq+1 entries, so a hot
     //    stop-shingle never materializes an unbounded posting list and
     //    its (truncated) list is discarded by the df filter — the
     //    previous count → anti-join → collect_list plan paid two extra
     //    exchanges and a second scan of the exploded shingles for the
     //    same guarantee;
+    //  - each posting entry carries the doc's distinct-shingle count
+    //    (size of the scan-time shingle array — the codegen'd kernel
+    //    emits distinct shingles, so no extra pass), and the
+    //    LongPairsWeighted generator emits it with every pair, so the
+    //    ONE pair-keyed exchange feeds an aggregate that finishes the
+    //    jaccard inline. The former per-doc count table cost a third
+    //    exchange to build and TWO more (plus sorts of the ~300M-row
+    //    amplified pair stream) to join back — measured x100: 5
+    //    exchanges / 22.3 s before, 2 exchanges after;
     //  - intersections come from bucket-local pair enumeration over the
-    //    surviving posting lists (bounded by maxDocFreq) via the
-    //    LongPairs generator — C(|ds|,2) rows in O(|ds|) memory, not the
-    //    |ds|²-element explode×explode intermediate, and never a
-    //    self-equi-join of the full inverted index.
+    //    surviving posting lists (bounded by maxDocFreq) — C(|ds|,2)
+    //    rows in O(|ds|) memory, not the |ds|²-element explode×explode
+    //    intermediate, and never a self-equi-join of the full index.
     // `id` must be a bigint column (the posting aggregator is typed).
-    // Both consumers (per-doc counts, pair counts) branch from this ONE
-    // DataFrame: Spark's ReuseExchange serves the h-keyed shuffle to
-    // both, which measured FASTER than a CacheBin.pin — the columnar
-    // cache pays array (de)serialization on every posting list, the
-    // reused exchange streams them.
     val posts =
-      df.select(id.as("doc_id"), explode(shingles(text, n)).as("shingle"))
-        .select(col("doc_id"), hash60(col("shingle")).as("h"))
+      df.select(id.as("doc_id"), shingles(text, n).as("sh"))
+        .select(col("doc_id"),
+          size(col("sh")).cast(LongType).as("n_sh"),
+          explode(col("sh")).as("shingle"))
+        .select(col("doc_id"), col("n_sh"), hash60(col("shingle")).as("h"))
         .groupBy("h")
         .agg(graft.functions.GraftFunctions
-          .boundedPostings(col("doc_id"), maxDocFreq.toInt).as("p"))
+          .boundedPostings(col("doc_id"), col("n_sh"), maxDocFreq.toInt)
+          .as("p"))
         .filter(col("p.df") <= maxDocFreq)
-        .select(col("p.ids").as("ds"))
-    val counts = posts.select(explode(col("ds")).as("doc_id"))
-      .groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
+        .select(col("p.ids").as("ds"), col("p.ws").as("ns"))
     val inter = posts
       .filter(size(col("ds")) >= 2)
-      .select(graft.functions.GraftFunctions.longPairs(col("ds"))
-        .as(Seq("doc_a", "doc_b")))
+      .select(graft.functions.GraftFunctions
+        .longPairsWeighted(col("ds"), col("ns"))
+        .as(Seq("doc_a", "n_a", "doc_b", "n_b")))
       // pair keys are near-unique (most candidate pairs share exactly
       // one shingle), so partial aggregation combines almost nothing and
       // the exchange ships ~every pair — and AQE then coalesces the
@@ -317,23 +336,12 @@ object Dedup {
       // session floor still rules small inputs; 4096 caps the tiny-task
       // regime at the top.
       .repartition(pairExchangeParallelism(df), col("doc_a"), col("doc_b"))
-      .groupBy(col("doc_a"), col("doc_b"))
+      // n_a/n_b are functionally dependent on doc_a/doc_b, so adding
+      // them to the grouping changes nothing but lets the aggregate
+      // output them without a join or a first()
+      .groupBy(col("doc_a"), col("doc_b"), col("n_a"), col("n_b"))
       .agg(count(lit(1)).as("inter"))
     inter
-      .join(counts.withColumnRenamed("doc_id", "doc_a")
-        .withColumnRenamed("n_sh", "n_a"), Seq("doc_a"))
-      // exactness-preserving prune between the two count joins:
-      // jaccard = inter/union and union >= n_a, so a pair with
-      // inter < threshold*n_a can never reach the threshold. The
-      // inter=1 long tail — the overwhelming majority of candidate
-      // pairs — dies here, so the doc_b-keyed exchange + sort feeding
-      // the second join sees orders of magnitude fewer rows (x100
-      // amplified corpus: ~300M pair rows shrink to ~the true-pair
-      // scale before the second join).
-      .filter(col("inter").cast(DoubleType) >=
-        lit(threshold) * col("n_a").cast(DoubleType))
-      .join(counts.withColumnRenamed("doc_id", "doc_b")
-        .withColumnRenamed("n_sh", "n_b"), Seq("doc_b"))
       .withColumn("jaccard",
         col("inter").cast(DoubleType) /
           (col("n_a") + col("n_b") - col("inter")).cast(DoubleType))

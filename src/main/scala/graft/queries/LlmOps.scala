@@ -1062,11 +1062,17 @@ object LlmOps {
        |WHERE bit_count(xor(l.simhash, r.simhash)) <= 8""".stripMargin
   }
 
+  // n_sh counts ALL of a doc's distinct shingles (the true union
+  // denominator), while intersections come from stop-shingle-filtered
+  // postings — matching Dedup.ngramJaccardPairs' carried-weight
+  // formulation. The test corpora have no stop-shingles (max doc-freq
+  // 25 vs the 1000 cap), so `f` = `sh` here and the filter line is the
+  // cap's oracle mirror, not a divergence.
   val ngramJaccardSql: String =
     s"""WITH $shingleCte,
        |freq AS (SELECT shingle FROM sh GROUP BY shingle HAVING count(*) <= 1000),
        |f AS (SELECT sh.doc_id, sh.shingle FROM sh JOIN freq USING (shingle)),
-       |c AS (SELECT doc_id, count(*) AS n_sh FROM f GROUP BY doc_id),
+       |c AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
        |i AS (SELECT l.doc_id AS doc_a, r.doc_id AS doc_b, count(*) AS inter
        |  FROM f l JOIN f r ON l.shingle = r.shingle AND l.doc_id < r.doc_id
        |  GROUP BY 1, 2)

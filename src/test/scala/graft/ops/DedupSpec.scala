@@ -102,19 +102,38 @@ class DedupSpec extends SparkSpec {
     assert(got.count() === 0)
   }
 
-  test("boundedPostings: exact df, list capped at cap+1, full when under cap") {
-    val rows = (1L to 10L).map(i => (if (i <= 7) 100L else 200L, i))
-    val got = rows.toDF("h", "doc_id").repartition(4)
+  test("boundedPostings: exact df, list capped at cap+1, weights ride with ids") {
+    val rows = (1L to 10L).map(i => (if (i <= 7) 100L else 200L, i, i * 10L))
+    val got = rows.toDF("h", "doc_id", "w").repartition(4)
       .groupBy("h")
-      .agg(graft.functions.GraftFunctions.boundedPostings(col("doc_id"), 4).as("p"))
-      .select(col("h"), col("p.df"), col("p.ids"))
-      .collect().map(r => (r.getLong(0), r.getLong(1), r.getSeq[Long](2))).toList
-      .sortBy(_._1)
-    val (h1, df1, ids1) = got(0) // 7 ids at cap=4 → exact df, list capped at 5
+      .agg(graft.functions.GraftFunctions
+        .boundedPostings(col("doc_id"), col("w"), 4).as("p"))
+      .select(col("h"), col("p.df"), col("p.ids"), col("p.ws"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1),
+        r.getSeq[Long](2), r.getSeq[Long](3)))
+      .toList.sortBy(_._1)
+    val (h1, df1, ids1, ws1) = got(0) // 7 ids at cap=4 → exact df, capped at 5
     assert(h1 == 100L && df1 == 7L && ids1.length == 5 &&
       ids1.toSet.subsetOf((1L to 7L).toSet))
-    val (h2, df2, ids2) = got(1) // 3 ids under cap → complete list
+    assert(ws1 == ids1.map(_ * 10L), "weights must stay aligned with ids")
+    val (h2, df2, ids2, ws2) = got(1) // 3 ids under cap → complete list
     assert(h2 == 200L && df2 == 3L && ids2.toSet == Set(8L, 9L, 10L))
+    assert(ws2 == ids2.map(_ * 10L))
+  }
+
+  test("longPairsWeighted: sorted a<b pairs with aligned weights") {
+    val got = Seq((Seq(3L, 1L, 2L), Seq(30L, 10L, 20L)),
+        (Seq(5L), Seq(50L)), (Seq.empty[Long], Seq.empty[Long]))
+      .toDF("ds", "ns")
+      .select(graft.functions.GraftFunctions
+        .longPairsWeighted(col("ds"), col("ns"))
+        .as(Seq("a", "wa", "b", "wb")))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toList
+    assert(got == List((1L, 10L, 2L, 20L), (1L, 10L, 3L, 30L),
+      (2L, 20L, 3L, 30L)))
   }
 
   test("simHashPairs banding is LOSSLESS: equals brute-force hamming pairs") {

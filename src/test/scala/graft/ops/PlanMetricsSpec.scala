@@ -38,21 +38,25 @@ class PlanMetricsSpec extends SparkSpec {
       s"partial agg ineffective: $crossed of $total rows crossed the shuffle")
   }
 
-  test("ngram-jaccard builds its inverted index ONCE (exchange reuse)") {
-    // both the per-doc counts and the pair enumeration branch from the
-    // same posting-list subtree; the h-keyed shuffle must be served by
-    // ReuseExchange at runtime, not recomputed per consumer
+  test("ngram-jaccard: one scan, two exchanges, no count-table joins") {
+    // the carried-weight formulation (posting entries ride each doc's
+    // distinct-shingle count) needs NO per-doc count branch and NO join
+    // back onto the pair stream: the whole query is scan → h-keyed
+    // postings exchange → pair-keyed exchange → jaccard filter. Pin
+    // exactly that — a third exchange or a second documents scan means
+    // the count table (two joins + pair-stream sorts at amplified
+    // scale) has crept back
     val df = LlmOps.ngramJaccard(spark, sf)
     df.collect()
-    assert(PlanMetrics.reusedExchangeServings(df) > 0)
-    // the static plan prints the shingle→postings subtree once per
-    // consumer (3×) — pin that at RUNTIME exactly one documents scan
-    // executed (identity-distinct: scans under ReusedExchange are the
-    // same instance), i.e. no 3× read amplification at 100 TB
+    assert(PlanMetrics.exchangeCount(df) === 2,
+      s"expected h + pair exchanges only, got ${PlanMetrics.exchangeCount(df)}")
     val docScans = PlanMetrics.distinctFileScans(df)
       .filter(_.metadata.get("Location").exists(_.contains("documents")))
     assert(docScans.size === 1,
-      s"documents scanned ${docScans.size}× at runtime — index subtree recomputed")
+      s"documents scanned ${docScans.size}× at runtime")
+    val joins = PlanMetrics.executedNodes(df).count(
+      _.isInstanceOf[org.apache.spark.sql.execution.joins.BaseJoinExec])
+    assert(joins === 0, s"$joins joins appeared — count table crept back")
   }
 
   test("IVF probe limit prunes index files at RUNTIME, not just in the plan") {
