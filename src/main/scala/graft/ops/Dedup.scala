@@ -245,7 +245,24 @@ object Dedup {
       .select(graft.functions.GraftFunctions
         .hammingSigPairs(col("entries"), maxDist)
         .as(Seq("doc_a", "doc_b", "dist")))
-      .distinct() // multi-band collisions emit the same pair repeatedly
+      // multi-band collisions emit the same pair repeatedly; the dedup
+      // aggregate's keys are near-unique (same regime as the jaccard
+      // pair count), so size its exchange with the corpus — at an
+      // amplified corpus the verified-pair stream is tens of millions
+      // of rows and the session-floor partition count packs the
+      // per-task dedup maps into GC territory (x100: 17.1 s → 14.4 s
+      // sized). Only pin when stats ask for MORE than the floor: at
+      // small inputs an explicit repartition blocks AQE coalescing and
+      // costs ~0.2 s for nothing (x1 measured). Partitioning on
+      // (doc_a, doc_b) satisfies the distinct's clustering requirement
+      // (dist is equal within a pair), so no second exchange appears.
+      .transform { pairs =>
+        val n = pairExchangeParallelism(df)
+        val base = df.sparkSession.sessionState.conf.numShufflePartitions
+        if (n > base) pairs.repartition(n, col("doc_a"), col("doc_b"))
+        else pairs
+      }
+      .distinct()
   }
 
   // ------------------------------------------------------- ngram jaccard
