@@ -53,8 +53,16 @@ object Dedup {
   private[graft] def pairExchangeParallelism(df: DataFrame): Int = {
     val base = df.sparkSession.sessionState.conf.numShufflePartitions.toLong
     val bytes = df.queryExecution.optimizedPlan.stats.sizeInBytes
+    // Catalyst reports ~Long.MaxValue (spark.sql.defaultSizeInBytes)
+    // for relations it cannot size — e.g. some joins or non-file
+    // sources. That is "unknown", not "huge": pinning 4096 partitions
+    // off a sentinel would bury a small input in tiny-task overhead,
+    // so unknown falls back to the session floor (where AQE still
+    // rules the other exchanges).
     val byBytes =
-      if (bytes.isValidLong) bytes.toLong / (256L << 10) else 4096L
+      if (bytes.isValidLong && bytes.toLong < (1L << 50))
+        bytes.toLong / (256L << 10)
+      else base
     math.min(4096L, math.max(base, byBytes)).toInt
   }
 

@@ -136,6 +136,20 @@ class DedupSpec extends SparkSpec {
       (2L, 20L, 3L, 30L)))
   }
 
+  test("longPairsWeighted rejects misaligned ids/ws lengths loudly") {
+    // a silent zip would emit pairs with the WRONG doc's weight — wrong
+    // jaccard denominators downstream; require the generator to throw
+    val ex = intercept[Exception] {
+      Seq((Seq(1L, 2L), Seq(10L)))
+        .toDF("ds", "ns")
+        .select(graft.functions.GraftFunctions
+          .longPairsWeighted(col("ds"), col("ns"))
+          .as(Seq("a", "wa", "b", "wb")))
+        .collect()
+    }
+    assert(ex.getMessage != null)
+  }
+
   test("simHashPairs banding is LOSSLESS: equals brute-force hamming pairs") {
     // pigeonhole: maxDist+1 disjoint bands -> any pair within maxDist
     // agrees exactly on >= 1 band, so candidates cover every true pair
