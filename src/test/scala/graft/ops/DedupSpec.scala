@@ -136,6 +136,28 @@ class DedupSpec extends SparkSpec {
       (2L, 20L, 3L, 30L)))
   }
 
+  test("pairExchangeParallelism: floor on small/unknown stats, grows with file bytes") {
+    val base = spark.sessionState.conf.numShufflePartitions
+    // small parquet input → session floor
+    assert(Dedup.pairExchangeParallelism(
+      graft.Tables.load(spark, sf, "documents")) === base)
+    // in-memory relation with accurate tiny stats → floor
+    assert(Dedup.pairExchangeParallelism(
+      Seq(1L, 2L).toDF("x")) === base)
+    // an RDD-backed relation reports the "cannot size" sentinel
+    // (spark.sql.defaultSizeInBytes ≈ Long.MaxValue); the sizing must
+    // read that as UNKNOWN → floor, not as huge → 4096 tiny tasks
+    val rdd = spark.sparkContext.parallelize(Seq(
+      org.apache.spark.sql.Row(1L), org.apache.spark.sql.Row(2L)))
+    val sentinel = spark.createDataFrame(rdd,
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("x",
+          org.apache.spark.sql.types.LongType))))
+    assert(sentinel.queryExecution.optimizedPlan.stats.sizeInBytes
+      >= BigInt(1L << 50), "precondition: RDD relation reports sentinel stats")
+    assert(Dedup.pairExchangeParallelism(sentinel) === base)
+  }
+
   test("longPairsWeighted rejects misaligned ids/ws lengths loudly") {
     // a silent zip would emit pairs with the WRONG doc's weight — wrong
     // jaccard denominators downstream; require the generator to throw
