@@ -56,6 +56,12 @@ object CdcMerge {
     // winner — stable within one run but not across runs/partitionings,
     // which would break replay convergence the moment a CDC source emits
     // such a tie. xxhash64 over the full row is deterministic everywhere.
+    // NOTE: this clause is Spark-side only — the DuckDB oracle orders by
+    // (seq DESC, op DESC) alone, so oracle parity additionally requires
+    // the feed to be (key, seq, op)-tie-free. syntheticOrderChanges is,
+    // by construction (MaintenanceSpec pins it); a production feed with
+    // payload-differing ties still merges deterministically, it just has
+    // no SQL-expressible oracle.
     val w = Window.partitionBy(keys.map(col): _*)
       .orderBy(col(seqCol).desc, col(opCol).desc,
         xxhash64(struct(changes.columns.map(col).toIndexedSeq: _*)).desc)

@@ -105,16 +105,20 @@ object IncrementalAgg {
     * would double-count. Chains are safe: if an absorber is itself
     * absorbed by a present dir, that dir transitively holds its content.
     */
+  /** Dir names listed in `d`'s `_absorbs` marker (empty if none). */
+  private def absorbsOf(fs: org.apache.hadoop.fs.FileSystem,
+      d: org.apache.hadoop.fs.Path): List[String] = {
+    val m = new org.apache.hadoop.fs.Path(d, "_absorbs")
+    if (fs.exists(m)) {
+      val in = fs.open(m)
+      try scala.io.Source.fromInputStream(in, "UTF-8").getLines().toList
+      finally in.close()
+    } else Nil
+  }
+
   private def liveBatchPaths(fs: org.apache.hadoop.fs.FileSystem,
       dirs: Seq[org.apache.hadoop.fs.Path]): Seq[org.apache.hadoop.fs.Path] = {
-    val absorbed = dirs.flatMap { d =>
-      val m = new org.apache.hadoop.fs.Path(d, "_absorbs")
-      if (fs.exists(m)) {
-        val in = fs.open(m)
-        try scala.io.Source.fromInputStream(in, "UTF-8").getLines().toList
-        finally in.close()
-      } else Nil
-    }.toSet
+    val absorbed = dirs.flatMap(absorbsOf(fs, _)).toSet
     dirs.filterNot(d => absorbed(d.getName))
   }
 
@@ -161,6 +165,13 @@ object IncrementalAgg {
     val (fs, dirs) = batchDirs(spark, stateDir)
     require(!dirs.exists(_.getName == s"batch=$intoBatchId"),
       s"intoBatchId $intoBatchId collides with an existing batch dir")
+    // An id named in any PRESENT dir's _absorbs marker is not fresh either:
+    // compacting into a previously-absorbed id, then crashing mid-delete,
+    // would leave two dirs each marking the other absorbed — liveBatchPaths
+    // would see nothing live and readState would need manual recovery.
+    require(!dirs.flatMap(absorbsOf(fs, _)).contains(s"batch=$intoBatchId"),
+      s"intoBatchId $intoBatchId was previously absorbed by a compaction; " +
+        "pick an id strictly greater than every id ever used")
     val folded = merge(
       liveBatchPaths(fs, dirs).map(p => spark.read.parquet(p.toString)), keys)
     val tmp = new org.apache.hadoop.fs.Path(s"${stateDir.stripSuffix("/")}.compact_tmp")
@@ -172,8 +183,15 @@ object IncrementalAgg {
     val out = fs.create(new org.apache.hadoop.fs.Path(tmp, "_absorbs"), true)
     try out.write(dirs.map(_.getName).mkString("\n").getBytes("UTF-8"))
     finally out.close()
-    fs.rename(tmp, new org.apache.hadoop.fs.Path(
-      new org.apache.hadoop.fs.Path(stateDir), s"batch=$intoBatchId"))
+    // rename signals failure by RETURNING false on the HDFS-family API
+    // (dest raced into existence, missing parent, cross-FS move) — deleting
+    // the originals after a failed rename would be total state loss, so the
+    // publish must be confirmed before any source dir is dropped
+    val dest = new org.apache.hadoop.fs.Path(
+      new org.apache.hadoop.fs.Path(stateDir), s"batch=$intoBatchId")
+    require(fs.rename(tmp, dest),
+      s"compaction publish failed: rename $tmp -> $dest returned false; " +
+        "originals retained, compacted partial left at the tmp path")
     dirs.foreach(p => fs.delete(p, true))
     ()
   }

@@ -7,23 +7,42 @@ package graft.ops
   * the scan, not a write+read round trip. Paths embed the JVM pid so
   * two sessions on one host never race on a shared tmp dir.
   *
-  * Staleness contract: staging is per-JVM and keyed by the SOURCE PATH,
-  * not the source contents — if data under `dir` changes while the JVM
-  * is alive, the staged copy keeps serving the old bytes. That is the
-  * intended bench semantics (inputs are immutable for a run); callers
-  * with mutable inputs must fold a version token into `name`.
+  * Staleness contract: staging is per-JVM and keyed by the source path
+  * PLUS a cheap content-version token (file count, total bytes, max
+  * mtime of the source tree) — if the data under `dir` is regenerated
+  * while the JVM is alive (the bench driver does this between rounds,
+  * and has even drifted column types doing it), the token changes, the
+  * staged path changes, and the next access restages from the fresh
+  * bytes instead of silently serving stale ones. The token is a
+  * metadata walk, not a content hash — an in-place byte rewrite that
+  * preserves size AND mtime would evade it, which no real writer does.
   */
 object StageOnce {
   val pid: Long = ProcessHandle.current().pid()
 
-  /** Path fingerprint is an md5 of the ABSOLUTE path (not hashCode):
-    * 128 collision-free-in-practice bits, so two distinct data dirs in
-    * one JVM can never silently share staged data.
+  /** (file count, total bytes, max mtime-millis) over the tree under
+    * `dir` — O(#files) stat calls, no data read.
+    */
+  private def versionToken(root: java.io.File): (Long, Long, Long) = {
+    var n = 0L; var bytes = 0L; var mtime = 0L
+    def walk(f: java.io.File): Unit =
+      if (f.isDirectory) Option(f.listFiles()).getOrElse(Array.empty).foreach(walk)
+      else { n += 1; bytes += f.length(); mtime = math.max(mtime, f.lastModified()) }
+    walk(root)
+    (n, bytes, mtime)
+  }
+
+  /** Path fingerprint is an md5 of the ABSOLUTE path + version token
+    * (not hashCode): 128 collision-free-in-practice bits, so two
+    * distinct data dirs — or two generations of the same dir — can
+    * never silently share staged data.
     */
   private def fingerprint(dir: String): String = {
-    val abs = new java.io.File(dir).getAbsolutePath
+    val f = new java.io.File(dir)
+    val (n, bytes, mtime) = versionToken(f)
+    val key = s"${f.getAbsolutePath}|$n|$bytes|$mtime"
     val md = java.security.MessageDigest.getInstance("MD5")
-    md.digest(abs.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(16)
+    md.digest(key.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(16)
   }
 
   def tmp(name: String, dir: String): String =

@@ -243,15 +243,27 @@ object SketchOps {
     val q50 = Sketches.approxQuantiles(li, Seq(col("l_returnflag")),
         col("l_extendedprice"), Seq(0.5), acc)
       .select(col("l_returnflag"), element_at(col("approx_q"), 1).as("q50"))
+    // GK's guarantee is about SOME rank of the returned value: with ties,
+    // the value occupies ranks [rank_lt+1, rank_le], and the sketch only
+    // promises that interval intersects [n/2 - n/acc, n/2 + n/acc]. A
+    // one-sided check on rank_le alone would spuriously fail on tie-heavy
+    // columns (many rows equal to the true median push rank_le far past
+    // n/2 while the value is still a legitimate answer).
     val gkRow = li.join(broadcast(q50), "l_returnflag")
       .groupBy(col("l_returnflag"))
       .agg(count(lit(1)).as("n"),
+        sum(when(col("l_extendedprice") < col("q50"), 1L).otherwise(0L))
+          .as("rank_lt"),
         sum(when(col("l_extendedprice") <= col("q50"), 1L).otherwise(0L))
           .as("rank_le"))
       .select(lit("gk").as("sketch"), col("l_returnflag").as("grp"),
         col("n").as("exact_n"),
-        (abs(col("rank_le") - col("n") * 0.5) <=
-          col("n").cast(DoubleType) / acc + 1.0).as("ok"))
+        (col("rank_lt").cast(DoubleType) <
+          col("n") * 0.5 + col("n").cast(DoubleType) / acc + 1.0).as("lo_ok"),
+        (col("rank_le").cast(DoubleType) >=
+          col("n") * 0.5 - col("n").cast(DoubleType) / acc - 1.0).as("hi_ok"))
+      .select(col("sketch"), col("grp"), col("exact_n"),
+        (col("lo_ok") && col("hi_ok")).as("ok"))
     val support = 0.3
     val fi = Sketches.frequentItems(li, Seq("l_linestatus"), support)
     val freqRow = li.groupBy(col("l_linestatus")).agg(count(lit(1)).as("c"))

@@ -50,6 +50,28 @@ class MaintenanceSpec extends SparkSpec {
     assert(rows(out.filter($"k" === 1L)) === Set("1|a9|19.0"))
   }
 
+  test("cdc synthetic feed: no two changes share (key, seq, op) — the oracle-parity invariant") {
+    // applyLatestWins breaks exact (key, seq, op) ties with an xxhash64
+    // payload hash the DuckDB oracle cannot mirror; the q_cdc_merge gate
+    // is sound only because the synthetic feed never produces such a tie.
+    // Pin that invariant: over a base whose keys are unique (orders'
+    // contract), every (key, seq, op) group in the feed has exactly one
+    // row, so the tie-break clause is never consulted.
+    val fakeOrders = (0L until 200L).map(k =>
+      (k, k % 50, "O", 100.0 + k, "1-URGENT"))
+      .toDF("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+        "o_orderpriority")
+    val feed = CdcMerge.syntheticOrderChanges(spark, fakeOrders)
+    val maxGroup = feed.groupBy($"o_orderkey", $"seq", $"op")
+      .count().agg(max($"count")).head.getLong(0)
+    assert(maxGroup === 1L,
+      "synthetic CDC feed emitted a (key, seq, op) tie — the DuckDB " +
+        "oracle has no payload tie-break, so this would break the hash gate")
+    // the insert leg's +10M key offset must not collide with any real key
+    assert(feed.filter($"op" === "I").agg(min($"o_orderkey")).head.getLong(0) >
+      fakeOrders.agg(max($"o_orderkey")).head.getLong(0))
+  }
+
   private val fact = Seq(
     ("x", 1.25), ("x", 2.50), ("y", 3.75), ("y", 0.25), ("y", 9.00), ("z", 4.00)
   ).toDF("g", "v")
@@ -117,6 +139,13 @@ class MaintenanceSpec extends SparkSpec {
     // compacting into a still-existing batch id is refused
     intercept[IllegalArgumentException] {
       IncrementalAgg.compactState(spark, stateDir, Seq("g"), intoBatchId = 3L)
+    }
+    // ...and so is compacting into a PREVIOUSLY-ABSORBED id (its dir is
+    // gone, but batch=100's _absorbs marker names it): reusing it and
+    // crashing mid-delete would leave batch=1 and batch=100 each marking
+    // the other absorbed — nothing live, manual recovery required
+    intercept[IllegalArgumentException] {
+      IncrementalAgg.compactState(spark, stateDir, Seq("g"), intoBatchId = 1L)
     }
   }
 
