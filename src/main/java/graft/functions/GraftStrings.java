@@ -92,6 +92,140 @@ public final class GraftStrings {
     return new GenericArrayData(arr);
   }
 
+  /** True iff {@code b} is one of the ASCII bytes Java's regex
+   *  {@code \s} matches: space, tab, LF, VT, FF, CR. Multi-byte UTF-8
+   *  sequences are all ≥ 0x80, so byte-level scanning can never split
+   *  inside a code point. */
+  private static boolean isSpace(byte b) {
+    return b == 0x20 || (b >= 0x09 && b <= 0x0d);
+  }
+
+  /** hash60 of each distinct word n-gram shingle, first-occurrence
+   *  order — the fused, byte-level form of
+   *  {@code explode(wordShingles(text, n))} followed by
+   *  {@code conv(substring(md5(shingle),1,15),16,10)}: same hash
+   *  values, but tokenization, gram assembly and md5 all run on the
+   *  UTF-8 bytes (UTF-8 concatenation is byte concatenation, so the
+   *  gram bytes equal the encoded gram string) with zero per-gram
+   *  allocation — no UTF8String shingle rows, no String round trip, no
+   *  hex-digest parsing, no MessageDigest. On the inverted-index dedup
+   *  path that per-gram work runs inside the scan task, which a
+   *  single-row-group input executes SERIALIZED — it was the dominant
+   *  small-input constant (and at any scale it is pure per-row CPU).
+   *
+   *  Token edge semantics replicate {@link #tokens}: ASCII-space-only
+   *  trim, then regex-{@code \s+} splitting with limit -1, which keeps
+   *  an empty first/last token when the trimmed text starts/ends with
+   *  non-space whitespace (TokensSpec pins the parity on adversarial
+   *  inputs).
+   *
+   *  Distinctness is by the 60-bit hash itself rather than by shingle
+   *  string: two distinct shingles of one document colliding in 60
+   *  bits (probability ~m²/2⁶¹ per doc) would shorten the array by
+   *  one entry — the same immateriality argument the inverted index
+   *  already makes for bucketing by this hash, and natural-text grams
+   *  cannot be adversarial md5-collision blocks. */
+  public static ArrayData wordShingleHashes(UTF8String text, int n) {
+    return gramHashes(text, n, true);
+  }
+
+  /** Positional variant: hash60 of the n-token gram starting at EVERY
+   *  token position, in order, duplicates kept — length
+   *  max(0, numTokens - n + 1). The fused form of
+   *  {@code posexplode(tokenChunks(text, n, 1))} restricted to
+   *  full-length windows and hashed — the span-detection family's
+   *  per-position stream without chunk-string rows. */
+  public static ArrayData tokenGramHashes(UTF8String text, int n) {
+    return gramHashes(text, n, false);
+  }
+
+  private static ArrayData gramHashes(UTF8String text, int n, boolean distinct) {
+    byte[] b = text.trim().getBytes();
+    int len = b.length;
+    // token boundaries (offsets): replicate split("\\s+", -1) incl.
+    // empty edge tokens
+    // non-empty tokens are >=1 byte separated by >=1 byte, empty tokens
+    // occur only at the two edges => at most len/2 + 3 tokens
+    int maxToks = len / 2 + 3;
+    int[] tokStart = new int[maxToks];
+    int[] tokEnd = new int[maxToks];
+    int m = 0;
+    if (len == 0) {
+      tokStart[0] = 0;
+      tokEnd[0] = 0;
+      m = 1;
+    } else {
+      int i = 0;
+      if (isSpace(b[0])) { // leading separator run => empty first token
+        tokStart[m] = 0;
+        tokEnd[m] = 0;
+        m++;
+        while (i < len && isSpace(b[i])) i++;
+      }
+      while (i < len) {
+        int s = i;
+        while (i < len && !isSpace(b[i])) i++;
+        tokStart[m] = s;
+        tokEnd[m] = i;
+        m++;
+        if (i < len) { // separator run
+          while (i < len && isSpace(b[i])) i++;
+          if (i == len) { // trailing separator run => empty last token
+            tokStart[m] = len;
+            tokEnd[m] = len;
+            m++;
+          }
+        }
+      }
+    }
+    int grams = m - n + 1;
+    if (grams <= 0) {
+      return UnsafeArrayData.fromPrimitiveArray(new long[0]);
+    }
+    // open-addressing long set (insertion-ordered output, only used
+    // when distinct); hash60 values are < 2^60, so -1 is a safe empty
+    // sentinel
+    int cap = distinct ? Integer.highestOneBit(Math.max(4, grams * 4 - 1)) << 1 : 0;
+    long[] set = distinct ? new long[cap] : null;
+    if (distinct) {
+      java.util.Arrays.fill(set, -1L);
+    }
+    long[] out = new long[grams];
+    int nOut = 0;
+    byte[] scratch = new byte[64];
+    for (int g = 0; g < grams; g++) {
+      int glen = n - 1; // single-space joiners
+      for (int j = 0; j < n; j++) {
+        glen += tokEnd[g + j] - tokStart[g + j];
+      }
+      if (glen > scratch.length) {
+        scratch = new byte[Integer.highestOneBit(glen) << 1];
+      }
+      int p = 0;
+      for (int j = 0; j < n; j++) {
+        if (j > 0) scratch[p++] = 0x20;
+        int tl = tokEnd[g + j] - tokStart[g + j];
+        System.arraycopy(b, tokStart[g + j], scratch, p, tl);
+        p += tl;
+      }
+      long h = GraftMd5.hash60(scratch, 0, glen);
+      if (distinct) {
+        int slot = (int) (h ^ (h >>> 29)) & (cap - 1);
+        while (set[slot] != -1L && set[slot] != h) {
+          slot = (slot + 1) & (cap - 1);
+        }
+        if (set[slot] == -1L) {
+          set[slot] = h;
+          out[nOut++] = h;
+        }
+      } else {
+        out[nOut++] = h;
+      }
+    }
+    return UnsafeArrayData.fromPrimitiveArray(
+        nOut == grams ? out : java.util.Arrays.copyOf(out, nOut));
+  }
+
   /** MinHash signature over distinct word n-gram shingles, map-only:
    *  h = hash60(shingle) mod p; sig[i] = min over shingles of
    *  (h * a_i + b_i) mod p with p = 2^31-1, a_i = 2i+3,
@@ -103,13 +237,18 @@ public final class GraftStrings {
    *  h mod p < 2^31, a_i < 2^31 => product < 2^62. */
   public static long[] minHashSig(UTF8String text, int n, int k) {
     final long p = 2147483647L;
-    ArrayData shingles = wordShingles(text, n);
-    int m = shingles.numElements();
+    // hashed-shingle fast path: the permuted values depend on the
+    // shingle only through hash60, so iterating distinct hashes is
+    // exactly equivalent to iterating distinct shingles (even a 60-bit
+    // dedup collision cannot change any min — equal h, equal permuted
+    // values) while skipping the String/MessageDigest round trip
+    ArrayData hs = wordShingleHashes(text, n);
+    int m = hs.numElements();
     if (m == 0) return null;
     long[] sig = new long[k];
     java.util.Arrays.fill(sig, Long.MAX_VALUE);
     for (int s = 0; s < m; s++) {
-      long h = hash60(shingles.getUTF8String(s).toString()) % p;
+      long h = hs.getLong(s) % p;
       for (int i = 0; i < k; i++) {
         long a = 2L * i + 3L;
         long b = (104729L * (i + 1)) % p;

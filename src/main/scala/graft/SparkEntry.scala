@@ -155,6 +155,8 @@ object SparkEntry {
     "q_events_json" -> (Events.jsonProps(_, _)),
     // — table maintenance: CDC merge, incremental aggregates, zone maps
     "q_cdc_merge" -> (Maintenance.cdcMerge(_, _)),
+    "q_cdc_merge_part" -> (Maintenance.cdcMergePartitioned(_, _)),
+    "q_cdc_stream" -> (Maintenance.cdcStreamMaterialize(_, _)),
     "q_incr_agg" -> (Maintenance.incrAgg(_, _)),
     "q_incr_agg_state" -> (Maintenance.incrAggState(_, _)),
     "q_zonemap_scan" -> (Maintenance.zonemapScan(_, _)),
@@ -401,6 +403,8 @@ object SparkEntry {
     "q_events_session_window" -> Events.sessionWindowSql,
     "q_events_json" -> Events.jsonPropsSql,
     "q_cdc_merge" -> Maintenance.cdcMergeSql,
+    "q_cdc_merge_part" -> Maintenance.cdcMergePartitionedSql,
+    "q_cdc_stream" -> Maintenance.cdcStreamMaterializeSql,
     "q_incr_agg" -> Maintenance.incrAggSql,
     "q_incr_agg_state" -> Maintenance.incrAggStateSql,
     "q_zonemap_scan" -> Maintenance.zonemapScanSql,

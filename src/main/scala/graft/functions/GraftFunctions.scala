@@ -11,6 +11,20 @@ object GraftFunctions {
   def wordShingles(text: Column, n: Int): Column =
     ColumnBridge.column(WordShingles(ColumnBridge.expression(text), n))
 
+  /** hash60 of each distinct word n-gram shingle, one fused kernel call
+    * — replaces explode(wordShingles) + md5/substring/conv with a long
+    * array (same hash values, no per-shingle string rows).
+    */
+  def wordShingleHashes(text: Column, n: Int): Column =
+    ColumnBridge.column(WordShingleHashes(ColumnBridge.expression(text), n))
+
+  /** hash60 of the n-token gram at every position (duplicates kept, in
+    * position order) — the positional sibling of wordShingleHashes for
+    * the span-detection family.
+    */
+  def tokenGramHashes(text: Column, n: Int): Column =
+    ColumnBridge.column(TokenGramHashes(ColumnBridge.expression(text), n))
+
   /** 60-bit md5-derived SimHash signature — codegen'd replacement for the
     * aggregate/transform vote loop.
     */

@@ -37,6 +37,61 @@ case class WordShingles(child: Expression, n: Int)
     copy(child = newChild)
 }
 
+/** hash60 of each distinct word n-gram shingle — the fused
+  * explode-free form of `WordShingles` + md5/substring/conv: same
+  * values (GraftStrings.hash60 is the oracle-shared definition), one
+  * kernel call per document, long array out. See
+  * GraftStrings.wordShingleHashes for why the fusion matters.
+  */
+case class WordShingleHashes(child: Expression, n: Int)
+    extends UnaryExpression {
+  require(n >= 1, s"shingle size must be >= 1, got $n")
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires a string argument, got ${child.dataType}")
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "word_shingle_hashes"
+
+  override protected def nullSafeEval(input: Any): Any =
+    GraftStrings.wordShingleHashes(input.asInstanceOf[UTF8String], n)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.GraftStrings.wordShingleHashes($c, $n);")
+
+  override protected def withNewChildInternal(newChild: Expression): WordShingleHashes =
+    copy(child = newChild)
+}
+
+/** hash60 of the n-token gram at EVERY token position (duplicates
+  * kept, in position order) — the fused form of
+  * posexplode(tokenChunks(text, n, 1)) restricted to full windows then
+  * hashed; the span-detection family's positional stream.
+  */
+case class TokenGramHashes(child: Expression, n: Int)
+    extends UnaryExpression {
+  require(n >= 1, s"gram size must be >= 1, got $n")
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires a string argument, got ${child.dataType}")
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "token_gram_hashes"
+
+  override protected def nullSafeEval(input: Any): Any =
+    GraftStrings.tokenGramHashes(input.asInstanceOf[UTF8String], n)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.GraftStrings.tokenGramHashes($c, $n);")
+
+  override protected def withNewChildInternal(newChild: Expression): TokenGramHashes =
+    copy(child = newChild)
+}
+
 /** Overlapping token-window chunks — the RAG / context-window prep op.
   * One kernel call per document inside whole-stage codegen; the
   * equivalent sequence/transform/slice HOF chain evaluates interpreted

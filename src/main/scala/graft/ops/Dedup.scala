@@ -326,12 +326,17 @@ object Dedup {
     //    rows in O(|ds|) memory, not the |ds|²-element explode×explode
     //    intermediate, and never a self-equi-join of the full index.
     // `id` must be a bigint column (the posting aggregator is typed).
+    // the shingle+hash step is ONE fused kernel call per document
+    // (WordShingleHashes): the exploded rows are bare longs, so the
+    // md5-hex/conv built-in chain and per-shingle UTF8String rows never
+    // exist — measured ~2× on the scan stage, which a single-row-group
+    // input runs serialized
     val posts =
-      df.select(id.as("doc_id"), shingles(text, n).as("sh"))
+      df.select(id.as("doc_id"),
+          graft.functions.GraftFunctions.wordShingleHashes(text, n).as("hs"))
         .select(col("doc_id"),
-          size(col("sh")).cast(LongType).as("n_sh"),
-          explode(col("sh")).as("shingle"))
-        .select(col("doc_id"), col("n_sh"), hash60(col("shingle")).as("h"))
+          size(col("hs")).cast(LongType).as("n_sh"),
+          explode(col("hs")).as("h"))
         .groupBy("h")
         .agg(graft.functions.GraftFunctions
           .boundedPostings(col("doc_id"), col("n_sh"), maxDocFreq.toInt)

@@ -264,8 +264,8 @@ object LlmOps {
     */
   def duplicateSpans(spark: SparkSession, dir: String, n: Int = 8): DataFrame =
     Tables.load(spark, dir, "documents")
-      .select(col("doc_id"), explode(Dedup.shingles(col("text"), n)).as("sh"))
-      .select(col("doc_id"), Dedup.hash60(col("sh")).as("span_hash"))
+      .select(col("doc_id"), explode(graft.functions.GraftFunctions
+        .wordShingleHashes(col("text"), n)).as("span_hash"))
       .groupBy(col("span_hash"))
       .agg(count(lit(1)).as("n_docs"), // shingles are distinct per doc
         min(col("doc_id")).as("first_doc"), max(col("doc_id")).as("last_doc"))
@@ -323,19 +323,14 @@ object LlmOps {
     * never reach the join.
     */
   private[graft] def spanRemovalPositions(docs: DataFrame, n: Int): DataFrame = {
-    val base = docs.select(col("doc_id"), col("text"),
-      split(trim(col("text")), "\\s+").as("t"))
-    // positional shingles via the codegen'd TokenChunks kernel (one
-    // tokenize + one StringBuilder pass per doc) instead of a
-    // per-position slice/array_join HOF chain; stride-1 chunks include
-    // tail windows shorter than n, dropped by the position bound
-    val sh = graft.ops.CacheBin.pin(base.filter(size(col("t")) >= n)
-      .select(col("doc_id"), (size(col("t")) - n).as("maxPos"),
+    // positional gram hashes in ONE fused kernel call per document
+    // (TokenGramHashes: tokenize + gram + md5 on the UTF-8 bytes; no
+    // chunk-string rows, no md5-hex built-ins); documents with fewer
+    // than n tokens emit an empty array and vanish at the posexplode
+    val sh = graft.ops.CacheBin.pin(docs
+      .select(col("doc_id"),
         posexplode(graft.functions.GraftFunctions
-          .tokenChunks(col("text"), window = n, stride = 1))
-        .as(Seq("pos", "shingle")))
-      .filter(col("pos") <= col("maxPos"))
-      .select(col("doc_id"), col("pos"), Dedup.hash60(col("shingle")).as("h")))
+          .tokenGramHashes(col("text"), n)).as(Seq("pos", "h"))))
     val owners = sh.groupBy(col("h"))
       .agg(min(col("doc_id")).as("owner"), max(col("doc_id")).as("hi"))
       .filter(col("hi") > col("owner")) // an occurrence outside the owner doc

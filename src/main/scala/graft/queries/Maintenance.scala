@@ -6,6 +6,13 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
+/** Change row for the streaming CDC materializer's memory feed —
+  * the declared dv3f columns the feed carries, plus op/seq.
+  */
+private[queries] case class CdcChangeRow(
+    uid: String, annee: String, dep: String, libdep: String,
+    nbtrans: Long, valeurfonc_sum: Double, op: String, seq: Long)
+
 /** Table-maintenance query surface: CDC merge (MERGE INTO with
   * deletes), incremental aggregate maintenance, and zone-map file
   * skipping — the lakehouse upkeep operations a 100 TB warehouse runs
@@ -68,6 +75,156 @@ object Maintenance {
       |UNION ALL
       |SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderpriority
       |FROM latest WHERE op <> 'D'""".stripMargin
+
+  /** Shared dv3f-shaped projection of `orders` for the CDC table faces:
+    * uid = order key, partition/cod = order status, one long + one
+    * double metric. Deterministic at every SF and reproducible in SQL.
+    */
+  private def ordersAsStaging(orders: DataFrame): DataFrame =
+    orders.select(
+      col("o_orderkey").cast(StringType).as("uid"),
+      year(col("o_orderdate")).cast(StringType).as("annee"),
+      col("o_orderstatus").as("dep"),
+      col("o_orderpriority").as("libdep"),
+      col("o_orderstatus").as("cod"),
+      col("o_custkey").as("nbtrans"),
+      col("o_totalprice").as("valeurfonc_sum"))
+
+  /** PARTITIONED CDC merge ([[graft.dv3f.Upsert.mergeCdcPartitioned]])
+    * through its oracle face: orders loaded as a dv3f-shaped table
+    * partitioned on `dep` (= order status), then three change waves
+    * applied across TWO commits — point deletes, two overlapping
+    * update waves (latest-wins across commits), inserts into a NEW
+    * partition ('N'), and a full-partition takedown (every 'P' key
+    * deleted, so the partition VANISHES from the marker map). The
+    * oracle re-derives the net table in SQL; hash equality proves the
+    * multi-commit partitioned protocol converges to the same rows as
+    * a from-scratch derivation. Spec-level evidence (partition-pruned
+    * reads, marker layout, OCC races) stays in UpsertSpec — this row
+    * pins the DATAFLOW result. Staged once per JVM; bench iterations
+    * measure the versioned partitioned read.
+    */
+  def cdcMergePartitioned(spark: SparkSession, dir: String): DataFrame = {
+    import graft.dv3f.{Dv3fConfig, Upsert}
+    val table = Dv3fConfig.departement
+    val target = StageOnce.tmp("cdc_part_tbl", dir) + "/t"
+    StageOnce(target) {
+      val base = ordersAsStaging(Tables.load(spark, dir, "orders"))
+      val key = col("uid").cast(LongType)
+      // commit 1: everything inserts (seq 1)
+      Upsert.mergeCdcPartitioned(spark, target,
+        base.withColumn("op", lit("I")).withColumn("seq", lit(1L)),
+        table, partitionCol = "dep")
+      // commit 2: point deletes + first update wave + new-partition
+      // inserts (seq 2)
+      val w2 = base.filter(key % 10 === 3)
+        .withColumn("op", lit("D")).withColumn("seq", lit(2L))
+        .unionByName(base.filter(key % 10 === 4)
+          .withColumn("valeurfonc_sum", col("valeurfonc_sum") + 1000.0)
+          .withColumn("op", lit("U")).withColumn("seq", lit(2L)))
+        .unionByName(base.filter(key % 10 === 7)
+          .withColumn("uid", (key + 10000000L).cast(StringType))
+          .withColumn("dep", lit("N"))
+          .withColumn("op", lit("I")).withColumn("seq", lit(2L)))
+      Upsert.mergeCdcPartitioned(spark, target, w2, table, partitionCol = "dep")
+      // commit 3: second update wave (seq 3, beats seq 2 on the %20
+      // half) + full-partition takedown of 'P' (seq 4 so the delete
+      // outranks this wave's update on any overlapping key)
+      val w3 = base.filter(key % 20 === 4)
+        .withColumn("valeurfonc_sum", col("valeurfonc_sum") + 5000.0)
+        .withColumn("op", lit("U")).withColumn("seq", lit(3L))
+        .unionByName(base.filter(col("dep") === "P")
+          .withColumn("op", lit("D")).withColumn("seq", lit(4L)))
+      Upsert.mergeCdcPartitioned(spark, target, w3, table, partitionCol = "dep")
+    }
+    graft.dv3f.Upsert.read(spark, target)
+      .select(col("uid"), col("annee"), col("dep"), col("libdep"),
+        col("nbtrans"), col("valeurfonc_sum"))
+  }
+
+  val cdcMergePartitionedSql: String =
+    """WITH base AS (
+      |  SELECT CAST(o_orderkey AS VARCHAR) AS uid,
+      |         CAST(year(o_orderdate) AS VARCHAR) AS annee,
+      |         o_orderstatus AS dep, o_orderpriority AS libdep,
+      |         o_custkey AS nbtrans, o_totalprice AS valeurfonc_sum,
+      |         o_orderkey AS k
+      |  FROM orders)
+      |SELECT uid, annee, dep, libdep, nbtrans,
+      |  CASE WHEN k % 20 = 4 THEN valeurfonc_sum + 5000.0
+      |       WHEN k % 10 = 4 THEN valeurfonc_sum + 1000.0
+      |       ELSE valeurfonc_sum END AS valeurfonc_sum
+      |FROM base
+      |WHERE k % 10 <> 3 AND dep <> 'P'
+      |UNION ALL
+      |SELECT CAST(k + 10000000 AS VARCHAR), annee, 'N', libdep, nbtrans,
+      |  valeurfonc_sum
+      |FROM base WHERE k % 10 = 7""".stripMargin
+
+  /** Streaming CDC materializer ([[graft.streaming.CdcStream]])
+    * through its oracle face: a REAL StreamingQuery over a memory
+    * change feed (a deterministic ~2% slice of orders), three
+    * micro-batches — inserts, then updates+deletes, then a second
+    * update wave — each folding into the versioned table via
+    * mergeCdc with a checkpoint. The oracle re-derives the final
+    * table in SQL, so the stream's exactly-once visible state is
+    * hash-checked, not just spec-asserted. Staged once per JVM (the
+    * stream runs to completion at stage time); bench iterations
+    * measure the materialized read.
+    */
+  def cdcStreamMaterialize(spark: SparkSession, dir: String): DataFrame = {
+    import graft.dv3f.Dv3fConfig
+    val table = Dv3fConfig.departement
+    val target = StageOnce.tmp("cdc_stream_tbl", dir) + "/t"
+    StageOnce(target) {
+      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+      import spark.implicits._
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+      val feed = ordersAsStaging(Tables.load(spark, dir, "orders"))
+        .filter(col("uid").cast(LongType) % 100 < 2)
+        .select("uid", "annee", "dep", "libdep", "nbtrans", "valeurfonc_sum")
+        .collect().map { r =>
+          (r.getString(0), r.getString(1), r.getString(2), r.getString(3),
+            r.getLong(4), r.getDouble(5))
+        }
+      val ckpt = StageOnce.tmp("cdc_stream_ckpt", dir)
+      val mem = MemoryStream[CdcChangeRow]
+      val q = graft.streaming.CdcStream.start(mem.toDS().toDF(), target,
+        table, ckpt)
+      try {
+        def rows(f: ((String, String, String, String, Long, Double)) => Boolean,
+            mutate: Double => Double, op: String, seq: Long) =
+          feed.filter(f).map { case (uid, an, dep, li, nb, v) =>
+            CdcChangeRow(uid, an, dep, li, nb, mutate(v), op, seq)
+          }.toIndexedSeq
+        mem.addData(rows(_ => true, identity, "I", 1L))
+        q.processAllAvailable()
+        mem.addData(
+          rows(t => t._1.toLong % 10 == 3, identity, "D", 2L) ++
+            rows(t => t._1.toLong % 10 == 4, _ + 1000.0, "U", 2L))
+        q.processAllAvailable()
+        mem.addData(rows(t => t._1.toLong % 20 == 4, _ + 5000.0, "U", 3L))
+        q.processAllAvailable()
+      } finally q.stop()
+    }
+    graft.dv3f.Upsert.read(spark, target)
+      .select(col("uid"), col("annee"), col("dep"), col("libdep"),
+        col("nbtrans"), col("valeurfonc_sum"))
+  }
+
+  val cdcStreamMaterializeSql: String =
+    """WITH base AS (
+      |  SELECT CAST(o_orderkey AS VARCHAR) AS uid,
+      |         CAST(year(o_orderdate) AS VARCHAR) AS annee,
+      |         o_orderstatus AS dep, o_orderpriority AS libdep,
+      |         o_custkey AS nbtrans, o_totalprice AS valeurfonc_sum,
+      |         o_orderkey AS k
+      |  FROM orders WHERE o_orderkey % 100 < 2)
+      |SELECT uid, annee, dep, libdep, nbtrans,
+      |  CASE WHEN k % 20 = 4 THEN valeurfonc_sum + 5000.0
+      |       WHEN k % 10 = 4 THEN valeurfonc_sum + 1000.0
+      |       ELSE valeurfonc_sum END AS valeurfonc_sum
+      |FROM base WHERE k % 10 <> 3""".stripMargin
 
   /** Incrementally-maintained lineitem aggregate: three disjoint delta
     * batches partial-aggregated independently, then merged — the

@@ -50,6 +50,55 @@ class PropertiesSpec extends SparkSpec {
     }
   }
 
+  test("property: WordShingleHashes ≡ hash60 over WordShingles (byte-level kernel parity)") {
+    // the byte-level kernel re-implements trim/split/gram/md5 on UTF-8
+    // bytes; this pins it to the String-based reference formulation on
+    // adversarial inputs: leading/trailing non-space whitespace (which
+    // split(-1) turns into EMPTY edge tokens), multi-byte UTF-8, empty
+    // and whitespace-only strings
+    val edgy: Gen[String] = for {
+      pre <- Gen.oneOf("", " ", "\t", "\n", " \t")
+      n <- Gen.choose(0, 12)
+      ws <- Gen.listOfN(n, word)
+      sep <- Gen.oneOf(" ", "  ", " \t ", "\n")
+      post <- Gen.oneOf("", " ", "\t", "\r\n")
+    } yield pre + ws.mkString(sep) + post
+    forAllSeeded(Gen.listOfN(25, edgy), n = 10) { texts =>
+      val rows = texts.toDF("t").select(
+        graft.functions.GraftFunctions.wordShingleHashes(col("t"), 3).as("fast"),
+        transform(Dedup.shingles(col("t"), 3),
+          s => Dedup.hash60(s)).as("ref")).collect()
+      rows.foreach(r => assert(r.getSeq[Long](0) === r.getSeq[Long](1)))
+    }
+    // the positional sibling against the chunk-string formulation it
+    // replaced (full-length windows, position order, duplicates kept)
+    forAllSeeded(Gen.listOfN(25, edgy), n = 6) { texts =>
+      val toksCol = split(trim(col("t")), "\\s+")
+      val rows = texts.toDF("t").select(
+        graft.functions.GraftFunctions.tokenGramHashes(col("t"), 3).as("fast"),
+        transform(graft.functions.GraftFunctions
+            .tokenChunks(col("t"), window = 3, stride = 1),
+          s => Dedup.hash60(s)).as("refAll"),
+        size(toksCol).as("m")).collect()
+      rows.foreach { r =>
+        val fast = r.getSeq[Long](0)
+        val m = r.getInt(2)
+        val refAll = if (r.isNullAt(1)) Seq.empty[Long] else r.getSeq[Long](1)
+        val ref = refAll.take(math.max(0, m - 3 + 1))
+        assert(fast === ref, s"m=$m")
+      }
+    }
+    // and the md5 core directly against MessageDigest semantics,
+    // across the single-block/two-block padding boundary (55/56 bytes)
+    // and multi-block lengths
+    (0 to 200).foreach { len =>
+      val s = ("abcdefgh" * 26).take(len) + "é".take(if (len % 3 == 0) 1 else 0)
+      val bytes = s.getBytes("UTF-8")
+      assert(graft.functions.GraftMd5.hash60(bytes, 0, bytes.length) ===
+        graft.functions.GraftStrings.hash60(s), s"len=$len")
+    }
+  }
+
   test("property: RepetitionStats kernel ≡ independent Scala oracle") {
     // replicate the kernel's exact tokenization: ASCII-space trim (what
     // UTF8String.trim does), then java-regex \s+ split

@@ -39,7 +39,13 @@ def main(sf_dir, out_dir, spark_json=None):
         if best is not None:
             duck[name] = best
     print(json.dumps({"duck_total": round(sum(duck.values()), 2),
-                      "queries": {k: round(v, 3) for k, v in duck.items()}}))
+                      "queries": {k: round(v, 3) for k, v in duck.items()},
+                      # see BASELINE.md "Staged-input cells": these two
+                      # oracle timings include feed-derivation/JSON-parse
+                      # work the Spark side stages out per JVM — their
+                      # per-query ratios are not engine-vs-engine
+                      "staged_input_cells": ["q_cdc_merge",
+                                             "q_events_json"]}))
     if spark_json:
         spark = json.load(open(spark_json))["queries"]
         rows = [(k, spark.get(k), duck.get(k)) for k in duck if k in spark]
