@@ -520,6 +520,10 @@ object Upsert {
     val aligned = alignByName(incoming, table)
     val key = table.primaryKey
     val (fs, target) = fsFor(spark, targetPath)
+    // gate BEFORE any data write: on an unsafe FS the flow must die
+    // here, not after shipping a (possibly huge) parquet dir whose
+    // publish is doomed (publish re-checks — this is the cheap exit)
+    requireAtomicRename(fs)
 
     // base snapshot and commit number resolve from ONE observation; the
     // published commit is base+1, so a commit landing in between makes
@@ -587,6 +591,7 @@ object Upsert {
         else lit(null).cast(f.dataType).as(f.name)
       } ++ Seq(col(opCol), col(seqCol))).toIndexedSeq: _*)
     val (fs, target) = fsFor(spark, targetPath)
+    requireAtomicRename(fs) // fail before the data write, not after
 
     val baseCommit = currentCommit(fs, target)
     val existing = baseCommit.map(n =>
@@ -643,6 +648,7 @@ object Upsert {
       } ++ Seq(col(opCol), col(seqCol))).toIndexedSeq: _*)
     val key = table.primaryKey
     val (fs, target) = fsFor(spark, targetPath)
+    requireAtomicRename(fs) // fail before the data write, not after
 
     val baseCommit = currentCommit(fs, target)
     val contentOpt = baseCommit.map(n => (n, readMarker(fs, target, n)))
@@ -716,6 +722,7 @@ object Upsert {
     val aligned = alignByName(incoming, table)
     val key = table.primaryKey
     val (fs, target) = fsFor(spark, targetPath)
+    requireAtomicRename(fs) // fail before the data write, not after
 
     // previous snapshot: marker map, or the flat layout's partition
     // dirs adopted as version 0. Base commit, snapshot AND partition

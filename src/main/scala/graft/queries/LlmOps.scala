@@ -335,6 +335,19 @@ object LlmOps {
       .agg(min(col("doc_id")).as("owner"), max(col("doc_id")).as("hi"))
       .filter(col("hi") > col("owner")) // an occurrence outside the owner doc
       .select(col("h"), col("owner"))
+    // The owner aggregate feeds the join DIRECTLY — its output
+    // partitioning satisfies the join's requirement, so the owners side
+    // adds NO exchange. Measured flip side (SkewAudit, SCALE_r10): that
+    // plan shape is structurally EXEMPT from AQE skew-join splitting,
+    // which only rewrites joins whose children are bare
+    // ENSURE_REQUIREMENTS shuffle stages (an aggregate or a cache below
+    // the join keeps its own partitioning, so no such stage exists —
+    // and caching/repartitioning the owners side cannot manufacture
+    // one). The hot-key histograms show the exemption is harmless at
+    // the measured scales: hash spreads the hot keys' row mass, and
+    // x100's worst task sits ~1.1× the median. A corpus concentrating
+    // removal mass beyond what hashing spreads is the salted-join
+    // regime (ops/Skew.scala), not an AQE knob.
     sh.join(owners, Seq("h"))
       .filter(col("doc_id") =!= col("owner"))
       .select(col("doc_id"), col("pos"))

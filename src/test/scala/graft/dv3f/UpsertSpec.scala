@@ -661,6 +661,50 @@ class UpsertSpec extends SparkSpec {
     }
   }
 
+  test("INTEGRATION: every publish path trips the object-store gate through fsFor, before any data write") {
+    // drive the four public write flows END-TO-END against a mock
+    // FileSystem that the session resolves for s3a:// URIs — proving
+    // (a) no publish path can reach an object store ungated (a missed
+    // path is a silent data-loss hole under racing writers), and
+    // (b) the gate fires BEFORE the parquet write, so a misdeployment
+    // fails in milliseconds instead of after shipping a huge data dir.
+    val hconf = spark.sparkContext.hadoopConfiguration
+    hconf.set("fs.s3a.impl", classOf[MockS3aFs].getName)
+    hconf.set("fs.s3a.impl.disable.cache", "true")
+    try {
+      val local = freshDir() // real local dir the mock maps onto
+      val target = s"s3a://${local.stripPrefix("/")}/t"
+      val one = staged.limit(1)
+      val changes = one.withColumn("op", lit("I")).withColumn("seq", lit(1L))
+      val flows: Seq[(String, () => Unit)] = Seq(
+        "upsertByName" -> (() =>
+          Upsert.upsertByName(spark, target, one, Dv3fConfig.departement)),
+        "upsertByNamePartitioned" -> (() =>
+          Upsert.upsertByNamePartitioned(spark, target, one,
+            Dv3fConfig.departement, "annee")),
+        "mergeCdc" -> (() =>
+          Upsert.mergeCdc(spark, target, changes, Dv3fConfig.departement)),
+        "mergeCdcPartitioned" -> (() =>
+          Upsert.mergeCdcPartitioned(spark, target, changes,
+            Dv3fConfig.departement, "annee")))
+      flows.foreach { case (name, run) =>
+        val e = intercept[UnsupportedOperationException](run())
+        assert(e.getMessage.contains("s3a"), s"$name: wrong error: $e")
+        assert(e.getMessage.contains("object store"), s"$name")
+      }
+      // the gate fired before any byte moved: the mock's backing local
+      // dir holds no data dirs, no markers, nothing
+      val backing = new java.io.File(local, "t")
+      assert(!backing.exists(),
+        s"a publish path wrote data to an object store before the gate: " +
+          Option(backing.listFiles()).getOrElse(Array.empty)
+            .map(_.getName).mkString(", "))
+    } finally {
+      hconf.unset("fs.s3a.impl")
+      hconf.unset("fs.s3a.impl.disable.cache")
+    }
+  }
+
   test("publish on an unknown scheme needs the documented opt-in") {
     val fs = new FakeObjectStoreFs("ofs") // HDFS-compatible, not allowlisted
     val target = new org.apache.hadoop.fs.Path(freshDir())
@@ -691,3 +735,9 @@ class FakeObjectStoreFs(scheme: String)
     super.rename(src, dst)
   }
 }
+
+/** No-arg face of [[FakeObjectStoreFs]] so Hadoop's `fs.s3a.impl`
+  * reflection can instantiate it — lets a spec hand the SESSION a
+  * filesystem that resolves real `s3a://` URIs onto local disk.
+  */
+class MockS3aFs extends FakeObjectStoreFs("s3a")
