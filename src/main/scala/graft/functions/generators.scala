@@ -2,7 +2,7 @@ package graft.functions
 
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
-import org.apache.spark.sql.catalyst.expressions.{Expression, Generator, GenericInternalRow, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{Expression, Generator, GenericInternalRow, SpecificInternalRow, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
 import org.apache.spark.sql.types._
 import org.apache.spark.unsafe.types.UTF8String
@@ -117,11 +117,18 @@ case class LongPairs(child: Expression)
       else new Iterator[InternalRow] {
         private var i = 0
         private var j = 1
+        // ONE mutable primitive-field row per posting list, reused for
+        // every emitted pair: the generator's consumer is always an
+        // UnsafeProjection copy boundary (shuffle input / aggregate
+        // input), the same contract UnsafeProjection itself relies on
+        // when reusing ITS output row. A fresh GenericInternalRow per
+        // pair cost two boxed longs + an Object[] + the row — at an
+        // amplified corpus that is hundreds of millions of emissions.
+        private val row = new SpecificInternalRow(Seq(LongType, LongType))
         override def hasNext: Boolean = i < n - 1
         override def next(): InternalRow = {
-          val row = new GenericInternalRow(2)
-          row.update(0, arr(i))
-          row.update(1, arr(j))
+          row.setLong(0, arr(i))
+          row.setLong(1, arr(j))
           j += 1
           if (j == n) { i += 1; j = i + 1 }
           row
@@ -191,13 +198,17 @@ case class LongPairsWeighted(ids: Expression, ws: Expression)
         new Iterator[InternalRow] {
           private var i = 0
           private var j = 1
+          // reused primitive-field row — see the LongPairs note; with
+          // four long fields the per-pair saving is ~4 boxed longs +
+          // Object[4] + row header per emission
+          private val row = new SpecificInternalRow(
+            Seq(LongType, LongType, LongType, LongType))
           override def hasNext: Boolean = i < n - 1
           override def next(): InternalRow = {
-            val row = new GenericInternalRow(4)
-            row.update(0, sid(i))
-            row.update(1, sw(i))
-            row.update(2, sid(j))
-            row.update(3, sw(j))
+            row.setLong(0, sid(i))
+            row.setLong(1, sw(i))
+            row.setLong(2, sid(j))
+            row.setLong(3, sw(j))
             j += 1
             if (j == n) { i += 1; j = i + 1 }
             row
@@ -270,26 +281,39 @@ case class HammingSigPairs(child: Expression, maxDist: Int)
         new Iterator[InternalRow] {
           private var a = 0
           private var b = 1
-          private var row: InternalRow = _
-          private def advance(): Unit = {
-            row = null
-            while (row == null && a < n - 1) {
+          // reused primitive-field row (see LongPairs). The search for
+          // the next surviving pair runs LAZILY in hasNext, so the
+          // shared row is only overwritten AFTER the consumer has had
+          // the hasNext→next cycle to copy the previous one — mutating
+          // it eagerly inside next() would corrupt the row the caller
+          // is still holding.
+          private val row = new SpecificInternalRow(
+            Seq(LongType, LongType, IntegerType))
+          private var found = false
+          private var searched = false
+          private def search(): Unit = {
+            found = false
+            while (!found && a < n - 1) {
               val d = java.lang.Long.bitCount(sigs(a) ^ sigs(b))
               if (d <= maxDist && ids(a) != ids(b)) {
-                val r = new GenericInternalRow(3)
-                r.update(0, math.min(ids(a), ids(b)))
-                r.update(1, math.max(ids(a), ids(b)))
-                r.update(2, d)
-                row = r
+                row.setLong(0, math.min(ids(a), ids(b)))
+                row.setLong(1, math.max(ids(a), ids(b)))
+                row.setInt(2, d)
+                found = true
               }
               b += 1
               if (b == n) { a += 1; b = a + 1 }
             }
+            searched = true
           }
-          advance()
-          override def hasNext: Boolean = row != null
+          override def hasNext: Boolean = {
+            if (!searched) search()
+            found
+          }
           override def next(): InternalRow = {
-            val r = row; advance(); r
+            if (!searched) search()
+            searched = false
+            row
           }
         }
       }
