@@ -48,7 +48,26 @@ object EngineSession {
         // it off — so it stays on everywhere). At TB scale the
         // parallelism-first default is correct, so this too is opt-in.
         .config("spark.sql.adaptive.coalescePartitions.parallelismFirst", "false")
-        .config("spark.sql.adaptive.advisoryPartitionSizeInBytes", "8m")
+        // 1m (was 8m in r6-r9): 8m coalesced the inverted-index dedup
+        // family's post-aggregation stages to 1-2 tasks right where the
+        // row count EXPLODES (posting lists → pair streams), serializing
+        // 0.4+ s of row-expanding work per query. Quiet-window A/B over
+        // all 138 queries (r10): median per-query ratio 1.003, worst
+        // regression +0.07 s, total −1.4 s, q_dedup_ngram_jaccard
+        // −0.63 s. At TB scale shuffles exceed either advisory and AQE
+        // keeps full parallelism — this knob only shapes the MB regime.
+        .config("spark.sql.adaptive.advisoryPartitionSizeInBytes", "1m")
+        // Spark's ObjectHashAggregate falls back to SORT-based
+        // aggregation after 128 distinct groups per partition — sized
+        // for unbounded per-group state (collect_list of arbitrary
+        // rows), absurd for this engine's bounded-state aggregates
+        // (BoundedPostings caps at ~16 KB, TopK at O(k), bucket
+        // collect_lists at the banding width). 4M keeps the dedup
+        // family's posting aggregations in hash mode at bench scale;
+        // production keeps Spark's conservative default because an
+        // unknown deployment may run genuinely unbounded collects.
+        .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold",
+          "4194304")
     else b
   }
 }

@@ -29,9 +29,16 @@ object ProfileNgram {
     }
 
     val docs = Tables.load(spark, sfDir, "documents")
+    val iters = sys.env.getOrElse("SPARK_GRAFT_PROFILE_ITERS", "6").toInt
+    val fullOnly = sys.env.contains("SPARK_GRAFT_PROFILE_FULL_ONLY")
     // warmup whole pipeline
-    time("full (warmup+steady)", 6) {
+    time("full (warmup+steady)", iters) {
       graft.queries.LlmOps.ngramJaccard(spark, sfDir).count()
+    }
+    if (fullOnly) {
+      instrumented(spark, sfDir)
+      spark.stop()
+      return
     }
     // stage 1: scan + shingles + explode + hash (no agg)
     time("scan+shingle+hash") {
@@ -90,7 +97,38 @@ object ProfileNgram {
         .select(count(lit(1))).collect()(0).getLong(0)
     }
     postsCached.unpersist()
-    // job/stage breakdown of one steady-state full run
+    instrumented(spark, sfDir)
+
+    // variant: no explicit repartition (let AQE rule)
+    time("full, no pinned repartition") {
+      val p = docs
+        .select(col("doc_id"), Dedup.shingles(col("text"), 3).as("sh"))
+        .select(col("doc_id"), size(col("sh")).cast(LongType).as("n_sh"),
+          explode(col("sh")).as("shingle"))
+        .select(col("doc_id"), col("n_sh"), Dedup.hash60(col("shingle")).as("h"))
+        .groupBy("h")
+        .agg(graft.functions.GraftFunctions
+          .boundedPostings(col("doc_id"), col("n_sh"), 1000).as("p"))
+        .filter(col("p.df") <= 1000)
+        .select(col("p.ids").as("ds"), col("p.ws").as("ns"))
+        .filter(size(col("ds")) >= 2)
+        .select(graft.functions.GraftFunctions
+          .longPairsWeighted(col("ds"), col("ns"))
+          .as(Seq("doc_a", "n_a", "doc_b", "n_b")))
+        .groupBy(col("doc_a"), col("doc_b"), col("n_a"), col("n_b"))
+        .agg(count(lit(1)).as("inter"))
+        .filter(col("inter").cast(DoubleType) /
+          (col("n_a") + col("n_b") - col("inter")).cast(DoubleType) >= 0.1)
+      p.select(count(lit(1))).collect()(0).getLong(0)
+    }
+    spark.stop()
+  }
+
+  /** One instrumented full run (per-job wall, per-stage wall/tasks),
+    * then a per-operator SQL-metrics dump of a second run.
+    */
+  private def instrumented(spark: org.apache.spark.sql.SparkSession,
+      sfDir: String): Unit = {
     val jobTimes = scala.collection.mutable.ArrayBuffer.empty[(Int, Long, Int)]
     val stageInfo = scala.collection.mutable.ArrayBuffer.empty[(Int, String, Long, Int)]
     val listener = new org.apache.spark.scheduler.SparkListener {
@@ -139,29 +177,5 @@ object ProfileNgram {
     }
     println("---- metrics dump ----")
     dump(dfm.queryExecution.executedPlan, 0)
-
-    // variant: no explicit repartition (let AQE rule)
-    time("full, no pinned repartition") {
-      val p = docs
-        .select(col("doc_id"), Dedup.shingles(col("text"), 3).as("sh"))
-        .select(col("doc_id"), size(col("sh")).cast(LongType).as("n_sh"),
-          explode(col("sh")).as("shingle"))
-        .select(col("doc_id"), col("n_sh"), Dedup.hash60(col("shingle")).as("h"))
-        .groupBy("h")
-        .agg(graft.functions.GraftFunctions
-          .boundedPostings(col("doc_id"), col("n_sh"), 1000).as("p"))
-        .filter(col("p.df") <= 1000)
-        .select(col("p.ids").as("ds"), col("p.ws").as("ns"))
-        .filter(size(col("ds")) >= 2)
-        .select(graft.functions.GraftFunctions
-          .longPairsWeighted(col("ds"), col("ns"))
-          .as(Seq("doc_a", "n_a", "doc_b", "n_b")))
-        .groupBy(col("doc_a"), col("doc_b"), col("n_a"), col("n_b"))
-        .agg(count(lit(1)).as("inter"))
-        .filter(col("inter").cast(DoubleType) /
-          (col("n_a") + col("n_b") - col("inter")).cast(DoubleType) >= 0.1)
-      p.select(count(lit(1))).collect()(0).getLong(0)
-    }
-    spark.stop()
   }
 }

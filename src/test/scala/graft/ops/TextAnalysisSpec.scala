@@ -112,8 +112,12 @@ class TextAnalysisSpec extends SparkSpec {
   test("unigramLmTopK: common-token docs outscore rare-token docs, exactly") {
     val dir = java.nio.file.Files.createTempDirectory("unigram").toString
     // corpus: 'common' appears 4x, 'rare' 1x, 'other' 1x → total 6 tokens
+    // (fixture carries the full documents schema — Tables.load asserts
+    // the expected column set at load since the r10 drift guard)
     Seq((1L, "common common"), (2L, "common common"), (3L, "rare other"))
       .toDF("doc_id", "text")
+      .withColumn("lang", lit("en")).withColumn("source", lit("spec"))
+      .withColumn("n_chars", length(col("text")).cast("bigint"))
       .write.mode("overwrite").parquet(s"$dir/documents.parquet")
     val got = graft.queries.LlmOps.unigramLmTopK(spark, dir, k = 10)
       .select(col("doc_id"), col("score_num"), col("lm_score"))
