@@ -63,9 +63,12 @@ object EngineSession {
         // rows), absurd for this engine's bounded-state aggregates
         // (BoundedPostings caps at ~16 KB, TopK at O(k), bucket
         // collect_lists at the banding width). 4M keeps the dedup
-        // family's posting aggregations in hash mode at bench scale;
-        // production keeps Spark's conservative default because an
-        // unknown deployment may run genuinely unbounded collects.
+        // family's posting aggregations in hash mode at bench scale.
+        // Production MUST keep Spark's default: per-group state being
+        // bounded does not bound the hash map's TOTAL population —
+        // measured at x100, hash mode OOMs the default-memory JVM in
+        // the posting partial agg (SCALE_r10.md §4); the sort-based
+        // fallback is the valve that keeps the family alive at scale.
         .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold",
           "4194304")
     else b

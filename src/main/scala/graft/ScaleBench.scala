@@ -85,9 +85,12 @@ object ScaleBench {
   def main(args: Array[String]): Unit = {
     val scales = sys.env.getOrElse("SPARK_GRAFT_SCALES", "1,3,10,30")
       .split(",").map(_.trim.toInt).toSeq
-    val spark = EngineSession.builder(
+    val b = EngineSession.builder(
       Runtime.getRuntime.availableProcessors, smallInputTuning = false)
-      .getOrCreate()
+    // ad-hoc conf overrides for scale experiments, same contract as Bench
+    sys.env.get("SPARK_GRAFT_CONF").foreach(_.split(";").filter(_.contains("="))
+      .foreach { kv => val Array(k, v) = kv.split("=", 2); b.config(k, v) })
+    val spark = b.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     spark.range(1000000).selectExpr("sum(id)").collect() // warmup
 
