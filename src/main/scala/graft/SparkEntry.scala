@@ -97,6 +97,7 @@ object SparkEntry {
     "q_curation_report" -> (LlmOps.curationReport(_, _)),
     "q_dedup_cc_incr" -> (LlmOps.dedupClustersIncremental(_, _)),
     "q_dedup_ngram_jaccard" -> (LlmOps.ngramJaccard(_, _)),
+    "q_dedup_containment" -> (LlmOps.ngramContainment(_, _)),
     "q_dedup_simhash" -> (LlmOps.simhashSignatures(_, _)),
     "q_dedup_simhash_pairs" -> (LlmOps.simhashPairs(_, _)),
     "q_corpus_clean" -> (LlmOps.corpusClean(_, _)),
@@ -391,6 +392,7 @@ object SparkEntry {
     "q_sample_cluster_balanced" -> LlmOps.sampleClusterBalancedSql,
     "q_dedup_minhash" -> LlmOps.minhashSql,
     "q_dedup_ngram_jaccard" -> LlmOps.ngramJaccardSql,
+    "q_dedup_containment" -> LlmOps.ngramContainmentSql,
     "q_dedup_simhash" -> LlmOps.simhashSql,
     "q_text_stats" -> LlmOps.textStatsSql,
     "q_text_repetition" -> LlmOps.textRepetitionSql,

@@ -299,7 +299,44 @@ object Dedup {
     * 25 at sf0.1 vs the 1000 cap — oracle-pinned either way).
     */
   def ngramJaccardPairs(df: DataFrame, id: Column, text: Column, n: Int = 3,
-      threshold: Double = 0.1, maxDocFreq: Long = 1000): DataFrame = {
+      threshold: Double = 0.1, maxDocFreq: Long = 1000): DataFrame =
+    ngramPairCounts(df, id, text, n, maxDocFreq)
+      .withColumn("jaccard",
+        col("inter").cast(DoubleType) /
+          (col("n_a") + col("n_b") - col("inter")).cast(DoubleType))
+      .filter(col("jaccard") >= threshold)
+      .select("doc_a", "doc_b", "inter", "jaccard")
+
+  /** Exact n-gram CONTAINMENT (overlap coefficient) for all pairs above
+    * `threshold`: inter / min(n_a, n_b). Where Jaccard punishes size
+    * asymmetry, containment detects the SUBSET-duplication web data is
+    * full of — a page whose text is another page plus boilerplate, a
+    * document embedded verbatim inside a larger one — which sits far
+    * below any useful Jaccard threshold (a doc 10× the size of the one
+    * it contains caps Jaccard at ~0.1 while containment reads 1.0).
+    * Same joinless posting shape as [[ngramJaccardPairs]]: 2 exchanges,
+    * 0 joins at every scale; only the final scalar differs. The cap's
+    * conservatism flips direction here: dropped stop-shingles can only
+    * LOWER inter while min(n_a,n_b) counts all distinct shingles, so a
+    * containment score is likewise never inflated by the cap.
+    */
+  def ngramContainmentPairs(df: DataFrame, id: Column, text: Column,
+      n: Int = 3, threshold: Double = 0.5, maxDocFreq: Long = 1000): DataFrame =
+    ngramPairCounts(df, id, text, n, maxDocFreq)
+      .withColumn("containment",
+        col("inter").cast(DoubleType) /
+          least(col("n_a"), col("n_b")).cast(DoubleType))
+      .filter(col("containment") >= threshold)
+      .select("doc_a", "doc_b", "inter", "containment")
+
+  /** Shared pair-intersection core of the n-gram similarity family:
+    * (doc_a, n_a, doc_b, n_b, inter) for every candidate pair sharing
+    * ≥1 surviving shingle, with each side's distinct-shingle count
+    * riding along. The similarity faces differ only in the final scalar
+    * (Jaccard: inter/(n_a+n_b−inter); containment: inter/min(n_a,n_b)).
+    */
+  private[graft] def ngramPairCounts(df: DataFrame, id: Column, text: Column,
+      n: Int, maxDocFreq: Long): DataFrame = {
     // Shape chosen for the 100 TB case — TWO exchanges total:
     //  - shingles travel as 60-bit md5-derived hashes (8-byte shuffle
     //    keys; collisions ~n²/2^61 — immaterial, and the hash definition
@@ -372,10 +409,5 @@ object Dedup {
       .groupBy(col("doc_a"), col("doc_b"), col("n_a"), col("n_b"))
       .agg(count(lit(1)).as("inter"))
     inter
-      .withColumn("jaccard",
-        col("inter").cast(DoubleType) /
-          (col("n_a") + col("n_b") - col("inter")).cast(DoubleType))
-      .filter(col("jaccard") >= threshold)
-      .select("doc_a", "doc_b", "inter", "jaccard")
   }
 }

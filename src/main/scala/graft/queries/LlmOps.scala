@@ -249,6 +249,15 @@ object LlmOps {
     Dedup.ngramJaccardPairs(Tables.load(spark, dir, "documents"),
       col("doc_id"), col("text"), n = 3, threshold = 0.1)
 
+  /** Subset-duplication detection via the overlap coefficient
+    * (inter / min-side distinct-shingle count) — catches a doc embedded
+    * verbatim in a larger one, which Jaccard's union denominator hides.
+    * Same 2-exchange / 0-join posting plan as [[ngramJaccard]].
+    */
+  def ngramContainment(spark: SparkSession, dir: String): DataFrame =
+    Dedup.ngramContainmentPairs(Tables.load(spark, dir, "documents"),
+      col("doc_id"), col("text"), n = 3, threshold = 0.5)
+
   def simhashSignatures(spark: SparkSession, dir: String): DataFrame =
     Tables.load(spark, dir, "documents")
       .select(col("doc_id"), Dedup.simHash(col("text")).as("simhash"))
@@ -1088,6 +1097,22 @@ object LlmOps {
        |  inter::DOUBLE / (ca.n_sh + cb.n_sh - inter) AS jaccard
        |FROM i JOIN c ca ON i.doc_a = ca.doc_id JOIN c cb ON i.doc_b = cb.doc_id
        |WHERE inter::DOUBLE / (ca.n_sh + cb.n_sh - inter) >= 0.1""".stripMargin
+
+  /** Containment mirror of [[ngramJaccardSql]]: identical CTEs, the
+    * final scalar divides by least(n_sh_a, n_sh_b) instead of the union.
+    */
+  val ngramContainmentSql: String =
+    s"""WITH $shingleCte,
+       |freq AS (SELECT shingle FROM sh GROUP BY shingle HAVING count(*) <= 1000),
+       |f AS (SELECT sh.doc_id, sh.shingle FROM sh JOIN freq USING (shingle)),
+       |c AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+       |i AS (SELECT l.doc_id AS doc_a, r.doc_id AS doc_b, count(*) AS inter
+       |  FROM f l JOIN f r ON l.shingle = r.shingle AND l.doc_id < r.doc_id
+       |  GROUP BY 1, 2)
+       |SELECT doc_a, doc_b, inter,
+       |  inter::DOUBLE / least(ca.n_sh, cb.n_sh) AS containment
+       |FROM i JOIN c ca ON i.doc_a = ca.doc_id JOIN c cb ON i.doc_b = cb.doc_id
+       |WHERE inter::DOUBLE / least(ca.n_sh, cb.n_sh) >= 0.5""".stripMargin
 
   /** Repetition-signal oracle: same grams, same division order as the
     * RepetitionStats kernel; docs too short for a gram size LEFT-JOIN to

@@ -94,6 +94,25 @@ class DedupSpec extends SparkSpec {
     assert(got(0).getDouble(3) === 0.5)
   }
 
+  test("ngramContainmentPairs: subset doc scores 1.0 where jaccard hides it") {
+    // doc2's text is doc1 plus a long suffix: every doc1 shingle is in
+    // doc2 → containment 1.0, while jaccard = 3/12 = 0.25 sits under a
+    // 0.5 threshold. doc3 shares nothing.
+    val corpus = docs(
+      (1L, "a b c d e"),
+      (2L, "a b c d e f g h i j k l m n"),
+      (3L, "totally different words entirely here"))
+    val got = Dedup.ngramContainmentPairs(corpus,
+      col("doc_id"), col("text"), n = 3, threshold = 0.5).collect()
+    assert(got.length === 1)
+    assert((got(0).getLong(0), got(0).getLong(1)) === ((1L, 2L)))
+    assert(got(0).getLong(2) === 3L) // inter = doc1's 3 shingles
+    assert(got(0).getDouble(3) === 1.0)
+    // same corpus under jaccard at the same threshold: nothing
+    assert(Dedup.ngramJaccardPairs(corpus,
+      col("doc_id"), col("text"), n = 3, threshold = 0.5).count() === 0)
+  }
+
   test("ngramJaccardPairs: maxDocFreq drops hot shingles (no blowup)") {
     val hot = (1L to 20L).map(i => (i, s"hot shingle here unique$i tail"))
     val got = Dedup.ngramJaccardPairs(hot.toDF("doc_id", "text"),
