@@ -113,6 +113,7 @@ object SparkEntry {
     "q_text_repetition" -> (LlmOps.textRepetition(_, _)),
     "q_quality_gopher" -> (LlmOps.gopherQuality(_, _)),
     "q_unigram_lm" -> ((s, d) => LlmOps.unigramLmTopK(s, d)),
+    "q_bigram_lm" -> ((s, d) => LlmOps.bigramLmTopK(s, d)),
     "q_doc_fingerprints" -> (LlmOps.docFingerprints(_, _)),
     // — LLM-pipeline: similarity search
     "q_embed_topk" -> (LlmOps.embedTopK(_, _)),
@@ -398,6 +399,7 @@ object SparkEntry {
     "q_text_repetition" -> LlmOps.textRepetitionSql,
     "q_quality_gopher" -> LlmOps.gopherQualitySql,
     "q_unigram_lm" -> LlmOps.unigramLmTopKSql,
+    "q_bigram_lm" -> LlmOps.bigramLmTopKSql,
     "q_doc_fingerprints" -> LlmOps.docFingerprintsSql,
     "q_events_tumbling" -> Events.tumblingSql,
     "q_events_sliding" -> Events.slidingSql,

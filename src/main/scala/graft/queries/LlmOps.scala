@@ -571,6 +571,70 @@ object LlmOps {
       .limit(k)
   }
 
+  /** Interpolated bigram corpus-LM score per document — the
+    * KenLM/CCNet-style fluency proxy one order up from
+    * [[unigramLmTopK]]: 0.75 · bigram relative-frequency mean
+    * + 0.25 · unigram relative-frequency mean. Repetitive/templated
+    * text scores high on bigrams specifically (its word PAIRS recur
+    * corpus-wide), which the unigram score cannot see.
+    *
+    * Arithmetic is the unigram query's exact-int64 discipline applied
+    * twice: both numerators are int64 sums of tf·cf products, each mean
+    * is ONE double division, and the interpolation is two double
+    * multiplies and one add in a fixed tree mirrored by the oracle — so
+    * the score is bit-identical across engines, no rounding escape
+    * hatch. Bigrams travel as 60-bit md5 gram hashes from the fused
+    * TokenGramHashes kernel (positional, duplicates kept): the grouping
+    * keys are 8-byte longs and no bigram string ever exists row-wise.
+    *
+    * Shape at 100 TB: two independent inverted-index aggregations
+    * (token-keyed and bigram-hash-keyed; the bigram vocabulary is
+    * larger but its cf skew is MILDER than the unigram's, same
+    * AQE-skew-split story), one broadcast one-row total per order, and
+    * a doc_id-keyed join of two doc-level aggregates — all exchanges
+    * linear in corpus tokens. Docs with fewer than 2 tokens have no
+    * bigram row and drop at the inner join, mirrored by the oracle's
+    * len(t) >= 2 gate.
+    */
+  def bigramLmTopK(spark: SparkSession, dir: String, k: Int = 50): DataFrame = {
+    val docs = Tables.load(spark, dir, "documents")
+    val toks = docs.select(col("doc_id"),
+      explode(TextAnalysis.tokens(col("text"))).as("token"))
+    val tfU = CacheBin.pin(toks.groupBy(col("doc_id"), col("token"))
+      .agg(count(lit(1)).as("tf")))
+    val vocabU = CacheBin.pin(
+      tfU.groupBy(col("token")).agg(sum(col("tf")).as("cf")))
+    val totalU = vocabU.agg(sum(col("cf")).as("total_u"))
+    val uniDoc = tfU.join(vocabU, Seq("token"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("tf") * col("cf")).as("uni_num"),
+        sum(col("tf")).as("n_uni"))
+    val bgs = docs.select(col("doc_id"),
+      explode(graft.functions.GraftFunctions.tokenGramHashes(col("text"), 2))
+        .as("bg"))
+    val tfB = CacheBin.pin(bgs.groupBy(col("doc_id"), col("bg"))
+      .agg(count(lit(1)).as("tf")))
+    val vocabB = CacheBin.pin(
+      tfB.groupBy(col("bg")).agg(sum(col("tf")).as("cf")))
+    val totalB = vocabB.agg(sum(col("cf")).as("total_b"))
+    val biDoc = tfB.join(vocabB, Seq("bg"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("tf") * col("cf")).as("bi_num"),
+        sum(col("tf")).as("n_bi"))
+    biDoc.join(uniDoc, Seq("doc_id"))
+      .crossJoin(broadcast(totalB))
+      .crossJoin(broadcast(totalU))
+      .withColumn("lm_interp",
+        lit(0.75) * (col("bi_num").cast(DoubleType) /
+          (col("n_bi").cast(DoubleType) * col("total_b").cast(DoubleType))) +
+        lit(0.25) * (col("uni_num").cast(DoubleType) /
+          (col("n_uni").cast(DoubleType) * col("total_u").cast(DoubleType))))
+      .select(col("doc_id"), col("n_bi"), col("bi_num"), col("uni_num"),
+        col("lm_interp"))
+      .orderBy(col("lm_interp").desc, col("doc_id"))
+      .limit(k)
+  }
+
   def docFingerprints(spark: SparkSession, dir: String): DataFrame =
     Tables.load(spark, dir, "documents")
       .select(col("doc_id"),
@@ -1217,6 +1281,38 @@ object LlmOps {
       |  score_num::DOUBLE / (n_tokens::DOUBLE * total.total::DOUBLE) AS lm_score
       |FROM scored, total
       |ORDER BY lm_score DESC, doc_id LIMIT 50""".stripMargin
+
+  /** Mirrors bigramLmTopK: int64 numerators per order, one division per
+    * order, interpolation in the same 0.75·bi + 0.25·uni tree. Bigram
+    * keys are the shared 60-bit md5 gram hashes (space-joined token
+    * pairs), so grouping matches the TokenGramHashes kernel exactly.
+    */
+  val bigramLmTopKSql: String =
+    """WITH toks AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS t
+      |  FROM documents),
+      |u AS (SELECT doc_id, unnest(t) AS token FROM toks),
+      |tf_u AS (SELECT doc_id, token, count(*)::BIGINT AS tf FROM u GROUP BY 1, 2),
+      |vocab_u AS (SELECT token, sum(tf)::BIGINT AS cf FROM tf_u GROUP BY 1),
+      |total_u AS (SELECT sum(cf)::BIGINT AS total_u FROM vocab_u),
+      |uni AS (SELECT doc_id, sum(tf * cf)::BIGINT AS uni_num,
+      |    sum(tf)::BIGINT AS n_uni
+      |  FROM tf_u JOIN vocab_u USING (token) GROUP BY doc_id),
+      |b AS (SELECT doc_id,
+      |    unnest([('0x' || substr(md5(array_to_string(t[i:i+1], ' ')), 1, 15))::BIGINT
+      |            for i in range(1, len(t))]) AS bg
+      |  FROM toks WHERE len(t) >= 2),
+      |tf_b AS (SELECT doc_id, bg, count(*)::BIGINT AS tf FROM b GROUP BY 1, 2),
+      |vocab_b AS (SELECT bg, sum(tf)::BIGINT AS cf FROM tf_b GROUP BY 1),
+      |total_b AS (SELECT sum(cf)::BIGINT AS total_b FROM vocab_b),
+      |bi AS (SELECT doc_id, sum(tf * cf)::BIGINT AS bi_num,
+      |    sum(tf)::BIGINT AS n_bi
+      |  FROM tf_b JOIN vocab_b USING (bg) GROUP BY doc_id)
+      |SELECT doc_id, n_bi, bi_num, uni_num,
+      |  0.75 * (bi_num::DOUBLE / (n_bi::DOUBLE * total_b.total_b::DOUBLE)) +
+      |  0.25 * (uni_num::DOUBLE / (n_uni::DOUBLE * total_u.total_u::DOUBLE))
+      |    AS lm_interp
+      |FROM bi JOIN uni USING (doc_id), total_b, total_u
+      |ORDER BY lm_interp DESC, doc_id LIMIT 50""".stripMargin
 
   val docFingerprintsSql: String =
     """WITH base AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS t

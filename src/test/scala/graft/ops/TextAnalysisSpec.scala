@@ -127,4 +127,25 @@ class TextAnalysisSpec extends SparkSpec {
     assert(got.take(2).forall(t => t._2 === 8L && t._3 === 8.0 / 12.0))
     assert(got(2) === ((3L, 2L, 2.0 / 12.0)))
   }
+
+  test("bigramLmTopK: interpolated score is exact; <2-token docs drop") {
+    val dir = java.nio.file.Files.createTempDirectory("bigram").toString
+    // bigrams: docs 1,2 both emit ('a b') → cf('a b') = 2, total_b = 2;
+    // doc 3 has one token → no bigram row → dropped at the inner join.
+    // unigrams: a×2, b×2, c×1 → total_u = 5.
+    Seq((1L, "a b"), (2L, "a b"), (3L, "c"))
+      .toDF("doc_id", "text")
+      .withColumn("lang", lit("en")).withColumn("source", lit("spec"))
+      .withColumn("n_chars", length(col("text")).cast("bigint"))
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = graft.queries.LlmOps.bigramLmTopK(spark, dir, k = 10)
+      .collect().map(r =>
+        (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4)))
+    assert(got.map(_._1).toSeq === Seq(1L, 2L))
+    // per doc: bi_num = 1·2 = 2, n_bi = 1; uni_num = 1·2 + 1·2 = 4, n_uni = 2
+    // lm = 0.75·(2/(1·2)) + 0.25·(4/(2·5)) = 0.75 + 0.1 = 0.85
+    assert(got.forall(t => t._2 === 1L && t._3 === 2L && t._4 === 4L))
+    assert(got.forall(t => t._5 === 0.75 * (2.0 / (1.0 * 2.0)) +
+      0.25 * (4.0 / (2.0 * 5.0))))
+  }
 }
