@@ -114,6 +114,7 @@ object SparkEntry {
     "q_quality_gopher" -> (LlmOps.gopherQuality(_, _)),
     "q_unigram_lm" -> ((s, d) => LlmOps.unigramLmTopK(s, d)),
     "q_bigram_lm" -> ((s, d) => LlmOps.bigramLmTopK(s, d)),
+    "q_dsir_sample" -> ((s, d) => LlmOps.dsirSample(s, d)),
     "q_doc_fingerprints" -> (LlmOps.docFingerprints(_, _)),
     // — LLM-pipeline: similarity search
     "q_embed_topk" -> (LlmOps.embedTopK(_, _)),
@@ -400,6 +401,7 @@ object SparkEntry {
     "q_quality_gopher" -> LlmOps.gopherQualitySql,
     "q_unigram_lm" -> LlmOps.unigramLmTopKSql,
     "q_bigram_lm" -> LlmOps.bigramLmTopKSql,
+    "q_dsir_sample" -> LlmOps.dsirSampleSql,
     "q_doc_fingerprints" -> LlmOps.docFingerprintsSql,
     "q_events_tumbling" -> Events.tumblingSql,
     "q_events_sliding" -> Events.slidingSql,

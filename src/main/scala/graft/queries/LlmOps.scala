@@ -635,6 +635,61 @@ object LlmOps {
       .limit(k)
   }
 
+  /** DSIR-style data selection with hashed n-gram features (Xie et al.,
+    * "Data Selection for Language Models via Importance Resampling",
+    * 2023): score each raw document by how target-like its hashed
+    * bigram feature distribution is, keep the top slice. Features are
+    * the 60-bit bigram gram hashes folded into `buckets` buckets —
+    * feature hashing makes the per-feature count table AT MOST `buckets`
+    * rows (4096 default), so it broadcasts at ANY corpus size; that
+    * bound is the whole point of the hashed formulation at 100 TB.
+    *
+    * The paper scores log p_target(doc)/p_raw(doc) under bag-of-features
+    * models — a per-feature SUM of log count-ratios. This face uses the
+    * ratio-of-expectations surrogate score
+    *   (Σ_occ cnt_target(f) · N_raw) / (Σ_occ cnt_raw(f) · N_target):
+    * the same "target-heavy features up, raw-only features down"
+    * ordering signal, but every numerator is an exact int64 sum and the
+    * score is ONE double division — bit-identical across engines, where
+    * a sum of ln() calls is only 1-ulp-reproducible (the engine-wide
+    * rule: hash-equal oracles over rounding escape hatches). The
+    * denominator is ≥ the doc's own occurrence count, so no smoothing
+    * term is needed.
+    *
+    * Shape at 100 TB: one corpus scan (fused bigram-hash kernel), one
+    * ≤`buckets`-row aggregate (map-side partial collapses everything),
+    * its broadcast back onto the feature stream, one doc_id-keyed
+    * aggregation, distributed top-k. No join whose both sides scale.
+    */
+  def dsirSample(spark: SparkSession, dir: String, targetLang: String = "en",
+      buckets: Int = 4096, k: Int = 200): DataFrame = {
+    val docs = Tables.load(spark, dir, "documents")
+    val feats = CacheBin.pin(docs
+      .select(col("doc_id"), col("lang"),
+        explode(graft.functions.GraftFunctions.tokenGramHashes(col("text"), 2))
+          .as("bg"))
+      .select(col("doc_id"), col("lang"),
+        (col("bg") % buckets).as("f"))) // hash60 ≥ 0, so % == pmod
+    val counts = feats.groupBy(col("f")).agg(
+      sum(when(col("lang") === targetLang, 1L).otherwise(0L)).as("cnt_t"),
+      count(lit(1)).as("cnt_r"))
+    val totals = counts.agg(sum(col("cnt_t")).as("n_t"),
+      sum(col("cnt_r")).as("n_r"))
+    feats.join(broadcast(counts), Seq("f"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("cnt_t")).as("t_num"), sum(col("cnt_r")).as("r_num"))
+      .crossJoin(broadcast(totals))
+      // numerators stay int64 (doc occurrences × bucket count, ~1e18 at
+      // 100 TB — inside int64); the cross products move to double space
+      // for the single division, deterministic IEEE on both engines
+      .withColumn("dsir_score",
+        (col("t_num").cast(DoubleType) * col("n_r").cast(DoubleType)) /
+          (col("r_num").cast(DoubleType) * col("n_t").cast(DoubleType)))
+      .select(col("doc_id"), col("t_num"), col("r_num"), col("dsir_score"))
+      .orderBy(col("dsir_score").desc, col("doc_id"))
+      .limit(k)
+  }
+
   def docFingerprints(spark: SparkSession, dir: String): DataFrame =
     Tables.load(spark, dir, "documents")
       .select(col("doc_id"),
@@ -1313,6 +1368,31 @@ object LlmOps {
       |    AS lm_interp
       |FROM bi JOIN uni USING (doc_id), total_b, total_u
       |ORDER BY lm_interp DESC, doc_id LIMIT 50""".stripMargin
+
+  /** Mirrors dsirSample: same bigram gram hashes, same % 4096 fold,
+    * int64 sums, one double division from the same cross-product tree.
+    */
+  val dsirSampleSql: String =
+    """WITH toks AS (SELECT doc_id, lang, string_split_regex(trim(text), '\s+') AS t
+      |  FROM documents),
+      |feats AS (SELECT doc_id, lang,
+      |    unnest([('0x' || substr(md5(array_to_string(t[i:i+1], ' ')), 1, 15))::BIGINT
+      |            % 4096 for i in range(1, len(t))]) AS f
+      |  FROM toks WHERE len(t) >= 2),
+      |counts AS (SELECT f,
+      |    sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END)::BIGINT AS cnt_t,
+      |    count(*)::BIGINT AS cnt_r
+      |  FROM feats GROUP BY f),
+      |totals AS (SELECT sum(cnt_t)::BIGINT AS n_t, sum(cnt_r)::BIGINT AS n_r
+      |  FROM counts),
+      |scored AS (SELECT doc_id, sum(cnt_t)::BIGINT AS t_num,
+      |    sum(cnt_r)::BIGINT AS r_num
+      |  FROM feats JOIN counts USING (f) GROUP BY doc_id)
+      |SELECT doc_id, t_num, r_num,
+      |  (t_num::DOUBLE * totals.n_r::DOUBLE) /
+      |    (r_num::DOUBLE * totals.n_t::DOUBLE) AS dsir_score
+      |FROM scored, totals
+      |ORDER BY dsir_score DESC, doc_id LIMIT 200""".stripMargin
 
   val docFingerprintsSql: String =
     """WITH base AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS t

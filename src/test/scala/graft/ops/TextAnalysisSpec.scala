@@ -148,4 +148,22 @@ class TextAnalysisSpec extends SparkSpec {
     assert(got.forall(t => t._5 === 0.75 * (2.0 / (1.0 * 2.0)) +
       0.25 * (4.0 / (2.0 * 5.0))))
   }
+
+  test("dsirSample: target-like docs outscore raw-only docs, exactly") {
+    val dir = java.nio.file.Files.createTempDirectory("dsir").toString
+    // one shared bigram feature ('x y') seen in en once and overall
+    // twice; one raw-only feature ('p q'); n_t = 1, n_r = 3
+    Seq((1L, "x y", "en"), (2L, "x y", "fr"), (3L, "p q", "fr"))
+      .toDF("doc_id", "text", "lang")
+      .withColumn("source", lit("spec"))
+      .withColumn("n_chars", length(col("text")).cast("bigint"))
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = graft.queries.LlmOps.dsirSample(spark, dir)
+      .collect().map(r =>
+        (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    // docs 1, 2 share the en-attested feature: (1·3)/(2·1) = 1.5;
+    // doc 3's feature never occurs in the target → score 0
+    assert(got.toSeq === Seq(
+      (1L, 1L, 2L, 1.5), (2L, 1L, 2L, 1.5), (3L, 0L, 1L, 0.0)))
+  }
 }
