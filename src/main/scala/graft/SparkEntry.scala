@@ -115,6 +115,7 @@ object SparkEntry {
     "q_unigram_lm" -> ((s, d) => LlmOps.unigramLmTopK(s, d)),
     "q_bigram_lm" -> ((s, d) => LlmOps.bigramLmTopK(s, d)),
     "q_dsir_sample" -> ((s, d) => LlmOps.dsirSample(s, d)),
+    "q_outlier_mad" -> ((s, d) => LlmOps.outlierMad(s, d)),
     "q_doc_fingerprints" -> (LlmOps.docFingerprints(_, _)),
     // — LLM-pipeline: similarity search
     "q_embed_topk" -> (LlmOps.embedTopK(_, _)),
@@ -402,6 +403,7 @@ object SparkEntry {
     "q_unigram_lm" -> LlmOps.unigramLmTopKSql,
     "q_bigram_lm" -> LlmOps.bigramLmTopKSql,
     "q_dsir_sample" -> LlmOps.dsirSampleSql,
+    "q_outlier_mad" -> LlmOps.outlierMadSql,
     "q_doc_fingerprints" -> LlmOps.docFingerprintsSql,
     "q_events_tumbling" -> Events.tumblingSql,
     "q_events_sliding" -> Events.slidingSql,

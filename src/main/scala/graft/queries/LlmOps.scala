@@ -690,6 +690,44 @@ object LlmOps {
       .limit(k)
   }
 
+  /** Robust per-language length-outlier detection: median + MAD (median
+    * absolute deviation) of n_chars per lang, flagging docs beyond
+    * nMads·MAD — the truncation/concatenation-artifact screen a corpus
+    * quality pass runs where mean/stddev would be dragged by the very
+    * outliers it hunts. (The query face ships nMads = 2 — the synthetic
+    * corpus's length spread is tame, and a threshold the data never
+    * crosses would make the oracle row vacuous.) Exactness: the 0.5-quantile of int64 lengths
+    * interpolates to at worst an exact half (.5 is exactly
+    * representable), absolute deviations are then exact halves too, and
+    * their median again — every compare is deterministic double
+    * arithmetic, no rounding needed, same quantile_cont definition both
+    * engines.
+    *
+    * Shape at 100 TB: per-lang groups are FEW (a lang taxonomy, not a
+    * key space) — each aggregate collapses map-side to one row per
+    * lang, the two stat tables broadcast back, and the filter runs
+    * map-side on the scan. The exact percentile's state is a
+    * value→count map bounded by DISTINCT doc lengths (≤ max doc chars,
+    * not corpus rows); where even that is too hot, the engine's GK
+    * sketch (approxQuantiles / ops/Sketches.scala) is the documented
+    * approximate path — this face is the exact oracle-checkable one.
+    */
+  def outlierMad(spark: SparkSession, dir: String,
+      nMads: Double = 2.0): DataFrame = {
+    val docs = Tables.load(spark, dir, "documents")
+    val med = docs.groupBy(col("lang"))
+      .agg(expr("percentile(n_chars, 0.5d)").as("med"))
+    val dev = CacheBin.pin(docs.join(broadcast(med), Seq("lang"))
+      .withColumn("absdev",
+        abs(col("n_chars").cast(DoubleType) - col("med"))))
+    val mad = dev.groupBy(col("lang"))
+      .agg(expr("percentile(absdev, 0.5d)").as("mad"))
+    dev.join(broadcast(mad), Seq("lang"))
+      .filter(col("absdev") > lit(nMads) * col("mad"))
+      .select(col("doc_id"), col("lang"), col("n_chars"), col("med"),
+        col("mad"))
+  }
+
   def docFingerprints(spark: SparkSession, dir: String): DataFrame =
     Tables.load(spark, dir, "documents")
       .select(col("doc_id"),
@@ -1393,6 +1431,22 @@ object LlmOps {
       |    (r_num::DOUBLE * totals.n_t::DOUBLE) AS dsir_score
       |FROM scored, totals
       |ORDER BY dsir_score DESC, doc_id LIMIT 200""".stripMargin
+
+  /** Mirrors outlierMad: quantile_cont is the same linear-interpolation
+    * 0.5-quantile Spark's percentile computes; on int64 inputs both
+    * land on exact halves.
+    */
+  val outlierMadSql: String =
+    """WITH med AS (SELECT lang, quantile_cont(n_chars, 0.5) AS med
+      |  FROM documents GROUP BY lang),
+      |dev AS (SELECT d.doc_id, d.lang, d.n_chars, med.med,
+      |    abs(d.n_chars::DOUBLE - med.med) AS absdev
+      |  FROM documents d JOIN med USING (lang)),
+      |mad AS (SELECT lang, quantile_cont(absdev, 0.5) AS mad
+      |  FROM dev GROUP BY lang)
+      |SELECT doc_id, dev.lang, n_chars, med, mad.mad
+      |FROM dev JOIN mad USING (lang)
+      |WHERE absdev > 2.0 * mad.mad""".stripMargin
 
   val docFingerprintsSql: String =
     """WITH base AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS t

@@ -166,4 +166,22 @@ class TextAnalysisSpec extends SparkSpec {
     assert(got.toSeq === Seq(
       (1L, 1L, 2L, 1.5), (2L, 1L, 2L, 1.5), (3L, 0L, 1L, 0.0)))
   }
+
+  test("outlierMad: per-lang median/MAD flags only the true outlier") {
+    val dir = java.nio.file.Files.createTempDirectory("mad").toString
+    // en lengths {10,12,14,16,1000}: med 14, absdev {4,2,0,2,986},
+    // mad 2 → 2-MAD bound is 14 ± 4, strict > keeps absdev 4 inside;
+    // only 1000 flags. fr is all-identical (mad 0): any deviation would
+    // flag, none exists.
+    val rows = Seq((1L, 10L, "en"), (2L, 12L, "en"), (3L, 14L, "en"),
+      (4L, 16L, "en"), (5L, 1000L, "en"), (6L, 7L, "fr"), (7L, 7L, "fr"))
+    rows.map { case (id, n, lang) => (id, "t" * n.toInt, lang, n) }
+      .toDF("doc_id", "text", "lang", "n_chars")
+      .withColumn("source", lit("spec"))
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = graft.queries.LlmOps.outlierMad(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+        r.getDouble(3), r.getDouble(4)))
+    assert(got.toSeq === Seq((5L, "en", 1000L, 14.0, 2.0)))
+  }
 }
