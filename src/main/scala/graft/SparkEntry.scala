@@ -104,6 +104,7 @@ object SparkEntry {
     "q_prepare_corpus" -> (LlmOps.prepareCorpus(_, _)),
     "q_dedup_spans" -> (LlmOps.duplicateSpans(_, _)),
     "q_decontaminate" -> (LlmOps.decontaminate(_, _)),
+    "q_decontaminate_bloom" -> (LlmOps.decontaminateBloom(_, _)),
     "q_dedup_incr_exact" -> (LlmOps.dedupIncrementalExact(_, _)),
     "q_dedup_incr_lsh" -> (LlmOps.dedupIncrementalLsh(_, _)),
     "q_vocab_topk" -> (LlmOps.vocabTopK(_, _)),
@@ -383,6 +384,7 @@ object SparkEntry {
     "q_prepare_corpus" -> LlmOps.prepareCorpusSql,
     "q_dedup_spans" -> LlmOps.duplicateSpansSql,
     "q_decontaminate" -> LlmOps.decontaminateSql,
+    "q_decontaminate_bloom" -> LlmOps.decontaminateBloomSql,
     "q_dedup_incr_exact" -> LlmOps.dedupIncrementalExactSql,
     "q_dedup_incr_lsh" -> LlmOps.dedupIncrementalLshSql,
     "q_vocab_topk" -> LlmOps.vocabTopKSql,

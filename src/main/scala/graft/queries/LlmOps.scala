@@ -408,6 +408,39 @@ object LlmOps {
       .filter(col("n_shared") >= minShared)
   }
 
+  /** Decontamination restated for the eval-set size where
+    * [[decontaminate]]'s broadcast-DISTINCT-set join stops being an
+    * option: tens of millions of held-out shingle hashes (many
+    * benchmarks × paraphrase expansions) blow a broadcast hash
+    * relation's memory, but their BLOOM FILTER is still a few MB. The
+    * corpus side is pruned map-side by the bloom BEFORE its exchange —
+    * rows that cannot match never enter the shuffle — and the exact
+    * join that follows removes the bloom's false positives, so the
+    * RESULT is identical to the broadcast formulation (the oracle is
+    * the same exact SQL; the bloom is invisible to semantics). Corpus
+    * shuffle volume drops to ~(contamination rate + FP rate) of the
+    * shingle stream. Distinct face from q_decontaminate: 4-gram
+    * shingles, any-overlap (minShared 1) — the strict screen, where the
+    * 8-gram/≥2 face is the lenient one.
+    */
+  def decontaminateBloom(spark: SparkSession, dir: String,
+      n: Int = 4, minShared: Long = 1,
+      expectedEvalKeys: Long = 1L << 20): DataFrame = {
+    val sh = Tables.load(spark, dir, "documents")
+      .select(col("doc_id"),
+        explode(graft.functions.GraftFunctions.wordShingleHashes(col("text"), n))
+          .as("h"))
+    val evalSet = graft.ops.CacheBin.pin(
+      sh.filter(col("doc_id") % 50 === 0).select("h").distinct())
+    val pruned = graft.ops.BloomPrune.pruneByBloom(
+      sh.filter(col("doc_id") % 50 =!= 0), col("h"),
+      evalSet, col("h"), expectedEvalKeys)
+    pruned.join(evalSet, Seq("h"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+  }
+
   val decontaminateSql: String =
     """WITH toks AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS t
       |  FROM documents),
@@ -420,6 +453,23 @@ object LlmOps {
       |SELECT c.doc_id, count(*) AS n_shared
       |FROM c JOIN e USING (h)
       |GROUP BY 1 HAVING count(*) >= 2""".stripMargin
+
+  /** Exact-SQL oracle for decontaminateBloom — the bloom prefilter is
+    * semantically invisible, so the oracle is the 4-gram/any-overlap
+    * variant of decontaminateSql with no bloom anywhere.
+    */
+  val decontaminateBloomSql: String =
+    """WITH toks AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS t
+      |  FROM documents),
+      |sh AS (SELECT DISTINCT doc_id,
+      |  ('0x' || substr(md5(unnest([array_to_string(t[i:i+3], ' ')
+      |     for i in range(1, len(t)-2)])), 1, 15))::BIGINT AS h
+      |  FROM toks WHERE len(t) >= 4),
+      |e AS (SELECT DISTINCT h FROM sh WHERE doc_id % 50 = 0),
+      |c AS (SELECT doc_id, h FROM sh WHERE doc_id % 50 <> 0)
+      |SELECT c.doc_id, count(*) AS n_shared
+      |FROM c JOIN e USING (h)
+      |GROUP BY 1 HAVING count(*) >= 1""".stripMargin
 
   /** BM25 top-k retrieval over the corpus for a fixed 3-term query —
     * the lexical-search op of a RAG/retrieval pipeline. Uses the

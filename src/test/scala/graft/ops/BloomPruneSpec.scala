@@ -32,6 +32,16 @@ class BloomPruneSpec extends SparkSpec {
     assert(factTrue.subsetOf(pruned))
   }
 
+  test("decontaminateBloom ≡ broadcast decontamination; bloom is in the plan") {
+    val q = graft.queries.LlmOps.decontaminateBloom(spark, sf)
+    assert(q.queryExecution.executedPlan.toString.contains("might_contain"))
+    val got = q.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val want = graft.queries.LlmOps.decontaminate(spark, sf,
+        n = 4, minShared = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got === want && got.nonEmpty)
+  }
+
   test("bloom test runs in the plan before the semi join's exchange") {
     val q = BloomPrune.semiJoinBloom(lineitem, $"l_orderkey",
       urgent, $"o_orderkey", expectedKeys = 10000)
