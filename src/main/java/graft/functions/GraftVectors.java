@@ -96,4 +96,31 @@ public final class GraftVectors {
     }
     return dot;
   }
+
+  /** Product-quantization encode: for each of `m` subspaces of width
+   *  d = q.length/m, the id of the squared-L2-nearest codeword in the
+   *  flat codebook `cb` (laid out [ms][k][j], i.e. ms*k*d + kk*d + j),
+   *  ties to the smallest id. Exact int64 arithmetic on the int8 grid —
+   *  one static call per row keeps the m·k·d loop out of the generated
+   *  source, so whole-stage codegen stays small and compiles. */
+  public static int[] pqEncode(ArrayData q, long[] cb, int m, int k) {
+    int d = q.numElements() / m;
+    int[] codes = new int[m];
+    for (int ms = 0; ms < m; ms++) {
+      long best = Long.MAX_VALUE;
+      int bestK = 0;
+      int base = ms * k * d;
+      for (int kk = 0; kk < k; kk++) {
+        long s = 0L;
+        int cbase = base + kk * d;
+        for (int j = 0; j < d; j++) {
+          long e = (long) q.getByte(ms * d + j) - cb[cbase + j];
+          s += e * e;
+        }
+        if (s < best) { best = s; bestK = kk; }
+      }
+      codes[ms] = bestK;
+    }
+    return codes;
+  }
 }

@@ -121,6 +121,7 @@ object SparkEntry {
     // — LLM-pipeline: similarity search
     "q_embed_topk" -> (LlmOps.embedTopK(_, _)),
     "q_embed_topk_i8" -> (LlmOps.embedTopKI8(_, _)),
+    "q_embed_pq_topk" -> (LlmOps.embedPqTopK(_, _)),
     "q_embed_neardup" -> (LlmOps.embedNearDup(_, _)),
     "q_embed_incr_neardup" -> (LlmOps.embedIncrNearDup(_, _)),
     "q_embed_topk_perlabel" -> (LlmOps.embedTopKPerLabel(_, _)),
@@ -432,6 +433,7 @@ object SparkEntry {
     "q_sample_weighted" -> SketchOps.sampleWeightedSql,
     "q_embed_topk" -> LlmOps.embedTopKSql,
     "q_embed_topk_i8" -> LlmOps.embedTopKI8Sql,
+    "q_embed_pq_topk" -> LlmOps.embedPqTopKSql,
     "q_embed_neardup" -> LlmOps.embedNearDupSql,
     "q_embed_incr_neardup" -> LlmOps.embedIncrNearDupSql,
     "q_embed_topk_perlabel" -> LlmOps.embedTopKPerLabelSql,

@@ -115,6 +115,12 @@ object GraftFunctions {
   def dotI8(a: Column, b: Column): Column =
     ColumnBridge.column(DotI8(ColumnBridge.expression(a), ColumnBridge.expression(b)))
 
+  /** PQ codeword ids (array<int>, one per subspace) of an int8 code
+    * vector against a plan-shipped flat codebook.
+    */
+  def pqEncode(codes: Column, cb: Array[Long], m: Int, k: Int): Column =
+    ColumnBridge.column(PqEncode(ColumnBridge.expression(codes), cb, m, k))
+
   /** Image header decode of a binary payload: [formatCode, width,
     * height] parsed from real PNG/JPEG/GIF header bytes (GraftMedia);
     * NULL for unrecognized payloads.

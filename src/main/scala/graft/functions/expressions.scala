@@ -405,6 +405,50 @@ case class DotI8(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Product-quantization encode of an int8 code vector against a
+  * codebook that ships with the plan (m·k·d longs — parameter-sized,
+  * broadcast by definition). Emits the m subspace codeword ids as
+  * array<int>. A naive column formulation of the argmin is m·k·d
+  * expression nodes (8·16·8 = 1024 here) — enough to blow the generated
+  * `processNext()` past janino's method limits and knock the whole
+  * stage back to interpreted eval; this kernel call keeps the loop in
+  * ONE static JIT-compiled method and the generated code one line. The
+  * codebook rides `ctx.addReferenceObj`, not a literal, so codegen
+  * never renders 1024 long constants either.
+  */
+case class PqEncode(child: Expression, cb: Array[Long], m: Int, k: Int)
+    extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(ByteType, _) =>
+      if (cb.length == 0 || cb.length % (m * k) != 0)
+        TypeCheckResult.TypeCheckFailure(
+          s"$prettyName codebook length ${cb.length} not divisible by m*k=${m * k}")
+      else TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires an array<tinyint> argument, got $other")
+  }
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def prettyName: String = "pq_encode"
+
+  override protected def nullSafeEval(input: Any): Any =
+    org.apache.spark.sql.catalyst.expressions.UnsafeArrayData.fromPrimitiveArray(
+      GraftVectors.pqEncode(
+        input.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData],
+        cb, m, k))
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val cbRef = ctx.addReferenceObj("pqCodebook", cb, "long[]")
+    nullSafeCodeGen(ctx, ev, c =>
+      s"""${ev.value} = org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+         |  .fromPrimitiveArray(graft.functions.GraftVectors.pqEncode($c, $cbRef, $m, $k));
+         |""".stripMargin)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): PqEncode =
+    copy(child = newChild)
+}
+
 /** Image-header dimension decode over a binary payload column:
   * `[formatCode, width, height]` (1=png 2=jpeg 3=gif) parsed from the
   * REAL header bytes by the GraftMedia kernel — one static call inside

@@ -257,4 +257,81 @@ object Similarity {
       .orderBy(col("dot_i8").desc, col("vec_id"))
       .limit(k)
   }
+
+  // ——— Product quantization (the PQ half of IVF-PQ) ———————————————————
+  //
+  // The 100 TB ANN compression tier: each vector is cut into `m`
+  // subspaces and each subspace is replaced by the id of its nearest
+  // codeword, so a 64-float (256 B) embedding becomes m=8 small ints.
+  // Search then never touches the floats: a query precomputes one
+  // m×k distance table (driver-side, parameter-sized) and scores a
+  // candidate with m table lookups + (m−1) integer adds — the
+  // asymmetric-distance computation (ADC) of Jégou et al., "Product
+  // Quantization for Nearest Neighbor Search" (TPAMI 2011).
+  //
+  // Everything here runs on the int8 quantization grid so all
+  // distances are exact int64 arithmetic: deterministic under any
+  // partitioning, any engine — the DuckDB oracle matches bit-for-bit
+  // with no float-rounding escape hatch. At cluster scale the encode
+  // is a once-per-corpus map-only job whose output (the codes table)
+  // is what searches scan; the codebook itself is a plan literal
+  // (m·k·d longs), broadcast by definition, never shuffled.
+
+  /** Codebook from the first `k` corpus vectors' int8 codes (the same
+    * deterministic seed-as-fit stand-in as `seedCentroids` for IVF):
+    * cb(ms)(kk) = dims [ms·d, ms·d+d) of vector kk's codes. A
+    * parameter-sized collect — k vectors, never data-proportional.
+    */
+  def pqSeedCodebook(corpus: DataFrame, id: Column, emb: Column,
+      m: Int = 8, k: Int = 16): Array[Array[Array[Long]]] = {
+    val rows = quantizeI8(corpus.filter(id < k), emb)
+      .select(id.cast(LongType).as("i"), col("q_i8"))
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Byte](1).map(_.toLong).toArray))
+      .sortBy(_._1).map(_._2)
+    require(rows.length == k, s"pqSeedCodebook: need ids 0..${k - 1}")
+    val d = rows(0).length / m
+    Array.tabulate(m, k)((ms, kk) => rows(kk).slice(ms * d, ms * d + d))
+  }
+
+  /** Encode every vector as its per-subspace nearest codeword id
+    * (squared-L2 on the int8 grid; ties → smallest codeword id), as
+    * one `codes` array<int> column. The argmin runs in the PqEncode
+    * kernel — a single static call inside whole-stage codegen (a
+    * column-expression formulation is m·k·d nodes and knocks the
+    * stage to interpreted eval). Map-only: at corpus scale this
+    * output is WRITTEN once (m small ints per vector) and searches
+    * read codes only.
+    */
+  def pqEncode(corpus: DataFrame, id: Column, emb: Column,
+      cb: Array[Array[Array[Long]]]): DataFrame = {
+    val m = cb.length; val k = cb(0).length
+    quantizeI8(corpus, emb).select(id.as("vec_id"),
+      graft.functions.GraftFunctions
+        .pqEncode(col("q_i8"), cb.flatten.flatten, m, k).as("codes"))
+  }
+
+  /** ADC top-k: build the query's m×k distance table driver-side, then
+    * score each encoded vector with m literal-array lookups — no
+    * floats, no join, TakeOrderedAndProject merge like the other
+    * top-k faces. `queryCodes` is the query's full int8 code vector.
+    */
+  def pqAdcTopK(corpus: DataFrame, id: Column, emb: Column,
+      cb: Array[Array[Array[Long]]], queryCodes: Array[Long],
+      topK: Int): DataFrame = {
+    val m = cb.length; val k = cb(0).length; val d = cb(0)(0).length
+    val dt = Array.tabulate(m, k) { (ms, kk) =>
+      (0 until d).map { j =>
+        val e = queryCodes(ms * d + j) - cb(ms)(kk)(j); e * e
+      }.sum
+    }
+    val adist = (0 until m).map { ms =>
+      element_at(array(dt(ms).toIndexedSeq.map(lit): _*),
+        element_at(col("codes"), ms + 1) + 1)
+    }.reduce(_ + _)
+    pqEncode(corpus, id, emb, cb)
+      .select(col("vec_id"), adist.as("adist_i8"))
+      .orderBy(col("adist_i8"), col("vec_id"))
+      .limit(topK)
+  }
 }

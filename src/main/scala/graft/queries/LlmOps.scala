@@ -814,6 +814,22 @@ object LlmOps {
     Similarity.quantizedTopK(emb, col("vec_id"), col("embedding"), qCodes, k = 10)
   }
 
+  /** PQ ADC top-k (the compression tier of IVF-PQ): corpus encoded to
+    * 8 subspace codes against a 16-codeword seed codebook, query
+    * scored by distance-table lookups — all exact int64 squared-L2 on
+    * the int8 grid, so the oracle is bit-for-bit. The query is vec 0,
+    * which is also codeword 0, so its own ADC distance is exactly 0 —
+    * a built-in self-check the oracle re-derives.
+    */
+  def embedPqTopK(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.load(spark, dir, "embeddings")
+    val cb = Similarity.pqSeedCodebook(emb, col("vec_id"), col("embedding"))
+    val qCodes = Similarity
+      .quantizeI8(emb.filter(col("vec_id") === 0), col("embedding"))
+      .select(col("q_i8")).collect()(0).getSeq[Byte](0).map(_.toLong).toArray
+    Similarity.pqAdcTopK(emb, col("vec_id"), col("embedding"), cb, qCodes, 10)
+  }
+
   def embedNearDup(spark: SparkSession, dir: String): DataFrame =
     Similarity.cosineNearDupPairs(Tables.load(spark, dir, "embeddings"),
       col("vec_id"), col("embedding"), threshold = 0.4,
@@ -1535,6 +1551,35 @@ object LlmOps {
       |FROM q8 e, qv
       |ORDER BY dot_i8 DESC, e.vec_id
       |LIMIT 10""".stripMargin
+
+  /** PQ oracle: independent re-derivation of the whole PQ chain — the
+    * shared int8 quantization CTE, subspace slicing via list_slice,
+    * codeword assignment as a row_number argmin with the same (d, k)
+    * tie-break, and the ADC sum as a join back onto the query's own
+    * distance rows. Integer throughout: no rounding anywhere.
+    */
+  val embedPqTopKSql: String = {
+    val terms = (1 to 8).map(i => s"(s[$i]-c[$i])*(s[$i]-c[$i])").mkString(" + ")
+    s"""WITH m AS (SELECT vec_id, embedding,
+       |    coalesce(127.0 / nullif(list_max(list_transform(embedding,
+       |      x -> abs(x::DOUBLE))), 0), 0) AS scale
+       |  FROM embeddings),
+       |q8 AS (SELECT vec_id,
+       |    list_transform(embedding, x -> CAST(floor(x::DOUBLE * scale + 0.5) AS BIGINT)) AS q
+       |  FROM m),
+       |subs AS (SELECT vec_id, ms, list_slice(q, ms*8+1, ms*8+8) AS s
+       |  FROM q8, range(8) t(ms)),
+       |cw AS (SELECT vec_id AS k, ms, s AS c FROM subs WHERE vec_id < 16),
+       |dists AS (SELECT subs.vec_id, subs.ms, cw.k, $terms AS d
+       |  FROM subs JOIN cw ON subs.ms = cw.ms),
+       |codes AS (SELECT vec_id, ms, k FROM (
+       |    SELECT vec_id, ms, k, row_number() OVER (PARTITION BY vec_id, ms ORDER BY d, k) AS rk
+       |    FROM dists) WHERE rk = 1),
+       |qdt AS (SELECT ms, k, d FROM dists WHERE vec_id = 0)
+       |SELECT c.vec_id, CAST(sum(q.d) AS BIGINT) AS adist_i8
+       |FROM codes c JOIN qdt q ON c.ms = q.ms AND c.k = q.k
+       |GROUP BY 1 ORDER BY adist_i8, c.vec_id LIMIT 10""".stripMargin
+  }
 
   /** Banded sign-LSH oracle: same plane literals (Scala Double.toString
     * round-trips), same band slicing, same OR-over-bands candidate set

@@ -181,4 +181,30 @@ class SimilaritySpec extends SparkSpec {
     assert(Similarity.hyperplanes(2, 3).flatten.toSeq ===
       Similarity.hyperplanes(2, 3).flatten.toSeq)
   }
+
+  test("pq: seed vectors encode to their own codeword; ADC self-distance 0") {
+    val emb = graft.Tables.load(spark, sf, "embeddings")
+    val cb = Similarity.pqSeedCodebook(emb, col("vec_id"), col("embedding"))
+    assert(cb.length == 8 && cb(0).length == 16 && cb(0)(0).length == 8)
+    val enc = Similarity.pqEncode(emb, col("vec_id"), col("embedding"), cb)
+    // every seed vector IS codeword k in every subspace (distance 0, no
+    // closer codeword can beat the k-tie-break unless exactly equal)
+    val seeds = enc.filter(col("vec_id") < 16).collect()
+    seeds.foreach { r =>
+      val id = r.getLong(0).toInt
+      val codes = r.getSeq[Int](1)
+      (0 until 8).foreach { ms =>
+        val code = codes(ms)
+        val d = (0 until 8).map { j =>
+          val e = cb(ms)(id)(j) - cb(ms)(code)(j); e * e
+        }.sum
+        assert(d == 0L, s"vec $id subspace $ms coded $code at dist $d")
+      }
+    }
+    val top = LlmOps.embedPqTopK(spark, sf).collect()
+    assert(top.length == 10)
+    assert(top(0).getLong(0) == 0L && top(0).getLong(1) == 0L)
+    val dists = top.map(_.getLong(1))
+    assert(dists.sameElements(dists.sorted))
+  }
 }
