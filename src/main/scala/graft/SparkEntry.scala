@@ -179,7 +179,8 @@ object SparkEntry {
     "q_sketch_cms" -> (SketchOps.sketchCmsTokens(_, _)),
     "q_sketch_builtin_bounds" -> (SketchOps.sketchBuiltinBounds(_, _)),
     "q_dedup_graph_stats" -> (SketchOps.dedupGraphStats(_, _)),
-    "q_sample_weighted" -> (SketchOps.sampleWeighted(_, _))
+    "q_sample_weighted" -> (SketchOps.sampleWeighted(_, _)),
+    "q_sample_temperature" -> (SketchOps.sampleTemperature(_, _))
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -431,6 +432,7 @@ object SparkEntry {
     "q_sketch_builtin_bounds" -> SketchOps.sketchBuiltinBoundsSql,
     "q_dedup_graph_stats" -> SketchOps.dedupGraphStatsSql,
     "q_sample_weighted" -> SketchOps.sampleWeightedSql,
+    "q_sample_temperature" -> SketchOps.sampleTemperatureSql,
     "q_embed_topk" -> LlmOps.embedTopKSql,
     "q_embed_topk_i8" -> LlmOps.embedTopKI8Sql,
     "q_embed_pq_topk" -> LlmOps.embedPqTopKSql,

@@ -91,4 +91,36 @@ object Sampling {
           weight.cast(dec) * lit(targetN).cast(dec) * lit(1L << 40).cast(dec))
       .drop("_tw")
   }
+
+  /** Temperature-flattened group sample (the UniMax-style mixing move:
+    * a dominant group — language, source domain — is downsampled toward
+    * the smallest group instead of drowning it): keep a row of group g
+    * with probability min(1, (n_min/n_g)^α) at temperature α = 1/2,
+    * where n_g is g's row count and n_min the smallest group's. The
+    * smallest group is kept whole; a group 4× its size keeps half.
+    *
+    * α = 1/2 makes the sqrt threshold EXACT-integer by squaring both
+    * sides: keep iff hash40(key)² · n_g < n_min · 2^80, evaluated in
+    * DECIMAL(38,0) (hash40² < 2^80 ≈ 1.2e24, so the product stays
+    * inside 38 digits for any n_g up to ~10^12 rows per group — corpus
+    * scale). No float ever touches the keep/drop boundary, so any
+    * engine selects the SAME rows (the DuckDB oracle runs the identical
+    * comparison in HUGEINT).
+    *
+    * Plan shape: the group-count relation is a tiny aggregate broadcast
+    * back (groups, not rows); the n_min scalar rides a one-row
+    * broadcast; the filter itself is map-side codegen over the scan —
+    * no shuffle of the data, reproducible under retries and engines.
+    */
+  def temperatureSample(df: DataFrame, key: Column, group: Column): DataFrame = {
+    val dec = DecimalType(38, 0)
+    val n = df.groupBy(group.as("_g")).agg(count(lit(1)).as("_n_g"))
+    val nMin = n.agg(min(col("_n_g")).as("_n_min"))
+    val h = PortableSketches.hash40(key.cast(StringType)).cast(dec)
+    df.join(broadcast(n), group === col("_g"))
+      .crossJoin(broadcast(nMin))
+      .filter(h * h * col("_n_g").cast(dec) <
+        col("_n_min").cast(dec) * lit(BigDecimal(2).pow(80)).cast(dec))
+      .drop("_g", "_n_g", "_n_min")
+  }
 }

@@ -202,6 +202,30 @@ object SketchOps {
       |        * CAST(tw AS HUGEINT)
       |      < CAST(n_chars AS HUGEINT) * 120 * 1099511627776""".stripMargin
 
+  // ---------------------------------------------- temperature sample
+
+  /** Temperature-flattened language mix (α = 1/2): the dominant
+    * language (~42% of the corpus) is downsampled toward the smallest
+    * one, rare languages kept whole — the UniMax-style alternative to
+    * the hard per-language budgets of q_corpus_mix. Membership is the
+    * exact squared-hash integer comparison, so the oracle selects the
+    * identical documents.
+    */
+  def sampleTemperature(spark: SparkSession, dir: String): DataFrame =
+    Sampling.temperatureSample(
+      Tables.load(spark, dir, "documents")
+        .select(col("doc_id"), col("lang")),
+      col("doc_id"), col("lang"))
+
+  val sampleTemperatureSql: String =
+    """WITH n AS (SELECT lang, count(*) AS n_g FROM documents GROUP BY 1),
+      |mn AS (SELECT min(n_g) AS n_min FROM n)
+      |SELECT d.doc_id, d.lang FROM documents d JOIN n USING (lang), mn
+      |WHERE CAST(('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 10))::BIGINT AS HUGEINT)
+      |      * CAST(('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 10))::BIGINT AS HUGEINT)
+      |      * CAST(n_g AS HUGEINT)
+      |    < CAST(n_min AS HUGEINT) * CAST('1208925819614629174706176' AS HUGEINT)""".stripMargin
+
   // --------------------------------------------- built-in sketch bounds
 
   /** The BUILT-IN approximate aggregates — HLL++ `approx_count_distinct`,

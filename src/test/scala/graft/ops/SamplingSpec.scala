@@ -44,4 +44,20 @@ class SamplingSpec extends SparkSpec {
     assert(got.filter($"s" === "odd").isEmpty)
     assert(got.filter($"s" === "even").count() == 1000)
   }
+
+  test("temperatureSample keeps the smallest group whole, flattens a 16x one") {
+    // groups: "small" ids 0..99 (100 rows), "big" ids 100..1699 (1600 rows)
+    val grouped = ids.filter($"id" < 1700)
+      .withColumn("g", when($"id" < 100, "small").otherwise("big"))
+    val got = Sampling.temperatureSample(grouped, $"id", $"g")
+    val byG = got.groupBy("g").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(byG("small") == 100L) // rate min(1, sqrt(100/100)) = 1
+    // big: rate sqrt(100/1600) = 1/4 → expect ~400; hash40 binomial
+    // spread over 1600 draws stays well inside ±100
+    assert(byG("big") > 300L && byG("big") < 500L, s"big kept ${byG("big")}")
+    // deterministic: same selection on re-evaluation
+    assert(Sampling.temperatureSample(grouped, $"id", $"g")
+      .join(got, Seq("id"), "left_anti").isEmpty)
+  }
 }
