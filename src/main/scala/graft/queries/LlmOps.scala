@@ -542,6 +542,40 @@ object LlmOps {
       .orderBy(col("df").desc, col("token"))
       .limit(k)
 
+  /** BPE merge-step statistics: adjacent character-pair frequencies
+    * weighted by word frequency — the count table the first merge of
+    * byte-pair-encoding tokenizer training (Sennrich et al. 2016) is
+    * chosen from. Two-aggregate shape, and the order matters at scale:
+    * the word-count aggregate collapses the corpus to DISTINCT words
+    * first (map-side combine; vocabulary grows ~sublinearly by Heaps'
+    * law), so the pair explode that follows runs over the vocabulary,
+    * not over 100 TB of running text. Exact int64 counts; top-k is a
+    * TakeOrderedAndProject, no global sort.
+    */
+  def bpePairCounts(spark: SparkSession, dir: String, k: Int = 20): DataFrame = {
+    val wc = Tables.load(spark, dir, "documents")
+      .select(explode(TextAnalysis.tokens(col("text"))).as("w"))
+      .filter(length(col("w")) >= 2)
+      .groupBy(col("w")).agg(count(lit(1)).as("c"))
+    wc.select(col("c"), explode(transform(
+        sequence(lit(1), length(col("w")) - 1),
+        i => struct(substr(col("w"), i, lit(1)).as("a"),
+          substr(col("w"), i + 1, lit(1)).as("b")))).as("p"))
+      .groupBy(col("p.a").as("a"), col("p.b").as("b"))
+      .agg(sum(col("c")).as("cnt"))
+      .orderBy(col("cnt").desc, col("a"), col("b"))
+      .limit(k)
+  }
+
+  val bpePairCountsSql: String =
+    """WITH words AS (SELECT unnest(string_split_regex(trim(text), '\s+')) AS w
+      |  FROM documents),
+      |wc AS (SELECT w, count(*) AS c FROM words WHERE len(w) >= 2 GROUP BY 1),
+      |pairs AS (SELECT substr(w, i, 1) AS a, substr(w, i+1, 1) AS b, c
+      |  FROM wc, unnest([x for x in range(1, len(w))]) t(i)),
+      |agg AS (SELECT a, b, CAST(sum(c) AS BIGINT) AS cnt FROM pairs GROUP BY 1,2)
+      |SELECT a, b, cnt FROM agg ORDER BY cnt DESC, a, b LIMIT 20""".stripMargin
+
   // ---------------------------------------------------------------- text
 
   def textStats(spark: SparkSession, dir: String): DataFrame =

@@ -184,4 +184,17 @@ class TextAnalysisSpec extends SparkSpec {
         r.getDouble(3), r.getDouble(4)))
     assert(got.toSeq === Seq((5L, "en", 1000L, 14.0, 2.0)))
   }
+
+  test("bpePairCounts: pair counts weighted by word frequency; 1-char words drop") {
+    val dir = java.nio.file.Files.createTempDirectory("bpe").toString
+    // "abc" ×3 + "ab" ×1 → (a,b): 4, (b,c): 3; "x" contributes nothing
+    Seq((1L, "abc ab x"), (2L, "abc abc"))
+      .toDF("doc_id", "text")
+      .withColumn("lang", lit("en")).withColumn("source", lit("spec"))
+      .withColumn("n_chars", length(col("text")).cast("bigint"))
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = graft.queries.LlmOps.bpePairCounts(spark, dir)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    assert(got.toSeq === Seq(("a", "b", 4L), ("b", "c", 3L)))
+  }
 }
