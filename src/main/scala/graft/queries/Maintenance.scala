@@ -105,6 +105,16 @@ object Maintenance {
     * measure the versioned partitioned read.
     */
   def cdcMergePartitioned(spark: SparkSession, dir: String): DataFrame = {
+    graft.dv3f.Upsert.read(spark, stagedCdcPartTable(spark, dir))
+      .select(col("uid"), col("annee"), col("dep"), col("libdep"),
+        col("nbtrans"), col("valeurfonc_sum"))
+  }
+
+  /** The three-commit partitioned CDC table shared by the partitioned-
+    * merge and time-travel faces — staged once per JVM, whoever runs
+    * first builds it.
+    */
+  private def stagedCdcPartTable(spark: SparkSession, dir: String): String = {
     import graft.dv3f.{Dv3fConfig, Upsert}
     val table = Dv3fConfig.departement
     val target = StageOnce.tmp("cdc_part_tbl", dir) + "/t"
@@ -137,10 +147,54 @@ object Maintenance {
           .withColumn("op", lit("D")).withColumn("seq", lit(4L)))
       Upsert.mergeCdcPartitioned(spark, target, w3, table, partitionCol = "dep")
     }
-    graft.dv3f.Upsert.read(spark, target)
-      .select(col("uid"), col("annee"), col("dep"), col("libdep"),
-        col("nbtrans"), col("valeurfonc_sum"))
+    target
   }
+
+  /** Time-travel audit ([[graft.dv3f.Upsert.readVersion]]) through an
+    * oracle face: diff snapshot v2 (after the delete/update/insert
+    * wave) against the live table (after the second update wave and
+    * the 'P' partition takedown) on the shared three-commit CDC table.
+    * Emits exactly the rows a between-versions audit reports — updated
+    * keys with old/new values and vanished keys with a NULL new side.
+    * keepCommits retains v2 alongside v3, so this exercises the real
+    * vacuum-bounded history contract; the oracle re-derives both
+    * versions' contents from scratch in SQL, proving readVersion
+    * serves the COMMITTED historical state, not a reconstruction.
+    */
+  def timeTravel(spark: SparkSession, dir: String): DataFrame = {
+    import graft.dv3f.Upsert
+    val target = stagedCdcPartTable(spark, dir)
+    val prev = Upsert.readVersion(spark, target, 2)
+      .select(col("uid"), col("dep"), col("valeurfonc_sum").as("v_old"))
+    val live = Upsert.read(spark, target)
+      .select(col("uid"), col("valeurfonc_sum").as("v_new"))
+    prev.join(live, Seq("uid"), "full_outer")
+      .filter(col("v_old").isNull || col("v_new").isNull ||
+        col("v_old") =!= col("v_new"))
+      .select(col("uid"), col("dep"), col("v_old"), col("v_new"))
+  }
+
+  val timeTravelSql: String =
+    """WITH base AS (
+      |  SELECT CAST(o_orderkey AS VARCHAR) AS uid, o_orderstatus AS dep,
+      |         o_totalprice AS v, o_orderkey AS k
+      |  FROM orders),
+      |v2 AS (
+      |  SELECT uid, dep,
+      |    CASE WHEN k % 10 = 4 THEN v + 1000.0 ELSE v END AS v_old
+      |  FROM base WHERE k % 10 <> 3
+      |  UNION ALL
+      |  SELECT CAST(k + 10000000 AS VARCHAR), 'N', v FROM base WHERE k % 10 = 7),
+      |live AS (
+      |  SELECT uid,
+      |    CASE WHEN k % 20 = 4 THEN v + 5000.0
+      |         WHEN k % 10 = 4 THEN v + 1000.0 ELSE v END AS v_new
+      |  FROM base WHERE k % 10 <> 3 AND dep <> 'P'
+      |  UNION ALL
+      |  SELECT CAST(k + 10000000 AS VARCHAR), v FROM base WHERE k % 10 = 7)
+      |SELECT coalesce(v2.uid, live.uid) AS uid, v2.dep, v2.v_old, live.v_new
+      |FROM v2 FULL JOIN live ON v2.uid = live.uid
+      |WHERE v2.v_old IS NULL OR live.v_new IS NULL OR v2.v_old <> live.v_new""".stripMargin
 
   val cdcMergePartitionedSql: String =
     """WITH base AS (

@@ -211,6 +211,23 @@ class MaintenanceSpec extends SparkSpec {
     assert(seen.agg(max($"id")).head.getLong(0) === 120L)
   }
 
+  test("time travel diff face: updated keys carry both values, vanished keys a NULL new side") {
+    val diff = graft.queries.Maintenance.timeTravel(spark, sf).collect()
+    assert(diff.nonEmpty)
+    val (gone, changed) = diff.partition(_.isNullAt(3))
+    // vanished rows are exactly the retained 'P'-partition rows (the
+    // commit-3 takedown); every one still has its v2 value
+    assert(gone.nonEmpty && gone.forall(r => r.getString(1) == "P" && !r.isNullAt(2)))
+    // changed rows are the %20==4 second update wave: +4000 over v2
+    assert(changed.nonEmpty)
+    changed.foreach { r =>
+      assert(r.getString(0).toLong % 20 == 4)
+      assert(math.abs(r.getDouble(3) - r.getDouble(2) - 4000.0) < 1e-9)
+    }
+    // nothing exists only on the live side (no wave-3 inserts)
+    assert(diff.forall(!_.isNullAt(2)))
+  }
+
   test("zone maps: disjoint range yields an empty, correctly-shaped result") {
     val dir = java.nio.file.Files.createTempDirectory("zm_spec2").toString
     val data = (1 to 100).map(i => (i.toLong, s"r$i")).toDF("id", "s")
