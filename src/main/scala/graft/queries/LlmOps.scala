@@ -682,32 +682,37 @@ object LlmOps {
     */
   def bigramLmTopK(spark: SparkSession, dir: String, k: Int = 50): DataFrame = {
     val docs = Tables.load(spark, dir, "documents")
-    val toks = docs.select(col("doc_id"),
-      explode(TextAnalysis.tokens(col("text"))).as("token"))
-    val tfU = CacheBin.pin(toks.groupBy(col("doc_id"), col("token"))
-      .agg(count(lit(1)).as("tf")))
-    val vocabU = CacheBin.pin(
-      tfU.groupBy(col("token")).agg(sum(col("tf")).as("cf")))
-    val totalU = vocabU.agg(sum(col("cf")).as("total_u"))
-    val uniDoc = tfU.join(vocabU, Seq("token"))
+    // Both orders ride ONE occurrence stream: the 1-gram and 2-gram
+    // hash streams are concatenated under an `ord` tag before the
+    // explode, so the whole query is one (ord, gram) vocab aggregate,
+    // one join back, one per-doc aggregate — single action, no caches,
+    // no driver collect. The per-doc tf intermediate an earlier cut
+    // materialized is algebraically redundant — summing cf over raw
+    // occurrences equals summing tf·cf over distinct (doc, gram). The
+    // vocab subtree feeds both the join build side and the 1-row totals
+    // broadcast; AQE broadcasts the (sublinear) vocab, so the probe
+    // side never exchanges. Unigrams count by the same 60-bit gram hash
+    // as bigrams (the oracle groups by the identical md5-derived value,
+    // so cross-engine equality is exact, not collision-modulo-string).
+    val g1 = graft.functions.GraftFunctions.tokenGramHashes(col("text"), 1)
+    val g2 = graft.functions.GraftFunctions.tokenGramHashes(col("text"), 2)
+    val grams = docs.select(col("doc_id"),
+      explode(concat(
+        transform(g1, x => struct(lit(1).as("ord"), x.as("g"))),
+        transform(g2, x => struct(lit(2).as("ord"), x.as("g"))))).as("og"))
+      .select(col("doc_id"), col("og.ord").as("ord"), col("og.g").as("g"))
+    val vocab = grams.groupBy(col("ord"), col("g")).agg(count(lit(1)).as("cf"))
+    val totals = vocab.groupBy().agg(
+      sum(when(col("ord") === 1, col("cf"))).as("total_u"),
+      sum(when(col("ord") === 2, col("cf"))).as("total_b"))
+    grams.join(vocab, Seq("ord", "g"))
       .groupBy(col("doc_id"))
-      .agg(sum(col("tf") * col("cf")).as("uni_num"),
-        sum(col("tf")).as("n_uni"))
-    val bgs = docs.select(col("doc_id"),
-      explode(graft.functions.GraftFunctions.tokenGramHashes(col("text"), 2))
-        .as("bg"))
-    val tfB = CacheBin.pin(bgs.groupBy(col("doc_id"), col("bg"))
-      .agg(count(lit(1)).as("tf")))
-    val vocabB = CacheBin.pin(
-      tfB.groupBy(col("bg")).agg(sum(col("tf")).as("cf")))
-    val totalB = vocabB.agg(sum(col("cf")).as("total_b"))
-    val biDoc = tfB.join(vocabB, Seq("bg"))
-      .groupBy(col("doc_id"))
-      .agg(sum(col("tf") * col("cf")).as("bi_num"),
-        sum(col("tf")).as("n_bi"))
-    biDoc.join(uniDoc, Seq("doc_id"))
-      .crossJoin(broadcast(totalB))
-      .crossJoin(broadcast(totalU))
+      .agg(sum(when(col("ord") === 2, col("cf"))).as("bi_num"),
+        sum(when(col("ord") === 1, col("cf"))).as("uni_num"),
+        sum(when(col("ord") === 2, 1L)).as("n_bi"),
+        sum(when(col("ord") === 1, 1L)).as("n_uni"))
+      .filter(col("n_bi").isNotNull) // <2-token docs have no bigram leg
+      .crossJoin(broadcast(totals))
       .withColumn("lm_interp",
         lit(0.75) * (col("bi_num").cast(DoubleType) /
           (col("n_bi").cast(DoubleType) * col("total_b").cast(DoubleType))) +
@@ -1483,13 +1488,16 @@ object LlmOps {
   val bigramLmTopKSql: String =
     """WITH toks AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS t
       |  FROM documents),
-      |u AS (SELECT doc_id, unnest(t) AS token FROM toks),
-      |tf_u AS (SELECT doc_id, token, count(*)::BIGINT AS tf FROM u GROUP BY 1, 2),
-      |vocab_u AS (SELECT token, sum(tf)::BIGINT AS cf FROM tf_u GROUP BY 1),
+      |u AS (SELECT doc_id,
+      |    unnest([('0x' || substr(md5(t[i]), 1, 15))::BIGINT
+      |            for i in range(1, len(t)+1)]) AS g
+      |  FROM toks),
+      |tf_u AS (SELECT doc_id, g, count(*)::BIGINT AS tf FROM u GROUP BY 1, 2),
+      |vocab_u AS (SELECT g, sum(tf)::BIGINT AS cf FROM tf_u GROUP BY 1),
       |total_u AS (SELECT sum(cf)::BIGINT AS total_u FROM vocab_u),
       |uni AS (SELECT doc_id, sum(tf * cf)::BIGINT AS uni_num,
       |    sum(tf)::BIGINT AS n_uni
-      |  FROM tf_u JOIN vocab_u USING (token) GROUP BY doc_id),
+      |  FROM tf_u JOIN vocab_u USING (g) GROUP BY doc_id),
       |b AS (SELECT doc_id,
       |    unnest([('0x' || substr(md5(array_to_string(t[i:i+1], ' ')), 1, 15))::BIGINT
       |            for i in range(1, len(t))]) AS bg
