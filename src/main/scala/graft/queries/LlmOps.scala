@@ -486,10 +486,14 @@ object LlmOps {
       terms: Seq[String] = Seq("stream", "join", "hash"),
       k1: Double = 1.2, b: Double = 0.75, k: Int = 20): DataFrame = {
     val docs = Tables.load(spark, dir, "documents")
-    val n = docs.count().toDouble // corpus size: a parameter, not dataflow
     val lens = docs.select(col("doc_id"),
       TextAnalysis.tokenCount(col("text")).cast(DoubleType).as("dl"))
-    val avgdl = lens.agg(avg(col("dl"))).collect()(0).getDouble(0)
+    // corpus size and average doc length ride ONE 1-row broadcast into
+    // the score expression instead of two driver actions — the whole
+    // query is a single job (the earlier count()/collect() pair paid
+    // two extra job launches per run for two scalars)
+    val stats = lens.agg(
+      count(lit(1)).cast(DoubleType).as("n"), avg(col("dl")).as("avgdl"))
     val tf = docs
       .select(col("doc_id"), explode(TextAnalysis.tokens(col("text"))).as("tok"))
       .filter(col("tok").isin(terms: _*))
@@ -499,10 +503,11 @@ object LlmOps {
       .agg(count(lit(1)).cast(DoubleType).as("df")) // one row per (doc,tok)
     tf.join(broadcast(dfreq), Seq("tok"))
       .join(lens, Seq("doc_id"))
+      .crossJoin(broadcast(stats))
       .withColumn("score",
-        ((lit(n) - col("df") + lit(0.5)) / (col("df") + lit(0.5))) *
+        ((col("n") - col("df") + lit(0.5)) / (col("df") + lit(0.5))) *
           (col("tf") * lit(k1 + 1)) /
-          (col("tf") + lit(k1) * (lit(1 - b) + lit(b) * col("dl") / lit(avgdl))))
+          (col("tf") + lit(k1) * (lit(1 - b) + lit(b) * col("dl") / col("avgdl"))))
       .groupBy(col("doc_id"))
       .agg(round(sum(col("score")), 6).as("bm25"))
       .orderBy(col("bm25").desc, col("doc_id"))
