@@ -175,4 +175,45 @@ class PlanMetricsSpec extends SparkSpec {
     val shuffled = PlanMetrics.shuffleBytesWritten(df)
     assert(shuffled < 5000, s"shuffled $shuffled bytes — base leaked into a shuffle")
   }
+
+  test("pq ADC top-k: the corpus is never shuffled") {
+    // encode is a map-only kernel projection, ADC is literal-array
+    // lookups, top-k is TakeOrderedAndProject — the only exchange-like
+    // node allowed is nothing at all: a shuffle here means someone
+    // turned the codebook into a join
+    val df = LlmOps.embedPqTopK(spark, sf)
+    df.collect()
+    assert(PlanMetrics.exchangeCount(df) === 0,
+      s"PQ shuffled: ${PlanMetrics.exchangeCount(df)} exchanges")
+    assert(PlanMetrics.shuffleBytesWritten(df) === 0L)
+  }
+
+  test("temperature sample: data rows never shuffle; joins stay broadcast") {
+    // the only shuffles carry the tiny per-group count partials, never
+    // the sampled table itself; the join back must be broadcast (an SMJ
+    // would shuffle the full corpus by group — the exact skew trap the
+    // op exists to avoid)
+    val docs = Tables.load(spark, sf, "documents")
+    val df = Sampling.temperatureSample(docs, col("doc_id"), col("lang"))
+    df.collect()
+    val smj = PlanMetrics.executedNodes(df).count(
+      _.isInstanceOf[org.apache.spark.sql.execution.joins.SortMergeJoinExec])
+    assert(smj === 0, s"$smj sort-merge joins — corpus got shuffled by group")
+    // group-count partials only: a handful of (lang, count) rows per task
+    val rows = PlanMetrics.shuffleRecordsWritten(df)
+    assert(rows < 200, s"$rows rows crossed a shuffle — data leaked in")
+  }
+
+  test("bigram LM: vocab joins broadcast at bench scale; one documents scan per leg") {
+    val df = LlmOps.bigramLmTopK(spark, sf)
+    df.collect()
+    // vocab build + probe legs each scan documents once — two scans is
+    // the documented no-cache trade; a third means a subtree duplicated
+    val docScans = PlanMetrics.distinctFileScans(df)
+      .count(_.metadata.get("Location").exists(_.contains("documents")))
+    assert(docScans <= 2, s"documents scanned $docScans× at runtime")
+    val smj = PlanMetrics.executedNodes(df).count(
+      _.isInstanceOf[org.apache.spark.sql.execution.joins.SortMergeJoinExec])
+    assert(smj === 0, s"$smj sort-merge joins — AQE stopped broadcasting the vocab")
+  }
 }
