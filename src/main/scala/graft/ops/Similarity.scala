@@ -212,14 +212,23 @@ object Similarity {
     * only their lists, exact top-k within. At scale the lists are
     * bucketed files — the scan prunes to nProbe/|C| of the data.
     */
-  def ivfSearch(assigned: DataFrame, centroids: Seq[(Int, Seq[Double])],
-      queryVec: Seq[Double], k: Int, nProbe: Int = 2): DataFrame = {
+  /** Driver-side coarse probe: ids of the `nProbe` centroids nearest
+    * the query (cosine desc, cid asc) — parameter-sized math over the
+    * centroid table, no job.
+    */
+  def probeCids(centroids: Seq[(Int, Seq[Double])], queryVec: Seq[Double],
+      nProbe: Int): Seq[Int] = {
     def cos(a: Seq[Double], b: Seq[Double]): Double = {
       val d = a.zip(b).map { case (x, y) => x * y }.sum
       d / (math.sqrt(a.map(x => x * x).sum) * math.sqrt(b.map(x => x * x).sum))
     }
-    val probed = centroids.map { case (cid, c) => (cid, cos(c, queryVec)) }
+    centroids.map { case (cid, c) => (cid, cos(c, queryVec)) }
       .sortBy { case (cid, s) => (-s, cid) }.take(nProbe).map(_._1)
+  }
+
+  def ivfSearch(assigned: DataFrame, centroids: Seq[(Int, Seq[Double])],
+      queryVec: Seq[Double], k: Int, nProbe: Int = 2): DataFrame = {
+    val probed = probeCids(centroids, queryVec, nProbe)
     val q = array(queryVec.map(lit): _*)
     assigned.filter(col("centroid").isin(probed: _*))
       .select(col("vec_id"), cosine(col("e"), q).as("cos"))

@@ -874,6 +874,33 @@ object LlmOps {
     Similarity.pqAdcTopK(emb, col("vec_id"), col("embedding"), cb, qCodes, 10)
   }
 
+  /** The full IVF-PQ composition — the canonical billion-vector ANN
+    * architecture (coarse quantizer prunes, product quantizer
+    * compresses): the trained IVF probe keeps only the 2 nearest
+    * centroid lists, and PQ ADC scores just those survivors. At
+    * 100 TB this is the index layout where a search touches
+    * nProbe/|C| of the files (partition-pruned, like
+    * q_embed_ann_ivf_indexed) and reads 8 bytes of codes per
+    * candidate instead of 256 B of floats. The probe is driver-side
+    * parameter math; everything after it is the same exact-int64 ADC
+    * chain as q_embed_pq_topk, so the oracle re-derives fit → probe →
+    * encode → ADC end to end.
+    */
+  def embedIvfPq(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.load(spark, dir, "embeddings")
+    val centroids = fittedCentroids(spark, dir)
+    val probed = Similarity.probeCids(centroids, queryVector(spark, dir), 2)
+    val cand = Similarity
+      .ivfAssign(emb, col("vec_id"), col("embedding"), centroids)
+      .filter(col("centroid").isin(probed: _*))
+      .select(col("vec_id"), col("e").as("embedding"))
+    val cb = Similarity.pqSeedCodebook(emb, col("vec_id"), col("embedding"))
+    val qCodes = Similarity
+      .quantizeI8(emb.filter(col("vec_id") === 0), col("embedding"))
+      .select(col("q_i8")).collect()(0).getSeq[Byte](0).map(_.toLong).toArray
+    Similarity.pqAdcTopK(cand, col("vec_id"), col("embedding"), cb, qCodes, 10)
+  }
+
   def embedNearDup(spark: SparkSession, dir: String): DataFrame =
     Similarity.cosineNearDupPairs(Tables.load(spark, dir, "embeddings"),
       col("vec_id"), col("embedding"), threshold = 0.4,
@@ -1625,6 +1652,42 @@ object LlmOps {
        |qdt AS (SELECT ms, k, d FROM dists WHERE vec_id = 0)
        |SELECT c.vec_id, CAST(sum(q.d) AS BIGINT) AS adist_i8
        |FROM codes c JOIN qdt q ON c.ms = q.ms AND c.k = q.k
+       |GROUP BY 1 ORDER BY adist_i8, c.vec_id LIMIT 10""".stripMargin
+  }
+
+  /** IVF-PQ oracle: the shared k-means fit/assignment chain and probe
+    * from the IVF faces, then the PQ chain restricted to the probed
+    * candidates — fit → probe → encode → ADC re-derived end to end.
+    */
+  lazy val embedIvfPqSql: String = {
+    val terms = (1 to 8).map(i => s"(s[$i]-c[$i])*(s[$i]-c[$i])").mkString(" + ")
+    val fin = s"cents$ivfFitIters"
+    s"""WITH q AS (SELECT embedding::DOUBLE[] AS qe FROM embeddings WHERE vec_id = 0),
+       |$kmeansFitCtes,
+       |probe AS (SELECT cid FROM $fin, q
+       |  ORDER BY list_cosine_similarity(c, qe) DESC, cid LIMIT 2),
+       |cand AS (SELECT vec_id FROM assigned
+       |  WHERE cid IN (SELECT cid FROM probe)),
+       |m AS (SELECT vec_id, embedding,
+       |    coalesce(127.0 / nullif(list_max(list_transform(embedding,
+       |      x -> abs(x::DOUBLE))), 0), 0) AS scale
+       |  FROM embeddings),
+       |q8 AS (SELECT vec_id,
+       |    list_transform(embedding, x -> CAST(floor(x::DOUBLE * scale + 0.5) AS BIGINT)) AS q
+       |  FROM m),
+       |subs AS (SELECT vec_id, ms, list_slice(q, ms*8+1, ms*8+8) AS s
+       |  FROM q8, range(8) t(ms)),
+       |cw AS (SELECT vec_id AS k, ms, s AS c FROM subs WHERE vec_id < 16),
+       |dists AS (SELECT subs.vec_id, subs.ms, cw.k, $terms AS d
+       |  FROM subs JOIN cw ON subs.ms = cw.ms
+       |  WHERE subs.vec_id = 0 OR subs.vec_id IN (SELECT vec_id FROM cand)),
+       |codes AS (SELECT vec_id, ms, k FROM (
+       |    SELECT vec_id, ms, k, row_number() OVER (PARTITION BY vec_id, ms ORDER BY d, k) AS rk
+       |    FROM dists) WHERE rk = 1),
+       |qdt AS (SELECT ms, k, d FROM dists WHERE vec_id = 0)
+       |SELECT c.vec_id, CAST(sum(q.d) AS BIGINT) AS adist_i8
+       |FROM codes c JOIN qdt q ON c.ms = q.ms AND c.k = q.k
+       |WHERE c.vec_id IN (SELECT vec_id FROM cand)
        |GROUP BY 1 ORDER BY adist_i8, c.vec_id LIMIT 10""".stripMargin
   }
 

@@ -182,6 +182,22 @@ class SimilaritySpec extends SparkSpec {
       Similarity.hyperplanes(2, 3).flatten.toSeq)
   }
 
+  test("ivf-pq: probe prunes the corpus; surviving scores equal the unpruned ADC") {
+    val full = LlmOps.embedPqTopK(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val got = LlmOps.embedIvfPq(spark, sf).collect()
+    assert(got.length == 10)
+    // query lives in its own nearest list → still rank 1 at distance 0
+    assert(got(0).getLong(0) == 0L && got(0).getLong(1) == 0L)
+    // ADC distances are the SAME function — any vec also in the
+    // unpruned top-10 must carry an identical distance
+    got.foreach { r =>
+      full.get(r.getLong(0)).foreach(d => assert(d == r.getLong(1)))
+    }
+    val dists = got.map(_.getLong(1))
+    assert(dists.sameElements(dists.sorted))
+  }
+
   test("pq: seed vectors encode to their own codeword; ADC self-distance 0") {
     val emb = graft.Tables.load(spark, sf, "embeddings")
     val cb = Similarity.pqSeedCodebook(emb, col("vec_id"), col("embedding"))
