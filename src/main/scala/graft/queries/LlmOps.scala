@@ -581,6 +581,77 @@ object LlmOps {
       |agg AS (SELECT a, b, CAST(sum(c) AS BIGINT) AS cnt FROM pairs GROUP BY 1,2)
       |SELECT a, b, cnt FROM agg ORDER BY cnt DESC, a, b LIMIT 20""".stripMargin
 
+  /** Per-language token-distribution health: Simpson diversity
+    * 1 − Σ tf²/N² (the collision probability of two random tokens — low
+    * diversity flags template/boilerplate-heavy slices a dedup pass
+    * should visit first). Shannon entropy is the textbook choice but
+    * its Σ p·ln p is a float SUM whose value depends on reduction
+    * order — not reproducible across engines at hash equality; Simpson
+    * is the same signal from exact int64 numerators and ONE double
+    * division. Two aggregates, both map-side-combining; output is one
+    * row per language.
+    */
+  def langDiversity(spark: SparkSession, dir: String): DataFrame =
+    Tables.load(spark, dir, "documents")
+      .select(col("lang"), explode(TextAnalysis.tokens(col("text"))).as("tok"))
+      .groupBy(col("lang"), col("tok")).agg(count(lit(1)).as("tf"))
+      .groupBy(col("lang"))
+      .agg(sum(col("tf")).as("n_tokens"), count(lit(1)).as("vocab"),
+        sum(col("tf") * col("tf")).as("sq"))
+      .withColumn("simpson", lit(1.0) -
+        col("sq").cast(DoubleType) /
+          (col("n_tokens").cast(DoubleType) * col("n_tokens").cast(DoubleType)))
+      .select(col("lang"), col("n_tokens"), col("vocab"), col("simpson"))
+
+  val langDiversitySql: String =
+    """WITH occ AS (SELECT lang, unnest(string_split_regex(trim(text), '\s+')) AS tok
+      |  FROM documents),
+      |tf AS (SELECT lang, tok, count(*)::BIGINT AS tf FROM occ GROUP BY 1, 2)
+      |SELECT lang, sum(tf)::BIGINT AS n_tokens, count(*)::BIGINT AS vocab,
+      |  1.0 - sum(tf * tf)::DOUBLE /
+      |    (sum(tf)::DOUBLE * sum(tf)::DOUBLE) AS simpson
+      |FROM tf GROUP BY lang""".stripMargin
+
+  /** Cross-language vocabulary overlap (Jaccard of the distinct-token
+    * sets): the corpus-contamination view — a language pair whose
+    * vocabularies overlap far above baseline usually means mislabeled
+    * or code-switched slices. Distinct (lang, token) first (sublinear
+    * vocab relation), then a token-keyed self-join that shuffles ONLY
+    * the vocab, never the corpus; sizes ride a broadcast. Exact int64
+    * counts + one double division.
+    */
+  def vocabOverlap(spark: SparkSession, dir: String): DataFrame = {
+    val v = Tables.load(spark, dir, "documents")
+      .select(col("lang"), explode(TextAnalysis.tokens(col("text"))).as("tok"))
+      .distinct()
+    val sizes = v.groupBy(col("lang")).agg(count(lit(1)).as("vs"))
+    v.as("a").join(v.as("b"),
+        col("a.tok") === col("b.tok") && col("a.lang") < col("b.lang"))
+      .groupBy(col("a.lang").as("lang_a"), col("b.lang").as("lang_b"))
+      .agg(count(lit(1)).as("inter"))
+      .join(broadcast(sizes.withColumnRenamed("lang", "lang_a")
+        .withColumnRenamed("vs", "va")), Seq("lang_a"))
+      .join(broadcast(sizes.withColumnRenamed("lang", "lang_b")
+        .withColumnRenamed("vs", "vb")), Seq("lang_b"))
+      .withColumn("jaccard", col("inter").cast(DoubleType) /
+        (col("va") + col("vb") - col("inter")).cast(DoubleType))
+      .select(col("lang_a"), col("lang_b"), col("inter"), col("va"),
+        col("vb"), col("jaccard"))
+  }
+
+  val vocabOverlapSql: String =
+    """WITH v AS (SELECT DISTINCT lang, tok FROM (
+      |    SELECT lang, unnest(string_split_regex(trim(text), '\s+')) AS tok
+      |    FROM documents)),
+      |sizes AS (SELECT lang, count(*)::BIGINT AS vs FROM v GROUP BY 1),
+      |inter AS (SELECT a.lang AS lang_a, b.lang AS lang_b, count(*)::BIGINT AS inter
+      |  FROM v a JOIN v b ON a.tok = b.tok AND a.lang < b.lang
+      |  GROUP BY 1, 2)
+      |SELECT lang_a, lang_b, inter, sa.vs AS va, sb.vs AS vb,
+      |  inter::DOUBLE / (sa.vs + sb.vs - inter)::DOUBLE AS jaccard
+      |FROM inter JOIN sizes sa ON sa.lang = lang_a
+      |  JOIN sizes sb ON sb.lang = lang_b""".stripMargin
+
   // ---------------------------------------------------------------- text
 
   def textStats(spark: SparkSession, dir: String): DataFrame =

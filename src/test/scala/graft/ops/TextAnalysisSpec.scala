@@ -197,4 +197,36 @@ class TextAnalysisSpec extends SparkSpec {
       .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
     assert(got.toSeq === Seq(("a", "b", 4L), ("b", "c", 3L)))
   }
+
+  test("langDiversity: uniform tokens max out Simpson; constant tokens zero it") {
+    val dir = java.nio.file.Files.createTempDirectory("div").toString
+    // en: 4 distinct tokens once each → 1 - 4/16 = 0.75
+    // fr: one token repeated 3×     → 1 - 9/9  = 0.0
+    Seq((1L, "a b c d", "en"), (2L, "x x x", "fr"))
+      .toDF("doc_id", "text", "lang")
+      .withColumn("source", lit("spec"))
+      .withColumn("n_chars", length(col("text")).cast("bigint"))
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = graft.queries.LlmOps.langDiversity(spark, dir)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    assert(got("en") === ((4L, 4L, 0.75)))
+    assert(got("fr") === ((3L, 1L, 0.0)))
+  }
+
+  test("vocabOverlap: jaccard from distinct-token sets, ordered pairs only") {
+    val dir = java.nio.file.Files.createTempDirectory("ovl").toString
+    // en vocab {a,b,c}, fr vocab {b,c,d}: inter 2, union 4 → 0.5
+    Seq((1L, "a b c b", "en"), (2L, "b c d", "fr"))
+      .toDF("doc_id", "text", "lang")
+      .withColumn("source", lit("spec"))
+      .withColumn("n_chars", length(col("text")).cast("bigint"))
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = graft.queries.LlmOps.vocabOverlap(spark, dir).collect()
+    assert(got.length == 1)
+    val r = got(0)
+    assert(r.getString(0) == "en" && r.getString(1) == "fr")
+    assert(r.getLong(2) == 2L && r.getLong(3) == 3L && r.getLong(4) == 3L)
+    assert(r.getDouble(5) == 0.5)
+  }
 }
