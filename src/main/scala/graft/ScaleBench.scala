@@ -228,6 +228,17 @@ object ScaleBench {
         queries.SketchOps.sketchKmvTokens(spark, dir))
       val (cmsSec, cmsRows, cmsEx) = bestIf("sketch_cms")(
         queries.SketchOps.sketchCmsTokens(spark, dir))
+      // vocab-scaling pair: replica-tagged tokens grow DISTINCT grams
+      // ∝ k, so these two stress the vocab outgrowing broadcast range —
+      // the bigram LM's vocab join must flip to SMJ without a cliff
+      // (time ∝ k, exchange count may legitimately grow by the probe
+      // exchange), and the overlap self-join shuffles only the vocab
+      // relation (cross-replica token sets are disjoint, so row counts
+      // stay flat while the join input grows ∝ k)
+      val (blSec, blRows, blEx) = bestIf("bigram_lm")(
+        queries.LlmOps.bigramLmTopK(spark, dir))
+      val (voSec, voRows, voEx) = bestIf("vocab_overlap")(
+        queries.LlmOps.vocabOverlap(spark, dir))
       val row = scala.collection.immutable.ListMap(
         "lsh_pairs" -> (lshSec, lshRows, lshEx),
         "cc_distributed" -> (ccSec, ccRows, ccEx),
@@ -241,7 +252,9 @@ object ScaleBench {
         "stratified_gate" -> (sgSec, sgRows, sgEx),
         "sketch_hll" -> (hllSec, hllRows, hllEx),
         "sketch_kmv" -> (kmvSec, kmvRows, kmvEx),
-        "sketch_cms" -> (cmsSec, cmsRows, cmsEx))
+        "sketch_cms" -> (cmsSec, cmsRows, cmsEx),
+        "bigram_lm" -> (blSec, blRows, blEx),
+        "vocab_overlap" -> (voSec, voRows, voEx))
         .filter { case (op, _) => wanted(op) }
       row.foreach { case (op, (s, r, e)) =>
         println(s"""{"scale":$k,"op":"$op","sec":$s,"rows":$r,"exchanges":$e}""")

@@ -960,9 +960,17 @@ object LlmOps {
   def embedIvfPq(spark: SparkSession, dir: String): DataFrame = {
     val emb = Tables.load(spark, dir, "embeddings")
     val centroids = fittedCentroids(spark, dir)
+    // share the centroid-partitioned index q_embed_ann_ivf_indexed
+    // stages (same StageOnce key): the probe reaches the scan as a
+    // partition filter, so only nProbe/|C| of the index files are
+    // opened — the pruning is real, not an in-flight re-assignment
+    val idx = graft.ops.StageOnce.tmp("ivf_index", dir)
+    graft.ops.StageOnce(idx) {
+      Similarity.ivfWriteIndex(
+        Similarity.ivfAssign(emb, col("vec_id"), col("embedding"), centroids), idx)
+    }
     val probed = Similarity.probeCids(centroids, queryVector(spark, dir), 2)
-    val cand = Similarity
-      .ivfAssign(emb, col("vec_id"), col("embedding"), centroids)
+    val cand = spark.read.parquet(idx)
       .filter(col("centroid").isin(probed: _*))
       .select(col("vec_id"), col("e").as("embedding"))
     val cb = Similarity.pqSeedCodebook(emb, col("vec_id"), col("embedding"))
