@@ -98,6 +98,7 @@ object SparkEntry {
     "q_dedup_cc_incr" -> (LlmOps.dedupClustersIncremental(_, _)),
     "q_dedup_ngram_jaccard" -> (LlmOps.ngramJaccard(_, _)),
     "q_dedup_containment" -> (LlmOps.ngramContainment(_, _)),
+    "q_chunk_cdc_dedup" -> (LlmOps.cdcChunkDedup(_, _)),
     "q_dedup_simhash" -> (LlmOps.simhashSignatures(_, _)),
     "q_dedup_simhash_pairs" -> (LlmOps.simhashPairs(_, _)),
     "q_corpus_clean" -> (LlmOps.corpusClean(_, _)),
@@ -408,6 +409,7 @@ object SparkEntry {
     "q_dedup_minhash" -> LlmOps.minhashSql,
     "q_dedup_ngram_jaccard" -> LlmOps.ngramJaccardSql,
     "q_dedup_containment" -> LlmOps.ngramContainmentSql,
+    "q_chunk_cdc_dedup" -> LlmOps.cdcChunkDedupSql,
     "q_dedup_simhash" -> LlmOps.simhashSql,
     "q_text_stats" -> LlmOps.textStatsSql,
     "q_text_repetition" -> LlmOps.textRepetitionSql,

@@ -581,6 +581,56 @@ object LlmOps {
       |agg AS (SELECT a, b, CAST(sum(c) AS BIGINT) AS cnt FROM pairs GROUP BY 1,2)
       |SELECT a, b, cnt FROM agg ORDER BY cnt DESC, a, b LIMIT 20""".stripMargin
 
+  /** Content-defined chunk dedup (the storage-dedup/CDC-chunking move
+    * applied to text): chunk boundaries fall where hash60(token) % 16
+    * == 0, so boundaries are a function of CONTENT, not position — an
+    * insertion near a document's head shifts every fixed-window chunk
+    * but leaves all content-defined chunks after the next boundary
+    * intact. Duplicated chunks across the corpus (count > 1) are the
+    * shareable/removable units. Per-doc windows only (documents are
+    * bounded, the corpus is not — same scale argument as chunking/
+    * packing); the chunk aggregate's collect_list state is bounded by
+    * the expected chunk length (~16 tokens); the corpus-wide group-by
+    * keys on the chunk text, exact int64 counts.
+    */
+  def cdcChunkDedup(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = Tables.load(spark, dir, "documents")
+      .select(col("doc_id"),
+        posexplode(TextAnalysis.tokens(col("text"))).as(Seq("pos", "tok")))
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val chunks = toks
+      .withColumn("b",
+        when(Dedup.hash60(col("tok")) % 16 === 0, 1L).otherwise(0L))
+      .withColumn("chunk", sum(col("b")).over(w))
+      .groupBy(col("doc_id"), col("chunk"))
+      .agg(concat_ws(" ", transform(
+        array_sort(collect_list(struct(col("pos"), col("tok")))),
+        s => s.getField("tok"))).as("content"))
+    chunks.groupBy(col("content"))
+      .agg(count(lit(1)).as("occurrences"), min(col("doc_id")).as("first_doc"))
+      .filter(col("occurrences") > 1)
+      .select(md5(col("content")).as("chunk_md5"),
+        length(col("content")).as("n_chars"),
+        col("occurrences"), col("first_doc"))
+  }
+
+  val cdcChunkDedupSql: String =
+    """WITH toks AS (SELECT doc_id, generate_subscripts(t,1)-1 AS pos, unnest(t) AS tok
+      |  FROM (SELECT doc_id, string_split_regex(trim(text), '\s+') AS t FROM documents)),
+      |wb AS (SELECT doc_id, pos, tok,
+      |    CASE WHEN ('0x' || substr(md5(tok),1,15))::BIGINT % 16 = 0 THEN 1 ELSE 0 END AS b
+      |  FROM toks),
+      |ch AS (SELECT doc_id, pos, tok,
+      |    sum(b) OVER (PARTITION BY doc_id ORDER BY pos ROWS UNBOUNDED PRECEDING) AS chunk
+      |  FROM wb),
+      |chunks AS (SELECT doc_id, chunk, string_agg(tok, ' ' ORDER BY pos) AS content
+      |  FROM ch GROUP BY 1, 2)
+      |SELECT md5(content) AS chunk_md5, len(content)::BIGINT AS n_chars,
+      |  count(*)::BIGINT AS occurrences, min(doc_id) AS first_doc
+      |FROM chunks GROUP BY content HAVING count(*) > 1""".stripMargin
+
   /** Per-language token-distribution health: Simpson diversity
     * 1 − Σ tf²/N² (the collision probability of two random tokens — low
     * diversity flags template/boilerplate-heavy slices a dedup pass

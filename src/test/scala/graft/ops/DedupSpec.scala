@@ -267,4 +267,26 @@ class DedupSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSet
     assert(out === Set((2L, 8L, "p q r"), (4L, 8L, "i")))
   }
+
+  test("cdc chunk dedup: content-defined boundaries survive an insertion; dup chunks counted") {
+    val dir = java.nio.file.Files.createTempDirectory("cdc_chunk").toString
+    val sfDocs = spark.read.parquet(s"$sf/documents.parquet")
+    // doc B = doc A with junk PREPENDED: every fixed-window chunk of A
+    // would shift, but content-defined boundaries re-synchronize, so at
+    // least one multi-token chunk of A must recur verbatim in B
+    val a = sfDocs.orderBy($"n_chars".desc, $"doc_id")
+      .select($"text").limit(1).collect()(0).getString(0)
+    Seq((1L, a), (2L, "zzz qqq xxx " + a), (3L, "totally different words here"))
+      .toDF("doc_id", "text")
+      .withColumn("lang", lit("en")).withColumn("source", lit("spec"))
+      .withColumn("n_chars", length($"text").cast("bigint"))
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val dups = graft.queries.LlmOps.cdcChunkDedup(spark, dir).collect()
+    assert(dups.nonEmpty, "no chunk re-synchronized after the insertion")
+    // every reported duplicate has >= 2 occurrences and first_doc is doc 1
+    dups.foreach { r =>
+      assert(r.getLong(2) >= 2L)
+      assert(r.getLong(3) === 1L)
+    }
+  }
 }
