@@ -594,20 +594,26 @@ object LlmOps {
     * keys on the chunk text, exact int64 counts.
     */
   def cdcChunkDedup(spark: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val toks = Tables.load(spark, dir, "documents")
-      .select(col("doc_id"),
-        posexplode(TextAnalysis.tokens(col("text"))).as(Seq("pos", "tok")))
-    val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val chunks = toks
-      .withColumn("b",
-        when(Dedup.hash60(col("tok")) % 16 === 0, 1L).otherwise(0L))
-      .withColumn("chunk", sum(col("b")).over(w))
-      .groupBy(col("doc_id"), col("chunk"))
-      .agg(concat_ws(" ", transform(
-        array_sort(collect_list(struct(col("pos"), col("tok")))),
-        s => s.getField("tok"))).as("content"))
+    // Chunking is computed WITHIN each row by higher-order array
+    // functions (boundary indices → slices), never by a
+    // partitionBy(doc_id) window — the window formulation would
+    // shuffle every TOKEN of the corpus by doc_id before any chunk
+    // exists; this one is map-side codegen until the single
+    // chunk-content exchange of the corpus-wide group-by. (The DuckDB
+    // oracle keeps the window formulation; the chunk partitions are
+    // identical.)
+    val chunks = Tables.load(spark, dir, "documents")
+      .select(col("doc_id"), TextAnalysis.tokens(col("text")).as("t"))
+      .withColumn("starts", array_distinct(concat(
+        array(lit(0)),
+        filter(sequence(lit(0), size(col("t")) - 1),
+          i => Dedup.hash60(element_at(col("t"), i + 1)) % 16 === 0))))
+      .select(col("doc_id"), explode(
+        transform(sequence(lit(0), size(col("starts")) - 1), j => {
+          val s = element_at(col("starts"), j + 1)
+          val e = coalesce(get(col("starts"), j + 1), size(col("t")))
+          concat_ws(" ", slice(col("t"), s + 1, e - s))
+        })).as("content"))
     chunks.groupBy(col("content"))
       .agg(count(lit(1)).as("occurrences"), min(col("doc_id")).as("first_doc"))
       .filter(col("occurrences") > 1)
