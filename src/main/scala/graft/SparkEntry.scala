@@ -110,6 +110,7 @@ object SparkEntry {
     "q_dedup_incr_lsh" -> (LlmOps.dedupIncrementalLsh(_, _)),
     "q_vocab_topk" -> (LlmOps.vocabTopK(_, _)),
     "q_bpe_pairs" -> ((s, d) => LlmOps.bpePairCounts(s, d)),
+    "q_collocations" -> ((s, d) => LlmOps.collocations(s, d)),
     "q_lang_diversity" -> (LlmOps.langDiversity(_, _)),
     "q_vocab_overlap" -> (LlmOps.vocabOverlap(_, _)),
     "q_bm25_topk" -> ((s, d) => LlmOps.bm25TopK(s, d)),
@@ -397,6 +398,7 @@ object SparkEntry {
     "q_dedup_incr_lsh" -> LlmOps.dedupIncrementalLshSql,
     "q_vocab_topk" -> LlmOps.vocabTopKSql,
     "q_bpe_pairs" -> LlmOps.bpePairCountsSql,
+    "q_collocations" -> LlmOps.collocationsSql,
     "q_lang_diversity" -> LlmOps.langDiversitySql,
     "q_vocab_overlap" -> LlmOps.vocabOverlapSql,
     "q_bm25_topk" -> LlmOps.bm25TopKSql,

@@ -637,6 +637,55 @@ object LlmOps {
       |  count(*)::BIGINT AS occurrences, min(doc_id) AS first_doc
       |FROM chunks GROUP BY content HAVING count(*) > 1""".stripMargin
 
+  /** Bigram collocation mining by lift (the word2vec phrase-vocab
+    * detector): lift = c_ab·N / (c_a·c_b) ranks adjacent pairs that
+    * co-occur far above independence — PMI's exp, so the ORDER is
+    * PMI's order without the log whose float summation PMI-style
+    * scoring would need. All counts are exact int64; the products are
+    * < 2^53 at bench scale so the single-division double is
+    * bit-identical cross-engine. Plan: one pair aggregate + one
+    * unigram aggregate over the same scan, two vocab-sized joins
+    * (broadcast at bench scale, SMJ at corpus scale — both sides are
+    * sublinear vocab relations), top-k TakeOrdered.
+    */
+  def collocations(spark: SparkSession, dir: String, minCount: Int = 5,
+      k: Int = 20): DataFrame = {
+    val docs = Tables.load(spark, dir, "documents")
+      .select(TextAnalysis.tokens(col("text")).as("t"))
+    val uni = docs.select(explode(col("t")).as("tok"))
+      .groupBy(col("tok")).agg(count(lit(1)).as("c"))
+    val total = uni.agg(sum(col("c")).as("n"))
+    val bg = docs.filter(size(col("t")) >= 2)
+      .select(explode(transform(sequence(lit(1), size(col("t")) - 1), i =>
+        struct(element_at(col("t"), i).as("a"),
+          element_at(col("t"), i + 1).as("b")))).as("p"))
+      .groupBy(col("p.a").as("a"), col("p.b").as("b"))
+      .agg(count(lit(1)).as("cab"))
+      .filter(col("cab") >= minCount)
+    bg.join(uni.withColumnRenamed("tok", "a").withColumnRenamed("c", "ca"), Seq("a"))
+      .join(uni.withColumnRenamed("tok", "b").withColumnRenamed("c", "cb"), Seq("b"))
+      .crossJoin(broadcast(total))
+      .withColumn("lift",
+        (col("cab").cast(DoubleType) * col("n").cast(DoubleType)) /
+          (col("ca").cast(DoubleType) * col("cb").cast(DoubleType)))
+      .select(col("a"), col("b"), col("cab"), col("ca"), col("cb"), col("lift"))
+      .orderBy(col("lift").desc, col("a"), col("b"))
+      .limit(k)
+  }
+
+  val collocationsSql: String =
+    """WITH toks AS (SELECT string_split_regex(trim(text), '\s+') AS t FROM documents),
+      |uni AS (SELECT tok, count(*)::BIGINT AS c
+      |  FROM (SELECT unnest(t) AS tok FROM toks) GROUP BY 1),
+      |n AS (SELECT sum(c)::BIGINT AS n FROM uni),
+      |bg AS (SELECT t[i] AS a, t[i+1] AS b, count(*)::BIGINT AS cab
+      |  FROM toks, unnest([x for x in range(1, len(t))]) s(i)
+      |  GROUP BY 1, 2 HAVING count(*) >= 5)
+      |SELECT a, b, cab, ua.c AS ca, ub.c AS cb,
+      |  (cab::DOUBLE * n.n::DOUBLE) / (ua.c::DOUBLE * ub.c::DOUBLE) AS lift
+      |FROM bg JOIN uni ua ON ua.tok = a JOIN uni ub ON ub.tok = b, n
+      |ORDER BY lift DESC, a, b LIMIT 20""".stripMargin
+
   /** Per-language token-distribution health: Simpson diversity
     * 1 − Σ tf²/N² (the collision probability of two random tokens — low
     * diversity flags template/boilerplate-heavy slices a dedup pass

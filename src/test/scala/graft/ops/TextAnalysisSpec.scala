@@ -198,6 +198,26 @@ class TextAnalysisSpec extends SparkSpec {
     assert(got.toSeq === Seq(("a", "b", 4L), ("b", "c", 3L)))
   }
 
+  test("collocations: lift ranks the glued pair above independents; min-count gates") {
+    val dir = java.nio.file.Files.createTempDirectory("coll").toString
+    // "x y" always glued (5 docs) → lift = 5·N/(5·5); fillers vary.
+    // A pair seen < 5 times must not appear.
+    val texts = Seq("x y a", "x y b", "x y c", "x y d", "x y e a b")
+    texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("doc_id", "text")
+      .withColumn("lang", lit("en")).withColumn("source", lit("spec"))
+      .withColumn("n_chars", length(col("text")).cast("bigint"))
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = graft.queries.LlmOps.collocations(spark, dir, minCount = 5)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getDouble(5)))
+    assert(got.length == 1) // only (x, y) reaches 5 occurrences
+    val (a, b, cab, ca, cb, lift) = got(0)
+    assert((a, b, cab, ca, cb) === (("x", "y", 5L, 5L, 5L)))
+    val n = 17.0 // total tokens
+    assert(lift === 5.0 * n / (5.0 * 5.0))
+  }
+
   test("langDiversity: uniform tokens max out Simpson; constant tokens zero it") {
     val dir = java.nio.file.Files.createTempDirectory("div").toString
     // en: 4 distinct tokens once each → 1 - 4/16 = 0.75
