@@ -239,6 +239,13 @@ object ScaleBench {
         queries.LlmOps.bigramLmTopK(spark, dir))
       val (voSec, voRows, voEx) = bestIf("vocab_overlap")(
         queries.LlmOps.vocabOverlap(spark, dir))
+      // content-defined chunking: chunk assembly is in-row (map-side);
+      // the only exchange keys on chunk content. Replica-tagged tokens
+      // make replicas' chunk spaces disjoint, so duplicated-chunk rows
+      // replicate ∝ k while the within-replica structure is constant —
+      // time must stay ∝ k with a flat exchange count
+      val (ccdSec, ccdRows, ccdEx) = bestIf("cdc_chunks")(
+        queries.LlmOps.cdcChunkDedup(spark, dir))
       val row = scala.collection.immutable.ListMap(
         "lsh_pairs" -> (lshSec, lshRows, lshEx),
         "cc_distributed" -> (ccSec, ccRows, ccEx),
@@ -254,7 +261,8 @@ object ScaleBench {
         "sketch_kmv" -> (kmvSec, kmvRows, kmvEx),
         "sketch_cms" -> (cmsSec, cmsRows, cmsEx),
         "bigram_lm" -> (blSec, blRows, blEx),
-        "vocab_overlap" -> (voSec, voRows, voEx))
+        "vocab_overlap" -> (voSec, voRows, voEx),
+        "cdc_chunks" -> (ccdSec, ccdRows, ccdEx))
         .filter { case (op, _) => wanted(op) }
       row.foreach { case (op, (s, r, e)) =>
         println(s"""{"scale":$k,"op":"$op","sec":$s,"rows":$r,"exchanges":$e}""")
