@@ -55,6 +55,7 @@ object SparkEntry {
     "q_window_range_7d" -> (Events.rolling7d(_, _)),
     "q_funnel" -> (Events.funnel(_, _)),
     "q_cohort_retention" -> (Events.cohortRetention(_, _)),
+    "q_engagement_coverage" -> (Events.engagementCoverage(_, _)),
     "q_event_transitions" -> (Events.eventTransitions(_, _)),
     "q_trend_slope" -> (Events.trendSlope(_, _)),
     "q_anomaly_days" -> (Events.anomalyDays(_, _)),
@@ -471,6 +472,7 @@ object SparkEntry {
     "q_window_range_7d" -> Events.rolling7dSql,
     "q_funnel" -> Events.funnelSql,
     "q_cohort_retention" -> Events.cohortRetentionSql,
+    "q_engagement_coverage" -> Events.engagementCoverageSql,
     "q_event_transitions" -> Events.eventTransitionsSql,
     "q_trend_slope" -> Events.trendSlopeSql,
     "q_anomaly_days" -> Events.anomalyDaysSql,

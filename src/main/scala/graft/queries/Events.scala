@@ -464,4 +464,31 @@ object Events {
       |  count(DISTINCT user_id) AS n_active
       |FROM activity JOIN firsts USING (user_id)
       |GROUP BY firsts.cohort_week, week_offset""".stripMargin
+
+  /** Engagement breadth / time-to-full-activation: per user, how many
+    * DISTINCT event types they have ever hit and WHEN they completed
+    * the full set. The textbook formulation is a cumulative
+    * distinct-count window — which Spark (correctly) refuses, since
+    * distinct-over-window state grows with the window. The scalable
+    * rewrite: distinct-so-far == running count of FIRST occurrences,
+    * and the completion time is max(first-occurrence ts), so the whole
+    * query is two plain partial-agg-friendly aggregations keyed on
+    * (user, type) then user — no window, no distinct aggregate, no
+    * per-user state beyond two longs.
+    */
+  def engagementCoverage(spark: SparkSession, dir: String): DataFrame =
+    Tables.loadEvents(spark, dir)
+      .groupBy(col("user_id"), col("event_type"))
+      .agg(min(col("ts")).as("first_ts"))
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_types"), max(col("first_ts")).as("ts_all"))
+      .select(col("user_id"), col("n_types"),
+        when(col("n_types") === 5, col("ts_all")).as("ts_full"))
+
+  val engagementCoverageSql: String =
+    """WITH firsts AS (SELECT user_id, event_type, min(ts::TIMESTAMP) AS first_ts
+      |  FROM events GROUP BY 1, 2)
+      |SELECT user_id, count(*)::BIGINT AS n_types,
+      |  CASE WHEN count(*) = 5 THEN max(first_ts) END AS ts_full
+      |FROM firsts GROUP BY user_id""".stripMargin
 }

@@ -75,4 +75,23 @@ class FunnelSpec extends SparkSpec {
     assert(got === Array(
       ("2024-01-08", -1, 1L), ("2024-01-08", 0, 1L), ("2024-01-08", 2, 1L)))
   }
+
+  test("engagement coverage: repeats don't count; ts_full only at all 5 types") {
+    val dir = java.nio.file.Files.createTempDirectory("engage").toString
+    // user 1 hits all 5 types (completion = the LAST first-occurrence);
+    // user 2 repeats one type many times — n_types stays 1, no ts_full
+    val all = Seq("signup", "click", "view", "purchase", "error")
+    val u1 = all.zipWithIndex.map { case (t, i) =>
+      ((i + 1).toLong, ts(s"2024-01-0${i + 1} 10:00:00"), 1L, t, 1.0, "{}")
+    }
+    val u2 = (6 to 8).map(i =>
+      (i.toLong, ts(s"2024-01-0$i 10:00:00"), 2L, "click", 1.0, "{}"))
+    (u1 ++ u2).toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val got = Events.engagementCoverage(spark, dir)
+      .as[(Long, Long, Option[Timestamp])].collect().sortBy(_._1)
+    assert(got === Array(
+      (1L, 5L, Some(ts("2024-01-05 10:00:00"))),
+      (2L, 1L, None)))
+  }
 }
