@@ -425,7 +425,13 @@ object LlmOps {
     */
   def decontaminateBloom(spark: SparkSession, dir: String,
       n: Int = 4, minShared: Long = 1,
-      expectedEvalKeys: Long = 1L << 20): DataFrame = {
+      // sized to the eval slice's actual key count (~29k 4-gram hashes
+      // at sf0.1): BloomFilterAggregate's PARTIAL state is the whole
+      // bitmap whatever the data, so an oversized expectation makes
+      // every map-side partial build and merge megabytes of zeros —
+      // sizing to scale is what a real pipeline does with its known
+      // eval-set cardinality (2^16 keeps FPP ~1% here)
+      expectedEvalKeys: Long = 1L << 16): DataFrame = {
     val sh = Tables.load(spark, dir, "documents")
       .select(col("doc_id"),
         explode(graft.functions.GraftFunctions.wordShingleHashes(col("text"), n))
