@@ -115,15 +115,18 @@ object SparkEntry {
     "q_lang_diversity" -> (LlmOps.langDiversity(_, _)),
     "q_vocab_overlap" -> (LlmOps.vocabOverlap(_, _)),
     "q_bm25_topk" -> ((s, d) => LlmOps.bm25TopK(s, d)),
+    "q_hybrid_rrf" -> ((s, d) => LlmOps.hybridRrf(s, d)),
     // — LLM-pipeline: text analysis
     "q_text_stats" -> (LlmOps.textStats(_, _)),
     "q_text_repetition" -> (LlmOps.textRepetition(_, _)),
     "q_quality_gopher" -> (LlmOps.gopherQuality(_, _)),
     "q_unigram_lm" -> ((s, d) => LlmOps.unigramLmTopK(s, d)),
     "q_bigram_lm" -> ((s, d) => LlmOps.bigramLmTopK(s, d)),
+    "q_ppl_buckets" -> (LlmOps.pplBuckets(_, _)),
     "q_dsir_sample" -> ((s, d) => LlmOps.dsirSample(s, d)),
     "q_outlier_mad" -> ((s, d) => LlmOps.outlierMad(s, d)),
     "q_doc_fingerprints" -> (LlmOps.docFingerprints(_, _)),
+    "q_winnow_pairs" -> ((s, d) => LlmOps.winnowPairs(s, d)),
     // — LLM-pipeline: similarity search
     "q_embed_topk" -> (LlmOps.embedTopK(_, _)),
     "q_embed_topk_i8" -> (LlmOps.embedTopKI8(_, _)),
@@ -134,6 +137,7 @@ object SparkEntry {
     "q_embed_topk_perlabel" -> (LlmOps.embedTopKPerLabel(_, _)),
     "q_embed_ann_ivf" -> (LlmOps.embedAnnIvf(_, _)),
     "q_embed_ann_ivf_indexed" -> (LlmOps.embedAnnIvfIndexed(_, _)),
+    "q_embed_ivf_append" -> (LlmOps.embedIvfAppend(_, _)),
     "q_kmeans_step" -> (LlmOps.kmeansStep(_, _)),
     "q_dedup_semantic" -> (LlmOps.semanticDedup(_, _)),
     "q_sample_cluster_balanced" -> ((s, d) => LlmOps.sampleClusterBalanced(s, d)),
@@ -187,6 +191,7 @@ object SparkEntry {
     "q_sketch_cms" -> (SketchOps.sketchCmsTokens(_, _)),
     "q_sketch_builtin_bounds" -> (SketchOps.sketchBuiltinBounds(_, _)),
     "q_dedup_graph_stats" -> (SketchOps.dedupGraphStats(_, _)),
+    "q_dedup_kcore" -> (SketchOps.dedupKcore(_, _)),
     "q_sample_weighted" -> (SketchOps.sampleWeighted(_, _)),
     "q_sample_temperature" -> (SketchOps.sampleTemperature(_, _))
   )
@@ -403,10 +408,15 @@ object SparkEntry {
     "q_lang_diversity" -> LlmOps.langDiversitySql,
     "q_vocab_overlap" -> LlmOps.vocabOverlapSql,
     "q_bm25_topk" -> LlmOps.bm25TopKSql,
+    "q_hybrid_rrf" -> LlmOps.hybridRrfSql,
     "q_embed_ann_ivf" -> LlmOps.embedAnnIvfSql,
     // the persisted-index path must return byte-identical results to the
     // in-memory assignment path — same oracle
     "q_embed_ann_ivf_indexed" -> LlmOps.embedAnnIvfSql,
+    // append ≡ rebuild is the incremental face's correctness contract:
+    // the appended index holds the identical row set, so the oracle is
+    // the same full-corpus IVF replay
+    "q_embed_ivf_append" -> LlmOps.embedAnnIvfSql,
     "q_dedup_semantic" -> LlmOps.semanticDedupSql,
     "q_sample_cluster_balanced" -> LlmOps.sampleClusterBalancedSql,
     "q_dedup_minhash" -> LlmOps.minhashSql,
@@ -419,9 +429,11 @@ object SparkEntry {
     "q_quality_gopher" -> LlmOps.gopherQualitySql,
     "q_unigram_lm" -> LlmOps.unigramLmTopKSql,
     "q_bigram_lm" -> LlmOps.bigramLmTopKSql,
+    "q_ppl_buckets" -> LlmOps.pplBucketsSql,
     "q_dsir_sample" -> LlmOps.dsirSampleSql,
     "q_outlier_mad" -> LlmOps.outlierMadSql,
     "q_doc_fingerprints" -> LlmOps.docFingerprintsSql,
+    "q_winnow_pairs" -> LlmOps.winnowPairsSql,
     "q_events_tumbling" -> Events.tumblingSql,
     "q_events_sliding" -> Events.slidingSql,
     "q_events_sessionize" -> Events.sessionizeSql,
@@ -445,6 +457,7 @@ object SparkEntry {
     "q_sketch_cms" -> SketchOps.sketchCmsTokensSql,
     "q_sketch_builtin_bounds" -> SketchOps.sketchBuiltinBoundsSql,
     "q_dedup_graph_stats" -> SketchOps.dedupGraphStatsSql,
+    "q_dedup_kcore" -> SketchOps.dedupKcoreSql,
     "q_sample_weighted" -> SketchOps.sampleWeightedSql,
     "q_sample_temperature" -> SketchOps.sampleTemperatureSql,
     "q_embed_topk" -> LlmOps.embedTopKSql,

@@ -1,0 +1,67 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** k-core peeling over an undirected edge list — the graph-curation
+  * companion to [[ConnectedComponents]]: where CC tells you WHICH docs
+  * form a duplicate cluster, the k-core tells you which docs sit in the
+  * densely-duplicated HEART of the graph (every member near-duplicates
+  * ≥ k other members, recursively). Training-data pipelines use it to
+  * rank template farms / boilerplate nests above incidental pairs when
+  * deciding what to hand-audit or drop first.
+  *
+  * Algorithm: bulk-synchronous peel (the standard distributed
+  * formulation of Matula–Beck degeneracy peeling). Each round drops
+  * every vertex of degree < k together with its edges; surviving
+  * degrees shrink, so the edge set is monotonically decreasing and the
+  * fixpoint is the exact k-core. `rounds` bounds the sweeps: callers
+  * pass the measured convergence depth (near-dup graphs are
+  * shallow — dedup clusters are mostly cliques plus pendant vertices,
+  * which one round removes; the q_kcore face converges in ≤ 2 rounds at
+  * every test sf and the third is an idempotence witness). A bounded
+  * sweep count is also what makes the DuckDB oracle constructible: the
+  * oracle unrolls the same rounds as CTEs, so round-for-round
+  * equivalence is hash-checked, not just the final set.
+  *
+  * Scale shape (100 TB near-dup graph): each round is ONE degree
+  * aggregation (vertex-keyed exchange with map-side combine — edges
+  * contribute two partial rows that collapse before shuffling) plus two
+  * LEFT SEMI joins of the edge list against the surviving-vertex set,
+  * both keyed on the vertex id the degree exchange already established.
+  * Nothing is ever collected to the driver; the surviving set shrinks
+  * monotonically so later rounds cost less, and a fixed round count
+  * means a fixed number of stages — no data-dependent driver loop. The
+  * peeled edge set is pinned per round ([[CacheBin]]) so round r+1's
+  * degree aggregate does not recompute rounds 1..r.
+  */
+object KCore {
+
+  /** Peel `rounds` times; returns surviving vertices with their
+    * in-core degree: (v, deg_in_core). Edges must be (doc_a, doc_b)
+    * with doc_a < doc_b (no self-loops, no duplicate orientation) —
+    * the contract the dedup pair generators already guarantee.
+    */
+  def peel(edges: DataFrame, k: Int, rounds: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    require(rounds >= 1, s"rounds must be >= 1, got $rounds")
+    var e = edges.select(col("doc_a"), col("doc_b"))
+    for (_ <- 1 to rounds) {
+      val keep = degrees(e).filter(col("deg") >= k)
+      e = CacheBin.pin(
+        e.join(keep.select(col("v").as("doc_a")), Seq("doc_a"), "left_semi")
+          .join(keep.select(col("v").as("doc_b")), Seq("doc_b"), "left_semi")
+          .select(col("doc_a"), col("doc_b")))
+    }
+    degrees(e).select(col("v"), col("deg").as("deg_in_core"))
+  }
+
+  /** Vertex degrees of an undirected edge list: each edge contributes
+    * one partial row per endpoint; map-side combine collapses them
+    * before the single vertex-keyed exchange.
+    */
+  private def degrees(e: DataFrame): DataFrame =
+    e.select(col("doc_a").as("v"))
+      .union(e.select(col("doc_b").as("v")))
+      .groupBy(col("v")).agg(count(lit(1)).as("deg"))
+}

@@ -200,6 +200,24 @@ object Similarity {
   def ivfWriteIndex(assigned: DataFrame, path: String): Unit =
     assigned.write.mode("overwrite").partitionBy("centroid").parquet(path)
 
+  /** APPEND a pre-assigned delta batch to a persisted IVF index — the
+    * index-maintenance move for a growing corpus: new vectors are
+    * quantized against the EXISTING (frozen) centroids and their files
+    * land only under the centroid partitions the delta actually
+    * touches; base files are never read, rewritten, or moved. Cost is
+    * delta-proportional (one assignment projection + one partitioned
+    * write), vs rebuild's full-corpus scan — the same
+    * delta-vs-recompute contract as the incremental dedup gates.
+    * Searches over an appended index are IDENTICAL to a full rebuild
+    * with the same centroids (the index is a row set partitioned by a
+    * pure function of (vector, centroids)); periodic re-TRAINING of
+    * the centroids as drift accumulates is a separate, deliberate
+    * maintenance action — exactly how IVF deployments (FAISS et al.)
+    * stage ingest between refits.
+    */
+  def ivfAppendIndex(assignedDelta: DataFrame, path: String): Unit =
+    assignedDelta.write.mode("append").partitionBy("centroid").parquet(path)
+
   /** Search a persisted IVF index: the centroid filter prunes partitions
     * before any file is opened; exact top-k inside the probed lists.
     */

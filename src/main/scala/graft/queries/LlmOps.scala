@@ -520,6 +520,51 @@ object LlmOps {
       .limit(k)
   }
 
+  /** HYBRID retrieval by reciprocal rank fusion (Cormack, Clarke &
+    * Büttcher, "Reciprocal Rank Fusion outperforms Condorcet and
+    * individual rank learning methods", SIGIR 2009): the lexical
+    * ranking ([[bm25TopK]], same 3-term query) and the dense ranking
+    * (brute-force cosine to vec 0 — doc_id ≡ vec_id in the testdata)
+    * fuse by score(d) = Σ_lists 1/(60 + rank_d) over the lists that
+    * contain d — the standard first-stage fusion of every modern
+    * RAG/search stack, robust to the two scores being on incomparable
+    * scales because only RANKS enter the sum. Each input list is
+    * top-`kList` (parameter-sized — the rank windows run over ≤ kList
+    * rows AFTER per-partition TakeOrderedAndProject top-k, so the
+    * unpartitioned window is driver-scale math, not a corpus sort);
+    * the fusion join is k-vs-k. Ranks are over the ROUNDED scores with
+    * doc_id tie-break, mirrored by the oracle, so rank assignment is
+    * engine-exact; the RRF sum is two double divisions and one add in
+    * a fixed tree.
+    *
+    * Shape at 100 TB: both candidate generators are the already-scaled
+    * ops (BM25's broadcast-join aggregation; dense top-k's map-only
+    * scan — or any ANN tier as a drop-in); fusion itself touches only
+    * 2·kList rows however big the corpus.
+    */
+  def hybridRrf(spark: SparkSession, dir: String, kList: Int = 50,
+      kRrf: Int = 60, k: Int = 20): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val lex = bm25TopK(spark, dir, k = kList)
+      .withColumn("r_lex", row_number().over(
+        Window.orderBy(col("bm25").desc, col("doc_id"))))
+      .select(col("doc_id"), col("r_lex"))
+    val dense = Similarity.bruteForceTopK(
+        Tables.load(spark, dir, "embeddings"),
+        col("vec_id"), col("embedding"), queryVector(spark, dir), k = kList)
+      .withColumn("cos", round(col("cos"), 6))
+      .withColumn("r_dense", row_number().over(
+        Window.orderBy(col("cos").desc, col("vec_id"))))
+      .select(col("vec_id").as("doc_id"), col("r_dense"))
+    lex.join(dense, Seq("doc_id"), "full_outer")
+      .withColumn("rrf", round(
+        coalesce(lit(1.0) / (lit(kRrf) + col("r_lex")), lit(0.0)) +
+          coalesce(lit(1.0) / (lit(kRrf) + col("r_dense")), lit(0.0)), 6))
+      .orderBy(col("rrf").desc, col("doc_id"))
+      .limit(k)
+      .select(col("doc_id"), col("r_lex"), col("r_dense"), col("rrf"))
+  }
+
   /** Mirrors bm25TopK's expression tree exactly (same association
     * order), so every double op rounds identically.
     */
@@ -540,6 +585,44 @@ object LlmOps {
       |SELECT doc_id, round(sum(score), 6) AS bm25
       |FROM scored GROUP BY doc_id
       |ORDER BY bm25 DESC, doc_id LIMIT 20""".stripMargin
+
+  /** Mirrors hybridRrf: the lexical leg is bm25TopKSql's expression
+    * tree at LIMIT 50, the dense leg embedTopKSql's at LIMIT 50, ranks
+    * over the rounded scores with id tie-break, and the RRF sum in the
+    * same fixed tree (1.0 cast to DOUBLE — DuckDB's bare 1.0 literal is
+    * DECIMAL, whose division would not be the IEEE op Spark runs).
+    */
+  val hybridRrfSql: String =
+    """WITH docs AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS t
+      |  FROM documents),
+      |n AS (SELECT count(*)::DOUBLE AS n FROM docs),
+      |lens AS (SELECT doc_id, len(t)::DOUBLE AS dl FROM docs),
+      |avgdl AS (SELECT avg(dl) AS avgdl FROM lens),
+      |tf AS (SELECT doc_id, tok, count(*)::DOUBLE AS tf
+      |  FROM (SELECT doc_id, unnest(t) AS tok FROM docs)
+      |  WHERE tok IN ('stream', 'join', 'hash') GROUP BY 1, 2),
+      |dfreq AS (SELECT tok, count(*)::DOUBLE AS df FROM tf GROUP BY tok),
+      |scored AS (SELECT tf.doc_id,
+      |    ((n.n - df + 0.5) / (df + 0.5)) * (tf * (1.2 + 1)) /
+      |      (tf + 1.2 * ((1 - 0.75) + 0.75 * dl / avgdl.avgdl)) AS score
+      |  FROM tf JOIN dfreq USING (tok) JOIN lens USING (doc_id), n, avgdl),
+      |lex AS (SELECT doc_id, round(sum(score), 6) AS bm25
+      |  FROM scored GROUP BY doc_id ORDER BY bm25 DESC, doc_id LIMIT 50),
+      |lexr AS (SELECT doc_id,
+      |    row_number() OVER (ORDER BY bm25 DESC, doc_id) AS r_lex FROM lex),
+      |den AS (SELECT e.vec_id AS doc_id,
+      |    round(list_cosine_similarity(e.embedding::DOUBLE[], q.embedding::DOUBLE[]), 6) AS cos
+      |  FROM embeddings e, (SELECT embedding FROM embeddings WHERE vec_id = 0) q
+      |  ORDER BY list_cosine_similarity(e.embedding::DOUBLE[], q.embedding::DOUBLE[]) DESC,
+      |    e.vec_id
+      |  LIMIT 50),
+      |denr AS (SELECT doc_id,
+      |    row_number() OVER (ORDER BY cos DESC, doc_id) AS r_dense FROM den)
+      |SELECT doc_id, r_lex, r_dense,
+      |  round(coalesce(1.0::DOUBLE / (60 + r_lex), 0) +
+      |        coalesce(1.0::DOUBLE / (60 + r_dense), 0), 6) AS rrf
+      |FROM lexr FULL OUTER JOIN denr USING (doc_id)
+      |ORDER BY rrf DESC, doc_id LIMIT 20""".stripMargin
 
   /** Corpus vocabulary: global top-100 tokens by document frequency —
     * the vocab/stopword-discovery op. TakeOrderedAndProject keeps k per
@@ -842,6 +925,54 @@ object LlmOps {
       .limit(k)
   }
 
+  /** CCNet-style LM-score BUCKETS (Wenzek et al., "CCNet: Extracting
+    * High Quality Monolingual Datasets from Web Crawl Data", LREC
+    * 2020): per language, documents split into head/middle/tail
+    * terciles of the corpus-LM fluency score — the curation gate CCNet
+    * applies before keeping only head+middle. Scoring reuses
+    * [[unigramLmTopK]]'s exact-int64 discipline (int64 numerator, one
+    * double division), so the tercile boundaries are bit-identical
+    * across engines; tercile assignment is RANK-based (ntile over
+    * (score desc, doc_id)), not value-threshold-based, so ties and
+    * float quirks cannot move a document between engines. Output is the
+    * per-(lang, bucket) census: doc count and the score range.
+    *
+    * Shape at 100 TB: scoring is the unigram-LM inverted-index pass
+    * (linear exchanges); the ntile window partitions by language, which
+    * sorts language-sized groups — for a corpus where one language
+    * dominates, swap the window for the two-pass sharded rank
+    * demonstrated in [[Curation.shuffleBatches]] (shard by a score
+    * prefix, lift per-shard ranks with a driver-side offset sum); the
+    * rank-based bucket definition transfers unchanged.
+    */
+  def pplBuckets(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.load(spark, dir, "documents")
+    val toks = docs.select(col("doc_id"),
+      explode(TextAnalysis.tokens(col("text"))).as("token"))
+    val tf = CacheBin.pin(toks.groupBy(col("doc_id"), col("token"))
+      .agg(count(lit(1)).as("tf")))
+    val vocab = CacheBin.pin(
+      tf.groupBy(col("token")).agg(sum(col("tf")).as("cf")))
+    val total = vocab.agg(sum(col("cf")).as("total"))
+    val scored = tf.join(vocab, Seq("token"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("tf") * col("cf")).as("score_num"),
+        sum(col("tf")).as("n_tokens"))
+      .crossJoin(broadcast(total))
+      .withColumn("lm_score",
+        col("score_num").cast(DoubleType) /
+          (col("n_tokens").cast(DoubleType) * col("total").cast(DoubleType)))
+      .join(docs.select(col("doc_id"), col("lang")), Seq("doc_id"))
+    scored
+      .withColumn("bucket", ntile(3).over(Window.partitionBy(col("lang"))
+        .orderBy(col("lm_score").desc, col("doc_id"))))
+      .groupBy(col("lang"), col("bucket"))
+      .agg(count(lit(1)).as("n_docs"),
+        min(col("lm_score")).as("min_score"),
+        max(col("lm_score")).as("max_score"))
+  }
+
   /** Interpolated bigram corpus-LM score per document — the
     * KenLM/CCNet-style fluency proxy one order up from
     * [[unigramLmTopK]]: 0.75 · bigram relative-frequency mean
@@ -1010,6 +1141,49 @@ object LlmOps {
         TextAnalysis.bagFingerprint(col("text")).as("bag_fp"),
         TextAnalysis.rollingFingerprint(col("text")).as("roll_fp"))
 
+  /** WINNOWING near-dup candidates (Schleimer, Wilkerson & Aiken,
+    * "Winnowing: Local Algorithms for Document Fingerprinting", SIGMOD
+    * 2003 — the MOSS algorithm): from each document's positional n-gram
+    * hash stream, select the MINIMUM hash of every w-consecutive-gram
+    * window; the distinct selected hashes are the document's
+    * fingerprints, and documents sharing ≥ `minShared` fingerprints are
+    * near-dup candidates. Winnowing's guarantee: any shared substring
+    * of ≥ n+w-1 tokens yields at least one shared fingerprint, while
+    * the fingerprint density is ~2/(w+1) of the gram stream — a
+    * guaranteed-recall sampler, unlike MinHash's probabilistic bands.
+    * Right-edge windows (< w grams left) still select a min: a
+    * deterministic superset of the paper's full-window selection,
+    * mirrored exactly by the oracle's identical window frame.
+    *
+    * Shape at 100 TB: grams come from the fused byte-level
+    * [[graft.functions.GraftFunctions.tokenGramHashes]] kernel
+    * (map-side, codegen); the window min is per-document (bounded
+    * partitions — same argument as chunking); fingerprints shrink the
+    * stream ~2/(w+1)× BEFORE the only corpus-wide exchange (the
+    * fingerprint-keyed candidate join), which is inverted-index-shaped
+    * like the LSH band join — linear per side, with the pair exchange
+    * sized off scan stats ([[Dedup.pairExchangeParallelism]]).
+    */
+  def winnowPairs(spark: SparkSession, dir: String, n: Int = 5, w: Int = 4,
+      minShared: Long = 2): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.load(spark, dir, "documents")
+    val g = docs.select(col("doc_id"), posexplode(
+        graft.functions.GraftFunctions.tokenGramHashes(col("text"), n)))
+      .toDF("doc_id", "pos", "h")
+    val win = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+      .rowsBetween(Window.currentRow, w - 1L)
+    val fp = CacheBin.pin(
+      g.select(col("doc_id"), min(col("h")).over(win).as("fp")).distinct())
+    fp.as("a").join(fp.as("b"),
+        col("a.fp") === col("b.fp") && col("a.doc_id") < col("b.doc_id"))
+      .repartition(Dedup.pairExchangeParallelism(docs),
+        col("a.doc_id"), col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+  }
+
   // ---------------------------------------------------------- similarity
 
   /** Driver-side parameter lookup: the query vector (vec_id 0). This is a
@@ -1173,6 +1347,35 @@ object LlmOps {
     StageOnce(idx) {
       Similarity.ivfWriteIndex(
         Similarity.ivfAssign(emb, col("vec_id"), col("embedding"), centroids), idx)
+    }
+    Similarity.ivfSearchIndexed(spark, idx, centroids,
+      queryVector(spark, dir), k = 10)
+      .withColumn("cos", round(col("cos"), 6))
+  }
+
+  /** INCREMENTAL index maintenance face: the persisted IVF index is
+    * built from the corpus MINUS a delta batch (vec_id % 10 == 7 — the
+    * same crawl-delta simulation as the incremental dedup gates), then
+    * the delta is quantized against the SAME frozen centroids and
+    * APPENDED ([[Similarity.ivfAppendIndex]]) — base partitions are
+    * never read or rewritten, so maintenance cost is delta-
+    * proportional. The search that follows is the ordinary
+    * partition-pruned probe; because the index row set after append is
+    * identical to a full rebuild's, the oracle is exactly
+    * [[embedAnnIvfSql]] — the equality "append ≡ rebuild" IS the
+    * correctness contract, hash-checked end to end.
+    */
+  def embedIvfAppend(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.load(spark, dir, "embeddings")
+    val centroids = fittedCentroids(spark, dir)
+    val idx = StageOnce.tmp("ivf_index_appended", dir)
+    StageOnce(idx) {
+      Similarity.ivfWriteIndex(
+        Similarity.ivfAssign(emb.filter(col("vec_id") % 10 =!= 7),
+          col("vec_id"), col("embedding"), centroids), idx)
+      Similarity.ivfAppendIndex(
+        Similarity.ivfAssign(emb.filter(col("vec_id") % 10 === 7),
+          col("vec_id"), col("embedding"), centroids), idx)
     }
     Similarity.ivfSearchIndexed(spark, idx, centroids,
       queryVector(spark, dir), k = 10)
@@ -1702,6 +1905,29 @@ object LlmOps {
       |FROM scored, total
       |ORDER BY lm_score DESC, doc_id LIMIT 50""".stripMargin
 
+  /** Mirrors pplBuckets: unigramLmTopKSql's exact score, rank-based
+    * ntile terciles per language with the identical (score DESC,
+    * doc_id) order, aggregated to the (lang, bucket) census.
+    */
+  val pplBucketsSql: String =
+    """WITH toks AS (SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS token
+      |  FROM documents),
+      |tf AS (SELECT doc_id, token, count(*)::BIGINT AS tf FROM toks GROUP BY 1, 2),
+      |vocab AS (SELECT token, count(*)::BIGINT AS cf FROM toks GROUP BY 1),
+      |total AS (SELECT sum(cf)::BIGINT AS total FROM vocab),
+      |scored AS (SELECT doc_id,
+      |    sum(tf * cf)::BIGINT AS score_num, sum(tf)::BIGINT AS n_tokens
+      |  FROM tf JOIN vocab USING (token) GROUP BY doc_id),
+      |s2 AS (SELECT d.lang, s.doc_id,
+      |    s.score_num::DOUBLE / (s.n_tokens::DOUBLE * total.total::DOUBLE) AS lm_score
+      |  FROM scored s JOIN documents d USING (doc_id), total),
+      |b AS (SELECT lang, lm_score, ntile(3) OVER (
+      |    PARTITION BY lang ORDER BY lm_score DESC, doc_id) AS bucket
+      |  FROM s2)
+      |SELECT lang, bucket, count(*)::BIGINT AS n_docs,
+      |  min(lm_score) AS min_score, max(lm_score) AS max_score
+      |FROM b GROUP BY 1, 2""".stripMargin
+
   /** Mirrors bigramLmTopK: int64 numerators per order, one division per
     * order, interpolation in the same 0.75·bi + 0.25·uni tree. Bigram
     * keys are the shared 60-bit md5 gram hashes (space-joined token
@@ -1788,6 +2014,28 @@ object LlmOps {
       |      list_transform(t, x -> ('0x' || substr(md5(x), 1, 15))::BIGINT % 2147483647)),
       |    (acc, h) -> (acc * 31 + h) % 2147483647) AS roll_fp
       |FROM base""".stripMargin
+
+  /** Mirrors winnowPairs: the same positional 5-gram 60-bit md5 hashes
+    * (TokenGramHashes' full-window contract → len(t) >= 5 and
+    * range(1, len(t)-3)), the same CURRENT ROW..3 FOLLOWING window min
+    * (right-edge partial windows included), distinct fingerprints, and
+    * the ≥ 2 shared-fingerprint pair aggregate.
+    */
+  val winnowPairsSql: String =
+    """WITH toks AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS t
+      |  FROM documents),
+      |g AS (SELECT doc_id, i - 1 AS pos,
+      |    ('0x' || substr(md5(array_to_string(t[i:i+4], ' ')), 1, 15))::BIGINT AS h
+      |  FROM toks, unnest([x for x in range(1, len(t) - 3)]) s(i)
+      |  WHERE len(t) >= 5),
+      |fp AS (SELECT DISTINCT doc_id, mh AS fp FROM (
+      |  SELECT doc_id, min(h) OVER (PARTITION BY doc_id ORDER BY pos
+      |    ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS mh FROM g)),
+      |pairs AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+      |    count(*)::BIGINT AS n_shared
+      |  FROM fp a JOIN fp b ON a.fp = b.fp AND a.doc_id < b.doc_id
+      |  GROUP BY 1, 2)
+      |SELECT doc_a, doc_b, n_shared FROM pairs WHERE n_shared >= 2""".stripMargin
 
   val embedTopKSql: String =
     """SELECT e.vec_id,

@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
 import graft.Tables
-import graft.ops.{CacheBin, PortableSketches, Sampling, Triangles}
+import graft.ops.{CacheBin, KCore, PortableSketches, Sampling, Triangles}
 
 /** Query faces for the engine-portable sketches, graph stats and
   * weighted sampling (see graft.ops.PortableSketches / Triangles /
@@ -181,6 +181,40 @@ object SketchOps {
        |SELECT (SELECT count(*) FROM edges) AS n_edges,
        |  n_wedges, n_triangles
        |FROM closed""".stripMargin
+
+  /** 2-core of the near-dup graph via a 3-round bulk-synchronous peel
+    * ([[KCore]]): the densely-duplicated heart — every surviving doc
+    * near-duplicates ≥ 2 other survivors, recursively, which separates
+    * template farms from incidental pairs. Three rounds converge at
+    * every test sf (the dedup graph is cliques + pendants; round 3 is
+    * the idempotence witness), and the oracle unrolls the SAME three
+    * rounds as CTEs over the shared LSH edge set — round-for-round
+    * equivalence is hash-checked, not just the final core.
+    */
+  def dedupKcore(spark: SparkSession, dir: String): DataFrame = {
+    val edges = CacheBin.pin(
+      LlmOps.minhashLshDedup(spark, dir).select(col("doc_a"), col("doc_b")))
+    KCore.peel(edges, k = 2, rounds = 3)
+  }
+
+  lazy val dedupKcoreSql: String = {
+    val k = 2
+    val rounds = 3
+    val sb = new StringBuilder
+    sb.append(s"WITH e0 AS (SELECT doc_a, doc_b FROM (${LlmOps.minhashLshSql}) q)")
+    for (r <- 1 to rounds) {
+      sb.append(s""",
+d$r AS (SELECT v, count(*) AS deg FROM (
+  SELECT doc_a AS v FROM e${r - 1} UNION ALL SELECT doc_b AS v FROM e${r - 1}) GROUP BY v),
+e$r AS (SELECT e.doc_a, e.doc_b FROM e${r - 1} e
+  JOIN d$r da ON da.v = e.doc_a AND da.deg >= $k
+  JOIN d$r db ON db.v = e.doc_b AND db.deg >= $k)""")
+    }
+    sb.append(s"""
+SELECT v, count(*)::BIGINT AS deg_in_core FROM (
+  SELECT doc_a AS v FROM e$rounds UNION ALL SELECT doc_b AS v FROM e$rounds) GROUP BY v""")
+    sb.toString
+  }
 
   // -------------------------------------------------- weighted sample
 

@@ -1,0 +1,81 @@
+package graft.ops
+
+import graft.SparkSpec
+import graft.queries.LlmOps
+import org.apache.spark.sql.functions._
+
+/** Invariants of the retrieval-fusion and curation-bucket faces that the
+  * DuckDB oracle cannot express as directly: RRF recomputed driver-side
+  * from the two input rankings, and the tercile-census arithmetic.
+  */
+class RetrievalSpec extends SparkSpec {
+
+  private val dir = "/root/testdata/sf0.01"
+
+  test("hybridRrf equals a driver-side fusion of the two rankings") {
+    val lex = LlmOps.bm25TopK(spark, dir, k = 50)
+      .collect().map(r => (r.getLong(0), r.getDouble(1)))
+      .sortBy { case (id, s) => (-s, id) }
+      .zipWithIndex.map { case ((id, _), i) => id -> (i + 1) }.toMap
+    val qv = LlmOps.queryVector(spark, dir)
+    val dense = Similarity.bruteForceTopK(
+        spark.read.parquet(s"$dir/embeddings.parquet"),
+        col("vec_id"), col("embedding"), qv, 50)
+      .withColumn("cos", round(col("cos"), 6))
+      .collect().map(r => (r.getLong(0), r.getDouble(1)))
+      .sortBy { case (id, s) => (-s, id) }
+      .zipWithIndex.map { case ((id, _), i) => id -> (i + 1) }.toMap
+    val want = (lex.keySet ++ dense.keySet).toSeq.map { id =>
+      val s = lex.get(id).map(r => 1.0 / (60 + r)).getOrElse(0.0) +
+        dense.get(id).map(r => 1.0 / (60 + r)).getOrElse(0.0)
+      (id, math.round(s * 1e6) / 1e6)
+    }.sortBy { case (id, s) => (-s, id) }.take(20)
+
+    val got = LlmOps.hybridRrf(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getDouble(3)))
+    assert(got.toSeq === want)
+  }
+
+  test("hybridRrf: a doc in both lists outscores a same-rank single-list doc") {
+    val rows = LlmOps.hybridRrf(spark, dir).collect()
+    assert(rows.length <= 20 && rows.nonEmpty)
+    val both = rows.filter(r => !r.isNullAt(1) && !r.isNullAt(2))
+    val single = rows.filter(r => r.isNullAt(1) || r.isNullAt(2))
+    if (both.nonEmpty && single.nonEmpty) {
+      // any doc present in both lists beats any doc whose best rank is
+      // no better than that doc's worst rank
+      val b = both.head
+      val worst = math.max(b.getInt(1), b.getInt(2))
+      single.filter(r => math.min(
+          if (r.isNullAt(1)) Int.MaxValue else r.getInt(1),
+          if (r.isNullAt(2)) Int.MaxValue else r.getInt(2)) >= worst)
+        .foreach(r => assert(b.getDouble(3) > r.getDouble(3)))
+    }
+  }
+
+  test("pplBuckets: rank-based terciles are balanced, exhaustive and ordered") {
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+      .groupBy("lang").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val rows = LlmOps.pplBuckets(spark, dir).collect()
+    val byLang = rows.groupBy(_.getString(0))
+    assert(byLang.keySet === docs.keySet)
+    byLang.foreach { case (lang, bs) =>
+      val sizes = bs.map(r => r.getInt(1) -> r.getLong(2)).toMap
+      assert(sizes.keySet.subsetOf(Set(1, 2, 3)), lang)
+      assert(sizes.values.sum === docs(lang), lang)
+      // ntile balance: sizes differ by at most 1
+      assert(sizes.values.max - sizes.values.min <= 1, s"$lang: $sizes")
+      // bucket 1 holds the highest scores: ranges must not interleave
+      val ordered = bs.sortBy(_.getInt(1))
+      ordered.sliding(2).foreach {
+        case Array(hi, lo) =>
+          assert(hi.getDouble(4) >= hi.getDouble(3), lang) // max >= min
+          assert(hi.getDouble(3) >= lo.getDouble(4) ||
+            math.abs(hi.getDouble(3) - lo.getDouble(4)) < 1e-15,
+            s"$lang: bucket ranges interleave")
+        case _ =>
+      }
+    }
+  }
+}

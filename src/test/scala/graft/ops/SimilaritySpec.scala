@@ -223,4 +223,48 @@ class SimilaritySpec extends SparkSpec {
     val dists = top.map(_.getLong(1))
     assert(dists.sameElements(dists.sorted))
   }
+
+  test("ivfAppendIndex: append ≡ rebuild, base partition files untouched") {
+    import org.apache.spark.sql.types.{ArrayType, DoubleType}
+    val emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    val seeds = emb.filter(col("vec_id") < 8)
+      .select(col("vec_id"), col("embedding").cast(ArrayType(DoubleType)))
+      .collect().map(r => (r.getLong(0).toInt, r.getSeq[Double](1))).toSeq.sortBy(_._1)
+    val fit = Similarity.kmeansFit(emb, col("vec_id"), col("embedding"), seeds, iters = 1)
+
+    val full = java.nio.file.Files.createTempDirectory("ivf_full").toString
+    val inc = java.nio.file.Files.createTempDirectory("ivf_inc").toString
+    Similarity.ivfWriteIndex(
+      Similarity.ivfAssign(emb, col("vec_id"), col("embedding"), fit), full)
+    Similarity.ivfWriteIndex(
+      Similarity.ivfAssign(emb.filter(col("vec_id") % 10 =!= 7),
+        col("vec_id"), col("embedding"), fit), inc)
+    val baseFiles = spark.read.parquet(inc).inputFiles.toSet
+    Similarity.ivfAppendIndex(
+      Similarity.ivfAssign(emb.filter(col("vec_id") % 10 === 7),
+        col("vec_id"), col("embedding"), fit), inc)
+    val afterFiles = spark.read.parquet(inc).inputFiles.toSet
+
+    // delta-proportional maintenance: every base file survives verbatim;
+    // only new files appear
+    assert(baseFiles.subsetOf(afterFiles), "append rewrote or removed base files")
+    assert(afterFiles.size > baseFiles.size, "append added no files")
+
+    // the appended index holds the identical row set as a full rebuild...
+    val a = spark.read.parquet(inc).select("vec_id", "centroid")
+      .collect().map(r => (r.getLong(0), r.getInt(1))).sorted
+    val f = spark.read.parquet(full).select("vec_id", "centroid")
+      .collect().map(r => (r.getLong(0), r.getInt(1))).sorted
+    assert(a.sameElements(f))
+
+    // ...so any probe returns identical results
+    val q = emb.filter(col("vec_id") === 0)
+      .select(col("embedding").cast(ArrayType(DoubleType)))
+      .collect()(0).getSeq[Double](0)
+    val ra = Similarity.ivfSearchIndexed(spark, inc, fit, q, 10)
+      .collect().map(r => (r.getLong(0), r.getDouble(1)))
+    val rf = Similarity.ivfSearchIndexed(spark, full, fit, q, 10)
+      .collect().map(r => (r.getLong(0), r.getDouble(1)))
+    assert(ra.sameElements(rf))
+  }
 }
