@@ -41,10 +41,29 @@ object KCore {
     * in-core degree: (v, deg_in_core). Edges must be (doc_a, doc_b)
     * with doc_a < doc_b (no self-loops, no duplicate orientation) —
     * the contract the dedup pair generators already guarantee.
+    *
+    * Tiered like [[ConnectedComponents.run]]: a broadcast-sized edge
+    * list (≤ `localThreshold` rows — near-dup graphs are sparse) is
+    * collected and peeled on the driver, because the distributed loop
+    * costs ~5 scheduler/AQE stage waves PER ROUND regardless of data
+    * size — seconds of fixed latency that dwarf a sub-megabyte graph —
+    * while the local peel is microseconds and bit-identical. Pass
+    * `localThreshold = 0` to force the distributed path (the specs do,
+    * so both tiers stay covered).
     */
-  def peel(edges: DataFrame, k: Int, rounds: Int): DataFrame = {
+  def peel(edges: DataFrame, k: Int, rounds: Int,
+      localThreshold: Int = 1 << 19): DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")
     require(rounds >= 1, s"rounds must be >= 1, got $rounds")
+    if (localThreshold > 0) {
+      val probe = edges.select(col("doc_a").cast("long"),
+        col("doc_b").cast("long")).take(localThreshold + 1)
+      if (probe.length <= localThreshold) {
+        import edges.sparkSession.implicits._
+        return localPeel(probe.map(r => (r.getLong(0), r.getLong(1))),
+          k, rounds).toSeq.toDF("v", "deg_in_core")
+      }
+    }
     var e = edges.select(col("doc_a"), col("doc_b"))
     for (_ <- 1 to rounds) {
       val keep = degrees(e).filter(col("deg") >= k)
@@ -54,6 +73,21 @@ object KCore {
           .select(col("doc_a"), col("doc_b")))
     }
     degrees(e).select(col("v"), col("deg").as("deg_in_core"))
+  }
+
+  /** The local tier of [[peel]]: the identical rounds-bounded sweep on
+    * a driver-resident edge array.
+    */
+  private def localPeel(pairs: Array[(Long, Long)], k: Int,
+      rounds: Int): Map[Long, Long] = {
+    var e = pairs.toSeq
+    for (_ <- 1 to rounds) {
+      val deg = e.flatMap { case (a, b) => Seq(a, b) }
+        .groupBy(identity).map { case (v, xs) => v -> xs.size }
+      e = e.filter { case (a, b) => deg(a) >= k && deg(b) >= k }
+    }
+    e.flatMap { case (a, b) => Seq(a, b) }
+      .groupBy(identity).map { case (v, xs) => v -> xs.size.toLong }
   }
 
   /** Vertex degrees of an undirected edge list: each edge contributes

@@ -7,9 +7,14 @@ import scala.util.Random
 
 class KCoreSpec extends SparkSpec {
 
-  private def peel(edges: Seq[(Long, Long)], k: Int, rounds: Int): Map[Long, Long] = {
+  /** localThreshold = 0 forces the distributed loop; the default takes
+    * the driver tier. Tests run through both (same pattern as
+    * ConnectedComponentsSpec).
+    */
+  private def peel(edges: Seq[(Long, Long)], k: Int, rounds: Int,
+      localThreshold: Int = 1 << 19): Map[Long, Long] = {
     import spark.implicits._
-    KCore.peel(edges.toDF("doc_a", "doc_b"), k, rounds)
+    KCore.peel(edges.toDF("doc_a", "doc_b"), k, rounds, localThreshold)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
   }
 
@@ -34,23 +39,26 @@ class KCoreSpec extends SparkSpec {
     (coreDeg, rounds)
   }
 
-  test("triangle with a pendant: pendant peels, triangle survives with degree 2") {
-    val edges = Seq((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L))
-    assert(peel(edges, k = 2, rounds = 3) ===
-      Map(1L -> 2L, 2L -> 2L, 3L -> 2L))
+  for ((tier, th) <- Seq("local" -> (1 << 19), "distributed" -> 0)) {
+    test(s"[$tier] triangle with a pendant: pendant peels, triangle survives with degree 2") {
+      val edges = Seq((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L))
+      assert(peel(edges, k = 2, rounds = 3, th) ===
+        Map(1L -> 2L, 2L -> 2L, 3L -> 2L))
+    }
+
+    test(s"[$tier] a 7-vertex chain dissolves completely under k=2 within 3 rounds") {
+      val edges = (0L until 6L).map(i => (i, i + 1))
+      assert(peel(edges, k = 2, rounds = 3, th) === Map.empty[Long, Long])
+    }
+
+    test(s"[$tier] extra rounds past the fixpoint change nothing (idempotence)") {
+      val edges = Seq((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L), (4L, 5L))
+      assert(peel(edges, k = 2, rounds = 3, th) ===
+        peel(edges, k = 2, rounds = 5, th))
+    }
   }
 
-  test("a 7-vertex chain dissolves completely under k=2 within 3 rounds") {
-    val edges = (0L until 6L).map(i => (i, i + 1))
-    assert(peel(edges, k = 2, rounds = 3) === Map.empty[Long, Long])
-  }
-
-  test("extra rounds past the fixpoint change nothing (idempotence)") {
-    val edges = Seq((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L), (4L, 5L))
-    assert(peel(edges, k = 2, rounds = 3) === peel(edges, k = 2, rounds = 5))
-  }
-
-  test("random graphs: rounds >= convergence depth reproduces the exact k-core") {
+  test("both tiers agree with the exact k-core on random graphs at rounds >= depth") {
     val rng = new Random(7)
     for (trial <- 1 to 3) {
       val n = 14
@@ -61,7 +69,9 @@ class KCoreSpec extends SparkSpec {
       for (k <- Seq(2, 3)) {
         val (want, depth) = refCore(edges, k)
         assert(peel(edges, k, depth) === want,
-          s"trial $trial k=$k depth=$depth edges=$edges")
+          s"trial $trial k=$k depth=$depth edges=$edges (local)")
+        assert(peel(edges, k, depth, localThreshold = 0) === want,
+          s"trial $trial k=$k depth=$depth edges=$edges (distributed)")
       }
     }
   }
