@@ -948,22 +948,29 @@ object LlmOps {
   def pplBuckets(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val docs = Tables.load(spark, dir, "documents")
-    val toks = docs.select(col("doc_id"),
+    // The per-(doc, token) tf stage of unigramLmTopK is algebraically
+    // removable here: Σ_distinct tf·cf ≡ Σ_occurrences cf, both exact
+    // int64 — so the occurrence stream joins the vocabulary directly
+    // and the doc-keyed aggregate map-side-combines the raw stream.
+    // One fewer exchange and no pinned intermediates; the same
+    // single-action discipline as the bigram-LM rewrite (the stream is
+    // evaluated twice — vocab leg + probe leg — the documented
+    // two-scan-vs-cache trade).
+    // lang rides the stream and the doc-keyed aggregate (functionally
+    // dependent on doc_id, so the extra key changes no group) — no
+    // third documents scan for a lang join-back.
+    val toks = docs.select(col("doc_id"), col("lang"),
       explode(TextAnalysis.tokens(col("text"))).as("token"))
-    val tf = CacheBin.pin(toks.groupBy(col("doc_id"), col("token"))
-      .agg(count(lit(1)).as("tf")))
-    val vocab = CacheBin.pin(
-      tf.groupBy(col("token")).agg(sum(col("tf")).as("cf")))
+    val vocab = toks.groupBy(col("token")).agg(count(lit(1)).as("cf"))
     val total = vocab.agg(sum(col("cf")).as("total"))
-    val scored = tf.join(vocab, Seq("token"))
-      .groupBy(col("doc_id"))
-      .agg(sum(col("tf") * col("cf")).as("score_num"),
-        sum(col("tf")).as("n_tokens"))
+    val scored = toks.join(vocab, Seq("token"))
+      .groupBy(col("doc_id"), col("lang"))
+      .agg(sum(col("cf")).as("score_num"),
+        count(lit(1)).as("n_tokens"))
       .crossJoin(broadcast(total))
       .withColumn("lm_score",
         col("score_num").cast(DoubleType) /
           (col("n_tokens").cast(DoubleType) * col("total").cast(DoubleType)))
-      .join(docs.select(col("doc_id"), col("lang")), Seq("doc_id"))
     scored
       .withColumn("bucket", ntile(3).over(Window.partitionBy(col("lang"))
         .orderBy(col("lm_score").desc, col("doc_id"))))
@@ -1157,24 +1164,31 @@ object LlmOps {
     *
     * Shape at 100 TB: grams come from the fused byte-level
     * [[graft.functions.GraftFunctions.tokenGramHashes]] kernel
-    * (map-side, codegen); the window min is per-document (bounded
-    * partitions — same argument as chunking); fingerprints shrink the
-    * stream ~2/(w+1)× BEFORE the only corpus-wide exchange (the
-    * fingerprint-keyed candidate join), which is inverted-index-shaped
-    * like the LSH band join — linear per side, with the pair exchange
-    * sized off scan stats ([[Dedup.pairExchangeParallelism]]).
+    * (map-side, codegen), and the w-window minima are computed WITHIN
+    * the row by higher-order array functions over the kernel's hash
+    * array — the same in-row doctrine as chunking/CDC-chunking: a
+    * partitionBy(doc_id) window would shuffle every GRAM of the corpus
+    * by doc_id before a single fingerprint exists, while this
+    * formulation is map-side all the way to the fingerprint stream
+    * (already ~2/(w+1)× the gram stream, deduplicated in-row by
+    * array_distinct — no distinct aggregate either). The only
+    * corpus-wide exchange is the fingerprint-keyed candidate join,
+    * inverted-index-shaped like the LSH band join — linear per side,
+    * with the pair exchange sized off scan stats
+    * ([[Dedup.pairExchangeParallelism]]). (The DuckDB oracle keeps the
+    * positional window formulation — an independent re-derivation of
+    * the same selection.)
     */
   def winnowPairs(spark: SparkSession, dir: String, n: Int = 5, w: Int = 4,
       minShared: Long = 2): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val docs = Tables.load(spark, dir, "documents")
-    val g = docs.select(col("doc_id"), posexplode(
-        graft.functions.GraftFunctions.tokenGramHashes(col("text"), n)))
-      .toDF("doc_id", "pos", "h")
-    val win = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
-      .rowsBetween(Window.currentRow, w - 1L)
-    val fp = CacheBin.pin(
-      g.select(col("doc_id"), min(col("h")).over(win).as("fp")).distinct())
+    val g = docs.select(col("doc_id"),
+        graft.functions.GraftFunctions.tokenGramHashes(col("text"), n).as("hs"))
+      .filter(size(col("hs")) >= 1)
+    val fp = CacheBin.pin(g.select(col("doc_id"),
+      explode(array_distinct(transform(
+        sequence(lit(0), size(col("hs")) - 1),
+        i => array_min(slice(col("hs"), i + 1, lit(w)))))).as("fp")))
     fp.as("a").join(fp.as("b"),
         col("a.fp") === col("b.fp") && col("a.doc_id") < col("b.doc_id"))
       .repartition(Dedup.pairExchangeParallelism(docs),

@@ -197,16 +197,24 @@ object SketchOps {
     KCore.peel(edges, k = 2, rounds = 3)
   }
 
+  /** Every CTE is MATERIALIZED: each round references its predecessor
+    * 3× (edge source + both degree probes), so DuckDB's default CTE
+    * INLINING re-evaluates the whole chain multiplicatively — measured
+    * at sf0.1 the inlined form ran for minutes and spilled tens of GB,
+    * while the materialized form is 0.6 s. The hint changes evaluation
+    * strategy only, never results.
+    */
   lazy val dedupKcoreSql: String = {
     val k = 2
     val rounds = 3
     val sb = new StringBuilder
-    sb.append(s"WITH e0 AS (SELECT doc_a, doc_b FROM (${LlmOps.minhashLshSql}) q)")
+    sb.append(
+      s"WITH e0 AS MATERIALIZED (SELECT doc_a, doc_b FROM (${LlmOps.minhashLshSql}) q)")
     for (r <- 1 to rounds) {
       sb.append(s""",
-d$r AS (SELECT v, count(*) AS deg FROM (
+d$r AS MATERIALIZED (SELECT v, count(*) AS deg FROM (
   SELECT doc_a AS v FROM e${r - 1} UNION ALL SELECT doc_b AS v FROM e${r - 1}) GROUP BY v),
-e$r AS (SELECT e.doc_a, e.doc_b FROM e${r - 1} e
+e$r AS MATERIALIZED (SELECT e.doc_a, e.doc_b FROM e${r - 1} e
   JOIN d$r da ON da.v = e.doc_a AND da.deg >= $k
   JOIN d$r db ON db.v = e.doc_b AND db.deg >= $k)""")
     }
