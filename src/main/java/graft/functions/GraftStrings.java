@@ -226,6 +226,48 @@ public final class GraftStrings {
         nOut == grams ? out : java.util.Arrays.copyOf(out, nOut));
   }
 
+  /** Winnowing fingerprints (Schleimer/Wilkerson/Aiken, SIGMOD 2003):
+   *  the distinct window-minima of the positional n-gram hash stream —
+   *  min over hashes[i .. min(i+w, m)-1] for every position i
+   *  (right-edge partial windows kept, matching the query face's
+   *  documented superset-selection and the oracle's identical frame).
+   *  Fused form of explode(array_distinct(transform(sequence(...),
+   *  i -> array_min(slice(tokenGramHashes(text,n), i+1, w))))) — the
+   *  HOF chain evaluates interpreted and allocates a slice array per
+   *  gram; this is one primitive pass (O(m·w) compares, w is small by
+   *  construction) with the same open-addressing dedup as
+   *  wordShingleHashes. Output order is first-occurrence; consumers
+   *  treat it as a set. */
+  public static ArrayData winnowHashes(UTF8String text, int n, int w) {
+    long[] hs = tokenGramHashes(text, n).toLongArray();
+    int m = hs.length;
+    if (m == 0) {
+      return UnsafeArrayData.fromPrimitiveArray(new long[0]);
+    }
+    int cap = Integer.highestOneBit(Math.max(4, m * 4 - 1)) << 1;
+    long[] set = new long[cap];
+    java.util.Arrays.fill(set, -1L);
+    long[] out = new long[m];
+    int nOut = 0;
+    for (int i = 0; i < m; i++) {
+      long min = hs[i];
+      int end = Math.min(i + w, m);
+      for (int j = i + 1; j < end; j++) {
+        if (hs[j] < min) min = hs[j];
+      }
+      int slot = (int) (min ^ (min >>> 29)) & (cap - 1);
+      while (set[slot] != -1L && set[slot] != min) {
+        slot = (slot + 1) & (cap - 1);
+      }
+      if (set[slot] == -1L) {
+        set[slot] = min;
+        out[nOut++] = min;
+      }
+    }
+    return UnsafeArrayData.fromPrimitiveArray(
+        nOut == m ? out : java.util.Arrays.copyOf(out, nOut));
+  }
+
   /** MinHash signature over distinct word n-gram shingles, map-only:
    *  h = hash60(shingle) mod p; sig[i] = min over shingles of
    *  (h * a_i + b_i) mod p with p = 2^31-1, a_i = 2i+3,

@@ -25,6 +25,12 @@ object GraftFunctions {
   def tokenGramHashes(text: Column, n: Int): Column =
     ColumnBridge.column(TokenGramHashes(ColumnBridge.expression(text), n))
 
+  /** Winnowing fingerprints: distinct w-window minima of the positional
+    * n-gram hash stream (MOSS selection), one codegen'd kernel pass.
+    */
+  def winnowHashes(text: Column, n: Int, w: Int): Column =
+    ColumnBridge.column(WinnowHashes(ColumnBridge.expression(text), n, w))
+
   /** 60-bit md5-derived SimHash signature — codegen'd replacement for the
     * aggregate/transform vote loop.
     */

@@ -92,6 +92,35 @@ case class TokenGramHashes(child: Expression, n: Int)
     copy(child = newChild)
 }
 
+/** Winnowing fingerprints (the MOSS selection): distinct w-window
+  * minima of the positional n-gram hash stream, right-edge partial
+  * windows kept — one primitive kernel pass replacing the interpreted
+  * transform/slice/array_min/array_distinct HOF chain (see
+  * GraftStrings.winnowHashes for the equivalence contract).
+  */
+case class WinnowHashes(child: Expression, n: Int, w: Int)
+    extends UnaryExpression {
+  require(n >= 1, s"gram size must be >= 1, got $n")
+  require(w >= 1, s"window size must be >= 1, got $w")
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires a string argument, got ${child.dataType}")
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "winnow_hashes"
+
+  override protected def nullSafeEval(input: Any): Any =
+    GraftStrings.winnowHashes(input.asInstanceOf[UTF8String], n, w)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.GraftStrings.winnowHashes($c, $n, $w);")
+
+  override protected def withNewChildInternal(newChild: Expression): WinnowHashes =
+    copy(child = newChild)
+}
+
 /** Overlapping token-window chunks — the RAG / context-window prep op.
   * One kernel call per document inside whole-stage codegen; the
   * equivalent sequence/transform/slice HOF chain evaluates interpreted

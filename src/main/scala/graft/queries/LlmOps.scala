@@ -952,18 +952,20 @@ object LlmOps {
     // removable here: Σ_distinct tf·cf ≡ Σ_occurrences cf, both exact
     // int64 — so the occurrence stream joins the vocabulary directly
     // and the doc-keyed aggregate map-side-combines the raw stream.
-    // One fewer exchange and no pinned intermediates; the same
-    // single-action discipline as the bigram-LM rewrite (the stream is
-    // evaluated twice — vocab leg + probe leg — the documented
-    // two-scan-vs-cache trade).
-    // lang rides the stream and the doc-keyed aggregate (functionally
-    // dependent on doc_id, so the extra key changes no group) — no
-    // third documents scan for a lang join-back.
+    // Tokens travel as 60-bit md5 hashes from the fused TokenGramHashes
+    // kernel (order 1), exactly like bigramLmTopK's unigram leg: the
+    // grouping/join keys are 8-byte longs, no token string exists
+    // row-wise, and the oracle hashes identically. lang rides the
+    // stream and the doc-keyed aggregate (functionally dependent on
+    // doc_id, so the extra key changes no group) — no third documents
+    // scan for a lang join-back. The stream is evaluated twice (vocab
+    // leg + probe leg) — the documented two-scan-vs-cache trade.
     val toks = docs.select(col("doc_id"), col("lang"),
-      explode(TextAnalysis.tokens(col("text"))).as("token"))
-    val vocab = toks.groupBy(col("token")).agg(count(lit(1)).as("cf"))
+      explode(graft.functions.GraftFunctions.tokenGramHashes(col("text"), 1))
+        .as("g"))
+    val vocab = toks.groupBy(col("g")).agg(count(lit(1)).as("cf"))
     val total = vocab.agg(sum(col("cf")).as("total"))
-    val scored = toks.join(vocab, Seq("token"))
+    val scored = toks.join(vocab, Seq("g"))
       .groupBy(col("doc_id"), col("lang"))
       .agg(sum(col("cf")).as("score_num"),
         count(lit(1)).as("n_tokens"))
@@ -1162,17 +1164,17 @@ object LlmOps {
     * deterministic superset of the paper's full-window selection,
     * mirrored exactly by the oracle's identical window frame.
     *
-    * Shape at 100 TB: grams come from the fused byte-level
-    * [[graft.functions.GraftFunctions.tokenGramHashes]] kernel
-    * (map-side, codegen), and the w-window minima are computed WITHIN
-    * the row by higher-order array functions over the kernel's hash
-    * array — the same in-row doctrine as chunking/CDC-chunking: a
-    * partitionBy(doc_id) window would shuffle every GRAM of the corpus
-    * by doc_id before a single fingerprint exists, while this
-    * formulation is map-side all the way to the fingerprint stream
-    * (already ~2/(w+1)× the gram stream, deduplicated in-row by
-    * array_distinct — no distinct aggregate either). The only
-    * corpus-wide exchange is the fingerprint-keyed candidate join,
+    * Shape at 100 TB: tokenize → gram → hash → w-window minima →
+    * in-row dedup all run in ONE codegen'd kernel pass
+    * ([[graft.functions.GraftFunctions.winnowHashes]]) — the same
+    * in-row doctrine as chunking/CDC-chunking: a partitionBy(doc_id)
+    * window would shuffle every GRAM of the corpus by doc_id before a
+    * single fingerprint exists (and the interpreted
+    * transform/slice/array_min HOF formulation allocates a slice per
+    * gram), while the kernel is map-side all the way to the
+    * fingerprint stream (already ~2/(w+1)× the gram stream, no
+    * distinct aggregate). The only corpus-wide exchange is the
+    * fingerprint-keyed candidate join,
     * inverted-index-shaped like the LSH band join — linear per side,
     * with the pair exchange sized off scan stats
     * ([[Dedup.pairExchangeParallelism]]). (The DuckDB oracle keeps the
@@ -1182,13 +1184,9 @@ object LlmOps {
   def winnowPairs(spark: SparkSession, dir: String, n: Int = 5, w: Int = 4,
       minShared: Long = 2): DataFrame = {
     val docs = Tables.load(spark, dir, "documents")
-    val g = docs.select(col("doc_id"),
-        graft.functions.GraftFunctions.tokenGramHashes(col("text"), n).as("hs"))
-      .filter(size(col("hs")) >= 1)
-    val fp = CacheBin.pin(g.select(col("doc_id"),
-      explode(array_distinct(transform(
-        sequence(lit(0), size(col("hs")) - 1),
-        i => array_min(slice(col("hs"), i + 1, lit(w)))))).as("fp")))
+    val fp = CacheBin.pin(docs.select(col("doc_id"),
+      explode(graft.functions.GraftFunctions.winnowHashes(col("text"), n, w))
+        .as("fp")))
     fp.as("a").join(fp.as("b"),
         col("a.fp") === col("b.fp") && col("a.doc_id") < col("b.doc_id"))
       .repartition(Dedup.pairExchangeParallelism(docs),
@@ -1919,19 +1917,24 @@ object LlmOps {
       |FROM scored, total
       |ORDER BY lm_score DESC, doc_id LIMIT 50""".stripMargin
 
-  /** Mirrors pplBuckets: unigramLmTopKSql's exact score, rank-based
-    * ntile terciles per language with the identical (score DESC,
-    * doc_id) order, aggregated to the (lang, bucket) census.
+  /** Mirrors pplBuckets: the exact unigram-LM score over the shared
+    * 60-bit md5 token hashes (same keys as the Spark kernel — the
+    * bigramLmTopKSql unigram-leg pattern), rank-based ntile terciles
+    * per language with the identical (score DESC, doc_id) order,
+    * aggregated to the (lang, bucket) census.
     */
   val pplBucketsSql: String =
-    """WITH toks AS (SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS token
+    """WITH toks AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS t
       |  FROM documents),
-      |tf AS (SELECT doc_id, token, count(*)::BIGINT AS tf FROM toks GROUP BY 1, 2),
-      |vocab AS (SELECT token, count(*)::BIGINT AS cf FROM toks GROUP BY 1),
+      |u AS (SELECT doc_id,
+      |    unnest([('0x' || substr(md5(t[i]), 1, 15))::BIGINT
+      |            for i in range(1, len(t)+1)]) AS g
+      |  FROM toks),
+      |vocab AS (SELECT g, count(*)::BIGINT AS cf FROM u GROUP BY 1),
       |total AS (SELECT sum(cf)::BIGINT AS total FROM vocab),
       |scored AS (SELECT doc_id,
-      |    sum(tf * cf)::BIGINT AS score_num, sum(tf)::BIGINT AS n_tokens
-      |  FROM tf JOIN vocab USING (token) GROUP BY doc_id),
+      |    sum(cf)::BIGINT AS score_num, count(*)::BIGINT AS n_tokens
+      |  FROM u JOIN vocab USING (g) GROUP BY doc_id),
       |s2 AS (SELECT d.lang, s.doc_id,
       |    s.score_num::DOUBLE / (s.n_tokens::DOUBLE * total.total::DOUBLE) AS lm_score
       |  FROM scored s JOIN documents d USING (doc_id), total),
