@@ -246,6 +246,27 @@ object ScaleBench {
       // time must stay ∝ k with a flat exchange count
       val (ccdSec, ccdRows, ccdEx) = bestIf("cdc_chunks")(
         queries.LlmOps.cdcChunkDedup(spark, dir))
+      // winnowing: the kernel fingerprint stream is map-side;
+      // replica-disjoint gram spaces ⇒ fingerprints and
+      // shared-fingerprint pairs both grow ∝ k; the only corpus
+      // exchange carries candidate pairs — time ∝ k, flat exchanges
+      val (wnSec, wnRows, wnEx) = bestIf("winnow_pairs")(
+        queries.LlmOps.winnowPairs(spark, dir))
+      // k-core, driver-local tier DISABLED: the fixed-round peel runs
+      // its distributed degree-aggregate + semi-join rounds over the
+      // pinned pair graph — stage count fixed by the round bound, time
+      // ∝ edges (∝ k by the replica-disjoint construction)
+      val (kcSec, kcRows, kcEx) = if (!wanted("kcore")) (0.0, 0L, 0) else {
+        graft.ops.CacheBin.releaseAll(); spark.catalog.clearCache()
+        val pairs = graft.ops.CacheBin.pin(
+          queries.LlmOps.minhashLshDedup(spark, dir)
+            .select(col("doc_a"), col("doc_b")))
+        pairs.count()
+        val r = bestWith(clearCaches = false)(
+          graft.ops.KCore.peel(pairs, k = 2, rounds = 3, localThreshold = 0))
+        graft.ops.CacheBin.releaseAll()
+        r
+      }
       val row = scala.collection.immutable.ListMap(
         "lsh_pairs" -> (lshSec, lshRows, lshEx),
         "cc_distributed" -> (ccSec, ccRows, ccEx),
@@ -262,7 +283,9 @@ object ScaleBench {
         "sketch_cms" -> (cmsSec, cmsRows, cmsEx),
         "bigram_lm" -> (blSec, blRows, blEx),
         "vocab_overlap" -> (voSec, voRows, voEx),
-        "cdc_chunks" -> (ccdSec, ccdRows, ccdEx))
+        "cdc_chunks" -> (ccdSec, ccdRows, ccdEx),
+        "winnow_pairs" -> (wnSec, wnRows, wnEx),
+        "kcore" -> (kcSec, kcRows, kcEx))
         .filter { case (op, _) => wanted(op) }
       row.foreach { case (op, (s, r, e)) =>
         println(s"""{"scale":$k,"op":"$op","sec":$s,"rows":$r,"exchanges":$e}""")
