@@ -127,6 +127,7 @@ object SparkEntry {
     "q_outlier_mad" -> ((s, d) => LlmOps.outlierMad(s, d)),
     "q_doc_fingerprints" -> (LlmOps.docFingerprints(_, _)),
     "q_winnow_pairs" -> ((s, d) => LlmOps.winnowPairs(s, d)),
+    "q_winnow_incr" -> ((s, d) => LlmOps.winnowIncrPairs(s, d)),
     // — LLM-pipeline: similarity search
     "q_embed_topk" -> (LlmOps.embedTopK(_, _)),
     "q_embed_topk_i8" -> (LlmOps.embedTopKI8(_, _)),
@@ -434,6 +435,7 @@ object SparkEntry {
     "q_outlier_mad" -> LlmOps.outlierMadSql,
     "q_doc_fingerprints" -> LlmOps.docFingerprintsSql,
     "q_winnow_pairs" -> LlmOps.winnowPairsSql,
+    "q_winnow_incr" -> LlmOps.winnowIncrPairsSql,
     "q_events_tumbling" -> Events.tumblingSql,
     "q_events_sliding" -> Events.slidingSql,
     "q_events_sessionize" -> Events.sessionizeSql,

@@ -218,6 +218,47 @@ object Similarity {
   def ivfAppendIndex(assignedDelta: DataFrame, path: String): Unit =
     assignedDelta.write.mode("append").partitionBy("centroid").parquet(path)
 
+  /** Compact ONE centroid partition of a persisted IVF index in place —
+    * the small-file follow-up to [[ivfAppendIndex]]: every append adds
+    * files to the partitions its delta touches, and after many ingest
+    * cycles a hot inverted list is dozens of row-group-sized files
+    * whose per-file open/footer cost dominates a probe. Compaction
+    * rewrites exactly that partition's rows into one file; every other
+    * partition is untouched (maintenance cost stays proportional to
+    * the compacted list, like append's delta-proportionality), and the
+    * row set is unchanged, so searches before ≡ after. Contract: a
+    * stop-the-world maintenance step like [[Layout.compact]] — no
+    * concurrent reader/writer on the index during the swap (the
+    * OCC-versioned Upsert is the engine's concurrent-publish path; an
+    * index needing lock-free compaction would live behind it).
+    * Returns (files before, files after).
+    */
+  def ivfCompactPartition(spark: org.apache.spark.sql.SparkSession,
+      path: String, centroid: Int): (Int, Int) = {
+    import org.apache.hadoop.fs.Path
+    val part = new Path(s"$path/centroid=$centroid")
+    val fs = part.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def dataFiles() = fs.listStatus(part)
+      .filter(_.getPath.getName.endsWith(".parquet")).map(_.getPath)
+    val originals = dataFiles()
+    val tmp = new Path(s"$path/.compact_tmp_centroid_$centroid")
+    spark.read.parquet(part.toString).coalesce(1)
+      .write.mode("overwrite").parquet(tmp.toString)
+    // publish order: compacted file in first (distinct name), originals
+    // out after — a crash in between leaves duplicate rows, which the
+    // stop-the-world contract makes unobservable (re-run the compaction
+    // or delete the compact- file to recover; no data is ever lost)
+    fs.listStatus(tmp).map(_.getPath)
+      .filter(_.getName.endsWith(".parquet")).zipWithIndex.foreach {
+        case (f, i) =>
+          val dest = new Path(part, s"compact-${System.nanoTime()}-$i.parquet")
+          require(fs.rename(f, dest), s"compaction publish failed: $f -> $dest")
+      }
+    originals.foreach(f => fs.delete(f, false))
+    fs.delete(tmp, true)
+    (originals.length, dataFiles().length)
+  }
+
   /** Search a persisted IVF index: the centroid filter prunes partitions
     * before any file is opened; exact top-k inside the probed lists.
     */

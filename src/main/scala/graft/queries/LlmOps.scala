@@ -1196,6 +1196,31 @@ object LlmOps {
       .filter(col("n_shared") >= minShared)
   }
 
+  /** Incremental WINNOW ingest gate — the fourth member of the
+    * batch-vs-corpus family (exact, LSH, embedding, now winnowing):
+    * fingerprints of the incoming batch (doc_id % 10 == 0, the shared
+    * crawl-delta simulation) joined against the corpus's fingerprints
+    * ONLY — never batch×batch or corpus×corpus — so gating a delta
+    * costs the delta's kernel pass plus one fingerprint-keyed join
+    * against the (persisted, at scale) corpus fingerprint table, with
+    * the winnowing recall guarantee carried over: any batch document
+    * sharing a ≥ n+w−1-token run with a corpus document is caught.
+    * The batch side is delta-sized → broadcast; corpus side streams.
+    */
+  def winnowIncrPairs(spark: SparkSession, dir: String, n: Int = 5,
+      w: Int = 4, minShared: Long = 2): DataFrame = {
+    val fps = Tables.load(spark, dir, "documents")
+      .select(col("doc_id"),
+        explode(graft.functions.GraftFunctions.winnowHashes(col("text"), n, w))
+          .as("fp"))
+    val batch = fps.filter(col("doc_id") % 10 === 0)
+    val corpus = fps.filter(col("doc_id") % 10 =!= 0)
+    batch.as("a").join(corpus.as("b"), col("a.fp") === col("b.fp"))
+      .groupBy(col("a.doc_id").as("doc_batch"), col("b.doc_id").as("doc_corpus"))
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+  }
+
   // ---------------------------------------------------------- similarity
 
   /** Driver-side parameter lookup: the query vector (vec_id 0). This is a
@@ -2053,6 +2078,27 @@ object LlmOps {
       |  FROM fp a JOIN fp b ON a.fp = b.fp AND a.doc_id < b.doc_id
       |  GROUP BY 1, 2)
       |SELECT doc_a, doc_b, n_shared FROM pairs WHERE n_shared >= 2""".stripMargin
+
+  /** Mirrors winnowIncrPairs: same fingerprint CTE, batch×corpus join
+    * only (the % 10 split), same threshold.
+    */
+  val winnowIncrPairsSql: String =
+    """WITH toks AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS t
+      |  FROM documents),
+      |g AS (SELECT doc_id, i - 1 AS pos,
+      |    ('0x' || substr(md5(array_to_string(t[i:i+4], ' ')), 1, 15))::BIGINT AS h
+      |  FROM toks, unnest([x for x in range(1, len(t) - 3)]) s(i)
+      |  WHERE len(t) >= 5),
+      |fp AS (SELECT DISTINCT doc_id, mh AS fp FROM (
+      |  SELECT doc_id, min(h) OVER (PARTITION BY doc_id ORDER BY pos
+      |    ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS mh FROM g)),
+      |pairs AS (SELECT a.doc_id AS doc_batch, b.doc_id AS doc_corpus,
+      |    count(*)::BIGINT AS n_shared
+      |  FROM fp a JOIN fp b ON a.fp = b.fp
+      |    AND a.doc_id % 10 = 0 AND b.doc_id % 10 <> 0
+      |  GROUP BY 1, 2)
+      |SELECT doc_batch, doc_corpus, n_shared FROM pairs
+      |WHERE n_shared >= 2""".stripMargin
 
   val embedTopKSql: String =
     """SELECT e.vec_id,

@@ -266,5 +266,23 @@ class SimilaritySpec extends SparkSpec {
     val rf = Similarity.ivfSearchIndexed(spark, full, fit, q, 10)
       .collect().map(r => (r.getLong(0), r.getDouble(1)))
     assert(ra.sameElements(rf))
+
+    // --- compaction: the small-file follow-up. Append left the hot
+    // partitions with base+delta files; compacting ONE partition must
+    // collapse it to a single file, leave every other partition's files
+    // byte-identical, and change no search result.
+    val centroids = spark.read.parquet(inc).select("centroid")
+      .distinct().collect().map(_.getInt(0)).sorted
+    val target = centroids.head
+    def filesOf(c: Int) = new java.io.File(s"$inc/centroid=$c")
+      .listFiles().filter(_.getName.endsWith(".parquet")).map(_.getName).toSet
+    val othersBefore = centroids.tail.map(c => c -> filesOf(c)).toMap
+    val (before, after) = Similarity.ivfCompactPartition(spark, inc, target)
+    assert(after == 1 && before >= 1, s"$before -> $after files")
+    centroids.tail.foreach(c =>
+      assert(filesOf(c) === othersBefore(c), s"partition $c was touched"))
+    val rc = Similarity.ivfSearchIndexed(spark, inc, fit, q, 10)
+      .collect().map(r => (r.getLong(0), r.getDouble(1)))
+    assert(rc.sameElements(rf), "compaction changed search results")
   }
 }

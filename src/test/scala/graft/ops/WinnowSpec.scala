@@ -64,6 +64,22 @@ class WinnowSpec extends SparkSpec {
     assert(got.head._2 === (fa intersect fb).size.toLong)
   }
 
+  test("winnowIncrPairs: exactly the batch-x-corpus slice of the brute-force pairs") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select("doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val fps = docs.map { case (id, t) => id -> refFingerprints(t) }
+    val expected = (for {
+      (a, fa) <- fps if a % 10 == 0
+      (b, fb) <- fps if b % 10 != 0
+      shared = (fa intersect fb).size
+      if shared >= 2
+    } yield (a, b) -> shared.toLong).toMap
+    val got = LlmOps.winnowIncrPairs(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(got === expected)
+  }
+
   test("fingerprint density: ~2/(w+1) of the gram stream, never above 2x that") {
     val docs = spark.read.parquet(s"$sf/documents.parquet")
       .select("text").collect().map(_.getString(0))
