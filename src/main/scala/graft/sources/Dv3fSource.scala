@@ -190,11 +190,13 @@ class Dv3fTable(props: Map[String, String]) extends Table with SupportsRead {
   * double-filtering).
   */
 class Dv3fScanBuilder(options: Map[String, String]) extends ScanBuilder
-    with SupportsPushDownFilters with SupportsPushDownRequiredColumns {
+    with SupportsPushDownFilters with SupportsPushDownRequiredColumns
+    with SupportsPushDownLimit {
   import org.apache.spark.sql.sources.{EqualTo, Filter}
 
   private var scopeEq: Option[String] = None
   private var codeEq: Option[String] = None
+  private var limit: Option[Int] = None
   private var required: StructType = Dv3fSource.schema
 
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
@@ -209,14 +211,28 @@ class Dv3fScanBuilder(options: Map[String, String]) extends ScanBuilder
     (scopeEq.map(v => EqualTo("scope", v): Filter) ++
       codeEq.map(v => EqualTo("code", v): Filter)).toArray
 
+  /** Limit pushdown (SupportsPushDownLimit): each partition reader
+    * caps its output at `limit` rows, which — because pages are
+    * fetched LAZILY, one `next` follow per drained page — stops the
+    * HTTP page chain as soon as the cap is met: a `LIMIT 10` probe
+    * against a deep paginated endpoint costs one page per partition,
+    * not the full drain. Returning false keeps Spark's own global
+    * LIMIT as the residual (per-partition caps alone cannot implement
+    * a global limit across partitions), so this is a pure fetch-cost
+    * optimization with unchanged semantics.
+    */
+  override def pushLimit(l: Int): Boolean = { limit = Some(l); false }
+
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
 
-  override def build(): Scan = new Dv3fScan(options, scopeEq, codeEq, required)
+  override def build(): Scan =
+    new Dv3fScan(options, scopeEq, codeEq, required, limit)
 }
 
 class Dv3fScan(options: Map[String, String], scopeEq: Option[String],
-    codeEq: Option[String], required: StructType) extends Scan with Batch {
+    codeEq: Option[String], required: StructType,
+    limit: Option[Int] = None) extends Scan with Batch {
   private val path = options.getOrElse("path",
     throw new IllegalArgumentException("dv3f source requires option 'path'"))
 
@@ -224,7 +240,7 @@ class Dv3fScan(options: Map[String, String], scopeEq: Option[String],
   override def toBatch: Batch = this
   override def description(): String =
     s"dv3f path=$path pushed=[${(scopeEq.map("scope=" + _) ++
-      codeEq.map("code=" + _)).mkString(", ")}] " +
+      codeEq.map("code=" + _) ++ limit.map("limit=" + _)).mkString(", ")}] " +
       s"columns=[${required.fieldNames.mkString(", ")}]"
 
   /** Planning: explicit `scopes` option ("departement:85,region:11") or
@@ -271,17 +287,17 @@ class Dv3fScan(options: Map[String, String], scopeEq: Option[String],
     val hardened = new RetryingFetcher(fetcher,
       maxRetries = options.getOrElse("fetchretries", "3").toInt,
       baseBackoffMs = options.getOrElse("fetchbackoffms", "100").toLong)
-    new Dv3fReaderFactory(hardened, required)
+    new Dv3fReaderFactory(hardened, required, limit)
   }
 }
 
 case class Dv3fPartition(scope: String, code: String) extends InputPartition
 
-class Dv3fReaderFactory(fetcher: PageFetcher, required: StructType)
-    extends PartitionReaderFactory {
+class Dv3fReaderFactory(fetcher: PageFetcher, required: StructType,
+    limit: Option[Int] = None) extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val p = partition.asInstanceOf[Dv3fPartition]
-    new Dv3fPartitionReader(fetcher, p.scope, p.code, required)
+    new Dv3fPartitionReader(fetcher, p.scope, p.code, required, limit)
   }
 }
 
@@ -299,12 +315,13 @@ class Dv3fReaderFactory(fetcher: PageFetcher, required: StructType)
   * terminates for any fetcher (file name or URL alike).
   */
 class Dv3fPartitionReader(fetcher: PageFetcher, scope: String, code: String,
-    required: StructType) extends PartitionReader[InternalRow] {
+    required: StructType, limit: Option[Int] = None)
+    extends PartitionReader[InternalRow] {
 
   // column pruning: emit only the pruned schema's fields, in its order
   private val fieldIdx: Array[String] = required.fieldNames
 
-  private val rows: Iterator[InternalRow] = {
+  private val rows: Iterator[InternalRow] = limit.foldLeft {
     val visited = scala.collection.mutable.Set[String](
       fetcher.firstLocator(scope, code))
     val pages: Iterator[JsonNode] = Iterator.iterate(
@@ -322,6 +339,11 @@ class Dv3fPartitionReader(fetcher: PageFetcher, scope: String, code: String,
           s"empty or malformed payload for ($scope, $code)") // extract_load.py:92-94
       flattenPage(results)
     }
+  } { (it, l) =>
+    // pushed-down limit: take(l) on the lazy page chain — once l rows
+    // have been emitted no further `next` is ever followed, whatever
+    // the downstream consumer does with the iterator
+    it.take(l)
   }
 
   private def flattenPage(results: JsonNode): Iterator[InternalRow] =

@@ -97,6 +97,32 @@ class Dv3fSourceSpec extends SparkSpec {
       s"$base/departement?code=85&page=2"))
   }
 
+  test("limit pushdown: a LIMIT within page 1 never fetches page 2") {
+    FakeHttpServer.reset()
+    val base = "http://fake-api.test/v1"
+    FakeHttpServer.pages = Map(
+      s"$base/departement?code=85&page=1" ->
+        """{"count":3,"next":"http://fake-api.test/v1/departement?code=85&page=2",
+          |"previous":null,
+          |"results":[{"annee":"2019","dep":"85","libdep":"V","nbtrans_cod111":7.0},
+          |           {"annee":"2020","dep":"85","libdep":"V","nbtrans_cod111":8.0}]}""".stripMargin,
+      s"$base/departement?code=85&page=2" ->
+        """{"count":3,"next":null,"previous":null,
+          |"results":[{"annee":"2021","dep":"85","libdep":"V","nbtrans_cod111":9.0}]}""".stripMargin)
+    val df = spark.read.format("dv3f")
+      .option("path", base)
+      .option("fetcher", classOf[FakeHttpPageFetcher].getName)
+      .option("scopes", "departement:85")
+      .load()
+    assert(df.limit(2).collect().length == 2)
+    // page 1 yields 2 rows >= the pushed limit, so the page chain stops
+    // before page 2 — a LIMIT probe must not drain a deep endpoint
+    assert(FakeHttpServer.gets == List(s"$base/departement?code=85&page=1"))
+    // and the pushed limit is visible in the scan description
+    val desc = df.limit(2).queryExecution.executedPlan.toString
+    assert(desc.contains("limit=2"), desc)
+  }
+
   test("non-numeric metric fields are skipped, not coerced to 0.0") {
     val dir = Files.createTempDirectory("dv3fsrc_nn").toFile
     writePayload(dir, "departement", "85",
