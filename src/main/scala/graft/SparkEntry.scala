@@ -182,6 +182,7 @@ object SparkEntry {
     // — curation: per-language gate, training-order shuffle, projection
     "q_quality_stratified" -> (Curation.qualityStratifiedGate(_, _)),
     "q_shuffle_batches" -> ((s, d) => Curation.shuffleBatches(s, d)),
+    "q_shard_manifest" -> ((s, d) => Curation.shardManifest(s, d)),
     "q_embed_project" -> ((s, d) => LlmOps.embedProject(s, d)),
     "q_range_bounds" -> (Physical.rangeBounds(_, _)),
     "q_zorder_scan" -> (Maintenance.zorderScan(_, _)),
@@ -450,6 +451,7 @@ object SparkEntry {
     "q_zonemap_scan" -> Maintenance.zonemapScanSql,
     "q_quality_stratified" -> Curation.qualityStratifiedGateSql,
     "q_shuffle_batches" -> Curation.shuffleBatchesSql,
+    "q_shard_manifest" -> Curation.shardManifestSql,
     "q_embed_project" -> LlmOps.embedProjectSql,
     "q_range_bounds" -> Physical.rangeBoundsSql,
     "q_zorder_scan" -> Maintenance.zorderScanSql,

@@ -330,6 +330,45 @@ object Curation {
         (col("pos") % batchSize).cast("int").as("pos_in_batch"))
   }
 
+  /** Deterministic SHARD MANIFEST for dataset delivery (the
+    * WebDataset/ocean-of-tar-shards handoff every training run starts
+    * from): the [[shuffleBatches]] order partitions the corpus into
+    * fixed-size shards, and the manifest records per shard the doc
+    * count, total characters, and an ENGINE-PORTABLE content digest —
+    * md5 over the comma-joined doc_ids in shard order — so a consumer
+    * (or a re-run on another engine) can verify shard assignment and
+    * ordering without touching payload bytes. Digest state is bounded:
+    * a shard is `batchSize` docs by construction, so the per-group
+    * collect/sort is O(batchSize), never corpus-sized — the same
+    * bounded-group argument as chunking. One doc-keyed join carries
+    * n_chars; the rank underneath is the two-pass sharded formulation
+    * (no single-reducer window).
+    */
+  def shardManifest(spark: SparkSession, dir: String, batchSize: Int = 64,
+      seed: String = "s42"): DataFrame = {
+    val assigned = shuffleBatches(spark, dir, batchSize, seed)
+    val chars = Tables.load(spark, dir, "documents")
+      .select(col("doc_id"), col("n_chars"))
+    assigned.join(chars, Seq("doc_id"))
+      .groupBy(col("batch"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).cast("long").as("n_chars"),
+        md5(concat_ws(",", transform(
+          sort_array(collect_list(struct(col("pos_in_batch"), col("doc_id")))),
+          s => s.getField("doc_id").cast("string")))).as("content_md5"))
+      .select(col("batch").as("shard"), col("n_docs"), col("n_chars"),
+        col("content_md5"))
+  }
+
+  val shardManifestSql: String =
+    """WITH r AS (SELECT doc_id, n_chars,
+      |    row_number() OVER (ORDER BY md5(doc_id::VARCHAR || '_s42'), doc_id) - 1 AS pos
+      |  FROM documents)
+      |SELECT CAST(pos // 64 AS INT) AS shard, count(*)::BIGINT AS n_docs,
+      |  CAST(sum(n_chars) AS BIGINT) AS n_chars,
+      |  md5(string_agg(doc_id::VARCHAR, ',' ORDER BY pos)) AS content_md5
+      |FROM r GROUP BY 1""".stripMargin
+
   val shuffleBatchesSql: String =
     """SELECT doc_id, CAST((rn - 1) // 64 AS INT) AS batch,
       |  CAST((rn - 1) % 64 AS INT) AS pos_in_batch

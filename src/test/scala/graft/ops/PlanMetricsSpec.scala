@@ -19,6 +19,23 @@ class PlanMetricsSpec extends SparkSpec {
     assert(PlanMetrics.shuffleBytesWritten(df) === 0L)
   }
 
+  test("winnow pairs: the gram stream never shuffles — only candidate pairs do") {
+    val df = LlmOps.winnowPairs(spark, sf)
+    df.collect()
+    // the kernel keeps tokenize→gram→hash→window-min→dedup map-side; at
+    // bench scale the fingerprint self-join broadcasts, so the ONE
+    // exchange carries candidate pairs — orders of magnitude fewer rows
+    // than the gram stream the rejected window formulation shuffled
+    assert(PlanMetrics.exchangeCount(df) === 1)
+    val grams = Tables.load(spark, sf, "documents")
+      .select(explode(graft.functions.GraftFunctions
+        .tokenGramHashes(col("text"), 5)).as("h")).count()
+    val crossed = PlanMetrics.shuffleRecordsWritten(df)
+    assert(crossed < grams / 10,
+      s"pair exchange carried $crossed rows vs $grams grams")
+    graft.ops.CacheBin.releaseAll()
+  }
+
   test("hash sampling is map-only at runtime") {
     val df = Sampling.hashSample(
       Tables.load(spark, sf, "documents"), col("doc_id"), pct = 25)
