@@ -246,6 +246,14 @@ object ScaleBench {
       // time must stay ∝ k with a flat exchange count
       val (ccdSec, ccdRows, ccdEx) = bestIf("cdc_chunks")(
         queries.LlmOps.cdcChunkDedup(spark, dir))
+      // CCNet LM-score terciles: the per-language ntile window is the
+      // op's documented scale seam (it sorts language-sized groups).
+      // Replica tags multiply the VOCAB but replicas keep the same
+      // language labels, so each language's group grows ∝ k — this
+      // cell measures exactly the window-at-scale cost the docstring's
+      // sharded-rank swap-in would remove
+      val (pbSec, pbRows, pbEx) = bestIf("ppl_buckets")(
+        queries.LlmOps.pplBuckets(spark, dir))
       // winnowing: the kernel fingerprint stream is map-side;
       // replica-disjoint gram spaces ⇒ fingerprints and
       // shared-fingerprint pairs both grow ∝ k; the only corpus
@@ -285,7 +293,8 @@ object ScaleBench {
         "vocab_overlap" -> (voSec, voRows, voEx),
         "cdc_chunks" -> (ccdSec, ccdRows, ccdEx),
         "winnow_pairs" -> (wnSec, wnRows, wnEx),
-        "kcore" -> (kcSec, kcRows, kcEx))
+        "kcore" -> (kcSec, kcRows, kcEx),
+        "ppl_buckets" -> (pbSec, pbRows, pbEx))
         .filter { case (op, _) => wanted(op) }
       row.foreach { case (op, (s, r, e)) =>
         println(s"""{"scale":$k,"op":"$op","sec":$s,"rows":$r,"exchanges":$e}""")
