@@ -113,6 +113,7 @@ object SparkEntry {
     "q_bpe_pairs" -> ((s, d) => LlmOps.bpePairCounts(s, d)),
     "q_collocations" -> ((s, d) => LlmOps.collocations(s, d)),
     "q_lang_diversity" -> (LlmOps.langDiversity(_, _)),
+    "q_token_drift" -> ((s, d) => LlmOps.tokenDrift(s, d)),
     "q_vocab_overlap" -> (LlmOps.vocabOverlap(_, _)),
     "q_bm25_topk" -> ((s, d) => LlmOps.bm25TopK(s, d)),
     "q_hybrid_rrf" -> ((s, d) => LlmOps.hybridRrf(s, d)),
@@ -408,6 +409,7 @@ object SparkEntry {
     "q_bpe_pairs" -> LlmOps.bpePairCountsSql,
     "q_collocations" -> LlmOps.collocationsSql,
     "q_lang_diversity" -> LlmOps.langDiversitySql,
+    "q_token_drift" -> LlmOps.tokenDriftSql,
     "q_vocab_overlap" -> LlmOps.vocabOverlapSql,
     "q_bm25_topk" -> LlmOps.bm25TopKSql,
     "q_hybrid_rrf" -> LlmOps.hybridRrfSql,

@@ -775,6 +775,66 @@ object LlmOps {
       |FROM bg JOIN uni ua ON ua.tok = a JOIN uni ub ON ub.tok = b, n
       |ORDER BY lift DESC, a, b LIMIT 20""".stripMargin
 
+  /** Ingest DRIFT monitor: per-token divergence between two source
+    * cohorts (sources 0–9 vs 10–19 — the old-crawl/new-crawl split a
+    * pipeline compares before admitting a snapshot). Score is the
+    * token's chi-square contribution in cross-multiplied form,
+    * (o_a·n_b − o_b·n_a)² / (n_a·n_b·(o_a+o_b)): rate-difference
+    * squared, scaled so common and rare tokens are comparable. Counts
+    * are exact int64; the score is built from them in ONE fixed
+    * double-expression tree mirrored by the oracle (products < 2^53
+    * at bench scale so every double is bit-identical — the
+    * collocations argument). A top-k of drifted tokens, not a single
+    * total: a corpus-wide chi-square SUM would be a float reduction
+    * whose value depends on aggregation order — not hash-comparable —
+    * while per-row arithmetic is, and the per-token view is what an
+    * operator actually debugs with.
+    *
+    * Shape at 100 TB: one token-keyed count aggregate (map-side
+    * combine; conditional sums, so both cohorts ride one pass), a
+    * 1-row totals broadcast, TakeOrdered top-k. Nothing else.
+    */
+  def tokenDrift(spark: SparkSession, dir: String, k: Int = 25,
+      minTotal: Long = 20): DataFrame = {
+    val toks = Tables.load(spark, dir, "documents")
+      .select((regexp_extract(col("source"), "(\\d+)$", 1).cast("int") < 10)
+        .as("ca"),
+        explode(TextAnalysis.tokens(col("text"))).as("token"))
+    val counts = toks.groupBy(col("token"))
+      .agg(sum(when(col("ca"), 1L).otherwise(0L)).as("o_a"),
+        sum(when(col("ca"), 0L).otherwise(1L)).as("o_b"))
+    val totals = counts.agg(sum(col("o_a")).as("n_a"), sum(col("o_b")).as("n_b"))
+    counts.filter(col("o_a") + col("o_b") >= minTotal)
+      .crossJoin(broadcast(totals))
+      .withColumn("d",
+        col("o_a").cast(DoubleType) * col("n_b").cast(DoubleType) -
+          col("o_b").cast(DoubleType) * col("n_a").cast(DoubleType))
+      .withColumn("drift", round(
+        col("d") * col("d") /
+          (col("n_a").cast(DoubleType) * col("n_b").cast(DoubleType) *
+            (col("o_a") + col("o_b")).cast(DoubleType)), 6))
+      .select(col("token"), col("o_a"), col("o_b"), col("drift"))
+      .orderBy(col("drift").desc, col("token"))
+      .limit(k)
+  }
+
+  val tokenDriftSql: String =
+    """WITH toks AS (SELECT
+      |    CAST(regexp_extract(source, '(\d+)$', 1) AS INT) < 10 AS ca,
+      |    unnest(string_split_regex(trim(text), '\s+')) AS token
+      |  FROM documents),
+      |c AS (SELECT token,
+      |    sum(CASE WHEN ca THEN 1 ELSE 0 END)::BIGINT AS o_a,
+      |    sum(CASE WHEN ca THEN 0 ELSE 1 END)::BIGINT AS o_b
+      |  FROM toks GROUP BY 1),
+      |t AS (SELECT sum(o_a)::BIGINT AS n_a, sum(o_b)::BIGINT AS n_b FROM c)
+      |SELECT token, o_a, o_b,
+      |  round((o_a::DOUBLE * n_b::DOUBLE - o_b::DOUBLE * n_a::DOUBLE) *
+      |        (o_a::DOUBLE * n_b::DOUBLE - o_b::DOUBLE * n_a::DOUBLE) /
+      |    (n_a::DOUBLE * n_b::DOUBLE * (o_a + o_b)::DOUBLE), 6) AS drift
+      |FROM c, t WHERE o_a + o_b >= 20
+      |ORDER BY drift DESC, token LIMIT 25""".stripMargin
+
   /** Per-language token-distribution health: Simpson diversity
     * 1 − Σ tf²/N² (the collision probability of two random tokens — low
     * diversity flags template/boilerplate-heavy slices a dedup pass

@@ -53,6 +53,34 @@ class RetrievalSpec extends SparkSpec {
     }
   }
 
+  test("tokenDrift equals a driver-side recomputation over exact counts") {
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+      .select("source", "text")
+      .collect().map(r => (r.getString(0), r.getString(1)))
+    val oA = scala.collection.mutable.Map.empty[String, Long]
+    val oB = scala.collection.mutable.Map.empty[String, Long]
+    docs.foreach { case (src, text) =>
+      val a = src.replaceAll("^\\D+", "").toInt < 10
+      text.trim.split("\\s+").foreach { t =>
+        val m = if (a) oA else oB
+        m(t) = m.getOrElse(t, 0L) + 1
+      }
+    }
+    val (nA, nB) = (oA.values.sum.toDouble, oB.values.sum.toDouble)
+    val want = (oA.keySet ++ oB.keySet).toSeq
+      .map { t =>
+        val (a, b) = (oA.getOrElse(t, 0L), oB.getOrElse(t, 0L))
+        val d = a.toDouble * nB - b.toDouble * nA
+        (t, a, b, math.round(d * d / (nA * nB * (a + b).toDouble) * 1e6) / 1e6)
+      }
+      .filter { case (_, a, b, _) => a + b >= 20 }
+      .sortBy { case (t, _, _, s) => (-s, t) }
+      .take(25)
+    val got = LlmOps.tokenDrift(spark, dir)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(got.toSeq === want)
+  }
+
   test("pplBuckets: rank-based terciles are balanced, exhaustive and ordered") {
     val docs = spark.read.parquet(s"$dir/documents.parquet")
       .groupBy("lang").count()
