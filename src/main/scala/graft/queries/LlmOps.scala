@@ -1244,9 +1244,15 @@ object LlmOps {
   def winnowPairs(spark: SparkSession, dir: String, n: Int = 5, w: Int = 4,
       minShared: Long = 2): DataFrame = {
     val docs = Tables.load(spark, dir, "documents")
-    val fp = CacheBin.pin(docs.select(col("doc_id"),
+    // no cache pin: the stream is one codegen'd kernel call off the
+    // scan, so evaluating it per join side costs the same as a cache
+    // write + two deserializing cache reads at bench scale (A/B'd,
+    // within noise) — and at corpus scale caching a fingerprint
+    // stream ~40% the corpus size is the same rejected trade as the
+    // bigram-LM vocab cache, so the uncached form wins on principle
+    val fp = docs.select(col("doc_id"),
       explode(graft.functions.GraftFunctions.winnowHashes(col("text"), n, w))
-        .as("fp")))
+        .as("fp"))
     fp.as("a").join(fp.as("b"),
         col("a.fp") === col("b.fp") && col("a.doc_id") < col("b.doc_id"))
       .repartition(Dedup.pairExchangeParallelism(docs),
