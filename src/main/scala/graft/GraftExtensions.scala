@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
 import org.apache.spark.sql.types.IntegerType
 
-import graft.functions.{ChunkRows, CosineSim, DotI8, DotProd, QuantizeI8, QuantizeScale, RepetitionStats, SimHash60, TokenChunks, WordShingles}
+import graft.functions.{ChunkRows, CosineSim, DotI8, DotProd, QuantizeI8, QuantizeScale, RepetitionStats, SimHash60, TokenChunks, TokenGramHashes, WinnowHashes, WordShingleHashes, WordShingles}
 
 /** SparkSessionExtensions hook (SURVEY.md §4.3.4): registers the graft
   * custom expressions as SQL functions so `spark.sql` users get them too
@@ -76,5 +76,30 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction((FunctionIdentifier("dot_i8"),
       info("dot_i8", "dot_i8(a, b) - exact integer dot product of int8 code arrays"),
       (exprs: Seq[Expression]) => DotI8(exprs(0), exprs(1))))
+    ext.injectFunction((FunctionIdentifier("word_shingle_hashes"),
+      info("word_shingle_hashes",
+        "word_shingle_hashes(text, n) - hash60 of each distinct word n-gram, first-occurrence order"),
+      (exprs: Seq[Expression]) => exprs match {
+        case Seq(text, Literal(n: Int, IntegerType)) => WordShingleHashes(text, n)
+        case _ => throw new IllegalArgumentException(
+          "word_shingle_hashes(text, n) requires a literal int n")
+      }))
+    ext.injectFunction((FunctionIdentifier("token_gram_hashes"),
+      info("token_gram_hashes",
+        "token_gram_hashes(text, n) - hash60 of the n-gram at every position, duplicates kept"),
+      (exprs: Seq[Expression]) => exprs match {
+        case Seq(text, Literal(n: Int, IntegerType)) => TokenGramHashes(text, n)
+        case _ => throw new IllegalArgumentException(
+          "token_gram_hashes(text, n) requires a literal int n")
+      }))
+    ext.injectFunction((FunctionIdentifier("winnow_hashes"),
+      info("winnow_hashes",
+        "winnow_hashes(text, n, w) - distinct w-window minima of the positional n-gram hash stream (MOSS winnowing fingerprints)"),
+      (exprs: Seq[Expression]) => exprs match {
+        case Seq(text, Literal(n: Int, IntegerType), Literal(w: Int, IntegerType)) =>
+          WinnowHashes(text, n, w)
+        case _ => throw new IllegalArgumentException(
+          "winnow_hashes(text, n, w) requires literal int n/w")
+      }))
   }
 }

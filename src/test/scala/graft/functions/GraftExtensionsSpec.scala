@@ -13,6 +13,25 @@ class GraftExtensionsSpec extends SparkSpec {
     assert(viaSql == Seq("a b c", "b c d"))
   }
 
+  test("gram-hash and winnow kernels are callable from SQL and match the Column API") {
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    val text = "a b c d e f g h"
+    val df = Seq(text).toDF("t")
+    def viaCol(c: org.apache.spark.sql.Column): Seq[Long] =
+      df.select(c).collect()(0).getSeq[Long](0)
+    val sqlRow = spark.sql(
+      s"""SELECT word_shingle_hashes('$text', 3) AS ws,
+         |       token_gram_hashes('$text', 3) AS tg,
+         |       winnow_hashes('$text', 3, 4) AS wn""".stripMargin).collect()(0)
+    assert(sqlRow.getSeq[Long](0) ==
+      viaCol(GraftFunctions.wordShingleHashes(col("t"), 3)))
+    assert(sqlRow.getSeq[Long](1) ==
+      viaCol(GraftFunctions.tokenGramHashes(col("t"), 3)))
+    assert(sqlRow.getSeq[Long](2) ==
+      viaCol(GraftFunctions.winnowHashes(col("t"), 3, 4)))
+  }
+
   test("simhash60 from SQL equals Dedup.simHash") {
     import org.apache.spark.sql.functions.col
     import spark.implicits._
