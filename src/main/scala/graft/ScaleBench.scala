@@ -275,6 +275,16 @@ object ScaleBench {
         graft.ops.CacheBin.releaseAll()
         r
       }
+      // ingest drift: one conditional-sum token aggregate + a 1-row
+      // broadcast + TakeOrdered — must scale like the sketch family
+      // (time ∝ k, flat 25-row output, flat exchanges)
+      val (tdSec, tdRows, tdEx) = bestIf("token_drift")(
+        queries.LlmOps.tokenDrift(spark, dir))
+      // shard manifest: two-pass sharded rank + per-shard digest whose
+      // collect state is bounded at batchSize=64 structs — output rows
+      // ∝ k (shards ∝ docs), no ObjectHashAggregate blowup
+      val (smSec, smRows, smEx) = bestIf("shard_manifest")(
+        queries.Curation.shardManifest(spark, dir))
       val row = scala.collection.immutable.ListMap(
         "lsh_pairs" -> (lshSec, lshRows, lshEx),
         "cc_distributed" -> (ccSec, ccRows, ccEx),
@@ -294,7 +304,9 @@ object ScaleBench {
         "cdc_chunks" -> (ccdSec, ccdRows, ccdEx),
         "winnow_pairs" -> (wnSec, wnRows, wnEx),
         "kcore" -> (kcSec, kcRows, kcEx),
-        "ppl_buckets" -> (pbSec, pbRows, pbEx))
+        "ppl_buckets" -> (pbSec, pbRows, pbEx),
+        "token_drift" -> (tdSec, tdRows, tdEx),
+        "shard_manifest" -> (smSec, smRows, smEx))
         .filter { case (op, _) => wanted(op) }
       row.foreach { case (op, (s, r, e)) =>
         println(s"""{"scale":$k,"op":"$op","sec":$s,"rows":$r,"exchanges":$e}""")
