@@ -66,6 +66,30 @@ object Dedup {
     math.min(4096L, math.max(base, byBytes)).toInt
   }
 
+  /** Parallelism for a RAW-ROW key exchange feeding an interpreted
+    * stage (object aggregate + generator): same bytes-proportional
+    * growth as [[pairExchangeParallelism]] but floored at a small
+    * constant instead of the session's shuffle parallelism. Pinning an
+    * explicit N here does two things AQE's coalescing would undo:
+    * keeps the interpreted consumer stage parallel (a sub-advisory
+    * shuffle otherwise coalesces to 1 task and serializes it —
+    * measured 0.40 s → 0.27 s on q_winnow_pairs at sf0.1), and ships
+    * raw rows instead of running a map-side ObjectHashAggregate
+    * partial that combines ~nothing on near-unique keys while paying
+    * the buffer build twice. The floor stays small because the raw
+    * stream at tiny inputs is sub-MB — a session-parallelism-wide
+    * exchange pays more in task waves than the extra cores buy.
+    */
+  private[graft] def streamExchangeParallelism(df: DataFrame,
+      floor: Int = 8): Int = {
+    val bytes = df.queryExecution.optimizedPlan.stats.sizeInBytes
+    val byBytes =
+      if (bytes.isValidLong && bytes.toLong < (1L << 50))
+        bytes.toLong / (256L << 10)
+      else df.sparkSession.sessionState.conf.numShufflePartitions.toLong
+    math.min(4096L, math.max(floor.toLong, byBytes)).toInt
+  }
+
   def hash60(c: Column): Column =
     conv(substring(md5(c), 1, 15), 16, 10).cast(LongType)
 

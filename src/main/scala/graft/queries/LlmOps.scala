@@ -1233,31 +1233,49 @@ object LlmOps {
     * transform/slice/array_min HOF formulation allocates a slice per
     * gram), while the kernel is map-side all the way to the
     * fingerprint stream (already ~2/(w+1)× the gram stream, no
-    * distinct aggregate). The only corpus-wide exchange is the
-    * fingerprint-keyed candidate join,
-    * inverted-index-shaped like the LSH band join — linear per side,
-    * with the pair exchange sized off scan stats
-    * ([[Dedup.pairExchangeParallelism]]). (The DuckDB oracle keeps the
-    * positional window formulation — an independent re-derivation of
-    * the same selection.)
+    * distinct aggregate).
+    *
+    * Pair finding reuses the n-gram family's joinless posting plan
+    * ([[Dedup.ngramPairCounts]] doctrine): ONE fp-keyed exchange
+    * builds cap-bounded posting lists ([[graft.functions.BoundedPostings]]
+    * — a fingerprint in more than `maxDocFreq` docs is boilerplate and
+    * is dropped before any unbounded list can buffer), the
+    * [[graft.functions.LongPairs]] generator streams C(|ds|,2) pairs in
+    * O(|ds|) memory, and ONE pair-keyed exchange finishes the shared
+    * count: one documents scan, one kernel pass, 2 exchanges, 0 joins
+    * at every scale. The previous fp-keyed SELF-JOIN evaluated the
+    * kernel over the corpus twice (build + probe side), broadcast the
+    * whole fingerprint stream at bench scale, and degraded to two fp
+    * exchanges plus sorts at corpus scale.
+    *
+    * Exchange sizing differs from ngram deliberately: the fp exchange
+    * ships RAW (fp, doc_id) rows at an explicit stats-derived N
+    * ([[Dedup.streamExchangeParallelism]]) — near-unique fp keys make a
+    * map-side postings partial a pure cost, and AQE otherwise coalesces
+    * the sub-advisory shuffle to one task, serializing the interpreted
+    * postings+generator stage (measured 0.40 s → 0.27 s at sf0.1). The
+    * pair exchange stays under AQE: winnowing's ~2/(w+1) sparsification
+    * keeps pair volume at or below the fingerprint stream (no
+    * ngram-style pair explosion), so bytes-proportional AQE sizing
+    * gives the final aggregate adequate parallelism at every scale.
+    * (The DuckDB oracle keeps the positional window formulation plus
+    * the mirrored doc-freq cap — an independent re-derivation of the
+    * same selection.)
     */
   def winnowPairs(spark: SparkSession, dir: String, n: Int = 5, w: Int = 4,
-      minShared: Long = 2): DataFrame = {
+      minShared: Long = 2, maxDocFreq: Long = 1000): DataFrame = {
     val docs = Tables.load(spark, dir, "documents")
-    // no cache pin: the stream is one codegen'd kernel call off the
-    // scan, so evaluating it per join side costs the same as a cache
-    // write + two deserializing cache reads at bench scale (A/B'd,
-    // within noise) — and at corpus scale caching a fingerprint
-    // stream ~40% the corpus size is the same rejected trade as the
-    // bigram-LM vocab cache, so the uncached form wins on principle
-    val fp = docs.select(col("doc_id"),
-      explode(graft.functions.GraftFunctions.winnowHashes(col("text"), n, w))
-        .as("fp"))
-    fp.as("a").join(fp.as("b"),
-        col("a.fp") === col("b.fp") && col("a.doc_id") < col("b.doc_id"))
-      .repartition(Dedup.pairExchangeParallelism(docs),
-        col("a.doc_id"), col("b.doc_id"))
-      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+    docs.select(col("doc_id"),
+        explode(graft.functions.GraftFunctions.winnowHashes(col("text"), n, w))
+          .as("fp"))
+      .repartition(Dedup.streamExchangeParallelism(docs), col("fp"))
+      .groupBy("fp")
+      .agg(graft.functions.GraftFunctions
+        .boundedPostings(col("doc_id"), lit(0L), maxDocFreq.toInt).as("p"))
+      .filter(col("p.df") <= maxDocFreq && size(col("p.ids")) >= 2)
+      .select(graft.functions.GraftFunctions.longPairs(col("p.ids"))
+        .as(Seq("doc_a", "doc_b")))
+      .groupBy(col("doc_a"), col("doc_b"))
       .agg(count(lit(1)).as("n_shared"))
       .filter(col("n_shared") >= minShared)
   }
@@ -2126,8 +2144,9 @@ object LlmOps {
   /** Mirrors winnowPairs: the same positional 5-gram 60-bit md5 hashes
     * (TokenGramHashes' full-window contract → len(t) >= 5 and
     * range(1, len(t)-3)), the same CURRENT ROW..3 FOLLOWING window min
-    * (right-edge partial windows included), distinct fingerprints, and
-    * the ≥ 2 shared-fingerprint pair aggregate.
+    * (right-edge partial windows included), distinct fingerprints, the
+    * mirrored doc-freq ≤ 1000 stop-fingerprint cap, and the ≥ 2
+    * shared-fingerprint pair aggregate.
     */
   val winnowPairsSql: String =
     """WITH toks AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS t
@@ -2139,9 +2158,11 @@ object LlmOps {
       |fp AS (SELECT DISTINCT doc_id, mh AS fp FROM (
       |  SELECT doc_id, min(h) OVER (PARTITION BY doc_id ORDER BY pos
       |    ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS mh FROM g)),
+      |live AS (SELECT fp FROM fp GROUP BY fp HAVING count(*) <= 1000),
       |pairs AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
       |    count(*)::BIGINT AS n_shared
       |  FROM fp a JOIN fp b ON a.fp = b.fp AND a.doc_id < b.doc_id
+      |  WHERE a.fp IN (SELECT fp FROM live)
       |  GROUP BY 1, 2)
       |SELECT doc_a, doc_b, n_shared FROM pairs WHERE n_shared >= 2""".stripMargin
 

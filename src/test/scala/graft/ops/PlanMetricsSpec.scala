@@ -19,20 +19,31 @@ class PlanMetricsSpec extends SparkSpec {
     assert(PlanMetrics.shuffleBytesWritten(df) === 0L)
   }
 
-  test("winnow pairs: the gram stream never shuffles — only candidate pairs do") {
+  test("winnow pairs: one scan, two exchanges, no joins — the gram stream never shuffles") {
     val df = LlmOps.winnowPairs(spark, sf)
     df.collect()
-    // the kernel keeps tokenize→gram→hash→window-min→dedup map-side; at
-    // bench scale the fingerprint self-join broadcasts, so the ONE
-    // exchange carries candidate pairs — orders of magnitude fewer rows
-    // than the gram stream the rejected window formulation shuffled
-    assert(PlanMetrics.exchangeCount(df) === 1)
+    // the kernel keeps tokenize→gram→hash→window-min→dedup map-side, so
+    // the fp-keyed postings exchange carries the ~2/(w+1)-density
+    // fingerprint stream (never the gram stream the rejected window
+    // formulation shuffled) and the pair exchange carries candidate
+    // pairs; a third exchange, a join, or a second documents scan means
+    // the fp self-join (two kernel passes + broadcast materialization)
+    // has crept back
+    assert(PlanMetrics.exchangeCount(df) === 2,
+      s"expected fp + pair exchanges only, got ${PlanMetrics.exchangeCount(df)}")
+    val docScans = PlanMetrics.distinctFileScans(df)
+      .filter(_.metadata.get("Location").exists(_.contains("documents")))
+    assert(docScans.size === 1,
+      s"documents scanned ${docScans.size}× at runtime")
+    val joins = PlanMetrics.executedNodes(df).count(
+      _.isInstanceOf[org.apache.spark.sql.execution.joins.BaseJoinExec])
+    assert(joins === 0, s"$joins joins appeared — fp self-join crept back")
     val grams = Tables.load(spark, sf, "documents")
       .select(explode(graft.functions.GraftFunctions
         .tokenGramHashes(col("text"), 5)).as("h")).count()
     val crossed = PlanMetrics.shuffleRecordsWritten(df)
-    assert(crossed < grams / 10,
-      s"pair exchange carried $crossed rows vs $grams grams")
+    assert(crossed < grams,
+      s"exchanges carried $crossed rows vs $grams grams — gram stream shuffled")
     graft.ops.CacheBin.releaseAll()
   }
 
