@@ -102,9 +102,16 @@ public final class GraftVectors {
    *  flat codebook `cb` (laid out [ms][k][j], i.e. ms*k*d + kk*d + j),
    *  ties to the smallest id. Exact int64 arithmetic on the int8 grid —
    *  one static call per row keeps the m·k·d loop out of the generated
-   *  source, so whole-stage codegen stays small and compiles. */
+   *  source, so whole-stage codegen stays small and compiles.
+   *
+   *  The subspace width is the CODEBOOK's d = cb.length/(m*k), never
+   *  derived from the row: a vector whose length is not exactly m*d
+   *  returns null (the expression is nullable) instead of indexing the
+   *  codebook out of bounds (longer rows) or silently reading a
+   *  misaligned layout (shorter/non-divisible rows). */
   public static int[] pqEncode(ArrayData q, long[] cb, int m, int k) {
-    int d = q.numElements() / m;
+    int d = cb.length / (m * k);
+    if (q.numElements() != m * d) return null;
     int[] codes = new int[m];
     for (int ms = 0; ms < m; ms++) {
       long best = Long.MAX_VALUE;

@@ -125,7 +125,8 @@ object GraftFunctions {
     * vector against a plan-shipped flat codebook.
     */
   def pqEncode(codes: Column, cb: Array[Long], m: Int, k: Int): Column =
-    ColumnBridge.column(PqEncode(ColumnBridge.expression(codes), cb, m, k))
+    ColumnBridge.column(
+      PqEncode(ColumnBridge.expression(codes), cb.toSeq, m, k))
 
   /** Image header decode of a binary payload: [formatCode, width,
     * height] parsed from real PNG/JPEG/GIF header bytes (GraftMedia);

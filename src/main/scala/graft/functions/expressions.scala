@@ -445,8 +445,15 @@ case class DotI8(left: Expression, right: Expression)
   * codebook rides `ctx.addReferenceObj`, not a literal, so codegen
   * never renders 1024 long constants either.
   */
-case class PqEncode(child: Expression, cb: Array[Long], m: Int, k: Int)
+case class PqEncode(child: Expression, cb: Seq[Long], m: Int, k: Int)
     extends UnaryExpression {
+
+  // Seq, not Array: case-class equality on an Array is by reference,
+  // which would make two structurally identical PqEncode nodes never
+  // compare equal — defeating expression canonicalization and
+  // subexpression elimination. The kernel gets one cached primitive
+  // array, never a per-row conversion.
+  private lazy val cbArr: Array[Long] = cb.toArray
 
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
     case ArrayType(ByteType, _) =>
@@ -458,20 +465,29 @@ case class PqEncode(child: Expression, cb: Array[Long], m: Int, k: Int)
       s"$prettyName requires an array<tinyint> argument, got $other")
   }
   override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  // a row whose length does not match the codebook's m*d layout encodes
+  // to null, not to out-of-bounds codebook reads
+  override def nullable: Boolean = true
   override def prettyName: String = "pq_encode"
 
-  override protected def nullSafeEval(input: Any): Any =
-    org.apache.spark.sql.catalyst.expressions.UnsafeArrayData.fromPrimitiveArray(
-      GraftVectors.pqEncode(
-        input.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData],
-        cb, m, k))
+  override protected def nullSafeEval(input: Any): Any = {
+    val codes = GraftVectors.pqEncode(
+      input.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData],
+      cbArr, m, k)
+    if (codes == null) null
+    else org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+      .fromPrimitiveArray(codes)
+  }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
-    val cbRef = ctx.addReferenceObj("pqCodebook", cb, "long[]")
+    val cbRef = ctx.addReferenceObj("pqCodebook", cbArr, "long[]")
+    val codes = ctx.freshName("pqCodes")
     nullSafeCodeGen(ctx, ev, c =>
-      s"""${ev.value} = org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
-         |  .fromPrimitiveArray(graft.functions.GraftVectors.pqEncode($c, $cbRef, $m, $k));
-         |""".stripMargin)
+      s"""int[] $codes = graft.functions.GraftVectors.pqEncode($c, $cbRef, $m, $k);
+         |if ($codes == null) { ${ev.isNull} = true; } else {
+         |  ${ev.value} = org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+         |    .fromPrimitiveArray($codes);
+         |}""".stripMargin)
   }
 
   override protected def withNewChildInternal(newChild: Expression): PqEncode =

@@ -362,6 +362,52 @@ object Similarity {
     Array.tabulate(m, k)((ms, kk) => rows(kk).slice(ms * d, ms * d + d))
   }
 
+  /** TRAINED PQ codebook: `iters` rounds of integer k-means per
+    * subspace on the int8 grid, seeded from [[pqSeedCodebook]] — the
+    * sampled-fit production recipe (Jégou et al. 2011 train codebooks
+    * per subspace on a corpus sample; the bench corpora are small
+    * enough to use whole) replacing the seed-as-fit stand-in. Each
+    * round reuses the [[graft.functions.PqEncode]] kernel for the
+    * assignment (one map-only pass), then ONE exchange keyed on
+    * (subspace, codeword, dim) aggregates exact int64 sums/counts —
+    * m·k·d rows, parameter-sized, collected like [[kmeansFit]]'s
+    * centroid table. The codeword update stays ON the int8 grid:
+    * round-half-away-from-zero of the exact rational mean, computed in
+    * truncating int64 division — (2s ± c) / 2c — which Scala, Spark
+    * and DuckDB all define identically (toward zero), so an oracle SQL
+    * replica lands on bit-identical codebooks with no float anywhere.
+    * A codeword that loses every member keeps its previous value (the
+    * codebook must stay k entries — codes index into it).
+    */
+  def pqTrainCodebook(corpus: DataFrame, id: Column, emb: Column,
+      m: Int = 8, k: Int = 16, iters: Int = 2): Array[Array[Array[Long]]] = {
+    var cb = pqSeedCodebook(corpus, id, emb, m, k)
+    val d = cb(0)(0).length
+    for (_ <- 1 to iters) {
+      val stats = quantizeI8(corpus, emb)
+        .select(graft.functions.GraftFunctions
+            .pqEncode(col("q_i8"), cb.flatten.flatten, m, k).as("codes"),
+          posexplode(col("q_i8").cast(ArrayType(LongType))).as(Seq("j", "v")))
+        .select(expr(s"j DIV $d").cast(IntegerType).as("ms"),
+          expr(s"j % $d").cast(IntegerType).as("jj"),
+          element_at(col("codes"), expr(s"CAST(j DIV $d AS INT) + 1")).as("cw"),
+          col("v"))
+        .groupBy(col("ms"), col("cw"), col("jj"))
+        .agg(sum(col("v")).as("s"), count(lit(1)).as("c"))
+        .collect()
+        .map(r => ((r.getInt(0), r.getInt(1), r.getInt(2)),
+          (r.getLong(3), r.getLong(4))))
+        .toMap
+      cb = Array.tabulate(m, k, d) { (ms, kk, j) =>
+        stats.get((ms, kk, j)) match {
+          case Some((s, c)) => (2 * s + (if (s >= 0) c else -c)) / (2 * c)
+          case None => cb(ms)(kk)(j)
+        }
+      }
+    }
+    cb
+  }
+
   /** Encode every vector as its per-subspace nearest codeword id
     * (squared-L2 on the int8 grid; ties → smallest codeword id), as
     * one `codes` array<int> column. The argmin runs in the PqEncode

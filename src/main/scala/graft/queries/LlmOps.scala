@@ -1335,16 +1335,35 @@ object LlmOps {
     Similarity.quantizedTopK(emb, col("vec_id"), col("embedding"), qCodes, k = 10)
   }
 
+  /** TRAINED PQ codebook: `pqFitIters` rounds of integer k-means per
+    * subspace from the first-16 seed ([[Similarity.pqTrainCodebook]]),
+    * cached per corpus dir like [[fittedCentroids]] — a codebook is a
+    * parameter-sized maintenance product, trained once per corpus
+    * (FAISS-style), not per-query work. A new spec pins its recall@10
+    * strictly above the untrained seed codebook's.
+    */
+  val pqFitIters = 2
+  private val pqCbCache =
+    scala.collection.concurrent.TrieMap.empty[String, Array[Array[Array[Long]]]]
+  private def trainedPqCodebook(spark: SparkSession,
+      dir: String): Array[Array[Array[Long]]] =
+    pqCbCache.getOrElseUpdate(dir, {
+      val emb = Tables.load(spark, dir, "embeddings")
+      Similarity.pqTrainCodebook(emb, col("vec_id"), col("embedding"),
+        iters = pqFitIters)
+    })
+
   /** PQ ADC top-k (the compression tier of IVF-PQ): corpus encoded to
-    * 8 subspace codes against a 16-codeword seed codebook, query
+    * 8 subspace codes against a TRAINED 16-codeword codebook, query
     * scored by distance-table lookups — all exact int64 squared-L2 on
-    * the int8 grid, so the oracle is bit-for-bit. The query is vec 0,
-    * which is also codeword 0, so its own ADC distance is exactly 0 —
-    * a built-in self-check the oracle re-derives.
+    * the int8 grid (the integer k-means update keeps codewords on the
+    * grid), so the oracle is bit-for-bit: it replays seed → 2 training
+    * rounds → encode → ADC, verifying the TRAINING, not just the
+    * search.
     */
   def embedPqTopK(spark: SparkSession, dir: String): DataFrame = {
     val emb = Tables.load(spark, dir, "embeddings")
-    val cb = Similarity.pqSeedCodebook(emb, col("vec_id"), col("embedding"))
+    val cb = trainedPqCodebook(spark, dir)
     val qCodes = Similarity
       .quantizeI8(emb.filter(col("vec_id") === 0), col("embedding"))
       .select(col("q_i8")).collect()(0).getSeq[Byte](0).map(_.toLong).toArray
@@ -1379,7 +1398,7 @@ object LlmOps {
     val cand = spark.read.parquet(idx)
       .filter(col("centroid").isin(probed: _*))
       .select(col("vec_id"), col("e").as("embedding"))
-    val cb = Similarity.pqSeedCodebook(emb, col("vec_id"), col("embedding"))
+    val cb = trainedPqCodebook(spark, dir)
     val qCodes = Similarity
       .quantizeI8(emb.filter(col("vec_id") === 0), col("embedding"))
       .select(col("q_i8")).collect()(0).getSeq[Byte](0).map(_.toLong).toArray
@@ -2214,26 +2233,63 @@ object LlmOps {
       |ORDER BY dot_i8 DESC, e.vec_id
       |LIMIT 10""".stripMargin
 
-  /** PQ oracle: independent re-derivation of the whole PQ chain — the
-    * shared int8 quantization CTE, subspace slicing via list_slice,
-    * codeword assignment as a row_number argmin with the same (d, k)
-    * tie-break, and the ADC sum as a join back onto the query's own
-    * distance rows. Integer throughout: no rounding anywhere.
+  /** The PQ training CTE chain shared by both PQ oracles: int8
+    * quantization, subspace slicing, the first-16 seed codebook `cb0`,
+    * and `pqFitIters` unrolled integer-k-means rounds — each round
+    * re-assigns every subspace slice (row_number argmin, same (dist, k)
+    * tie-break as the PqEncode kernel) and recomputes codewords as
+    * round-half-away-from-zero of the exact int64 mean via truncating
+    * `//` — DuckDB's and Scala's integer division agree (toward zero),
+    * so the replayed codebook is bit-identical. Empty codewords keep
+    * their previous value (LEFT JOIN + COALESCE shape). CTEs referenced
+    * per round are MATERIALIZED — DuckDB's default inlining re-evaluates
+    * a chained fit multiplicatively (see KCore oracle).
     */
-  val embedPqTopKSql: String = {
+  private def pqFitCtes: String = {
     val terms = (1 to 8).map(i => s"(s[$i]-c[$i])*(s[$i]-c[$i])").mkString(" + ")
-    s"""WITH m AS (SELECT vec_id, embedding,
+    val rounds = (1 to pqFitIters).map { r =>
+      s"""pd$r AS (SELECT subs.vec_id, subs.ms, b.k, $terms AS dist
+         |  FROM subs JOIN cb${r - 1} b ON subs.ms = b.ms),
+         |pa$r AS (SELECT vec_id, ms, k FROM (
+         |    SELECT vec_id, ms, k, row_number() OVER (PARTITION BY vec_id, ms ORDER BY dist, k) AS rk
+         |    FROM pd$r) WHERE rk = 1),
+         |pg$r AS (SELECT a.ms, a.k, generate_subscripts(s.s, 1) AS j, unnest(s.s) AS v
+         |  FROM pa$r a JOIN subs s ON a.vec_id = s.vec_id AND a.ms = s.ms),
+         |pm$r AS (SELECT ms, k, j, sum(v) AS sv, count(*) AS c FROM pg$r GROUP BY 1, 2, 3),
+         |cb$r AS MATERIALIZED (
+         |  SELECT b.ms, b.k, list(CASE WHEN pm.c IS NULL THEN list_extract(b.c, gs.j)
+         |      ELSE (2*pm.sv + CASE WHEN pm.sv >= 0 THEN pm.c ELSE -pm.c END) // (2*pm.c)
+         |    END ORDER BY gs.j) AS c
+         |  FROM cb${r - 1} b CROSS JOIN range(1, 9) gs(j)
+         |  LEFT JOIN pm$r pm ON pm.ms = b.ms AND pm.k = b.k AND pm.j = gs.j
+         |  GROUP BY b.ms, b.k)""".stripMargin
+    }.mkString(",\n")
+    s"""m AS (SELECT vec_id, embedding,
        |    coalesce(127.0 / nullif(list_max(list_transform(embedding,
        |      x -> abs(x::DOUBLE))), 0), 0) AS scale
        |  FROM embeddings),
        |q8 AS (SELECT vec_id,
        |    list_transform(embedding, x -> CAST(floor(x::DOUBLE * scale + 0.5) AS BIGINT)) AS q
        |  FROM m),
-       |subs AS (SELECT vec_id, ms, list_slice(q, ms*8+1, ms*8+8) AS s
+       |subs AS MATERIALIZED (SELECT vec_id, ms, list_slice(q, ms*8+1, ms*8+8) AS s
        |  FROM q8, range(8) t(ms)),
-       |cw AS (SELECT vec_id AS k, ms, s AS c FROM subs WHERE vec_id < 16),
-       |dists AS (SELECT subs.vec_id, subs.ms, cw.k, $terms AS d
-       |  FROM subs JOIN cw ON subs.ms = cw.ms),
+       |cb0 AS MATERIALIZED (SELECT ms, vec_id::INT AS k, s AS c
+       |  FROM subs WHERE vec_id < 16),
+       |$rounds""".stripMargin
+  }
+
+  /** PQ oracle: independent re-derivation of the whole PQ chain — the
+    * shared training CTEs ([[pqFitCtes]]: quantize → seed → 2 integer
+    * k-means rounds), codeword assignment against the TRAINED codebook
+    * as a row_number argmin with the same (d, k) tie-break, and the ADC
+    * sum as a join back onto the query's own distance rows. Integer
+    * throughout: no rounding anywhere.
+    */
+  lazy val embedPqTopKSql: String = {
+    val terms = (1 to 8).map(i => s"(s[$i]-c[$i])*(s[$i]-c[$i])").mkString(" + ")
+    s"""WITH $pqFitCtes,
+       |dists AS (SELECT subs.vec_id, subs.ms, b.k, $terms AS d
+       |  FROM subs JOIN cb$pqFitIters b ON subs.ms = b.ms),
        |codes AS (SELECT vec_id, ms, k FROM (
        |    SELECT vec_id, ms, k, row_number() OVER (PARTITION BY vec_id, ms ORDER BY d, k) AS rk
        |    FROM dists) WHERE rk = 1),
@@ -2256,18 +2312,9 @@ object LlmOps {
        |  ORDER BY list_cosine_similarity(c, qe) DESC, cid LIMIT 2),
        |cand AS (SELECT vec_id FROM assigned
        |  WHERE cid IN (SELECT cid FROM probe)),
-       |m AS (SELECT vec_id, embedding,
-       |    coalesce(127.0 / nullif(list_max(list_transform(embedding,
-       |      x -> abs(x::DOUBLE))), 0), 0) AS scale
-       |  FROM embeddings),
-       |q8 AS (SELECT vec_id,
-       |    list_transform(embedding, x -> CAST(floor(x::DOUBLE * scale + 0.5) AS BIGINT)) AS q
-       |  FROM m),
-       |subs AS (SELECT vec_id, ms, list_slice(q, ms*8+1, ms*8+8) AS s
-       |  FROM q8, range(8) t(ms)),
-       |cw AS (SELECT vec_id AS k, ms, s AS c FROM subs WHERE vec_id < 16),
-       |dists AS (SELECT subs.vec_id, subs.ms, cw.k, $terms AS d
-       |  FROM subs JOIN cw ON subs.ms = cw.ms
+       |$pqFitCtes,
+       |dists AS (SELECT subs.vec_id, subs.ms, b.k, $terms AS d
+       |  FROM subs JOIN cb$pqFitIters b ON subs.ms = b.ms
        |  WHERE subs.vec_id = 0 OR subs.vec_id IN (SELECT vec_id FROM cand)),
        |codes AS (SELECT vec_id, ms, k FROM (
        |    SELECT vec_id, ms, k, row_number() OVER (PARTITION BY vec_id, ms ORDER BY d, k) AS rk

@@ -187,8 +187,10 @@ class SimilaritySpec extends SparkSpec {
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
     val got = LlmOps.embedIvfPq(spark, sf).collect()
     assert(got.length == 10)
-    // query lives in its own nearest list → still rank 1 at distance 0
-    assert(got(0).getLong(0) == 0L && got(0).getLong(1) == 0L)
+    // the query lives in its own nearest list, so it survives the probe;
+    // its ADC self-distance is the per-subspace quantization error of
+    // the trained codebook (0 only when it IS a codeword)
+    assert(got.exists(_.getLong(0) == 0L))
     // ADC distances are the SAME function — any vec also in the
     // unpruned top-10 must carry an identical distance
     got.foreach { r =>
@@ -217,11 +219,72 @@ class SimilaritySpec extends SparkSpec {
         assert(d == 0L, s"vec $id subspace $ms coded $code at dist $d")
       }
     }
+    // the registered face trains the codebook, so vec 0's self-distance
+    // is its (small) quantization error, and the list stays sorted
     val top = LlmOps.embedPqTopK(spark, sf).collect()
     assert(top.length == 10)
-    assert(top(0).getLong(0) == 0L && top(0).getLong(1) == 0L)
+    assert(top.exists(_.getLong(0) == 0L))
     val dists = top.map(_.getLong(1))
     assert(dists.sameElements(dists.sorted))
+  }
+
+  test("trained PQ codebook: recall@10 strictly above the seed codebook's") {
+    import org.apache.spark.sql.types.{ArrayType, DoubleType}
+    // train on the sf0.01 corpus (500 vecs; sf0.001 shares the same
+    // 500, so this is the spec-scale fit the queries use)
+    val emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    val seed = Similarity.pqSeedCodebook(emb, col("vec_id"), col("embedding"))
+    val trained = Similarity.pqTrainCodebook(emb, col("vec_id"), col("embedding"),
+      iters = LlmOps.pqFitIters)
+    // recall math runs driver-side over the collected corpus (500×64 —
+    // parameter-sized): exact mirrors of quantizeI8 / encode / ADC, so
+    // the comparison isolates the CODEBOOK, with ground truth = exact
+    // float cosine top-10 (bruteForceTopK's ordering)
+    val vecs = emb.select(col("vec_id"), col("embedding").cast(ArrayType(DoubleType)))
+      .collect().map(r => (r.getLong(0), r.getSeq[Double](1).toArray)).sortBy(_._1)
+    def q8(v: Array[Double]): Array[Long] = {
+      val maxAbs = v.map(math.abs).max
+      val scale = if (maxAbs == 0.0) 0.0 else 127.0 / maxAbs
+      v.map(x => math.floor(x * scale + 0.5).toLong)
+    }
+    val codesOf = vecs.map { case (id, v) => id -> q8(v) }.toMap
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      val dot = a.zip(b).map { case (x, y) => x * y }.sum
+      val na = math.sqrt(a.map(x => x * x).sum)
+      val nb = math.sqrt(b.map(x => x * x).sum)
+      if (na == 0 || nb == 0) 0.0 else dot / (na * nb)
+    }
+    def encode(cb: Array[Array[Array[Long]]], q: Array[Long]): Array[Int] =
+      Array.tabulate(8) { ms =>
+        (0 until 16).minBy { kk =>
+          ((0 until 8).map { j =>
+            val e = q(ms * 8 + j) - cb(ms)(kk)(j); e * e
+          }.sum, kk)
+        }
+      }
+    def recallAt10(cb: Array[Array[Array[Long]]]): Double = {
+      val all = vecs.map { case (id, _) => id -> encode(cb, codesOf(id)) }
+      val rs = (0L until 20L).map { qid =>
+        val qv = vecs.find(_._1 == qid).get._2
+        val truth = vecs.map { case (id, v) => (id, cos(qv, v)) }
+          .sortBy { case (id, c) => (-c, id) }.take(10).map(_._1).toSet
+        val qc = codesOf(qid)
+        val dt = Array.tabulate(8, 16) { (ms, kk) =>
+          (0 until 8).map { j =>
+            val e = qc(ms * 8 + j) - cb(ms)(kk)(j); e * e
+          }.sum
+        }
+        val got = all.map { case (id, codes) =>
+          (id, (0 until 8).map(ms => dt(ms)(codes(ms))).sum)
+        }.sortBy { case (id, d) => (d, id) }.take(10).map(_._1).toSet
+        (truth & got).size / 10.0
+      }
+      rs.sum / rs.size
+    }
+    val rSeed = recallAt10(seed)
+    val rTrained = recallAt10(trained)
+    assert(rTrained > rSeed,
+      s"training did not improve recall: trained=$rTrained seed=$rSeed")
   }
 
   test("ivfAppendIndex: append ≡ rebuild, base partition files untouched") {
