@@ -42,6 +42,16 @@ object KCore {
     * with doc_a < doc_b (no self-loops, no duplicate orientation) —
     * the contract the dedup pair generators already guarantee.
     *
+    * CONVERGENCE IS CHECKABLE FROM THE RESULT: the peel reached its
+    * fixpoint (the result IS the exact k-core) iff no surviving vertex
+    * has deg_in_core < k — peeling never removes a true k-core member,
+    * and a survivor set whose minimum degree is ≥ k is exactly the
+    * maximal k-core. An under-specified `rounds` on a deeper graph
+    * therefore does NOT fail silently: [[notConverged]] (one filter
+    * over the result) surfaces the violating vertices, and production
+    * callers should assert it is empty (or re-peel with more rounds)
+    * before trusting the core.
+    *
     * Tiered like [[ConnectedComponents.run]]: a broadcast-sized edge
     * list (≤ `localThreshold` rows — near-dup graphs are sparse) is
     * collected and peeled on the driver, because the distributed loop
@@ -74,6 +84,15 @@ object KCore {
     }
     degrees(e).select(col("v"), col("deg").as("deg_in_core"))
   }
+
+  /** Fixpoint probe for a [[peel]] result: the vertices whose in-core
+    * degree is still < k. Empty ⟺ the peel converged and the result is
+    * the exact k-core (see the convergence note on [[peel]]); non-empty
+    * means `rounds` under-specified the graph's peel depth and exactly
+    * these vertices (at least) still need peeling.
+    */
+  def notConverged(core: DataFrame, k: Int): DataFrame =
+    core.filter(col("deg_in_core") < k)
 
   /** The local tier of [[peel]]: the identical rounds-bounded sweep on
     * a driver-resident edge array.

@@ -796,7 +796,14 @@ object LlmOps {
     */
   def tokenDrift(spark: SparkSession, dir: String, k: Int = 25,
       minTotal: Long = 20): DataFrame = {
+    // sources without a trailing cohort number are excluded EXPLICITLY:
+    // the regexp_extract-on-no-match path otherwise buckets them into
+    // cohort B via a null comparison in Spark while a SQL replica's
+    // CAST('' AS INT) errors and a driver replay's .toInt throws —
+    // three formulations, three behaviors. The rlike filter makes all
+    // of them agree (malformed source = not part of either cohort).
     val toks = Tables.load(spark, dir, "documents")
+      .filter(col("source").rlike("\\d+$"))
       .select((regexp_extract(col("source"), "(\\d+)$", 1).cast("int") < 10)
         .as("ca"),
         explode(TextAnalysis.tokens(col("text"))).as("token"))
@@ -822,7 +829,7 @@ object LlmOps {
     """WITH toks AS (SELECT
       |    CAST(regexp_extract(source, '(\d+)$', 1) AS INT) < 10 AS ca,
       |    unnest(string_split_regex(trim(text), '\s+')) AS token
-      |  FROM documents),
+      |  FROM documents WHERE regexp_matches(source, '\d+$')),
       |c AS (SELECT token,
       |    sum(CASE WHEN ca THEN 1 ELSE 0 END)::BIGINT AS o_a,
       |    sum(CASE WHEN ca THEN 0 ELSE 1 END)::BIGINT AS o_b

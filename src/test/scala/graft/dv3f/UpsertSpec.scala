@@ -157,9 +157,18 @@ class UpsertSpec extends SparkSpec {
   }
 
   test("crashed commit (data dir without marker) is invisible to readers") {
+    // 1 h margin past the grace window: a CPU-steal stall on this host
+    // (SURVEY §8.6) only makes a stale file staler, never younger
     def setOld(f: java.io.File): Unit = {
-      f.setLastModified(System.currentTimeMillis - Upsert.tempGraceMs - 60000)
+      f.setLastModified(System.currentTimeMillis - Upsert.tempGraceMs - 3600000)
       Option(f.listFiles()).foreach(_.foreach(setOld))
+    }
+    // "young" must be young relative to vacuum's clock read — re-stamp
+    // right before the vacuum-triggering upsert so no stall between the
+    // parquet write and the vacuum can age the dir past the grace
+    def setYoung(f: java.io.File): Unit = {
+      f.setLastModified(System.currentTimeMillis)
+      Option(f.listFiles()).foreach(_.foreach(setYoung))
     }
     val dir = freshDir()
     Upsert.upsertByName(spark, dir, staged, Dv3fConfig.departement)
@@ -175,11 +184,14 @@ class UpsertSpec extends SparkSpec {
     assert(markers === Set("_commit_1", "_commit_2"), markers.mkString(","))
     // a YOUNG unreferenced over-max dir could be an in-flight writer's —
     // vacuum must leave it; once it is stale (crash long past) it goes
+    setYoung(new java.io.File(s"$dir/_v_999"))
     Upsert.upsertByName(spark, dir, staged, Dv3fConfig.departement)
-    assert(new java.io.File(s"$dir/_v_999").exists())
+    assert(new java.io.File(s"$dir/_v_999").exists(),
+      "[crashed-commit test] vacuum deleted a YOUNG dangling data dir")
     setOld(new java.io.File(s"$dir/_v_999"))
     Upsert.upsertByName(spark, dir, staged, Dv3fConfig.departement)
-    assert(!new java.io.File(s"$dir/_v_999").exists())
+    assert(!new java.io.File(s"$dir/_v_999").exists(),
+      "[crashed-commit test] vacuum left a STALE dangling data dir")
     assert(Upsert.read(spark, dir).count() === 3)
   }
 
@@ -453,12 +465,22 @@ class UpsertSpec extends SparkSpec {
     // a concurrent writer mid-publish: temp created, rename not yet done
     val live = new java.io.File(dir, ".commit_tmp_live-writer")
     live.createNewFile()
+    // re-stamp the mtime right before the vacuum-triggering upsert:
+    // "young" must mean young relative to vacuum's clock read, not to
+    // this test body's start — a multi-second CPU-steal stall between
+    // createNewFile and the vacuum (this host has them; SURVEY §8.6)
+    // must not be able to age the temp past the grace window
+    live.setLastModified(System.currentTimeMillis)
     Upsert.upsertByName(spark, dir, staged, Dv3fConfig.departement)
-    assert(live.exists(), "vacuum deleted a live writer's young temp file")
-    // the same temp gone stale (crashed writer) is collected
-    live.setLastModified(System.currentTimeMillis - Upsert.tempGraceMs - 60000)
+    assert(live.exists(),
+      "[vacuum young/stale temp test] vacuum deleted a live writer's young temp file")
+    // the same temp gone stale (crashed writer) is collected; the 1 h
+    // extra margin keeps the assertion stall-proof in the other
+    // direction (a stall only makes a stale file staler)
+    live.setLastModified(System.currentTimeMillis - Upsert.tempGraceMs - 3600000)
     Upsert.upsertByName(spark, dir, staged, Dv3fConfig.departement)
-    assert(!live.exists(), "vacuum left a stale temp file behind")
+    assert(!live.exists(),
+      "[vacuum young/stale temp test] vacuum left a stale temp file behind")
   }
 
   test("partition values with '=', spaces and '%' survive the marker round-trip") {

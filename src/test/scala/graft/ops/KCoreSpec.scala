@@ -58,6 +58,23 @@ class KCoreSpec extends SparkSpec {
     }
   }
 
+  for ((tier, th) <- Seq("local" -> (1 << 19), "distributed" -> 0)) {
+    test(s"[$tier] notConverged: non-empty under too-few rounds, empty at the fixpoint") {
+      import spark.implicits._
+      // a 7-chain under k=2 needs 3 sweeps to dissolve; after 1 sweep
+      // the ends are gone but survivors still carry degree-1 vertices —
+      // exactly the signal notConverged must surface
+      val edges = (0L until 6L).map(i => (i, i + 1))
+      val partial = KCore.peel(edges.toDF("doc_a", "doc_b"), k = 2,
+        rounds = 1, th)
+      assert(KCore.notConverged(partial, 2).count() > 0,
+        "under-specified rounds produced no convergence signal")
+      val full = KCore.peel(edges.toDF("doc_a", "doc_b"), k = 2,
+        rounds = 3, th)
+      assert(KCore.notConverged(full, 2).count() === 0)
+    }
+  }
+
   test("both tiers agree with the exact k-core on random graphs at rounds >= depth") {
     val rng = new Random(7)
     for (trial <- 1 to 3) {

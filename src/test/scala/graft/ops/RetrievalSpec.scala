@@ -59,7 +59,9 @@ class RetrievalSpec extends SparkSpec {
       .collect().map(r => (r.getString(0), r.getString(1)))
     val oA = scala.collection.mutable.Map.empty[String, Long]
     val oB = scala.collection.mutable.Map.empty[String, Long]
-    docs.foreach { case (src, text) =>
+    // mirror the query's explicit malformed-source exclusion: a source
+    // with no trailing digits is in neither cohort
+    docs.filter(_._1.matches(".*\\d+$")).foreach { case (src, text) =>
       val a = src.replaceAll("^\\D+", "").toInt < 10
       text.trim.split("\\s+").foreach { t =>
         val m = if (a) oA else oB
@@ -79,6 +81,28 @@ class RetrievalSpec extends SparkSpec {
     val got = LlmOps.tokenDrift(spark, dir)
       .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
     assert(got.toSeq === want)
+  }
+
+  test("tokenDrift excludes sources with no trailing cohort digits") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("drift_docs").toString
+    val word = "w"
+    // 40 tokens of cohort A, 20 of cohort B, 100 of a malformed source:
+    // if the malformed source leaked into either cohort the counts (and
+    // the null-comparison bug would put them in B) change the result
+    (Seq.fill(4)(("crawl-3", Seq.fill(10)(word).mkString(" "))) ++
+      Seq.fill(2)(("crawl-13", Seq.fill(10)(word).mkString(" "))) ++
+      Seq.fill(10)(("adhoc", Seq.fill(10)(word).mkString(" "))))
+      .zipWithIndex.map { case ((s, t), i) =>
+        (i.toLong, t, "en", s, t.length.toLong)
+      }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val rows = LlmOps.tokenDrift(spark, tmp).collect()
+    assert(rows.length == 1)
+    assert(rows(0).getString(0) == word)
+    assert(rows(0).getLong(1) == 40L && rows(0).getLong(2) == 20L,
+      s"malformed source leaked into a cohort: ${rows(0)}")
   }
 
   test("pplBuckets: rank-based terciles are balanced, exhaustive and ordered") {
