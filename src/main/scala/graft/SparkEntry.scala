@@ -109,6 +109,7 @@ object SparkEntry {
     "q_decontaminate_bloom" -> (LlmOps.decontaminateBloom(_, _)),
     "q_dedup_incr_exact" -> (LlmOps.dedupIncrementalExact(_, _)),
     "q_dedup_incr_lsh" -> (LlmOps.dedupIncrementalLsh(_, _)),
+    "q_ingest_gate_e2e" -> (LlmOps.ingestGateE2e(_, _)),
     "q_vocab_topk" -> (LlmOps.vocabTopK(_, _)),
     "q_bpe_pairs" -> ((s, d) => LlmOps.bpePairCounts(s, d)),
     "q_collocations" -> ((s, d) => LlmOps.collocations(s, d)),
@@ -405,6 +406,7 @@ object SparkEntry {
     "q_decontaminate_bloom" -> LlmOps.decontaminateBloomSql,
     "q_dedup_incr_exact" -> LlmOps.dedupIncrementalExactSql,
     "q_dedup_incr_lsh" -> LlmOps.dedupIncrementalLshSql,
+    "q_ingest_gate_e2e" -> LlmOps.ingestGateE2eSql,
     "q_vocab_topk" -> LlmOps.vocabTopKSql,
     "q_bpe_pairs" -> LlmOps.bpePairCountsSql,
     "q_collocations" -> LlmOps.collocationsSql,

@@ -1711,6 +1711,190 @@ object LlmOps {
         sum(col("n_tokens")).cast("long").as("total_tokens"))
   }
 
+  // ------------------------------------------------- e2e ingest gate
+  // The four incremental gates composed into the production crawl-delta
+  // admission pipeline they exist for: a batch is screened against the
+  // PREVIOUS ingest's persisted artifacts (content digests, minhash
+  // signature table, winnow fingerprint table) — never against a
+  // recomputed corpus pass — and the surviving docs refresh those
+  // artifacts for the next delta.
+
+  /** Corpus-side ingest artifacts, staged once per corpus dir, plus the
+    * REFRESH the admitted batch produces. Products:
+    *   digests/   corpus content sha256 set (the exact gate's index)
+    *   sigs/      corpus minhash signature table (the LSH gate's index)
+    *   fps/       corpus winnow fingerprint table (the winnow gate's index)
+    *   digests_refreshed/  digests ∪ admitted-batch digests
+    *   clusters_refreshed/ [[dedupArtifacts]]'s corpus cluster map with
+    *                       the batch's verified near-dup pairs folded in
+    *                       via [[ConnectedComponents.merge]] (cost ∝ delta)
+    * At 100 TB each gate probe is batch-side work + one join against a
+    * persisted id/hash table (batch broadcasts; the corpus tables
+    * stream); the refresh writes are delta-proportional appends.
+    */
+  private[graft] def ingestArtifacts(spark: SparkSession, dir: String): String = {
+    val out = graft.ops.StageOnce.tmp("ingest_gate", dir)
+    graft.ops.StageOnce(out) {
+      val docs = Tables.load(spark, dir, "documents")
+      val corpus = docs.filter(col("doc_id") % 10 =!= 0)
+      corpus.select(sha2(col("text"), 256).as("h")).distinct()
+        .write.mode("overwrite").parquet(s"$out/digests")
+      Dedup.minHash(corpus, col("doc_id"), col("text"), n = 3, k = 16)
+        .write.mode("overwrite").parquet(s"$out/sigs")
+      corpus.select(col("doc_id").as("corpus_id"),
+          explode(graft.functions.GraftFunctions
+            .winnowHashes(col("text"), 5, 4)).as("fp"))
+        .write.mode("overwrite").parquet(s"$out/fps")
+      // the refresh consumes the gate verdicts computed against the
+      // artifacts just written — the same definition the query face uses
+      val verdicts = CacheBin.pin(gateVerdicts(spark, dir, out))
+      val admitted = ingestBatch(spark, dir)
+        .join(verdicts.filter(col("verdict") === "admitted")
+          .select("doc_id"), Seq("doc_id"), "left_semi")
+      spark.read.parquet(s"$out/digests")
+        .unionByName(admitted.select(sha2(col("text"), 256).as("h")))
+        .distinct()
+        .write.mode("overwrite").parquet(s"$out/digests_refreshed")
+      val art = dedupArtifacts(spark, dir)
+      val batchPairs = verifiedBatchPairs(spark, dir, out)
+      ConnectedComponents.merge(
+          spark.read.parquet(s"$art/clusters_corpus")
+            .select(col("doc_id").as("id"), col("root")), batchPairs)
+        .select(col("id").as("doc_id"), col("root"))
+        .write.mode("overwrite").parquet(s"$out/clusters_refreshed")
+      CacheBin.releaseAll()
+    }
+    out
+  }
+
+  /** The simulated crawl delta shared by every incremental face: fresh
+    * docs (doc_id % 10 == 0) plus re-crawled corpus copies (% 20 == 5,
+    * offset ids, same text) — see [[dedupIncrementalExact]].
+    */
+  private def ingestBatch(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.load(spark, dir, "documents")
+    docs.filter(col("doc_id") % 10 === 0)
+      .select(col("doc_id"), col("text"))
+      .unionByName(docs.filter(col("doc_id") % 20 === 5)
+        .select((col("doc_id") + 1000000L).as("doc_id"), col("text")))
+  }
+
+  /** LSH-verified (batch, corpus) near-dup pairs against the staged
+    * signature table — the pair evidence both the near-dup verdict and
+    * the cluster-map refresh consume.
+    */
+  private[graft] def verifiedBatchPairs(spark: SparkSession, dir: String,
+      g: String): DataFrame = {
+    val docs = Tables.load(spark, dir, "documents")
+    val batch = ingestBatch(spark, dir)
+    val sigB = Dedup.minHash(batch, col("doc_id"), col("text"), n = 3, k = 16)
+    val cand = Dedup.crossLshCandidates(sigB,
+      spark.read.parquet(s"$g/sigs"), bands = 4, rowsPerBand = 4)
+    val texts = batch.unionByName(
+      docs.filter(col("doc_id") % 10 =!= 0).select(col("doc_id"), col("text")))
+    Dedup.jaccardVerify(cand, texts, col("doc_id"), col("text"),
+      n = 3, threshold = 0.5)
+  }
+
+  /** Per-batch-doc admission verdicts against the staged artifacts,
+    * first gate wins: dup_exact > dup_near (LSH+Jaccard) > dup_winnow
+    * (≥2 shared fingerprints) > dup_semantic (embedding near-dup, for
+    * docs that have an embedding) > admitted.
+    */
+  private def gateVerdicts(spark: SparkSession, dir: String,
+      g: String): DataFrame = {
+    val batch = CacheBin.pin(ingestBatch(spark, dir))
+    val exactDup = batch
+      .select(col("doc_id"), sha2(col("text"), 256).as("h"))
+      .join(spark.read.parquet(s"$g/digests"), Seq("h"), "left_semi")
+      .select("doc_id")
+    val lshDup = verifiedBatchPairs(spark, dir, g)
+      .select(col("doc_a").as("doc_id")).distinct()
+    val winDup = batch
+      .select(col("doc_id"), explode(graft.functions.GraftFunctions
+        .winnowHashes(col("text"), 5, 4)).as("fp"))
+      .join(spark.read.parquet(s"$g/fps"), Seq("fp"))
+      .groupBy(col("doc_id"), col("corpus_id"))
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= 2)
+      .select("doc_id").distinct()
+    val embDup = embedIncrNearDup(spark, dir)
+      .select(col("vec_a").as("doc_id")).distinct()
+    def flag(ids: DataFrame, name: String): DataFrame =
+      ids.withColumn(name, lit(true))
+    batch.select("doc_id")
+      .join(flag(exactDup, "g_e"), Seq("doc_id"), "left")
+      .join(flag(lshDup, "g_l"), Seq("doc_id"), "left")
+      .join(flag(winDup, "g_w"), Seq("doc_id"), "left")
+      .join(flag(embDup, "g_s"), Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        when(col("g_e"), "dup_exact")
+          .when(col("g_l"), "dup_near")
+          .when(col("g_w"), "dup_winnow")
+          .when(col("g_s"), "dup_semantic")
+          .otherwise("admitted").as("verdict"))
+  }
+
+  /** The e2e face (q_ingest_gate_e2e): one row per batch doc with its
+    * admission verdict. Invoking it also stages the artifact refresh
+    * ([[ingestArtifacts]] — digests_refreshed / clusters_refreshed),
+    * which `IngestGateSpec` pins against from-scratch recomputation.
+    */
+  def ingestGateE2e(spark: SparkSession, dir: String): DataFrame =
+    gateVerdicts(spark, dir, ingestArtifacts(spark, dir))
+
+  /** Composed e2e gate oracle: the batch∪corpus pool re-derived from
+    * scratch (the oracle must stay self-contained), the four gate
+    * verdicts as independent subqueries — exact digest EXISTS, the LSH
+    * verify chain over the pool ([[lshPairsSqlOver]]), the winnow
+    * fingerprint chain over the pool, the banded embedding chain
+    * ([[embedIncrNearDupSql]]) — and the same first-gate-wins CASE.
+    * Batch ids: fresh (% 10 = 0) keep their id; re-crawled copies ride
+    * the +1000000 offset, so "batch side" is `% 10 = 0 OR >= 1000000`.
+    */
+  lazy val ingestGateE2eSql: String = {
+    val poolCte =
+      """pool AS (SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 1000000, text FROM documents WHERE doc_id % 20 = 5)""".stripMargin
+    val lshOverPool = lshPairsSqlOver(poolCte,
+      "(l.doc_id % 10 = 0 OR l.doc_id >= 1000000) " +
+        "AND r.doc_id % 10 <> 0 AND r.doc_id < 1000000")
+    val winnowOverPool =
+      s"""WITH $poolCte,
+         |toks AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t FROM pool),
+         |g AS (SELECT doc_id, i - 1 AS pos,
+         |    ('0x' || substr(md5(array_to_string(t[i:i+4], ' ')), 1, 15))::BIGINT AS h
+         |  FROM toks, unnest([x for x in range(1, len(t) - 3)]) s(i)
+         |  WHERE len(t) >= 5),
+         |fp AS (SELECT DISTINCT doc_id, mh AS fp FROM (
+         |  SELECT doc_id, min(h) OVER (PARTITION BY doc_id ORDER BY pos
+         |    ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS mh FROM g)),
+         |pairs AS (SELECT a.doc_id AS doc_batch, count(*)::BIGINT AS n_shared
+         |  FROM fp a JOIN fp b ON a.fp = b.fp
+         |    AND (a.doc_id % 10 = 0 OR a.doc_id >= 1000000)
+         |    AND b.doc_id % 10 <> 0 AND b.doc_id < 1000000
+         |  GROUP BY a.doc_id, b.doc_id)
+         |SELECT DISTINCT doc_batch FROM pairs WHERE n_shared >= 2""".stripMargin
+    s"""WITH batch AS (
+       |  SELECT doc_id, text FROM documents WHERE doc_id % 10 = 0
+       |  UNION ALL
+       |  SELECT doc_id + 1000000, text FROM documents WHERE doc_id % 20 = 5),
+       |ex AS (SELECT b.doc_id FROM batch b WHERE EXISTS (
+       |  SELECT 1 FROM documents c WHERE c.doc_id % 10 <> 0
+       |    AND sha256(c.text) = sha256(b.text))),
+       |lsh AS (SELECT DISTINCT doc_a AS doc_id FROM ($lshOverPool) q),
+       |win AS (SELECT doc_batch AS doc_id FROM ($winnowOverPool) q),
+       |sem AS (SELECT DISTINCT vec_a AS doc_id FROM ($embedIncrNearDupSql) q)
+       |SELECT b.doc_id,
+       |  CASE WHEN b.doc_id IN (SELECT doc_id FROM ex) THEN 'dup_exact'
+       |    WHEN b.doc_id IN (SELECT doc_id FROM lsh) THEN 'dup_near'
+       |    WHEN b.doc_id IN (SELECT doc_id FROM win) THEN 'dup_winnow'
+       |    WHEN b.doc_id IN (SELECT doc_id FROM sem) THEN 'dup_semantic'
+       |    ELSE 'admitted' END AS verdict
+       |FROM batch b""".stripMargin
+  }
+
   lazy val prepareCorpusSql: String =
     s"""WITH stats AS (SELECT * FROM ($textStatsSql)),
        |keep AS (SELECT min(doc_id) AS doc_id FROM documents GROUP BY sha256(text)),
@@ -1796,6 +1980,42 @@ object LlmOps {
     * per-doc shingle sets. `pairCond` selects the pair space: `l < r`
     * for within-corpus dedup, batch×corpus membership for incremental.
     */
+  /** The LSH verify chain (shingle → minhash → band join → Jaccard ≥
+    * 0.5) as CTE text over an arbitrary `(doc_id, text)` relation —
+    * `sourceCtes` must define a CTE named `pool`; the default pool is
+    * the documents table itself.
+    */
+  private def lshPairsSqlOver(sourceCtes: String, pairCond: String): String = {
+    val bandSelects = (0 until 4).map { b =>
+      val cols = (0 until 4).map(r => s"m${b * 4 + r}::VARCHAR")
+      s"SELECT doc_id, $b AS band, md5(${cols.mkString(" || ':' || ")}) AS bsig FROM sigs"
+    }
+    s"""WITH $sourceCtes,
+       |toks AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t FROM pool),
+       |sh AS (SELECT DISTINCT doc_id,
+       |  unnest([array_to_string(t[i:i+2], ' ') for i in range(1, len(t)-1)]) AS shingle
+       |  FROM toks),
+       |h AS (SELECT doc_id,
+       |  ('0x' || substr(md5(shingle), 1, 15))::BIGINT % ${Dedup.minhashP} AS h
+       |  FROM sh),
+       |sigs AS (SELECT doc_id, ${Dedup.minhashParams(16).zipWithIndex.map { case ((a, b), i) =>
+             s"min((h * $a + $b) % ${Dedup.minhashP}) AS m$i"
+           }.mkString(",\n  ")}
+       |  FROM h GROUP BY doc_id),
+       |bands AS (${bandSelects.mkString("\n  UNION ALL ")}),
+       |cand AS (SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b
+       |  FROM bands l JOIN bands r
+       |  ON l.band = r.band AND l.bsig = r.bsig AND ($pairCond)),
+       |sets AS (SELECT doc_id, list(shingle) AS s FROM sh GROUP BY doc_id),
+       |scored AS (SELECT doc_a, doc_b,
+       |  len(list_intersect(a.s, b.s)) AS inter, len(a.s) AS n_a, len(b.s) AS n_b
+       |  FROM cand JOIN sets a ON cand.doc_a = a.doc_id
+       |            JOIN sets b ON cand.doc_b = b.doc_id)
+       |SELECT doc_a, doc_b,
+       |  inter::DOUBLE / (n_a + n_b - inter) AS jaccard
+       |FROM scored WHERE inter::DOUBLE / (n_a + n_b - inter) >= 0.5""".stripMargin
+  }
+
   private def lshPairsSql(pairCond: String): String = {
     val bandSelects = (0 until 4).map { b =>
       val cols = (0 until 4).map(r => s"m${b * 4 + r}::VARCHAR")
