@@ -72,4 +72,34 @@ class ConnectorsSpec extends SparkSpec {
     val direct = asMap(Connectors.csvScan(spark, sf))
     assert(viaJdbc == direct)
   }
+
+  test("second JDBC dialect: pruned+filtered read through an in-process Spark Thrift Server") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    graft.sources.HiveJdbcDialect.register()
+    // reserved-word column name: the read below only works if our
+    // registered hive2 dialect backtick-quotes identifiers (Spark's
+    // default dialect emits "order", which HiveQL rejects)
+    Seq((1L, "a", 10L), (2L, "b", 20L), (3L, "c", 30L))
+      .toDF("id", "name", "order")
+      .createOrReplaceGlobalTempView("hive_dialect_src")
+    spark.conf.set("hive.server2.thrift.port", "0") // ephemeral port
+    val server = org.apache.spark.sql.hive.thriftserver.HiveThriftServer2
+      .startWithSparkSession(spark, false)
+    try {
+      val port = server.getServices.toArray.collectFirst {
+        case s: org.apache.hive.service.cli.thrift.ThriftCLIService =>
+          s.getPortNumber
+      }.get
+      val back = spark.read.format("jdbc")
+        .option("url", s"jdbc:hive2://localhost:$port/default")
+        .option("driver", "org.apache.hive.jdbc.HiveDriver")
+        .option("dbtable", "global_temp.hive_dialect_src")
+        .load()
+        .filter(col("order") >= 20L) // filter pushdown quotes `order`
+        .select(col("id"), col("order")) // column pruning over the wire
+      val got = back.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(got === Set((2L, 20L), (3L, 30L)))
+    } finally server.stop()
+  }
 }
