@@ -71,6 +71,8 @@ object SparkEntry {
     // — connector smoke (SURVEY §2.1 S6): real round trips per format
     "q_csv_scan" -> (Connectors.csvScan(_, _)),
     "q_jdbc_scan" -> (Connectors.jdbcScan(_, _)),
+    "q_dbf_scan" -> (Connectors.dbfScan(_, _)),
+    "q_dbf_lookup_join" -> (Connectors.dbfLookupJoin(_, _)),
     "q_orc_scan" -> (Connectors.orcScan(_, _)),
     "q_xml_scan" -> (Connectors.xmlScan(_, _)),
     "q_json_scan" -> (Connectors.jsonScan(_, _)),
@@ -347,6 +349,8 @@ object SparkEntry {
     "q_dv3f_source" -> Dv3fOracle.pipelineSql,
     "q_csv_scan" -> Connectors.csvScanSql,
     "q_jdbc_scan" -> Connectors.jdbcScanSql,
+    "q_dbf_scan" -> Connectors.dbfScanSql,
+    "q_dbf_lookup_join" -> Connectors.dbfLookupJoinSql,
     "q_orc_scan" -> Connectors.orcScanSql,
     "q_xml_scan" -> Connectors.xmlScanSql,
     "q_json_scan" -> Connectors.jsonScanSql,

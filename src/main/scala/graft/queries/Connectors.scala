@@ -243,4 +243,59 @@ object Connectors {
   }
 
   val jdbcScanSql: String = csvScanSql
+
+  /** dBase scan: nation exported to a single .dbf (the reference's one
+    * unreadable-before-now input shape — its communes lookup table
+    * ships only as the missing blob `ressources/v_commune_2023.dbf`)
+    * and read back through the native `format("dbf")` DSv2 source
+    * ([[graft.sources.DbfSource]]): fixed-width records, planning-time
+    * record-range splits, column pruning, limit pushdown. Same
+    * round-trip contract as the other connector faces: the aggregate
+    * over the .dbf bytes must equal the parquet original, so the
+    * format's own serialization (N right-justification, C padding,
+    * 11-byte field names) is covered, not assumed. `recordsPerSplit=10`
+    * forces MULTIPLE splits over the 25-row file so the split seek math
+    * is exercised on every run, not just in the spec.
+    */
+  def dbfScan(spark: SparkSession, dir: String): DataFrame = {
+    val nation = Tables.load(spark, dir, "nation")
+    val out = tmp("dbf_nation", dir)
+    stageOnce(out) {
+      new java.io.File(out).mkdirs()
+      graft.sources.DbfSource.write(nation, s"$out/nation.dbf")
+    }
+    nationAgg(spark.read.format("dbf")
+      .option("recordsPerSplit", "10")
+      .load(s"$out/nation.dbf"))
+  }
+
+  val dbfScanSql: String = csvScanSql
+
+  /** The communes-lookup-join shape the reference's missing blob was
+    * FOR: a .dbf code register broadcast against a fact-side aggregate
+    * to enrich codes with labels. Here the register is the staged
+    * nation.dbf and the fact is customer: per-nation customer count and
+    * exact decimal balance total, labeled through the dbf. The dim scan
+    * prunes to the 2 join/label columns (the DSv2 reader parses nothing
+    * else) and broadcasts — the join shape that stays shuffle-free on
+    * the fact side at any corpus scale.
+    */
+  def dbfLookupJoin(spark: SparkSession, dir: String): DataFrame = {
+    dbfScan(spark, dir) // ensure staged
+    val out = tmp("dbf_nation", dir)
+    val lookup = spark.read.format("dbf").load(s"$out/nation.dbf")
+      .select(col("n_nationkey"), col("n_name"))
+    val customer = Tables.load(spark, dir, "customer")
+    customer.groupBy(col("c_nationkey"))
+      .agg(count(lit(1)).as("n_customers"),
+        Analytics.moneySum(col("c_acctbal")).as("total_acctbal"))
+      .join(broadcast(lookup), col("c_nationkey") === col("n_nationkey"))
+      .select(col("n_name"), col("n_customers"), col("total_acctbal"))
+  }
+
+  val dbfLookupJoinSql: String =
+    """SELECT n_name, count(*) AS n_customers,
+      |  CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total_acctbal
+      |FROM customer JOIN nation ON c_nationkey = n_nationkey
+      |GROUP BY n_name""".stripMargin
 }

@@ -102,4 +102,27 @@ class ConnectorsSpec extends SparkSpec {
       assert(got === Set((2L, 20L), (3L, 30L)))
     } finally server.stop()
   }
+
+  test("dbf round trip matches the csv round trip") {
+    assert(asMap(Connectors.dbfScan(spark, sf)) ==
+      asMap(Connectors.csvScan(spark, sf)))
+  }
+
+  test("dbf lookup join: labels through the .dbf register equal the parquet join") {
+    import org.apache.spark.sql.functions._
+    val viaDbf = Connectors.dbfLookupJoin(spark, sf).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    val nation = Tables.load(spark, sf, "nation")
+    val direct = Tables.load(spark, sf, "customer")
+      .join(nation, col("c_nationkey") === col("n_nationkey"))
+      .groupBy("n_name")
+      .agg(count(lit(1)).as("n"),
+        graft.queries.Analytics.moneySum(col("c_acctbal")).as("t"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(viaDbf == direct)
+    // the dim side must broadcast — no shuffle of the fact for the join
+    val plan = Connectors.dbfLookupJoin(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"))
+  }
 }

@@ -1,0 +1,147 @@
+package graft.sources
+
+import java.io.{File, RandomAccessFile}
+import java.nio.file.Files
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.SparkSpec
+
+/** dBase III source: header/field parsing, record-range splits seeking
+  * to exact byte offsets, deleted-record skipping, column pruning down
+  * to the parsed fields, null round trips for every supported type, and
+  * the writer↔reader round trip that backs the `q_dbf_*` faces.
+  */
+class DbfSourceSpec extends SparkSpec {
+
+  private def stagingDir: String =
+    Files.createTempDirectory("dbf_spec").toString
+
+  private val typedSchema = StructType(Seq(
+    StructField("code", LongType),
+    StructField("label", StringType),
+    StructField("pop", DecimalType(9, 2)),
+    StructField("since", DateType),
+    StructField("active", BooleanType)))
+
+  private def typedRows: Seq[Row] = Seq(
+    Row(1L, "PARIS", BigDecimal("2145.90").bigDecimal,
+      java.sql.Date.valueOf("2020-01-01"), true),
+    Row(2L, "LYON", BigDecimal("522.25").bigDecimal,
+      java.sql.Date.valueOf("1999-12-31"), false),
+    Row(3L, null, null, null, null),
+    Row(-4L, "ST OUEN", BigDecimal("-0.50").bigDecimal,
+      java.sql.Date.valueOf("2024-02-29"), true))
+
+  test("typed round trip: C/N/N-decimal/D/L with nulls") {
+    val dir = stagingDir
+    val df = spark.createDataFrame(
+      spark.sparkContext.parallelize(typedRows, 1), typedSchema)
+    DbfSource.write(df, s"$dir/t.dbf")
+    val back = spark.read.format("dbf").load(s"$dir/t.dbf")
+    assert(back.schema.map(f => (f.name, f.dataType)) == Seq(
+      ("code", LongType), ("label", StringType),
+      // N width = precision+2 (sign+point), so decimal reads as (len-2, s)
+      ("pop", DecimalType(9, 2)), ("since", DateType),
+      ("active", BooleanType)))
+    val got = back.orderBy("code").collect().toSeq
+    val exp = df.orderBy("code").collect().toSeq
+    assert(got == exp)
+  }
+
+  test("record-range splits: partition count from recordsPerSplit, same rows") {
+    val dir = stagingDir
+    val df = spark.range(0, 103).select(col("id").as("k"),
+      concat(lit("row_"), col("id")).as("v"))
+    DbfSource.write(df, s"$dir/t.dbf")
+    val split = spark.read.format("dbf")
+      .option("recordsPerSplit", "10").load(s"$dir/t.dbf")
+    assert(split.rdd.getNumPartitions == 11) // ceil(103/10)
+    val whole = spark.read.format("dbf").load(s"$dir/t.dbf")
+    assert(whole.rdd.getNumPartitions == 1)
+    assert(split.orderBy("k").collect().toSeq ==
+      whole.orderBy("k").collect().toSeq)
+    assert(split.count() == 103)
+  }
+
+  test("deleted records are skipped without breaking split seek math") {
+    val dir = stagingDir
+    val df = spark.range(0, 20).select(col("id").as("k"))
+    DbfSource.write(df, s"$dir/t.dbf")
+    // flag records 3 and 17 deleted, in different splits
+    val h = DbfSource.readHeader(new File(s"$dir/t.dbf"))
+    val raf = new RandomAccessFile(s"$dir/t.dbf", "rw")
+    try Seq(3, 17).foreach { i =>
+      raf.seek(h.headerSize + i.toLong * h.recordSize)
+      raf.write('*')
+    } finally raf.close()
+    val back = spark.read.format("dbf")
+      .option("recordsPerSplit", "7").load(s"$dir/t.dbf")
+    assert(back.select("k").as[Long](org.apache.spark.sql.Encoders.scalaLong)
+      .collect().sorted.toSeq == (0L until 20L).filterNot(Seq(3L, 17L).contains))
+  }
+
+  test("column pruning reaches the reader (description lists only requested fields)") {
+    val dir = stagingDir
+    val df = spark.range(0, 5).select(col("id").as("a"),
+      col("id").cast(StringType).as("b"), (col("id") * 2).as("c"))
+    DbfSource.write(df, s"$dir/t.dbf")
+    val pruned = spark.read.format("dbf").load(s"$dir/t.dbf").select("b")
+    val scans = pruned.queryExecution.executedPlan.collect {
+      case s: org.apache.spark.sql.execution.datasources.v2.BatchScanExec => s
+    }
+    assert(scans.nonEmpty)
+    assert(scans.head.scan.description().contains("columns=[b]"))
+    assert(pruned.collect().map(_.getString(0)).sorted.toSeq ==
+      Seq("0", "1", "2", "3", "4"))
+  }
+
+  test("limit pushdown caps the planned record ranges") {
+    val dir = stagingDir
+    DbfSource.write(spark.range(0, 1000).select(col("id").as("k")),
+      s"$dir/t.dbf")
+    val limited = spark.read.format("dbf")
+      .option("recordsPerSplit", "100").load(s"$dir/t.dbf").limit(7)
+    val scan = limited.queryExecution.executedPlan.collect {
+      case s: org.apache.spark.sql.execution.datasources.v2.BatchScanExec => s
+    }.head
+    // one partition of 7 records, not ten of 100
+    assert(scan.inputRDD.getNumPartitions == 1)
+    assert(limited.count() == 7)
+  }
+
+  test("field names up to 11 bytes survive; 12 bytes are rejected at write") {
+    val dir = stagingDir
+    DbfSource.write(spark.range(0, 3).select(col("id").as("n_nationkey")),
+      s"$dir/ok.dbf")
+    assert(spark.read.format("dbf").load(s"$dir/ok.dbf")
+      .schema.fieldNames.toSeq == Seq("n_nationkey"))
+    val e = intercept[IllegalArgumentException] {
+      DbfSource.write(spark.range(0, 1).select(col("id").as("twelve_chars")),
+        s"$dir/bad.dbf")
+    }
+    assert(e.getMessage.contains("11 bytes"))
+  }
+
+  test("nation.dbf staged bytes are deterministic (byte-stable re-stage)") {
+    val dir = stagingDir
+    val nation = graft.Tables.load(spark, sf, "nation")
+    DbfSource.write(nation, s"$dir/a.dbf")
+    DbfSource.write(nation, s"$dir/b.dbf")
+    assert(java.util.Arrays.equals(
+      Files.readAllBytes(new File(s"$dir/a.dbf").toPath),
+      Files.readAllBytes(new File(s"$dir/b.dbf").toPath)))
+  }
+
+  test("a non-dbf file is rejected with the version byte in the error") {
+    val dir = stagingDir
+    Files.write(new File(s"$dir/x.dbf").toPath,
+      Array.fill[Byte](64)(0x42))
+    val e = intercept[IllegalArgumentException] {
+      DbfSource.readHeader(new File(s"$dir/x.dbf"))
+    }
+    assert(e.getMessage.contains("not a dBase III file"))
+  }
+}
