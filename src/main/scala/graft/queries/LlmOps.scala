@@ -1771,7 +1771,7 @@ object LlmOps {
     * docs (doc_id % 10 == 0) plus re-crawled corpus copies (% 20 == 5,
     * offset ids, same text) — see [[dedupIncrementalExact]].
     */
-  private def ingestBatch(spark: SparkSession, dir: String): DataFrame = {
+  private[graft] def ingestBatch(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.load(spark, dir, "documents")
     docs.filter(col("doc_id") % 10 === 0)
       .select(col("doc_id"), col("text"))
@@ -1784,13 +1784,21 @@ object LlmOps {
     * the cluster-map refresh consume.
     */
   private[graft] def verifiedBatchPairs(spark: SparkSession, dir: String,
-      g: String): DataFrame = {
+      g: String): DataFrame =
+    verifiedPairsOver(spark, dir, g, ingestBatch(spark, dir))
+
+  /** [[verifiedBatchPairs]] for an ARBITRARY delta relation — the
+    * streaming face hands each micro-batch through here. The corpus
+    * side stays the staged signature artifact + the corpus texts for
+    * the candidates-only Jaccard verify.
+    */
+  private[graft] def verifiedPairsOver(spark: SparkSession, dir: String,
+      g: String, delta: DataFrame): DataFrame = {
     val docs = Tables.load(spark, dir, "documents")
-    val batch = ingestBatch(spark, dir)
-    val sigB = Dedup.minHash(batch, col("doc_id"), col("text"), n = 3, k = 16)
+    val sigB = Dedup.minHash(delta, col("doc_id"), col("text"), n = 3, k = 16)
     val cand = Dedup.crossLshCandidates(sigB,
       spark.read.parquet(s"$g/sigs"), bands = 4, rowsPerBand = 4)
-    val texts = batch.unionByName(
+    val texts = delta.select(col("doc_id"), col("text")).unionByName(
       docs.filter(col("doc_id") % 10 =!= 0).select(col("doc_id"), col("text")))
     Dedup.jaccardVerify(cand, texts, col("doc_id"), col("text"),
       n = 3, threshold = 0.5)
@@ -1802,13 +1810,28 @@ object LlmOps {
     * docs that have an embedding) > admitted.
     */
   private def gateVerdicts(spark: SparkSession, dir: String,
-      g: String): DataFrame = {
-    val batch = CacheBin.pin(ingestBatch(spark, dir))
+      g: String): DataFrame =
+    gateVerdictsOver(spark, dir, g, ingestBatch(spark, dir))
+
+  /** [[gateVerdicts]] for an ARBITRARY delta relation and an optional
+    * EXPLICIT digest set — the streaming face's per-micro-batch entry
+    * point (it threads its own chained digest state so batch N+1 sees
+    * what batch N admitted). The semantic gate looks the delta's
+    * embeddings up by id (a left-semi against the embeddings table),
+    * which for the canonical simulated delta is exactly the batch
+    * face's `vec_id % 10 = 0` set — re-crawled ids ride the +1000000
+    * offset and have no embedding row.
+    */
+  private[graft] def gateVerdictsOver(spark: SparkSession, dir: String,
+      g: String, delta: DataFrame,
+      digests: Option[DataFrame] = None): DataFrame = {
+    val batch = CacheBin.pin(delta)
     val exactDup = batch
       .select(col("doc_id"), sha2(col("text"), 256).as("h"))
-      .join(spark.read.parquet(s"$g/digests"), Seq("h"), "left_semi")
+      .join(digests.getOrElse(spark.read.parquet(s"$g/digests")),
+        Seq("h"), "left_semi")
       .select("doc_id")
-    val lshDup = verifiedBatchPairs(spark, dir, g)
+    val lshDup = verifiedPairsOver(spark, dir, g, batch)
       .select(col("doc_a").as("doc_id")).distinct()
     val winDup = batch
       .select(col("doc_id"), explode(graft.functions.GraftFunctions
@@ -1818,7 +1841,13 @@ object LlmOps {
       .agg(count(lit(1)).as("n_shared"))
       .filter(col("n_shared") >= 2)
       .select("doc_id").distinct()
-    val embDup = embedIncrNearDup(spark, dir)
+    val emb = Tables.load(spark, dir, "embeddings")
+    val embDup = Similarity.cosineCrossNearDupPairs(
+        emb.join(batch.select(col("doc_id").as("vec_id")),
+          Seq("vec_id"), "left_semi"),
+        emb.filter(col("vec_id") % 10 =!= 0),
+        col("vec_id"), col("embedding"), threshold = 0.4,
+        bands = lshBands, planesPerBand = lshPlanesPerBand, dim = 64)
       .select(col("vec_a").as("doc_id")).distinct()
     def flag(ids: DataFrame, name: String): DataFrame =
       ids.withColumn(name, lit(true))

@@ -1,0 +1,86 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.StreamingQuery
+
+import graft.queries.LlmOps
+
+/** Streaming face of the e2e ingest gate (`q_ingest_gate_e2e`): crawl
+  * deltas arrive as micro-batches of (doc_id, text); each batch runs
+  * the SAME four-gate admission the batch face runs ([[LlmOps]] —
+  * exact digest > LSH+Jaccard > winnow > embedding, first gate wins)
+  * against the staged corpus artifacts, then REFRESHES the digest set
+  * with what it admitted — so batch N+1's exact gate sees batch N's
+  * admissions: the cross-batch dedup that makes a crawl stream converge
+  * instead of re-admitting the same page on every fetch.
+  *
+  * State model, chosen for the 100 TB shape:
+  * - The DIGEST set is the only per-batch-maintained artifact — an
+  *   append-only set union, cost ∝ delta, written as a versioned chain
+  *   (`digests_v<batchId>`), each version derived from the latest
+  *   version below it. The near-dup artifacts (minhash sigs, winnow
+  *   fps) refresh on a maintenance cadence instead (compaction-style,
+  *   like the IVF index's append+compact) — re-banding the corpus per
+  *   micro-batch would be a corpus-sized job on a delta-sized trigger.
+  * - Exactly-once by CONVERGENCE, the [[CdcStream]] argument: a
+  *   replayed micro-batch recomputes identical verdicts against the
+  *   same predecessor version (the chain is keyed by batchId, so a
+  *   replay reads the same `digests_v<prev>`, not its own output) and
+  *   overwrites `verdicts_v<id>` / `digests_v<id>` with identical
+  *   content. At-least-once delivery + idempotent versioned writes =
+  *   exactly-once visible state.
+  */
+object IngestGateStream {
+
+  /** Latest digest version strictly below `batchId`, falling back to
+    * the staged corpus digests — the replay-safe predecessor read.
+    */
+  private def predecessorDigests(spark: SparkSession, g: String,
+      stateDir: String, batchId: Long): DataFrame = {
+    val prev = Option(new java.io.File(stateDir).listFiles())
+      .getOrElse(Array.empty)
+      .filter(f => f.isDirectory && f.getName.startsWith("digests_v"))
+      .map(_.getName.stripPrefix("digests_v").toLong)
+      .filter(_ < batchId)
+    if (prev.isEmpty) spark.read.parquet(s"$g/digests")
+    else spark.read.parquet(s"$stateDir/digests_v${prev.max}")
+  }
+
+  /** Admit ONE micro-batch: verdicts against the chained digest state,
+    * versioned outputs. Returns the verdicts (re-read from the written
+    * version, so callers observe exactly what was committed).
+    */
+  def admitBatch(spark: SparkSession, dir: String, g: String,
+      delta: DataFrame, stateDir: String, batchId: Long): DataFrame = {
+    val prev = predecessorDigests(spark, g, stateDir, batchId)
+    val verdicts = LlmOps.gateVerdictsOver(spark, dir, g, delta, Some(prev))
+    verdicts.write.mode("overwrite")
+      .parquet(s"$stateDir/verdicts_v$batchId")
+    val admitted = delta.join(
+      spark.read.parquet(s"$stateDir/verdicts_v$batchId")
+        .filter(col("verdict") === "admitted").select("doc_id"),
+      Seq("doc_id"), "left_semi")
+    prev.unionByName(admitted.select(sha2(col("text"), 256).as("h")))
+      .distinct()
+      .write.mode("overwrite").parquet(s"$stateDir/digests_v$batchId")
+    graft.ops.CacheBin.releaseAll()
+    spark.read.parquet(s"$stateDir/verdicts_v$batchId")
+  }
+
+  /** Wire the admission to a streaming delta: one [[admitBatch]] per
+    * non-empty micro-batch, checkpointed so restart resumes the version
+    * chain where it left off.
+    */
+  def start(delta: DataFrame, dir: String, g: String, stateDir: String,
+      checkpoint: String): StreamingQuery =
+    delta.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (!batch.isEmpty) {
+          admitBatch(batch.sparkSession, dir, g, batch, stateDir, batchId)
+        }
+        ()
+      }
+      .start()
+}

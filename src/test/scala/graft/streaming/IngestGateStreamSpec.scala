@@ -1,0 +1,92 @@
+package graft.streaming
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.queries.LlmOps
+
+/** Streaming admission: micro-batches run the same four-gate verdicts
+  * as the batch e2e face, the digest chain carries batch N's admissions
+  * into batch N+1's exact gate (cross-batch dedup — the property the
+  * batch face cannot have), the chain survives a checkpoint restart,
+  * and a replayed batch converges (identical verdicts + digest bytes).
+  */
+case class D(doc_id: Long, text: String)
+
+class IngestGateStreamSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def verdictMap(df: DataFrame): Map[Long, String] =
+    df.collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+
+  test("stream ≡ batch on the canonical delta; chain dedups across batches; replay converges") {
+    implicit val sqlCtx = spark.sqlContext
+    val g = LlmOps.ingestArtifacts(spark, sf)
+    val stateDir = Files.createTempDirectory("gate_state").toString
+    val ckpt = Files.createTempDirectory("gate_ckpt").toString
+
+    val delta = LlmOps.ingestBatch(spark, sf)
+      .as[(Long, String)].collect().map(t => D(t._1, t._2))
+    val (fresh, recrawled) = delta.partition(_.doc_id < 1000000L)
+    assert(fresh.nonEmpty && recrawled.nonEmpty)
+
+    val mem = MemoryStream[D]
+    def start() = IngestGateStream.start(mem.toDS().toDF(), sf, g,
+      stateDir, ckpt)
+
+    // two micro-batches: fresh docs, then the re-crawled copies
+    val q1 = start()
+    try {
+      mem.addData(fresh.toIndexedSeq: _*)
+      q1.processAllAvailable()
+      mem.addData(recrawled.toIndexedSeq: _*)
+      q1.processAllAvailable()
+    } finally q1.stop()
+
+    val streamed =
+      verdictMap(spark.read.parquet(s"$stateDir/verdicts_v0")) ++
+        verdictMap(spark.read.parquet(s"$stateDir/verdicts_v1"))
+    // on the canonical delta the sequential digest chain changes no
+    // verdict (re-crawls are corpus copies — dup_exact either way), so
+    // stream-over-two-batches must equal the one-shot batch face
+    val batchFace = verdictMap(LlmOps.gateVerdictsOver(spark, sf, g,
+      LlmOps.ingestBatch(spark, sf)))
+    assert(streamed == batchFace)
+    assert(streamed.keySet == delta.map(_.doc_id).toSet)
+
+    // replay batch 1 (at-least-once redelivery): verdicts and digest
+    // version must come out IDENTICAL — the convergence contract
+    val digestsBefore = spark.read.parquet(s"$stateDir/digests_v1")
+      .as[String].collect().sorted.toSeq
+    val replayed = verdictMap(IngestGateStream.admitBatch(spark, sf, g,
+      recrawled.toSeq.toDF("doc_id", "text"), stateDir, 1L))
+    assert(replayed == verdictMap(
+      spark.read.parquet(s"$stateDir/verdicts_v1")))
+    assert(spark.read.parquet(s"$stateDir/digests_v1")
+      .as[String].collect().sorted.toSeq == digestsBefore)
+
+    // restart from the checkpoint, then refetch an ADMITTED fresh doc
+    // under a new crawl id: the corpus never saw it, so the batch face
+    // admits it — but the digest chain must flag it dup_exact. This is
+    // the cross-batch property the stream exists for.
+    val admittedDoc = streamed.collectFirst {
+      case (id, "admitted") => id
+    }.map(id => fresh.find(_.doc_id == id).get)
+      .getOrElse(fail("canonical delta admitted nothing"))
+    val refetch = D(5000000L + admittedDoc.doc_id, admittedDoc.text)
+    val q2 = start()
+    try {
+      mem.addData(refetch)
+      q2.processAllAvailable()
+    } finally q2.stop()
+    val v2 = verdictMap(spark.read.parquet(s"$stateDir/verdicts_v2"))
+    assert(v2 == Map(refetch.doc_id -> "dup_exact"))
+    val oneShot = verdictMap(LlmOps.gateVerdictsOver(spark, sf, g,
+      Seq(refetch).toDF("doc_id", "text")))
+    assert(oneShot(refetch.doc_id) == "admitted") // corpus digests alone miss it
+  }
+}
