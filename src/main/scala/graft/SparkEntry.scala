@@ -124,6 +124,7 @@ object SparkEntry {
     "q_text_stats" -> (LlmOps.textStats(_, _)),
     "q_text_repetition" -> (LlmOps.textRepetition(_, _)),
     "q_quality_gopher" -> (LlmOps.gopherQuality(_, _)),
+    "q_quality_classifier" -> (LlmOps.qualityClassifier(_, _)),
     "q_unigram_lm" -> ((s, d) => LlmOps.unigramLmTopK(s, d)),
     "q_bigram_lm" -> ((s, d) => LlmOps.bigramLmTopK(s, d)),
     "q_ppl_buckets" -> (LlmOps.pplBuckets(_, _)),
@@ -437,6 +438,7 @@ object SparkEntry {
     "q_text_stats" -> LlmOps.textStatsSql,
     "q_text_repetition" -> LlmOps.textRepetitionSql,
     "q_quality_gopher" -> LlmOps.gopherQualitySql,
+    "q_quality_classifier" -> LlmOps.qualityClassifierSql,
     "q_unigram_lm" -> LlmOps.unigramLmTopKSql,
     "q_bigram_lm" -> LlmOps.bigramLmTopKSql,
     "q_ppl_buckets" -> LlmOps.pplBucketsSql,

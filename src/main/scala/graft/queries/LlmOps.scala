@@ -946,6 +946,115 @@ object LlmOps {
       col("text"))
       .drop("text")
 
+  /** The trained quality classifier's per-dir fit — a parameter-sized
+    * maintenance product cached like the IVF/PQ fits.
+    */
+  private val treeCache =
+    scala.collection.concurrent.TrieMap.empty[String, graft.ops.QualityModel.Stump2]
+  private[graft] def fittedQualityTree(spark: SparkSession,
+      dir: String): graft.ops.QualityModel.Stump2 =
+    treeCache.getOrElseUpdate(dir, graft.ops.QualityModel.fit(
+      gopherLabeled(spark, dir), col("text"), col("label")))
+  private def gopherLabeled(spark: SparkSession, dir: String): DataFrame =
+    TextAnalysis.gopherVerdicts(
+      Tables.load(spark, dir, "documents").select(col("doc_id"), col("text")),
+      col("text"))
+      .select(col("doc_id"), col("text"), col("keep").as("label"))
+
+  /** Distilled quality classifier (see [[graft.ops.QualityModel]]):
+    * depth-2 exact-integer decision tree fit on the Gopher weak labels
+    * over surrogate features disjoint from the rules' signals, applied
+    * map-side. Output is (doc_id, label, pred) so the oracle verifies
+    * BOTH the training replay and the application. Training is two
+    * parameter-sized-shuffle aggregation passes; prediction adds one
+    * CASE to the scan projection — at 100 TB the fit is a maintenance
+    * job and the filter is free.
+    */
+  def qualityClassifier(spark: SparkSession, dir: String): DataFrame = {
+    val tree = fittedQualityTree(spark, dir)
+    gopherLabeled(spark, dir)
+      .select(col("doc_id"), col("label"),
+        graft.ops.QualityModel.predictCol(col("text"), tree).as("pred"))
+  }
+
+  /** Replays fit + predict: same grid, same misclassification argmin
+    * with the same (score, feature, threshold) ORDER BY, same
+    * strict-majority leaves (LEFT JOIN + FALSE default = the empty-leaf
+    * tie rule). Multi-referenced CTEs are MATERIALIZED (DuckDB's
+    * default inlining re-evaluates chains multiplicatively).
+    */
+  lazy val qualityClassifierSql: String = {
+    val stop = TextAnalysis.langMarkers.head._2.map(m => s"'$m'").mkString(",")
+    val kExpr = QualityModel.grid.map(t => s"(v > $t)::INT").mkString(" + ")
+    val gridVals = QualityModel.grid.zipWithIndex
+      .map { case (t, j) => s"($j, $t)" }.mkString(", ")
+    val featCase = (alias: String, s: String) =>
+      s"""(CASE $s.f WHEN 'n_chars' THEN $alias.f_n_chars
+         |    WHEN 'n_digit' THEN $alias.f_n_digit
+         |    WHEN 'n_punct' THEN $alias.f_n_punct
+         |    ELSE $alias.f_n_tokens END)""".stripMargin
+    s"""WITH base AS MATERIALIZED (
+       |  SELECT doc_id, text, string_split_regex(trim(text), '\\s+') AS t
+       |  FROM documents),
+       |lab AS MATERIALIZED (SELECT doc_id,
+       |    (len(t)::BIGINT >= 20 AND len(t)::BIGINT <= 90
+       |     AND list_sum(list_transform(t, x -> length(x)))::BIGINT * 2 >= len(t)::BIGINT * 7
+       |     AND list_sum(list_transform(t, x -> length(x)))::BIGINT * 1 <= len(t)::BIGINT * 5
+       |     AND len(list_filter(t, x -> regexp_matches(x, '[A-Za-z]')))::BIGINT * 5 >= len(t)::BIGINT * 4
+       |     AND (len(regexp_extract_all(text, '#')) +
+       |          len(regexp_extract_all(text, '\\.\\.\\.')))::BIGINT * 10 <= len(t)::BIGINT * 1
+       |     AND len(list_filter(list_distinct(t), x -> x IN ($stop))) >= 2) AS y,
+       |    length(text)::BIGINT AS f_n_chars,
+       |    len(regexp_extract_all(text, '[0-9]'))::BIGINT AS f_n_digit,
+       |    len(regexp_extract_all(text, '[^\\w\\s]'))::BIGINT AS f_n_punct,
+       |    len(t)::BIGINT AS f_n_tokens
+       |  FROM base),
+       |kb AS MATERIALIZED (SELECT doc_id, y, f, $kExpr AS k FROM (
+       |    SELECT doc_id, y, 'n_chars' AS f, f_n_chars AS v FROM lab
+       |    UNION ALL SELECT doc_id, y, 'n_digit', f_n_digit FROM lab
+       |    UNION ALL SELECT doc_id, y, 'n_punct', f_n_punct FROM lab
+       |    UNION ALL SELECT doc_id, y, 'n_tokens', f_n_tokens FROM lab)),
+       |grid AS (SELECT * FROM (VALUES $gridVals) g(j, thr)),
+       |hist AS MATERIALIZED (SELECT f, k, y, count(*)::BIGINT AS n
+       |  FROM kb GROUP BY 1, 2, 3),
+       |rootcand AS (SELECT f, thr,
+       |    sum(CASE WHEN k <= j AND y THEN n ELSE 0 END)::BIGINT AS pl,
+       |    sum(CASE WHEN k <= j AND NOT y THEN n ELSE 0 END)::BIGINT AS ql,
+       |    sum(CASE WHEN k > j AND y THEN n ELSE 0 END)::BIGINT AS pr,
+       |    sum(CASE WHEN k > j AND NOT y THEN n ELSE 0 END)::BIGINT AS qr
+       |  FROM hist CROSS JOIN grid GROUP BY 1, 2),
+       |root AS MATERIALIZED (SELECT f, thr FROM rootcand
+       |  ORDER BY least(pl, ql) + least(pr, qr), f, thr LIMIT 1),
+       |sided AS MATERIALIZED (SELECT l.doc_id, l.y,
+       |    ${featCase("l", "root")} <= root.thr AS s
+       |  FROM lab l CROSS JOIN root),
+       |hist2 AS MATERIALIZED (SELECT sided.s, kb.f, kb.k, kb.y,
+       |    count(*)::BIGINT AS n
+       |  FROM kb JOIN sided USING (doc_id) GROUP BY 1, 2, 3, 4),
+       |childcand AS (SELECT s, f, thr,
+       |    sum(CASE WHEN k <= j AND y THEN n ELSE 0 END)::BIGINT AS pl,
+       |    sum(CASE WHEN k <= j AND NOT y THEN n ELSE 0 END)::BIGINT AS ql,
+       |    sum(CASE WHEN k > j AND y THEN n ELSE 0 END)::BIGINT AS pr,
+       |    sum(CASE WHEN k > j AND NOT y THEN n ELSE 0 END)::BIGINT AS qr
+       |  FROM hist2 CROSS JOIN grid GROUP BY 1, 2, 3),
+       |child AS MATERIALIZED (SELECT s, f, thr FROM (
+       |    SELECT s, f, thr, row_number() OVER (PARTITION BY s
+       |      ORDER BY least(pl, ql) + least(pr, qr), f, thr) AS rn
+       |    FROM childcand) WHERE rn = 1),
+       |leaf AS MATERIALIZED (SELECT h.s, (h.k <= g.j) AS cs,
+       |    sum(CASE WHEN h.y THEN h.n ELSE 0 END) >
+       |      sum(CASE WHEN NOT h.y THEN h.n ELSE 0 END) AS p
+       |  FROM hist2 h
+       |  JOIN child c ON h.s = c.s AND h.f = c.f
+       |  JOIN grid g ON g.thr = c.thr
+       |  GROUP BY 1, 2),
+       |routed AS (SELECT l.doc_id, l.y, sided.s,
+       |    ${featCase("l", "c")} <= c.thr AS cs
+       |  FROM lab l JOIN sided USING (doc_id) JOIN child c ON c.s = sided.s)
+       |SELECT r.doc_id, r.y AS label, coalesce(leaf.p, FALSE) AS pred
+       |FROM routed r LEFT JOIN leaf ON leaf.s = r.s AND leaf.cs = r.cs""".stripMargin
+  }
+
   /** Corpus-unigram language-model score per document: the mean corpus
     * relative frequency of the document's tokens — the cheap KenLM-style
     * quality proxy (fluent/common text scores high, rare-token noise
