@@ -1903,15 +1903,27 @@ object LlmOps {
     */
   private[graft] def verifiedPairsOver(spark: SparkSession, dir: String,
       g: String, delta: DataFrame): DataFrame = {
-    val docs = Tables.load(spark, dir, "documents")
     val sigB = Dedup.minHash(delta, col("doc_id"), col("text"), n = 3, k = 16)
     val cand = Dedup.crossLshCandidates(sigB,
       spark.read.parquet(s"$g/sigs"), bands = 4, rowsPerBand = 4)
-    val texts = delta.select(col("doc_id"), col("text")).unionByName(
-      docs.filter(col("doc_id") % 10 =!= 0).select(col("doc_id"), col("text")))
+    val texts = delta.select(col("doc_id"), col("text"))
+      .unionByName(artifactTexts(spark, dir, g))
     Dedup.jaccardVerify(cand, texts, col("doc_id"), col("text"),
       n = 3, threshold = 0.5)
   }
+
+  /** The texts behind an artifacts generation's near-dup index — what
+    * the candidates-only Jaccard verify joins against. The base
+    * generation covers the corpus table; a COMPACTED generation
+    * ([[graft.streaming.IngestGateStream.compactArtifacts]]) carries
+    * its own `texts` table (corpus ∪ admitted-so-far), because admitted
+    * stream docs are not in `documents`.
+    */
+  private[graft] def artifactTexts(spark: SparkSession, dir: String,
+      g: String): DataFrame =
+    if (new java.io.File(s"$g/texts").exists()) spark.read.parquet(s"$g/texts")
+    else Tables.load(spark, dir, "documents")
+      .filter(col("doc_id") % 10 =!= 0).select(col("doc_id"), col("text"))
 
   /** Per-batch-doc admission verdicts against the staged artifacts,
     * first gate wins: dup_exact > dup_near (LSH+Jaccard) > dup_winnow

@@ -61,11 +61,62 @@ object IngestGateStream {
       spark.read.parquet(s"$stateDir/verdicts_v$batchId")
         .filter(col("verdict") === "admitted").select("doc_id"),
       Seq("doc_id"), "left_semi")
-    prev.unionByName(admitted.select(sha2(col("text"), 256).as("h")))
+    // persist what was admitted — the corpus delta this batch
+    // contributes, and compaction's input
+    admitted.select(col("doc_id"), col("text"))
+      .write.mode("overwrite").parquet(s"$stateDir/admitted_v$batchId")
+    prev.unionByName(
+        spark.read.parquet(s"$stateDir/admitted_v$batchId")
+          .select(sha2(col("text"), 256).as("h")))
       .distinct()
       .write.mode("overwrite").parquet(s"$stateDir/digests_v$batchId")
     graft.ops.CacheBin.releaseAll()
     spark.read.parquet(s"$stateDir/verdicts_v$batchId")
+  }
+
+  /** Fold everything admitted up to `upToBatch` into a NEW artifacts
+    * generation — the maintenance-cadence refresh of the near-dup
+    * indexes (minhash signatures, winnow fingerprints) that the
+    * per-batch path deliberately leaves alone (re-banding the corpus
+    * per micro-batch would be a corpus-sized job on a delta-sized
+    * trigger; the digest chain alone protects against EXACT re-crawls
+    * in between). After compaction, gates run against the generation
+    * dir — near-dup protection now covers the admitted stream docs too.
+    *
+    * The generation is immutable (`artifacts_v<upTo>/`): sigs/fps are
+    * the old index ∪ the admitted docs' contributions (cost ∝ admitted,
+    * not corpus — the old index is copied forward by reference-free
+    * union, which at production scale is an incremental parquet append
+    * of the delta partitions), digests are the chain head, and `texts`
+    * carries corpus ∪ admitted so the candidates-only Jaccard verify
+    * can see admitted docs' contents. Idempotent: deterministic inputs,
+    * overwrite writes — a replayed compaction converges byte-for-byte.
+    */
+  def compactArtifacts(spark: SparkSession, dir: String, g: String,
+      stateDir: String, upToBatch: Long): String = {
+    val gen = s"$stateDir/artifacts_v$upToBatch"
+    val batches = Option(new java.io.File(stateDir).listFiles())
+      .getOrElse(Array.empty)
+      .filter(f => f.isDirectory && f.getName.startsWith("admitted_v"))
+      .map(_.getName.stripPrefix("admitted_v").toLong)
+      .filter(_ <= upToBatch).sorted
+    require(batches.nonEmpty, s"nothing admitted up to batch $upToBatch")
+    val admitted = batches.map(b =>
+        spark.read.parquet(s"$stateDir/admitted_v$b"))
+      .reduce(_ unionByName _)
+    graft.ops.Dedup.minHash(admitted, col("doc_id"), col("text"), n = 3, k = 16)
+      .unionByName(spark.read.parquet(s"$g/sigs"))
+      .write.mode("overwrite").parquet(s"$gen/sigs")
+    admitted.select(col("doc_id").as("corpus_id"),
+        explode(graft.functions.GraftFunctions
+          .winnowHashes(col("text"), 5, 4)).as("fp"))
+      .unionByName(spark.read.parquet(s"$g/fps"))
+      .write.mode("overwrite").parquet(s"$gen/fps")
+    predecessorDigests(spark, g, stateDir, upToBatch + 1)
+      .write.mode("overwrite").parquet(s"$gen/digests")
+    LlmOps.artifactTexts(spark, dir, g).unionByName(admitted)
+      .write.mode("overwrite").parquet(s"$gen/texts")
+    gen
   }
 
   /** Wire the admission to a streaming delta: one [[admitBatch]] per

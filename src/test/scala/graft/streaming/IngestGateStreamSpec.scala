@@ -89,4 +89,42 @@ class IngestGateStreamSpec extends SparkSpec {
       Seq(refetch).toDF("doc_id", "text")))
     assert(oneShot(refetch.doc_id) == "admitted") // corpus digests alone miss it
   }
+
+  test("compaction folds admissions into the near-dup indexes (and stays idempotent)") {
+    val g = LlmOps.ingestArtifacts(spark, sf)
+    val stateDir = Files.createTempDirectory("gate_compact").toString
+
+    // a novel doc: unique tokens, long enough for shingles + winnow
+    val toks = (1 to 40).map(i => s"zqxv$i")
+    val novel = D(9000001L, toks.mkString(" "))
+    val v0 = verdictMap(IngestGateStream.admitBatch(spark, sf, g,
+      Seq(novel).toDF("doc_id", "text"), stateDir, 0L))
+    assert(v0 == Map(novel.doc_id -> "admitted"))
+
+    val g2 = IngestGateStream.compactArtifacts(spark, sf, g, stateDir, 0L)
+
+    // a NEAR-dup (last 4 tokens differ — ~86% shared 3-gram shingles):
+    // invisible to the digest chain, caught only by the near-dup
+    // indexes — which cover the admitted doc ONLY after compaction
+    val probe = D(9000002L,
+      (toks.dropRight(4) ++ (1 to 4).map(i => s"wmty$i")).mkString(" "))
+    val before = verdictMap(LlmOps.gateVerdictsOver(spark, sf, g,
+      Seq(probe).toDF("doc_id", "text")))
+    assert(before(probe.doc_id) == "admitted")
+    val after = verdictMap(LlmOps.gateVerdictsOver(spark, sf, g2,
+      Seq(probe).toDF("doc_id", "text")))
+    assert(after(probe.doc_id).startsWith("dup"),
+      s"near-dup of an admitted doc passed the compacted gates: $after")
+
+    // exact re-crawl: flagged by the compacted digest head alone
+    val exact = verdictMap(LlmOps.gateVerdictsOver(spark, sf, g2,
+      Seq(D(9000003L, novel.text)).toDF("doc_id", "text")))
+    assert(exact(9000003L) == "dup_exact")
+
+    // replayed compaction converges (idempotent maintenance)
+    val sigsBefore = spark.read.parquet(s"$g2/sigs").count()
+    val g2b = IngestGateStream.compactArtifacts(spark, sf, g, stateDir, 0L)
+    assert(g2b == g2)
+    assert(spark.read.parquet(s"$g2/sigs").count() == sigsBefore)
+  }
 }
