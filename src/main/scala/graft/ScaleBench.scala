@@ -285,6 +285,11 @@ object ScaleBench {
       // ∝ k (shards ∝ docs), no ObjectHashAggregate blowup
       val (smSec, smRows, smEx) = bestIf("shard_manifest")(
         queries.Curation.shardManifest(spark, dir))
+      // classifier training pass: one scan + one map-side-combined
+      // groupBy over ≤ 4·16·2 keys — rows must stay FLAT (the
+      // sufficient statistic is parameter-sized) while time ∝ k
+      val (qfSec, qfRows, qfEx) = bestIf("quality_fit")(
+        queries.LlmOps.qualityFitHistogram(spark, dir))
       val row = scala.collection.immutable.ListMap(
         "lsh_pairs" -> (lshSec, lshRows, lshEx),
         "cc_distributed" -> (ccSec, ccRows, ccEx),
@@ -306,7 +311,8 @@ object ScaleBench {
         "kcore" -> (kcSec, kcRows, kcEx),
         "ppl_buckets" -> (pbSec, pbRows, pbEx),
         "token_drift" -> (tdSec, tdRows, tdEx),
-        "shard_manifest" -> (smSec, smRows, smEx))
+        "shard_manifest" -> (smSec, smRows, smEx),
+        "quality_fit" -> (qfSec, qfRows, qfEx))
         .filter { case (op, _) => wanted(op) }
       row.foreach { case (op, (s, r, e)) =>
         println(s"""{"scale":$k,"op":"$op","sec":$s,"rows":$r,"exchanges":$e}""")

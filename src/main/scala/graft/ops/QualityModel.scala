@@ -8,10 +8,11 @@ import org.apache.spark.sql.types._
   * surrogate features, fit on weak labels (the Gopher rule verdict) —
   * the classic LLM-pipeline move of distilling an expensive labeler
   * into a model cheap enough to run at crawl scale (fastText-style
-  * quality filters in C4/CCNet/RefinedWeb pipelines). The features the
-  * tree sees are DISJOINT from the signals the label is built from
-  * (chars/digits/punct/token-count vs word-length/alpha/symbol/stopword
-  * rules), so the fit is a real approximation, not an identity.
+  * quality filters in C4/CCNet/RefinedWeb pipelines). Three of the four
+  * features the tree sees (chars/digits/punct) are surrogates the label
+  * rules never read; token count is shared with the word-count rule —
+  * so the fit is a real approximation that can anchor on the one shared
+  * signal but must surrogate the other four rules, not an identity.
   *
   * Everything is exact integer arithmetic, so the trained tree — not
   * just its application — is bit-identical across engines and the
@@ -96,27 +97,39 @@ object QualityModel {
   /** Fit on (text, label): two aggregation passes, parameter-sized
     * collects (the histogram, ≤ 4·16·2·2 rows).
     */
-  def fit(labeled: DataFrame, text: Column, label: Column): Stump2 = {
+  /** One training pass: the per-(side, feature, bucket, label) count
+    * histogram — ONE corpus scan (all feature buckets in a 4-element
+    * array, exploded; not a union of per-feature selects = 4 scans),
+    * one map-side-combined groupBy whose shuffle carries at most
+    * |features|·|grid+1|·2·2 rows per partition at ANY corpus size.
+    * Public so the scale harness can put a receipt on exactly this
+    * claim (flat rows, flat exchanges, time ∝ input).
+    */
+  def bucketHistogram(labeled: DataFrame, text: Column, label: Column,
+      side: Column): DataFrame = {
     val feats = featureCols(text)
-    // ONE corpus scan per pass: all feature buckets in a 4-element
-    // array, exploded — not a union of per-feature selects (4 scans)
-    def longRows(extra: Column): DataFrame = labeled
-      .select(extra.as("s"), label.cast(BooleanType).as("y"),
+    labeled
+      .select(side.as("s"), label.cast(BooleanType).as("y"),
         explode(array(feats.map { case (name, c) =>
           struct(lit(name).as("f"), bucket(c).as("k"))
         }: _*)).as("fk"))
       .select(col("s"), col("fk.f").as("f"), col("fk.k").as("k"), col("y"))
+      .groupBy("s", "f", "k", "y").count()
+  }
 
+  def fit(labeled: DataFrame, text: Column, label: Column): Stump2 = {
+    val feats = featureCols(text)
     def collectHist(df: DataFrame): Seq[H] =
-      df.groupBy("s", "f", "k", "y").count().collect().toSeq
+      df.collect().toSeq
         .map(r => H(r.getBoolean(0), r.getString(1), r.getInt(2),
           r.getBoolean(3), r.getLong(4)))
 
-    val rootHist = collectHist(longRows(lit(true)))
+    val rootHist = collectHist(bucketHistogram(labeled, text, label, lit(true)))
     val root = bestSplit(rootHist)
 
     val rootCol = feats.toMap.apply(root.feature)
-    val childHist = collectHist(longRows(rootCol <= root.thr))
+    val childHist = collectHist(
+      bucketHistogram(labeled, text, label, rootCol <= root.thr))
     val (lh, rh) = childHist.partition(_.side)
     val (ln, rn) = (bestSplit(lh), bestSplit(rh))
     def leafOf(hs: Seq[H], n: Node, le: Boolean): Boolean =

@@ -963,13 +963,21 @@ object LlmOps {
 
   /** Distilled quality classifier (see [[graft.ops.QualityModel]]):
     * depth-2 exact-integer decision tree fit on the Gopher weak labels
-    * over surrogate features disjoint from the rules' signals, applied
+    * over chars/digits/punct surrogates + the shared token count, applied
     * map-side. Output is (doc_id, label, pred) so the oracle verifies
     * BOTH the training replay and the application. Training is two
     * parameter-sized-shuffle aggregation passes; prediction adds one
     * CASE to the scan projection — at 100 TB the fit is a maintenance
     * job and the filter is free.
     */
+  /** The classifier's training pass as a timeable relation — the scale
+    * harness's hook for the flat-histogram claim.
+    */
+  private[graft] def qualityFitHistogram(spark: SparkSession,
+      dir: String): DataFrame =
+    QualityModel.bucketHistogram(gopherLabeled(spark, dir),
+      col("text"), col("label"), lit(true))
+
   def qualityClassifier(spark: SparkSession, dir: String): DataFrame = {
     val tree = fittedQualityTree(spark, dir)
     gopherLabeled(spark, dir)

@@ -47,6 +47,32 @@ class PlanMetricsSpec extends SparkSpec {
     graft.ops.CacheBin.releaseAll()
   }
 
+  test("classifier training pass: one exchange, parameter-sized shuffle") {
+    val df = LlmOps.qualityFitHistogram(spark, sf)
+    df.collect()
+    assert(PlanMetrics.exchangeCount(df) === 1,
+      s"histogram pass grew to ${PlanMetrics.exchangeCount(df)} exchanges")
+    // the map-side combine must collapse the shuffle to the sufficient
+    // statistic: ≤ |features|·|grid+1|·2 keys per partition side — if
+    // per-DOC rows cross the wire, the partial aggregation broke
+    val rows = PlanMetrics.shuffleRecordsWritten(df)
+    val cap = 4L * 16 * 2 * spark.sparkContext.defaultParallelism
+    assert(rows <= cap, s"shuffled $rows rows, cap $cap — partial agg broke")
+  }
+
+  test("dbf lookup join: the fact side aggregates before the join, the dim broadcasts") {
+    val df = graft.queries.Connectors.dbfLookupJoin(spark, sf)
+    df.collect()
+    // one exchange: the fact-side groupBy. The dim reaches the join as
+    // a broadcast — a second shuffle means the join degraded to SMJ and
+    // would re-shuffle the fact at any corpus scale
+    assert(PlanMetrics.exchangeCount(df) === 1,
+      s"expected the fact agg exchange only, got ${PlanMetrics.exchangeCount(df)}")
+    val bcasts = PlanMetrics.executedNodes(df).count(
+      _.isInstanceOf[org.apache.spark.sql.execution.joins.BroadcastHashJoinExec])
+    assert(bcasts === 1, s"dim join not broadcast ($bcasts)")
+  }
+
   test("hash sampling is map-only at runtime") {
     val df = Sampling.hashSample(
       Tables.load(spark, sf, "documents"), col("doc_id"), pct = 25)
