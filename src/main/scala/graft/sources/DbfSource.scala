@@ -77,8 +77,24 @@ object DbfSource {
     (b(i) & 0xffL) | ((b(i + 1) & 0xffL) << 8) |
       ((b(i + 2) & 0xffL) << 16) | ((b(i + 3) & 0xffL) << 24)
 
-  def readHeader(file: File): DbfHeader = {
-    val in = new RandomAccessFile(file, "r")
+  /** All file access goes through Hadoop's FileSystem API, so the
+    * source reads local paths in tests and hdfs://-s3a://-style DFS
+    * paths on a cluster with the same code; readers get the default
+    * executor-side Configuration (core-site.xml on the classpath).
+    */
+  private[sources] def fileSystem(path: org.apache.hadoop.fs.Path)
+      : org.apache.hadoop.fs.FileSystem = {
+    val conf = org.apache.spark.sql.SparkSession.getActiveSession
+      .map(_.sessionState.newHadoopConf())
+      .getOrElse(new org.apache.hadoop.conf.Configuration())
+    path.getFileSystem(conf)
+  }
+
+  def readHeader(file: File): DbfHeader =
+    readHeader(new org.apache.hadoop.fs.Path(file.getAbsolutePath))
+
+  def readHeader(file: org.apache.hadoop.fs.Path): DbfHeader = {
+    val in = fileSystem(file).open(file)
     try {
       val head = new Array[Byte](32)
       in.readFully(head)
@@ -119,13 +135,14 @@ object DbfSource {
   /** The .dbf files behind a load path (a single file or a directory of
     * same-schema files), sorted for deterministic planning.
     */
-  def listFiles(path: String): Seq[File] = {
-    val f = new File(path)
+  def listFiles(path: String): Seq[org.apache.hadoop.fs.Path] = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = fileSystem(p)
     val files =
-      if (f.isFile) Seq(f)
-      else Option(f.listFiles()).getOrElse(Array.empty[File])
-        .filter(x => x.isFile && x.getName.toLowerCase.endsWith(".dbf"))
-        .sortBy(_.getName).toSeq
+      if (fs.getFileStatus(p).isFile) Seq(p)
+      else fs.listStatus(p).toSeq
+        .filter(s => s.isFile && s.getPath.getName.toLowerCase.endsWith(".dbf"))
+        .map(_.getPath).sortBy(_.getName)
     require(files.nonEmpty, s"no .dbf files under $path")
     files
   }
@@ -143,6 +160,10 @@ object DbfSource {
     *
     * Char widths are measured with one Spark aggregate over the input
     * (`max(length(c))`), not assumed, so values can never truncate.
+    * The record count is established with a `count()` BEFORE writing
+    * (two passes over a dim) so the write stream is APPEND-ONLY — no
+    * seek-back-patching, which HDFS/object stores cannot do — and the
+    * output goes through Hadoop's FileSystem like the read side.
     */
   def write(df: DataFrame, file: String): Unit = {
     val fields = df.schema.fields.map { f =>
@@ -177,13 +198,19 @@ object DbfSource {
     val lens = fields.map(fieldLen)
     val recordSize = 1 + lens.sum
     val headerSize = 32 + 32 * fields.length + 1
+    val n = df.count() // count first: the write stream stays append-only
+    require(n <= 0xffffffffL, s"dbf record count overflows u32: $n")
+    val target = new org.apache.hadoop.fs.Path(file)
     val out = new DataOutputStream(new java.io.BufferedOutputStream(
-      new FileOutputStream(file)))
-    var n = 0L
+      fileSystem(target).create(target, true)))
     try {
       val head = new Array[Byte](32)
       head(0) = 0x03
       head(1) = 120; head(2) = 1; head(3) = 1 // fixed 2020-01-01: staged output stays byte-stable
+      head(4) = (n & 0xff).toByte
+      head(5) = ((n >> 8) & 0xff).toByte
+      head(6) = ((n >> 16) & 0xff).toByte
+      head(7) = ((n >> 24) & 0xff).toByte
       head(8) = (headerSize & 0xff).toByte
       head(9) = ((headerSize >> 8) & 0xff).toByte
       head(10) = (recordSize & 0xff).toByte
@@ -210,6 +237,7 @@ object DbfSource {
       }
       out.write(0x0d)
       val rec = new Array[Byte](recordSize)
+      var written = 0L
       val it = df.toLocalIterator()
       while (it.hasNext) {
         val row = it.next()
@@ -243,18 +271,12 @@ object DbfSource {
           i += 1
         }
         out.write(rec)
-        n += 1
+        written += 1
       }
+      require(written == n,
+        s"input changed between count ($n) and write ($written): $file")
       out.write(0x1a)
     } finally out.close()
-    require(n <= 0xffffffffL, s"dbf record count overflows u32: $n")
-    val raf = new RandomAccessFile(file, "rw")
-    try {
-      raf.seek(4)
-      raf.write(Array[Byte](
-        (n & 0xff).toByte, ((n >> 8) & 0xff).toByte,
-        ((n >> 16) & 0xff).toByte, ((n >> 24) & 0xff).toByte))
-    } finally raf.close()
   }
 }
 
@@ -337,7 +359,7 @@ class DbfScan(path: String, options: Map[String, String],
       val capped = limit.fold(h.numRecords)(l => math.min(h.numRecords, l.toLong))
       (0L until capped by perSplit).map { start =>
         val end = math.min(capped, start + perSplit)
-        DbfInputPartition(f.getAbsolutePath, h.headerSize, h.recordSize,
+        DbfInputPartition(f.toString, h.headerSize, h.recordSize,
           start, end)
       }
     }.toArray
@@ -363,7 +385,10 @@ class DbfReaderFactory(fields: Seq[DbfSource.DbfField])
 class DbfPartitionReader(p: DbfInputPartition,
     fields: Seq[DbfSource.DbfField]) extends PartitionReader[InternalRow] {
 
-  private val in = new RandomAccessFile(p.file, "r")
+  private val in = {
+    val path = new org.apache.hadoop.fs.Path(p.file)
+    DbfSource.fileSystem(path).open(path)
+  }
   in.seek(p.headerSize + p.startRecord * p.recordSize)
   private val rec = new Array[Byte](p.recordSize)
   private var i = p.startRecord

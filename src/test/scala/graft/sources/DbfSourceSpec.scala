@@ -77,6 +77,9 @@ class DbfSourceSpec extends SparkSpec {
       raf.seek(h.headerSize + i.toLong * h.recordSize)
       raf.write('*')
     } finally raf.close()
+    // the out-of-band edit models an externally-produced file: drop the
+    // LocalFileSystem checksum sidecar it invalidates
+    new File(s"$dir/.t.dbf.crc").delete()
     val back = spark.read.format("dbf")
       .option("recordsPerSplit", "7").load(s"$dir/t.dbf")
     assert(back.select("k").as[Long](org.apache.spark.sql.Encoders.scalaLong)
