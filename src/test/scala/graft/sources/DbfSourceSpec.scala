@@ -138,6 +138,27 @@ class DbfSourceSpec extends SparkSpec {
       Files.readAllBytes(new File(s"$dir/b.dbf").toPath)))
   }
 
+  test("a directory of same-schema .dbf files reads as one table; mismatched schema is rejected") {
+    val dir = stagingDir
+    DbfSource.write(spark.range(0, 10).select(col("id").as("k")),
+      s"$dir/a.dbf")
+    DbfSource.write(spark.range(10, 25).select(col("id").as("k")),
+      s"$dir/b.dbf")
+    val both = spark.read.format("dbf").load(dir)
+    assert(both.count() == 25)
+    assert(both.select("k").collect().map(_.getLong(0)).sorted.toSeq ==
+      (0L until 25L))
+    // a third file with a different schema must fail planning loudly
+    DbfSource.write(spark.range(0, 3).select(col("id").as("other")),
+      s"$dir/c.dbf")
+    val e = intercept[Exception] {
+      spark.read.format("dbf").load(dir).count()
+    }
+    val messages = Iterator.iterate(e: Throwable)(_.getCause)
+      .takeWhile(_ != null).map(_.getMessage).mkString(" | ")
+    assert(messages.contains("schema mismatch"), messages)
+  }
+
   test("a non-dbf file is rejected with the version byte in the error") {
     val dir = stagingDir
     Files.write(new File(s"$dir/x.dbf").toPath,
