@@ -137,6 +137,7 @@ object SparkEntry {
     "q_embed_topk" -> (LlmOps.embedTopK(_, _)),
     "q_embed_topk_i8" -> (LlmOps.embedTopKI8(_, _)),
     "q_embed_pq_topk" -> (LlmOps.embedPqTopK(_, _)),
+    "q_embed_pq_rerank" -> (LlmOps.embedPqRerank(_, _)),
     "q_embed_ivfpq" -> (LlmOps.embedIvfPq(_, _)),
     "q_embed_neardup" -> (LlmOps.embedNearDup(_, _)),
     "q_embed_incr_neardup" -> (LlmOps.embedIncrNearDup(_, _)),
@@ -477,6 +478,7 @@ object SparkEntry {
     "q_embed_topk" -> LlmOps.embedTopKSql,
     "q_embed_topk_i8" -> LlmOps.embedTopKI8Sql,
     "q_embed_pq_topk" -> LlmOps.embedPqTopKSql,
+    "q_embed_pq_rerank" -> LlmOps.embedPqRerankSql,
     "q_embed_ivfpq" -> LlmOps.embedIvfPqSql,
     "q_embed_neardup" -> LlmOps.embedNearDupSql,
     "q_embed_incr_neardup" -> LlmOps.embedIncrNearDupSql,

@@ -1494,6 +1494,54 @@ object LlmOps {
     Similarity.pqAdcTopK(emb, col("vec_id"), col("embedding"), cb, qCodes, 10)
   }
 
+  /** Two-stage retrieval: PQ ADC candidate generation (top-100 in the
+    * compressed domain — 8 B of codes per vector) followed by an EXACT
+    * cosine re-rank of just the candidates — the standard recall-repair
+    * composition (ADC distances are quantized, so their top-10 ordering
+    * is approximate; re-ranking the top-100 by exact score restores any
+    * true neighbor the quantizer only mis-ORDERED, which is most of the
+    * PQ recall loss). At billion-vector scale stage 1 is the only
+    * corpus-wide pass; stage 2 touches 100 rows through a broadcast
+    * semi-join — no second corpus scan shape at the executor level, and
+    * the candidate boundary is deterministic (ties at rank 100 break on
+    * vec_id in both engines).
+    */
+  def embedPqRerank(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.load(spark, dir, "embeddings")
+    val cb = trainedPqCodebook(spark, dir)
+    val qCodes = Similarity
+      .quantizeI8(emb.filter(col("vec_id") === 0), col("embedding"))
+      .select(col("q_i8")).collect()(0).getSeq[Byte](0).map(_.toLong).toArray
+    val cand = Similarity.pqAdcTopK(emb, col("vec_id"), col("embedding"),
+      cb, qCodes, 100).select("vec_id")
+    Similarity.bruteForceTopK(
+      emb.join(broadcast(cand), Seq("vec_id")),
+      col("vec_id"), col("embedding"), queryVector(spark, dir), k = 10)
+      .withColumn("cos", round(col("cos"), 6))
+  }
+
+  /** PQ chain to a top-100 candidate set, then the exact-cosine re-rank
+    * — stage 1 is verbatim [[embedPqTopKSql]]'s chain at LIMIT 100.
+    */
+  lazy val embedPqRerankSql: String = {
+    val terms = (1 to 8).map(i => s"(s[$i]-c[$i])*(s[$i]-c[$i])").mkString(" + ")
+    s"""WITH $pqFitCtes,
+       |dists AS (SELECT subs.vec_id, subs.ms, b.k, $terms AS d
+       |  FROM subs JOIN cb$pqFitIters b ON subs.ms = b.ms),
+       |codes AS (SELECT vec_id, ms, k FROM (
+       |    SELECT vec_id, ms, k, row_number() OVER (PARTITION BY vec_id, ms ORDER BY d, k) AS rk
+       |    FROM dists) WHERE rk = 1),
+       |qdt AS (SELECT ms, k, d FROM dists WHERE vec_id = 0),
+       |cand AS (SELECT c.vec_id FROM codes c JOIN qdt q ON c.ms = q.ms AND c.k = q.k
+       |  GROUP BY 1 ORDER BY CAST(sum(q.d) AS BIGINT), c.vec_id LIMIT 100)
+       |SELECT e.vec_id,
+       |  round(list_cosine_similarity(e.embedding::DOUBLE[], q2.embedding::DOUBLE[]), 6) AS cos
+       |FROM embeddings e JOIN cand USING (vec_id),
+       |  (SELECT embedding FROM embeddings WHERE vec_id = 0) q2
+       |ORDER BY list_cosine_similarity(e.embedding::DOUBLE[], q2.embedding::DOUBLE[]) DESC, e.vec_id
+       |LIMIT 10""".stripMargin
+  }
+
   /** The full IVF-PQ composition — the canonical billion-vector ANN
     * architecture (coarse quantizer prunes, product quantizer
     * compresses): the trained IVF probe keeps only the 2 nearest

@@ -228,6 +228,20 @@ class SimilaritySpec extends SparkSpec {
     assert(dists.sameElements(dists.sorted))
   }
 
+  test("PQ re-rank: exact re-ranking of the ADC top-100 repairs recall") {
+    val sf01 = "/root/testdata/sf0.01"
+    val brute = LlmOps.embedTopK(spark, sf01).collect().map(_.getLong(0)).toSet
+    val pq = LlmOps.embedPqTopK(spark, sf01).collect().map(_.getLong(0)).toSet
+    val rr = LlmOps.embedPqRerank(spark, sf01).collect().map(_.getLong(0)).toSet
+    val rPq = (brute intersect pq).size
+    val rRr = (brute intersect rr).size
+    // the ADC top-10 ORDERING is quantization-noisy (measured 2/10 on
+    // this corpus) but the top-100 candidate SET contains the true
+    // neighbors — exact re-rank recovers them (measured 10/10)
+    assert(rRr > rPq, s"re-rank recall $rRr not above PQ-alone $rPq")
+    assert(rRr >= 8, s"re-rank recall@10 = $rRr — candidate set lost true neighbors")
+  }
+
   test("trained PQ codebook: recall@10 strictly above the seed codebook's") {
     import org.apache.spark.sql.types.{ArrayType, DoubleType}
     // train on the sf0.01 corpus (500 vecs; sf0.001 shares the same
