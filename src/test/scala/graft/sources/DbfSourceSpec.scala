@@ -159,6 +159,47 @@ class DbfSourceSpec extends SparkSpec {
     assert(messages.contains("schema mismatch"), messages)
   }
 
+  test("property: random typed rows round-trip bit-exactly (20 seeded samples)") {
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    // latin-1-safe strings with no leading/trailing whitespace and no
+    // all-blank values (all-blank C reads as null by documented choice)
+    val str = Gen.choose(1, 30).flatMap(n =>
+      Gen.listOfN(n, Gen.oneOf(('a' to 'z') ++ ('A' to 'Z') ++
+        ('0' to '9') ++ "éüßñ_.,:#-".toSeq)).map(_.mkString))
+    val rowGen = for {
+      k <- Gen.choose(Long.MinValue / 2, Long.MaxValue / 2)
+      s <- Gen.option(str)
+      d <- Gen.option(Gen.choose(-2000000000L, 2000000000L)
+        .map(c => BigDecimal(c, 2)))
+      dt <- Gen.option(Gen.choose(-20000, 40000)
+        .map(days => java.sql.Date.valueOf(
+          java.time.LocalDate.ofEpochDay(days.toLong))))
+      b <- Gen.option(Gen.oneOf(true, false))
+    } yield Row(k, s.orNull, d.map(_.bigDecimal).orNull, dt.orNull,
+      b.map(java.lang.Boolean.valueOf).orNull)
+    val schema = StructType(Seq(
+      StructField("k", LongType),
+      StructField("s", StringType),
+      StructField("d", DecimalType(12, 2)),
+      StructField("dt", DateType),
+      StructField("b", BooleanType)))
+    val params = Gen.Parameters.default
+    (1 to 20).foreach { seed =>
+      val rows = Gen.listOfN(25, rowGen).pureApply(params, Seed(seed.toLong))
+        // distinct keys so the sorted compare is total
+        .zipWithIndex.map { case (r, i) => Row(i.toLong +: r.toSeq.tail: _*) }
+      val dir = stagingDir
+      val df = spark.createDataFrame(
+        spark.sparkContext.parallelize(rows, 1), schema)
+      DbfSource.write(df, s"$dir/p.dbf")
+      val back = spark.read.format("dbf")
+        .option("recordsPerSplit", "7").load(s"$dir/p.dbf")
+      assert(back.orderBy("k").collect().toSeq ==
+        df.orderBy("k").collect().toSeq, s"seed $seed diverged")
+    }
+  }
+
   test("a non-dbf file is rejected with the version byte in the error") {
     val dir = stagingDir
     Files.write(new File(s"$dir/x.dbf").toPath,
