@@ -1968,6 +1968,28 @@ object LlmOps {
       n = 3, threshold = 0.5)
   }
 
+  /** Corpus-scale tier of the admission pipeline's EXACT gate. The
+    * default gate broadcasts the digest set (right for test scale and
+    * for compacted per-shard digest files); at 10B docs the digest
+    * table is ~hundreds of GB — unbroadcastable, and a plain semi join
+    * would shuffle it. This tier inverts the direction: a bloom of the
+    * BATCH hashes (delta-sized, a few MB of sketch) prunes the digest
+    * SCAN map-side, and the survivors — true matches + the bloom's
+    * false positives, both ∝ batch — broadcast back for the exact semi
+    * join. The corpus-sized relation never shuffles and never
+    * broadcasts; the pattern is [[Dedup]]'s decontaminate-bloom shape
+    * applied to the gate. Verdict-equivalence with the broadcast tier
+    * is spec-pinned (`IngestGateStreamSpec`).
+    */
+  private[graft] def exactGateBloom(spark: SparkSession, g: String,
+      delta: DataFrame, expectedBatchKeys: Long = 1L << 20): DataFrame = {
+    val hashes = delta.select(col("doc_id"), sha2(col("text"), 256).as("h"))
+    val dig = spark.read.parquet(s"$g/digests")
+    val hits = graft.ops.BloomPrune.pruneByBloom(
+      dig, col("h"), hashes, col("h"), expectedBatchKeys)
+    hashes.join(broadcast(hits), Seq("h"), "left_semi").select("doc_id")
+  }
+
   /** The texts behind an artifacts generation's near-dup index — what
     * the candidates-only Jaccard verify joins against. The base
     * generation covers the corpus table; a COMPACTED generation

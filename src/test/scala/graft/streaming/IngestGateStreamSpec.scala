@@ -90,6 +90,34 @@ class IngestGateStreamSpec extends SparkSpec {
     assert(oneShot(refetch.doc_id) == "admitted") // corpus digests alone miss it
   }
 
+  test("bloom exact-gate tier: same verdict set, digests never shuffle") {
+    val g = LlmOps.ingestArtifacts(spark, sf)
+    val delta = LlmOps.ingestBatch(spark, sf)
+    val viaBloom = LlmOps.exactGateBloom(spark, g, delta)
+    val broadcastTier = delta
+      .select(org.apache.spark.sql.functions.col("doc_id"),
+        org.apache.spark.sql.functions.sha2(
+          org.apache.spark.sql.functions.col("text"), 256).as("h"))
+      .join(spark.read.parquet(s"$g/digests"), Seq("h"), "left_semi")
+      .select("doc_id")
+    val a = viaBloom.collect().map(_.getLong(0)).toSet
+    val b = broadcastTier.collect().map(_.getLong(0)).toSet
+    assert(a == b, s"bloom tier diverged: ${a diff b} / ${b diff a}")
+    assert(a.nonEmpty) // re-crawled corpus copies must be caught
+    // the corpus-sized side must reach the join without a data
+    // exchange: bloom prune is map-side on the scan, survivors
+    // broadcast back. The ONE permitted exchange is the bloom build's
+    // sketch-partial merge — constant-size state, so the shuffled
+    // record count must be ∝ partitions (sketch partials), never ∝
+    // digest rows
+    assert(graft.ops.PlanMetrics.exchangeCount(viaBloom) <= 1,
+      "more than the bloom-build exchange — digest side shuffled")
+    val shuffledRecords = graft.ops.PlanMetrics.shuffleRecordsWritten(viaBloom)
+    assert(shuffledRecords <= spark.sparkContext.defaultParallelism,
+      s"$shuffledRecords shuffled records — data crossed the wire, " +
+        "not sketch partials")
+  }
+
   test("compaction folds admissions into the near-dup indexes (and stays idempotent)") {
     val g = LlmOps.ingestArtifacts(spark, sf)
     val stateDir = Files.createTempDirectory("gate_compact").toString
