@@ -289,7 +289,10 @@ object Connectors {
     customer.groupBy(col("c_nationkey"))
       .agg(count(lit(1)).as("n_customers"),
         Analytics.moneySum(col("c_acctbal")).as("total_acctbal"))
-      .join(broadcast(lookup), col("c_nationkey") === col("n_nationkey"))
+      // no broadcast() hint: the source reports exact header-derived
+      // statistics, so the planner auto-broadcasts the dim (pinned by
+      // PlanMetricsSpec)
+      .join(lookup, col("c_nationkey") === col("n_nationkey"))
       .select(col("n_name"), col("n_customers"), col("total_acctbal"))
   }
 

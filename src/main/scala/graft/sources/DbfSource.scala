@@ -323,7 +323,8 @@ class DbfScanBuilder(path: String, options: Map[String, String])
 }
 
 class DbfScan(path: String, options: Map[String, String],
-    required: Option[StructType], limit: Option[Int]) extends Scan with Batch {
+    required: Option[StructType], limit: Option[Int]) extends Scan with Batch
+    with SupportsReportStatistics {
 
   private val files = DbfSource.listFiles(path)
   private val header = DbfSource.readHeader(files.head)
@@ -367,6 +368,21 @@ class DbfScan(path: String, options: Map[String, String],
 
   override def createReaderFactory(): PartitionReaderFactory =
     new DbfReaderFactory(requiredFields)
+
+  /** EXACT statistics straight from the headers (record count ×
+    * record size — no sampling, no file scan): with these reported,
+    * Catalyst sizes the relation correctly and a dim-table .dbf falls
+    * under the autoBroadcastJoinThreshold on its own — no broadcast()
+    * hint needed for the lookup-join shape.
+    */
+  override def estimateStatistics(): Statistics = new Statistics {
+    private val perFile = files.map(f => DbfSource.readHeader(f))
+    override def sizeInBytes(): java.util.OptionalLong =
+      java.util.OptionalLong.of(
+        perFile.map(h => h.numRecords * h.recordSize).sum)
+    override def numRows(): java.util.OptionalLong =
+      java.util.OptionalLong.of(perFile.map(_.numRecords).sum)
+  }
 }
 
 case class DbfInputPartition(file: String, headerSize: Int, recordSize: Int,

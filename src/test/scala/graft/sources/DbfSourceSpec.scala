@@ -200,6 +200,24 @@ class DbfSourceSpec extends SparkSpec {
     }
   }
 
+  test("header-derived statistics: a dbf dim auto-broadcasts without a hint") {
+    val dir = stagingDir
+    DbfSource.write(spark.range(0, 50).select(col("id").as("k"),
+      concat(lit("label_"), col("id")).as("lbl")), s"$dir/dim.dbf")
+    val dim = spark.read.format("dbf").load(s"$dir/dim.dbf")
+    // exact stats from the header: 50 rows, bytes = n * recordSize
+    val stats = dim.queryExecution.optimizedPlan.stats
+    assert(stats.sizeInBytes > 0 && stats.sizeInBytes < 10000,
+      s"reported ${stats.sizeInBytes} bytes — header stats not wired")
+    // NO broadcast() hint: the planner must pick BHJ from the stats
+    val fact = spark.range(0, 10000).select((col("id") % 50).as("k"))
+    val joined = fact.join(dim, "k")
+    joined.collect()
+    val bhj = graft.ops.PlanMetrics.executedNodes(joined).count(
+      _.isInstanceOf[org.apache.spark.sql.execution.joins.BroadcastHashJoinExec])
+    assert(bhj === 1, "stats-driven auto-broadcast did not happen")
+  }
+
   test("a non-dbf file is rejected with the version byte in the error") {
     val dir = stagingDir
     Files.write(new File(s"$dir/x.dbf").toPath,
