@@ -33,23 +33,33 @@ import graft.queries.LlmOps
   */
 object IngestGateStream {
 
-  /** Latest digest version strictly below `batchId`, falling back to
-    * the staged corpus digests — the replay-safe predecessor read.
+  /** The digest set visible to `batchId`: the base generation's
+    * digests ∪ every SEGMENT written by batches strictly below it.
+    * Segments are append-only and ∝ their batch (admitted hashes are
+    * by definition not in any predecessor — the exact gate just said
+    * so), so the union is a plain multi-path parquet read: per-batch
+    * digest maintenance never rewrites the corpus-sized set. Replay
+    * safety falls out of the `< batchId` cut: a replayed batch reads
+    * the same predecessor segments, never its own output.
     */
   private def predecessorDigests(spark: SparkSession, g: String,
       stateDir: String, batchId: Long): DataFrame = {
-    val prev = Option(new java.io.File(stateDir).listFiles())
+    val segs = Option(new java.io.File(stateDir).listFiles())
       .getOrElse(Array.empty)
       .filter(f => f.isDirectory && f.getName.startsWith("digests_v"))
       .map(_.getName.stripPrefix("digests_v").toLong)
-      .filter(_ < batchId)
-    if (prev.isEmpty) spark.read.parquet(s"$g/digests")
-    else spark.read.parquet(s"$stateDir/digests_v${prev.max}")
+      .filter(_ < batchId).sorted
+      .map(b => s"$stateDir/digests_v$b")
+    spark.read.parquet((s"$g/digests" +: segs.toSeq): _*)
   }
 
   /** Admit ONE micro-batch: verdicts against the chained digest state,
-    * versioned outputs. Returns the verdicts (re-read from the written
-    * version, so callers observe exactly what was committed).
+    * versioned outputs, APPEND-ONLY digest maintenance — the batch
+    * writes a segment holding only ITS admitted hashes (cost ∝ delta;
+    * the growing segment count is what [[compactArtifacts]] collapses
+    * on the maintenance cadence). Returns the verdicts (re-read from
+    * the written version, so callers observe exactly what was
+    * committed).
     */
   def admitBatch(spark: SparkSession, dir: String, g: String,
       delta: DataFrame, stateDir: String, batchId: Long): DataFrame = {
@@ -65,10 +75,9 @@ object IngestGateStream {
     // contributes, and compaction's input
     admitted.select(col("doc_id"), col("text"))
       .write.mode("overwrite").parquet(s"$stateDir/admitted_v$batchId")
-    prev.unionByName(
-        spark.read.parquet(s"$stateDir/admitted_v$batchId")
-          .select(sha2(col("text"), 256).as("h")))
-      .distinct()
+    // the batch's digest SEGMENT: only its own admitted hashes
+    spark.read.parquet(s"$stateDir/admitted_v$batchId")
+      .select(sha2(col("text"), 256).as("h")).distinct()
       .write.mode("overwrite").parquet(s"$stateDir/digests_v$batchId")
     graft.ops.CacheBin.releaseAll()
     spark.read.parquet(s"$stateDir/verdicts_v$batchId")
@@ -83,14 +92,16 @@ object IngestGateStream {
     * in between). After compaction, gates run against the generation
     * dir — near-dup protection now covers the admitted stream docs too.
     *
-    * The generation is immutable (`artifacts_v<upTo>/`): sigs/fps are
-    * the old index ∪ the admitted docs' contributions (cost ∝ admitted,
-    * not corpus — the old index is copied forward by reference-free
-    * union, which at production scale is an incremental parquet append
-    * of the delta partitions), digests are the chain head, and `texts`
-    * carries corpus ∪ admitted so the candidates-only Jaccard verify
-    * can see admitted docs' contents. Idempotent: deterministic inputs,
-    * overwrite writes — a replayed compaction converges byte-for-byte.
+    * The generation is immutable (`artifacts_v<upTo>/`): sigs/fps/
+    * digests/texts are the old index ∪ the admitted contributions,
+    * MATERIALIZED — compaction is deliberately the corpus-sized
+    * sequential rewrite (one scan + one write, no shuffle of the old
+    * index beyond the write), amortized by running it on a maintenance
+    * cadence, exactly like parquet OPTIMIZE/compaction jobs; it is the
+    * collapse point for the append-only per-batch digest segments,
+    * which is what keeps the HOT path (admitBatch) ∝ delta. Idempotent:
+    * deterministic inputs, overwrite writes — a replayed compaction
+    * converges byte-for-byte.
     */
   def compactArtifacts(spark: SparkSession, dir: String, g: String,
       stateDir: String, upToBatch: Long): String = {

@@ -58,6 +58,17 @@ class IngestGateStreamSpec extends SparkSpec {
     assert(streamed == batchFace)
     assert(streamed.keySet == delta.map(_.doc_id).toSet)
 
+    // digest maintenance is APPEND-ONLY and ∝ delta: each version dir
+    // is a SEGMENT holding only that batch's admitted hashes — never a
+    // rewrite of the cumulative set
+    Seq(0L, 1L).foreach { b =>
+      val segRows = spark.read.parquet(s"$stateDir/digests_v$b").count()
+      val admittedB = spark.read.parquet(s"$stateDir/admitted_v$b").count()
+      assert(segRows == admittedB,
+        s"digest segment v$b has $segRows rows vs $admittedB admitted — " +
+          "per-batch digest write is not delta-sized")
+    }
+
     // replay batch 1 (at-least-once redelivery): verdicts and digest
     // version must come out IDENTICAL — the convergence contract
     val digestsBefore = spark.read.parquet(s"$stateDir/digests_v1")
