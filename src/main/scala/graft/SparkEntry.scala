@@ -119,6 +119,7 @@ object SparkEntry {
     "q_token_drift" -> ((s, d) => LlmOps.tokenDrift(s, d)),
     "q_vocab_overlap" -> (LlmOps.vocabOverlap(_, _)),
     "q_bm25_topk" -> ((s, d) => LlmOps.bm25TopK(s, d)),
+    "q_hard_negatives" -> ((s, d) => LlmOps.hardNegatives(s, d)),
     "q_hybrid_rrf" -> ((s, d) => LlmOps.hybridRrf(s, d)),
     // — LLM-pipeline: text analysis
     "q_text_stats" -> (LlmOps.textStats(_, _)),
@@ -420,6 +421,7 @@ object SparkEntry {
     "q_token_drift" -> LlmOps.tokenDriftSql,
     "q_vocab_overlap" -> LlmOps.vocabOverlapSql,
     "q_bm25_topk" -> LlmOps.bm25TopKSql,
+    "q_hard_negatives" -> LlmOps.hardNegativesSql,
     "q_hybrid_rrf" -> LlmOps.hybridRrfSql,
     "q_embed_ann_ivf" -> LlmOps.embedAnnIvfSql,
     // the persisted-index path must return byte-identical results to the

@@ -520,6 +520,94 @@ object LlmOps {
       .limit(k)
   }
 
+  /** Hard-negative mining for retrieval training data (the DPR recipe,
+    * Karpukhin et al., EMNLP 2020: the most useful negatives for
+    * contrastive training are the retriever's own top-scoring
+    * NON-relevant documents — random negatives are too easy): for each
+    * (query terms, relevant source) pair, the top-n BM25 docs OUTSIDE
+    * the query's relevant set. Scoring is batched: the SAME corpus
+    * passes score every query at once (token explode → broadcast
+    * query-term join fans each tf row out to its queries) — adding
+    * queries adds zero scans, unlike a per-query retrieval loop.
+    * Positives drop via the broadcast pos_source before aggregation,
+    * and top-n per query runs through the O(n)-state TopKAggregator —
+    * never a per-group sort of the scored corpus. At 100 TB: the
+    * corpus-sized relations touch one exchange (the (query,doc) score
+    * agg, ∝ matching postings, same posture as [[bm25TopK]]);
+    * everything else is parameter-sized broadcast.
+    */
+  def hardNegatives(spark: SparkSession, dir: String, n: Int = 5,
+      k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    import spark.implicits._
+    val qdefs = Seq(
+      (1L, "join", "src0"), (1L, "hash", "src0"),
+      (2L, "scan", "src1"), (2L, "filter", "src1"),
+      (3L, "vector", "src2"), (3L, "merge", "src2"))
+    val qterms = qdefs.toDF("query_id", "tok", "pos_source")
+    val allTerms = qdefs.map(_._2).distinct
+    val docs = Tables.load(spark, dir, "documents")
+    val lens = docs.select(col("doc_id"), col("source"),
+      TextAnalysis.tokenCount(col("text")).cast(DoubleType).as("dl"))
+    val stats = lens.agg(
+      count(lit(1)).cast(DoubleType).as("n"), avg(col("dl")).as("avgdl"))
+    val tf = docs
+      .select(col("doc_id"), explode(TextAnalysis.tokens(col("text"))).as("tok"))
+      .filter(col("tok").isin(allTerms: _*))
+      .groupBy(col("doc_id"), col("tok"))
+      .agg(count(lit(1)).cast(DoubleType).as("tf"))
+    val dfreq = tf.groupBy(col("tok"))
+      .agg(count(lit(1)).cast(DoubleType).as("df"))
+    val scored = tf.join(broadcast(dfreq), Seq("tok"))
+      .join(broadcast(qterms), Seq("tok"))
+      .join(lens, Seq("doc_id"))
+      .crossJoin(broadcast(stats))
+      .filter(col("source") =!= col("pos_source"))
+      .withColumn("score",
+        ((col("n") - col("df") + lit(0.5)) / (col("df") + lit(0.5))) *
+          (col("tf") * lit(k1 + 1)) /
+          (col("tf") + lit(k1) * (lit(1 - b) + lit(b) * col("dl") / col("avgdl"))))
+      .groupBy(col("query_id"), col("doc_id"))
+      .agg(round(sum(col("score")), 6).as("bm25"))
+    val topk = udaf(new graft.functions.TopKAggregator(n),
+      Encoders.product[graft.functions.ScoredId])
+    scored.groupBy(col("query_id"))
+      .agg(topk(col("doc_id"), col("bm25")).as("top"))
+      .select(col("query_id"), explode(col("top.items")).as("s"))
+      .select(col("query_id"), col("s.id").as("neg_doc_id"),
+        col("s.score").as("bm25"))
+  }
+
+  /** Same fixed query table, BM25 tree, pos-source anti-filter, and
+    * rounded-score/doc_id ordering; the window replays the
+    * TopKAggregator's (score desc, id asc) order.
+    */
+  val hardNegativesSql: String =
+    """WITH q(query_id, tok, pos_source) AS (VALUES
+      |    (1, 'join', 'src0'), (1, 'hash', 'src0'),
+      |    (2, 'scan', 'src1'), (2, 'filter', 'src1'),
+      |    (3, 'vector', 'src2'), (3, 'merge', 'src2')),
+      |docs AS (SELECT doc_id, source, string_split_regex(trim(text), '\s+') AS t
+      |  FROM documents),
+      |n AS (SELECT count(*)::DOUBLE AS n FROM docs),
+      |lens AS (SELECT doc_id, source, len(t)::DOUBLE AS dl FROM docs),
+      |avgdl AS (SELECT avg(dl) AS avgdl FROM lens),
+      |tf AS (SELECT doc_id, tok, count(*)::DOUBLE AS tf
+      |  FROM (SELECT doc_id, unnest(t) AS tok FROM docs)
+      |  WHERE tok IN ('join', 'hash', 'scan', 'filter', 'vector', 'merge')
+      |  GROUP BY 1, 2),
+      |dfreq AS (SELECT tok, count(*)::DOUBLE AS df FROM tf GROUP BY tok),
+      |agg AS (SELECT q.query_id, tf.doc_id, round(sum(
+      |      ((n.n - df + 0.5) / (df + 0.5)) * (tf * (1.2 + 1)) /
+      |        (tf + 1.2 * ((1 - 0.75) + 0.75 * dl / avgdl.avgdl))), 6) AS bm25
+      |  FROM tf JOIN dfreq USING (tok) JOIN q USING (tok)
+      |    JOIN lens USING (doc_id), n, avgdl
+      |  WHERE lens.source <> q.pos_source
+      |  GROUP BY 1, 2)
+      |SELECT query_id, doc_id AS neg_doc_id, bm25 FROM (
+      |  SELECT *, row_number() OVER (PARTITION BY query_id
+      |      ORDER BY bm25 DESC, doc_id) AS rn FROM agg)
+      |WHERE rn <= 5""".stripMargin
+
   /** HYBRID retrieval by reciprocal rank fusion (Cormack, Clarke &
     * Büttcher, "Reciprocal Rank Fusion outperforms Condorcet and
     * individual rank learning methods", SIGIR 2009): the lexical

@@ -130,4 +130,25 @@ class RetrievalSpec extends SparkSpec {
       }
     }
   }
+
+  test("hard negatives: never from the query's relevant source, hardest-first, n per query") {
+    import org.apache.spark.sql.functions.col
+    val negs = graft.queries.LlmOps.hardNegatives(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val posSource = Map(1L -> "src0", 2L -> "src1", 3L -> "src2")
+    val sourceOf = graft.Tables.load(spark, sf, "documents")
+      .select(col("doc_id"), col("source")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    negs.groupBy(_._1).foreach { case (qid, rows) =>
+      assert(rows.length == 5, s"query $qid: ${rows.length} negatives")
+      rows.foreach { case (_, doc, _) =>
+        assert(sourceOf(doc) != posSource(qid),
+          s"query $qid mined a positive-source doc $doc")
+      }
+      // hardest-first: scores non-increasing in the aggregator's order
+      val scores = rows.map(_._3)
+      assert(scores.sameElements(scores.sortBy(-_)),
+        s"query $qid negatives not hardest-first")
+    }
+  }
 }
