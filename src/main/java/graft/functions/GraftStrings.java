@@ -361,6 +361,49 @@ public final class GraftStrings {
    *  the SQL formulation (no gram rows -> NULL aggregate). Division
    *  order matches the oracle: (double) x / total, subtracted from 1.
    */
+  /** Per-term token frequencies plus total token count in ONE
+   *  byte-level pass: out[i] = occurrences of terms[i] among the
+   *  whitespace tokens of the trimmed input (same token boundaries as
+   *  {@link #tokens}: ASCII-space trim, {@code \s}-run separators,
+   *  the empty input contributing one empty token), out[terms.length]
+   *  = the token count (== {@code size(split(trim(text),"\\s+"))}).
+   *  Terms must be distinct, so a token increments at most one
+   *  counter. Tokens are compared byte-wise against the UTF-8 term
+   *  bytes — no String materialization, no per-token allocation. The
+   *  fused form of the explode(tokens)+isin+groupBy tf build AND the
+   *  tokenCount length pass used by the BM25 family: one scan yields
+   *  the whole sufficient statistic for scoring a document against
+   *  every query term at once. */
+  public static ArrayData termFreqs(UTF8String text, byte[][] terms) {
+    byte[] b = text.trim().getBytes();
+    int len = b.length;
+    int[] out = new int[terms.length + 1];
+    if (len == 0) {
+      out[terms.length] = 1; // split("", "\\s+", -1) == [""]
+      return UnsafeArrayData.fromPrimitiveArray(out);
+    }
+    int i = 0;
+    int m = 0;
+    while (i < len) {
+      int s = i;
+      while (i < len && !isSpace(b[i])) i++;
+      m++;
+      int tl = i - s;
+      for (int t = 0; t < terms.length; t++) {
+        byte[] tb = terms[t];
+        if (tb.length != tl) continue;
+        boolean eq = true;
+        for (int j = 0; j < tl; j++) {
+          if (b[s + j] != tb[j]) { eq = false; break; }
+        }
+        if (eq) { out[t]++; break; } // distinct terms: at most one match
+      }
+      while (i < len && isSpace(b[i])) i++;
+    }
+    out[terms.length] = m;
+    return UnsafeArrayData.fromPrimitiveArray(out);
+  }
+
   public static InternalRow repetitionStats(UTF8String text, int nSmall,
       int nLarge) {
     String[] toks = tokens(text);

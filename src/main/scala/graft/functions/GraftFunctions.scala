@@ -25,6 +25,13 @@ object GraftFunctions {
   def tokenGramHashes(text: Column, n: Int): Column =
     ColumnBridge.column(TokenGramHashes(ColumnBridge.expression(text), n))
 
+  /** Per-term token frequencies + total token count in one kernel pass:
+    * result(i) = tf of terms(i), result(terms.length) = token count —
+    * the per-document sufficient statistic for BM25-family scoring.
+    */
+  def termFreqs(text: Column, terms: Seq[String]): Column =
+    ColumnBridge.column(TermFreqs(ColumnBridge.expression(text), terms))
+
   /** Winnowing fingerprints: distinct w-window minima of the positional
     * n-gram hash stream (MOSS selection), one codegen'd kernel pass.
     */

@@ -92,6 +92,44 @@ case class TokenGramHashes(child: Expression, n: Int)
     copy(child = newChild)
 }
 
+/** Per-term token frequencies + total token count in one codegen'd
+  * kernel pass (see GraftStrings.termFreqs for the token-boundary
+  * contract): output[i] = tf of terms(i), output(terms.length) = doc
+  * token count. The whole per-document sufficient statistic for BM25
+  * scoring against a fixed term set — replaces an explode+isin+groupBy
+  * tf build (corpus-sized generator + posting shuffle) and a separate
+  * tokenCount pass with one map-only expression.
+  */
+case class TermFreqs(child: Expression, terms: Seq[String])
+    extends UnaryExpression {
+  require(terms.nonEmpty, "term_freqs needs at least one term")
+  require(terms.distinct == terms, "term_freqs terms must be distinct")
+
+  // Seq in the case class for canonicalization (array equality is by
+  // reference); the kernel gets one cached byte[][] of UTF-8 term bytes
+  private lazy val termBytes: Array[Array[Byte]] =
+    terms.map(_.getBytes(java.nio.charset.StandardCharsets.UTF_8)).toArray
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires a string argument, got ${child.dataType}")
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def prettyName: String = "term_freqs"
+
+  override protected def nullSafeEval(input: Any): Any =
+    GraftStrings.termFreqs(input.asInstanceOf[UTF8String], termBytes)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val tRef = ctx.addReferenceObj("termFreqTerms", termBytes, "byte[][]")
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.GraftStrings.termFreqs($c, $tRef);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): TermFreqs =
+    copy(child = newChild)
+}
+
 /** Winnowing fingerprints (the MOSS selection): distinct w-window
   * minima of the positional n-gram hash stream, right-edge partial
   * windows kept — one primitive kernel pass replacing the interpreted

@@ -2,7 +2,7 @@ package graft.queries
 
 import graft.Tables
 import graft.ops._
-import org.apache.spark.sql.{DataFrame, Encoders, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Encoders, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -525,49 +525,72 @@ object LlmOps {
     * contrastive training are the retriever's own top-scoring
     * NON-relevant documents — random negatives are too easy): for each
     * (query terms, relevant source) pair, the top-n BM25 docs OUTSIDE
-    * the query's relevant set. Scoring is batched: the SAME corpus
-    * passes score every query at once (token explode → broadcast
-    * query-term join fans each tf row out to its queries) — adding
-    * queries adds zero scans, unlike a per-query retrieval loop.
-    * Positives drop via the broadcast pos_source before aggregation,
-    * and top-n per query runs through the O(n)-state TopKAggregator —
-    * never a per-group sort of the scored corpus. At 100 TB: the
-    * corpus-sized relations touch one exchange (the (query,doc) score
-    * agg, ∝ matching postings, same posture as [[bm25TopK]]);
-    * everything else is parameter-sized broadcast.
+    * the query's relevant set. ZERO corpus-sized exchanges at any
+    * scale: the codegen'd term_freqs kernel yields each document's
+    * whole scoring statistic (per-term tf + doc length) in one map
+    * pass, the global stats (N, avgdl, per-term df) reduce to ONE
+    * broadcast row, per-(query,doc) scores are then plain row-local
+    * expressions (no posting join, no (query,doc) aggregation), and
+    * top-n per query runs through the partial-aggregating O(n)-state
+    * TopKAggregator — the only shuffle carries partial top-k states
+    * (≤ partitions·|queries|·n rows), never scored postings. Scoring
+    * is batched: adding queries adds zero scans. Positives drop via
+    * the row-local pos_source filter before aggregation.
     */
   def hardNegatives(spark: SparkSession, dir: String, n: Int = 5,
       k1: Double = 1.2, b: Double = 0.75): DataFrame = {
-    import spark.implicits._
     val qdefs = Seq(
       (1L, "join", "src0"), (1L, "hash", "src0"),
       (2L, "scan", "src1"), (2L, "filter", "src1"),
       (3L, "vector", "src2"), (3L, "merge", "src2"))
-    val qterms = qdefs.toDF("query_id", "tok", "pos_source")
-    val allTerms = qdefs.map(_._2).distinct
+    val terms = qdefs.map(_._2).distinct
+    val idx = terms.zipWithIndex.toMap
+    val m = terms.length
+    // qid -> (term indexes, relevant source) — plan-time constants
+    val queries = qdefs.groupBy(_._1).toSeq.sortBy(_._1)
+      .map { case (qid, rows) => (qid, rows.map(r => idx(r._2)), rows.head._3) }
     val docs = Tables.load(spark, dir, "documents")
-    val lens = docs.select(col("doc_id"), col("source"),
-      TextAnalysis.tokenCount(col("text")).cast(DoubleType).as("dl"))
-    val stats = lens.agg(
-      count(lit(1)).cast(DoubleType).as("n"), avg(col("dl")).as("avgdl"))
-    val tf = docs
-      .select(col("doc_id"), explode(TextAnalysis.tokens(col("text"))).as("tok"))
-      .filter(col("tok").isin(allTerms: _*))
-      .groupBy(col("doc_id"), col("tok"))
-      .agg(count(lit(1)).cast(DoubleType).as("tf"))
-    val dfreq = tf.groupBy(col("tok"))
-      .agg(count(lit(1)).cast(DoubleType).as("df"))
-    val scored = tf.join(broadcast(dfreq), Seq("tok"))
-      .join(broadcast(qterms), Seq("tok"))
-      .join(lens, Seq("doc_id"))
-      .crossJoin(broadcast(stats))
-      .filter(col("source") =!= col("pos_source"))
-      .withColumn("score",
-        ((col("n") - col("df") + lit(0.5)) / (col("df") + lit(0.5))) *
-          (col("tf") * lit(k1 + 1)) /
-          (col("tf") + lit(k1) * (lit(1 - b) + lit(b) * col("dl") / col("avgdl"))))
-      .groupBy(col("query_id"), col("doc_id"))
-      .agg(round(sum(col("score")), 6).as("bm25"))
+    // the per-doc statistic is ~100-1000× smaller than the text it
+    // summarizes (m+1 ints vs KB of prose), so pinning it means the
+    // text is tokenized ONCE — the stats pass and the scoring pass
+    // both read the slim cache (MEMORY_AND_DISK: spills, never fails)
+    val base = graft.ops.CacheBin.pin(
+      docs.select(col("doc_id"), col("source"),
+        graft.functions.GraftFunctions.termFreqs(col("text"), terms).as("tfv")))
+    // N, avgdl, df[term] in one 1-row aggregate (partials are m+2 longs
+    // per partition); avgdl/df sums are integer-valued doubles — exact,
+    // so the oracle's independently-derived stats are bit-identical
+    val stats = base.agg(
+      count(lit(1)).cast(DoubleType).as("n"),
+      avg(col("tfv").getItem(m)).as("avgdl"),
+      array((0 until m).map(i =>
+        sum(when(col("tfv").getItem(i) > lit(0), 1L).otherwise(0L))
+          .cast(DoubleType)): _*).as("dfs"))
+    val dl = col("tfv").getItem(m).cast(DoubleType)
+    // one term's BM25 contribution — the same expression tree as the
+    // oracle's per-posting-row formula; absent terms contribute exact
+    // 0.0, and x + 0.0 == x for the positive scores here, so the fixed
+    // in-row sum is bit-identical to the oracle's posting-row SUM
+    def contrib(i: Int): Column = {
+      val tf = col("tfv").getItem(i).cast(DoubleType)
+      when(col("tfv").getItem(i) > lit(0),
+        ((col("n") - col("dfs").getItem(i) + lit(0.5)) /
+          (col("dfs").getItem(i) + lit(0.5))) *
+          (tf * lit(k1 + 1)) /
+          (tf + lit(k1) * (lit(1 - b) + lit(b) * dl / col("avgdl"))))
+        .otherwise(lit(0.0))
+    }
+    val perQuery = queries.map { case (qid, idxs, pos) =>
+      struct(
+        lit(qid).as("query_id"), lit(pos).as("pos_source"),
+        idxs.map(contrib).reduce(_ + _).as("score"),
+        idxs.map(i => col("tfv").getItem(i) > lit(0)).reduce(_ || _).as("hit"))
+    }
+    val scored = base.crossJoin(broadcast(stats))
+      .select(col("doc_id"), col("source"), explode(array(perQuery: _*)).as("q"))
+      .filter(col("q.hit") && col("source") =!= col("q.pos_source"))
+      .select(col("q.query_id").as("query_id"), col("doc_id"),
+        round(col("q.score"), 6).as("bm25"))
     val topk = udaf(new graft.functions.TopKAggregator(n),
       Encoders.product[graft.functions.ScoredId])
     scored.groupBy(col("query_id"))

@@ -47,6 +47,23 @@ class PlanMetricsSpec extends SparkSpec {
     graft.ops.CacheBin.releaseAll()
   }
 
+  test("hard negatives: scored postings never shuffle — both exchanges carry partials") {
+    val df = LlmOps.hardNegatives(spark, sf)
+    df.collect()
+    // exchange 1: the 1-row stats aggregate (m+2 longs per partition);
+    // exchange 2: partial top-k states (≤ partitions·|queries|·n rows).
+    // A third exchange means the posting join / (query,doc) score agg
+    // shape crept back — the rewrite's whole point is that per-doc
+    // scores are row-local over the term_freqs statistic
+    assert(PlanMetrics.exchangeCount(df) === 2,
+      s"expected stats + top-k exchanges only, got ${PlanMetrics.exchangeCount(df)}")
+    val nDocs = Tables.load(spark, sf, "documents").count()
+    val crossed = PlanMetrics.shuffleRecordsWritten(df)
+    assert(crossed < nDocs,
+      s"exchanges carried $crossed rows vs $nDocs docs — postings shuffled")
+    graft.ops.CacheBin.releaseAll()
+  }
+
   test("classifier training pass: one exchange, parameter-sized shuffle") {
     val df = LlmOps.qualityFitHistogram(spark, sf)
     df.collect()
