@@ -477,45 +477,72 @@ object LlmOps {
       |FROM c JOIN e USING (h)
       |GROUP BY 1 HAVING count(*) >= 1""".stripMargin
 
+  /** Shared core of the BM25 family ([[bm25TopK]], [[hardNegatives]]):
+    * the CacheBin-pinned per-doc scoring statistic from the codegen'd
+    * term_freqs kernel (per-term tf + token count — one map pass over
+    * the text, ~100-1000× smaller than what it summarizes) and the
+    * global stats (N, avgdl, per-term df) reduced to ONE broadcast row
+    * whose sums are integer-valued doubles — exact, so an oracle's
+    * independently-derived stats are bit-identical. Nothing here
+    * shuffles corpus-sized data: the stats exchange carries m+2-long
+    * partials per partition.
+    */
+  private def bm25Base(spark: SparkSession, dir: String, terms: Seq[String],
+      carrySource: Boolean): (DataFrame, DataFrame) = {
+    val m = terms.length
+    val docs = Tables.load(spark, dir, "documents")
+    val cols = Seq(col("doc_id")) ++
+      (if (carrySource) Seq(col("source")) else Nil) ++
+      Seq(graft.functions.GraftFunctions.termFreqs(col("text"), terms).as("tfv"))
+    val base = graft.ops.CacheBin.pin(docs.select(cols: _*))
+    val stats = base.agg(
+      count(lit(1)).cast(DoubleType).as("n"),
+      avg(col("tfv").getItem(m)).as("avgdl"),
+      array((0 until m).map(i =>
+        sum(when(col("tfv").getItem(i) > lit(0), 1L).otherwise(0L))
+          .cast(DoubleType)): _*).as("dfs"))
+    (base, stats)
+  }
+
+  /** Term i's BM25 contribution as a row-local expression over the
+    * [[bm25Base]] columns — the same LOG-FREE idf tree the oracles
+    * replay (idf = (N - df + 0.5)/(df + 0.5): every arithmetic step is
+    * one correctly-rounded IEEE op; ln() is only within 1 ulp across
+    * engines — unusable for hash equality). Absent terms contribute
+    * exact 0.0, and x + 0.0 == x for the positive scores here, so a
+    * fixed in-row sum over terms is bit-identical to an oracle's SUM
+    * over posting rows.
+    */
+  private def bm25Contrib(i: Int, m: Int, k1: Double, b: Double): Column = {
+    val tf = col("tfv").getItem(i).cast(DoubleType)
+    val dl = col("tfv").getItem(m).cast(DoubleType)
+    when(col("tfv").getItem(i) > lit(0),
+      ((col("n") - col("dfs").getItem(i) + lit(0.5)) /
+        (col("dfs").getItem(i) + lit(0.5))) *
+        (tf * lit(k1 + 1)) /
+        (tf + lit(k1) * (lit(1 - b) + lit(b) * dl / col("avgdl"))))
+      .otherwise(lit(0.0))
+  }
+
   /** BM25 top-k retrieval over the corpus for a fixed 3-term query —
-    * the lexical-search op of a RAG/retrieval pipeline. Uses the
-    * LOG-FREE idf variant idf = (N - df + 0.5)/(df + 0.5): same
-    * monotonicity as Robertson idf but every arithmetic step is one
-    * correctly-rounded IEEE op, so with an identical expression tree
-    * the oracle matches bit-for-bit (ln() is only within 1 ulp across
-    * engines — unusable for hash equality). Shape at 100 TB: term
-    * df/avgdl are parameter-sized aggregates; the per-doc score is one
-    * narrow join (terms broadcast) + one aggregation; top-k via
-    * TakeOrderedAndProject.
+    * the lexical-search op of a RAG/retrieval pipeline. ZERO
+    * corpus-sized exchanges at any scale: per-doc scores are row-local
+    * over the [[bm25Base]] kernel statistic (no posting explode, no
+    * (doc,term) shuffle, no score aggregation) and top-k runs through
+    * TakeOrderedAndProject (per-partition heaps, k rows to the
+    * driver). The prior shape shuffled scored postings into a per-doc
+    * score aggregation.
     */
   def bm25TopK(spark: SparkSession, dir: String,
       terms: Seq[String] = Seq("stream", "join", "hash"),
       k1: Double = 1.2, b: Double = 0.75, k: Int = 20): DataFrame = {
-    val docs = Tables.load(spark, dir, "documents")
-    val lens = docs.select(col("doc_id"),
-      TextAnalysis.tokenCount(col("text")).cast(DoubleType).as("dl"))
-    // corpus size and average doc length ride ONE 1-row broadcast into
-    // the score expression instead of two driver actions — the whole
-    // query is a single job (the earlier count()/collect() pair paid
-    // two extra job launches per run for two scalars)
-    val stats = lens.agg(
-      count(lit(1)).cast(DoubleType).as("n"), avg(col("dl")).as("avgdl"))
-    val tf = docs
-      .select(col("doc_id"), explode(TextAnalysis.tokens(col("text"))).as("tok"))
-      .filter(col("tok").isin(terms: _*))
-      .groupBy(col("doc_id"), col("tok"))
-      .agg(count(lit(1)).cast(DoubleType).as("tf"))
-    val dfreq = tf.groupBy(col("tok"))
-      .agg(count(lit(1)).cast(DoubleType).as("df")) // one row per (doc,tok)
-    tf.join(broadcast(dfreq), Seq("tok"))
-      .join(lens, Seq("doc_id"))
-      .crossJoin(broadcast(stats))
-      .withColumn("score",
-        ((col("n") - col("df") + lit(0.5)) / (col("df") + lit(0.5))) *
-          (col("tf") * lit(k1 + 1)) /
-          (col("tf") + lit(k1) * (lit(1 - b) + lit(b) * col("dl") / col("avgdl"))))
-      .groupBy(col("doc_id"))
-      .agg(round(sum(col("score")), 6).as("bm25"))
+    val m = terms.length
+    val (base, stats) = bm25Base(spark, dir, terms, carrySource = false)
+    base.crossJoin(broadcast(stats))
+      .filter((0 until m).map(i => col("tfv").getItem(i) > lit(0)).reduce(_ || _))
+      .select(col("doc_id"),
+        round((0 until m).map(i => bm25Contrib(i, m, k1, b)).reduce(_ + _), 6)
+          .as("bm25"))
       .orderBy(col("bm25").desc, col("doc_id"))
       .limit(k)
   }
@@ -549,41 +576,11 @@ object LlmOps {
     // qid -> (term indexes, relevant source) — plan-time constants
     val queries = qdefs.groupBy(_._1).toSeq.sortBy(_._1)
       .map { case (qid, rows) => (qid, rows.map(r => idx(r._2)), rows.head._3) }
-    val docs = Tables.load(spark, dir, "documents")
-    // the per-doc statistic is ~100-1000× smaller than the text it
-    // summarizes (m+1 ints vs KB of prose), so pinning it means the
-    // text is tokenized ONCE — the stats pass and the scoring pass
-    // both read the slim cache (MEMORY_AND_DISK: spills, never fails)
-    val base = graft.ops.CacheBin.pin(
-      docs.select(col("doc_id"), col("source"),
-        graft.functions.GraftFunctions.termFreqs(col("text"), terms).as("tfv")))
-    // N, avgdl, df[term] in one 1-row aggregate (partials are m+2 longs
-    // per partition); avgdl/df sums are integer-valued doubles — exact,
-    // so the oracle's independently-derived stats are bit-identical
-    val stats = base.agg(
-      count(lit(1)).cast(DoubleType).as("n"),
-      avg(col("tfv").getItem(m)).as("avgdl"),
-      array((0 until m).map(i =>
-        sum(when(col("tfv").getItem(i) > lit(0), 1L).otherwise(0L))
-          .cast(DoubleType)): _*).as("dfs"))
-    val dl = col("tfv").getItem(m).cast(DoubleType)
-    // one term's BM25 contribution — the same expression tree as the
-    // oracle's per-posting-row formula; absent terms contribute exact
-    // 0.0, and x + 0.0 == x for the positive scores here, so the fixed
-    // in-row sum is bit-identical to the oracle's posting-row SUM
-    def contrib(i: Int): Column = {
-      val tf = col("tfv").getItem(i).cast(DoubleType)
-      when(col("tfv").getItem(i) > lit(0),
-        ((col("n") - col("dfs").getItem(i) + lit(0.5)) /
-          (col("dfs").getItem(i) + lit(0.5))) *
-          (tf * lit(k1 + 1)) /
-          (tf + lit(k1) * (lit(1 - b) + lit(b) * dl / col("avgdl"))))
-        .otherwise(lit(0.0))
-    }
+    val (base, stats) = bm25Base(spark, dir, terms, carrySource = true)
     val perQuery = queries.map { case (qid, idxs, pos) =>
       struct(
         lit(qid).as("query_id"), lit(pos).as("pos_source"),
-        idxs.map(contrib).reduce(_ + _).as("score"),
+        idxs.map(i => bm25Contrib(i, m, k1, b)).reduce(_ + _).as("score"),
         idxs.map(i => col("tfv").getItem(i) > lit(0)).reduce(_ || _).as("hit"))
     }
     val scored = base.crossJoin(broadcast(stats))
@@ -676,8 +673,10 @@ object LlmOps {
       .select(col("doc_id"), col("r_lex"), col("r_dense"), col("rrf"))
   }
 
-  /** Mirrors bm25TopK's expression tree exactly (same association
-    * order), so every double op rounds identically.
+  /** Replays bm25TopK's per-term contribution tree exactly; the
+    * posting-row SUM here equals the engine's fixed in-row sum because
+    * the contributions are positive (x + 0.0 == x) and any association
+    * skew is absorbed by round(·, 6).
     */
   val bm25TopKSql: String =
     """WITH docs AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS t

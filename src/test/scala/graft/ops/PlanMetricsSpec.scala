@@ -64,6 +64,23 @@ class PlanMetricsSpec extends SparkSpec {
     graft.ops.CacheBin.releaseAll()
   }
 
+  test("bm25 top-k: only the 1-row stats aggregate shuffles; top-k never exchanges") {
+    val df = LlmOps.bm25TopK(spark, sf)
+    df.collect()
+    // the sole exchange carries m+2-long stats partials (one row per
+    // partition); top-k runs through TakeOrderedAndProject (per-
+    // partition heaps, k rows to the driver — no Exchange node). A
+    // second exchange means the posting-shuffle score aggregation the
+    // r11 kernel rewrite removed has crept back
+    assert(PlanMetrics.exchangeCount(df) === 1,
+      s"expected the stats exchange only, got ${PlanMetrics.exchangeCount(df)}")
+    val crossed = PlanMetrics.shuffleRecordsWritten(df)
+    val cap = spark.sparkContext.defaultParallelism.toLong
+    assert(crossed <= cap,
+      s"stats exchange carried $crossed rows, cap $cap — corpus rows shuffled")
+    graft.ops.CacheBin.releaseAll()
+  }
+
   test("classifier training pass: one exchange, parameter-sized shuffle") {
     val df = LlmOps.qualityFitHistogram(spark, sf)
     df.collect()
