@@ -114,6 +114,8 @@ object SparkEntry {
     "q_ingest_gate_e2e" -> (LlmOps.ingestGateE2e(_, _)),
     "q_vocab_topk" -> (LlmOps.vocabTopK(_, _)),
     "q_bpe_pairs" -> ((s, d) => LlmOps.bpePairCounts(s, d)),
+    "q_bpe_merges" -> ((s, d) => graft.ops.Bpe.mergesQuery(s, d)),
+    "q_bpe_encode" -> ((s, d) => graft.ops.Bpe.encodeStats(s, d)),
     "q_collocations" -> ((s, d) => LlmOps.collocations(s, d)),
     "q_lang_diversity" -> (LlmOps.langDiversity(_, _)),
     "q_token_drift" -> ((s, d) => LlmOps.tokenDrift(s, d)),
@@ -416,6 +418,8 @@ object SparkEntry {
     "q_ingest_gate_e2e" -> LlmOps.ingestGateE2eSql,
     "q_vocab_topk" -> LlmOps.vocabTopKSql,
     "q_bpe_pairs" -> LlmOps.bpePairCountsSql,
+    "q_bpe_merges" -> graft.ops.Bpe.mergesSql(),
+    "q_bpe_encode" -> graft.ops.Bpe.encodeSql(),
     "q_collocations" -> LlmOps.collocationsSql,
     "q_lang_diversity" -> LlmOps.langDiversitySql,
     "q_token_drift" -> LlmOps.tokenDriftSql,

@@ -1,0 +1,68 @@
+package graft.ops
+
+import graft.SparkSpec
+import graft.ops.Bpe.Merge
+
+/** BPE trainer: tier equivalence, the Sennrich hand example, the
+  * adjacent-repeat merge-semantics trap, and the encode face's
+  * invariants.
+  */
+class BpeSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def wc(rows: (String, Long)*) = rows.toDF("w", "c")
+
+  test("Sennrich hand example: first merges are (e,s) then (es,t) by count-then-lex order") {
+    // the ACL 2016 paper's vocabulary. es and st both occur 9× (newest
+    // ×6 + widest ×3); the (cnt DESC, a, b) total order picks (e,s)
+    // first, after which (es,t) is the unique 9-count pair.
+    val v = wc("low" -> 5L, "lower" -> 2L, "newest" -> 6L, "widest" -> 3L)
+    val got = Bpe.trainMerges(v, merges = 2, localThreshold = 1 << 18)
+    assert(got === Seq(Merge(1, "e", "s", 9L), Merge(2, "es", "t", 9L)))
+  }
+
+  test("adjacent repeats merge like the reference symbol scan, in BOTH tiers") {
+    // the trap: a shared-separator string encoding would leave 'aaaa'
+    // as [aa, a, a] after round 1 because the replace consumes the
+    // boundary the second pair needs. The barred encoding must give
+    // [aa, aa], so round 2's top pair is (aa, aa) with count 3.
+    val v = wc("aaaa" -> 3L)
+    val expect = Seq(Merge(1, "a", "a", 9L), Merge(2, "aa", "aa", 3L))
+    val local = Bpe.trainMerges(v, merges = 4, localThreshold = 1 << 18)
+    val dist = Bpe.trainMerges(v, merges = 4, localThreshold = 0)
+    // merges=4 but pairs exhaust after round 2 (one symbol left): both
+    // tiers must stop at 2 rather than error or pad
+    assert(local === expect)
+    assert(dist === expect)
+  }
+
+  test("local and distributed tiers produce the identical fit on the corpus vocabulary") {
+    val docs = graft.Tables.load(spark, sf, "documents")
+    val v = docs
+      .select(org.apache.spark.sql.functions.explode(
+        TextAnalysis.tokens(org.apache.spark.sql.functions.col("text"))).as("w"))
+      .filter(org.apache.spark.sql.functions.col("w").rlike("^[a-z]+$") &&
+        org.apache.spark.sql.functions.length(
+          org.apache.spark.sql.functions.col("w")) >= 2)
+      .groupBy("w").count().withColumnRenamed("count", "c")
+    val local = Bpe.trainMerges(v, merges = 8, localThreshold = 1 << 18)
+    val dist = Bpe.trainMerges(v, merges = 8, localThreshold = 0)
+    assert(local.size === 8)
+    assert(local === dist)
+  }
+
+  test("encode: pieces shrink monotonically with merges and never beat chars") {
+    val e0 = Bpe.encodeStats(spark, sf, merges = 0).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    val e8 = Bpe.encodeStats(spark, sf, merges = 8).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(e0.nonEmpty && e0.keySet === e8.keySet)
+    e0.foreach { case (src, (words0, pieces0, chars0)) =>
+      val (words8, pieces8, chars8) = e8(src)
+      assert(words0 === words8 && chars0 === chars8) // merges change only pieces
+      assert(pieces0 === chars0) // 0 merges: every char is a piece
+      assert(pieces8 < pieces0) // 8 merges bought real compression
+      assert(pieces8 >= words8) // a word is never fewer than 1 piece
+    }
+  }
+}
