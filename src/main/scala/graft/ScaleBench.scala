@@ -290,6 +290,31 @@ object ScaleBench {
       // sufficient statistic is parameter-sized) while time ∝ k
       val (qfSec, qfRows, qfEx) = bestIf("quality_fit")(
         queries.LlmOps.qualityFitHistogram(spark, dir))
+      // BM25 on the term-freqs kernel: replica tags keep the fixed
+      // query terms matching only replica 0, so the honest claim is
+      // "ONE kernel scan ∝ k, stats exchange flat (one partial row per
+      // partition), matches constant" — time ∝ k, exchanges flat
+      val (bmSec, bmRows, bmEx) = bestIf("bm25_topk")(
+        queries.LlmOps.bm25TopK(spark, dir))
+      // BPE training, driver tier DISABLED: the corpus pass (word-count
+      // aggregate) grows ∝ k while the replica tags' digits fall out of
+      // the ^[a-z]+$ trained domain — vocabulary and therefore EVERY
+      // merge round stay constant-size. The rounds run eagerly inside
+      // the builder (same convention as CC), so `sec` covers the whole
+      // fit; the final frame is the k-row local merge table, so the
+      // exchange column reads 0 by construction (per-round exchanges
+      // are separate jobs — the claim this cell makes is the TIME
+      // curve: ∝ k for the scan, rounds amortized constant)
+      val (btSec, btRows, btEx) = bestIf("bpe_train")(
+        graft.ops.Bpe.train(spark, dir, merges = 8, localThreshold = 0))
+      // phrase search over the STAGED inverted index: the index grows
+      // ∝ k but the query's bucket-pruned, term-pushed scans read only
+      // the fixed phrase's postings (constant — tagged replicas never
+      // contain the untagged terms), so warm query time must stay
+      // near-FLAT as the corpus grows 100×. min-of-2 excludes the
+      // one-off staged build from the number.
+      val (psSec, psRows, psEx) = bestIf("phrase_search")(
+        graft.ops.InvertedIndex.phraseSearch(spark, dir))
       val row = scala.collection.immutable.ListMap(
         "lsh_pairs" -> (lshSec, lshRows, lshEx),
         "cc_distributed" -> (ccSec, ccRows, ccEx),
@@ -312,7 +337,10 @@ object ScaleBench {
         "ppl_buckets" -> (pbSec, pbRows, pbEx),
         "token_drift" -> (tdSec, tdRows, tdEx),
         "shard_manifest" -> (smSec, smRows, smEx),
-        "quality_fit" -> (qfSec, qfRows, qfEx))
+        "quality_fit" -> (qfSec, qfRows, qfEx),
+        "bm25_topk" -> (bmSec, bmRows, bmEx),
+        "bpe_train" -> (btSec, btRows, btEx),
+        "phrase_search" -> (psSec, psRows, psEx))
         .filter { case (op, _) => wanted(op) }
       row.foreach { case (op, (s, r, e)) =>
         println(s"""{"scale":$k,"op":"$op","sec":$s,"rows":$r,"exchanges":$e}""")
