@@ -118,6 +118,7 @@ object SparkEntry {
     "q_bpe_encode" -> ((s, d) => graft.ops.Bpe.encodeStats(s, d)),
     "q_phrase_search" -> ((s, d) => graft.ops.InvertedIndex.phraseSearch(s, d)),
     "q_index_stats" -> ((s, d) => graft.ops.InvertedIndex.indexStats(s, d)),
+    "q_span_corruption" -> (Curation.spanCorruption(_, _)),
     "q_collocations" -> ((s, d) => LlmOps.collocations(s, d)),
     "q_lang_diversity" -> (LlmOps.langDiversity(_, _)),
     "q_token_drift" -> ((s, d) => LlmOps.tokenDrift(s, d)),
@@ -424,6 +425,7 @@ object SparkEntry {
     "q_bpe_encode" -> graft.ops.Bpe.encodeSql(),
     "q_phrase_search" -> graft.ops.InvertedIndex.phraseSearchSql(),
     "q_index_stats" -> graft.ops.InvertedIndex.indexStatsSql,
+    "q_span_corruption" -> Curation.spanCorruptionSql,
     "q_collocations" -> LlmOps.collocationsSql,
     "q_lang_diversity" -> LlmOps.langDiversitySql,
     "q_token_drift" -> LlmOps.tokenDriftSql,

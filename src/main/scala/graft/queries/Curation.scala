@@ -2,7 +2,7 @@ package graft.queries
 
 import graft.Tables
 import graft.ops.{Dedup, Sampling, TextAnalysis}
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Corpus-curation query surface: deterministic sampling / train-test
@@ -386,4 +386,93 @@ object Curation {
       |SELECT doc_id, chunk_idx, chunk,
       |  ('0x' || substr(md5(chunk), 1, 15))::BIGINT AS chunk_hash
       |FROM chunks""".stripMargin
+
+  // ------------------------------------- span-corruption examples (T5)
+
+  /** T5-style span-corruption training-example generation (Raffel et
+    * al., JMLR 2020 §3.1.4: replace contiguous token spans with
+    * sentinels; the target reproduces each sentinel followed by the
+    * tokens it hid). The LAST pipeline stage: turning curated text
+    * into (input, target) example pairs.
+    *
+    * Determinism instead of RNG: a candidate span starts every 10th
+    * token, and fires iff hash60(doc_id:decade) % 4 == 0 — ~25% of
+    * decades ⇒ ~7.5% of tokens masked in length-3 spans, the usual T5
+    * corruption-rate ballpark, and non-overlapping BY CONSTRUCTION, so
+    * membership and sentinel numbering are pure functions any engine
+    * replays exactly (same md5-derived hash60 the sampling family
+    * uses).
+    *
+    * Scale shape: ZERO exchanges — a hash-sampled filter plus one
+    * map-side projection; spans, sentinel numbers, and both output
+    * strings are built IN-ROW with higher-order functions (documents
+    * are bounded, the corpus is not — the same in-row argument as
+    * chunking/CDC). No window, no posexplode, no per-token shuffle.
+    */
+  def spanCorruption(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Sampling.hashSample(
+      Tables.load(spark, dir, "documents"), col("doc_id"), pct = 10)
+    val t = TextAnalysis.tokens(col("text"))
+    val n = size(t)
+    // decades 0..(n-1)/10 whose hash fires — the ordered span starts;
+    // a span's sentinel number IS its position in this list
+    val starts = filter(
+      sequence(lit(0), ((n - 1) / 10).cast("int")),
+      d => Dedup.hash60(concat(col("doc_id"), lit(":"), d)) % 4 === 0)
+    def sentinel(k: Column): Column =
+      concat(lit("<extra_id_"), k.cast("string"), lit(">"))
+    val input = array_join(
+      filter(
+        transform(sequence(lit(0), n - 1), i0 => {
+          val dec = (i0 / 10).cast("int")
+          val inSpan = i0 % 10 <= 2 && array_contains(starts, dec)
+          when(i0 % 10 === 0 && array_contains(starts, dec),
+            sentinel(array_position(starts, dec) - 1))
+            .when(inSpan, lit(null))
+            .otherwise(element_at(t, (i0 + 1).cast("int")))
+        }),
+        x => x.isNotNull),
+      " ")
+    val target = array_join(
+      flatten(transform(starts, (d, j) =>
+        concat(array(sentinel(j)),
+          slice(t, (d * 10 + 1).cast("int"), lit(3))))),
+      " ")
+    docs.select(col("doc_id"),
+      size(starts).as("n_spans"),
+      input.as("input"), target.as("target"))
+  }
+
+  /** DuckDB replay: identical decade hash, sentinel numbering via
+    * list_position over the same starts list, same join-with-space
+    * string assembly (the target's '<extra_id_k> tok' elements join to
+    * the same string as the engine's flattened piece list).
+    */
+  val spanCorruptionSql: String =
+    """WITH d AS (
+      |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS t
+      |  FROM documents
+      |  WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 100 < 10),
+      |s AS (
+      |  SELECT doc_id, t,
+      |    [x for x in range(0, (len(t)-1)//10 + 1)
+      |     if ('0x' || substr(md5(doc_id::VARCHAR || ':' || x::VARCHAR), 1, 15))::BIGINT % 4 = 0]
+      |    AS starts
+      |  FROM d)
+      |SELECT doc_id, CAST(len(starts) AS INT) AS n_spans,
+      |  array_to_string(
+      |    [CASE WHEN (i-1) % 10 = 0 AND list_contains(starts, (i-1)//10)
+      |       THEN '<extra_id_' || (list_position(starts, (i-1)//10) - 1)::VARCHAR || '>'
+      |       ELSE t[i] END
+      |     for i in range(1, len(t)+1)
+      |     if NOT ((i-1) % 10 <= 2 AND list_contains(starts, (i-1)//10)) OR (i-1) % 10 = 0],
+      |    ' ') AS input,
+      |  coalesce(array_to_string(
+      |    [CASE WHEN (i-1) % 10 = 0
+      |       THEN '<extra_id_' || (list_position(starts, (i-1)//10) - 1)::VARCHAR || '> ' || t[i]
+      |       ELSE t[i] END
+      |     for i in range(1, len(t)+1)
+      |     if (i-1) % 10 <= 2 AND list_contains(starts, (i-1)//10)],
+      |    ' '), '') AS target
+      |FROM s""".stripMargin
 }

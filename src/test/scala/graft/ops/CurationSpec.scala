@@ -138,4 +138,42 @@ class CurationSpec extends SparkSpec {
     assert(out.filter($"lang" === "xx").count() == 0)
     assert(out.filter($"lang" === "yy").count() == 4)
   }
+
+  test("spanCorruption: input + target round-trip to the original token stream") {
+    val docs = graft.Tables.load(spark, sf, "documents")
+      .select(col("doc_id"), col("text"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val rows = Curation.spanCorruption(spark, sf).collect()
+    assert(rows.nonEmpty && rows.exists(_.getInt(1) > 0))
+    val sentinel = "<extra_id_(\\d+)>".r
+    rows.foreach { r =>
+      val (docId, nSpans) = (r.getLong(0), r.getInt(1))
+      val (input, target) = (r.getString(2), r.getString(3))
+      // parse the target into sentinel -> hidden tokens
+      val spans: Map[Int, Seq[String]] =
+        if (target.isEmpty) Map.empty
+        else {
+          val parts = sentinel.split(target).toSeq.map(_.trim)
+          val ids = sentinel.findAllMatchIn(target).map(_.group(1).toInt).toSeq
+          assert(parts.head.isEmpty, s"target must start with a sentinel: $target")
+          ids.zip(parts.tail.map(_.split("\\s+").toSeq)).toMap
+        }
+      assert(spans.size === nSpans)
+      assert(spans.keySet === (0 until nSpans).toSet) // dense, ordered ids
+      // splice each span back into the input in place of its sentinel
+      val rebuilt = input.split("\\s+").toSeq.flatMap {
+        case tok @ sentinel(k) => spans(k.toInt)
+        case tok => Seq(tok)
+      }
+      val original = docs(docId).trim.split("\\s+").toSeq
+      assert(rebuilt === original, s"doc $docId did not round-trip")
+    }
+  }
+
+  test("spanCorruption is map-only: zero exchanges at runtime") {
+    val df = Curation.spanCorruption(spark, sf)
+    df.collect()
+    assert(PlanMetrics.exchangeCount(df) === 0)
+    assert(PlanMetrics.shuffleBytesWritten(df) === 0L)
+  }
 }
