@@ -40,12 +40,20 @@ def main(sf_dir, out_dir, spark_json=None):
             duck[name] = best
     print(json.dumps({"duck_total": round(sum(duck.values()), 2),
                       "queries": {k: round(v, 3) for k, v in duck.items()},
-                      # see BASELINE.md "Staged-input cells": these two
-                      # oracle timings include feed-derivation/JSON-parse
-                      # work the Spark side stages out per JVM — their
+                      # see BASELINE.md "Staged-input cells" / "Basis-
+                      # mismatch cell": oracle timings for these include
+                      # derivation work the Spark side stages out per JVM
+                      # (or, for binaryfile, Spark does file-per-object
+                      # I/O the oracle computes closed-form) — their
                       # per-query ratios are not engine-vs-engine
                       "staged_input_cells": ["q_cdc_merge",
-                                             "q_events_json"]}))
+                                             "q_events_json",
+                                             "q_binaryfile_scan",
+                                             "q_ingest_gate_e2e",
+                                             "q_quality_classifier",
+                                             "q_bpe_merges",
+                                             "q_phrase_search",
+                                             "q_index_stats"]}))
     if spark_json:
         spark = json.load(open(spark_json))["queries"]
         rows = [(k, spark.get(k), duck.get(k)) for k in duck if k in spark]
