@@ -290,6 +290,14 @@ object ScaleBench {
       // sufficient statistic is parameter-sized) while time ∝ k
       val (qfSec, qfRows, qfEx) = bestIf("quality_fit")(
         queries.LlmOps.qualityFitHistogram(spark, dir))
+      // the WHOLE classifier fit (cache bypassed; fit runs eagerly in
+      // the builder, BPE-train convention — exchange column reads off
+      // the 3-row local result). Receipt for the label-materialization
+      // fix: time must track ONE labeling pass over the corpus (the
+      // r11 §4c superlinear term was the interpreted weak-label HOFs
+      // evaluated once PER PASS)
+      val (qffSec, qffRows, qffEx) = bestIf("quality_fit_full")(
+        queries.LlmOps.qualityFitFull(spark, dir))
       // BM25 on the term-freqs kernel: replica tags keep the fixed
       // query terms matching only replica 0, so the honest claim is
       // "ONE kernel scan ∝ k, stats exchange flat (one partial row per
@@ -338,6 +346,7 @@ object ScaleBench {
         "token_drift" -> (tdSec, tdRows, tdEx),
         "shard_manifest" -> (smSec, smRows, smEx),
         "quality_fit" -> (qfSec, qfRows, qfEx),
+        "quality_fit_full" -> (qffSec, qffRows, qffEx),
         "bm25_topk" -> (bmSec, bmRows, bmEx),
         "bpe_train" -> (btSec, btRows, btEx),
         "phrase_search" -> (psSec, psRows, psEx))

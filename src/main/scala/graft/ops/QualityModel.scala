@@ -94,9 +94,6 @@ object QualityModel {
     pos > rows.filterNot(_.y).map(_.n).sum
   }
 
-  /** Fit on (text, label): two aggregation passes, parameter-sized
-    * collects (the histogram, ≤ 4·16·2·2 rows).
-    */
   /** One training pass: the per-(side, feature, bucket, label) count
     * histogram — ONE corpus scan (all feature buckets in a 4-element
     * array, exploded; not a union of per-feature selects = 4 scans),
@@ -117,19 +114,49 @@ object QualityModel {
       .groupBy("s", "f", "k", "y").count()
   }
 
+  /** Fit on (text, label): the weak label + feature buckets are
+    * materialized once, then TWO aggregation passes over the slim
+    * table with parameter-sized collects (the histogram,
+    * ≤ 4·16·2·2 rows).
+    */
   def fit(labeled: DataFrame, text: Column, label: Column): Stump2 = {
     val feats = featureCols(text)
-    def collectHist(df: DataFrame): Seq[H] =
-      df.collect().toSeq
+    // Materialize the per-doc bucket indexes + weak label ONCE (4 ints
+    // + 1 bool per doc). The weak label is the expensive term — the
+    // Gopher verdict runs interpreted per-token lambda HOFs — and the
+    // grid-bucket index is a sufficient statistic for every candidate
+    // split (v ≤ grid(j) ⟺ bucket(v) ≤ j, and the root threshold is
+    // always a grid point), so both training passes AND the root-side
+    // predicate of the second pass read only this slim table; text is
+    // never rescanned. At crawl scale this is the label table a
+    // production pipeline would persist to storage and reuse across
+    // fits — here it lives for the two passes and is dropped.
+    val slim = labeled.select(
+      (feats.map { case (n, c) => bucket(c).as("k_" + n) } :+
+        label.cast(BooleanType).as("y")): _*)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      def hist(side: Column): Seq[H] = slim
+        .select(side.as("s"), col("y"),
+          explode(array(feats.map { case (n, _) =>
+            struct(lit(n).as("f"), col("k_" + n).as("k"))
+          }: _*)).as("fk"))
+        .select(col("s"), col("fk.f").as("f"), col("fk.k").as("k"), col("y"))
+        .groupBy("s", "f", "k", "y").count()
+        .collect().toSeq
         .map(r => H(r.getBoolean(0), r.getString(1), r.getInt(2),
           r.getBoolean(3), r.getLong(4)))
 
-    val rootHist = collectHist(bucketHistogram(labeled, text, label, lit(true)))
-    val root = bestSplit(rootHist)
+      val rootHist = hist(lit(true))
+      val root = bestSplit(rootHist)
 
-    val rootCol = feats.toMap.apply(root.feature)
-    val childHist = collectHist(
-      bucketHistogram(labeled, text, label, rootCol <= root.thr))
+      val childHist =
+        hist(col("k_" + root.feature) <= grid.indexOf(root.thr))
+      fitChildren(root, childHist)
+    } finally slim.unpersist()
+  }
+
+  private def fitChildren(root: Node, childHist: Seq[H]): Stump2 = {
     val (lh, rh) = childHist.partition(_.side)
     val (ln, rn) = (bestSplit(lh), bestSplit(rh))
     def leafOf(hs: Seq[H], n: Node, le: Boolean): Boolean =

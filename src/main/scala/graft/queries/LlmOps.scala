@@ -1088,6 +1088,25 @@ object LlmOps {
     QualityModel.bucketHistogram(gopherLabeled(spark, dir),
       col("text"), col("label"), lit(true))
 
+  /** The WHOLE fit (both passes + argmins) as a timeable relation, tree
+    * cache bypassed — the fit runs eagerly in the builder (the BPE-train
+    * convention) and the 3-row local result carries the fitted splits.
+    * Scale receipt for the label-materialization claim: the Gopher
+    * weak-label HOFs — the dominant term — now run ONCE into a persisted
+    * (4 bucket ints + label) slim table both passes read, so full-fit
+    * time tracks the single labeling pass, not 2× it.
+    */
+  private[graft] def qualityFitFull(spark: SparkSession,
+      dir: String): DataFrame = {
+    val t = QualityModel.fit(gopherLabeled(spark, dir),
+      col("text"), col("label"))
+    import spark.implicits._
+    Seq(("root", t.root.feature, t.root.thr),
+      ("left", t.left.feature, t.left.thr),
+      ("right", t.right.feature, t.right.thr))
+      .toDF("node", "feature", "thr")
+  }
+
   def qualityClassifier(spark: SparkSession, dir: String): DataFrame = {
     val tree = fittedQualityTree(spark, dir)
     gopherLabeled(spark, dir)
