@@ -119,6 +119,9 @@ object SparkEntry {
     "q_phrase_search" -> ((s, d) => graft.ops.InvertedIndex.phraseSearch(s, d)),
     "q_index_stats" -> ((s, d) => graft.ops.InvertedIndex.indexStats(s, d)),
     "q_span_corruption" -> (Curation.spanCorruption(_, _)),
+    "q_budget_select" -> ((s, d) => Curation.budgetSelect(s, d)),
+    "q_pref_pairs" -> (Curation.prefPairs(_, _)),
+    "q_session_transcript" -> (Events.sessionTranscript(_, _)),
     "q_collocations" -> ((s, d) => LlmOps.collocations(s, d)),
     "q_lang_diversity" -> (LlmOps.langDiversity(_, _)),
     "q_token_drift" -> ((s, d) => LlmOps.tokenDrift(s, d)),
@@ -426,6 +429,9 @@ object SparkEntry {
     "q_phrase_search" -> graft.ops.InvertedIndex.phraseSearchSql(),
     "q_index_stats" -> graft.ops.InvertedIndex.indexStatsSql,
     "q_span_corruption" -> Curation.spanCorruptionSql,
+    "q_budget_select" -> Curation.budgetSelectSql,
+    "q_pref_pairs" -> Curation.prefPairsSql,
+    "q_session_transcript" -> Events.sessionTranscriptSql,
     "q_collocations" -> LlmOps.collocationsSql,
     "q_lang_diversity" -> LlmOps.langDiversitySql,
     "q_token_drift" -> LlmOps.tokenDriftSql,

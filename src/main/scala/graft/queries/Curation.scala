@@ -475,4 +475,97 @@ object Curation {
       |     if (i-1) % 10 <= 2 AND list_contains(starts, (i-1)//10)],
       |    ' '), '') AS target
       |FROM s""".stripMargin
+
+  // ------------------------------------------- budget-bounded selection
+
+  /** Integer-exact quality score shared by [[budgetSelect]] and
+    * [[prefPairs]]: alphabetic-character density in per-mille,
+    * `(n_alpha · 1000) div max(n_chars, 1)` — all int64 (`div`, not
+    * float division), so rankings are bit-identical across engines.
+    * A stand-in for a model score; the selection machinery is the op.
+    */
+  private def qualityScore(text: Column): Column =
+    call_function("div", regexp_count(text, lit("[A-Za-z]")) * lit(1000L),
+      greatest(length(text).cast("long"), lit(1L))).cast("long")
+
+  private val qualityScoreSql =
+    "(len(regexp_extract_all(text, '[A-Za-z]'))::BIGINT * 1000) " +
+      "// greatest(length(text)::BIGINT, 1)"
+
+  /** Quality-prioritized token-budget selection — the "budget < corpus"
+    * data-recipe stage: within each source, take documents best-first
+    * (score DESC, doc_id tie) until the source's token budget is spent.
+    * Same start-under-budget running-window convention as [[corpusMix]]
+    * (a doc STARTING under budget is kept, documented overshoot), but
+    * ordered by QUALITY instead of doc_id — selection, not just mixing.
+    * Scale shape identical to corpusMix/packing: hash-partitioned by
+    * source, the window sorts within a source only (a skewed source
+    * pre-shards with the salting tools); one exchange.
+    */
+  def budgetSelect(spark: SparkSession, dir: String,
+      budget: Long = 2000L): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("source"))
+      .orderBy(col("score").desc, col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    Tables.load(spark, dir, "documents")
+      .select(col("doc_id"), col("source"),
+        qualityScore(col("text")).as("score"),
+        TextAnalysis.tokenCount(col("text")).cast("long").as("n_tokens"))
+      .withColumn("prior", coalesce(sum(col("n_tokens")).over(w), lit(0L)))
+      .filter(col("prior") < budget)
+      .select(col("doc_id"), col("source"), col("score"), col("n_tokens"))
+  }
+
+  val budgetSelectSql: String =
+    s"""WITH t AS (SELECT doc_id, source, $qualityScoreSql AS score,
+       |    len(string_split_regex(trim(text), '\\s+'))::BIGINT AS n_tokens
+       |  FROM documents),
+       |b AS (SELECT doc_id, source, score, n_tokens,
+       |  coalesce(sum(n_tokens) OVER (PARTITION BY source
+       |    ORDER BY score DESC, doc_id
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS prior
+       |  FROM t)
+       |SELECT doc_id, source, CAST(score AS BIGINT) AS score, n_tokens
+       |FROM b WHERE prior < 2000""".stripMargin
+
+  // ---------------------------------------------------- preference pairs
+
+  /** Preference-pair mining — reward-model training data from scored
+    * documents: per (source, lang) bucket, pair the best-scored document
+    * (chosen) with the worst (rejected), margin = score gap; uniform
+    * buckets (margin 0) emit nothing. Ties are deterministic: lower
+    * doc_id wins on both sides, encoded as struct extrema — chosen =
+    * max(score, −doc_id), rejected = min(score, doc_id) — so the whole
+    * op is ONE map-side-combined aggregation (no per-bucket sort window,
+    * no self-join): the shuffle carries one partial struct pair per
+    * (bucket, partition) at any corpus size.
+    */
+  def prefPairs(spark: SparkSession, dir: String): DataFrame =
+    Tables.load(spark, dir, "documents")
+      .select(col("source"), col("lang"), col("doc_id"),
+        qualityScore(col("text")).as("score"))
+      .groupBy(col("source"), col("lang"))
+      .agg(
+        max(struct(col("score"), (-col("doc_id")).as("neg_id"))).as("mx"),
+        min(struct(col("score"), col("doc_id"))).as("mn"))
+      .select(col("source"), col("lang"),
+        (-col("mx.neg_id")).as("chosen_id"),
+        col("mn.doc_id").as("rejected_id"),
+        (col("mx.score") - col("mn.score")).as("margin"))
+      .filter(col("margin") > 0)
+
+  val prefPairsSql: String =
+    s"""WITH t AS (SELECT source, lang, doc_id, $qualityScoreSql AS score
+       |  FROM documents),
+       |r AS (SELECT source, lang, doc_id, score,
+       |  row_number() OVER (PARTITION BY source, lang
+       |    ORDER BY score DESC, doc_id) AS rb,
+       |  row_number() OVER (PARTITION BY source, lang
+       |    ORDER BY score ASC, doc_id) AS rw
+       |  FROM t)
+       |SELECT c.source, c.lang, c.doc_id AS chosen_id,
+       |  j.doc_id AS rejected_id, CAST(c.score - j.score AS BIGINT) AS margin
+       |FROM r c JOIN r j ON c.source = j.source AND c.lang = j.lang
+       |WHERE c.rb = 1 AND j.rw = 1 AND c.score > j.score""".stripMargin
 }

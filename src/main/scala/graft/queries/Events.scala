@@ -491,4 +491,60 @@ object Events {
       |SELECT user_id, count(*)::BIGINT AS n_types,
       |  CASE WHEN count(*) = 5 THEN max(first_ts) END AS ts_full
       |FROM firsts GROUP BY user_id""".stripMargin
+
+  /** Session-transcript assembly — behavioral-sequence SFT prep: each
+    * user session (same 2-hour-gap sessionization as [[sessionize]])
+    * becomes one ordered action string ("view -> click -> purchase"),
+    * the training example an action-prediction model consumes, plus the
+    * loss-mask numerator (purchase steps — the steps a trainer would
+    * compute loss on). Ordering inside a session is DETERMINISTIC:
+    * events sort by (ts, event_id) via `array_sort` over structs — a
+    * bare `collect_list` follows shuffle arrival order and would
+    * hash-mismatch across engines (the oracle's `string_agg ... ORDER
+    * BY ts, event_id` pins the same order). One groupBy exchange;
+    * per-session list state is bounded by session length, the same
+    * bounded-collect class as shardManifest's batch digests.
+    */
+  def sessionTranscript(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts"))
+    Tables.loadEvents(spark, dir)
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .withColumn("prev_ts", lag(col("ts"), 1).over(byUser))
+      .withColumn("is_new", when(col("prev_ts").isNull ||
+        col("ts") > col("prev_ts") + expr("INTERVAL 2 hours"), 1L)
+        .otherwise(0L))
+      .withColumn("sess_id", sum(col("is_new")).over(
+        byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("user_id"), col("sess_id"))
+      .agg(
+        min(col("ts")).as("session_start"),
+        count(lit(1)).as("n_steps"),
+        sum((col("event_type") === "purchase").cast(LongType))
+          .as("n_target_steps"),
+        array_join(transform(
+          array_sort(collect_list(
+            struct(col("ts"), col("event_id"), col("event_type")))),
+          x => x.getField("event_type")), " -> ").as("transcript"))
+      .select(col("user_id"), col("session_start"), col("n_steps"),
+        col("n_target_steps"), col("transcript"),
+        length(col("transcript")).cast(LongType).as("n_chars"))
+  }
+
+  val sessionTranscriptSql: String =
+    """WITH e AS (SELECT user_id, ts::TIMESTAMP AS ts, event_id, event_type
+      |  FROM events),
+      |l AS (SELECT *, lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+      |  AS prev_ts FROM e),
+      |f AS (SELECT *, CASE WHEN prev_ts IS NULL
+      |    OR ts > prev_ts + INTERVAL 2 HOUR THEN 1 ELSE 0 END AS is_new
+      |  FROM l),
+      |s AS (SELECT *, sum(is_new) OVER (PARTITION BY user_id ORDER BY ts
+      |  ROWS UNBOUNDED PRECEDING) AS sess_id FROM f)
+      |SELECT user_id, min(ts) AS session_start, count(*) AS n_steps,
+      |  sum((event_type = 'purchase')::BIGINT) AS n_target_steps,
+      |  string_agg(event_type, ' -> ' ORDER BY ts, event_id) AS transcript,
+      |  length(string_agg(event_type, ' -> ' ORDER BY ts, event_id))::BIGINT
+      |    AS n_chars
+      |FROM s GROUP BY user_id, sess_id""".stripMargin
 }

@@ -176,4 +176,65 @@ class CurationSpec extends SparkSpec {
     assert(PlanMetrics.exchangeCount(df) === 0)
     assert(PlanMetrics.shuffleBytesWritten(df) === 0L)
   }
+
+  test("budgetSelect: per-source window, best-first prefix, starts-under-budget fill") {
+    val sel = Curation.budgetSelect(spark, sf, budget = 2000L)
+    val plan = sel.queryExecution.executedPlan.toString
+    // the window partitions by source — never a global single-reducer sort
+    assert(plan.contains("hashpartitioning(source"), plan)
+    assert(!plan.contains("SinglePartition"), plan)
+    val rows = sel.collect()
+      .map(r => (r.getString(1), r.getLong(0), r.getLong(2), r.getLong(3)))
+    rows.groupBy(_._1).foreach { case (src, kept) =>
+      // the kept set is a PREFIX of the (score DESC, doc_id) order: its
+      // running token total before each kept doc stays under budget
+      val order = kept.sortBy { case (_, id, score, _) => (-score, id) }
+      val priors = order.scanLeft(0L)(_ + _._4).init
+      priors.foreach(p => assert(p < 2000L, s"$src: kept doc starts at $p"))
+    }
+    // quality-prioritized: within a source, every kept doc scores >= the
+    // best UNKEPT doc, except ties broken by doc_id (prefix property via
+    // driver replay over the full source)
+    val all = graft.Tables.load(spark, sf, "documents")
+      .select(col("source"), col("doc_id"),
+        call_function("div",
+          regexp_count(col("text"), lit("[A-Za-z]")) * lit(1000L),
+          greatest(length(col("text")).cast("long"), lit(1L))).as("score"),
+        TextAnalysis.tokenCount(col("text")).cast("long").as("n"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    all.groupBy(_._1).foreach { case (src, docs) =>
+      val order = docs.sortBy { case (_, id, score, _) => (-score, id) }
+      val expected = order.zip(order.scanLeft(0L)(_ + _._4).init)
+        .takeWhile(_._2 < 2000L).map(_._1._2).toSet
+      val got = rows.filter(_._1 == src).map(_._2).toSet
+      assert(got === expected, s"$src: kept set diverges from driver replay")
+    }
+  }
+
+  test("prefPairs: chosen/rejected are the bucket extrema with deterministic ties") {
+    val pairs = Curation.prefPairs(spark, sf).collect()
+      .map(r => ((r.getString(0), r.getString(1)),
+        (r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    // one aggregation, no join, no per-bucket sort window
+    val plan = Curation.prefPairs(spark, sf).queryExecution.executedPlan.toString
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("BroadcastHashJoin"), plan)
+    assert(!plan.contains("Window"), plan)
+    val docs = graft.Tables.load(spark, sf, "documents")
+      .select(col("source"), col("lang"), col("doc_id"),
+        call_function("div",
+          regexp_count(col("text"), lit("[A-Za-z]")) * lit(1000L),
+          greatest(length(col("text")).cast("long"), lit(1L))).as("score"))
+      .collect()
+      .map(r => ((r.getString(0), r.getString(1)), (r.getLong(2), r.getLong(3))))
+    docs.groupBy(_._1).foreach { case (bucket, ds) =>
+      val scored = ds.map(_._2)
+      val chosen = scored.minBy { case (id, s) => (-s, id) }
+      val rejected = scored.minBy { case (id, s) => (s, id) }
+      if (chosen._2 == rejected._2)
+        assert(!pairs.contains(bucket), s"$bucket: uniform bucket emitted a pair")
+      else
+        assert(pairs(bucket) === ((chosen._1, rejected._1, chosen._2 - rejected._2)),
+          s"$bucket: pair diverges from driver replay")
+    }
+  }
 }

@@ -94,4 +94,27 @@ class FunnelSpec extends SparkSpec {
       (1L, 5L, Some(ts("2024-01-05 10:00:00"))),
       (2L, 1L, None)))
   }
+
+  test("sessionTranscript: (ts, event_id) order incl. ties, 2h session split, loss-mask count") {
+    val dir = java.nio.file.Files.createTempDirectory("transcript").toString
+    Seq(
+      // user 1, session A: two events TIED on ts — event_id must break
+      // the tie (view id=10 before click id=11), then a purchase
+      (11L, ts("2024-01-01 10:00:00"), 1L, "click", 1.0, "{}"),
+      (10L, ts("2024-01-01 10:00:00"), 1L, "view", 1.0, "{}"),
+      (12L, ts("2024-01-01 10:30:00"), 1L, "purchase", 1.0, "{}"),
+      // user 1, session B: > 2h after session A's last event
+      (13L, ts("2024-01-01 13:00:00"), 1L, "error", 1.0, "{}"),
+      // user 2: single-event session
+      (20L, ts("2024-01-01 09:00:00"), 2L, "signup", 1.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val got = Events.sessionTranscript(spark, dir)
+      .as[(Long, Timestamp, Long, Long, String, Long)].collect()
+      .sortBy(r => (r._1, r._2.getTime))
+    assert(got === Array(
+      (1L, ts("2024-01-01 10:00:00"), 3L, 1L, "view -> click -> purchase", 25L),
+      (1L, ts("2024-01-01 13:00:00"), 1L, 0L, "error", 5L),
+      (2L, ts("2024-01-01 09:00:00"), 1L, 0L, "signup", 6L)))
+  }
 }
