@@ -495,25 +495,51 @@ object Curation {
   /** Quality-prioritized token-budget selection — the "budget < corpus"
     * data-recipe stage: within each source, take documents best-first
     * (score DESC, doc_id tie) until the source's token budget is spent.
-    * Same start-under-budget running-window convention as [[corpusMix]]
-    * (a doc STARTING under budget is kept, documented overshoot), but
-    * ordered by QUALITY instead of doc_id — selection, not just mixing.
-    * Scale shape identical to corpusMix/packing: hash-partitioned by
-    * source, the window sorts within a source only (a skewed source
-    * pre-shards with the salting tools); one exchange.
+    * Same start-under-budget convention as [[corpusMix]] (a doc STARTING
+    * under budget is kept, documented overshoot), but ordered by QUALITY
+    * instead of doc_id — selection, not just mixing.
+    *
+    * NOT a partitionBy(source) sort window over the corpus — the same
+    * one-reducer-sorts-a-corpus-fraction trap [[qualityStratifiedGate]]
+    * documents. The greedy is order-dependent so it cannot shard like
+    * packing; instead it decomposes exactly over the per-mille SCORE
+    * DISTRIBUTION (≤ |sources|·1001 rows):
+    *   - one pass computes the slim (doc_id, source, score, n_tokens)
+    *     projection (pinned — the text-derived score is computed once);
+    *   - the (source, score) token-total distribution aggregates
+    *     map-side; a cumsum over that TINY relation gives each score
+    *     group's prior (tokens in strictly better groups);
+    *   - groups with prior ≥ budget drop whole at the broadcast join
+    *     (a doc's start is ≥ its group's prior), leaving the CANDIDATE
+    *     set — whose size is budget-bounded (∝ budget per source plus
+    *     one boundary group), NOT corpus-bounded — to carry the exact
+    *     per-doc running check `prior + within < budget` through one
+    *     (source, score)-partitioned window.
+    * So the corpus is scanned once into the pinned slim projection and
+    * aggregated once; the only doc-level sort covers the budget-bounded
+    * candidate set.
     */
   def budgetSelect(spark: SparkSession, dir: String,
       budget: Long = 2000L): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val w = Window.partitionBy(col("source"))
-      .orderBy(col("score").desc, col("doc_id"))
+    val slim = graft.ops.CacheBin.pin(
+      Tables.load(spark, dir, "documents")
+        .select(col("doc_id"), col("source"),
+          qualityScore(col("text")).as("score"),
+          TextAnalysis.tokenCount(col("text")).cast("long").as("n_tokens")))
+    val wHigher = Window.partitionBy(col("source")).orderBy(col("score").desc)
       .rowsBetween(Window.unboundedPreceding, -1)
-    Tables.load(spark, dir, "documents")
-      .select(col("doc_id"), col("source"),
-        qualityScore(col("text")).as("score"),
-        TextAnalysis.tokenCount(col("text")).cast("long").as("n_tokens"))
-      .withColumn("prior", coalesce(sum(col("n_tokens")).over(w), lit(0L)))
+    val inPlay = slim.groupBy(col("source"), col("score"))
+      .agg(sum(col("n_tokens")).as("toks"))
+      .withColumn("prior", coalesce(sum(col("toks")).over(wHigher), lit(0L)))
       .filter(col("prior") < budget)
+      .select(col("source"), col("score"), col("prior"))
+    val wIn = Window.partitionBy(col("source"), col("score"))
+      .orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    slim.join(broadcast(inPlay), Seq("source", "score"))
+      .withColumn("within", coalesce(sum(col("n_tokens")).over(wIn), lit(0L)))
+      .filter(col("prior") + col("within") < budget)
       .select(col("doc_id"), col("source"), col("score"), col("n_tokens"))
   }
 

@@ -177,11 +177,19 @@ class CurationSpec extends SparkSpec {
     assert(PlanMetrics.shuffleBytesWritten(df) === 0L)
   }
 
-  test("budgetSelect: per-source window, best-first prefix, starts-under-budget fill") {
+  test("budgetSelect: distribution-decomposed greedy, best-first prefix, starts-under-budget fill") {
     val sel = Curation.budgetSelect(spark, sf, budget = 2000L)
     val plan = sel.queryExecution.executedPlan.toString
-    // the window partitions by source — never a global single-reducer sort
-    assert(plan.contains("hashpartitioning(source"), plan)
+    // the corpus is never sort-shuffled by source: the old shape's
+    // corpus-wide window (partition [source], order [score DESC,
+    // doc_id]) must NOT appear; the only doc-level window partitions by
+    // (source, score) — the boundary group — and group verdicts come
+    // back as broadcast joins
+    assert(!plan.matches(
+      "(?s).*windowspecdefinition\\(source#\\d+, score#\\d+L DESC NULLS LAST, doc_id.*"),
+      plan)
+    assert(plan.matches("(?s).*\\[source#\\d+, score#\\d+L\\], \\[doc_id.*"), plan)
+    assert(plan.contains("BroadcastHashJoin"), plan)
     assert(!plan.contains("SinglePartition"), plan)
     val rows = sel.collect()
       .map(r => (r.getString(1), r.getLong(0), r.getLong(2), r.getLong(3)))
