@@ -323,6 +323,18 @@ object ScaleBench {
       // one-off staged build from the number.
       val (psSec, psRows, psEx) = bestIf("phrase_search")(
         graft.ops.InvertedIndex.phraseSearch(spark, dir))
+      // budget selection: the distribution plan's claim — the corpus is
+      // scanned once (slim pin) and aggregated map-side; the only
+      // doc-level sort covers the budget-bounded candidate set, so
+      // output rows and shuffled doc rows must stay ~FLAT (∝ budget,
+      // not corpus) while time ∝ k for the slim pass
+      val (bsSec, bsRows, bsEx) = bestIf("budget_select")(
+        queries.Curation.budgetSelect(spark, dir))
+      // preference pairs: ONE map-side-combined aggregation; the wire
+      // carries a partial struct pair per (bucket, partition) — rows
+      // flat (∝ buckets), exchanges flat, time ∝ k
+      val (ppSec, ppRows, ppEx) = bestIf("pref_pairs")(
+        queries.Curation.prefPairs(spark, dir))
       val row = scala.collection.immutable.ListMap(
         "lsh_pairs" -> (lshSec, lshRows, lshEx),
         "cc_distributed" -> (ccSec, ccRows, ccEx),
@@ -349,7 +361,9 @@ object ScaleBench {
         "quality_fit_full" -> (qffSec, qffRows, qffEx),
         "bm25_topk" -> (bmSec, bmRows, bmEx),
         "bpe_train" -> (btSec, btRows, btEx),
-        "phrase_search" -> (psSec, psRows, psEx))
+        "phrase_search" -> (psSec, psRows, psEx),
+        "budget_select" -> (bsSec, bsRows, bsEx),
+        "pref_pairs" -> (ppSec, ppRows, ppEx))
         .filter { case (op, _) => wanted(op) }
       row.foreach { case (op, (s, r, e)) =>
         println(s"""{"scale":$k,"op":"$op","sec":$s,"rows":$r,"exchanges":$e}""")
