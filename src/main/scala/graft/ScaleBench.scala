@@ -48,6 +48,9 @@ object ScaleBench {
     if (k == 1) return BaseSf
     val out = s"$WorkDir/x$k"
     val done = new java.io.File(s"$out/_AMPLIFIED")
+    // events carry their own marker so corpora amplified by earlier
+    // rounds (docs+embeddings only) fill in events without a rebuild
+    amplifyEvents(spark, k)
     if (done.exists()) return out
     val docs = Tables.load(spark, BaseSf, "documents")
     val emb = Tables.load(spark, BaseSf, "embeddings")
@@ -72,6 +75,31 @@ object ScaleBench {
     }
     embReplicas.reduce(_ unionByName _)
       .repartition(32).write.mode("overwrite").parquet(s"$out/embeddings.parquet")
+    done.getParentFile.mkdirs(); done.createNewFile()
+    out
+  }
+
+  /** Events amplification (separate marker: doc/embedding corpora built
+    * by earlier rounds are reused, events fill in on demand): replica i
+    * offsets user_id and event_id by i·IdOffset with ts/type/value
+    * unchanged, so each replica's per-user event streams — and
+    * therefore its sessions — are DISJOINT from every other replica's:
+    * session count grows ∝ k, per-user/per-session state is flat, and
+    * no cross-replica session can form (the same decorrelation argument
+    * as the tagged documents).
+    */
+  def amplifyEvents(spark: SparkSession, k: Int): String = {
+    if (k == 1) return BaseSf
+    val out = s"$WorkDir/x$k"
+    val done = new java.io.File(s"$out/_AMPLIFIED_EVENTS")
+    if (done.exists()) return out
+    val ev = Tables.loadEvents(spark, BaseSf)
+    (0 until k).map { i =>
+      ev.select((col("event_id") + lit(i * IdOffset)).as("event_id"),
+        col("ts"), (col("user_id") + lit(i * IdOffset)).as("user_id"),
+        col("event_type"), col("value"), col("props"))
+    }.reduce(_ unionByName _)
+      .repartition(32).write.mode("overwrite").parquet(s"$out/events.parquet")
     done.getParentFile.mkdirs(); done.createNewFile()
     out
   }
@@ -335,6 +363,14 @@ object ScaleBench {
       // flat (∝ buckets), exchanges flat, time ∝ k
       val (ppSec, ppRows, ppEx) = bestIf("pref_pairs")(
         queries.Curation.prefPairs(spark, dir))
+      // session transcripts over the amplified EVENTS table (replicas'
+      // user ids are disjoint, so sessions grow ∝ k): ONE
+      // hashpartitioning(user_id) exchange serves the sessionize windows
+      // AND the (user_id, sess_id) aggregation (subset-clustering), the
+      // in-row array_sort state is bounded by session length — rows ∝ k,
+      // exchanges flat, time ∝ k
+      val (stSec, stRows, stEx) = bestIf("session_transcript")(
+        queries.Events.sessionTranscript(spark, dir))
       val row = scala.collection.immutable.ListMap(
         "lsh_pairs" -> (lshSec, lshRows, lshEx),
         "cc_distributed" -> (ccSec, ccRows, ccEx),
@@ -363,7 +399,8 @@ object ScaleBench {
         "bpe_train" -> (btSec, btRows, btEx),
         "phrase_search" -> (psSec, psRows, psEx),
         "budget_select" -> (bsSec, bsRows, bsEx),
-        "pref_pairs" -> (ppSec, ppRows, ppEx))
+        "pref_pairs" -> (ppSec, ppRows, ppEx),
+        "session_transcript" -> (stSec, stRows, stEx))
         .filter { case (op, _) => wanted(op) }
       row.foreach { case (op, (s, r, e)) =>
         println(s"""{"scale":$k,"op":"$op","sec":$s,"rows":$r,"exchanges":$e}""")

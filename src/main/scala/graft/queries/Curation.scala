@@ -565,7 +565,9 @@ object Curation {
     * max(score, −doc_id), rejected = min(score, doc_id) — so the whole
     * op is ONE map-side-combined aggregation (no per-bucket sort window,
     * no self-join): the shuffle carries one partial struct pair per
-    * (bucket, partition) at any corpus size.
+    * (bucket, partition) at any corpus size. The −doc_id tie encoding
+    * assumes non-negative ids (the tables' contract); Long.MinValue
+    * would overflow the negation.
     */
   def prefPairs(spark: SparkSession, dir: String): DataFrame =
     Tables.load(spark, dir, "documents")
