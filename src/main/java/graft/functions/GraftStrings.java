@@ -400,6 +400,16 @@ public final class GraftStrings {
       }
       while (i < len && isSpace(b[i])) i++;
     }
+    if (isSpace(b[len - 1])) {
+      // split(.., "\\s+", -1) keeps one trailing empty token when the
+      // trimmed text ends in non-space whitespace (\t/\n/\r — ASCII-space
+      // trim leaves it); the leading counterpart falls out of the main
+      // loop (first iteration yields tl == 0), this edge does not.
+      m++;
+      for (int t = 0; t < terms.length; t++) {
+        if (terms[t].length == 0) { out[t]++; break; }
+      }
+    }
     out[terms.length] = m;
     return UnsafeArrayData.fromPrimitiveArray(out);
   }

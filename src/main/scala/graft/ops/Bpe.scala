@@ -286,14 +286,20 @@ object Bpe {
   }
 
   /** DuckDB replay of the encode: the shared training chain, then the
-    * same k replaces applied to the (source, word) aggregate.
+    * same k replaces applied to the (source, word) aggregate. Each
+    * round LEFT JOINs its single-row merge CTE and COALESCEs back to
+    * the unchanged seq — a plain cross join would empty the whole
+    * e-chain (and the oracle) if the vocabulary exhausted its pairs
+    * before `merges` rounds, while the Spark side (a fold over the
+    * ≤ merges fitted rules) would still return per-source stats.
     */
   def encodeSql(merges: Int = 8): String = {
     val enc = (1 to merges).map { r =>
       s"""e$r AS MATERIALIZED (
          |  SELECT source, n, chars,
-         |    replace(seq, '|'||m.a||'||'||m.b||'|', '|'||m.a||m.b||'|') AS seq
-         |  FROM e${r - 1}, m$r m)""".stripMargin
+         |    COALESCE(replace(seq, '|'||m.a||'||'||m.b||'|', '|'||m.a||m.b||'|'),
+         |             seq) AS seq
+         |  FROM e${r - 1} LEFT JOIN m$r m ON TRUE)""".stripMargin
     }.mkString(",\n")
     s"""WITH ${trainingCtes(merges)},
        |swc AS MATERIALIZED (

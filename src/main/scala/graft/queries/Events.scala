@@ -504,6 +504,12 @@ object Events {
     * BY ts, event_id` pins the same order). One groupBy exchange;
     * per-session list state is bounded by session length, the same
     * bounded-collect class as shardManifest's batch digests.
+    *
+    * Oracle dtype trap (the r11 hash-mismatch): DuckDB `sum(BIGINT)`
+    * returns HUGEINT, which pandas materializes as float64 — "3.0" vs
+    * Spark's int64 "3" under an int-naive stringifier. House style for
+    * every oracle: CAST AROUND the aggregate, `CAST(sum(x) AS BIGINT)`;
+    * a cast inside the sum does not help.
     */
   def sessionTranscript(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
@@ -542,7 +548,8 @@ object Events {
       |s AS (SELECT *, sum(is_new) OVER (PARTITION BY user_id ORDER BY ts
       |  ROWS UNBOUNDED PRECEDING) AS sess_id FROM f)
       |SELECT user_id, min(ts) AS session_start, count(*) AS n_steps,
-      |  sum((event_type = 'purchase')::BIGINT) AS n_target_steps,
+      |  CAST(sum((event_type = 'purchase')::BIGINT) AS BIGINT)
+      |    AS n_target_steps,
       |  string_agg(event_type, ' -> ' ORDER BY ts, event_id) AS transcript,
       |  length(string_agg(event_type, ' -> ' ORDER BY ts, event_id))::BIGINT
       |    AS n_chars

@@ -346,8 +346,18 @@ class DbfScan(path: String, options: Map[String, String],
     * points exact byte offsets at PLANNING time. Split size targets
     * `spark.sql.files.maxPartitionBytes`-style chunks via the
     * `recordsPerSplit` option (default sized so a split is ~128 MB).
-    * A pushed LIMIT caps every partition's range — a `LIMIT 10` probe
-    * against a 100 GB file reads 10 records' worth of bytes per split.
+    *
+    * A pushed LIMIT switches to one split per file whose READER stops
+    * after `limit` LIVE rows — a `LIMIT 10` probe against a 100 GB file
+    * still reads ~10 records' worth of bytes. The record RANGE is never
+    * truncated to the limit: header record counts include deleted rows
+    * (flag 0x2A), which the reader skips, so a range capped at `limit`
+    * physical slots would silently under-deliver on files with
+    * deletions among their first `limit` records (pushLimit returns
+    * false — Spark only re-applies the limit, it cannot recover rows
+    * the scan never produced). Worst case (a mostly-deleted file) the
+    * reader scans to end-of-file, which is the minimum work any correct
+    * reader must do to find `limit` live rows.
     */
   override def planInputPartitions(): Array[InputPartition] = {
     // read options arrive through CaseInsensitiveStringMap: keys are lowercased
@@ -357,11 +367,17 @@ class DbfScan(path: String, options: Map[String, String],
       val h = DbfSource.readHeader(f)
       require(h.schema == header.schema,
         s"dbf schema mismatch across files: $f")
-      val capped = limit.fold(h.numRecords)(l => math.min(h.numRecords, l.toLong))
-      (0L until capped by perSplit).map { start =>
-        val end = math.min(capped, start + perSplit)
-        DbfInputPartition(f.toString, h.headerSize, h.recordSize,
-          start, end)
+      limit match {
+        case Some(l) =>
+          // single sequential split; stops at l live rows (see scaladoc)
+          Seq(DbfInputPartition(f.toString, h.headerSize, h.recordSize,
+            0L, h.numRecords, Some(l.toLong)))
+        case None =>
+          (0L until h.numRecords by perSplit).map { start =>
+            val end = math.min(h.numRecords, start + perSplit)
+            DbfInputPartition(f.toString, h.headerSize, h.recordSize,
+              start, end, None)
+          }
       }
     }.toArray
   }
@@ -369,11 +385,16 @@ class DbfScan(path: String, options: Map[String, String],
   override def createReaderFactory(): PartitionReaderFactory =
     new DbfReaderFactory(requiredFields)
 
-  /** EXACT statistics straight from the headers (record count ×
-    * record size — no sampling, no file scan): with these reported,
-    * Catalyst sizes the relation correctly and a dim-table .dbf falls
-    * under the autoBroadcastJoinThreshold on its own — no broadcast()
-    * hint needed for the lookup-join shape.
+  /** Header-derived statistics (record count × record size — no
+    * sampling, no file scan). These are an UPPER BOUND, not exact:
+    * dBase header counts include deleted records (flag 0x2A), which the
+    * reader skips, so a file with deletions reports more rows/bytes
+    * than it yields. The error direction is safe for planning — an
+    * overestimate can only make Catalyst skip a broadcast it might have
+    * done, never broadcast something too big — and on deletion-free
+    * files (all files this engine writes) the numbers are exact, so a
+    * dim-table .dbf falls under autoBroadcastJoinThreshold on its own
+    * with no broadcast() hint needed for the lookup-join shape.
     */
   override def estimateStatistics(): Statistics = new Statistics {
     private val perFile = files.map(f => DbfSource.readHeader(f))
@@ -386,7 +407,8 @@ class DbfScan(path: String, options: Map[String, String],
 }
 
 case class DbfInputPartition(file: String, headerSize: Int, recordSize: Int,
-    startRecord: Long, endRecord: Long) extends InputPartition
+    startRecord: Long, endRecord: Long,
+    liveLimit: Option[Long] = None) extends InputPartition
 
 class DbfReaderFactory(fields: Seq[DbfSource.DbfField])
     extends PartitionReaderFactory {
@@ -397,6 +419,9 @@ class DbfReaderFactory(fields: Seq[DbfSource.DbfField])
 /** Seeks straight to `headerSize + start*recordSize` and reads whole
   * records; deleted rows (flag 0x2A) occupy their fixed-width slot —
   * they are skipped in the output but never disturb the seek math.
+  * `liveLimit` (set for pushed-LIMIT scans) stops the read after that
+  * many LIVE rows, so the byte range consumed adapts to however many
+  * deleted slots are interleaved.
   */
 class DbfPartitionReader(p: DbfInputPartition,
     fields: Seq[DbfSource.DbfField]) extends PartitionReader[InternalRow] {
@@ -408,14 +433,16 @@ class DbfPartitionReader(p: DbfInputPartition,
   in.seek(p.headerSize + p.startRecord * p.recordSize)
   private val rec = new Array[Byte](p.recordSize)
   private var i = p.startRecord
+  private var emitted = 0L
   private var row: GenericInternalRow = _
   private val fmt = java.time.format.DateTimeFormatter.BASIC_ISO_DATE
 
   override def next(): Boolean = {
+    if (p.liveLimit.exists(emitted >= _)) return false
     while (i < p.endRecord) {
       in.readFully(rec)
       i += 1
-      if (rec(0) != '*') { parse(); return true }
+      if (rec(0) != '*') { parse(); emitted += 1; return true }
     }
     false
   }

@@ -21,12 +21,19 @@ class TermFreqsSpec extends SparkSpec {
       "",                           // empty -> [""], count 1, no tf
       "   ",                        // spaces only -> trim -> ""
       "überjoin join über hash",    // multi-byte UTF-8 neighbors
-      "a b c d e f g h")
+      "a b c d e f g h",
+      "join\t",                     // trailing \t survives space-only trim
+      "join\n",                     //   -> ["join", ""], count 2
+      "hash scan\r",                // trailing \r after a real token pair
+      "\tjoin")                     // leading edge: ["", "join"], count 2
     val got = cases.toDF("text")
       .select(GraftFunctions.termFreqs(col("text"), terms).as("tfv"))
       .collect().map(_.getSeq[Int](0))
     cases.zip(got).foreach { case (text, tfv) =>
-      val toks = text.trim.split("\\s+", -1)
+      // SQL trim() (and UTF8String.trim) strips ASCII space ONLY — Java
+      // String.trim would also eat \t/\n/\r and mask the edge tokens.
+      val toks = text.replaceAll("\\A +", "").replaceAll(" +\\z", "")
+        .split("\\s+", -1)
       val want = terms.map(t => toks.count(_ == t)) :+ toks.length
       assert(tfv == want, s"text '$text': got $tfv want $want")
     }

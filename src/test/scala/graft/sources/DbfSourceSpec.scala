@@ -110,9 +110,29 @@ class DbfSourceSpec extends SparkSpec {
     val scan = limited.queryExecution.executedPlan.collect {
       case s: org.apache.spark.sql.execution.datasources.v2.BatchScanExec => s
     }.head
-    // one partition of 7 records, not ten of 100
+    // one sequential stop-at-7-live-rows partition, not ten of 100
     assert(scan.inputRDD.getNumPartitions == 1)
     assert(limited.count() == 7)
+  }
+
+  test("pushed limit still delivers `limit` live rows when deletions precede them") {
+    val dir = stagingDir
+    DbfSource.write(spark.range(0, 50).select(col("id").as("k")),
+      s"$dir/t.dbf")
+    // delete 5 of the first 7 physical slots: a range capped at 7 records
+    // would yield only 2 live rows for LIMIT 7
+    val h = DbfSource.readHeader(new File(s"$dir/t.dbf"))
+    val raf = new RandomAccessFile(s"$dir/t.dbf", "rw")
+    try Seq(0, 2, 3, 5, 6).foreach { i =>
+      raf.seek(h.headerSize + i.toLong * h.recordSize)
+      raf.write('*')
+    } finally raf.close()
+    new File(s"$dir/.t.dbf.crc").delete() // out-of-band edit: drop checksum
+    val limited = spark.read.format("dbf").load(s"$dir/t.dbf").limit(7)
+    val got = limited.select("k")
+      .as[Long](org.apache.spark.sql.Encoders.scalaLong).collect().sorted.toSeq
+    assert(got == Seq(1L, 4L, 7L, 8L, 9L, 10L, 11L),
+      s"LIMIT 7 must return the first 7 LIVE rows, got $got")
   }
 
   test("field names up to 11 bytes survive; 12 bytes are rejected at write") {
