@@ -414,6 +414,44 @@ public final class GraftStrings {
     return UnsafeArrayData.fromPrimitiveArray(out);
   }
 
+  /** WordPiece greedy longest-match-first segmentation (Schuster &amp;
+   *  Nakajima, ICASSP 2012; the BERT tokenizer's encode rule): from the
+   *  left, repeatedly consume the LONGEST vocabulary piece that
+   *  prefixes the remainder — word-start positions match against
+   *  {@code plain} pieces, every later position against {@code cont}
+   *  ("##") pieces (stored WITHOUT the ## marker; it is presentation,
+   *  not content). Returns the piece count, or -1 when some position
+   *  has no matching piece (impossible once both vocab arrays contain
+   *  all single characters of the word's alphabet; the expression
+   *  wrapper surfaces -1 as NULL rather than a wrong count). Ties
+   *  cannot occur: two distinct pieces of equal length cannot both
+   *  prefix the same remainder. Byte-wise compares against the UTF-8
+   *  piece bytes — no String materialization, O(|vocab|·|word|) with
+   *  zero allocation, one call per DISTINCT word (the callers run it
+   *  over the word-count table, never the running text). */
+  public static int wordpiecePieces(UTF8String word, byte[][] plain,
+      byte[][] cont) {
+    byte[] b = word.getBytes();
+    int pos = 0;
+    int n = 0;
+    while (pos < b.length) {
+      byte[][] vocab = (pos == 0) ? plain : cont;
+      int best = 0;
+      for (byte[] p : vocab) {
+        if (p.length <= best || p.length > b.length - pos) continue;
+        boolean eq = true;
+        for (int j = 0; j < p.length; j++) {
+          if (b[pos + j] != p[j]) { eq = false; break; }
+        }
+        if (eq) best = p.length;
+      }
+      if (best == 0) return -1;
+      pos += best;
+      n++;
+    }
+    return n;
+  }
+
   public static InternalRow repetitionStats(UTF8String text, int nSmall,
       int nLarge) {
     String[] toks = tokens(text);

@@ -32,6 +32,15 @@ object GraftFunctions {
   def termFreqs(text: Column, terms: Seq[String]): Column =
     ColumnBridge.column(TermFreqs(ColumnBridge.expression(text), terms))
 
+  /** WordPiece greedy longest-match piece count under a plan-time
+    * vocabulary (plain = word-start pieces, cont = "##" continuation
+    * pieces WITHOUT the marker); NULL on an uncoverable word.
+    */
+  def wordpiecePieces(word: Column, plain: Seq[String],
+      cont: Seq[String]): Column =
+    ColumnBridge.column(WordpiecePieces(
+      ColumnBridge.expression(word), plain, cont))
+
   /** Winnowing fingerprints: distinct w-window minima of the positional
     * n-gram hash stream (MOSS selection), one codegen'd kernel pass.
     */

@@ -92,6 +92,54 @@ case class TokenGramHashes(child: Expression, n: Int)
     copy(child = newChild)
 }
 
+/** WordPiece greedy longest-match piece count for one word under a
+  * plan-time vocabulary (see GraftStrings.wordpiecePieces for the
+  * segmentation contract). NULL when some position is uncoverable —
+  * callers guarantee coverage by including all single characters in
+  * both vocab halves. Map-only and codegen'd: the vocabulary rides the
+  * plan as a reference object, so encoding a corpus is one scan with
+  * zero joins (a vocab broadcast join would cap the vocabulary at
+  * broadcast size for no exchange saving — the Bpe.encodeStats
+  * argument, one operator over).
+  */
+case class WordpiecePieces(child: Expression, plain: Seq[String],
+    cont: Seq[String]) extends UnaryExpression {
+  require(plain.nonEmpty && cont.nonEmpty,
+    "wordpiece_pieces needs a non-empty vocabulary in both halves")
+
+  // Seq in the case class for canonicalization (array equality is by
+  // reference); the kernel gets cached byte[][] of UTF-8 piece bytes
+  private lazy val plainBytes: Array[Array[Byte]] =
+    plain.map(_.getBytes(java.nio.charset.StandardCharsets.UTF_8)).toArray
+  private lazy val contBytes: Array[Array[Byte]] =
+    cont.map(_.getBytes(java.nio.charset.StandardCharsets.UTF_8)).toArray
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires a string argument, got ${child.dataType}")
+  override def dataType: DataType = IntegerType
+  override def nullable: Boolean = true
+  override def prettyName: String = "wordpiece_pieces"
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val n = GraftStrings.wordpiecePieces(
+      input.asInstanceOf[UTF8String], plainBytes, contBytes)
+    if (n < 0) null else n
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val pRef = ctx.addReferenceObj("wordpiecePlain", plainBytes, "byte[][]")
+    val cRef = ctx.addReferenceObj("wordpieceCont", contBytes, "byte[][]")
+    nullSafeCodeGen(ctx, ev, c =>
+      s"""${ev.value} = graft.functions.GraftStrings.wordpiecePieces($c, $pRef, $cRef);
+         |if (${ev.value} < 0) { ${ev.isNull} = true; }""".stripMargin)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): WordpiecePieces =
+    copy(child = newChild)
+}
+
 /** Per-term token frequencies + total token count in one codegen'd
   * kernel pass (see GraftStrings.termFreqs for the token-boundary
   * contract): output[i] = tf of terms(i), output(terms.length) = doc

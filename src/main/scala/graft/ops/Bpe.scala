@@ -58,7 +58,7 @@ object Bpe {
     * identical across JVM regex / RE2 / DuckDB (no combining marks, no
     * astral planes) so the oracle replays the fit bit-for-bit.
     */
-  private def wordCounts(spark: SparkSession, dir: String): DataFrame =
+  private[ops] def wordCounts(spark: SparkSession, dir: String): DataFrame =
     Tables.load(spark, dir, "documents")
       .select(explode(TextAnalysis.tokens(col("text"))).as("w"))
       .filter(col("w").rlike("^[a-z]+$") && length(col("w")) >= 2)

@@ -1,0 +1,216 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** WordPiece-family subword tokenizer (Schuster & Nakajima, "Japanese
+  * and Korean Voice Search", ICASSP 2012 — the BERT tokenizer): the
+  * GREEDY LONGEST-MATCH-FIRST encode rule over a learned vocabulary of
+  * word-start pieces and "##"-marked continuation pieces. The third
+  * member of the engine's tokenizer-training family, next to BPE
+  * ([[Bpe]] — merge-rule-based, encode = replay the merges) and the
+  * raw-statistic faces (`q_vocab_topk`, `q_bpe_pairs`): WordPiece's
+  * encode is VOCABULARY-driven (one greedy scan per word, no merge
+  * replay), which is why production tokenizers ship it — encoding cost
+  * is independent of how the vocabulary was learned.
+  *
+  * Vocabulary selection here is frequency-based: every substring of
+  * every vocabulary word (length 2..[[maxPieceLen]], word-start
+  * substrings as plain pieces, interior ones as continuations, each
+  * occurrence position counted once, weighted by the word's corpus
+  * count) scored by total weight, top-V kept with the total order
+  * (weight DESC, piece ASC — piece includes its ## marker, so the
+  * order is engine-portable ASCII). The original paper selects by
+  * likelihood gain; the published BERT vocabularies' exact recipe is
+  * unreleased, and frequency selection keeps every number an exact
+  * int64 so the DuckDB oracle replays the fit bit-for-bit — the
+  * engine-wide hash-equal-oracle rule. Coverage is guaranteed by
+  * always unioning all 26 single characters into BOTH vocab halves
+  * (the trained domain is `^[a-z]+$` words, [[Bpe.wordCounts]]), so
+  * greedy matching never strands and no UNK path is needed.
+  *
+  * Scale shape, fit: ONE corpus-sized exchange (the word-count
+  * aggregate, map-side combined, Heaps-sublinear output) — the
+  * candidate explode (≤ len·(maxPieceLen-1) rows per DISTINCT word)
+  * and its (cont, sub) aggregate are vocabulary-sized, and the top-V
+  * is a parameter-sized TakeOrdered to the driver (the same
+  * parameter-sized-collect class as the IVF/PQ codebooks and k-means
+  * centroids). Encode: ONE corpus-sized exchange (the (source, word)
+  * aggregate) — the greedy segmentation is the codegen'd
+  * `wordpiece_pieces` kernel applied map-side to distinct rows with
+  * the vocabulary riding the plan as a reference object, then a
+  * parameter-sized per-source rollup. No join in either face.
+  */
+object WordPiece {
+
+  /** One learned piece: `piece` carries the ## marker; `sub` is the
+    * matchable content.
+    */
+  final case class Piece(cont: Boolean, sub: String, weight: Long) {
+    def display: String = if (cont) "##" + sub else sub
+  }
+
+  /** Longest candidate piece considered. Bounds the candidate explode
+    * at len·(maxPieceLen-1) rows per distinct word; real WordPiece
+    * vocabularies are dominated by short pieces (BERT's mean piece
+    * length is ~6 chars), so the cap costs coverage nothing.
+    */
+  val maxPieceLen = 8
+
+  /** The candidate table: (cont, sub, weight) for every substring
+    * occurrence position of every vocabulary word. Vocabulary-sized
+    * input and output; the corpus was already collapsed by
+    * [[Bpe.wordCounts]]'s one exchange.
+    */
+  private def candidates(wc: DataFrame): DataFrame =
+    wc.select(col("c"), explode(flatten(transform(
+        sequence(lit(1), length(col("w")) - 1),
+        i => transform(
+          sequence(lit(2), least(lit(maxPieceLen), length(col("w")) - i + 1)),
+          l => struct((i > lit(1)).as("cont"), col("w").substr(i, l).as("sub"))))))
+      .as("p"))
+      .groupBy(col("p.cont").as("cont"), col("p.sub").as("sub"))
+      .agg(sum(col("c")).as("weight"))
+
+  /** Fit: top-`vocabSize` multi-char pieces by (weight DESC, piece ASC).
+    * Parameter-sized result (collected like a codebook); cached per
+    * (dir, vocabSize) because both faces need the same fit.
+    */
+  def fit(spark: SparkSession, dir: String, vocabSize: Int): Seq[Piece] =
+    fitCache.computeIfAbsent((dir, vocabSize), _ =>
+      candidates(Bpe.wordCounts(spark, dir))
+        .withColumn("piece",
+          when(col("cont"), concat(lit("##"), col("sub"))).otherwise(col("sub")))
+        .orderBy(col("weight").desc, col("piece"))
+        .limit(vocabSize)
+        .collect()
+        .map(r => Piece(r.getBoolean(0), r.getString(1), r.getLong(2)))
+        .toSeq)
+
+  private val fitCache =
+    new java.util.concurrent.ConcurrentHashMap[(String, Int), Seq[Piece]]()
+
+  /** Visible for specs that retrain on mutated corpora. */
+  def clearFitCache(): Unit = fitCache.clear()
+
+  /** The q_wordpiece_vocab face: the top-k learned multi-char pieces
+    * with their selection weights — the artifact a tokenizer would
+    * persist (single chars are implicit; they are always in the encode
+    * vocabulary). k ≤ vocabSize, so the face is a prefix of the fit.
+    */
+  def vocabQuery(spark: SparkSession, dir: String, vocabSize: Int = 256,
+      k: Int = 50): DataFrame = {
+    import spark.implicits._
+    fit(spark, dir, vocabSize).take(k).map(p => (p.display, p.weight))
+      .toDF("piece", "weight")
+  }
+
+  /** Encode face: greedy longest-match segmentation of the corpus
+    * under the fitted vocabulary (+ the a-z singles in both halves),
+    * reported as per-source tokenizer load — word occurrences, piece
+    * count, char count, chars-per-piece. Directly comparable to
+    * [[Bpe.encodeStats]]'s columns: the two tokenizers' compression on
+    * the same corpus, the bake-off a tokenizer choice is made on.
+    */
+  def encodeStats(spark: SparkSession, dir: String,
+      vocabSize: Int = 256): DataFrame = {
+    val pieces = fit(spark, dir, vocabSize)
+    val singles = ('a' to 'z').map(_.toString)
+    val plain = (pieces.filter(!_.cont).map(_.sub) ++ singles).distinct
+    val cont = (pieces.filter(_.cont).map(_.sub) ++ singles).distinct
+    val swc = Tables.load(spark, dir, "documents")
+      .select(col("source"), explode(TextAnalysis.tokens(col("text"))).as("w"))
+      .filter(col("w").rlike("^[a-z]+$") && length(col("w")) >= 2)
+      .groupBy(col("source"), col("w")).agg(count(lit(1)).as("n"))
+    swc
+      .select(col("source"), col("n"),
+        length(col("w")).cast("long").as("chars"),
+        graft.functions.GraftFunctions.wordpiecePieces(col("w"), plain, cont)
+          .cast("long").as("pieces"))
+      .groupBy(col("source"))
+      .agg(sum(col("n")).as("words"),
+        sum(col("n") * col("pieces")).as("pieces"),
+        sum(col("n") * col("chars")).as("chars"))
+      .select(col("source"), col("words"), col("pieces"), col("chars"),
+        round(col("chars").cast("double") / col("pieces").cast("double"), 6)
+          .as("cpp"))
+      .orderBy(col("source"))
+  }
+
+  // ------------------------------------------------------------ oracles
+
+  /** The shared fit chain: word counts → substring candidates → top-V.
+    * The lateral `unnest(range(...))` pair enumerates exactly the
+    * engine's (start, length) grid; `range` is end-exclusive, so
+    * range(1, len(w)) is starts 1..len-1 and range(2, maxLen+1) is
+    * lengths 2..maxLen.
+    */
+  private def fitCtes(vocabSize: Int): String =
+    s"""wc AS MATERIALIZED (
+       |  SELECT w, CAST(count(*) AS BIGINT) AS c
+       |  FROM (SELECT unnest(string_split_regex(trim(text), '\\s+')) AS w FROM documents)
+       |  WHERE regexp_matches(w, '^[a-z]+$$') AND len(w) >= 2
+       |  GROUP BY 1),
+       |cand AS MATERIALIZED (
+       |  SELECT (i > 1) AS cont, substr(w, CAST(i AS INT), CAST(l AS INT)) AS sub,
+       |         CAST(sum(c) AS BIGINT) AS weight
+       |  FROM wc,
+       |       unnest(range(1, len(w))) t(i),
+       |       unnest(range(2, least($maxPieceLen, len(w) - i + 1) + 1)) u(l)
+       |  GROUP BY 1, 2),
+       |vocab_mc AS MATERIALIZED (
+       |  SELECT cont, sub, weight,
+       |         CASE WHEN cont THEN '##' || sub ELSE sub END AS piece
+       |  FROM cand ORDER BY weight DESC, piece LIMIT $vocabSize)""".stripMargin
+
+  /** DuckDB replay of the vocab face: the fit chain, top-k prefix. */
+  def vocabSql(vocabSize: Int = 256, k: Int = 50): String =
+    s"""WITH ${fitCtes(vocabSize)}
+       |SELECT piece, weight FROM vocab_mc
+       |ORDER BY weight DESC, piece LIMIT $k""".stripMargin
+
+  /** DuckDB replay of the encode: the fit chain, then greedy
+    * longest-match as a RECURSIVE walk — per (word, position) the best
+    * match length is a plain vocabulary aggregate (ties impossible:
+    * equal-length matching pieces would be the same substring), and
+    * the recursion just chases positions, advancing ≥ 1 char per step,
+    * so it terminates at the word length. The engine runs the same
+    * greedy rule as one O(|vocab|·|word|) kernel call per distinct
+    * word instead — no per-position table, no iteration in the plan.
+    */
+  def encodeSql(vocabSize: Int = 256): String =
+    s"""WITH RECURSIVE ${fitCtes(vocabSize)},
+       |vocab AS MATERIALIZED (
+       |  SELECT cont, sub FROM vocab_mc
+       |  UNION
+       |  SELECT b AS cont, chr(96 + CAST(i AS INT)) AS sub
+       |  FROM range(1, 27) t(i), (VALUES (TRUE), (FALSE)) v(b)),
+       |swc AS MATERIALIZED (
+       |  SELECT source, w, CAST(count(*) AS BIGINT) AS n
+       |  FROM (SELECT source, unnest(string_split_regex(trim(text), '\\s+')) AS w
+       |        FROM documents)
+       |  WHERE regexp_matches(w, '^[a-z]+$$') AND len(w) >= 2
+       |  GROUP BY 1, 2),
+       |words AS MATERIALIZED (SELECT DISTINCT w FROM swc),
+       |best AS MATERIALIZED (
+       |  SELECT z.w, z.i AS pos, max(len(v.sub)) AS bl
+       |  FROM (SELECT w, CAST(i AS INT) AS i
+       |        FROM words, unnest(range(1, len(w) + 1)) t(i)) z
+       |  JOIN vocab v ON v.cont = (z.i > 1)
+       |              AND substr(z.w, z.i, len(v.sub)) = v.sub
+       |  GROUP BY 1, 2),
+       |step AS (
+       |  SELECT w, 1 AS pos, 0 AS pieces FROM words
+       |  UNION ALL
+       |  SELECT s.w, s.pos + CAST(b.bl AS INT), s.pieces + 1
+       |  FROM step s JOIN best b ON b.w = s.w AND b.pos = s.pos
+       |  WHERE s.pos <= len(s.w)),
+       |done AS MATERIALIZED (SELECT w, pieces FROM step WHERE pos > len(w))
+       |SELECT s.source, CAST(sum(s.n) AS BIGINT) AS words,
+       |  CAST(sum(s.n * d.pieces) AS BIGINT) AS pieces,
+       |  CAST(sum(s.n * len(s.w)) AS BIGINT) AS chars,
+       |  round(CAST(sum(s.n * len(s.w)) AS DOUBLE) /
+       |        CAST(sum(s.n * d.pieces) AS DOUBLE), 6) AS cpp
+       |FROM swc s JOIN done d USING (w) GROUP BY 1 ORDER BY 1""".stripMargin
+}

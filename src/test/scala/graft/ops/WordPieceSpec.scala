@@ -1,0 +1,121 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.functions.GraftFunctions
+
+/** WordPiece: the greedy longest-match kernel against a driver-side
+  * reimplementation and hand examples, candidate-weight semantics, and
+  * the encode face's invariants (coverage, bounds, compression vs a
+  * chars-only vocabulary).
+  */
+class WordPieceSpec extends SparkSpec {
+  import spark.implicits._
+
+  /** Driver-side greedy reference: same rule, plain Scala strings. */
+  private def greedyPieces(w: String, plain: Set[String],
+      cont: Set[String]): Int = {
+    var pos = 0
+    var n = 0
+    while (pos < w.length) {
+      val vocab = if (pos == 0) plain else cont
+      val best = (1 to (w.length - pos))
+        .filter(l => vocab.contains(w.substring(pos, pos + l)))
+        .sorted.lastOption.getOrElse(return -1)
+      pos += best
+      n += 1
+    }
+    n
+  }
+
+  private def kernel(w: String, plain: Seq[String], cont: Seq[String]): Any = {
+    val rows = Seq(w).toDF("w")
+      .select(GraftFunctions.wordpiecePieces(col("w"), plain, cont))
+      .collect()
+    if (rows.head.isNullAt(0)) null else rows.head.getInt(0)
+  }
+
+  test("BERT hand example: unaffable -> un ##aff ##able") {
+    val plain = Seq("un", "a", "u", "n", "f", "b", "l", "e")
+    val cont = Seq("aff", "able", "a", "u", "n", "f", "b", "l", "e")
+    assert(kernel("unaffable", plain, cont) == 3)
+  }
+
+  test("longest match wins over an earlier shorter match") {
+    // plain has both "a" and "ab"; greedy must take "ab" then "##cd",
+    // not "a" + 3 singles
+    val plain = Seq("a", "ab")
+    val cont = Seq("cd", "a", "b", "c", "d")
+    assert(kernel("abcd", plain, cont) == 2)
+  }
+
+  test("adjacent repeats: aaaa under {aa, ##aa} is 2 pieces, not 3") {
+    assert(kernel("aaaa", Seq("aa", "a"), Seq("aa", "a")) == 2)
+  }
+
+  test("uncoverable word returns NULL, not a wrong count") {
+    assert(kernel("axe", Seq("a"), Seq("x")) == null) // no 'e' continuation
+  }
+
+  test("kernel equals the driver-side greedy on the real fitted vocabulary") {
+    val pieces = WordPiece.fit(spark, sf, 256)
+    val singles = ('a' to 'z').map(_.toString)
+    val plain = (pieces.filter(!_.cont).map(_.sub) ++ singles).distinct
+    val cont = (pieces.filter(_.cont).map(_.sub) ++ singles).distinct
+    val words = Bpe.wordCounts(spark, sf).select("w").limit(500)
+      .collect().map(_.getString(0))
+    val got = words.toSeq.toDF("w")
+      .select(col("w"), GraftFunctions.wordpiecePieces(col("w"), plain, cont))
+      .collect().map(r => r.getString(0) -> r.getInt(1)).toMap
+    words.foreach { w =>
+      val want = greedyPieces(w, plain.toSet, cont.toSet)
+      assert(got(w) == want, s"word '$w': kernel ${got(w)} vs reference $want")
+    }
+  }
+
+  test("candidate weights: every substring occurrence position counts once") {
+    // "banana": cont candidate "an" occurs at starts 2 and 4 -> weight
+    // 2·c; plain "ban" once -> c. Check through the public fit on a
+    // corpus narrow enough to enumerate.
+    val dir = java.nio.file.Files.createTempDirectory("wp_spec").toString
+    // full driver documents shape: Tables.load asserts it
+    Seq((1L, "banana banana", "en", "s", 13L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    WordPiece.clearFitCache()
+    try {
+      val fit = WordPiece.fit(spark, dir, 1000)
+      val byPiece = fit.map(p => p.display -> p.weight).toMap
+      assert(byPiece("##an") == 4L, s"##an at starts 2,4 x 2 docs: $byPiece")
+      assert(byPiece("ban") == 2L)
+      assert(byPiece("##anana") == 2L) // maxPieceLen 8 admits it
+      assert(!byPiece.contains("an")) // interior substring is never plain
+    } finally WordPiece.clearFitCache()
+  }
+
+  test("encode face: coverage is total and bounds hold per source") {
+    val stats = WordPiece.encodeStats(spark, sf).collect()
+    assert(stats.nonEmpty)
+    stats.foreach { r =>
+      val (words, pieces, chars) = (r.getLong(1), r.getLong(2), r.getLong(3))
+      assert(pieces >= words, s"a word is >= 1 piece: $r")
+      assert(pieces <= chars, s"a piece is >= 1 char: $r")
+    }
+    // no NULL pieces ever reached the rollup: sums would go NULL
+    assert(stats.forall(!_.isNullAt(2)))
+  }
+
+  test("the fitted vocabulary compresses strictly better than chars alone") {
+    val singles = ('a' to 'z').map(_.toString)
+    val words = Bpe.wordCounts(spark, sf).limit(500).collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    val pieces = WordPiece.fit(spark, sf, 256)
+    val plain = (pieces.filter(!_.cont).map(_.sub) ++ singles).distinct.toSet
+    val cont = (pieces.filter(_.cont).map(_.sub) ++ singles).distinct.toSet
+    val fitted = words.map { case (w, c) => c * greedyPieces(w, plain, cont) }.sum
+    val bare = words.map { case (w, c) => c * w.length }.sum // chars-only: 1 piece/char
+    assert(fitted < bare,
+      s"256 learned pieces must beat the chars-only segmentation: $fitted vs $bare")
+  }
+}
