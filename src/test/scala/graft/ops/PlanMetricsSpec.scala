@@ -198,6 +198,35 @@ class PlanMetricsSpec extends SparkSpec {
     }
   }
 
+  test("kn bigram: documents scanned once; only the pair aggregate is corpus-fed") {
+    // the top-k face must select its k rows BEFORE decorating them:
+    // history/continuation statistics come from broadcast-semi-filtered
+    // scans of the pinned pair table, never vocab×vocab joins — so the
+    // one corpus scan feeds exactly one pair exchange and every other
+    // exchange carries ≤ k·partitions partial rows
+    val df = LlmOps.knBigramTopK(spark, sf)
+    try {
+      df.collect()
+      // the four statistic consumers read the PIN, not the parquet: at
+      // most one documents file scan is visible (zero when it hides
+      // under the InMemoryRelation's materialization job)
+      val docScans = PlanMetrics.distinctFileScans(df)
+        .filter(_.metadata.get("Location").exists(_.contains("documents")))
+      assert(docScans.size <= 1,
+        s"documents scanned ${docScans.size}× — the pair table pin broke")
+      val ims = PlanMetrics.executedNodes(df).collect {
+        case s: org.apache.spark.sql.execution.columnar.InMemoryTableScanExec => s
+      }
+      assert(ims.size >= 3,
+        s"expected the top/na/cp/nb consumers on the pin, saw ${ims.size}")
+      val smjs = PlanMetrics.executedNodes(df).collect {
+        case j: org.apache.spark.sql.execution.joins.SortMergeJoinExec => j
+      }
+      assert(smjs.isEmpty,
+        "vocab×vocab sort-merge join reappeared in the kn top-k face")
+    } finally CacheBin.releaseAll()
+  }
+
   test("span removal: owner aggregation carries bounded state, no posting lists") {
     // the (h → owner) step must be a plain HashAggregate over two longs
     // per key — spillable, partial-aggregated, hot-key-safe. A

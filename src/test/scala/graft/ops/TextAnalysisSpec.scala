@@ -149,6 +149,53 @@ class TextAnalysisSpec extends SparkSpec {
       0.25 * (4.0 / (2.0 * 5.0))))
   }
 
+  test("tokenPairHashes kernel equals zipping the order-1 hash stream with its tail") {
+    val cases = Seq("a b c d", "a", "", "  x\ty \n z  ", "a a a", "solo pair")
+    val rows = cases.toDF("text").select(
+      graft.functions.GraftFunctions.tokenPairHashes(col("text")).as("p"),
+      graft.functions.GraftFunctions.tokenGramHashes(col("text"), 1).as("g"))
+      .collect()
+    rows.foreach { r =>
+      val pairs = r.getSeq[org.apache.spark.sql.Row](0)
+        .map(x => (x.getLong(0), x.getLong(1)))
+      val g = r.getSeq[Long](1)
+      assert(pairs == g.zip(g.drop(1)), s"pair stream != zip for g=$g")
+    }
+  }
+
+  test("knBigramTopK: Kneser-Ney statistic is exact and conserves probability mass") {
+    val dir = java.nio.file.Files.createTempDirectory("knbigram").toString
+    // pair table: (a,b)×2, (a,c)×1, (b,c)×1 → N1+(··)=3;
+    // histories: a (c_prev 3, 2 types), b (c_prev 1, 1 type);
+    // continuations: b seen after 1 history, c after 2.
+    Seq((1L, "a b"), (2L, "a b"), (3L, "a c"), (4L, "b c"))
+      .toDF("doc_id", "text")
+      .withColumn("lang", lit("en")).withColumn("source", lit("spec"))
+      .withColumn("n_chars", length(col("text")).cast("bigint"))
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = graft.queries.LlmOps.knBigramTopK(spark, dir, k = 10)
+      .collect().map(r => ((r.getLong(2), r.getLong(3), r.getLong(5)),
+        (r.getLong(4), r.getDouble(6)))).toMap
+    assert(got.size === 3)
+    // keyed by (c_big, c_prev, n1_back); values (n1_fwd, p_kn) in the
+    // engine's exact expression tree
+    assert(got((2L, 3L, 1L)) === ((2L,
+      (2.0 - 0.75) / 3.0 + (0.75 * 2.0 / 3.0) * (1.0 / 3.0)))) // p(b|a)
+    assert(got((1L, 3L, 2L)) === ((2L,
+      (1.0 - 0.75) / 3.0 + (0.75 * 2.0 / 3.0) * (2.0 / 3.0)))) // p(c|a)
+    assert(got((1L, 1L, 2L)) === ((1L,
+      (1.0 - 0.75) / 1.0 + (0.75 * 1.0 / 1.0) * (2.0 / 3.0)))) // p(c|b) = 0.75
+    // absolute discounting conserves mass: over the SEEN continuations
+    // of a history the probabilities sum to ≤ 1, with equality exactly
+    // when every corpus continuation type is attested for that history
+    // (history a) and strict reservation otherwise (history b)
+    val pa = got((2L, 3L, 1L))._2 + got((1L, 3L, 2L))._2
+    assert(math.abs(pa - 1.0) < 1e-12, s"history a covers all types: $pa")
+    assert(got((1L, 1L, 2L))._2 < 1.0)
+    // every probability is positive: c ≥ 1 makes c − 0.75 ≥ 0.25
+    assert(got.values.forall(_._2 > 0.0))
+  }
+
   test("dsirSample: target-like docs outscore raw-only docs, exactly") {
     val dir = java.nio.file.Files.createTempDirectory("dsir").toString
     // one shared bigram feature ('x y') seen in en once and overall
