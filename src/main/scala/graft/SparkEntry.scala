@@ -126,6 +126,7 @@ object SparkEntry {
     "q_session_transcript" -> (Events.sessionTranscript(_, _)),
     "q_collocations" -> ((s, d) => LlmOps.collocations(s, d)),
     "q_lang_diversity" -> (LlmOps.langDiversity(_, _)),
+    "q_langid_nb" -> ((s, d) => LlmOps.langIdNbConfusion(s, d)),
     "q_token_drift" -> ((s, d) => LlmOps.tokenDrift(s, d)),
     "q_vocab_overlap" -> (LlmOps.vocabOverlap(_, _)),
     "q_bm25_topk" -> ((s, d) => LlmOps.bm25TopK(s, d)),
@@ -439,6 +440,7 @@ object SparkEntry {
     "q_session_transcript" -> Events.sessionTranscriptSql,
     "q_collocations" -> LlmOps.collocationsSql,
     "q_lang_diversity" -> LlmOps.langDiversitySql,
+    "q_langid_nb" -> LlmOps.langIdNbSql(),
     "q_token_drift" -> LlmOps.tokenDriftSql,
     "q_vocab_overlap" -> LlmOps.vocabOverlapSql,
     "q_bm25_topk" -> LlmOps.bm25TopKSql,

@@ -1023,6 +1023,100 @@ object LlmOps {
       |FROM inter JOIN sizes sa ON sa.lang = lang_a
       |  JOIN sizes sb ON sb.lang = lang_b""".stripMargin
 
+  /** TRAINED language-ID: a naive-Bayes bag-of-features classifier fit
+    * on the corpus's own `lang` labels and applied back to every
+    * document, reported as the (lang, pred) confusion census — the
+    * complement of [[TextAnalysis.langId]]'s fixed marker lexicons
+    * (which need no training but know only their hardcoded languages),
+    * and the langid instance of the [[graft.ops.QualityModel]] distill
+    * pattern: an expensive labeler's signal compressed into a
+    * crawl-scale filter.
+    *
+    * Features are token hashes folded into `buckets` buckets (the DSIR
+    * move): the per-(lang, feature) count table is AT MOST
+    * |langs|·buckets rows at ANY corpus size, so the model broadcasts
+    * unconditionally — that bound is the whole scale story. Scoring is
+    * the engine's no-logs exactness rule applied to naive Bayes: the
+    * textbook Σ log p(f|lang) is a sum of libm calls (only
+    * 1-ulp-reproducible across engines), so the score is instead the
+    * SUM OF FIXED-POINT LAPLACE LIKELIHOODS
+    *   Σ_occ ⌊(cnt(lang,f)+1)·10⁶ / (total(lang)+buckets)⌋
+    * — integer-exact end to end (the mean-likelihood surrogate
+    * [[unigramLmTopK]] establishes for LM scoring, per-class here).
+    * Argmax ties break to the alphabetically first language via an
+    * array_min over (−score, lang) structs, mirrored by the oracle's
+    * min over the same struct — fully ordered, hash-stable.
+    * Overflow bound: (cnt+1)·10⁶ stays in int64 while a single
+    * (lang, bucket) cell holds < 9·10¹² tokens — beyond a 100 TB
+    * corpus spread over 4096 buckets.
+    *
+    * Shape at 100 TB: the feature stream is scanned twice (model build
+    * + scoring — the documented two-scan-vs-cache trade of
+    * [[pplBuckets]]); the model exchange carries ≤ |langs|·buckets
+    * map-side-combined partials per partition; per-lang totals are a
+    * parameter-sized driver collect (they become plan literals in the
+    * scoring expression); scoring joins the ≤ buckets-row pivoted
+    * model as a BROADCAST and aggregates doc-keyed — the one
+    * corpus-sized exchange; the census is ≤ |langs|² rows.
+    */
+  def langIdNbConfusion(spark: SparkSession, dir: String,
+      buckets: Int = 4096, scale: Long = 1000000L): DataFrame = {
+    val docs = Tables.load(spark, dir, "documents")
+    def feats = docs
+      .select(col("doc_id"), col("lang"),
+        explode(graft.functions.GraftFunctions.tokenGramHashes(col("text"), 1))
+          .as("h"))
+      .select(col("doc_id"), col("lang"), (col("h") % buckets).as("f"))
+    val model = feats.groupBy(col("lang"), col("f")).agg(count(lit(1)).as("cnt"))
+    // ≤ |langs| rows: totals become literals in the scoring expression
+    val totals = model.groupBy(col("lang")).agg(sum(col("cnt")).as("t"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val langs = totals.keys.toSeq.sorted
+    val wide = model.groupBy(col("f")).pivot("lang", langs).agg(sum(col("cnt")))
+    val scoreCols = langs.map { l =>
+      val denom = totals(l) + buckets
+      expr(s"CAST(((coalesce(`$l`, 0) + 1) * ${scale}L) DIV ${denom}L AS BIGINT)")
+        .as(s"s_$l")
+    }
+    val sums = langs.map(l => sum(col(s"s_$l")).as(s"s_$l"))
+    feats.join(broadcast(wide), Seq("f"))
+      .select(col("doc_id") +: col("lang") +: scoreCols: _*)
+      .groupBy(col("doc_id"), col("lang"))
+      .agg(sums.head, sums.tail: _*)
+      .withColumn("pred", array_min(array(langs.map(l =>
+        struct((-col(s"s_$l")).as("ns"), lit(l).as("c"))): _*)).getField("c"))
+      .groupBy(col("lang"), col("pred")).agg(count(lit(1)).as("n_docs"))
+      .orderBy(col("lang"), col("pred"))
+  }
+
+  /** Mirrors langIdNbConfusion: same folded token-hash features, the
+    * per-lang candidate scoring as explicit rows (LEFT JOIN + coalesce
+    * supplies the +1-only smoothing for lang-unseen features), the
+    * identical fixed-point integer division, and the tie order as a
+    * min over the same (−score, lang) struct.
+    */
+  def langIdNbSql(buckets: Int = 4096, scale: Long = 1000000L): String =
+    s"""WITH toks AS (SELECT doc_id, lang, string_split_regex(trim(text), '\\s+') AS t
+       |  FROM documents),
+       |feats AS (SELECT doc_id, lang,
+       |    unnest([('0x' || substr(md5(t[i]), 1, 15))::BIGINT % $buckets
+       |            for i in range(1, len(t)+1)]) AS f
+       |  FROM toks),
+       |langs AS (SELECT DISTINCT lang FROM documents),
+       |m AS (SELECT lang, f, count(*)::BIGINT AS cnt FROM feats GROUP BY 1, 2),
+       |tot AS (SELECT lang, sum(cnt)::BIGINT AS t FROM m GROUP BY 1),
+       |sc AS (SELECT fe.doc_id, fe.lang AS lang_true, l.lang AS cand,
+       |    sum(((coalesce(m.cnt, 0) + 1) * $scale) // (tot.t + $buckets))::BIGINT AS s
+       |  FROM feats fe
+       |  CROSS JOIN langs l
+       |  JOIN tot ON tot.lang = l.lang
+       |  LEFT JOIN m ON m.lang = l.lang AND m.f = fe.f
+       |  GROUP BY 1, 2, 3),
+       |pred AS (SELECT doc_id, lang_true,
+       |    min(struct_pack(ns := -s, c := cand)).c AS pred FROM sc GROUP BY 1, 2)
+       |SELECT lang_true AS lang, pred, count(*)::BIGINT AS n_docs
+       |FROM pred GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
   // ---------------------------------------------------------------- text
 
   def textStats(spark: SparkSession, dir: String): DataFrame =

@@ -196,6 +196,44 @@ class TextAnalysisSpec extends SparkSpec {
     assert(got.values.forall(_._2 > 0.0))
   }
 
+  test("langIdNbConfusion: the fit separates disjoint-vocabulary languages") {
+    val dir = java.nio.file.Files.createTempDirectory("langid").toString
+    Seq((1L, "bonjour le monde le monde", "fr"), (2L, "hello world the world", "en"),
+      (3L, "le monde bonjour", "fr"), (4L, "the world hello", "en"),
+      (5L, "hello le world", "en")) // 2 en tokens vs 1 fr -> en
+      .toDF("doc_id", "text", "lang")
+      .withColumn("source", lit("spec"))
+      .withColumn("n_chars", length(col("text")).cast("bigint"))
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = graft.queries.LlmOps.langIdNbConfusion(spark, dir)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    assert(got.toSeq === Seq(("en", "en", 3L), ("fr", "fr", 2L)))
+  }
+
+  test("langIdNbConfusion: exact score ties break to the alphabetically first language") {
+    val dir = java.nio.file.Files.createTempDirectory("langid_tie").toString
+    // both langs have the identical model (one 'x', total 1): every
+    // candidate score ties, so both docs must predict 'en'
+    Seq((1L, "x", "en"), (2L, "x", "fr"))
+      .toDF("doc_id", "text", "lang")
+      .withColumn("source", lit("spec"))
+      .withColumn("n_chars", length(col("text")).cast("bigint"))
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = graft.queries.LlmOps.langIdNbConfusion(spark, dir)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    assert(got.toSeq === Seq(("en", "en", 1L), ("fr", "en", 1L)))
+  }
+
+  test("langIdNbConfusion: census is total over the corpus") {
+    val docs = graft.Tables.load(spark, sf, "documents")
+    val census = graft.queries.LlmOps.langIdNbConfusion(spark, sf).collect()
+    assert(census.map(_.getLong(2)).sum === docs.count())
+    // every true language appears, and predictions stay in-alphabet
+    val langs = docs.select("lang").distinct().collect().map(_.getString(0)).toSet
+    assert(census.map(_.getString(0)).toSet === langs)
+    assert(census.map(_.getString(1)).toSet.subsetOf(langs))
+  }
+
   test("dsirSample: target-like docs outscore raw-only docs, exactly") {
     val dir = java.nio.file.Files.createTempDirectory("dsir").toString
     // one shared bigram feature ('x y') seen in en once and overall
