@@ -371,6 +371,31 @@ object ScaleBench {
       // exchanges flat, time ∝ k
       val (stSec, stRows, stEx) = bestIf("session_transcript")(
         queries.Events.sessionTranscript(spark, dir))
+      // WordPiece fit + encode, fit cache BYPASSED (cleared inside the
+      // builder, bpe_train convention — the fit's driver top-V collect
+      // runs eagerly): replica tags carry digits, so tagged words fall
+      // out of the ^[a-z]+$ trained domain — the candidate table, the
+      // vocabulary and the per-word kernel work all stay CONSTANT while
+      // the two corpus passes (wc + swc) grow ∝ k. Time ∝ k, output
+      // rows flat (per-source rollup), exchanges flat.
+      val (wpSec, wpRows, wpEx) = bestIf("wordpiece_encode") {
+        graft.ops.WordPiece.clearFitCache()
+        graft.ops.WordPiece.encodeStats(spark, dir)
+      }
+      // Kneser-Ney top-k: the pair aggregate's input stream grows ∝ k
+      // and its output vocabulary too (disjoint tagged bigrams), but
+      // the k result rows are selected BEFORE decoration, so the
+      // history/continuation stats are broadcast-semi-filtered pin
+      // scans — rows flat (50), exchanges flat, time ∝ k with no
+      // vocab×vocab join to degenerate
+      val (knSec, knRows, knEx) = bestIf("kn_bigram")(
+        queries.LlmOps.knBigramTopK(spark, dir))
+      // NB language-ID: the model is CAPPED at |langs|·4096 rows no
+      // matter how the tagged vocabulary grows (feature folding), so
+      // the model exchange and the broadcast stay flat; scoring is the
+      // doc-keyed exchange ∝ k; census rows flat (≤ |langs|²)
+      val (liSec, liRows, liEx) = bestIf("langid_nb")(
+        queries.LlmOps.langIdNbConfusion(spark, dir))
       val row = scala.collection.immutable.ListMap(
         "lsh_pairs" -> (lshSec, lshRows, lshEx),
         "cc_distributed" -> (ccSec, ccRows, ccEx),
@@ -400,7 +425,10 @@ object ScaleBench {
         "phrase_search" -> (psSec, psRows, psEx),
         "budget_select" -> (bsSec, bsRows, bsEx),
         "pref_pairs" -> (ppSec, ppRows, ppEx),
-        "session_transcript" -> (stSec, stRows, stEx))
+        "session_transcript" -> (stSec, stRows, stEx),
+        "wordpiece_encode" -> (wpSec, wpRows, wpEx),
+        "kn_bigram" -> (knSec, knRows, knEx),
+        "langid_nb" -> (liSec, liRows, liEx))
         .filter { case (op, _) => wanted(op) }
       row.foreach { case (op, (s, r, e)) =>
         println(s"""{"scale":$k,"op":"$op","sec":$s,"rows":$r,"exchanges":$e}""")
