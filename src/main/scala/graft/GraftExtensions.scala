@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
 import org.apache.spark.sql.types.IntegerType
 
-import graft.functions.{ChunkRows, CosineSim, DotI8, DotProd, QuantizeI8, QuantizeScale, RepetitionStats, SimHash60, TokenChunks, TokenGramHashes, WinnowHashes, WordShingleHashes, WordShingles}
+import graft.functions.{ChunkRows, CosineSim, DotI8, DotProd, QuantizeI8, QuantizeScale, RepetitionStats, SimHash60, TokenChunks, TokenGramHashes, TokenPairHashes, WinnowHashes, WordShingleHashes, WordShingles}
 
 /** SparkSessionExtensions hook (SURVEY.md §4.3.4): registers the graft
   * custom expressions as SQL functions so `spark.sql` users get them too
@@ -92,6 +92,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         case _ => throw new IllegalArgumentException(
           "token_gram_hashes(text, n) requires a literal int n")
       }))
+    ext.injectFunction((FunctionIdentifier("token_pair_hashes"),
+      info("token_pair_hashes",
+        "token_pair_hashes(text) - consecutive token-hash (h1, h2) structs, position order, duplicates kept"),
+      (exprs: Seq[Expression]) => TokenPairHashes(exprs.head)))
     ext.injectFunction((FunctionIdentifier("winnow_hashes"),
       info("winnow_hashes",
         "winnow_hashes(text, n, w) - distinct w-window minima of the positional n-gram hash stream (MOSS winnowing fingerprints)"),

@@ -32,6 +32,20 @@ class GraftExtensionsSpec extends SparkSpec {
       viaCol(GraftFunctions.winnowHashes(col("t"), 3, 4)))
   }
 
+  test("token_pair_hashes from SQL equals the Column API") {
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    val text = "a b c d"
+    val df = Seq(text).toDF("t")
+    def pairsOf(rows: Seq[org.apache.spark.sql.Row]) =
+      rows.map(r => (r.getLong(0), r.getLong(1)))
+    val viaSql = pairsOf(spark.sql(s"SELECT token_pair_hashes('$text') AS p")
+      .collect()(0).getSeq[org.apache.spark.sql.Row](0))
+    val viaCol = pairsOf(df.select(GraftFunctions.tokenPairHashes(col("t")))
+      .collect()(0).getSeq[org.apache.spark.sql.Row](0))
+    assert(viaSql == viaCol && viaSql.size == 3)
+  }
+
   test("simhash60 from SQL equals Dedup.simHash") {
     import org.apache.spark.sql.functions.col
     import spark.implicits._
