@@ -476,6 +476,42 @@ public final class GraftStrings {
     return n;
   }
 
+  /** WordPiece greedy segmentation emitting VOCABULARY IDS — the same
+   *  longest-match-first walk as {@link #wordpiecePieces} but returning
+   *  the id of each consumed piece ({@code plainIds[i]} pairs with
+   *  {@code plain[i]}, likewise cont). Returns null when a position is
+   *  uncoverable (cannot happen once both halves hold all single
+   *  characters of the word's alphabet). One call per word occurrence,
+   *  zero exchanges in the callers — the encode-to-model-input step of
+   *  the tokenizer family. */
+  public static ArrayData wordpieceIds(UTF8String word, byte[][] plain,
+      int[] plainIds, byte[][] cont, int[] contIds) {
+    byte[] b = word.getBytes();
+    int[] out = new int[b.length]; // >= 1 piece per char is the max
+    int pos = 0;
+    int n = 0;
+    while (pos < b.length) {
+      byte[][] vocab = (pos == 0) ? plain : cont;
+      int[] ids = (pos == 0) ? plainIds : contIds;
+      int best = 0;
+      int bestId = -1;
+      for (int t = 0; t < vocab.length; t++) {
+        byte[] p = vocab[t];
+        if (p.length <= best || p.length > b.length - pos) continue;
+        boolean eq = true;
+        for (int j = 0; j < p.length; j++) {
+          if (b[pos + j] != p[j]) { eq = false; break; }
+        }
+        if (eq) { best = p.length; bestId = ids[t]; }
+      }
+      if (best == 0) return null;
+      out[n++] = bestId;
+      pos += best;
+    }
+    return UnsafeArrayData.fromPrimitiveArray(
+        n == out.length ? out : java.util.Arrays.copyOf(out, n));
+  }
+
   public static InternalRow repetitionStats(UTF8String text, int nSmall,
       int nLarge) {
     String[] toks = tokens(text);

@@ -118,6 +118,7 @@ object SparkEntry {
     "q_bpe_encode" -> ((s, d) => graft.ops.Bpe.encodeStats(s, d)),
     "q_wordpiece_vocab" -> ((s, d) => graft.ops.WordPiece.vocabQuery(s, d)),
     "q_wordpiece_encode" -> ((s, d) => graft.ops.WordPiece.encodeStats(s, d)),
+    "q_wordpiece_ids" -> ((s, d) => graft.ops.WordPiece.idsQuery(s, d)),
     "q_phrase_search" -> ((s, d) => graft.ops.InvertedIndex.phraseSearch(s, d)),
     "q_index_stats" -> ((s, d) => graft.ops.InvertedIndex.indexStats(s, d)),
     "q_span_corruption" -> (Curation.spanCorruption(_, _)),
@@ -432,6 +433,7 @@ object SparkEntry {
     "q_bpe_encode" -> graft.ops.Bpe.encodeSql(),
     "q_wordpiece_vocab" -> graft.ops.WordPiece.vocabSql(),
     "q_wordpiece_encode" -> graft.ops.WordPiece.encodeSql(),
+    "q_wordpiece_ids" -> graft.ops.WordPiece.idsSql(),
     "q_phrase_search" -> graft.ops.InvertedIndex.phraseSearchSql(),
     "q_index_stats" -> graft.ops.InvertedIndex.indexStatsSql,
     "q_span_corruption" -> Curation.spanCorruptionSql,

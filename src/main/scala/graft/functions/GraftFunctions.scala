@@ -48,6 +48,13 @@ object GraftFunctions {
     ColumnBridge.column(WordpiecePieces(
       ColumnBridge.expression(word), plain, cont))
 
+  /** WordPiece greedy segmentation emitting vocabulary ids; `pieces`
+    * rows are (isContinuation, content-without-##, id). NULL on an
+    * uncoverable word.
+    */
+  def wordpieceIds(word: Column, pieces: Seq[(Boolean, String, Int)]): Column =
+    ColumnBridge.column(WordpieceIds(ColumnBridge.expression(word), pieces))
+
   /** Winnowing fingerprints: distinct w-window minima of the positional
     * n-gram hash stream (MOSS selection), one codegen'd kernel pass.
     */

@@ -167,6 +167,53 @@ case class WordpiecePieces(child: Expression, plain: Seq[String],
     copy(child = newChild)
 }
 
+/** WordPiece greedy segmentation emitting vocabulary IDS (see
+  * GraftStrings.wordpieceIds): the encode-to-model-input sibling of
+  * [[WordpiecePieces]] — same longest-match walk, but each consumed
+  * piece contributes its id. `pieces` pairs each (cont, sub) with its
+  * id; split into the two kernel halves here, once, at plan time.
+  */
+case class WordpieceIds(child: Expression,
+    pieces: Seq[(Boolean, String, Int)]) extends UnaryExpression {
+  require(pieces.nonEmpty, "wordpiece_ids needs a non-empty vocabulary")
+
+  private lazy val (plainB, plainI) = {
+    val p = pieces.filter(!_._1)
+    (p.map(_._2.getBytes(java.nio.charset.StandardCharsets.UTF_8)).toArray,
+      p.map(_._3).toArray)
+  }
+  private lazy val (contB, contI) = {
+    val c = pieces.filter(_._1)
+    (c.map(_._2.getBytes(java.nio.charset.StandardCharsets.UTF_8)).toArray,
+      c.map(_._3).toArray)
+  }
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires a string argument, got ${child.dataType}")
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def nullable: Boolean = true
+  override def prettyName: String = "wordpiece_ids"
+
+  override protected def nullSafeEval(input: Any): Any =
+    GraftStrings.wordpieceIds(input.asInstanceOf[UTF8String],
+      plainB, plainI, contB, contI)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val pb = ctx.addReferenceObj("wpIdsPlain", plainB, "byte[][]")
+    val pi = ctx.addReferenceObj("wpIdsPlainIds", plainI, "int[]")
+    val cb = ctx.addReferenceObj("wpIdsCont", contB, "byte[][]")
+    val ci = ctx.addReferenceObj("wpIdsContIds", contI, "int[]")
+    nullSafeCodeGen(ctx, ev, c =>
+      s"""${ev.value} = graft.functions.GraftStrings.wordpieceIds($c, $pb, $pi, $cb, $ci);
+         |if (${ev.value} == null) { ${ev.isNull} = true; }""".stripMargin)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): WordpieceIds =
+    copy(child = newChild)
+}
+
 /** Per-term token frequencies + total token count in one codegen'd
   * kernel pass (see GraftStrings.termFreqs for the token-boundary
   * contract): output[i] = tf of terms(i), output(terms.length) = doc

@@ -138,6 +138,50 @@ object WordPiece {
       .orderBy(col("source"))
   }
 
+  /** The full encode vocabulary with DETERMINISTIC IDS: fitted
+    * multi-char pieces ∪ the a-z singles in both halves, id = rank in
+    * the (cont, sub) sort — a pure function of the fit, mirrored by
+    * the oracle's row_number over the same order.
+    */
+  def vocabWithIds(spark: SparkSession, dir: String,
+      vocabSize: Int): Seq[(Boolean, String, Int)] = {
+    val singles = ('a' to 'z').map(_.toString)
+    val entries = (fit(spark, dir, vocabSize).map(p => (p.cont, p.sub)) ++
+      singles.map((false, _)) ++ singles.map((true, _))).distinct
+    entries.sortBy(e => (e._1, e._2)).zipWithIndex
+      .map { case ((c, s), i) => (c, s, i) }
+  }
+
+  /** The q_wordpiece_ids face — the tokenizer family's terminal
+    * product: every document's text as MODEL-READY SUBWORD IDS (the
+    * in-domain `^[a-z]+$` words, in order, each greedy-segmented under
+    * the fitted vocabulary; ids are the deterministic (cont, sub)
+    * ranks). Output is (doc_id, n_ids, space-joined id string) — one
+    * row per document, docs with no in-domain words included with an
+    * empty encoding.
+    *
+    * Scale shape: MAP-ONLY — zero exchanges at any corpus size. The
+    * vocabulary rides the plan as a reference object inside the
+    * codegen'd `wordpiece_ids` kernel (one call per word occurrence,
+    * O(|vocab|·|word|), no joins, no per-position tables), and the
+    * output is doc-keyed with no aggregation. This is the shape that
+    * matters at 100 TB: tokenization parallelizes embarrassingly, and
+    * any formulation that shuffles (a vocab join, a piece explode +
+    * reassembly window) pays a corpus-sized exchange for nothing.
+    */
+  def idsQuery(spark: SparkSession, dir: String,
+      vocabSize: Int = 256): DataFrame = {
+    val withIds = vocabWithIds(spark, dir, vocabSize)
+    val inDomain = filter(TextAnalysis.tokens(col("text")),
+      w => w.rlike("^[a-z]+$") && length(w) >= 2)
+    val ids = flatten(transform(inDomain,
+      w => graft.functions.GraftFunctions.wordpieceIds(w, withIds)))
+    Tables.load(spark, dir, "documents")
+      .select(col("doc_id"), ids.as("ids"))
+      .select(col("doc_id"), size(col("ids")).cast("long").as("n_ids"),
+        array_join(transform(col("ids"), _.cast("string")), " ").as("ids_str"))
+  }
+
   // ------------------------------------------------------------ oracles
 
   /** The shared fit chain: word counts → substring candidates → top-V.
@@ -213,4 +257,59 @@ object WordPiece {
        |  round(CAST(sum(s.n * len(s.w)) AS DOUBLE) /
        |        CAST(sum(s.n * d.pieces) AS DOUBLE), 6) AS cpp
        |FROM swc s JOIN done d USING (w) GROUP BY 1 ORDER BY 1""".stripMargin
+
+  /** DuckDB replay of the ids face: the fit chain + id assignment by
+    * row_number over (cont, sub); the greedy walk is the same
+    * best-match-length recursion as [[encodeSql]] but keeps each
+    * visited position WITH its step index, so a word's piece ids
+    * replay in order; documents reassemble by (word position, step).
+    * Docs with no in-domain words come back via LEFT JOIN with an
+    * empty encoding — the engine emits every doc_id unconditionally.
+    */
+  def idsSql(vocabSize: Int = 256): String =
+    s"""WITH RECURSIVE ${fitCtes(vocabSize)},
+       |vocab AS MATERIALIZED (
+       |  SELECT cont, sub FROM vocab_mc
+       |  UNION
+       |  SELECT b AS cont, chr(96 + CAST(i AS INT)) AS sub
+       |  FROM range(1, 27) t(i), (VALUES (TRUE), (FALSE)) v(b)),
+       |vids AS MATERIALIZED (
+       |  SELECT cont, sub,
+       |    CAST(row_number() OVER (ORDER BY cont, sub) - 1 AS INT) AS id
+       |  FROM vocab),
+       |toks AS MATERIALIZED (
+       |  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t FROM documents),
+       |u AS MATERIALIZED (
+       |  SELECT doc_id, CAST(i AS INT) AS wpos, t[CAST(i AS INT)] AS w
+       |  FROM toks, unnest(range(1, len(t) + 1)) z(i)
+       |  WHERE regexp_matches(t[CAST(i AS INT)], '^[a-z]+$$')
+       |    AND len(t[CAST(i AS INT)]) >= 2),
+       |words AS MATERIALIZED (SELECT DISTINCT w FROM u),
+       |best AS MATERIALIZED (
+       |  SELECT z.w, z.i AS pos, max(len(v.sub)) AS bl
+       |  FROM (SELECT w, CAST(i AS INT) AS i
+       |        FROM words, unnest(range(1, len(w) + 1)) t(i)) z
+       |  JOIN vids v ON v.cont = (z.i > 1)
+       |              AND substr(z.w, z.i, len(v.sub)) = v.sub
+       |  GROUP BY 1, 2),
+       |step AS (
+       |  SELECT w, 1 AS pos, 0 AS idx FROM words
+       |  UNION ALL
+       |  SELECT s.w, s.pos + CAST(b.bl AS INT), s.idx + 1
+       |  FROM step s JOIN best b ON b.w = s.w AND b.pos = s.pos
+       |  WHERE s.pos <= len(s.w)),
+       |wp AS MATERIALIZED (
+       |  SELECT s.w, s.idx, v.id
+       |  FROM step s
+       |  JOIN best b ON b.w = s.w AND b.pos = s.pos
+       |  JOIN vids v ON v.cont = (s.pos > 1)
+       |             AND v.sub = substr(s.w, s.pos, CAST(b.bl AS INT))
+       |  WHERE s.pos <= len(s.w)),
+       |enc AS (
+       |  SELECT u.doc_id, CAST(count(*) AS BIGINT) AS n_ids,
+       |    string_agg(wp.id::VARCHAR, ' ' ORDER BY u.wpos, wp.idx) AS ids_str
+       |  FROM u JOIN wp USING (w) GROUP BY 1)
+       |SELECT d.doc_id, coalesce(e.n_ids, 0) AS n_ids,
+       |  coalesce(e.ids_str, '') AS ids_str
+       |FROM documents d LEFT JOIN enc e USING (doc_id)""".stripMargin
 }

@@ -227,6 +227,17 @@ class PlanMetricsSpec extends SparkSpec {
     } finally CacheBin.releaseAll()
   }
 
+  test("wordpiece ids face is map-only at runtime") {
+    // tokenization-to-model-input must never shuffle: the vocabulary
+    // rides the plan inside the kernel and the output is doc-keyed with
+    // no aggregation — a vocab join or piece-explode+reassembly window
+    // here would pay a corpus-sized exchange for nothing
+    val df = graft.ops.WordPiece.idsQuery(spark, sf)
+    df.collect()
+    assert(PlanMetrics.exchangeCount(df) === 0)
+    assert(PlanMetrics.shuffleBytesWritten(df) === 0L)
+  }
+
   test("span removal: owner aggregation carries bounded state, no posting lists") {
     // the (h → owner) step must be a plain HashAggregate over two longs
     // per key — spillable, partial-aggregated, hot-key-safe. A

@@ -106,6 +106,51 @@ class WordPieceSpec extends SparkSpec {
     assert(stats.forall(!_.isNullAt(2)))
   }
 
+  test("ids face: decoding the ids reproduces the in-domain token stream verbatim") {
+    val withIds = WordPiece.vocabWithIds(spark, sf, 256)
+    val byId = withIds.map { case (c, s, i) => i -> (c, s) }.toMap
+    val rows = WordPiece.idsQuery(spark, sf).limit(300).collect()
+    val docs = graft.Tables.load(spark, sf, "documents")
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (docId, nIds, idsStr) = (r.getLong(0), r.getLong(1), r.getString(2))
+      val ids = if (idsStr.isEmpty) Array.empty[Int]
+        else idsStr.split(" ").map(_.toInt)
+      assert(ids.length == nIds)
+      // splice: word-start pieces open a new word, continuations append
+      val words = Seq.newBuilder[String]
+      val cur = new StringBuilder
+      ids.foreach { id =>
+        val (c, s) = byId(id)
+        if (!c) { if (cur.nonEmpty) words += cur.toString; cur.clear() }
+        cur ++= s
+      }
+      if (cur.nonEmpty) words += cur.toString
+      val expected = docs(docId).trim.split("\\s+", -1)
+        .filter(w => w.matches("^[a-z]+$") && w.length >= 2).toSeq
+      assert(words.result() == expected,
+        s"doc $docId: decoded ${words.result().take(5)}… != ${expected.take(5)}…")
+    }
+  }
+
+  test("ids face: wordpiece ids per word agree with the piece COUNT kernel") {
+    val withIds = WordPiece.vocabWithIds(spark, sf, 256)
+    val plain = withIds.filter(!_._1).map(_._2)
+    val cont = withIds.filter(_._1).map(_._2)
+    val words = Bpe.wordCounts(spark, sf).select("w").limit(300)
+      .collect().map(_.getString(0)).toSeq
+    val got = words.toDF("w").select(
+      graft.functions.GraftFunctions.wordpiecePieces(col("w"), plain, cont),
+      graft.functions.GraftFunctions.wordpieceIds(col("w"), withIds))
+      .collect()
+    got.foreach { r =>
+      assert(r.getInt(0) == r.getSeq[Int](1).length,
+        s"piece count != |ids| for some word: $r")
+    }
+  }
+
   test("the fitted vocabulary compresses strictly better than chars alone") {
     val singles = ('a' to 'z').map(_.toString)
     val words = Bpe.wordCounts(spark, sf).limit(500).collect()
