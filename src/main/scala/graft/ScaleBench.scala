@@ -382,6 +382,12 @@ object ScaleBench {
         graft.ops.WordPiece.clearFitCache()
         graft.ops.WordPiece.encodeStats(spark, dir)
       }
+      // WordPiece ids face: MAP-ONLY tokenize-to-model-input (the
+      // terminal pipeline step) — exchanges must read 0 at every scale
+      // and time must track the scan alone; the fit is cached across
+      // both runs (train once, encode many — the production contract)
+      val (wiSec, wiRows, wiEx) = bestIf("wordpiece_ids")(
+        graft.ops.WordPiece.idsQuery(spark, dir))
       // Kneser-Ney top-k: the pair aggregate's input stream grows ∝ k
       // and its output vocabulary too (disjoint tagged bigrams), but
       // the k result rows are selected BEFORE decoration, so the
@@ -427,6 +433,7 @@ object ScaleBench {
         "pref_pairs" -> (ppSec, ppRows, ppEx),
         "session_transcript" -> (stSec, stRows, stEx),
         "wordpiece_encode" -> (wpSec, wpRows, wpEx),
+        "wordpiece_ids" -> (wiSec, wiRows, wiEx),
         "kn_bigram" -> (knSec, knRows, knEx),
         "langid_nb" -> (liSec, liRows, liEx))
         .filter { case (op, _) => wanted(op) }
