@@ -120,6 +120,7 @@ object SparkEntry {
     "q_wordpiece_encode" -> ((s, d) => graft.ops.WordPiece.encodeStats(s, d)),
     "q_wordpiece_ids" -> ((s, d) => graft.ops.WordPiece.idsQuery(s, d)),
     "q_phrase_search" -> ((s, d) => graft.ops.InvertedIndex.phraseSearch(s, d)),
+    "q_phrase_search_incr" -> ((s, d) => graft.ops.InvertedIndex.phraseSearchIncr(s, d)),
     "q_index_stats" -> ((s, d) => graft.ops.InvertedIndex.indexStats(s, d)),
     "q_span_corruption" -> (Curation.spanCorruption(_, _)),
     "q_budget_select" -> ((s, d) => Curation.budgetSelect(s, d)),
@@ -435,6 +436,7 @@ object SparkEntry {
     "q_wordpiece_encode" -> graft.ops.WordPiece.encodeSql(),
     "q_wordpiece_ids" -> graft.ops.WordPiece.idsSql(),
     "q_phrase_search" -> graft.ops.InvertedIndex.phraseSearchSql(),
+    "q_phrase_search_incr" -> graft.ops.InvertedIndex.phraseSearchSql(),
     "q_index_stats" -> graft.ops.InvertedIndex.indexStatsSql,
     "q_span_corruption" -> Curation.spanCorruptionSql,
     "q_budget_select" -> Curation.budgetSelectSql,

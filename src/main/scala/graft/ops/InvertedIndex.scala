@@ -68,9 +68,18 @@ object InvertedIndex {
     * plain equi-join on (doc_id, start).
     */
   def phraseSearch(spark: SparkSession, dir: String,
-      phrase: Seq[String] = Seq("table", "hash"), k: Int = 20): DataFrame = {
+      phrase: Seq[String] = Seq("table", "hash"), k: Int = 20): DataFrame =
+    phraseSearchAt(spark, staged(spark, dir), phrase, k)
+
+  /** The search core over an index path — monolithic or segmented:
+    * partition discovery exposes whatever directory keys the layout
+    * has (a flat bucket=… tree, or the two-level seg=…/bucket=… one),
+    * and the bucket filter prunes directories in EITHER layout, so the
+    * same plan serves both.
+    */
+  def phraseSearchAt(spark: SparkSession, idx: String,
+      phrase: Seq[String], k: Int): DataFrame = {
     require(phrase.nonEmpty)
-    val idx = staged(spark, dir)
     val legs = phrase.zipWithIndex.map { case (t, i) =>
       spark.read.parquet(idx)
         // bucket literal → directory partition pruning; term literal →
@@ -84,6 +93,62 @@ object InvertedIndex {
       .orderBy(col("cnt").desc, col("doc_id"))
       .limit(k)
   }
+
+  // ------------------------------------------------- incremental segments
+
+  /** One index SEGMENT under `path/seg=<seg>` — the Lucene pattern,
+    * and this engine's standing incremental contract (the ingest
+    * gate's append-only digest segments, the IVF append face): a crawl
+    * delta appends its own bucket-partitioned, term-sorted segment
+    * — cost ∝ delta, the base is never rewritten — and readers union
+    * segments via partition discovery. Per-segment overwrite makes a
+    * replayed append idempotent (same bytes, same dir).
+    */
+  def writeSegment(docs: DataFrame, path: String, seg: String): Unit =
+    postings(docs)
+      .repartition(col("bucket"))
+      .sortWithinPartitions(col("term"), col("doc_id"), col("pos"))
+      .write.mode("overwrite").partitionBy("bucket")
+      .parquet(s"$path/seg=$seg")
+
+  /** Collapse all segments into one — the maintenance-cadence
+    * compaction (as `IngestGateStream.compactArtifacts`): rewrites the
+    * unioned postings as a fresh single segment at `out`. Search
+    * results are invariant by construction (same posting multiset).
+    */
+  def compact(spark: SparkSession, path: String, out: String): Unit = {
+    spark.read.parquet(path)
+      .select(col("term"), col("doc_id"), col("pos"), col("bucket").cast("string").as("bucket"))
+      .repartition(col("bucket"))
+      .sortWithinPartitions(col("term"), col("doc_id"), col("pos"))
+      .write.mode("overwrite").partitionBy("bucket")
+      .parquet(s"$out/seg=base")
+  }
+
+  /** Segmented staging for `dir`: a base segment over ~95% of the
+    * corpus plus a crawl-delta segment (doc_id % 20 == 0) appended
+    * afterwards — the incremental-build shape the one-shot [[staged]]
+    * index cannot express.
+    */
+  def stagedIncremental(spark: SparkSession, dir: String): String = {
+    val path = StageOnce.tmp("inverted_index_incr", dir)
+    StageOnce(path) {
+      val docs = Tables.load(spark, dir, "documents")
+      writeSegment(docs.filter(col("doc_id") % 20 =!= 0), path, "base")
+      writeSegment(docs.filter(col("doc_id") % 20 === 0), path, "d1")
+    }
+    path
+  }
+
+  /** The q_phrase_search_incr face: phrase search over base + appended
+    * segment must equal the full-corpus derivation — the same
+    * "artifact ≡ recomputation" gate as the IVF append/rebuild and
+    * ingest-gate refresh faces (the oracle is [[phraseSearchSql]]
+    * unchanged, derived straight from documents).
+    */
+  def phraseSearchIncr(spark: SparkSession, dir: String,
+      phrase: Seq[String] = Seq("table", "hash"), k: Int = 20): DataFrame =
+    phraseSearchAt(spark, stagedIncremental(spark, dir), phrase, k)
 
   private def bucketOfLiteral(term: String): String = {
     val md = java.security.MessageDigest.getInstance("MD5")

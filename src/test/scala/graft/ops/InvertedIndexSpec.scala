@@ -61,6 +61,46 @@ class InvertedIndexSpec extends SparkSpec {
     assert(search(Seq("b")) === Map(1L -> 3L, 2L -> 0L, 3L -> 2L).filter(_._2 > 0))
   }
 
+  test("segmented index: base + appended delta segment ≡ the monolithic build") {
+    val phrase = Seq("table", "hash")
+    val mono = InvertedIndex.phraseSearch(spark, sf, phrase, k = 1000)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    val seg = InvertedIndex.phraseSearchIncr(spark, sf, phrase, k = 1000)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(seg === mono)
+    // the segmented layout still prunes: bucket partition filter
+    // survives the two-level seg=*/bucket=* discovery
+    val df = InvertedIndex.phraseSearchIncr(spark, sf, phrase, k = 20)
+    df.collect()
+    val scans = PlanMetrics.distinctFileScans(df)
+      .filter(_.metadata.get("Location").exists(_.contains("inverted_index_incr")))
+    assert(scans.nonEmpty)
+    scans.foreach { s =>
+      assert(s.metadata.get("PartitionFilters").exists(_.contains("bucket")),
+        s"no bucket partition filter: ${s.metadata.get("PartitionFilters")}")
+    }
+  }
+
+  test("segment append is idempotent and compaction preserves search results") {
+    import java.nio.file.Files
+    val docs = Seq(
+      (1L, "x y x y"), (2L, "x y"), (3L, "y x")).toDF("doc_id", "text")
+    val path = Files.createTempDirectory("inv_seg").toString
+    InvertedIndex.writeSegment(docs.filter(col("doc_id") <= 2), path, "base")
+    InvertedIndex.writeSegment(docs.filter(col("doc_id") === 3), path, "d1")
+    // replayed append: same segment id overwrites with identical bytes
+    InvertedIndex.writeSegment(docs.filter(col("doc_id") === 3), path, "d1")
+    def search(at: String) =
+      InvertedIndex.phraseSearchAt(spark, at, Seq("x", "y"), k = 10)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(search(path) === Map(1L -> 2L, 2L -> 1L))
+    val out = Files.createTempDirectory("inv_compact").toString
+    InvertedIndex.compact(spark, path, out)
+    assert(search(out) === search(path))
+    // compaction collapsed to ONE segment
+    assert(new java.io.File(out).listFiles().count(_.getName.startsWith("seg=")) === 1)
+  }
+
   test("phrase query scans are bucket-partition-pruned and term-pushed") {
     val df = InvertedIndex.phraseSearch(spark, sf, Seq("table", "hash"), k = 20)
     df.collect()

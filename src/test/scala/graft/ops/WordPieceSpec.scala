@@ -151,6 +151,35 @@ class WordPieceSpec extends SparkSpec {
     }
   }
 
+  test("property: kernel ≡ driver greedy on 20 seeded random (word, vocab) samples") {
+    val rnd = new scala.util.Random(20260815L)
+    val alphabet = "abcd" // small alphabet makes matches dense
+    (1 to 20).foreach { i =>
+      val word = Seq.fill(2 + rnd.nextInt(14))(
+        alphabet(rnd.nextInt(alphabet.length))).mkString
+      def randPieces(n: Int) = (1 to n).map { _ =>
+        Seq.fill(2 + rnd.nextInt(4))(alphabet(rnd.nextInt(alphabet.length))).mkString
+      }
+      val singles = alphabet.map(_.toString)
+      val plain = (randPieces(6) ++ singles).distinct
+      val cont = (randPieces(6) ++ singles).distinct
+      val got = kernel(word, plain, cont)
+      val want = greedyPieces(word, plain.toSet, cont.toSet)
+      assert(got == want, s"sample $i: word '$word' plain=$plain cont=$cont")
+      // and ids agree with the count under a deterministic id map
+      val withIds = (plain.map((false, _)) ++ cont.map((true, _)))
+        .sortBy(e => (e._1, e._2)).zipWithIndex
+        .map { case ((c, s), id) => (c, s, id) }
+      val ids = Seq(word).toDF("w")
+        .select(GraftFunctions.wordpieceIds(col("w"), withIds))
+        .collect().head.getSeq[Int](0)
+      assert(ids.length == want, s"sample $i: |ids| ${ids.length} != count $want")
+      // decode: splice the pieces back into the word
+      val byId = withIds.map { case (c, s, id) => id -> s }.toMap
+      assert(ids.map(byId).mkString == word, s"sample $i: decode mismatch")
+    }
+  }
+
   test("the fitted vocabulary compresses strictly better than chars alone") {
     val singles = ('a' to 'z').map(_.toString)
     val words = Bpe.wordCounts(spark, sf).limit(500).collect()
