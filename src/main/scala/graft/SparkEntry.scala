@@ -155,6 +155,7 @@ object SparkEntry {
     "q_embed_pq_rerank" -> (LlmOps.embedPqRerank(_, _)),
     "q_embed_ivfpq" -> (LlmOps.embedIvfPq(_, _)),
     "q_embed_neardup" -> (LlmOps.embedNearDup(_, _)),
+    "q_embed_margin_pairs" -> ((s, d) => LlmOps.embedMarginPairs(s, d)),
     "q_embed_incr_neardup" -> (LlmOps.embedIncrNearDup(_, _)),
     "q_embed_topk_perlabel" -> (LlmOps.embedTopKPerLabel(_, _)),
     "q_embed_ann_ivf" -> (LlmOps.embedAnnIvf(_, _)),
@@ -511,6 +512,7 @@ object SparkEntry {
     "q_embed_pq_rerank" -> LlmOps.embedPqRerankSql,
     "q_embed_ivfpq" -> LlmOps.embedIvfPqSql,
     "q_embed_neardup" -> LlmOps.embedNearDupSql,
+    "q_embed_margin_pairs" -> LlmOps.embedMarginPairsSql(),
     "q_embed_incr_neardup" -> LlmOps.embedIncrNearDupSql,
     "q_embed_topk_perlabel" -> LlmOps.embedTopKPerLabelSql,
     "q_multimodal_meta" -> LlmOps.multimodalMetaSql,

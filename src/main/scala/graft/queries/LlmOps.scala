@@ -1914,6 +1914,64 @@ object LlmOps {
       .withColumn("cos", round(col("cos"), 6))
   }
 
+  /** Margin-based cross-collection pair mining (Artetxe & Schwenk,
+    * "Margin-based Parallel Corpus Mining with Multilingual Sentence
+    * Embeddings", ACL 2019 — the CCMatrix/LASER bitext recipe): mine
+    * aligned pairs between two embedding collections by the RATIO
+    * margin cos(x,y) / ((meanK(x) + meanK(y)) / 2), which suppresses
+    * "hub" vectors that are near everything and would dominate a raw
+    * cosine ranking. Sides here are the vec_id parity split (the
+    * synthetic stand-in for source/target language collections — the
+    * same split convention as the %10 crawl-delta faces).
+    *
+    * Scale honesty: the candidate graph comes from the banded
+    * sign-LSH CROSS join ([[Similarity.cosineCrossNearDupPairs]] — one
+    * side never self-joins, cost ∝ bucket occupancy, never A×B), and
+    * the k-NN means are computed over each vector's CANDIDATE
+    * neighbors — the banded approximation of the paper's exact k-NN,
+    * which at production scale would come from the IVF index the same
+    * way. Everything downstream of the candidate build is
+    * candidate-graph-sized (the mining working set), as in the
+    * reference implementations.
+    *
+    * Determinism: candidate cosines round to 6dp once, and every
+    * derived number reuses those rounded values; each side's mean is a
+    * LEFT FOLD over the (cos DESC, neighbor) sorted top-k list —
+    * order-pinned on both engines, where a bare AVG would sum in
+    * shuffle order; all cosines are ≥ the 0.1 floor, so the oracle's
+    * coalesce-0.0 padding adds exact zeros to a positive accumulator
+    * (bit-identical to not adding). The margin is one fixed double
+    * tree, rounded to 6dp, and the result order is (margin DESC,
+    * vec_a, vec_b) — fully tie-broken.
+    */
+  def embedMarginPairs(spark: SparkSession, dir: String, knn: Int = 4,
+      m: Int = 20): DataFrame = {
+    val emb = Tables.load(spark, dir, "embeddings")
+    val cands = Similarity.cosineCrossNearDupPairs(
+      emb.filter(col("vec_id") % 2 === 0),
+      emb.filter(col("vec_id") % 2 =!= 0),
+      col("vec_id"), col("embedding"), threshold = 0.1,
+      bands = lshBands, planesPerBand = lshPlanesPerBand, dim = 64)
+      .withColumn("cos", round(col("cos"), 6))
+    val pinned = CacheBin.pin(cands)
+    def sideMean(key: String, other: String, out: String) = pinned
+      .groupBy(col(key))
+      .agg(collect_list(struct((-col("cos")).as("nc"),
+        col(other).as("o"), col("cos").as("c"))).as("l"))
+      .select(col(key), slice(sort_array(col("l")), 1, knn).as("t"))
+      .select(col(key),
+        (aggregate(col("t"), lit(0.0), (acc, x) => acc + x.getField("c")) /
+          size(col("t")).cast(DoubleType)).as(out))
+    pinned
+      .join(sideMean("vec_a", "vec_b", "mean_a"), Seq("vec_a"))
+      .join(sideMean("vec_b", "vec_a", "mean_b"), Seq("vec_b"))
+      .withColumn("margin", round(col("cos") /
+        ((col("mean_a") + col("mean_b")) / lit(2.0)), 6))
+      .select(col("vec_a"), col("vec_b"), col("cos"), col("margin"))
+      .orderBy(col("margin").desc, col("vec_a"), col("vec_b"))
+      .limit(m)
+  }
+
   /** TRAINED IVF centroids: `ivfFitIters` Lloyd iterations from the
     * deterministic seeds, cached per corpus dir — the fit is a
     * parameter-sized maintenance product (like the persisted index it
@@ -3143,6 +3201,38 @@ object LlmOps {
        |FROM b l JOIN b r ON l.band = r.band AND l.bucket = r.bucket
        |  AND l.vec_id < r.vec_id
        |WHERE list_cosine_similarity(l.embedding::DOUBLE[], r.embedding::DOUBLE[]) >= 0.4""".stripMargin
+
+  /** Mirrors embedMarginPairs: the banded cross-parity candidates with
+    * round-6 cosines, each side's top-k candidate mean as the SAME
+    * left fold over the (cos DESC, neighbor)-ordered list (unrolled —
+    * DuckDB's list/avg aggregates do not pin float addition order; the
+    * coalesce-0.0 tail terms add exact zeros to a positive
+    * accumulator), and the identical margin tree + (margin DESC, a, b)
+    * order.
+    */
+  def embedMarginPairsSql(knn: Int = 4, m: Int = 20): String = {
+    def fold(t: String) = (1 until knn).foldLeft(s"(0.0 + $t[1].c)")(
+      (e, i) => s"($e + coalesce($t[${i + 1}].c, 0.0))")
+    s"""WITH $lshBandedCte,
+       |cand AS MATERIALIZED (
+       |  SELECT DISTINCT l.vec_id AS vec_a, r.vec_id AS vec_b,
+       |    round(list_cosine_similarity(l.embedding::DOUBLE[], r.embedding::DOUBLE[]), 6) AS cos
+       |  FROM b l JOIN b r ON l.band = r.band AND l.bucket = r.bucket
+       |    AND l.vec_id % 2 = 0 AND r.vec_id % 2 <> 0
+       |  WHERE list_cosine_similarity(l.embedding::DOUBLE[], r.embedding::DOUBLE[]) >= 0.1),
+       |ma AS (SELECT vec_a, t, ${fold("t")} / len(t) AS mean_a FROM (
+       |  SELECT vec_a, list(struct_pack(nc := -cos, o := vec_b, c := cos)
+       |    ORDER BY -cos, vec_b)[1:$knn] AS t
+       |  FROM cand GROUP BY 1)),
+       |mb AS (SELECT vec_b, t, ${fold("t")} / len(t) AS mean_b FROM (
+       |  SELECT vec_b, list(struct_pack(nc := -cos, o := vec_a, c := cos)
+       |    ORDER BY -cos, vec_a)[1:$knn] AS t
+       |  FROM cand GROUP BY 1))
+       |SELECT c.vec_a, c.vec_b, c.cos,
+       |  round(c.cos / ((ma.mean_a + mb.mean_b) / 2.0), 6) AS margin
+       |FROM cand c JOIN ma USING (vec_a) JOIN mb USING (vec_b)
+       |ORDER BY margin DESC, c.vec_a, c.vec_b LIMIT $m""".stripMargin
+  }
 
   /** Cross-side (batch vs corpus) variant of embedNearDupSql. */
   lazy val embedIncrNearDupSql: String =

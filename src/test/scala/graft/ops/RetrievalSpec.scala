@@ -151,4 +151,40 @@ class RetrievalSpec extends SparkSpec {
         s"query $qid negatives not hardest-first")
     }
   }
+
+  test("embedMarginPairs equals a driver-side margin recompute over the candidate graph") {
+    // rebuild the same banded cross-parity candidate set, then replay
+    // the margin arithmetic (sorted top-k left-fold means, ratio
+    // margin) in plain Scala and compare the full mined slice
+    val emb = graft.Tables.load(spark, dir, "embeddings")
+    val cands = Similarity.cosineCrossNearDupPairs(
+      emb.filter(col("vec_id") % 2 === 0),
+      emb.filter(col("vec_id") % 2 =!= 0),
+      col("vec_id"), col("embedding"), threshold = 0.1,
+      bands = LlmOps.lshBands, planesPerBand = LlmOps.lshPlanesPerBand,
+      dim = 64)
+      .withColumn("cos", round(col("cos"), 6))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(cands.nonEmpty)
+    // every candidate is cross-parity, A-side even
+    assert(cands.forall { case (a, b, _) => a % 2 == 0 && b % 2 == 1 })
+    def meanTopK(xs: Seq[(Long, Double)]): Double = {
+      val top = xs.sortBy { case (o, c) => (-c, o) }.take(4).map(_._2)
+      top.foldLeft(0.0)(_ + _) / top.size
+    }
+    val ma = cands.groupBy(_._1).map { case (a, ps) =>
+      a -> meanTopK(ps.map(p => (p._2, p._3)).toSeq) }
+    val mb = cands.groupBy(_._2).map { case (b, ps) =>
+      b -> meanTopK(ps.map(p => (p._1, p._3)).toSeq) }
+    def r6(x: Double) =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val expect = cands.map { case (a, b, c) =>
+      (a, b, c, r6(c / ((ma(a) + mb(b)) / 2.0))) }
+      .sortBy { case (a, b, _, m) => (-m, a, b) }.take(20).toSeq
+    val byName = LlmOps.embedMarginPairs(spark, dir)
+      .select(col("vec_a"), col("vec_b"), col("cos"), col("margin"))
+      .collect().map(r =>
+        (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3))).toSeq
+    assert(byName == expect, s"mined slice diverges from the replay")
+  }
 }
