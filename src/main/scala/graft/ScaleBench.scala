@@ -396,6 +396,15 @@ object ScaleBench {
       // vocab×vocab join to degenerate
       val (knSec, knRows, knEx) = bestIf("kn_bigram")(
         queries.LlmOps.knBigramTopK(spark, dir))
+      // margin-based bitext mining: candidates from the banded
+      // cross-parity sign-LSH join (same occupancy lever as
+      // embed_neardup — planes grow with log2(corpus), holding
+      // candidates ∝ k); the kNN means, margin joins and top-m are all
+      // candidate-graph-sized, so rows stay flat at m=20 while time
+      // tracks the candidate build ∝ k
+      val (mpSec, mpRows, mpEx) = bestIf("embed_margin_pairs")(
+        queries.LlmOps.embedMarginPairs(spark, dir,
+          bands = 4, planesPerBand = planes))
       // NB language-ID: the model is CAPPED at |langs|·4096 rows no
       // matter how the tagged vocabulary grows (feature folding), so
       // the model exchange and the broadcast stay flat; scoring is the
@@ -435,6 +444,7 @@ object ScaleBench {
         "wordpiece_encode" -> (wpSec, wpRows, wpEx),
         "wordpiece_ids" -> (wiSec, wiRows, wiEx),
         "kn_bigram" -> (knSec, knRows, knEx),
+        "embed_margin_pairs" -> (mpSec, mpRows, mpEx),
         "langid_nb" -> (liSec, liRows, liEx))
         .filter { case (op, _) => wanted(op) }
       row.foreach { case (op, (s, r, e)) =>

@@ -1945,13 +1945,14 @@ object LlmOps {
     * vec_a, vec_b) — fully tie-broken.
     */
   def embedMarginPairs(spark: SparkSession, dir: String, knn: Int = 4,
-      m: Int = 20): DataFrame = {
+      m: Int = 20, bands: Int = lshBands,
+      planesPerBand: Int = lshPlanesPerBand): DataFrame = {
     val emb = Tables.load(spark, dir, "embeddings")
     val cands = Similarity.cosineCrossNearDupPairs(
       emb.filter(col("vec_id") % 2 === 0),
       emb.filter(col("vec_id") % 2 =!= 0),
       col("vec_id"), col("embedding"), threshold = 0.1,
-      bands = lshBands, planesPerBand = lshPlanesPerBand, dim = 64)
+      bands = bands, planesPerBand = planesPerBand, dim = 64)
       .withColumn("cos", round(col("cos"), 6))
     val pinned = CacheBin.pin(cands)
     def sideMean(key: String, other: String, out: String) = pinned
