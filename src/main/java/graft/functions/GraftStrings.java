@@ -476,6 +476,43 @@ public final class GraftStrings {
     return n;
   }
 
+  /** MINIMUM-TOKEN segmentation count — the shortest-path DP objective
+   *  of PathPiece (Schmidt et al., "Tokenization Is More Than
+   *  Compression", EMNLP 2024) over the same two-half vocabulary as
+   *  {@link #wordpiecePieces}: dp[i] = fewest pieces covering the
+   *  suffix starting at byte i, dp[i] = 1 + min over vocabulary pieces
+   *  matching at i of dp[i + |piece|] (word-start positions match
+   *  {@code plain}, later positions {@code cont}). Returns dp[0], or
+   *  -1 when the word is uncoverable (then so is greedy's walk — the
+   *  callers guarantee coverage with single-char pieces in both
+   *  halves). Always &le; the greedy count: greedy's walk is one path
+   *  through the same lattice. O(|vocab|·|word|) like the greedy
+   *  kernel, one small int[] allocation, one call per DISTINCT word. */
+  public static int minPieces(UTF8String word, byte[][] plain,
+      byte[][] cont) {
+    byte[] b = word.getBytes();
+    if (b.length == 0) return 0;
+    int[] dp = new int[b.length + 1];
+    java.util.Arrays.fill(dp, -1);
+    dp[b.length] = 0;
+    for (int i = b.length - 1; i >= 0; i--) {
+      byte[][] vocab = (i == 0) ? plain : cont;
+      int best = -1;
+      for (byte[] p : vocab) {
+        if (p.length > b.length - i || dp[i + p.length] < 0) continue;
+        int via = dp[i + p.length] + 1;
+        if (best >= 0 && via >= best) continue;
+        boolean eq = true;
+        for (int j = 0; j < p.length; j++) {
+          if (b[i + j] != p[j]) { eq = false; break; }
+        }
+        if (eq) best = via;
+      }
+      dp[i] = best;
+    }
+    return dp[0];
+  }
+
   /** WordPiece greedy segmentation emitting VOCABULARY IDS — the same
    *  longest-match-first walk as {@link #wordpiecePieces} but returning
    *  the id of each consumed piece ({@code plainIds[i]} pairs with

@@ -388,6 +388,16 @@ object ScaleBench {
       // both runs (train once, encode many — the production contract)
       val (wiSec, wiRows, wiEx) = bestIf("wordpiece_ids")(
         graft.ops.WordPiece.idsQuery(spark, dir))
+      // minpiece bake-off: greedy + DP kernels over the fused-pair
+      // domain — the compound table grows ∝ k only through the tagged
+      // seam pairs (in-domain×tag fusions are filtered out with the
+      // tags, so the distinct-compound table stays near-constant); both
+      // kernels are map-side over the one (source, compound) exchange —
+      // time ∝ the scan, rows flat (per-source rollup), exchanges flat
+      val (mnSec, mnRows, mnEx) = bestIf("minpiece_encode") {
+        graft.ops.WordPiece.clearFitCache()
+        graft.ops.WordPiece.minEncodeStats(spark, dir)
+      }
       // Kneser-Ney top-k: the pair aggregate's input stream grows ∝ k
       // and its output vocabulary too (disjoint tagged bigrams), but
       // the k result rows are selected BEFORE decoration, so the
@@ -443,6 +453,7 @@ object ScaleBench {
         "session_transcript" -> (stSec, stRows, stEx),
         "wordpiece_encode" -> (wpSec, wpRows, wpEx),
         "wordpiece_ids" -> (wiSec, wiRows, wiEx),
+        "minpiece_encode" -> (mnSec, mnRows, mnEx),
         "kn_bigram" -> (knSec, knRows, knEx),
         "embed_margin_pairs" -> (mpSec, mpRows, mpEx),
         "langid_nb" -> (liSec, liRows, liEx))

@@ -119,6 +119,7 @@ object SparkEntry {
     "q_wordpiece_vocab" -> ((s, d) => graft.ops.WordPiece.vocabQuery(s, d)),
     "q_wordpiece_encode" -> ((s, d) => graft.ops.WordPiece.encodeStats(s, d)),
     "q_wordpiece_ids" -> ((s, d) => graft.ops.WordPiece.idsQuery(s, d)),
+    "q_minpiece_encode" -> ((s, d) => graft.ops.WordPiece.minEncodeStats(s, d)),
     "q_phrase_search" -> ((s, d) => graft.ops.InvertedIndex.phraseSearch(s, d)),
     "q_phrase_search_incr" -> ((s, d) => graft.ops.InvertedIndex.phraseSearchIncr(s, d)),
     "q_index_stats" -> ((s, d) => graft.ops.InvertedIndex.indexStats(s, d)),
@@ -436,6 +437,7 @@ object SparkEntry {
     "q_wordpiece_vocab" -> graft.ops.WordPiece.vocabSql(),
     "q_wordpiece_encode" -> graft.ops.WordPiece.encodeSql(),
     "q_wordpiece_ids" -> graft.ops.WordPiece.idsSql(),
+    "q_minpiece_encode" -> graft.ops.WordPiece.minEncodeSql(),
     "q_phrase_search" -> graft.ops.InvertedIndex.phraseSearchSql(),
     "q_phrase_search_incr" -> graft.ops.InvertedIndex.phraseSearchSql(),
     "q_index_stats" -> graft.ops.InvertedIndex.indexStatsSql,

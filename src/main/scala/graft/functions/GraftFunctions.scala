@@ -48,6 +48,14 @@ object GraftFunctions {
     ColumnBridge.column(WordpiecePieces(
       ColumnBridge.expression(word), plain, cont))
 
+  /** Minimum-token (shortest-path DP) piece count under the same
+    * two-half plan-time vocabulary as [[wordpiecePieces]] — always ≤
+    * the greedy count; NULL on an uncoverable word.
+    */
+  def minPieces(word: Column, plain: Seq[String],
+      cont: Seq[String]): Column =
+    ColumnBridge.column(MinPieces(ColumnBridge.expression(word), plain, cont))
+
   /** WordPiece greedy segmentation emitting vocabulary ids; `pieces`
     * rows are (isContinuation, content-without-##, id). NULL on an
     * uncoverable word.

@@ -167,6 +167,51 @@ case class WordpiecePieces(child: Expression, plain: Seq[String],
     copy(child = newChild)
 }
 
+/** MINIMUM-TOKEN segmentation piece count under a plan-time vocabulary
+  * (see GraftStrings.minPieces for the DP contract) — the
+  * shortest-path objective of PathPiece (Schmidt et al., EMNLP 2024),
+  * the DP-optimal counterpart of [[WordpiecePieces]]'s greedy walk
+  * over the SAME vocabulary: always ≤ the greedy count, NULL on an
+  * uncoverable word. Map-only and codegen'd like the greedy kernel —
+  * the vocabulary rides the plan as a reference object, so the
+  * optimal-vs-greedy bake-off is one scan with zero joins.
+  */
+case class MinPieces(child: Expression, plain: Seq[String],
+    cont: Seq[String]) extends UnaryExpression {
+  require(plain.nonEmpty && cont.nonEmpty,
+    "min_pieces needs a non-empty vocabulary in both halves")
+
+  private lazy val plainBytes: Array[Array[Byte]] =
+    plain.map(_.getBytes(java.nio.charset.StandardCharsets.UTF_8)).toArray
+  private lazy val contBytes: Array[Array[Byte]] =
+    cont.map(_.getBytes(java.nio.charset.StandardCharsets.UTF_8)).toArray
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires a string argument, got ${child.dataType}")
+  override def dataType: DataType = IntegerType
+  override def nullable: Boolean = true
+  override def prettyName: String = "min_pieces"
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val n = GraftStrings.minPieces(
+      input.asInstanceOf[UTF8String], plainBytes, contBytes)
+    if (n < 0) null else n
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val pRef = ctx.addReferenceObj("minPiecesPlain", plainBytes, "byte[][]")
+    val cRef = ctx.addReferenceObj("minPiecesCont", contBytes, "byte[][]")
+    nullSafeCodeGen(ctx, ev, c =>
+      s"""${ev.value} = graft.functions.GraftStrings.minPieces($c, $pRef, $cRef);
+         |if (${ev.value} < 0) { ${ev.isNull} = true; }""".stripMargin)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): MinPieces =
+    copy(child = newChild)
+}
+
 /** WordPiece greedy segmentation emitting vocabulary IDS (see
   * GraftStrings.wordpieceIds): the encode-to-model-input sibling of
   * [[WordpiecePieces]] — same longest-match walk, but each consumed

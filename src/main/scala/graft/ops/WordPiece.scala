@@ -138,6 +138,78 @@ object WordPiece {
       .orderBy(col("source"))
   }
 
+  /** The optimal-vs-greedy segmentation BAKE-OFF face: greedy
+    * longest-match (WordPiece's rule) vs the minimum-token
+    * shortest-path DP (the PathPiece objective — Schmidt et al.,
+    * "Tokenization Is More Than Compression", EMNLP 2024, which showed
+    * greedy's token overhead is a real training-cost lever: training
+    * FLOPs scale with tokens). `saved` is the token count greedy
+    * wastes vs the optimum, per source.
+    *
+    * Two deliberate choices make the comparison NON-degenerate, both
+    * theory-forced:
+    *  - The frequency fit is FACTOR-CLOSED up to boundary ties (every
+    *    substring of a kept piece has ≥ its weight, and at equal
+    *    weight the shorter piece sorts first), and greedy
+    *    longest-match is provably optimal over a factor-closed
+    *    dictionary — so the bake-off inventory drops pieces shorter
+    *    than `minPieceLen` (keeping the a-z singles for coverage): the
+    *    sparse long-piece-plus-singles inventory real BPE vocabularies
+    *    approximate, where mid-length factors are absent and greedy
+    *    can strand after a long match.
+    *  - The encode domain is FUSED ADJACENT WORD PAIRS (the
+    *    compound-word stress): this corpus's plain words are all
+    *    whole-vocabulary entries (both rules emit 1 piece), but a
+    *    compound's seam forces segmentation decisions — exactly where
+    *    production tokenizers meet compounds, URLs and typos.
+    *
+    * pieces_min ≤ pieces_greedy per word by construction (greedy's
+    * walk is one path through the DP lattice; `WordPieceSpec`
+    * brute-force-verifies the DP against exhaustive segmentation
+    * enumeration and pins a diverging example).
+    *
+    * Scale shape: identical to [[encodeStats]] — ONE corpus-sized
+    * exchange (the (source, compound) aggregate; the pair fan-out is
+    * map-side, ≤ tokens-1 per doc), both kernels applied map-side to
+    * distinct rows with the vocabulary riding the plan,
+    * parameter-sized per-source rollup, no joins.
+    */
+  def minEncodeStats(spark: SparkSession, dir: String,
+      vocabSize: Int = 256, minPieceLen: Int = 3): DataFrame = {
+    val pieces = fit(spark, dir, vocabSize).filter(_.sub.length >= minPieceLen)
+    val singles = ('a' to 'z').map(_.toString)
+    val plain = (pieces.filter(!_.cont).map(_.sub) ++ singles).distinct
+    val cont = (pieces.filter(_.cont).map(_.sub) ++ singles).distinct
+    val inDomain = filter(TextAnalysis.tokens(col("text")),
+      w => w.rlike("^[a-z]+$") && length(w) >= 2)
+    val fusedPairs = when(size(col("t")) >= 2,
+        transform(sequence(lit(1), size(col("t")) - 1),
+          i => concat(element_at(col("t"), i), element_at(col("t"), i + 1))))
+      .otherwise(typedLit(Seq.empty[String]))
+    val swc = Tables.load(spark, dir, "documents")
+      .select(col("source"), inDomain.as("t"))
+      .select(col("source"), explode(fusedPairs).as("w"))
+      .groupBy(col("source"), col("w")).agg(count(lit(1)).as("n"))
+    swc
+      .select(col("source"), col("n"),
+        length(col("w")).cast("long").as("chars"),
+        graft.functions.GraftFunctions.wordpiecePieces(col("w"), plain, cont)
+          .cast("long").as("pg"),
+        graft.functions.GraftFunctions.minPieces(col("w"), plain, cont)
+          .cast("long").as("pm"))
+      .groupBy(col("source"))
+      .agg(sum(col("n")).as("words"),
+        sum(col("n") * col("chars")).as("chars"),
+        sum(col("n") * col("pg")).as("pieces_greedy"),
+        sum(col("n") * col("pm")).as("pieces_min"),
+        sum(col("n") * (col("pg") - col("pm"))).as("saved"))
+      .select(col("source"), col("words"), col("chars"),
+        col("pieces_greedy"), col("pieces_min"), col("saved"),
+        round(col("chars").cast("double") / col("pieces_min").cast("double"), 6)
+          .as("cpp_min"))
+      .orderBy(col("source"))
+  }
+
   /** The full encode vocabulary with DETERMINISTIC IDS: fitted
     * multi-char pieces ∪ the a-z singles in both halves, id = rank in
     * the (cont, sub) sort — a pure function of the fit, mirrored by
@@ -257,6 +329,69 @@ object WordPiece {
        |  round(CAST(sum(s.n * len(s.w)) AS DOUBLE) /
        |        CAST(sum(s.n * d.pieces) AS DOUBLE), 6) AS cpp
        |FROM swc s JOIN done d USING (w) GROUP BY 1 ORDER BY 1""".stripMargin
+
+  /** DuckDB replay of the bake-off: the fit chain (pieces under
+    * `minPieceLen` dropped, singles unioned in), the fused-pair
+    * domain, the greedy recursion of [[encodeSql]], and the
+    * minimum-token DP as a REACHABLE-STATE recursion — a state is
+    * (word, position, pieces so far), seeded at (w, 1, 0), expanded by
+    * EVERY matching vocabulary piece (not just the longest),
+    * deduplicated by the recursive UNION; the minimum piece count is
+    * the min over terminal states. State space is ≤ |w|²/2 per
+    * distinct compound (positions × counts), so the recursion is
+    * word-table-sized — the engine runs the same lattice as one
+    * O(|vocab|·|word|) DP kernel call per distinct compound instead.
+    */
+  def minEncodeSql(vocabSize: Int = 256, minPieceLen: Int = 3): String =
+    s"""WITH RECURSIVE ${fitCtes(vocabSize)},
+       |vocab AS MATERIALIZED (
+       |  SELECT cont, sub FROM vocab_mc WHERE len(sub) >= $minPieceLen
+       |  UNION
+       |  SELECT b AS cont, chr(96 + CAST(i AS INT)) AS sub
+       |  FROM range(1, 27) t(i), (VALUES (TRUE), (FALSE)) v(b)),
+       |swc AS MATERIALIZED (
+       |  SELECT source, w, CAST(count(*) AS BIGINT) AS n FROM (
+       |    SELECT source, t[CAST(i AS INT)] || t[CAST(i AS INT) + 1] AS w
+       |    FROM (SELECT source,
+       |            list_filter(string_split_regex(trim(text), '\\s+'),
+       |              x -> regexp_matches(x, '^[a-z]+$$') AND len(x) >= 2) AS t
+       |          FROM documents),
+       |         unnest(range(1, len(t))) z(i))
+       |  GROUP BY 1, 2),
+       |words AS MATERIALIZED (SELECT DISTINCT w FROM swc),
+       |best AS MATERIALIZED (
+       |  SELECT z.w, z.i AS pos, max(len(v.sub)) AS bl
+       |  FROM (SELECT w, CAST(i AS INT) AS i
+       |        FROM words, unnest(range(1, len(w) + 1)) t(i)) z
+       |  JOIN vocab v ON v.cont = (z.i > 1)
+       |              AND substr(z.w, z.i, len(v.sub)) = v.sub
+       |  GROUP BY 1, 2),
+       |gstep AS (
+       |  SELECT w, 1 AS pos, 0 AS pieces FROM words
+       |  UNION ALL
+       |  SELECT s.w, s.pos + CAST(b.bl AS INT), s.pieces + 1
+       |  FROM gstep s JOIN best b ON b.w = s.w AND b.pos = s.pos
+       |  WHERE s.pos <= len(s.w)),
+       |gdone AS MATERIALIZED (SELECT w, pieces FROM gstep WHERE pos > len(w)),
+       |states AS (
+       |  SELECT w, 1 AS pos, 0 AS cnt FROM words
+       |  UNION
+       |  SELECT s.w, s.pos + CAST(len(v.sub) AS INT), s.cnt + 1
+       |  FROM states s JOIN vocab v ON v.cont = (s.pos > 1)
+       |                AND substr(s.w, s.pos, len(v.sub)) = v.sub
+       |  WHERE s.pos <= len(s.w)),
+       |mdone AS MATERIALIZED (
+       |  SELECT w, min(cnt) AS pieces FROM states
+       |  WHERE pos = len(w) + 1 GROUP BY 1)
+       |SELECT s.source, CAST(sum(s.n) AS BIGINT) AS words,
+       |  CAST(sum(s.n * len(s.w)) AS BIGINT) AS chars,
+       |  CAST(sum(s.n * g.pieces) AS BIGINT) AS pieces_greedy,
+       |  CAST(sum(s.n * m.pieces) AS BIGINT) AS pieces_min,
+       |  CAST(sum(s.n * (g.pieces - m.pieces)) AS BIGINT) AS saved,
+       |  round(CAST(sum(s.n * len(s.w)) AS DOUBLE) /
+       |        CAST(sum(s.n * m.pieces) AS DOUBLE), 6) AS cpp_min
+       |FROM swc s JOIN gdone g USING (w) JOIN mdone m USING (w)
+       |GROUP BY 1 ORDER BY 1""".stripMargin
 
   /** DuckDB replay of the ids face: the fit chain + id assignment by
     * row_number over (cont, sub); the greedy walk is the same

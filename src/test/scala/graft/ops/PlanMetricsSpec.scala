@@ -238,6 +238,22 @@ class PlanMetricsSpec extends SparkSpec {
     assert(PlanMetrics.shuffleBytesWritten(df) === 0L)
   }
 
+  test("minpiece bake-off: one corpus exchange, both kernels ride the same scan") {
+    // the greedy and DP kernels both run map-side over the distinct
+    // (source, compound) rows — the only corpus-sized exchange is that
+    // aggregate's; a second scan or a vocab join here would double the
+    // cost of the bake-off for nothing
+    val df = graft.ops.WordPiece.minEncodeStats(spark, sf)
+    df.collect()
+    val scans = PlanMetrics.executedNodes(df).collect {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec => s
+    }
+    assert(scans.size === 1, "the two segmentation rules must share one scan")
+    // exchanges: the (source, compound) aggregate + the parameter-sized
+    // per-source rollup + the ≤|sources| final sort
+    assert(PlanMetrics.exchangeCount(df) <= 3)
+  }
+
   test("span removal: owner aggregation carries bounded state, no posting lists") {
     // the (h → owner) step must be a plain HashAggregate over two longs
     // per key — spillable, partial-aggregated, hot-key-safe. A

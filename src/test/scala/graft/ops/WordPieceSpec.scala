@@ -180,6 +180,85 @@ class WordPieceSpec extends SparkSpec {
     }
   }
 
+  /** Driver-side EXHAUSTIVE minimum-segmentation reference: enumerate
+    * every segmentation recursively (words in specs are short). -1
+    * when uncoverable.
+    */
+  private def bruteMinPieces(w: String, plain: Set[String],
+      cont: Set[String]): Int = {
+    def go(pos: Int): Int = {
+      if (pos == w.length) return 0
+      val vocab = if (pos == 0) plain else cont
+      val opts = (1 to (w.length - pos))
+        .filter(l => vocab.contains(w.substring(pos, pos + l)))
+        .map(l => go(pos + l)).filter(_ >= 0)
+      if (opts.isEmpty) -1 else 1 + opts.min
+    }
+    go(0)
+  }
+
+  private def minKernel(w: String, plain: Seq[String], cont: Seq[String]): Any = {
+    val rows = Seq(w).toDF("w")
+      .select(GraftFunctions.minPieces(col("w"), plain, cont))
+      .collect()
+    if (rows.head.isNullAt(0)) null else rows.head.getInt(0)
+  }
+
+  test("minPieces: pinned diverging example — greedy strands, DP routes") {
+    // on "abcd": greedy takes the longest plain prefix "ab" and is left
+    // with singles (ab|##c|##d = 3); the DP sacrifices the first match
+    // to reach the long continuation (a|##bcd = 2)
+    val plain = Seq("ab", "a")
+    val cont = Seq("bcd", "b", "c", "d")
+    assert(kernel("abcd", plain, cont) == 3, "greedy takes ab then singles")
+    assert(minKernel("abcd", plain, cont) == 2, "DP routes a|bcd")
+  }
+
+  test("minPieces: uncoverable word returns NULL like the greedy kernel") {
+    assert(minKernel("axe", Seq("a"), Seq("x")) == null)
+  }
+
+  test("property: minPieces ≡ exhaustive enumeration and ≤ greedy on 40 seeded samples") {
+    val rnd = new scala.util.Random(20260816L)
+    val alphabet = "abcd"
+    (1 to 40).foreach { i =>
+      val word = Seq.fill(2 + rnd.nextInt(10))(
+        alphabet(rnd.nextInt(alphabet.length))).mkString
+      def randPieces(n: Int) = (1 to n).map { _ =>
+        Seq.fill(2 + rnd.nextInt(4))(alphabet(rnd.nextInt(alphabet.length))).mkString
+      }
+      // deliberately NO singles in half the samples: uncoverable words
+      // must agree (both NULL / -1) too
+      val withSingles = i % 2 == 0
+      val singles = if (withSingles) alphabet.map(_.toString) else Seq.empty
+      val plain = (randPieces(5) ++ singles).distinct
+      val cont = (randPieces(5) ++ singles).distinct
+      val want = bruteMinPieces(word, plain.toSet, cont.toSet)
+      val got = minKernel(word, plain, cont)
+      assert(got == (if (want < 0) null else want),
+        s"sample $i: word '$word' plain=$plain cont=$cont: $got vs $want")
+      val g = greedyPieces(word, plain.toSet, cont.toSet)
+      if (want >= 0 && g >= 0)
+        assert(want <= g, s"sample $i: DP $want must be <= greedy $g")
+    }
+  }
+
+  test("bake-off face: per-source invariants and real divergence on this corpus") {
+    val stats = WordPiece.minEncodeStats(spark, sf).collect()
+    assert(stats.nonEmpty)
+    stats.foreach { r =>
+      val (words, chars) = (r.getLong(1), r.getLong(2))
+      val (pg, pm, saved) = (r.getLong(3), r.getLong(4), r.getLong(5))
+      assert(pm <= pg, s"optimal can never need more pieces: $r")
+      assert(saved == pg - pm, s"saved is the exact difference: $r")
+      assert(pm >= words && pm <= chars, s"per-compound bounds: $r")
+    }
+    // the sparse long-piece inventory makes greedy genuinely suboptimal
+    // on this corpus — the face is not a constant-zero column
+    assert(stats.map(_.getLong(5)).sum > 0,
+      "expected greedy to waste tokens under the non-factor-closed inventory")
+  }
+
   test("the fitted vocabulary compresses strictly better than chars alone") {
     val singles = ('a' to 'z').map(_.toString)
     val words = Bpe.wordCounts(spark, sf).limit(500).collect()
