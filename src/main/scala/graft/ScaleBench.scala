@@ -415,6 +415,13 @@ object ScaleBench {
       val (mpSec, mpRows, mpEx) = bestIf("embed_margin_pairs")(
         queries.LlmOps.embedMarginPairs(spark, dir,
           bands = 4, planesPerBand = planes))
+      // ANN recall eval: the query panel is 32 PINNED vec_ids (replicas
+      // get fresh ids, so the panel never grows) — the corpus term is
+      // one scan + one exchange of 2·k-row top-k partials per query;
+      // the IVF fit (per-dir cached, 3 Lloyd rounds) is charged to the
+      // cell like wordpiece's fit, the maintenance-artifact convention
+      val (reSec, reRows, reEx) = bestIf("embed_recall")(
+        queries.LlmOps.embedRecallEval(spark, dir))
       // NB language-ID: the model is CAPPED at |langs|·4096 rows no
       // matter how the tagged vocabulary grows (feature folding), so
       // the model exchange and the broadcast stay flat; scoring is the
@@ -456,6 +463,7 @@ object ScaleBench {
         "minpiece_encode" -> (mnSec, mnRows, mnEx),
         "kn_bigram" -> (knSec, knRows, knEx),
         "embed_margin_pairs" -> (mpSec, mpRows, mpEx),
+        "embed_recall" -> (reSec, reRows, reEx),
         "langid_nb" -> (liSec, liRows, liEx))
         .filter { case (op, _) => wanted(op) }
       row.foreach { case (op, (s, r, e)) =>

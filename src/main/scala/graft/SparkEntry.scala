@@ -160,6 +160,7 @@ object SparkEntry {
     "q_embed_incr_neardup" -> (LlmOps.embedIncrNearDup(_, _)),
     "q_embed_topk_perlabel" -> (LlmOps.embedTopKPerLabel(_, _)),
     "q_embed_ann_ivf" -> (LlmOps.embedAnnIvf(_, _)),
+    "q_embed_recall" -> (LlmOps.embedRecallEval(_, _)),
     "q_embed_ann_ivf_indexed" -> (LlmOps.embedAnnIvfIndexed(_, _)),
     "q_embed_ivf_append" -> (LlmOps.embedIvfAppend(_, _)),
     "q_kmeans_step" -> (LlmOps.kmeansStep(_, _)),
@@ -454,6 +455,7 @@ object SparkEntry {
     "q_hard_negatives" -> LlmOps.hardNegativesSql,
     "q_hybrid_rrf" -> LlmOps.hybridRrfSql,
     "q_embed_ann_ivf" -> LlmOps.embedAnnIvfSql,
+    "q_embed_recall" -> LlmOps.embedRecallEvalSql(),
     // the persisted-index path must return byte-identical results to the
     // in-memory assignment path — same oracle
     "q_embed_ann_ivf_indexed" -> LlmOps.embedAnnIvfSql,

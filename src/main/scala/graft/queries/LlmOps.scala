@@ -2052,6 +2052,75 @@ object LlmOps {
       .withColumn("cos", round(col("cos"), 6))
   }
 
+  /** ANN index-quality EVALUATION: recall@k of the trained-IVF
+    * `nProbe`-probe search against exact brute-force ground truth,
+    * per query, over a FIXED query panel (vec_id % 10 == 3 below 320 —
+    * pinned ids, so the panel is parameter-sized at ANY corpus size;
+    * an eval panel that grew with the corpus would make the eval
+    * itself a corpus² job). This is the recall monitor a production
+    * ANN deployment runs after every index refit/append: the number
+    * that decides nProbe and triggers re-training.
+    *
+    * Plan shape — ONE corpus scan, ONE exchange: the panel's query
+    * vectors and per-query probe lists are driver-computed parameters
+    * (the probe rule is [[Similarity.probeCids]], the same
+    * unrounded-cosine (cos DESC, cid ASC) rule the IVF search faces
+    * use); each corpus row explodes into 32 (query, rounded-cos,
+    * in-probe) entries map-side, and a single groupBy(query) computes
+    * BOTH top-k lists with O(k)-state [[graft.functions.TopKAggregator]]
+    * partials — ground truth over all rows, the ANN list over probed
+    * rows via a -2 sentinel score (cosine ≥ -1, filtered after the
+    * agg), so the exchange carries 2·k rows per query per partition.
+    * Ranking uses the 6-dp ROUNDED cosine on both engines: recall
+    * counts top-k MEMBERSHIP, where a 1-ulp cross-engine rank flip at
+    * the k boundary would flip n_hit.
+    *
+    * The query is its own nearest neighbor; self-hits are excluded on
+    * both sides (the standard recall protocol).
+    */
+  def embedRecallEval(spark: SparkSession, dir: String, k: Int = 10,
+      nProbe: Int = 2): DataFrame = {
+    import org.apache.spark.sql.Encoders
+    val emb = Tables.load(spark, dir, "embeddings")
+    val centroids = fittedCentroids(spark, dir)
+    val panel = emb.filter(col("vec_id") % 10 === 3 && col("vec_id") < 320)
+      .select(col("vec_id"), col("embedding").cast(ArrayType(DoubleType)))
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1)))
+      .sortBy(_._1).toSeq
+    val assigned = Similarity.ivfAssign(
+      emb, col("vec_id"), col("embedding"), centroids)
+    val perQuery = panel.map { case (qid, qv) =>
+      val probed = Similarity.probeCids(centroids, qv, nProbe)
+      val q = array(qv.map(lit): _*)
+      struct(lit(qid).as("qid"),
+        round(Similarity.cosine(col("e"), q), 6).as("cos"),
+        col("centroid").isin(probed: _*).as("probed"))
+    }
+    val topk = udaf(new graft.functions.TopKAggregator(k),
+      Encoders.product[graft.functions.ScoredId])
+    assigned
+      .select(col("vec_id"), explode(array(perQuery: _*)).as("s"))
+      .filter(col("vec_id") =!= col("s.qid"))
+      .select(col("s.qid").as("query_id"), col("vec_id"),
+        col("s.cos").as("cos"), col("s.probed").as("probed"))
+      .groupBy(col("query_id"))
+      .agg(
+        topk(col("vec_id"), col("cos")).as("gt"),
+        topk(col("vec_id"),
+          when(col("probed"), col("cos")).otherwise(lit(-2.0))).as("ann"))
+      .select(col("query_id"),
+        transform(col("gt.items"), s => s.getField("id")).as("gt_ids"),
+        transform(filter(col("ann.items"), s => s.getField("score") > -1.5),
+          s => s.getField("id")).as("ann_ids"))
+      .select(col("query_id"),
+        size(array_intersect(col("gt_ids"), col("ann_ids")))
+          .cast("long").as("n_hit"))
+      .select(col("query_id"), col("n_hit"),
+        round(col("n_hit").cast("double") / k, 6).as("recall"))
+      .orderBy(col("query_id"))
+  }
+
   /** SemDeDup-style SEMANTIC dedup (Abbas et al. 2023): embeddings are
     * clustered by the trained k-means fit, near-duplicate pairs are
     * generated ONLY within a cluster (cosine ≥ τ — pair search never
@@ -3293,6 +3362,46 @@ object LlmOps {
        |WHERE a.cid IN (SELECT cid FROM probe)
        |ORDER BY list_cosine_similarity(a.embedding::DOUBLE[], q.qe) DESC, a.vec_id
        |LIMIT 10""".stripMargin
+  }
+
+  /** Recall-eval oracle: the shared fit+assignment chain, the same
+    * fixed query panel, per-query probe lists by the same unrounded
+    * (cos DESC, cid ASC) rule, then both top-k lists as windows over
+    * the 6-dp ROUNDED cosine (mirroring the TopKAggregator's
+    * (score DESC, id ASC) order), n_hit = |gt ∩ ann| via a LEFT JOIN
+    * count. Self-hits excluded like the engine.
+    */
+  def embedRecallEvalSql(k: Int = 10, nProbe: Int = 2): String = {
+    val fin = s"cents$ivfFitIters"
+    s"""WITH $kmeansFitCtes,
+       |qs AS (SELECT vec_id AS qid, embedding::DOUBLE[] AS qe FROM embeddings
+       |  WHERE vec_id % 10 = 3 AND vec_id < 320),
+       |probe AS (
+       |  SELECT qid, cid FROM (
+       |    SELECT q.qid, c.cid,
+       |      row_number() OVER (PARTITION BY q.qid
+       |        ORDER BY list_cosine_similarity(c.c, q.qe) DESC, c.cid) AS rk
+       |    FROM $fin c CROSS JOIN qs q)
+       |  WHERE rk <= $nProbe),
+       |scored AS MATERIALIZED (
+       |  SELECT q.qid, a.vec_id, a.cid,
+       |    round(list_cosine_similarity(a.embedding::DOUBLE[], q.qe), 6) AS cos
+       |  FROM assigned a CROSS JOIN qs q
+       |  WHERE a.vec_id <> q.qid),
+       |gt AS (SELECT qid, vec_id FROM (
+       |  SELECT qid, vec_id,
+       |    row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id) AS rk
+       |  FROM scored) WHERE rk <= $k),
+       |ann AS (SELECT qid, vec_id FROM (
+       |  SELECT s.qid, s.vec_id,
+       |    row_number() OVER (PARTITION BY s.qid ORDER BY s.cos DESC, s.vec_id) AS rk
+       |  FROM scored s JOIN probe p ON p.qid = s.qid AND p.cid = s.cid)
+       |  WHERE rk <= $k)
+       |SELECT g.qid AS query_id,
+       |  CAST(count(a.vec_id) AS BIGINT) AS n_hit,
+       |  round(count(a.vec_id) / CAST($k AS DOUBLE), 6) AS recall
+       |FROM gt g LEFT JOIN ann a USING (qid, vec_id)
+       |GROUP BY 1 ORDER BY 1""".stripMargin
   }
 
   /** Semantic-dedup oracle: the shared fit+assignment CTE chain, then

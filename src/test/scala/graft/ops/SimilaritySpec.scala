@@ -242,6 +242,35 @@ class SimilaritySpec extends SparkSpec {
     assert(rRr >= 8, s"re-rank recall@10 = $rRr — candidate set lost true neighbors")
   }
 
+  test("recall eval: probing every list recovers ground truth exactly") {
+    // with nProbe = |centroids| the ANN candidate set IS the corpus, so
+    // recall@10 must read 1.0 for every panel query — the
+    // self-consistency gate on the whole eval plumbing (panel, probe
+    // rule, sentinel filter, intersection)
+    val all = LlmOps.embedRecallEval(spark, sf, k = 10, nProbe = 8).collect()
+    assert(all.length > 0)
+    all.foreach { r =>
+      assert(r.getDouble(2) == 1.0, s"full-probe recall must be 1.0: $r")
+      assert(r.getLong(1) == 10L, s"full-probe n_hit must be k: $r")
+    }
+  }
+
+  test("recall eval: per-query n_hit is monotone in nProbe") {
+    // probing more lists only ADDS candidates: each query's ANN top-k
+    // can only improve toward ground truth
+    def hits(p: Int) = LlmOps.embedRecallEval(spark, sf, k = 10, nProbe = p)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val (h1, h2, h4) = (hits(1), hits(2), hits(4))
+    h1.keys.foreach { q =>
+      assert(h1(q) <= h2(q) && h2(q) <= h4(q),
+        s"query $q: n_hit must be monotone in nProbe: ${h1(q)}, ${h2(q)}, ${h4(q)}")
+    }
+    // and the 2-probe default is a real approximation on this corpus,
+    // not accidentally exhaustive
+    assert(h2.values.sum < h2.size * 10L,
+      "2-probe recall should be < 1.0 somewhere, or the eval measures nothing")
+  }
+
   test("trained PQ codebook: recall@10 strictly above the seed codebook's") {
     import org.apache.spark.sql.types.{ArrayType, DoubleType}
     // train on the sf0.01 corpus (500 vecs; sf0.001 shares the same
