@@ -564,12 +564,17 @@ object LlmOps {
     * is batched: adding queries adds zero scans. Positives drop via
     * the row-local pos_source filter before aggregation.
     */
+  /** The fixed retrieval panel shared by [[hardNegatives]] and
+    * [[retrievalMrr]]: (query_id, term, relevant source).
+    */
+  private val retrievalPanel = Seq(
+    (1L, "join", "src0"), (1L, "hash", "src0"),
+    (2L, "scan", "src1"), (2L, "filter", "src1"),
+    (3L, "vector", "src2"), (3L, "merge", "src2"))
+
   def hardNegatives(spark: SparkSession, dir: String, n: Int = 5,
       k1: Double = 1.2, b: Double = 0.75): DataFrame = {
-    val qdefs = Seq(
-      (1L, "join", "src0"), (1L, "hash", "src0"),
-      (2L, "scan", "src1"), (2L, "filter", "src1"),
-      (3L, "vector", "src2"), (3L, "merge", "src2"))
+    val qdefs = retrievalPanel
     val terms = qdefs.map(_._2).distinct
     val idx = terms.zipWithIndex.toMap
     val m = terms.length
@@ -596,6 +601,108 @@ object LlmOps {
       .select(col("query_id"), col("s.id").as("neg_doc_id"),
         col("s.score").as("bm25"))
   }
+
+  /** Retrieval-quality EVALUATION: MRR@k and success@k of BM25 against
+    * source-relevance labels over the fixed [[retrievalPanel]] — the
+    * lexical-side counterpart of [[embedRecallEval]]'s ANN monitor,
+    * and the regression gate a retrieval deployment runs when its
+    * scoring or index changes. A panel doc is RELEVANT when its source
+    * is the query's labeled source; reciprocal rank is 0 when no
+    * relevant doc makes the top-k (the standard cutoff protocol).
+    *
+    * Plan shape — the [[bm25TopK]] family's: per-doc scoring statistic
+    * in one codegen'd `term_freqs` kernel pass, N/avgdl/df as a 1-row
+    * broadcast, scores row-local, and the ONLY exchange carries
+    * O(k)-state TopKAggregator partials per query. The relevance bit
+    * rides THROUGH the aggregator encoded in the id (doc_id·2 + rel —
+    * monotone in doc_id, so the (score DESC, id ASC) tie-break is
+    * unchanged and the oracle replays plain (bm25 DESC, doc_id)); the
+    * decode and the rank arithmetic run on the ≤ 3·k exploded rows. No
+    * second corpus pass to fetch ranked docs' sources.
+    */
+  def retrievalMrr(spark: SparkSession, dir: String, k: Int = 50,
+      k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    val qdefs = retrievalPanel
+    val terms = qdefs.map(_._2).distinct
+    val idx = terms.zipWithIndex.toMap
+    val m = terms.length
+    val queries = qdefs.groupBy(_._1).toSeq.sortBy(_._1)
+      .map { case (qid, rows) => (qid, rows.map(r => idx(r._2)), rows.head._3) }
+    val (base, stats) = bm25Base(spark, dir, terms, carrySource = true)
+    val perQuery = queries.map { case (qid, idxs, pos) =>
+      struct(
+        lit(qid).as("query_id"), lit(pos).as("pos_source"),
+        idxs.map(i => bm25Contrib(i, m, k1, b)).reduce(_ + _).as("score"),
+        idxs.map(i => col("tfv").getItem(i) > lit(0)).reduce(_ || _).as("hit"))
+    }
+    val scored = base.crossJoin(broadcast(stats))
+      .select(col("doc_id"), col("source"), explode(array(perQuery: _*)).as("q"))
+      .filter(col("q.hit"))
+      .select(col("q.query_id").as("query_id"),
+        (col("doc_id") * 2 +
+          when(col("source") === col("q.pos_source"), 1L).otherwise(0L))
+          .as("enc_id"),
+        round(col("q.score"), 6).as("bm25"))
+    val topk = udaf(new graft.functions.TopKAggregator(k),
+      Encoders.product[graft.functions.ScoredId])
+    scored.groupBy(col("query_id"))
+      .agg(topk(col("enc_id"), col("bm25")).as("top"))
+      .select(col("query_id"), posexplode(col("top.items")).as(Seq("p", "s")))
+      .select(col("query_id"), (col("p") + 1).cast("long").as("rank"),
+        (col("s.id") % 2 === 1).as("rel"))
+      .groupBy(col("query_id"))
+      .agg(
+        coalesce(min(when(col("rel"), col("rank"))), lit(0L))
+          .as("first_rel_rank"),
+        sum(when(col("rel"), 1L).otherwise(0L)).as("rel_in_topk"))
+      .select(col("query_id"), col("first_rel_rank"), col("rel_in_topk"),
+        when(col("first_rel_rank") > 0,
+          round(lit(1.0) / col("first_rel_rank"), 6)).otherwise(lit(0.0))
+          .as("rr"))
+      .orderBy(col("query_id"))
+  }
+
+  /** MRR oracle: the [[hardNegativesSql]] BM25 chain WITHOUT the
+    * pos-source anti-filter, ranked per query by (rounded bm25 DESC,
+    * doc_id) — the TopKAggregator order with the encoded-id trick
+    * undone — capped at k, then the rank arithmetic.
+    */
+  def retrievalMrrSql(k: Int = 50): String =
+    s"""WITH q(query_id, tok, pos_source) AS (VALUES
+       |    (1, 'join', 'src0'), (1, 'hash', 'src0'),
+       |    (2, 'scan', 'src1'), (2, 'filter', 'src1'),
+       |    (3, 'vector', 'src2'), (3, 'merge', 'src2')),
+       |docs AS (SELECT doc_id, source, string_split_regex(trim(text), '\\s+') AS t
+       |  FROM documents),
+       |n AS (SELECT count(*)::DOUBLE AS n FROM docs),
+       |lens AS (SELECT doc_id, source, len(t)::DOUBLE AS dl FROM docs),
+       |avgdl AS (SELECT avg(dl) AS avgdl FROM lens),
+       |tf AS (SELECT doc_id, tok, count(*)::DOUBLE AS tf
+       |  FROM (SELECT doc_id, unnest(t) AS tok FROM docs)
+       |  WHERE tok IN ('join', 'hash', 'scan', 'filter', 'vector', 'merge')
+       |  GROUP BY 1, 2),
+       |dfreq AS (SELECT tok, count(*)::DOUBLE AS df FROM tf GROUP BY tok),
+       |scores AS (
+       |  SELECT q.query_id, tf.doc_id, lens.source, q.pos_source,
+       |    round(sum(
+       |      ((n.n - df + 0.5) / (df + 0.5)) * (tf * (1.2 + 1)) /
+       |        (tf + 1.2 * ((1 - 0.75) + 0.75 * dl / avgdl.avgdl))), 6) AS bm25
+       |  FROM tf JOIN dfreq USING (tok) JOIN q USING (tok)
+       |    JOIN lens USING (doc_id), n, avgdl
+       |  GROUP BY 1, 2, 3, 4),
+       |ranked AS (
+       |  SELECT query_id, doc_id, (source = pos_source) AS rel,
+       |    row_number() OVER (PARTITION BY query_id
+       |      ORDER BY bm25 DESC, doc_id) AS rank
+       |  FROM scores QUALIFY rank <= $k)
+       |SELECT CAST(query_id AS BIGINT) AS query_id,
+       |  CAST(coalesce(min(CASE WHEN rel THEN rank END), 0) AS BIGINT)
+       |    AS first_rel_rank,
+       |  CAST(sum(CASE WHEN rel THEN 1 ELSE 0 END) AS BIGINT) AS rel_in_topk,
+       |  CASE WHEN coalesce(min(CASE WHEN rel THEN rank END), 0) > 0
+       |    THEN round(1.0 / min(CASE WHEN rel THEN rank END), 6)
+       |    ELSE 0.0 END AS rr
+       |FROM ranked GROUP BY 1 ORDER BY 1""".stripMargin
 
   /** Same fixed query table, BM25 tree, pos-source anti-filter, and
     * rounded-score/doc_id ordering; the window replays the

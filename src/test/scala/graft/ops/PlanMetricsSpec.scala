@@ -64,6 +64,21 @@ class PlanMetricsSpec extends SparkSpec {
     graft.ops.CacheBin.releaseAll()
   }
 
+  test("retrieval MRR: postings never shuffle — the bm25 family shape holds") {
+    val df = LlmOps.retrievalMrr(spark, sf)
+    df.collect()
+    // exchange 1: the 1-row stats aggregate; exchange 2: partial top-k
+    // states; exchange 3: the 3-row final sort. The rank arithmetic
+    // reuses the top-k exchange's partitioning (no 4th exchange), and
+    // no corpus-sized row set ever crosses a shuffle
+    assert(PlanMetrics.exchangeCount(df) <= 3,
+      s"expected stats + top-k + sort only, got ${PlanMetrics.exchangeCount(df)}")
+    val nDocs = Tables.load(spark, sf, "documents").count()
+    assert(PlanMetrics.shuffleRecordsWritten(df) < nDocs,
+      "exchanges carried more rows than the corpus — postings shuffled")
+    graft.ops.CacheBin.releaseAll()
+  }
+
   test("bm25 top-k: only the 1-row stats aggregate shuffles; top-k never exchanges") {
     val df = LlmOps.bm25TopK(spark, sf)
     df.collect()

@@ -152,6 +152,67 @@ class RetrievalSpec extends SparkSpec {
     }
   }
 
+  test("retrieval MRR: rank arithmetic is internally consistent per query") {
+    val rows = graft.queries.LlmOps.retrievalMrr(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(rows.map(_._1).toSeq == Seq(1L, 2L, 3L), "one row per panel query")
+    rows.foreach { case (qid, firstRank, relInTopk, rr) =>
+      assert(firstRank >= 0 && firstRank <= 50, s"query $qid: rank $firstRank")
+      assert((firstRank == 0) == (relInTopk == 0),
+        s"query $qid: no-first-rank iff no relevant in top-k")
+      if (firstRank > 0)
+        assert(math.abs(rr - BigDecimal(1.0 / firstRank)
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble) == 0.0,
+          s"query $qid: rr $rr != round(1/$firstRank, 6)")
+      else assert(rr == 0.0, s"query $qid: rr must be 0 when nothing relevant")
+    }
+    // the eval measures something on this corpus: not all queries find
+    // a relevant doc at rank 1, and not all miss entirely
+    assert(rows.exists(_._4 > 0.0) && rows.exists(_._4 < 1.0))
+  }
+
+  test("retrieval MRR agrees with a driver-side BM25 rank recompute") {
+    // replay the scoring on the collected corpus (panel terms only):
+    // exact same log-free idf tree, rounded to 6dp, (score desc, id)
+    // order — the engine's encoded-id trick must not perturb ranks
+    val docs = graft.Tables.load(spark, sf, "documents")
+      .select(col("doc_id"), col("source"), col("text")).collect()
+      .map(r => (r.getLong(0), r.getString(1),
+        r.getString(2).trim.split("\\s+", -1)))
+    val panel = Map(
+      1L -> (Seq("join", "hash"), "src0"),
+      2L -> (Seq("scan", "filter"), "src1"),
+      3L -> (Seq("vector", "merge"), "src2"))
+    val n = docs.length.toDouble
+    val avgdl = docs.map(_._3.length).sum.toDouble / n
+    val terms = panel.values.flatMap(_._1).toSeq.distinct
+    val df = terms.map(t => t -> docs.count(_._3.contains(t)).toDouble).toMap
+    val got = graft.queries.LlmOps.retrievalMrr(spark, sf).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    panel.foreach { case (qid, (toks, pos)) =>
+      val scored = docs.flatMap { case (id, src, t) =>
+        val dl = t.length.toDouble
+        val s = toks.map { tok =>
+          val tf = t.count(_ == tok).toDouble
+          if (tf == 0) 0.0
+          else ((n - df(tok) + 0.5) / (df(tok) + 0.5)) * (tf * 2.2) /
+            (tf + 1.2 * (0.25 + 0.75 * dl / avgdl))
+        }.sum
+        if (s == 0.0) None
+        else Some((id, src, BigDecimal(s)
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble))
+      }
+      val top = scored.sortBy { case (id, _, s) => (-s, id) }.take(50)
+      val want = top.zipWithIndex.collect {
+        case ((_, src, _), i) if src == pos => i + 1L
+      }
+      assert(got(qid)._1 == want.headOption.getOrElse(0L),
+        s"query $qid first_rel_rank: got ${got(qid)._1}, want $want")
+      assert(got(qid)._2 == want.length.toLong,
+        s"query $qid rel_in_topk: got ${got(qid)._2}, want ${want.length}")
+    }
+  }
+
   test("embedMarginPairs equals a driver-side margin recompute over the candidate graph") {
     // rebuild the same banded cross-parity candidate set, then replay
     // the margin arithmetic (sorted top-k left-fold means, ratio
