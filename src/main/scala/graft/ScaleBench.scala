@@ -422,6 +422,12 @@ object ScaleBench {
       // cell like wordpiece's fit, the maintenance-artifact convention
       val (reSec, reRows, reEx) = bestIf("embed_recall")(
         queries.LlmOps.embedRecallEval(spark, dir))
+      // drift monitor: the (centroid, cohort, dim) mean aggregate is
+      // the one corpus exchange (map-side partial averages over the
+      // 64× posexplode fan-out); output rows pinned at 2·|C| no matter
+      // the corpus — the re-train trigger stays a constant-size report
+      val (drSec, drRows, drEx) = bestIf("embed_drift")(
+        queries.LlmOps.embedDrift(spark, dir))
       // NB language-ID: the model is CAPPED at |langs|·4096 rows no
       // matter how the tagged vocabulary grows (feature folding), so
       // the model exchange and the broadcast stay flat; scoring is the
@@ -464,6 +470,7 @@ object ScaleBench {
         "kn_bigram" -> (knSec, knRows, knEx),
         "embed_margin_pairs" -> (mpSec, mpRows, mpEx),
         "embed_recall" -> (reSec, reRows, reEx),
+        "embed_drift" -> (drSec, drRows, drEx),
         "langid_nb" -> (liSec, liRows, liEx))
         .filter { case (op, _) => wanted(op) }
       row.foreach { case (op, (s, r, e)) =>

@@ -2090,7 +2090,7 @@ object LlmOps {
   val ivfFitIters = 3
   private val fitCache =
     scala.collection.concurrent.TrieMap.empty[String, Seq[(Int, Seq[Double])]]
-  private def fittedCentroids(spark: SparkSession, dir: String): Seq[(Int, Seq[Double])] =
+  private[graft] def fittedCentroids(spark: SparkSession, dir: String): Seq[(Int, Seq[Double])] =
     fitCache.getOrElseUpdate(dir, {
       val emb = Tables.load(spark, dir, "embeddings")
       Similarity.kmeansFit(emb, col("vec_id"), col("embedding"),
@@ -2226,6 +2226,59 @@ object LlmOps {
       .select(col("query_id"), col("n_hit"),
         round(col("n_hit").cast("double") / k, 6).as("recall"))
       .orderBy(col("query_id"))
+  }
+
+  /** Embedding-space DRIFT monitor — the other half of the index
+    * health pair with [[embedRecallEval]]: the recall monitor says how
+    * good the index is NOW, this says how fast the corpus is moving
+    * away from the frozen fit (the periodic re-train trigger the IVF
+    * append contract defers to, `Similarity.ivfAppendIndex`). The
+    * corpus splits into an OLD cohort (vec_id % 10 < 8) and a NEW
+    * cohort (% 10 ≥ 8 — the recent-ingest simulation), both quantized
+    * against the SAME trained centroids; per centroid the monitor
+    * reports each cohort's occupancy and the cosine between the two
+    * cohorts' mean vectors — occupancy shifts say traffic is moving
+    * between lists, mean displacement says the list's content is
+    * moving under its centroid. A centroid one cohort never reaches
+    * reports NULL drift (maximally interesting — a dead or newborn
+    * list).
+    *
+    * Plan shape: ONE corpus-sized exchange — the (centroid, cohort,
+    * dimension) mean aggregate (posexplode fan-out map-side, partial
+    * averages combined); everything after is ≤ 2·|centroids|·dim rows.
+    * Per-dimension means round to 6 decimals (the kmeansFit
+    * convention) so the drift cosine is engine-portable.
+    */
+  def embedDrift(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.load(spark, dir, "embeddings")
+    val centroids = fittedCentroids(spark, dir)
+    val assigned = Similarity.ivfAssign(
+      emb, col("vec_id"), col("embedding"), centroids)
+      .withColumn("cohort",
+        when(col("vec_id") % 10 >= 8, lit("new")).otherwise(lit("old")))
+    val dims = assigned
+      .select(col("centroid"), col("cohort"),
+        posexplode(col("e").cast(ArrayType(DoubleType))).as(Seq("pos", "v")))
+      .groupBy(col("centroid"), col("cohort"), col("pos"))
+      .agg(round(avg(col("v")), 6).as("v"), count(lit(1)).as("cnt"))
+    // pinned: both cohort sides of the join read this ≤2·|C| row table
+    // — without the pin each side re-runs the corpus aggregate
+    val means = CacheBin.pin(dims
+      .groupBy(col("centroid"), col("cohort"))
+      .agg(transform(sort_array(collect_list(struct(col("pos"), col("v")))),
+          s => s.getField("v")).as("mean"),
+        max(col("cnt")).as("n")))
+    val old = means.filter(col("cohort") === "old")
+      .select(col("centroid"), col("mean").as("m_old"), col("n").as("n_old"))
+    val nw = means.filter(col("cohort") === "new")
+      .select(col("centroid"), col("mean").as("m_new"), col("n").as("n_new"))
+    old.join(nw, Seq("centroid"), "full_outer")
+      .select(col("centroid"),
+        coalesce(col("n_old"), lit(0L)).as("n_old"),
+        coalesce(col("n_new"), lit(0L)).as("n_new"),
+        round(Similarity.cosine(col("m_old"), col("m_new")), 6)
+          .as("drift_cos"))
+      .orderBy(col("centroid"))
   }
 
   /** SemDeDup-style SEMANTIC dedup (Abbas et al. 2023): embeddings are
@@ -2901,7 +2954,7 @@ object LlmOps {
   // formulation. The test corpora have no stop-shingles (max doc-freq
   // 25 vs the 1000 cap), so `f` = `sh` here and the filter line is the
   // cap's oracle mirror, not a divergence.
-  val ngramJaccardSql: String =
+  def ngramJaccardSqlAt(threshold: Double): String =
     s"""WITH $shingleCte,
        |freq AS (SELECT shingle FROM sh GROUP BY shingle HAVING count(*) <= 1000),
        |f AS (SELECT sh.doc_id, sh.shingle FROM sh JOIN freq USING (shingle)),
@@ -2912,7 +2965,9 @@ object LlmOps {
        |SELECT doc_a, doc_b, inter,
        |  inter::DOUBLE / (ca.n_sh + cb.n_sh - inter) AS jaccard
        |FROM i JOIN c ca ON i.doc_a = ca.doc_id JOIN c cb ON i.doc_b = cb.doc_id
-       |WHERE inter::DOUBLE / (ca.n_sh + cb.n_sh - inter) >= 0.1""".stripMargin
+       |WHERE inter::DOUBLE / (ca.n_sh + cb.n_sh - inter) >= $threshold""".stripMargin
+
+  val ngramJaccardSql: String = ngramJaccardSqlAt(0.1)
 
   /** Containment mirror of [[ngramJaccardSql]]: identical CTEs, the
     * final scalar divides by least(n_sh_a, n_sh_b) instead of the union.
@@ -3510,6 +3565,34 @@ object LlmOps {
        |FROM gt g LEFT JOIN ann a USING (qid, vec_id)
        |GROUP BY 1 ORDER BY 1""".stripMargin
   }
+
+  /** Drift-monitor oracle: the shared fit+assignment chain, the same
+    * cohort split, per-(cid, cohort, dim) rounded means, list assembly
+    * ordered by dim, cosine between cohort means per centroid (NULL
+    * when a cohort never reaches a centroid, via the full outer join).
+    */
+  lazy val embedDriftSql: String =
+    s"""WITH $kmeansFitCtes,
+       |coh AS (SELECT vec_id, embedding, cid,
+       |    CASE WHEN vec_id % 10 >= 8 THEN 'new' ELSE 'old' END AS cohort
+       |  FROM assigned),
+       |dims AS (
+       |  SELECT cid, cohort, pos, round(avg(v), 6) AS v, count(*) AS cnt
+       |  FROM (SELECT cid, cohort,
+       |          generate_subscripts(embedding::DOUBLE[], 1) - 1 AS pos,
+       |          unnest(embedding::DOUBLE[]) AS v FROM coh)
+       |  GROUP BY 1, 2, 3),
+       |means AS (
+       |  SELECT cid, cohort, list(v ORDER BY pos) AS mean, max(cnt) AS n
+       |  FROM dims GROUP BY 1, 2),
+       |o AS (SELECT cid, mean, n FROM means WHERE cohort = 'old'),
+       |w AS (SELECT cid, mean, n FROM means WHERE cohort = 'new')
+       |SELECT coalesce(o.cid, w.cid) AS centroid,
+       |  CAST(coalesce(o.n, 0) AS BIGINT) AS n_old,
+       |  CAST(coalesce(w.n, 0) AS BIGINT) AS n_new,
+       |  round(list_cosine_similarity(o.mean, w.mean), 6) AS drift_cos
+       |FROM o FULL OUTER JOIN w ON o.cid = w.cid
+       |ORDER BY 1""".stripMargin
 
   /** Semantic-dedup oracle: the shared fit+assignment CTE chain, then
     * within-cluster cosine pairs, recursive components, and survivors —

@@ -271,6 +271,30 @@ class SimilaritySpec extends SparkSpec {
       "2-probe recall should be < 1.0 somewhere, or the eval measures nothing")
   }
 
+  test("drift monitor: occupancy conserves the assignment and drift is a valid cosine") {
+    val drift = LlmOps.embedDrift(spark, sf).collect()
+    assert(drift.nonEmpty)
+    // occupancies must reproduce the raw assignment counts exactly
+    val emb = graft.Tables.load(spark, sf, "embeddings")
+    val fitAssign = Similarity.ivfAssign(emb, col("vec_id"), col("embedding"),
+        LlmOps.fittedCentroids(spark, sf))
+      .groupBy(col("centroid")).count().collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    drift.foreach { r =>
+      val (cid, nOld, nNew) = (r.getInt(0), r.getLong(1), r.getLong(2))
+      assert(nOld + nNew == fitAssign(cid),
+        s"centroid $cid: cohorts ${nOld}+${nNew} != assigned ${fitAssign(cid)}")
+      if (!r.isNullAt(3)) {
+        val c = r.getDouble(3)
+        assert(c >= -1.0 && c <= 1.0, s"centroid $cid: drift $c not a cosine")
+      } else assert(nOld == 0 || nNew == 0,
+        s"centroid $cid: NULL drift only when a cohort is empty")
+    }
+    // the monitor measures something: cohorts are NOT identical, so
+    // drift must be strictly below 1 somewhere
+    assert(drift.exists(r => !r.isNullAt(3) && r.getDouble(3) < 0.999))
+  }
+
   test("trained PQ codebook: recall@10 strictly above the seed codebook's") {
     import org.apache.spark.sql.types.{ArrayType, DoubleType}
     // train on the sf0.01 corpus (500 vecs; sf0.001 shares the same
