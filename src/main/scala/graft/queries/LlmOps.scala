@@ -2228,6 +2228,68 @@ object LlmOps {
       .orderBy(col("query_id"))
   }
 
+  /** IVF-SQ8: the PRODUCTION ANN layout (FAISS's IVF + scalar
+    * quantization) — the persisted index stores int8 CODES instead of
+    * float vectors, partitioned by centroid, so a probe-limited search
+    * is a partition-pruned scan over 4×-narrower rows: the two 100 TB
+    * levers (touch nProbe/|C| of the files, stream 4× the vectors per
+    * byte) composed in one layout. The coarse probe runs on the float
+    * centroids (driver math, [[Similarity.probeCids]]); candidate
+    * scoring is the exact INTEGER dot product over the stored codes —
+    * deterministic and engine-portable, no re-floating. The float
+    * vectors live only in the base table; the index is codes-only
+    * (spec-pinned: no float column exists in the index files at all).
+    */
+  def embedIvfSq8(spark: SparkSession, dir: String, k: Int = 10,
+      nProbe: Int = 2): DataFrame = {
+    val emb = Tables.load(spark, dir, "embeddings")
+    val centroids = fittedCentroids(spark, dir)
+    val idx = graft.ops.StageOnce.tmp("ivf_sq8_index", dir)
+    graft.ops.StageOnce(idx) {
+      Similarity.ivfWriteIndex(
+        Similarity.quantizeI8(
+          Similarity.ivfAssign(emb, col("vec_id"), col("embedding"), centroids),
+          col("e"))
+          .select(col("vec_id"), col("q_i8"), col("centroid")), idx)
+    }
+    val qCodes = Similarity
+      .quantizeI8(emb.filter(col("vec_id") === 0), col("embedding"))
+      .select(col("q_i8")).collect()(0).getSeq[Byte](0)
+    val probed = Similarity.probeCids(centroids, queryVector(spark, dir), nProbe)
+    spark.read.parquet(idx)
+      .filter(col("centroid").isin(probed: _*))
+      .select(col("vec_id"),
+        graft.functions.GraftFunctions.dotI8(col("q_i8"),
+          array(qCodes.map(b => lit(b)): _*)).as("dot_i8"))
+      .orderBy(col("dot_i8").desc, col("vec_id"))
+      .limit(k)
+  }
+
+  /** IVF-SQ8 oracle: the fit+assignment chain, the same int8
+    * quantization replay as [[embedTopKI8Sql]], the float coarse
+    * probe, then the integer-dot top-k over probed lists only.
+    */
+  lazy val embedIvfSq8Sql: String = {
+    val fin = s"cents$ivfFitIters"
+    s"""WITH $kmeansFitCtes,
+       |qf AS (SELECT embedding::DOUBLE[] AS qe FROM embeddings WHERE vec_id = 0),
+       |probe AS (SELECT cid FROM $fin, qf
+       |  ORDER BY list_cosine_similarity(c, qe) DESC, cid LIMIT 2),
+       |m AS (SELECT vec_id, embedding,
+       |    coalesce(127.0 / nullif(list_max(list_transform(embedding,
+       |      x -> abs(x::DOUBLE))), 0), 0) AS scale
+       |  FROM embeddings),
+       |q8 AS (SELECT vec_id,
+       |    list_transform(embedding, x -> CAST(floor(x::DOUBLE * scale + 0.5) AS BIGINT)) AS q
+       |  FROM m),
+       |qv AS (SELECT q FROM q8 WHERE vec_id = 0)
+       |SELECT e.vec_id, CAST(list_dot_product(e.q, qv.q) AS BIGINT) AS dot_i8
+       |FROM q8 e JOIN assigned a ON a.vec_id = e.vec_id, qv
+       |WHERE a.cid IN (SELECT cid FROM probe)
+       |ORDER BY dot_i8 DESC, e.vec_id
+       |LIMIT 10""".stripMargin
+  }
+
   /** Embedding-space DRIFT monitor — the other half of the index
     * health pair with [[embedRecallEval]]: the recall monitor says how
     * good the index is NOW, this says how fast the corpus is moving

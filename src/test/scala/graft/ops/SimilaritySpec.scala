@@ -271,6 +271,40 @@ class SimilaritySpec extends SparkSpec {
       "2-probe recall should be < 1.0 somewhere, or the eval measures nothing")
   }
 
+  test("ivf-sq8: codes-only index, pruned scan, search ≡ in-memory quantized probe") {
+    val sf01 = "/root/testdata/sf0.01"
+    val got = LlmOps.embedIvfSq8(spark, sf01).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    // 1. the persisted index carries NO float vector column at all —
+    // the 4×-narrower claim is a property of the files, not the plan
+    val idx = graft.ops.StageOnce.tmp("ivf_sq8_index", sf01)
+    val idxSchema = spark.read.parquet(idx).schema
+    assert(idxSchema.fieldNames.toSet == Set("vec_id", "q_i8", "centroid"),
+      s"index schema leaked extra columns: $idxSchema")
+    assert(!idxSchema.exists(_.dataType.simpleString.contains("float")),
+      s"index stores floats: $idxSchema")
+    // 2. the probe reaches the scan as a PARTITION filter (pruned
+    // before any file opens), not a post-scan predicate
+    val emb = graft.Tables.load(spark, sf01, "embeddings")
+    val centroids = LlmOps.fittedCentroids(spark, sf01)
+    val probed = Similarity.probeCids(centroids,
+      LlmOps.queryVector(spark, sf01), nProbe = 2).toSet
+    val plan = LlmOps.embedIvfSq8(spark, sf01).queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    assert(plan.matches("(?s).*PartitionFilters.*centroid.*"), plan)
+    // 3. composition equality: the indexed search must equal the
+    // in-memory quantized search restricted to the probed lists
+    val want = Similarity.quantizedTopK(
+      Similarity.ivfAssign(emb, col("vec_id"), col("embedding"), centroids)
+        .filter(col("centroid").isin(probed.toSeq: _*))
+        .withColumnRenamed("e", "embedding"),
+      col("vec_id"), col("embedding"),
+      Similarity.quantizeI8(emb.filter(col("vec_id") === 0), col("embedding"))
+        .select(col("q_i8")).collect()(0).getSeq[Byte](0), k = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(got.toSeq == want.toSeq, s"indexed ${got.toSeq} != in-memory ${want.toSeq}")
+  }
+
   test("drift monitor: occupancy conserves the assignment and drift is a valid cosine") {
     val drift = LlmOps.embedDrift(spark, sf).collect()
     assert(drift.nonEmpty)
