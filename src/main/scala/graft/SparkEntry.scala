@@ -164,6 +164,7 @@ object SparkEntry {
     "q_embed_recall" -> (LlmOps.embedRecallEval(_, _)),
     "q_embed_drift" -> (LlmOps.embedDrift(_, _)),
     "q_embed_ivf_sq8" -> (LlmOps.embedIvfSq8(_, _)),
+    "q_embed_mmr" -> (LlmOps.embedMmr(_, _)),
     "q_embed_ann_ivf_indexed" -> (LlmOps.embedAnnIvfIndexed(_, _)),
     "q_embed_ivf_append" -> (LlmOps.embedIvfAppend(_, _)),
     "q_kmeans_step" -> (LlmOps.kmeansStep(_, _)),
@@ -462,6 +463,7 @@ object SparkEntry {
     "q_embed_recall" -> LlmOps.embedRecallEvalSql(),
     "q_embed_drift" -> LlmOps.embedDriftSql,
     "q_embed_ivf_sq8" -> LlmOps.embedIvfSq8Sql,
+    "q_embed_mmr" -> LlmOps.embedMmrSql(),
     // the persisted-index path must return byte-identical results to the
     // in-memory assignment path — same oracle
     "q_embed_ann_ivf_indexed" -> LlmOps.embedAnnIvfSql,

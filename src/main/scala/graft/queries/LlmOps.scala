@@ -2228,6 +2228,116 @@ object LlmOps {
       .orderBy(col("query_id"))
   }
 
+  /** MMR diversified re-ranking (Carbonell & Goldstein, SIGIR 1998 —
+    * maximal marginal relevance, the standard RAG result diversifier):
+    * greedily pick m results from the brute-force top-`pool`
+    * candidates, each round maximizing λ·rel(c) − (1−λ)·max sim(c, S)
+    * over the already-selected set S — relevance traded against
+    * redundancy, so near-duplicate hits stop crowding the result list.
+    *
+    * Scale shape: the corpus-proportional work is EXACTLY the brute
+    * top-`pool` scan (TakeOrderedAndProject, no exchange); the greedy
+    * loop runs on the collected pool — parameter-sized driver math
+    * (≤ pool·pool cosines over ≤ pool vectors), the same class as the
+    * k-means/PQ/probe parameter computations. At 100 TB the pool would
+    * come from the IVF/SQ8 index instead; the MMR stage is
+    * pool-sized either way.
+    *
+    * Cross-engine determinism: candidate pool ranked by the 6-dp
+    * ROUNDED cosine (ties by id); pairwise sims replicate the cosine
+    * kernel's exact fold (dot and norms as left folds, dot/(√na·√nb)),
+    * rounded to 6 dp before the max; scores are λ·rel − μ·maxsim over
+    * those rounded inputs with λ, μ as parsed literals (identical
+    * doubles in both engines), rounded to 6 dp for selection and
+    * output; ties by vec_id.
+    */
+  def embedMmr(spark: SparkSession, dir: String, pool: Int = 50,
+      m: Int = 10, lambda: Double = 0.7, mu: Double = 0.3): DataFrame = {
+    import spark.implicits._
+    val emb = Tables.load(spark, dir, "embeddings")
+    val q = array(queryVector(spark, dir).map(lit): _*)
+    val cands = emb.filter(col("vec_id") =!= 0)
+      .select(col("vec_id"),
+        round(Similarity.cosine(col("embedding"), q), 6).as("rel"),
+        col("embedding").cast(ArrayType(DoubleType)).as("e"))
+      .orderBy(col("rel").desc, col("vec_id"))
+      .limit(pool)
+      .collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getSeq[Double](2).toArray))
+    def round6(x: Double): Double =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0
+      var i = 0; while (i < a.length) { dot += a(i) * b(i); i += 1 }
+      i = 0; while (i < a.length) { na += a(i) * a(i); i += 1 }
+      i = 0; while (i < b.length) { nb += b(i) * b(i); i += 1 }
+      dot / (math.sqrt(na) * math.sqrt(nb))
+    }
+    // -inf sentinel: before anything is selected there is no redundancy
+    // term (round 1 scores are λ·rel); afterwards the max MUST track
+    // negative cosines too — a 0-floored max silently inflates the
+    // penalty's base for candidates whose neighbors are all anti-aligned
+    val maxSim = Array.fill(cands.length)(Double.NegativeInfinity)
+    def score(i: Int): Double =
+      if (maxSim(i).isNegInfinity) round6(lambda * cands(i)._2)
+      else round6(lambda * cands(i)._2 - mu * maxSim(i))
+    val remaining = scala.collection.mutable.LinkedHashSet(cands.indices: _*)
+    val out = Seq.newBuilder[(Long, Long, Double, Double)]
+    for (rank <- 1 to math.min(m, cands.length)) {
+      val best = remaining.minBy(i => (-score(i), cands(i)._1))
+      out += ((rank.toLong, cands(best)._1, cands(best)._2, score(best)))
+      remaining -= best
+      remaining.foreach { i =>
+        val s = round6(cos(cands(i)._3, cands(best)._3))
+        if (s > maxSim(i)) maxSim(i) = s
+      }
+    }
+    out.result().toDF("rank", "vec_id", "rel", "mmr")
+  }
+
+  /** MMR oracle: the same rounded-cosine candidate pool, the pairwise
+    * sim table, and the greedy selection UNROLLED one CTE per round —
+    * each round's argmax is an ORDER BY … LIMIT 1 over the remaining
+    * candidates with their max-sim-to-selected, exactly the engine's
+    * driver loop replayed in SQL.
+    */
+  def embedMmrSql(pool: Int = 50, m: Int = 10): String = {
+    val rounds = (2 to m).map { r =>
+      s"""ms$r AS MATERIALIZED (
+         |  SELECT c.vec_id, c.rel, max(s.s) AS ms
+         |  FROM cand c JOIN sim s ON s.ia = c.vec_id
+         |  WHERE s.ib IN (SELECT vec_id FROM sel${r - 1})
+         |    AND c.vec_id NOT IN (SELECT vec_id FROM sel${r - 1})
+         |  GROUP BY 1, 2),
+         |pick$r AS MATERIALIZED (
+         |  SELECT vec_id, rel, round(0.7 * rel - 0.3 * ms, 6) AS score
+         |  FROM ms$r ORDER BY round(0.7 * rel - 0.3 * ms, 6) DESC, vec_id
+         |  LIMIT 1),
+         |sel$r AS MATERIALIZED (
+         |  SELECT vec_id FROM sel${r - 1} UNION ALL SELECT vec_id FROM pick$r)""".stripMargin
+    }.mkString(",\n")
+    val picks = (1 to m).map(r =>
+      s"SELECT $r AS rank, vec_id, rel, score FROM pick$r").mkString("\nUNION ALL ")
+    s"""WITH cand AS MATERIALIZED (
+       |  SELECT e.vec_id,
+       |    round(list_cosine_similarity(e.embedding::DOUBLE[], q.embedding::DOUBLE[]), 6) AS rel,
+       |    e.embedding
+       |  FROM embeddings e, (SELECT embedding FROM embeddings WHERE vec_id = 0) q
+       |  WHERE e.vec_id <> 0
+       |  ORDER BY rel DESC, e.vec_id LIMIT $pool),
+       |sim AS MATERIALIZED (
+       |  SELECT a.vec_id AS ia, b.vec_id AS ib,
+       |    round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) AS s
+       |  FROM cand a JOIN cand b ON a.vec_id <> b.vec_id),
+       |pick1 AS MATERIALIZED (
+       |  SELECT vec_id, rel, round(0.7 * rel, 6) AS score
+       |  FROM cand ORDER BY round(0.7 * rel, 6) DESC, vec_id LIMIT 1),
+       |sel1 AS MATERIALIZED (SELECT vec_id FROM pick1),
+       |$rounds
+       |SELECT CAST(rank AS BIGINT) AS rank, vec_id, rel, score AS mmr
+       |FROM ($picks) ORDER BY rank""".stripMargin
+  }
+
   /** IVF-SQ8: the PRODUCTION ANN layout (FAISS's IVF + scalar
     * quantization) — the persisted index stores int8 CODES instead of
     * float vectors, partitioned by centroid, so a probe-limited search

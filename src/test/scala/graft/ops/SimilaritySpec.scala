@@ -305,6 +305,33 @@ class SimilaritySpec extends SparkSpec {
     assert(got.toSeq == want.toSeq, s"indexed ${got.toSeq} != in-memory ${want.toSeq}")
   }
 
+  test("mmr: λ=1 degenerates to pure relevance; λ<1 actually diversifies") {
+    val sf01 = "/root/testdata/sf0.01"
+    // λ=1, μ=0: the greedy loop must reproduce the plain relevance
+    // ranking (rel desc, id) of the candidate pool exactly
+    val pure = LlmOps.embedMmr(spark, sf01, lambda = 1.0, mu = 0.0).collect()
+      .map(r => (r.getLong(1), r.getDouble(2)))
+    val relRank = pure.map(_._2)
+    assert(relRank.sameElements(relRank.sortBy(-_)),
+      "λ=1 selection must be relevance-sorted")
+    val emb = graft.Tables.load(spark, sf01, "embeddings")
+    val q = org.apache.spark.sql.functions.array(
+      LlmOps.queryVector(spark, sf01).map(lit): _*)
+    val want = emb.filter(col("vec_id") =!= 0)
+      .select(col("vec_id"),
+        round(Similarity.cosine(col("embedding"), q), 6).as("rel"))
+      .orderBy(col("rel").desc, col("vec_id")).limit(10)
+      .collect().map(_.getLong(0))
+    assert(pure.map(_._1).sameElements(want),
+      s"λ=1 ids ${pure.map(_._1).toSeq} != top-10 ${want.toSeq}")
+    // the default λ=0.7 must pick a DIFFERENT set or order — otherwise
+    // the redundancy term is dead on this corpus and the op tests nothing
+    val mmr = LlmOps.embedMmr(spark, sf01).collect().map(_.getLong(1))
+    assert(mmr.length == 10 && mmr.distinct.length == 10, "no duplicate picks")
+    assert(!mmr.sameElements(want), "diversification changed nothing")
+    assert(mmr.head == want.head, "rank 1 has no penalty term: must be the top hit")
+  }
+
   test("drift monitor: occupancy conserves the assignment and drift is a valid cosine") {
     val drift = LlmOps.embedDrift(spark, sf).collect()
     assert(drift.nonEmpty)
