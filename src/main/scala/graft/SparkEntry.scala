@@ -135,6 +135,7 @@ object SparkEntry {
     "q_bm25_topk" -> ((s, d) => LlmOps.bm25TopK(s, d)),
     "q_hard_negatives" -> ((s, d) => LlmOps.hardNegatives(s, d)),
     "q_retrieval_mrr" -> ((s, d) => LlmOps.retrievalMrr(s, d)),
+    "q_rm3_topk" -> ((s, d) => LlmOps.rm3TopK(s, d)),
     "q_hybrid_rrf" -> ((s, d) => LlmOps.hybridRrf(s, d)),
     // — LLM-pipeline: text analysis
     "q_text_stats" -> (LlmOps.textStats(_, _)),
@@ -458,6 +459,7 @@ object SparkEntry {
     "q_bm25_topk" -> LlmOps.bm25TopKSql,
     "q_hard_negatives" -> LlmOps.hardNegativesSql,
     "q_retrieval_mrr" -> LlmOps.retrievalMrrSql(),
+    "q_rm3_topk" -> LlmOps.rm3TopKSql(),
     "q_hybrid_rrf" -> LlmOps.hybridRrfSql,
     "q_embed_ann_ivf" -> LlmOps.embedAnnIvfSql,
     "q_embed_recall" -> LlmOps.embedRecallEvalSql(),

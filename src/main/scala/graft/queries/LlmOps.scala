@@ -602,6 +602,102 @@ object LlmOps {
         col("s.score").as("bm25"))
   }
 
+  /** RM3-style pseudo-relevance feedback (Lavrenko & Croft relevance
+    * models via the Abdul-Jaleel et al. RM3 recipe, simplified to the
+    * engine's exact-arithmetic conventions): run the fixed BM25 query,
+    * take the top-`fb` FEEDBACK docs, mine their `nExp` most frequent
+    * in-domain terms (total occurrences across the feedback set,
+    * original terms excluded, ties alphabetical), then re-score the
+    * corpus with the EXPANDED weighted query — original terms at
+    * weight 1, expansion terms at 0.5 — and return the final top-m.
+    * The classic second retrieval stage: vocabulary-mismatch queries
+    * recover documents that share no original term.
+    *
+    * Plan shape: THREE corpus passes, each the bm25 family's shape —
+    * round-1 scoring (kernel pass + TakeOrdered), the feedback FETCH
+    * (a pushed-down id-IN scan — at 100 TB this is the random-access
+    * doc-store lookup, fb-sized), round-2 scoring over the expanded
+    * term list (kernel pass + TakeOrdered). Term mining runs on the
+    * fb collected texts — feedback-sized driver math. No exchange
+    * carries more than stats partials anywhere.
+    */
+  def rm3TopK(spark: SparkSession, dir: String,
+      terms: Seq[String] = Seq("stream", "join", "hash"), fb: Int = 10,
+      nExp: Int = 3, expWeight: Double = 0.5, m: Int = 10,
+      k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    val fbIds = bm25TopK(spark, dir, terms, k1, b, k = fb)
+      .collect().map(_.getLong(0))
+    val fbTexts = Tables.load(spark, dir, "documents")
+      .filter(col("doc_id").isin(fbIds: _*))
+      .select(col("text")).collect().map(_.getString(0))
+    val expansion = fbTexts
+      .flatMap(_.trim.split("\\s+", -1))
+      .filter(w => w.matches("^[a-z]+$") && w.length >= 2 && !terms.contains(w))
+      .groupBy(identity).map { case (w, ws) => (w, ws.length.toLong) }
+      .toSeq.sortBy { case (w, c) => (-c, w) }
+      .take(nExp).map(_._1)
+    val allTerms = terms ++ expansion
+    val weights = terms.map(_ => 1.0) ++ expansion.map(_ => expWeight)
+    val mm = allTerms.length
+    val (base, stats) = bm25Base(spark, dir, allTerms, carrySource = false)
+    base.crossJoin(broadcast(stats))
+      .filter((0 until mm).map(i => col("tfv").getItem(i) > lit(0)).reduce(_ || _))
+      .select(col("doc_id"),
+        round((0 until mm).map(i => lit(weights(i)) * bm25Contrib(i, mm, k1, b))
+          .reduce(_ + _), 6).as("rm3"))
+      .orderBy(col("rm3").desc, col("doc_id"))
+      .limit(m)
+  }
+
+  /** RM3 oracle: bm25TopKSql's chain for round 1, feedback-term mining
+    * and the top-`nExp` selection in SQL, then the weighted round-2
+    * scoring tree over the dynamic expanded term set. Weights are
+    * CAST(… AS DOUBLE) — DuckDB's bare decimal literal is DECIMAL,
+    * whose multiply would not be the IEEE op Spark runs.
+    */
+  def rm3TopKSql(fb: Int = 10, nExp: Int = 3, m: Int = 10): String =
+    s"""WITH docs AS MATERIALIZED (
+       |  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t FROM documents),
+       |n AS (SELECT count(*)::DOUBLE AS n FROM docs),
+       |lens AS MATERIALIZED (SELECT doc_id, len(t)::DOUBLE AS dl FROM docs),
+       |avgdl AS (SELECT avg(dl) AS avgdl FROM lens),
+       |toks AS MATERIALIZED (SELECT doc_id, unnest(t) AS tok FROM docs),
+       |tf0 AS (SELECT doc_id, tok, count(*)::DOUBLE AS tf FROM toks
+       |  WHERE tok IN ('stream', 'join', 'hash') GROUP BY 1, 2),
+       |df0 AS (SELECT tok, count(*)::DOUBLE AS df FROM tf0 GROUP BY tok),
+       |fbd AS MATERIALIZED (
+       |  SELECT doc_id FROM (
+       |    SELECT tf0.doc_id, round(sum(
+       |        ((n.n - df + 0.5) / (df + 0.5)) * (tf * (1.2 + 1)) /
+       |          (tf + 1.2 * ((1 - 0.75) + 0.75 * dl / avgdl.avgdl))), 6) AS bm25
+       |    FROM tf0 JOIN df0 USING (tok) JOIN lens USING (doc_id), n, avgdl
+       |    GROUP BY 1)
+       |  ORDER BY bm25 DESC, doc_id LIMIT $fb),
+       |exp AS MATERIALIZED (
+       |  SELECT tok FROM (
+       |    SELECT tok, CAST(count(*) AS BIGINT) AS c
+       |    FROM toks JOIN fbd USING (doc_id)
+       |    WHERE regexp_matches(tok, '^[a-z]+$$') AND len(tok) >= 2
+       |      AND tok NOT IN ('stream', 'join', 'hash')
+       |    GROUP BY 1)
+       |  ORDER BY c DESC, tok LIMIT $nExp),
+       |allq AS MATERIALIZED (
+       |  SELECT tok, CAST(1.0 AS DOUBLE) AS w
+       |  FROM (VALUES ('stream'), ('join'), ('hash')) v(tok)
+       |  UNION ALL SELECT tok, CAST(0.5 AS DOUBLE) FROM exp),
+       |tf1 AS (SELECT doc_id, tok, count(*)::DOUBLE AS tf FROM toks
+       |  WHERE tok IN (SELECT tok FROM allq) GROUP BY 1, 2),
+       |df1 AS (SELECT tok, count(*)::DOUBLE AS df FROM tf1 GROUP BY tok),
+       |scored AS (
+       |  SELECT tf1.doc_id, q.w *
+       |      (((n.n - df + 0.5) / (df + 0.5)) * (tf * (1.2 + 1)) /
+       |        (tf + 1.2 * ((1 - 0.75) + 0.75 * dl / avgdl.avgdl))) AS s
+       |  FROM tf1 JOIN df1 USING (tok) JOIN allq q USING (tok)
+       |    JOIN lens USING (doc_id), n, avgdl)
+       |SELECT doc_id, round(sum(s), 6) AS rm3
+       |FROM scored GROUP BY 1
+       |ORDER BY rm3 DESC, doc_id LIMIT $m""".stripMargin
+
   /** Retrieval-quality EVALUATION: MRR@k and success@k of BM25 against
     * source-relevance labels over the fixed [[retrievalPanel]] — the
     * lexical-side counterpart of [[embedRecallEval]]'s ANN monitor,

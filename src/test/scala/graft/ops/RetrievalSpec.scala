@@ -213,6 +213,25 @@ class RetrievalSpec extends SparkSpec {
     }
   }
 
+  test("rm3: zero expansion weight degenerates to plain BM25; real weight reorders") {
+    import org.apache.spark.sql.functions.col
+    val plain = graft.queries.LlmOps.bm25TopK(spark, sf, k = 10).collect()
+      .map(r => (r.getLong(0), r.getDouble(1)))
+    // expWeight=0: expansion terms contribute nothing, and no
+    // expansion-only doc can outscore a real match — the final list
+    // must be exactly the plain BM25 top-10
+    val zero = graft.queries.LlmOps.rm3TopK(spark, sf, expWeight = 0.0)
+      .collect().map(r => (r.getLong(0), r.getDouble(1)))
+    assert(zero.toSeq == plain.toSeq,
+      s"expWeight=0 must reproduce BM25: ${zero.toSeq} vs ${plain.toSeq}")
+    // the real recipe must CHANGE the result — expansion is the point
+    val rm3 = graft.queries.LlmOps.rm3TopK(spark, sf).collect()
+      .map(_.getLong(0))
+    assert(rm3.length == 10 && rm3.distinct.length == 10)
+    assert(!rm3.sameElements(plain.map(_._1)),
+      "expansion changed nothing — feedback terms are dead on this corpus")
+  }
+
   test("embedMarginPairs equals a driver-side margin recompute over the candidate graph") {
     // rebuild the same banded cross-parity candidate set, then replay
     // the margin arithmetic (sorted top-k left-fold means, ratio
