@@ -422,6 +422,16 @@ object ScaleBench {
       // cell like wordpiece's fit, the maintenance-artifact convention
       val (reSec, reRows, reEx) = bestIf("embed_recall")(
         queries.LlmOps.embedRecallEval(spark, dir))
+      // retrieval MRR: the bm25 stats-partials-only shape applied to
+      // eval — the panel is 3 fixed queries, so per-row work is flat
+      // and the top-k exchange carries O(k) partials per partition
+      val (mrSec, mrRows, mrEx) = bestIf("retrieval_mrr")(
+        queries.LlmOps.retrievalMrr(spark, dir))
+      // RM3: three corpus passes (round-1 score, fb id-IN fetch,
+      // round-2 weighted score) — time ∝ 3 scans, rows flat at m,
+      // no exchange beyond stats/top-k partials in either round
+      val (rmSec, rmRows, rmEx) = bestIf("rm3_topk")(
+        queries.LlmOps.rm3TopK(spark, dir))
       // drift monitor: the (centroid, cohort, dim) mean aggregate is
       // the one corpus exchange (map-side partial averages over the
       // 64× posexplode fan-out); output rows pinned at 2·|C| no matter
@@ -471,6 +481,8 @@ object ScaleBench {
         "embed_margin_pairs" -> (mpSec, mpRows, mpEx),
         "embed_recall" -> (reSec, reRows, reEx),
         "embed_drift" -> (drSec, drRows, drEx),
+        "retrieval_mrr" -> (mrSec, mrRows, mrEx),
+        "rm3_topk" -> (rmSec, rmRows, rmEx),
         "langid_nb" -> (liSec, liRows, liEx))
         .filter { case (op, _) => wanted(op) }
       row.foreach { case (op, (s, r, e)) =>
