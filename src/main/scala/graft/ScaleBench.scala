@@ -398,6 +398,12 @@ object ScaleBench {
         graft.ops.WordPiece.clearFitCache()
         graft.ops.WordPiece.minEncodeStats(spark, dir)
       }
+      // token blocks: the terminal materialization — rows ∝ tokens/128
+      // by definition, and the block exchange carries every token once
+      // (the honest cost of writing training batches); time must stay
+      // ∝ the token stream, not blow up on the window or the assembly
+      val (tbSec, tbRows, tbEx) = bestIf("token_blocks")(
+        graft.ops.WordPiece.blocksQuery(spark, dir))
       // Kneser-Ney top-k: the pair aggregate's input stream grows ∝ k
       // and its output vocabulary too (disjoint tagged bigrams), but
       // the k result rows are selected BEFORE decoration, so the
@@ -477,6 +483,7 @@ object ScaleBench {
         "wordpiece_encode" -> (wpSec, wpRows, wpEx),
         "wordpiece_ids" -> (wiSec, wiRows, wiEx),
         "minpiece_encode" -> (mnSec, mnRows, mnEx),
+        "token_blocks" -> (tbSec, tbRows, tbEx),
         "kn_bigram" -> (knSec, knRows, knEx),
         "embed_margin_pairs" -> (mpSec, mpRows, mpEx),
         "embed_recall" -> (reSec, reRows, reEx),

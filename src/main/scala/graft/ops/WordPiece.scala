@@ -254,6 +254,56 @@ object WordPiece {
         array_join(transform(col("ids"), _.cast("string")), " ").as("ids_str"))
   }
 
+  /** The q_token_blocks face — the LAST step of the training-data
+    * pipeline: the corpus's subword-id stream packed into FIXED-SIZE
+    * training blocks (GPT-style pre-training batches). Per shard
+    * (doc_id % nShards — each shard is one writer's block stream),
+    * documents concatenate in doc_id order as ids ++ [EOD] (EOD id =
+    * |vocab|, one past the last piece id), and the stream slices into
+    * `blockLen`-id blocks — documents SPLIT across block boundaries,
+    * exactly like GPT pre-training packing (unlike [[graft.queries
+    * .Curation.packSequences]]'s doc-granular bins). Output per block:
+    * (block_id, n_ids, md5 of the space-joined ids) — the hash
+    * verifies every id and its position without shipping the blocks.
+    *
+    * Scale shape: the tokenize is the map-only ids kernel; the
+    * per-shard running offset is one doc-keyed window (shard-
+    * partitioned — the packSequencesSharded argument: shards scale
+    * with the cluster, no single-reducer window); the block assembly
+    * is ONE token-keyed exchange (posexplode → groupBy(block)), which
+    * is the honest cost of materializing training batches — linear in
+    * tokens, the write itself at 100 TB.
+    */
+  def blocksQuery(spark: SparkSession, dir: String, vocabSize: Int = 256,
+      blockLen: Int = 128, nShards: Int = 8): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val withIds = vocabWithIds(spark, dir, vocabSize)
+    val eodId = withIds.size
+    val inDomain = filter(TextAnalysis.tokens(col("text")),
+      w => w.rlike("^[a-z]+$") && length(w) >= 2)
+    val ids = concat(
+      flatten(transform(inDomain,
+        w => graft.functions.GraftFunctions.wordpieceIds(w, withIds))),
+      array(lit(eodId)))
+    val w = Window.partitionBy(col("shard")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    Tables.load(spark, dir, "documents")
+      .select(col("doc_id"), (col("doc_id") % nShards).as("shard"), ids.as("ids"))
+      .withColumn("off",
+        coalesce(sum(size(col("ids")).cast("long")).over(w), lit(0L)))
+      .select(col("shard"), col("off"), posexplode(col("ids")).as(Seq("i", "id")))
+      .select(
+        (col("shard") * lit(1L << 40) +
+          ((col("off") + col("i")) / blockLen).cast("long")).as("block_id"),
+        ((col("off") + col("i")) % blockLen).as("slot"), col("id"))
+      .groupBy(col("block_id"))
+      .agg(count(lit(1)).as("n_ids"),
+        md5(array_join(transform(
+          sort_array(collect_list(struct(col("slot"), col("id")))),
+          s => s.getField("id").cast("string")), " ")).as("ids_md5"))
+      .orderBy(col("block_id"))
+  }
+
   // ------------------------------------------------------------ oracles
 
   /** The shared fit chain: word counts → substring candidates → top-V.
@@ -392,6 +442,74 @@ object WordPiece {
        |        CAST(sum(s.n * m.pieces) AS DOUBLE), 6) AS cpp_min
        |FROM swc s JOIN gdone g USING (w) JOIN mdone m USING (w)
        |GROUP BY 1 ORDER BY 1""".stripMargin
+
+  /** DuckDB replay of the blocks face: the ids chain of [[idsSql]]
+    * (fit, deterministic ids, greedy-walk recursion, per-doc ordered
+    * id lists), then EOD append, the per-shard running offset window,
+    * the position explode, and the block aggregation with the same
+    * md5-of-joined-ids digest. blockLen is a power of two so the
+    * engine's double division at the block boundary is exact.
+    */
+  def blocksSql(vocabSize: Int = 256, blockLen: Int = 128,
+      nShards: Int = 8): String =
+    s"""WITH RECURSIVE ${fitCtes(vocabSize)},
+       |vocab AS MATERIALIZED (
+       |  SELECT cont, sub FROM vocab_mc
+       |  UNION
+       |  SELECT b AS cont, chr(96 + CAST(i AS INT)) AS sub
+       |  FROM range(1, 27) t(i), (VALUES (TRUE), (FALSE)) v(b)),
+       |vids AS MATERIALIZED (
+       |  SELECT cont, sub,
+       |    CAST(row_number() OVER (ORDER BY cont, sub) - 1 AS INT) AS id
+       |  FROM vocab),
+       |toks AS MATERIALIZED (
+       |  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t FROM documents),
+       |u AS MATERIALIZED (
+       |  SELECT doc_id, CAST(i AS INT) AS wpos, t[CAST(i AS INT)] AS w
+       |  FROM toks, unnest(range(1, len(t) + 1)) z(i)
+       |  WHERE regexp_matches(t[CAST(i AS INT)], '^[a-z]+$$')
+       |    AND len(t[CAST(i AS INT)]) >= 2),
+       |words AS MATERIALIZED (SELECT DISTINCT w FROM u),
+       |best AS MATERIALIZED (
+       |  SELECT z.w, z.i AS pos, max(len(v.sub)) AS bl
+       |  FROM (SELECT w, CAST(i AS INT) AS i
+       |        FROM words, unnest(range(1, len(w) + 1)) t(i)) z
+       |  JOIN vids v ON v.cont = (z.i > 1)
+       |              AND substr(z.w, z.i, len(v.sub)) = v.sub
+       |  GROUP BY 1, 2),
+       |step AS (
+       |  SELECT w, 1 AS pos, 0 AS idx FROM words
+       |  UNION ALL
+       |  SELECT s.w, s.pos + CAST(b.bl AS INT), s.idx + 1
+       |  FROM step s JOIN best b ON b.w = s.w AND b.pos = s.pos
+       |  WHERE s.pos <= len(s.w)),
+       |wp AS MATERIALIZED (
+       |  SELECT s.w, s.idx, v.id
+       |  FROM step s
+       |  JOIN best b ON b.w = s.w AND b.pos = s.pos
+       |  JOIN vids v ON v.cont = (s.pos > 1)
+       |             AND v.sub = substr(s.w, s.pos, CAST(b.bl AS INT))
+       |  WHERE s.pos <= len(s.w)),
+       |dl AS MATERIALIZED (
+       |  SELECT d.doc_id,
+       |    list_append(coalesce(e.l, []),
+       |      (SELECT CAST(count(*) AS INT) FROM vids)) AS l
+       |  FROM documents d LEFT JOIN (
+       |    SELECT u.doc_id, list(wp.id ORDER BY u.wpos, wp.idx) AS l
+       |    FROM u JOIN wp USING (w) GROUP BY 1) e USING (doc_id)),
+       |off AS MATERIALIZED (
+       |  SELECT doc_id, doc_id % $nShards AS shard, l,
+       |    coalesce(CAST(sum(len(l)) OVER (PARTITION BY doc_id % $nShards
+       |      ORDER BY doc_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT), 0) AS off
+       |  FROM dl),
+       |stream AS (
+       |  SELECT shard * ${1L << 40} + ((off + i - 1) // $blockLen) AS block_id,
+       |    (off + i - 1) % $blockLen AS slot, l[CAST(i AS INT)] AS id
+       |  FROM off, unnest(range(1, len(l) + 1)) z(i))
+       |SELECT block_id, CAST(count(*) AS BIGINT) AS n_ids,
+       |  md5(string_agg(id::VARCHAR, ' ' ORDER BY slot)) AS ids_md5
+       |FROM stream GROUP BY 1 ORDER BY 1""".stripMargin
 
   /** DuckDB replay of the ids face: the fit chain + id assignment by
     * row_number over (cont, sub); the greedy walk is the same

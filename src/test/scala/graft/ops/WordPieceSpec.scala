@@ -259,6 +259,35 @@ class WordPieceSpec extends SparkSpec {
       "expected greedy to waste tokens under the non-factor-closed inventory")
   }
 
+  test("token blocks: id conservation, block sizing, and shard-bounded partials") {
+    val blocks = WordPiece.blocksQuery(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+    assert(blocks.nonEmpty)
+    // conservation: every subword id plus one EOD per document lands in
+    // exactly one block — nothing dropped, nothing duplicated
+    val idsTotal = WordPiece.idsQuery(spark, sf).agg(
+      org.apache.spark.sql.functions.sum(col("n_ids"))).collect()(0).getLong(0)
+    val nDocs = graft.Tables.load(spark, sf, "documents").count()
+    assert(blocks.map(_._2).sum == idsTotal + nDocs,
+      s"block ids ${blocks.map(_._2).sum} != corpus ids $idsTotal + $nDocs EODs")
+    // sizing: every block is exactly blockLen except at most one
+    // partial per shard (the stream tail)
+    val partials = blocks.filter(_._2 != 128L)
+    assert(partials.length <= 8, s"${partials.length} partial blocks > nShards")
+    val byShard = partials.groupBy(_._1 >> 40)
+    byShard.foreach { case (shard, ps) =>
+      assert(ps.length == 1, s"shard $shard has ${ps.length} partial blocks")
+    }
+    // within a shard, the partial is the LAST block
+    byShard.foreach { case (shard, ps) =>
+      val shardBlocks = blocks.filter(b => (b._1 >> 40) == shard)
+      assert(ps.head._1 == shardBlocks.map(_._1).max,
+        s"shard $shard partial block is not the tail")
+    }
+    // digests are well-formed and unique-per-content is plausible
+    assert(blocks.forall(_._3.matches("[0-9a-f]{32}")))
+  }
+
   test("the fitted vocabulary compresses strictly better than chars alone") {
     val singles = ('a' to 'z').map(_.toString)
     val words = Bpe.wordCounts(spark, sf).limit(500).collect()
