@@ -127,6 +127,7 @@ object SparkEntry {
     "q_span_corruption" -> (Curation.spanCorruption(_, _)),
     "q_budget_select" -> ((s, d) => Curation.budgetSelect(s, d)),
     "q_pref_pairs" -> (Curation.prefPairs(_, _)),
+    "q_sft_examples" -> (Curation.sftExamples(_, _)),
     "q_session_transcript" -> (Events.sessionTranscript(_, _)),
     "q_collocations" -> ((s, d) => LlmOps.collocations(s, d)),
     "q_lang_diversity" -> (LlmOps.langDiversity(_, _)),
@@ -452,6 +453,7 @@ object SparkEntry {
     "q_span_corruption" -> Curation.spanCorruptionSql,
     "q_budget_select" -> Curation.budgetSelectSql,
     "q_pref_pairs" -> Curation.prefPairsSql,
+    "q_sft_examples" -> Curation.sftExamplesSql,
     "q_session_transcript" -> Events.sessionTranscriptSql,
     "q_collocations" -> LlmOps.collocationsSql,
     "q_lang_diversity" -> LlmOps.langDiversitySql,

@@ -583,6 +583,68 @@ object Curation {
         (col("mx.score") - col("mn.score")).as("margin"))
       .filter(col("margin") > 0)
 
+  /** SFT example rendering with LOSS-MASK boundaries — the step between
+    * pair mining and the trainer: each (source, lang) bucket's chosen
+    * document renders into a chat-templated training string
+    * (`<|system|> metadata … <|user|> instruction <|assistant|> text`),
+    * and the op reports the ASSISTANT SPAN in whitespace-token
+    * coordinates — [mask_start, n_tokens) is the range the loss is
+    * computed over (everything before it is prompt, masked out), which
+    * is the one piece of metadata an SFT data loader actually needs.
+    * The rendered string itself ships as a sha-256 digest (byte-exact
+    * render verification without shipping the strings — the
+    * token-blocks convention).
+    *
+    * Plan shape: the pair table is bucket-sized (≤ |source×lang|) and
+    * broadcasts; ONE corpus scan probes it (chosen ids), and the
+    * render + token arithmetic is map-side. The mask boundary is
+    * COMPUTED from the prefix (not hardcoded) so a template change
+    * cannot silently desynchronize mask and render.
+    */
+  def sftExamples(spark: SparkSession, dir: String): DataFrame = {
+    val pairs = prefPairs(spark, dir)
+      .select(col("source").as("p_source"), col("lang").as("p_lang"),
+        col("chosen_id"))
+    val prefix = concat(lit("<|system|> source="), col("p_source"),
+      lit(" lang="), col("p_lang"),
+      lit(" <|user|> write a representative document <|assistant|>"))
+    val rendered = concat(prefix, lit(" "), col("text"))
+    Tables.load(spark, dir, "documents")
+      .join(broadcast(pairs), col("doc_id") === col("chosen_id"))
+      .select(col("p_source").as("source"), col("p_lang").as("lang"),
+        col("chosen_id"),
+        TextAnalysis.tokenCount(rendered).cast("long").as("n_tokens"),
+        TextAnalysis.tokenCount(prefix).cast("long").as("mask_start"),
+        sha2(rendered, 256).as("render_sha"))
+      .orderBy(col("source"), col("lang"))
+  }
+
+  val sftExamplesSql: String =
+    s"""WITH t AS (SELECT source, lang, doc_id, $qualityScoreSql AS score
+       |  FROM documents),
+       |r AS (SELECT source, lang, doc_id, score,
+       |  row_number() OVER (PARTITION BY source, lang
+       |    ORDER BY score DESC, doc_id) AS rb,
+       |  row_number() OVER (PARTITION BY source, lang
+       |    ORDER BY score ASC, doc_id) AS rw
+       |  FROM t),
+       |pairs AS (SELECT c.source, c.lang, c.doc_id AS chosen_id
+       |  FROM r c JOIN r j ON c.source = j.source AND c.lang = j.lang
+       |  WHERE c.rb = 1 AND j.rw = 1 AND c.score > j.score),
+       |rendered AS (
+       |  SELECT p.source, p.lang, p.chosen_id,
+       |    '<|system|> source=' || p.source || ' lang=' || p.lang ||
+       |      ' <|user|> write a representative document <|assistant|>' AS pre,
+       |    '<|system|> source=' || p.source || ' lang=' || p.lang ||
+       |      ' <|user|> write a representative document <|assistant|> ' ||
+       |      d.text AS rnd
+       |  FROM pairs p JOIN documents d ON d.doc_id = p.chosen_id)
+       |SELECT source, lang, chosen_id,
+       |  len(string_split_regex(trim(rnd), '\\s+'))::BIGINT AS n_tokens,
+       |  len(string_split_regex(trim(pre), '\\s+'))::BIGINT AS mask_start,
+       |  sha256(rnd) AS render_sha
+       |FROM rendered ORDER BY source, lang""".stripMargin
+
   val prefPairsSql: String =
     s"""WITH t AS (SELECT source, lang, doc_id, $qualityScoreSql AS score
        |  FROM documents),

@@ -219,6 +219,29 @@ class CurationSpec extends SparkSpec {
     }
   }
 
+  test("sft examples: the loss-mask span is exactly the chosen document's tokens") {
+    import org.apache.spark.sql.functions.col
+    val ex = Curation.sftExamples(spark, sf).collect()
+      .map(r => (r.getLong(2), r.getLong(3), r.getLong(4), r.getString(5)))
+    assert(ex.nonEmpty)
+    val docTokens = graft.Tables.load(spark, sf, "documents")
+      .select(col("doc_id"),
+        graft.ops.TextAnalysis.tokenCount(col("text")).cast("long"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    ex.foreach { case (chosen, nTokens, maskStart, sha) =>
+      // conservation: [mask_start, n_tokens) is the assistant span, and
+      // the assistant content IS the chosen document — token counts
+      // must agree exactly, or the data loader would train on prompt
+      // tokens (or skip answer tokens)
+      assert(nTokens - maskStart == docTokens(chosen),
+        s"doc $chosen: span ${nTokens - maskStart} != doc tokens ${docTokens(chosen)}")
+      // the template prefix is 9 whitespace tokens (computed, but its
+      // value is part of the render contract — pin it)
+      assert(maskStart == 9L, s"doc $chosen: template prefix drifted to $maskStart")
+      assert(sha.matches("[0-9a-f]{64}"))
+    }
+  }
+
   test("prefPairs: chosen/rejected are the bucket extrema with deterministic ties") {
     val pairs = Curation.prefPairs(spark, sf).collect()
       .map(r => ((r.getString(0), r.getString(1)),
