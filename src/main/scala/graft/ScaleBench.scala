@@ -438,6 +438,11 @@ object ScaleBench {
       // no exchange beyond stats/top-k partials in either round
       val (rmSec, rmRows, rmEx) = bestIf("rm3_topk")(
         queries.LlmOps.rm3TopK(spark, dir))
+      // SFT rendering: bucket-sized pair broadcast + one corpus scan
+      // with map-side render/arithmetic — rows ∝ buckets (flat), time
+      // ∝ the scan
+      val (sfSec, sfRows, sfEx) = bestIf("sft_examples")(
+        queries.Curation.sftExamples(spark, dir))
       // drift monitor: the (centroid, cohort, dim) mean aggregate is
       // the one corpus exchange (map-side partial averages over the
       // 64× posexplode fan-out); output rows pinned at 2·|C| no matter
@@ -490,6 +495,7 @@ object ScaleBench {
         "embed_drift" -> (drSec, drRows, drEx),
         "retrieval_mrr" -> (mrSec, mrRows, mrEx),
         "rm3_topk" -> (rmSec, rmRows, rmEx),
+        "sft_examples" -> (sfSec, sfRows, sfEx),
         "langid_nb" -> (liSec, liRows, liEx))
         .filter { case (op, _) => wanted(op) }
       row.foreach { case (op, (s, r, e)) =>
