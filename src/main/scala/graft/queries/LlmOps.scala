@@ -949,6 +949,62 @@ object LlmOps {
       .orderBy(col("df").desc, col("token"))
       .limit(k)
 
+  /** Corpus RICHNESS report over token TRIGRAM types — the
+    * frequency-of-frequencies statistics LM smoothing and crawl-sizing
+    * decisions run on: instance count N, type count V, hapax/dis
+    * legomena (n1/n2 — once/twice-seen types), the Good-Turing
+    * unseen-probability mass p0 = n1/N (the mass a smoother reserves
+    * for novel n-grams — and the "how much content is still new"
+    * crawl signal), and the BIAS-CORRECTED Chao1 richness estimate
+    * V + n1·(n1−1)/(2·(n2+1)) (the types-at-∞ lower bound — whether
+    * more crawling buys more distinct content; the corrected form is
+    * defined even when n2 = 0). Trigrams, not unigrams: this corpus's
+    * word vocabulary is closed (every token seen ≥ 26 times — n1
+    * would be constant 0), while the trigram spectrum is live
+    * (n1 ≈ 9.4k of 16k types at sf0.01).
+    *
+    * Shape: gram hashing is the map-only codegen'd kernel (the shared
+    * md5-60-bit gram hash, so both engines bucket identical keys);
+    * exchange 1 carries (hash, partial count) map-side combined;
+    * exchange 2 is the frequency-spectrum rollup to ONE row. The
+    * derived ratios round at 6 dp from the same exact int64 inputs.
+    */
+  def vocabRichness(spark: SparkSession, dir: String, n: Int = 3): DataFrame = {
+    val counts = Tables.load(spark, dir, "documents")
+      .select(explode(graft.functions.GraftFunctions
+        .tokenGramHashes(col("text"), n)).as("h"))
+      .groupBy(col("h")).agg(count(lit(1)).as("c"))
+    counts.agg(
+        sum(col("c")).as("n_grams"),
+        count(lit(1)).as("types"),
+        sum(when(col("c") === 1, 1L).otherwise(0L)).as("n1"),
+        sum(when(col("c") === 2, 1L).otherwise(0L)).as("n2"))
+      .select(col("n_grams"), col("types"), col("n1"), col("n2"),
+        round(col("n1").cast(DoubleType) / col("n_grams").cast(DoubleType), 6)
+          .as("gt_p0"),
+        round(col("types").cast(DoubleType) +
+          (col("n1") * (col("n1") - 1)).cast(DoubleType) /
+            (lit(2.0) * (col("n2") + 1).cast(DoubleType)), 6).as("chao1"))
+  }
+
+  val vocabRichnessSql: String =
+    """WITH toks AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS t
+      |  FROM documents),
+      |g AS (SELECT ('0x' || substr(md5(
+      |    array_to_string(t[i:i+2], ' ')), 1, 15))::BIGINT AS h
+      |  FROM toks, unnest([x for x in range(1, len(t) - 1)]) z(i)),
+      |c AS (SELECT h, CAST(count(*) AS BIGINT) AS c FROM g GROUP BY 1),
+      |s AS (SELECT CAST(sum(c) AS BIGINT) AS n_grams,
+      |  CAST(count(*) AS BIGINT) AS types,
+      |  CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+      |  CAST(sum(CASE WHEN c = 2 THEN 1 ELSE 0 END) AS BIGINT) AS n2
+      |  FROM c)
+      |SELECT n_grams, types, n1, n2,
+      |  round(n1::DOUBLE / n_grams::DOUBLE, 6) AS gt_p0,
+      |  round(types::DOUBLE + (n1 * (n1 - 1))::DOUBLE /
+      |    (CAST(2.0 AS DOUBLE) * (n2 + 1)::DOUBLE), 6) AS chao1
+      |FROM s""".stripMargin
+
   /** BPE merge-step statistics: adjacent character-pair frequencies
     * weighted by word frequency — the count table the first merge of
     * byte-pair-encoding tokenizer training (Sennrich et al. 2016) is

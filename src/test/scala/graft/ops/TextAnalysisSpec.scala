@@ -319,6 +319,25 @@ class TextAnalysisSpec extends SparkSpec {
     assert(got("fr") === ((3L, 1L, 0.0)))
   }
 
+  test("vocabRichness: frequency spectrum and estimators on a hand corpus") {
+    val dir = java.nio.file.Files.createTempDirectory("rich").toString
+    // doc1 trigrams: "a b c", "b c a", "c a b" (each once)
+    // doc2 trigrams: "a b c" (again) -> counts: {"a b c": 2, others: 1}
+    Seq((1L, "a b c a b"), (2L, "a b c"))
+      .toDF("doc_id", "text")
+      .withColumn("lang", lit("en")).withColumn("source", lit("spec"))
+      .withColumn("n_chars", length(col("text")).cast("bigint"))
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val r = graft.queries.LlmOps.vocabRichness(spark, dir).collect()(0)
+    assert(r.getLong(0) == 4L, s"instances: $r")      // 3 + 1 grams
+    assert(r.getLong(1) == 3L, s"types: $r")
+    assert(r.getLong(2) == 2L, s"hapax: $r")          // "b c a", "c a b"
+    assert(r.getLong(3) == 1L, s"dis: $r")            // "a b c"
+    assert(r.getDouble(4) == 0.5, s"gt_p0 = 2/4: $r")
+    // bias-corrected chao1 = 3 + 2*1/(2*(1+1)) = 3.5
+    assert(r.getDouble(5) == 3.5, s"chao1: $r")
+  }
+
   test("vocabOverlap: jaccard from distinct-token sets, ordered pairs only") {
     val dir = java.nio.file.Files.createTempDirectory("ovl").toString
     // en vocab {a,b,c}, fr vocab {b,c,d}: inter 2, union 4 → 0.5
