@@ -280,6 +280,59 @@ object LlmOps {
         min(col("doc_id")).as("first_doc"), max(col("doc_id")).as("last_doc"))
       .filter(col("n_docs") >= 2)
 
+  /** Per-source NOVELTY report — the inverse of span detection: what
+    * fraction of each source's distinct 8-gram content appears NOWHERE
+    * else in the corpus (corpus document-frequency 1). High novelty =
+    * original content worth keeping; low novelty = templated/mirrored
+    * slices that near-dup passes will mostly delete anyway — the
+    * memorization-risk and source-triage signal next to
+    * [[duplicateSpans]]' positive face. Micro-averaged with EXACT
+    * integers (Σ unique / Σ grams per source, one rounded division at
+    * the end) — a per-doc-fraction macro-average would sum doubles in
+    * shuffle order.
+    *
+    * Shape: the gram stream (distinct per doc, the shared md5-60-bit
+    * kernel) exchanges once for the df aggregate and once for the
+    * gram-keyed join back onto itself (the spanRemoval shape), then a
+    * parameter-sized per-source rollup.
+    */
+  def sourceNovelty(spark: SparkSession, dir: String, n: Int = 8): DataFrame = {
+    val grams = CacheBin.pin(Tables.load(spark, dir, "documents")
+      .select(col("doc_id"), col("source"),
+        explode(graft.functions.GraftFunctions
+          .wordShingleHashes(col("text"), n)).as("h")))
+    val df = grams.groupBy(col("h")).agg(count(lit(1)).as("df"))
+    grams.join(df, Seq("h"))
+      .groupBy(col("source"))
+      .agg(
+        countDistinct(col("doc_id")).as("n_docs"),
+        count(lit(1)).as("grams"),
+        sum(when(col("df") === 1, 1L).otherwise(0L)).as("unique_grams"))
+      .select(col("source"), col("n_docs"), col("grams"), col("unique_grams"),
+        round(col("unique_grams").cast(DoubleType) /
+          col("grams").cast(DoubleType), 6).as("novelty"))
+      .orderBy(col("source"))
+  }
+
+  val sourceNoveltySql: String =
+    """WITH toks AS (SELECT doc_id, source,
+      |    string_split_regex(trim(text), '\s+') AS t FROM documents),
+      |raw AS (SELECT DISTINCT doc_id, source,
+      |  unnest([array_to_string(t[i:i+7], ' ') for i in range(1, len(t)-6)])
+      |    AS shingle
+      |  FROM toks WHERE len(t) >= 8),
+      |sh AS (SELECT doc_id, source,
+      |  ('0x' || substr(md5(shingle), 1, 15))::BIGINT AS h FROM raw),
+      |d AS (SELECT h, CAST(count(*) AS BIGINT) AS df FROM sh GROUP BY 1)
+      |SELECT sh.source, CAST(count(DISTINCT sh.doc_id) AS BIGINT) AS n_docs,
+      |  CAST(count(*) AS BIGINT) AS grams,
+      |  CAST(sum(CASE WHEN d.df = 1 THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS unique_grams,
+      |  round(sum(CASE WHEN d.df = 1 THEN 1 ELSE 0 END)::DOUBLE /
+      |    count(*)::DOUBLE, 6) AS novelty
+      |FROM sh JOIN d USING (h)
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
   /** Exact-substring span REMOVAL (the Lee et al. "Deduplicating
     * Training Data" semantics, at 8-gram granularity): every token
     * covered by an 8-gram that also appears in an earlier document is

@@ -338,6 +338,26 @@ class TextAnalysisSpec extends SparkSpec {
     assert(r.getDouble(5) == 3.5, s"chao1: $r")
   }
 
+  test("sourceNovelty: cross-source duplicate grams zero out, unique content reads 1") {
+    val dir = java.nio.file.Files.createTempDirectory("nov").toString
+    // srcA doc 1 and srcB doc 2 share their single 8-gram (df=2 →
+    // novelty 0); srcC doc 3's 8-gram is unique (novelty 1)
+    Seq((1L, "a b c d e f g h", "srcA"),
+        (2L, "a b c d e f g h", "srcB"),
+        (3L, "p q r s t u v w", "srcC"))
+      .toDF("doc_id", "text", "source")
+      .withColumn("lang", lit("en"))
+      .withColumn("n_chars", length(col("text")).cast("bigint"))
+      .select("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = graft.queries.LlmOps.sourceNovelty(spark, dir).collect()
+      .map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4))).toMap
+    assert(got("srcA") == ((1L, 1L, 0L, 0.0)), s"$got")
+    assert(got("srcB") == ((1L, 1L, 0L, 0.0)), s"$got")
+    assert(got("srcC") == ((1L, 1L, 1L, 1.0)), s"$got")
+  }
+
   test("vocabOverlap: jaccard from distinct-token sets, ordered pairs only") {
     val dir = java.nio.file.Files.createTempDirectory("ovl").toString
     // en vocab {a,b,c}, fr vocab {b,c,d}: inter 2, union 4 → 0.5
