@@ -438,6 +438,14 @@ object ScaleBench {
       // no exchange beyond stats/top-k partials in either round
       val (rmSec, rmRows, rmEx) = bestIf("rm3_topk")(
         queries.LlmOps.rm3TopK(spark, dir))
+      // richness: one gram-keyed map-side-combined exchange + a 1-row
+      // rollup — rows pinned at 1, time ∝ the gram stream
+      val (vrSec, vrRows, vrEx) = bestIf("vocab_richness")(
+        queries.LlmOps.vocabRichness(spark, dir))
+      // novelty: the spanRemoval 2-exchange posting class (pinned gram
+      // stream, df agg + gram-keyed self-join) — rows ∝ sources
+      val (snSec, snRows, snEx) = bestIf("source_novelty")(
+        queries.LlmOps.sourceNovelty(spark, dir))
       // SFT rendering: bucket-sized pair broadcast + one corpus scan
       // with map-side render/arithmetic — rows ∝ buckets (flat), time
       // ∝ the scan
@@ -496,6 +504,8 @@ object ScaleBench {
         "retrieval_mrr" -> (mrSec, mrRows, mrEx),
         "rm3_topk" -> (rmSec, rmRows, rmEx),
         "sft_examples" -> (sfSec, sfRows, sfEx),
+        "vocab_richness" -> (vrSec, vrRows, vrEx),
+        "source_novelty" -> (snSec, snRows, snEx),
         "langid_nb" -> (liSec, liRows, liEx))
         .filter { case (op, _) => wanted(op) }
       row.foreach { case (op, (s, r, e)) =>
