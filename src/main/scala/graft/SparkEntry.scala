@@ -115,6 +115,7 @@ object SparkEntry {
     "q_vocab_topk" -> (LlmOps.vocabTopK(_, _)),
     "q_vocab_richness" -> (LlmOps.vocabRichness(_, _)),
     "q_source_novelty" -> (LlmOps.sourceNovelty(_, _)),
+    "q_dedup_bbit_est" -> (LlmOps.bbitMinhashEstimate(_, _)),
     "q_bpe_pairs" -> ((s, d) => LlmOps.bpePairCounts(s, d)),
     "q_bpe_merges" -> ((s, d) => graft.ops.Bpe.mergesQuery(s, d)),
     "q_bpe_encode" -> ((s, d) => graft.ops.Bpe.encodeStats(s, d)),
@@ -443,6 +444,7 @@ object SparkEntry {
     "q_vocab_topk" -> LlmOps.vocabTopKSql,
     "q_vocab_richness" -> LlmOps.vocabRichnessSql,
     "q_source_novelty" -> LlmOps.sourceNoveltySql,
+    "q_dedup_bbit_est" -> LlmOps.bbitMinhashEstimateSql,
     "q_bpe_pairs" -> LlmOps.bpePairCountsSql,
     "q_bpe_merges" -> graft.ops.Bpe.mergesSql(),
     "q_bpe_encode" -> graft.ops.Bpe.encodeSql(),

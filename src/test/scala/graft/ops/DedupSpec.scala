@@ -289,4 +289,22 @@ class DedupSpec extends SparkSpec {
       assert(r.getLong(3) === 1L)
     }
   }
+
+  test("b-bit estimate: correction arithmetic, monotonicity, and a live spread") {
+    import org.apache.spark.sql.functions.col
+    val rows = graft.queries.LlmOps.bbitMinhashEstimate(spark, sf).collect()
+      .map(r => (r.getLong(2), r.getDouble(3), r.getDouble(4)))
+    assert(rows.nonEmpty)
+    rows.foreach { case (m, est, _) =>
+      assert(m >= 0 && m <= 16)
+      val want = BigDecimal((m.toDouble / 16 - 0.0625) / 0.9375)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(est == want, s"est $est != corrected $want for m=$m")
+    }
+    // full-match pairs read exactly 1.0 after correction
+    rows.filter(_._1 == 16).foreach { case (_, est, _) => assert(est == 1.0) }
+    // the face is live on this corpus: the match spectrum is not a point
+    assert(rows.map(_._1).distinct.length >= 3,
+      s"match spectrum collapsed: ${rows.map(_._1).distinct.toSeq}")
+  }
 }
