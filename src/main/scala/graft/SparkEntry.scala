@@ -179,6 +179,7 @@ object SparkEntry {
     // — LLM-pipeline: multimodal plumbing
     "q_multimodal_meta" -> (LlmOps.multimodalMeta(_, _)),
     "q_multimodal_feat" -> (LlmOps.multimodalFeatures(_, _)),
+    "q_multimodal_neardup" -> (LlmOps.multimodalNearDup(_, _)),
     "q_multimodal_audio" -> (LlmOps.multimodalAudio(_, _)),
     "q_multimodal_video" -> (LlmOps.multimodalVideo(_, _)),
     // — corpus curation: deterministic sampling / splits / PII / chunking
@@ -541,6 +542,7 @@ object SparkEntry {
     "q_embed_topk_perlabel" -> LlmOps.embedTopKPerLabelSql,
     "q_multimodal_meta" -> LlmOps.multimodalMetaSql,
     "q_multimodal_feat" -> LlmOps.multimodalFeaturesSql,
+    "q_multimodal_neardup" -> LlmOps.multimodalNearDupSql,
     "q_multimodal_audio" -> LlmOps.multimodalAudioSql,
     "q_multimodal_video" -> LlmOps.multimodalVideoSql,
     "q_kmeans_step" -> LlmOps.kmeansStepSql,

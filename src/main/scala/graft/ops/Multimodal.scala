@@ -361,6 +361,111 @@ object Multimodal {
       }
     } catch { case scala.util.control.NonFatal(_) => None }
 
+  // -------------------------------------------- image near-dup (dHash)
+
+  /** Token-HISTOGRAM image on the canonical dHash grid (9×8): cell
+    * (x, y) holds the count of token occurrences whose md5-60-bit hash
+    * lands in bucket y·9+x (capped at 255) — a locality-preserving
+    * content rendering: near-duplicate texts share most tokens, so
+    * their histogram images differ in a few cells and their dHash
+    * signatures differ in a few bits, which is exactly the gradient a
+    * perceptual hash needs (a direct hash-pattern rendering has
+    * avalanche — only byte-identical texts would ever match). The
+    * md5-60-bit hash is the engine-wide shared one, so the oracle
+    * predicts every pixel in closed form while the engine round-trips
+    * the real codec.
+    */
+  def histogramPng(text: String): Array[Byte] = {
+    import graft.functions.GraftStrings
+    val counts = new Array[Int](72)
+    text.trim.split("\\s+").foreach { tok =>
+      val b = (GraftStrings.hash60(tok) % 72).toInt
+      counts(b) += 1
+    }
+    val img = new java.awt.image.BufferedImage(9, 8,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < 8) {
+      var x = 0
+      while (x < 9) {
+        val g = math.min(255, counts(y * 9 + x))
+        img.setRGB(x, y, (g << 16) | (g << 8) | g)
+        x += 1
+      }
+      y += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  /** dHash (difference hash — the standard perceptual image-dedup
+    * signature) over the image's own grid: row-major, one bit per
+    * horizontally adjacent pixel pair, bit = right gray > left gray,
+    * emitted as a '0'/'1' string ((w−1)·h chars = 64 on the 9×8 grid).
+    * Computed from the DECODED pixels (green channel), so a codec bug
+    * is a hard signature mismatch. None on undecodable payloads.
+    */
+  def dHashBits(payloadBytes: Array[Byte]): Option[(Int, Int, String)] =
+    try {
+      val img = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(payloadBytes))
+      if (img == null) None
+      else {
+        val (w, h) = (img.getWidth, img.getHeight)
+        val sb = new StringBuilder((w - 1) * h)
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x + 1 < w) {
+            val l = (img.getRGB(x, y) >> 8) & 0xFF
+            val r = (img.getRGB(x + 1, y) >> 8) & 0xFF
+            sb.append(if (r > l) '1' else '0')
+            x += 1
+          }
+          y += 1
+        }
+        Some((w, h, sb.toString))
+      }
+    } catch { case scala.util.control.NonFatal(_) => None }
+
+  /** Image-signature agreement for the text near-dup candidates: every
+    * document renders to its token-histogram PNG (REAL encode,
+    * executor-side), decodes back (REAL decode) to a 64-bit dHash, and
+    * each MinHash-LSH candidate pair reports the HAMMING DISTANCE
+    * between its two image signatures next to the exact text Jaccard —
+    * the cross-modal consistency check: true near-dups read small
+    * distances, banding false positives read large ones, and a codec
+    * or signature bug breaks the hash-checked agreement. Per-partition
+    * codec work; the signature table joins the candidate-sized pair
+    * set (the b-bit estimator shape).
+    */
+  def imageNearDup(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val docs = Tables.load(spark, dir, "documents")
+    val sigText = CacheBin.pin(
+      Dedup.minHash(docs, col("doc_id"), col("text"), n = 3, k = 16))
+    val cand = Dedup.minHashLshCandidates(sigText, bands = 4, rowsPerBand = 4)
+    val dsig = docs
+      .select(col("doc_id").cast(LongType), col("text")).as[(Long, String)]
+      .repartition(spark.sparkContext.defaultParallelism)
+      .mapPartitions(_.flatMap { case (id, text) =>
+        dHashBits(histogramPng(text)).map { case (_, _, bits) => (id, bits) }
+      })
+      .toDF("doc_id", "dhash")
+    val exact = Dedup.jaccardVerify(cand, docs, col("doc_id"), col("text"),
+        n = 3, threshold = 0.0)
+      .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 6).as("jaccard"))
+    cand
+      .join(dsig.select(col("doc_id").as("doc_a"), col("dhash").as("ha")), Seq("doc_a"))
+      .join(dsig.select(col("doc_id").as("doc_b"), col("dhash").as("hb")), Seq("doc_b"))
+      .select(col("doc_a"), col("doc_b"),
+        size(filter(zip_with(split(col("ha"), ""), split(col("hb"), ""),
+          (a, b) => a =!= b), x => x)).cast("long").as("hamming"))
+      .join(exact, Seq("doc_a", "doc_b"))
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
   /** Byte-window sampling: every `stride`-th byte offset as a list —
     * generic fan-out plumbing for fixed-record payloads (raw tensors,
     * uncompressed frame buffers). REAL video frame extraction lives in

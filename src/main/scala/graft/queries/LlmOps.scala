@@ -3216,6 +3216,69 @@ object LlmOps {
   def multimodalFeatures(spark: SparkSession, dir: String): DataFrame =
     Multimodal.decodeFeatures(spark, Multimodal.pngPayloads(spark, dir))
 
+  /** Image near-dup face: see [[Multimodal.imageNearDup]]. */
+  def multimodalNearDup(spark: SparkSession, dir: String): DataFrame =
+    Multimodal.imageNearDup(spark, dir)
+
+  /** Image near-dup oracle: the pattern is content-keyed in closed
+    * form (dims and every pixel from the shared md5-60-bit hash of the
+    * text), so the oracle re-derives each document's dHash signature
+    * by direct pixel arithmetic — while the engine actually encodes
+    * and decodes real PNGs. bits compare the same green-channel grays,
+    * row-major, right > left.
+    */
+  lazy val multimodalNearDupSql: String = {
+    val sigCols = Dedup.minhashParams(16).zipWithIndex.map { case ((a, c), i) =>
+      s"min((h * $a + $c) % ${Dedup.minhashP}) AS m$i"
+    }.mkString(",\n  ")
+    val bandSelects = (0 until 4).map { bd =>
+      val cols = (0 until 4).map(r => s"m${bd * 4 + r}::VARCHAR")
+      s"SELECT doc_id, $bd AS band, md5(${cols.mkString(" || ':' || ")}) AS bsig FROM sigs"
+    }
+    s"""WITH $shingleCte,
+       |h AS (SELECT doc_id,
+       |  ('0x' || substr(md5(shingle), 1, 15))::BIGINT % ${Dedup.minhashP} AS h
+       |  FROM sh),
+       |sigs AS (SELECT doc_id, $sigCols
+       |  FROM h GROUP BY doc_id),
+       |bands AS (${bandSelects.mkString("\n  UNION ALL ")}),
+       |cand AS (SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b
+       |  FROM bands l JOIN bands r
+       |  ON l.band = r.band AND l.bsig = r.bsig AND l.doc_id < r.doc_id),
+       |sets AS (SELECT doc_id, list(shingle) AS s FROM sh GROUP BY doc_id),
+       |exact AS (SELECT doc_a, doc_b,
+       |  round(len(list_intersect(a.s, b.s))::DOUBLE /
+       |    (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))), 6) AS jaccard
+       |  FROM cand JOIN sets a ON cand.doc_a = a.doc_id
+       |            JOIN sets b ON cand.doc_b = b.doc_id),
+       |tk AS (SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS tok
+       |  FROM documents),
+       |bc AS (SELECT doc_id,
+       |  ('0x' || substr(md5(tok), 1, 15))::BIGINT % 72 AS b,
+       |  CAST(count(*) AS BIGINT) AS c
+       |  FROM tk GROUP BY 1, 2),
+       |grid AS (SELECT d.doc_id, CAST(g.b AS INT) AS b,
+       |  least(255, coalesce(bc.c, 0)) AS g
+       |  FROM (SELECT doc_id FROM documents) d
+       |  CROSS JOIN unnest(range(0, 72)) g(b)
+       |  LEFT JOIN bc ON bc.doc_id = d.doc_id AND bc.b = CAST(g.b AS INT)),
+       |bits AS (SELECT l.doc_id, l.b,
+       |  CASE WHEN r.g > l.g THEN '1' ELSE '0' END AS bt
+       |  FROM grid l JOIN grid r ON r.doc_id = l.doc_id AND r.b = l.b + 1
+       |  WHERE l.b % 9 < 8),
+       |dsig AS (SELECT doc_id, string_agg(bt, '' ORDER BY b) AS dhash
+       |  FROM bits GROUP BY 1)
+       |SELECT c.doc_a, c.doc_b,
+       |  CAST(len([i for i in range(1, 65)
+       |    IF substr(a.dhash, CAST(i AS INT), 1) <> substr(b.dhash, CAST(i AS INT), 1)])
+       |    AS BIGINT) AS hamming,
+       |  e.jaccard
+       |FROM cand c JOIN dsig a ON a.doc_id = c.doc_a
+       |            JOIN dsig b ON b.doc_id = c.doc_b
+       |            JOIN exact e ON e.doc_a = c.doc_a AND e.doc_b = c.doc_b
+       |ORDER BY 1, 2""".stripMargin
+  }
+
   /** Audio leg of the multimodal story, same contract as
     * [[multimodalFeatures]]: encode a real PCM WAV per doc (JDK
     * javax.sound.sampled — actual RIFF/WAVE container), decode it back

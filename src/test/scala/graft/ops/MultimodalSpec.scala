@@ -212,4 +212,46 @@ class MultimodalSpec extends SparkSpec {
         new String(r.getAs[Array[Byte]](3), "UTF-8")))
     assert(got.toSeq === Seq((0, 0, "abc"), (1, 4, "efg"), (2, 8, "ij")))
   }
+
+  test("histogram dHash: codec round trip matches a driver-side recompute") {
+    import graft.functions.GraftStrings
+    val text = "join hash scan join filter vector"
+    val Some((w, h, bits)) = Multimodal.dHashBits(Multimodal.histogramPng(text))
+    assert(w == 9 && h == 8 && bits.length == 64)
+    // recompute the histogram and bits without the codec
+    val counts = new Array[Int](72)
+    text.trim.split("\\s+").foreach { t =>
+      counts((GraftStrings.hash60(t) % 72).toInt) += 1 }
+    val want = (for (y <- 0 until 8; x <- 0 until 8) yield {
+      val l = math.min(255, counts(y * 9 + x))
+      val r = math.min(255, counts(y * 9 + x + 1))
+      if (r > l) '1' else '0'
+    }).mkString
+    assert(bits == want, s"codec bits $bits != recompute $want")
+  }
+
+  test("histogram dHash is perceptual: a one-token edit moves few bits, disjoint text many") {
+    def sig(t: String) =
+      Multimodal.dHashBits(Multimodal.histogramPng(t)).get._3
+    def ham(a: String, b: String) = a.zip(b).count { case (x, y) => x != y }
+    val base = "join hash scan filter vector merge table group order batch"
+    val nearDup = base.replace("batch", "window") // one token swapped
+    val disjoint = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val (hNear, hFar) = (ham(sig(base), sig(nearDup)), ham(sig(base), sig(disjoint)))
+    assert(hNear < hFar,
+      s"one-token edit ($hNear bits) must move less than disjoint text ($hFar)")
+    assert(hNear <= 6, s"a one-token edit flipped $hNear of 64 bits")
+  }
+
+  test("image-signature agreement separates true near-dups from banding false positives") {
+    val rows = graft.queries.LlmOps.multimodalNearDup(spark, sf).collect()
+      .map(r => (r.getLong(2), r.getDouble(3)))
+    assert(rows.nonEmpty)
+    val trueDups = rows.filter(_._2 >= 0.5).map(_._1)
+    val falsePos = rows.filter(_._2 < 0.1).map(_._1)
+    assert(trueDups.nonEmpty)
+    if (falsePos.nonEmpty)
+      assert(trueDups.max < falsePos.min,
+        s"image distance failed to separate: true ${trueDups.max} vs false ${falsePos.min}")
+  }
 }
