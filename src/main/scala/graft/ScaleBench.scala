@@ -438,6 +438,14 @@ object ScaleBench {
       // no exchange beyond stats/top-k partials in either round
       val (rmSec, rmRows, rmEx) = bestIf("rm3_topk")(
         queries.LlmOps.rm3TopK(spark, dir))
+      // b-bit estimate: one pinned sig build; banding, slot fetches and
+      // verify are candidate-sized pin consumers — rows ∝ candidates
+      val (beSec, beRows, beEx) = bestIf("bbit_est")(
+        queries.LlmOps.bbitMinhashEstimate(spark, dir))
+      // image near-dup: per-doc REAL codec work (histogram → PNG →
+      // decode → dHash) ∝ docs, plus the candidate-sized pair joins
+      val (inSec, inRows, inEx) = bestIf("image_neardup")(
+        queries.LlmOps.multimodalNearDup(spark, dir))
       // richness: one gram-keyed map-side-combined exchange + a 1-row
       // rollup — rows pinned at 1, time ∝ the gram stream
       val (vrSec, vrRows, vrEx) = bestIf("vocab_richness")(
@@ -505,6 +513,8 @@ object ScaleBench {
         "rm3_topk" -> (rmSec, rmRows, rmEx),
         "sft_examples" -> (sfSec, sfRows, sfEx),
         "vocab_richness" -> (vrSec, vrRows, vrEx),
+        "bbit_est" -> (beSec, beRows, beEx),
+        "image_neardup" -> (inSec, inRows, inEx),
         "source_novelty" -> (snSec, snRows, snEx),
         "langid_nb" -> (liSec, liRows, liEx))
         .filter { case (op, _) => wanted(op) }
