@@ -57,6 +57,7 @@ object SparkEntry {
     "q_cohort_retention" -> (Events.cohortRetention(_, _)),
     "q_engagement_coverage" -> (Events.engagementCoverage(_, _)),
     "q_event_transitions" -> (Events.eventTransitions(_, _)),
+    "q_attribution" -> (Events.lastTouchAttribution(_, _)),
     "q_trend_slope" -> (Events.trendSlope(_, _)),
     "q_anomaly_days" -> (Events.anomalyDays(_, _)),
     "q_pagerank" -> ((s, d) => LlmOps.pagerankTopK(s, d)),
@@ -561,6 +562,7 @@ object SparkEntry {
     "q_cohort_retention" -> Events.cohortRetentionSql,
     "q_engagement_coverage" -> Events.engagementCoverageSql,
     "q_event_transitions" -> Events.eventTransitionsSql,
+    "q_attribution" -> Events.lastTouchAttributionSql,
     "q_trend_slope" -> Events.trendSlopeSql,
     "q_anomaly_days" -> Events.anomalyDaysSql,
     "q_pagerank" -> LlmOps.pagerankTopKSql,

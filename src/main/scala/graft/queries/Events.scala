@@ -511,6 +511,60 @@ object Events {
     * every oracle: CAST AROUND the aggregate, `CAST(sum(x) AS BIGINT)`;
     * a cast inside the sum does not help.
     */
+  /** Last-touch revenue ATTRIBUTION — the conversion-credit model a
+    * product-analytics stack runs next to the funnel: every purchase
+    * attributes its value to the user's most recent NON-purchase event
+    * within the attribution window (1 hour), and the report rolls up
+    * attributed purchases and revenue per touch event type (purchases
+    * with no in-window touch fall into the 'direct' bucket). The
+    * last-touch carry is the IGNORE NULLS window-navigation pattern
+    * (`q_window_ignore_nulls`' production use): one user-keyed
+    * exchange, no self-join, no per-purchase scan-back. Revenue sums
+    * in DECIMAL(18,2) (the moneySum convention — float sums are
+    * shuffle-order-unstable across engines).
+    */
+  def lastTouchAttribution(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val byUser = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    Tables.loadEvents(spark, dir)
+      .select(col("user_id"), col("ts"), col("event_id"),
+        col("event_type"), col("value"))
+      .withColumn("touch", last(
+        when(col("event_type") =!= "purchase",
+          struct(col("ts").as("t"), col("event_type").as("et"))),
+        ignoreNulls = true).over(byUser))
+      .filter(col("event_type") === "purchase")
+      .withColumn("touch_type",
+        when(col("touch").isNotNull &&
+          col("touch.t") >= col("ts") - expr("INTERVAL 1 hour"),
+          col("touch.et")).otherwise(lit("direct")))
+      .groupBy(col("touch_type"))
+      .agg(count(lit(1)).as("n_purchases"),
+        Analytics.moneySum(col("value")).as("attributed_usd"))
+      .orderBy(col("touch_type"))
+  }
+
+  val lastTouchAttributionSql: String =
+    """WITH e AS (SELECT user_id, ts::TIMESTAMP AS ts, event_id,
+      |    event_type, value FROM events),
+      |t AS (SELECT *,
+      |  last_value(CASE WHEN event_type <> 'purchase'
+      |      THEN struct_pack(t := ts, et := event_type) END IGNORE NULLS)
+      |    OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS touch
+      |  FROM e),
+      |p AS (SELECT CASE WHEN touch IS NOT NULL
+      |    AND struct_extract(touch, 't') >= ts - INTERVAL 1 HOUR
+      |    THEN struct_extract(touch, 'et') ELSE 'direct' END AS touch_type,
+      |    value
+      |  FROM t WHERE event_type = 'purchase')
+      |SELECT touch_type, CAST(count(*) AS BIGINT) AS n_purchases,
+      |  CAST(CAST(sum(CAST(value AS DECIMAL(18,2))) AS DECIMAL(18,2))
+      |    AS DOUBLE) AS attributed_usd
+      |FROM p GROUP BY 1 ORDER BY 1""".stripMargin
+
   def sessionTranscript(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts"))

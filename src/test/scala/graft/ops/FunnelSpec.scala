@@ -117,4 +117,23 @@ class FunnelSpec extends SparkSpec {
       (1L, ts("2024-01-01 13:00:00"), 1L, 0L, "error", 5L),
       (2L, ts("2024-01-01 09:00:00"), 1L, 0L, "signup", 6L)))
   }
+
+  test("attribution: purchase and revenue conservation across touch buckets") {
+    import org.apache.spark.sql.functions._
+    val rows = graft.queries.Events.lastTouchAttribution(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+    assert(rows.nonEmpty)
+    // every purchase lands in exactly one bucket
+    val purchases = graft.Tables.loadEvents(spark, sf)
+      .filter(col("event_type") === "purchase")
+    assert(rows.map(_._2).sum == purchases.count(),
+      "attributed purchase counts must partition the purchase set")
+    // revenue conserves exactly (DECIMAL sums on both sides)
+    val total = purchases.agg(
+      graft.queries.Analytics.moneySum(col("value"))).collect()(0).getDouble(0)
+    assert(math.abs(rows.map(_._3).sum - total) < 1e-6,
+      s"attributed ${rows.map(_._3).sum} != total purchase revenue $total")
+    // no purchase self-attributes: 'purchase' never appears as a touch
+    assert(!rows.exists(_._1 == "purchase"))
+  }
 }
