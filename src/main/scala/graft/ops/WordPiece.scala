@@ -304,6 +304,48 @@ object WordPiece {
       .orderBy(col("block_id"))
   }
 
+  /** The q_block_provenance face — the GOVERNANCE inverse of
+    * [[blocksQuery]]: which documents contributed ids to which
+    * training blocks. Because packing splits documents across block
+    * boundaries, a doc can span several blocks and a block holds
+    * several docs — this map is what a right-to-be-forgotten /
+    * machine-unlearning request resolves against ("locate every
+    * training block touching doc X" → retrain or drop exactly those),
+    * and what contamination forensics walks backwards ("which docs
+    * fed the block that memorized"). One row per (block, doc)
+    * membership with the contributed id count; the same single
+    * token-keyed exchange as the blocks face (grouped by (block, doc)
+    * instead of block), so provenance costs nothing extra to derive.
+    * Conservation laws pinned in `WordPieceSpec`: per-doc id totals
+    * and per-block id totals both reproduce the sibling faces'.
+    */
+  def blockProvenance(spark: SparkSession, dir: String, vocabSize: Int = 256,
+      blockLen: Int = 128, nShards: Int = 8): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val withIds = vocabWithIds(spark, dir, vocabSize)
+    val eodId = withIds.size
+    val inDomain = filter(TextAnalysis.tokens(col("text")),
+      w => w.rlike("^[a-z]+$") && length(w) >= 2)
+    val ids = concat(
+      flatten(transform(inDomain,
+        w => graft.functions.GraftFunctions.wordpieceIds(w, withIds))),
+      array(lit(eodId)))
+    val w = Window.partitionBy(col("shard")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    Tables.load(spark, dir, "documents")
+      .select(col("doc_id"), (col("doc_id") % nShards).as("shard"), ids.as("ids"))
+      .withColumn("off",
+        coalesce(sum(size(col("ids")).cast("long")).over(w), lit(0L)))
+      .select(col("doc_id"), col("shard"), col("off"),
+        posexplode(col("ids")).as(Seq("i", "id")))
+      .select(col("doc_id"),
+        (col("shard") * lit(1L << 40) +
+          ((col("off") + col("i")) / blockLen).cast("long")).as("block_id"))
+      .groupBy(col("block_id"), col("doc_id"))
+      .agg(count(lit(1)).as("n_ids"))
+      .orderBy(col("block_id"), col("doc_id"))
+  }
+
   // ------------------------------------------------------------ oracles
 
   /** The shared fit chain: word counts → substring candidates → top-V.
@@ -510,6 +552,21 @@ object WordPiece {
        |SELECT block_id, CAST(count(*) AS BIGINT) AS n_ids,
        |  md5(string_agg(id::VARCHAR, ' ' ORDER BY slot)) AS ids_md5
        |FROM stream GROUP BY 1 ORDER BY 1""".stripMargin
+
+  /** DuckDB replay of the provenance face: [[blocksSql]]'s chain with
+    * the final aggregation keyed (block, doc) instead of block.
+    */
+  def blockProvenanceSql(vocabSize: Int = 256, blockLen: Int = 128,
+      nShards: Int = 8): String = {
+    val base = blocksSql(vocabSize, blockLen, nShards)
+    val cut = base.indexOf("SELECT block_id, CAST(count(*) AS BIGINT) AS n_ids,")
+    base.substring(0, cut) +
+      s"""SELECT block_id, doc_id, CAST(count(*) AS BIGINT) AS n_ids
+         |FROM (SELECT o.doc_id,
+         |    shard * ${1L << 40} + ((off + i - 1) // $blockLen) AS block_id
+         |  FROM off o, unnest(range(1, len(l) + 1)) z(i))
+         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+  }
 
   /** DuckDB replay of the ids face: the fit chain + id assignment by
     * row_number over (cont, sub); the greedy walk is the same

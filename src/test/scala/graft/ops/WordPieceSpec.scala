@@ -288,6 +288,29 @@ class WordPieceSpec extends SparkSpec {
     assert(blocks.forall(_._3.matches("[0-9a-f]{32}")))
   }
 
+  test("block provenance: both marginals reproduce the sibling faces exactly") {
+    val prov = WordPiece.blockProvenance(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(prov.nonEmpty)
+    // per-block marginal == the blocks face's n_ids
+    val blocks = WordPiece.blocksQuery(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    prov.groupBy(_._1).foreach { case (blk, rows) =>
+      assert(rows.map(_._3).sum == blocks(blk),
+        s"block $blk: provenance ${rows.map(_._3).sum} != blocks face ${blocks(blk)}")
+    }
+    // per-doc marginal == the ids face's count + its EOD
+    val ids = WordPiece.idsQuery(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    prov.groupBy(_._2).foreach { case (doc, rows) =>
+      assert(rows.map(_._3).sum == ids(doc) + 1,
+        s"doc $doc: provenance ${rows.map(_._3).sum} != ids ${ids(doc)} + EOD")
+    }
+    // packing genuinely splits: some doc spans more than one block
+    assert(prov.groupBy(_._2).values.exists(_.size > 1),
+      "no document spans a block boundary — packing semantics broken")
+  }
+
   test("the fitted vocabulary compresses strictly better than chars alone") {
     val singles = ('a' to 'z').map(_.toString)
     val words = Bpe.wordCounts(spark, sf).limit(500).collect()
