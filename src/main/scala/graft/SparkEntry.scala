@@ -126,6 +126,7 @@ object SparkEntry {
     "q_minpiece_encode" -> ((s, d) => graft.ops.WordPiece.minEncodeStats(s, d)),
     "q_token_blocks" -> ((s, d) => graft.ops.WordPiece.blocksQuery(s, d)),
     "q_block_provenance" -> ((s, d) => graft.ops.WordPiece.blockProvenance(s, d)),
+    "q_block_decontam" -> ((s, d) => graft.ops.WordPiece.blockDecontam(s, d)),
     "q_phrase_search" -> ((s, d) => graft.ops.InvertedIndex.phraseSearch(s, d)),
     "q_phrase_search_incr" -> ((s, d) => graft.ops.InvertedIndex.phraseSearchIncr(s, d)),
     "q_index_stats" -> ((s, d) => graft.ops.InvertedIndex.indexStats(s, d)),
@@ -457,6 +458,7 @@ object SparkEntry {
     "q_minpiece_encode" -> graft.ops.WordPiece.minEncodeSql(),
     "q_token_blocks" -> graft.ops.WordPiece.blocksSql(),
     "q_block_provenance" -> graft.ops.WordPiece.blockProvenanceSql(),
+    "q_block_decontam" -> graft.ops.WordPiece.blockDecontamSql,
     "q_phrase_search" -> graft.ops.InvertedIndex.phraseSearchSql(),
     "q_phrase_search_incr" -> graft.ops.InvertedIndex.phraseSearchSql(),
     "q_index_stats" -> graft.ops.InvertedIndex.indexStatsSql,

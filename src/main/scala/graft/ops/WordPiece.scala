@@ -346,6 +346,39 @@ object WordPiece {
       .orderBy(col("block_id"), col("doc_id"))
   }
 
+  /** The q_block_decontam face — the composed governance action:
+    * decontamination flags documents sharing eval-set 8-grams
+    * (`LlmOps.decontaminate`), provenance maps documents to training
+    * blocks ([[blockProvenance]]), and this query joins the two into
+    * the REBUILD LIST — every block whose id stream contains
+    * contaminated-document content, with how many docs/ids in that
+    * block are tainted. This is the operational output: blocks to drop
+    * or repack before the training run, resolved without rereading any
+    * text (flags join the provenance map, both id-keyed).
+    */
+  def blockDecontam(spark: SparkSession, dir: String): DataFrame = {
+    val flagged = graft.queries.LlmOps.decontaminate(spark, dir)
+      .select(col("doc_id"))
+    blockProvenance(spark, dir)
+      .join(flagged, Seq("doc_id"), "left_semi")
+      .groupBy(col("block_id"))
+      .agg(count(lit(1)).as("n_tainted_docs"),
+        sum(col("n_ids")).as("n_tainted_ids"))
+      .orderBy(col("block_id"))
+  }
+
+  /** DuckDB replay: [[blockProvenanceSql]] ∩ the decontamination flags,
+    * rolled up per block.
+    */
+  def blockDecontamSql: String =
+    s"""WITH prov AS MATERIALIZED (${blockProvenanceSql()}),
+       |flagged AS MATERIALIZED (${graft.queries.LlmOps.decontaminateSql})
+       |SELECT p.block_id, CAST(count(*) AS BIGINT) AS n_tainted_docs,
+       |  CAST(sum(p.n_ids) AS BIGINT) AS n_tainted_ids
+       |FROM prov p JOIN (SELECT DISTINCT doc_id FROM flagged) f
+       |  USING (doc_id)
+       |GROUP BY 1 ORDER BY 1""".stripMargin
+
   // ------------------------------------------------------------ oracles
 
   /** The shared fit chain: word counts → substring candidates → top-V.

@@ -311,6 +311,20 @@ class WordPieceSpec extends SparkSpec {
       "no document spans a block boundary — packing semantics broken")
   }
 
+  test("block decontam: the rebuild list is exactly provenance ∩ flags") {
+    val flagged = graft.queries.LlmOps.decontaminate(spark, sf).collect()
+      .map(_.getLong(0)).toSet
+    assert(flagged.nonEmpty, "the decontamination face flags nothing — gate dead")
+    val prov = WordPiece.blockProvenance(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val want = prov.filter(p => flagged(p._2)).groupBy(_._1)
+      .map { case (b, rs) => (b, rs.size.toLong, rs.map(_._3).sum) }
+      .toSeq.sortBy(_._1)
+    val got = WordPiece.blockDecontam(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got == want, s"rebuild list: got $got, want $want")
+  }
+
   test("the fitted vocabulary compresses strictly better than chars alone") {
     val singles = ('a' to 'z').map(_.toString)
     val words = Bpe.wordCounts(spark, sf).limit(500).collect()
