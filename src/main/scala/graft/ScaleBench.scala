@@ -398,6 +398,13 @@ object ScaleBench {
         graft.ops.WordPiece.clearFitCache()
         graft.ops.WordPiece.minEncodeStats(spark, dir)
       }
+      // attribution: one user-keyed window exchange, ≤|types|+1 rows
+      val (atSec, atRows, atEx) = bestIf("attribution")(
+        queries.Events.lastTouchAttribution(spark, dir))
+      // provenance: the blocks exchange keyed (block, doc) — rows ∝
+      // block×doc memberships (∝ the id stream)
+      val (bpSec, bpRows, bpEx) = bestIf("block_provenance")(
+        graft.ops.WordPiece.blockProvenance(spark, dir))
       // token blocks: the terminal materialization — rows ∝ tokens/128
       // by definition, and the block exchange carries every token once
       // (the honest cost of writing training batches); time must stay
@@ -505,6 +512,8 @@ object ScaleBench {
         "wordpiece_ids" -> (wiSec, wiRows, wiEx),
         "minpiece_encode" -> (mnSec, mnRows, mnEx),
         "token_blocks" -> (tbSec, tbRows, tbEx),
+        "attribution" -> (atSec, atRows, atEx),
+        "block_provenance" -> (bpSec, bpRows, bpEx),
         "kn_bigram" -> (knSec, knRows, knEx),
         "embed_margin_pairs" -> (mpSec, mpRows, mpEx),
         "embed_recall" -> (reSec, reRows, reEx),
