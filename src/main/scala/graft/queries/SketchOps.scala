@@ -34,6 +34,55 @@ object SketchOps {
     PortableSketches.hllEstimate(regs, Seq("lang"))
   }
 
+  /** Sketch ROLLUP — the distributed-sketch contract as a query: each
+    * source's HLL register table is built once (the per-shard artifact
+    * a 100 TB fleet persists), and the corpus-wide 'ALL' row is
+    * estimated by MERGING those register tables (max per register) —
+    * never by re-scanning the corpus. Max-merge is associative and
+    * lossless for HLL, so rollup-from-sketches ≡ direct build exactly
+    * (`SketchesSpec` pins the equality); the oracle replays both the
+    * per-source sketches and the merge, hash-checking the whole
+    * daily-sketch → monthly-rollup pattern.
+    */
+  def sketchHllRollup(spark: SparkSession, dir: String): DataFrame = {
+    val occ = Tables.load(spark, dir, "documents")
+      .select(col("source"), explode(toks(col("text"))).as("token"))
+    val regs = graft.ops.CacheBin.pin(
+      PortableSketches.hllRegisters(occ, Seq("source"), col("token")))
+    val perSource = PortableSketches.hllEstimate(
+        regs.withColumnRenamed("source", "scope"), Seq("scope"))
+    val merged = regs.groupBy(col("reg")).agg(max(col("r")).as("r"))
+      .withColumn("scope", lit("ALL"))
+    perSource.unionAll(PortableSketches.hllEstimate(merged, Seq("scope")))
+      .orderBy(col("scope"))
+  }
+
+  val sketchHllRollupSql: String =
+    """WITH occ AS (
+      |  SELECT source, unnest(string_split_regex(trim(text), '\s+')) AS token
+      |  FROM documents),
+      |regs AS (
+      |  SELECT source,
+      |    ('0x' || substr(md5(token), 1, 2))::BIGINT AS reg,
+      |    max(CASE WHEN ('0x' || substr(md5(token), 3, 8))::BIGINT = 0 THEN 33
+      |        ELSE 33 - length(bin(('0x' || substr(md5(token), 3, 8))::BIGINT)) END)
+      |      AS r
+      |  FROM occ GROUP BY 1, 2),
+      |allregs AS (
+      |  SELECT 'ALL' AS scope, reg, max(r) AS r FROM regs GROUP BY 2),
+      |u AS (
+      |  SELECT source AS scope, reg, r FROM regs
+      |  UNION ALL SELECT scope, reg, r FROM allregs),
+      |z AS (
+      |  SELECT scope,
+      |    sum(CAST(1.0 AS DOUBLE) / CAST(1::BIGINT << r AS DOUBLE)) AS z_occ,
+      |    count(*) AS n_occ
+      |  FROM u GROUP BY 1)
+      |SELECT scope,
+      |  round(CAST(0.7213 AS DOUBLE) / (CAST(1.0 AS DOUBLE) + CAST(1.079 AS DOUBLE) / CAST(256.0 AS DOUBLE)) * CAST(65536.0 AS DOUBLE)
+      |        / (z_occ + CAST(256 - n_occ AS DOUBLE)), 6) AS hll_nd
+      |FROM z ORDER BY 1""".stripMargin
+
   val sketchHllTokensSql: String =
     """WITH occ AS (
       |  SELECT lang, unnest(string_split_regex(trim(text), '\s+')) AS token

@@ -137,4 +137,24 @@ class PortableSketchesSpec extends SparkSpec {
     assert(s1.subsetOf(s3))
     assert(s1.nonEmpty && s1.size < 2000)
   }
+
+  test("hll rollup: merged per-source registers equal the direct global sketch") {
+    import org.apache.spark.sql.functions._
+    val rows = graft.queries.SketchOps.sketchHllRollup(spark, sf).collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(rows.contains("ALL") && rows.size >= 2)
+    // direct build over the whole corpus, no merge involved
+    val occ = graft.Tables.load(spark, sf, "documents")
+      .select(lit("ALL").as("scope"),
+        explode(split(trim(col("text")), "\\s+")).as("token"))
+    val direct = PortableSketches.hllEstimate(
+      PortableSketches.hllRegisters(occ, Seq("scope"), col("token")),
+      Seq("scope")).collect()(0).getDouble(1)
+    assert(rows("ALL") == direct,
+      s"rollup-from-sketches ${rows("ALL")} != direct $direct — merge lost registers")
+    // the union estimate dominates every per-source estimate
+    rows.filterKeys(_ != "ALL").values.foreach { v =>
+      assert(rows("ALL") >= v, s"union estimate below a member: $rows")
+    }
+  }
 }
