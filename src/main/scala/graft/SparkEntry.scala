@@ -228,6 +228,7 @@ object SparkEntry {
     // — portable sketches, graph stats, weighted sampling
     "q_sketch_hll" -> (SketchOps.sketchHllTokens(_, _)),
     "q_sketch_hll_rollup" -> (SketchOps.sketchHllRollup(_, _)),
+    "q_sketch_kmv_overlap" -> (SketchOps.sketchKmvOverlap(_, _)),
     "q_sketch_kmv" -> (SketchOps.sketchKmvTokens(_, _)),
     "q_sketch_cms" -> (SketchOps.sketchCmsTokens(_, _)),
     "q_sketch_builtin_bounds" -> (SketchOps.sketchBuiltinBounds(_, _)),
@@ -531,6 +532,7 @@ object SparkEntry {
     "q_dedup_span_removal" -> LlmOps.removeDuplicateSpansSql,
     "q_sketch_hll" -> SketchOps.sketchHllTokensSql,
     "q_sketch_hll_rollup" -> SketchOps.sketchHllRollupSql,
+    "q_sketch_kmv_overlap" -> SketchOps.sketchKmvOverlapSql(),
     "q_sketch_kmv" -> SketchOps.sketchKmvTokensSql,
     "q_sketch_cms" -> SketchOps.sketchCmsTokensSql,
     "q_sketch_builtin_bounds" -> SketchOps.sketchBuiltinBoundsSql,

@@ -83,6 +83,104 @@ object SketchOps {
       |        / (z_occ + CAST(256 - n_occ AS DOUBLE)), 6) AS hll_nd
       |FROM z ORDER BY 1""".stripMargin
 
+  /** KMV set-OVERLAP estimation between sources (the Beyer et al.
+    * k-min-values intersection estimator): each source keeps only its
+    * k = 16 smallest distinct token hashes, and a pair's Jaccard is
+    * estimated as the in-both fraction of the k smallest hashes of the
+    * pooled sketches — reported NEXT TO the exact posting-join Jaccard
+    * so the estimator's error is a query result. k = 16 sits BELOW the
+    * per-source vocabularies, so the sketch genuinely estimates
+    * (at k ≥ |set| KMV degenerates to the exact set — the face would
+    * compare a number to itself). All arithmetic is exact: 40-bit
+    * hashes, integer memberships, one rounded division per column.
+    *
+    * Shape: the sketch table is ≤ |sources|·k rows (distinct-hash
+    * aggregate + per-source window over ≤ vocabulary rows) and the
+    * pairwise estimation runs on the COLLECTED sketches — parameter
+    * math, the codebook class; the exact side is the vocabOverlap
+    * posting join. At 100 TB only the exact side touches the corpus —
+    * which is the estimator's selling point, measured here.
+    */
+  def sketchKmvOverlap(spark: SparkSession, dir: String,
+      k: Int = 16): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val dtok = graft.ops.CacheBin.pin(
+      Tables.load(spark, dir, "documents")
+        .select(col("source"), explode(toks(col("text"))).as("token"))
+        .distinct())
+    // per-source k-min sketch, collected (≤ |sources|·k longs)
+    val kmins = dtok
+      .select(col("source"), PortableSketches.hash40(col("token")).as("h"))
+      .distinct()
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("source")).orderBy(col("h"))))
+      .filter(col("rk") <= k)
+      .select(col("source"), col("h"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+      .groupBy(_._1).map { case (s, rs) => s -> rs.map(_._2).toSet }
+    val est = kmins.keys.toSeq.sorted.combinations(2).map { case Seq(a, b) =>
+      val pooled = (kmins(a) ++ kmins(b)).toSeq.sorted.take(k)
+      val inBoth = pooled.count(h => kmins(a)(h) && kmins(b)(h))
+      // denominator is |U_k| — the k smallest of the POOLED sets, or
+      // all of them when the union is smaller than k (the exactness
+      // regime): dividing by a fixed k would deflate small unions
+      (a, b, BigDecimal(inBoth.toDouble / pooled.size)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    }.toSeq.toDF("src_a", "src_b", "kmv_jaccard")
+    // exact side: posting join over the pinned distinct tokens
+    val cnt = dtok.groupBy(col("source")).agg(count(lit(1)).as("n"))
+    val inter = dtok.as("a")
+      .join(dtok.as("b"), col("a.token") === col("b.token") &&
+        col("a.source") < col("b.source"))
+      .groupBy(col("a.source").as("src_a"), col("b.source").as("src_b"))
+      .agg(count(lit(1)).as("inter"))
+    inter
+      .join(cnt.select(col("source").as("src_a"), col("n").as("na")), Seq("src_a"))
+      .join(cnt.select(col("source").as("src_b"), col("n").as("nb")), Seq("src_b"))
+      .join(broadcast(est), Seq("src_a", "src_b"))
+      .select(col("src_a"), col("src_b"), col("kmv_jaccard"),
+        round(col("inter").cast(DoubleType) /
+          (col("na") + col("nb") - col("inter")).cast(DoubleType), 6)
+          .as("jaccard"))
+      .orderBy(col("src_a"), col("src_b"))
+  }
+
+  def sketchKmvOverlapSql(k: Int = 16): String =
+    s"""WITH dtok AS MATERIALIZED (
+       |  SELECT DISTINCT source, token FROM (
+       |    SELECT source, unnest(string_split_regex(trim(text), '\\s+')) AS token
+       |    FROM documents)),
+       |h AS (SELECT DISTINCT source,
+       |  ('0x' || substr(md5(token), 1, 10))::BIGINT AS h FROM dtok),
+       |kmins AS MATERIALIZED (SELECT source, h FROM (
+       |  SELECT source, h, row_number() OVER (PARTITION BY source ORDER BY h) AS rk
+       |  FROM h) WHERE rk <= $k),
+       |srcs AS (SELECT DISTINCT source FROM dtok),
+       |pairs AS (SELECT a.source AS sa, b.source AS sb
+       |  FROM srcs a JOIN srcs b ON a.source < b.source),
+       |uni AS (SELECT p.sa, p.sb, m.h,
+       |  max(CASE WHEN m.source = p.sa THEN 1 ELSE 0 END) AS ina,
+       |  max(CASE WHEN m.source = p.sb THEN 1 ELSE 0 END) AS inb
+       |  FROM pairs p JOIN kmins m ON m.source IN (p.sa, p.sb)
+       |  GROUP BY 1, 2, 3),
+       |topu AS (SELECT * FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY sa, sb ORDER BY h) AS rk
+       |  FROM uni) WHERE rk <= $k),
+       |est AS (SELECT sa, sb,
+       |  round(sum(CASE WHEN ina = 1 AND inb = 1 THEN 1 ELSE 0 END)::DOUBLE
+       |    / count(*)::DOUBLE, 6) AS kmv_jaccard
+       |  FROM topu GROUP BY 1, 2),
+       |c AS (SELECT source, CAST(count(*) AS BIGINT) AS n FROM dtok GROUP BY 1),
+       |i AS (SELECT a.source AS sa, b.source AS sb, CAST(count(*) AS BIGINT) AS inter
+       |  FROM dtok a JOIN dtok b ON a.token = b.token AND a.source < b.source
+       |  GROUP BY 1, 2)
+       |SELECT i.sa AS src_a, i.sb AS src_b, e.kmv_jaccard,
+       |  round(i.inter::DOUBLE / (ca.n + cb.n - i.inter)::DOUBLE, 6) AS jaccard
+       |FROM i JOIN est e ON e.sa = i.sa AND e.sb = i.sb
+       |  JOIN c ca ON ca.source = i.sa JOIN c cb ON cb.source = i.sb
+       |ORDER BY 1, 2""".stripMargin
+
   val sketchHllTokensSql: String =
     """WITH occ AS (
       |  SELECT lang, unnest(string_split_regex(trim(text), '\s+')) AS token

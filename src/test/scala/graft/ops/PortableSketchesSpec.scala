@@ -157,4 +157,25 @@ class PortableSketchesSpec extends SparkSpec {
       assert(rows("ALL") >= v, s"union estimate below a member: $rows")
     }
   }
+
+  test("kmv overlap: k beyond the vocabularies degenerates to exact; k=16 estimates") {
+    // k = 256 ≥ every per-source vocabulary on this corpus: the sketch
+    // holds the whole hash set, so the estimator must equal the exact
+    // jaccard on every pair (hash collisions aside — none at 40 bits
+    // over ~31 tokens)
+    val wide = graft.queries.SketchOps.sketchKmvOverlap(spark, sf, k = 256)
+      .collect().map(r => (r.getDouble(2), r.getDouble(3)))
+    assert(wide.nonEmpty)
+    wide.foreach { case (est, exact) =>
+      assert(math.abs(est - exact) < 1e-9, s"k≥|set| must be exact: $est vs $exact")
+    }
+    // the default k = 16 genuinely estimates: some pair shows error,
+    // and the error stays inside the KMV concentration regime
+    val est16 = graft.queries.SketchOps.sketchKmvOverlap(spark, sf)
+      .collect().map(r => (r.getDouble(2), r.getDouble(3)))
+    assert(est16.exists { case (e, x) => e != x }, "k=16 never estimated")
+    est16.foreach { case (e, x) =>
+      assert(math.abs(e - x) <= 0.25, s"estimator off the rails: $e vs $x")
+    }
+  }
 }
