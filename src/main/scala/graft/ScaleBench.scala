@@ -453,6 +453,14 @@ object ScaleBench {
       // decode → dHash) ∝ docs, plus the candidate-sized pair joins
       val (inSec, inRows, inEx) = bestIf("image_neardup")(
         queries.LlmOps.multimodalNearDup(spark, dir))
+      // sketch rollup: the register build is the one corpus-ish term
+      // (≤ |sources|·256 rows out); merge + estimates are ≤256-row math
+      val (hrSec, hrRows, hrEx) = bestIf("hll_rollup")(
+        queries.SketchOps.sketchHllRollup(spark, dir))
+      // kmv overlap: sketches are |sources|·k collected longs; only the
+      // exact posting join touches the corpus (the estimator's point)
+      val (koSec, koRows, koEx) = bestIf("kmv_overlap")(
+        queries.SketchOps.sketchKmvOverlap(spark, dir))
       // richness: one gram-keyed map-side-combined exchange + a 1-row
       // rollup — rows pinned at 1, time ∝ the gram stream
       val (vrSec, vrRows, vrEx) = bestIf("vocab_richness")(
@@ -523,6 +531,8 @@ object ScaleBench {
         "sft_examples" -> (sfSec, sfRows, sfEx),
         "vocab_richness" -> (vrSec, vrRows, vrEx),
         "bbit_est" -> (beSec, beRows, beEx),
+        "hll_rollup" -> (hrSec, hrRows, hrEx),
+        "kmv_overlap" -> (koSec, koRows, koEx),
         "image_neardup" -> (inSec, inRows, inEx),
         "source_novelty" -> (snSec, snRows, snEx),
         "langid_nb" -> (liSec, liRows, liEx))
