@@ -115,6 +115,13 @@ object Bench {
     val total = if (ok.nonEmpty) ok.values.map(_.min).sum else 0.0
     val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"iters_raw":$raw,"failed":$failedJson,"sf":"$sfDir","iters":$iters,"agg":"min","loadavg_before":$loadBefore,"loadavg_after":$loadAfter}"""
     println(json)
+    // The driver's stdout capture keeps only the TAIL of the output, and
+    // the full line above (200 queries x raw iteration arrays) overflows
+    // it — two driver rounds produced `parsed: null` receipts. Print a
+    // compact totals-only line LAST so any tail capture ends with one
+    // complete, parseable JSON object; the full per-query detail stays in
+    // the big line and in target/bench_last.json.
+    println(s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${ok.size},"n_failed":${failedNames.size},"sf":"$sfDir","iters":$iters,"agg":"min","loadavg_before":$loadBefore,"loadavg_after":$loadAfter}""")
     // Also write the full line to a file: the driver's stdout capture
     // truncates long tails, which last round lost 32 of 67 per-query
     // numbers — the file always carries the complete data.

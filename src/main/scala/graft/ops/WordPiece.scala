@@ -274,8 +274,25 @@ object WordPiece {
     * is the honest cost of materializing training batches — linear in
     * tokens, the write itself at 100 TB.
     */
-  def blocksQuery(spark: SparkSession, dir: String, vocabSize: Int = 256,
-      blockLen: Int = 128, nShards: Int = 8): DataFrame = {
+  /** Shared preamble of [[blocksQuery]] and [[blockProvenance]]: every
+    * document's (shard, running shard offset, id array). Two scale
+    * disciplines live here:
+    *  - the encoded docs are CacheBin-pinned because BOTH the offset
+    *    leg and the payload leg consume them — unpinned, the
+    *    O(|vocab|·|word|) wordpiece_ids kernel would re-encode the
+    *    corpus per leg;
+    *  - the per-shard running offset is computed over a NARROW
+    *    (doc_id, shard, n_ids) projection and joined back by doc_id,
+    *    so the shard window's sort ships O(docs)·24-byte rows instead
+    *    of dragging the full id arrays (O(tokens)) through the shard
+    *    exchange — the de-payloaded window shape. The join-back is
+    *    doc-keyed and the offsets side is the narrow one; at bench
+    *    scale AQE broadcasts it, at 100 TB it is a narrow shuffle
+    *    join, either way the id payload crosses the wire only at the
+    *    block-assembly exchange it must cross anyway.
+    */
+  private def idsWithOffsets(spark: SparkSession, dir: String,
+      vocabSize: Int, nShards: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val withIds = vocabWithIds(spark, dir, vocabSize)
     val eodId = withIds.size
@@ -285,16 +302,32 @@ object WordPiece {
       flatten(transform(inDomain,
         w => graft.functions.GraftFunctions.wordpieceIds(w, withIds))),
       array(lit(eodId)))
+    val docs = CacheBin.pin(Tables.load(spark, dir, "documents")
+      .select(col("doc_id"), (col("doc_id") % nShards).as("shard"),
+        ids.as("ids")))
     val w = Window.partitionBy(col("shard")).orderBy(col("doc_id"))
       .rowsBetween(Window.unboundedPreceding, -1)
-    Tables.load(spark, dir, "documents")
-      .select(col("doc_id"), (col("doc_id") % nShards).as("shard"), ids.as("ids"))
-      .withColumn("off",
-        coalesce(sum(size(col("ids")).cast("long")).over(w), lit(0L)))
+    val offsets = docs
+      .select(col("doc_id"), col("shard"), size(col("ids")).cast("long").as("n"))
+      .withColumn("off", coalesce(sum(col("n")).over(w), lit(0L)))
+      .select(col("doc_id"), col("off"))
+    docs.join(offsets, Seq("doc_id"))
+  }
+
+  /** block index/slot from a shard-local position: integer arithmetic
+    * end to end (DIV, not `/` — Spark's `/` on longs is DOUBLE division,
+    * exact only below 2^53, a silent-wrong-block cliff at 100 TB
+    * offsets; DIV mirrors the oracle's `//`).
+    */
+  private def blockId(blockLen: Int) =
+    col("shard") * lit(1L << 40) +
+      expr(s"(off + i) DIV $blockLen")
+
+  def blocksQuery(spark: SparkSession, dir: String, vocabSize: Int = 256,
+      blockLen: Int = 128, nShards: Int = 8): DataFrame =
+    idsWithOffsets(spark, dir, vocabSize, nShards)
       .select(col("shard"), col("off"), posexplode(col("ids")).as(Seq("i", "id")))
-      .select(
-        (col("shard") * lit(1L << 40) +
-          ((col("off") + col("i")) / blockLen).cast("long")).as("block_id"),
+      .select(blockId(blockLen).as("block_id"),
         ((col("off") + col("i")) % blockLen).as("slot"), col("id"))
       .groupBy(col("block_id"))
       .agg(count(lit(1)).as("n_ids"),
@@ -302,7 +335,6 @@ object WordPiece {
           sort_array(collect_list(struct(col("slot"), col("id")))),
           s => s.getField("id").cast("string")), " ")).as("ids_md5"))
       .orderBy(col("block_id"))
-  }
 
   /** The q_block_provenance face — the GOVERNANCE inverse of
     * [[blocksQuery]]: which documents contributed ids to which
@@ -320,31 +352,14 @@ object WordPiece {
     * and per-block id totals both reproduce the sibling faces'.
     */
   def blockProvenance(spark: SparkSession, dir: String, vocabSize: Int = 256,
-      blockLen: Int = 128, nShards: Int = 8): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val withIds = vocabWithIds(spark, dir, vocabSize)
-    val eodId = withIds.size
-    val inDomain = filter(TextAnalysis.tokens(col("text")),
-      w => w.rlike("^[a-z]+$") && length(w) >= 2)
-    val ids = concat(
-      flatten(transform(inDomain,
-        w => graft.functions.GraftFunctions.wordpieceIds(w, withIds))),
-      array(lit(eodId)))
-    val w = Window.partitionBy(col("shard")).orderBy(col("doc_id"))
-      .rowsBetween(Window.unboundedPreceding, -1)
-    Tables.load(spark, dir, "documents")
-      .select(col("doc_id"), (col("doc_id") % nShards).as("shard"), ids.as("ids"))
-      .withColumn("off",
-        coalesce(sum(size(col("ids")).cast("long")).over(w), lit(0L)))
+      blockLen: Int = 128, nShards: Int = 8): DataFrame =
+    idsWithOffsets(spark, dir, vocabSize, nShards)
       .select(col("doc_id"), col("shard"), col("off"),
         posexplode(col("ids")).as(Seq("i", "id")))
-      .select(col("doc_id"),
-        (col("shard") * lit(1L << 40) +
-          ((col("off") + col("i")) / blockLen).cast("long")).as("block_id"))
+      .select(col("doc_id"), blockId(blockLen).as("block_id"))
       .groupBy(col("block_id"), col("doc_id"))
       .agg(count(lit(1)).as("n_ids"))
       .orderBy(col("block_id"), col("doc_id"))
-  }
 
   /** The q_block_decontam face — the composed governance action:
     * decontamination flags documents sharing eval-set 8-grams
@@ -518,16 +533,16 @@ object WordPiece {
        |FROM swc s JOIN gdone g USING (w) JOIN mdone m USING (w)
        |GROUP BY 1 ORDER BY 1""".stripMargin
 
-  /** DuckDB replay of the blocks face: the ids chain of [[idsSql]]
-    * (fit, deterministic ids, greedy-walk recursion, per-doc ordered
-    * id lists), then EOD append, the per-shard running offset window,
-    * the position explode, and the block aggregation with the same
-    * md5-of-joined-ids digest. blockLen is a power of two so the
-    * engine's double division at the block boundary is exact.
+  /** The CTE chain shared by [[blocksSql]] and [[blockProvenanceSql]]:
+    * the ids chain of [[idsSql]] (fit, deterministic ids, greedy-walk
+    * recursion, per-doc ordered id lists), then EOD append and the
+    * per-shard running offset window — everything up to and including
+    * the `off` relation. Factored (the fitCtes pattern) so each face
+    * appends its own final SELECT instead of substring surgery on the
+    * other's SQL.
     */
-  def blocksSql(vocabSize: Int = 256, blockLen: Int = 128,
-      nShards: Int = 8): String =
-    s"""WITH RECURSIVE ${fitCtes(vocabSize)},
+  private def idsChainCtes(vocabSize: Int, nShards: Int): String =
+    s"""${fitCtes(vocabSize)},
        |vocab AS MATERIALIZED (
        |  SELECT cont, sub FROM vocab_mc
        |  UNION
@@ -577,7 +592,16 @@ object WordPiece {
        |    coalesce(CAST(sum(len(l)) OVER (PARTITION BY doc_id % $nShards
        |      ORDER BY doc_id
        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT), 0) AS off
-       |  FROM dl),
+       |  FROM dl)""".stripMargin
+
+  /** DuckDB replay of the blocks face: [[idsChainCtes]], then the
+    * position explode and the block aggregation with the same
+    * md5-of-joined-ids digest. Integer `//` at the block boundary,
+    * mirroring the engine's DIV.
+    */
+  def blocksSql(vocabSize: Int = 256, blockLen: Int = 128,
+      nShards: Int = 8): String =
+    s"""WITH RECURSIVE ${idsChainCtes(vocabSize, nShards)},
        |stream AS (
        |  SELECT shard * ${1L << 40} + ((off + i - 1) // $blockLen) AS block_id,
        |    (off + i - 1) % $blockLen AS slot, l[CAST(i AS INT)] AS id
@@ -586,20 +610,17 @@ object WordPiece {
        |  md5(string_agg(id::VARCHAR, ' ' ORDER BY slot)) AS ids_md5
        |FROM stream GROUP BY 1 ORDER BY 1""".stripMargin
 
-  /** DuckDB replay of the provenance face: [[blocksSql]]'s chain with
-    * the final aggregation keyed (block, doc) instead of block.
+  /** DuckDB replay of the provenance face: [[idsChainCtes]] with the
+    * final aggregation keyed (block, doc) instead of block.
     */
   def blockProvenanceSql(vocabSize: Int = 256, blockLen: Int = 128,
-      nShards: Int = 8): String = {
-    val base = blocksSql(vocabSize, blockLen, nShards)
-    val cut = base.indexOf("SELECT block_id, CAST(count(*) AS BIGINT) AS n_ids,")
-    base.substring(0, cut) +
-      s"""SELECT block_id, doc_id, CAST(count(*) AS BIGINT) AS n_ids
-         |FROM (SELECT o.doc_id,
-         |    shard * ${1L << 40} + ((off + i - 1) // $blockLen) AS block_id
-         |  FROM off o, unnest(range(1, len(l) + 1)) z(i))
-         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
-  }
+      nShards: Int = 8): String =
+    s"""WITH RECURSIVE ${idsChainCtes(vocabSize, nShards)}
+       |SELECT block_id, doc_id, CAST(count(*) AS BIGINT) AS n_ids
+       |FROM (SELECT o.doc_id,
+       |    shard * ${1L << 40} + ((off + i - 1) // $blockLen) AS block_id
+       |  FROM off o, unnest(range(1, len(l) + 1)) z(i))
+       |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
   /** DuckDB replay of the ids face: the fit chain + id assignment by
     * row_number over (cont, sub); the greedy walk is the same

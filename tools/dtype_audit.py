@@ -41,7 +41,15 @@ def main(sf_dir: str, out_dir: str) -> int:
             if c not in exp.columns:
                 continue
             gk, ek = got[c].dtype.kind, exp[c].dtype.kind
-            if gk != ek and "f" in (gk, ek) and not (gk == "f" and ek == "f"):
+            # Flag any kind divergence where one side is float OR one side
+            # is numeric and the other is object: DuckDB HUGEINT can
+            # materialize as pandas object ('O'), which the old float-only
+            # test missed while the driver's stringifier still diverges.
+            numeric = set("iuf")
+            if gk != ek and (
+                "f" in (gk, ek)
+                or ("O" in (gk, ek) and (gk in numeric or ek in numeric))
+            ):
                 bad.append((name, c, str(got[c].dtype), str(exp[c].dtype)))
     for name, c, g, e in bad:
         print(f"MISMATCH {name}.{c}: spark={g} oracle={e}")
