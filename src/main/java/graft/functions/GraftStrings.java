@@ -575,4 +575,93 @@ public final class GraftStrings {
     }
     return new GenericInternalRow(out);
   }
+
+  /** Unigram-LM Viterbi DP key for one word (Kudo, ACL 2018 — the
+   *  SentencePiece default model): the min over segmentations of
+   *  &Sigma; cost(piece), where each transition adds
+   *  {@code costs1024[t] + 1} to a combined key = totalCost·1024 +
+   *  pieceCount — cost in the high bits, piece count in the low 10, so
+   *  one int64 min gives "least cost, then fewest pieces" with no
+   *  separate tie-break. Costs arrive PRE-SCALED by 1024 (the caller
+   *  computes (log2fp(T) − log2fp(c))·1024 on the driver); word length
+   *  is capped well below 1024 pieces by the callers' token domain.
+   *  Returns -1 when some position is uncoverable (the callers include
+   *  every domain single character, so in practice never). Same
+   *  suffix-DP shape as {@link #minPieces}: O(|vocab|·|word|), one
+   *  long[] allocation, one call per DISTINCT word. The DuckDB oracle
+   *  replays the identical recurrence (its list-carrying backward
+   *  recursion computes the same dp array). */
+  public static long unigramDpKey(UTF8String word, byte[][] pieces,
+      long[] costs1024) {
+    byte[] b = word.getBytes();
+    if (b.length == 0) return 0;
+    long[] dp = new long[b.length + 1];
+    java.util.Arrays.fill(dp, -1L);
+    dp[b.length] = 0;
+    for (int i = b.length - 1; i >= 0; i--) {
+      long best = -1;
+      for (int t = 0; t < pieces.length; t++) {
+        byte[] p = pieces[t];
+        if (p.length > b.length - i || dp[i + p.length] < 0) continue;
+        long via = dp[i + p.length] + costs1024[t] + 1;
+        if (best >= 0 && via >= best) continue;
+        boolean eq = true;
+        for (int j = 0; j < p.length; j++) {
+          if (b[i + j] != p[j]) { eq = false; break; }
+        }
+        if (eq) best = via;
+      }
+      dp[i] = best;
+    }
+    return dp[0];
+  }
+
+  /** Unigram-LM Viterbi segmentation emitting PIECE INDEXES (positions
+   *  into the {@code pieces} array) — the E-step workhorse behind the
+   *  unigram fit's expected-count rounds and the ids face. Same DP as
+   *  {@link #unigramDpKey} plus the path walk; the per-position choice
+   *  tie-break is (least key, then LONGEST piece), matching the
+   *  oracle's combo = (cost + dp + 1)·16 + (8 − l) argmin — ties
+   *  between distinct pieces of equal length are impossible (equal
+   *  length + same position ⇒ same substring). Returns null on an
+   *  uncoverable word. */
+  public static ArrayData unigramSegPieces(UTF8String word, byte[][] pieces,
+      long[] costs1024) {
+    byte[] b = word.getBytes();
+    if (b.length == 0) return UnsafeArrayData.fromPrimitiveArray(new int[0]);
+    long[] dp = new long[b.length + 1];
+    int[] choice = new int[b.length];
+    java.util.Arrays.fill(dp, -1L);
+    dp[b.length] = 0;
+    for (int i = b.length - 1; i >= 0; i--) {
+      long best = -1;
+      int bestT = -1;
+      int bestL = 0;
+      for (int t = 0; t < pieces.length; t++) {
+        byte[] p = pieces[t];
+        if (p.length > b.length - i || dp[i + p.length] < 0) continue;
+        long via = dp[i + p.length] + costs1024[t] + 1;
+        if (best >= 0 && (via > best || (via == best && p.length <= bestL)))
+          continue;
+        boolean eq = true;
+        for (int j = 0; j < p.length; j++) {
+          if (b[i + j] != p[j]) { eq = false; break; }
+        }
+        if (eq) { best = via; bestT = t; bestL = p.length; }
+      }
+      dp[i] = best;
+      choice[i] = bestT;
+    }
+    if (dp[0] < 0) return null;
+    int[] out = new int[b.length];
+    int pos = 0;
+    int n = 0;
+    while (pos < b.length) {
+      int t = choice[pos];
+      out[n++] = t;
+      pos += pieces[t].length;
+    }
+    return UnsafeArrayData.fromPrimitiveArray(
+        n == out.length ? out : java.util.Arrays.copyOf(out, n));
+  }
 }

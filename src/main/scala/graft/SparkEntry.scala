@@ -124,6 +124,9 @@ object SparkEntry {
     "q_wordpiece_encode" -> ((s, d) => graft.ops.WordPiece.encodeStats(s, d)),
     "q_wordpiece_ids" -> ((s, d) => graft.ops.WordPiece.idsQuery(s, d)),
     "q_minpiece_encode" -> ((s, d) => graft.ops.WordPiece.minEncodeStats(s, d)),
+    "q_unigram_fit" -> ((s, d) => graft.ops.Unigram.fitQuery(s, d)),
+    "q_unigram_encode" -> ((s, d) => graft.ops.Unigram.encodeStats(s, d)),
+    "q_unigram_bakeoff" -> ((s, d) => graft.ops.Unigram.bakeoff(s, d)),
     "q_token_blocks" -> ((s, d) => graft.ops.WordPiece.blocksQuery(s, d)),
     "q_block_provenance" -> ((s, d) => graft.ops.WordPiece.blockProvenance(s, d)),
     "q_block_decontam" -> ((s, d) => graft.ops.WordPiece.blockDecontam(s, d)),
@@ -458,6 +461,9 @@ object SparkEntry {
     "q_wordpiece_encode" -> graft.ops.WordPiece.encodeSql(),
     "q_wordpiece_ids" -> graft.ops.WordPiece.idsSql(),
     "q_minpiece_encode" -> graft.ops.WordPiece.minEncodeSql(),
+    "q_unigram_fit" -> graft.ops.Unigram.fitSql(),
+    "q_unigram_encode" -> graft.ops.Unigram.encodeSql,
+    "q_unigram_bakeoff" -> graft.ops.Unigram.bakeoffSql,
     "q_token_blocks" -> graft.ops.WordPiece.blocksSql(),
     "q_block_provenance" -> graft.ops.WordPiece.blockProvenanceSql(),
     "q_block_decontam" -> graft.ops.WordPiece.blockDecontamSql,

@@ -69,6 +69,23 @@ object GraftFunctions {
   def winnowHashes(text: Column, n: Int, w: Int): Column =
     ColumnBridge.column(WinnowHashes(ColumnBridge.expression(text), n, w))
 
+  /** Unigram-LM Viterbi DP key (cost·1024 + piece count) under a
+    * plan-time flat vocabulary with pre-scaled fixed-point costs;
+    * NULL on an uncoverable word.
+    */
+  def unigramDpKey(word: Column, pieces: Seq[String],
+      costs1024: Seq[Long]): Column =
+    ColumnBridge.column(UnigramDpKey(
+      ColumnBridge.expression(word), pieces, costs1024))
+
+  /** Unigram-LM Viterbi segmentation as piece indexes into the
+    * plan-time vocabulary; NULL on an uncoverable word.
+    */
+  def unigramSegPieces(word: Column, pieces: Seq[String],
+      costs1024: Seq[Long]): Column =
+    ColumnBridge.column(UnigramSegPieces(
+      ColumnBridge.expression(word), pieces, costs1024))
+
   /** 60-bit md5-derived SimHash signature — codegen'd replacement for the
     * aggregate/transform vote loop.
     */

@@ -726,3 +726,85 @@ case class ImageDims(child: Expression) extends UnaryExpression {
   override protected def withNewChildInternal(newChild: Expression): ImageDims =
     copy(child = newChild)
 }
+
+/** Unigram-LM (SentencePiece) Viterbi DP key for one word under a
+  * plan-time vocabulary with integer costs (see
+  * GraftStrings.unigramDpKey for the key encoding: cost·1024 + piece
+  * count). The flat vocabulary and its fixed-point costs ride the plan
+  * as reference objects — encoding a corpus is one scan with zero
+  * joins, the [[WordpiecePieces]] argument one model over. NULL on an
+  * uncoverable word (callers include every domain single character).
+  */
+case class UnigramDpKey(child: Expression, pieces: Seq[String],
+    costs1024: Seq[Long]) extends UnaryExpression {
+  require(pieces.nonEmpty && pieces.length == costs1024.length,
+    "unigram_dp_key needs a non-empty vocabulary with aligned costs")
+
+  private lazy val pieceBytes: Array[Array[Byte]] =
+    pieces.map(_.getBytes(java.nio.charset.StandardCharsets.UTF_8)).toArray
+  private lazy val costArr: Array[Long] = costs1024.toArray
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires a string argument, got ${child.dataType}")
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = true
+  override def prettyName: String = "unigram_dp_key"
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val k = GraftStrings.unigramDpKey(
+      input.asInstanceOf[UTF8String], pieceBytes, costArr)
+    if (k < 0) null else k
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val pRef = ctx.addReferenceObj("unigramPieces", pieceBytes, "byte[][]")
+    val cRef = ctx.addReferenceObj("unigramCosts", costArr, "long[]")
+    nullSafeCodeGen(ctx, ev, c =>
+      s"""${ev.value} = graft.functions.GraftStrings.unigramDpKey($c, $pRef, $cRef);
+         |if (${ev.value} < 0) { ${ev.isNull} = true; }""".stripMargin)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): UnigramDpKey =
+    copy(child = newChild)
+}
+
+/** Unigram-LM Viterbi segmentation emitting piece INDEXES into the
+  * plan-time vocabulary — the E-step kernel of the unigram fit (usage
+  * counts come from exploding the indexes) and the ids face. Tie-break
+  * (least key, then longest piece) matches the DuckDB oracle's combo
+  * argmin. NULL on an uncoverable word.
+  */
+case class UnigramSegPieces(child: Expression, pieces: Seq[String],
+    costs1024: Seq[Long]) extends UnaryExpression {
+  require(pieces.nonEmpty && pieces.length == costs1024.length,
+    "unigram_seg_pieces needs a non-empty vocabulary with aligned costs")
+
+  private lazy val pieceBytes: Array[Array[Byte]] =
+    pieces.map(_.getBytes(java.nio.charset.StandardCharsets.UTF_8)).toArray
+  private lazy val costArr: Array[Long] = costs1024.toArray
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires a string argument, got ${child.dataType}")
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def nullable: Boolean = true
+  override def prettyName: String = "unigram_seg_pieces"
+
+  override protected def nullSafeEval(input: Any): Any =
+    GraftStrings.unigramSegPieces(
+      input.asInstanceOf[UTF8String], pieceBytes, costArr)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val pRef = ctx.addReferenceObj("unigramSegPieces", pieceBytes, "byte[][]")
+    val cRef = ctx.addReferenceObj("unigramSegCosts", costArr, "long[]")
+    nullSafeCodeGen(ctx, ev, c =>
+      s"""${ev.value} = graft.functions.GraftStrings.unigramSegPieces($c, $pRef, $cRef);
+         |if (${ev.value} == null) { ${ev.isNull} = true; }""".stripMargin)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): UnigramSegPieces =
+    copy(child = newChild)
+}
