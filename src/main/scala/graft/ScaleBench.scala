@@ -480,6 +480,21 @@ object ScaleBench {
       // the corpus — the re-train trigger stays a constant-size report
       val (drSec, drRows, drEx) = bestIf("embed_drift")(
         queries.LlmOps.embedDrift(spark, dir))
+      // longest shared run: the pinned positional gram stream is the
+      // one corpus term; the rare filter (2..32 occurrences) bounds
+      // the posting self-join fan-out at 32² per gram, and replica
+      // shingle spaces are disjoint so runs — like LSH pairs — stay
+      // within a replica: rows ∝ k, never k²
+      val (lsSec, lsRows, lsEx) = bestIf("longest_span")(
+        queries.LlmOps.dedupLongestSpan(spark, dir))
+      // unigram encode: fit + encode per run (cache cleared, the
+      // wordpiece_encode convention) — tagged compounds fall out of
+      // the ^[a-z]+$ domain, so vocabulary/EM work is constant and
+      // only the corpus passes grow ∝ k
+      val (ueSec, ueRows, ueEx) = bestIf("unigram_encode") {
+        graft.ops.Unigram.clearFitCache()
+        graft.ops.Unigram.encodeStats(spark, dir)
+      }
       // NB language-ID: the model is CAPPED at |langs|·4096 rows no
       // matter how the tagged vocabulary grows (feature folding), so
       // the model exchange and the broadcast stay flat; scoring is the
@@ -535,6 +550,8 @@ object ScaleBench {
         "kmv_overlap" -> (koSec, koRows, koEx),
         "image_neardup" -> (inSec, inRows, inEx),
         "source_novelty" -> (snSec, snRows, snEx),
+        "longest_span" -> (lsSec, lsRows, lsEx),
+        "unigram_encode" -> (ueSec, ueRows, ueEx),
         "langid_nb" -> (liSec, liRows, liEx))
         .filter { case (op, _) => wanted(op) }
       row.foreach { case (op, (s, r, e)) =>

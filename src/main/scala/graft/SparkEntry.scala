@@ -108,6 +108,7 @@ object SparkEntry {
     "q_corpus_clean" -> (LlmOps.corpusClean(_, _)),
     "q_prepare_corpus" -> (LlmOps.prepareCorpus(_, _)),
     "q_dedup_spans" -> (LlmOps.duplicateSpans(_, _)),
+    "q_dedup_longest_span" -> ((s, d) => LlmOps.dedupLongestSpan(s, d)),
     "q_decontaminate" -> (LlmOps.decontaminate(_, _)),
     "q_decontaminate_bloom" -> (LlmOps.decontaminateBloom(_, _)),
     "q_dedup_incr_exact" -> (LlmOps.dedupIncrementalExact(_, _)),
@@ -445,6 +446,7 @@ object SparkEntry {
     "q_corpus_clean" -> LlmOps.corpusCleanSql,
     "q_prepare_corpus" -> LlmOps.prepareCorpusSql,
     "q_dedup_spans" -> LlmOps.duplicateSpansSql,
+    "q_dedup_longest_span" -> LlmOps.dedupLongestSpanSql,
     "q_decontaminate" -> LlmOps.decontaminateSql,
     "q_decontaminate_bloom" -> LlmOps.decontaminateBloomSql,
     "q_dedup_incr_exact" -> LlmOps.dedupIncrementalExactSql,

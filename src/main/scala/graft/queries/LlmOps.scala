@@ -280,6 +280,62 @@ object LlmOps {
         min(col("doc_id")).as("first_doc"), max(col("doc_id")).as("last_doc"))
       .filter(col("n_docs") >= 2)
 
+  /** ARBITRARY-LENGTH exact-substring dedup (the suffix-array signal of
+    * Lee et al., "Deduplicating Training Data Makes Language Models
+    * Better", ACL 2022, re-expressed as a distributed seed-and-extend):
+    * every maximal cross-document shared token run of length ≥
+    * `minSpan`, found by anchoring on positional `n`-gram hashes and
+    * extending along the MATCH DIAGONAL — two hits (a,pa) (b,pb) of the
+    * same gram belong to one shared run iff pa−pb is constant, so
+    * maximal runs are exactly the islands of consecutive pa within a
+    * (doc_a, doc_b, pa−pb) group, no character-level extension pass
+    * needed (consecutive equal n-grams at one diagonal overlap n−1
+    * tokens ⇒ their union is a verbatim shared substring of
+    * run+n−1 tokens).
+    *
+    * Hot grams (corpus occurrence > `maxOcc`) are excluded from
+    * seeding — the rare-anchor rule every posting-based plagiarism/
+    * overlap detector uses: it bounds the per-gram pair fan-out at
+    * maxOcc² (never corpus²), at the documented cost that a run whose
+    * EVERY window is hotter than the cap is missed and a run crossing
+    * a hot window splits at it. Both engines apply the identical rule,
+    * so the face is exact over its declared domain.
+    *
+    * Scale shape: the slim (doc, pos, hash) gram stream is pinned ONCE
+    * (one kernel pass over the corpus); the occurrence filter is a
+    * vocabulary-sized aggregate joined back hash-keyed; the self-join
+    * explodes only rare-gram postings (≤ maxOcc² per gram); islands
+    * are one window + one aggregate keyed by the pair — every shuffle
+    * is keyed by gram hash or pair, nothing all-pairs.
+    */
+  def dedupLongestSpan(spark: SparkSession, dir: String, n: Int = 8,
+      maxOcc: Int = 32, minSpan: Int = 16): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val grams = CacheBin.pin(Tables.load(spark, dir, "documents")
+      .select(col("doc_id"), posexplode(graft.functions.GraftFunctions
+        .tokenGramHashes(col("text"), n)).as(Seq("p0", "h")))
+      .select(col("doc_id"), (col("p0") + 1).as("pos"), col("h")))
+    val rareH = grams.groupBy(col("h")).agg(count(lit(1)).as("c"))
+      .filter(col("c").between(2, maxOcc)).select(col("h"))
+    val rare = grams.join(rareH, "h")
+    val hits = rare.select(col("h"), col("doc_id").as("doc_a"), col("pos").as("pa"))
+      .join(rare.select(col("h"), col("doc_id").as("doc_b"), col("pos").as("pb")), "h")
+      .filter(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"), col("pa"), (col("pa") - col("pb")).as("diag"))
+    val w = Window.partitionBy(col("doc_a"), col("doc_b"), col("diag"))
+      .orderBy(col("pa"))
+    hits.select(col("doc_a"), col("doc_b"), col("diag"), col("pa"),
+        (col("pa") - row_number().over(w)).as("grp"))
+      .groupBy(col("doc_a"), col("doc_b"), col("diag"), col("grp"))
+      .agg(min(col("pa")).as("a_start"),
+        (count(lit(1)) + (n - 1)).as("span_tokens"))
+      .select(col("doc_a"), col("doc_b"), col("a_start"),
+        (col("a_start") - col("diag")).as("b_start"), col("span_tokens"))
+      .filter(col("span_tokens") >= minSpan)
+      .orderBy(col("span_tokens").desc, col("doc_a"), col("doc_b"),
+        col("a_start"), col("b_start"))
+  }
+
   /** b-bit minhash RESEMBLANCE ESTIMATION (Li & König, WWW 2010): keep
     * only the low b bits of each minhash slot — a 16-slot signature
     * shrinks from 128 bytes to k·b bits (8 bytes at b=4), the storage
@@ -4157,6 +4213,34 @@ object LlmOps {
        |  round(list_cosine_similarity(o.mean, w.mean), 6) AS drift_cos
        |FROM o FULL OUTER JOIN w ON o.cid = w.cid
        |ORDER BY 1""".stripMargin
+
+  /** Longest-shared-run oracle: the identical seed-and-extend — the
+    * positional gram stream, the 2..32 occurrence filter, the
+    * diagonal-grouped island detection (pa − row_number), and the
+    * run+7 span arithmetic.
+    */
+  val dedupLongestSpanSql: String =
+    """WITH toks AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS t
+      |  FROM documents),
+      |g AS MATERIALIZED (SELECT doc_id, CAST(i AS INT) AS pos,
+      |    ('0x' || substr(md5(array_to_string(t[CAST(i AS INT):CAST(i AS INT)+7], ' ')), 1, 15))::BIGINT AS h
+      |  FROM toks, unnest(range(1, len(t)-6)) z(i) WHERE len(t) >= 8),
+      |rare AS MATERIALIZED (
+      |  SELECT g.* FROM g
+      |  JOIN (SELECT h FROM g GROUP BY 1 HAVING count(*) BETWEEN 2 AND 32) o
+      |  USING (h)),
+      |hits AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+      |    a.pos AS pa, a.pos - b.pos AS diag
+      |  FROM rare a JOIN rare b USING (h) WHERE a.doc_id < b.doc_id),
+      |runs AS (SELECT doc_a, doc_b, diag, pa,
+      |    pa - row_number() OVER (PARTITION BY doc_a, doc_b, diag ORDER BY pa) AS grp
+      |  FROM hits)
+      |SELECT doc_a, doc_b, min(pa) AS a_start,
+      |  min(pa) - diag AS b_start,
+      |  CAST(count(*) + 7 AS BIGINT) AS span_tokens
+      |FROM runs GROUP BY doc_a, doc_b, diag, grp
+      |HAVING count(*) + 7 >= 16
+      |ORDER BY span_tokens DESC, doc_a, doc_b, a_start, b_start""".stripMargin
 
   /** Semantic-dedup oracle: the shared fit+assignment CTE chain, then
     * within-cluster cosine pairs, recursive components, and survivors —
