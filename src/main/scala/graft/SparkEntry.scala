@@ -180,6 +180,8 @@ object SparkEntry {
     "q_embed_mmr" -> (LlmOps.embedMmr(_, _)),
     "q_embed_ann_ivf_indexed" -> (LlmOps.embedAnnIvfIndexed(_, _)),
     "q_embed_ivf_append" -> (LlmOps.embedIvfAppend(_, _)),
+    "q_embed_ivf_sq8_append" -> ((s, d) => LlmOps.embedIvfSq8Append(s, d)),
+    "q_embed_ivfpq_append" -> (LlmOps.embedIvfPqAppend(_, _)),
     "q_kmeans_step" -> (LlmOps.kmeansStep(_, _)),
     "q_dedup_semantic" -> (LlmOps.semanticDedup(_, _)),
     "q_sample_cluster_balanced" -> ((s, d) => LlmOps.sampleClusterBalanced(s, d)),
@@ -499,6 +501,8 @@ object SparkEntry {
     // the appended index holds the identical row set, so the oracle is
     // the same full-corpus IVF replay
     "q_embed_ivf_append" -> LlmOps.embedAnnIvfSql,
+    "q_embed_ivf_sq8_append" -> LlmOps.embedIvfSq8Sql,
+    "q_embed_ivfpq_append" -> LlmOps.embedIvfPqSql,
     "q_dedup_semantic" -> LlmOps.semanticDedupSql,
     "q_sample_cluster_balanced" -> LlmOps.sampleClusterBalancedSql,
     "q_dedup_minhash" -> LlmOps.minhashSql,

@@ -432,7 +432,20 @@ object Similarity {
     */
   def pqAdcTopK(corpus: DataFrame, id: Column, emb: Column,
       cb: Array[Array[Array[Long]]], queryCodes: Array[Long],
-      topK: Int): DataFrame = {
+      topK: Int): DataFrame =
+    pqAdcScoreCodes(pqEncode(corpus, id, emb, cb), cb, queryCodes, topK)
+
+  /** ADC top-k over STORED codes — the search path of a persisted
+    * codes-only PQ index ([[pqEncode]] output written partitioned by
+    * centroid): the query's m×k distance table is driver math, each
+    * stored code row is scored with m literal-array lookups, and the
+    * TakeOrdered merge returns k — identical scores to encoding
+    * in-flight (codes are a pure function of (vector, codebook)), but
+    * the scan streams the 8×-narrower code rows and never touches the
+    * float vectors.
+    */
+  def pqAdcScoreCodes(encoded: DataFrame, cb: Array[Array[Array[Long]]],
+      queryCodes: Array[Long], topK: Int): DataFrame = {
     val m = cb.length; val k = cb(0).length; val d = cb(0)(0).length
     val dt = Array.tabulate(m, k) { (ms, kk) =>
       (0 until d).map { j =>
@@ -443,8 +456,7 @@ object Similarity {
       element_at(array(dt(ms).toIndexedSeq.map(lit): _*),
         element_at(col("codes"), ms + 1) + 1)
     }.reduce(_ + _)
-    pqEncode(corpus, id, emb, cb)
-      .select(col("vec_id"), adist.as("adist_i8"))
+    encoded.select(col("vec_id"), adist.as("adist_i8"))
       .orderBy(col("adist_i8"), col("vec_id"))
       .limit(topK)
   }

@@ -2741,12 +2741,28 @@ object LlmOps {
     val centroids = fittedCentroids(spark, dir)
     val idx = graft.ops.StageOnce.tmp("ivf_sq8_index", dir)
     graft.ops.StageOnce(idx) {
-      Similarity.ivfWriteIndex(
-        Similarity.quantizeI8(
-          Similarity.ivfAssign(emb, col("vec_id"), col("embedding"), centroids),
-          col("e"))
-          .select(col("vec_id"), col("q_i8"), col("centroid")), idx)
+      Similarity.ivfWriteIndex(sq8Assigned(emb, centroids), idx)
     }
+    sq8SearchIndexed(spark, dir, idx, k, nProbe)
+  }
+
+  /** The SQ8 index row set: int8 codes + centroid, nothing else (the
+    * codes-only contract — float vectors never enter the index files).
+    */
+  private def sq8Assigned(emb: DataFrame,
+      centroids: Seq[(Int, Seq[Double])]): DataFrame =
+    Similarity.quantizeI8(
+      Similarity.ivfAssign(emb, col("vec_id"), col("embedding"), centroids),
+      col("e"))
+      .select(col("vec_id"), col("q_i8"), col("centroid"))
+
+  /** The SQ8 probe: partition-pruned scan of the codes index, exact
+    * integer dot against the quantized query, TakeOrdered top-k.
+    */
+  private def sq8SearchIndexed(spark: SparkSession, dir: String, idx: String,
+      k: Int, nProbe: Int): DataFrame = {
+    val emb = Tables.load(spark, dir, "embeddings")
+    val centroids = fittedCentroids(spark, dir)
     val qCodes = Similarity
       .quantizeI8(emb.filter(col("vec_id") === 0), col("embedding"))
       .select(col("q_i8")).collect()(0).getSeq[Byte](0)
@@ -2758,6 +2774,77 @@ object LlmOps {
           array(qCodes.map(b => lit(b)): _*)).as("dot_i8"))
       .orderBy(col("dot_i8").desc, col("vec_id"))
       .limit(k)
+  }
+
+  /** INCREMENTAL maintenance for the QUANTIZED index tier — the
+    * [[embedIvfAppend]] contract extended to the production SQ8
+    * layout: the codes-only index is built from the corpus MINUS the
+    * crawl-delta cohort (vec_id % 10 == 7), the delta is quantized
+    * against the SAME frozen centroids and appended (base partitions
+    * never read or rewritten — cost ∝ delta), and the hottest probed
+    * inverted list is then COMPACTED in place
+    * ([[Similarity.ivfCompactPartition]] — the small-file follow-up
+    * every append cycle eventually owes). The search that follows is
+    * the ordinary pruned integer-dot probe; append and compaction both
+    * preserve the row set, so the oracle is exactly
+    * [[embedIvfSq8Sql]]: "append+compact ≡ rebuild" IS the contract,
+    * hash-checked end to end. Spec additionally pins base files
+    * untouched by append and non-target partitions untouched by
+    * compaction.
+    */
+  def embedIvfSq8Append(spark: SparkSession, dir: String, k: Int = 10,
+      nProbe: Int = 2): DataFrame = {
+    val emb = Tables.load(spark, dir, "embeddings")
+    val centroids = fittedCentroids(spark, dir)
+    val idx = graft.ops.StageOnce.tmp("ivf_sq8_index_appended", dir)
+    graft.ops.StageOnce(idx) {
+      Similarity.ivfWriteIndex(
+        sq8Assigned(emb.filter(col("vec_id") % 10 =!= 7), centroids), idx)
+      Similarity.ivfAppendIndex(
+        sq8Assigned(emb.filter(col("vec_id") % 10 === 7), centroids), idx)
+      val probed = Similarity.probeCids(centroids, queryVector(spark, dir), nProbe)
+      Similarity.ivfCompactPartition(spark, idx, probed.head)
+    }
+    sq8SearchIndexed(spark, dir, idx, k, nProbe)
+  }
+
+  /** The same incremental contract for the PQ tier: a persisted
+    * codes-only PQ index (8-byte [[Similarity.pqEncode]] codes +
+    * centroid — 32× narrower than the float rows) built minus the
+    * delta cohort, delta-appended under the frozen codebook AND frozen
+    * coarse centroids, hottest probed list compacted, then ADC top-k
+    * over the STORED codes of the probed partitions
+    * ([[Similarity.pqAdcScoreCodes]] — no re-encoding, the scan
+    * streams code rows only). Codes are a pure function of (vector,
+    * codebook), so append+compact ≡ rebuild and the search equals
+    * [[embedIvfPq]]'s in-flight-encoded result: the oracle is exactly
+    * [[embedIvfPqSql]].
+    */
+  def embedIvfPqAppend(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.load(spark, dir, "embeddings")
+    val centroids = fittedCentroids(spark, dir)
+    val cb = trainedPqCodebook(spark, dir)
+    def codes(part: DataFrame): DataFrame =
+      Similarity.quantizeI8(
+          Similarity.ivfAssign(part, col("vec_id"), col("embedding"), centroids),
+          col("e"))
+        .select(col("vec_id"),
+          graft.functions.GraftFunctions.pqEncode(col("q_i8"),
+            cb.flatten.flatten, cb.length, cb(0).length).as("codes"),
+          col("centroid"))
+    val probed = Similarity.probeCids(centroids, queryVector(spark, dir), 2)
+    val idx = graft.ops.StageOnce.tmp("ivf_pq_index_appended", dir)
+    graft.ops.StageOnce(idx) {
+      Similarity.ivfWriteIndex(codes(emb.filter(col("vec_id") % 10 =!= 7)), idx)
+      Similarity.ivfAppendIndex(codes(emb.filter(col("vec_id") % 10 === 7)), idx)
+      Similarity.ivfCompactPartition(spark, idx, probed.head)
+    }
+    val qCodes = Similarity
+      .quantizeI8(emb.filter(col("vec_id") === 0), col("embedding"))
+      .select(col("q_i8")).collect()(0).getSeq[Byte](0).map(_.toLong).toArray
+    Similarity.pqAdcScoreCodes(
+      spark.read.parquet(idx).filter(col("centroid").isin(probed: _*)),
+      cb, qCodes, 10)
   }
 
   /** IVF-SQ8 oracle: the fit+assignment chain, the same int8

@@ -476,4 +476,59 @@ class SimilaritySpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getDouble(1)))
     assert(rc.sameElements(rf), "compaction changed search results")
   }
+
+  test("quantized-tier append+compact: SQ8/PQ faces ≡ their rebuild faces, codes-only artifacts, compacted probe list") {
+    val sf01 = "/root/testdata/sf0.01"
+    // 1. dataflow equality: append+compact ≡ rebuild for both tiers
+    val sq8A = LlmOps.embedIvfSq8Append(spark, sf01).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val sq8F = LlmOps.embedIvfSq8(spark, sf01).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(sq8A.sameElements(sq8F), "sq8 append+compact diverged from rebuild")
+    val pqA = LlmOps.embedIvfPqAppend(spark, sf01).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val pqF = LlmOps.embedIvfPq(spark, sf01).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(pqA.sameElements(pqF), "pq append+compact diverged from in-flight ADC")
+    // 2. both staged artifacts are CODES-ONLY (no float column) and the
+    // compacted (first-probed) partition sits at exactly one file
+    val centroids = LlmOps.fittedCentroids(spark, sf01)
+    val probedHead = Similarity.probeCids(centroids,
+      LlmOps.queryVector(spark, sf01), nProbe = 2).head
+    def checkIdx(name: String, cols: Set[String]): Unit = {
+      val idx = graft.ops.StageOnce.tmp(name, sf01)
+      val schema = spark.read.parquet(idx).schema
+      assert(schema.fieldNames.toSet == cols, s"$name schema: $schema")
+      assert(!schema.exists(_.dataType.simpleString.contains("float")),
+        s"$name stores floats: $schema")
+      val files = new java.io.File(s"$idx/centroid=$probedHead")
+        .listFiles().filter(_.getName.endsWith(".parquet"))
+      assert(files.length == 1,
+        s"$name probed partition not compacted: ${files.length} files")
+      assert(files.head.getName.startsWith("compact-"),
+        s"$name compaction did not publish: ${files.head.getName}")
+    }
+    checkIdx("ivf_sq8_index_appended", Set("vec_id", "q_i8", "centroid"))
+    checkIdx("ivf_pq_index_appended", Set("vec_id", "codes", "centroid"))
+    // 3. codes-layout append leaves base files untouched (the delta-
+    // proportional contract on the QUANTIZED row set)
+    val emb = graft.Tables.load(spark, sf01, "embeddings")
+    def sq8Rows(part: org.apache.spark.sql.DataFrame) =
+      Similarity.quantizeI8(
+          Similarity.ivfAssign(part, col("vec_id"), col("embedding"), centroids),
+          col("e"))
+        .select(col("vec_id"), col("q_i8"), col("centroid"))
+    val inc = java.nio.file.Files.createTempDirectory("sq8_inc").toString
+    Similarity.ivfWriteIndex(sq8Rows(emb.filter(col("vec_id") % 10 =!= 7)), inc)
+    val baseFiles = spark.read.parquet(inc).inputFiles.toSet
+    Similarity.ivfAppendIndex(sq8Rows(emb.filter(col("vec_id") % 10 === 7)), inc)
+    val afterFiles = spark.read.parquet(inc).inputFiles.toSet
+    assert(baseFiles.subsetOf(afterFiles), "sq8 append rewrote base files")
+    assert(afterFiles.size > baseFiles.size, "sq8 append added no files")
+    val a = spark.read.parquet(inc).select("vec_id", "centroid")
+      .collect().map(r => (r.getLong(0), r.getInt(1))).sorted
+    val f = sq8Rows(emb).select("vec_id", "centroid")
+      .collect().map(r => (r.getLong(0), r.getInt(1))).sorted
+    assert(a.sameElements(f), "sq8 appended row set != rebuild row set")
+  }
 }
