@@ -58,6 +58,7 @@ object SparkEntry {
     "q_engagement_coverage" -> (Events.engagementCoverage(_, _)),
     "q_event_transitions" -> (Events.eventTransitions(_, _)),
     "q_attribution" -> (Events.lastTouchAttribution(_, _)),
+    "q_attribution_stream" -> (Events.attributionStreamMaterialize(_, _)),
     "q_trend_slope" -> (Events.trendSlope(_, _)),
     "q_anomaly_days" -> (Events.anomalyDays(_, _)),
     "q_pagerank" -> ((s, d) => LlmOps.pagerankTopK(s, d)),
@@ -583,6 +584,7 @@ object SparkEntry {
     "q_engagement_coverage" -> Events.engagementCoverageSql,
     "q_event_transitions" -> Events.eventTransitionsSql,
     "q_attribution" -> Events.lastTouchAttributionSql,
+    "q_attribution_stream" -> Events.lastTouchAttributionSql,
     "q_trend_slope" -> Events.trendSlopeSql,
     "q_anomaly_days" -> Events.anomalyDaysSql,
     "q_pagerank" -> LlmOps.pagerankTopKSql,
