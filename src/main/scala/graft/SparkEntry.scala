@@ -236,6 +236,7 @@ object SparkEntry {
     "q_sketch_hll" -> (SketchOps.sketchHllTokens(_, _)),
     "q_sketch_hll_rollup" -> (SketchOps.sketchHllRollup(_, _)),
     "q_sketch_kmv_overlap" -> (SketchOps.sketchKmvOverlap(_, _)),
+    "q_sketch_qdigest" -> (SketchOps.sketchQdigest(_, _)),
     "q_sketch_kmv" -> (SketchOps.sketchKmvTokens(_, _)),
     "q_sketch_cms" -> (SketchOps.sketchCmsTokens(_, _)),
     "q_sketch_builtin_bounds" -> (SketchOps.sketchBuiltinBounds(_, _)),
@@ -546,6 +547,7 @@ object SparkEntry {
     "q_sketch_hll" -> SketchOps.sketchHllTokensSql,
     "q_sketch_hll_rollup" -> SketchOps.sketchHllRollupSql,
     "q_sketch_kmv_overlap" -> SketchOps.sketchKmvOverlapSql(),
+    "q_sketch_qdigest" -> SketchOps.sketchQdigestSql,
     "q_sketch_kmv" -> SketchOps.sketchKmvTokensSql,
     "q_sketch_cms" -> SketchOps.sketchCmsTokensSql,
     "q_sketch_builtin_bounds" -> SketchOps.sketchBuiltinBoundsSql,

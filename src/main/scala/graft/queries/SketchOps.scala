@@ -83,6 +83,160 @@ object SketchOps {
       |        / (z_occ + CAST(256 - n_occ AS DOUBLE)), 6) AS hll_nd
       |FROM z ORDER BY 1""".stripMargin
 
+  /** Q-DIGEST quantile sketch + rollup ([[graft.ops.QDigest]] —
+    * Shrivastava et al., SenSys 2004), completing the portable-sketch
+    * algebra with the fourth classic: percentiles. Per event type, the
+    * integerized value stream (⌊value⌋ clamped to [1, 1024]) compresses
+    * into a ≤ O(K·log U)-node digest; the corpus-wide 'ALL' row is the
+    * MERGE of the per-type digests (count addition + recompress) —
+    * never a re-scan — and every estimated percentile is reported NEXT
+    * TO its exact counterpart, so the sketch's rank error (≤ log₂U·n/K)
+    * is a query result, the KMV-overlap error-exposure convention.
+    *
+    * Shape: ONE corpus exchange — the (type, value-bucket) count
+    * aggregate, map-side combined, ≤ |types|·U rows out; compression,
+    * merge and both quantile walks are exact-int64 driver math on the
+    * collected sketch-sized table (the codebook-collect class). At
+    * 100 TB the per-shard digests are what a fleet persists; the merge
+    * IS the daily→monthly rollup. Unlike t-digest/KLL's randomized
+    * compaction the fit is bit-deterministic, so the oracle replays
+    * the entire build (10 unrolled family-merge rounds per chain) and
+    * the face is hash-gated, not bound-gated.
+    */
+  def sketchQdigest(spark: SparkSession, dir: String): DataFrame = {
+    import graft.ops.QDigest
+    val dist = Tables.loadEvents(spark, dir)
+      .select(col("event_type").as("scope"),
+        least(greatest(floor(col("value")).cast(LongType), lit(1L)),
+          lit(QDigest.U.toLong)).as("v"))
+      .groupBy(col("scope"), col("v")).agg(count(lit(1)).as("cnt"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val byScope = dist.groupBy(_._1).toSeq.sortBy(_._1)
+    val perScope = byScope.map { case (scope, rows) =>
+      val d = rows.map { case (_, v, c) => v -> c }.toMap
+      val n = d.values.sum
+      val digest = QDigest.compress(d.map { case (v, c) => QDigest.leafOf(v) -> c }, n)
+      (scope, n, d, digest)
+    }
+    val allDist = dist.groupBy(_._2).map { case (v, rs) => v -> rs.map(_._3).sum }
+    val allN = allDist.values.sum
+    val allDigest = QDigest.merge(perScope.map(_._4))
+    val out = (perScope :+ (("ALL", allN, allDist, allDigest))).map {
+      case (scope, n, d, digest) =>
+        (scope, n, digest.size.toLong,
+          QDigest.quantile(digest, n, 50), QDigest.exactQuantile(d, n, 50),
+          QDigest.quantile(digest, n, 90), QDigest.exactQuantile(d, n, 90),
+          QDigest.quantile(digest, n, 99), QDigest.exactQuantile(d, n, 99))
+    }
+    import spark.implicits._
+    out.toDF("scope", "n_events", "nodes", "p50_est", "p50_exact",
+      "p90_est", "p90_exact", "p99_est", "p99_exact").orderBy(col("scope"))
+  }
+
+  /** One unrolled q-digest family-merge round (child level `d`) for
+    * the oracle: families (parent, child-sum) at this level, the
+    * strict < τ merge decision, and the rewritten node set.
+    */
+  private def qdRound(pre: String, d: Int): String = {
+    val lo = 1L << d
+    val hi = (1L << (d + 1)) - 1
+    s"""fam$pre$d AS MATERIALIZED (
+       |  SELECT scope, id // 2 AS p, CAST(sum(cnt) AS BIGINT) AS cs
+       |  FROM $pre$d WHERE id BETWEEN $lo AND $hi GROUP BY 1, 2),
+       |mg$pre$d AS MATERIALIZED (
+       |  SELECT t.scope, t.p, t.tot FROM (
+       |    SELECT f.scope, f.p, f.cs + coalesce(pc.cnt, 0) AS tot
+       |    FROM fam$pre$d f LEFT JOIN $pre$d pc
+       |      ON pc.scope = f.scope AND pc.id = f.p) t
+       |  JOIN tau$pre u ON u.scope = t.scope WHERE t.tot < u.tau),
+       |$pre${d - 1} AS MATERIALIZED (
+       |  SELECT r.scope, r.id, r.cnt FROM $pre$d r
+       |  WHERE NOT EXISTS (SELECT 1 FROM mg$pre$d m WHERE m.scope = r.scope
+       |    AND (m.p = r.id OR (m.p = r.id // 2 AND r.id BETWEEN $lo AND $hi)))
+       |  UNION ALL
+       |  SELECT scope, p AS id, tot AS cnt FROM mg$pre$d)""".stripMargin
+  }
+
+  /** Node geometry + percentile walks for a finished chain `${pre}0`:
+    * hi/width from the heap id, cumulative in (hi ASC, width ASC)
+    * order, first hi reaching the (n·pct+99)//100 target.
+    */
+  private def qdQuantiles(pre: String): String =
+    s"""geom$pre AS MATERIALIZED (
+       |  SELECT scope, id, cnt,
+       |    (id - (1::BIGINT << (len(bin(id)) - 1)))
+       |      * (1024 >> (len(bin(id)) - 1))
+       |      + (1024 >> (len(bin(id)) - 1)) AS hi,
+       |    1024 >> (len(bin(id)) - 1) AS w
+       |  FROM ${pre}0),
+       |cum$pre AS MATERIALIZED (
+       |  SELECT g.scope, g.hi,
+       |    sum(g.cnt) OVER (PARTITION BY g.scope ORDER BY g.hi, g.w
+       |      ROWS UNBOUNDED PRECEDING) AS cum, ns.n
+       |  FROM geom$pre g JOIN ns$pre ns USING (scope)),
+       |est$pre AS MATERIALIZED (
+       |  SELECT scope,
+       |    min(CASE WHEN cum >= (n * 50 + 99) // 100 THEN hi END) AS p50,
+       |    min(CASE WHEN cum >= (n * 90 + 99) // 100 THEN hi END) AS p90,
+       |    min(CASE WHEN cum >= (n * 99 + 99) // 100 THEN hi END) AS p99
+       |  FROM cum$pre GROUP BY 1),
+       |nodes$pre AS MATERIALIZED (
+       |  SELECT scope, CAST(count(*) AS BIGINT) AS nodes FROM ${pre}0 GROUP BY 1)""".stripMargin
+
+  lazy val sketchQdigestSql: String = {
+    val roundsS = (10 to 1 by -1).map(qdRound("r", _)).mkString(",\n")
+    val roundsA = (10 to 1 by -1).map(qdRound("a", _)).mkString(",\n")
+    s"""WITH dist AS MATERIALIZED (
+       |  SELECT event_type AS scope,
+       |    least(greatest(CAST(floor(value) AS BIGINT), 1), 1024) AS v,
+       |    CAST(count(*) AS BIGINT) AS cnt
+       |  FROM events GROUP BY 1, 2),
+       |nsr AS MATERIALIZED (
+       |  SELECT scope, CAST(sum(cnt) AS BIGINT) AS n FROM dist GROUP BY 1),
+       |taur AS MATERIALIZED (SELECT scope, n // 256 AS tau FROM nsr),
+       |r10 AS MATERIALIZED (SELECT scope, 1024 + v - 1 AS id, cnt FROM dist),
+       |$roundsS,
+       |a10 AS MATERIALIZED (
+       |  SELECT 'ALL' AS scope, id, CAST(sum(cnt) AS BIGINT) AS cnt
+       |  FROM r0 GROUP BY 2),
+       |nsa AS MATERIALIZED (
+       |  SELECT scope, CAST(sum(cnt) AS BIGINT) AS n FROM a10 GROUP BY 1),
+       |taua AS MATERIALIZED (SELECT scope, n // 256 AS tau FROM nsa),
+       |$roundsA,
+       |${qdQuantiles("r")},
+       |${qdQuantiles("a")},
+       |adist AS MATERIALIZED (
+       |  SELECT 'ALL' AS scope, v, CAST(sum(cnt) AS BIGINT) AS cnt
+       |  FROM dist GROUP BY 2),
+       |xcum AS MATERIALIZED (
+       |  SELECT d.scope, d.v,
+       |    sum(d.cnt) OVER (PARTITION BY d.scope ORDER BY d.v
+       |      ROWS UNBOUNDED PRECEDING) AS cum, t.n
+       |  FROM (SELECT scope, v, cnt FROM dist
+       |        UNION ALL SELECT scope, v, cnt FROM adist) d
+       |  JOIN (SELECT scope, n FROM nsr UNION ALL SELECT scope, n FROM nsa) t
+       |    USING (scope)),
+       |exact AS MATERIALIZED (
+       |  SELECT scope,
+       |    min(CASE WHEN cum >= (n * 50 + 99) // 100 THEN v END) AS p50,
+       |    min(CASE WHEN cum >= (n * 90 + 99) // 100 THEN v END) AS p90,
+       |    min(CASE WHEN cum >= (n * 99 + 99) // 100 THEN v END) AS p99
+       |  FROM xcum GROUP BY 1),
+       |ests AS (
+       |  SELECT scope, p50, p90, p99 FROM estr
+       |  UNION ALL SELECT scope, p50, p90, p99 FROM esta),
+       |counts AS (
+       |  SELECT scope, nodes FROM nodesr UNION ALL SELECT scope, nodes FROM nodesa),
+       |alln AS (SELECT scope, n FROM nsr UNION ALL SELECT scope, n FROM nsa)
+       |SELECT e.scope, alln.n AS n_events, counts.nodes,
+       |  e.p50 AS p50_est, x.p50 AS p50_exact,
+       |  e.p90 AS p90_est, x.p90 AS p90_exact,
+       |  e.p99 AS p99_est, x.p99 AS p99_exact
+       |FROM ests e JOIN exact x USING (scope)
+       |JOIN counts USING (scope) JOIN alln USING (scope)
+       |ORDER BY e.scope""".stripMargin
+  }
+
   /** KMV set-OVERLAP estimation between sources (the Beyer et al.
     * k-min-values intersection estimator): each source keeps only its
     * k = 16 smallest distinct token hashes, and a pair's Jaccard is
