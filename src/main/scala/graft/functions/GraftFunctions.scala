@@ -86,6 +86,13 @@ object GraftFunctions {
     ColumnBridge.column(UnigramSegPieces(
       ColumnBridge.expression(word), pieces, costs1024))
 
+  /** Aho-Corasick occurrence counts of every plan-time pattern in one
+    * byte pass (overlapping/nested matches included) — the blocklist
+    * scan kernel. One long count per pattern, input order.
+    */
+  def acCounts(text: Column, patterns: Seq[String]): Column =
+    ColumnBridge.column(AcCounts(ColumnBridge.expression(text), patterns))
+
   /** 60-bit md5-derived SimHash signature — codegen'd replacement for the
     * aggregate/transform vote loop.
     */

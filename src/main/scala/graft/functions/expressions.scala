@@ -808,3 +808,42 @@ case class UnigramSegPieces(child: Expression, pieces: Seq[String],
   override protected def withNewChildInternal(newChild: Expression): UnigramSegPieces =
     copy(child = newChild)
 }
+
+/** Aho-Corasick multi-pattern occurrence counter (the blocklist/PII
+  * scan kernel): one byte pass over the text counts EVERY occurrence
+  * of every plan-time pattern — overlapping and nested matches
+  * included (a hit on "scan" also hits "can" and "an" at the same end
+  * position via the dictionary suffix chain). The automaton is built
+  * once per plan and rides it as a reference object
+  * ([[graft.functions.AhoAutomaton]]); output is one count per
+  * pattern, input order. O(text + matches) per row vs |patterns|
+  * contains/regex passes.
+  */
+case class AcCounts(child: Expression, patterns: Seq[String])
+    extends UnaryExpression {
+  require(patterns.nonEmpty, "ac_counts needs at least one pattern")
+
+  private lazy val automaton = new AhoAutomaton(patterns.toArray)
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires a string argument, got ${child.dataType}")
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "ac_counts"
+
+  override protected def nullSafeEval(input: Any): Any =
+    org.apache.spark.sql.catalyst.expressions.UnsafeArrayData.fromPrimitiveArray(
+      automaton.countAll(input.asInstanceOf[UTF8String].getBytes))
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val aRef = ctx.addReferenceObj("acAutomaton", automaton,
+      "graft.functions.AhoAutomaton")
+    nullSafeCodeGen(ctx, ev, c =>
+      s"""${ev.value} = org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+         |  .fromPrimitiveArray($aRef.countAll($c.getBytes()));""".stripMargin)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): AcCounts =
+    copy(child = newChild)
+}

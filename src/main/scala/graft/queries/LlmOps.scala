@@ -336,6 +336,59 @@ object LlmOps {
         col("a_start"), col("b_start"))
   }
 
+  /** Blocklist pattern set (plan-time literals): chosen to exercise the
+    * automaton's match semantics on this corpus — the an ⊂ can ⊂ scan
+    * nesting chain (one text position must count all three via the
+    * dictionary suffix links) and cross-token phrases the token-level
+    * kernels cannot see.
+    */
+  val blocklistPatterns: Seq[String] = Seq("an", "can", "data", "hash join",
+    "merge join", "row", "scan", "slow scan")
+
+  /** Multi-pattern BLOCKLIST scan (the banned-phrase/PII-lexicon filter
+    * every ingest pipeline runs): per (source, pattern), the documents
+    * flagged and the total occurrences, counting EVERY match —
+    * overlapping, nested, and token-boundary-crossing — in ONE
+    * Aho-Corasick pass per document ([[graft.functions.AhoAutomaton]],
+    * O(text + matches)), where the naive plan is |patterns| contains/
+    * regex scans over the corpus. The automaton rides the plan as a
+    * reference object; a production blocklist of ~10k phrases is a
+    * few MB of dense goto table, broadcast-class. One corpus scan, one
+    * (source, pattern) exchange — map-side combined, ≤ |sources|·
+    * |patterns| rows out.
+    */
+  def blocklistScan(spark: SparkSession, dir: String): DataFrame = {
+    val pats = blocklistPatterns
+    val patLit = array(pats.map(lit): _*)
+    Tables.load(spark, dir, "documents")
+      .select(col("source"), posexplode(graft.functions.GraftFunctions
+        .acCounts(col("text"), pats)).as(Seq("pid", "hits")))
+      .filter(col("hits") > 0)
+      .groupBy(col("source"), col("pid"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("hits")).as("n_hits"))
+      .select(col("source"), element_at(patLit, col("pid") + 1).as("pattern"),
+        col("n_docs"), col("n_hits"))
+      .orderBy(col("source"), col("pattern"))
+  }
+
+  /** Blocklist oracle: brute-force every start position per (doc,
+    * pattern) — the all-occurrences (overlapping included) ground
+    * truth the automaton must reproduce.
+    */
+  lazy val blocklistScanSql: String = {
+    val vals = blocklistPatterns.map(p => s"('$p')").mkString(", ")
+    s"""WITH pats(pattern) AS (VALUES $vals),
+       |hits AS (
+       |  SELECT d.source, p.pattern, d.doc_id, CAST(count(*) AS BIGINT) AS n
+       |  FROM documents d, pats p,
+       |       unnest(range(1, len(d.text) - len(p.pattern) + 2)) z(i)
+       |  WHERE substr(d.text, CAST(i AS INT), len(p.pattern)) = p.pattern
+       |  GROUP BY 1, 2, 3)
+       |SELECT source, pattern, CAST(count(*) AS BIGINT) AS n_docs,
+       |  CAST(sum(n) AS BIGINT) AS n_hits
+       |FROM hits GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+  }
+
   /** b-bit minhash RESEMBLANCE ESTIMATION (Li & König, WWW 2010): keep
     * only the low b bits of each minhash slot — a 16-slot signature
     * shrinks from 128 bytes to k·b bits (8 bytes at b=4), the storage

@@ -1,0 +1,63 @@
+package graft.functions
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Aho-Corasick kernel: nested/overlapping match semantics, the
+  * brute-force ground truth on the real corpus, and the expression
+  * round trip.
+  */
+class AhoAutomatonSpec extends SparkSpec {
+
+  private def counts(pats: Seq[String], text: String): Seq[Long] =
+    new AhoAutomaton(pats.toArray)
+      .countAll(text.getBytes(java.nio.charset.StandardCharsets.UTF_8)).toSeq
+
+  private def brute(text: String, p: String): Long = {
+    var c = 0L; var i = text.indexOf(p)
+    while (i >= 0) { c += 1; i = text.indexOf(p, i + 1) }
+    c
+  }
+
+  test("nested patterns all fire at one end position via the suffix chain") {
+    assert(counts(Seq("an", "can", "scan"), "scan") === Seq(1L, 1L, 1L))
+    assert(counts(Seq("an", "can", "scan"), "a scan can ban") ===
+      Seq(3L, 2L, 1L))
+  }
+
+  test("overlapping occurrences are all counted") {
+    assert(counts(Seq("aa"), "aaaa") === Seq(3L))
+    assert(counts(Seq("aba"), "ababa") === Seq(2L))
+  }
+
+  test("phrases cross token boundaries; empty text counts zero; duplicates rejected") {
+    assert(counts(Seq("hash join", "join"), "a hash join b") === Seq(1L, 1L))
+    assert(counts(Seq("x", "yz"), "") === Seq(0L, 0L))
+    intercept[IllegalArgumentException](new AhoAutomaton(Array("a", "a")))
+    intercept[IllegalArgumentException](new AhoAutomaton(Array("a", "")))
+  }
+
+  test("kernel ≡ brute force for every face pattern over the real corpus") {
+    val pats = graft.queries.LlmOps.blocklistPatterns
+    val auto = new AhoAutomaton(pats.toArray)
+    val texts = graft.Tables.load(spark, sf, "documents")
+      .select("text").collect().map(_.getString(0))
+    assert(texts.nonEmpty)
+    val agg = new Array[Long](pats.length)
+    texts.foreach { t =>
+      val got = auto.countAll(t.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      pats.indices.foreach { i =>
+        assert(got(i) === brute(t, pats(i)), s"mismatch on '${pats(i)}'")
+        agg(i) += got(i)
+      }
+    }
+    assert(agg.exists(_ > 0), "face patterns never hit — degenerate")
+    // and the expression path agrees with the raw kernel aggregate
+    val viaExpr = graft.Tables.load(spark, sf, "documents")
+      .select(posexplode(GraftFunctions.acCounts(col("text"), pats))
+        .as(Seq("pid", "hits")))
+      .groupBy("pid").agg(sum("hits").as("h"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    pats.indices.foreach(i => assert(viaExpr(i) === agg(i)))
+  }
+}
