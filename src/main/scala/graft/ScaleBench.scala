@@ -495,6 +495,18 @@ object ScaleBench {
         graft.ops.Unigram.clearFitCache()
         graft.ops.Unigram.encodeStats(spark, dir)
       }
+      // blocklist: ONE automaton pass per doc (the multi-pattern win),
+      // one (source, pattern) exchange — rows capped at
+      // |sources|·|patterns| (tag prefixes shift start positions but
+      // the patterns still occur inside replica tokens, so hit counts
+      // grow ∝ k while output rows stay capped)
+      val (bkSec, bkRows, bkEx) = bestIf("blocklist_scan")(
+        queries.LlmOps.blocklistScan(spark, dir))
+      // q-digest: the (type, bucket) aggregate is the one corpus term
+      // (≤ |types|·1024 rows out at any scale); compression/merge are
+      // collected-sketch driver math — rows pinned at |types|+1
+      val (qdSec, qdRows, qdEx) = bestIf("qdigest_sketch")(
+        queries.SketchOps.sketchQdigest(spark, dir))
       // NB language-ID: the model is CAPPED at |langs|·4096 rows no
       // matter how the tagged vocabulary grows (feature folding), so
       // the model exchange and the broadcast stay flat; scoring is the
@@ -552,6 +564,8 @@ object ScaleBench {
         "source_novelty" -> (snSec, snRows, snEx),
         "longest_span" -> (lsSec, lsRows, lsEx),
         "unigram_encode" -> (ueSec, ueRows, ueEx),
+        "blocklist_scan" -> (bkSec, bkRows, bkEx),
+        "qdigest_sketch" -> (qdSec, qdRows, qdEx),
         "langid_nb" -> (liSec, liRows, liEx))
         .filter { case (op, _) => wanted(op) }
       row.foreach { case (op, (s, r, e)) =>
