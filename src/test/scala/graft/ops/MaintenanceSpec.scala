@@ -237,4 +237,49 @@ class MaintenanceSpec extends SparkSpec {
     assert(out.count() === 0)
     assert(out.columns.toSeq === Seq("id", "s"))
   }
+
+  test("ivm: maintained aggregate ≡ Spark-side recompute; MV artifact is group-sized; emptied groups drop") {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.types.{DecimalType, LongType}
+    val got = graft.queries.Maintenance.ivmAggregate(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    // recompute the mutated state directly in Spark (independent of the
+    // DuckDB oracle): same net-change rules applied row-wise
+    val base = graft.Tables.load(spark, sf, "orders").select(
+      year(col("o_orderdate")).cast(LongType).as("annee"),
+      col("o_orderstatus").as("dep"),
+      col("o_totalprice").cast(DecimalType(18, 2)).as("v"),
+      col("o_orderkey").as("k"))
+    val want = base.filter(col("k") % 10 =!= 3 && col("dep") =!= "P")
+      .select(col("annee"),
+        when(col("k") % 20 === 4, col("v") + lit(5000.0).cast(DecimalType(18, 2)))
+          .when(col("k") % 10 === 4, col("v") + lit(1000.0).cast(DecimalType(18, 2)))
+          .otherwise(col("v")).as("v"))
+      .unionByName(base.filter(col("k") % 10 === 7).select(col("annee"), col("v")))
+      .groupBy(col("annee"))
+      .agg(count(lit(1)).as("n_rows"),
+        sum(col("v")).cast(DecimalType(18, 2)).cast("double").as("total_usd"))
+      .orderBy(col("annee"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(got.sameElements(want), "maintain != recompute")
+    // the stored MV is |years|-sized (pre-aggregated, not row-level)
+    val mv = spark.read.parquet(graft.ops.StageOnce.tmp("ivm_mv", sf))
+    assert(mv.count() === mv.select("annee").distinct().count())
+    assert(mv.count() <= 10)
+    // counting-algorithm edge: a group whose rows all leave must DROP
+    // from the maintained view, not linger at n=0
+    val dir = java.nio.file.Files.createTempDirectory("ivm_edge").toString
+    import spark.implicits._
+    // year 2090: both keys are %10==3 deletes; year 2091 survives
+    Seq((3L, 1L, "O", 10.0, "2090-01-01", "1-URGENT"),
+      (13L, 1L, "O", 20.0, "2090-02-01", "1-URGENT"),
+      (1L, 1L, "O", 30.0, "2091-01-01", "1-URGENT"))
+      .toDF("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+        "o_orderdate", "o_orderpriority")
+      .withColumn("o_orderdate", col("o_orderdate").cast("timestamp"))
+      .write.mode("overwrite").parquet(s"$dir/orders.parquet")
+    val edge = graft.queries.Maintenance.ivmAggregate(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(edge.toSeq === Seq((2091L, 1L, 30.0)), s"got ${edge.toSeq}")
+  }
 }
