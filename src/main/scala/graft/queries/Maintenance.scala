@@ -208,6 +208,77 @@ object Maintenance {
       .orderBy(col("annee"))
   }
 
+  /** IVM of an aggregate over a JOIN view (the delta-join rule:
+    * Δ(R ⋈ S) = ΔR ⋈ S when the dimension side is static between
+    * refreshes — the production fact-stream/dim shape): per-nation
+    * (order count, revenue) over orders ⋈ customer, maintained under
+    * the same net change set as [[ivmAggregate]] by joining ONLY the
+    * delta against the broadcastable customer dim and merging the
+    * group-keyed result into the stored MV. The base join is never
+    * re-executed: refresh cost ∝ |Δ| · (broadcast dim probe) +
+    * |groups| — at 100 TB the fact side never re-shuffles. Oracle
+    * recomputes the join + aggregate from the mutated fact table from
+    * scratch (maintain ≡ recompute, hash-checked); DECIMAL(18,2)
+    * end-to-end as in the aggregate face.
+    */
+  def ivmJoin(spark: SparkSession, dir: String): DataFrame = {
+    val cust = Tables.load(spark, dir, "customer")
+      .select(col("c_custkey"), col("c_nationkey"))
+    val mvPath = StageOnce.tmp("ivm_join_mv", dir)
+    StageOnce(mvPath) {
+      Tables.load(spark, dir, "orders")
+        .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+        .groupBy(col("c_nationkey").cast(LongType).as("nation"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("o_totalprice").cast(DecimalType(18, 2))).as("s"))
+        .write.mode("overwrite").parquet(mvPath)
+    }
+    val base = Tables.load(spark, dir, "orders").select(
+      col("o_custkey"), col("o_orderstatus").as("dep"),
+      col("o_totalprice").cast(DecimalType(18, 2)).as("v"),
+      col("o_orderkey").as("k"))
+    val leaving = base.filter(col("k") % 10 === 3 || col("dep") === "P")
+      .select(col("o_custkey"), lit(-1L).as("dn"), (-col("v")).as("dv"))
+    val changing = base.filter(col("k") % 10 =!= 3 && col("dep") =!= "P" &&
+        col("k") % 10 === 4)
+      .select(col("o_custkey"), lit(0L).as("dn"),
+        when(col("k") % 20 === 4, lit(5000.0)).otherwise(lit(1000.0))
+          .cast(DecimalType(18, 2)).as("dv"))
+    val entering = base.filter(col("k") % 10 === 7)
+      .select(col("o_custkey"), lit(1L).as("dn"), col("v").as("dv"))
+    val delta = leaving.unionByName(changing).unionByName(entering)
+      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_nationkey").cast(LongType).as("nation"))
+      .agg(sum(col("dn")).as("dn"), sum(col("dv")).as("dv"))
+    spark.read.parquet(mvPath)
+      .join(delta, Seq("nation"), "full_outer")
+      .select(col("nation"),
+        (coalesce(col("n"), lit(0L)) + coalesce(col("dn"), lit(0L))).as("n_orders"),
+        (coalesce(col("s"), lit(java.math.BigDecimal.ZERO).cast(DecimalType(18, 2))) +
+          coalesce(col("dv"), lit(java.math.BigDecimal.ZERO).cast(DecimalType(18, 2))))
+          .cast(DecimalType(18, 2)).cast(DoubleType).as("revenue"))
+      .filter(col("n_orders") > 0)
+      .orderBy(col("nation"))
+  }
+
+  val ivmJoinSql: String =
+    """WITH base AS (
+      |  SELECT o_custkey, o_orderstatus AS dep, o_totalprice AS v,
+      |         o_orderkey AS k
+      |  FROM orders),
+      |final AS (
+      |  SELECT o_custkey,
+      |    CASE WHEN k % 20 = 4 THEN v + 5000.0
+      |         WHEN k % 10 = 4 THEN v + 1000.0 ELSE v END AS v
+      |  FROM base WHERE k % 10 <> 3 AND dep <> 'P'
+      |  UNION ALL
+      |  SELECT o_custkey, v FROM base WHERE k % 10 = 7)
+      |SELECT c.c_nationkey AS nation, CAST(count(*) AS BIGINT) AS n_orders,
+      |  CAST(CAST(sum(CAST(f.v AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS DOUBLE)
+      |    AS revenue
+      |FROM final f JOIN customer c ON f.o_custkey = c.c_custkey
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
   /** IVM oracle: the aggregate RECOMPUTED from the mutated table state
     * (the partitioned CDC face's final rows) — maintain ≡ recompute.
     */

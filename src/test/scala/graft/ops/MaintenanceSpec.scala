@@ -282,4 +282,36 @@ class MaintenanceSpec extends SparkSpec {
       .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
     assert(edge.toSeq === Seq((2091L, 1L, 30.0)), s"got ${edge.toSeq}")
   }
+
+  test("ivm join view: maintain ≡ Spark recompute; delta joins the dim broadcast, fact never re-joined") {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.types.{DecimalType, LongType}
+    val df = graft.queries.Maintenance.ivmJoin(spark, sf)
+    val got = df.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val cust = graft.Tables.load(spark, sf, "customer")
+      .select(col("c_custkey"), col("c_nationkey"))
+    val base = graft.Tables.load(spark, sf, "orders").select(
+      col("o_custkey"), col("o_orderstatus").as("dep"),
+      col("o_totalprice").cast(DecimalType(18, 2)).as("v"),
+      col("o_orderkey").as("k"))
+    val want = base.filter(col("k") % 10 =!= 3 && col("dep") =!= "P")
+      .select(col("o_custkey"),
+        when(col("k") % 20 === 4, col("v") + lit(5000.0).cast(DecimalType(18, 2)))
+          .when(col("k") % 10 === 4, col("v") + lit(1000.0).cast(DecimalType(18, 2)))
+          .otherwise(col("v")).as("v"))
+      .unionByName(base.filter(col("k") % 10 === 7).select(col("o_custkey"), col("v")))
+      .join(cust, col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_nationkey").cast(LongType).as("nation"))
+      .agg(count(lit(1)).as("n"), sum(col("v")).cast(DecimalType(18, 2))
+        .cast("double").as("rev"))
+      .orderBy(col("nation"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(got.sameElements(want), "join-view maintain != recompute")
+    // plan: the dim side of the delta join is broadcast, and the plan's
+    // only parquet joins are delta-vs-dim + MV-vs-delta — the base
+    // fact join is staged out (its MV artifact is read, not rebuilt)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), "delta-dim join not broadcast")
+    assert(!plan.contains("CartesianProduct"))
+  }
 }
