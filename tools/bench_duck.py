@@ -55,7 +55,12 @@ def main(sf_dir, out_dir, spark_json=None):
                                              "q_phrase_search",
                                              "q_index_stats"]}))
     if spark_json:
-        spark = json.load(open(spark_json))["queries"]
+        # Bench prints the full per-query line FIRST, then a compact
+        # totals-only line (tail-capture insurance) — take the line
+        # that carries "queries".
+        spark = next(json.loads(ln)["queries"]
+                     for ln in open(spark_json)
+                     if ln.strip() and "\"queries\"" in ln)
         rows = [(k, spark.get(k), duck.get(k)) for k in duck if k in spark]
         rows.sort(key=lambda r: -(r[1] / r[2] if r[2] else 0))
         print(f"\n{'query':32} {'spark':>8} {'duck':>8} {'ratio':>7}")
