@@ -223,6 +223,7 @@ object SparkEntry {
     "q_time_travel" -> (Maintenance.timeTravel(_, _)),
     "q_ivm_aggregate" -> (Maintenance.ivmAggregate(_, _)),
     "q_ivm_join" -> (Maintenance.ivmJoin(_, _)),
+    "q_ivm_stream" -> (Maintenance.ivmStreamMaterialize(_, _)),
     "q_cdc_stream" -> (Maintenance.cdcStreamMaterialize(_, _)),
     "q_incr_agg" -> (Maintenance.incrAgg(_, _)),
     "q_incr_agg_state" -> (Maintenance.incrAggState(_, _)),
@@ -539,6 +540,7 @@ object SparkEntry {
     "q_time_travel" -> Maintenance.timeTravelSql,
     "q_ivm_aggregate" -> Maintenance.ivmAggregateSql,
     "q_ivm_join" -> Maintenance.ivmJoinSql,
+    "q_ivm_stream" -> Maintenance.ivmAggregateSql,
     "q_cdc_stream" -> Maintenance.cdcStreamMaterializeSql,
     "q_incr_agg" -> Maintenance.incrAggSql,
     "q_incr_agg_state" -> Maintenance.incrAggStateSql,

@@ -13,6 +13,12 @@ private[queries] case class CdcChangeRow(
     uid: String, annee: String, dep: String, libdep: String,
     nbtrans: Long, valeurfonc_sum: Double, op: String, seq: Long)
 
+/** Net change row for the streaming-IVM memory feed: (group, Δcount,
+  * Δsum) plus the order key for batch slicing.
+  */
+private[queries] case class IvmChangeRow(annee: Long, dn: Long, dv: Double,
+    k: Long)
+
 /** Table-maintenance query surface: CDC merge (MERGE INTO with
   * deletes), incremental aggregate maintenance, and zone-map file
   * skipping — the lakehouse upkeep operations a 100 TB warehouse runs
@@ -171,7 +177,10 @@ object Maintenance {
     * cast to double in the final projection, so maintain-vs-recompute
     * equality is exact, not float-accumulation luck.
     */
-  def ivmAggregate(spark: SparkSession, dir: String): DataFrame = {
+  /** The base-aggregate MV snapshot shared by the batch and streaming
+    * IVM faces — staged once per JVM, whoever runs first builds it.
+    */
+  private def stagedIvmMv(spark: SparkSession, dir: String): String = {
     val mvPath = StageOnce.tmp("ivm_mv", dir)
     StageOnce(mvPath) {
       Tables.load(spark, dir, "orders")
@@ -180,21 +189,33 @@ object Maintenance {
           sum(col("o_totalprice").cast(DecimalType(18, 2))).as("s"))
         .write.mode("overwrite").parquet(mvPath)
     }
+    mvPath
+  }
+
+  /** The per-year NET change rows (annee, dn, dv, k) — one row per
+    * mutated order, carrying the order key for feed slicing.
+    */
+  private def ivmChangeRows(spark: SparkSession, dir: String): DataFrame = {
     val base = Tables.load(spark, dir, "orders").select(
       year(col("o_orderdate")).cast(LongType).as("annee"),
       col("o_orderstatus").as("dep"),
       col("o_totalprice").cast(DecimalType(18, 2)).as("v"),
       col("o_orderkey").as("k"))
     val leaving = base.filter(col("k") % 10 === 3 || col("dep") === "P")
-      .select(col("annee"), lit(-1L).as("dn"), (-col("v")).as("dv"))
+      .select(col("annee"), lit(-1L).as("dn"), (-col("v")).as("dv"), col("k"))
     val changing = base.filter(col("k") % 10 =!= 3 && col("dep") =!= "P" &&
         col("k") % 10 === 4)
       .select(col("annee"), lit(0L).as("dn"),
         when(col("k") % 20 === 4, lit(5000.0)).otherwise(lit(1000.0))
-          .cast(DecimalType(18, 2)).as("dv"))
+          .cast(DecimalType(18, 2)).as("dv"), col("k"))
     val entering = base.filter(col("k") % 10 === 7)
-      .select(col("annee"), lit(1L).as("dn"), col("v").as("dv"))
-    val delta = leaving.unionByName(changing).unionByName(entering)
+      .select(col("annee"), lit(1L).as("dn"), col("v").as("dv"), col("k"))
+    leaving.unionByName(changing).unionByName(entering)
+  }
+
+  def ivmAggregate(spark: SparkSession, dir: String): DataFrame = {
+    val mvPath = stagedIvmMv(spark, dir)
+    val delta = ivmChangeRows(spark, dir)
       .groupBy(col("annee"))
       .agg(sum(col("dn")).as("dn"), sum(col("dv")).as("dv"))
     spark.read.parquet(mvPath)
@@ -206,6 +227,48 @@ object Maintenance {
           .cast(DecimalType(18, 2)).cast(DoubleType).as("total_usd"))
       .filter(col("n_rows") > 0)
       .orderBy(col("annee"))
+  }
+
+  /** STREAMING IVM through its oracle face
+    * ([[graft.streaming.IvmStream]]): the net change feed arrives as a
+    * real StreamingQuery over a memory source in three micro-batches
+    * (sliced by order key), WITH a kill-and-resume after batch 2, each
+    * batch folding into a new MV generation by the counting-algorithm
+    * merge — the continuous refresh loop a production MV runs. The
+    * converged view is the batch face's exact result, so the oracle is
+    * [[ivmAggregateSql]] VERBATIM: stream ≡ batch ≡ recompute, all
+    * hash-checked. Staged once per JVM; bench iterations read the
+    * materialized generations.
+    */
+  def ivmStreamMaterialize(spark: SparkSession, dir: String): DataFrame = {
+    val mv0 = stagedIvmMv(spark, dir)
+    val root = StageOnce.tmp("ivm_stream", dir)
+    StageOnce(root) {
+      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+      import spark.implicits._
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+      val rows = ivmChangeRows(spark, dir)
+        .select(col("annee"), col("dn"), col("dv").cast(DoubleType), col("k"))
+        .collect().map(r => IvmChangeRow(r.getLong(0), r.getLong(1),
+          r.getDouble(2), r.getLong(3)))
+      val ckpt = StageOnce.tmp("ivm_stream_ckpt", dir)
+      val mem = MemoryStream[IvmChangeRow]
+      def start() = graft.streaming.IvmStream.start(
+        mem.toDS().toDF(), root, mv0, ckpt)
+      val q1 = start()
+      try {
+        mem.addData(rows.filter(_.k % 3 == 0).toIndexedSeq)
+        q1.processAllAvailable()
+        mem.addData(rows.filter(_.k % 3 == 1).toIndexedSeq)
+        q1.processAllAvailable()
+      } finally q1.stop()
+      val q2 = start() // kill-and-resume from the checkpoint
+      try {
+        mem.addData(rows.filter(_.k % 3 == 2).toIndexedSeq)
+        q2.processAllAvailable()
+      } finally q2.stop()
+    }
+    graft.streaming.IvmStream.view(spark, root)
   }
 
   /** IVM of an aggregate over a JOIN view (the delta-join rule:
