@@ -196,6 +196,7 @@ object SparkEntry {
     // — corpus curation: deterministic sampling / splits / PII / chunking
     "q_sample_hash" -> (Curation.sampleHash(_, _)),
     "q_train_test_split" -> (Curation.trainTestSplit(_, _)),
+    "q_split_leakage_safe" -> (Curation.splitLeakageSafe(_, _)),
     "q_sample_stratified" -> (Curation.sampleStratified(_, _)),
     "q_text_pii" -> (Curation.piiMask(_, _)),
     "q_chunk_docs" -> (Curation.chunkDocs(_, _)),
@@ -580,6 +581,7 @@ object SparkEntry {
     "q_kmeans_step" -> LlmOps.kmeansStepSql,
     "q_sample_hash" -> Curation.sampleHashSql,
     "q_train_test_split" -> Curation.trainTestSplitSql,
+    "q_split_leakage_safe" -> Curation.splitLeakageSafeSql,
     "q_sample_stratified" -> Curation.sampleStratifiedSql,
     "q_text_pii" -> Curation.piiMaskSql,
     "q_chunk_docs" -> Curation.chunkDocsSql,

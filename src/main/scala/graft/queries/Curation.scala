@@ -43,6 +43,74 @@ object Curation {
        |FROM (SELECT n_chars, ${duckBucket("doc_id")} AS b FROM documents)
        |GROUP BY 1""".stripMargin
 
+  /** LEAKAGE-SAFE train/val/test split (the near-duplicate leakage trap
+    * Lee et al. 2022 and every serious eval-hygiene audit call out: a
+    * doc-keyed hash split puts two near-identical documents on
+    * opposite sides of the train/test fence, and the eval silently
+    * measures memorization): documents are rooted in their near-dup
+    * CLUSTER (the LSH-verified pair graph's connected components;
+    * singletons root at themselves) and the split hashes the ROOT, so
+    * an entire cluster lands in one split by construction. Reported
+    * NEXT TO the naive doc-hash split over the same corpus with the
+    * leak counted — multi-doc clusters spanning ≥2 splits — so the
+    * face demonstrates both the trap (doc_hash leaks) and the fix
+    * (cluster_hash leaks exactly 0). Shape: the pair graph + CC are
+    * the dedup family's plans (banded candidates, pointer-doubling);
+    * everything after the (doc, root) table is two aggregates over a
+    * pinned 2-column frame.
+    */
+  def splitLeakageSafe(spark: SparkSession, dir: String): DataFrame = {
+    val rooted = graft.ops.CacheBin.pin(
+      Tables.load(spark, dir, "documents").select(col("doc_id"))
+        .join(LlmOps.dedupClusters(spark, dir), Seq("doc_id"), "left")
+        .select(col("doc_id"), coalesce(col("root"), col("doc_id")).as("root")))
+    def modeStats(mode: String, key: Column): DataFrame = {
+      val s = Sampling.assignSplit(rooted, key)
+      val counts = s.groupBy().agg(
+        sum(when(col("split") === "train", 1L).otherwise(0L)).as("n_train"),
+        sum(when(col("split") === "val", 1L).otherwise(0L)).as("n_val"),
+        sum(when(col("split") === "test", 1L).otherwise(0L)).as("n_test"))
+      val leak = s.groupBy(col("root"))
+        .agg(count(lit(1)).as("nd"), countDistinct(col("split")).as("ns"))
+        .filter(col("nd") > 1)
+        .groupBy().agg(count(lit(1)).as("multi_clusters"),
+          sum(when(col("ns") > 1, 1L).otherwise(0L)).as("leaked_clusters"))
+      counts.crossJoin(leak).select(lit(mode).as("mode"), col("n_train"),
+        col("n_val"), col("n_test"), col("multi_clusters"),
+        col("leaked_clusters"))
+    }
+    modeStats("cluster_hash", col("root"))
+      .unionByName(modeStats("doc_hash", col("doc_id")))
+      .orderBy(col("mode"))
+  }
+
+  /** Leakage-split oracle: the CC chain (the q_dedup_cc recursive
+    * closure), both hash-split modes, and the leak census.
+    */
+  lazy val splitLeakageSafeSql: String =
+    s"""WITH roots AS (${LlmOps.dedupClustersSql}),
+       |rooted AS (SELECT d.doc_id, coalesce(ro.root, d.doc_id) AS root
+       |  FROM documents d LEFT JOIN roots ro ON ro.doc_id = d.doc_id),
+       |m AS (
+       |  SELECT 'cluster_hash' AS mode, doc_id, root,
+       |    ${duckBucket("root")} AS b FROM rooted
+       |  UNION ALL
+       |  SELECT 'doc_hash', doc_id, root, ${duckBucket("doc_id")} FROM rooted),
+       |s AS (SELECT mode, doc_id, root,
+       |  CASE WHEN b < 80 THEN 'train' WHEN b < 90 THEN 'val'
+       |       ELSE 'test' END AS split FROM m),
+       |cl AS (SELECT mode, root, count(*) AS nd, count(DISTINCT split) AS ns
+       |  FROM s GROUP BY 1, 2)
+       |SELECT s.mode,
+       |  CAST(sum((split = 'train')::BIGINT) AS BIGINT) AS n_train,
+       |  CAST(sum((split = 'val')::BIGINT) AS BIGINT) AS n_val,
+       |  CAST(sum((split = 'test')::BIGINT) AS BIGINT) AS n_test,
+       |  (SELECT CAST(count(*) AS BIGINT) FROM cl
+       |   WHERE cl.mode = s.mode AND nd > 1) AS multi_clusters,
+       |  (SELECT CAST(count(*) AS BIGINT) FROM cl
+       |   WHERE cl.mode = s.mode AND nd > 1 AND ns > 1) AS leaked_clusters
+       |FROM s GROUP BY 1 ORDER BY 1""".stripMargin
+
   /** Stratified deterministic sample: keep 50% of URGENT orders, 20% of
     * HIGH, 5% of everything else — the per-stratum downsampling shape
     * (rare strata kept, boilerplate cut).

@@ -268,4 +268,35 @@ class CurationSpec extends SparkSpec {
           s"$bucket: pair diverges from driver replay")
     }
   }
+
+  test("leakage-safe split: cluster mode never splits a near-dup pair, doc mode demonstrably does") {
+    import org.apache.spark.sql.functions._
+    val got = graft.queries.Curation.splitLeakageSafe(spark, sf).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5))).toMap
+    val nDocs = graft.Tables.load(spark, sf, "documents").count()
+    got.foreach { case (mode, (tr, va, te, _, _)) =>
+      assert(tr + va + te === nDocs, s"$mode split loses docs") }
+    val (_, _, _, multiC, leakedC) = got("cluster_hash")
+    val (_, _, _, multiD, leakedD) = got("doc_hash")
+    assert(multiC === multiD, "cluster census must not depend on split mode")
+    assert(leakedC === 0L, "cluster-hash split leaked a near-dup cluster")
+    assert(multiC > 0L && leakedD > 0L,
+      "doc-hash mode must demonstrate the leak on this corpus")
+    // stronger than the census: EVERY verified near-dup pair co-splits
+    // under the cluster key
+    val rooted = graft.Tables.load(spark, sf, "documents").select(col("doc_id"))
+      .join(graft.queries.LlmOps.dedupClusters(spark, sf), Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("root"), col("doc_id")).as("root"))
+    val split = graft.ops.Sampling.assignSplit(rooted, col("root"))
+      .select(col("doc_id"), col("split"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val pairs = graft.queries.LlmOps.minhashLshDedup(spark, sf)
+      .select("doc_a", "doc_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.nonEmpty)
+    pairs.foreach { case (a, b) =>
+      assert(split(a) === split(b), s"pair ($a,$b) split across the fence") }
+  }
 }
