@@ -336,6 +336,74 @@ object LlmOps {
         col("a_start"), col("b_start"))
   }
 
+  /** Per-document DUPLICATE COVERAGE — the ACTION metric of the
+    * exact-substring family (what Lee et al.'s ExactSubstr dedup
+    * actually cuts): for every document, the UNION of its cross-doc
+    * shared runs ≥ minSpan ([[dedupLongestSpan]]'s spans, both sides),
+    * reported per source as docs touched, docs COMPLETELY covered
+    * (verbatim-content documents — droppable outright), covered
+    * tokens, and total tokens. Interval union is the classic sweep:
+    * per doc, sort spans by start and clip each against the running
+    * max end (one doc-keyed window over span rows — bounded by spans
+    * per doc, never corpus-wide). Downstream of the span plan this
+    * adds one window + two aggregates on span-sized data.
+    */
+  def dedupDocCoverage(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val spans = dedupLongestSpan(spark, dir)
+    val iv = spans.select(col("doc_a").as("doc_id"), col("a_start").as("s"),
+        (col("a_start") + col("span_tokens") - 1).as("e"))
+      .unionByName(spans.select(col("doc_b").as("doc_id"),
+        col("b_start").as("s"),
+        (col("b_start") + col("span_tokens") - 1).as("e")))
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("s"), col("e"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val cov = iv.withColumn("pm", max(col("e")).over(w))
+      .groupBy(col("doc_id"))
+      .agg(sum(greatest(lit(0L),
+        col("e") - greatest(col("s") - 1, coalesce(col("pm"), lit(0L)))))
+        .as("covered"))
+    Tables.load(spark, dir, "documents")
+      .select(col("doc_id"), col("source"),
+        size(split(trim(col("text")), "\\s+")).cast(LongType).as("n"))
+      .join(cov, Seq("doc_id"), "left")
+      .groupBy(col("source"))
+      .agg(count(col("covered")).as("docs_covered"),
+        sum(when(col("covered") === col("n"), 1L).otherwise(0L))
+          .as("docs_full_dup"),
+        coalesce(sum(col("covered")), lit(0L)).as("covered_tokens"),
+        sum(col("n")).as("total_tokens"))
+      .orderBy(col("source"))
+  }
+
+  /** Coverage oracle: the span chain, the symmetrized intervals, the
+    * running-max-end union sweep, and the per-source census.
+    */
+  lazy val dedupDocCoverageSql: String =
+    s"""WITH spans AS ($dedupLongestSpanSql),
+       |iv AS (
+       |  SELECT doc_a AS doc_id, a_start AS s,
+       |    a_start + span_tokens - 1 AS e FROM spans
+       |  UNION ALL
+       |  SELECT doc_b, b_start, b_start + span_tokens - 1 FROM spans),
+       |sw AS (SELECT doc_id, s, e,
+       |  max(e) OVER (PARTITION BY doc_id ORDER BY s, e
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pm
+       |  FROM iv),
+       |cov AS (SELECT doc_id,
+       |  CAST(sum(greatest(0, e - greatest(s - 1, coalesce(pm, 0)))) AS BIGINT)
+       |    AS covered
+       |  FROM sw GROUP BY 1),
+       |toks AS (SELECT doc_id, source,
+       |  len(string_split_regex(trim(text), '\\s+')) AS n FROM documents)
+       |SELECT t.source, CAST(count(c.doc_id) AS BIGINT) AS docs_covered,
+       |  CAST(sum(CASE WHEN c.covered = t.n THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS docs_full_dup,
+       |  CAST(coalesce(sum(c.covered), 0) AS BIGINT) AS covered_tokens,
+       |  CAST(sum(t.n) AS BIGINT) AS total_tokens
+       |FROM toks t LEFT JOIN cov c USING (doc_id)
+       |GROUP BY 1 ORDER BY 1""".stripMargin
+
   /** Blocklist pattern set (plan-time literals): chosen to exercise the
     * automaton's match semantics on this corpus — the an ⊂ can ⊂ scan
     * nesting chain (one text position must count all three via the

@@ -80,6 +80,33 @@ class LongestSpanSpec extends SparkSpec {
       len < math.max(texts(a).length, texts(b).length) })
   }
 
+  test("doc coverage: interval union ≡ brute-force position marking; full-dup strictly below covered") {
+    val spans = LlmOps.dedupLongestSpan(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getInt(3), r.getLong(4)))
+    // brute force: mark every covered token position per doc
+    val marks = scala.collection.mutable.Map[Long, scala.collection.mutable.Set[Int]]()
+    def mark(d: Long, s: Int, len: Long): Unit = {
+      val set = marks.getOrElseUpdate(d, scala.collection.mutable.Set[Int]())
+      (s until s + len.toInt).foreach(set += _)
+    }
+    spans.foreach { case (a, b, as, bs, len) => mark(a, as, len); mark(b, bs, len) }
+    val got = LlmOps.dedupDocCoverage(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    val srcOf = graft.Tables.load(spark, sf, "documents")
+      .select("doc_id", "source").as[(Long, String)].collect().toMap
+    val wantCovered = marks.toSeq.groupBy { case (d, _) => srcOf(d) }
+      .view.mapValues(_.map(_._2.size.toLong).sum).toMap
+    got.foreach { case (src, docsCov, docsFull, covTok, totTok) =>
+      assert(covTok === wantCovered.getOrElse(src, 0L),
+        s"$src covered tokens diverge from brute force")
+      assert(docsFull <= docsCov && covTok <= totTok)
+    }
+    // non-degenerate on this corpus: some covered docs are NOT full dups
+    assert(got.map(_._2).sum > got.map(_._3).sum,
+      "every covered doc is a full dup — the partial-coverage signal is dead")
+    assert(got.map(_._3).sum > 0L, "no full dups found — census dead")
+  }
+
   test("plan: bounded shuffles, no cartesian") {
     val df = LlmOps.dedupLongestSpan(spark, sf)
     df.collect()
