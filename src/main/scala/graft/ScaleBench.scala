@@ -507,6 +507,12 @@ object ScaleBench {
       // collected-sketch driver math — rows pinned at |types|+1
       val (qdSec, qdRows, qdEx) = bestIf("qdigest_sketch")(
         queries.SketchOps.sketchQdigest(spark, dir))
+      // leakage-safe split: LSH pairs + pointer-doubling CC + two
+      // aggregates on the (doc, root) pin — pairs ∝ k by the replica
+      // decorrelation, CC rounds ∝ log(diameter), output rows fixed
+      // at 2 (the per-mode census)
+      val (slSec, slRows, slEx) = bestIf("split_leakage")(
+        queries.Curation.splitLeakageSafe(spark, dir))
       // NB language-ID: the model is CAPPED at |langs|·4096 rows no
       // matter how the tagged vocabulary grows (feature folding), so
       // the model exchange and the broadcast stay flat; scoring is the
@@ -566,6 +572,7 @@ object ScaleBench {
         "unigram_encode" -> (ueSec, ueRows, ueEx),
         "blocklist_scan" -> (bkSec, bkRows, bkEx),
         "qdigest_sketch" -> (qdSec, qdRows, qdEx),
+        "split_leakage" -> (slSec, slRows, slEx),
         "langid_nb" -> (liSec, liRows, liEx))
         .filter { case (op, _) => wanted(op) }
       row.foreach { case (op, (s, r, e)) =>
