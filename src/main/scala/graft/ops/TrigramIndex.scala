@@ -1,0 +1,122 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
+
+import graft.Tables
+
+/** Trigram posting index for INDEX-ACCELERATED SUBSTRING SEARCH (the
+  * pg_trgm design: a `LIKE '%pat%'` that reads postings instead of
+  * scanning every document): the staged index is one row per DISTINCT
+  * (character-trigram, doc) pair, bucket-partitioned by trigram hash so
+  * a query opens only the partitions its own trigrams live in. A
+  * pattern's CANDIDATES are the docs containing ALL of its trigrams
+  * (posting intersection via a tri-keyed aggregate — necessary but not
+  * sufficient: trigrams can co-occur without adjacency), and the exact
+  * `contains` VERIFY runs on the candidate-sized set only. The face
+  * reports candidates NEXT TO matches per pattern, so the index's
+  * filtering power — and its false-positive rate — is a query result
+  * (the engine's error-exposure convention).
+  *
+  * Scale shape: the posting build is the one corpus-sized job, staged
+  * once (build-once/query-many — the index contract); a query touches
+  * |pattern-trigrams| partitions of the posting table (partition-pruned
+  * scan, spec-pinned), one tri-keyed aggregate over those postings, and
+  * a candidate-sized verify join. Nothing re-reads the corpus beyond
+  * the candidate fetch.
+  */
+object TrigramIndex {
+
+  /** Query patterns (plan literals): all cross token boundaries — the
+    * case token-keyed indexes (phrase/inverted) cannot serve — and all
+    * probed non-degenerate (candidates > matches for most, exposing
+    * the trigram filter's false positives).
+    */
+  val patterns: Seq[String] =
+    Seq("ash jo", "can ba", "ge joi", "row gro", "slow sc", "ustome")
+
+  val buckets = 16
+
+  private def tris(p: String): Seq[String] =
+    (0 to p.length - 3).map(i => p.substring(i, i + 3)).distinct.sorted
+
+  /** Driver-side mirror of [[Dedup.hash60]] (md5 first 60 bits) for
+    * computing the pruned bucket list at plan time.
+    */
+  private def hash60String(s: String): Long = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val hex = md.digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    java.lang.Long.parseLong(hex.take(15), 16)
+  }
+
+  /** Stage the bucket-partitioned posting table once per (JVM, dir). */
+  private def stagedIndex(spark: SparkSession, dir: String): String = {
+    val idx = StageOnce.tmp("trgm_index", dir)
+    StageOnce(idx) {
+      Tables.load(spark, dir, "documents")
+        .select(col("doc_id"), explode(transform(
+          sequence(lit(1), greatest(length(col("text")) - 2, lit(0))),
+          i => col("text").substr(i, lit(3)))).as("tri"))
+        .distinct()
+        .withColumn("bucket", pmod(Dedup.hash60(col("tri")), lit(buckets)))
+        .write.mode("overwrite").partitionBy("bucket").parquet(idx)
+    }
+    idx
+  }
+
+  /** The q_trgm_like_scan face: per pattern, posting-intersection
+    * candidates and exact contains-verified matches.
+    */
+  def likeScan(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val idx = stagedIndex(spark, dir)
+    val pt = patterns.flatMap(p => tris(p).map(t => (p, t, tris(p).size.toLong)))
+      .toDF("pattern", "tri", "n_tris")
+    val wantedTris = patterns.flatMap(tris).distinct
+    val wantedBuckets = wantedTris
+      .map(t => math.floorMod(hash60String(t), buckets.toLong))
+      .distinct.sorted
+    val cand = spark.read.parquet(idx)
+      .filter(col("bucket").isin(wantedBuckets: _*)) // partition-pruned
+      .filter(col("tri").isin(wantedTris: _*))
+      .join(broadcast(pt), Seq("tri"))
+      .groupBy(col("pattern"), col("doc_id"), col("n_tris"))
+      .agg(countDistinct(col("tri")).as("got"))
+      .filter(col("got") === col("n_tris"))
+      .select(col("pattern"), col("doc_id"))
+    val verified = cand.join(
+        Tables.load(spark, dir, "documents").select(col("doc_id"), col("text")),
+        Seq("doc_id"))
+      .select(col("pattern"),
+        when(expr("instr(text, pattern)") > 0, 1L).otherwise(0L).as("hit"))
+      .groupBy(col("pattern"))
+      .agg(count(lit(1)).as("n_candidates"), sum(col("hit")).as("n_matches"))
+    verified.orderBy(col("pattern"))
+  }
+
+  /** DuckDB replay: the distinct posting build, the AND-intersection,
+    * and the exact contains verify, per pattern.
+    */
+  lazy val likeScanSql: String = {
+    val patRows = patterns.map { p =>
+      val ts = tris(p)
+      ts.map(t => s"('$p', '$t', ${ts.size})").mkString(", ")
+    }.mkString(",\n    ")
+    s"""WITH pt(pattern, tri, n_tris) AS (VALUES
+       |    $patRows),
+       |post AS MATERIALIZED (
+       |  SELECT DISTINCT d.doc_id, substr(d.text, CAST(i AS INT), 3) AS tri
+       |  FROM documents d, unnest(range(1, greatest(len(d.text) - 1, 1))) z(i)),
+       |cand AS MATERIALIZED (
+       |  SELECT pt.pattern, p.doc_id
+       |  FROM post p JOIN pt ON p.tri = pt.tri
+       |  GROUP BY 1, 2, pt.n_tris
+       |  HAVING count(DISTINCT p.tri) = pt.n_tris)
+       |SELECT c.pattern, CAST(count(*) AS BIGINT) AS n_candidates,
+       |  CAST(sum(CASE WHEN contains(d.text, c.pattern) THEN 1 ELSE 0 END)
+       |    AS BIGINT) AS n_matches
+       |FROM cand c JOIN documents d USING (doc_id)
+       |GROUP BY 1 ORDER BY 1""".stripMargin
+  }
+}
