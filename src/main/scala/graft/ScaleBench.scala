@@ -513,6 +513,12 @@ object ScaleBench {
       // at 2 (the per-mode census)
       val (slSec, slRows, slEx) = bestIf("split_leakage")(
         queries.Curation.splitLeakageSafe(spark, dir))
+      // trigram LIKE scan: the staged posting build is charged to the
+      // first run at each scale (build-once contract); the min-of-2
+      // cell measures the pruned posting read + candidate verify —
+      // rows fixed at |patterns|
+      val (tgSec, tgRows, tgEx) = bestIf("trgm_like")(
+        graft.ops.TrigramIndex.likeScan(spark, dir))
       // NB language-ID: the model is CAPPED at |langs|·4096 rows no
       // matter how the tagged vocabulary grows (feature folding), so
       // the model exchange and the broadcast stay flat; scoring is the
@@ -573,6 +579,7 @@ object ScaleBench {
         "blocklist_scan" -> (bkSec, bkRows, bkEx),
         "qdigest_sketch" -> (qdSec, qdRows, qdEx),
         "split_leakage" -> (slSec, slRows, slEx),
+        "trgm_like" -> (tgSec, tgRows, tgEx),
         "langid_nb" -> (liSec, liRows, liEx))
         .filter { case (op, _) => wanted(op) }
       row.foreach { case (op, (s, r, e)) =>
