@@ -135,6 +135,7 @@ object SparkEntry {
     "q_block_provenance" -> ((s, d) => graft.ops.WordPiece.blockProvenance(s, d)),
     "q_block_decontam" -> ((s, d) => graft.ops.WordPiece.blockDecontam(s, d)),
     "q_trgm_like_scan" -> ((s, d) => graft.ops.TrigramIndex.likeScan(s, d)),
+    "q_trgm_like_incr" -> ((s, d) => graft.ops.TrigramIndex.likeScanIncr(s, d)),
     "q_phrase_search" -> ((s, d) => graft.ops.InvertedIndex.phraseSearch(s, d)),
     "q_phrase_search_incr" -> ((s, d) => graft.ops.InvertedIndex.phraseSearchIncr(s, d)),
     "q_index_stats" -> ((s, d) => graft.ops.InvertedIndex.indexStats(s, d)),
@@ -483,6 +484,7 @@ object SparkEntry {
     "q_block_provenance" -> graft.ops.WordPiece.blockProvenanceSql(),
     "q_block_decontam" -> graft.ops.WordPiece.blockDecontamSql,
     "q_trgm_like_scan" -> graft.ops.TrigramIndex.likeScanSql,
+    "q_trgm_like_incr" -> graft.ops.TrigramIndex.likeScanSql,
     "q_phrase_search" -> graft.ops.InvertedIndex.phraseSearchSql(),
     "q_phrase_search_incr" -> graft.ops.InvertedIndex.phraseSearchSql(),
     "q_index_stats" -> graft.ops.InvertedIndex.indexStatsSql,

@@ -50,17 +50,47 @@ object TrigramIndex {
     java.lang.Long.parseLong(hex.take(15), 16)
   }
 
+  /** Distinct (doc, trigram) postings with their hash bucket. */
+  private def postings(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), explode(transform(
+        sequence(lit(1), greatest(length(col("text")) - 2, lit(0))),
+        i => col("text").substr(i, lit(3)))).as("tri"))
+      .distinct()
+      .withColumn("bucket", pmod(Dedup.hash60(col("tri")), lit(buckets)))
+
+  /** Append one crawl's postings as its own segment under
+    * `path/seg=<seg>/bucket=…` — the Lucene-segment move
+    * ([[InvertedIndex.writeSegment]]'s contract on the trigram
+    * layout): cost ∝ the delta, base segments never read or
+    * rewritten, per-segment overwrite ⇒ idempotent replay, and the
+    * bucket directory pruning survives the two-level tree.
+    */
+  def writeSegment(docs: DataFrame, path: String, seg: String): Unit =
+    postings(docs)
+      .repartition(col("bucket"))
+      .sortWithinPartitions(col("tri"), col("doc_id"))
+      .write.mode("overwrite").partitionBy("bucket")
+      .parquet(s"$path/seg=$seg")
+
   /** Stage the bucket-partitioned posting table once per (JVM, dir). */
   private def stagedIndex(spark: SparkSession, dir: String): String = {
     val idx = StageOnce.tmp("trgm_index", dir)
     StageOnce(idx) {
-      Tables.load(spark, dir, "documents")
-        .select(col("doc_id"), explode(transform(
-          sequence(lit(1), greatest(length(col("text")) - 2, lit(0))),
-          i => col("text").substr(i, lit(3)))).as("tri"))
-        .distinct()
-        .withColumn("bucket", pmod(Dedup.hash60(col("tri")), lit(buckets)))
+      postings(Tables.load(spark, dir, "documents"))
         .write.mode("overwrite").partitionBy("bucket").parquet(idx)
+    }
+    idx
+  }
+
+  /** Segmented staging: a base segment over ~95% of the corpus plus a
+    * crawl-delta segment (doc_id % 20 == 0) appended afterwards.
+    */
+  private def stagedIncremental(spark: SparkSession, dir: String): String = {
+    val idx = StageOnce.tmp("trgm_index_incr", dir)
+    StageOnce(idx) {
+      val docs = Tables.load(spark, dir, "documents")
+      writeSegment(docs.filter(col("doc_id") % 20 =!= 0), idx, "base")
+      writeSegment(docs.filter(col("doc_id") % 20 === 0), idx, "d1")
     }
     idx
   }
@@ -68,9 +98,19 @@ object TrigramIndex {
   /** The q_trgm_like_scan face: per pattern, posting-intersection
     * candidates and exact contains-verified matches.
     */
-  def likeScan(spark: SparkSession, dir: String): DataFrame = {
+  def likeScan(spark: SparkSession, dir: String): DataFrame =
+    likeScanAt(spark, dir, stagedIndex(spark, dir))
+
+  /** The q_trgm_like_incr face: the SAME search plan over the
+    * base + appended-segment layout — append ≡ rebuild is the
+    * correctness contract, so the oracle is [[likeScanSql]] unchanged.
+    */
+  def likeScanIncr(spark: SparkSession, dir: String): DataFrame =
+    likeScanAt(spark, dir, stagedIncremental(spark, dir))
+
+  private def likeScanAt(spark: SparkSession, dir: String,
+      idx: String): DataFrame = {
     import spark.implicits._
-    val idx = stagedIndex(spark, dir)
     val pt = patterns.flatMap(p => tris(p).map(t => (p, t, tris(p).size.toLong)))
       .toDF("pattern", "tri", "n_tris")
     val wantedTris = patterns.flatMap(tris).distinct

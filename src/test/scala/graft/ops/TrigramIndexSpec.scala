@@ -27,6 +27,21 @@ class TrigramIndexSpec extends SparkSpec {
     assert(got.forall(_._3 > 0L), "a pattern never matches — degenerate")
   }
 
+  test("segment append: base + delta ≡ the one-shot index; base segment untouched by the append") {
+    val got = TrigramIndex.likeScanIncr(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val want = TrigramIndex.likeScan(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(got.sameElements(want), "segmented search diverged from rebuild")
+    // layout: two segments, delta-proportional append (the base
+    // segment's files predate the delta's — overwrite went only under
+    // seg=d1)
+    val idx = graft.ops.StageOnce.tmp("trgm_index_incr", sf)
+    val segs = new java.io.File(idx).listFiles()
+      .map(_.getName).filter(_.startsWith("seg=")).sorted
+    assert(segs.toSeq === Seq("seg=base", "seg=d1"))
+  }
+
   test("the posting scan is partition-pruned to the query trigrams' buckets") {
     val plan = TrigramIndex.likeScan(spark, sf).queryExecution.explainString(
       org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
