@@ -28,6 +28,7 @@ public final class AhoAutomaton implements Serializable {
   final int[] fail;      // fail links
   final int[] patAt;     // pattern id ending exactly at state, or -1
   final int[] out;       // dictionary suffix link: nearest accepting suffix state (or 0)
+  final int[] patLen;    // byte length per pattern (for span painting)
   public final int nPatterns;
 
   public AhoAutomaton(String[] patterns) {
@@ -41,6 +42,10 @@ public final class AhoAutomaton implements Serializable {
       maxStates += pb[i].length;
     }
     nPatterns = patterns.length;
+    patLen = new int[patterns.length];
+    for (int i = 0; i < pb.length; i++) {
+      patLen[i] = pb[i].length;
+    }
     go = new int[maxStates][256];
     fail = new int[maxStates];
     patAt = new int[maxStates];
@@ -103,5 +108,39 @@ public final class AhoAutomaton implements Serializable {
       }
     }
     return counts;
+  }
+
+  /** REDACT: replace every byte covered by ANY pattern occurrence
+   *  (the union of all matched spans — overlapping and nested
+   *  included) with `mask`. Patterns are ASCII in the redaction use,
+   *  so masking exactly the matched bytes cannot split a multi-byte
+   *  character. Same single pass as {@link #countAll} plus a painted
+   *  frontier: per end position only the LONGEST accepting suffix
+   *  matters (its span covers every shorter one), and the frontier
+   *  keeps total painting O(text).
+   */
+  public byte[] maskAll(byte[] text, byte mask) {
+    byte[] outBytes = text.clone();
+    int s = 0;
+    int painted = 0; // positions < painted are already masked
+    for (int i = 0; i < text.length; i++) {
+      s = go[s][text[i] & 0xFF];
+      int m = patAt[s] >= 0 ? s : out[s];
+      int longest = 0;
+      while (m != 0) {
+        int len = patLen[patAt[m]];
+        if (len > longest) {
+          longest = len;
+        }
+        m = out[m];
+      }
+      if (longest > 0) {
+        for (int j = Math.max(i - longest + 1, painted); j <= i; j++) {
+          outBytes[j] = mask;
+        }
+        painted = i + 1;
+      }
+    }
+    return outBytes;
   }
 }

@@ -111,6 +111,7 @@ object SparkEntry {
     "q_dedup_spans" -> (LlmOps.duplicateSpans(_, _)),
     "q_dedup_longest_span" -> ((s, d) => LlmOps.dedupLongestSpan(s, d)),
     "q_blocklist_scan" -> (LlmOps.blocklistScan(_, _)),
+    "q_blocklist_mask" -> (LlmOps.blocklistMask(_, _)),
     "q_dedup_doc_coverage" -> (LlmOps.dedupDocCoverage(_, _)),
     "q_decontaminate" -> (LlmOps.decontaminate(_, _)),
     "q_decontaminate_bloom" -> (LlmOps.decontaminateBloom(_, _)),
@@ -460,6 +461,7 @@ object SparkEntry {
     "q_dedup_spans" -> LlmOps.duplicateSpansSql,
     "q_dedup_longest_span" -> LlmOps.dedupLongestSpanSql,
     "q_blocklist_scan" -> LlmOps.blocklistScanSql,
+    "q_blocklist_mask" -> LlmOps.blocklistMaskSql,
     "q_dedup_doc_coverage" -> LlmOps.dedupDocCoverageSql,
     "q_decontaminate" -> LlmOps.decontaminateSql,
     "q_decontaminate_bloom" -> LlmOps.decontaminateBloomSql,

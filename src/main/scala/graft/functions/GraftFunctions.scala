@@ -93,6 +93,12 @@ object GraftFunctions {
   def acCounts(text: Column, patterns: Seq[String]): Column =
     ColumnBridge.column(AcCounts(ColumnBridge.expression(text), patterns))
 
+  /** Aho-Corasick redaction: every byte covered by any pattern
+    * occurrence replaced with '#', one pass per row.
+    */
+  def acMask(text: Column, patterns: Seq[String]): Column =
+    ColumnBridge.column(AcMask(ColumnBridge.expression(text), patterns))
+
   /** 60-bit md5-derived SimHash signature — codegen'd replacement for the
     * aggregate/transform vote loop.
     */

@@ -847,3 +847,37 @@ case class AcCounts(child: Expression, patterns: Seq[String])
   override protected def withNewChildInternal(newChild: Expression): AcCounts =
     copy(child = newChild)
 }
+
+/** Aho-Corasick REDACTION: every byte covered by any occurrence of any
+  * plan-time pattern (union of matched spans) replaced with '#', one
+  * byte pass per row — the blocklist/PII masking action beside
+  * [[AcCounts]]' census.
+  */
+case class AcMask(child: Expression, patterns: Seq[String])
+    extends UnaryExpression {
+  require(patterns.nonEmpty, "ac_mask needs at least one pattern")
+
+  private lazy val automaton = new AhoAutomaton(patterns.toArray)
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires a string argument, got ${child.dataType}")
+  override def dataType: DataType = StringType
+  override def prettyName: String = "ac_mask"
+
+  override protected def nullSafeEval(input: Any): Any =
+    UTF8String.fromBytes(automaton.maskAll(
+      input.asInstanceOf[UTF8String].getBytes, '#'.toByte))
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val aRef = ctx.addReferenceObj("acMaskAutomaton", automaton,
+      "graft.functions.AhoAutomaton")
+    nullSafeCodeGen(ctx, ev, c =>
+      s"""${ev.value} = org.apache.spark.unsafe.types.UTF8String
+         |  .fromBytes($aRef.maskAll($c.getBytes(), (byte) '#'));""".stripMargin)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): AcMask =
+    copy(child = newChild)
+}

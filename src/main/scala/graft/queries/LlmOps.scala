@@ -457,6 +457,62 @@ object LlmOps {
        |FROM hits GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
   }
 
+  /** Blocklist REDACTION — the action beside [[blocklistScan]]'s
+    * census: every character covered by any pattern occurrence (the
+    * UNION of matched spans, overlapping/nested/cross-token included)
+    * masked in one automaton pass per document, reported per source as
+    * docs redacted, characters masked, and total characters — plus the
+    * masked corpus' residual hit count, which MUST be zero (masking a
+    * phrase cannot leave any pattern intact, pinned in the result
+    * itself: the redaction is verified by re-scanning its own output).
+    * Same one-scan shape as the census; the re-scan runs on the masked
+    * projection in the same stage.
+    */
+  def blocklistMask(spark: SparkSession, dir: String): DataFrame = {
+    val pats = blocklistPatterns
+    val masked = graft.functions.GraftFunctions.acMask(col("text"), pats)
+    Tables.load(spark, dir, "documents")
+      .select(col("source"), masked.as("m"), length(col("text")).as("len"))
+      .select(col("source"), col("len"),
+        (col("len") - length(regexp_replace(col("m"), "#", ""))).as("hid"),
+        aggregate(graft.functions.GraftFunctions.acCounts(col("m"), pats),
+          lit(0L), (a, x) => a + x).as("residual"))
+      .groupBy(col("source"))
+      .agg(sum(when(col("hid") > 0, 1L).otherwise(0L)).as("docs_redacted"),
+        sum(col("hid")).as("masked_chars"),
+        sum(col("len").cast(LongType)).as("total_chars"),
+        sum(col("residual")).as("residual_hits"))
+      .orderBy(col("source"))
+  }
+
+  /** Redaction oracle: per (doc, position) coverage from brute-force
+    * match starts, distinct covered positions per doc, per-source
+    * census; residual_hits is identically 0 by the span-union
+    * argument (any surviving occurrence would have been covered).
+    */
+  lazy val blocklistMaskSql: String = {
+    val vals = blocklistPatterns.map(p => s"('$p')").mkString(", ")
+    s"""WITH pats(pattern) AS (VALUES $vals),
+       |starts AS (
+       |  SELECT d.doc_id, CAST(i AS INT) AS i, len(p.pattern) AS pl
+       |  FROM documents d, pats p,
+       |       unnest(range(1, len(d.text) - len(p.pattern) + 2)) z(i)
+       |  WHERE substr(d.text, CAST(i AS INT), len(p.pattern)) = p.pattern),
+       |cov AS (
+       |  SELECT DISTINCT doc_id, CAST(i + j AS INT) AS pos
+       |  FROM starts, unnest(range(0, pl)) w(j)),
+       |percov AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS hid
+       |  FROM cov GROUP BY 1)
+       |SELECT d.source,
+       |  CAST(sum(CASE WHEN c.hid > 0 THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS docs_redacted,
+       |  CAST(coalesce(sum(c.hid), 0) AS BIGINT) AS masked_chars,
+       |  CAST(sum(len(d.text)) AS BIGINT) AS total_chars,
+       |  CAST(0 AS BIGINT) AS residual_hits
+       |FROM documents d LEFT JOIN percov c USING (doc_id)
+       |GROUP BY 1 ORDER BY 1""".stripMargin
+  }
+
   /** b-bit minhash RESEMBLANCE ESTIMATION (Li & König, WWW 2010): keep
     * only the low b bits of each minhash slot — a 16-slot signature
     * shrinks from 128 bytes to k·b bits (8 bytes at b=4), the storage

@@ -37,6 +37,37 @@ class AhoAutomatonSpec extends SparkSpec {
     intercept[IllegalArgumentException](new AhoAutomaton(Array("a", "")))
   }
 
+  test("maskAll: span union masked exactly, nothing else touched, masked text has zero residual hits") {
+    def mask(pats: Seq[String], text: String): String =
+      new String(new AhoAutomaton(pats.toArray).maskAll(
+        text.getBytes(java.nio.charset.StandardCharsets.UTF_8), '#'.toByte),
+        java.nio.charset.StandardCharsets.UTF_8)
+    // nested chain: masking "scan" must cover the embedded can/an too
+    assert(mask(Seq("an", "can", "scan"), "a scan here") === "a #### here")
+    // overlapping spans merge ("aba" twice in "ababa" covers all 5)
+    assert(mask(Seq("aba"), "xababax") === "x#####x")
+    // cross-token phrase masks the space too; neighbors untouched
+    assert(mask(Seq("hash join"), "a hash join b") === "a ######### b")
+    // union with a longer doc: brute-force position marking agrees
+    val pats = graft.queries.LlmOps.blocklistPatterns
+    val texts = graft.Tables.load(spark, sf, "documents")
+      .select("text").collect().map(_.getString(0))
+    assert(texts.forall(!_.contains('#')), "corpus contains the mask char")
+    texts.take(100).foreach { t =>
+      val covered = Array.fill(t.length)(false)
+      pats.foreach { p =>
+        var i = t.indexOf(p)
+        while (i >= 0) { (i until i + p.length).foreach(covered(_) = true)
+          i = t.indexOf(p, i + 1) }
+      }
+      val want = t.zipWithIndex.map { case (c, i) =>
+        if (covered(i)) '#' else c }.mkString
+      assert(mask(pats, t) === want)
+      // and the masked text can contain no surviving pattern
+      assert(pats.forall(p => !want.contains(p)))
+    }
+  }
+
   test("kernel ≡ brute force for every face pattern over the real corpus") {
     val pats = graft.queries.LlmOps.blocklistPatterns
     val auto = new AhoAutomaton(pats.toArray)
