@@ -143,4 +143,34 @@ public final class AhoAutomaton implements Serializable {
     }
     return outBytes;
   }
+
+  /** Size of the span union {@link #maskAll} paints — the number of
+   *  bytes covered by ANY pattern occurrence — computed WITHOUT
+   *  allocating or scanning the masked copy, so redaction accounting
+   *  never depends on counting the mask character in the output (which
+   *  would miscount on texts that already contain it). Same frontier
+   *  walk as {@link #maskAll}.
+   */
+  public long maskedCount(byte[] text) {
+    long covered = 0;
+    int s = 0;
+    int painted = 0;
+    for (int i = 0; i < text.length; i++) {
+      s = go[s][text[i] & 0xFF];
+      int m = patAt[s] >= 0 ? s : out[s];
+      int longest = 0;
+      while (m != 0) {
+        int len = patLen[patAt[m]];
+        if (len > longest) {
+          longest = len;
+        }
+        m = out[m];
+      }
+      if (longest > 0) {
+        covered += (i + 1) - Math.max(i - longest + 1, painted);
+        painted = i + 1;
+      }
+    }
+    return covered;
+  }
 }

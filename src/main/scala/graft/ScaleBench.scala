@@ -83,8 +83,11 @@ object ScaleBench {
   /** Orders amplification (separate marker, same reuse logic as
     * events): replica i offsets o_orderkey and o_custkey by
     * i·IdOffset with dates/status/price unchanged — replica key spaces
-    * are disjoint, the %10/%20 change-set rules keep firing per
-    * replica (IdOffset is a multiple of 20), and the per-year group
+    * are disjoint; the %10/%20 change-set rules keep firing per
+    * replica because each replica's key residues are a PERMUTATION of
+    * the base's (IdOffset = 2³² ≡ 6 mod 10 and 16 mod 20, so replica
+    * i's residues shift by 6i/16i — every residue class stays
+    * populated, delta volume scales ∝ k), and the per-year group
     * count stays constant, so an IVM receipt isolates delta-vs-groups
     * scaling.
     */

@@ -99,6 +99,12 @@ object GraftFunctions {
   def acMask(text: Column, patterns: Seq[String]): Column =
     ColumnBridge.column(AcMask(ColumnBridge.expression(text), patterns))
 
+  /** Covered-byte count of acMask's span union, derived from the
+    * automaton directly (never from counting '#' in the masked output).
+    */
+  def acMaskedCount(text: Column, patterns: Seq[String]): Column =
+    ColumnBridge.column(AcMaskedCount(ColumnBridge.expression(text), patterns))
+
   /** 60-bit md5-derived SimHash signature — codegen'd replacement for the
     * aggregate/transform vote loop.
     */

@@ -881,3 +881,35 @@ case class AcMask(child: Expression, patterns: Seq[String])
   override protected def withNewChildInternal(newChild: Expression): AcMask =
     copy(child = newChild)
 }
+
+/** Covered-byte count of [[AcMask]]'s span union, computed from the
+  * automaton's own frontier walk rather than by counting mask
+  * characters in the output — redaction accounting stays exact on
+  * texts that already contain the mask character.
+  */
+case class AcMaskedCount(child: Expression, patterns: Seq[String])
+    extends UnaryExpression {
+  require(patterns.nonEmpty, "ac_masked_count needs at least one pattern")
+
+  private lazy val automaton = new AhoAutomaton(patterns.toArray)
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires a string argument, got ${child.dataType}")
+  override def dataType: DataType = LongType
+  override def prettyName: String = "ac_masked_count"
+
+  override protected def nullSafeEval(input: Any): Any =
+    automaton.maskedCount(input.asInstanceOf[UTF8String].getBytes)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val aRef = ctx.addReferenceObj("acMcAutomaton", automaton,
+      "graft.functions.AhoAutomaton")
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = $aRef.maskedCount($c.getBytes());")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): AcMaskedCount =
+    copy(child = newChild)
+}

@@ -50,10 +50,18 @@ object TrigramIndex {
     java.lang.Long.parseLong(hex.take(15), 16)
   }
 
-  /** Distinct (doc, trigram) postings with their hash bucket. */
+  /** Distinct (doc, trigram) postings with their hash bucket. Docs
+    * shorter than 3 chars carry no trigram and must emit NOTHING —
+    * without the length filter `sequence(1, len-2)` evaluates
+    * sequence(1, 0) = the DESCENDING [1, 0] for them, leaking junk
+    * sub-trigram postings into the staged artifact (the DuckDB
+    * posting build's `range(1, …)` is empty-on-inverted, so the
+    * artifacts would diverge even though queries never read them).
+    */
   private def postings(docs: DataFrame): DataFrame =
-    docs.select(col("doc_id"), explode(transform(
-        sequence(lit(1), greatest(length(col("text")) - 2, lit(0))),
+    docs.filter(length(col("text")) >= 3)
+      .select(col("doc_id"), explode(transform(
+        sequence(lit(1), length(col("text")) - 2),
         i => col("text").substr(i, lit(3)))).as("tri"))
       .distinct()
       .withColumn("bucket", pmod(Dedup.hash60(col("tri")), lit(buckets)))

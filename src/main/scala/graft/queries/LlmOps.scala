@@ -471,10 +471,13 @@ object LlmOps {
   def blocklistMask(spark: SparkSession, dir: String): DataFrame = {
     val pats = blocklistPatterns
     val masked = graft.functions.GraftFunctions.acMask(col("text"), pats)
+    // hid comes from the automaton's own covered-span count, NOT from
+    // counting '#' in the masked text — a source document that already
+    // contains '#' must not inflate the redaction census.
     Tables.load(spark, dir, "documents")
-      .select(col("source"), masked.as("m"), length(col("text")).as("len"))
-      .select(col("source"), col("len"),
-        (col("len") - length(regexp_replace(col("m"), "#", ""))).as("hid"),
+      .select(col("source"), masked.as("m"), length(col("text")).as("len"),
+        graft.functions.GraftFunctions.acMaskedCount(col("text"), pats).as("hid"))
+      .select(col("source"), col("len"), col("hid"),
         aggregate(graft.functions.GraftFunctions.acCounts(col("m"), pats),
           lit(0L), (a, x) => a + x).as("residual"))
       .groupBy(col("source"))

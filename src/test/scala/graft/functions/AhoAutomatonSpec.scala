@@ -68,6 +68,41 @@ class AhoAutomatonSpec extends SparkSpec {
     }
   }
 
+  test("maskedCount ≡ span-union size, exact on text already containing the mask char") {
+    val pats = Seq("an", "can", "scan", "hash join")
+    val auto = new AhoAutomaton(pats.toArray)
+    def cnt(t: String): Long =
+      auto.maskedCount(t.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    assert(cnt("a scan here") === 4L)       // nested chain, one span
+    assert(cnt("a hash join b") === 9L)     // cross-token phrase
+    assert(cnt("no hits") === 0L)
+    // the trap the '#'-count formulation falls into: pre-existing '#'
+    // must NOT count as masked
+    assert(cnt("## a scan ##") === 4L)
+    assert(cnt("####") === 0L)
+    // against brute-force position marking + corpus texts (incl. a
+    // synthetic '#'-bearing mutation of each)
+    val texts = graft.Tables.load(spark, sf, "documents")
+      .select("text").collect().map(_.getString(0)).take(50)
+    (texts ++ texts.map("###" + _ + "#")).foreach { t =>
+      val covered = Array.fill(t.length)(false)
+      pats.foreach { p =>
+        var i = t.indexOf(p)
+        while (i >= 0) { (i until i + p.length).foreach(covered(_) = true)
+          i = t.indexOf(p, i + 1) }
+      }
+      assert(cnt(t) === covered.count(identity).toLong)
+    }
+    // expression path round-trips the kernel
+    val viaExpr = graft.Tables.load(spark, sf, "documents")
+      .select(GraftFunctions.acMaskedCount(col("text"), pats).as("h"))
+      .agg(sum("h")).collect()(0).getLong(0)
+    val fullTexts = graft.Tables.load(spark, sf, "documents")
+      .select("text").collect().map(_.getString(0))
+    assert(viaExpr === fullTexts.map(t =>
+      cnt(t)).sum)
+  }
+
   test("kernel ≡ brute force for every face pattern over the real corpus") {
     val pats = graft.queries.LlmOps.blocklistPatterns
     val auto = new AhoAutomaton(pats.toArray)
