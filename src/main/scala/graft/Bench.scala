@@ -17,6 +17,32 @@ import org.apache.spark.sql.SparkSession
   *   32-core box. At production scale the default is correct.
   */
 object Bench {
+  /** Cells whose per-query spark/duck ratio compares DIFFERENT work and
+    * must not be read as engine-vs-engine on identical inputs — the
+    * declared staged-input / cached-fit / basis-mismatch families of
+    * BASELINE.md (staged indexes and fits are built once per JVM while
+    * the self-contained oracle re-derives every run; binaryfile does
+    * real file-per-object I/O the oracle computes closed-form; the IVM
+    * faces measure the maintain path against an oracle that recomputes
+    * the view from a tiny base). Emitted in BOTH bench JSON lines so
+    * every receipt self-describes.
+    */
+  val stagedInputCells: Seq[String] = Seq(
+    "q_cdc_merge", "q_events_json", "q_binaryfile_scan",
+    "q_ingest_gate_e2e", "q_quality_classifier",
+    "q_bpe_merges", "q_phrase_search", "q_phrase_search_incr",
+    "q_index_stats",
+    "q_wordpiece_vocab", "q_wordpiece_encode", "q_wordpiece_ids",
+    "q_minpiece_encode", "q_token_blocks",
+    "q_embed_ann_ivf", "q_embed_ann_ivf_indexed", "q_embed_recall",
+    "q_embed_drift", "q_dedup_semantic", "q_sample_cluster_balanced",
+    "q_embed_ivf_append", "q_embed_ivf_sq8", "q_embed_ivf_sq8_append",
+    "q_embed_ivfpq_append",
+    "q_attribution_stream", "q_ivm_stream",
+    "q_ivm_aggregate", "q_ivm_join", "q_ivm_minmax",
+    "q_dedup_doc_coverage",
+    "q_trgm_like_scan", "q_trgm_like_incr")
+
   /** 1-minute load average from /proc/loadavg ("-1" off-Linux). The bench
     * host shows bursty CPU steal; embedding load evidence in the JSON lets
     * a reader tell "this run was measured on a loaded box" apart from a
@@ -113,7 +139,14 @@ object Bench {
     }.mkString("{", ",", "}")
     val failedJson = failedNames.map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = if (ok.nonEmpty) ok.values.map(_.min).sum else 0.0
-    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"iters_raw":$raw,"failed":$failedJson,"sf":"$sfDir","iters":$iters,"agg":"min","loadavg_before":$loadBefore,"loadavg_after":$loadAfter}"""
+    val stagedJson = stagedInputCells.filter(selected.contains)
+      .map("\"" + _ + "\"").mkString("[", ",", "]")
+    // A capture taken on a loaded host self-labels: the authoritative
+    // ratio is min-of-iterations under 1-minute loadavg < 1 (BASELINE.md
+    // provenance section) — a true flag here means "re-measure under a
+    // quiet window before reading this as a regression".
+    val hotWarn = loadBefore >= 1.0
+    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"iters_raw":$raw,"failed":$failedJson,"staged_input_cells":$stagedJson,"sf":"$sfDir","iters":$iters,"agg":"min","loadavg_before":$loadBefore,"loadavg_after":$loadAfter,"hot_window_warn":$hotWarn}"""
     println(json)
     // The driver's stdout capture keeps only the TAIL of the output, and
     // the full line above (200 queries x raw iteration arrays) overflows
@@ -121,7 +154,7 @@ object Bench {
     // compact totals-only line LAST so any tail capture ends with one
     // complete, parseable JSON object; the full per-query detail stays in
     // the big line and in target/bench_last.json.
-    println(s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${ok.size},"n_failed":${failedNames.size},"sf":"$sfDir","iters":$iters,"agg":"min","loadavg_before":$loadBefore,"loadavg_after":$loadAfter}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${ok.size},"n_failed":${failedNames.size},"staged_input_cells":$stagedJson,"sf":"$sfDir","iters":$iters,"agg":"min","loadavg_before":$loadBefore,"loadavg_after":$loadAfter,"hot_window_warn":$hotWarn}""")
     // Also write the full line to a file: the driver's stdout capture
     // truncates long tails, which last round lost 32 of 67 per-query
     // numbers — the file always carries the complete data.
