@@ -2108,15 +2108,32 @@ object LlmOps {
         transform(g2, x => struct(lit(2).as("ord"), x.as("g"))))).as("og"))
       .select(col("doc_id"), col("og.ord").as("ord"), col("og.g").as("g")))
     val vocab = grams.groupBy(col("ord"), col("g")).agg(count(lit(1)).as("cf"))
-    val totals = vocab.groupBy().agg(
-      sum(when(col("ord") === 1, col("cf"))).as("total_u"),
-      sum(when(col("ord") === 2, col("cf"))).as("total_b"))
-    grams.join(vocab, Seq("ord", "g"))
+    // Totals are algebraically recoverable downstream: every gram
+    // occurrence belongs to exactly one doc, so total_u = Σ_docs n_uni
+    // and total_b = Σ_docs n_bi, summed over ALL docs BEFORE the
+    // <2-token filter (a 1-token doc still contributes its unigram
+    // occurrences to the corpus total, as the oracle's vocab_u does) —
+    // so the vocab subtree has ONE consumer chain and perDoc (pinned,
+    // |docs|-sized) serves both totals and the final projection.
+    // Round-14 floor probes, both correctness-green, both REJECTED on
+    // measurement: (a) this totals-from-perDoc rewrite alone read the
+    // same 1.04 s as r13 — Spark's ReusedExchange was already
+    // deduplicating the twice-consumed vocab aggregate, so the second
+    // consumption was never paid; (b) a tf-first formulation (pre-
+    // aggregate (doc_id, ord, g) → tf, no cache, ReusedExchange on the
+    // tf exchange) read 1.63 s — the 3-key exchange carries the nearly-
+    // combine-free bigram stream in full, costlier than the 24-byte-row
+    // cache. The ~1.0 s is the pinned tokenize + two aggregate
+    // exchanges + AQE floor; see BASELINE.md's fixed-floor declaration.
+    val perDoc = CacheBin.pin(grams.join(vocab, Seq("ord", "g"))
       .groupBy(col("doc_id"))
       .agg(sum(when(col("ord") === 2, col("cf"))).as("bi_num"),
         sum(when(col("ord") === 1, col("cf"))).as("uni_num"),
         sum(when(col("ord") === 2, 1L)).as("n_bi"),
-        sum(when(col("ord") === 1, 1L)).as("n_uni"))
+        sum(when(col("ord") === 1, 1L)).as("n_uni")))
+    val totals = perDoc.groupBy().agg(
+      sum(col("n_uni")).as("total_u"), sum(col("n_bi")).as("total_b"))
+    perDoc
       .filter(col("n_bi").isNotNull) // <2-token docs have no bigram leg
       .crossJoin(broadcast(totals))
       .withColumn("lm_interp",
