@@ -322,6 +322,18 @@ object LlmOps {
       .join(rare.select(col("h"), col("doc_id").as("doc_b"), col("pos").as("pb")), "h")
       .filter(col("doc_a") < col("doc_b"))
       .select(col("doc_a"), col("doc_b"), col("pa"), (col("pa") - col("pb")).as("diag"))
+    // Island extraction costs ONE exchange, not two: the window
+    // exchanges on (pair, diag) and the 4-key re-aggregation below is
+    // exchange-free because hash partitioning on a SUBSET of the
+    // grouping keys already satisfies ClusteredDistribution. An r14
+    // fused alternative (collect_list sorted positions per (pair,
+    // diag) + array-HOF island split, zero windows) was built,
+    // correctness-verified, and REJECTED on measurement: 1.01 s vs
+    // 0.85 s for this plan in paired quiet windows
+    // (target/bench_span_r14.json) — the object-hash collect aggregate
+    // costs more than the window sort it replaced. The residual
+    // sf0.1 gap vs the oracle is a declared fixed floor; see
+    // BASELINE.md.
     val w = Window.partitionBy(col("doc_a"), col("doc_b"), col("diag"))
       .orderBy(col("pa"))
     hits.select(col("doc_a"), col("doc_b"), col("diag"), col("pa"),
