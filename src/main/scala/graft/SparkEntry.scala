@@ -113,6 +113,7 @@ object SparkEntry {
     "q_blocklist_scan" -> (LlmOps.blocklistScan(_, _)),
     "q_blocklist_mask" -> (LlmOps.blocklistMask(_, _)),
     "q_dedup_doc_coverage" -> (LlmOps.dedupDocCoverage(_, _)),
+    "q_para_dedup" -> (LlmOps.paraDedup(_, _)),
     "q_decontaminate" -> (LlmOps.decontaminate(_, _)),
     "q_decontaminate_bloom" -> (LlmOps.decontaminateBloom(_, _)),
     "q_dedup_incr_exact" -> (LlmOps.dedupIncrementalExact(_, _)),
@@ -463,6 +464,7 @@ object SparkEntry {
     "q_blocklist_scan" -> LlmOps.blocklistScanSql,
     "q_blocklist_mask" -> LlmOps.blocklistMaskSql,
     "q_dedup_doc_coverage" -> LlmOps.dedupDocCoverageSql,
+    "q_para_dedup" -> LlmOps.paraDedupSql,
     "q_decontaminate" -> LlmOps.decontaminateSql,
     "q_decontaminate_bloom" -> LlmOps.decontaminateBloomSql,
     "q_dedup_incr_exact" -> LlmOps.dedupIncrementalExactSql,

@@ -416,6 +416,103 @@ object LlmOps {
        |FROM toks t LEFT JOIN cov c USING (doc_id)
        |GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** PARAGRAPH/BOILERPLATE dedup (the CCNet/RefinedWeb line-level
+    * pass — Wenzek et al. 2020 §4.1, Penedo et al. 2023 §3.2 — the
+    * highest-frequency real-world dedup op: drop every occurrence of
+    * any paragraph whose corpus frequency reaches `minFreq`, then
+    * reassemble each document from its kept paragraphs IN ORDER).
+    * This corpus has no newline structure, so "paragraph" is the
+    * deterministic fixed window both engines can replay: consecutive
+    * 20-token blocks (the line analog; the operator is agnostic to
+    * the segmentation rule). The face is the per-source census with
+    * the reassembly PROVEN in-result: toks_after is computed by
+    * re-tokenizing the reassembled text, not by arithmetic on block
+    * counts, so a reassembly bug (lost block, wrong order collapsing
+    * adjacent duplicates, separator drift) shows up as a count
+    * mismatch against the oracle's identically re-tokenized clean
+    * text.
+    *
+    * Scale shape: one corpus pass builds the (doc, block, hash60)
+    * stream (pinned — it feeds the frequency aggregate and the
+    * anti-join probe); the frequency aggregate is hash-keyed with
+    * map-side combine; the drop set (freq ≥ minFreq) is the
+    * boilerplate TAIL of the frequency table — far smaller than the
+    * vocabulary, broadcast-class under AQE; reassembly is ONE
+    * doc-keyed aggregate whose per-group state is bounded by blocks
+    * per document. Nothing is all-pairs and no corpus-sized list ever
+    * leaves an executor.
+    */
+  def paraDedup(spark: SparkSession, dir: String, blockTokens: Int = 20,
+      minFreq: Int = 2): DataFrame = {
+    val toks = Tables.load(spark, dir, "documents")
+      .select(col("doc_id"), col("source"),
+        split(trim(col("text")), "\\s+").as("t"))
+    val hb = CacheBin.pin(toks
+      .select(col("doc_id"), col("source"), posexplode(expr(
+        s"""transform(sequence(0, CAST(ceil(size(t) / $blockTokens.0) AS INT) - 1),
+           |  i -> array_join(slice(t, i * $blockTokens + 1, $blockTokens), ' '))"""
+          .stripMargin)).as(Seq("bi", "para")))
+      .withColumn("h", Dedup.hash60(col("para"))))
+    val dropSet = hb.groupBy(col("h")).agg(count(lit(1)).as("f"))
+      .filter(col("f") >= minFreq).select(col("h"))
+    val clean = hb.join(dropSet, Seq("h"), "left_anti")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_kept"),
+        array_join(transform(
+          array_sort(collect_list(struct(col("bi"), col("para")))),
+          x => x.getField("para")), " ").as("ctext"))
+    toks.select(col("doc_id"), col("source"),
+        size(col("t")).cast(LongType).as("n0"),
+        ceil(size(col("t")) / lit(blockTokens.toDouble)).cast(LongType).as("nb"))
+      .join(clean, Seq("doc_id"), "left")
+      .select(col("source"), col("n0"), col("nb"),
+        coalesce(col("n_kept"), lit(0L)).as("nk"),
+        when(col("ctext").isNull || col("ctext") === "", lit(0L))
+          .otherwise(size(split(trim(col("ctext")), "\\s+")).cast(LongType))
+          .as("n1"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("nk") < col("nb"), 1L).otherwise(0L)).as("docs_touched"),
+        sum(col("nb") - col("nk")).as("paras_dropped"),
+        sum(col("n0")).as("toks_before"),
+        sum(col("n1")).as("toks_after"))
+      .orderBy(col("source"))
+  }
+
+  /** Paragraph-dedup oracle: identical 20-token segmentation, the same
+    * md5-60-bit block keys, frequency gate, ordered reassembly, and a
+    * re-tokenized after-census.
+    */
+  val paraDedupSql: String =
+    """WITH toks AS (SELECT doc_id, source,
+      |    string_split_regex(trim(text), '\s+') AS t FROM documents),
+      |hb AS MATERIALIZED (
+      |  SELECT doc_id, source, CAST(i AS INT) AS bi,
+      |    array_to_string(t[CAST(i*20+1 AS INT):CAST(i*20+20 AS INT)], ' ')
+      |      AS para
+      |  FROM toks, unnest(range(0, CAST(ceil(len(t)/20.0) AS BIGINT))) z(i)),
+      |hh AS MATERIALIZED (SELECT doc_id, source, bi, para,
+      |    ('0x' || substr(md5(para), 1, 15))::BIGINT AS h FROM hb),
+      |freq AS (SELECT h, count(*) AS f FROM hh GROUP BY 1),
+      |kept AS (SELECT doc_id, bi, para FROM hh JOIN freq USING (h)
+      |  WHERE f < 2),
+      |clean AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_kept,
+      |    array_to_string(list(para ORDER BY bi), ' ') AS ctext
+      |  FROM kept GROUP BY 1),
+      |perdoc AS (SELECT tk.source, CAST(len(tk.t) AS BIGINT) AS n0,
+      |    CAST(ceil(len(tk.t)/20.0) AS BIGINT) AS nb,
+      |    coalesce(c.n_kept, 0) AS nk,
+      |    CASE WHEN c.ctext IS NULL OR c.ctext = '' THEN 0
+      |         ELSE len(string_split_regex(trim(c.ctext), '\s+')) END AS n1
+      |  FROM toks tk LEFT JOIN clean c USING (doc_id))
+      |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+      |  CAST(sum(CASE WHEN nk < nb THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS docs_touched,
+      |  CAST(sum(nb - nk) AS BIGINT) AS paras_dropped,
+      |  CAST(sum(n0) AS BIGINT) AS toks_before,
+      |  CAST(sum(n1) AS BIGINT) AS toks_after
+      |FROM perdoc GROUP BY 1 ORDER BY 1""".stripMargin
+
   /** Blocklist pattern set (plan-time literals): chosen to exercise the
     * automaton's match semantics on this corpus — the an ⊂ can ⊂ scan
     * nesting chain (one text position must count all three via the
