@@ -229,6 +229,7 @@ object SparkEntry {
     "q_time_travel" -> (Maintenance.timeTravel(_, _)),
     "q_ivm_aggregate" -> (Maintenance.ivmAggregate(_, _)),
     "q_ivm_join" -> (Maintenance.ivmJoin(_, _)),
+    "q_ivm_minmax" -> (Maintenance.ivmMinMax(_, _)),
     "q_ivm_stream" -> (Maintenance.ivmStreamMaterialize(_, _)),
     "q_cdc_stream" -> (Maintenance.cdcStreamMaterialize(_, _)),
     "q_incr_agg" -> (Maintenance.incrAgg(_, _)),
@@ -551,6 +552,7 @@ object SparkEntry {
     "q_time_travel" -> Maintenance.timeTravelSql,
     "q_ivm_aggregate" -> Maintenance.ivmAggregateSql,
     "q_ivm_join" -> Maintenance.ivmJoinSql,
+    "q_ivm_minmax" -> Maintenance.ivmMinMaxSql,
     "q_ivm_stream" -> Maintenance.ivmAggregateSql,
     "q_cdc_stream" -> Maintenance.cdcStreamMaterializeSql,
     "q_incr_agg" -> Maintenance.incrAggSql,

@@ -271,6 +271,151 @@ object Maintenance {
     graft.streaming.IvmStream.view(spark, root)
   }
 
+  /** IVM for MIN/MAX under deletes — the counting algorithm's known
+    * hard case (Gupta, Mumick & Subrahmanian, SIGMOD 1993 §5: MIN/MAX
+    * are not self-maintainable under deletions): COUNT/SUM fold deltas
+    * blindly, but a deleted (or updated-away) value EQUAL to a group's
+    * stored extremum invalidates that extremum, forcing a rescan of
+    * the group's rows in the mutated base. The maintained plan applies
+    * the textbook bounded-rescan rule per side:
+    *
+    *  - inserts only → new extremum = least/greatest(stored, inserted
+    *    extremum), no base access;
+    *  - a removal touching the stored min (resp. max) — detected by
+    *    `removed_min == stored_min`, since no removed value can be
+    *    smaller — marks the group for rescan of THAT side;
+    *  - the rescan leg joins the mutated base against the broadcast
+    *    touched-group set, so its cost is ∝ rows of touched groups
+    *    (spec-pinned in MaintenanceSpec), never a full re-aggregation.
+    *
+    * COUNT/SUM ride the same merge counting-style (DECIMAL(18,2) end
+    * to end). Oracle recomputes everything from the mutated base:
+    * maintain ≡ recompute, hash-checked. Declared basis-mismatch cell
+    * (BASELINE.md): the oracle's from-scratch recompute wins the tiny
+    * SF by construction; the maintain path's cost stays ∝ delta +
+    * touched groups at any scale.
+    */
+  def ivmMinMax(spark: SparkSession, dir: String): DataFrame = {
+    val merged = ivmMinMaxMerged(spark, dir)
+    val rescan = ivmMinMaxRescanLeg(spark, dir,
+      merged.filter(col("need_min") || col("need_max")).select(col("annee")))
+    merged.join(rescan, Seq("annee"), "left")
+      .select(col("annee"),
+        (coalesce(col("n"), lit(0L)) + coalesce(col("dn"), lit(0L))).as("n_rows"),
+        (coalesce(col("s"), lit(java.math.BigDecimal.ZERO).cast(DecimalType(18, 2))) +
+          coalesce(col("dv"), lit(java.math.BigDecimal.ZERO).cast(DecimalType(18, 2))))
+          .cast(DecimalType(18, 2)).cast(DoubleType).as("total_usd"),
+        when(col("need_min"), col("r_mn"))
+          .otherwise(least(col("mn"), col("ins_mn"))).as("min_usd"),
+        when(col("need_max"), col("r_mx"))
+          .otherwise(greatest(col("mx"), col("ins_mx"))).as("max_usd"))
+      .filter(col("n_rows") > 0)
+      .orderBy(col("annee"))
+  }
+
+  /** The stored-MV ⋈ delta-aggregate merge with the per-side rescan
+    * flags — package-visible so the spec can pin the touched-group
+    * set independently of the final projection.
+    */
+  private[graft] def ivmMinMaxMerged(spark: SparkSession,
+      dir: String): DataFrame = {
+    val mvPath = StageOnce.tmp("ivm_minmax_mv", dir)
+    StageOnce(mvPath) {
+      Tables.load(spark, dir, "orders")
+        .groupBy(year(col("o_orderdate")).cast(LongType).as("annee"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("o_totalprice").cast(DecimalType(18, 2))).as("s"),
+          min(col("o_totalprice")).as("mn"),
+          max(col("o_totalprice")).as("mx"))
+        .write.mode("overwrite").parquet(mvPath)
+    }
+    val base = Tables.load(spark, dir, "orders").select(
+      year(col("o_orderdate")).cast(LongType).as("annee"),
+      col("o_orderstatus").as("dep"),
+      col("o_totalprice").as("v"),
+      col("o_orderkey").as("k"))
+    val nullV = lit(null).cast(DoubleType)
+    // (old_v, new_v) change rows: an update is delete-old + insert-new
+    // for the extremum rule; dn/dv for COUNT/SUM fall out of the same
+    // rows (old-only → −1, new-only → +1, both → 0 and Δv).
+    val leaving = base.filter(col("k") % 10 === 3 || col("dep") === "P")
+      .select(col("annee"), col("v").as("old_v"), nullV.as("new_v"))
+    val changing = base.filter(col("k") % 10 =!= 3 && col("dep") =!= "P" &&
+        col("k") % 10 === 4)
+      .select(col("annee"), col("v").as("old_v"),
+        (col("v") + when(col("k") % 20 === 4, lit(5000.0))
+          .otherwise(lit(1000.0))).as("new_v"))
+    val entering = base.filter(col("k") % 10 === 7)
+      .select(col("annee"), nullV.as("old_v"), col("v").as("new_v"))
+    val dAgg = leaving.unionByName(changing).unionByName(entering)
+      .groupBy(col("annee"))
+      .agg(sum(when(col("new_v").isNull, -1L)
+          .when(col("old_v").isNull, 1L).otherwise(0L)).as("dn"),
+        sum(coalesce(col("new_v").cast(DecimalType(18, 2)),
+            lit(java.math.BigDecimal.ZERO).cast(DecimalType(18, 2))) -
+          coalesce(col("old_v").cast(DecimalType(18, 2)),
+            lit(java.math.BigDecimal.ZERO).cast(DecimalType(18, 2)))).as("dv"),
+        min(col("new_v")).as("ins_mn"), max(col("new_v")).as("ins_mx"),
+        min(col("old_v")).as("rem_mn"), max(col("old_v")).as("rem_mx"))
+    spark.read.parquet(mvPath)
+      .join(dAgg, Seq("annee"), "full_outer")
+      .withColumn("need_min",
+        coalesce(col("rem_mn") === col("mn"), lit(false)))
+      .withColumn("need_max",
+        coalesce(col("rem_mx") === col("mx"), lit(false)))
+  }
+
+  /** The bounded rescan: mutated-base rows of the touched groups ONLY
+    * (broadcast semi-join on the group key), re-aggregated for fresh
+    * extrema. Package-visible so the spec can count exactly what it
+    * reads.
+    */
+  private[graft] def ivmMinMaxRescanLeg(spark: SparkSession, dir: String,
+      groups: DataFrame): DataFrame =
+    ivmMutatedBase(spark, dir)
+      .join(broadcast(groups), Seq("annee"))
+      .groupBy(col("annee"))
+      .agg(min(col("v")).as("r_mn"), max(col("v")).as("r_mx"))
+
+  /** The post-change table state (what the CDC merge would have left
+    * behind) — the rescan leg's input, derived in-flight under the
+    * declared staged-input convention.
+    */
+  private[graft] def ivmMutatedBase(spark: SparkSession,
+      dir: String): DataFrame = {
+    val base = Tables.load(spark, dir, "orders").select(
+      year(col("o_orderdate")).cast(LongType).as("annee"),
+      col("o_orderstatus").as("dep"),
+      col("o_totalprice").as("v"),
+      col("o_orderkey").as("k"))
+    base.filter(col("k") % 10 =!= 3 && col("dep") =!= "P")
+      .select(col("annee"),
+        when(col("k") % 20 === 4, col("v") + 5000.0)
+          .when(col("k") % 10 === 4, col("v") + 1000.0)
+          .otherwise(col("v")).as("v"))
+      .unionByName(base.filter(col("k") % 10 === 7)
+        .select(col("annee"), col("v")))
+  }
+
+  /** MIN/MAX IVM oracle: the full recompute from the mutated base. */
+  val ivmMinMaxSql: String =
+    """WITH base AS (
+      |  SELECT CAST(year(o_orderdate) AS BIGINT) AS annee,
+      |         o_orderstatus AS dep, o_totalprice AS v, o_orderkey AS k
+      |  FROM orders),
+      |final AS (
+      |  SELECT annee,
+      |    CASE WHEN k % 20 = 4 THEN v + 5000.0
+      |         WHEN k % 10 = 4 THEN v + 1000.0 ELSE v END AS v
+      |  FROM base WHERE k % 10 <> 3 AND dep <> 'P'
+      |  UNION ALL
+      |  SELECT annee, v FROM base WHERE k % 10 = 7)
+      |SELECT annee, CAST(count(*) AS BIGINT) AS n_rows,
+      |  CAST(CAST(sum(CAST(v AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS DOUBLE)
+      |    AS total_usd,
+      |  min(v) AS min_usd, max(v) AS max_usd
+      |FROM final GROUP BY 1 ORDER BY 1""".stripMargin
+
   /** IVM of an aggregate over a JOIN view (the delta-join rule:
     * Δ(R ⋈ S) = ΔR ⋈ S when the dimension side is static between
     * refreshes — the production fact-stream/dim shape): per-nation

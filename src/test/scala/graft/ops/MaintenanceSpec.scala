@@ -283,6 +283,74 @@ class MaintenanceSpec extends SparkSpec {
     assert(edge.toSeq === Seq((2091L, 1L, 30.0)), s"got ${edge.toSeq}")
   }
 
+  test("ivm min/max under deletes: maintain ≡ recompute; rescan bounded to touched groups, per side") {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.types.DecimalType
+    val M = graft.queries.Maintenance
+    // face ≡ Spark-side recompute from the mutated base (independent of
+    // the DuckDB oracle)
+    val got = M.ivmMinMax(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
+        r.getDouble(3), r.getDouble(4)))
+    val want = M.ivmMutatedBase(spark, sf)
+      .groupBy(col("annee"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("v").cast(DecimalType(18, 2))).cast(DecimalType(18, 2))
+          .cast("double").as("s"),
+        min(col("v")).as("mn"), max(col("v")).as("mx"))
+      .orderBy(col("annee")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
+        r.getDouble(3), r.getDouble(4)))
+    assert(got.sameElements(want), "min/max maintain != recompute")
+    // the per-side flags are LIVE on the real corpus: some side rescans
+    // somewhere, some side folds blindly somewhere
+    val flags = M.ivmMinMaxMerged(spark, sf)
+      .select(col("annee"), col("need_min"), col("need_max")).collect()
+      .map(r => (r.getBoolean(1), r.getBoolean(2)))
+    assert(flags.exists(f => f._1 || f._2), "no group ever rescans — rule dead")
+    assert(flags.exists(f => !f._1) && flags.exists(f => !f._2),
+      "every group rescans both sides — blind-fold path dead")
+    // hand fixture: one group whose deleted row is strictly interior
+    // (NO rescan, extrema fold blindly) and one whose minimum leaves
+    // (min-side rescan only); the rescan leg must read EXACTLY the
+    // touched group's mutated rows
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("ivm_mm").toString
+    Seq(
+      // 2090: k=3 (v=20) deleted but interior; k=1/k=2 untouched
+      (1L, 1L, "O", 10.0, "2090-01-01", "1-URGENT"),
+      (2L, 1L, "O", 30.0, "2090-02-01", "1-URGENT"),
+      (3L, 1L, "O", 20.0, "2090-03-01", "1-URGENT"),
+      // 2091: k=13 (v=5) is the min AND leaves → min rescan; k=17
+      // (v=8) duplicates in; k=11 (v=50) untouched max
+      (11L, 1L, "O", 50.0, "2091-01-01", "1-URGENT"),
+      (13L, 1L, "O", 5.0, "2091-02-01", "1-URGENT"),
+      (17L, 1L, "O", 8.0, "2091-03-01", "1-URGENT"))
+      .toDF("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+        "o_orderdate", "o_orderpriority")
+      .withColumn("o_orderdate", col("o_orderdate").cast("timestamp"))
+      .write.mode("overwrite").parquet(s"$dir/orders.parquet")
+    val edge = M.ivmMinMax(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
+        r.getDouble(3), r.getDouble(4)))
+    assert(edge.toSeq === Seq(
+      (2090L, 2L, 40.0, 10.0, 30.0),
+      (2091L, 3L, 66.0, 8.0, 50.0)), s"got ${edge.toSeq}")
+    val merged = M.ivmMinMaxMerged(spark, dir)
+    val fl = merged.select(col("annee"), col("need_min"), col("need_max"))
+      .collect().map(r => r.getLong(0) -> (r.getBoolean(1), r.getBoolean(2)))
+      .toMap
+    assert(fl(2090L) === ((false, false)), "interior delete must not rescan")
+    assert(fl(2091L) === ((true, false)), "removed min must rescan min only")
+    // bounded rescan: the leg's input is exactly the touched group's
+    // mutated rows (2091: k=11, k=17, k=17-dup = 3 rows; 2090 never read)
+    val touched = merged.filter(col("need_min") || col("need_max"))
+      .select(col("annee"))
+    val legRows = M.ivmMutatedBase(spark, dir)
+      .join(broadcast(touched), Seq("annee")).count()
+    assert(legRows === 3L, s"rescan read $legRows rows, want 3 (touched group only)")
+  }
+
   test("ivm join view: maintain ≡ Spark recompute; delta joins the dim broadcast, fact never re-joined") {
     import org.apache.spark.sql.functions._
     import org.apache.spark.sql.types.{DecimalType, LongType}
