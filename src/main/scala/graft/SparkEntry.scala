@@ -112,6 +112,7 @@ object SparkEntry {
     "q_dedup_longest_span" -> ((s, d) => LlmOps.dedupLongestSpan(s, d)),
     "q_blocklist_scan" -> (LlmOps.blocklistScan(_, _)),
     "q_blocklist_mask" -> (LlmOps.blocklistMask(_, _)),
+    "q_blocklist_stream" -> (LlmOps.blocklistStreamMaterialize(_, _)),
     "q_dedup_doc_coverage" -> (LlmOps.dedupDocCoverage(_, _)),
     "q_para_dedup" -> (LlmOps.paraDedup(_, _)),
     "q_decontaminate" -> (LlmOps.decontaminate(_, _)),
@@ -464,6 +465,7 @@ object SparkEntry {
     "q_dedup_longest_span" -> LlmOps.dedupLongestSpanSql,
     "q_blocklist_scan" -> LlmOps.blocklistScanSql,
     "q_blocklist_mask" -> LlmOps.blocklistMaskSql,
+    "q_blocklist_stream" -> LlmOps.blocklistMaskSql,
     "q_dedup_doc_coverage" -> LlmOps.dedupDocCoverageSql,
     "q_para_dedup" -> LlmOps.paraDedupSql,
     "q_decontaminate" -> LlmOps.decontaminateSql,
