@@ -196,6 +196,7 @@ object SparkEntry {
     // — LLM-pipeline: multimodal plumbing
     "q_multimodal_meta" -> (LlmOps.multimodalMeta(_, _)),
     "q_multimodal_feat" -> (LlmOps.multimodalFeatures(_, _)),
+    "q_multimodal_audio_neardup" -> (LlmOps.multimodalAudioNearDup(_, _)),
     "q_multimodal_neardup" -> (LlmOps.multimodalNearDup(_, _)),
     "q_multimodal_audio" -> (LlmOps.multimodalAudio(_, _)),
     "q_multimodal_video" -> (LlmOps.multimodalVideo(_, _)),
@@ -589,6 +590,7 @@ object SparkEntry {
     "q_embed_topk_perlabel" -> LlmOps.embedTopKPerLabelSql,
     "q_multimodal_meta" -> LlmOps.multimodalMetaSql,
     "q_multimodal_feat" -> LlmOps.multimodalFeaturesSql,
+    "q_multimodal_audio_neardup" -> LlmOps.multimodalAudioNearDupSql,
     "q_multimodal_neardup" -> LlmOps.multimodalNearDupSql,
     "q_multimodal_audio" -> LlmOps.multimodalAudioSql,
     "q_multimodal_video" -> LlmOps.multimodalVideoSql,

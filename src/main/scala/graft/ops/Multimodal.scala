@@ -336,6 +336,127 @@ object Multimodal {
       } finally ais.close()
     } catch { case scala.util.control.NonFatal(_) => None }
 
+  // ------------------------------------------ audio near-dup (frame energy)
+
+  /** Token-ENERGY audio rendering on a 65-frame grid (the audio
+    * sibling of [[histogramPng]]): frame f carries an alternating ±c
+    * square wave with c = min(count_f, 255)·100, where count_f is the
+    * number of token occurrences whose md5-60-bit hash lands in bucket
+    * f — a locality-preserving content waveform (near-dup texts share
+    * most tokens ⇒ most frame energies agree ⇒ few signature bits
+    * differ). Encoded as a REAL PCM 16-bit mono RIFF/WAVE through the
+    * JDK codec, 80 samples per frame at 8 kHz.
+    */
+  def audioFingerprintWav(text: String): Array[Byte] = {
+    import graft.functions.GraftStrings
+    val counts = new Array[Int](65)
+    text.trim.split("\\s+").foreach { tok =>
+      counts((GraftStrings.hash60(tok) % 65).toInt) += 1
+    }
+    val m = 80
+    val pcm = new Array[Byte](65 * m * 2)
+    var f = 0
+    while (f < 65) {
+      val c = math.min(counts(f), 255) * 100
+      var i = 0
+      while (i < m) {
+        val s = if (i % 2 == 0) c else -c
+        val k = (f * m + i) * 2
+        pcm(k) = (s & 0xff).toByte
+        pcm(k + 1) = ((s >> 8) & 0xff).toByte
+        i += 1
+      }
+      f += 1
+    }
+    val fmt = new javax.sound.sampled.AudioFormat(8000f, 16, 1, true, false)
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(pcm), fmt, (65 * m).toLong)
+    val bos = new java.io.ByteArrayOutputStream()
+    wavWriter.write(ais, javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+    bos.toByteArray
+  }
+
+  /** Frame-energy difference signature from the DECODED stream (the
+    * audio dHash): parse the RIFF/WAVE container back, sum each
+    * 80-sample frame's integer energy Σs², and emit one bit per
+    * adjacent frame pair — bit f = energy(f+1) > energy(f), 64 '0'/'1'
+    * chars on the 65-frame grid. Integer comparisons end to end, so a
+    * codec bug on either leg is a hard signature mismatch. None on
+    * undecodable or mis-shaped payloads.
+    */
+  def audioDHashBits(bytes: Array[Byte]): Option[String] =
+    try {
+      val in = new java.io.ByteArrayInputStream(bytes)
+      val ais = wavReaders.iterator.flatMap { r =>
+        in.reset()
+        try Some(r.getAudioInputStream(in))
+        catch { case _: javax.sound.sampled.UnsupportedAudioFileException => None }
+      }.nextOption().getOrElse(return None)
+      try {
+        val fmt = ais.getFormat
+        if (fmt.getSampleSizeInBits != 16 || fmt.getChannels != 1) None
+        else {
+          val data = ais.readAllBytes()
+          val m = 80
+          val n = data.length / 2
+          if (n != 65 * m) None
+          else {
+            val energy = new Array[Long](65)
+            var i = 0
+            while (i < n) {
+              val lo = data(i * 2) & 0xff
+              val hi = data(i * 2 + 1).toInt // sign-extends
+              val s = (hi << 8) | lo
+              energy(i / m) += s.toLong * s
+              i += 1
+            }
+            val sb = new StringBuilder(64)
+            var f = 0
+            while (f < 64) {
+              sb.append(if (energy(f + 1) > energy(f)) '1' else '0')
+              f += 1
+            }
+            Some(sb.toString)
+          }
+        }
+      } finally ais.close()
+    } catch { case scala.util.control.NonFatal(_) => None }
+
+  /** Audio-signature agreement for the text near-dup candidates — the
+    * [[imageNearDup]] shape on the audio column, completing cross-modal
+    * dedup: every document renders to its token-energy WAV (REAL
+    * encode), decodes back (REAL RIFF/WAVE parse) to a 64-bit
+    * frame-energy signature, and each MinHash-LSH candidate pair
+    * reports the HAMMING DISTANCE between its two audio signatures
+    * next to the exact text Jaccard. Per-partition codec work; the
+    * signature table joins the candidate-sized pair set only.
+    */
+  def audioNearDup(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val docs = Tables.load(spark, dir, "documents")
+    val sigText = CacheBin.pin(
+      Dedup.minHash(docs, col("doc_id"), col("text"), n = 3, k = 16))
+    val cand = Dedup.minHashLshCandidates(sigText, bands = 4, rowsPerBand = 4)
+    val asig = docs
+      .select(col("doc_id").cast(LongType), col("text")).as[(Long, String)]
+      .repartition(spark.sparkContext.defaultParallelism)
+      .mapPartitions(_.flatMap { case (id, text) =>
+        audioDHashBits(audioFingerprintWav(text)).map(bits => (id, bits))
+      })
+      .toDF("doc_id", "ahash")
+    val exact = Dedup.jaccardVerify(cand, docs, col("doc_id"), col("text"),
+        n = 3, threshold = 0.0)
+      .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 6).as("jaccard"))
+    cand
+      .join(asig.select(col("doc_id").as("doc_a"), col("ahash").as("ha")), Seq("doc_a"))
+      .join(asig.select(col("doc_id").as("doc_b"), col("ahash").as("hb")), Seq("doc_b"))
+      .select(col("doc_a"), col("doc_b"),
+        size(filter(zip_with(split(col("ha"), ""), split(col("hb"), ""),
+          (a, b) => a =!= b), x => x)).cast("long").as("hamming"))
+      .join(exact, Seq("doc_a", "doc_b"))
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
   /** REAL resize: decode (ImageIO), scale through Graphics2D bilinear
     * interpolation, re-encode PNG — a genuine binary→binary map-side
     * codec round trip (no shuffle; downstream ops treat the output

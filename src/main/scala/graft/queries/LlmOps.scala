@@ -3812,6 +3812,70 @@ object LlmOps {
   def multimodalAudio(spark: SparkSession, dir: String): DataFrame =
     Multimodal.decodeAudioFeatures(spark, Multimodal.wavPayloads(spark, dir))
 
+  /** Audio near-dup face: see [[Multimodal.audioNearDup]]. */
+  def multimodalAudioNearDup(spark: SparkSession, dir: String): DataFrame =
+    Multimodal.audioNearDup(spark, dir)
+
+  /** Audio near-dup oracle: the waveform is content-keyed in closed
+    * form (65 frame energies from the shared md5-60-bit token hash,
+    * each frame an alternating ±min(count,255)·100 square wave whose
+    * energy ordering therefore equals the capped-count ordering), so
+    * the oracle derives each document's 64-bit frame-energy signature
+    * by direct count arithmetic — while the engine actually encodes
+    * and decodes real RIFF/WAVE payloads and sums decoded-sample
+    * energies.
+    */
+  lazy val multimodalAudioNearDupSql: String = {
+    val sigCols = Dedup.minhashParams(16).zipWithIndex.map { case ((a, c), i) =>
+      s"min((h * $a + $c) % ${Dedup.minhashP}) AS m$i"
+    }.mkString(",\n  ")
+    val bandSelects = (0 until 4).map { bd =>
+      val cols = (0 until 4).map(r => s"m${bd * 4 + r}::VARCHAR")
+      s"SELECT doc_id, $bd AS band, md5(${cols.mkString(" || ':' || ")}) AS bsig FROM sigs"
+    }
+    s"""WITH $shingleCte,
+       |h AS (SELECT doc_id,
+       |  ('0x' || substr(md5(shingle), 1, 15))::BIGINT % ${Dedup.minhashP} AS h
+       |  FROM sh),
+       |sigs AS (SELECT doc_id, $sigCols
+       |  FROM h GROUP BY doc_id),
+       |bands AS (${bandSelects.mkString("\n  UNION ALL ")}),
+       |cand AS (SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b
+       |  FROM bands l JOIN bands r
+       |  ON l.band = r.band AND l.bsig = r.bsig AND l.doc_id < r.doc_id),
+       |sets AS (SELECT doc_id, list(shingle) AS s FROM sh GROUP BY doc_id),
+       |exact AS (SELECT doc_a, doc_b,
+       |  round(len(list_intersect(a.s, b.s))::DOUBLE /
+       |    (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))), 6) AS jaccard
+       |  FROM cand JOIN sets a ON cand.doc_a = a.doc_id
+       |            JOIN sets b ON cand.doc_b = b.doc_id),
+       |tk AS (SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS tok
+       |  FROM documents),
+       |bc AS (SELECT doc_id,
+       |  ('0x' || substr(md5(tok), 1, 15))::BIGINT % 65 AS b,
+       |  CAST(count(*) AS BIGINT) AS c
+       |  FROM tk GROUP BY 1, 2),
+       |grid AS (SELECT d.doc_id, CAST(g.b AS INT) AS b,
+       |  least(255, coalesce(bc.c, 0)) AS g
+       |  FROM (SELECT doc_id FROM documents) d
+       |  CROSS JOIN unnest(range(0, 65)) g(b)
+       |  LEFT JOIN bc ON bc.doc_id = d.doc_id AND bc.b = CAST(g.b AS INT)),
+       |bits AS (SELECT l.doc_id, l.b,
+       |  CASE WHEN r.g > l.g THEN '1' ELSE '0' END AS bt
+       |  FROM grid l JOIN grid r ON r.doc_id = l.doc_id AND r.b = l.b + 1),
+       |asig AS (SELECT doc_id, string_agg(bt, '' ORDER BY b) AS ahash
+       |  FROM bits GROUP BY 1)
+       |SELECT c.doc_a, c.doc_b,
+       |  CAST(len([i for i in range(1, 65)
+       |    IF substr(a.ahash, CAST(i AS INT), 1) <> substr(b.ahash, CAST(i AS INT), 1)])
+       |    AS BIGINT) AS hamming,
+       |  e.jaccard
+       |FROM cand c JOIN asig a ON a.doc_id = c.doc_a
+       |            JOIN asig b ON b.doc_id = c.doc_b
+       |            JOIN exact e ON e.doc_a = c.doc_a AND e.doc_b = c.doc_b
+       |ORDER BY 1, 2""".stripMargin
+  }
+
   /** Video leg: encode a real Motion-JPEG AVI per sampled doc (RIFF
     * container written by hand, frames through the JDK JPEG codec at
     * quality 1.0), then decode it back — container walk, per-frame JPEG
