@@ -150,7 +150,7 @@ object InvertedIndex {
       phrase: Seq[String] = Seq("table", "hash"), k: Int = 20): DataFrame =
     phraseSearchAt(spark, stagedIncremental(spark, dir), phrase, k)
 
-  private def bucketOfLiteral(term: String): String = {
+  private[graft] def bucketOfLiteral(term: String): String = {
     val md = java.security.MessageDigest.getInstance("MD5")
     md.digest(term.getBytes("UTF-8")).map("%02x".format(_)).mkString.substring(0, 1)
   }

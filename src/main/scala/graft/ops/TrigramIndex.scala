@@ -116,7 +116,7 @@ object TrigramIndex {
   def likeScanIncr(spark: SparkSession, dir: String): DataFrame =
     likeScanAt(spark, dir, stagedIncremental(spark, dir))
 
-  private def likeScanAt(spark: SparkSession, dir: String,
+  private[graft] def likeScanAt(spark: SparkSession, dir: String,
       idx: String): DataFrame = {
     import spark.implicits._
     val pt = patterns.flatMap(p => tris(p).map(t => (p, t, tris(p).size.toLong)))
