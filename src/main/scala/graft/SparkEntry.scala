@@ -114,6 +114,7 @@ object SparkEntry {
     "q_blocklist_mask" -> (LlmOps.blocklistMask(_, _)),
     "q_blocklist_stream" -> (LlmOps.blocklistStreamMaterialize(_, _)),
     "q_dedup_doc_coverage" -> (LlmOps.dedupDocCoverage(_, _)),
+    "q_dedup_suffix_span" -> (LlmOps.dedupSuffixSpan(_, _)),
     "q_para_dedup" -> (LlmOps.paraDedup(_, _)),
     "q_decontaminate" -> (LlmOps.decontaminate(_, _)),
     "q_decontaminate_bloom" -> (LlmOps.decontaminateBloom(_, _)),
@@ -468,6 +469,7 @@ object SparkEntry {
     "q_blocklist_mask" -> LlmOps.blocklistMaskSql,
     "q_blocklist_stream" -> LlmOps.blocklistMaskSql,
     "q_dedup_doc_coverage" -> LlmOps.dedupDocCoverageSql,
+    "q_dedup_suffix_span" -> LlmOps.dedupSuffixSpanSql,
     "q_para_dedup" -> LlmOps.paraDedupSql,
     "q_decontaminate" -> LlmOps.decontaminateSql,
     "q_decontaminate_bloom" -> LlmOps.decontaminateBloomSql,

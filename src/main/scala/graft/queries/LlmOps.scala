@@ -420,6 +420,133 @@ object LlmOps {
        |FROM toks t LEFT JOIN cov c USING (doc_id)
        |GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** CAP-FREE exact duplicate coverage via PREFIX DOUBLING — the
+    * suffix-ranking answer to [[dedupLongestSpan]]'s documented
+    * rare-anchor gap (a run whose EVERY window is hotter than maxOcc
+    * splits or vanishes there). Identity that removes the cap without
+    * pairs: the union of cross-document shared runs of length ≥
+    * minSpan EQUALS the union of duplicated minSpan-token windows
+    * (every position of a ≥minSpan shared run lies inside some
+    * in-run minSpan-window, and every duplicated window IS a shared
+    * run) — so exact coverage needs only "which fixed-length windows
+    * occur in ≥2 docs", never an all-pairs join: a run shared by
+    * 10 000 documents costs 10 000 posting rows, not 10 000² pairs.
+    *
+    * The window hashes are built by PREFIX DOUBLING (Manber & Myers'
+    * suffix-ranking trick, the pointer-doubling machinery of
+    * [[graft.ops.ConnectedComponents]] applied to sequence order):
+    * round k joins each position's 2^k-window hash with the one
+    * 2^k ahead — log2(minSpan) = 4 rounds of (doc, pos)-keyed
+    * equi-joins from the unigram hash stream, no minSpan-wide kernel
+    * gram ever materialized. Both engines run the identical doubling
+    * chain (md5-60-bit combine of decimal-string halves), so the
+    * coverage census is hash-checked end to end.
+    *
+    * Scale shape: each doubling round is one co-partitionable
+    * (doc, pos) join (log rounds of hash-keyed exchanges); the
+    * duplicated-window gate is a two-phase distinct aggregate keyed by
+    * window hash (hot windows partial-aggregate map-side); coverage is
+    * the doc-keyed interval-union sweep of [[dedupDocCoverage]].
+    * Nothing is corpus², with or without hot spans.
+    */
+  def dedupSuffixSpan(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val dup = suffixDupWindows(spark, dir)
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("s"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val cov = dup
+      .select(col("doc_id"), col("s"), (col("s") + 15).as("e"))
+      .withColumn("pm", max(col("e")).over(w))
+      .groupBy(col("doc_id"))
+      .agg(sum(greatest(lit(0L),
+          col("e") - greatest(col("s") - 1, coalesce(col("pm"), lit(0L)))))
+          .cast(LongType).as("covered"),
+        count(lit(1)).as("ndw"))
+    Tables.load(spark, dir, "documents")
+      .select(col("doc_id"), col("source"),
+        size(split(trim(col("text")), "\\s+")).cast(LongType).as("n"))
+      .join(cov, Seq("doc_id"), "left")
+      .groupBy(col("source"))
+      .agg(count(col("covered")).as("docs_covered"),
+        sum(when(col("covered") === col("n"), 1L).otherwise(0L))
+          .as("docs_full_dup"),
+        coalesce(sum(col("covered")), lit(0L)).as("covered_tokens"),
+        sum(col("n")).as("total_tokens"),
+        coalesce(sum(col("ndw")), lit(0L)).as("dup_windows"))
+      .orderBy(col("source"))
+  }
+
+  /** The duplicated 16-token windows (doc_id, s) with s 1-based —
+    * package-visible so the spec can check the doubling chain against
+    * a direct 16-gram formulation and the hot-run gap case.
+    */
+  private[graft] def suffixDupWindows(spark: SparkSession,
+      dir: String): DataFrame = {
+    val toks = Tables.load(spark, dir, "documents")
+      .select(col("doc_id"), posexplode(graft.functions.GraftFunctions
+        .tokenGramHashes(col("text"), 1)).as(Seq("p0", "h")))
+      .select(col("doc_id"), (col("p0") + 1).as("s"), col("h"))
+    var cur = toks
+    var w = 1
+    while (w < 16) { // windows of length 2w per round: 2, 4, 8, 16
+      val ahead = cur.select(col("doc_id"), (col("s") - w).as("s"),
+        col("h").as("h2"))
+      cur = cur.join(ahead, Seq("doc_id", "s"))
+        .select(col("doc_id"), col("s"),
+          Dedup.hash60(concat_ws(":", col("h").cast(StringType),
+            col("h2").cast(StringType))).as("h"))
+      w *= 2
+    }
+    val wins = CacheBin.pin(cur)
+    val dupH = wins.groupBy(col("h"))
+      .agg(countDistinct(col("doc_id")).as("nd"))
+      .filter(col("nd") >= 2).select(col("h"))
+    wins.join(dupH, Seq("h")).select(col("doc_id"), col("s"))
+  }
+
+  /** Suffix-span oracle: the identical 4-round doubling chain
+    * (multi-referenced CTEs materialized), the cross-doc window gate,
+    * the interval-union sweep, and the per-source census.
+    */
+  val dedupSuffixSpanSql: String =
+    """WITH toks AS (SELECT doc_id, source,
+      |    string_split_regex(trim(text), '\s+') AS t FROM documents),
+      |d1 AS MATERIALIZED (SELECT doc_id, CAST(i AS INT) AS s,
+      |    ('0x' || substr(md5(t[CAST(i AS INT)]), 1, 15))::BIGINT AS h
+      |  FROM toks, unnest(range(1, len(t)+1)) z(i)),
+      |d2 AS MATERIALIZED (SELECT a.doc_id, a.s,
+      |    ('0x' || substr(md5(a.h::VARCHAR || ':' || b.h::VARCHAR), 1, 15))::BIGINT AS h
+      |  FROM d1 a JOIN d1 b ON b.doc_id = a.doc_id AND b.s = a.s + 1),
+      |d4 AS MATERIALIZED (SELECT a.doc_id, a.s,
+      |    ('0x' || substr(md5(a.h::VARCHAR || ':' || b.h::VARCHAR), 1, 15))::BIGINT AS h
+      |  FROM d2 a JOIN d2 b ON b.doc_id = a.doc_id AND b.s = a.s + 2),
+      |d8 AS MATERIALIZED (SELECT a.doc_id, a.s,
+      |    ('0x' || substr(md5(a.h::VARCHAR || ':' || b.h::VARCHAR), 1, 15))::BIGINT AS h
+      |  FROM d4 a JOIN d4 b ON b.doc_id = a.doc_id AND b.s = a.s + 4),
+      |w AS MATERIALIZED (SELECT a.doc_id, a.s,
+      |    ('0x' || substr(md5(a.h::VARCHAR || ':' || b.h::VARCHAR), 1, 15))::BIGINT AS h
+      |  FROM d8 a JOIN d8 b ON b.doc_id = a.doc_id AND b.s = a.s + 8),
+      |duph AS (SELECT h FROM w GROUP BY h HAVING count(DISTINCT doc_id) >= 2),
+      |dpos AS (SELECT doc_id, s FROM w JOIN duph USING (h)),
+      |sw AS (SELECT doc_id, s, s + 15 AS e,
+      |  max(s + 15) OVER (PARTITION BY doc_id ORDER BY s
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pm
+      |  FROM dpos),
+      |cov AS (SELECT doc_id,
+      |  CAST(sum(greatest(0, e - greatest(s - 1, coalesce(pm, 0)))) AS BIGINT)
+      |    AS covered,
+      |  CAST(count(*) AS BIGINT) AS ndw
+      |  FROM sw GROUP BY 1),
+      |tk AS (SELECT doc_id, source, CAST(len(t) AS BIGINT) AS n FROM toks)
+      |SELECT tk.source, CAST(count(c.doc_id) AS BIGINT) AS docs_covered,
+      |  CAST(sum(CASE WHEN c.covered = tk.n THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS docs_full_dup,
+      |  CAST(coalesce(sum(c.covered), 0) AS BIGINT) AS covered_tokens,
+      |  CAST(sum(tk.n) AS BIGINT) AS total_tokens,
+      |  CAST(coalesce(sum(c.ndw), 0) AS BIGINT) AS dup_windows
+      |FROM tk LEFT JOIN cov c USING (doc_id)
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
   /** PARAGRAPH/BOILERPLATE dedup (the CCNet/RefinedWeb line-level
     * pass — Wenzek et al. 2020 §4.1, Penedo et al. 2023 §3.2 — the
     * highest-frequency real-world dedup op: drop every occurrence of
