@@ -560,6 +560,27 @@ object ScaleBench {
       // doc-keyed exchange ∝ k; census rows flat (≤ |langs|²)
       val (liSec, liRows, liEx) = bestIf("langid_nb")(
         queries.LlmOps.langIdNbConfusion(spark, dir))
+      // cap-free suffix-span coverage: 4 prefix-doubling joins keyed
+      // (doc, pos) — replica-disjoint token spaces keep duplicated
+      // windows within replicas, so dup rows ∝ k and the window-hash
+      // distinct aggregate never concentrates; census rows flat
+      val (xsSec, xsRows, xsEx) = bestIf("suffix_span")(
+        queries.LlmOps.dedupSuffixSpan(spark, dir))
+      // paragraph dedup: tagged 20-token blocks are replica-disjoint,
+      // so the boilerplate tail grows ∝ k while census rows stay flat;
+      // one pinned block pass + freq aggregate + doc-keyed reassembly
+      val (pdSec, pdRows, pdEx) = bestIf("para_dedup")(
+        queries.LlmOps.paraDedup(spark, dir))
+      // IVM min/max: the ivm_aggregate shape plus the bounded rescan —
+      // touched groups are a fixed set of years whose rows grow ∝ k,
+      // so the rescan leg is ∝ k on a corpus FRACTION; output rows flat
+      val (imSec, imRows, imEx) = bestIf("ivm_minmax")(
+        queries.Maintenance.ivmMinMax(spark, dir))
+      // audio near-dup: per-doc REAL WAV codec work (encode → decode →
+      // frame energies) ∝ docs, plus the candidate-sized pair joins —
+      // the image_neardup profile on the audio column
+      val (auSec, auRows, auEx) = bestIf("audio_neardup")(
+        queries.LlmOps.multimodalAudioNearDup(spark, dir))
       val row = scala.collection.immutable.ListMap(
         "lsh_pairs" -> (lshSec, lshRows, lshEx),
         "cc_distributed" -> (ccSec, ccRows, ccEx),
@@ -616,7 +637,11 @@ object ScaleBench {
         "split_leakage" -> (slSec, slRows, slEx),
         "trgm_like" -> (tgSec, tgRows, tgEx),
         "ivm_aggregate" -> (ivSec, ivRows, ivEx),
-        "langid_nb" -> (liSec, liRows, liEx))
+        "langid_nb" -> (liSec, liRows, liEx),
+        "suffix_span" -> (xsSec, xsRows, xsEx),
+        "para_dedup" -> (pdSec, pdRows, pdEx),
+        "ivm_minmax" -> (imSec, imRows, imEx),
+        "audio_neardup" -> (auSec, auRows, auEx))
         .filter { case (op, _) => wanted(op) }
       row.foreach { case (op, (s, r, e)) =>
         println(s"""{"scale":$k,"op":"$op","sec":$s,"rows":$r,"exchanges":$e}""")
