@@ -232,6 +232,7 @@ object SparkEntry {
     "q_time_travel" -> (Maintenance.timeTravel(_, _)),
     "q_ivm_aggregate" -> (Maintenance.ivmAggregate(_, _)),
     "q_ivm_join" -> (Maintenance.ivmJoin(_, _)),
+    "q_ivm_join_dim" -> (Maintenance.ivmJoinDim(_, _)),
     "q_ivm_minmax" -> (Maintenance.ivmMinMax(_, _)),
     "q_ivm_stream" -> (Maintenance.ivmStreamMaterialize(_, _)),
     "q_cdc_stream" -> (Maintenance.cdcStreamMaterialize(_, _)),
@@ -557,6 +558,7 @@ object SparkEntry {
     "q_time_travel" -> Maintenance.timeTravelSql,
     "q_ivm_aggregate" -> Maintenance.ivmAggregateSql,
     "q_ivm_join" -> Maintenance.ivmJoinSql,
+    "q_ivm_join_dim" -> Maintenance.ivmJoinDimSql,
     "q_ivm_minmax" -> Maintenance.ivmMinMaxSql,
     "q_ivm_stream" -> Maintenance.ivmAggregateSql,
     "q_cdc_stream" -> Maintenance.cdcStreamMaterializeSql,

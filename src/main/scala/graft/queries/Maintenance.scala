@@ -469,6 +469,120 @@ object Maintenance {
       .orderBy(col("nation"))
   }
 
+  /** BILATERAL IVM of the join view — the delta-join rule's other half
+    * (Gupta/Mumick/Subrahmanian §4: Δ(R⋈S) with BOTH sides changing):
+    * the [[ivmJoin]] face assumes a static dimension; here a slice of
+    * customers MOVES NATION between refreshes (the slowly-changing-
+    * dimension event every warehouse sees), and the view is maintained
+    * by the exact expansion
+    *
+    *   V_new − V_old = ΔR ⋈ S_old  +  R_new ⋈ ΔS
+    *
+    * (expand (R+ΔR)⋈(S+ΔS) and fold ΔR⋈ΔS into the second term). The
+    * two legs are both BOUNDED:
+    *  - ΔR ⋈ S_old: the fact delta against the broadcast OLD dim —
+    *    ∝ |ΔR|, the [[ivmJoin]] leg unchanged;
+    *  - R_new ⋈ ΔS: the mutated fact rows of the CHANGED customers
+    *    ONLY (broadcast semi-join on the changed-key set; each
+    *    contributes (−1, −v) at its old nation and (+1, +v) at its
+    *    new one) — ∝ the changed customers' fact rows, the
+    *    [[ivmMinMax]] bounded-rescan idea applied to a dimension
+    *    change, never a full fact re-join.
+    * Refresh cost ∝ |ΔR| + |affected fact rows| + |groups|; the base
+    * join never re-executes. Oracle recomputes from the mutated fact ⋈
+    * mutated dim (maintain ≡ recompute, hash-checked); DECIMAL(18,2)
+    * end to end. Declared basis-mismatch bench cell with the other IVM
+    * faces.
+    */
+  def ivmJoinDim(spark: SparkSession, dir: String): DataFrame = {
+    val custOld = Tables.load(spark, dir, "customer")
+      .select(col("c_custkey"), col("c_nationkey").cast(LongType).as("nation"))
+    val mvPath = StageOnce.tmp("ivm_joindim_mv", dir)
+    StageOnce(mvPath) {
+      Tables.load(spark, dir, "orders")
+        .join(broadcast(custOld), col("o_custkey") === col("c_custkey"))
+        .groupBy(col("nation"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("o_totalprice").cast(DecimalType(18, 2))).as("s"))
+        .write.mode("overwrite").parquet(mvPath)
+    }
+    val base = Tables.load(spark, dir, "orders").select(
+      col("o_custkey"), col("o_orderstatus").as("dep"),
+      col("o_totalprice").cast(DecimalType(18, 2)).as("v"),
+      col("o_orderkey").as("k"))
+    // fact delta (the ivmJoin change rules), ⋈ the OLD dim
+    val leaving = base.filter(col("k") % 10 === 3 || col("dep") === "P")
+      .select(col("o_custkey"), lit(-1L).as("dn"), (-col("v")).as("dv"))
+    val changing = base.filter(col("k") % 10 =!= 3 && col("dep") =!= "P" &&
+        col("k") % 10 === 4)
+      .select(col("o_custkey"), lit(0L).as("dn"),
+        when(col("k") % 20 === 4, lit(5000.0)).otherwise(lit(1000.0))
+          .cast(DecimalType(18, 2)).as("dv"))
+    val entering = base.filter(col("k") % 10 === 7)
+      .select(col("o_custkey"), lit(1L).as("dn"), col("v").as("dv"))
+    val termA = leaving.unionByName(changing).unionByName(entering)
+      .join(broadcast(custOld), col("o_custkey") === col("c_custkey"))
+      .select(col("nation"), col("dn"), col("dv"))
+    // dim delta: every c_custkey % 7 == 2 customer moves nation
+    val changedCust = custOld.filter(col("c_custkey") % 7 === 2)
+      .select(col("c_custkey"), col("nation").as("nation_old"),
+        ((col("nation") + 7) % 25).as("nation_new"))
+    // R_new ⋈ ΔS: the mutated fact rows of changed customers only
+    val rNew = base.filter(col("k") % 10 =!= 3 && col("dep") =!= "P")
+      .select(col("o_custkey"),
+        when(col("k") % 20 === 4, col("v") + lit(5000.0).cast(DecimalType(18, 2)))
+          .when(col("k") % 10 === 4, col("v") + lit(1000.0).cast(DecimalType(18, 2)))
+          .otherwise(col("v")).as("v"))
+      .unionByName(base.filter(col("k") % 10 === 7)
+        .select(col("o_custkey"), col("v")))
+    val affected = rNew
+      .join(broadcast(changedCust), col("o_custkey") === col("c_custkey"))
+      .groupBy(col("nation_old"), col("nation_new"))
+      .agg(count(lit(1)).as("n"), sum(col("v")).as("s"))
+    val termB = affected
+      .select(col("nation_old").as("nation"), (-col("n")).as("dn"),
+        (-col("s")).as("dv"))
+      .unionByName(affected.select(col("nation_new").as("nation"),
+        col("n").as("dn"), col("s").as("dv")))
+    val delta = termA.unionByName(termB)
+      .groupBy(col("nation"))
+      .agg(sum(col("dn")).as("dn"),
+        sum(col("dv")).cast(DecimalType(18, 2)).as("dv"))
+    spark.read.parquet(mvPath)
+      .join(delta, Seq("nation"), "full_outer")
+      .select(col("nation"),
+        (coalesce(col("n"), lit(0L)) + coalesce(col("dn"), lit(0L))).as("n_orders"),
+        (coalesce(col("s"), lit(java.math.BigDecimal.ZERO).cast(DecimalType(18, 2))) +
+          coalesce(col("dv"), lit(java.math.BigDecimal.ZERO).cast(DecimalType(18, 2))))
+          .cast(DecimalType(18, 2)).cast(DoubleType).as("revenue"))
+      .filter(col("n_orders") > 0)
+      .orderBy(col("nation"))
+  }
+
+  /** Bilateral-IVM oracle: recompute from mutated fact ⋈ mutated dim. */
+  val ivmJoinDimSql: String =
+    """WITH base AS (
+      |  SELECT o_custkey, o_orderstatus AS dep, o_totalprice AS v,
+      |         o_orderkey AS k
+      |  FROM orders),
+      |final AS (
+      |  SELECT o_custkey,
+      |    CASE WHEN k % 20 = 4 THEN v + 5000.0
+      |         WHEN k % 10 = 4 THEN v + 1000.0 ELSE v END AS v
+      |  FROM base WHERE k % 10 <> 3 AND dep <> 'P'
+      |  UNION ALL
+      |  SELECT o_custkey, v FROM base WHERE k % 10 = 7),
+      |dim AS (
+      |  SELECT c_custkey,
+      |    CAST(CASE WHEN c_custkey % 7 = 2 THEN (c_nationkey + 7) % 25
+      |         ELSE c_nationkey END AS BIGINT) AS nation
+      |  FROM customer)
+      |SELECT d.nation, CAST(count(*) AS BIGINT) AS n_orders,
+      |  CAST(CAST(sum(CAST(f.v AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS DOUBLE)
+      |    AS revenue
+      |FROM final f JOIN dim d ON f.o_custkey = d.c_custkey
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
   val ivmJoinSql: String =
     """WITH base AS (
       |  SELECT o_custkey, o_orderstatus AS dep, o_totalprice AS v,

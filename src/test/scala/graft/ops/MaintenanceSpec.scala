@@ -351,6 +351,50 @@ class MaintenanceSpec extends SparkSpec {
     assert(legRows === 3L, s"rescan read $legRows rows, want 3 (touched group only)")
   }
 
+  test("bilateral ivm: maintain ≡ recompute under a moving dimension; the ΔS leg reads affected fact rows only") {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.types.{DecimalType, LongType}
+    val M = graft.queries.Maintenance
+    val got = M.ivmJoinDim(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    // independent Spark recompute: mutated fact ⋈ mutated dim
+    val dim = graft.Tables.load(spark, sf, "customer")
+      .select(col("c_custkey"),
+        when(col("c_custkey") % 7 === 2,
+          (col("c_nationkey").cast(LongType) + 7) % 25)
+          .otherwise(col("c_nationkey").cast(LongType)).as("nation"))
+    val base = graft.Tables.load(spark, sf, "orders").select(
+      col("o_custkey"), col("o_orderstatus").as("dep"),
+      col("o_totalprice").cast(DecimalType(18, 2)).as("v"),
+      col("o_orderkey").as("k"))
+    val want = base.filter(col("k") % 10 =!= 3 && col("dep") =!= "P")
+      .select(col("o_custkey"),
+        when(col("k") % 20 === 4, col("v") + lit(5000.0).cast(DecimalType(18, 2)))
+          .when(col("k") % 10 === 4, col("v") + lit(1000.0).cast(DecimalType(18, 2)))
+          .otherwise(col("v")).as("v"))
+      .unionByName(base.filter(col("k") % 10 === 7).select(col("o_custkey"), col("v")))
+      .join(dim, col("o_custkey") === col("c_custkey"))
+      .groupBy(col("nation"))
+      .agg(count(lit(1)).as("n"), sum(col("v")).cast(DecimalType(18, 2))
+        .cast("double").as("rev"))
+      .orderBy(col("nation")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(got.sameElements(want), "bilateral maintain != recompute")
+    // the dim change is LIVE: the static-dim face must NOT agree (a
+    // moved customer's orders credit a different nation)
+    val staticDim = M.ivmJoin(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(!got.sameElements(staticDim),
+      "dim change invisible — bilateral face degenerate")
+    // count conservation: moving customers between nations never
+    // changes the total order count
+    assert(got.map(_._2).sum === staticDim.map(_._2).sum)
+    // plan: broadcast joins on both delta legs, no cartesian
+    val plan = M.ivmJoinDim(spark, sf).queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"))
+    assert(!plan.contains("CartesianProduct"))
+  }
+
   test("ivm join view: maintain ≡ Spark recompute; delta joins the dim broadcast, fact never re-joined") {
     import org.apache.spark.sql.functions._
     import org.apache.spark.sql.types.{DecimalType, LongType}
