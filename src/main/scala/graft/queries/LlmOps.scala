@@ -644,6 +644,89 @@ object LlmOps {
       |  CAST(sum(n1) AS BIGINT) AS toks_after
       |FROM perdoc GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** Streaming paragraph dedup (KEEP-FIRST mode) through its oracle
+    * face ([[graft.streaming.ParaDedupStream]]): documents arrive as a
+    * real StreamingQuery over a doc_id-ordered memory feed in three
+    * micro-batches WITH a kill-and-resume, each batch admitting only
+    * block instances with no earlier occurrence in stream order (the
+    * online CCNet gate — an admission path only ever knows the
+    * prefix, and keep-first is the rule the prefix decides; the batch
+    * [[paraDedup]] face's drop-ALL rule is its full-corpus sibling).
+    * Stream order is doc_id order, so an instance's global
+    * (doc_id, block_idx) rank IS its stream rank and the oracle
+    * replays the exact rule in SQL: stream ≡ rank-replay,
+    * hash-checked, exactly-once across the restart. Staged once per
+    * JVM; bench iterations read the materialized batch censuses.
+    */
+  def paraDedupStreamMaterialize(spark: SparkSession, dir: String): DataFrame = {
+    val root = graft.ops.StageOnce.tmp("para_dedup_stream", dir)
+    graft.ops.StageOnce(root) {
+      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+      import spark.implicits._
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+      val rows = Tables.load(spark, dir, "documents")
+        .select(col("doc_id"), col("text"), col("source"))
+        .orderBy(col("doc_id"))
+        .collect().map(r => BlocklistDoc(r.getLong(0), r.getString(1),
+          r.getString(2)))
+      val ckpt = graft.ops.StageOnce.tmp("para_dedup_stream_ckpt", dir)
+      val mem = MemoryStream[BlocklistDoc]
+      def start() = graft.streaming.ParaDedupStream.start(
+        mem.toDS().toDF(), root, ckpt)
+      val third = (rows.length + 2) / 3
+      val q1 = start()
+      try {
+        mem.addData(rows.slice(0, third).toIndexedSeq)
+        q1.processAllAvailable()
+        mem.addData(rows.slice(third, 2 * third).toIndexedSeq)
+        q1.processAllAvailable()
+      } finally q1.stop()
+      val q2 = start() // kill-and-resume from the checkpoint
+      try {
+        mem.addData(rows.slice(2 * third, rows.length).toIndexedSeq)
+        q2.processAllAvailable()
+      } finally q2.stop()
+    }
+    graft.streaming.ParaDedupStream.report(spark, root)
+  }
+
+  /** Keep-first oracle: global (doc_id, block_idx) rank per block —
+    * identical to stream rank because the feed is doc_id-ordered —
+    * instance dropped iff rank ≥ 2, reassembly and census as the
+    * batch face.
+    */
+  val paraDedupStreamSql: String =
+    """WITH toks AS (SELECT doc_id, source,
+      |    string_split_regex(trim(text), '\s+') AS t FROM documents),
+      |hb AS MATERIALIZED (
+      |  SELECT doc_id, source, CAST(i AS INT) AS bi,
+      |    array_to_string(t[CAST(i*20+1 AS INT):CAST(i*20+20 AS INT)], ' ')
+      |      AS para
+      |  FROM toks, unnest(range(0, CAST(ceil(len(t)/20.0) AS BIGINT))) z(i)),
+      |rk AS (SELECT doc_id, source, bi, para,
+      |    row_number() OVER (
+      |      PARTITION BY ('0x' || substr(md5(para), 1, 15))::BIGINT
+      |      ORDER BY doc_id, bi) AS rank
+      |  FROM hb),
+      |clean AS (SELECT doc_id, CAST(count(*) FILTER (rank <= 1) AS BIGINT)
+      |      AS nk,
+      |    array_to_string(list(para ORDER BY bi) FILTER (rank <= 1), ' ')
+      |      AS ctext
+      |  FROM rk GROUP BY 1),
+      |perdoc AS (SELECT tk.source, CAST(len(tk.t) AS BIGINT) AS n0,
+      |    CAST(ceil(len(tk.t)/20.0) AS BIGINT) AS nb,
+      |    coalesce(c.nk, 0) AS nk,
+      |    CASE WHEN c.ctext IS NULL OR c.ctext = '' THEN 0
+      |         ELSE len(string_split_regex(trim(c.ctext), '\s+')) END AS n1
+      |  FROM toks tk LEFT JOIN clean c USING (doc_id))
+      |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+      |  CAST(sum(CASE WHEN nk < nb THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS docs_touched,
+      |  CAST(sum(nb - nk) AS BIGINT) AS paras_dropped,
+      |  CAST(sum(n0) AS BIGINT) AS toks_before,
+      |  CAST(sum(n1) AS BIGINT) AS toks_after
+      |FROM perdoc GROUP BY 1 ORDER BY 1""".stripMargin
+
   /** Blocklist pattern set (plan-time literals): chosen to exercise the
     * automaton's match semantics on this corpus — the an ⊂ can ⊂ scan
     * nesting chain (one text position must count all three via the
