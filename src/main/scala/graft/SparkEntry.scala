@@ -116,6 +116,7 @@ object SparkEntry {
     "q_dedup_doc_coverage" -> (LlmOps.dedupDocCoverage(_, _)),
     "q_dedup_suffix_span" -> (LlmOps.dedupSuffixSpan(_, _)),
     "q_para_dedup" -> (LlmOps.paraDedup(_, _)),
+    "q_para_dedup_incr" -> (LlmOps.paraDedupIncr(_, _)),
     "q_para_dedup_stream" -> (LlmOps.paraDedupStreamMaterialize(_, _)),
     "q_decontaminate" -> (LlmOps.decontaminate(_, _)),
     "q_decontaminate_bloom" -> (LlmOps.decontaminateBloom(_, _)),
@@ -473,6 +474,7 @@ object SparkEntry {
     "q_dedup_doc_coverage" -> LlmOps.dedupDocCoverageSql,
     "q_dedup_suffix_span" -> LlmOps.dedupSuffixSpanSql,
     "q_para_dedup" -> LlmOps.paraDedupSql,
+    "q_para_dedup_incr" -> LlmOps.paraDedupIncrSql,
     "q_para_dedup_stream" -> LlmOps.paraDedupStreamSql,
     "q_decontaminate" -> LlmOps.decontaminateSql,
     "q_decontaminate_bloom" -> LlmOps.decontaminateBloomSql,

@@ -578,12 +578,8 @@ object LlmOps {
     val toks = Tables.load(spark, dir, "documents")
       .select(col("doc_id"), col("source"),
         split(trim(col("text")), "\\s+").as("t"))
-    val hb = CacheBin.pin(toks
-      .select(col("doc_id"), col("source"), posexplode(expr(
-        s"""transform(sequence(0, CAST(ceil(size(t) / $blockTokens.0) AS INT) - 1),
-           |  i -> array_join(slice(t, i * $blockTokens + 1, $blockTokens), ' '))"""
-          .stripMargin)).as(Seq("bi", "para")))
-      .withColumn("h", Dedup.hash60(col("para"))))
+    val hb = CacheBin.pin(
+      paraBlocks(Tables.load(spark, dir, "documents"), blockTokens))
     val dropSet = hb.groupBy(col("h")).agg(count(lit(1)).as("f"))
       .filter(col("f") >= minFreq).select(col("h"))
     val clean = hb.join(dropSet, Seq("h"), "left_anti")
@@ -609,6 +605,108 @@ object LlmOps {
         sum(col("n1")).as("toks_after"))
       .orderBy(col("source"))
   }
+
+  /** The (doc, block) stream shared by the paragraph-dedup faces. */
+  private def paraBlocks(docs: DataFrame, blockTokens: Int): DataFrame =
+    docs.select(col("doc_id"), col("source"),
+        split(trim(col("text")), "\\s+").as("t"))
+      .select(col("doc_id"), col("source"), size(col("t")).as("n0"),
+        posexplode(expr(
+          s"""transform(sequence(0, CAST(ceil(size(t) / $blockTokens.0) AS INT) - 1),
+             |  i -> array_join(slice(t, i * $blockTokens + 1, $blockTokens), ' '))"""
+            .stripMargin)).as(Seq("bi", "para")))
+      .withColumn("h", Dedup.hash60(col("para")))
+
+  /** INCREMENTAL paragraph dedup (the standing incremental contract —
+    * digest/LSH/winnow/index segments — applied to the newest family):
+    * the base corpus's block FREQUENCIES are a staged artifact built
+    * once; an arriving crawl delta (doc_id % 17 == 0 — coprime with the
+    * per-source assignment so the census spans sources) is cleaned
+    * against base-artifact counts + its own counts WITHOUT re-blocking
+    * any base text — per-batch cost ∝ the delta plus a
+    * vocabulary-sized artifact read. Because a block's corpus
+    * frequency is exactly base count + delta count, the cleaned delta
+    * is IDENTICAL to what the full-corpus [[paraDedup]] rule produces
+    * for those docs: the oracle is the full-corpus derivation
+    * restricted to the delta — artifact ≡ recomputation, the standing
+    * incremental gate, hash-checked.
+    */
+  def paraDedupIncr(spark: SparkSession, dir: String, blockTokens: Int = 20,
+      minFreq: Int = 2): DataFrame = {
+    val docs = Tables.load(spark, dir, "documents")
+    val freqBase = StageOnce.tmp("para_freq_base", dir)
+    StageOnce(freqBase) {
+      paraBlocks(docs.filter(col("doc_id") % 17 =!= 0), blockTokens)
+        .groupBy(col("h")).agg(count(lit(1)).as("cnt"))
+        .write.mode("overwrite").parquet(freqBase)
+    }
+    val deltaBlocks = CacheBin.pin(
+      paraBlocks(docs.filter(col("doc_id") % 17 === 0), blockTokens))
+    val deltaFreq = deltaBlocks.groupBy(col("h")).agg(count(lit(1)).as("dcnt"))
+    val dropSet = spark.read.parquet(freqBase)
+      .join(deltaFreq, Seq("h"), "full_outer")
+      .filter(coalesce(col("cnt"), lit(0L)) + coalesce(col("dcnt"), lit(0L))
+        >= minFreq)
+      .select(col("h"))
+    val clean = deltaBlocks.join(dropSet, Seq("h"), "left_anti")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_kept"),
+        array_join(transform(
+          array_sort(collect_list(struct(col("bi"), col("para")))),
+          x => x.getField("para")), " ").as("ctext"))
+    docs.filter(col("doc_id") % 17 === 0)
+      .select(col("doc_id"), col("source"),
+        size(split(trim(col("text")), "\\s+")).cast(LongType).as("n0"),
+        ceil(size(split(trim(col("text")), "\\s+")) / lit(blockTokens.toDouble))
+          .cast(LongType).as("nb"))
+      .join(clean, Seq("doc_id"), "left")
+      .select(col("source"), col("n0"), col("nb"),
+        coalesce(col("n_kept"), lit(0L)).as("nk"),
+        when(col("ctext").isNull || col("ctext") === "", lit(0L))
+          .otherwise(size(split(trim(col("ctext")), "\\s+")).cast(LongType))
+          .as("n1"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("nk") < col("nb"), 1L).otherwise(0L)).as("docs_touched"),
+        sum(col("nb") - col("nk")).as("paras_dropped"),
+        sum(col("n0")).as("toks_before"),
+        sum(col("n1")).as("toks_after"))
+      .orderBy(col("source"))
+  }
+
+  /** Incremental-paragraph-dedup oracle: the FULL-corpus rule,
+    * censused over the delta docs only (artifact ≡ recomputation).
+    */
+  val paraDedupIncrSql: String =
+    """WITH toks AS (SELECT doc_id, source,
+      |    string_split_regex(trim(text), '\s+') AS t FROM documents),
+      |hb AS MATERIALIZED (
+      |  SELECT doc_id, source, CAST(i AS INT) AS bi,
+      |    array_to_string(t[CAST(i*20+1 AS INT):CAST(i*20+20 AS INT)], ' ')
+      |      AS para
+      |  FROM toks, unnest(range(0, CAST(ceil(len(t)/20.0) AS BIGINT))) z(i)),
+      |hh AS MATERIALIZED (SELECT doc_id, source, bi, para,
+      |    ('0x' || substr(md5(para), 1, 15))::BIGINT AS h FROM hb),
+      |freq AS (SELECT h, count(*) AS f FROM hh GROUP BY 1),
+      |kept AS (SELECT doc_id, bi, para FROM hh JOIN freq USING (h)
+      |  WHERE f < 2 AND doc_id % 17 = 0),
+      |clean AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_kept,
+      |    array_to_string(list(para ORDER BY bi), ' ') AS ctext
+      |  FROM kept GROUP BY 1),
+      |perdoc AS (SELECT tk.source, CAST(len(tk.t) AS BIGINT) AS n0,
+      |    CAST(ceil(len(tk.t)/20.0) AS BIGINT) AS nb,
+      |    coalesce(c.n_kept, 0) AS nk,
+      |    CASE WHEN c.ctext IS NULL OR c.ctext = '' THEN 0
+      |         ELSE len(string_split_regex(trim(c.ctext), '\s+')) END AS n1
+      |  FROM toks tk LEFT JOIN clean c USING (doc_id)
+      |  WHERE tk.doc_id % 17 = 0)
+      |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+      |  CAST(sum(CASE WHEN nk < nb THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS docs_touched,
+      |  CAST(sum(nb - nk) AS BIGINT) AS paras_dropped,
+      |  CAST(sum(n0) AS BIGINT) AS toks_before,
+      |  CAST(sum(n1) AS BIGINT) AS toks_after
+      |FROM perdoc GROUP BY 1 ORDER BY 1""".stripMargin
 
   /** Paragraph-dedup oracle: identical 20-token segmentation, the same
     * md5-60-bit block keys, frequency gate, ordered reassembly, and a

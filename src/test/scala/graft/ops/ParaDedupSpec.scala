@@ -72,6 +72,42 @@ class ParaDedupSpec extends SparkSpec {
     }
   }
 
+  test("incremental: delta cleaned against the staged base-frequency artifact ≡ the full-corpus rule") {
+    val docs = graft.Tables.load(spark, sf, "documents")
+      .select("doc_id", "source", "text").as[(Long, String, String)].collect()
+    val blocksOf = (t: String) => t.trim.split("\\s+")
+      .grouped(20).map(_.mkString(" ")).toVector
+    // full-corpus frequencies, rule applied to delta docs only
+    val freq = docs.flatMap(d => blocksOf(d._3)).groupBy(identity)
+      .view.mapValues(_.size)
+    val want = docs.filter(_._1 % 17 == 0).groupBy(_._2).view.map {
+      case (src, ds) =>
+        val rows = ds.map { case (_, _, t) =>
+          val bs = blocksOf(t)
+          val kept = bs.filter(freq(_) < 2)
+          val clean = kept.mkString(" ")
+          (bs.size.toLong, kept.size.toLong,
+            t.trim.split("\\s+").length.toLong,
+            if (clean.isEmpty) 0L else clean.split("\\s+").length.toLong)
+        }
+        src -> (rows.length.toLong,
+          rows.count { case (nb, nk, _, _) => nk < nb }.toLong,
+          rows.map { case (nb, nk, _, _) => nb - nk }.sum,
+          rows.map(_._3).sum, rows.map(_._4).sum)
+    }.toMap
+    val got = LlmOps.paraDedupIncr(spark, sf).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5))).toMap
+    assert(got === want, "incremental clean != full-corpus rule on the delta")
+    // the staged artifact is vocabulary-sized: one row per distinct
+    // BASE block hash (never block instances, never text)
+    val art = spark.read.parquet(graft.ops.StageOnce.tmp("para_freq_base", sf))
+    val baseDistinct = docs.filter(_._1 % 17 != 0).flatMap(d => blocksOf(d._3))
+      .distinct.length
+    assert(art.count() === baseDistinct.toLong)
+    assert(art.columns.toSet === Set("h", "cnt"), "artifact must carry counts only")
+  }
+
   test("plan: bounded shuffles, no cartesian") {
     val df = LlmOps.paraDedup(spark, sf)
     df.collect()
