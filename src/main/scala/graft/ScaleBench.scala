@@ -48,10 +48,12 @@ object ScaleBench {
     if (k == 1) return BaseSf
     val out = s"$WorkDir/x$k"
     val done = new java.io.File(s"$out/_AMPLIFIED")
-    // events/orders carry their own markers so corpora amplified by
-    // earlier rounds (docs+embeddings only) fill them in on demand
+    // events/orders/customer carry their own markers so corpora
+    // amplified by earlier rounds (docs+embeddings only) fill them in
+    // on demand
     amplifyEvents(spark, k)
     amplifyOrders(spark, k)
+    amplifyCustomer(spark, k)
     if (done.exists()) return out
     val docs = Tables.load(spark, BaseSf, "documents")
     val emb = Tables.load(spark, BaseSf, "embeddings")
@@ -104,6 +106,30 @@ object ScaleBench {
         col("o_orderpriority"))
     }.reduce(_ unionByName _)
       .repartition(32).write.mode("overwrite").parquet(s"$out/orders.parquet")
+    done.getParentFile.mkdirs(); done.createNewFile()
+    out
+  }
+
+  /** Customer amplification (separate marker, orders convention):
+    * replica i offsets c_custkey by i·IdOffset with c_nationkey
+    * unchanged — replica key spaces are disjoint AND aligned with
+    * [[amplifyOrders]]' o_custkey offsets, so every amplified order
+    * finds its dim row; the nation set stays fixed at 25, so join-view
+    * group counts are flat while deltas grow ∝ k. The %7 changed-
+    * customer rule keeps firing per replica (residues permute by
+    * 2³² ≡ 4 mod 7; every class stays populated).
+    */
+  def amplifyCustomer(spark: SparkSession, k: Int): String = {
+    if (k == 1) return BaseSf
+    val out = s"$WorkDir/x$k"
+    val done = new java.io.File(s"$out/_AMPLIFIED_CUSTOMER")
+    if (done.exists()) return out
+    val c = Tables.load(spark, BaseSf, "customer")
+    (0 until k).map { i =>
+      c.select((col("c_custkey") + lit(i * IdOffset)).as("c_custkey"),
+        col("c_name"), col("c_nationkey"), col("c_acctbal"), col("c_mktsegment"))
+    }.reduce(_ unionByName _)
+      .repartition(32).write.mode("overwrite").parquet(s"$out/customer.parquet")
     done.getParentFile.mkdirs(); done.createNewFile()
     out
   }
@@ -581,6 +607,18 @@ object ScaleBench {
       // the image_neardup profile on the audio column
       val (auSec, auRows, auEx) = bestIf("audio_neardup")(
         queries.LlmOps.multimodalAudioNearDup(spark, dir))
+      // bilateral IVM: both delta legs ∝ k (fact delta, changed
+      // customers' fact rows); groups pinned at 25 nations; the dim
+      // joins are UNHINTED so AQE may flip broadcast → shuffle as the
+      // dim grows — the documented growth mode, time must stay ∝ k
+      val (jdSec, jdRows, jdEx) = bestIf("ivm_join_dim")(
+        queries.Maintenance.ivmJoinDim(spark, dir))
+      // incremental paragraph dedup: the base frequency artifact is
+      // staged per (JVM, dir) — charged to run 1, min-of-2 isolates
+      // the per-batch path: one delta block pass + a vocab-sized
+      // artifact join; census rows flat
+      val (piSec, piRows, piEx) = bestIf("para_dedup_incr")(
+        queries.LlmOps.paraDedupIncr(spark, dir))
       val row = scala.collection.immutable.ListMap(
         "lsh_pairs" -> (lshSec, lshRows, lshEx),
         "cc_distributed" -> (ccSec, ccRows, ccEx),
@@ -641,7 +679,9 @@ object ScaleBench {
         "suffix_span" -> (xsSec, xsRows, xsEx),
         "para_dedup" -> (pdSec, pdRows, pdEx),
         "ivm_minmax" -> (imSec, imRows, imEx),
-        "audio_neardup" -> (auSec, auRows, auEx))
+        "audio_neardup" -> (auSec, auRows, auEx),
+        "ivm_join_dim" -> (jdSec, jdRows, jdEx),
+        "para_dedup_incr" -> (piSec, piRows, piEx))
         .filter { case (op, _) => wanted(op) }
       row.foreach { case (op, (s, r, e)) =>
         println(s"""{"scale":$k,"op":"$op","sec":$s,"rows":$r,"exchanges":$e}""")

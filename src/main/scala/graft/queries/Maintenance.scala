@@ -499,8 +499,12 @@ object Maintenance {
       .select(col("c_custkey"), col("c_nationkey").cast(LongType).as("nation"))
     val mvPath = StageOnce.tmp("ivm_joindim_mv", dir)
     StageOnce(mvPath) {
+      // no broadcast HINT anywhere in this face: the dim is
+      // corpus-proportional under amplification, so AQE's size check
+      // must stay free to flip these joins to shuffle at scale (the
+      // documented growth mode); at test SFs it still broadcasts
       Tables.load(spark, dir, "orders")
-        .join(broadcast(custOld), col("o_custkey") === col("c_custkey"))
+        .join(custOld, col("o_custkey") === col("c_custkey"))
         .groupBy(col("nation"))
         .agg(count(lit(1)).as("n"),
           sum(col("o_totalprice").cast(DecimalType(18, 2))).as("s"))
@@ -521,7 +525,7 @@ object Maintenance {
     val entering = base.filter(col("k") % 10 === 7)
       .select(col("o_custkey"), lit(1L).as("dn"), col("v").as("dv"))
     val termA = leaving.unionByName(changing).unionByName(entering)
-      .join(broadcast(custOld), col("o_custkey") === col("c_custkey"))
+      .join(custOld, col("o_custkey") === col("c_custkey"))
       .select(col("nation"), col("dn"), col("dv"))
     // dim delta: every c_custkey % 7 == 2 customer moves nation
     val changedCust = custOld.filter(col("c_custkey") % 7 === 2)
@@ -536,7 +540,7 @@ object Maintenance {
       .unionByName(base.filter(col("k") % 10 === 7)
         .select(col("o_custkey"), col("v")))
     val affected = rNew
-      .join(broadcast(changedCust), col("o_custkey") === col("c_custkey"))
+      .join(changedCust, col("o_custkey") === col("c_custkey"))
       .groupBy(col("nation_old"), col("nation_new"))
       .agg(count(lit(1)).as("n"), sum(col("v")).as("s"))
     val termB = affected
