@@ -253,6 +253,7 @@ object SparkEntry {
     "q_sketch_hll" -> (SketchOps.sketchHllTokens(_, _)),
     "q_sketch_hll_rollup" -> (SketchOps.sketchHllRollup(_, _)),
     "q_sketch_kmv_overlap" -> (SketchOps.sketchKmvOverlap(_, _)),
+    "q_sketch_kmv_setops" -> (SketchOps.sketchKmvSetops(_, _)),
     "q_sketch_qdigest" -> (SketchOps.sketchQdigest(_, _)),
     "q_sketch_kmv" -> (SketchOps.sketchKmvTokens(_, _)),
     "q_sketch_cms" -> (SketchOps.sketchCmsTokens(_, _)),
@@ -579,6 +580,7 @@ object SparkEntry {
     "q_sketch_hll" -> SketchOps.sketchHllTokensSql,
     "q_sketch_hll_rollup" -> SketchOps.sketchHllRollupSql,
     "q_sketch_kmv_overlap" -> SketchOps.sketchKmvOverlapSql(),
+    "q_sketch_kmv_setops" -> SketchOps.sketchKmvSetopsSql(),
     "q_sketch_qdigest" -> SketchOps.sketchQdigestSql,
     "q_sketch_kmv" -> SketchOps.sketchKmvTokensSql,
     "q_sketch_cms" -> SketchOps.sketchCmsTokensSql,

@@ -300,6 +300,118 @@ object SketchOps {
       .orderBy(col("src_a"), col("src_b"))
   }
 
+  /** KMV set ALGEBRA between sources — the full Beyer et al. estimator
+    * family from ONE pooled sketch, completing [[sketchKmvOverlap]]'s
+    * Jaccard with SIZE estimates for union, intersection, and the
+    * one-sided difference (the "how much of A is not in B" triage
+    * number a source-dedup decision actually needs): with h_(k) the
+    * k-th smallest pooled 40-bit hash, |A∪B|_est = (k−1)·2⁴⁰/h_(k)
+    * (the classic KMV cardinality estimator; when the pooled sketch is
+    * smaller than k it IS the union — the exactness regime, branch
+    * mirrored in both engines), and the membership fractions of the
+    * pooled k smallest scale it into |A∩B|_est and |A\B|_est. Every
+    * estimate is reported NEXT TO its exact posting-join counterpart,
+    * so all three estimators' errors are query results. Arithmetic:
+    * integer hashes and memberships, an identical double tree both
+    * engines (one division for the union, fraction·union for the
+    * rest), round-6 at the output only.
+    *
+    * Shape: sketch table ≤ |sources|·k rows, pairwise math on the
+    * COLLECTED sketches (codebook class); only the exact side touches
+    * the corpus.
+    */
+  def sketchKmvSetops(spark: SparkSession, dir: String,
+      k: Int = 16): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val dtok = graft.ops.CacheBin.pin(
+      Tables.load(spark, dir, "documents")
+        .select(col("source"), explode(toks(col("text"))).as("token"))
+        .distinct())
+    val kmins = dtok
+      .select(col("source"), PortableSketches.hash40(col("token")).as("h"))
+      .distinct()
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("source")).orderBy(col("h"))))
+      .filter(col("rk") <= k)
+      .select(col("source"), col("h"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+      .groupBy(_._1).map { case (s, rs) => s -> rs.map(_._2).toSet }
+    def r6(x: Double) =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val est = kmins.keys.toSeq.sorted.combinations(2).map { case Seq(a, b) =>
+      val pooled = (kmins(a) ++ kmins(b)).toSeq.sorted.take(k)
+      val m = pooled.size
+      val estUnion =
+        if (m < k) m.toDouble
+        else (k - 1).toDouble * math.pow(2.0, 40) / pooled.last.toDouble
+      val inBoth = pooled.count(h => kmins(a)(h) && kmins(b)(h))
+      val aOnly = pooled.count(h => kmins(a)(h) && !kmins(b)(h))
+      (a, b, r6(estUnion),
+        r6(inBoth.toDouble / m.toDouble * estUnion),
+        r6(aOnly.toDouble / m.toDouble * estUnion))
+    }.toSeq.toDF("src_a", "src_b", "est_union", "est_inter", "est_diff_ab")
+    val cnt = dtok.groupBy(col("source")).agg(count(lit(1)).as("n"))
+    val inter = dtok.as("a")
+      .join(dtok.as("b"), col("a.token") === col("b.token") &&
+        col("a.source") < col("b.source"))
+      .groupBy(col("a.source").as("src_a"), col("b.source").as("src_b"))
+      .agg(count(lit(1)).as("n_inter"))
+    inter
+      .join(cnt.select(col("source").as("src_a"), col("n").as("na")), Seq("src_a"))
+      .join(cnt.select(col("source").as("src_b"), col("n").as("nb")), Seq("src_b"))
+      .join(broadcast(est), Seq("src_a", "src_b"))
+      .select(col("src_a"), col("src_b"),
+        col("est_union"), (col("na") + col("nb") - col("n_inter")).as("n_union"),
+        col("est_inter"), col("n_inter"),
+        col("est_diff_ab"), (col("na") - col("n_inter")).as("n_diff_ab"))
+      .orderBy(col("src_a"), col("src_b"))
+  }
+
+  def sketchKmvSetopsSql(k: Int = 16): String =
+    s"""WITH dtok AS MATERIALIZED (
+       |  SELECT DISTINCT source, token FROM (
+       |    SELECT source, unnest(string_split_regex(trim(text), '\\s+')) AS token
+       |    FROM documents)),
+       |h AS (SELECT DISTINCT source,
+       |  ('0x' || substr(md5(token), 1, 10))::BIGINT AS h FROM dtok),
+       |kmins AS MATERIALIZED (SELECT source, h FROM (
+       |  SELECT source, h, row_number() OVER (PARTITION BY source ORDER BY h) AS rk
+       |  FROM h) WHERE rk <= $k),
+       |srcs AS (SELECT DISTINCT source FROM dtok),
+       |pairs AS (SELECT a.source AS sa, b.source AS sb
+       |  FROM srcs a JOIN srcs b ON a.source < b.source),
+       |uni AS (SELECT p.sa, p.sb, m.h,
+       |  max(CASE WHEN m.source = p.sa THEN 1 ELSE 0 END) AS ina,
+       |  max(CASE WHEN m.source = p.sb THEN 1 ELSE 0 END) AS inb
+       |  FROM pairs p JOIN kmins m ON m.source IN (p.sa, p.sb)
+       |  GROUP BY 1, 2, 3),
+       |topu AS MATERIALIZED (SELECT * FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY sa, sb ORDER BY h) AS rk
+       |  FROM uni) WHERE rk <= $k),
+       |eu AS (SELECT sa, sb,
+       |  CASE WHEN count(*) < $k THEN count(*)::DOUBLE
+       |       ELSE ${k - 1}::DOUBLE * 1099511627776.0 / max(h)::DOUBLE
+       |  END AS est_union_raw,
+       |  count(*)::DOUBLE AS m,
+       |  sum(CASE WHEN ina = 1 AND inb = 1 THEN 1 ELSE 0 END)::DOUBLE AS inboth,
+       |  sum(CASE WHEN ina = 1 AND inb = 0 THEN 1 ELSE 0 END)::DOUBLE AS aonly
+       |  FROM topu GROUP BY 1, 2),
+       |c AS (SELECT source, CAST(count(*) AS BIGINT) AS n FROM dtok GROUP BY 1),
+       |i AS (SELECT a.source AS sa, b.source AS sb, CAST(count(*) AS BIGINT) AS n_inter
+       |  FROM dtok a JOIN dtok b ON a.token = b.token AND a.source < b.source
+       |  GROUP BY 1, 2)
+       |SELECT i.sa AS src_a, i.sb AS src_b,
+       |  round(e.est_union_raw, 6) AS est_union,
+       |  CAST(ca.n + cb.n - i.n_inter AS BIGINT) AS n_union,
+       |  round(e.inboth / e.m * e.est_union_raw, 6) AS est_inter,
+       |  i.n_inter,
+       |  round(e.aonly / e.m * e.est_union_raw, 6) AS est_diff_ab,
+       |  CAST(ca.n - i.n_inter AS BIGINT) AS n_diff_ab
+       |FROM i JOIN eu e ON e.sa = i.sa AND e.sb = i.sb
+       |  JOIN c ca ON ca.source = i.sa JOIN c cb ON cb.source = i.sb
+       |ORDER BY 1, 2""".stripMargin
+
   def sketchKmvOverlapSql(k: Int = 16): String =
     s"""WITH dtok AS MATERIALIZED (
        |  SELECT DISTINCT source, token FROM (

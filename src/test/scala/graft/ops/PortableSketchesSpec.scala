@@ -138,6 +138,41 @@ class PortableSketchesSpec extends SparkSpec {
     assert(s1.nonEmpty && s1.size < 2000)
   }
 
+  test("kmv set algebra: exact regime below k; fractions partition the union; live error above k") {
+    import org.apache.spark.sql.functions.{col, length, lit}
+    // hand corpus: two sources with tiny vocabularies (union < k=16):
+    // the estimator must DEGENERATE TO EXACT counts
+    val dir = java.nio.file.Files.createTempDirectory("kmvso").toString
+    Seq((1L, "a b c d", "sA"), (2L, "c d e f", "sB"))
+      .toDF("doc_id", "text", "source")
+      .withColumn("lang", lit("en"))
+      .withColumn("n_chars", length(col("text")).cast("bigint"))
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val hand = graft.queries.SketchOps.sketchKmvSetops(spark, dir).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getDouble(2), r.getLong(3),
+        r.getDouble(4), r.getLong(5), r.getDouble(6), r.getLong(7)))
+    // A={a,b,c,d}, B={c,d,e,f}: union 6, inter 2, A\B 2 — exact regime
+    assert(hand.toSeq === Seq(("sA", "sB", 6.0, 6L, 2.0, 2L, 2.0, 2L)))
+    // real corpus: estimates live (union > k somewhere ⇒ est ≠ exact),
+    // and the membership fractions PARTITION the pooled set:
+    // est_inter + est_diff_ab ≤ est_union with equality iff B\A empty
+    val rows = graft.queries.SketchOps.sketchKmvSetops(spark, sf).collect()
+      .map(r => (r.getDouble(2), r.getLong(3), r.getDouble(4), r.getLong(5),
+        r.getDouble(6), r.getLong(7)))
+    assert(rows.nonEmpty)
+    rows.foreach { case (eu, _, ei, _, ed, _) =>
+      assert(ei + ed <= eu + 1e-6)
+      assert(ei >= 0 && ed >= 0)
+    }
+    assert(rows.exists { case (eu, nu, _, _, _, _) => eu != nu.toDouble },
+      "every union estimate exact — k ≥ vocab, the degenerate-face class")
+    // sanity: estimates land in the right decade (KMV at k=16 is coarse
+    // but not wild on ~30-token vocabularies)
+    rows.foreach { case (eu, nu, _, _, _, _) =>
+      assert(eu > nu / 3.0 && eu < nu * 3.0, s"est_union $eu vs exact $nu")
+    }
+  }
+
   test("hll rollup: merged per-source registers equal the direct global sketch") {
     import org.apache.spark.sql.functions._
     val rows = graft.queries.SketchOps.sketchHllRollup(spark, sf).collect()
