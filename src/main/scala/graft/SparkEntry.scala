@@ -236,6 +236,7 @@ object SparkEntry {
     "q_ivm_join" -> (Maintenance.ivmJoin(_, _)),
     "q_ivm_join_dim" -> (Maintenance.ivmJoinDim(_, _)),
     "q_ivm_minmax" -> (Maintenance.ivmMinMax(_, _)),
+    "q_ivm_minmax_stream" -> (Maintenance.ivmMinMaxStreamMaterialize(_, _)),
     "q_ivm_stream" -> (Maintenance.ivmStreamMaterialize(_, _)),
     "q_cdc_stream" -> (Maintenance.cdcStreamMaterialize(_, _)),
     "q_incr_agg" -> (Maintenance.incrAgg(_, _)),
@@ -565,6 +566,7 @@ object SparkEntry {
     "q_ivm_join" -> Maintenance.ivmJoinSql,
     "q_ivm_join_dim" -> Maintenance.ivmJoinDimSql,
     "q_ivm_minmax" -> Maintenance.ivmMinMaxSql,
+    "q_ivm_minmax_stream" -> Maintenance.ivmMinMaxSql,
     "q_ivm_stream" -> Maintenance.ivmAggregateSql,
     "q_cdc_stream" -> Maintenance.cdcStreamMaterializeSql,
     "q_incr_agg" -> Maintenance.incrAggSql,

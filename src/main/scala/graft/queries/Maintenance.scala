@@ -19,6 +19,13 @@ private[queries] case class CdcChangeRow(
 private[queries] case class IvmChangeRow(annee: Long, dn: Long, dv: Double,
     k: Long)
 
+/** Change row for the streaming MIN/MAX-IVM feed: (group, removed
+  * value, inserted value) — either side nullable — plus the order key
+  * for batch slicing.
+  */
+private[queries] case class IvmMmChangeRow(annee: Long,
+    old_v: java.lang.Double, new_v: java.lang.Double, k: Long)
+
 /** Table-maintenance query surface: CDC merge (MERGE INTO with
   * deletes), incremental aggregate maintenance, and zone-map file
   * skipping — the lakehouse upkeep operations a 100 TB warehouse runs
@@ -329,25 +336,7 @@ object Maintenance {
           max(col("o_totalprice")).as("mx"))
         .write.mode("overwrite").parquet(mvPath)
     }
-    val base = Tables.load(spark, dir, "orders").select(
-      year(col("o_orderdate")).cast(LongType).as("annee"),
-      col("o_orderstatus").as("dep"),
-      col("o_totalprice").as("v"),
-      col("o_orderkey").as("k"))
-    val nullV = lit(null).cast(DoubleType)
-    // (old_v, new_v) change rows: an update is delete-old + insert-new
-    // for the extremum rule; dn/dv for COUNT/SUM fall out of the same
-    // rows (old-only → −1, new-only → +1, both → 0 and Δv).
-    val leaving = base.filter(col("k") % 10 === 3 || col("dep") === "P")
-      .select(col("annee"), col("v").as("old_v"), nullV.as("new_v"))
-    val changing = base.filter(col("k") % 10 =!= 3 && col("dep") =!= "P" &&
-        col("k") % 10 === 4)
-      .select(col("annee"), col("v").as("old_v"),
-        (col("v") + when(col("k") % 20 === 4, lit(5000.0))
-          .otherwise(lit(1000.0))).as("new_v"))
-    val entering = base.filter(col("k") % 10 === 7)
-      .select(col("annee"), nullV.as("old_v"), col("v").as("new_v"))
-    val dAgg = leaving.unionByName(changing).unionByName(entering)
+    val dAgg = ivmMinMaxChangeRows(spark, dir)
       .groupBy(col("annee"))
       .agg(sum(when(col("new_v").isNull, -1L)
           .when(col("old_v").isNull, 1L).otherwise(0L)).as("dn"),
@@ -363,6 +352,31 @@ object Maintenance {
         coalesce(col("rem_mn") === col("mn"), lit(false)))
       .withColumn("need_max",
         coalesce(col("rem_mx") === col("mx"), lit(false)))
+  }
+
+  /** The (annee, old_v, new_v, k) change rows shared by the batch
+    * min/max face and the streaming feed: an update is delete-old +
+    * insert-new for the extremum rule; dn/dv for COUNT/SUM fall out of
+    * the same rows (old-only → −1, new-only → +1, both → 0 and Δv).
+    */
+  private[graft] def ivmMinMaxChangeRows(spark: SparkSession,
+      dir: String): DataFrame = {
+    val base = Tables.load(spark, dir, "orders").select(
+      year(col("o_orderdate")).cast(LongType).as("annee"),
+      col("o_orderstatus").as("dep"),
+      col("o_totalprice").as("v"),
+      col("o_orderkey").as("k"))
+    val nullV = lit(null).cast(DoubleType)
+    val leaving = base.filter(col("k") % 10 === 3 || col("dep") === "P")
+      .select(col("annee"), col("v").as("old_v"), nullV.as("new_v"), col("k"))
+    val changing = base.filter(col("k") % 10 =!= 3 && col("dep") =!= "P" &&
+        col("k") % 10 === 4)
+      .select(col("annee"), col("v").as("old_v"),
+        (col("v") + when(col("k") % 20 === 4, lit(5000.0))
+          .otherwise(lit(1000.0))).as("new_v"), col("k"))
+    val entering = base.filter(col("k") % 10 === 7)
+      .select(col("annee"), nullV.as("old_v"), col("v").as("new_v"), col("k"))
+    leaving.unionByName(changing).unionByName(entering)
   }
 
   /** The bounded rescan: mutated-base rows of the touched groups ONLY
@@ -395,6 +409,59 @@ object Maintenance {
           .otherwise(col("v")).as("v"))
       .unionByName(base.filter(col("k") % 10 === 7)
         .select(col("annee"), col("v")))
+  }
+
+  /** Streaming MIN/MAX IVM through its oracle face
+    * ([[graft.streaming.IvmMinMaxStream]]): the (old_v, new_v) change
+    * feed arrives as a real StreamingQuery over a memory source in
+    * three micro-batches (sliced by order key) WITH a kill-and-resume
+    * after batch 2, each batch folding into a new MV generation —
+    * COUNT/SUM counting-style, extrema by blind insert-fold plus the
+    * bounded touched-group rescan against the base snapshot + the
+    * stream's own value log. The converged view is the batch face's
+    * exact result, so the oracle is [[ivmMinMaxSql]] VERBATIM:
+    * stream ≡ batch ≡ recompute, hash-checked through the restart.
+    * Staged once per JVM; bench iterations read the materialized
+    * generations.
+    */
+  def ivmMinMaxStreamMaterialize(spark: SparkSession, dir: String): DataFrame = {
+    val basePath = StageOnce.tmp("ivm_mm_base", dir)
+    StageOnce(basePath) {
+      Tables.load(spark, dir, "orders")
+        .select(year(col("o_orderdate")).cast(LongType).as("annee"),
+          col("o_totalprice").as("v"))
+        .write.mode("overwrite").parquet(basePath)
+    }
+    val root = StageOnce.tmp("ivm_mm_stream", dir)
+    StageOnce(root) {
+      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+      import spark.implicits._
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+      val rows = ivmMinMaxChangeRows(spark, dir)
+        .orderBy(col("k")).collect().map { r =>
+          IvmMmChangeRow(r.getLong(0),
+            if (r.isNullAt(1)) null else java.lang.Double.valueOf(r.getDouble(1)),
+            if (r.isNullAt(2)) null else java.lang.Double.valueOf(r.getDouble(2)),
+            r.getLong(3))
+        }
+      val ckpt = StageOnce.tmp("ivm_mm_stream_ckpt", dir)
+      val mem = MemoryStream[IvmMmChangeRow]
+      def start() = graft.streaming.IvmMinMaxStream.start(
+        mem.toDS().toDF(), root, basePath, ckpt)
+      val q1 = start()
+      try {
+        mem.addData(rows.filter(_.k % 3 == 0).toIndexedSeq)
+        q1.processAllAvailable()
+        mem.addData(rows.filter(_.k % 3 == 1).toIndexedSeq)
+        q1.processAllAvailable()
+      } finally q1.stop()
+      val q2 = start() // kill-and-resume from the checkpoint
+      try {
+        mem.addData(rows.filter(_.k % 3 == 2).toIndexedSeq)
+        q2.processAllAvailable()
+      } finally q2.stop()
+    }
+    graft.streaming.IvmMinMaxStream.view(spark, root)
   }
 
   /** MIN/MAX IVM oracle: the full recompute from the mutated base. */

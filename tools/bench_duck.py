@@ -39,6 +39,7 @@ STAGED_CELLS = [
     "q_attribution_stream", "q_ivm_stream", "q_blocklist_stream",
     "q_para_dedup_stream", "q_para_dedup_incr",
     "q_ivm_aggregate", "q_ivm_join", "q_ivm_join_dim", "q_ivm_minmax",
+    "q_ivm_minmax_stream",
     "q_dedup_doc_coverage",
     "q_trgm_like_scan", "q_trgm_like_incr"]
 
