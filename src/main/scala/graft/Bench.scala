@@ -43,7 +43,9 @@ object Bench {
     "q_ivm_aggregate", "q_ivm_join", "q_ivm_join_dim", "q_ivm_minmax",
     "q_ivm_minmax_stream",
     "q_dedup_doc_coverage",
-    "q_trgm_like_scan", "q_trgm_like_incr")
+    "q_trgm_like_scan", "q_trgm_like_incr",
+    "q_ivm_topk", "q_ivm_distinct",
+    "q_forget_index", "q_forget_dedup", "q_forget_embed")
 
   /** 1-minute load average from /proc/loadavg ("-1" off-Linux). The bench
     * host shows bursty CPU steal; embedding load evidence in the JSON lets

@@ -238,6 +238,15 @@ object SparkEntry {
     "q_ivm_minmax" -> (Maintenance.ivmMinMax(_, _)),
     "q_ivm_minmax_stream" -> (Maintenance.ivmMinMaxStreamMaterialize(_, _)),
     "q_ivm_stream" -> (Maintenance.ivmStreamMaterialize(_, _)),
+    "q_ivm_topk" -> (Maintenance.ivmTopK(_, _)),
+    "q_ivm_distinct" -> (Maintenance.ivmDistinct(_, _)),
+    "q_scd2_history" -> (Maintenance.scd2History(_, _)),
+    "q_scd2_asof" -> (Maintenance.scd2AsOf(_, _)),
+    "q_skyline" -> ((s, d) => graft.ops.Skyline.skyline(s, d)),
+    "q_forget_index" -> ((s, d) => graft.ops.Forget.forgetIndex(s, d)),
+    "q_forget_dedup" -> ((s, d) => graft.ops.Forget.forgetDedup(s, d)),
+    "q_forget_embed" -> (LlmOps.forgetEmbed(_, _)),
+    "q_k_anonymity" -> (Curation.kAnonymity(_, _)),
     "q_cdc_stream" -> (Maintenance.cdcStreamMaterialize(_, _)),
     "q_incr_agg" -> (Maintenance.incrAgg(_, _)),
     "q_incr_agg_state" -> (Maintenance.incrAggState(_, _)),
@@ -568,6 +577,15 @@ object SparkEntry {
     "q_ivm_minmax" -> Maintenance.ivmMinMaxSql,
     "q_ivm_minmax_stream" -> Maintenance.ivmMinMaxSql,
     "q_ivm_stream" -> Maintenance.ivmAggregateSql,
+    "q_ivm_topk" -> Maintenance.ivmTopKSql,
+    "q_ivm_distinct" -> Maintenance.ivmDistinctSql,
+    "q_scd2_history" -> Maintenance.scd2HistorySql,
+    "q_scd2_asof" -> Maintenance.scd2AsOfSql,
+    "q_skyline" -> graft.ops.Skyline.skylineSql,
+    "q_forget_index" -> graft.ops.Forget.forgetIndexSql,
+    "q_forget_dedup" -> graft.ops.Forget.forgetDedupSql,
+    "q_forget_embed" -> LlmOps.embedAnnIvfSqlWhere("NOT (a.vec_id % 23 = 5)"),
+    "q_k_anonymity" -> Curation.kAnonymitySql,
     "q_cdc_stream" -> Maintenance.cdcStreamMaterializeSql,
     "q_incr_agg" -> Maintenance.incrAggSql,
     "q_incr_agg_state" -> Maintenance.incrAggStateSql,

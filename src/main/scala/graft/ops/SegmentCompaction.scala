@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Per-bucket SEGMENT COMPACTION for the two-level `seg=…/bucket=…`
@@ -33,9 +33,18 @@ object SegmentCompaction {
     * bucket. `bucket` is whatever the layout's partition value is — a
     * long (trigram hash buckets) or a string (the inverted index's
     * md5-hex buckets).
+    *
+    * `tombstones` (doc_id rows) is the forget cascade's physical-purge
+    * hook ([[Forget]]): when set, the compacted bucket is rewritten
+    * WITHOUT the tombstoned docs' postings — the Lucene `.del` model,
+    * where logical deletes are anti-joined at probe time and the bytes
+    * leave the index when routine per-bucket maintenance next touches
+    * their bucket. Purge cost stays ∝ the compacted bucket; searches
+    * are unaffected because the probe-time anti-join already hid the
+    * purged rows (spec-pinned: search before ≡ after the purge).
     */
   def compactBucket(spark: SparkSession, path: String,
-      bucket: Any): (Int, Int) = {
+      bucket: Any, tombstones: Option[DataFrame] = None): (Int, Int) = {
     import org.apache.hadoop.fs.Path
     val root = new Path(path)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -52,9 +61,11 @@ object SegmentCompaction {
     require(originals.nonEmpty, s"no postings for bucket=$bucket under $path")
     // data-only schema (partition columns live in the directory names)
     val dataCols = spark.read.parquet(originals.head.toString).columns.toSeq
-    val rows = spark.read.parquet(path)
+    val kept = spark.read.parquet(path)
       .filter(col("bucket") === lit(bucket)) // directory-pruned to this bucket
       .select(dataCols.map(col): _*)
+    val rows = tombstones.fold(kept)(t =>
+      kept.join(broadcast(t.select(col("doc_id"))), Seq("doc_id"), "left_anti"))
     val tmp = new Path(s"$path/.compact_tmp_bucket_$bucket")
     rows.coalesce(1).sortWithinPartitions(dataCols.map(col): _*)
       .write.mode("overwrite").parquet(tmp.toString)

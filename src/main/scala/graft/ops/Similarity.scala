@@ -259,6 +259,57 @@ object Similarity {
     (originals.length, dataFiles().length)
   }
 
+  /** DELETE tombstoned vectors from a persisted IVF index — the forget
+    * cascade's ANN leg ([[graft.ops.Forget]]), and the one artifact
+    * where a physical delete is BOUNDED WITHOUT tombstone probing:
+    * every vector lives in exactly ONE centroid partition (assignment
+    * is a pure function of (vector, frozen centroids)), so the caller
+    * assigns the tombstoned vectors against the same frozen centroids
+    * (delta-sized work) and only those partitions are rewritten —
+    * every other inverted list is byte-untouched (spec-pinned).
+    * Centroids stay frozen: forgetting vectors must not retrain the
+    * model (retraining is the separate deliberate action, as for
+    * append). Deleting from a list uses the compaction machinery's
+    * stop-the-world swap contract. Returns the touched centroid ids
+    * (≤ min(|tombstones|, |C|), parameter-sized).
+    *
+    * Correctness contract: the index row set after delete is IDENTICAL
+    * to a rebuild from the filtered corpus with the same centroids, so
+    * searches answer as if the vectors never existed.
+    */
+  def ivfDeletePartitioned(spark: org.apache.spark.sql.SparkSession,
+      path: String, assignedTombstones: DataFrame): Seq[Int] = {
+    import org.apache.hadoop.fs.Path
+    // only the touched-centroid ID LIST is collected (≤ |C| rows); the
+    // tombstone ids themselves stay distributed and reach each rewrite
+    // as a broadcast anti-join side (bounded by the forget request,
+    // the same class as the probe-time tombstone broadcast)
+    val touched = assignedTombstones.select(col("centroid")).distinct()
+      .collect().map(_.getInt(0)).sorted.toSeq
+    val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    touched.map { cid =>
+      val part = new Path(s"$path/centroid=$cid")
+      def dataFiles() = fs.listStatus(part)
+        .filter(_.getPath.getName.endsWith(".parquet")).map(_.getPath)
+      val originals = dataFiles()
+      val tmp = new Path(s"$path/.delete_tmp_centroid_$cid")
+      spark.read.parquet(part.toString)
+        .join(broadcast(assignedTombstones
+          .filter(col("centroid") === cid).select(col("vec_id"))),
+          Seq("vec_id"), "left_anti")
+        .coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+      fs.listStatus(tmp).map(_.getPath)
+        .filter(_.getName.endsWith(".parquet")).zipWithIndex.foreach {
+          case (f, i) =>
+            val dest = new Path(part, s"deleted-${System.nanoTime()}-$i.parquet")
+            require(fs.rename(f, dest), s"delete publish failed: $f -> $dest")
+        }
+      originals.foreach(f => fs.delete(f, false))
+      fs.delete(tmp, true)
+      cid
+    }
+  }
+
   /** Search a persisted IVF index: the centroid filter prunes partitions
     * before any file is opened; exact top-k inside the probed lists.
     */

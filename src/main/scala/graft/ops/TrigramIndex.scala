@@ -93,7 +93,7 @@ object TrigramIndex {
   /** Segmented staging: a base segment over ~95% of the corpus plus a
     * crawl-delta segment (doc_id % 20 == 0) appended afterwards.
     */
-  private def stagedIncremental(spark: SparkSession, dir: String): String = {
+  private[graft] def stagedIncremental(spark: SparkSession, dir: String): String = {
     val idx = StageOnce.tmp("trgm_index_incr", dir)
     StageOnce(idx) {
       val docs = Tables.load(spark, dir, "documents")
@@ -116,8 +116,15 @@ object TrigramIndex {
   def likeScanIncr(spark: SparkSession, dir: String): DataFrame =
     likeScanAt(spark, dir, stagedIncremental(spark, dir))
 
+  /** The shared search plan. `tombstones` (doc_id rows) injects the
+    * logical-delete filter of the forget cascade ([[Forget]]): the
+    * pruned posting read is anti-joined against the broadcast
+    * tombstone set BEFORE the intersection aggregate, so a forgotten
+    * doc can never surface as a candidate — the index answers as if
+    * rebuilt from the filtered corpus, at probe cost ∝ |tombstones|.
+    */
   private[graft] def likeScanAt(spark: SparkSession, dir: String,
-      idx: String): DataFrame = {
+      idx: String, tombstones: Option[DataFrame] = None): DataFrame = {
     import spark.implicits._
     val pt = patterns.flatMap(p => tris(p).map(t => (p, t, tris(p).size.toLong)))
       .toDF("pattern", "tri", "n_tris")
@@ -125,9 +132,12 @@ object TrigramIndex {
     val wantedBuckets = wantedTris
       .map(t => math.floorMod(hash60String(t), buckets.toLong))
       .distinct.sorted
-    val cand = spark.read.parquet(idx)
+    val pruned0 = spark.read.parquet(idx)
       .filter(col("bucket").isin(wantedBuckets: _*)) // partition-pruned
       .filter(col("tri").isin(wantedTris: _*))
+    val pruned = tombstones.fold(pruned0)(t =>
+      pruned0.join(broadcast(t.select(col("doc_id"))), Seq("doc_id"), "left_anti"))
+    val cand = pruned
       .join(broadcast(pt), Seq("tri"))
       .groupBy(col("pattern"), col("doc_id"), col("n_tris"))
       .agg(countDistinct(col("tri")).as("got"))
@@ -146,16 +156,24 @@ object TrigramIndex {
   /** DuckDB replay: the distinct posting build, the AND-intersection,
     * and the exact contains verify, per pattern.
     */
-  lazy val likeScanSql: String = {
+  lazy val likeScanSql: String = likeScanSqlOver("documents")
+
+  /** The same replay over an arbitrary document relation — the forget
+    * cascade's oracle passes the tombstone-filtered corpus here, so
+    * "tombstoned index ≡ index rebuilt from the filtered corpus" is
+    * checked with the SAME search semantics.
+    */
+  private[graft] def likeScanSqlOver(docsRel: String): String = {
     val patRows = patterns.map { p =>
       val ts = tris(p)
       ts.map(t => s"('$p', '$t', ${ts.size})").mkString(", ")
     }.mkString(",\n    ")
     s"""WITH pt(pattern, tri, n_tris) AS (VALUES
        |    $patRows),
+       |docs AS MATERIALIZED (SELECT doc_id, text FROM $docsRel),
        |post AS MATERIALIZED (
        |  SELECT DISTINCT d.doc_id, substr(d.text, CAST(i AS INT), 3) AS tri
-       |  FROM documents d, unnest(range(1, greatest(len(d.text) - 1, 1))) z(i)),
+       |  FROM docs d, unnest(range(1, greatest(len(d.text) - 1, 1))) z(i)),
        |cand AS MATERIALIZED (
        |  SELECT pt.pattern, p.doc_id
        |  FROM post p JOIN pt ON p.tri = pt.tri
@@ -164,7 +182,7 @@ object TrigramIndex {
        |SELECT c.pattern, CAST(count(*) AS BIGINT) AS n_candidates,
        |  CAST(sum(CASE WHEN contains(d.text, c.pattern) THEN 1 ELSE 0 END)
        |    AS BIGINT) AS n_matches
-       |FROM cand c JOIN documents d USING (doc_id)
+       |FROM cand c JOIN docs d USING (doc_id)
        |GROUP BY 1 ORDER BY 1""".stripMargin
   }
 }

@@ -4,6 +4,7 @@ import graft.Tables
 import graft.ops.{Dedup, Sampling, TextAnalysis}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{LongType, StringType}
 
 /** Corpus-curation query surface: deterministic sampling / train-test
   * splits, PII scrubbing, and document chunking — the data-curation ops
@@ -726,4 +727,82 @@ object Curation {
        |  j.doc_id AS rejected_id, CAST(c.score - j.score AS BIGINT) AS margin
        |FROM r c JOIN r j ON c.source = j.source AND c.lang = j.lang
        |WHERE c.rb = 1 AND j.rw = 1 AND c.score > j.score""".stripMargin
+
+  // -------------------------------------------------------- k-anonymity
+
+  private val kAnonK = 5
+
+  /** K-ANONYMITY census (Sweeney 2002) — the privacy-side counterpart
+    * of the PII scrub: before a curated table leaves the pipeline,
+    * count how identifiable its quasi-identifier combinations are.
+    * A row is k-anonymous iff at least k−1 other rows share its full
+    * QI tuple; the census reports, per GENERALIZATION level (the
+    * standard remediation ladder — coarsen a column, then drop it):
+    * class count, the smallest class, and the rows/classes below
+    * k = 5 with the at-risk percentage.
+    *
+    *  - L0: (nation, market segment, balance to the nearest 100)
+    *  - L1: balance coarsened to 1000 — classes merge, risk drops
+    *  - L2: balance dropped entirely
+    *  - L3: nation only — the ladder's floor
+    *
+    * One corpus pass: each row explodes into its four (level, class)
+    * encodings, ONE class-keyed aggregate (map-side combined) and one
+    * |classes|-sized rollup — never four scans, no joins. The ladder
+    * L0 → L3 must show monotone non-increasing risk (guaranteed:
+    * coarser partitions only merge classes) and a strict overall drop
+    * on this corpus (spec-pinned live at every SF).
+    */
+  def kAnonymity(spark: SparkSession, dir: String): DataFrame = {
+    val nat = col("c_nationkey").cast(StringType)
+    val b100 = floor(col("c_acctbal") / 100).cast(LongType).cast(StringType)
+    val b1000 = floor(col("c_acctbal") / 1000).cast(LongType).cast(StringType)
+    val qi = Tables.load(spark, dir, "customer").select(explode(array(
+        struct(lit("L0_nation_seg_bal100").as("level"),
+          concat_ws("|", nat, col("c_mktsegment"), b100).as("cls")),
+        struct(lit("L1_nation_seg_bal1000").as("level"),
+          concat_ws("|", nat, col("c_mktsegment"), b1000).as("cls")),
+        struct(lit("L2_nation_seg").as("level"),
+          concat_ws("|", nat, col("c_mktsegment")).as("cls")),
+        struct(lit("L3_nation").as("level"), nat.as("cls")))).as("q"))
+      .select(col("q.level").as("level"), col("q.cls").as("cls"))
+    qi.groupBy(col("level"), col("cls")).agg(count(lit(1)).as("n"))
+      .groupBy(col("level"))
+      .agg(count(lit(1)).as("n_classes"),
+        min(col("n")).as("min_class_size"),
+        sum(when(col("n") < kAnonK, col("n")).otherwise(0L)).as("rows_at_risk"),
+        sum(when(col("n") < kAnonK, 1L).otherwise(0L)).as("classes_at_risk"),
+        round(sum(when(col("n") < kAnonK, col("n")).otherwise(0L)) * 100.0 /
+          sum(col("n")), 6).as("pct_at_risk"))
+      .orderBy(col("level"))
+  }
+
+  val kAnonymitySql: String =
+    s"""WITH qi AS (
+       |  SELECT 'L0_nation_seg_bal100' AS level,
+       |    concat_ws('|', CAST(c_nationkey AS VARCHAR), c_mktsegment,
+       |      CAST(CAST(floor(c_acctbal / 100) AS BIGINT) AS VARCHAR)) AS cls
+       |  FROM customer
+       |  UNION ALL
+       |  SELECT 'L1_nation_seg_bal1000',
+       |    concat_ws('|', CAST(c_nationkey AS VARCHAR), c_mktsegment,
+       |      CAST(CAST(floor(c_acctbal / 1000) AS BIGINT) AS VARCHAR))
+       |  FROM customer
+       |  UNION ALL
+       |  SELECT 'L2_nation_seg',
+       |    concat_ws('|', CAST(c_nationkey AS VARCHAR), c_mktsegment)
+       |  FROM customer
+       |  UNION ALL
+       |  SELECT 'L3_nation', CAST(c_nationkey AS VARCHAR)
+       |  FROM customer),
+       |classes AS (SELECT level, cls, count(*) AS n FROM qi GROUP BY 1, 2)
+       |SELECT level, CAST(count(*) AS BIGINT) AS n_classes,
+       |  CAST(min(n) AS BIGINT) AS min_class_size,
+       |  CAST(sum(CASE WHEN n < $kAnonK THEN n ELSE 0 END) AS BIGINT)
+       |    AS rows_at_risk,
+       |  CAST(sum(CASE WHEN n < $kAnonK THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS classes_at_risk,
+       |  round(sum(CASE WHEN n < $kAnonK THEN n ELSE 0 END) * 100.0
+       |    / sum(n), 6) AS pct_at_risk
+       |FROM classes GROUP BY 1 ORDER BY 1""".stripMargin
 }

@@ -3206,6 +3206,39 @@ object LlmOps {
       .withColumn("cos", round(col("cos"), 6))
   }
 
+  /** FORGET-CASCADE ANN leg ([[graft.ops.Forget]]'s third artifact):
+    * the persisted IVF index drops the forgotten vectors (the
+    * id-aligned forget request, vec_id % 23 == 5) by PHYSICAL
+    * partition-bounded delete — the one artifact class where that is
+    * cheap, because every vector lives in exactly one centroid
+    * partition ([[Similarity.ivfDeletePartitioned]]): the tombstones
+    * are assigned against the FROZEN centroids (delta-sized), only the
+    * touched inverted lists are rewritten, every other list is
+    * byte-untouched, and the model is not retrained (retraining on
+    * forget is the separate deliberate action, exactly as for append).
+    * The search that follows is the ordinary partition-pruned probe;
+    * because the deleted index's row set is identical to a rebuild
+    * from the filtered corpus with the same centroids, the oracle is
+    * [[embedAnnIvfSql]] over the filtered assignment — "delete ≡
+    * rebuild" is the hash-checked contract, the mirror image of
+    * append's.
+    */
+  def forgetEmbed(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.load(spark, dir, "embeddings")
+    val centroids = fittedCentroids(spark, dir)
+    val idx = StageOnce.tmp("ivf_index_forgot", dir)
+    StageOnce(idx) {
+      Similarity.ivfWriteIndex(
+        Similarity.ivfAssign(emb, col("vec_id"), col("embedding"), centroids), idx)
+      Similarity.ivfDeletePartitioned(spark, idx,
+        Similarity.ivfAssign(emb.filter(col("vec_id") % 23 === 5),
+          col("vec_id"), col("embedding"), centroids))
+    }
+    Similarity.ivfSearchIndexed(spark, idx, centroids,
+      queryVector(spark, dir), k = 10)
+      .withColumn("cos", round(col("cos"), 6))
+  }
+
   /** ANN index-quality EVALUATION: recall@k of the trained-IVF
     * `nProbe`-probe search against exact brute-force ground truth,
     * per query, over a FIXED query panel (vec_id % 10 == 3 below 320 —
@@ -4946,7 +4979,14 @@ object LlmOps {
        |    ORDER BY list_cosine_similarity(e.embedding::DOUBLE[], c.c) DESC, c.cid DESC) = 1)""".stripMargin
   }
 
-  lazy val embedAnnIvfSql: String = {
+  lazy val embedAnnIvfSql: String = embedAnnIvfSqlWhere("TRUE")
+
+  /** The same probe with an extra predicate over the assignment table —
+    * the forget face passes the tombstone filter here, so "delete ≡
+    * rebuild from the filtered corpus" is checked with the exact
+    * search semantics (same frozen-centroid fit chain, same probe).
+    */
+  private[graft] def embedAnnIvfSqlWhere(pred: String): String = {
     val fin = s"cents$ivfFitIters"
     s"""WITH q AS (SELECT embedding::DOUBLE[] AS qe FROM embeddings WHERE vec_id = 0),
        |$kmeansFitCtes,
@@ -4954,7 +4994,7 @@ object LlmOps {
        |  ORDER BY list_cosine_similarity(c, qe) DESC, cid LIMIT 2)
        |SELECT a.vec_id, round(list_cosine_similarity(a.embedding::DOUBLE[], q.qe), 6) AS cos
        |FROM assigned a, q
-       |WHERE a.cid IN (SELECT cid FROM probe)
+       |WHERE a.cid IN (SELECT cid FROM probe) AND ($pred)
        |ORDER BY list_cosine_similarity(a.embedding::DOUBLE[], q.qe) DESC, a.vec_id
        |LIMIT 10""".stripMargin
   }

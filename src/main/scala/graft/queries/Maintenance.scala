@@ -960,4 +960,391 @@ object Maintenance {
       |WHERE l_partkey BETWEEN 0 AND (SELECT max(l_partkey) // 8 FROM lineitem)
       |  AND l_suppkey BETWEEN 0 AND (SELECT max(l_suppkey) // 4 FROM lineitem)
       |GROUP BY l_returnflag""".stripMargin
+
+  // ---------------------------------------------------------- top-k IVM
+
+  private[graft] val topK = 5
+  private[graft] val topKBuf = 6
+
+  /** IVM of a TOP-K view under inserts and deletes — the third
+    * classically non-self-maintainable aggregate, after MIN/MAX
+    * ([[ivmMinMax]]): a delete can promote a row the view never stored.
+    * The standard fix (Yi et al., "Efficient Maintenance of
+    * Materialized Top-k Views", ICDE 2003) is to store a k′ > k BUFFER
+    * and only rescan a group when deletions eat the buffer below k:
+    *
+    *  - the stored MV is each group's top-k′ rows under the total
+    *    order (value DESC, key ASC) — k′ = 6 over k = 5 here, so the
+    *    buffer absorbs churn but the rescan path genuinely fires on
+    *    this corpus (both regimes live at every SF, spec-pinned);
+    *  - removals that MISS the buffer are ignored soundly: a row
+    *    outside the top-k′ is strictly after every buffer row in the
+    *    total order, so it cannot be in the top-k while ≥ k buffer
+    *    rows survive;
+    *  - removals that hit the buffer shrink it; inserts merge into the
+    *    surviving buffer and the top-k is re-ranked over that
+    *    buffer-sized set (one window over ≤ |groups|·k′ + |Δ| rows);
+    *  - a group rescans only when its buffer was FULL (k′ rows — a
+    *    partial buffer already holds the whole group, so deletes can
+    *    never expose unseen rows) AND survivors < k. The rescan leg
+    *    joins the mutated base against the BROADCAST touched-group
+    *    set: cost ∝ touched groups' rows, never a full re-rank.
+    *
+    * Change set: [[ivmMinMaxChangeRows]] verbatim (family coherence —
+    * one synthetic CDC feed drives all three hard-case faces). Oracle
+    * ranks the mutated base from scratch: maintain ≡ recompute,
+    * hash-checked. Declared basis-mismatch cell (BASELINE.md) like the
+    * other IVM faces: the oracle's from-scratch window wins the tiny
+    * SF by construction; the maintain path's cost is ∝ Δ + touched
+    * groups at any scale.
+    */
+  def ivmTopK(spark: SparkSession, dir: String): DataFrame =
+    ivmTopKMaintain(ivmTopKBuffer(spark, dir),
+      ivmMinMaxChangeRows(spark, dir),
+      ivmTopKMutatedBase(spark, dir))
+
+  /** The stored top-k′ buffer MV, staged once per (JVM, dir) — the
+    * artifact a production top-k view keeps beside itself.
+    */
+  private[graft] def ivmTopKBuffer(spark: SparkSession,
+      dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val mvPath = StageOnce.tmp("ivm_topk_mv", dir)
+    StageOnce(mvPath) {
+      val w = Window.partitionBy(col("annee"))
+        .orderBy(col("v").desc, col("k").asc)
+      Tables.load(spark, dir, "orders")
+        .select(year(col("o_orderdate")).cast(LongType).as("annee"),
+          col("o_totalprice").as("v"), col("o_orderkey").as("k"))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= topKBuf)
+        .select(col("annee"), col("v"), col("k"))
+        .write.mode("overwrite").parquet(mvPath)
+    }
+    spark.read.parquet(mvPath)
+  }
+
+  /** Which groups must rescan: buffer was FULL (a partial buffer holds
+    * the whole group) and deletions left fewer than k survivors.
+    * Package-visible so the spec can pin both regimes live on the real
+    * corpus.
+    */
+  private[graft] def ivmTopKNeedRescan(buf: DataFrame,
+      ch: DataFrame): DataFrame = {
+    // removals that hit the buffer: stream the delta against the
+    // BROADCAST buffer (|groups|·k' rows) — never the other way round,
+    // so at 100 TB the delta is map-side-filtered and nothing
+    // delta-sized is ever broadcast.
+    val hits = ch.filter(col("old_v").isNotNull)
+      .select(col("annee"), col("k"))
+      .join(broadcast(buf.select(col("annee"), col("k"))),
+        Seq("annee", "k"), "left_semi")
+    val surv = buf.join(broadcast(hits), Seq("annee", "k"), "left_anti")
+    buf.groupBy(col("annee")).agg(count(lit(1)).as("n_buf"))
+      .join(surv.groupBy(col("annee")).agg(count(lit(1)).as("n_surv")),
+        Seq("annee"), "left")
+      .filter(col("n_buf") === topKBuf &&
+        coalesce(col("n_surv"), lit(0L)) < topK)
+      .select(col("annee"))
+  }
+
+  /** The maintain merge, factored over its three inputs so the spec
+    * can drive hand fixtures through the exact production path:
+    * `buf` (annee, v, k) stored top-k′ rows, `ch` (annee, old_v,
+    * new_v, k) change rows, `mutatedBase` (annee, v, k) the post-change
+    * table state the bounded rescan leg reads.
+    */
+  private[graft] def ivmTopKMaintain(buf: DataFrame, ch: DataFrame,
+      mutatedBase: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val hits = ch.filter(col("old_v").isNotNull)
+      .select(col("annee"), col("k"))
+      .join(broadcast(buf.select(col("annee"), col("k"))),
+        Seq("annee", "k"), "left_semi")
+    val surv = buf.join(broadcast(hits), Seq("annee", "k"), "left_anti")
+    val needRescan = ivmTopKNeedRescan(buf, ch)
+    val inserts = ch.filter(col("new_v").isNotNull)
+      .select(col("annee"), col("new_v").as("v"), col("k"))
+    val w = Window.partitionBy(col("annee"))
+      .orderBy(col("v").desc, col("k").asc)
+    val mergeLeg = surv.unionByName(inserts)
+      .join(broadcast(needRescan), Seq("annee"), "left_anti")
+      .withColumn("rnk", row_number().over(w).cast(LongType))
+      .filter(col("rnk") <= topK)
+    // the bounded rescan: mutated base restricted to the touched
+    // groups (broadcast semi-join), re-ranked for a fresh top-k
+    val rescanLeg = mutatedBase
+      .join(broadcast(needRescan), Seq("annee"))
+      .withColumn("rnk", row_number().over(w).cast(LongType))
+      .filter(col("rnk") <= topK)
+    mergeLeg.unionByName(rescanLeg)
+      .select(col("annee"), col("rnk"), col("k").as("o_key"), col("v"))
+      .orderBy(col("annee"), col("rnk"))
+  }
+
+  /** The post-change table state WITH keys (what the CDC merge leaves
+    * behind) — [[ivmMutatedBase]] plus the order key the top-k rows
+    * must carry.
+    */
+  private[graft] def ivmTopKMutatedBase(spark: SparkSession,
+      dir: String): DataFrame = {
+    val base = Tables.load(spark, dir, "orders").select(
+      year(col("o_orderdate")).cast(LongType).as("annee"),
+      col("o_orderstatus").as("dep"),
+      col("o_totalprice").as("v"),
+      col("o_orderkey").as("k"))
+    base.filter(col("k") % 10 =!= 3 && col("dep") =!= "P")
+      .select(col("annee"),
+        when(col("k") % 20 === 4, col("v") + 5000.0)
+          .when(col("k") % 10 === 4, col("v") + 1000.0)
+          .otherwise(col("v")).as("v"),
+        col("k"))
+      .unionByName(base.filter(col("k") % 10 === 7)
+        .select(col("annee"), col("v"), col("k")))
+  }
+
+  val ivmTopKSql: String =
+    s"""WITH base AS (
+       |  SELECT CAST(year(o_orderdate) AS BIGINT) AS annee,
+       |         o_orderstatus AS dep, o_totalprice AS v, o_orderkey AS k
+       |  FROM orders),
+       |final AS (
+       |  SELECT annee,
+       |    CASE WHEN k % 20 = 4 THEN v + 5000.0
+       |         WHEN k % 10 = 4 THEN v + 1000.0 ELSE v END AS v, k
+       |  FROM base WHERE k % 10 <> 3 AND dep <> 'P'
+       |  UNION ALL
+       |  SELECT annee, v, k FROM base WHERE k % 10 = 7),
+       |ranked AS (
+       |  SELECT annee, v, k,
+       |    row_number() OVER (PARTITION BY annee ORDER BY v DESC, k ASC)
+       |      AS rnk
+       |  FROM final)
+       |SELECT annee, CAST(rnk AS BIGINT) AS rnk, k AS o_key, v
+       |FROM ranked WHERE rnk <= $topK ORDER BY annee, rnk""".stripMargin
+
+  // ------------------------------------------------- count-distinct IVM
+
+  /** IVM for COUNT(DISTINCT) — the FOURTH non-self-maintainable
+    * aggregate, closing the Gupta/Mumick/Subrahmanian hard-case set
+    * (counting ✓, min/max ✓, top-k ✓): a distinct count cannot fold
+    * deltas blindly because only the FIRST arrival and the LAST
+    * departure of a value move it, so the view keeps the textbook
+    * SUPPORT table — per (group, value) multiplicities — beside the
+    * per-group distinct counts. Refresh:
+    *
+    *  - the change feed nets to ±1 rows per (group, customer);
+    *  - the support table is probed for the TOUCHED keys only — a
+    *    broadcast LEFT-SEMI prune (map-side, no shuffle of the support
+    *    table; at 100 TB this is the point lookup a KV-backed MV does
+    *    in O(|Δ|)) — and the stored distinct count moves by
+    *    |multiplicity 0 → >0| − |multiplicity >0 → 0| per group;
+    *  - COUNT(*) rides counting-style on the same rows.
+    *
+    * The insert wave arrives from NEW customer ids (o_custkey +
+    * 10 000 000 — a crawl of first-time buyers), so BOTH flip
+    * directions are live: gained (first arrival) and lost (last
+    * departure), spec-pinned. Oracle recomputes count + distinct from
+    * the mutated base from scratch (maintain ≡ recompute,
+    * hash-checked). Declared basis-mismatch cell with the other IVM
+    * faces.
+    */
+  def ivmDistinct(spark: SparkSession, dir: String): DataFrame = {
+    val supportPath = StageOnce.tmp("ivm_distinct_support", dir)
+    StageOnce(supportPath) {
+      ivmDistinctBaseRows(spark, dir)
+        .groupBy(col("annee"), col("cust"))
+        .agg(count(lit(1)).as("cnt"))
+        .write.mode("overwrite").parquet(supportPath)
+    }
+    val distPath = StageOnce.tmp("ivm_distinct_mv", dir)
+    StageOnce(distPath) {
+      spark.read.parquet(supportPath).groupBy(col("annee"))
+        .agg(count(lit(1)).as("nd"), sum(col("cnt")).as("n"))
+        .write.mode("overwrite").parquet(distPath)
+    }
+    val delta = ivmDistinctChangeRows(spark, dir)
+      .groupBy(col("annee"), col("cust"))
+      .agg(sum(col("d")).as("d"))
+      .filter(col("d") =!= 0L)
+    // touched-key lookup: the support table is never shuffled — the
+    // broadcast semi-join prunes it map-side to the delta's keys
+    val touchedSupport = spark.read.parquet(supportPath)
+      .join(broadcast(delta.select(col("annee"), col("cust"))),
+        Seq("annee", "cust"), "left_semi")
+    val flips = delta
+      .join(broadcast(touchedSupport), Seq("annee", "cust"), "left")
+      .select(col("annee"), col("d"),
+        coalesce(col("cnt"), lit(0L)).as("old_cnt"))
+      .withColumn("new_cnt", col("old_cnt") + col("d"))
+      .groupBy(col("annee"))
+      .agg(sum(when(col("old_cnt") === 0L && col("new_cnt") > 0L, 1L)
+          .otherwise(0L)).as("gained"),
+        sum(when(col("old_cnt") > 0L && col("new_cnt") <= 0L, 1L)
+          .otherwise(0L)).as("lost"),
+        sum(col("d")).as("dn"))
+    spark.read.parquet(distPath)
+      .join(flips, Seq("annee"), "full_outer")
+      .select(col("annee"),
+        (coalesce(col("n"), lit(0L)) + coalesce(col("dn"), lit(0L)))
+          .as("n_rows"),
+        (coalesce(col("nd"), lit(0L)) + coalesce(col("gained"), lit(0L)) -
+          coalesce(col("lost"), lit(0L))).as("n_distinct_cust"))
+      .filter(col("n_rows") > 0L)
+      .orderBy(col("annee"))
+  }
+
+  /** (annee, cust) base rows shared by the support build and the
+    * oracle's semantics.
+    */
+  private def ivmDistinctBaseRows(spark: SparkSession,
+      dir: String): DataFrame =
+    Tables.load(spark, dir, "orders").select(
+      year(col("o_orderdate")).cast(LongType).as("annee"),
+      col("o_custkey").as("cust"))
+
+  /** ±1 support deltas from the family change feed: leavers and the
+    * 'P'-status purge net −1 per order; the insert wave (+1) arrives
+    * from NEW customer ids so first-arrival flips are live; the
+    * %10 == 4 price updates touch no customer and contribute nothing.
+    * Package-visible so the spec can pin both flip directions.
+    */
+  private[graft] def ivmDistinctChangeRows(spark: SparkSession,
+      dir: String): DataFrame = {
+    val base = Tables.load(spark, dir, "orders").select(
+      year(col("o_orderdate")).cast(LongType).as("annee"),
+      col("o_orderstatus").as("dep"),
+      col("o_custkey").as("cust"),
+      col("o_orderkey").as("k"))
+    base.filter(col("k") % 10 === 3 || col("dep") === "P")
+      .select(col("annee"), col("cust"), lit(-1L).as("d"))
+      .unionByName(base.filter(col("k") % 10 === 7)
+        .select(col("annee"), (col("cust") + 10000000L).as("cust"),
+          lit(1L).as("d")))
+  }
+
+  val ivmDistinctSql: String =
+    """WITH base AS (
+      |  SELECT CAST(year(o_orderdate) AS BIGINT) AS annee,
+      |         o_orderstatus AS dep, o_custkey AS c, o_orderkey AS k
+      |  FROM orders),
+      |final AS (
+      |  SELECT annee, c FROM base WHERE k % 10 <> 3 AND dep <> 'P'
+      |  UNION ALL
+      |  SELECT annee, c + 10000000 FROM base WHERE k % 10 = 7)
+      |SELECT annee, CAST(count(*) AS BIGINT) AS n_rows,
+      |  CAST(count(DISTINCT c) AS BIGINT) AS n_distinct_cust
+      |FROM final GROUP BY 1 ORDER BY 1""".stripMargin
+
+  // --------------------------------------------------------------- SCD2
+
+  /** TYPE-2 SLOWLY-CHANGING-DIMENSION history builder — the other face
+    * of the CDC feed [[cdcMerge]] applies destructively: instead of
+    * latest-wins overwrite, every version is kept as a validity
+    * interval (Kimball's SCD type 2, the standard warehouse shape for
+    * "what did this row say at time t"). Events are the SAME synthetic
+    * feed as [[cdcMergeSql]]'s change batches plus a seq-0 initial
+    * load; one key-partitioned window turns the event stream into
+    * intervals: valid_to = lead(seq), a delete event closes the last
+    * version without opening one, is_current = interval still open.
+    *
+    * Face output is the CHANGED slice only (keys with at least one
+    * post-load event — the unchanged 70% would be census noise);
+    * [[Upsert]]'s time travel answers the same question by storing
+    * full snapshots, this answers it in one table with one window.
+    * Scale: one exchange (hash by key), no joins, state per key
+    * bounded by its version count.
+    */
+  def scd2History(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val base = Tables.load(spark, dir, "orders")
+      .select(col("o_orderkey").as("k"), col("o_totalprice").as("v"))
+    val nullV = lit(null).cast(DoubleType)
+    val ev = base.select(col("k"), col("v"), lit(0L).as("seq"), lit("I").as("op"))
+      .unionByName(base.filter(col("k") % 10 === 3)
+        .select(col("k"), nullV.as("v"), lit(1L).as("seq"), lit("D").as("op")))
+      .unionByName(base.filter(col("k") % 10 === 4)
+        .select(col("k"), (col("v") + 1000.0).as("v"), lit(1L).as("seq"),
+          lit("U").as("op")))
+      .unionByName(base.filter(col("k") % 20 === 4)
+        .select(col("k"), (col("v") + 5000.0).as("v"), lit(2L).as("seq"),
+          lit("U").as("op")))
+      .unionByName(base.filter(col("k") % 10 === 7)
+        .select((col("k") + 10000000L).as("k"), col("v"), lit(1L).as("seq"),
+          lit("I").as("op")))
+    val wk = Window.partitionBy(col("k"))
+    val w = wk.orderBy(col("seq"))
+    ev.withColumn("valid_to", lead(col("seq"), 1).over(w))
+      .withColumn("last_seq", max(col("seq")).over(wk))
+      .filter(col("op") =!= "D" && col("last_seq") >= 1L)
+      .select(col("k").as("o_orderkey"), col("v").as("price"),
+        col("seq").as("valid_from"), col("valid_to"),
+        col("valid_to").isNull.as("is_current"))
+      .orderBy(col("o_orderkey"), col("valid_from"))
+  }
+
+  /** The event-union + interval-window core, shared by the history
+    * oracle and the as-of oracle (which can't carry its ORDER BY).
+    */
+  private val scd2CoreSql: String =
+    """base AS (SELECT o_orderkey AS k, o_totalprice AS v FROM orders),
+      |ev AS (
+      |  SELECT k, v, 0 AS seq, 'I' AS op FROM base
+      |  UNION ALL
+      |  SELECT k, NULL, 1, 'D' FROM base WHERE k % 10 = 3
+      |  UNION ALL
+      |  SELECT k, v + 1000.0, 1, 'U' FROM base WHERE k % 10 = 4
+      |  UNION ALL
+      |  SELECT k, v + 5000.0, 2, 'U' FROM base WHERE k % 20 = 4
+      |  UNION ALL
+      |  SELECT k + 10000000, v, 1, 'I' FROM base WHERE k % 10 = 7),
+      |histx AS (
+      |  SELECT k, v, seq, op,
+      |    lead(seq) OVER (PARTITION BY k ORDER BY seq) AS valid_to,
+      |    max(seq) OVER (PARTITION BY k) AS last_seq
+      |  FROM ev),
+      |hist AS (
+      |  SELECT k AS o_orderkey, v AS price,
+      |    CAST(seq AS BIGINT) AS valid_from, CAST(valid_to AS BIGINT)
+      |      AS valid_to, valid_to IS NULL AS is_current
+      |  FROM histx WHERE op <> 'D' AND last_seq >= 1)""".stripMargin
+
+  val scd2HistorySql: String =
+    s"""WITH $scd2CoreSql
+       |SELECT * FROM hist ORDER BY o_orderkey, valid_from""".stripMargin
+
+  /** AS-OF probe over the SCD2 history — the point-in-time question the
+    * interval table exists to answer ("what did the changed slice look
+    * like at time t"), for every refresh epoch t ∈ {0, 1, 2}: live-key
+    * count and exact-decimal price total of the versions whose interval
+    * covers t. One broadcast of the 3-row probe relation against the
+    * history (an interval join, cost ∝ |history|); the t = 0 census is
+    * the pre-change snapshot, the t = 2 census must agree with the
+    * latest-wins CDC merge (cross-pinned in the spec via the history's
+    * current rows). Oracle replays the identical interval predicate
+    * over the same event-derived history.
+    */
+  def scd2AsOf(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val probes = Seq(0L, 1L, 2L).toDF("t")
+    scd2History(spark, dir)
+      .join(broadcast(probes),
+        col("valid_from") <= col("t") &&
+          (col("valid_to").isNull || col("valid_to") > col("t")))
+      .groupBy(col("t"))
+      .agg(count(lit(1)).as("n_live"),
+        sum(col("price").cast(DecimalType(18, 2)))
+          .cast(DecimalType(18, 2)).cast(DoubleType).as("total_price"))
+      .orderBy(col("t"))
+  }
+
+  val scd2AsOfSql: String =
+    s"""WITH $scd2CoreSql,
+       |probes(t) AS (VALUES (0), (1), (2))
+       |SELECT CAST(t AS BIGINT) AS t, CAST(count(*) AS BIGINT) AS n_live,
+       |  CAST(CAST(sum(CAST(price AS DECIMAL(18,2))) AS DECIMAL(18,2))
+       |    AS DOUBLE) AS total_price
+       |FROM hist JOIN probes
+       |  ON valid_from <= t AND (valid_to IS NULL OR valid_to > t)
+       |GROUP BY 1 ORDER BY 1""".stripMargin
 }

@@ -1,0 +1,41 @@
+package graft.ops
+
+import graft.SparkSpec
+import graft.queries.Curation
+import org.apache.spark.sql.functions._
+
+/** k-anonymity census: the generalization ladder must be monotone
+  * (coarser QIs can only merge classes, never split them), the risk
+  * must be live at L0, and the census numbers must match a direct
+  * groupBy recomputation.
+  */
+class KAnonymitySpec extends SparkSpec {
+
+  private lazy val rows = Curation.kAnonymity(spark, sf).collect()
+    .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    .toMap
+
+  test("ladder is monotone and live: coarsening only reduces rows at risk") {
+    val (_, _, risk0, _) = rows("L0_nation_seg_bal100")
+    val (_, _, risk1, _) = rows("L1_nation_seg_bal1000")
+    val (_, _, risk2, _) = rows("L2_nation_seg")
+    val (_, _, risk3, _) = rows("L3_nation")
+    assert(risk0 > 0, "no risk at L0 — the census has nothing to say")
+    assert(risk0 >= risk1 && risk1 >= risk2 && risk2 >= risk3,
+      s"generalization increased risk: $risk0 → $risk1 → $risk2 → $risk3")
+    assert(risk3 < risk0, "the ladder never helped on this corpus")
+  }
+
+  test("census ≡ direct recomputation at L3") {
+    val direct = graft.Tables.load(spark, sf, "customer")
+      .groupBy(col("c_nationkey"))
+      .agg(count(lit(1)).as("n"))
+    val nClasses = direct.count()
+    val atRisk = direct.filter(col("n") < 5)
+      .agg(coalesce(sum(col("n")), lit(0L))).head.getLong(0)
+    val (gotClasses, minSize, gotRisk, _) = rows("L3_nation")
+    assert(gotClasses === nClasses)
+    assert(gotRisk === atRisk)
+    assert(minSize === direct.agg(min(col("n"))).head.getLong(0))
+  }
+}
