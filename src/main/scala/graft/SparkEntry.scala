@@ -242,6 +242,7 @@ object SparkEntry {
     "q_ivm_distinct" -> (Maintenance.ivmDistinct(_, _)),
     "q_scd2_history" -> (Maintenance.scd2History(_, _)),
     "q_scd2_asof" -> (Maintenance.scd2AsOf(_, _)),
+    "q_scd2_stream" -> (Maintenance.scd2StreamMaterialize(_, _)),
     "q_skyline" -> ((s, d) => graft.ops.Skyline.skyline(s, d)),
     "q_forget_index" -> ((s, d) => graft.ops.Forget.forgetIndex(s, d)),
     "q_forget_dedup" -> ((s, d) => graft.ops.Forget.forgetDedup(s, d)),
@@ -581,6 +582,7 @@ object SparkEntry {
     "q_ivm_distinct" -> Maintenance.ivmDistinctSql,
     "q_scd2_history" -> Maintenance.scd2HistorySql,
     "q_scd2_asof" -> Maintenance.scd2AsOfSql,
+    "q_scd2_stream" -> Maintenance.scd2HistorySql,
     "q_skyline" -> graft.ops.Skyline.skylineSql,
     "q_forget_index" -> graft.ops.Forget.forgetIndexSql,
     "q_forget_dedup" -> graft.ops.Forget.forgetDedupSql,
