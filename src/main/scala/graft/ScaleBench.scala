@@ -688,6 +688,21 @@ object ScaleBench {
       // pruned nProbe read over the post-delete lists
       val (feSec, feRows, feEx) = bestIf("forget_embed")(
         queries.LlmOps.forgetEmbed(spark, dir))
+      // linear attribution: user-keyed purchases x touches range join;
+      // replica user spaces are disjoint so pairs grow ∝ k with
+      // per-user fan-out flat; census rows fixed at |touch types|+1
+      val (laSec, laRows, laEx) = bestIf("attribution_linear")(
+        queries.Events.linearAttribution(spark, dir))
+      // LPA: 3 synchronous rounds over the LSH pair graph (edges ∝ k
+      // by replica decorrelation); each round one neighbor join + one
+      // combined count + one argmax window; census rows ~flat
+      val (lpSec, lpRows, lpEx) = if (!wanted("graph_lpa")) (0.0, 0L, 0) else {
+        graft.ops.CacheBin.releaseAll(); spark.catalog.clearCache()
+        val r = bestWith(clearCaches = false)(
+          queries.SketchOps.graphLpa(spark, dir))
+        graft.ops.CacheBin.releaseAll()
+        r
+      }
       val row = scala.collection.immutable.ListMap(
         "lsh_pairs" -> (lshSec, lshRows, lshEx),
         "cc_distributed" -> (ccSec, ccRows, ccEx),
@@ -758,7 +773,9 @@ object ScaleBench {
         "skyline" -> (skSec, skRows, skEx),
         "k_anonymity" -> (kaSec, kaRows, kaEx),
         "ivm_distinct" -> (idSec, idRows, idEx),
-        "forget_embed" -> (feSec, feRows, feEx))
+        "forget_embed" -> (feSec, feRows, feEx),
+        "attribution_linear" -> (laSec, laRows, laEx),
+        "graph_lpa" -> (lpSec, lpRows, lpEx))
         .filter { case (op, _) => wanted(op) }
       row.foreach { case (op, (s, r, e)) =>
         println(s"""{"scale":$k,"op":"$op","sec":$s,"rows":$r,"exchanges":$e}""")

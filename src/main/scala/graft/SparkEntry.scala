@@ -58,6 +58,7 @@ object SparkEntry {
     "q_engagement_coverage" -> (Events.engagementCoverage(_, _)),
     "q_event_transitions" -> (Events.eventTransitions(_, _)),
     "q_attribution" -> (Events.lastTouchAttribution(_, _)),
+    "q_attribution_linear" -> (Events.linearAttribution(_, _)),
     "q_attribution_stream" -> (Events.attributionStreamMaterialize(_, _)),
     "q_trend_slope" -> (Events.trendSlope(_, _)),
     "q_anomaly_days" -> (Events.anomalyDays(_, _)),
@@ -271,6 +272,7 @@ object SparkEntry {
     "q_sketch_builtin_bounds" -> (SketchOps.sketchBuiltinBounds(_, _)),
     "q_dedup_graph_stats" -> (SketchOps.dedupGraphStats(_, _)),
     "q_dedup_kcore" -> (SketchOps.dedupKcore(_, _)),
+    "q_graph_lpa" -> (SketchOps.graphLpa(_, _)),
     "q_sample_weighted" -> (SketchOps.sampleWeighted(_, _)),
     "q_sample_temperature" -> (SketchOps.sampleTemperature(_, _))
   )
@@ -609,6 +611,7 @@ object SparkEntry {
     "q_sketch_builtin_bounds" -> SketchOps.sketchBuiltinBoundsSql,
     "q_dedup_graph_stats" -> SketchOps.dedupGraphStatsSql,
     "q_dedup_kcore" -> SketchOps.dedupKcoreSql,
+    "q_graph_lpa" -> SketchOps.graphLpaSql,
     "q_sample_weighted" -> SketchOps.sampleWeightedSql,
     "q_sample_temperature" -> SketchOps.sampleTemperatureSql,
     "q_embed_topk" -> LlmOps.embedTopKSql,
@@ -644,6 +647,7 @@ object SparkEntry {
     "q_engagement_coverage" -> Events.engagementCoverageSql,
     "q_event_transitions" -> Events.eventTransitionsSql,
     "q_attribution" -> Events.lastTouchAttributionSql,
+    "q_attribution_linear" -> Events.linearAttributionSql,
     "q_attribution_stream" -> Events.lastTouchAttributionSql,
     "q_trend_slope" -> Events.trendSlopeSql,
     "q_anomaly_days" -> Events.anomalyDaysSql,

@@ -658,4 +658,87 @@ object Events {
     }
     graft.streaming.AttributionStream.report(spark, root)
   }
+
+  /** MULTI-TOUCH LINEAR attribution — the other standard attribution
+    * model beside [[lastTouchAttribution]]'s winner-takes-all: each
+    * purchase splits its value EQUALLY across every non-purchase touch
+    * in its 1-hour lookback window (same window and same strictly-
+    * before rule — (ts, event_id) lexicographic — as the last-touch
+    * face, so the two models differ only in credit assignment);
+    * touchless purchases credit 'direct' in full.
+    *
+    * Plan: purchases ⋈ touches on user_id with the range predicate
+    * (one user-keyed exchange per side; per-user pair fan-out bounded
+    * by events-per-user, the sessionize argument), per-purchase type
+    * counts + a purchase-keyed window for the touch total, then one
+    * type-keyed rollup. Credit shares are rounded to 4 dp and summed
+    * as DECIMAL(18,4) so the total is order-independent — the money-
+    * sum convention under division. The two models' 'direct' rows
+    * must agree exactly (spec-pinned: a purchase has a last touch iff
+    * it has ≥1 linear touch).
+    */
+  def linearAttribution(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ev = Tables.loadEvents(spark, dir)
+      .select(col("user_id"), col("ts"), col("event_id"),
+        col("event_type"), col("value"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts").as("p_ts"),
+        col("event_id").as("p_id"), col("value"))
+    val touches = ev.filter(col("event_type") =!= "purchase")
+      .select(col("user_id"), col("ts").as("t_ts"),
+        col("event_id").as("t_id"), col("event_type").as("touch_type"))
+    val pairs = purchases.join(touches, Seq("user_id"))
+      .filter((col("t_ts") < col("p_ts") ||
+          (col("t_ts") === col("p_ts") && col("t_id") < col("p_id"))) &&
+        col("t_ts") >= col("p_ts") - expr("INTERVAL 1 hour"))
+    val perType = pairs
+      .groupBy(col("p_id"), col("value"), col("touch_type"))
+      .agg(count(lit(1)).as("cnt"))
+      .withColumn("n", sum(col("cnt")).over(Window.partitionBy(col("p_id"))))
+    val credited = perType
+      .select(col("touch_type"), col("cnt"),
+        round(col("value") * col("cnt") / col("n"), 4)
+          .cast(DecimalType(18, 4)).as("credit"))
+    val direct = purchases
+      .join(pairs.select(col("p_id")).distinct(), Seq("p_id"), "left_anti")
+      .select(lit("direct").as("touch_type"), lit(1L).as("cnt"),
+        col("value").cast(DecimalType(18, 4)).as("credit"))
+    credited.unionByName(direct)
+      .groupBy(col("touch_type"))
+      .agg(sum(col("cnt")).as("n_touches"),
+        sum(col("credit")).cast(DecimalType(18, 4)).cast(DoubleType)
+          .as("attributed_usd"))
+      .orderBy(col("touch_type"))
+  }
+
+  val linearAttributionSql: String =
+    """WITH e AS (SELECT user_id, ts::TIMESTAMP AS ts, event_id,
+      |    event_type, value FROM events),
+      |purchases AS (SELECT user_id, ts AS p_ts, event_id AS p_id, value
+      |  FROM e WHERE event_type = 'purchase'),
+      |touches AS (SELECT user_id, ts AS t_ts, event_id AS t_id,
+      |    event_type AS touch_type
+      |  FROM e WHERE event_type <> 'purchase'),
+      |pairs AS MATERIALIZED (
+      |  SELECT p.p_id, p.value, t.touch_type
+      |  FROM purchases p JOIN touches t ON p.user_id = t.user_id
+      |  WHERE (t.t_ts < p.p_ts OR (t.t_ts = p.p_ts AND t.t_id < p.p_id))
+      |    AND t.t_ts >= p.p_ts - INTERVAL 1 HOUR),
+      |per_type AS (
+      |  SELECT p_id, value, touch_type, count(*) AS cnt,
+      |    sum(count(*)) OVER (PARTITION BY p_id) AS n
+      |  FROM pairs GROUP BY 1, 2, 3),
+      |credited AS (
+      |  SELECT touch_type, cnt,
+      |    CAST(round(value * cnt / n, 4) AS DECIMAL(18,4)) AS credit
+      |  FROM per_type
+      |  UNION ALL
+      |  SELECT 'direct', 1, CAST(value AS DECIMAL(18,4))
+      |  FROM purchases p
+      |  WHERE NOT EXISTS (SELECT 1 FROM pairs x WHERE x.p_id = p.p_id))
+      |SELECT touch_type, CAST(sum(cnt) AS BIGINT) AS n_touches,
+      |  CAST(CAST(sum(credit) AS DECIMAL(18,4)) AS DOUBLE)
+      |    AS attributed_usd
+      |FROM credited GROUP BY 1 ORDER BY 1""".stripMargin
 }

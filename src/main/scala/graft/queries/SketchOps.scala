@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
 import graft.Tables
-import graft.ops.{CacheBin, KCore, PortableSketches, Sampling, Triangles}
+import graft.ops.{CacheBin, KCore, LabelPropagation, PortableSketches, Sampling, Triangles}
 
 /** Query faces for the engine-portable sketches, graph stats and
   * weighted sampling (see graft.ops.PortableSketches / Triangles /
@@ -768,4 +768,52 @@ SELECT v, count(*)::BIGINT AS deg_in_core FROM (
       |SELECT 'freq', 'l_linestatus', CAST(count(*) AS BIGINT), TRUE
       |FROM (SELECT l_linestatus FROM lineitem GROUP BY l_linestatus
       |      HAVING count(*) > 0.3 * (SELECT count(*) FROM lineitem))""".stripMargin
+
+  /** LPA community structure of the near-dup graph as a size
+    * histogram: (community_size, n_communities) after 3 synchronous
+    * label-propagation rounds over the LSH pair relation — the dense-
+    * cluster census beside the CC component census ([[dedupKcore]]'s
+    * scaladoc has the family argument). Oracle unrolls the identical
+    * 3 rounds as materialized CTEs (round-for-round equivalence, the
+    * KCore convention).
+    */
+  def graphLpa(spark: SparkSession, dir: String): DataFrame = {
+    val edges = CacheBin.pin(
+      LlmOps.minhashLshDedup(spark, dir).select(col("doc_a"), col("doc_b")))
+    LabelPropagation.run(edges, rounds = 3)
+      .groupBy(col("lbl")).agg(count(lit(1)).as("sz"))
+      .groupBy(col("sz").as("community_size"))
+      .agg(count(lit(1)).as("n_communities"))
+      .orderBy(col("community_size"))
+  }
+
+  /** Materialized like [[dedupKcoreSql]]: each round references its
+    * predecessor label CTE from the neighbor join; inlining would
+    * re-evaluate the chain multiplicatively.
+    */
+  lazy val graphLpaSql: String = {
+    val rounds = 3
+    val sb = new StringBuilder
+    sb.append(
+      s"WITH e0 AS MATERIALIZED (SELECT doc_a, doc_b FROM (${LlmOps.minhashLshSql}) q),")
+    sb.append("""
+und AS MATERIALIZED (SELECT doc_a AS src, doc_b AS dst FROM e0
+  UNION ALL SELECT doc_b, doc_a FROM e0),
+l0 AS MATERIALIZED (SELECT DISTINCT src AS v, src AS lbl FROM und)""")
+    for (r <- 1 to rounds) {
+      sb.append(s""",
+n$r AS MATERIALIZED (SELECT u.src, l.lbl, count(*) AS cnt
+  FROM und u JOIN l${r - 1} l ON l.v = u.dst GROUP BY 1, 2),
+l$r AS MATERIALIZED (SELECT src AS v, lbl FROM (
+  SELECT src, lbl, row_number() OVER (PARTITION BY src
+    ORDER BY cnt DESC, lbl) AS rn FROM n$r) WHERE rn = 1)""")
+    }
+    sb.append(s"""
+, sizes AS (SELECT lbl, count(*) AS sz FROM l$rounds GROUP BY 1)
+SELECT CAST(sz AS BIGINT) AS community_size,
+  CAST(count(*) AS BIGINT) AS n_communities
+FROM sizes GROUP BY 1 ORDER BY 1""")
+    sb.toString
+  }
+
 }
