@@ -44,7 +44,7 @@ object Bench {
     "q_ivm_minmax_stream",
     "q_dedup_doc_coverage",
     "q_trgm_like_scan", "q_trgm_like_incr",
-    "q_ivm_topk", "q_ivm_distinct", "q_scd2_stream",
+    "q_ivm_topk", "q_ivm_topk_stream", "q_ivm_distinct", "q_scd2_stream",
     "q_forget_index", "q_forget_dedup", "q_forget_embed")
 
   /** 1-minute load average from /proc/loadavg ("-1" off-Linux). The bench

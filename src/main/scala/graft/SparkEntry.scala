@@ -240,6 +240,7 @@ object SparkEntry {
     "q_ivm_minmax_stream" -> (Maintenance.ivmMinMaxStreamMaterialize(_, _)),
     "q_ivm_stream" -> (Maintenance.ivmStreamMaterialize(_, _)),
     "q_ivm_topk" -> (Maintenance.ivmTopK(_, _)),
+    "q_ivm_topk_stream" -> (Maintenance.ivmTopKStreamMaterialize(_, _)),
     "q_ivm_distinct" -> (Maintenance.ivmDistinct(_, _)),
     "q_scd2_history" -> (Maintenance.scd2History(_, _)),
     "q_scd2_asof" -> (Maintenance.scd2AsOf(_, _)),
@@ -581,6 +582,7 @@ object SparkEntry {
     "q_ivm_minmax_stream" -> Maintenance.ivmMinMaxSql,
     "q_ivm_stream" -> Maintenance.ivmAggregateSql,
     "q_ivm_topk" -> Maintenance.ivmTopKSql,
+    "q_ivm_topk_stream" -> Maintenance.ivmTopKSql,
     "q_ivm_distinct" -> Maintenance.ivmDistinctSql,
     "q_scd2_history" -> Maintenance.scd2HistorySql,
     "q_scd2_asof" -> Maintenance.scd2AsOfSql,

@@ -1129,6 +1129,55 @@ object Maintenance {
        |SELECT annee, CAST(rnk AS BIGINT) AS rnk, k AS o_key, v
        |FROM ranked WHERE rnk <= $topK ORDER BY annee, rnk""".stripMargin
 
+  /** Streaming top-k IVM through its oracle face
+    * ([[graft.streaming.IvmTopKStream]]): the (old_v, new_v, k) change
+    * feed arrives as a real StreamingQuery over a memory source in
+    * three micro-batches (sliced by order key, as for the min/max
+    * stream) WITH a kill-and-resume after batch 2, each batch folding
+    * the k′-buffer generation forward — buffer-hit deletes, re-rank
+    * with inserts, the maintained EXHAUSTIVE flag, and the log-aware
+    * bounded rescan. Converged ≡ batch ≡ recompute: the oracle is
+    * [[ivmTopKSql]] VERBATIM. Staged once per JVM; bench iterations
+    * read the materialized generations.
+    */
+  def ivmTopKStreamMaterialize(spark: SparkSession, dir: String): DataFrame = {
+    val basePath = StageOnce.tmp("ivm_topk_base", dir)
+    StageOnce(basePath) {
+      Tables.load(spark, dir, "orders")
+        .select(year(col("o_orderdate")).cast(LongType).as("annee"),
+          col("o_totalprice").as("v"), col("o_orderkey").as("k"))
+        .write.mode("overwrite").parquet(basePath)
+    }
+    val root = StageOnce.tmp("ivm_topk_stream", dir)
+    StageOnce(root) {
+      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+      import spark.implicits._
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+      val rows = ivmMinMaxChangeRows(spark, dir)
+        .collect().map(r => IvmMmChangeRow(r.getLong(0),
+          if (r.isNullAt(1)) null else Double.box(r.getDouble(1)),
+          if (r.isNullAt(2)) null else Double.box(r.getDouble(2)),
+          r.getLong(3)))
+      val ckpt = StageOnce.tmp("ivm_topk_stream_ckpt", dir)
+      val mem = MemoryStream[IvmMmChangeRow]
+      def start() = graft.streaming.IvmTopKStream.start(
+        mem.toDS().toDF(), root, basePath, ckpt)
+      val q1 = start()
+      try {
+        mem.addData(rows.filter(_.k % 3 == 0).toIndexedSeq)
+        q1.processAllAvailable()
+        mem.addData(rows.filter(_.k % 3 == 1).toIndexedSeq)
+        q1.processAllAvailable()
+      } finally q1.stop()
+      val q2 = start() // kill-and-resume from the checkpoint
+      try {
+        mem.addData(rows.filter(_.k % 3 == 2).toIndexedSeq)
+        q2.processAllAvailable()
+      } finally q2.stop()
+    }
+    graft.streaming.IvmTopKStream.view(spark, root)
+  }
+
   // ------------------------------------------------- count-distinct IVM
 
   /** IVM for COUNT(DISTINCT) — the FOURTH non-self-maintainable
