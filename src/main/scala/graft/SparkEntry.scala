@@ -80,6 +80,7 @@ object SparkEntry {
     "q_xml_scan" -> (Connectors.xmlScan(_, _)),
     "q_json_scan" -> (Connectors.jsonScan(_, _)),
     "q_binaryfile_scan" -> (Connectors.binaryFilesScan(_, _)),
+    "q_avro_scan" -> (Connectors.avroScan(_, _)),
     "q_text_scan" -> (Connectors.textScan(_, _)),
     // — physical-layout surface through the gate (skew/layout/bucketing)
     "q_skew_salted_agg" -> (Physical.saltedAgg(_, _)),
@@ -431,6 +432,7 @@ object SparkEntry {
     "q_xml_scan" -> Connectors.xmlScanSql,
     "q_json_scan" -> Connectors.jsonScanSql,
     "q_binaryfile_scan" -> Connectors.binaryFilesScanSql,
+    "q_avro_scan" -> Connectors.avroScanSql,
     "q_text_scan" -> Connectors.textScanSql,
     "q_skew_salted_agg" -> Physical.saltedAggSql,
     "q_skew_salted_join" -> Physical.saltedJoinSql,

@@ -301,4 +301,41 @@ object Connectors {
       |  CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total_acctbal
       |FROM customer JOIN nation ON c_nationkey = n_nationkey
       |GROUP BY n_name""".stripMargin
+
+  /** Avro OCF scan through the NATIVE DSv2 source
+    * ([[graft.sources.AvroSource]] — spark-avro is absent from this
+    * distribution, so the engine carries its own): supplier exported
+    * once as a block-compressed container file with a deliberately
+    * small sync interval (many blocks) and read back through byte-range
+    * splits (`blockBytesPerSplit` forces multi-partition reads on the
+    * fixture — the sync-marker split machinery is exercised, not
+    * bypassed). Aggregate must match the parquet original: per-nation
+    * supplier count, first name, exact-decimal balance total.
+    */
+  def avroScan(spark: SparkSession, dir: String): DataFrame = {
+    val supplier = Tables.load(spark, dir, "supplier")
+      .select(col("s_suppkey"), col("s_name"), col("s_nationkey"),
+        col("s_acctbal"))
+    val out = tmp("avro_supplier", dir)
+    stageOnce(out) {
+      new java.io.File(out).mkdirs()
+      graft.sources.AvroSource.write(supplier, s"$out/supplier.avro",
+        syncIntervalBytes = 1024)
+    }
+    spark.read.format("avrofile")
+      .option("blockBytesPerSplit", "8192")
+      .load(s"$out/supplier.avro")
+      .groupBy(col("s_nationkey"))
+      .agg(count(lit(1)).as("n_suppliers"),
+        min(col("s_name")).as("first_name"),
+        Analytics.moneySum(col("s_acctbal")).as("total_acctbal"))
+      .orderBy(col("s_nationkey"))
+  }
+
+  val avroScanSql: String =
+    """SELECT s_nationkey, CAST(count(*) AS BIGINT) AS n_suppliers,
+      |  min(s_name) AS first_name,
+      |  CAST(CAST(sum(CAST(s_acctbal AS DECIMAL(18,2))) AS DECIMAL(18,2))
+      |    AS DOUBLE) AS total_acctbal
+      |FROM supplier GROUP BY 1 ORDER BY 1""".stripMargin
 }
