@@ -247,10 +247,12 @@ object SparkEntry {
     "q_scd2_asof" -> (Maintenance.scd2AsOf(_, _)),
     "q_scd2_stream" -> (Maintenance.scd2StreamMaterialize(_, _)),
     "q_skyline" -> ((s, d) => graft.ops.Skyline.skyline(s, d)),
+    "q_skyline_grouped" -> ((s, d) => graft.ops.Skyline.skylineByBrand(s, d)),
     "q_forget_index" -> ((s, d) => graft.ops.Forget.forgetIndex(s, d)),
     "q_forget_dedup" -> ((s, d) => graft.ops.Forget.forgetDedup(s, d)),
     "q_forget_embed" -> (LlmOps.forgetEmbed(_, _)),
     "q_k_anonymity" -> (Curation.kAnonymity(_, _)),
+    "q_l_diversity" -> (Curation.lDiversity(_, _)),
     "q_cdc_stream" -> (Maintenance.cdcStreamMaterialize(_, _)),
     "q_incr_agg" -> (Maintenance.incrAgg(_, _)),
     "q_incr_agg_state" -> (Maintenance.incrAggState(_, _)),
@@ -590,10 +592,12 @@ object SparkEntry {
     "q_scd2_asof" -> Maintenance.scd2AsOfSql,
     "q_scd2_stream" -> Maintenance.scd2HistorySql,
     "q_skyline" -> graft.ops.Skyline.skylineSql,
+    "q_skyline_grouped" -> graft.ops.Skyline.skylineByBrandSql,
     "q_forget_index" -> graft.ops.Forget.forgetIndexSql,
     "q_forget_dedup" -> graft.ops.Forget.forgetDedupSql,
     "q_forget_embed" -> LlmOps.embedAnnIvfSqlWhere("NOT (a.vec_id % 23 = 5)"),
     "q_k_anonymity" -> Curation.kAnonymitySql,
+    "q_l_diversity" -> Curation.lDiversitySql,
     "q_cdc_stream" -> Maintenance.cdcStreamMaterializeSql,
     "q_incr_agg" -> Maintenance.incrAggSql,
     "q_incr_agg_state" -> Maintenance.incrAggStateSql,

@@ -81,6 +81,44 @@ object Skyline {
       .orderBy(col("p_partkey"))
   }
 
+  /** GROUPED skyline — the frontier per brand (the "best tradeoffs
+    * within each product line" shape). Grouping makes the identity
+    * fully partition-parallel: the prefix max is a window PARTITIONED
+    * BY brand (no cross-partition carry needed at all — the two-level
+    * scan is only required for the global frontier), so the plan is
+    * one (brand, price) aggregate + one brand-keyed window + the
+    * join-back. Scale: every exchange is brand-keyed; a skewed brand
+    * costs its own per-price relation, never pairs.
+    */
+  def skylineByBrand(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val part = Tables.load(spark, dir, "part")
+      .select(col("p_brand"), col("p_partkey"),
+        col("p_retailprice").as("price"),
+        col("p_size").cast(LongType).as("size"))
+    val perPrice = part.groupBy(col("p_brand"), col("price"))
+      .agg(max(col("size")).as("gmax"))
+    val w = Window.partitionBy(col("p_brand")).orderBy(col("price"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val verdicts = perPrice
+      .withColumn("prev_max", coalesce(max(col("gmax")).over(w), lit(-1L)))
+    part.join(verdicts, Seq("p_brand", "price"))
+      .filter(col("size") === col("gmax") && col("prev_max") < col("size"))
+      .select(col("p_brand"), col("p_partkey"), col("price"), col("size"))
+      .orderBy(col("p_brand"), col("p_partkey"))
+  }
+
+  val skylineByBrandSql: String =
+    """SELECT p.p_brand, p.p_partkey, p.p_retailprice AS price,
+      |  CAST(p.p_size AS BIGINT) AS size
+      |FROM part p
+      |WHERE NOT EXISTS (
+      |  SELECT 1 FROM part q
+      |  WHERE q.p_brand = p.p_brand
+      |    AND q.p_retailprice <= p.p_retailprice AND q.p_size >= p.p_size
+      |    AND (q.p_retailprice < p.p_retailprice OR q.p_size > p.p_size))
+      |ORDER BY p.p_brand, p.p_partkey""".stripMargin
+
   /** The defining quadratic semantics — the oracle runs what "skyline"
     * MEANS, the engine runs the sort-based identity; a divergence
     * anywhere (tie handling, strictness, float compare) hash-fails.

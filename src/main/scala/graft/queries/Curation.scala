@@ -777,6 +777,60 @@ object Curation {
       .orderBy(col("level"))
   }
 
+  /** L-DIVERSITY census (Machanavajjhala et al. 2006) — k-anonymity's
+    * known blind spot made measurable: a class can be large (k-safe)
+    * yet carry ONE sensitive value, so membership alone discloses it.
+    * Sensitive attribute = market segment; QI levels are the ladder
+    * rungs that do NOT contain the segment (the others are trivially
+    * l = 1 by construction): per level, class count, the least-diverse
+    * class's distinct-sensitive count (min_l), and the classes/rows
+    * below l = 3. Same one-pass explode + two-level aggregate shape as
+    * the k-anonymity face — the inner aggregate is
+    * (level, class, segment)-keyed, then distinct-counts fold per
+    * class, then the census per level.
+    */
+  private val lDivL = 3
+
+  def lDiversity(spark: SparkSession, dir: String): DataFrame = {
+    val nat = col("c_nationkey").cast(StringType)
+    val b1000 = floor(col("c_acctbal") / 1000).cast(LongType).cast(StringType)
+    val qi = Tables.load(spark, dir, "customer").select(explode(array(
+        struct(lit("L1_nation_bal1000").as("level"),
+          concat_ws("|", nat, b1000).as("cls")),
+        struct(lit("L2_nation").as("level"), nat.as("cls")))).as("q"),
+      col("c_mktsegment").as("sens"))
+      .select(col("q.level").as("level"), col("q.cls").as("cls"), col("sens"))
+    qi.groupBy(col("level"), col("cls"))
+      .agg(count(lit(1)).as("n"), countDistinct(col("sens")).as("l"))
+      .groupBy(col("level"))
+      .agg(count(lit(1)).as("n_classes"),
+        min(col("l")).as("min_l"),
+        sum(when(col("l") < lDivL, 1L).otherwise(0L)).as("classes_below_l"),
+        sum(when(col("l") < lDivL, col("n")).otherwise(0L)).as("rows_below_l"))
+      .orderBy(col("level"))
+  }
+
+  val lDiversitySql: String =
+    s"""WITH qi AS (
+       |  SELECT 'L1_nation_bal1000' AS level,
+       |    concat_ws('|', CAST(c_nationkey AS VARCHAR),
+       |      CAST(CAST(floor(c_acctbal / 1000) AS BIGINT) AS VARCHAR)) AS cls,
+       |    c_mktsegment AS sens
+       |  FROM customer
+       |  UNION ALL
+       |  SELECT 'L2_nation', CAST(c_nationkey AS VARCHAR), c_mktsegment
+       |  FROM customer),
+       |classes AS (
+       |  SELECT level, cls, count(*) AS n, count(DISTINCT sens) AS l
+       |  FROM qi GROUP BY 1, 2)
+       |SELECT level, CAST(count(*) AS BIGINT) AS n_classes,
+       |  CAST(min(l) AS BIGINT) AS min_l,
+       |  CAST(sum(CASE WHEN l < $lDivL THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS classes_below_l,
+       |  CAST(sum(CASE WHEN l < $lDivL THEN n ELSE 0 END) AS BIGINT)
+       |    AS rows_below_l
+       |FROM classes GROUP BY 1 ORDER BY 1""".stripMargin
+
   val kAnonymitySql: String =
     s"""WITH qi AS (
        |  SELECT 'L0_nation_seg_bal100' AS level,

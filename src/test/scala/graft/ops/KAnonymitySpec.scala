@@ -26,6 +26,22 @@ class KAnonymitySpec extends SparkSpec {
     assert(risk3 < risk0, "the ladder never helped on this corpus")
   }
 
+  test("l-diversity: census ≡ direct recomputation; coarser QI is at least as diverse") {
+    val ld = Curation.lDiversity(spark, sf).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .toMap
+    val direct = graft.Tables.load(spark, sf, "customer")
+      .groupBy(col("c_nationkey"))
+      .agg(countDistinct(col("c_mktsegment")).as("l"))
+    val (nc, minL, below, _) = ld("L2_nation")
+    assert(nc === direct.count())
+    assert(minL === direct.agg(min(col("l"))).head.getLong(0))
+    assert(below === direct.filter(col("l") < 3).count())
+    // merging classes can only keep or grow each class's sensitive set
+    assert(ld("L2_nation")._2 >= ld("L1_nation_bal1000")._2)
+    assert(minL >= 1 && ld("L1_nation_bal1000")._2 >= 1)
+  }
+
   test("census ≡ direct recomputation at L3") {
     val direct = graft.Tables.load(spark, sf, "customer")
       .groupBy(col("c_nationkey"))

@@ -52,6 +52,23 @@ class SkylineSpec extends SparkSpec {
       s"degenerate skyline (${got.size} of ${rows.size})")
   }
 
+  test("grouped skyline: per-brand frontier ≡ per-brand brute force; global ⊆ union of grouped") {
+    val part = graft.Tables.load(spark, sf, "part")
+      .select(col("p_brand"), col("p_partkey").as("id"),
+        col("p_retailprice").as("price"), col("p_size").cast("long").as("size"))
+    val rows = part.collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2), r.getLong(3)))
+    val expected = rows.groupBy(_._1).flatMap { case (b, rs) =>
+      brute(rs.map(t => (t._2, t._3, t._4)).toSeq).map(t => (b, t._1, t._2, t._3))
+    }.toSet
+    val got = Skyline.skylineByBrand(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2), r.getLong(3))).toSet
+    assert(got === expected)
+    // a global skyline point is undominated within its own brand too
+    val global = Skyline.skyline(spark, sf).collect().map(_.getLong(0)).toSet
+    assert(global.subsetOf(got.map(_._2)))
+  }
+
   test("plan: no cartesian product, no corpus-sized single-partition exchange") {
     val plan = Skyline.skyline(spark, sf).queryExecution.executedPlan.toString
     assert(!plan.contains("CartesianProduct"), plan)
