@@ -62,6 +62,7 @@ object SparkEntry {
     "q_attribution_stream" -> (Events.attributionStreamMaterialize(_, _)),
     "q_trend_slope" -> (Events.trendSlope(_, _)),
     "q_anomaly_days" -> (Events.anomalyDays(_, _)),
+    "q_ewma_daily" -> (Events.ewmaDaily(_, _)),
     "q_pagerank" -> ((s, d) => LlmOps.pagerankTopK(s, d)),
     "q_percentiles" -> (Analytics.quantitiesQuartiles(_, _)),
     // — DV3F reshape pipeline (SURVEY §2.5, T1-T4)
@@ -126,6 +127,8 @@ object SparkEntry {
     "q_dedup_incr_lsh" -> (LlmOps.dedupIncrementalLsh(_, _)),
     "q_ingest_gate_e2e" -> (LlmOps.ingestGateE2e(_, _)),
     "q_vocab_topk" -> (LlmOps.vocabTopK(_, _)),
+    "q_tfidf_keywords" -> ((s, d) => LlmOps.tfidfKeywords(s, d)),
+    "q_ssjoin_ppjoin" -> (LlmOps.ssjoinPpjoin(_, _)),
     "q_vocab_richness" -> (LlmOps.vocabRichness(_, _)),
     "q_source_novelty" -> (LlmOps.sourceNovelty(_, _)),
     "q_dedup_bbit_est" -> (LlmOps.bbitMinhashEstimate(_, _)),
@@ -253,6 +256,7 @@ object SparkEntry {
     "q_forget_embed" -> (LlmOps.forgetEmbed(_, _)),
     "q_k_anonymity" -> (Curation.kAnonymity(_, _)),
     "q_l_diversity" -> (Curation.lDiversity(_, _)),
+    "q_t_closeness" -> (Curation.tCloseness(_, _)),
     "q_cdc_stream" -> (Maintenance.cdcStreamMaterialize(_, _)),
     "q_incr_agg" -> (Maintenance.incrAgg(_, _)),
     "q_incr_agg_state" -> (Maintenance.incrAggState(_, _)),
@@ -277,6 +281,7 @@ object SparkEntry {
     "q_dedup_graph_stats" -> (SketchOps.dedupGraphStats(_, _)),
     "q_dedup_kcore" -> (SketchOps.dedupKcore(_, _)),
     "q_graph_lpa" -> (SketchOps.graphLpa(_, _)),
+    "q_graph_bfs" -> (SketchOps.graphBfs(_, _)),
     "q_sample_weighted" -> (SketchOps.sampleWeighted(_, _)),
     "q_sample_temperature" -> (SketchOps.sampleTemperature(_, _))
   )
@@ -501,6 +506,8 @@ object SparkEntry {
     "q_dedup_incr_lsh" -> LlmOps.dedupIncrementalLshSql,
     "q_ingest_gate_e2e" -> LlmOps.ingestGateE2eSql,
     "q_vocab_topk" -> LlmOps.vocabTopKSql,
+    "q_tfidf_keywords" -> LlmOps.tfidfKeywordsSql,
+    "q_ssjoin_ppjoin" -> LlmOps.ssjoinPpjoinSql,
     "q_vocab_richness" -> LlmOps.vocabRichnessSql,
     "q_source_novelty" -> LlmOps.sourceNoveltySql,
     "q_dedup_bbit_est" -> LlmOps.bbitMinhashEstimateSql,
@@ -598,6 +605,7 @@ object SparkEntry {
     "q_forget_embed" -> LlmOps.embedAnnIvfSqlWhere("NOT (a.vec_id % 23 = 5)"),
     "q_k_anonymity" -> Curation.kAnonymitySql,
     "q_l_diversity" -> Curation.lDiversitySql,
+    "q_t_closeness" -> Curation.tClosenessSql,
     "q_cdc_stream" -> Maintenance.cdcStreamMaterializeSql,
     "q_incr_agg" -> Maintenance.incrAggSql,
     "q_incr_agg_state" -> Maintenance.incrAggStateSql,
@@ -620,6 +628,7 @@ object SparkEntry {
     "q_dedup_graph_stats" -> SketchOps.dedupGraphStatsSql,
     "q_dedup_kcore" -> SketchOps.dedupKcoreSql,
     "q_graph_lpa" -> SketchOps.graphLpaSql,
+    "q_graph_bfs" -> SketchOps.graphBfsSql,
     "q_sample_weighted" -> SketchOps.sampleWeightedSql,
     "q_sample_temperature" -> SketchOps.sampleTemperatureSql,
     "q_embed_topk" -> LlmOps.embedTopKSql,
@@ -659,6 +668,7 @@ object SparkEntry {
     "q_attribution_stream" -> Events.lastTouchAttributionSql,
     "q_trend_slope" -> Events.trendSlopeSql,
     "q_anomaly_days" -> Events.anomalyDaysSql,
+    "q_ewma_daily" -> Events.ewmaDailySql,
     "q_pagerank" -> LlmOps.pagerankTopKSql,
     "q_asof_join" -> Events.asofPurchaseSql,
     "q_asof_join_native" -> Events.asofPurchaseSql,

@@ -1,0 +1,76 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DoubleType
+
+/** EXACT set-similarity self-join with prefix filtering (PPJoin family,
+  * Xiao et al. WWW 2008; Chaudhuri et al.'s SSJoin prefix filter) — the
+  * exact counterpart to the MinHash-LSH tier in [[Dedup]]: LSH finds
+  * near-dup CANDIDATES probabilistically (a banded trade of recall for
+  * candidate count); this operator returns EVERY pair with Jaccard ≥ τ,
+  * no false negatives, which is what a contractual dedup guarantee
+  * ("no two retained docs share ≥ half their vocabulary") needs.
+  *
+  * Prefix-filter theorem: order every doc's token set by ONE global
+  * total order (rarest-first: ascending document frequency, ties by
+  * token). If Jaccard(A,B) ≥ τ then A and B must collide inside their
+  * PREFIXES of length |X| − ⌈τ·|X|⌉ + 1 — so the candidate join runs
+  * only on exploded prefixes, and rarest-first ordering makes those
+  * prefix tokens the LOW-df ones: postings lists of the join are the
+  * short tails of the vocabulary, never the stopword heads. A size
+  * filter (min/max ≥ τ, integer cross-multiplied) prunes the rest.
+  * Verification is candidate-pair-sized: join each surviving pair back
+  * to its two token sets and count the exact intersection.
+  *
+  * Scale shape: tf/df aggregates are map-side combined; the per-doc
+  * prefix position is a doc-keyed window (each doc sorts only its own
+  * tokens); the candidate join is token-keyed on low-df postings (the
+  * quadratic term is Σ_rare df², bounded by design — the same reason
+  * the rare-anchor longest-span plan holds); the verify joins are
+  * candidate×doc-size. The oracle deliberately runs the UNFILTERED
+  * shared-token plan (all-pairs on postings) — same result, the
+  * quadratic formulation the prefix filter exists to beat.
+  */
+object SetSimJoin {
+
+  /** All pairs (doc_a < doc_b) with Jaccard ≥ tNum/tDen over `tokens` =
+    * the DISTINCT (doc_id, token) relation. Returns (doc_a, doc_b,
+    * inter, union_sz, jaccard) with the threshold test done in exact
+    * integer arithmetic and jaccard as one final rounded division.
+    */
+  def ppjoin(tokens: DataFrame, tNum: Int, tDen: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = CacheBin.pin(tokens.select(col("doc_id"), col("token")))
+    val sizes = toks.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
+    val dfs = toks.groupBy(col("token")).agg(count(lit(1)).as("df"))
+    val wDoc = Window.partitionBy(col("doc_id"))
+      .orderBy(col("df"), col("token"))
+    // prefix length |X| − ⌈τ|X|⌉ + 1, with ⌈τ·sz⌉ = floor((num·sz +
+    // den − 1)/den) — integer-exact (values ≪ 2^53 keep floor exact)
+    val pref = toks.join(dfs, Seq("token"))
+      .withColumn("p", row_number().over(wDoc))
+      .join(sizes, Seq("doc_id"))
+      .filter(col("p") <=
+        col("sz") - floor((col("sz") * tNum + (tDen - 1)) / tDen) + 1)
+      .select(col("doc_id"), col("token"), col("sz"))
+    val cand = pref.as("a").join(pref.as("b"),
+        col("a.token") === col("b.token") &&
+          col("a.doc_id") < col("b.doc_id") &&
+          col("a.sz") * tDen >= col("b.sz") * tNum &&
+          col("b.sz") * tDen >= col("a.sz") * tNum)
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        col("a.sz").as("sz_a"), col("b.sz").as("sz_b"))
+      .distinct()
+    cand
+      .join(toks.as("ta"), col("doc_a") === col("ta.doc_id"))
+      .join(toks.as("tb"),
+        col("doc_b") === col("tb.doc_id") && col("ta.token") === col("tb.token"))
+      .groupBy(col("doc_a"), col("doc_b"), col("sz_a"), col("sz_b"))
+      .agg(count(lit(1)).as("inter"))
+      .withColumn("union_sz", col("sz_a") + col("sz_b") - col("inter"))
+      .filter(col("inter") * tDen >= col("union_sz") * tNum)
+      .select(col("doc_a"), col("doc_b"), col("inter"), col("union_sz"),
+        round(col("inter").cast(DoubleType) / col("union_sz"), 6).as("jaccard"))
+  }
+}

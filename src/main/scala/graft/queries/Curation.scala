@@ -859,4 +859,119 @@ object Curation {
        |  round(sum(CASE WHEN n < $kAnonK THEN n ELSE 0 END) * 100.0
        |    / sum(n), 6) AS pct_at_risk
        |FROM classes GROUP BY 1 ORDER BY 1""".stripMargin
+
+  // -------------------------------------------------------- t-closeness
+
+  /** T-CLOSENESS census (Li, Li & Venkatasubramanian, ICDE 2007) — the
+    * third rung of the privacy ladder after [[kAnonymity]] (class sizes)
+    * and [[lDiversity]] (distinct sensitive values): even an l-diverse
+    * class leaks if its sensitive-value DISTRIBUTION is skewed vs the
+    * table at large (all l values present, but 95% of the class holds
+    * one of them). A class is t-close iff the Earth Mover's Distance
+    * between its sensitive distribution and the global one is <= t.
+    *
+    * Sensitive attribute: account balance, ordinally bucketed to 1000s
+    * (the ORDERED-attribute EMD of the paper §4.2:
+    * EMD = (1/(m−1)) · Σ_i |Σ_{j<=i} (p_j − q_j)|, the total mass that
+    * must flow past each bucket boundary). Computed in EXACT integer
+    * arithmetic: with class counts n_cj (size N_c) and global counts
+    * n_j (total N), each cumulative term is Σ(n_cj·N − n_j·N_c), so
+    * EMD = Σ|cum| / (N·N_c·(m−1)) — one integer division at the very
+    * end, and the t = 0.2 threshold test is the integer compare
+    * emd_num·5 > denom (no float ever enters the gate). Products stay
+    * under 2^63 to ~3·10^9 rows; past that the same plan runs on
+    * per-million scaled counts.
+    *
+    * Shape: one customer pass explodes each row into its (level, class)
+    * encodings → one (level,cls,bucket)-keyed aggregate (map-side
+    * combined); the bucket GRID (every class × every global bucket —
+    * missing buckets are exact zeros the cumulative sum must traverse)
+    * is a broadcast nested-loop against the ~11-row global bucket list
+    * (domain-bounded: balance/1000), never a corpus cartesian; the
+    * cumulative sum is a per-class window over <=11 rows. Ladder
+    * monotonicity (L2 coarser => max_t no larger) is spec-pinned.
+    */
+  private val tCloseNum = 1 // t = tCloseNum / tCloseDen = 0.2, kept as
+  private val tCloseDen = 5 // integers so the gate is an exact compare
+
+  def tCloseness(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val cust = Tables.load(spark, dir, "customer")
+    val nat = col("c_nationkey").cast(StringType)
+    val bucket = floor(col("c_acctbal") / 1000).cast(LongType)
+    val rows = cust.select(explode(array(
+        struct(lit("L1_nation_seg").as("level"),
+          concat_ws("|", nat, col("c_mktsegment")).as("cls")),
+        struct(lit("L2_nation").as("level"), nat.as("cls")))).as("q"),
+      bucket.as("b"))
+      .select(col("q.level").as("level"), col("q.cls").as("cls"), col("b"))
+    val classBucket = rows.groupBy(col("level"), col("cls"), col("b"))
+      .agg(count(lit(1)).as("n_cb"))
+    val classes = classBucket.groupBy(col("level"), col("cls"))
+      .agg(sum(col("n_cb")).as("n_c"))
+    val global = cust.select(bucket.as("b"))
+      .groupBy(col("b")).agg(count(lit(1)).as("n_b"))
+    val gStats = global.agg(sum(col("n_b")).as("n_total"),
+      count(lit(1)).as("m"))
+    val grid = classes
+      .crossJoin(broadcast(global))
+      .join(classBucket, Seq("level", "cls", "b"), "left")
+      .withColumn("n_cb", coalesce(col("n_cb"), lit(0L)))
+      .crossJoin(broadcast(gStats))
+    val w = Window.partitionBy(col("level"), col("cls")).orderBy(col("b"))
+    val perClass = grid
+      .withColumn("cum",
+        sum(col("n_cb") * col("n_total") - col("n_b") * col("n_c")).over(w))
+      .groupBy(col("level"), col("cls"), col("n_c"), col("n_total"), col("m"))
+      .agg(sum(abs(col("cum"))).as("emd_num"))
+      .withColumn("denom", col("n_total") * col("n_c") * (col("m") - 1))
+    perClass.groupBy(col("level"))
+      .agg(count(lit(1)).as("n_classes"),
+        round(max(col("emd_num").cast(org.apache.spark.sql.types.DoubleType)
+          / col("denom")), 6).as("max_t"),
+        sum(when(col("emd_num") * tCloseDen > col("denom") * tCloseNum, 1L)
+          .otherwise(0L)).as("classes_above_t"),
+        sum(when(col("emd_num") * tCloseDen > col("denom") * tCloseNum,
+          col("n_c")).otherwise(0L)).as("rows_above_t"))
+      .orderBy(col("level"))
+  }
+
+  val tClosenessSql: String =
+    s"""WITH r AS (
+       |  SELECT 'L1_nation_seg' AS level,
+       |    concat_ws('|', CAST(c_nationkey AS VARCHAR), c_mktsegment) AS cls,
+       |    CAST(floor(c_acctbal / 1000) AS BIGINT) AS b
+       |  FROM customer
+       |  UNION ALL
+       |  SELECT 'L2_nation', CAST(c_nationkey AS VARCHAR),
+       |    CAST(floor(c_acctbal / 1000) AS BIGINT)
+       |  FROM customer),
+       |cb AS (SELECT level, cls, b, count(*) AS n_cb FROM r GROUP BY 1, 2, 3),
+       |cl AS (SELECT level, cls, CAST(sum(n_cb) AS BIGINT) AS n_c
+       |  FROM cb GROUP BY 1, 2),
+       |gb AS (SELECT CAST(floor(c_acctbal / 1000) AS BIGINT) AS b,
+       |  count(*) AS n_b FROM customer GROUP BY 1),
+       |gs AS (SELECT CAST(sum(n_b) AS BIGINT) AS n_total,
+       |  CAST(count(*) AS BIGINT) AS m FROM gb),
+       |grid AS (
+       |  SELECT cl.level, cl.cls, cl.n_c, gb.b, gb.n_b,
+       |    coalesce(cb.n_cb, 0) AS n_cb, gs.n_total, gs.m
+       |  FROM cl CROSS JOIN gb
+       |  LEFT JOIN cb ON cb.level = cl.level AND cb.cls = cl.cls AND cb.b = gb.b
+       |  CROSS JOIN gs),
+       |cum AS (SELECT level, cls, n_c, n_total, m,
+       |  sum(n_cb * n_total - n_b * n_c)
+       |    OVER (PARTITION BY level, cls ORDER BY b) AS cum
+       |  FROM grid),
+       |pc AS (SELECT level, cls, n_c, n_total, m,
+       |  CAST(sum(abs(cum)) AS BIGINT) AS emd_num
+       |  FROM cum GROUP BY 1, 2, 3, 4, 5)
+       |SELECT level, CAST(count(*) AS BIGINT) AS n_classes,
+       |  round(max(CAST(emd_num AS DOUBLE) / (n_total * n_c * (m - 1))), 6)
+       |    AS max_t,
+       |  CAST(sum(CASE WHEN emd_num * $tCloseDen > n_total * n_c * (m - 1)
+       |      * $tCloseNum THEN 1 ELSE 0 END) AS BIGINT) AS classes_above_t,
+       |  CAST(sum(CASE WHEN emd_num * $tCloseDen > n_total * n_c * (m - 1)
+       |      * $tCloseNum THEN n_c ELSE 0 END) AS BIGINT) AS rows_above_t
+       |FROM pc GROUP BY 1 ORDER BY 1""".stripMargin
 }

@@ -357,6 +357,68 @@ object Events {
       |  ((d*y - sy)*(d*y - sy) > 4*(d*syy - sy*sy)) AS is_anomaly
       |FROM daily JOIN s USING (event_type)""".stripMargin
 
+  /** EWMA-smoothed daily volume per event type with a spike flag — the
+    * exponential-smoothing sibling of [[anomalyDays]] (which compares
+    * against the GLOBAL mean; EWMA compares against the RECENT level,
+    * catching drift-adjusted spikes a static mean misses).
+    *
+    * α = 1/2, truncated at 8 terms over the 8 PRECEDING days (the
+    * current day must not smooth itself into its own baseline — a gate
+    * that includes today's weight can never fire), spelled float-free:
+    * weights are the INTEGER powers 2^(8−k) for lag k = 1..8
+    * (num = Σ y_{t−k}·2^(8−k), den = Σ 2^(8−k) over the lags that
+    * exist), so ewma = num/den is ONE final IEEE division (NULL on the
+    * history-free first day) and the spike gate y·den > 2·num is an
+    * exact int64 compare — the cross-multiplied-integer convention of
+    * the whole events family. Truncation error vs the infinite EWMA is
+    * ≤ 2^-8 of the weight mass, far under any alerting threshold.
+    *
+    * Shape: one (type, day) aggregate (map-side combined), then a
+    * type-partitioned window over the CALENDAR-sized daily grain —
+    * the window input is |types|·|days| rows regardless of corpus
+    * size, so the unbounded-frame sort is bounded by the date domain,
+    * not the data.
+    */
+  def ewmaDaily(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val daily = Tables.loadEvents(spark, dir)
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("y"))
+    val w = Window.partitionBy(col("event_type")).orderBy(col("day"))
+    val lags = (1 to 8).map(k => (lag(col("y"), k).over(w), 1L << (8 - k)))
+    val num = lags.map { case (c, wt) => coalesce(c, lit(0L)) * wt }
+      .reduce(_ + _)
+    val den = lags.map { case (c, wt) =>
+      when(c.isNotNull, lit(wt)).otherwise(lit(0L)) }.reduce(_ + _)
+    daily
+      .withColumn("num", num).withColumn("den", den)
+      .select(col("event_type"),
+        date_format(col("day"), "yyyy-MM-dd").as("day"), col("y"),
+        when(col("den") > 0,
+          round(col("num").cast(DoubleType) / col("den"), 6)).as("ewma"),
+        (col("y") * col("den") > lit(2) * col("num")).as("is_spike"))
+  }
+
+  val ewmaDailySql: String = {
+    def lagC(k: Int) = s"lag(y, $k) OVER (PARTITION BY event_type ORDER BY day)"
+    val numTerms = (1 to 8)
+      .map(k => s"coalesce(${lagC(k)}, 0) * ${1L << (8 - k)}").mkString(" + ")
+    val denTerms = (1 to 8)
+      .map(k => s"CASE WHEN ${lagC(k)} IS NOT NULL THEN ${1L << (8 - k)} ELSE 0 END")
+      .mkString(" + ")
+    s"""WITH daily AS (SELECT event_type, ts::TIMESTAMP::DATE AS day,
+       |    count(*)::BIGINT AS y
+       |  FROM events GROUP BY 1, 2),
+       |e AS (SELECT event_type, day, y,
+       |    CAST($numTerms AS BIGINT) AS num,
+       |    CAST($denTerms AS BIGINT) AS den
+       |  FROM daily)
+       |SELECT event_type, strftime(day, '%Y-%m-%d') AS day, y,
+       |  CASE WHEN den > 0 THEN round(CAST(num AS DOUBLE) / den, 6) END AS ewma,
+       |  (y * den > 2 * num) AS is_spike
+       |FROM e""".stripMargin
+  }
+
   /** Event-type transition matrix (first-order Markov counts): for each
     * user timeline ordered by (ts, event_id), count consecutive
     * (prev_type → type) pairs — the path-analysis face behind "what do

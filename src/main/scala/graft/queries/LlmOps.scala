@@ -1800,6 +1800,90 @@ object LlmOps {
       .orderBy(col("df").desc, col("token"))
       .limit(k)
 
+  /** TF-IDF keyword extraction: top-k terms PER DOCUMENT by tf·idf —
+    * the per-doc topic fingerprint (tag suggestion, cluster naming,
+    * retrieval-free routing), complementing [[vocabTopK]]'s corpus-wide
+    * frequency view. Idf is the LOG-FREE BM25 form the repo's oracles
+    * standardize on ((N − df + 0.5)/(df + 0.5), spelled as the integer
+    * tree (2(N−df)+1)/(2df+1) so the only float op is ONE correctly-
+    * rounded IEEE division — ln() drifts a ulp across engines and
+    * breaks hash equality; ranking is unaffected since the map is
+    * monotone in df).
+    *
+    * Shape: one (doc,term)-keyed tf aggregate (map-side combined), one
+    * term-keyed df aggregate, a term-keyed join back (AQE broadcasts
+    * the vocab side — |vocab| ≪ corpus), the 1-row N broadcast, and a
+    * per-doc top-k window. No corpus-squared anything; the window
+    * partitions by doc so each doc sorts only its own vocab.
+    */
+  def tfidfKeywords(spark: SparkSession, dir: String, k: Int = 3): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.load(spark, dir, "documents")
+    val tf = docs
+      .select(col("doc_id"), explode(TextAnalysis.tokens(col("text"))).as("term"))
+      .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+    val dfTbl = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val n = docs.agg(count(lit(1)).as("n"))
+    val w = Window.partitionBy(col("doc_id"))
+      .orderBy(col("score").desc, col("term"))
+    tf.join(dfTbl, Seq("term"))
+      .crossJoin(broadcast(n))
+      .withColumn("score",
+        round((col("tf") * (lit(2) * (col("n") - col("df")) + 1))
+          .cast(DoubleType) / (lit(2) * col("df") + 1), 6))
+      .withColumn("rnk", row_number().over(w).cast(LongType))
+      .filter(col("rnk") <= k)
+      .select(col("doc_id"), col("term"), col("score"), col("rnk"))
+  }
+
+  val tfidfKeywordsSql: String =
+    """WITH toks AS (SELECT doc_id,
+      |    unnest(string_split_regex(trim(text), '\s+')) AS term
+      |  FROM documents),
+      |tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
+      |df AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+      |n AS (SELECT count(*) AS n FROM documents),
+      |s AS (SELECT tf.doc_id, tf.term,
+      |    round(CAST(tf.tf * (2 * (n.n - df.df) + 1) AS DOUBLE)
+      |      / (2 * df.df + 1), 6) AS score
+      |  FROM tf JOIN df USING (term) CROSS JOIN n),
+      |r AS (SELECT doc_id, term, score,
+      |    row_number() OVER (PARTITION BY doc_id
+      |      ORDER BY score DESC, term) AS rnk
+      |  FROM s)
+      |SELECT doc_id, term, score, CAST(rnk AS BIGINT) AS rnk
+      |FROM r WHERE rnk <= 3""".stripMargin
+
+  /** Exact set-similarity self-join at Jaccard ≥ 1/2 over word-trigram
+    * SHINGLE sets (the [[Dedup]] family's duplicate signal — whole-word
+    * sets are degenerate on any corpus with a shared vocabulary) — the
+    * no-false-negative dedup guarantee; see [[graft.ops.SetSimJoin]]
+    * for the prefix-filter plan. The oracle runs the unfiltered
+    * shared-shingle quadratic plan: identical output by the
+    * prefix-filter completeness theorem, which this face therefore
+    * re-proves on every corpus it gates.
+    */
+  def ssjoinPpjoin(spark: SparkSession, dir: String): DataFrame = {
+    val toks = Tables.load(spark, dir, "documents")
+      .select(col("doc_id"),
+        explode(array_distinct(Dedup.shingles(col("text"), 3))).as("token"))
+    SetSimJoin.ppjoin(toks, tNum = 1, tDen = 2)
+  }
+
+  lazy val ssjoinPpjoinSql: String =
+    s"""WITH $shingleCte,
+      |sz AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY 1),
+      |pair AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+      |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      |  GROUP BY 1, 2)
+      |SELECT doc_a, doc_b, CAST(inter AS BIGINT) AS inter,
+      |  CAST(sa.sz + sb.sz - inter AS BIGINT) AS union_sz,
+      |  round(CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter), 6) AS jaccard
+      |FROM pair
+      |JOIN sz sa ON sa.doc_id = pair.doc_a
+      |JOIN sz sb ON sb.doc_id = pair.doc_b
+      |WHERE inter * 2 >= (sa.sz + sb.sz - inter) * 1""".stripMargin
+
   /** Corpus RICHNESS report over token TRIGRAM types — the
     * frequency-of-frequencies statistics LM smoothing and crawl-sizing
     * decisions run on: instance count N, type count V, hapax/dis

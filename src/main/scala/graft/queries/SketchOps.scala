@@ -787,6 +787,51 @@ SELECT v, count(*)::BIGINT AS deg_in_core FROM (
       .orderBy(col("community_size"))
   }
 
+  /** Multi-source BFS hop census over the same pinned near-dup pair
+    * graph (see [[graphLpa]]): seeds are the audit-flagged vertex set
+    * (id % 5 = 0 — a deterministic stand-in for a takedown/contaminated
+    * list), 4 relaxation rounds, output = (hop distance → vertex
+    * count) with -1 for vertices farther than 4 hops. The oracle
+    * unrolls the identical 4 rounds (round-for-round equivalence, the
+    * KCore convention). Scale: graft.ops.Bfs — graph-sized keyed
+    * exchanges per round, never corpus-sized.
+    */
+  def graphBfs(spark: SparkSession, dir: String): DataFrame = {
+    val edges = CacheBin.pin(
+      LlmOps.minhashLshDedup(spark, dir).select(col("doc_a"), col("doc_b")))
+    graft.ops.Bfs.run(edges, v => v % 5 === 0, rounds = 4)
+      .groupBy(coalesce(col("dist"), lit(-1L)).as("dist"))
+      .agg(count(lit(1)).as("n_vertices"))
+      .orderBy(col("dist"))
+  }
+
+  lazy val graphBfsSql: String = {
+    val rounds = 4
+    val sb = new StringBuilder
+    sb.append(
+      s"WITH e0 AS MATERIALIZED (SELECT doc_a, doc_b FROM (${LlmOps.minhashLshSql}) q),")
+    sb.append("""
+und AS MATERIALIZED (SELECT doc_a AS src, doc_b AS dst FROM e0
+  UNION ALL SELECT doc_b, doc_a FROM e0),
+d0 AS MATERIALIZED (SELECT DISTINCT src AS v,
+  CASE WHEN src % 5 = 0 THEN CAST(0 AS BIGINT) ELSE NULL END AS dist
+  FROM und)""")
+    for (r <- 1 to rounds) {
+      sb.append(s""",
+n$r AS MATERIALIZED (SELECT u.src AS v, min(d.dist + 1) AS nd
+  FROM und u JOIN d${r - 1} d ON d.v = u.dst
+  WHERE d.dist IS NOT NULL GROUP BY 1),
+d$r AS MATERIALIZED (SELECT d.v,
+  least(coalesce(d.dist, n.nd), coalesce(n.nd, d.dist)) AS dist
+  FROM d${r - 1} d LEFT JOIN n$r n ON n.v = d.v)""")
+    }
+    sb.append(s"""
+SELECT CAST(coalesce(dist, -1) AS BIGINT) AS dist,
+  CAST(count(*) AS BIGINT) AS n_vertices
+FROM d$rounds GROUP BY 1 ORDER BY 1""")
+    sb.toString
+  }
+
   /** Materialized like [[dedupKcoreSql]]: each round references its
     * predecessor label CTE from the neighbor join; inlining would
     * re-evaluate the chain multiplicatively.

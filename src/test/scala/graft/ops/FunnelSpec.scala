@@ -136,4 +136,24 @@ class FunnelSpec extends SparkSpec {
     // no purchase self-attributes: 'purchase' never appears as a touch
     assert(!rows.exists(_._1 == "purchase"))
   }
+
+  test("ewmaDaily: integer-weight baseline, history-free NULL, spike fires on a 5x day") {
+    val dir = java.nio.file.Files.createTempDirectory("ewma").toString
+    // type A daily counts: 2,2,2,2 then 10 — a clean 5x spike
+    val rows = for {
+      (day, n) <- Seq((1, 2), (2, 2), (3, 2), (4, 2), (5, 10)); i <- 1 to n
+    } yield (day * 100L + i, ts(f"2024-01-0$day 10:00:00"), i.toLong, "A", 1.0, "{}")
+    rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val got = Events.ewmaDaily(spark, dir).collect()
+      .map(r => r.getString(1) -> (r.getLong(2),
+        if (r.isNullAt(3)) None else Some(r.getDouble(3)), r.getBoolean(4)))
+      .toMap
+    // day 1: no history → NULL baseline, no spike
+    assert(got("2024-01-01") === ((2L, None, false)))
+    // day 2: baseline = 2 (one lag, weight 128), steady day → no spike
+    assert(got("2024-01-02") === ((2L, Some(2.0), false)))
+    // day 5: baseline still 2 (4 lags of 2: num 480 / den 240), 10 > 2·2
+    assert(got("2024-01-05") === ((10L, Some(2.0), true)))
+  }
 }

@@ -42,6 +42,44 @@ class KAnonymitySpec extends SparkSpec {
     assert(minL >= 1 && ld("L1_nation_bal1000")._2 >= 1)
   }
 
+  test("t-closeness: census ≡ brute-force EMD; coarsening cannot raise max_t") {
+    val tc = Curation.tCloseness(spark, sf).collect()
+      .map(r => r.getString(0) ->
+        (r.getLong(1), r.getDouble(2), r.getLong(3), r.getLong(4)))
+      .toMap
+    // brute-force the ordered EMD for L2 (nation classes) on the driver
+    val cust = graft.Tables.load(spark, sf, "customer")
+      .select(col("c_nationkey").cast("long"),
+        floor(col("c_acctbal") / 1000).cast("long"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val buckets = cust.map(_._2).distinct.sorted
+    val m = buckets.length
+    val n = cust.length.toLong
+    val globalCnt = cust.groupBy(_._2).map { case (b, xs) => b -> xs.length.toLong }
+    val perClass = cust.groupBy(_._1).map { case (_, xs) =>
+      val nc = xs.length.toLong
+      val cnt = xs.groupBy(_._2).map { case (b, ys) => b -> ys.length.toLong }
+      var cum = 0L; var num = 0L
+      buckets.foreach { b =>
+        cum += cnt.getOrElse(b, 0L) * n - globalCnt(b) * nc
+        num += math.abs(cum)
+      }
+      (num, nc)
+    }
+    val expMax = perClass.map { case (num, nc) =>
+      num.toDouble / (n * nc * (m - 1)) }.max
+    val expAbove = perClass.count { case (num, nc) => num * 5 > n * nc * (m - 1) }
+    val (ncl, maxT, above, _) = tc("L2_nation")
+    assert(ncl === perClass.size)
+    assert(math.abs(maxT - BigDecimal(expMax).setScale(6,
+      BigDecimal.RoundingMode.HALF_UP).toDouble) < 1e-9)
+    assert(above === expAbove.toLong)
+    // merged classes have convex-combination distributions: EMD of a
+    // merge never exceeds the max of its parts
+    assert(tc("L2_nation")._2 <= tc("L1_nation_seg")._2 + 1e-12)
+    assert(maxT >= 0.0 && maxT <= 1.0)
+  }
+
   test("census ≡ direct recomputation at L3") {
     val direct = graft.Tables.load(spark, sf, "customer")
       .groupBy(col("c_nationkey"))
