@@ -257,6 +257,7 @@ object SparkEntry {
     "q_k_anonymity" -> (Curation.kAnonymity(_, _)),
     "q_l_diversity" -> (Curation.lDiversity(_, _)),
     "q_t_closeness" -> (Curation.tCloseness(_, _)),
+    "q_dp_randomized_response" -> (Curation.dpRandomizedResponse(_, _)),
     "q_cdc_stream" -> (Maintenance.cdcStreamMaterialize(_, _)),
     "q_incr_agg" -> (Maintenance.incrAgg(_, _)),
     "q_incr_agg_state" -> (Maintenance.incrAggState(_, _)),
@@ -282,6 +283,7 @@ object SparkEntry {
     "q_dedup_kcore" -> (SketchOps.dedupKcore(_, _)),
     "q_graph_lpa" -> (SketchOps.graphLpa(_, _)),
     "q_graph_bfs" -> (SketchOps.graphBfs(_, _)),
+    "q_heavy_hitters" -> (SketchOps.heavyHitters(_, _)),
     "q_sample_weighted" -> (SketchOps.sampleWeighted(_, _)),
     "q_sample_temperature" -> (SketchOps.sampleTemperature(_, _))
   )
@@ -606,6 +608,7 @@ object SparkEntry {
     "q_k_anonymity" -> Curation.kAnonymitySql,
     "q_l_diversity" -> Curation.lDiversitySql,
     "q_t_closeness" -> Curation.tClosenessSql,
+    "q_dp_randomized_response" -> Curation.dpRandomizedResponseSql,
     "q_cdc_stream" -> Maintenance.cdcStreamMaterializeSql,
     "q_incr_agg" -> Maintenance.incrAggSql,
     "q_incr_agg_state" -> Maintenance.incrAggStateSql,
@@ -629,6 +632,7 @@ object SparkEntry {
     "q_dedup_kcore" -> SketchOps.dedupKcoreSql,
     "q_graph_lpa" -> SketchOps.graphLpaSql,
     "q_graph_bfs" -> SketchOps.graphBfsSql,
+    "q_heavy_hitters" -> SketchOps.heavyHittersSql,
     "q_sample_weighted" -> SketchOps.sampleWeightedSql,
     "q_sample_temperature" -> SketchOps.sampleTemperatureSql,
     "q_embed_topk" -> LlmOps.embedTopKSql,

@@ -974,4 +974,61 @@ object Curation {
        |  CAST(sum(CASE WHEN emd_num * $tCloseDen > n_total * n_c * (m - 1)
        |      * $tCloseNum THEN n_c ELSE 0 END) AS BIGINT) AS rows_above_t
        |FROM pc GROUP BY 1 ORDER BY 1""".stripMargin
+
+  // --------------------------------------- local-DP randomized response
+
+  /** LOCAL differential privacy via randomized response (Warner 1965;
+    * the RAPPOR mechanism's core) — the fourth rung of the privacy
+    * surface after the [[kAnonymity]]/[[lDiversity]]/[[tCloseness]]
+    * release censuses: those AUDIT a table before release; randomized
+    * response PERTURBS each row so the table itself is ε-DP and the
+    * sensitive bit of any individual row is deniable. Mechanism: report
+    * the true bit with probability p = 3/4, the flipped bit otherwise
+    * (ε = ln(p/(1−p)) = ln 3), then debias per group:
+    * est = (reported_yes − n(1−p))/(2p−1) = 2·reported_yes − n/2.
+    *
+    * The "coin" is the repo's portable determinism trick: hash60(key)
+    * mod 4 < 3 is an EXACT 3/4 Bernoulli both engines replay
+    * bit-identically — so unlike real deployments (whose noise is
+    * irreproducible by design) the whole face hash-gates, while the
+    * estimator algebra is exactly what a production rollout debiases
+    * with. Estimator kept integer: est2 = 4·yes − n (twice the
+    * estimate), one final /2.0 division.
+    *
+    * Shape: one customer pass (the hash, the flip, the group key), one
+    * nation-keyed aggregate with map-side combine. Nothing joins,
+    * nothing collects.
+    */
+  def dpRandomizedResponse(spark: SparkSession, dir: String): DataFrame = {
+    val truth = (col("c_mktsegment") === "BUILDING").cast(LongType)
+    val keep = Dedup.hash60(col("c_custkey").cast(StringType)) % 4 < 3
+    val reported = when(keep, truth).otherwise(lit(1L) - truth)
+    Tables.load(spark, dir, "customer")
+      .select(col("c_nationkey").cast(LongType).as("nation"),
+        truth.as("t"), reported.as("r"))
+      .groupBy(col("nation"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("t")).as("true_yes"),
+        sum(col("r")).as("reported_yes"))
+      .withColumn("est",
+        (lit(4) * col("reported_yes") - col("n")).cast(
+          org.apache.spark.sql.types.DoubleType) / 2)
+      .orderBy(col("nation"))
+  }
+
+  val dpRandomizedResponseSql: String =
+    s"""WITH r AS (
+       |  SELECT CAST(c_nationkey AS BIGINT) AS nation,
+       |    CASE WHEN c_mktsegment = 'BUILDING' THEN 1 ELSE 0 END AS t,
+       |    CASE WHEN ('0x' || substr(md5(CAST(c_custkey AS VARCHAR)), 1, 15))
+       |        ::BIGINT % 4 < 3
+       |      THEN CASE WHEN c_mktsegment = 'BUILDING' THEN 1 ELSE 0 END
+       |      ELSE CASE WHEN c_mktsegment = 'BUILDING' THEN 0 ELSE 1 END
+       |    END AS rep
+       |  FROM customer)
+       |SELECT nation, CAST(count(*) AS BIGINT) AS n,
+       |  CAST(sum(t) AS BIGINT) AS true_yes,
+       |  CAST(sum(rep) AS BIGINT) AS reported_yes,
+       |  CAST(4 * sum(rep) - count(*) AS DOUBLE) / 2 AS est
+       |FROM r GROUP BY 1 ORDER BY 1""".stripMargin
 }

@@ -553,6 +553,54 @@ object SketchOps {
       |  AND s.b = ('0x' || substr(md5(CAST(i.r AS VARCHAR) || ':' || t.token), 1, 10))::BIGINT % 512
       |GROUP BY t.token, t.true_ct""".stripMargin
 
+  // ---------------------------------------------------- heavy hitters
+
+  /** Heavy hitters over the corpus CHARACTER-TRIGRAM stream (the one
+    * naturally Zipfian stream in this synthetic corpus — word and
+    * shingle frequencies are near-uniform by construction): all grams
+    * with frequency ≥ N/200, found via the Misra-Gries sketch
+    * ([[graft.functions.MisraGriesAggregator]], k = 256 counters over
+    * ~377 gram types, so evictions genuinely occur) and then EXACTLY
+    * verified: candidates (≤ k, broadcast-class) semi-join back to the
+    * gram stream for true counts, and the θ gate is the integer
+    * compare cnt·200 ≥ N. The MG guarantee (every item > N/257
+    * retained) strictly covers θ = N/200 at any scale, so the
+    * deterministic output never depends on sketch merge order.
+    *
+    * Shape: one map-side MG pass (k-sized partials, ONE k-sized row to
+    * the final reducer — no vocab-sized exchange), then a
+    * candidate-pruned exact count (the semi-join side is k rows,
+    * broadcast) and the 1-row N broadcast. The oracle pays the full
+    * vocab groupBy instead.
+    */
+  def heavyHitters(spark: SparkSession, dir: String): DataFrame = {
+    val grams = Tables.load(spark, dir, "documents")
+      .filter(length(col("text")) >= 3)
+      .select(col("text"),
+        explode(sequence(lit(1), length(col("text")) - 2)).as("i"))
+      .select(expr("substring(text, i, 3)").as("gram"))
+    val mg = udaf(new graft.functions.MisraGriesAggregator(256))
+    val cand = grams.agg(mg(col("gram")).as("c"))
+      .select(explode(col("c.items")).as("gram"))
+    val n = grams.agg(count(lit(1)).as("n"))
+    grams.join(broadcast(cand), Seq("gram"), "left_semi")
+      .groupBy(col("gram")).agg(count(lit(1)).as("cnt"))
+      .crossJoin(broadcast(n))
+      .filter(col("cnt") * 200 >= col("n"))
+      .select(col("gram"), col("cnt"),
+        round(col("cnt") * lit(100.0) / col("n"), 6).as("pct"))
+  }
+
+  val heavyHittersSql: String =
+    """WITH g AS (SELECT substr(text, i, 3) AS gram
+      |  FROM documents, unnest(range(1, length(text) - 1)) z(i)
+      |  WHERE length(text) >= 3),
+      |c AS (SELECT gram, count(*) AS cnt FROM g GROUP BY 1),
+      |n AS (SELECT count(*) AS n FROM g)
+      |SELECT gram, CAST(cnt AS BIGINT) AS cnt,
+      |  round(cnt * 100.0 / n, 6) AS pct
+      |FROM c CROSS JOIN n WHERE cnt * 200 >= n""".stripMargin
+
   // ------------------------------------------------------- triangles
 
   /** Graph-shape stats of the LSH near-dup graph (edges = the verified

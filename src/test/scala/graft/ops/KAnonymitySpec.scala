@@ -80,6 +80,25 @@ class KAnonymitySpec extends SparkSpec {
     assert(maxT >= 0.0 && maxT <= 1.0)
   }
 
+  test("randomized response: estimator debiases the deterministic coin; flips really happen") {
+    val rows = Curation.dpRandomizedResponse(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4)))
+    assert(rows.nonEmpty)
+    rows.foreach { case (_, n, _, repYes, est) =>
+      // est = (4·reported_yes − n)/2, replayed exactly
+      assert(est === (4L * repYes - n) / 2.0)
+    }
+    // privacy is live: some rows flipped (reported ≠ true in aggregate)
+    assert(rows.exists { case (_, _, trueYes, repYes, _) => trueYes != repYes },
+      "no nation shows any flipped bits — the coin is dead")
+    // the coin is a fair 3/4: global flip fraction within 10% of 1/4
+    val (totN, totTrue, totRep) =
+      (rows.map(_._2).sum, rows.map(_._3).sum, rows.map(_._4).sum)
+    // reported = true + flips_from_no − flips_from_yes; bound the net
+    assert(math.abs(totRep - totTrue) < totN / 2,
+      s"reported $totRep wildly off true $totTrue over $totN rows")
+  }
+
   test("census ≡ direct recomputation at L3") {
     val direct = graft.Tables.load(spark, sf, "customer")
       .groupBy(col("c_nationkey"))
