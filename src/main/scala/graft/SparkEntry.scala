@@ -63,6 +63,8 @@ object SparkEntry {
     "q_trend_slope" -> (Events.trendSlope(_, _)),
     "q_anomaly_days" -> (Events.anomalyDays(_, _)),
     "q_ewma_daily" -> (Events.ewmaDaily(_, _)),
+    "q_regression_multi" -> (Events.regressionMulti(_, _)),
+    "q_theil_sen" -> (Events.theilSenSlope(_, _)),
     "q_pagerank" -> ((s, d) => LlmOps.pagerankTopK(s, d)),
     "q_percentiles" -> (Analytics.quantitiesQuartiles(_, _)),
     // — DV3F reshape pipeline (SURVEY §2.5, T1-T4)
@@ -673,6 +675,8 @@ object SparkEntry {
     "q_trend_slope" -> Events.trendSlopeSql,
     "q_anomaly_days" -> Events.anomalyDaysSql,
     "q_ewma_daily" -> Events.ewmaDailySql,
+    "q_regression_multi" -> Events.regressionMultiSql,
+    "q_theil_sen" -> Events.theilSenSlopeSql,
     "q_pagerank" -> LlmOps.pagerankTopKSql,
     "q_asof_join" -> Events.asofPurchaseSql,
     "q_asof_join_native" -> Events.asofPurchaseSql,

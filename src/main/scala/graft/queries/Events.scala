@@ -419,6 +419,128 @@ object Events {
        |FROM e""".stripMargin
   }
 
+  /** Per-type MULTIPLE linear regression (2 features) by closed-form
+    * normal equations — extends [[trendSlope]]'s single-feature fit to
+    * the day-index + weekend-indicator design matrix, so the trend
+    * estimate is no longer confounded by weekly seasonality (the
+    * weekend dip otherwise biases a pure time slope). β = (XᵀX)⁻¹Xᵀy
+    * solved by Cramer's rule on the 3×3 moment matrix with EVERY
+    * determinant in exact int64 (entries are sums of day-index/count
+    * products — bounded by the calendar, ≪ 2^63 at any corpus scale);
+    * the only float ops are the three final β = detᵢ/det divisions.
+    *
+    * Shape: one (type, day) aggregate, one |types|-keyed moment
+    * aggregate (map-side combined; 9 running sums per type — the
+    * classic "sufficient statistics in one pass" trick), then row-local
+    * determinant arithmetic. Distributed cost is the daily rollup; the
+    * regression itself is per-group O(1).
+    */
+  def regressionMulti(spark: SparkSession, dir: String): DataFrame = {
+    // 2024-01-01 is a Monday: x1 % 7 ∈ {5,6} ⇔ weekend, in pure integer
+    // arithmetic (dayofweek() conventions differ across engines)
+    val daily = Tables.loadEvents(spark, dir)
+      .groupBy(col("event_type"),
+        datediff(col("ts").cast("date"), lit("2024-01-01").cast("date"))
+          .cast(LongType).as("x1"))
+      .agg(count(lit(1)).as("y"))
+      .withColumn("x2", when(col("x1") % 7 >= 5, 1L).otherwise(0L))
+    val s = daily.groupBy(col("event_type")).agg(
+      count(lit(1)).as("s00"), sum(col("x1")).as("s01"),
+      sum(col("x2")).as("s02"), sum(col("x1") * col("x1")).as("s11"),
+      sum(col("x1") * col("x2")).as("s12"),
+      sum(col("x2") * col("x2")).as("s22"), sum(col("y")).as("sy"),
+      sum(col("x1") * col("y")).as("s1y"), sum(col("x2") * col("y")).as("s2y"))
+    val det = col("s00") * (col("s11") * col("s22") - col("s12") * col("s12")) -
+      col("s01") * (col("s01") * col("s22") - col("s12") * col("s02")) +
+      col("s02") * (col("s01") * col("s12") - col("s11") * col("s02"))
+    val det0 = col("sy") * (col("s11") * col("s22") - col("s12") * col("s12")) -
+      col("s01") * (col("s1y") * col("s22") - col("s12") * col("s2y")) +
+      col("s02") * (col("s1y") * col("s12") - col("s11") * col("s2y"))
+    val det1 = col("s00") * (col("s1y") * col("s22") - col("s2y") * col("s12")) -
+      col("sy") * (col("s01") * col("s22") - col("s12") * col("s02")) +
+      col("s02") * (col("s01") * col("s2y") - col("s1y") * col("s02"))
+    val det2 = col("s00") * (col("s11") * col("s2y") - col("s12") * col("s1y")) -
+      col("s01") * (col("s01") * col("s2y") - col("s1y") * col("s02")) +
+      col("sy") * (col("s01") * col("s12") - col("s11") * col("s02"))
+    s.select(col("event_type"), col("s00").as("n_days"),
+        round(det0.cast(DoubleType) / det, 6).as("intercept"),
+        round(det1.cast(DoubleType) / det, 6).as("slope"),
+        round(det2.cast(DoubleType) / det, 6).as("weekend_lift"))
+      .orderBy(col("event_type"))
+  }
+
+  val regressionMultiSql: String =
+    """WITH daily AS (SELECT event_type,
+      |    datediff('day', DATE '2024-01-01', ts::TIMESTAMP::DATE)::BIGINT AS x1,
+      |    count(*)::BIGINT AS y
+      |  FROM events GROUP BY 1, 2),
+      |d2 AS (SELECT event_type, x1, y,
+      |    CASE WHEN x1 % 7 >= 5 THEN 1 ELSE 0 END::BIGINT AS x2 FROM daily),
+      |s AS (SELECT event_type, count(*)::BIGINT AS s00, sum(x1)::BIGINT AS s01,
+      |    sum(x2)::BIGINT AS s02, sum(x1*x1)::BIGINT AS s11,
+      |    sum(x1*x2)::BIGINT AS s12, sum(x2*x2)::BIGINT AS s22,
+      |    sum(y)::BIGINT AS sy, sum(x1*y)::BIGINT AS s1y,
+      |    sum(x2*y)::BIGINT AS s2y
+      |  FROM d2 GROUP BY 1)
+      |SELECT event_type, s00 AS n_days,
+      |  round(CAST(sy*(s11*s22 - s12*s12) - s01*(s1y*s22 - s12*s2y)
+      |    + s02*(s1y*s12 - s11*s2y) AS DOUBLE)
+      |    / (s00*(s11*s22 - s12*s12) - s01*(s01*s22 - s12*s02)
+      |       + s02*(s01*s12 - s11*s02)), 6) AS intercept,
+      |  round(CAST(s00*(s1y*s22 - s2y*s12) - sy*(s01*s22 - s12*s02)
+      |    + s02*(s01*s2y - s1y*s02) AS DOUBLE)
+      |    / (s00*(s11*s22 - s12*s12) - s01*(s01*s22 - s12*s02)
+      |       + s02*(s01*s12 - s11*s02)), 6) AS slope,
+      |  round(CAST(s00*(s11*s2y - s12*s1y) - s01*(s01*s2y - s1y*s02)
+      |    + sy*(s01*s12 - s11*s02) AS DOUBLE)
+      |    / (s00*(s11*s22 - s12*s12) - s01*(s01*s22 - s12*s02)
+      |       + s02*(s01*s12 - s11*s02)), 6) AS weekend_lift
+      |FROM s ORDER BY 1""".stripMargin
+
+  /** THEIL-SEN robust trend per event type — the median of all pairwise
+    * daily slopes, the estimator that shrugs off the outlier days that
+    * drag [[trendSlope]]'s least squares around (up to ~29% gross
+    * outliers before breakdown). Every slope is ONE IEEE division of
+    * int64s ((y_b − y_a)/(x_b − x_a)); the median interpolates the two
+    * middle values identically in both engines (quantile_cont
+    * semantics).
+    *
+    * Shape: the pair join is keyed on event_type over the CALENDAR-
+    * sized daily grain — |days|²/2 pairs per type is bounded by the
+    * date domain (150 days → ~11k pairs), not the corpus, so the
+    * quadratic term is a constant at any data scale; the median is a
+    * per-type sort of that bounded pair list.
+    */
+  def theilSenSlope(spark: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.loadEvents(spark, dir)
+      .groupBy(col("event_type"),
+        datediff(col("ts").cast("date"), lit("2024-01-01").cast("date"))
+          .cast(LongType).as("x"))
+      .agg(count(lit(1)).as("y"))
+    val pairs = daily.as("a").join(daily.as("b"),
+        col("a.event_type") === col("b.event_type") && col("a.x") < col("b.x"))
+      .select(col("a.event_type").as("event_type"),
+        ((col("b.y") - col("a.y")).cast(DoubleType) / (col("b.x") - col("a.x")))
+          .as("slope"))
+    pairs.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_pairs"),
+        round(expr("percentile(slope, 0.5)"), 6).as("median_slope"))
+      .orderBy(col("event_type"))
+  }
+
+  val theilSenSlopeSql: String =
+    """WITH daily AS (SELECT event_type,
+      |    datediff('day', DATE '2024-01-01', ts::TIMESTAMP::DATE)::BIGINT AS x,
+      |    count(*)::BIGINT AS y
+      |  FROM events GROUP BY 1, 2),
+      |pairs AS (SELECT a.event_type,
+      |    CAST(b.y - a.y AS DOUBLE) / (b.x - a.x) AS slope
+      |  FROM daily a JOIN daily b
+      |    ON a.event_type = b.event_type AND a.x < b.x)
+      |SELECT event_type, CAST(count(*) AS BIGINT) AS n_pairs,
+      |  round(quantile_cont(slope, 0.5), 6) AS median_slope
+      |FROM pairs GROUP BY 1 ORDER BY 1""".stripMargin
+
   /** Event-type transition matrix (first-order Markov counts): for each
     * user timeline ordered by (ts, event_id), count consecutive
     * (prev_type → type) pairs — the path-analysis face behind "what do

@@ -156,4 +156,40 @@ class FunnelSpec extends SparkSpec {
     // day 5: baseline still 2 (4 lags of 2: num 480 / den 240), 10 > 2·2
     assert(got("2024-01-05") === ((10L, Some(2.0), true)))
   }
+
+  test("regressionMulti recovers exact planted coefficients y = 10 + 2·x1 − 3·x2") {
+    val dir = java.nio.file.Files.createTempDirectory("olsm").toString
+    // days 0..13 (x1), weekend = x1 % 7 ∈ {5,6}; counts follow the
+    // exact integer plane, so Cramer must recover it exactly
+    val rows = for {
+      x1 <- 0 to 13
+      x2 = if (x1 % 7 >= 5) 1 else 0
+      y = 10 + 2 * x1 - 3 * x2
+      i <- 1 to y
+    } yield ((x1 * 100 + i).toLong,
+      ts(f"2024-01-${x1 + 1}%02d 10:00:00"), i.toLong, "A", 1.0, "{}")
+    rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val r = Events.regressionMulti(spark, dir).collect()(0)
+    assert(r.getString(0) === "A" && r.getLong(1) === 14L)
+    assert(r.getDouble(2) === 10.0) // intercept
+    assert(r.getDouble(3) === 2.0)  // slope
+    assert(r.getDouble(4) === -3.0) // weekend_lift
+  }
+
+  test("theilSen ignores one wild outlier day that drags OLS") {
+    val dir = java.nio.file.Files.createTempDirectory("tsen").toString
+    // perfect slope 1 for 9 days, then one 100x day
+    val rows = for {
+      (x, y) <- ((0 to 8).map(i => (i, i + 1)) :+ ((9, 500))): Seq[(Int, Int)]
+      i <- 1 to y
+    } yield ((x * 1000 + i).toLong,
+      ts(f"2024-01-${x + 1}%02d 10:00:00"), i.toLong, "A", 1.0, "{}")
+    rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val med = Events.theilSenSlope(spark, dir).collect()(0).getDouble(2)
+    val ols = Events.trendSlope(spark, dir).collect()(0).getDouble(3)
+    assert(med === 1.0, s"median slope $med != 1.0")
+    assert(ols > 10, s"OLS should be dragged by the outlier, got $ols")
+  }
 }
