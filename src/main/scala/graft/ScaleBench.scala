@@ -703,6 +703,43 @@ object ScaleBench {
         graft.ops.CacheBin.releaseAll()
         r
       }
+      // exact PPJoin: prefix postings are low-df by construction and
+      // replica shingle spaces are disjoint, so candidate pairs and
+      // verified pairs both grow ∝ k; the Σ df² term stays bounded
+      val (pjSec, pjRows, pjEx) = bestIf("ssjoin_ppjoin")(
+        queries.LlmOps.ssjoinPpjoin(spark, dir))
+      // MG heavy hitters: one k-counter map pass + a candidate-pruned
+      // exact count; word-interior char trigrams keep their share under
+      // replica tagging so the output census stays live at every k
+      val (hhSec, hhRows, hhEx) = bestIf("heavy_hitters")(
+        queries.SketchOps.heavyHitters(spark, dir))
+      // BFS: 4 relaxation rounds over the LSH pair graph (cluster-
+      // sized, ∝ duplicated docs); per round one dst-keyed join + one
+      // src-keyed min + one |V| left join; histogram rows ~flat
+      val (bfSec, bfRows, bfEx) = if (!wanted("graph_bfs")) (0.0, 0L, 0) else {
+        graft.ops.CacheBin.releaseAll(); spark.catalog.clearCache()
+        val r = bestWith(clearCaches = false)(
+          queries.SketchOps.graphBfs(spark, dir))
+        graft.ops.CacheBin.releaseAll()
+        r
+      }
+      // tf-idf keywords: tf + df aggregates + vocab join-back + per-doc
+      // top-k window; output rows exactly ∝ docs (k·|docs|·3)
+      val (tfkSec, tfkRows, tfkEx) = bestIf("tfidf_keywords")(
+        queries.LlmOps.tfidfKeywords(spark, dir))
+      // t-closeness: one customer explode + class-bucket aggregate +
+      // the ≤12-row broadcast bucket grid; census rows fixed at 2
+      // (dp_randomized_response rides this receipt: same one-pass
+      // customer scan + nation-keyed aggregate, strictly cheaper)
+      val (tcSec, tcRows, tcEx) = bestIf("t_closeness")(
+        queries.Curation.tCloseness(spark, dir))
+      // EWMA + Theil-Sen: daily rollup ∝ corpus, then calendar-bounded
+      // windows/pair joins (regression_multi rides theil_sen's shape —
+      // same daily grain, moment sums instead of the pair join)
+      val (ewSec, ewRows, ewEx) = bestIf("ewma_daily")(
+        queries.Events.ewmaDaily(spark, dir))
+      val (tsSec, tsRows, tsEx) = bestIf("theil_sen")(
+        queries.Events.theilSenSlope(spark, dir))
       val row = scala.collection.immutable.ListMap(
         "lsh_pairs" -> (lshSec, lshRows, lshEx),
         "cc_distributed" -> (ccSec, ccRows, ccEx),
@@ -775,7 +812,14 @@ object ScaleBench {
         "ivm_distinct" -> (idSec, idRows, idEx),
         "forget_embed" -> (feSec, feRows, feEx),
         "attribution_linear" -> (laSec, laRows, laEx),
-        "graph_lpa" -> (lpSec, lpRows, lpEx))
+        "graph_lpa" -> (lpSec, lpRows, lpEx),
+        "ssjoin_ppjoin" -> (pjSec, pjRows, pjEx),
+        "heavy_hitters" -> (hhSec, hhRows, hhEx),
+        "graph_bfs" -> (bfSec, bfRows, bfEx),
+        "tfidf_keywords" -> (tfkSec, tfkRows, tfkEx),
+        "t_closeness" -> (tcSec, tcRows, tcEx),
+        "ewma_daily" -> (ewSec, ewRows, ewEx),
+        "theil_sen" -> (tsSec, tsRows, tsEx))
         .filter { case (op, _) => wanted(op) }
       row.foreach { case (op, (s, r, e)) =>
         println(s"""{"scale":$k,"op":"$op","sec":$s,"rows":$r,"exchanges":$e}""")

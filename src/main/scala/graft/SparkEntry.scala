@@ -65,6 +65,7 @@ object SparkEntry {
     "q_ewma_daily" -> (Events.ewmaDaily(_, _)),
     "q_regression_multi" -> (Events.regressionMulti(_, _)),
     "q_theil_sen" -> (Events.theilSenSlope(_, _)),
+    "q_event_paths" -> (Events.eventPaths(_, _)),
     "q_pagerank" -> ((s, d) => LlmOps.pagerankTopK(s, d)),
     "q_percentiles" -> (Analytics.quantitiesQuartiles(_, _)),
     // — DV3F reshape pipeline (SURVEY §2.5, T1-T4)
@@ -677,6 +678,7 @@ object SparkEntry {
     "q_ewma_daily" -> Events.ewmaDailySql,
     "q_regression_multi" -> Events.regressionMultiSql,
     "q_theil_sen" -> Events.theilSenSlopeSql,
+    "q_event_paths" -> Events.eventPathsSql,
     "q_pagerank" -> LlmOps.pagerankTopKSql,
     "q_asof_join" -> Events.asofPurchaseSql,
     "q_asof_join_native" -> Events.asofPurchaseSql,

@@ -2,7 +2,7 @@ package graft.ops
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.DoubleType
+import org.apache.spark.sql.types.{DoubleType, LongType}
 
 /** EXACT set-similarity self-join with prefix filtering (PPJoin family,
   * Xiao et al. WWW 2008; Chaudhuri et al.'s SSJoin prefix filter) — the
@@ -20,8 +20,28 @@ import org.apache.spark.sql.types.DoubleType
   * prefix tokens the LOW-df ones: postings lists of the join are the
   * short tails of the vocabulary, never the stopword heads. A size
   * filter (min/max ≥ τ, integer cross-multiplied) prunes the rest.
-  * Verification is candidate-pair-sized: join each surviving pair back
-  * to its two token sets and count the exact intersection.
+  *
+  * POSITIONAL filter (PPJoin's second lever, applied per match row
+  * BEFORE the pair exchange): a collision at prefix positions
+  * (p_a, p_b) can witness an overlap of at most
+  * min(|A|−p_a, |B|−p_b) + 1 (the token itself plus the two
+  * suffixes), while Jaccard ≥ τ needs overlap ≥ α =
+  * ⌈τ(|A|+|B|)/(1+τ)⌉. Every qualifying pair's FIRST common prefix
+  * token satisfies the bound (nothing common precedes it), so rows
+  * failing it can be dropped wholesale with zero false negatives —
+  * this is what keeps the candidate exchange proportional to true
+  * near-pairs when the corpus has moderately-hot shingles even in its
+  * rare tails (template-generated text does). α is integer-exact:
+  * floor((num·(sa+sb) + num+den−1)/(num+den)).
+  *
+  * Verification is candidate-pair-sized AND row-local: each surviving
+  * pair joins to its two docs' collected token-set ARRAYS and the exact
+  * intersection is one in-row array_intersect — the exchanges carry
+  * only the compact pair list and the doc-keyed set table; the wide
+  * (pair × two sets) rows exist solely in-flight between a join and a
+  * filter, never in a shuffle. (The first cut exploded every pair back
+  * to per-token rows — candidate×|doc| rows through two exchanges,
+  * ~50 GB of spill at the x100 amplification for the same answer.)
   *
   * Scale shape: tf/df aggregates are map-side combined; the per-doc
   * prefix position is a doc-keyed window (each doc sorts only its own
@@ -53,21 +73,28 @@ object SetSimJoin {
       .join(sizes, Seq("doc_id"))
       .filter(col("p") <=
         col("sz") - floor((col("sz") * tNum + (tDen - 1)) / tDen) + 1)
-      .select(col("doc_id"), col("token"), col("sz"))
+      .select(col("doc_id"), col("token"), col("sz"), col("p"))
+    // α = ⌈num(sa+sb)/(num+den)⌉ — the overlap any τ-pair must reach
+    val alpha = floor(((col("a.sz") + col("b.sz")) * tNum
+      + (tNum + tDen - 1)) / (tNum + tDen))
     val cand = pref.as("a").join(pref.as("b"),
         col("a.token") === col("b.token") &&
           col("a.doc_id") < col("b.doc_id") &&
           col("a.sz") * tDen >= col("b.sz") * tNum &&
-          col("b.sz") * tDen >= col("a.sz") * tNum)
+          col("b.sz") * tDen >= col("a.sz") * tNum &&
+          least(col("a.sz") - col("a.p"), col("b.sz") - col("b.p")) + 1 >= alpha)
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
         col("a.sz").as("sz_a"), col("b.sz").as("sz_b"))
       .distinct()
+    val docSets = toks.groupBy(col("doc_id"))
+      .agg(collect_list(col("token")).as("set"))
     cand
-      .join(toks.as("ta"), col("doc_a") === col("ta.doc_id"))
-      .join(toks.as("tb"),
-        col("doc_b") === col("tb.doc_id") && col("ta.token") === col("tb.token"))
-      .groupBy(col("doc_a"), col("doc_b"), col("sz_a"), col("sz_b"))
-      .agg(count(lit(1)).as("inter"))
+      .join(docSets.select(col("doc_id").as("doc_a"), col("set").as("set_a")),
+        Seq("doc_a"))
+      .join(docSets.select(col("doc_id").as("doc_b"), col("set").as("set_b")),
+        Seq("doc_b"))
+      .withColumn("inter",
+        size(array_intersect(col("set_a"), col("set_b"))).cast(LongType))
       .withColumn("union_sz", col("sz_a") + col("sz_b") - col("inter"))
       .filter(col("inter") * tDen >= col("union_sz") * tNum)
       .select(col("doc_a"), col("doc_b"), col("inter"), col("union_sz"),

@@ -541,6 +541,43 @@ object Events {
       |  round(quantile_cont(slope, 0.5), 6) AS median_slope
       |FROM pairs GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** Top event PATHS (3-step sequences) — the higher-order companion to
+    * [[eventTransitions]]' first-order Markov matrix: "what do users
+    * actually do" as ranked journeys (the product-analytics path
+    * report), which the 1-step matrix cannot reconstruct (it loses the
+    * joint distribution). Consecutive-triple extraction is two lead()
+    * taps over the per-user (ts, event_id)-ordered timeline — one
+    * user-keyed window, each user sorts only their own events — then a
+    * path-keyed count and a top-10 with full lexicographic tie-break
+    * (TakeOrderedAndProject keeps 10 per partition; no global sort).
+    */
+  def eventPaths(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    Tables.loadEvents(spark, dir)
+      .withColumn("e2", lead(col("event_type"), 1).over(w))
+      .withColumn("e3", lead(col("event_type"), 2).over(w))
+      .filter(col("e2").isNotNull && col("e3").isNotNull)
+      .groupBy(col("event_type").as("s1"), col("e2").as("s2"),
+        col("e3").as("s3"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("s1"), col("s2"), col("s3"))
+      .limit(10)
+  }
+
+  val eventPathsSql: String =
+    """WITH t AS (SELECT user_id, event_type,
+      |    lead(event_type, 1) OVER w AS e2,
+      |    lead(event_type, 2) OVER w AS e3
+      |  FROM events
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+      |SELECT event_type AS s1, e2 AS s2, e3 AS s3,
+      |  CAST(count(*) AS BIGINT) AS n
+      |FROM t WHERE e2 IS NOT NULL AND e3 IS NOT NULL
+      |GROUP BY 1, 2, 3
+      |ORDER BY n DESC, s1, s2, s3 LIMIT 10""".stripMargin
+
   /** Event-type transition matrix (first-order Markov counts): for each
     * user timeline ordered by (ts, event_id), count consecutive
     * (prev_type → type) pairs — the path-analysis face behind "what do

@@ -574,6 +574,9 @@ object SketchOps {
     * vocab groupBy instead.
     */
   def heavyHitters(spark: SparkSession, dir: String): DataFrame = {
+    // deliberately NOT pinned: the gram stream is token-stream-sized
+    // (a cache would be corpus-proportional memory); the two passes
+    // each re-run the map-side explode instead, which is the cheap leg
     val grams = Tables.load(spark, dir, "documents")
       .filter(length(col("text")) >= 3)
       .select(col("text"),

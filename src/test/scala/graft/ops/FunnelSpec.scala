@@ -177,6 +177,25 @@ class FunnelSpec extends SparkSpec {
     assert(r.getDouble(4) === -3.0) // weekend_lift
   }
 
+  test("eventPaths counts exactly the consecutive triples per user timeline") {
+    val dir = java.nio.file.Files.createTempDirectory("paths").toString
+    // user 1: a,b,c,d → paths abc, bcd; user 2: a,b,c → abc
+    val rows = Seq(
+      (1L, ts("2024-01-01 10:00:00"), 1L, "a", 1.0, "{}"),
+      (2L, ts("2024-01-01 10:01:00"), 1L, "b", 1.0, "{}"),
+      (3L, ts("2024-01-01 10:02:00"), 1L, "c", 1.0, "{}"),
+      (4L, ts("2024-01-01 10:03:00"), 1L, "d", 1.0, "{}"),
+      (5L, ts("2024-01-01 11:00:00"), 2L, "a", 1.0, "{}"),
+      (6L, ts("2024-01-01 11:01:00"), 2L, "b", 1.0, "{}"),
+      (7L, ts("2024-01-01 11:02:00"), 2L, "c", 1.0, "{}"))
+    rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val got = Events.eventPaths(spark, dir).collect()
+      .map(r => ((r.getString(0), r.getString(1), r.getString(2)), r.getLong(3)))
+      .toMap
+    assert(got === Map(("a", "b", "c") -> 2L, ("b", "c", "d") -> 1L))
+  }
+
   test("theilSen ignores one wild outlier day that drags OLS") {
     val dir = java.nio.file.Files.createTempDirectory("tsen").toString
     // perfect slope 1 for 9 days, then one 100x day
