@@ -132,6 +132,7 @@ object SparkEntry {
     "q_vocab_topk" -> (LlmOps.vocabTopK(_, _)),
     "q_tfidf_keywords" -> ((s, d) => LlmOps.tfidfKeywords(s, d)),
     "q_ssjoin_ppjoin" -> (LlmOps.ssjoinPpjoin(_, _)),
+    "q_ssjoin_incr" -> (LlmOps.ssjoinIncr(_, _)),
     "q_vocab_richness" -> (LlmOps.vocabRichness(_, _)),
     "q_source_novelty" -> (LlmOps.sourceNovelty(_, _)),
     "q_dedup_bbit_est" -> (LlmOps.bbitMinhashEstimate(_, _)),
@@ -513,6 +514,7 @@ object SparkEntry {
     "q_vocab_topk" -> LlmOps.vocabTopKSql,
     "q_tfidf_keywords" -> LlmOps.tfidfKeywordsSql,
     "q_ssjoin_ppjoin" -> LlmOps.ssjoinPpjoinSql,
+    "q_ssjoin_incr" -> LlmOps.ssjoinIncrSql,
     "q_vocab_richness" -> LlmOps.vocabRichnessSql,
     "q_source_novelty" -> LlmOps.sourceNoveltySql,
     "q_dedup_bbit_est" -> LlmOps.bbitMinhashEstimateSql,

@@ -100,4 +100,62 @@ object SetSimJoin {
       .select(col("doc_a"), col("doc_b"), col("inter"), col("union_sz"),
         round(col("inter").cast(DoubleType) / col("union_sz"), 6).as("jaccard"))
   }
+
+  /** INCREMENTAL (cross-only) PPJoin — the standing incremental-ingest
+    * contract (digests, LSH sigs, winnow fps, index segments) applied
+    * to the exact tier: every (batch, corpus) pair with Jaccard ≥
+    * tNum/tDen, with NO batch×batch and NO corpus×corpus join anywhere
+    * (the [[Dedup.crossLshCandidates]] convention), so per-batch cost
+    * is ∝ |batch| prefix rows probing corpus postings plus
+    * candidate-sized verification.
+    *
+    * The token order comes from CORPUS document frequencies alone (the
+    * artifact a staged deployment already has): batch-only tokens
+    * coalesce to df 0 — rarest — which keeps the order a single global
+    * total order across both sides, the only property the prefix and
+    * positional theorems need. Returns (doc_new, doc_base, inter,
+    * union_sz, jaccard).
+    */
+  def ppjoinCross(batch: DataFrame, corpus: DataFrame,
+      tNum: Int, tDen: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val b = CacheBin.pin(batch.select(col("doc_id"), col("token")))
+    val c = CacheBin.pin(corpus.select(col("doc_id"), col("token")))
+    val dfs = c.groupBy(col("token")).agg(count(lit(1)).as("df"))
+    def prefixOf(side: DataFrame): DataFrame = {
+      val sizes = side.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
+      val w = Window.partitionBy(col("doc_id"))
+        .orderBy(col("df"), col("token"))
+      side.join(dfs, Seq("token"), "left")
+        .withColumn("df", coalesce(col("df"), lit(0L)))
+        .withColumn("p", row_number().over(w))
+        .join(sizes, Seq("doc_id"))
+        .filter(col("p") <=
+          col("sz") - floor((col("sz") * tNum + (tDen - 1)) / tDen) + 1)
+        .select(col("doc_id"), col("token"), col("sz"), col("p"))
+    }
+    val alpha = floor(((col("a.sz") + col("b.sz")) * tNum
+      + (tNum + tDen - 1)) / (tNum + tDen))
+    val cand = prefixOf(b).as("a").join(prefixOf(c).as("b"),
+        col("a.token") === col("b.token") &&
+          col("a.sz") * tDen >= col("b.sz") * tNum &&
+          col("b.sz") * tDen >= col("a.sz") * tNum &&
+          least(col("a.sz") - col("a.p"), col("b.sz") - col("b.p")) + 1 >= alpha)
+      .select(col("a.doc_id").as("doc_new"), col("b.doc_id").as("doc_base"),
+        col("a.sz").as("sz_a"), col("b.sz").as("sz_b"))
+      .distinct()
+    val setsB = b.groupBy(col("doc_id")).agg(collect_list(col("token")).as("set"))
+    val setsC = c.groupBy(col("doc_id")).agg(collect_list(col("token")).as("set"))
+    cand
+      .join(setsB.select(col("doc_id").as("doc_new"), col("set").as("set_a")),
+        Seq("doc_new"))
+      .join(setsC.select(col("doc_id").as("doc_base"), col("set").as("set_b")),
+        Seq("doc_base"))
+      .withColumn("inter",
+        size(array_intersect(col("set_a"), col("set_b"))).cast(LongType))
+      .withColumn("union_sz", col("sz_a") + col("sz_b") - col("inter"))
+      .filter(col("inter") * tDen >= col("union_sz") * tNum)
+      .select(col("doc_new"), col("doc_base"), col("inter"), col("union_sz"),
+        round(col("inter").cast(DoubleType) / col("union_sz"), 6).as("jaccard"))
+  }
 }

@@ -1864,17 +1864,57 @@ object LlmOps {
     * re-proves on every corpus it gates.
     */
   def ssjoinPpjoin(spark: SparkSession, dir: String): DataFrame = {
+    // 60-bit shingle hashes, not strings (the ngramJaccard convention):
+    // every exchange of the prefix plan carries 8-byte longs, and the
+    // fused kernel skips per-shingle string rows entirely
     val toks = Tables.load(spark, dir, "documents")
       .select(col("doc_id"),
-        explode(array_distinct(Dedup.shingles(col("text"), 3))).as("token"))
+        explode(graft.functions.GraftFunctions
+          .wordShingleHashes(col("text"), 3)).as("token"))
     SetSimJoin.ppjoin(toks, tNum = 1, tDen = 2)
   }
 
+  /** Incremental exact gate: cross-only PPJoin of the arriving batch
+    * (doc_id % 10 = 0, the [[dedupIncrementalLsh]] slice convention)
+    * against the corpus — the NO-FALSE-NEGATIVE upgrade of that LSH
+    * gate. See [[graft.ops.SetSimJoin.ppjoinCross]].
+    */
+  def ssjoinIncr(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.load(spark, dir, "documents")
+    def sh(d: DataFrame) = d.select(col("doc_id"),
+      explode(graft.functions.GraftFunctions
+        .wordShingleHashes(col("text"), 3)).as("token"))
+    SetSimJoin.ppjoinCross(
+      sh(docs.filter(col("doc_id") % 10 === 0)),
+      sh(docs.filter(col("doc_id") % 10 =!= 0)), tNum = 1, tDen = 2)
+  }
+
+  lazy val ssjoinIncrSql: String =
+    s"""WITH $shingleCte,
+      |hs AS (SELECT doc_id,
+      |    ('0x' || substr(md5(shingle), 1, 15))::BIGINT AS h FROM sh),
+      |b AS (SELECT doc_id, h FROM hs WHERE doc_id % 10 = 0),
+      |c AS (SELECT doc_id, h FROM hs WHERE doc_id % 10 <> 0),
+      |szb AS (SELECT doc_id, count(*) AS sz FROM b GROUP BY 1),
+      |szc AS (SELECT doc_id, count(*) AS sz FROM c GROUP BY 1),
+      |pair AS (SELECT b.doc_id AS doc_new, c.doc_id AS doc_base,
+      |    count(*) AS inter
+      |  FROM b JOIN c ON b.h = c.h GROUP BY 1, 2)
+      |SELECT doc_new, doc_base, CAST(inter AS BIGINT) AS inter,
+      |  CAST(sa.sz + sb.sz - inter AS BIGINT) AS union_sz,
+      |  round(CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter), 6) AS jaccard
+      |FROM pair
+      |JOIN szb sa ON sa.doc_id = pair.doc_new
+      |JOIN szc sb ON sb.doc_id = pair.doc_base
+      |WHERE inter * 2 >= (sa.sz + sb.sz - inter) * 1""".stripMargin
+
   lazy val ssjoinPpjoinSql: String =
     s"""WITH $shingleCte,
-      |sz AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY 1),
+      |hs AS (SELECT doc_id,
+      |    ('0x' || substr(md5(shingle), 1, 15))::BIGINT AS h FROM sh),
+      |sz AS (SELECT doc_id, count(*) AS sz FROM hs GROUP BY 1),
       |pair AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
-      |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      |  FROM hs a JOIN hs b ON a.h = b.h AND a.doc_id < b.doc_id
       |  GROUP BY 1, 2)
       |SELECT doc_a, doc_b, CAST(inter AS BIGINT) AS inter,
       |  CAST(sa.sz + sb.sz - inter AS BIGINT) AS union_sz,

@@ -57,6 +57,23 @@ class SetSimJoinSpec extends SparkSpec {
     assert(hi === Set((1L, 5L, 1.0)))
   }
 
+  test("cross-only incremental join ≡ brute force on the cross slice, within-side pairs absent") {
+    val got = graft.queries.LlmOps.ssjoinIncr(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val sets = graft.Tables.load(spark, sf, "documents")
+      .select(col("doc_id"), array_distinct(Dedup.shingles(col("text"), 3)).as("sh"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1).toSet).toMap
+    val exp = (for {
+      bId <- sets.keys if bId % 10 == 0
+      cId <- sets.keys if cId % 10 != 0
+      inter = (sets(bId) & sets(cId)).size
+      un = (sets(bId) | sets(cId)).size
+      if inter * 2 >= un
+    } yield (bId, cId)).toSet
+    assert(got === exp)
+    assert(got.forall { case (n, b) => n % 10 == 0 && b % 10 != 0 })
+  }
+
   test("real corpus at τ=1/2 over trigram shingles: exactly the near-dup pairs, none missed") {
     val face = graft.queries.LlmOps.ssjoinPpjoin(spark, sf)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
