@@ -28,6 +28,7 @@ object SparkEntry {
     "q_limit_preview" -> (Analytics.limitPreview(_, _)),
     "q_union_all" -> (Analytics.unionAllLiterals(_, _)),
     "q_sql_ordinal" -> (Analytics.sqlOrdinal(_, _)),
+    "q_sql_recursive" -> (Analytics.sqlRecursive(_, _)),
     "q_sql_groupby_all" -> (Analytics.sqlGroupByAll(_, _)),
     "q_sql_params" -> (Analytics.sqlParams(_, _)),
     "q_sql_rollup" -> (Analytics.rollupCounts(_, _)),
@@ -323,6 +324,7 @@ object SparkEntry {
       "SELECT * FROM region ORDER BY r_regionkey LIMIT 10",
     "q_union_all" ->
       "SELECT 1 AS id UNION ALL SELECT NULL AS id",
+    "q_sql_recursive" -> Analytics.sqlRecursiveSql,
     "q_sql_ordinal" ->
       """SELECT date_trunc('month', o_orderdate) AS order_month,
          count(*) AS number_of_orders,

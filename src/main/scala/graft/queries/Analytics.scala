@@ -100,6 +100,48 @@ object Analytics {
         |FROM orders GROUP BY 1 ORDER BY 1 DESC""".stripMargin)
   }
 
+  /** RECURSIVE CTE through the SQL layer (WITH RECURSIVE — Spark 4.x's
+    * UnionLoop execution; the iterative-query surface every warehouse
+    * SQL dialect ships and the one SQL feature the engine's own
+    * iterative operators otherwise hand-roll): a level-synchronous walk
+    * of the implicit customer binary tree (parent(k) = k/2 — every key
+    * chains to root 0; the `> t.k` guard breaks 0's self-loop), emitting
+    * the per-depth node census and exact
+    * money rollup. Each iteration is ONE distributed join of the
+    * frontier against the base table — the anchor/step shape CC's
+    * pointer doubling and the BFS face compose manually; here Catalyst
+    * drives the loop. The oracle runs the IDENTICAL statement (DuckDB
+    * shares the WITH RECURSIVE surface), money in DECIMAL(18,2).
+    */
+  def sqlRecursive(spark: SparkSession, dir: String): DataFrame = {
+    Tables.load(spark, dir, "customer").createOrReplaceTempView("customer")
+    spark.sql(
+      """WITH RECURSIVE tree AS (
+        |  SELECT c_custkey AS k, 0 AS depth, c_acctbal FROM customer
+        |  WHERE c_custkey = 0
+        |  UNION ALL
+        |  SELECT c.c_custkey, t.depth + 1, c.c_acctbal
+        |  FROM tree t JOIN customer c
+        |    ON c.c_custkey IN (t.k * 2, t.k * 2 + 1)
+        |    AND c.c_custkey > t.k)
+        |SELECT depth, CAST(count(*) AS BIGINT) AS n_nodes,
+        |  CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS bal_usd
+        |FROM tree GROUP BY 1 ORDER BY 1""".stripMargin)
+  }
+
+  val sqlRecursiveSql: String =
+    """WITH RECURSIVE tree AS (
+      |  SELECT c_custkey AS k, 0 AS depth, c_acctbal FROM customer
+      |  WHERE c_custkey = 0
+      |  UNION ALL
+      |  SELECT c.c_custkey, t.depth + 1, c.c_acctbal
+      |  FROM tree t JOIN customer c
+      |    ON c.c_custkey IN (t.k * 2, t.k * 2 + 1)
+      |    AND c.c_custkey > t.k)
+      |SELECT depth, CAST(count(*) AS BIGINT) AS n_nodes,
+      |  CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS bal_usd
+      |FROM tree GROUP BY 1 ORDER BY 1""".stripMargin
+
   /** A6 through the SQL layer proper: GROUP BY ALL (reference:
     * evidence-workspace/pages/index.md:95).
     */
