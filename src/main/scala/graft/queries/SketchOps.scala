@@ -574,21 +574,97 @@ object SketchOps {
     * vocab groupBy instead.
     */
   def heavyHitters(spark: SparkSession, dir: String): DataFrame = {
-    // deliberately NOT pinned: the gram stream is token-stream-sized
-    // (a cache would be corpus-proportional memory); the two passes
-    // each re-run the map-side explode instead, which is the cheap leg
-    val grams = Tables.load(spark, dir, "documents")
-      .filter(length(col("text")) >= 3)
-      .select(col("text"),
-        explode(sequence(lit(1), length(col("text")) - 2)).as("i"))
-      .select(expr("substring(text, i, 3)").as("gram"))
-    val mg = udaf(new graft.functions.MisraGriesAggregator(256))
-    val cand = grams.agg(mg(col("gram")).as("c"))
-      .select(explode(col("c.items")).as("gram"))
-    val n = grams.agg(count(lit(1)).as("n"))
-    grams.join(broadcast(cand), Seq("gram"), "left_semi")
-      .groupBy(col("gram")).agg(count(lit(1)).as("cnt"))
-      .crossJoin(broadcast(n))
+    // the MG pass keys on xxhash64(gram) — one cheap long per gram, no
+    // per-gram packing arithmetic. A hash COLLISION is harmless at
+    // every step: it can only merge two grams' counts in the sketch
+    // (the true heavy gram's merged counter is ≥ its own count, so the
+    // superset guarantee strengthens) and the candidate semi-join then
+    // admits both colliding grams into the EXACT string-keyed count,
+    // which separates them again. Deliberately NOT pinned: the gram
+    // stream is token-stream-sized (a cache would be corpus-
+    // proportional memory); the passes re-run the map-side explode,
+    // which is the cheap leg.
+    // The gram walk is a PER-DOC char loop, not explode+substring: the
+    // generator formulation was measured at 1.1 s of pure
+    // substring(text, i, 3) at sf0.1 — UTF8String substring is O(i)
+    // per call (codepoint walk), so a whole-doc gram sweep through it
+    // is O(len²). The imperative sweep packs each trigram into an
+    // EXACT 48-bit code ((c1<<32)|(c2<<16)|c3 — bijective for BMP
+    // strings, no hash, no collision budget) at O(len) per doc.
+    // PER-PARTITION MG, not an Aggregator: the union of per-partition
+    // sketch keys is itself a superset of the global ≥ N/(k+1) items
+    // (if a key misses EVERY partition sketch then count_p ≤ N_p/(k+1)
+    // for all p, so its total ≤ N/(k+1)) — no merge rule needed for
+    // the candidate contract. (The Aggregator-with-udaf formulation
+    // re-serializes its kryo buffer per input row — measured ~8 µs/row
+    // — and a string-keyed groupBy verify costs ~2 s vs these passes'
+    // ~0.3 s.) Pass 1 emits ≤ k sketch keys per partition plus the
+    // partition gram count (sentinel key); pass 2 re-counts ONLY
+    // candidate codes — primitive LongMap probes end to end — and
+    // decodes the ≤ |cand| surviving codes back to gram strings.
+    // Explode-amplification guard: gram work is ~300× the input bytes,
+    // so small inputs (sf0.1 = one ~700 KB file) get doc-row
+    // repartitioning; a 100 TB scan already has ≥ parallelism splits.
+    import org.apache.spark.sql.{Encoders => Encs}
+    val docs0 = Tables.load(spark, dir, "documents")
+    val par = spark.sparkContext.defaultParallelism
+    val docs =
+      (if (docs0.rdd.getNumPartitions < par) docs0.repartition(par) else docs0)
+        .select(col("text")).as(Encs.STRING)
+    val k = 256
+    val sentinel = Long.MinValue
+    def codesOf(t: String)(f: Long => Unit): Unit = {
+      var i = 0
+      val n = t.length - 2
+      while (i < n) {
+        f((t.charAt(i).toLong << 32) | (t.charAt(i + 1).toLong << 16)
+          | t.charAt(i + 2).toLong)
+        i += 1
+      }
+    }
+    val pass1 = docs.mapPartitions { it =>
+      val b = scala.collection.mutable.LongMap.empty[Long]
+      var np = 0L
+      it.foreach { t =>
+        codesOf(t) { key =>
+          np += 1
+          val cur = b.getOrElse(key, -1L)
+          if (cur >= 0) b(key) = cur + 1
+          else if (b.size < k) b(key) = 1L
+          else { // decrement-all; amortized O(1) per gram
+            val keys = b.keysIterator.toArray
+            var i = 0
+            while (i < keys.length) {
+              val kk = keys(i); val v = b(kk) - 1
+              if (v <= 0) b -= kk else b(kk) = v
+              i += 1
+            }
+          }
+        }
+      }
+      b.keysIterator.map(h => (h, 0L)) ++ Iterator((sentinel, np))
+    }(Encs.tuple(Encs.scalaLong, Encs.scalaLong))
+      .toDF("code", "np")
+    val candSet = pass1.filter(col("code") =!= sentinel)
+      .select(col("code")).distinct()
+      .collect().map(_.getLong(0)).toSet // ≤ k·|partitions| keys
+    val n = pass1.filter(col("code") === sentinel)
+      .agg(sum(col("np")).as("n"))
+    val candB = spark.sparkContext.broadcast(candSet)
+    val exact = docs.mapPartitions { it =>
+      val cand = candB.value
+      val cnt = scala.collection.mutable.LongMap.empty[Long]
+      it.foreach(t => codesOf(t) { code =>
+        if (cand.contains(code)) cnt(code) = cnt.getOrElse(code, 0L) + 1
+      })
+      cnt.iterator.map { case (code, c) =>
+        (new String(Array(((code >> 32) & 0xFFFF).toChar,
+          ((code >> 16) & 0xFFFF).toChar, (code & 0xFFFF).toChar)), c)
+      }
+    }(Encs.tuple(Encs.STRING, Encs.scalaLong))
+      .toDF("gram", "cnt")
+      .groupBy(col("gram")).agg(sum(col("cnt")).as("cnt"))
+    exact.crossJoin(broadcast(n))
       .filter(col("cnt") * 200 >= col("n"))
       .select(col("gram"), col("cnt"),
         round(col("cnt") * lit(100.0) / col("n"), 6).as("pct"))

@@ -12,8 +12,8 @@ class MisraGriesSpec extends SparkSpec {
 
   // Zipf-ish: item i (1..100) appears ceil(3000/i) times → N ≈ 15k,
   // heavy head, long tail; k = 20 forces constant eviction.
-  private val zipf: Seq[String] =
-    (1 to 100).flatMap(i => Seq.fill(3000 / i + 1)(f"item_$i%03d"))
+  private val zipf: Seq[Long] =
+    (1 to 100).flatMap(i => Seq.fill(3000 / i + 1)(i.toLong))
 
   test("every item above N/(k+1) survives the sketch; counters undercount by ≤ N/(k+1)") {
     val k = 20
@@ -54,5 +54,10 @@ class MisraGriesSpec extends SparkSpec {
       .collect().map(r => (r.getString(0), r.getLong(1))).toSet
     assert(got === exact)
     assert(got.nonEmpty, "no heavy hitters at sf0.001 — dead face")
+    // the packed-code path assumes an ASCII corpus — pin it
+    val maxCp = graft.Tables.load(spark, sf, "documents")
+      .select(max(expr("array_max(transform(split(text, ''), c -> ascii(c)))")))
+      .head.getInt(0)
+    assert(maxCp < 128, s"corpus is not ASCII (max codepoint $maxCp)")
   }
 }
