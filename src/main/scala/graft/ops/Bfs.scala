@@ -45,17 +45,42 @@ object Bfs {
     var dist = und.select(col("src").as("v")).distinct()
       .withColumn("dist",
         when(isSeed(col("v")), 0L).otherwise(lit(null).cast(LongType)))
-    for (_ <- 1 to rounds) {
+    var prev = (-1L, Long.MinValue)
+    var r = 0
+    var converged = false
+    while (r < rounds && !converged) {
+      // one exchange per round: the neighbor candidates (dist+1 via the
+      // dst-keyed edge join) UNION the previous distances, then a
+      // v-keyed min — min() skips NULLs, so an unreached vertex with no
+      // reached neighbor keeps NULL, and a reached one keeps its
+      // settled minimum. Value-equivalent to the two-join
+      // (min-aggregate + left-join + least) formulation the oracle
+      // unrolls. Pinned per round: the next round references this
+      // table twice, and AQE replanning defeats ReusedExchange dedup
+      // (measured: the pin-free lineage re-evaluated rounds
+      // multiplicatively).
       val viaNbr = und
         .join(dist.withColumnRenamed("v", "dst"), Seq("dst"))
         .filter(col("dist").isNotNull)
-        .groupBy(col("src").as("v")).agg(min(col("dist") + 1).as("nd"))
-      // least() with a NULL side differs across engines; the symmetric
-      // double-coalesce is the exact tree the oracle replays
-      dist = CacheBin.pin(dist.join(viaNbr, Seq("v"), "left")
-        .select(col("v"),
-          least(coalesce(col("dist"), col("nd")),
-            coalesce(col("nd"), col("dist"))).as("dist")))
+        .select(col("src").as("v"), (col("dist") + 1).as("d"))
+      dist = CacheBin.pin(dist.select(col("v"), col("dist").as("d"))
+        .unionByName(viaNbr)
+        .groupBy(col("v")).agg(min(col("d")).as("dist")))
+      // EARLY STOP at the fixpoint: distances only ever go null→finite
+      // or decrease, so (assigned count, assigned sum) is strictly
+      // monotone under any change — equality with the previous round
+      // proves every remaining round is the identity. The oracle still
+      // unrolls the full `rounds` (fixed-round CTEs, the KCore
+      // convention): post-fixpoint rounds are identities, so values
+      // agree exactly. One graph-sized aggregate on the just-pinned
+      // table per round — far cheaper than running identity rounds of
+      // joins on a small-diameter graph.
+      val row = dist.agg(count(col("dist")).as("c"), sum(col("dist")).as("s")).head
+      val sig = (row.getLong(0),
+        if (row.isNullAt(1)) Long.MinValue else row.getLong(1))
+      converged = sig == prev
+      prev = sig
+      r += 1
     }
     dist
   }

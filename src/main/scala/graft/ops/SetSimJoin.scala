@@ -60,20 +60,28 @@ object SetSimJoin {
     * integer arithmetic and jaccard as one final rounded division.
     */
   def ppjoin(tokens: DataFrame, tNum: Int, tDen: Int): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val toks = CacheBin.pin(tokens.select(col("doc_id"), col("token")))
-    val sizes = toks.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
     val dfs = toks.groupBy(col("token")).agg(count(lit(1)).as("df"))
-    val wDoc = Window.partitionBy(col("doc_id"))
-      .orderBy(col("df"), col("token"))
+    // ONE doc-keyed collect carries the whole per-doc state: the
+    // rarest-first order is an IN-ROW sort_array over (df, token)
+    // structs (each doc sorts only its own tokens — replacing a
+    // corpus-wide window sort + a sizes join with one aggregate), and
+    // the same table feeds both the prefix explode and the verify
+    // sets.
+    val docArr = CacheBin.pin(toks.join(dfs, Seq("token"))
+      .groupBy(col("doc_id"))
+      .agg(sort_array(collect_list(struct(col("df"), col("token")))).as("arr"))
+      .withColumn("sz", size(col("arr")).cast(LongType)))
     // prefix length |X| − ⌈τ|X|⌉ + 1, with ⌈τ·sz⌉ = floor((num·sz +
     // den − 1)/den) — integer-exact (values ≪ 2^53 keep floor exact)
-    val pref = toks.join(dfs, Seq("token"))
-      .withColumn("p", row_number().over(wDoc))
-      .join(sizes, Seq("doc_id"))
-      .filter(col("p") <=
-        col("sz") - floor((col("sz") * tNum + (tDen - 1)) / tDen) + 1)
-      .select(col("doc_id"), col("token"), col("sz"), col("p"))
+    val pref = docArr
+      .withColumn("pl",
+        (col("sz") - floor((col("sz") * tNum + (tDen - 1)) / tDen) + 1)
+          .cast("int"))
+      .select(col("doc_id"), col("sz"),
+        posexplode(expr("slice(arr, 1, pl)")))
+      .select(col("doc_id"), col("sz"), (col("pos") + 1).as("p"),
+        col("col.token").as("token"))
     // α = ⌈num(sa+sb)/(num+den)⌉ — the overlap any τ-pair must reach
     val alpha = floor(((col("a.sz") + col("b.sz")) * tNum
       + (tNum + tDen - 1)) / (tNum + tDen))
@@ -86,8 +94,8 @@ object SetSimJoin {
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
         col("a.sz").as("sz_a"), col("b.sz").as("sz_b"))
       .distinct()
-    val docSets = toks.groupBy(col("doc_id"))
-      .agg(collect_list(col("token")).as("set"))
+    val docSets = docArr.select(col("doc_id"),
+      expr("transform(arr, x -> x.token)").as("set"))
     cand
       .join(docSets.select(col("doc_id").as("doc_a"), col("set").as("set_a")),
         Seq("doc_a"))
@@ -118,25 +126,29 @@ object SetSimJoin {
     */
   def ppjoinCross(batch: DataFrame, corpus: DataFrame,
       tNum: Int, tDen: Int): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val b = CacheBin.pin(batch.select(col("doc_id"), col("token")))
     val c = CacheBin.pin(corpus.select(col("doc_id"), col("token")))
     val dfs = c.groupBy(col("token")).agg(count(lit(1)).as("df"))
-    def prefixOf(side: DataFrame): DataFrame = {
-      val sizes = side.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
-      val w = Window.partitionBy(col("doc_id"))
-        .orderBy(col("df"), col("token"))
-      side.join(dfs, Seq("token"), "left")
+    // per-side doc-keyed collect with the in-row rarest-first sort
+    // (see [[ppjoin]]); batch-only tokens coalesce to df 0
+    def docArrOf(side: DataFrame): DataFrame =
+      CacheBin.pin(side.join(dfs, Seq("token"), "left")
         .withColumn("df", coalesce(col("df"), lit(0L)))
-        .withColumn("p", row_number().over(w))
-        .join(sizes, Seq("doc_id"))
-        .filter(col("p") <=
-          col("sz") - floor((col("sz") * tNum + (tDen - 1)) / tDen) + 1)
-        .select(col("doc_id"), col("token"), col("sz"), col("p"))
-    }
+        .groupBy(col("doc_id"))
+        .agg(sort_array(collect_list(struct(col("df"), col("token")))).as("arr"))
+        .withColumn("sz", size(col("arr")).cast(LongType)))
+    val (arrB, arrC) = (docArrOf(b), docArrOf(c))
+    def prefixOf(docArr: DataFrame): DataFrame = docArr
+      .withColumn("pl",
+        (col("sz") - floor((col("sz") * tNum + (tDen - 1)) / tDen) + 1)
+          .cast("int"))
+      .select(col("doc_id"), col("sz"),
+        posexplode(expr("slice(arr, 1, pl)")))
+      .select(col("doc_id"), col("sz"), (col("pos") + 1).as("p"),
+        col("col.token").as("token"))
     val alpha = floor(((col("a.sz") + col("b.sz")) * tNum
       + (tNum + tDen - 1)) / (tNum + tDen))
-    val cand = prefixOf(b).as("a").join(prefixOf(c).as("b"),
+    val cand = prefixOf(arrB).as("a").join(prefixOf(arrC).as("b"),
         col("a.token") === col("b.token") &&
           col("a.sz") * tDen >= col("b.sz") * tNum &&
           col("b.sz") * tDen >= col("a.sz") * tNum &&
@@ -144,8 +156,10 @@ object SetSimJoin {
       .select(col("a.doc_id").as("doc_new"), col("b.doc_id").as("doc_base"),
         col("a.sz").as("sz_a"), col("b.sz").as("sz_b"))
       .distinct()
-    val setsB = b.groupBy(col("doc_id")).agg(collect_list(col("token")).as("set"))
-    val setsC = c.groupBy(col("doc_id")).agg(collect_list(col("token")).as("set"))
+    def setsOf(docArr: DataFrame): DataFrame = docArr.select(col("doc_id"),
+      expr("transform(arr, x -> x.token)").as("set"))
+    val setsB = setsOf(arrB)
+    val setsC = setsOf(arrC)
     cand
       .join(setsB.select(col("doc_id").as("doc_new"), col("set").as("set_a")),
         Seq("doc_new"))
