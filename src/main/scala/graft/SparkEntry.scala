@@ -289,6 +289,7 @@ object SparkEntry {
     "q_graph_lpa" -> (SketchOps.graphLpa(_, _)),
     "q_graph_bfs" -> (SketchOps.graphBfs(_, _)),
     "q_heavy_hitters" -> (SketchOps.heavyHitters(_, _)),
+    "q_heavy_hitters_stream" -> (SketchOps.heavyHittersStreamMaterialize(_, _)),
     "q_sample_weighted" -> (SketchOps.sampleWeighted(_, _)),
     "q_sample_temperature" -> (SketchOps.sampleTemperature(_, _))
   )
@@ -640,6 +641,7 @@ object SparkEntry {
     "q_graph_lpa" -> SketchOps.graphLpaSql,
     "q_graph_bfs" -> SketchOps.graphBfsSql,
     "q_heavy_hitters" -> SketchOps.heavyHittersSql,
+    "q_heavy_hitters_stream" -> SketchOps.heavyHittersSql,
     "q_sample_weighted" -> SketchOps.sampleWeightedSql,
     "q_sample_temperature" -> SketchOps.sampleTemperatureSql,
     "q_embed_topk" -> LlmOps.embedTopKSql,

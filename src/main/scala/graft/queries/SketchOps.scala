@@ -680,6 +680,45 @@ object SketchOps {
       |  round(cnt * 100.0 / n, 6) AS pct
       |FROM c CROSS JOIN n WHERE cnt * 200 >= n""".stripMargin
 
+  /** Streaming face of [[heavyHitters]] (see
+    * [[graft.streaming.HeavyHittersStream]]): three doc-ordered
+    * micro-batches through a real StreamingQuery WITH kill-and-resume
+    * maintain the k-counter MG state generation chain; the converged
+    * report candidate-restricts the exact recount and must equal the
+    * batch face — oracle = heavyHittersSql VERBATIM.
+    */
+  def heavyHittersStreamMaterialize(spark: SparkSession, dir: String): DataFrame = {
+    val root = graft.ops.StageOnce.tmp("hh_stream", dir)
+    graft.ops.StageOnce(root) {
+      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+      import spark.implicits._
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+      val rows = Tables.load(spark, dir, "documents")
+        .select(col("doc_id"), col("text"), col("source"))
+        .orderBy(col("doc_id"))
+        .collect().map(r => graft.queries.BlocklistDoc(r.getLong(0),
+          r.getString(1), r.getString(2)))
+      val ckpt = graft.ops.StageOnce.tmp("hh_stream_ckpt", dir)
+      val mem = MemoryStream[graft.queries.BlocklistDoc]
+      def start() = graft.streaming.HeavyHittersStream.start(
+        mem.toDS().toDF(), root, ckpt)
+      val third = (rows.length + 2) / 3
+      val q1 = start()
+      try {
+        mem.addData(rows.slice(0, third).toIndexedSeq)
+        q1.processAllAvailable()
+        mem.addData(rows.slice(third, 2 * third).toIndexedSeq)
+        q1.processAllAvailable()
+      } finally q1.stop()
+      val q2 = start() // kill-and-resume from the checkpoint
+      try {
+        mem.addData(rows.slice(2 * third, rows.length).toIndexedSeq)
+        q2.processAllAvailable()
+      } finally q2.stop()
+    }
+    graft.streaming.HeavyHittersStream.report(spark, root, dir)
+  }
+
   // ------------------------------------------------------- triangles
 
   /** Graph-shape stats of the LSH near-dup graph (edges = the verified
