@@ -29,6 +29,7 @@ object SparkEntry {
     "q_union_all" -> (Analytics.unionAllLiterals(_, _)),
     "q_sql_ordinal" -> (Analytics.sqlOrdinal(_, _)),
     "q_sql_recursive" -> (Analytics.sqlRecursive(_, _)),
+    "q_corr_matrix" -> (Analytics.corrMatrix(_, _)),
     "q_sql_groupby_all" -> (Analytics.sqlGroupByAll(_, _)),
     "q_sql_params" -> (Analytics.sqlParams(_, _)),
     "q_sql_rollup" -> (Analytics.rollupCounts(_, _)),
@@ -326,6 +327,7 @@ object SparkEntry {
     "q_union_all" ->
       "SELECT 1 AS id UNION ALL SELECT NULL AS id",
     "q_sql_recursive" -> Analytics.sqlRecursiveSql,
+    "q_corr_matrix" -> Analytics.corrMatrixSql,
     "q_sql_ordinal" ->
       """SELECT date_trunc('month', o_orderdate) AS order_month,
          count(*) AS number_of_orders,

@@ -142,6 +142,70 @@ object Analytics {
       |  CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS bal_usd
       |FROM tree GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** Pearson CORRELATION MATRIX per group (quantity / extended price /
+    * discount over lineitem, by return flag) — the sufficient-statistics
+    * pattern of [[Events.regressionMulti]] applied to the classic BI
+    * "which measures move together" question: ONE map-side-combined
+    * pass collects the 9 moment sums in EXACT DECIMAL(18,2) arithmetic
+    * (order-independent — the money-sum convention; the input columns
+    * are all ≤ 2 dp so the cast is lossless), then each r is row-local
+    * double math over IDENTICAL expression trees in both engines (the
+    * moments are cast to double ONCE each; every subsequent op is one
+    * correctly-rounded IEEE step, so round(r, 6) hash-gates). Built-in
+    * corr() is deliberately not used: its internal accumulation order
+    * is engine-private, which breaks cross-engine hash equality.
+    */
+  def corrMatrix(spark: SparkSession, dir: String): DataFrame = {
+    val d = (c: String) => col(c).cast(DecimalType(18, 2))
+    val m = Tables.load(spark, dir, "lineitem")
+      .groupBy(col("l_returnflag").as("flag")).agg(
+        count(lit(1)).as("n"),
+        sum(d("l_quantity")).cast(DoubleType).as("sq"),
+        sum(d("l_extendedprice")).cast(DoubleType).as("sp"),
+        sum(d("l_discount")).cast(DoubleType).as("sd"),
+        sum(d("l_quantity") * d("l_quantity")).cast(DoubleType).as("sqq"),
+        sum(d("l_extendedprice") * d("l_extendedprice")).cast(DoubleType).as("spp"),
+        sum(d("l_discount") * d("l_discount")).cast(DoubleType).as("sdd"),
+        sum(d("l_quantity") * d("l_extendedprice")).cast(DoubleType).as("sqp"),
+        sum(d("l_quantity") * d("l_discount")).cast(DoubleType).as("sqd"),
+        sum(d("l_extendedprice") * d("l_discount")).cast(DoubleType).as("spd"))
+    def r(sxy: Column, sx: Column, sy: Column, sxx: Column, syy: Column) =
+      round((col("n") * sxy - sx * sy) /
+        sqrt((col("n") * sxx - sx * sx) * (col("n") * syy - sy * sy)), 6)
+    m.select(col("flag"), col("n"),
+        r(col("sqp"), col("sq"), col("sp"), col("sqq"), col("spp")).as("r_qty_price"),
+        r(col("sqd"), col("sq"), col("sd"), col("sqq"), col("sdd")).as("r_qty_disc"),
+        r(col("spd"), col("sp"), col("sd"), col("spp"), col("sdd")).as("r_price_disc"))
+      .orderBy(col("flag"))
+  }
+
+  val corrMatrixSql: String =
+    """WITH m AS (SELECT l_returnflag AS flag, count(*)::BIGINT AS n,
+      |    CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sq,
+      |    CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sp,
+      |    CAST(sum(CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) AS sd,
+      |    CAST(sum(CAST(l_quantity AS DECIMAL(18,2))
+      |      * CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sqq,
+      |    CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+      |      * CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS spp,
+      |    CAST(sum(CAST(l_discount AS DECIMAL(18,2))
+      |      * CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) AS sdd,
+      |    CAST(sum(CAST(l_quantity AS DECIMAL(18,2))
+      |      * CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sqp,
+      |    CAST(sum(CAST(l_quantity AS DECIMAL(18,2))
+      |      * CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) AS sqd,
+      |    CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+      |      * CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) AS spd
+      |  FROM lineitem GROUP BY 1)
+      |SELECT flag, n,
+      |  round((n * sqp - sq * sp)
+      |    / sqrt((n * sqq - sq * sq) * (n * spp - sp * sp)), 6) AS r_qty_price,
+      |  round((n * sqd - sq * sd)
+      |    / sqrt((n * sqq - sq * sq) * (n * sdd - sd * sd)), 6) AS r_qty_disc,
+      |  round((n * spd - sp * sd)
+      |    / sqrt((n * spp - sp * sp) * (n * sdd - sd * sd)), 6) AS r_price_disc
+      |FROM m ORDER BY 1""".stripMargin
+
   /** A6 through the SQL layer proper: GROUP BY ALL (reference:
     * evidence-workspace/pages/index.md:95).
     */
