@@ -29,6 +29,8 @@ object SparkEntry {
     "q_union_all" -> (Analytics.unionAllLiterals(_, _)),
     "q_sql_ordinal" -> (Analytics.sqlOrdinal(_, _)),
     "q_sql_recursive" -> (Analytics.sqlRecursive(_, _)),
+    "q_sql_pivot" -> (Analytics.sqlPivot(_, _)),
+    "q_sql_unpivot" -> (Analytics.sqlUnpivot(_, _)),
     "q_corr_matrix" -> (Analytics.corrMatrix(_, _)),
     "q_sql_groupby_all" -> (Analytics.sqlGroupByAll(_, _)),
     "q_sql_params" -> (Analytics.sqlParams(_, _)),
@@ -327,6 +329,8 @@ object SparkEntry {
     "q_union_all" ->
       "SELECT 1 AS id UNION ALL SELECT NULL AS id",
     "q_sql_recursive" -> Analytics.sqlRecursiveSql,
+    "q_sql_pivot" -> Analytics.sqlPivotSql,
+    "q_sql_unpivot" -> Analytics.sqlUnpivotSql,
     "q_corr_matrix" -> Analytics.corrMatrixSql,
     "q_sql_ordinal" ->
       """SELECT date_trunc('month', o_orderdate) AS order_month,
@@ -517,7 +521,7 @@ object SparkEntry {
     "q_dedup_incr_lsh" -> LlmOps.dedupIncrementalLshSql,
     "q_ingest_gate_e2e" -> LlmOps.ingestGateE2eSql,
     "q_vocab_topk" -> LlmOps.vocabTopKSql,
-    "q_tfidf_keywords" -> LlmOps.tfidfKeywordsSql,
+    "q_tfidf_keywords" -> LlmOps.tfidfKeywordsSql(),
     "q_ssjoin_ppjoin" -> LlmOps.ssjoinPpjoinSql,
     "q_ssjoin_incr" -> LlmOps.ssjoinIncrSql,
     "q_vocab_richness" -> LlmOps.vocabRichnessSql,

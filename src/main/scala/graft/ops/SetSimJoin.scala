@@ -60,7 +60,14 @@ object SetSimJoin {
     * integer arithmetic and jaccard as one final rounded division.
     */
   def ppjoin(tokens: DataFrame, tNum: Int, tDen: Int): DataFrame = {
-    val toks = CacheBin.pin(tokens.select(col("doc_id"), col("token")))
+    // The df counts, sz, and array_intersect below are only correct
+    // over the DISTINCT (doc_id, token) relation; enforce it here so a
+    // caller passing raw exploded tokens gets right answers, not
+    // silently inflated jaccards. (The house shingle kernel already
+    // dedups in-row, so for those callers this distinct is a no-op
+    // the aggregate below absorbs.)
+    val toks = CacheBin.pin(
+      tokens.select(col("doc_id"), col("token")).distinct())
     val dfs = toks.groupBy(col("token")).agg(count(lit(1)).as("df"))
     // ONE doc-keyed collect carries the whole per-doc state: the
     // rarest-first order is an IN-ROW sort_array over (df, token)
@@ -126,8 +133,9 @@ object SetSimJoin {
     */
   def ppjoinCross(batch: DataFrame, corpus: DataFrame,
       tNum: Int, tDen: Int): DataFrame = {
-    val b = CacheBin.pin(batch.select(col("doc_id"), col("token")))
-    val c = CacheBin.pin(corpus.select(col("doc_id"), col("token")))
+    // same distinct-input contract as [[ppjoin]] — enforced, not assumed
+    val b = CacheBin.pin(batch.select(col("doc_id"), col("token")).distinct())
+    val c = CacheBin.pin(corpus.select(col("doc_id"), col("token")).distinct())
     val dfs = c.groupBy(col("token")).agg(count(lit(1)).as("df"))
     // per-side doc-keyed collect with the in-row rarest-first sort
     // (see [[ppjoin]]); batch-only tokens coalesce to df 0

@@ -142,6 +142,63 @@ object Analytics {
       |  CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS bal_usd
       |FROM tree GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** SQL-dialect PIVOT clause face (§2.6 T3's syntax sibling): the
+    * DataFrame pivot exists as [[graft.dv3f.Reshape.pivotFirst]]; this
+    * face exercises Spark's native `PIVOT (agg FOR col IN (...))`
+    * clause, which DuckDB shares verbatim (SQL-standard surface, tested
+    * on 1.0.0) — so the oracle IS the same statement, not a CASE-WHEN
+    * paraphrase. Same pinned-values discipline as pivotFirst: the IN
+    * list is the declared domain ('O','F'), never a distinct scan, so
+    * the output schema is deterministic at any scale. Sums run in
+    * exact DECIMAL(18,2) (order-independent money convention) and cast
+    * to DOUBLE once at the end — hash-gate safe.
+    *
+    * Plan shape: pivot compiles to ONE hash aggregate keyed on
+    * l_returnflag with 2 pivot-conditional sum slots — a single
+    * exchange of |groups| rows, map-side combined; nothing
+    * row-count-proportional crosses the wire at any scale.
+    */
+  def sqlPivot(spark: SparkSession, dir: String): DataFrame = {
+    Tables.load(spark, dir, "lineitem").createOrReplaceTempView("lineitem")
+    spark.sql(sqlPivotSql)
+  }
+
+  val sqlPivotSql: String =
+    """SELECT l_returnflag, CAST(o AS DOUBLE) AS qty_open,
+      |  CAST(f AS DOUBLE) AS qty_filled
+      |FROM (SELECT l_returnflag, l_linestatus,
+      |    CAST(l_quantity AS DECIMAL(18,2)) AS qd FROM lineitem)
+      |PIVOT (sum(qd) FOR l_linestatus IN ('O' AS o, 'F' AS f))
+      |ORDER BY l_returnflag""".stripMargin
+
+  /** SQL-dialect UNPIVOT clause face (§2.6 T1's syntax sibling of
+    * [[graft.dv3f.Reshape.unpivotWide]]): Spark's native
+    * `UNPIVOT (val FOR measure IN (...))`, shared verbatim by DuckDB.
+    * The three lineitem measures are cast to exact DECIMAL(18,2)
+    * BEFORE the unpivot so the long column has one lossless common
+    * type (the clause requires it; the double ceiling would make the
+    * sums order-dependent), then the rollup per measure name keeps
+    * the result |measures|-sized.
+    *
+    * Plan shape: unpivot is a narrow generator (3 output rows per
+    * input row, no exchange), and the only shuffle is the 3-group
+    * aggregate — map-side combined, so the wire carries
+    * 3 × |partitions| partial rows regardless of corpus size.
+    */
+  def sqlUnpivot(spark: SparkSession, dir: String): DataFrame = {
+    Tables.load(spark, dir, "lineitem").createOrReplaceTempView("lineitem")
+    spark.sql(sqlUnpivotSql)
+  }
+
+  val sqlUnpivotSql: String =
+    """SELECT measure, CAST(count(*) AS BIGINT) AS n,
+      |  CAST(sum(val) AS DOUBLE) AS total
+      |FROM (SELECT CAST(l_quantity AS DECIMAL(18,2)) AS quantity,
+      |    CAST(l_extendedprice AS DECIMAL(18,2)) AS extendedprice,
+      |    CAST(l_discount AS DECIMAL(18,2)) AS discount FROM lineitem)
+      |UNPIVOT (val FOR measure IN (quantity, extendedprice, discount))
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
   /** Pearson CORRELATION MATRIX per group (quantity / extended price /
     * discount over lineitem, by return flag) — the sufficient-statistics
     * pattern of [[Events.regressionMulti]] applied to the classic BI

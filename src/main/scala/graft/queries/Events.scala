@@ -362,9 +362,15 @@ object Events {
     * against the GLOBAL mean; EWMA compares against the RECENT level,
     * catching drift-adjusted spikes a static mean misses).
     *
-    * α = 1/2, truncated at 8 terms over the 8 PRECEDING days (the
-    * current day must not smooth itself into its own baseline — a gate
-    * that includes today's weight can never fire), spelled float-free:
+    * α = 1/2, truncated at 8 terms over the 8 preceding OBSERVED days
+    * for the type — lag(y, k) steps over rows of the per-type daily
+    * series, so calendar days with zero events are absent from the
+    * history rather than contributing y=0 (for a sparse type the
+    * baseline is its last 8 active days, however far back they sit;
+    * densify to a calendar grid first if zero-days must decay the
+    * level). The current day never smooths itself into its own
+    * baseline — a gate that includes today's weight can never fire.
+    * Spelled float-free:
     * weights are the INTEGER powers 2^(8−k) for lag k = 1..8
     * (num = Σ y_{t−k}·2^(8−k), den = Σ 2^(8−k) over the lags that
     * exist), so ewma = num/den is ONE final IEEE division (NULL on the

@@ -1836,9 +1836,13 @@ object LlmOps {
       .select(col("doc_id"), col("term"), col("score"), col("rnk"))
   }
 
-  val tfidfKeywordsSql: String =
-    """WITH toks AS (SELECT doc_id,
-      |    unnest(string_split_regex(trim(text), '\s+')) AS term
+  /** Oracle for [[tfidfKeywords]]; takes the SAME k so a caller
+    * changing the engine default cannot silently desynchronize the
+    * two faces (the registry binds both at the shared default).
+    */
+  def tfidfKeywordsSql(k: Int = 3): String =
+    s"""WITH toks AS (SELECT doc_id,
+      |    unnest(string_split_regex(trim(text), '\\s+')) AS term
       |  FROM documents),
       |tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
       |df AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
@@ -1852,7 +1856,7 @@ object LlmOps {
       |      ORDER BY score DESC, term) AS rnk
       |  FROM s)
       |SELECT doc_id, term, score, CAST(rnk AS BIGINT) AS rnk
-      |FROM r WHERE rnk <= 3""".stripMargin
+      |FROM r WHERE rnk <= $k""".stripMargin
 
   /** Exact set-similarity self-join at Jaccard ≥ 1/2 over word-trigram
     * SHINGLE sets (the [[Dedup]] family's duplicate signal — whole-word

@@ -617,7 +617,20 @@ object SketchOps {
       var i = 0
       val n = t.length - 2
       while (i < n) {
-        f((t.charAt(i).toLong << 32) | (t.charAt(i + 1).toLong << 16)
+        val c = t.charAt(i)
+        // Corpus-drift guard (same spirit as Tables.assertShape, applied
+        // at the only pass that walks every char): the 48-bit gram code
+        // is bijective only for BMP strings, and this charAt walk
+        // matches the oracle's codepoint-based substr() only when no
+        // surrogate pairs exist. A regenerated non-BMP corpus must fail
+        // HERE with the cause named, not hash-mismatch downstream.
+        if (Character.isSurrogate(c)) throw new IllegalStateException(
+          s"testdata drift: documents.text contains a non-BMP codepoint " +
+            s"(surrogate 0x${c.toInt.toHexString} at index $i); the " +
+            "heavyHitters 48-bit trigram code and its UTF-16 charAt walk " +
+            "assume BMP text — switch codesOf to a codePointAt walk with " +
+            "a 63-bit pack (21 bits/cp) before trusting results.")
+        f((c.toLong << 32) | (t.charAt(i + 1).toLong << 16)
           | t.charAt(i + 2).toLong)
         i += 1
       }
