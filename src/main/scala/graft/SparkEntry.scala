@@ -262,6 +262,9 @@ object SparkEntry {
     "q_forget_index" -> ((s, d) => graft.ops.Forget.forgetIndex(s, d)),
     "q_forget_dedup" -> ((s, d) => graft.ops.Forget.forgetDedup(s, d)),
     "q_forget_embed" -> (LlmOps.forgetEmbed(_, _)),
+    "q_forget_sigs" -> ((s, d) => graft.ops.Forget.forgetSigs(s, d)),
+    "q_forget_winnow" -> ((s, d) => graft.ops.Forget.forgetWinnow(s, d)),
+    "q_forget_postings" -> ((s, d) => graft.ops.Forget.forgetPostings(s, d)),
     "q_k_anonymity" -> (Curation.kAnonymity(_, _)),
     "q_l_diversity" -> (Curation.lDiversity(_, _)),
     "q_t_closeness" -> (Curation.tCloseness(_, _)),
@@ -619,6 +622,9 @@ object SparkEntry {
     "q_forget_index" -> graft.ops.Forget.forgetIndexSql,
     "q_forget_dedup" -> graft.ops.Forget.forgetDedupSql,
     "q_forget_embed" -> LlmOps.embedAnnIvfSqlWhere("NOT (a.vec_id % 23 = 5)"),
+    "q_forget_sigs" -> LlmOps.forgetSigsSql,
+    "q_forget_winnow" -> LlmOps.forgetWinnowSql,
+    "q_forget_postings" -> graft.ops.Forget.forgetPostingsSql,
     "q_k_anonymity" -> Curation.kAnonymitySql,
     "q_l_diversity" -> Curation.lDiversitySql,
     "q_t_closeness" -> Curation.tClosenessSql,

@@ -71,6 +71,139 @@ object Forget {
   lazy val forgetIndexSql: String = TrigramIndex.likeScanSqlOver(
     s"(SELECT * FROM documents WHERE NOT ($forgottenPred)) fsrc")
 
+  // --------------------------------------------------- postings face
+
+  /** q_forget_postings: exact phrase search over the SEGMENTED
+    * positional inverted index ([[InvertedIndex.stagedIncremental]],
+    * the q_phrase_search_incr layout) after the forget request —
+    * tombstones anti-joined at probe time on the first phrase leg
+    * (the positional equi-join starves the other legs), zero index
+    * bytes rewritten. Must equal a phrase search over an index rebuilt
+    * from the filtered corpus — the oracle's derivation. Physical
+    * purge rides [[SegmentCompaction.compactBucket]] with the
+    * tombstone hook, exactly as the trigram index (spec-pinned:
+    * untouched buckets byte-identical, search invariant).
+    */
+  def forgetPostings(spark: SparkSession, dir: String): DataFrame =
+    InvertedIndex.phraseSearchAt(spark,
+      InvertedIndex.stagedIncremental(spark, dir),
+      phrase = Seq("table", "hash"), k = 20,
+      tombstones = Some(tombstones(spark, dir)))
+
+  lazy val forgetPostingsSql: String = InvertedIndex.phraseSearchSqlOver(
+    s"(SELECT * FROM documents WHERE NOT ($forgottenPred)) psrc")
+
+  // ---------------------------------------------------- minhash sigs
+
+  /** Number of hash buckets in the signature/fingerprint artifacts —
+    * same role as [[digestBuckets]]: the purge demo rewrites one
+    * bucket and pins every other byte-untouched.
+    */
+  private[graft] val sigBuckets = 16
+
+  /** Staged corpus MINHASH SIGNATURE artifact — the probe side a
+    * 100 TB LSH ingest gate persists instead of re-hashing the corpus
+    * per batch ([[graft.queries.LlmOps.dedupIncrementalLsh]] computes
+    * it inline; this is its artifact form). Layout is the house
+    * incremental-index shape: `seg=base` (the standing corpus) +
+    * `seg=d1` (a crawl delta appended later, cost ∝ delta), each
+    * bucket-partitioned by pmod(doc_id, 16) so per-bucket compaction
+    * — and the tombstone purge that rides it — touches one bucket's
+    * files only.
+    */
+  private[graft] def stagedSigs(spark: SparkSession, dir: String): String = {
+    val path = StageOnce.tmp("forget_sigs", dir)
+    StageOnce(path) {
+      val corpus = Tables.load(spark, dir, "documents")
+        .filter(col("doc_id") % 10 =!= 0) // the incremental family's corpus side
+      def seg(docs: DataFrame, name: String): Unit =
+        Dedup.minHash(docs, col("doc_id"), col("text"), n = 3, k = 16)
+          .withColumn("bucket", pmod(col("doc_id"), lit(sigBuckets.toLong)))
+          .repartition(col("bucket"))
+          .sortWithinPartitions(col("doc_id"))
+          .write.mode("overwrite").partitionBy("bucket")
+          .parquet(s"$path/seg=$name")
+      seg(corpus.filter(col("doc_id") % 20 =!= 1), "base")
+      seg(corpus.filter(col("doc_id") % 20 === 1), "d1")
+    }
+    path
+  }
+
+  /** q_forget_sigs: the incremental LSH near-dup gate probed THROUGH
+    * tombstones — batch signatures (doc_id % 10 == 0, computed fresh;
+    * a delta is new data by definition) band-joined against the staged
+    * corpus signature artifact minus the forgotten docs, then exact
+    * Jaccard-verified. Must equal the gate run against signatures
+    * rebuilt from the filtered corpus (the oracle re-derives the whole
+    * minhash chain over it). The anti-join is |tombstones|-broadcast;
+    * the artifact is read pruned, never rewritten.
+    */
+  def forgetSigs(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.load(spark, dir, "documents")
+    val art = spark.read.parquet(stagedSigs(spark, dir))
+      .select(col("doc_id") +: (0 until 16).map(i => col(s"m$i")): _*)
+    val corpusSig = art.join(broadcast(tombstones(spark, dir)),
+      Seq("doc_id"), "left_anti")
+    val batchSig = Dedup.minHash(docs.filter(col("doc_id") % 10 === 0),
+      col("doc_id"), col("text"), n = 3, k = 16)
+    val cand = Dedup.crossLshCandidates(batchSig, corpusSig,
+      bands = 4, rowsPerBand = 4)
+    Dedup.jaccardVerify(cand, docs, col("doc_id"), col("text"),
+      n = 3, threshold = 0.5)
+  }
+
+  // ----------------------------------------------- winnow fingerprints
+
+  /** Staged corpus WINNOW FINGERPRINT artifact — the probe side of
+    * [[graft.queries.LlmOps.winnowIncrPairs]] persisted (at 100 TB the
+    * corpus fingerprint table is maintained, not recomputed per
+    * batch). Same segmented layout as [[stagedSigs]], bucketed by
+    * pmod(fp, 16) — fingerprint-keyed, because that is the probe key.
+    */
+  private[graft] def stagedWinnowFps(spark: SparkSession, dir: String): String = {
+    val path = StageOnce.tmp("forget_winnow", dir)
+    StageOnce(path) {
+      val corpus = Tables.load(spark, dir, "documents")
+        .filter(col("doc_id") % 10 =!= 0)
+      def seg(docs: DataFrame, name: String): Unit =
+        docs.select(col("doc_id"),
+            explode(graft.functions.GraftFunctions
+              .winnowHashes(col("text"), 5, 4)).as("fp"))
+          .withColumn("bucket", pmod(col("fp"), lit(sigBuckets.toLong)))
+          .repartition(col("bucket"))
+          .sortWithinPartitions(col("fp"), col("doc_id"))
+          .write.mode("overwrite").partitionBy("bucket")
+          .parquet(s"$path/seg=$name")
+      seg(corpus.filter(col("doc_id") % 20 =!= 1), "base")
+      seg(corpus.filter(col("doc_id") % 20 === 1), "d1")
+    }
+    path
+  }
+
+  /** q_forget_winnow: the winnow ingest gate probed THROUGH
+    * tombstones — fresh batch fingerprints joined against the staged
+    * corpus fingerprint artifact minus the forgotten docs. Must equal
+    * [[graft.queries.LlmOps.winnowIncrPairs]] run over the filtered
+    * corpus (the oracle's derivation). The winnowing recall guarantee
+    * is untouched: it is per-(batch doc, corpus doc) and forgetting a
+    * corpus doc only removes ITS pairs.
+    */
+  def forgetWinnow(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.load(spark, dir, "documents")
+    val corpusFps = spark.read.parquet(stagedWinnowFps(spark, dir))
+      .select(col("doc_id"), col("fp"))
+      .join(broadcast(tombstones(spark, dir)), Seq("doc_id"), "left_anti")
+    val batchFps = docs.filter(col("doc_id") % 10 === 0)
+      .select(col("doc_id"),
+        explode(graft.functions.GraftFunctions
+          .winnowHashes(col("text"), 5, 4)).as("fp"))
+    batchFps.as("a").join(corpusFps.as("b"), col("a.fp") === col("b.fp"))
+      .groupBy(col("a.doc_id").as("doc_batch"),
+        col("b.doc_id").as("doc_corpus"))
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= 2)
+  }
+
   // ------------------------------------------------------ dedup face
 
   /** The staged digest artifact backing the exact ingest gate: one

@@ -78,7 +78,8 @@ object InvertedIndex {
     * same plan serves both.
     */
   def phraseSearchAt(spark: SparkSession, idx: String,
-      phrase: Seq[String], k: Int): DataFrame = {
+      phrase: Seq[String], k: Int,
+      tombstones: Option[DataFrame] = None): DataFrame = {
     require(phrase.nonEmpty)
     val legs = phrase.zipWithIndex.map { case (t, i) =>
       spark.read.parquet(idx)
@@ -87,7 +88,15 @@ object InvertedIndex {
         .filter(col("bucket") === lit(bucketOfLiteral(t)) && col("term") === lit(t))
         .select(col("doc_id"), (col("pos") - lit(i)).as("start"))
     }
-    legs.reduce((a, b) => a.join(b, Seq("doc_id", "start")))
+    // Forget-cascade hook ([[Forget]]): tombstoned docs are hidden at
+    // probe time by ONE broadcast anti-join on the first leg — the
+    // positional equi-join on doc_id then starves their rows from
+    // every other leg, so no second filter is needed and the pruned
+    // posting reads themselves are unchanged (zero index bytes touch).
+    val first = tombstones.fold(legs.head)(t =>
+      legs.head.join(broadcast(t.select(col("doc_id"))),
+        Seq("doc_id"), "left_anti"))
+    (first +: legs.tail).reduce((a, b) => a.join(b, Seq("doc_id", "start")))
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("cnt"))
       .orderBy(col("cnt").desc, col("doc_id"))
@@ -177,11 +186,19 @@ object InvertedIndex {
     * 0-based Spark postings agree.
     */
   def phraseSearchSql(phrase: Seq[String] = Seq("table", "hash"),
+      k: Int = 20): String = phraseSearchSqlOver("documents", phrase, k)
+
+  /** The same oracle over an arbitrary `(doc_id, text)` relation —
+    * the forget cascade's rebuilt-from-filtered-corpus derivation
+    * (the [[TrigramIndex.likeScanSqlOver]] convention).
+    */
+  def phraseSearchSqlOver(src: String,
+      phrase: Seq[String] = Seq("table", "hash"),
       k: Int = 20): String = {
     val conds = phrase.zipWithIndex
       .map { case (t, i) => s"t[i+$i] = '$t'" }.mkString(" AND ")
     s"""WITH toks AS (
-       |  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t FROM documents),
+       |  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t FROM $src),
        |hits AS (
        |  SELECT doc_id
        |  FROM toks, unnest([x for x in range(1, len(t) - ${phrase.length - 2})]) u(i)

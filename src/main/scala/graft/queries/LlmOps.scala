@@ -4854,10 +4854,13 @@ object LlmOps {
       |SELECT doc_a, doc_b, n_shared FROM pairs WHERE n_shared >= 2""".stripMargin
 
   /** Mirrors winnowIncrPairs: same fingerprint CTE, batch×corpus join
-    * only (the % 10 split), same threshold.
+    * only (the % 10 split), same threshold. `corpusCond` narrows the
+    * corpus side — the forget face passes the tombstone exclusion,
+    * which IS the rebuilt-from-filtered-corpus derivation (fingerprints
+    * are per-doc independent).
     */
-  val winnowIncrPairsSql: String =
-    """WITH toks AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS t
+  private def winnowIncrPairsSqlWhere(corpusCond: String): String =
+    s"""WITH toks AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t
       |  FROM documents),
       |g AS (SELECT doc_id, i - 1 AS pos,
       |    ('0x' || substr(md5(array_to_string(t[i:i+4], ' ')), 1, 15))::BIGINT AS h
@@ -4869,10 +4872,25 @@ object LlmOps {
       |pairs AS (SELECT a.doc_id AS doc_batch, b.doc_id AS doc_corpus,
       |    count(*)::BIGINT AS n_shared
       |  FROM fp a JOIN fp b ON a.fp = b.fp
-      |    AND a.doc_id % 10 = 0 AND b.doc_id % 10 <> 0
+      |    AND a.doc_id % 10 = 0 AND ($corpusCond)
       |  GROUP BY 1, 2)
       |SELECT doc_batch, doc_corpus, n_shared FROM pairs
       |WHERE n_shared >= 2""".stripMargin
+
+  val winnowIncrPairsSql: String =
+    winnowIncrPairsSqlWhere("b.doc_id % 10 <> 0")
+
+  /** Oracles for the forget cascade's signature-artifact faces
+    * ([[graft.ops.Forget.forgetSigs]]/[[graft.ops.Forget.forgetWinnow]]):
+    * the incremental gates re-derived with the forgotten docs excluded
+    * from the corpus side — rebuild-from-filtered-corpus, since both
+    * signature kinds are per-doc independent.
+    */
+  lazy val forgetSigsSql: String = lshPairsSql(
+    "l.doc_id % 10 = 0 AND r.doc_id % 10 <> 0 AND NOT (r.doc_id % 23 = 5)")
+
+  lazy val forgetWinnowSql: String = winnowIncrPairsSqlWhere(
+    "b.doc_id % 10 <> 0 AND NOT (b.doc_id % 23 = 5)")
 
   val embedTopKSql: String =
     """SELECT e.vec_id,

@@ -103,6 +103,102 @@ class ForgetSpec extends SparkSpec {
     assert(got === expected)
   }
 
+  test("tombstoned sig probe ≡ LSH gate over signatures rebuilt from the filtered corpus, and the forget bites") {
+    val got = Forget.forgetSigs(spark, sf)
+      .collect().map(_.toString).sorted.toSeq
+    // rebuild: the same gate with corpus signatures derived from the
+    // filtered corpus directly (no artifact, no tombstones)
+    val batchSig = Dedup.minHash(docs.filter(col("doc_id") % 10 === 0),
+      col("doc_id"), col("text"), n = 3, k = 16)
+    val keptSig = Dedup.minHash(
+      docs.filter(col("doc_id") % 10 =!= 0 && col("doc_id") % 23 =!= 5),
+      col("doc_id"), col("text"), n = 3, k = 16)
+    val expected = Dedup.jaccardVerify(
+        Dedup.crossLshCandidates(batchSig, keptSig, bands = 4, rowsPerBand = 4),
+        docs, col("doc_id"), col("text"), n = 3, threshold = 0.5)
+      .collect().map(_.toString).sorted.toSeq
+    assert(got === expected)
+    // and the tombstones genuinely remove a pair vs the un-forgotten gate
+    val before = graft.queries.LlmOps.dedupIncrementalLsh(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val after = Forget.forgetSigs(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(after.subsetOf(before), "tombstoning must never ADD pairs")
+    assert(before.exists(_._2 % 23 == 5) && !after.exists(_._2 % 23 == 5)
+      && after.size < before.size,
+      s"the forget never bit (before=$before after=$after) — pick tombstones that hit a pair")
+  }
+
+  test("tombstoned winnow probe ≡ winnow gate over fingerprints rebuilt from the filtered corpus, and the forget bites") {
+    import graft.functions.GraftFunctions.winnowHashes
+    val got = Forget.forgetWinnow(spark, sf)
+      .collect().map(_.toString).sorted.toSeq
+    val fpsOf = (d: org.apache.spark.sql.DataFrame) => d.select(col("doc_id"),
+      explode(winnowHashes(col("text"), 5, 4)).as("fp"))
+    val expected = fpsOf(docs.filter(col("doc_id") % 10 === 0)).as("a")
+      .join(fpsOf(docs.filter(col("doc_id") % 10 =!= 0 && col("doc_id") % 23 =!= 5)).as("b"),
+        col("a.fp") === col("b.fp"))
+      .groupBy(col("a.doc_id").as("doc_batch"), col("b.doc_id").as("doc_corpus"))
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= 2)
+      .collect().map(_.toString).sorted.toSeq
+    assert(got === expected)
+    val before = graft.queries.LlmOps.winnowIncrPairs(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val after = Forget.forgetWinnow(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(after.subsetOf(before) && after.size < before.size
+      && !after.exists(_._2 % 23 == 5),
+      s"the forget never bit (before=$before after=$after)")
+  }
+
+  test("tombstoned phrase search ≡ search over a positional index rebuilt from the filtered corpus, and the forget bites") {
+    val kept = docs.filter(col("doc_id") % 23 =!= 5)
+    val rebuilt = java.nio.file.Files.createTempDirectory("forget_pindex").toString
+    InvertedIndex.writeSegment(kept.filter(col("doc_id") % 20 =!= 0), rebuilt, "base")
+    InvertedIndex.writeSegment(kept.filter(col("doc_id") % 20 === 0), rebuilt, "d1")
+    val expected = InvertedIndex.phraseSearchAt(spark, rebuilt,
+      Seq("table", "hash"), 20).collect().map(_.toString).toSeq
+    val got = Forget.forgetPostings(spark, sf)
+      .collect().map(_.toString).toSeq
+    assert(got === expected)
+    val before = InvertedIndex.phraseSearchIncr(spark, sf)
+      .collect().map(_.getLong(0)).toSeq
+    assert(before.exists(_ % 23 == 5),
+      "no tombstoned doc in the un-forgotten top-20 — the bite check is vacuous")
+    assert(!got.isEmpty && Forget.forgetPostings(spark, sf)
+      .collect().forall(_.getLong(0) % 23 != 5),
+      "a forgotten doc surfaced through the tombstoned index")
+  }
+
+  test("sig-artifact purge rides compaction: tombstoned rows leave the bucket, others byte-untouched, probe invariant") {
+    import org.apache.hadoop.fs.Path
+    val idx = Forget.stagedSigs(spark, sf)
+    val ts = Forget.tombstones(spark, sf)
+    val tsIds = ts.collect().map(_.getLong(0)).toSet
+    val bucket = spark.read.parquet(idx)
+      .filter(col("doc_id").isin(tsIds.toSeq: _*))
+      .groupBy("bucket").count().orderBy(col("count").desc)
+      .head.getAs[Number]("bucket").longValue
+    val fs = new Path(idx).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def otherFiles() = fs.listStatus(new Path(idx))
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("seg="))
+      .flatMap(s => fs.listStatus(s.getPath).filter(_.isDirectory))
+      .filterNot(_.getPath.getName == s"bucket=$bucket")
+      .flatMap(d => fs.listStatus(d.getPath).filter(_.isFile))
+      .map(f => (f.getPath.toString, f.getLen, f.getModificationTime))
+      .sortBy(_._1).toSeq
+    val before = Forget.forgetSigs(spark, sf).collect().map(_.toString).sorted.toSeq
+    val othersBefore = otherFiles()
+    SegmentCompaction.compactBucket(spark, idx, bucket, Some(ts))
+    assert(spark.read.parquet(idx)
+      .filter(col("bucket") === bucket && col("doc_id").isin(tsIds.toSeq: _*))
+      .count() === 0L, "tombstoned sig rows survived the purge")
+    assert(otherFiles() === othersBefore, "an untouched bucket's files changed")
+    val after = Forget.forgetSigs(spark, sf).collect().map(_.toString).sorted.toSeq
+    assert(after === before, "tombstoned sig probe changed across the physical purge")
+  }
+
   test("digest retraction: forgotten re-crawls admitted unless a retained copy blocks them; retained re-crawls stay blocked") {
     val rows = Forget.forgetDedup(spark, sf).collect()
       .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
