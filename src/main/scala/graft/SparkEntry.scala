@@ -142,6 +142,7 @@ object SparkEntry {
     "q_dedup_bbit_est" -> (LlmOps.bbitMinhashEstimate(_, _)),
     "q_bpe_pairs" -> ((s, d) => LlmOps.bpePairCounts(s, d)),
     "q_bpe_merges" -> ((s, d) => graft.ops.Bpe.mergesQuery(s, d)),
+    "q_bpe_bytes" -> ((s, d) => graft.ops.Bpe.bytesQuery(s, d)),
     "q_bpe_encode" -> ((s, d) => graft.ops.Bpe.encodeStats(s, d)),
     "q_wordpiece_vocab" -> ((s, d) => graft.ops.WordPiece.vocabQuery(s, d)),
     "q_wordpiece_encode" -> ((s, d) => graft.ops.WordPiece.encodeStats(s, d)),
@@ -532,6 +533,7 @@ object SparkEntry {
     "q_dedup_bbit_est" -> LlmOps.bbitMinhashEstimateSql,
     "q_bpe_pairs" -> LlmOps.bpePairCountsSql,
     "q_bpe_merges" -> graft.ops.Bpe.mergesSql(),
+    "q_bpe_bytes" -> graft.ops.Bpe.mergesBytesSql(),
     "q_bpe_encode" -> graft.ops.Bpe.encodeSql(),
     "q_wordpiece_vocab" -> graft.ops.WordPiece.vocabSql(),
     "q_wordpiece_encode" -> graft.ops.WordPiece.encodeSql(),

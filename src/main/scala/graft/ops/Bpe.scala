@@ -111,9 +111,13 @@ object Bpe {
     * Leftmost-non-overlapping merge via an index scan — the in-memory
     * mirror of the string `replace` the other two formulations use.
     */
-  private def trainLocal(words: Array[(String, Long)], merges: Int): Seq[Merge] = {
-    var seqs: Array[(Array[String], Long)] =
-      words.map { case (w, c) => (w.toCharArray.map(_.toString), c) }
+  private def trainLocal(words: Array[(String, Long)], merges: Int): Seq[Merge] =
+    trainLocalSeqs(
+      words.map { case (w, c) => (w.toCharArray.map(_.toString), c) }, merges)
+
+  private def trainLocalSeqs(init: Array[(Array[String], Long)],
+      merges: Int): Seq[Merge] = {
+    var seqs: Array[(Array[String], Long)] = init
     val out = Seq.newBuilder[Merge]
     var r = 1
     var done = false
@@ -158,9 +162,13 @@ object Bpe {
     * table is cached and the previous unpersisted, so round r+1 reads
     * round r's materialization instead of replaying the chain.
     */
-  private def trainDistributed(wc: DataFrame, merges: Int): Seq[Merge] = {
-    var seqs = wc.select(barredChars(col("w")).as("seq"), col("c").cast("long").as("c"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
+  private def trainDistributed(wc: DataFrame, merges: Int): Seq[Merge] =
+    trainDistributedSeqs(
+      wc.select(barredChars(col("w")).as("seq"), col("c").cast("long").as("c")),
+      merges)
+
+  private def trainDistributedSeqs(seqs0: DataFrame, merges: Int): Seq[Merge] = {
+    var seqs = seqs0.persist(StorageLevel.MEMORY_AND_DISK)
     val out = Seq.newBuilder[Merge]
     var r = 1
     var done = false
@@ -214,6 +222,72 @@ object Bpe {
     cachedFit(spark, dir, merges).toDF("rank", "a", "b", "cnt")
   }
 
+  // ---------------------------------------------------- byte-level BPE
+
+  /** BYTE-level BPE (the GPT-2 production variant: Radford et al. 2019
+    * §2.2 — merges over the UTF-8 BYTE alphabet, so ANY string
+    * tokenizes with zero OOV and no charset filter). Where GPT-2 maps
+    * bytes through a printable byte-to-unicode table purely for
+    * readability, this implementation writes each byte as its 2-digit
+    * uppercase hex code — the same bijection role with a property the
+    * cross-engine oracle needs: Spark's `hex(encode(w))` and DuckDB's
+    * `hex(encode(w))` emit IDENTICAL text, so both engines derive the
+    * same initial symbols with no byte-table to keep in sync. The
+    * barred `|sym|` machinery then runs unchanged — symbols are
+    * [0-9A-F]+ so `|` stays boundary-aligned — and every char-face
+    * assumption that breaks on multi-byte text (é is TWO symbols here,
+    * an emoji four) is gone by construction; the spec pins the
+    * round-trip `unhex(concat(pieces)) == word` on a non-ASCII
+    * vocabulary the [a-z] char face cannot even see.
+    */
+  private[ops] def barredHex(w: Column): Column =
+    regexp_replace(hex(encode(w, "UTF-8")), "(..)", "|$1|")
+
+  /** Byte-face training domain: EVERY whitespace token of ≥ 2 bytes —
+    * no charset filter (that is the point of byte BPE). Same one
+    * corpus-sized, map-side-combined aggregate as [[wordCounts]].
+    */
+  private[ops] def byteWordCounts(spark: SparkSession, dir: String): DataFrame =
+    Tables.load(spark, dir, "documents")
+      .select(explode(TextAnalysis.tokens(col("text"))).as("w"))
+      .filter(octet_length(col("w")) >= 2)
+      .groupBy(col("w")).agg(count(lit(1)).as("c"))
+
+  /** Byte-level fit over an explicit (w, c) relation — same tiering,
+    * argmax order, and leftmost-non-overlapping merge as
+    * [[trainMerges]]; only the initial symbolization differs.
+    */
+  def trainMergesBytes(wc: DataFrame, merges: Int,
+      localThreshold: Int): Seq[Merge] = {
+    if (localThreshold > 0) {
+      val probe = wc.select(col("w").cast("string"), col("c").cast("long"))
+        .take(localThreshold + 1)
+      if (probe.length <= localThreshold)
+        return trainLocalSeqs(probe.map { r =>
+          (r.getString(0).getBytes("UTF-8").map(b => f"${b & 0xff}%02X"),
+            r.getLong(1))
+        }, merges)
+    }
+    trainDistributedSeqs(
+      wc.select(barredHex(col("w")).as("seq"), col("c").cast("long").as("c")),
+      merges)
+  }
+
+  private val fitBytesCache =
+    new java.util.concurrent.ConcurrentHashMap[(String, Int), Seq[Merge]]()
+
+  def cachedFitBytes(spark: SparkSession, dir: String, merges: Int): Seq[Merge] =
+    fitBytesCache.computeIfAbsent((dir, merges),
+      _ => trainMergesBytes(byteWordCounts(spark, dir), merges, 1 << 18))
+
+  /** The q_bpe_bytes face: the trained byte-level merge table —
+    * (rank, a, b, cnt) with a/b hex-coded byte sequences.
+    */
+  def bytesQuery(spark: SparkSession, dir: String, merges: Int = 8): DataFrame = {
+    import spark.implicits._
+    cachedFitBytes(spark, dir, merges).toDF("rank", "a", "b", "cnt")
+  }
+
   /** Encode face: apply the trained merges to the corpus and report
     * per-source tokenizer load — word occurrences, post-BPE piece
     * count, character count, and chars-per-piece (the compression the
@@ -261,17 +335,30 @@ object Bpe {
        |  SELECT w, replace(seq, '|'||m.a||'||'||m.b||'|', '|'||m.a||m.b||'|') AS seq, c
        |  FROM $prev, m$r m)""".stripMargin
 
-  private def trainingCtes(merges: Int): String = {
-    val head =
-      """wc AS MATERIALIZED (
-        |  SELECT w, CAST(count(*) AS BIGINT) AS c
-        |  FROM (SELECT unnest(string_split_regex(trim(text), '\s+')) AS w FROM documents)
-        |  WHERE regexp_matches(w, '^[a-z]+$') AND len(w) >= 2
-        |  GROUP BY 1),
-        |s0 AS MATERIALIZED (
-        |  SELECT w, regexp_replace(w, '(.)', '|\1|', 'g') AS seq, c FROM wc)""".stripMargin
+  private val charHeadCtes: String =
+    """wc AS MATERIALIZED (
+      |  SELECT w, CAST(count(*) AS BIGINT) AS c
+      |  FROM (SELECT unnest(string_split_regex(trim(text), '\s+')) AS w FROM documents)
+      |  WHERE regexp_matches(w, '^[a-z]+$') AND len(w) >= 2
+      |  GROUP BY 1),
+      |s0 AS MATERIALIZED (
+      |  SELECT w, regexp_replace(w, '(.)', '|\1|', 'g') AS seq, c FROM wc)""".stripMargin
+
+  /** Byte-face head: every ≥ 2-byte token, symbolized as hex byte
+    * codes — hex(encode(w)) is textually identical in both engines.
+    */
+  private val byteHeadCtes: String =
+    """wc AS MATERIALIZED (
+      |  SELECT w, CAST(count(*) AS BIGINT) AS c
+      |  FROM (SELECT unnest(string_split_regex(trim(text), '\s+')) AS w FROM documents)
+      |  WHERE octet_length(encode(w)) >= 2
+      |  GROUP BY 1),
+      |s0 AS MATERIALIZED (
+      |  SELECT w, regexp_replace(hex(encode(w)), '(..)', '|\1|', 'g') AS seq, c
+      |  FROM wc)""".stripMargin
+
+  private def trainingCtes(merges: Int, head: String = charHeadCtes): String =
     (head +: (1 to merges).map(r => roundCtes(r, s"s${r - 1}"))).mkString(",\n")
-  }
 
   /** DuckDB replay of the fit: the unrolled k-round argmax/merge
     * chain. `AS MATERIALIZED` is load-bearing — each round references
@@ -283,6 +370,17 @@ object Bpe {
       .map(r => s"SELECT CAST($r AS INT) AS rank, a, b, cnt FROM m$r")
       .mkString("\nUNION ALL ")
     s"WITH ${trainingCtes(merges)}\nSELECT * FROM (\n$union\n) ORDER BY rank"
+  }
+
+  /** DuckDB replay of the byte-level fit: the identical unrolled
+    * round chain over the hex-byte head.
+    */
+  def mergesBytesSql(merges: Int = 8): String = {
+    val union = (1 to merges)
+      .map(r => s"SELECT CAST($r AS INT) AS rank, a, b, cnt FROM m$r")
+      .mkString("\nUNION ALL ")
+    s"WITH ${trainingCtes(merges, byteHeadCtes)}\n" +
+      s"SELECT * FROM (\n$union\n) ORDER BY rank"
   }
 
   /** DuckDB replay of the encode: the shared training chain, then the

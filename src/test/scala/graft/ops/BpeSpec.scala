@@ -51,6 +51,58 @@ class BpeSpec extends SparkSpec {
     assert(local === dist)
   }
 
+  test("byte BPE: multi-byte characters round-trip, tiers agree, and é is two symbols the char face can't see") {
+    // é = C3 A9, 😀 = F0 9F 98 80 — the class an ASCII corpus hides.
+    // "éé" dominates: its (C3,A9) pair count 10×2 + "café😀"'s 2 = 22.
+    val v = wc("éé" -> 10L, "café😀" -> 2L, "aa" -> 3L)
+    val local = Bpe.trainMergesBytes(v, merges = 3, localThreshold = 1 << 18)
+    val dist = Bpe.trainMergesBytes(v, merges = 3, localThreshold = 0)
+    assert(local === dist)
+    assert(local.head === Merge(1, "C3", "A9", 22L),
+      s"é's UTF-8 byte pair must win round 1, got ${local.head}")
+    // round-trip: applying the merges to a word's hex bytes and
+    // concatenating the pieces back must reproduce the exact bytes —
+    // multi-byte characters are never torn or corrupted
+    def encodePieces(w: String, fit: Seq[Merge]): Seq[String] = {
+      var syms = w.getBytes("UTF-8").map(b => f"${b & 0xff}%02X").toSeq
+      fit.foreach { m =>
+        val out = scala.collection.mutable.ArrayBuffer.empty[String]
+        var i = 0
+        while (i < syms.length) {
+          if (i < syms.length - 1 && syms(i) == m.a && syms(i + 1) == m.b) {
+            out += (m.a + m.b); i += 2
+          } else { out += syms(i); i += 1 }
+        }
+        syms = out.toSeq
+      }
+      syms
+    }
+    Seq("éé", "café😀", "aa").foreach { w =>
+      val pieces = encodePieces(w, local)
+      val bytes = pieces.mkString.grouped(2)
+        .map(Integer.parseInt(_, 16).toByte).toArray
+      assert(new String(bytes, "UTF-8") === w,
+        s"round-trip broke for $w via $pieces")
+    }
+    // the char FACE's [a-z] domain filter can't even see these words:
+    // only "aa" survives it, so the fit is blind to é and the emoji
+    assert(Bpe.trainMerges(v.filter($"w".rlike("^[a-z]+$")), 3, 1 << 18)
+      === Seq(Merge(1, "a", "a", 3L)))
+  }
+
+  test("byte BPE ≡ char BPE on a pure-ASCII lowercase vocabulary (hex codes aside)") {
+    // on [a-z] words UTF-8 bytes are chars, so the two faces must learn
+    // the SAME merge structure with identical counts — byte symbols are
+    // just the hex spelling of the char symbols.
+    val v = wc("low" -> 5L, "lower" -> 2L, "newest" -> 6L, "widest" -> 3L)
+    def hexOf(s: String) =
+      s.getBytes("UTF-8").map(b => f"${b & 0xff}%02X").mkString
+    val chars = Bpe.trainMerges(v, merges = 4, localThreshold = 1 << 18)
+    val bytes = Bpe.trainMergesBytes(v, merges = 4, localThreshold = 1 << 18)
+    assert(bytes === chars.map(m =>
+      Merge(m.rank, hexOf(m.a), hexOf(m.b), m.cnt)))
+  }
+
   test("encode: pieces shrink monotonically with merges and never beat chars") {
     val e0 = Bpe.encodeStats(spark, sf, merges = 0).collect()
       .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
