@@ -126,6 +126,7 @@ object SparkEntry {
     "q_dedup_doc_coverage" -> (LlmOps.dedupDocCoverage(_, _)),
     "q_dedup_suffix_span" -> (LlmOps.dedupSuffixSpan(_, _)),
     "q_para_dedup" -> (LlmOps.paraDedup(_, _)),
+    "q_para_dedup_bloom" -> (LlmOps.paraDedupBloom(_, _)),
     "q_para_dedup_incr" -> (LlmOps.paraDedupIncr(_, _)),
     "q_para_dedup_stream" -> (LlmOps.paraDedupStreamMaterialize(_, _)),
     "q_decontaminate" -> (LlmOps.decontaminate(_, _)),
@@ -517,6 +518,8 @@ object SparkEntry {
     "q_dedup_doc_coverage" -> LlmOps.dedupDocCoverageSql,
     "q_dedup_suffix_span" -> LlmOps.dedupSuffixSpanSql,
     "q_para_dedup" -> LlmOps.paraDedupSql,
+    // bloom prefilter is semantically invisible: same oracle as q_para_dedup
+    "q_para_dedup_bloom" -> LlmOps.paraDedupSql,
     "q_para_dedup_incr" -> LlmOps.paraDedupIncrSql,
     "q_para_dedup_stream" -> LlmOps.paraDedupStreamSql,
     "q_decontaminate" -> LlmOps.decontaminateSql,

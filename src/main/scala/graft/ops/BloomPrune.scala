@@ -63,4 +63,29 @@ object BloomPrune {
     pruned.join(keys.select(keyCol.as("__k")).distinct(),
       factKey === col("__k"), "left_semi")
   }
+
+  /** Exact left-ANTI join with bloom pre-pruning — the deletion-side
+    * dual of [[semiJoinBloom]]: semantically identical to
+    * `fact.join(keys, factKey === keyCol, "left_anti")`. Rows whose
+    * key is DEFINITELY absent from the bloom (no false negatives by
+    * construction) are kept map-side without entering any join
+    * exchange; only the might-contain suspects — true members plus the
+    * ~FP-rate sliver — ride the exact anti-join that removes the false
+    * positives. The join exchange therefore carries ~(|keys|-match
+    * rate + FP rate) of the fact table instead of all of it — the
+    * shape that keeps a corpus-∝ drop set affordable where a
+    * broadcast anti-join no longer is.
+    */
+  def antiJoinBloom(fact: DataFrame, factKey: Column,
+      keys: DataFrame, keyCol: Column, expectedKeys: Long): DataFrame = {
+    val bloomPlan = bloomOf(keys, keyCol, expectedKeys).queryExecution.analyzed
+    def mightContain = ColumnBridge.column(new BloomFilterMightContain(
+      ScalarSubquery(bloomPlan),
+      new XxHash64(Seq(ColumnBridge.expression(factKey)))))
+    val fastKeep = fact.filter(!mightContain)
+    val suspects = fact.filter(mightContain)
+    fastKeep.unionByName(
+      suspects.join(keys.select(keyCol.as("__k")).distinct(),
+        factKey === col("__k"), "left_anti"))
+  }
 }

@@ -606,6 +606,60 @@ object LlmOps {
       .orderBy(col("source"))
   }
 
+  /** Paragraph dedup restated for the drop-set size where
+    * [[paraDedup]]'s broadcast-class anti-join stops being an option:
+    * at web scale the boilerplate tail is corpus-∝ (every nav bar,
+    * cookie banner, and license block of the crawl), so the drop set
+    * itself no longer broadcasts. Same recipe as
+    * [[decontaminateBloom]], deletion-side: a few-MB BLOOM of the
+    * drop-set hashes splits the block stream MAP-SIDE — blocks whose
+    * hash is definitely not dropped (no false negatives by
+    * construction) go straight to reassembly without entering any
+    * join exchange; only the might-contain suspects (true boilerplate
+    * + ~1% FPs) ride the exact anti-join that removes the false
+    * positives ([[graft.ops.BloomPrune.antiJoinBloom]]). The RESULT is
+    * identical to the broadcast tier — the oracle is q_para_dedup's
+    * SQL unchanged, and the spec pins verdict ≡ [[paraDedup]] — while
+    * the only block exchanges left are the frequency aggregate and the
+    * doc-keyed reassembly of survivors.
+    */
+  def paraDedupBloom(spark: SparkSession, dir: String, blockTokens: Int = 20,
+      minFreq: Int = 2, expectedDropKeys: Long = 1L << 16): DataFrame = {
+    val toks = Tables.load(spark, dir, "documents")
+      .select(col("doc_id"), col("source"),
+        split(trim(col("text")), "\\s+").as("t"))
+    val hb = CacheBin.pin(
+      paraBlocks(Tables.load(spark, dir, "documents"), blockTokens))
+    val dropSet = CacheBin.pin(hb.groupBy(col("h"))
+      .agg(count(lit(1)).as("f"))
+      .filter(col("f") >= minFreq).select(col("h")))
+    val kept = graft.ops.BloomPrune.antiJoinBloom(
+      hb.select(col("doc_id"), col("bi"), col("para"), col("h")),
+      col("h"), dropSet, col("h"), expectedDropKeys)
+    val clean = kept
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_kept"),
+        array_join(transform(
+          array_sort(collect_list(struct(col("bi"), col("para")))),
+          x => x.getField("para")), " ").as("ctext"))
+    toks.select(col("doc_id"), col("source"),
+        size(col("t")).cast(LongType).as("n0"),
+        ceil(size(col("t")) / lit(blockTokens.toDouble)).cast(LongType).as("nb"))
+      .join(clean, Seq("doc_id"), "left")
+      .select(col("source"), col("n0"), col("nb"),
+        coalesce(col("n_kept"), lit(0L)).as("nk"),
+        when(col("ctext").isNull || col("ctext") === "", lit(0L))
+          .otherwise(size(split(trim(col("ctext")), "\\s+")).cast(LongType))
+          .as("n1"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("nk") < col("nb"), 1L).otherwise(0L)).as("docs_touched"),
+        sum(col("nb") - col("nk")).as("paras_dropped"),
+        sum(col("n0")).as("toks_before"),
+        sum(col("n1")).as("toks_after"))
+      .orderBy(col("source"))
+  }
+
   /** The (doc, block) stream shared by the paragraph-dedup faces. */
   private def paraBlocks(docs: DataFrame, blockTokens: Int): DataFrame =
     docs.select(col("doc_id"), col("source"),

@@ -108,6 +108,22 @@ class ParaDedupSpec extends SparkSpec {
     assert(art.columns.toSet === Set("h", "cnt"), "artifact must carry counts only")
   }
 
+  test("bloom tier ≡ broadcast tier: identical census, bloom filter in the plan, no cartesian") {
+    val want = LlmOps.paraDedup(spark, sf).collect().map(_.toString).toSeq
+    val df = LlmOps.paraDedupBloom(spark, sf)
+    val got = df.collect().map(_.toString).toSeq
+    assert(got === want, "bloom prefilter changed the verdicts")
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("might_contain"),
+      "bloom prefilter missing from the physical plan — the tier is a no-op")
+    assert(!plan.contains("CartesianProduct"), "all-pairs join leaked in")
+    // tiny FP budget also exercised: an undersized bloom (more FPs,
+    // more suspects through the exact anti-join) must not change results
+    val tight = LlmOps.paraDedupBloom(spark, sf, expectedDropKeys = 8)
+      .collect().map(_.toString).toSeq
+    assert(tight === want, "false positives leaked past the exact anti-join")
+  }
+
   test("plan: bounded shuffles, no cartesian") {
     val df = LlmOps.paraDedup(spark, sf)
     df.collect()
