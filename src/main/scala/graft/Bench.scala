@@ -39,7 +39,7 @@ object Bench {
     "q_embed_ivf_append", "q_embed_ivf_sq8", "q_embed_ivf_sq8_append",
     "q_embed_ivfpq_append",
     "q_attribution_stream", "q_ivm_stream", "q_blocklist_stream",
-    "q_para_dedup_stream", "q_para_dedup_incr",
+    "q_para_dedup_stream", "q_para_dedup_incr", "q_ssjoin_stream",
     "q_ivm_aggregate", "q_ivm_join", "q_ivm_join_dim", "q_ivm_minmax",
     "q_ivm_minmax_stream",
     "q_dedup_doc_coverage",

@@ -138,6 +138,7 @@ object SparkEntry {
     "q_tfidf_keywords" -> ((s, d) => LlmOps.tfidfKeywords(s, d)),
     "q_ssjoin_ppjoin" -> (LlmOps.ssjoinPpjoin(_, _)),
     "q_ssjoin_incr" -> (LlmOps.ssjoinIncr(_, _)),
+    "q_ssjoin_stream" -> (LlmOps.ssjoinStreamMaterialize(_, _)),
     "q_vocab_richness" -> (LlmOps.vocabRichness(_, _)),
     "q_source_novelty" -> (LlmOps.sourceNovelty(_, _)),
     "q_dedup_bbit_est" -> (LlmOps.bbitMinhashEstimate(_, _)),
@@ -531,6 +532,7 @@ object SparkEntry {
     "q_tfidf_keywords" -> LlmOps.tfidfKeywordsSql(),
     "q_ssjoin_ppjoin" -> LlmOps.ssjoinPpjoinSql,
     "q_ssjoin_incr" -> LlmOps.ssjoinIncrSql,
+    "q_ssjoin_stream" -> LlmOps.ssjoinStreamSql,
     "q_vocab_richness" -> LlmOps.vocabRichnessSql,
     "q_source_novelty" -> LlmOps.sourceNoveltySql,
     "q_dedup_bbit_est" -> LlmOps.bbitMinhashEstimateSql,

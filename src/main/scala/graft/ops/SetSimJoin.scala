@@ -133,10 +133,28 @@ object SetSimJoin {
     */
   def ppjoinCross(batch: DataFrame, corpus: DataFrame,
       tNum: Int, tDen: Int): DataFrame = {
+    val c = corpus.select(col("doc_id"), col("token")).distinct()
+    ppjoinCrossWithDfs(batch, c,
+      c.groupBy(col("token")).agg(count(lit(1)).as("df")), tNum, tDen)
+  }
+
+  /** Cross PPJoin against an EXPLICIT document-frequency artifact —
+    * the streaming admission tier's entry point: the token total order
+    * is PINNED per artifact generation (`dfs` staged when the
+    * generation is built, refreshed only on the compaction cadence),
+    * so per-batch cost never includes a corpus df aggregate and a
+    * replayed micro-batch sees the identical order. Correctness needs
+    * only that `dfs` define ONE total order applied to BOTH sides —
+    * the prefix and positional filter theorems never require the
+    * counts to be CURRENT, so a between-compactions artifact is exact,
+    * not approximate.
+    */
+  def ppjoinCrossWithDfs(batch: DataFrame, corpus: DataFrame,
+      dfs0: DataFrame, tNum: Int, tDen: Int): DataFrame = {
     // same distinct-input contract as [[ppjoin]] — enforced, not assumed
     val b = CacheBin.pin(batch.select(col("doc_id"), col("token")).distinct())
     val c = CacheBin.pin(corpus.select(col("doc_id"), col("token")).distinct())
-    val dfs = c.groupBy(col("token")).agg(count(lit(1)).as("df"))
+    val dfs = dfs0.select(col("token"), col("df"))
     // per-side doc-keyed collect with the in-row rarest-first sort
     // (see [[ppjoin]]); batch-only tokens coalesce to df 0
     def docArrOf(side: DataFrame): DataFrame =

@@ -1947,6 +1947,88 @@ object LlmOps {
       sh(docs.filter(col("doc_id") % 10 =!= 0)), tNum = 1, tDen = 2)
   }
 
+  /** STREAMING exact admission face (q_ssjoin_stream): the canonical
+    * crawl delta ([[ingestBatch]] — fresh %10==0 docs, then re-crawled
+    * corpus copies under offset ids) fed as TWO micro-batches through
+    * [[graft.streaming.PpjoinStream]] with a kill-and-resume between
+    * them, verdicts re-read from the committed versioned outputs. No
+    * compaction runs inside the oracle window, so the pinned corpus
+    * generation is fixed and the two-batch stream must equal the
+    * one-shot cross-only derivation — which is exactly what the
+    * oracle computes (the [[ssjoinIncrSql]] pair chain over the
+    * batch∪corpus pool, collapsed to per-doc verdicts). The
+    * compaction-cadence refresh and the verdict flip it causes are
+    * spec territory (`PpjoinStreamSpec`), not oracle territory: the
+    * oracle must stay a pure function of the documents table.
+    */
+  def ssjoinStreamMaterialize(spark: SparkSession, dir: String): DataFrame = {
+    val root = graft.ops.StageOnce.tmp("ssjoin_stream", dir)
+    val state = s"$root/state"
+    graft.ops.StageOnce(root) {
+      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+      import spark.implicits._
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+      val rows = ingestBatch(spark, dir).orderBy(col("doc_id"))
+        .as[(Long, String)].collect()
+      val (fresh, recrawled) = rows.partition(_._1 < 1000000L)
+      val gen = graft.streaming.PpjoinStream.baseGeneration(spark, dir)
+      val ckpt = graft.ops.StageOnce.tmp("ssjoin_stream_ckpt", dir)
+      val mem = MemoryStream[(Long, String)]
+      def start() = graft.streaming.PpjoinStream.start(
+        mem.toDS().toDF("doc_id", "text"), gen, state, ckpt)
+      val q1 = start()
+      try {
+        mem.addData(fresh.toIndexedSeq: _*)
+        q1.processAllAvailable()
+      } finally q1.stop()
+      val q2 = start() // kill-and-resume from the checkpoint
+      try {
+        mem.addData(recrawled.toIndexedSeq: _*)
+        q2.processAllAvailable()
+      } finally q2.stop()
+    }
+    spark.read.parquet(s"$state/verdicts_v0")
+      .unionByName(spark.read.parquet(s"$state/verdicts_v1"))
+  }
+
+  /** Per-doc verdict oracle for the streaming exact gate: dup_ssjoin
+    * iff some corpus doc shares Jaccard ≥ 1/2 over word-3-shingle
+    * sets — the [[ssjoinIncrSql]] chain over the batch∪corpus pool,
+    * collapsed to verdicts.
+    */
+  lazy val ssjoinStreamSql: String =
+    """WITH pool AS (SELECT doc_id, text FROM documents
+      |  UNION ALL
+      |  SELECT doc_id + 1000000, text FROM documents WHERE doc_id % 20 = 5),
+      |toks AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS t
+      |  FROM pool),
+      |sh AS (SELECT DISTINCT doc_id,
+      |  unnest([array_to_string(t[i:i+2], ' ') for i in range(1, len(t)-1)])
+      |    AS shingle
+      |  FROM toks),
+      |hs AS (SELECT doc_id,
+      |    ('0x' || substr(md5(shingle), 1, 15))::BIGINT AS h FROM sh),
+      |b AS (SELECT doc_id, h FROM hs
+      |  WHERE doc_id % 10 = 0 OR doc_id >= 1000000),
+      |c AS (SELECT doc_id, h FROM hs
+      |  WHERE doc_id % 10 <> 0 AND doc_id < 1000000),
+      |szb AS (SELECT doc_id, count(*) AS sz FROM b GROUP BY 1),
+      |szc AS (SELECT doc_id, count(*) AS sz FROM c GROUP BY 1),
+      |pair AS (SELECT b.doc_id AS doc_new, c.doc_id AS doc_base,
+      |    count(*) AS inter
+      |  FROM b JOIN c ON b.h = c.h GROUP BY 1, 2),
+      |dups AS (SELECT DISTINCT doc_new FROM pair
+      |  JOIN szb sa ON sa.doc_id = pair.doc_new
+      |  JOIN szc sb ON sb.doc_id = pair.doc_base
+      |  WHERE inter * 2 >= (sa.sz + sb.sz - inter) * 1)
+      |SELECT p.doc_id,
+      |  CASE WHEN d.doc_new IS NOT NULL THEN 'dup_ssjoin'
+      |       ELSE 'admitted' END AS verdict
+      |FROM (SELECT doc_id FROM documents WHERE doc_id % 10 = 0
+      |      UNION ALL
+      |      SELECT doc_id + 1000000 FROM documents WHERE doc_id % 20 = 5) p
+      |LEFT JOIN dups d ON d.doc_new = p.doc_id""".stripMargin
+
   lazy val ssjoinIncrSql: String =
     s"""WITH $shingleCte,
       |hs AS (SELECT doc_id,
