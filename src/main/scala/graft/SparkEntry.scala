@@ -202,6 +202,7 @@ object SparkEntry {
     "q_embed_topk_perlabel" -> (LlmOps.embedTopKPerLabel(_, _)),
     "q_embed_ann_ivf" -> (LlmOps.embedAnnIvf(_, _)),
     "q_embed_recall" -> (LlmOps.embedRecallEval(_, _)),
+    "q_embed_recall_budget" -> (LlmOps.embedRecallBudget(_, _)),
     "q_embed_drift" -> (LlmOps.embedDrift(_, _)),
     "q_embed_ivf_sq8" -> (LlmOps.embedIvfSq8(_, _)),
     "q_embed_mmr" -> (LlmOps.embedMmr(_, _)),
@@ -572,6 +573,7 @@ object SparkEntry {
     "q_hybrid_rrf" -> LlmOps.hybridRrfSql,
     "q_embed_ann_ivf" -> LlmOps.embedAnnIvfSql,
     "q_embed_recall" -> LlmOps.embedRecallEvalSql(),
+    "q_embed_recall_budget" -> LlmOps.embedRecallBudgetSql,
     "q_embed_drift" -> LlmOps.embedDriftSql,
     "q_embed_ivf_sq8" -> LlmOps.embedIvfSq8Sql,
     "q_embed_mmr" -> LlmOps.embedMmrSql(),

@@ -336,6 +336,58 @@ object Similarity {
       .sortBy { case (cid, s) => (-s, cid) }.take(nProbe).map(_._1)
   }
 
+  /** MULTI-PROBE order with a scan BUDGET — the production nProbe
+    * lever between "2 lists" and "full scan" (the multi-probe LSH
+    * ranking of Lv et al., VLDB 2007, applied to IVF; FAISS's nprobe
+    * generalized to a row budget): rank every centroid list by the
+    * query-centroid cosine MARGIN (cos_best − cos_i, ascending — the
+    * same order as cosine descending, spelled as the margin because
+    * that is the quantity the multi-probe literature budgets), then
+    * take ranked lists while the CUMULATIVE list size stays within
+    * `budgetRows` (the first list always probes — a budget below the
+    * hottest list must still answer). Driver parameter math over the
+    * centroid table and the per-list sizes a real index keeps as
+    * metadata; the search plan itself is unchanged — still one
+    * partition-pruned scan of the probed lists + exact top-k.
+    *
+    * Because the cumulative size is nondecreasing in margin rank, the
+    * kept set is a PREFIX of the ranked lists: recall@k is monotone
+    * nondecreasing in the budget, reaching exact brute-force at
+    * budget = N (spec-pinned via the recall monitor).
+    */
+  def probeCidsBudget(centroids: Seq[(Int, Seq[Double])],
+      listSizes: Map[Int, Long], queryVec: Seq[Double],
+      budgetRows: Long): Seq[Int] = {
+    def cos(a: Seq[Double], b: Seq[Double]): Double = {
+      val d = a.zip(b).map { case (x, y) => x * y }.sum
+      d / (math.sqrt(a.map(x => x * x).sum) * math.sqrt(b.map(x => x * x).sum))
+    }
+    val scored = centroids.map { case (cid, c) => (cid, cos(c, queryVec)) }
+    val best = scored.map(_._2).max
+    val ranked = scored
+      .map { case (cid, s) => (cid, best - s) } // the probe margin
+      .sortBy { case (cid, m) => (m, cid) }
+    var cum = 0L
+    ranked.zipWithIndex.flatMap { case ((cid, _), i) =>
+      cum += listSizes.getOrElse(cid, 0L)
+      if (i == 0 || cum <= budgetRows) Some(cid) else None
+    }
+  }
+
+  /** IVF search under a probe-row budget: [[probeCidsBudget]] order,
+    * same pruned-scan plan as [[ivfSearch]].
+    */
+  def ivfSearchBudget(assigned: DataFrame, centroids: Seq[(Int, Seq[Double])],
+      listSizes: Map[Int, Long], queryVec: Seq[Double], k: Int,
+      budgetRows: Long): DataFrame = {
+    val probed = probeCidsBudget(centroids, listSizes, queryVec, budgetRows)
+    val q = array(queryVec.map(lit): _*)
+    assigned.filter(col("centroid").isin(probed: _*))
+      .select(col("vec_id"), cosine(col("e"), q).as("cos"))
+      .orderBy(col("cos").desc, col("vec_id"))
+      .limit(k)
+  }
+
   def ivfSearch(assigned: DataFrame, centroids: Seq[(Int, Seq[Double])],
       queryVec: Seq[Double], k: Int, nProbe: Int = 2): DataFrame = {
     val probed = probeCids(centroids, queryVec, nProbe)

@@ -3572,6 +3572,131 @@ object LlmOps {
       .orderBy(col("query_id"))
   }
 
+  /** The recall monitor with the MULTI-PROBE BUDGET knob
+    * ([[Similarity.probeCidsBudget]] — margin-ranked centroid lists
+    * probed until a cumulative row budget): recall@k of the budgeted
+    * IVF search vs brute-force ground truth, for a LADDER of budgets
+    * ⌈N/32⌉, ⌈N/8⌉, ⌈N/2⌉, N (power-of-2 denominators so ceil is
+    * IEEE-exact in both engines). This is the tunable the production
+    * deployment actually turns: the output is the recall-vs-scan-cost
+    * curve, and because each budget's probed set is a PREFIX of the
+    * margin ranking, recall is monotone nondecreasing in budget and
+    * exactly 1 at budget = N (spec-pinned).
+    *
+    * Plan shape: the [[embedRecallEval]] single-scan shape with one
+    * extra O(k) aggregator per budget — each corpus row still explodes
+    * once per panel query, and the one exchange carries (1 + |budgets|)
+    * k-bounded partials per (query, partition). Per-list sizes are a
+    * parameter-sized driver aggregate (index metadata at scale).
+    */
+  def embedRecallBudget(spark: SparkSession, dir: String,
+      k: Int = 10): DataFrame = {
+    import org.apache.spark.sql.Encoders
+    val emb = Tables.load(spark, dir, "embeddings")
+    val centroids = fittedCentroids(spark, dir)
+    val assigned = CacheBin.pin(Similarity.ivfAssign(
+      emb, col("vec_id"), col("embedding"), centroids))
+    val sizes = assigned.groupBy(col("centroid")).count()
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val total = sizes.values.sum
+    val budgets = Seq(32L, 8L, 2L, 1L).map(d => (total + d - 1) / d)
+    val panel = emb.filter(col("vec_id") % 10 === 3 && col("vec_id") < 320)
+      .select(col("vec_id"), col("embedding").cast(ArrayType(DoubleType)))
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1)))
+      .sortBy(_._1).toSeq
+    val perQuery = panel.map { case (qid, qv) =>
+      val probedSets = budgets.map(b =>
+        Similarity.probeCidsBudget(centroids, sizes, qv, b).toSet)
+      val q = array(qv.map(lit): _*)
+      struct(lit(qid).as("qid") +:
+        round(Similarity.cosine(col("e"), q), 6).as("cos") +:
+        probedSets.zipWithIndex.map { case (s, i) =>
+          col("centroid").isin(s.toSeq: _*).as(s"p$i")
+        }: _*)
+    }
+    val topk = udaf(new graft.functions.TopKAggregator(k),
+      Encoders.product[graft.functions.ScoredId])
+    val aggs = topk(col("vec_id"), col("cos")).as("gt") +:
+      budgets.indices.map(i => topk(col("vec_id"),
+        when(col(s"p$i"), col("cos")).otherwise(lit(-2.0))).as(s"ann$i"))
+    val byQuery = assigned
+      .select(col("vec_id"), explode(array(perQuery: _*)).as("s"))
+      .filter(col("vec_id") =!= col("s.qid"))
+      .select(col("s.qid").as("query_id") +: col("vec_id").as("vec_id") +:
+        col("s.cos").as("cos") +:
+        budgets.indices.map(i => col(s"s.p$i").as(s"p$i")): _*)
+      .groupBy(col("query_id"))
+      .agg(aggs.head, aggs.tail: _*)
+      .withColumn("gt_ids", transform(col("gt.items"), s => s.getField("id")))
+    val perBudget = budgets.zipWithIndex.map { case (b, i) =>
+      struct(lit(b).as("budget_rows"),
+        size(array_intersect(col("gt_ids"),
+          transform(filter(col(s"ann$i.items"),
+            s => s.getField("score") > -1.5), s => s.getField("id"))))
+          .cast(LongType).as("n_hit"))
+    }
+    byQuery
+      .select(col("query_id"), explode(array(perBudget: _*)).as("r"))
+      .select(col("r.budget_rows").as("budget_rows"), col("query_id"),
+        col("r.n_hit").as("n_hit"),
+        round(col("r.n_hit").cast(DoubleType) / k, 6).as("recall"))
+      .orderBy(col("budget_rows"), col("query_id"))
+  }
+
+  /** Budget-ladder recall oracle: the shared k-means fit chain, per-
+    * query centroid ranking by cosine (the margin order), cumulative
+    * list sizes, the rk=1-or-cum≤budget prefix rule per budget, then
+    * the [[embedRecallEvalSql]] gt/ann membership count per budget.
+    */
+  lazy val embedRecallBudgetSql: String = {
+    val fin = s"cents$ivfFitIters"
+    val budgetExpr = Map(32 -> "CAST(ceil(t.n / 32.0) AS BIGINT)",
+      8 -> "CAST(ceil(t.n / 8.0) AS BIGINT)",
+      2 -> "CAST(ceil(t.n / 2.0) AS BIGINT)", 1 -> "t.n")
+    val perBudget = Seq(32, 8, 2, 1).map { d =>
+      s"""SELECT ${budgetExpr(d)} AS budget_rows, g.qid AS query_id,
+         |  CAST(count(a.vec_id) AS BIGINT) AS n_hit
+         |FROM gt g
+         |LEFT JOIN (SELECT qid, vec_id FROM (
+         |    SELECT s.qid, s.vec_id,
+         |      row_number() OVER (PARTITION BY s.qid
+         |        ORDER BY s.cos DESC, s.vec_id) AS rk
+         |    FROM scored s
+         |    JOIN cum p ON p.qid = s.qid AND p.cid = s.cid, tot t
+         |    WHERE p.rk = 1 OR p.cum <= ${budgetExpr(d)})
+         |  WHERE rk <= 10) a USING (qid, vec_id), tot t
+         |GROUP BY 1, 2""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    s"""WITH $kmeansFitCtes,
+       |qs AS (SELECT vec_id AS qid, embedding::DOUBLE[] AS qe FROM embeddings
+       |  WHERE vec_id % 10 = 3 AND vec_id < 320),
+       |sizes AS (SELECT cid, CAST(count(*) AS BIGINT) AS sz
+       |  FROM assigned GROUP BY 1),
+       |tot AS (SELECT CAST(count(*) AS BIGINT) AS n FROM assigned),
+       |ranked AS (
+       |  SELECT q.qid, c.cid, coalesce(s.sz, 0) AS sz,
+       |    row_number() OVER (PARTITION BY q.qid
+       |      ORDER BY list_cosine_similarity(c.c, q.qe) DESC, c.cid) AS rk
+       |  FROM $fin c LEFT JOIN sizes s USING (cid) CROSS JOIN qs q),
+       |cum AS MATERIALIZED (SELECT qid, cid, rk,
+       |    sum(sz) OVER (PARTITION BY qid ORDER BY rk) AS cum
+       |  FROM ranked),
+       |scored AS MATERIALIZED (
+       |  SELECT q.qid, a.vec_id, a.cid,
+       |    round(list_cosine_similarity(a.embedding::DOUBLE[], q.qe), 6) AS cos
+       |  FROM assigned a CROSS JOIN qs q
+       |  WHERE a.vec_id <> q.qid),
+       |gt AS (SELECT qid, vec_id FROM (
+       |  SELECT qid, vec_id,
+       |    row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id) AS rk
+       |  FROM scored) WHERE rk <= 10)
+       |SELECT budget_rows, query_id, n_hit,
+       |  round(n_hit / 10.0, 6) AS recall
+       |FROM ($perBudget)
+       |ORDER BY 1, 2""".stripMargin
+  }
+
   /** MMR diversified re-ranking (Carbonell & Goldstein, SIGIR 1998 —
     * maximal marginal relevance, the standard RAG result diversifier):
     * greedily pick m results from the brute-force top-`pool`

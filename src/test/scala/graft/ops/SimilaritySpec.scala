@@ -164,6 +164,50 @@ class SimilaritySpec extends SparkSpec {
     assert(meanAt(1) >= meanAt(0), "recall is monotone in nProbe")
   }
 
+  test("multi-probe budget: prefix-nested probe sets, recall monotone in budget, exact at budget=N") {
+    val emb = graft.Tables.load(spark, sf, "embeddings")
+    val centroids = Similarity.kmeansFit(emb, col("vec_id"), col("embedding"),
+      emb.filter(col("vec_id") < 8)
+        .select(col("vec_id"), col("embedding")
+          .cast("array<double>")).collect()
+        .map(r => (r.getLong(0).toInt, r.getSeq[Double](1))).sortBy(_._1).toSeq,
+      iters = 3)
+    val assigned = Similarity.ivfAssign(emb, col("vec_id"), col("embedding"),
+      centroids)
+    val sizes = assigned.groupBy(col("centroid")).count()
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val total = sizes.values.sum
+    val qv = emb.filter(col("vec_id") === 3)
+      .select(col("embedding").cast("array<double>"))
+      .collect()(0).getSeq[Double](0)
+    val budgets = Seq(32L, 8L, 2L, 1L).map(d => (total + d - 1) / d)
+    val sets = budgets.map(b =>
+      Similarity.probeCidsBudget(centroids, sizes, qv, b))
+    // margin-ranked PREFIX property: each budget's probe list is a
+    // prefix of the next larger budget's
+    sets.sliding(2).foreach { case Seq(small, large) =>
+      assert(large.take(small.length) === small,
+        s"probe sets are not prefix-nested: $small vs $large")
+    }
+    assert(sets.last.toSet === centroids.map(_._1).toSet,
+      "budget = N must probe every list")
+    // recall curve via the registered face: monotone per query, exact
+    // at the full budget, and strictly below 1 somewhere at the
+    // smallest budget (so the knob genuinely trades recall for scans)
+    val rows = LlmOps.embedRecallBudget(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(3)))
+    val byQuery = rows.groupBy(_._2).values
+    byQuery.foreach { qRows =>
+      val curve = qRows.sortBy(_._1).map(_._3)
+      assert(curve.zip(curve.tail).forall { case (a, b) => a <= b },
+        s"recall not monotone in budget: ${curve.toSeq}")
+      assert(curve.last === 1.0, "full budget must equal brute force")
+    }
+    val smallest = rows.filter(_._1 == rows.map(_._1).min).map(_._3)
+    assert(smallest.exists(_ < 1.0),
+      "smallest budget already at recall 1 — the ladder exercises nothing")
+  }
+
   test("kmeansStep: centroid means land between member min/max per dimension") {
     import org.apache.spark.sql.types.{ArrayType, DoubleType}
     val emb = spark.read.parquet(s"$sf/embeddings.parquet")
