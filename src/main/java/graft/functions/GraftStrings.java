@@ -438,6 +438,51 @@ public final class GraftStrings {
     return UnsafeArrayData.fromPrimitiveArray(out);
   }
 
+  /** Per-document (term, tf) entries in ONE byte-level pass: the
+   *  distinct whitespace tokens of the trimmed input, each with its
+   *  occurrence count — the fused form of
+   *  {@code explode(tokens) + groupBy(doc, term).count()}, which costs
+   *  a corpus-token-sized EXCHANGE that this kernel removes entirely
+   *  (the entries are per-row, so the tf build is map-side by
+   *  construction). Token boundaries are exactly {@link #tokens}' /
+   *  {@link #termFreqs}': ASCII-space trim, {@code \s}-run separators,
+   *  the empty input contributing one empty token, plus the trailing
+   *  empty-token edge. Entry order is first occurrence; consumers
+   *  aggregate or sort, never rely on it. */
+  public static ArrayData termTfEntries(UTF8String text) {
+    byte[] b = text.trim().getBytes();
+    int len = b.length;
+    java.util.LinkedHashMap<UTF8String, long[]> counts =
+        new java.util.LinkedHashMap<>();
+    if (len == 0) {
+      counts.put(UTF8String.EMPTY_UTF8, new long[] {1L});
+    } else {
+      int i = 0;
+      while (i < len) {
+        int s = i;
+        while (i < len && !isSpace(b[i])) i++;
+        UTF8String tok = UTF8String.fromBytes(b, s, i - s);
+        long[] c = counts.get(tok);
+        if (c == null) counts.put(tok, new long[] {1L}); else c[0]++;
+        while (i < len && isSpace(b[i])) i++;
+      }
+      if (isSpace(b[len - 1])) { // trailing empty token (see termFreqs)
+        long[] c = counts.get(UTF8String.EMPTY_UTF8);
+        if (c == null) counts.put(UTF8String.EMPTY_UTF8, new long[] {1L});
+        else c[0]++;
+      }
+    }
+    Object[] out = new Object[counts.size()];
+    int j = 0;
+    for (java.util.Map.Entry<UTF8String, long[]> e : counts.entrySet()) {
+      GenericInternalRow r = new GenericInternalRow(2);
+      r.update(0, e.getKey());
+      r.update(1, e.getValue()[0]);
+      out[j++] = r;
+    }
+    return new GenericArrayData(out);
+  }
+
   /** WordPiece greedy longest-match-first segmentation (Schuster &amp;
    *  Nakajima, ICASSP 2012; the BERT tokenizer's encode rule): from the
    *  left, repeatedly consume the LONGEST vocabulary piece that

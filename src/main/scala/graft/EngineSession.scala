@@ -26,6 +26,19 @@ object EngineSession {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.extensions", "graft.GraftExtensions")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // InferFiltersFromGenerate guards explode(f(x)) with
+      // (size(f(x)) > 0 AND isnotnull(f(x))) — with the GENERATOR
+      // EXPRESSION INLINED, so every non-attribute generator child runs
+      // 3× per input row. For this engine's generator children — the
+      // tokenize/shingle/winnow kernels, where the child IS the scan's
+      // dominant cost — the guard costs far more than the empty-array
+      // short-circuit it buys (measured: the ngram posting scan stage
+      // dropped 1.0 s → 0.6 s at sf0.1 with the guard gone). The rule
+      // only ever skips work for empty/null arrays, which the kernels
+      // emit rarely and generators handle correctly anyway — excluding
+      // it is semantics-free.
+      .config("spark.sql.optimizer.excludedRules",
+        "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate")
       .config("spark.ui.enabled", "false")
     if (smallInputTuning)
       b.config("spark.sql.files.maxPartitionBytes", "1m")

@@ -740,6 +740,48 @@ object ScaleBench {
         queries.Events.ewmaDaily(spark, dir))
       val (tsSec, tsRows, tsEx) = bestIf("theil_sen")(
         queries.Events.theilSenSlope(spark, dir))
+      // bloom-tier paragraph dedup: same block/freq passes as
+      // para_dedup, but the drop-set anti-join is split by the bloom —
+      // definite keeps never enter the join exchange, so the join leg
+      // carries ~(boilerplate + FP) rows while time ∝ k for the block
+      // passes; census rows flat
+      val (pbdSec, pbdRows, pbdEx) = bestIf("para_dedup_bloom")(
+        queries.LlmOps.paraDedupBloom(spark, dir))
+      // forget cascade, sig leg: staged segmented minhash-signature
+      // artifact charged to run 1; the probe is batch sigs (kernel,
+      // ∝ k) band-joined against the artifact minus broadcast
+      // tombstones + candidate-sized verify — pairs ∝ k by replica
+      // decorrelation
+      val (fsSec, fsRows, fsEx) = bestIf("forget_sigs")(
+        graft.ops.Forget.forgetSigs(spark, dir))
+      // forget cascade, winnow leg: staged fingerprint artifact
+      // charged to run 1; probe = batch fp kernel (∝ k) joined against
+      // the artifact minus tombstones; pairs ∝ k
+      val (fwSec, fwRows, fwEx) = bestIf("forget_winnow")(
+        graft.ops.Forget.forgetWinnow(spark, dir))
+      // forget cascade, postings leg: staged segmented positional
+      // index charged to run 1; the probed cell is the bucket-pruned,
+      // term-pushed phrase legs + ONE broadcast tombstone anti-join —
+      // near-flat like phrase_search (tagged replicas never contain
+      // the untagged phrase terms)
+      val (fpSec, fpRows, fpEx) = bestIf("forget_postings")(
+        graft.ops.Forget.forgetPostings(spark, dir))
+      // byte-level BPE fit: every ≥2-byte token trains, but replica
+      // tagging only widens the vocabulary ~k× while the fit's rounds
+      // stay vocabulary-sized; the corpus pass ∝ k (forced distributed
+      // tier, as bpe_train)
+      val (bbSec, bbRows, bbEx) = bestIf("bpe_bytes") {
+        import spark.implicits._
+        graft.ops.Bpe.trainMergesBytes(
+          graft.ops.Bpe.byteWordCounts(spark, dir), merges = 8,
+          localThreshold = 0).toDF("rank", "a", "b", "cnt")
+      }
+      // multi-probe budget recall: the embed_recall single-scan shape
+      // with 4 extra O(k)-state aggregators — panel and budgets are
+      // parameter-sized, so rows stay flat (|panel|·4) and time ∝ k
+      // for the one corpus scan
+      val (rbSec, rbRows, rbEx) = bestIf("recall_budget")(
+        queries.LlmOps.embedRecallBudget(spark, dir))
       val row = scala.collection.immutable.ListMap(
         "lsh_pairs" -> (lshSec, lshRows, lshEx),
         "cc_distributed" -> (ccSec, ccRows, ccEx),
@@ -819,7 +861,13 @@ object ScaleBench {
         "tfidf_keywords" -> (tfkSec, tfkRows, tfkEx),
         "t_closeness" -> (tcSec, tcRows, tcEx),
         "ewma_daily" -> (ewSec, ewRows, ewEx),
-        "theil_sen" -> (tsSec, tsRows, tsEx))
+        "theil_sen" -> (tsSec, tsRows, tsEx),
+        "para_dedup_bloom" -> (pbdSec, pbdRows, pbdEx),
+        "forget_sigs" -> (fsSec, fsRows, fsEx),
+        "forget_winnow" -> (fwSec, fwRows, fwEx),
+        "forget_postings" -> (fpSec, fpRows, fpEx),
+        "bpe_bytes" -> (bbSec, bbRows, bbEx),
+        "recall_budget" -> (rbSec, rbRows, rbEx))
         .filter { case (op, _) => wanted(op) }
       row.foreach { case (op, (s, r, e)) =>
         println(s"""{"scale":$k,"op":"$op","sec":$s,"rows":$r,"exchanges":$e}""")

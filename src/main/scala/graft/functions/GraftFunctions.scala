@@ -39,6 +39,14 @@ object GraftFunctions {
   def tokenPairHashes(text: Column): Column =
     ColumnBridge.column(TokenPairHashes(ColumnBridge.expression(text)))
 
+  /** Per-document (term, tf) entries (distinct tokens with counts) in
+    * one kernel pass — the zero-exchange tf relation (the
+    * explode+groupBy formulation shuffles the whole token stream for
+    * per-row facts).
+    */
+  def termTfEntries(text: Column): Column =
+    ColumnBridge.column(TermTfEntries(ColumnBridge.expression(text)))
+
   /** WordPiece greedy longest-match piece count under a plan-time
     * vocabulary (plain = word-start pieces, cont = "##" continuation
     * pieces WITHOUT the marker); NULL on an uncoverable word.

@@ -297,6 +297,35 @@ case class TermFreqs(child: Expression, terms: Seq[String])
     copy(child = newChild)
 }
 
+/** Per-document (term, tf) entries — the distinct whitespace tokens of
+  * the trimmed input with their occurrence counts, one kernel pass.
+  * The fused form of `explode(tokens) + groupBy(doc, term).count()`:
+  * that formulation shuffles the whole token stream to build per-doc
+  * tfs that are per-ROW facts; this emits them map-side, so the tf
+  * relation exists with ZERO exchanges (see GraftStrings.termTfEntries
+  * for the exact tokenization contract shared with the oracle).
+  */
+case class TermTfEntries(child: Expression) extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires a string argument, got ${child.dataType}")
+  override def dataType: DataType = ArrayType(StructType(Seq(
+    StructField("term", StringType, nullable = false),
+    StructField("tf", LongType, nullable = false))), containsNull = false)
+  override def prettyName: String = "term_tf_entries"
+
+  override protected def nullSafeEval(input: Any): Any =
+    GraftStrings.termTfEntries(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.GraftStrings.termTfEntries($c);")
+
+  override protected def withNewChildInternal(newChild: Expression): TermTfEntries =
+    copy(child = newChild)
+}
+
 /** Winnowing fingerprints (the MOSS selection): distinct w-window
   * minima of the positional n-gram hash stream, right-edge partial
   * windows kept — one primitive kernel pass replacing the interpreted

@@ -247,7 +247,7 @@ object Bpe {
     * no charset filter (that is the point of byte BPE). Same one
     * corpus-sized, map-side-combined aggregate as [[wordCounts]].
     */
-  private[ops] def byteWordCounts(spark: SparkSession, dir: String): DataFrame =
+  private[graft] def byteWordCounts(spark: SparkSession, dir: String): DataFrame =
     Tables.load(spark, dir, "documents")
       .select(explode(TextAnalysis.tokens(col("text"))).as("w"))
       .filter(octet_length(col("w")) >= 2)

@@ -392,12 +392,21 @@ object Dedup {
     // md5-hex/conv built-in chain and per-shingle UTF8String rows never
     // exist — measured ~2× on the scan stage, which a single-row-group
     // input runs serialized
+    // explode_outer, NOT explode: plain explode's implicit
+    // (size(gen) > 0 AND isnotnull(gen)) guard is pushed into the scan
+    // filter with the GENERATOR EXPRESSION INLINED — the kernel then
+    // runs 3× per row (twice in the filter, once in the project;
+    // measured 1.0 s → 0.6 s on this stage at sf0.1). explode_outer
+    // plans no guard, the kernel evaluates once into the `hs`
+    // attribute, and the one null `h` row an empty array emits is
+    // dropped by an attribute-only filter.
     val posts =
       df.select(id.as("doc_id"),
           graft.functions.GraftFunctions.wordShingleHashes(text, n).as("hs"))
         .select(col("doc_id"),
           size(col("hs")).cast(LongType).as("n_sh"),
-          explode(col("hs")).as("h"))
+          explode_outer(col("hs")).as("h"))
+        .filter(col("h").isNotNull)
         .groupBy("h")
         .agg(graft.functions.GraftFunctions
           .boundedPostings(col("doc_id"), col("n_sh"), maxDocFreq.toInt)

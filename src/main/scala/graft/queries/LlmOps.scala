@@ -1864,30 +1864,46 @@ object LlmOps {
     * breaks hash equality; ranking is unaffected since the map is
     * monotone in df).
     *
-    * Shape: one (doc,term)-keyed tf aggregate (map-side combined), one
-    * term-keyed df aggregate, a term-keyed join back (AQE broadcasts
-    * the vocab side — |vocab| ≪ corpus), the 1-row N broadcast, and a
-    * per-doc top-k window. No corpus-squared anything; the window
-    * partitions by doc so each doc sorts only its own vocab.
+    * Shape (rewritten round 15 — the prior explode+groupBy tf build
+    * shuffled the WHOLE token stream for per-row facts, then paid a
+    * second exchange plus a per-partition sort in the top-k window):
+    * the (doc, term, tf) relation now comes out of ONE codegen'd
+    * kernel pass ([[graft.functions.GraftFunctions.termTfEntries]] —
+    * tf is a per-doc fact, so it never needed an exchange), leaving
+    * exactly TWO exchanges at any scale: the term-keyed df aggregate
+    * (map-side combined, Heaps-sublinear output) and the doc-keyed
+    * top-k collect (each doc's own vocab, sorted IN-ROW — no window,
+    * no partition sort). The vocab joins back AQE-broadcast; N is the
+    * 1-row broadcast.
     */
   def tfidfKeywords(spark: SparkSession, dir: String, k: Int = 3): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val docs = Tables.load(spark, dir, "documents")
     val tf = docs
-      .select(col("doc_id"), explode(TextAnalysis.tokens(col("text"))).as("term"))
-      .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+      .select(col("doc_id"),
+        explode_outer(graft.functions.GraftFunctions
+          .termTfEntries(col("text"))).as("e"))
+      .select(col("doc_id"), col("e.term").as("term"), col("e.tf").as("tf"))
     val dfTbl = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
-    val n = docs.agg(count(lit(1)).as("n"))
-    val w = Window.partitionBy(col("doc_id"))
-      .orderBy(col("score").desc, col("term"))
+    // N as a driver-side literal (metadata-only parquet row count):
+    // a broadcast-subquery N costs its own exchange + stage for one
+    // number the catalog already knows
+    val n = docs.count()
     tf.join(dfTbl, Seq("term"))
-      .crossJoin(broadcast(n))
+      .withColumn("n", lit(n))
       .withColumn("score",
         round((col("tf") * (lit(2) * (col("n") - col("df")) + 1))
           .cast(DoubleType) / (lit(2) * col("df") + 1), 6))
-      .withColumn("rnk", row_number().over(w).cast(LongType))
-      .filter(col("rnk") <= k)
-      .select(col("doc_id"), col("term"), col("score"), col("rnk"))
+      // per-doc top-k without a window: one doc-keyed collect, the
+      // (score DESC, term ASC) order spelled as an ascending in-row
+      // sort on (-score, term) — double negation is IEEE-exact
+      .groupBy(col("doc_id"))
+      .agg(slice(array_sort(collect_list(
+        struct((-col("score")).as("ns"), col("term"), col("score")))),
+        1, k).as("top"))
+      .select(col("doc_id"), posexplode(col("top")))
+      .select(col("doc_id"), col("col.term").as("term"),
+        col("col.score").as("score"),
+        (col("pos") + 1).cast(LongType).as("rnk"))
   }
 
   /** Oracle for [[tfidfKeywords]]; takes the SAME k so a caller

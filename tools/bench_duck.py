@@ -79,14 +79,36 @@ def main(sf_dir, out_dir, spark_json=None):
         # Bench prints the full per-query line FIRST, then a compact
         # totals-only line (tail-capture insurance) — take the line
         # that carries "queries".
-        spark = next(json.loads(ln)["queries"]
-                     for ln in open(spark_json)
-                     if ln.strip() and "\"queries\"" in ln)
+        spark_line = next(json.loads(ln)
+                          for ln in open(spark_json)
+                          if ln.strip() and "\"queries\"" in ln)
+        spark = spark_line["queries"]
         rows = [(k, spark.get(k), duck.get(k)) for k in duck if k in spark]
         rows.sort(key=lambda r: -(r[1] / r[2] if r[2] else 0))
         print(f"\n{'query':32} {'spark':>8} {'duck':>8} {'ratio':>7}")
         for k, s, d in rows:
             print(f"{k:32} {s:8.2f} {d:8.3f} {s / d:7.1f}x")
+        # committed paired-ratio artifact: per-cell spark/duck/ratio so
+        # future judges diff RATIOS across rounds, not just totals.
+        # Self-describing: carries the Spark receipt's load evidence and
+        # the staged-cell list (those ratios compare different work).
+        paired = {
+            "sf": sf_dir,
+            "loadavg_before": spark_line.get("loadavg_before"),
+            "loadavg_after": spark_line.get("loadavg_after"),
+            "hot_window_warn": spark_line.get("hot_window_warn"),
+            "spark_total": round(sum(s for _, s, _ in rows), 2),
+            "duck_total": round(sum(d for _, _, d in rows), 2),
+            "ratio_total": round(sum(s for _, s, _ in rows)
+                                 / max(sum(d for _, _, d in rows), 1e-9), 3),
+            "staged_input_cells": staged,
+            "cells": {k: {"spark": round(s, 3), "duck": round(d, 3),
+                          "ratio": round(s / d, 2) if d else None}
+                      for k, s, d in rows},
+        }
+        with open("target/paired_last.json", "w") as f:
+            json.dump(paired, f, indent=1, sort_keys=True)
+        print("\npaired artifact -> target/paired_last.json")
 
 
 if __name__ == "__main__":
