@@ -139,6 +139,7 @@ object SparkEntry {
     "q_ssjoin_ppjoin" -> (LlmOps.ssjoinPpjoin(_, _)),
     "q_ssjoin_incr" -> (LlmOps.ssjoinIncr(_, _)),
     "q_ssjoin_stream" -> (LlmOps.ssjoinStreamMaterialize(_, _)),
+    "q_lsh_tune" -> (LlmOps.lshParamSweep(_, _)),
     "q_vocab_richness" -> (LlmOps.vocabRichness(_, _)),
     "q_source_novelty" -> (LlmOps.sourceNovelty(_, _)),
     "q_dedup_bbit_est" -> (LlmOps.bbitMinhashEstimate(_, _)),
@@ -269,6 +270,7 @@ object SparkEntry {
     "q_forget_sigs" -> ((s, d) => graft.ops.Forget.forgetSigs(s, d)),
     "q_forget_winnow" -> ((s, d) => graft.ops.Forget.forgetWinnow(s, d)),
     "q_forget_postings" -> ((s, d) => graft.ops.Forget.forgetPostings(s, d)),
+    "q_forget_stream" -> ((s, d) => graft.ops.Forget.forgetStreamMaterialize(s, d)),
     "q_k_anonymity" -> (Curation.kAnonymity(_, _)),
     "q_l_diversity" -> (Curation.lDiversity(_, _)),
     "q_t_closeness" -> (Curation.tCloseness(_, _)),
@@ -534,6 +536,7 @@ object SparkEntry {
     "q_ssjoin_ppjoin" -> LlmOps.ssjoinPpjoinSql,
     "q_ssjoin_incr" -> LlmOps.ssjoinIncrSql,
     "q_ssjoin_stream" -> LlmOps.ssjoinStreamSql,
+    "q_lsh_tune" -> LlmOps.lshParamSweepSql,
     "q_vocab_richness" -> LlmOps.vocabRichnessSql,
     "q_source_novelty" -> LlmOps.sourceNoveltySql,
     "q_dedup_bbit_est" -> LlmOps.bbitMinhashEstimateSql,
@@ -634,6 +637,7 @@ object SparkEntry {
     "q_forget_sigs" -> LlmOps.forgetSigsSql,
     "q_forget_winnow" -> LlmOps.forgetWinnowSql,
     "q_forget_postings" -> graft.ops.Forget.forgetPostingsSql,
+    "q_forget_stream" -> graft.ops.Forget.forgetStreamSql,
     "q_k_anonymity" -> Curation.kAnonymitySql,
     "q_l_diversity" -> Curation.lDiversitySql,
     "q_t_closeness" -> Curation.tClosenessSql,

@@ -93,6 +93,62 @@ object Forget {
   lazy val forgetPostingsSql: String = InvertedIndex.phraseSearchSqlOver(
     s"(SELECT * FROM documents WHERE NOT ($forgottenPred)) psrc")
 
+  // ------------------------------------------------------ stream face
+
+  /** The streamed request waves: the standing forget set (doc_id % 23
+    * == 5) arrives as wave 1, a second erasure wave (doc_id % 29 == 3)
+    * later — two genuinely different batches, so the stream face's
+    * final state differs from every batch face's.
+    */
+  private val wave2Pred = "doc_id % 29 = 3"
+
+  /** q_forget_stream: the trigram LIKE index probed through the
+    * tombstone set ACCUMULATED BY A STREAM of erasure requests
+    * ([[graft.streaming.ForgetStream]] — two request waves fed as
+    * micro-batches with a kill-and-resume between them, replayed-batch
+    * convergence exercised by the spec). The probe must equal a search
+    * over an index rebuilt from the corpus minus BOTH waves — the
+    * oracle's derivation; per-wave visibility (wave 1's deletes hide
+    * docs before wave 2 arrives) is spec territory.
+    */
+  def forgetStreamMaterialize(spark: SparkSession, dir: String): DataFrame = {
+    val root = StageOnce.tmp("forget_stream", dir)
+    val state = s"$root/state"
+    StageOnce(root) {
+      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+      import spark.implicits._
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+      val docs = Tables.load(spark, dir, "documents")
+      val wave1 = docs.filter(col("doc_id") % 23 === 5)
+        .select(col("doc_id")).orderBy(col("doc_id"))
+        .as[Long].collect()
+      val wave2 = docs.filter(col("doc_id") % 29 === 3)
+        .select(col("doc_id")).orderBy(col("doc_id"))
+        .as[Long].collect()
+      val ckpt = StageOnce.tmp("forget_stream_ckpt", dir)
+      val mem = MemoryStream[Long]
+      def start() = graft.streaming.ForgetStream.start(
+        mem.toDS().toDF("doc_id"), state, ckpt)
+      val q1 = start()
+      try {
+        mem.addData(wave1.toIndexedSeq: _*)
+        q1.processAllAvailable()
+      } finally q1.stop()
+      val q2 = start() // kill-and-resume from the checkpoint
+      try {
+        mem.addData(wave2.toIndexedSeq: _*)
+        q2.processAllAvailable()
+      } finally q2.stop()
+    }
+    TrigramIndex.likeScanAt(spark, dir,
+      TrigramIndex.stagedIncremental(spark, dir),
+      Some(graft.streaming.ForgetStream.tombstones(spark, state)))
+  }
+
+  lazy val forgetStreamSql: String = TrigramIndex.likeScanSqlOver(
+    s"(SELECT * FROM documents WHERE NOT ($forgottenPred) " +
+      s"AND NOT ($wave2Pred)) fssrc")
+
   // ---------------------------------------------------- minhash sigs
 
   /** Number of hash buckets in the signature/fingerprint artifacts —

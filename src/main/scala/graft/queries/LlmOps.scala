@@ -42,6 +42,116 @@ object LlmOps {
       n = 3, threshold = 0.5)
   }
 
+  /** The LSH factorizations of a k=16 signature and their theoretical
+    * collision probability at the τ = 1/2 gate — 1−(1−τ^r)^b, computed
+    * once on the driver (τ^r is an exact power of two; every further
+    * step one IEEE op) and inlined as the SAME literal into the engine
+    * face and the oracle SQL, the [[graft.ops.Dedup.minhashParams]]
+    * shared-constant convention.
+    */
+  private val lshTuneConfigs: Seq[(Int, Int, Double)] =
+    Seq((16, 1), (8, 2), (4, 4), (2, 8), (1, 16)).map { case (b, r) =>
+      val sr = math.pow(0.5, r) // exact: a power of two
+      val miss = 1.0 - sr
+      var pMissAll = 1.0
+      (1 to b).foreach(_ => pMissAll *= miss) // repeated multiply, no pow()
+      (b, r, BigDecimal(1.0 - pMissAll)
+        .setScale(6, BigDecimal.RoundingMode.HALF_EVEN).toDouble)
+    }
+
+  /** LSH PARAMETER SWEEP — the tuning report behind the family's
+    * (bands, rowsPerBand) choice, measured on the REAL corpus instead
+    * of trusted from the S-curve: for every factorization of the k=16
+    * signature, the banding's candidate count and its RECALL of the
+    * exact τ = 1/2 near-dup pair set (ground truth from
+    * [[graft.ops.SetSimJoin.ppjoin]] — the no-false-negative tier, so
+    * recall here is true recall, not recall-vs-another-heuristic),
+    * beside the theoretical collision probability at τ. This is the
+    * production dedup-pipeline knob: more bands = higher recall and
+    * more candidate verify work; the report is what you pick from.
+    *
+    * Scale shape: ONE signature kernel pass (pinned) feeds all five
+    * bandings (each a banded aggregate with bucket-local pair
+    * generation — the [[graft.ops.Dedup.minHashLshCandidates]] plan);
+    * ground truth is the prefix-filtered exact join (pinned); each
+    * config contributes a 1-row aggregate. Candidates and truth are
+    * pair-scale (duplicate-structure-∝), never corpus².
+    */
+  def lshParamSweep(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.load(spark, dir, "documents")
+    val sig = CacheBin.pin(
+      Dedup.minHash(docs, col("doc_id"), col("text"), n = 3, k = 16))
+    val truth = CacheBin.pin(ssjoinPpjoin(spark, dir)
+      .select(col("doc_a"), col("doc_b")))
+    val rows = lshTuneConfigs.map { case (b, r, pTau) =>
+      val cand = CacheBin.pin(Dedup.minHashLshCandidates(sig, b, r))
+      val nCand = cand.agg(count(lit(1)).as("n_cand"))
+      val nHit = cand.join(truth, Seq("doc_a", "doc_b"), "left_semi")
+        .agg(count(lit(1)).as("n_hit"))
+      val nTrue = truth.agg(count(lit(1)).as("n_true"))
+      nCand.crossJoin(nHit).crossJoin(nTrue)
+        .select(lit(b).as("bands"), lit(r).as("rows_per_band"),
+          col("n_cand"), col("n_true"), col("n_hit"),
+          round(col("n_hit").cast(DoubleType) / col("n_true"), 6)
+            .as("recall"),
+          lit(pTau).as("p_at_tau"))
+    }
+    rows.reduce(_ unionByName _).orderBy(col("bands").desc)
+  }
+
+  /** Sweep oracle: the quadratic exact-pair truth (the ssjoinPpjoin
+    * oracle's shape), the shared minhash signature CTE, one banded
+    * candidate CTE per factorization (md5 band signatures over the
+    * shared constants), and a 1-row stats SELECT per config. p_at_tau
+    * is the SAME driver-computed literal the engine inlines.
+    */
+  lazy val lshParamSweepSql: String = {
+    val bandCtes = lshTuneConfigs.map { case (b, r, _) =>
+      val bandSelects = (0 until b).map { bi =>
+        val cols = (0 until r).map(ri => s"m${bi * r + ri}::VARCHAR")
+        s"SELECT doc_id, $bi AS band, md5(${cols.mkString(" || ':' || ")}) AS bsig FROM sigs"
+      }
+      s"""bands_${b}_$r AS (${bandSelects.mkString("\n  UNION ALL ")}),
+         |cand_${b}_$r AS MATERIALIZED (
+         |  SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b
+         |  FROM bands_${b}_$r l JOIN bands_${b}_$r r
+         |  ON l.band = r.band AND l.bsig = r.bsig AND l.doc_id < r.doc_id)"""
+        .stripMargin
+    }
+    val statRows = lshTuneConfigs.map { case (b, r, pTau) =>
+      s"""SELECT CAST($b AS INT) AS bands, CAST($r AS INT) AS rows_per_band,
+         |  (SELECT CAST(count(*) AS BIGINT) FROM cand_${b}_$r) AS n_cand,
+         |  (SELECT CAST(count(*) AS BIGINT) FROM truth) AS n_true,
+         |  (SELECT CAST(count(*) AS BIGINT) FROM cand_${b}_$r c
+         |     JOIN truth t ON t.doc_a = c.doc_a AND t.doc_b = c.doc_b) AS n_hit,
+         |  round((SELECT count(*) FROM cand_${b}_$r c
+         |     JOIN truth t ON t.doc_a = c.doc_a AND t.doc_b = c.doc_b)
+         |    / CAST((SELECT count(*) FROM truth) AS DOUBLE), 6) AS recall,
+         |  CAST($pTau AS DOUBLE) AS p_at_tau""".stripMargin
+    }
+    s"""WITH $shingleCte,
+       |hs AS MATERIALIZED (SELECT doc_id,
+       |    ('0x' || substr(md5(shingle), 1, 15))::BIGINT AS h FROM sh),
+       |sz AS (SELECT doc_id, count(*) AS sz FROM hs GROUP BY 1),
+       |pair AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+       |  FROM hs a JOIN hs b ON a.h = b.h AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2),
+       |truth AS MATERIALIZED (SELECT doc_a, doc_b FROM pair
+       |  JOIN sz sa ON sa.doc_id = pair.doc_a
+       |  JOIN sz sb ON sb.doc_id = pair.doc_b
+       |  WHERE inter * 2 >= (sa.sz + sb.sz - inter) * 1),
+       |hmod AS (SELECT doc_id, h % ${Dedup.minhashP} AS h FROM hs),
+       |sigs AS MATERIALIZED (SELECT doc_id, ${Dedup.minhashParams(16).zipWithIndex
+            .map { case ((a, c), i) =>
+              s"min((h * $a + $c) % ${Dedup.minhashP}) AS m$i" }
+            .mkString(",\n  ")}
+       |  FROM hmod GROUP BY doc_id),
+       |${bandCtes.mkString(",\n")}
+       |SELECT * FROM (
+       |${statRows.mkString("\nUNION ALL\n")}
+       |) ORDER BY bands DESC""".stripMargin
+  }
+
   /** Duplicate-cluster resolution: the LSH-verified near-dup PAIRS are
     * only edges — keep-one-per-group needs their transitive closure.
     * Returns (doc_id, root) for every doc in a duplicate cluster, root =

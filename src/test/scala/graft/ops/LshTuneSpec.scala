@@ -1,0 +1,47 @@
+package graft.ops
+
+import graft.SparkSpec
+import graft.queries.LlmOps
+import org.apache.spark.sql.functions._
+
+/** LSH parameter sweep: for a fixed k = b·r signature, CONTIGUOUS
+  * banding makes the candidate sets a NESTED chain (a pair colliding
+  * on an r-row band collides on every sub-band of a finer
+  * factorization), so candidates and hits are monotone in bands and
+  * recall is nonincreasing as bands shrink; truth comes from the
+  * exact no-false-negative PPJoin, so recall is true recall.
+  */
+class LshTuneSpec extends SparkSpec {
+
+  test("sweep: nested candidate chain, monotone recall, exact-truth hits, S-curve ordering") {
+    val rows = LlmOps.lshParamSweep(spark, sf).collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getDouble(5), r.getDouble(6)))
+    assert(rows.map(_._1).toSeq === Seq(16, 8, 4, 2, 1))
+    rows.foreach { case (b, r, nCand, nTrue, nHit, recall, p) =>
+      assert(b * r === 16)
+      assert(nHit <= nCand && nHit <= nTrue, s"($b,$r) inconsistent counts")
+      assert(math.abs(recall - nHit.toDouble / nTrue) < 1e-6)
+      assert(p > 0.0 && p < 1.0)
+    }
+    // monotone along the coarsening chain (16,1) ⊇ (8,2) ⊇ … ⊇ (1,16)
+    rows.sliding(2).foreach { case Array(hi, lo) =>
+      assert(hi._3 >= lo._3, s"candidates not nested: ${hi._3} < ${lo._3}")
+      assert(hi._5 >= lo._5, s"hits not monotone: ${hi._5} < ${lo._5}")
+      assert(hi._6 >= lo._6, s"recall not monotone")
+      assert(hi._7 > lo._7, s"S-curve p_at_tau not strictly decreasing")
+    }
+    // the sweep is informative on the real corpus: the finest banding
+    // reaches full recall, the coarsest does not
+    assert(rows.head._6 === 1.0, "16x1 banding must catch every true pair")
+    assert(rows.last._6 < 1.0, "1x16 at full recall — the sweep shows nothing")
+    // and the literal set-nesting fact it rests on, checked directly
+    val sig = Dedup.minHash(graft.Tables.load(spark, sf, "documents"),
+      col("doc_id"), col("text"), n = 3, k = 16)
+    val c84 = Dedup.minHashLshCandidates(sig, 8, 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val c161 = Dedup.minHashLshCandidates(sig, 16, 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(c84.subsetOf(c161))
+  }
+}
