@@ -34,6 +34,10 @@ object Bench {
     "q_index_stats",
     "q_wordpiece_vocab", "q_wordpiece_encode", "q_wordpiece_ids",
     "q_minpiece_encode", "q_token_blocks",
+    // cached-fit family latecomers (classified round 15): both consume
+    // the per-JVM WordPiece fit while their oracles re-derive the
+    // unrolled fit chain per run — the q_token_blocks asymmetry exactly
+    "q_block_provenance", "q_block_decontam",
     "q_embed_ann_ivf", "q_embed_ann_ivf_indexed", "q_embed_recall",
     "q_embed_recall_budget",
     "q_embed_drift", "q_dedup_semantic", "q_sample_cluster_balanced",

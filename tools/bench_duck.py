@@ -32,6 +32,7 @@ STAGED_CELLS = [
     "q_index_stats",
     "q_wordpiece_vocab", "q_wordpiece_encode", "q_wordpiece_ids",
     "q_minpiece_encode", "q_token_blocks",
+    "q_block_provenance", "q_block_decontam",
     "q_embed_ann_ivf", "q_embed_ann_ivf_indexed", "q_embed_recall",
     "q_embed_drift", "q_dedup_semantic", "q_sample_cluster_balanced",
     "q_embed_ivf_append", "q_embed_ivf_sq8", "q_embed_ivf_sq8_append",
