@@ -45,6 +45,7 @@ object SparkEntry {
     "q_window_ignore_nulls" -> (Analytics.windowIgnoreNulls(_, _)),
     "q_fuzzy_match" -> (Analytics.fuzzyPartNames(_, _)),
     "q_sql_setops" -> (Analytics.setOps(_, _)),
+    "q_sql_setops_all" -> (Analytics.setOpsAll(_, _)),
     "q_window_running" -> (Analytics.runningWindows(_, _)),
     // — joins (SURVEY §2.4 / testdata surface)
     "q_join_nation_region" -> (Analytics.joinNationRegion(_, _)),
@@ -170,6 +171,7 @@ object SparkEntry {
     "q_collocations" -> ((s, d) => LlmOps.collocations(s, d)),
     "q_lang_diversity" -> (LlmOps.langDiversity(_, _)),
     "q_langid_nb" -> ((s, d) => LlmOps.langIdNbConfusion(s, d)),
+    "q_code_switch" -> ((s, d) => LlmOps.codeSwitchCensus(s, d)),
     "q_token_drift" -> ((s, d) => LlmOps.tokenDrift(s, d)),
     "q_vocab_overlap" -> (LlmOps.vocabOverlap(_, _)),
     "q_bm25_topk" -> ((s, d) => LlmOps.bm25TopK(s, d)),
@@ -359,6 +361,7 @@ object SparkEntry {
       """SELECT o_orderstatus, o_orderpriority, count(*) AS n,
          CAST(GROUPING(o_orderstatus, o_orderpriority) AS BIGINT) AS gid
          FROM orders GROUP BY ROLLUP(o_orderstatus, o_orderpriority)""",
+    "q_sql_setops_all" -> Analytics.setOpsAllSql,
     "q_sql_setops" ->
       """SELECT o_orderpriority, 'both' AS op FROM (
            SELECT o_orderpriority FROM orders
@@ -567,6 +570,7 @@ object SparkEntry {
     "q_collocations" -> LlmOps.collocationsSql,
     "q_lang_diversity" -> LlmOps.langDiversitySql,
     "q_langid_nb" -> LlmOps.langIdNbSql(),
+    "q_code_switch" -> LlmOps.codeSwitchSql(),
     "q_token_drift" -> LlmOps.tokenDriftSql,
     "q_vocab_overlap" -> LlmOps.vocabOverlapSql,
     "q_bm25_topk" -> LlmOps.bm25TopKSql,

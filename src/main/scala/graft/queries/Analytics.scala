@@ -340,6 +340,37 @@ object Analytics {
       .rollup(col("o_orderstatus"), col("o_orderpriority"))
       .agg(count(lit(1)).as("n"), grouping_id().as("gid"))
 
+  /** BAG-semantics set operations (INTERSECT ALL / EXCEPT ALL —
+    * completing the §2.9 dialect next to the DISTINCT-semantics
+    * [[setOps]]): per-month order-priority MULTISETS from the two
+    * halves of 1995, intersected and differenced with multiplicity —
+    * the dialect face warehouse reconciliation queries lean on
+    * ("which rows survived with their counts"). Both engines share
+    * the SQL-standard surface, so the oracle is the same statement.
+    * Plans compile to one aggregate per side + the all-variant
+    * set-op (Catalyst rewrites to a count-carrying join — no row
+    * explosion beyond the surviving multiplicity).
+    */
+  def setOpsAll(spark: SparkSession, dir: String): DataFrame = {
+    Tables.load(spark, dir, "orders").createOrReplaceTempView("orders")
+    spark.sql(setOpsAllSql)
+  }
+
+  val setOpsAllSql: String =
+    """SELECT o_orderpriority, 'both' AS op FROM (
+      |  SELECT o_orderpriority FROM orders
+      |  WHERE o_orderdate BETWEEN '1995-01-01' AND '1995-06-30'
+      |  INTERSECT ALL
+      |  SELECT o_orderpriority FROM orders
+      |  WHERE o_orderdate BETWEEN '1995-07-01' AND '1995-12-31') a
+      |UNION ALL
+      |SELECT o_orderpriority, 'h1_surplus' FROM (
+      |  SELECT o_orderpriority FROM orders
+      |  WHERE o_orderdate BETWEEN '1995-01-01' AND '1995-06-30'
+      |  EXCEPT ALL
+      |  SELECT o_orderpriority FROM orders
+      |  WHERE o_orderdate BETWEEN '1995-07-01' AND '1995-12-31') b""".stripMargin
+
   /** Set operations: priorities present in BOTH halves of 1995, and
     * those only in H1 (INTERSECT / EXCEPT — §2.9 had only UNION ALL).
     */

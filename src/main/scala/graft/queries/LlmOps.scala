@@ -2569,14 +2569,19 @@ object LlmOps {
     * model as a BROADCAST and aggregates doc-keyed — the one
     * corpus-sized exchange; the census is ≤ |langs|² rows.
     */
-  def langIdNbConfusion(spark: SparkSession, dir: String,
-      buckets: Int = 4096, scale: Long = 1000000L): DataFrame = {
-    val docs = Tables.load(spark, dir, "documents")
-    def feats = docs
-      .select(col("doc_id"), col("lang"),
+  /** The fitted NB language model's plan-side pieces, shared by the
+    * doc-level confusion face and the window-level code-switch face:
+    * (sorted langs, the ≤ buckets-row pivoted count table to
+    * broadcast, the fixed-point per-lang score columns with the
+    * per-lang totals baked in as literals).
+    */
+  private def nbLangModel(docs: DataFrame, buckets: Int,
+      scale: Long): (Seq[String], DataFrame, Seq[Column]) = {
+    val feats = docs
+      .select(col("lang"),
         explode(graft.functions.GraftFunctions.tokenGramHashes(col("text"), 1))
           .as("h"))
-      .select(col("doc_id"), col("lang"), (col("h") % buckets).as("f"))
+      .select(col("lang"), (col("h") % buckets).as("f"))
     val model = feats.groupBy(col("lang"), col("f")).agg(count(lit(1)).as("cnt"))
     // ≤ |langs| rows: totals become literals in the scoring expression
     val totals = model.groupBy(col("lang")).agg(sum(col("cnt")).as("t"))
@@ -2590,7 +2595,7 @@ object LlmOps {
     // sanitized alias map, not silent interpolation.
     langs.find(!_.matches("^[A-Za-z0-9_-]+$")).foreach { l =>
       throw new IllegalArgumentException(
-        s"langIdNbConfusion: unsafe lang label '$l' cannot be spliced " +
+        s"nbLangModel: unsafe lang label '$l' cannot be spliced " +
           "into a scoring expression; sanitize lang before modeling")
     }
     val wide = model.groupBy(col("f")).pivot("lang", langs).agg(sum(col("cnt")))
@@ -2599,16 +2604,144 @@ object LlmOps {
       expr(s"CAST(((coalesce(`$l`, 0) + 1) * ${scale}L) DIV ${denom}L AS BIGINT)")
         .as(s"s_$l")
     }
+    (langs, wide, scoreCols)
+  }
+
+  /** Argmax over the per-lang score sums, ties to the alphabetically
+    * first language — the (−score, lang) struct-min both engines share.
+    */
+  private def nbPred(langs: Seq[String]): Column =
+    array_min(array(langs.map(l =>
+      struct((-col(s"s_$l")).as("ns"), lit(l).as("c"))): _*)).getField("c")
+
+  def langIdNbConfusion(spark: SparkSession, dir: String,
+      buckets: Int = 4096, scale: Long = 1000000L): DataFrame = {
+    val docs = Tables.load(spark, dir, "documents")
+    val (langs, wide, scoreCols) = nbLangModel(docs, buckets, scale)
+    val feats = docs
+      .select(col("doc_id"), col("lang"),
+        explode(graft.functions.GraftFunctions.tokenGramHashes(col("text"), 1))
+          .as("h"))
+      .select(col("doc_id"), col("lang"), (col("h") % buckets).as("f"))
     val sums = langs.map(l => sum(col(s"s_$l")).as(s"s_$l"))
     feats.join(broadcast(wide), Seq("f"))
       .select(col("doc_id") +: col("lang") +: scoreCols: _*)
       .groupBy(col("doc_id"), col("lang"))
       .agg(sums.head, sums.tail: _*)
-      .withColumn("pred", array_min(array(langs.map(l =>
-        struct((-col(s"s_$l")).as("ns"), lit(l).as("c"))): _*)).getField("c"))
+      .withColumn("pred", nbPred(langs))
       .groupBy(col("lang"), col("pred")).agg(count(lit(1)).as("n_docs"))
       .orderBy(col("lang"), col("pred"))
   }
+
+  /** CODE-SWITCH census — mixed-language document detection, the
+    * within-doc refinement of [[langIdNbConfusion]] (whole-doc argmax
+    * hides a document that flips language halfway — exactly the
+    * curation defect [[vocabOverlap]] smells at corpus level): every
+    * document is scored in 20-token WINDOWS (position-derived — window
+    * wi covers token positions wi·20+1 … wi·20+20, last window
+    * partial) under the SAME fitted NB model, and the census reports,
+    * per source: documents, mixed documents (≥ 2 distinct window
+    * predictions), switch points (adjacent windows disagreeing, summed
+    * in window order), and total windows.
+    *
+    * Scale shape: the window stream is the positional token-hash
+    * kernel with wi = pos div 20 — NO chunk strings, no
+    * re-tokenization; the model broadcast and the fixed-point scoring
+    * are the doc face's; the per-window aggregate keys on
+    * (doc, wi) instead of doc (same exchange volume), the per-doc
+    * window-sequence collect is bounded by doc length, and switch
+    * counting is in-row over that array. Census rows ≤ |sources|.
+    */
+  def codeSwitchCensus(spark: SparkSession, dir: String,
+      buckets: Int = 4096, scale: Long = 1000000L,
+      windowTokens: Int = 20): DataFrame =
+    codeSwitchCensusOver(Tables.load(spark, dir, "documents"),
+      buckets, scale, windowTokens)
+
+  /** The census over an explicit (doc_id, lang, source, text) relation
+    * — the spec's entry point for constructed bilingual corpora.
+    */
+  private[graft] def codeSwitchCensusOver(docs: DataFrame,
+      buckets: Int = 4096, scale: Long = 1000000L,
+      windowTokens: Int = 20): DataFrame = {
+    val (langs, wide, scoreCols) = nbLangModel(docs, buckets, scale)
+    val wfeats = docs
+      .select(col("doc_id"), col("source"),
+        posexplode(graft.functions.GraftFunctions
+          .tokenGramHashes(col("text"), 1)).as(Seq("p0", "h")))
+      .select(col("doc_id"), col("source"),
+        (col("p0") / windowTokens).cast("int").as("wi"),
+        (col("h") % buckets).as("f"))
+    val sums = langs.map(l => sum(col(s"s_$l")).as(s"s_$l"))
+    val perDoc = wfeats.join(broadcast(wide), Seq("f"))
+      .select(col("doc_id") +: col("source") +: col("wi") +: scoreCols: _*)
+      .groupBy(col("doc_id"), col("source"), col("wi"))
+      .agg(sums.head, sums.tail: _*)
+      .withColumn("pred", nbPred(langs))
+      .groupBy(col("doc_id"), col("source"))
+      .agg(sort_array(collect_list(struct(col("wi"), col("pred")))).as("ws"))
+      .select(col("doc_id"), col("source"),
+        size(col("ws")).cast(LongType).as("n_windows"),
+        expr("size(array_distinct(transform(ws, x -> x.pred)))")
+          .cast(LongType).as("n_langs"),
+        expr("""CASE WHEN size(ws) < 2 THEN 0L ELSE
+          aggregate(sequence(1, size(ws) - 1), 0L,
+            (acc, i) -> acc + IF(ws[i].pred != ws[i-1].pred, 1L, 0L)) END""")
+          .as("n_switches"))
+    perDoc.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("n_langs") >= 2, 1L).otherwise(0L)).as("mixed_docs"),
+        sum(col("n_switches")).as("switch_points"),
+        sum(col("n_windows")).as("n_windows"))
+      .orderBy(col("source"))
+  }
+
+  /** Mirrors codeSwitchCensus: the langIdNbSql model chain, window
+    * index (i−1)//20 from token position, per-(doc, window) fixed-point
+    * scoring, the same struct-min argmax, list-comprehension switch
+    * counting over the wi-ordered prediction list, per-source census.
+    */
+  def codeSwitchSql(buckets: Int = 4096, scale: Long = 1000000L,
+      windowTokens: Int = 20): String =
+    s"""WITH toks AS (SELECT doc_id, lang, source,
+       |    string_split_regex(trim(text), '\\s+') AS t FROM documents),
+       |feats AS (SELECT doc_id, lang,
+       |    unnest([('0x' || substr(md5(t[i]), 1, 15))::BIGINT % $buckets
+       |            for i in range(1, len(t)+1)]) AS f
+       |  FROM toks),
+       |langs AS (SELECT DISTINCT lang FROM documents),
+       |m AS MATERIALIZED (SELECT lang, f, count(*)::BIGINT AS cnt
+       |  FROM feats GROUP BY 1, 2),
+       |tot AS (SELECT lang, sum(cnt)::BIGINT AS t FROM m GROUP BY 1),
+       |wf AS MATERIALIZED (SELECT doc_id,
+       |    CAST((i - 1) // $windowTokens AS INT) AS wi,
+       |    ('0x' || substr(md5(t[CAST(i AS INT)]), 1, 15))::BIGINT % $buckets AS f
+       |  FROM toks, unnest(range(1, len(t)+1)) z(i)),
+       |sc AS (SELECT wf.doc_id, wf.wi, l.lang AS cand,
+       |    sum(((coalesce(m.cnt, 0) + 1) * $scale) // (tot.t + $buckets))::BIGINT AS s
+       |  FROM wf
+       |  CROSS JOIN langs l
+       |  JOIN tot ON tot.lang = l.lang
+       |  LEFT JOIN m ON m.lang = l.lang AND m.f = wf.f
+       |  GROUP BY 1, 2, 3),
+       |wpred AS (SELECT doc_id, wi,
+       |    min(struct_pack(ns := -s, c := cand)).c AS pred
+       |  FROM sc GROUP BY 1, 2),
+       |perdoc AS (SELECT doc_id, list(pred ORDER BY wi) AS ps
+       |  FROM wpred GROUP BY 1),
+       |pd AS (SELECT doc_id, CAST(len(ps) AS BIGINT) AS n_windows,
+       |    CAST(len(list_distinct(ps)) AS BIGINT) AS n_langs,
+       |    CAST(CASE WHEN len(ps) < 2 THEN 0 ELSE
+       |      len([x for x in range(2, len(ps)+1) if ps[x] <> ps[x-1]])
+       |      END AS BIGINT) AS n_switches
+       |  FROM perdoc)
+       |SELECT d.source, CAST(count(*) AS BIGINT) AS n_docs,
+       |  CAST(sum(CASE WHEN n_langs >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS mixed_docs,
+       |  CAST(sum(n_switches) AS BIGINT) AS switch_points,
+       |  CAST(sum(n_windows) AS BIGINT) AS n_windows
+       |FROM pd JOIN documents d USING (doc_id)
+       |GROUP BY 1 ORDER BY 1""".stripMargin
 
   /** Mirrors langIdNbConfusion: same folded token-hash features, the
     * per-lang candidate scoring as explicit rows (LEFT JOIN + coalesce
