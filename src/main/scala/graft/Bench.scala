@@ -30,7 +30,8 @@ object Bench {
   val stagedInputCells: Seq[String] = Seq(
     "q_cdc_merge", "q_events_json", "q_binaryfile_scan",
     "q_ingest_gate_e2e", "q_quality_classifier",
-    "q_bpe_merges", "q_bpe_bytes", "q_phrase_search", "q_phrase_search_incr",
+    "q_bpe_merges", "q_bpe_bytes", "q_bpe_bytes_encode",
+    "q_phrase_search", "q_phrase_search_incr",
     "q_index_stats",
     "q_wordpiece_vocab", "q_wordpiece_encode", "q_wordpiece_ids",
     "q_minpiece_encode", "q_token_blocks",

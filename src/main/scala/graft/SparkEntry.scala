@@ -147,6 +147,7 @@ object SparkEntry {
     "q_bpe_pairs" -> ((s, d) => LlmOps.bpePairCounts(s, d)),
     "q_bpe_merges" -> ((s, d) => graft.ops.Bpe.mergesQuery(s, d)),
     "q_bpe_bytes" -> ((s, d) => graft.ops.Bpe.bytesQuery(s, d)),
+    "q_bpe_bytes_encode" -> ((s, d) => graft.ops.Bpe.encodeStatsBytes(s, d)),
     "q_bpe_encode" -> ((s, d) => graft.ops.Bpe.encodeStats(s, d)),
     "q_wordpiece_vocab" -> ((s, d) => graft.ops.WordPiece.vocabQuery(s, d)),
     "q_wordpiece_encode" -> ((s, d) => graft.ops.WordPiece.encodeStats(s, d)),
@@ -546,6 +547,7 @@ object SparkEntry {
     "q_bpe_pairs" -> LlmOps.bpePairCountsSql,
     "q_bpe_merges" -> graft.ops.Bpe.mergesSql(),
     "q_bpe_bytes" -> graft.ops.Bpe.mergesBytesSql(),
+    "q_bpe_bytes_encode" -> graft.ops.Bpe.encodeBytesSql(),
     "q_bpe_encode" -> graft.ops.Bpe.encodeSql(),
     "q_wordpiece_vocab" -> graft.ops.WordPiece.vocabSql(),
     "q_wordpiece_encode" -> graft.ops.WordPiece.encodeSql(),

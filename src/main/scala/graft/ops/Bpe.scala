@@ -288,6 +288,41 @@ object Bpe {
     cachedFitBytes(spark, dir, merges).toDF("rank", "a", "b", "cnt")
   }
 
+  /** Byte-level ENCODE face: the trained byte merges applied back to
+    * the corpus, per-source tokenizer load — word occurrences,
+    * post-BPE piece count, BYTE count, and bytes-per-piece (the
+    * compression the byte merges bought — directly comparable to the
+    * char face's chars-per-piece since on ASCII text bytes == chars).
+    * Same ONE-exchange shape as [[encodeStats]]: a (source, word)
+    * map-side-combined aggregate over the FULL ≥ 2-byte token domain
+    * (no charset filter — byte BPE's zero-OOV property is the point),
+    * k plan-literal replaces applied map-side, a parameter-sized
+    * per-source rollup.
+    */
+  def encodeStatsBytes(spark: SparkSession, dir: String,
+      merges: Int = 8): DataFrame = {
+    val fit = cachedFitBytes(spark, dir, merges)
+    val swc = Tables.load(spark, dir, "documents")
+      .select(col("source"), explode(TextAnalysis.tokens(col("text"))).as("w"))
+      .filter(octet_length(col("w")) >= 2)
+      .groupBy(col("source"), col("w")).agg(count(lit(1)).as("n"))
+    val seqK = fit.foldLeft(barredHex(col("w"))) { (seq, m) =>
+      call_function("replace", seq, lit(s"|${m.a}||${m.b}|"), lit(s"|${m.a}${m.b}|"))
+    }
+    swc
+      .select(col("source"), col("n"),
+        octet_length(col("w")).cast("long").as("bytes"),
+        size(barredSyms(seqK)).cast("long").as("pieces"))
+      .groupBy(col("source"))
+      .agg(sum(col("n")).as("words"),
+        sum(col("n") * col("pieces")).as("pieces"),
+        sum(col("n") * col("bytes")).as("bytes"))
+      .select(col("source"), col("words"), col("pieces"), col("bytes"),
+        round(col("bytes").cast("double") / col("pieces").cast("double"), 6)
+          .as("bpp"))
+      .orderBy(col("source"))
+  }
+
   /** Encode face: apply the trained merges to the corpus and report
     * per-source tokenizer load — word occurrences, post-BPE piece
     * count, character count, and chars-per-piece (the compression the
@@ -414,6 +449,39 @@ object Bpe {
        |  CAST(sum(n * chars) AS BIGINT) AS chars,
        |  round(CAST(sum(n * chars) AS DOUBLE) /
        |        CAST(sum(n * len(string_split(trim(seq, '|'), '||'))) AS DOUBLE), 6) AS cpp
+       |FROM e$merges GROUP BY 1 ORDER BY 1""".stripMargin
+  }
+
+  /** DuckDB replay of the byte-level encode: the byte training chain,
+    * then the same k replaces over the (source, word) aggregate of the
+    * full ≥ 2-byte token domain, with the hex-barred initial
+    * symbolization and byte counts.
+    */
+  def encodeBytesSql(merges: Int = 8): String = {
+    val enc = (1 to merges).map { r =>
+      s"""e$r AS MATERIALIZED (
+         |  SELECT source, n, bytes,
+         |    COALESCE(replace(seq, '|'||m.a||'||'||m.b||'|', '|'||m.a||m.b||'|'),
+         |             seq) AS seq
+         |  FROM e${r - 1} LEFT JOIN m$r m ON TRUE)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH ${trainingCtes(merges, byteHeadCtes)},
+       |swc AS MATERIALIZED (
+       |  SELECT source, w, CAST(count(*) AS BIGINT) AS n
+       |  FROM (SELECT source, unnest(string_split_regex(trim(text), '\\s+')) AS w
+       |        FROM documents)
+       |  WHERE octet_length(encode(w)) >= 2
+       |  GROUP BY 1, 2),
+       |e0 AS (SELECT source, n,
+       |       CAST(octet_length(encode(w)) AS BIGINT) AS bytes,
+       |       regexp_replace(hex(encode(w)), '(..)', '|\\1|', 'g') AS seq
+       |       FROM swc),
+       |$enc
+       |SELECT source, CAST(sum(n) AS BIGINT) AS words,
+       |  CAST(sum(n * len(string_split(trim(seq, '|'), '||'))) AS BIGINT) AS pieces,
+       |  CAST(sum(n * bytes) AS BIGINT) AS bytes,
+       |  round(CAST(sum(n * bytes) AS DOUBLE) /
+       |        CAST(sum(n * len(string_split(trim(seq, '|'), '||'))) AS DOUBLE), 6) AS bpp
        |FROM e$merges GROUP BY 1 ORDER BY 1""".stripMargin
   }
 }

@@ -103,6 +103,32 @@ class BpeSpec extends SparkSpec {
       Merge(m.rank, hexOf(m.a), hexOf(m.b), m.cnt)))
   }
 
+  test("byte encode: merges buy compression, pieces bounded by bytes, domain strictly wider than the char face's") {
+    val e0 = Bpe.encodeStatsBytes(spark, sf, merges = 0).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    val e8 = Bpe.encodeStatsBytes(spark, sf, merges = 8).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(e0.nonEmpty && e0.keySet === e8.keySet)
+    e0.foreach { case (src, (words0, pieces0, bytes0)) =>
+      val (words8, pieces8, bytes8) = e8(src)
+      assert(words0 === words8 && bytes0 === bytes8)
+      assert(pieces0 === bytes0) // 0 merges: every byte is a piece
+      assert(pieces8 < pieces0)  // 8 merges bought real compression
+      assert(pieces8 >= words8)
+    }
+    // the byte domain (every >=2-byte token) strictly contains the
+    // char face's [a-z]-only trained domain on this corpus
+    val charWords = Bpe.encodeStats(spark, sf, merges = 0).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    e0.foreach { case (src, (words, _, _)) =>
+      assert(words >= charWords(src),
+        s"$src: byte domain smaller than the filtered char domain")
+    }
+    // (on this all-[a-z] test corpus the domains coincide; the genuine
+    // widening — é/emoji words the char face cannot see — is pinned on
+    // the constructed vocabulary in the multi-byte round-trip test)
+  }
+
   test("encode: pieces shrink monotonically with merges and never beat chars") {
     val e0 = Bpe.encodeStats(spark, sf, merges = 0).collect()
       .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
