@@ -782,6 +782,16 @@ object ScaleBench {
       // for the one corpus scan
       val (rbSec, rbRows, rbEx) = bestIf("recall_budget")(
         queries.LlmOps.embedRecallBudget(spark, dir))
+      // LSH parameter sweep: one pinned signature pass + 5 bandings
+      // (bucket-local pairs, candidates ∝ k by replica decorrelation)
+      // + the exact prefix-filtered truth; output pinned at 5 rows
+      val (ltSec, ltRows, ltEx) = bestIf("lsh_tune")(
+        queries.LlmOps.lshParamSweep(spark, dir))
+      // code-switch census: the positional token-hash kernel + the
+      // broadcast NB model scoring keyed (doc, window) — exchanges
+      // carry (doc, wi)-keyed score partials ∝ k; census rows flat
+      val (csSec, csRows, csEx) = bestIf("code_switch")(
+        queries.LlmOps.codeSwitchCensus(spark, dir))
       val row = scala.collection.immutable.ListMap(
         "lsh_pairs" -> (lshSec, lshRows, lshEx),
         "cc_distributed" -> (ccSec, ccRows, ccEx),
@@ -867,7 +877,9 @@ object ScaleBench {
         "forget_winnow" -> (fwSec, fwRows, fwEx),
         "forget_postings" -> (fpSec, fpRows, fpEx),
         "bpe_bytes" -> (bbSec, bbRows, bbEx),
-        "recall_budget" -> (rbSec, rbRows, rbEx))
+        "recall_budget" -> (rbSec, rbRows, rbEx),
+        "lsh_tune" -> (ltSec, ltRows, ltEx),
+        "code_switch" -> (csSec, csRows, csEx))
         .filter { case (op, _) => wanted(op) }
       row.foreach { case (op, (s, r, e)) =>
         println(s"""{"scale":$k,"op":"$op","sec":$s,"rows":$r,"exchanges":$e}""")
