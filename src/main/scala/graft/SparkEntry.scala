@@ -582,7 +582,7 @@ object SparkEntry {
     "q_hybrid_rrf" -> LlmOps.hybridRrfSql,
     "q_embed_ann_ivf" -> LlmOps.embedAnnIvfSql,
     "q_embed_recall" -> LlmOps.embedRecallEvalSql(),
-    "q_embed_recall_budget" -> LlmOps.embedRecallBudgetSql,
+    "q_embed_recall_budget" -> LlmOps.embedRecallBudgetSql(),
     "q_embed_drift" -> LlmOps.embedDriftSql,
     "q_embed_ivf_sq8" -> LlmOps.embedIvfSq8Sql,
     "q_embed_mmr" -> LlmOps.embedMmrSql(),

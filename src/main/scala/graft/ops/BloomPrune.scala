@@ -79,7 +79,13 @@ object BloomPrune {
   def antiJoinBloom(fact: DataFrame, factKey: Column,
       keys: DataFrame, keyCol: Column, expectedKeys: Long): DataFrame = {
     val bloomPlan = bloomOf(keys, keyCol, expectedKeys).queryExecution.analyzed
-    def mightContain = ColumnBridge.column(new BloomFilterMightContain(
+    // A single expression instance (val, not def) shared by both
+    // branches: the fastKeep and suspects filters then carry the SAME
+    // ScalarSubquery, so the expectedKeys-sized bloom-build aggregate
+    // executes once even if ReuseSubquery fails to canonicalize two
+    // separately-constructed subqueries together (semiJoinBloom's
+    // single-instance shape).
+    val mightContain = ColumnBridge.column(new BloomFilterMightContain(
       ScalarSubquery(bloomPlan),
       new XxHash64(Seq(ColumnBridge.expression(factKey)))))
     val fastKeep = fact.filter(!mightContain)

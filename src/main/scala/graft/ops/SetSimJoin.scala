@@ -63,15 +63,18 @@ object SetSimJoin {
     val toks = CacheBin.pin(tokens.select(col("doc_id"), col("token")))
     // Duplicate-input robustness with ZERO extra exchanges: sz and
     // array_intersect are only correct over DISTINCT per-doc token
-    // sets, so docArr dedups via collect_SET inside the one doc-keyed
-    // aggregate it already pays (an up-front .distinct() would cost a
-    // full extra exchange — measured +0.9 s on q_ssjoin_incr at
-    // sf0.1 — for rows the aggregate absorbs anyway). The df counts
-    // may be inflated by duplicated inputs, which is harmless: the
-    // prefix/positional theorems need ONE total (df, token) order
-    // applied to both sides, not exact frequencies. The house shingle
-    // kernel already emits distinct tokens, so for those callers this
-    // is byte-identical to the collect_list formulation.
+    // sets, so docArr dedups IN-ROW — collect_LIST (array-buffer
+    // state, the cheap aggregate), then the sort the kernel already
+    // pays makes duplicates adjacent, and one filter HOF drops them
+    // (x != arr[i-1]). An up-front .distinct() would cost a full extra
+    // exchange — measured +0.9 s on q_ssjoin_incr at sf0.1 — and the
+    // r15 collect_SET form paid the per-row set-state insert on every
+    // token (the r15 board's only all-window >2× cell, 2.04 s vs
+    // r14's 1.13 s). The df counts may be inflated by duplicated
+    // inputs, which is harmless: the prefix/positional theorems need
+    // ONE total (df, token) order applied to both sides, not exact
+    // frequencies. The house shingle kernel already emits distinct
+    // tokens, so for those callers the filter keeps everything.
     val dfs = toks.groupBy(col("token")).agg(count(lit(1)).as("df"))
     // ONE doc-keyed collect carries the whole per-doc state: the
     // rarest-first order is an IN-ROW sort_array over (df, token)
@@ -81,7 +84,10 @@ object SetSimJoin {
     // sets.
     val docArr = CacheBin.pin(toks.join(dfs, Seq("token"))
       .groupBy(col("doc_id"))
-      .agg(sort_array(collect_set(struct(col("df"), col("token")))).as("arr"))
+      .agg(sort_array(collect_list(struct(col("df"), col("token")))).as("arr0"))
+      .withColumn("arr",
+        expr("filter(arr0, (x, i) -> i = 0 OR x != arr0[i-1])"))
+      .drop("arr0")
       .withColumn("sz", size(col("arr")).cast(LongType)))
     // prefix length |X| − ⌈τ|X|⌉ + 1, with ⌈τ·sz⌉ = floor((num·sz +
     // den − 1)/den) — integer-exact (values ≪ 2^53 keep floor exact)
@@ -163,15 +169,19 @@ object SetSimJoin {
     val c = CacheBin.pin(corpus.select(col("doc_id"), col("token")))
     val dfs = dfs0.select(col("token"), col("df"))
     // per-side doc-keyed collect with the in-row rarest-first sort
-    // (see [[ppjoin]]); batch-only tokens coalesce to df 0. collect_SET
-    // gives duplicate-input robustness inside the aggregate each side
-    // already pays (see [[ppjoin]] — an up-front distinct costs a full
+    // (see [[ppjoin]]); batch-only tokens coalesce to df 0. Duplicate-
+    // input robustness rides the in-row adjacent-unique filter after
+    // the sort — collect_LIST state, not the costlier per-row set
+    // insert (see [[ppjoin]]; an up-front distinct would cost a full
     // extra exchange per side for rows this absorbs).
     def docArrOf(side: DataFrame): DataFrame =
       CacheBin.pin(side.join(dfs, Seq("token"), "left")
         .withColumn("df", coalesce(col("df"), lit(0L)))
         .groupBy(col("doc_id"))
-        .agg(sort_array(collect_set(struct(col("df"), col("token")))).as("arr"))
+        .agg(sort_array(collect_list(struct(col("df"), col("token")))).as("arr0"))
+        .withColumn("arr",
+          expr("filter(arr0, (x, i) -> i = 0 OR x != arr0[i-1])"))
+        .drop("arr0")
         .withColumn("sz", size(col("arr")).cast(LongType)))
     val (arrB, arrC) = (docArrOf(b), docArrOf(c))
     def prefixOf(docArr: DataFrame): DataFrame = docArr

@@ -363,10 +363,12 @@ object Similarity {
       d / (math.sqrt(a.map(x => x * x).sum) * math.sqrt(b.map(x => x * x).sum))
     }
     val scored = centroids.map { case (cid, c) => (cid, cos(c, queryVec)) }
-    val best = scored.map(_._2).max
-    val ranked = scored
-      .map { case (cid, s) => (cid, best - s) } // the probe margin
-      .sortBy { case (cid, m) => (m, cid) }
+    // Rank by cosine descending directly (the probeCids convention), which
+    // IS the multi-probe margin order (best − s ascending) without the
+    // floating subtraction, which can collapse two distinct cosines into
+    // equal margins and flip the tie-break away from the oracle's
+    // `cosine DESC, cid` ordering.
+    val ranked = scored.sortBy { case (cid, s) => (-s, cid) }
     var cum = 0L
     ranked.zipWithIndex.flatMap { case ((cid, _), i) =>
       cum += listSizes.getOrElse(cid, 0L)

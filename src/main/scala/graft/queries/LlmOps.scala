@@ -3933,7 +3933,7 @@ object LlmOps {
     * list sizes, the rk=1-or-cum≤budget prefix rule per budget, then
     * the [[embedRecallEvalSql]] gt/ann membership count per budget.
     */
-  lazy val embedRecallBudgetSql: String = {
+  def embedRecallBudgetSql(k: Int = 10): String = {
     val fin = s"cents$ivfFitIters"
     val budgetExpr = Map(32 -> "CAST(ceil(t.n / 32.0) AS BIGINT)",
       8 -> "CAST(ceil(t.n / 8.0) AS BIGINT)",
@@ -3949,7 +3949,7 @@ object LlmOps {
          |    FROM scored s
          |    JOIN cum p ON p.qid = s.qid AND p.cid = s.cid, tot t
          |    WHERE p.rk = 1 OR p.cum <= ${budgetExpr(d)})
-         |  WHERE rk <= 10) a USING (qid, vec_id), tot t
+         |  WHERE rk <= $k) a USING (qid, vec_id), tot t
          |GROUP BY 1, 2""".stripMargin
     }.mkString("\nUNION ALL\n")
     s"""WITH $kmeansFitCtes,
@@ -3974,9 +3974,9 @@ object LlmOps {
        |gt AS (SELECT qid, vec_id FROM (
        |  SELECT qid, vec_id,
        |    row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id) AS rk
-       |  FROM scored) WHERE rk <= 10)
+       |  FROM scored) WHERE rk <= $k)
        |SELECT budget_rows, query_id, n_hit,
-       |  round(n_hit / 10.0, 6) AS recall
+       |  round(n_hit / $k.0, 6) AS recall
        |FROM ($perBudget)
        |ORDER BY 1, 2""".stripMargin
   }

@@ -43,11 +43,8 @@ object ForgetStream {
     * segment — a plain multi-path read, |requests|-sized.
     */
   def tombstones(spark: SparkSession, stateDir: String): DataFrame = {
-    val segs = Option(new java.io.File(stateDir).listFiles())
-      .getOrElse(Array.empty)
-      .filter(f => f.isDirectory && f.getName.startsWith("tombstones_v"))
-      .map(_.getPath).sorted
+    val segs = StateSegments.list(spark, stateDir, "tombstones_v").map(_._2)
     require(segs.nonEmpty, s"no tombstone segments under $stateDir")
-    spark.read.parquet(segs.toSeq: _*).select(col("doc_id")).distinct()
+    spark.read.parquet(segs: _*).select(col("doc_id")).distinct()
   }
 }

@@ -81,14 +81,11 @@ object PpjoinStream {
     * strictly-below cut as [[IngestGateStream.predecessorDigests]],
     * which is what makes a replayed batch converge.
     */
-  private def generationFor(baseGen: String, stateDir: String,
-      batchId: Long): String =
-    Option(new java.io.File(stateDir).listFiles())
-      .getOrElse(Array.empty)
-      .filter(f => f.isDirectory && f.getName.startsWith("ppgen_v"))
-      .map(_.getName.stripPrefix("ppgen_v").toLong)
+  private def generationFor(spark: SparkSession, baseGen: String,
+      stateDir: String, batchId: Long): String =
+    StateSegments.versions(spark, stateDir, "ppgen_v")
       .filter(_ < batchId)
-      .sorted.lastOption
+      .lastOption
       .map(v => s"$stateDir/ppgen_v$v")
       .getOrElse(baseGen)
 
@@ -99,7 +96,7 @@ object PpjoinStream {
     */
   def admitBatch(spark: SparkSession, baseGen: String, delta: DataFrame,
       stateDir: String, batchId: Long): DataFrame = {
-    val gen = generationFor(baseGen, stateDir, batchId)
+    val gen = generationFor(spark, baseGen, stateDir, batchId)
     val batch = CacheBin.pin(delta.select(col("doc_id"), col("text")))
     val pairs = SetSimJoin.ppjoinCrossWithDfs(
       toksOf(batch),
@@ -131,11 +128,8 @@ object PpjoinStream {
   def compactGeneration(spark: SparkSession, baseGen: String,
       stateDir: String, upToBatch: Long): String = {
     val gen = s"$stateDir/ppgen_v$upToBatch"
-    val admitted = Option(new java.io.File(stateDir).listFiles())
-      .getOrElse(Array.empty)
-      .filter(f => f.isDirectory && f.getName.startsWith("admitted_v"))
-      .map(_.getName.stripPrefix("admitted_v").toLong)
-      .filter(_ <= upToBatch).sorted
+    val admitted = StateSegments.versions(spark, stateDir, "admitted_v")
+      .filter(_ <= upToBatch)
       .map(b => spark.read.parquet(s"$stateDir/admitted_v$b"))
     val toks = admitted.foldLeft(
         spark.read.parquet(s"$baseGen/toks"))(

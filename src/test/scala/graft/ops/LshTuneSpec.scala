@@ -32,8 +32,12 @@ class LshTuneSpec extends SparkSpec {
       assert(hi._7 > lo._7, s"S-curve p_at_tau not strictly decreasing")
     }
     // the sweep is informative on the real corpus: the finest banding
-    // reaches full recall, the coarsest does not
-    assert(rows.head._6 === 1.0, "16x1 banding must catch every true pair")
+    // reaches (near-)full recall, the coarsest does not. 16x1 missing a
+    // true pair at Jaccard J has probability (1-J)^16 > 0 per pair, so a
+    // regenerated corpus can legitimately dip below 1.0 — assert a high
+    // floor, not exact unity.
+    assert(rows.head._6 >= 0.99,
+      s"16x1 banding recall ${rows.head._6} below 0.99 floor")
     assert(rows.last._6 < 1.0, "1x16 at full recall — the sweep shows nothing")
     // and the literal set-nesting fact it rests on, checked directly
     val sig = Dedup.minHash(graft.Tables.load(spark, sf, "documents"),
