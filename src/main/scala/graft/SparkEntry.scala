@@ -224,6 +224,7 @@ object SparkEntry {
     "q_multimodal_neardup" -> (LlmOps.multimodalNearDup(_, _)),
     "q_multimodal_audio" -> (LlmOps.multimodalAudio(_, _)),
     "q_multimodal_video" -> (LlmOps.multimodalVideo(_, _)),
+    "q_multimodal_video_neardup" -> (LlmOps.multimodalVideoNearDup(_, _)),
     // — corpus curation: deterministic sampling / splits / PII / chunking
     "q_sample_hash" -> (Curation.sampleHash(_, _)),
     "q_train_test_split" -> (Curation.trainTestSplit(_, _)),
@@ -690,6 +691,7 @@ object SparkEntry {
     "q_multimodal_neardup" -> LlmOps.multimodalNearDupSql,
     "q_multimodal_audio" -> LlmOps.multimodalAudioSql,
     "q_multimodal_video" -> LlmOps.multimodalVideoSql,
+    "q_multimodal_video_neardup" -> LlmOps.multimodalVideoNearDupSql,
     "q_kmeans_step" -> LlmOps.kmeansStepSql,
     "q_sample_hash" -> Curation.sampleHashSql,
     "q_train_test_split" -> Curation.trainTestSplitSql,

@@ -457,6 +457,99 @@ object Multimodal {
       .orderBy(col("doc_a"), col("doc_b"))
   }
 
+  // ------------------------------------------ video near-dup (temporal dHash)
+
+  /** Content-keyed Motion-JPEG AVI fingerprint — the video leg of the
+    * cross-modal near-dup triple (image [[histogramPng]] ✓, audio
+    * [[audioFingerprintWav]] ✓): the document's tokens land on the
+    * SAME 65-cell hash grid the audio face uses (md5-60-bit
+    * `hash60(tok) % 65`), and each cell becomes one 8×8 UNIFORM-GRAY
+    * frame of brightness v_f = min(count_f, 255), encoded through the
+    * real JDK JPEG codec into the hand-built RIFF/AVI container
+    * ([[buildAvi]]). Uniform frames survive the lossy codec exactly
+    * (the [[encodeJpegGray]] guarantee the id-keyed video face already
+    * rests on), so the decoded brightness ORDER is a pure function of
+    * the token histogram — which is what lets the oracle predict the
+    * signature closed-form while the engine runs a genuine
+    * encode→container-walk→JPEG-decode round trip.
+    */
+  def videoFingerprintAvi(text: String): Array[Byte] = {
+    import graft.functions.GraftStrings
+    val counts = new Array[Int](65)
+    text.trim.split("\\s+").foreach { tok =>
+      counts((GraftStrings.hash60(tok) % 65).toInt) += 1
+    }
+    buildAvi((0 until 65).map(f =>
+      encodeJpegGray(math.min(counts(f), 255), 8, 8)), 8, 8)
+  }
+
+  /** TEMPORAL dHash from the DECODED frame stream: walk the RIFF tree,
+    * JPEG-decode all 65 frames ([[decodeAviFrames]], stride 1), and
+    * emit one bit per adjacent frame pair — bit f = mean(f+1) >
+    * mean(f), 64 '0'/'1' chars. This is the dHash construction with
+    * TIME as the gradient axis (per-frame spatial dHash would be
+    * destroyed by JPEG's lossy transform on any non-uniform frame;
+    * adjacent-frame brightness comparison over uniform frames is
+    * codec-exact). The decoded means of uniform 8×8 frames are exact
+    * integers (Σv/64 = v), so the comparisons are exact end to end —
+    * a codec bug on either leg is a hard signature mismatch, never a
+    * rounding flake. By construction the bit string EQUALS the audio
+    * face's frame-energy signature on the same text (both compare
+    * monotone maps of the same capped cell counts) — the cross-codec
+    * agreement MultimodalSpec pins. None on undecodable or mis-shaped
+    * payloads.
+    */
+  def videoDHashBits(bytes: Array[Byte]): Option[String] =
+    decodeAviFrames(bytes, 1) match {
+      case Some((_, _, _, feats)) if feats.length == 65 =>
+        val m = feats.sortBy(_.frame_idx).map(_.mean_r)
+        val sb = new StringBuilder(64)
+        var f = 0
+        while (f < 64) {
+          sb.append(if (m(f + 1) > m(f)) '1' else '0')
+          f += 1
+        }
+        Some(sb.toString)
+      case _ => None
+    }
+
+  /** Video-signature agreement for the text near-dup candidates — the
+    * [[audioNearDup]] shape on the video column, completing the
+    * cross-modal triple: every document renders to its token-histogram
+    * MJPEG/AVI (REAL encode), decodes back (REAL RIFF walk + JPEG
+    * decode) to a 64-bit temporal signature, and each MinHash-LSH
+    * candidate pair reports the HAMMING DISTANCE between its two video
+    * signatures next to the exact text Jaccard. Per-partition codec
+    * work (65 tiny frames per doc, ThreadLocal codec instances); the
+    * signature table joins the candidate-sized pair set only — payload
+    * bytes never shuffle.
+    */
+  def videoNearDup(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val docs = Tables.load(spark, dir, "documents")
+    val sigText = CacheBin.pin(
+      Dedup.minHash(docs, col("doc_id"), col("text"), n = 3, k = 16))
+    val cand = Dedup.minHashLshCandidates(sigText, bands = 4, rowsPerBand = 4)
+    val vsig = docs
+      .select(col("doc_id").cast(LongType), col("text")).as[(Long, String)]
+      .repartition(spark.sparkContext.defaultParallelism)
+      .mapPartitions(_.flatMap { case (id, text) =>
+        videoDHashBits(videoFingerprintAvi(text)).map(bits => (id, bits))
+      })
+      .toDF("doc_id", "vhash")
+    val exact = Dedup.jaccardVerify(cand, docs, col("doc_id"), col("text"),
+        n = 3, threshold = 0.0)
+      .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 6).as("jaccard"))
+    cand
+      .join(vsig.select(col("doc_id").as("doc_a"), col("vhash").as("ha")), Seq("doc_a"))
+      .join(vsig.select(col("doc_id").as("doc_b"), col("vhash").as("hb")), Seq("doc_b"))
+      .select(col("doc_a"), col("doc_b"),
+        size(filter(zip_with(split(col("ha"), ""), split(col("hb"), ""),
+          (a, b) => a =!= b), x => x)).cast("long").as("hamming"))
+      .join(exact, Seq("doc_a", "doc_b"))
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
   /** REAL resize: decode (ImageIO), scale through Graphics2D bilinear
     * interpolation, re-encode PNG — a genuine binary→binary map-side
     * codec round trip (no shuffle; downstream ops treat the output
@@ -914,6 +1007,17 @@ object Multimodal {
     val nFrames = (id % 4).toInt + 2
     val frames = (0 until nFrames)
       .map(f => encodeJpegGray(((id * 3 + f * 7) % 256).toInt, w, h))
+    buildAvi(frames, w, h)
+  }
+
+  /** Assemble pre-encoded MJPEG frames into a complete RIFF/AVI
+    * container (hdrl(avih, strl(strh/strf)) + movi(00dc·n)) — the
+    * container logic shared by [[encodeAviMjpeg]] (the id-keyed codec
+    * face) and [[videoFingerprintAvi]] (the content-keyed near-dup
+    * fingerprint).
+    */
+  private def buildAvi(frames: Seq[Array[Byte]], w: Int, h: Int): Array[Byte] = {
+    val nFrames = frames.length
     val maxFrame = frames.map(_.length).max
     val avih = {
       val b = java.nio.ByteBuffer.allocate(56)

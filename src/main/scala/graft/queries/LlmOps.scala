@@ -4902,6 +4902,24 @@ object LlmOps {
     Multimodal.aviFrameFeatures(spark,
       Multimodal.aviPayloads(spark, dir, every = 5), stride = 2)
 
+  /** Video near-dup face: see [[Multimodal.videoNearDup]] — the third
+    * leg of the cross-modal near-dup triple.
+    */
+  def multimodalVideoNearDup(spark: SparkSession, dir: String): DataFrame =
+    Multimodal.videoNearDup(spark, dir)
+
+  /** Video near-dup oracle: the temporal dHash compares the decoded
+    * brightness of adjacent uniform-gray frames, and brightness
+    * min(count,255) is a MONOTONE map of the same capped 65-cell token
+    * counts whose square-wave energies the audio signature compares —
+    * so the closed-form signature prediction is the SAME capped-count
+    * ordering, and the audio oracle text applies verbatim. The two
+    * engine legs share nothing past the token histogram (RIFF/WAVE +
+    * PCM energy sums vs RIFF/AVI + JPEG decode + pixel means); the
+    * shared oracle is the cross-codec agreement stated as SQL.
+    */
+  lazy val multimodalVideoNearDupSql: String = multimodalAudioNearDupSql
+
   // ================================================== oracle SQL builders
 
   /** Shared DuckDB CTE: distinct word 3-gram shingles per doc. */

@@ -299,4 +299,62 @@ class MultimodalSpec extends SparkSpec {
       assert(trueDups.max < falsePos.min,
         s"audio distance failed to separate: true ${trueDups.max} vs false ${falsePos.min}")
   }
+
+  test("video temporal dHash: MJPEG/AVI codec round trip matches a driver-side recompute") {
+    import graft.functions.GraftStrings
+    val text = "join hash scan join filter vector batch window"
+    val Some(bits) = Multimodal.videoDHashBits(Multimodal.videoFingerprintAvi(text))
+    assert(bits.length == 64)
+    val counts = new Array[Int](65)
+    text.trim.split("\\s+").foreach { t =>
+      counts((GraftStrings.hash60(t) % 65).toInt) += 1 }
+    val want = (0 until 64).map { f =>
+      if (math.min(255, counts(f + 1)) > math.min(255, counts(f))) '1' else '0'
+    }.mkString
+    assert(bits == want, s"decoded bits $bits != recompute $want")
+    // junk / mis-shaped payloads → None (a 5-frame id-keyed AVI is a
+    // valid video but not a 65-frame fingerprint)
+    assert(Multimodal.videoDHashBits("not an avi".getBytes).isEmpty)
+    assert(Multimodal.videoDHashBits(Multimodal.encodeAviMjpeg(7L)).isEmpty,
+      "an AVI with the wrong frame count must not yield a signature")
+  }
+
+  test("video signature equals the audio signature on the same text (cross-codec agreement)") {
+    // both signatures compare monotone maps of the same capped 65-cell
+    // counts — through two entirely disjoint codec paths (RIFF/WAVE +
+    // PCM energy vs RIFF/AVI + JPEG + pixel means); equality here is the
+    // strongest end-to-end check either codec leg has
+    Seq("join hash scan filter vector merge table group order batch",
+        "alpha beta gamma delta epsilon zeta eta theta iota kappa",
+        "one two three four five six seven eight nine ten one two") .foreach { t =>
+      val v = Multimodal.videoDHashBits(Multimodal.videoFingerprintAvi(t))
+      val a = Multimodal.audioDHashBits(Multimodal.audioFingerprintWav(t))
+      assert(v.isDefined && v == a, s"video $v != audio $a for: $t")
+    }
+  }
+
+  test("video signature is perceptual: a one-token edit moves few bits, disjoint text many") {
+    def sig(t: String) =
+      Multimodal.videoDHashBits(Multimodal.videoFingerprintAvi(t)).get
+    def ham(a: String, b: String) = a.zip(b).count { case (x, y) => x != y }
+    val base = "join hash scan filter vector merge table group order batch"
+    val nearDup = base.replace("batch", "window")
+    val disjoint = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val (hNear, hFar) = (ham(sig(base), sig(nearDup)), ham(sig(base), sig(disjoint)))
+    assert(hNear < hFar,
+      s"one-token edit ($hNear bits) must move less than disjoint text ($hFar)")
+    assert(hNear <= 6, s"a one-token edit flipped $hNear of 64 bits")
+  }
+
+  test("video-signature agreement separates true near-dups from banding false positives") {
+    val rows = graft.queries.LlmOps.multimodalVideoNearDup(spark, sf).collect()
+      .map(r => (r.getLong(2), r.getDouble(3)))
+    assert(rows.nonEmpty)
+    val trueDups = rows.filter(_._2 >= 0.5).map(_._1)
+    val falsePos = rows.filter(_._2 < 0.1).map(_._1)
+    assert(trueDups.nonEmpty)
+    if (falsePos.nonEmpty)
+      assert(trueDups.max < falsePos.min,
+        s"video distance failed to separate: true ${trueDups.max} vs false ${falsePos.min}")
+  }
 }
