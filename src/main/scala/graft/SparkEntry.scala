@@ -173,6 +173,7 @@ object SparkEntry {
     "q_lang_diversity" -> (LlmOps.langDiversity(_, _)),
     "q_langid_nb" -> ((s, d) => LlmOps.langIdNbConfusion(s, d)),
     "q_code_switch" -> ((s, d) => LlmOps.codeSwitchCensus(s, d)),
+    "q_code_switch_split" -> ((s, d) => LlmOps.codeSwitchSplit(s, d)),
     "q_token_drift" -> ((s, d) => LlmOps.tokenDrift(s, d)),
     "q_vocab_overlap" -> (LlmOps.vocabOverlap(_, _)),
     "q_bm25_topk" -> ((s, d) => LlmOps.bm25TopK(s, d)),
@@ -574,6 +575,7 @@ object SparkEntry {
     "q_lang_diversity" -> LlmOps.langDiversitySql,
     "q_langid_nb" -> LlmOps.langIdNbSql(),
     "q_code_switch" -> LlmOps.codeSwitchSql(),
+    "q_code_switch_split" -> LlmOps.codeSwitchSplitSql(),
     "q_token_drift" -> LlmOps.tokenDriftSql,
     "q_vocab_overlap" -> LlmOps.vocabOverlapSql,
     "q_bm25_topk" -> LlmOps.bm25TopKSql,

@@ -2720,9 +2720,13 @@ object LlmOps {
     * scoring, the same struct-min argmax, list-comprehension switch
     * counting over the wi-ordered prediction list, per-source census.
     */
-  def codeSwitchSql(buckets: Int = 4096, scale: Long = 1000000L,
-      windowTokens: Int = 20): String =
-    s"""WITH toks AS (SELECT doc_id, lang, source,
+  /** Shared CTE chain for the window-level NB prediction (toks …
+    * wpred) — the prefix [[codeSwitchSql]] (census) and
+    * [[codeSwitchSplitSql]] (run-length split) both replay.
+    */
+  private def codeSwitchNbCtes(buckets: Int, scale: Long,
+      windowTokens: Int): String =
+    s"""toks AS (SELECT doc_id, lang, source,
        |    string_split_regex(trim(text), '\\s+') AS t FROM documents),
        |feats AS (SELECT doc_id, lang,
        |    unnest([('0x' || substr(md5(t[i]), 1, 15))::BIGINT % $buckets
@@ -2743,9 +2747,13 @@ object LlmOps {
        |  JOIN tot ON tot.lang = l.lang
        |  LEFT JOIN m ON m.lang = l.lang AND m.f = wf.f
        |  GROUP BY 1, 2, 3),
-       |wpred AS (SELECT doc_id, wi,
+       |wpred AS MATERIALIZED (SELECT doc_id, wi,
        |    min(struct_pack(ns := -s, c := cand)).c AS pred
-       |  FROM sc GROUP BY 1, 2),
+       |  FROM sc GROUP BY 1, 2)""".stripMargin
+
+  def codeSwitchSql(buckets: Int = 4096, scale: Long = 1000000L,
+      windowTokens: Int = 20): String =
+    s"""WITH ${codeSwitchNbCtes(buckets, scale, windowTokens)},
        |perdoc AS (SELECT doc_id, list(pred ORDER BY wi) AS ps
        |  FROM wpred GROUP BY 1),
        |pd AS (SELECT doc_id, CAST(len(ps) AS BIGINT) AS n_windows,
@@ -2761,6 +2769,104 @@ object LlmOps {
        |  CAST(sum(n_windows) AS BIGINT) AS n_windows
        |FROM pd JOIN documents d USING (doc_id)
        |GROUP BY 1 ORDER BY 1""".stripMargin
+
+  /** CODE-SWITCH SPLIT — the ACTION face of [[codeSwitchCensus]]: the
+    * census COUNTS mixed documents; this op splits each mixed document
+    * into monolingual WINDOW-RUNS (maximal runs of adjacent 20-token
+    * windows with the same NB prediction) and emits one row per span:
+    * (doc_id, span_idx, lang, wi_start, wi_end, span_windows,
+    * span_tokens) — the scan→mask shape of the blocklist and SFT
+    * masking faces applied to language segmentation, with the
+    * CONSERVATION LAW that Σ span_tokens over a doc's spans equals the
+    * doc's token count (no token gained or lost by splitting;
+    * spec-pinned).
+    *
+    * Scale shape: identical exchanges to the census — the positional
+    * token-hash kernel, the broadcast model join, ONE (doc, wi)-keyed
+    * aggregate (which now also counts the window's tokens — free in
+    * the same pass), one doc-keyed window-sequence collect bounded by
+    * doc length. The run-length assembly is IN-ROW (an aggregate HOF
+    * over the wi-sorted window array — spans extend or open per
+    * element), and only mixed docs survive to the explode, so output
+    * is span-proportional, never corpus × windows.
+    */
+  def codeSwitchSplit(spark: SparkSession, dir: String,
+      buckets: Int = 4096, scale: Long = 1000000L,
+      windowTokens: Int = 20): DataFrame =
+    codeSwitchSplitOver(Tables.load(spark, dir, "documents"),
+      buckets, scale, windowTokens)
+
+  private[graft] def codeSwitchSplitOver(docs: DataFrame,
+      buckets: Int = 4096, scale: Long = 1000000L,
+      windowTokens: Int = 20): DataFrame = {
+    val (langs, wide, scoreCols) = nbLangModel(docs, buckets, scale)
+    val wfeats = docs
+      .select(col("doc_id"),
+        posexplode(graft.functions.GraftFunctions
+          .tokenGramHashes(col("text"), 1)).as(Seq("p0", "h")))
+      .select(col("doc_id"),
+        (col("p0") / windowTokens).cast("int").as("wi"),
+        (col("h") % buckets).as("f"))
+    val sums = langs.map(l => sum(col(s"s_$l")).as(s"s_$l"))
+    val perWin = wfeats.join(broadcast(wide), Seq("f"))
+      .select(col("doc_id") +: col("wi") +: scoreCols: _*)
+      .groupBy(col("doc_id"), col("wi"))
+      .agg(sums.head, (sums.tail :+ count(lit(1)).as("wtoks")): _*)
+      .withColumn("pred", nbPred(langs))
+    perWin
+      .groupBy(col("doc_id"))
+      .agg(sort_array(collect_list(
+        struct(col("wi"), col("pred"), col("wtoks")))).as("ws"))
+      .filter(expr("size(array_distinct(transform(ws, x -> x.pred))) >= 2"))
+      .withColumn("spans", expr(
+        """aggregate(ws,
+          |  CAST(array() AS ARRAY<STRUCT<lang: STRING, ws_i: INT,
+          |    we_i: INT, tk: BIGINT>>),
+          |  (acc, x) -> IF(size(acc) = 0
+          |      OR element_at(acc, -1).lang != x.pred,
+          |    concat(acc, array(struct(x.pred AS lang, x.wi AS ws_i,
+          |      x.wi AS we_i, x.wtoks AS tk))),
+          |    concat(slice(acc, 1, size(acc) - 1),
+          |      array(struct(element_at(acc, -1).lang AS lang,
+          |        element_at(acc, -1).ws_i AS ws_i, x.wi AS we_i,
+          |        element_at(acc, -1).tk + x.wtoks AS tk)))))""".stripMargin))
+      .select(col("doc_id"), posexplode(col("spans")).as(Seq("p", "s")))
+      .select(col("doc_id"), (col("p") + 1).cast(LongType).as("span_idx"),
+        col("s.lang").as("lang"), col("s.ws_i").as("wi_start"),
+        col("s.we_i").as("wi_end"),
+        (col("s.we_i") - col("s.ws_i") + 1).cast(LongType).as("span_windows"),
+        col("s.tk").as("span_tokens"))
+      .orderBy(col("doc_id"), col("span_idx"))
+  }
+
+  /** Split oracle: the [[codeSwitchNbCtes]] window predictions, per-
+    * window token counts off the same positional CTE, mixed-doc
+    * restriction, then run-length spans via the standard gaps-and-
+    * islands difference of row_numbers, indexed per doc in wi order.
+    */
+  def codeSwitchSplitSql(buckets: Int = 4096, scale: Long = 1000000L,
+      windowTokens: Int = 20): String =
+    s"""WITH ${codeSwitchNbCtes(buckets, scale, windowTokens)},
+       |wtok AS (SELECT doc_id, wi, CAST(count(*) AS BIGINT) AS wtoks
+       |  FROM wf GROUP BY 1, 2),
+       |mixed AS (SELECT doc_id FROM wpred GROUP BY 1
+       |  HAVING count(DISTINCT pred) >= 2),
+       |runs AS (SELECT w.doc_id, w.wi, w.pred, t.wtoks,
+       |    row_number() OVER (PARTITION BY w.doc_id ORDER BY w.wi)
+       |  - row_number() OVER (PARTITION BY w.doc_id, w.pred ORDER BY w.wi)
+       |    AS grp
+       |  FROM wpred w JOIN wtok t USING (doc_id, wi)
+       |  WHERE w.doc_id IN (SELECT doc_id FROM mixed)),
+       |spans AS (SELECT doc_id, pred AS lang,
+       |    min(wi) AS wi_start, max(wi) AS wi_end,
+       |    CAST(count(*) AS BIGINT) AS span_windows,
+       |    CAST(sum(wtoks) AS BIGINT) AS span_tokens
+       |  FROM runs GROUP BY doc_id, pred, grp)
+       |SELECT doc_id,
+       |  row_number() OVER (PARTITION BY doc_id ORDER BY wi_start)
+       |    AS span_idx,
+       |  lang, wi_start, wi_end, span_windows, span_tokens
+       |FROM spans ORDER BY doc_id, span_idx""".stripMargin
 
   /** Mirrors langIdNbConfusion: same folded token-hash features, the
     * per-lang candidate scoring as explicit rows (LEFT JOIN + coalesce
