@@ -53,7 +53,10 @@ object Bench {
     "q_ivm_topk", "q_ivm_topk_stream", "q_ivm_distinct", "q_scd2_stream",
     "q_forget_index", "q_forget_dedup", "q_forget_embed",
     "q_forget_sigs", "q_forget_winnow", "q_forget_postings",
-    "q_forget_stream")
+    "q_forget_stream",
+    // consumes the per-JVM fitted banding (the sweep + decision rule run
+    // once per corpus dir) while the oracle replays the full sweep per run
+    "q_lsh_fitted_dedup")
 
   /** 1-minute load average from /proc/loadavg ("-1" off-Linux). The bench
     * host shows bursty CPU steal; embedding load evidence in the JSON lets

@@ -141,6 +141,7 @@ object SparkEntry {
     "q_ssjoin_incr" -> (LlmOps.ssjoinIncr(_, _)),
     "q_ssjoin_stream" -> (LlmOps.ssjoinStreamMaterialize(_, _)),
     "q_lsh_tune" -> (LlmOps.lshParamSweep(_, _)),
+    "q_lsh_fitted_dedup" -> ((s, d) => LlmOps.lshFittedDedup(s, d)),
     "q_vocab_richness" -> (LlmOps.vocabRichness(_, _)),
     "q_source_novelty" -> (LlmOps.sourceNovelty(_, _)),
     "q_dedup_bbit_est" -> (LlmOps.bbitMinhashEstimate(_, _)),
@@ -543,6 +544,7 @@ object SparkEntry {
     "q_ssjoin_incr" -> LlmOps.ssjoinIncrSql,
     "q_ssjoin_stream" -> LlmOps.ssjoinStreamSql,
     "q_lsh_tune" -> LlmOps.lshParamSweepSql,
+    "q_lsh_fitted_dedup" -> LlmOps.lshFittedDedupSql(),
     "q_vocab_richness" -> LlmOps.vocabRichnessSql,
     "q_source_novelty" -> LlmOps.sourceNoveltySql,
     "q_dedup_bbit_est" -> LlmOps.bbitMinhashEstimateSql,

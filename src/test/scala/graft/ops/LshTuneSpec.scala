@@ -48,4 +48,21 @@ class LshTuneSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(c84.subsetOf(c161))
   }
+
+  test("fitted banding: the decision rule lands on the family's (4, 4) on the real corpus") {
+    // cheapest banding with measured recall >= 0.95: on this corpus the
+    // 4x4, 8x2 and 16x1 factorizations all reach full recall and 4x4
+    // generates the fewest candidates — the fit CONFIRMS the hand-set
+    // family default (this pin is the wiring contract: if testdata
+    // regeneration moves the choice, the family constants must follow)
+    assert(LlmOps.fittedBanding(spark, sf) === ((4, 4)))
+    // the fitted face carries the choice in-band and only emits
+    // true tau >= 1/2 pairs
+    val rows = LlmOps.lshFittedDedup(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert((r.getInt(0), r.getInt(1)) === ((4, 4)))
+      assert(r.getDouble(4) >= 0.5)
+    }
+  }
 }
