@@ -281,6 +281,7 @@ object SparkEntry {
     "q_l_diversity" -> (Curation.lDiversity(_, _)),
     "q_t_closeness" -> (Curation.tCloseness(_, _)),
     "q_dp_randomized_response" -> (Curation.dpRandomizedResponse(_, _)),
+    "q_dp_histogram" -> (Curation.dpHistogram(_, _)),
     "q_cdc_stream" -> (Maintenance.cdcStreamMaterialize(_, _)),
     "q_incr_agg" -> (Maintenance.incrAgg(_, _)),
     "q_incr_agg_state" -> (Maintenance.incrAggState(_, _)),
@@ -653,6 +654,7 @@ object SparkEntry {
     "q_l_diversity" -> Curation.lDiversitySql,
     "q_t_closeness" -> Curation.tClosenessSql,
     "q_dp_randomized_response" -> Curation.dpRandomizedResponseSql,
+    "q_dp_histogram" -> Curation.dpHistogramSql,
     "q_cdc_stream" -> Maintenance.cdcStreamMaterializeSql,
     "q_incr_agg" -> Maintenance.incrAggSql,
     "q_incr_agg_state" -> Maintenance.incrAggStateSql,

@@ -1016,6 +1016,89 @@ object Curation {
       .orderBy(col("nation"))
   }
 
+  // ------------------------------------- central-DP noisy histogram release
+
+  /** ε for the geometric mechanism at α = 1/2: ln(1/α) = ln 2, computed
+    * once on the driver and inlined as the SAME literal into both faces
+    * (the p_at_tau convention — no libm in either engine's dataflow).
+    */
+  private val dpHistEps: Double =
+    BigDecimal(math.log(2.0))
+      .setScale(6, BigDecimal.RoundingMode.HALF_EVEN).toDouble
+
+  /** Per-trial truncated-geometric(1/2) draw for a released cell: the
+    * smallest trial index i in 0..15 whose portable coin
+    * hash60("salt:cell:i") lands even, else 16 — P(G=k) = 2^−(k+1),
+    * P(G=16) = 2^−16 (the truncation tail).
+    */
+  private def dpGeomDraw(salt: String, cell: Column): Column =
+    coalesce(
+      array_min(filter(
+        transform(sequence(lit(0), lit(15)), i =>
+          when(Dedup.hash60(concat_ws(":",
+            lit(salt), cell, i.cast(StringType))) % 2 === 0, i)),
+        x => x.isNotNull)),
+      lit(16))
+
+  /** CENTRAL differential privacy — the CALIBRATED AGGREGATE RELEASE
+    * the privacy family lacked: the k-anon/l-div/t-close censuses
+    * audit, [[dpRandomizedResponse]] perturbs per record (local DP);
+    * this face releases a (segment, acctbal-bucket) histogram with
+    * two-sided TRUNCATED-GEOMETRIC noise per CELL — the geometric
+    * mechanism of Ghosh–Roughgarden–Sundararajan (STOC 2009), the
+    * discrete Laplace that is utility-optimal for sensitivity-1 counts.
+    * Noise Z = G₁ − G₂ with G_i iid truncated geometric(1/2)
+    * ([[dpGeomDraw]]: the first even portable-hash trial index), giving
+    * ε = ln 2 per release (up to the 2^−16 truncation tail — the
+    * standard bounded-noise deployment trade, stated in-band by the ε
+    * column next to the EXACT count so the release's error is
+    * auditable).
+    *
+    * The "coin" is the repo's portable-determinism convention (the RR
+    * face's hash60 trick, applied per-cell instead of per-record):
+    * both engines replay the draw bit-identically, so the whole noisy
+    * release hash-gates — while the mechanism algebra is exactly what
+    * a production release calibrates.
+    *
+    * Shape: one customer pass into the cell aggregate (map-side
+    * combined); the noise draw is 2×16 hashes per RELEASED CELL —
+    * O(cells), never O(rows); nothing joins, nothing collects.
+    */
+  def dpHistogram(spark: SparkSession, dir: String): DataFrame = {
+    val cell = concat_ws("|", col("segment"), col("b").cast(StringType))
+    Tables.load(spark, dir, "customer")
+      .select(col("c_mktsegment").as("segment"),
+        floor(col("c_acctbal") / 1000).cast(LongType).as("b"))
+      .groupBy(col("segment"), col("b"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("z",
+        (dpGeomDraw("g1", cell) - dpGeomDraw("g2", cell)).cast(LongType))
+      .withColumn("noisy", col("n") + col("z"))
+      .withColumn("epsilon", lit(dpHistEps))
+      .select(col("segment"), col("b"), col("n"), col("z"), col("noisy"),
+        col("epsilon"))
+      .orderBy(col("segment"), col("b"))
+  }
+
+  val dpHistogramSql: String = {
+    def draw(salt: String) =
+      s"""coalesce(list_min([i for i in range(0, 16)
+         |    IF ('0x' || substr(md5('$salt:' || cell || ':' || CAST(i AS VARCHAR)),
+         |      1, 15))::BIGINT % 2 = 0]), 16)""".stripMargin
+    s"""WITH h AS (SELECT c_mktsegment AS segment,
+       |    CAST(floor(c_acctbal / 1000) AS BIGINT) AS b,
+       |    CAST(count(*) AS BIGINT) AS n
+       |  FROM customer GROUP BY 1, 2),
+       |c AS (SELECT segment, b, n,
+       |    segment || '|' || CAST(b AS VARCHAR) AS cell FROM h),
+       |g AS (SELECT segment, b, n,
+       |    CAST(${draw("g1")} - ${draw("g2")} AS BIGINT) AS z
+       |  FROM c)
+       |SELECT segment, b, n, z, CAST(n + z AS BIGINT) AS noisy,
+       |  CAST($dpHistEps AS DOUBLE) AS epsilon
+       |FROM g ORDER BY 1, 2""".stripMargin
+  }
+
   val dpRandomizedResponseSql: String =
     s"""WITH r AS (
        |  SELECT CAST(c_nationkey AS BIGINT) AS nation,

@@ -99,6 +99,31 @@ class KAnonymitySpec extends SparkSpec {
       s"reported $totRep wildly off true $totTrue over $totN rows")
   }
 
+  test("dp histogram: the geometric draw replays exactly; noise is live and bounded") {
+    import graft.functions.GraftStrings
+    val rows = Curation.dpHistogram(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getDouble(5)))
+    assert(rows.nonEmpty)
+    // the exact noise-distribution replay: first even-hash trial index,
+    // truncated at 16, two independent salts, z = g1 - g2
+    def g(salt: String, cell: String): Long =
+      (0 until 16).find(i =>
+        GraftStrings.hash60(s"$salt:$cell:$i") % 2 == 0).getOrElse(16).toLong
+    rows.foreach { case (seg, b, n, z, noisy, eps) =>
+      val cell = s"$seg|$b"
+      assert(z === g("g1", cell) - g("g2", cell), s"cell $cell draw drifted")
+      assert(noisy === n + z, s"cell $cell release is not n + z")
+      assert(eps === 0.693147)
+      assert(math.abs(z) <= 32, s"cell $cell noise outside the truncation bound")
+    }
+    // noise is live (some cell moved) and useful (mean |z| near the
+    // E|Z| = 4/3 of the alpha = 1/2 discrete Laplace — the utility bound)
+    assert(rows.exists(_._4 != 0L), "every cell got zero noise — the coin is dead")
+    val meanAbs = rows.map(r => math.abs(r._4)).sum.toDouble / rows.length
+    assert(meanAbs <= 3.0, s"mean |z| $meanAbs far above the geometric's 4/3")
+  }
+
   test("census ≡ direct recomputation at L3") {
     val direct = graft.Tables.load(spark, sf, "customer")
       .groupBy(col("c_nationkey"))
