@@ -792,6 +792,29 @@ object ScaleBench {
       // carry (doc, wi)-keyed score partials ∝ k; census rows flat
       val (csSec, csRows, csEx) = bestIf("code_switch")(
         queries.LlmOps.codeSwitchCensus(spark, dir))
+      // code-switch SPLIT: the census exchanges + the per-window token
+      // count riding the same (doc, wi) aggregate; run-length assembly
+      // is in-row, so only mixed docs' spans come out — rows ∝ mixed
+      // docs (replica tagging keeps windows monolingual per replica)
+      val (cssSec, cssRows, cssEx) = bestIf("code_switch_split")(
+        queries.LlmOps.codeSwitchSplit(spark, dir))
+      // video near-dup: per-doc REAL MJPEG/AVI codec work (65-frame
+      // encode → RIFF walk + JPEG decode → temporal dHash) ∝ docs,
+      // plus candidate-sized pair joins — the audio_neardup profile
+      // on the video column
+      val (vnSec, vnRows, vnEx) = bestIf("video_neardup")(
+        queries.LlmOps.multimodalVideoNearDup(spark, dir))
+      // fitted-banding dedup: run 1 pays the sweep fit (per-dir cached,
+      // the trgm_like staged contract); min-of-2 isolates the
+      // post-fit path — one signature pass + the chosen banding's
+      // bucket pairs + candidate-sized verify, pairs ∝ k
+      val (lfSec, lfRows, lfEx) = bestIf("lsh_fitted_dedup")(
+        queries.LlmOps.lshFittedDedup(spark, dir))
+      // DP histogram release: one customer pass into the cell
+      // aggregate; the geometric draws are O(released cells) hash math
+      // — rows pinned at |segments|·|buckets| no matter the corpus
+      val (dphSec, dphRows, dphEx) = bestIf("dp_histogram")(
+        queries.Curation.dpHistogram(spark, dir))
       val row = scala.collection.immutable.ListMap(
         "lsh_pairs" -> (lshSec, lshRows, lshEx),
         "cc_distributed" -> (ccSec, ccRows, ccEx),
@@ -879,7 +902,11 @@ object ScaleBench {
         "bpe_bytes" -> (bbSec, bbRows, bbEx),
         "recall_budget" -> (rbSec, rbRows, rbEx),
         "lsh_tune" -> (ltSec, ltRows, ltEx),
-        "code_switch" -> (csSec, csRows, csEx))
+        "code_switch" -> (csSec, csRows, csEx),
+        "code_switch_split" -> (cssSec, cssRows, cssEx),
+        "video_neardup" -> (vnSec, vnRows, vnEx),
+        "lsh_fitted_dedup" -> (lfSec, lfRows, lfEx),
+        "dp_histogram" -> (dphSec, dphRows, dphEx))
         .filter { case (op, _) => wanted(op) }
       row.foreach { case (op, (s, r, e)) =>
         println(s"""{"scale":$k,"op":"$op","sec":$s,"rows":$r,"exchanges":$e}""")
