@@ -56,7 +56,9 @@ object Bench {
     "q_forget_stream",
     // consumes the per-JVM fitted banding (the sweep + decision rule run
     // once per corpus dir) while the oracle replays the full sweep per run
-    "q_lsh_fitted_dedup")
+    "q_lsh_fitted_dedup",
+    // staged MemoryStream run (two-wave kill-and-resume once per JVM)
+    "q_dp_stream")
 
   /** 1-minute load average from /proc/loadavg ("-1" off-Linux). The bench
     * host shows bursty CPU steal; embedding load evidence in the JSON lets

@@ -1031,7 +1031,7 @@ object Curation {
     * hash60("salt:cell:i") lands even, else 16 — P(G=k) = 2^−(k+1),
     * P(G=16) = 2^−16 (the truncation tail).
     */
-  private def dpGeomDraw(salt: String, cell: Column): Column =
+  private[graft] def dpGeomDraw(salt: String, cell: Column): Column =
     coalesce(
       array_min(filter(
         transform(sequence(lit(0), lit(15)), i =>
@@ -1064,21 +1064,37 @@ object Curation {
     * combined); the noise draw is 2×16 hashes per RELEASED CELL —
     * O(cells), never O(rows); nothing joins, nothing collects.
     */
-  def dpHistogram(spark: SparkSession, dir: String): DataFrame = {
+  def dpHistogram(spark: SparkSession, dir: String): DataFrame =
+    dpNoisyHistogram(Tables.load(spark, dir, "customer"), "g1", "g2")
+      .withColumn("epsilon", lit(dpHistEps))
+      .select(col("segment"), col("b"), col("n"), col("z"), col("noisy"),
+        col("epsilon"))
+      .orderBy(col("segment"), col("b"))
+
+  /** Shared release core: the (segment, acctbal-bucket) histogram over
+    * a customer relation with the per-cell geometric noise drawn under
+    * the given salt pair — [[dpHistogram]] (one release) and
+    * [[graft.streaming.DpStream]] (one release per micro-batch, salts
+    * versioned by release index) both build on it.
+    */
+  private[graft] def dpNoisyHistogram(customers: DataFrame,
+      saltA: String, saltB: String): DataFrame = {
     val cell = concat_ws("|", col("segment"), col("b").cast(StringType))
-    Tables.load(spark, dir, "customer")
+    customers
       .select(col("c_mktsegment").as("segment"),
         floor(col("c_acctbal") / 1000).cast(LongType).as("b"))
       .groupBy(col("segment"), col("b"))
       .agg(count(lit(1)).as("n"))
       .withColumn("z",
-        (dpGeomDraw("g1", cell) - dpGeomDraw("g2", cell)).cast(LongType))
+        (dpGeomDraw(saltA, cell) - dpGeomDraw(saltB, cell)).cast(LongType))
       .withColumn("noisy", col("n") + col("z"))
-      .withColumn("epsilon", lit(dpHistEps))
-      .select(col("segment"), col("b"), col("n"), col("z"), col("noisy"),
-        col("epsilon"))
-      .orderBy(col("segment"), col("b"))
   }
+
+  /** ε after k releases at ln 2 each (sequential composition), as the
+    * exact 6-decimal multiple both engines inline.
+    */
+  private[graft] def dpEpsTotal(releases: Long): Double =
+    (BigDecimal(dpHistEps) * releases).toDouble
 
   val dpHistogramSql: String = {
     def draw(salt: String) =
@@ -1097,6 +1113,74 @@ object Curation {
        |SELECT segment, b, n, z, CAST(n + z AS BIGINT) AS noisy,
        |  CAST($dpHistEps AS DOUBLE) AS epsilon
        |FROM g ORDER BY 1, 2""".stripMargin
+  }
+
+  /** STREAMING DP release face (q_dp_stream): the customer table split
+    * into two micro-batches by the deterministic c_custkey % 2 rule,
+    * fed through [[graft.streaming.DpStream]] with a kill-and-resume
+    * between them (the house two-wave restart harness), releases
+    * re-read from the committed versioned outputs. Release 0 covers
+    * the even-key half at ε = ln 2; release 1 covers everyone at
+    * eps_total = 2·ln 2 — the oracle replays both histograms and both
+    * versioned noise draws closed-form from the customer table.
+    */
+  def dpStreamMaterialize(spark: SparkSession, dir: String): DataFrame = {
+    val root = graft.ops.StageOnce.tmp("dp_stream", dir)
+    val state = s"$root/state"
+    graft.ops.StageOnce(root) {
+      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+      import spark.implicits._
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+      val rows = Tables.load(spark, dir, "customer")
+        .select(col("c_custkey").cast(LongType),
+          col("c_mktsegment"), col("c_acctbal"))
+        .orderBy(col("c_custkey"))
+        .as[(Long, String, Double)].collect()
+      val (even, odd) = rows.partition(_._1 % 2 == 0)
+      val ckpt = graft.ops.StageOnce.tmp("dp_stream_ckpt", dir)
+      val mem = MemoryStream[(Long, String, Double)]
+      def start() = graft.streaming.DpStream.start(
+        mem.toDS().toDF("c_custkey", "c_mktsegment", "c_acctbal"),
+        state, ckpt)
+      val q1 = start()
+      try {
+        mem.addData(even.toIndexedSeq: _*)
+        q1.processAllAvailable()
+      } finally q1.stop()
+      val q2 = start() // kill-and-resume from the checkpoint
+      try {
+        mem.addData(odd.toIndexedSeq: _*)
+        q2.processAllAvailable()
+      } finally q2.stop()
+    }
+    graft.streaming.DpStream.releases(spark, state)
+  }
+
+  /** Stream-release oracle: one branch per release — release 0 the
+    * even-custkey histogram under the r0-versioned salts at ε = ln 2,
+    * release 1 the full histogram under the r1 salts at 2·ln 2.
+    */
+  lazy val dpStreamSql: String = {
+    def draw(salt: String) =
+      s"""coalesce(list_min([i for i in range(0, 16)
+         |    IF ('0x' || substr(md5('$salt:' || cell || ':' || CAST(i AS VARCHAR)),
+         |      1, 15))::BIGINT % 2 = 0]), 16)""".stripMargin
+    def branch(r: Int, where: String) =
+      s"""SELECT CAST($r AS BIGINT) AS release, segment, b, n,
+         |  CAST(${draw(s"g1r$r")} - ${draw(s"g2r$r")} AS BIGINT) AS z,
+         |  CAST(n + ${draw(s"g1r$r")} - ${draw(s"g2r$r")} AS BIGINT) AS noisy,
+         |  CAST(${dpEpsTotal(r + 1)} AS DOUBLE) AS eps_total
+         |FROM (SELECT segment, b, n,
+         |    segment || '|' || CAST(b AS VARCHAR) AS cell
+         |  FROM (SELECT c_mktsegment AS segment,
+         |      CAST(floor(c_acctbal / 1000) AS BIGINT) AS b,
+         |      CAST(count(*) AS BIGINT) AS n
+         |    FROM customer $where GROUP BY 1, 2)) h""".stripMargin
+    s"""SELECT * FROM (
+       |${branch(0, "WHERE c_custkey % 2 = 0")}
+       |UNION ALL
+       |${branch(1, "")}
+       |) ORDER BY release, segment, b""".stripMargin
   }
 
   val dpRandomizedResponseSql: String =

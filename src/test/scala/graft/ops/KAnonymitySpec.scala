@@ -124,6 +124,41 @@ class KAnonymitySpec extends SparkSpec {
     assert(meanAbs <= 3.0, s"mean |z| $meanAbs far above the geometric's 4/3")
   }
 
+  test("dp stream: versioned draws replay exactly; the accountant adds ln 2 per release") {
+    import graft.functions.GraftStrings
+    val rows = Curation.dpStreamMaterialize(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getDouble(6)))
+    val byRelease = rows.groupBy(_._1)
+    assert(byRelease.keySet === Set(0L, 1L), "exactly two releases")
+    def g(salt: String, cell: String): Long =
+      (0 until 16).find(i =>
+        GraftStrings.hash60(s"$salt:$cell:$i") % 2 == 0).getOrElse(16).toLong
+    rows.foreach { case (rel, seg, b, n, z, noisy, eps) =>
+      val cell = s"$seg|$b"
+      assert(z === g(s"g1r$rel", cell) - g(s"g2r$rel", cell),
+        s"release $rel cell $cell draw drifted")
+      assert(noisy === n + z)
+      // exact: ln2's 6-decimal literal times 1 or 2 (×2 exact in IEEE)
+      assert(eps === 0.693147 * (rel + 1),
+        s"release $rel accountant drifted: $eps")
+    }
+    // release 1 re-reads everyone: exact counts cover the whole table
+    // and dominate release 0's half cell-by-cell
+    val n1 = byRelease(1L).map(_._4).sum
+    assert(n1 === graft.Tables.load(spark, sf, "customer").count())
+    val r0 = byRelease(0L).map(r => (r._2, r._3) -> r._4).toMap
+    r0.foreach { case (cell, n0) =>
+      val full = byRelease(1L).find(r => (r._2, r._3) == cell).map(_._4)
+      assert(full.exists(_ >= n0), s"cell $cell shrank between releases")
+    }
+    // the two releases draw INDEPENDENT noise (versioned salts): some
+    // cell's z differs between them on this corpus
+    val z0 = byRelease(0L).map(r => (r._2, r._3) -> r._5).toMap
+    assert(byRelease(1L).exists(r => z0.get((r._2, r._3)).exists(_ != r._5)),
+      "every release-1 draw equals release 0 — salts not versioned")
+  }
+
   test("census ≡ direct recomputation at L3") {
     val direct = graft.Tables.load(spark, sf, "customer")
       .groupBy(col("c_nationkey"))
