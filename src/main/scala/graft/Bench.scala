@@ -57,8 +57,8 @@ object Bench {
     // consumes the per-JVM fitted banding (the sweep + decision rule run
     // once per corpus dir) while the oracle replays the full sweep per run
     "q_lsh_fitted_dedup",
-    // staged MemoryStream run (two-wave kill-and-resume once per JVM)
-    "q_dp_stream")
+    // staged MemoryStream runs (two-wave kill-and-resume once per JVM)
+    "q_dp_stream", "q_sample_stream")
 
   /** 1-minute load average from /proc/loadavg ("-1" off-Linux). The bench
     * host shows bursty CPU steal; embedding load evidence in the JSON lets

@@ -283,6 +283,7 @@ object SparkEntry {
     "q_dp_randomized_response" -> (Curation.dpRandomizedResponse(_, _)),
     "q_dp_histogram" -> (Curation.dpHistogram(_, _)),
     "q_dp_stream" -> (Curation.dpStreamMaterialize(_, _)),
+    "q_sample_stream" -> (Curation.sampleStreamMaterialize(_, _)),
     "q_cdc_stream" -> (Maintenance.cdcStreamMaterialize(_, _)),
     "q_incr_agg" -> (Maintenance.incrAgg(_, _)),
     "q_incr_agg_state" -> (Maintenance.incrAggState(_, _)),
@@ -657,6 +658,7 @@ object SparkEntry {
     "q_dp_randomized_response" -> Curation.dpRandomizedResponseSql,
     "q_dp_histogram" -> Curation.dpHistogramSql,
     "q_dp_stream" -> Curation.dpStreamSql,
+    "q_sample_stream" -> Curation.sampleStreamSql,
     "q_cdc_stream" -> Maintenance.cdcStreamMaterializeSql,
     "q_incr_agg" -> Maintenance.incrAggSql,
     "q_incr_agg_state" -> Maintenance.incrAggStateSql,

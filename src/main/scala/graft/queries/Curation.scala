@@ -1183,6 +1183,68 @@ object Curation {
        |) ORDER BY release, segment, b""".stripMargin
   }
 
+  // ------------------------------------- streaming bottom-k uniform sample
+
+  /** STREAMING bounded uniform sample face (q_sample_stream): doc_ids
+    * split into two micro-batches by the deterministic doc_id % 2
+    * rule, fed through [[graft.streaming.SampleStream]] (k = 32) with
+    * a kill-and-resume between them, every committed sample version
+    * re-read from the versioned outputs. Version 0 is the bottom-k of
+    * the even half; version 1 — by the min-k fold property
+    * bottom-k(bottom-k(A) ∪ B) = bottom-k(A ∪ B) — is the GLOBAL
+    * bottom-k, which is exactly what the oracle computes closed-form
+    * from the documents table; the engine must get there through the
+    * bounded k-row state chain.
+    */
+  def sampleStreamMaterialize(spark: SparkSession, dir: String): DataFrame = {
+    val root = graft.ops.StageOnce.tmp("sample_stream", dir)
+    val state = s"$root/state"
+    graft.ops.StageOnce(root) {
+      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+      import spark.implicits._
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+      val ids = Tables.load(spark, dir, "documents")
+        .select(col("doc_id").cast(LongType)).orderBy(col("doc_id"))
+        .as[Long].collect()
+      val (even, odd) = ids.partition(_ % 2 == 0)
+      val ckpt = graft.ops.StageOnce.tmp("sample_stream_ckpt", dir)
+      val mem = MemoryStream[Long]
+      def start() = graft.streaming.SampleStream.start(
+        mem.toDS().toDF("doc_id"), state, ckpt, k = 32)
+      val q1 = start()
+      try {
+        mem.addData(even.toIndexedSeq: _*)
+        q1.processAllAvailable()
+      } finally q1.stop()
+      val q2 = start() // kill-and-resume from the checkpoint
+      try {
+        mem.addData(odd.toIndexedSeq: _*)
+        q2.processAllAvailable()
+      } finally q2.stop()
+    }
+    graft.streaming.SampleStream.samples(spark, state)
+  }
+
+  /** Stream-sample oracle: per version, the bottom-32 of the covered
+    * id set by (hash60, doc_id) — version 0 the even half, version 1
+    * everyone (the min-k fold collapses the chain to the global
+    * answer).
+    */
+  lazy val sampleStreamSql: String = {
+    def branch(v: Int, where: String) =
+      s"""SELECT CAST($v AS BIGINT) AS version, rank, doc_id, h FROM (
+         |  SELECT row_number() OVER (ORDER BY h, doc_id) AS rank, doc_id, h
+         |  FROM (SELECT doc_id,
+         |      ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT AS h
+         |    FROM documents $where))
+         |WHERE rank <= 32""".stripMargin
+    s"""SELECT * FROM (
+       |${branch(0, "WHERE doc_id % 2 = 0")}
+       |UNION ALL
+       |${branch(1, "")}
+       |) ORDER BY version, rank""".stripMargin
+  }
+
   val dpRandomizedResponseSql: String =
     s"""WITH r AS (
        |  SELECT CAST(c_nationkey AS BIGINT) AS nation,

@@ -60,4 +60,33 @@ class SamplingSpec extends SparkSpec {
     assert(Sampling.temperatureSample(grouped, $"id", $"g")
       .join(got, Seq("id"), "left_anti").isEmpty)
   }
+
+  test("streaming bottom-k sample: versions replay the min-k fold; final == global bottom-k") {
+    import graft.functions.GraftStrings
+    val rows = graft.queries.Curation.sampleStreamMaterialize(spark, sf)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val byV = rows.groupBy(_._1)
+    assert(byV.keySet === Set(0L, 1L), "exactly two sample versions")
+    // driver-side replay of the priority order
+    val docIds = graft.Tables.load(spark, sf, "documents")
+      .select(col("doc_id").cast("long")).collect().map(_.getLong(0))
+    def bottomK(pool: Seq[Long], k: Int): Seq[(Long, Long)] =
+      pool.map(id => (GraftStrings.hash60(id.toString), id))
+        .sortBy(identity).take(k)
+    val v0 = byV(0L).sortBy(_._2).map(r => (r._4, r._3)).toSeq
+    val v1 = byV(1L).sortBy(_._2).map(r => (r._4, r._3)).toSeq
+    assert(v0 === bottomK(docIds.filter(_ % 2 == 0).toSeq, 32),
+      "version 0 is not the even half's bottom-32")
+    assert(v1 === bottomK(docIds.toSeq, 32),
+      "version 1 is not the global bottom-32")
+    // the fold property the bounded state rests on:
+    // bottom-k(bottom-k(even) ++ odd) == bottom-k(all)
+    assert(bottomK(v0.map(_._2) ++ docIds.filter(_ % 2 != 0).toSeq, 32)
+      === bottomK(docIds.toSeq, 32))
+    // ranks are dense 1..k in priority order
+    Seq(0L, 1L).foreach { v =>
+      assert(byV(v).sortBy(_._2).map(_._2).toSeq === (1L to 32L))
+    }
+  }
 }
