@@ -72,6 +72,7 @@ object SparkEntry {
     "q_theil_sen" -> (Events.theilSenSlope(_, _)),
     "q_event_paths" -> (Events.eventPaths(_, _)),
     "q_pagerank" -> ((s, d) => LlmOps.pagerankTopK(s, d)),
+    "q_pagerank_ppr" -> ((s, d) => LlmOps.pagerankPersonalized(s, d)),
     "q_percentiles" -> (Analytics.quantitiesQuartiles(_, _)),
     // — DV3F reshape pipeline (SURVEY §2.5, T1-T4)
     "q_unpivot" -> (Dv3fQueries.unpivotLineitem(_, _)),
@@ -283,6 +284,7 @@ object SparkEntry {
     "q_dp_randomized_response" -> (Curation.dpRandomizedResponse(_, _)),
     "q_dp_histogram" -> (Curation.dpHistogram(_, _)),
     "q_dp_stream" -> (Curation.dpStreamMaterialize(_, _)),
+    "q_dp_threshold" -> (Curation.dpThresholdRelease(_, _)),
     "q_sample_stream" -> (Curation.sampleStreamMaterialize(_, _)),
     "q_cdc_stream" -> (Maintenance.cdcStreamMaterialize(_, _)),
     "q_incr_agg" -> (Maintenance.incrAgg(_, _)),
@@ -658,6 +660,7 @@ object SparkEntry {
     "q_dp_randomized_response" -> Curation.dpRandomizedResponseSql,
     "q_dp_histogram" -> Curation.dpHistogramSql,
     "q_dp_stream" -> Curation.dpStreamSql,
+    "q_dp_threshold" -> Curation.dpThresholdReleaseSql,
     "q_sample_stream" -> Curation.sampleStreamSql,
     "q_cdc_stream" -> Maintenance.cdcStreamMaterializeSql,
     "q_incr_agg" -> Maintenance.incrAggSql,
@@ -729,6 +732,7 @@ object SparkEntry {
     "q_theil_sen" -> Events.theilSenSlopeSql,
     "q_event_paths" -> Events.eventPathsSql,
     "q_pagerank" -> LlmOps.pagerankTopKSql,
+    "q_pagerank_ppr" -> LlmOps.pagerankPersonalizedSql,
     "q_asof_join" -> Events.asofPurchaseSql,
     "q_asof_join_native" -> Events.asofPurchaseSql,
     "q_asof_join_forward" -> Events.asofNextPurchaseSql,

@@ -53,4 +53,51 @@ object PageRank {
     }
     rank
   }
+
+  /** PERSONALIZED PageRank: the restart mass goes only to the seed set
+    * (vertices with `id % seedMod == 0` — a deterministic predicate so
+    * both engines name the same seeds), not uniformly — the standard
+    * topic-sensitive / random-walk-with-restart variant (Haveliwala
+    * WWW'02): rank measures proximity TO THE SEEDS, the
+    * "expand-from-these-known-good-documents" face of retrieval and
+    * graph-based curation.
+    *
+    * Same integer-exact floor-division update as [[run]], with the
+    * restart term gated per vertex:
+    *
+    *   rank'(v) = (15*scale*[v ∈ S] + 85 * sum_{u~v} (rank(u) div deg(u))) div 100
+    *
+    * and r0(v) = scale*[v ∈ S]. Non-seed vertices start at 0 and
+    * accumulate only walked mass, so far-from-seed vertices rank ~0 —
+    * exactly the personalization semantics. Same shape at scale as
+    * [[run]]: `iters` vertex-keyed shuffle-join rounds over a pinned
+    * edge/degree pair; the seed predicate is a free map-side CASE.
+    */
+  def personalized(pairs: DataFrame, seedMod: Long, iters: Int = 3,
+      scale: Long = 1000000L): DataFrame = {
+    require(iters >= 1, "iters must be >= 1")
+    require(seedMod >= 1, "seedMod must be >= 1")
+    val Seq(a, b) = pairs.columns.toSeq.take(2).map(col)
+    val edges = CacheBin.pin(
+      pairs.select(a.as("src"), b.as("dst"))
+        .unionAll(pairs.select(b.as("src"), a.as("dst")))
+        .distinct())
+    val deg = CacheBin.pin(
+      edges.groupBy(col("src")).agg(count(lit(1)).as("deg")))
+    var rank = deg.select(col("src").as("id"),
+      expr(s"CASE WHEN src % $seedMod = 0 THEN ${scale}L ELSE 0L END")
+        .as("rank"))
+    for (_ <- 1 to iters) {
+      rank = edges
+        .join(rank, edges("src") === rank("id"))
+        .join(deg, "src")
+        .select(col("dst"), expr("rank div deg").as("contrib"))
+        .groupBy(col("dst"))
+        .agg(sum(col("contrib")).as("mass"))
+        .select(col("dst").as("id"),
+          expr(s"(CASE WHEN dst % $seedMod = 0 THEN ${15L * scale}L ELSE 0L END" +
+            s" + 85 * mass) div 100").as("rank"))
+    }
+    rank
+  }
 }

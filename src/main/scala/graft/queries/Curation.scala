@@ -1183,6 +1183,77 @@ object Curation {
        |) ORDER BY release, segment, b""".stripMargin
   }
 
+  // ------------------------------ thresholded (unknown-domain) DP release
+
+  /** Release threshold τ for [[dpThresholdRelease]] and the δ it buys:
+    * a bin with a SINGLE contributor is published only if its noisy
+    * count 1 + Z reaches τ, i.e. Z ≥ τ − 1; for the two-sided
+    * geometric(1/2) noise P(Z ≥ t) = 2^−(t−1)/3 (t ≥ 1), so
+    * δ = 2^−(τ−2)/3 = 1/384 at τ = 9 — exact dyadic-over-3 rational,
+    * inlined as the same 6-decimal literal in both faces (the
+    * p_at_tau convention; no libm anywhere).
+    */
+  private val dpThresholdTau = 9L
+  private val dpThresholdDelta: Double =
+    (BigDecimal(1) / BigDecimal(384))
+      .setScale(6, BigDecimal.RoundingMode.HALF_EVEN).toDouble
+
+  /** UNKNOWN-DOMAIN DP release — the thresholded "stability histogram"
+    * (Korolova et al. WWW'09; Bun–Nissim–Stemmer), the one mechanism
+    * class the privacy family still lacked: [[dpHistogram]] releases a
+    * KNOWN domain (every (segment, bucket) name is public), but when
+    * the bin names themselves are data — here the (nation, segment)
+    * cells actually present — publishing an empty-vs-missing
+    * distinction leaks membership. The fix is the standard (ε, δ)
+    * recipe: add the same per-cell geometric noise, then publish ONLY
+    * cells whose noisy count clears τ, and do NOT publish the exact
+    * count next to it (the release is the noisy value alone — the one
+    * face where `n` must stay out-of-band).
+    *
+    * δ = P(a singleton bin is ever released) = 2^−(τ−2)/3 (exact; see
+    * [[dpThresholdDelta]]); ε = ln 2 as everywhere in the family. Both
+    * constants ride the release in-band so the budget is auditable.
+    *
+    * Shape: one customer pass into the (nation, segment) cell
+    * aggregate (map-side combined), 2×16 portable-hash draws per CELL
+    * — O(cells) noise work, never O(rows); the threshold is a filter,
+    * nothing joins, nothing collects.
+    */
+  def dpThresholdRelease(spark: SparkSession, dir: String): DataFrame = {
+    val cell = concat_ws("|", col("nation").cast(StringType), col("segment"))
+    Tables.load(spark, dir, "customer")
+      .select(col("c_nationkey").cast(LongType).as("nation"),
+        col("c_mktsegment").as("segment"))
+      .groupBy(col("nation"), col("segment"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("noisy",
+        col("n") + (dpGeomDraw("t1", cell) - dpGeomDraw("t2", cell))
+          .cast(LongType))
+      .filter(col("noisy") >= dpThresholdTau)
+      .select(col("nation"), col("segment"), col("noisy"),
+        lit(dpHistEps).as("epsilon"), lit(dpThresholdDelta).as("delta"))
+      .orderBy(col("nation"), col("segment"))
+  }
+
+  lazy val dpThresholdReleaseSql: String = {
+    def draw(salt: String) =
+      s"""coalesce(list_min([i for i in range(0, 16)
+         |    IF ('0x' || substr(md5('$salt:' || cell || ':' || CAST(i AS VARCHAR)),
+         |      1, 15))::BIGINT % 2 = 0]), 16)""".stripMargin
+    s"""WITH h AS (SELECT CAST(c_nationkey AS BIGINT) AS nation,
+       |    c_mktsegment AS segment, CAST(count(*) AS BIGINT) AS n
+       |  FROM customer GROUP BY 1, 2),
+       |c AS (SELECT nation, segment, n,
+       |    CAST(nation AS VARCHAR) || '|' || segment AS cell FROM h),
+       |g AS (SELECT nation, segment,
+       |    CAST(n + ${draw("t1")} - ${draw("t2")} AS BIGINT) AS noisy
+       |  FROM c)
+       |SELECT nation, segment, noisy,
+       |  CAST($dpHistEps AS DOUBLE) AS epsilon,
+       |  CAST($dpThresholdDelta AS DOUBLE) AS delta
+       |FROM g WHERE noisy >= $dpThresholdTau ORDER BY 1, 2""".stripMargin
+  }
+
   // ------------------------------------- streaming bottom-k uniform sample
 
   /** STREAMING bounded uniform sample face (q_sample_stream): doc_ids

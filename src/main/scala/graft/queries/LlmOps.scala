@@ -307,6 +307,53 @@ object LlmOps {
        |ORDER BY rank DESC, id LIMIT 50""".stripMargin
   }
 
+  /** PERSONALIZED PageRank over the near-dup similarity graph
+    * (q_pagerank_ppr): restart mass pinned to the deterministic seed
+    * set doc_id % 7 == 0 — "rank every document by random-walk
+    * proximity to these known-good seeds", the graph-expansion face of
+    * curation (grow a trusted subcorpus along similarity edges) that
+    * the uniform [[pagerankTopK]] cannot express: a hub far from every
+    * seed ranks ~0 here, and a pendant next to a seed outranks it.
+    * Top 50 by integer-exact scaled rank with the seed flag in-band;
+    * full (rank desc, doc_id) tiebreak.
+    */
+  def pagerankPersonalized(spark: SparkSession, dir: String,
+      k: Int = 50): DataFrame =
+    PageRank.personalized(CacheBin.pin(minhashLshDedup(spark, dir)),
+        seedMod = 7L, iters = 3)
+      .orderBy(col("rank").desc, col("id"))
+      .limit(k)
+      .select(col("id").as("doc_id"), col("rank"),
+        (col("id") % 7 === 0).as("is_seed"))
+
+  /** Mirrors pagerankPersonalized: the same seed-gated integer
+    * floor-division update, unrolled per iteration (DuckDB `//` ≡
+    * Spark `div` on non-negative int64; the CASE restart term rides
+    * inside each round's aggregate select, keyed on the grouped dst).
+    */
+  lazy val pagerankPersonalizedSql: String = {
+    val iters = 3
+    val scale = 1000000L
+    def restart(expr: String) =
+      s"CASE WHEN $expr % 7 = 0 THEN ${15L * scale} ELSE 0 END"
+    val steps = (1 to iters).map { i =>
+      s"""r$i AS (SELECT e.dst AS id,
+         |    CAST((${restart("e.dst")} + 85 * sum(r.rank // d.deg)) // 100 AS BIGINT) AS rank
+         |  FROM edges e JOIN r${i - 1} r ON r.id = e.src
+         |  JOIN deg d ON d.src = e.src GROUP BY e.dst)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH pairs AS (SELECT doc_a, doc_b FROM ($minhashLshSql) q),
+       |edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+       |  UNION SELECT doc_b, doc_a FROM pairs),
+       |deg AS (SELECT src, count(*) AS deg FROM edges GROUP BY src),
+       |r0 AS (SELECT src AS id,
+       |  CAST(CASE WHEN src % 7 = 0 THEN $scale ELSE 0 END AS BIGINT) AS rank
+       |  FROM deg),
+       |$steps
+       |SELECT id AS doc_id, rank, id % 7 = 0 AS is_seed FROM r$iters
+       |ORDER BY rank DESC, id LIMIT 50""".stripMargin
+  }
+
   /** Incremental cluster maintenance: the PERSISTED corpus cluster map
     * (the previous ingest's output, staged by [[dedupArtifacts]])
     * merged with the incoming batch's cross pairs via

@@ -159,6 +159,39 @@ class KAnonymitySpec extends SparkSpec {
       "every release-1 draw equals release 0 — salts not versioned")
   }
 
+  test("dp threshold: release ≡ the replayed rule; suppression is live; counts stay out-of-band") {
+    import graft.functions.GraftStrings
+    val df = Curation.dpThresholdRelease(spark, sf)
+    // unknown-domain contract: the exact count column must NOT ride the
+    // release — only the noisy value and the (ε, δ) budget do
+    assert(df.columns.toSeq === Seq("nation", "segment", "noisy", "epsilon", "delta"))
+    val rows = df.collect()
+      .map(r => (r.getLong(0), r.getString(1)) -> (r.getLong(2), r.getDouble(3), r.getDouble(4)))
+      .toMap
+    // replay the whole mechanism from the raw table on the driver
+    def g(salt: String, cell: String): Long =
+      (0 until 16).find(i =>
+        GraftStrings.hash60(s"$salt:$cell:$i") % 2 == 0).getOrElse(16).toLong
+    val raw = graft.Tables.load(spark, sf, "customer")
+      .groupBy(col("c_nationkey").cast("long").as("nation"), col("c_mktsegment"))
+      .agg(count(lit(1)).as("n"))
+      .collect().map(r => (r.getLong(0), r.getString(1)) -> r.getLong(2)).toMap
+    val replayed = raw.flatMap { case ((nation, seg), n) =>
+      val cell = s"$nation|$seg"
+      val noisy = n + g("t1", cell) - g("t2", cell)
+      if (noisy >= 9L) Some((nation, seg) -> noisy) else None
+    }
+    assert(rows.view.mapValues(_._1).toMap === replayed,
+      "released set or noisy values drifted from the replayed mechanism")
+    // suppression is live: at least one populated cell stays unpublished
+    assert(replayed.size < raw.size,
+      s"threshold suppressed nothing (${raw.size} cells, all released)")
+    // the budget constants are the exact inlined literals
+    rows.values.foreach { case (_, eps, delta) =>
+      assert(eps === 0.693147 && delta === 0.002604)
+    }
+  }
+
   test("census ≡ direct recomputation at L3") {
     val direct = graft.Tables.load(spark, sf, "customer")
       .groupBy(col("c_nationkey"))
