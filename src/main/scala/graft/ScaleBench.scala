@@ -815,6 +815,23 @@ object ScaleBench {
       // — rows pinned at |segments|·|buckets| no matter the corpus
       val (dphSec, dphRows, dphEx) = bestIf("dp_histogram")(
         queries.Curation.dpHistogram(spark, dir))
+      // thresholded release: same one-pass cell aggregate; the publish
+      // filter keeps rows ≤ |nation|·|segment| cells at any corpus
+      val (dptSec, dptRows, dptEx) = bestIf("dp_threshold")(
+        queries.Curation.dpThresholdRelease(spark, dir))
+      // personalized PageRank over the same pinned pair graph as
+      // "pagerank": identical round shape (time ∝ edges ∝ k), the seed
+      // gate a free map-side CASE — the two cells should track
+      val (pprSec, pprRows, pprEx) = if (!wanted("pagerank_ppr")) (0.0, 0L, 0) else {
+        graft.ops.CacheBin.releaseAll(); spark.catalog.clearCache()
+        val pairs = graft.ops.CacheBin.pin(
+          queries.LlmOps.minhashLshDedup(spark, dir))
+        pairs.count()
+        val r = bestWith(clearCaches = false)(
+          graft.ops.PageRank.personalized(pairs, seedMod = 7L, iters = 3))
+        graft.ops.CacheBin.releaseAll()
+        r
+      }
       val row = scala.collection.immutable.ListMap(
         "lsh_pairs" -> (lshSec, lshRows, lshEx),
         "cc_distributed" -> (ccSec, ccRows, ccEx),
@@ -906,7 +923,9 @@ object ScaleBench {
         "code_switch_split" -> (cssSec, cssRows, cssEx),
         "video_neardup" -> (vnSec, vnRows, vnEx),
         "lsh_fitted_dedup" -> (lfSec, lfRows, lfEx),
-        "dp_histogram" -> (dphSec, dphRows, dphEx))
+        "dp_histogram" -> (dphSec, dphRows, dphEx),
+        "dp_threshold" -> (dptSec, dptRows, dptEx),
+        "pagerank_ppr" -> (pprSec, pprRows, pprEx))
         .filter { case (op, _) => wanted(op) }
       row.foreach { case (op, (s, r, e)) =>
         println(s"""{"scale":$k,"op":"$op","sec":$s,"rows":$r,"exchanges":$e}""")
