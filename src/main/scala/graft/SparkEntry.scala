@@ -81,6 +81,7 @@ object SparkEntry {
     "q_uid_sha2" -> (Dv3fQueries.uidSha2(_, _)),
     "q_dv3f_pipeline" -> (Dv3fQueries.dv3fPipeline(_, _)),
     "q_dv3f_source" -> (Dv3fQueries.dv3fSourcePipeline(_, _)),
+    "q_dv3f_agg_pushdown" -> (Dv3fQueries.dv3fAggPushdown(_, _)),
     // — connector smoke (SURVEY §2.1 S6): real round trips per format
     "q_csv_scan" -> (Connectors.csvScan(_, _)),
     "q_jdbc_scan" -> (Connectors.jdbcScan(_, _)),
@@ -467,6 +468,7 @@ object SparkEntry {
          sha256(CAST(n_nationkey AS VARCHAR) || n_name) AS uid FROM nation""",
     "q_dv3f_pipeline" -> Dv3fOracle.pipelineSql,
     "q_dv3f_source" -> Dv3fOracle.pipelineSql,
+    "q_dv3f_agg_pushdown" -> Dv3fOracle.aggPushdownSql,
     "q_csv_scan" -> Connectors.csvScanSql,
     "q_jdbc_scan" -> Connectors.jdbcScanSql,
     "q_dbf_scan" -> Connectors.dbfScanSql,

@@ -85,7 +85,10 @@ object Dv3fQueries {
     * staged. Oracle-identical to q_dv3f_pipeline — which is the point:
     * the source is a drop-in scan.
     */
-  def dv3fSourcePipeline(spark: SparkSession, dir: String): DataFrame = {
+  /** The FIXTURES wide payload serialized as an API-shaped JSON dir for
+    * the dv3f source (one departement_85 partition).
+    */
+  private def fixtureApiDir(spark: SparkSession): String = {
     val tmp = java.nio.file.Files.createTempDirectory("dv3f_api").toFile
     tmp.deleteOnExit()
     val results = fixtureWide(spark).toJSON.collect().mkString(",")
@@ -93,10 +96,33 @@ object Dv3fQueries {
       s"""{"count":2,"next":null,"previous":null,"results":[$results]}"""
     java.nio.file.Files.writeString(
       new java.io.File(tmp, "departement_85.json").toPath, payload)
+    tmp.getAbsolutePath
+  }
+
+  def dv3fSourcePipeline(spark: SparkSession, dir: String): DataFrame = {
     val longDf = spark.read.format("dv3f")
-      .option("path", tmp.getAbsolutePath).load()
+      .option("path", fixtureApiDir(spark)).load()
     graft.sources.Dv3fSource.stage(longDf, Dv3fConfig.departement)
   }
+
+  /** S1 phase 3 — DSv2 AGGREGATE pushdown through the same source: the
+    * per-annee indicator profile (metric-cell count, observed-value
+    * count, min/max) computed INSIDE the partition reader against the
+    * paginating page chain (SupportsPushDownAggregates — partial
+    * pushdown, Spark merges). For a REST deployment this is the
+    * bandwidth story: |groups| rows per (scope, code) leave the edge
+    * instead of every flattened metric row. The spec pins that the
+    * scan really emits aggregated rows; this face pins the numbers.
+    */
+  def dv3fAggPushdown(spark: SparkSession, dir: String): DataFrame =
+    spark.read.format("dv3f")
+      .option("path", fixtureApiDir(spark)).load()
+      .groupBy(col("scope"), col("code"), col("annee"))
+      .agg(count(lit(1)).as("n_cells"),
+        count(col("valeur")).as("n_vals"),
+        min(col("valeur")).as("min_v"),
+        max(col("valeur")).as("max_v"))
+      .orderBy(col("annee"))
 
   /** Q1 — dbt `unique` test as a query (violation count). */
   def qualityUnique(spark: SparkSession, dir: String): DataFrame =

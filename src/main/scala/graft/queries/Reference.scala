@@ -41,15 +41,18 @@ object Dv3fOracle {
     if (m == "nbtrans") s"CAST($e AS BIGINT) AS $m" else s"$e AS $m"
   }
 
-  val pipelineSql: String =
-    s"""WITH wide AS (
-       |  SELECT * FROM (VALUES
+  private val wideValues: String =
+    s"""  SELECT * FROM (VALUES
        |    ('2019','85','Vendée', CAST(7543 AS DOUBLE), 1.23e9, 98000.0,
        |     152000.0, 231000.0, 1450.5, 1980.0, 2610.75, 812345.0, 95.0,
        |     312.0, 4.1e7, CAST(NULL AS DOUBLE), 2100.0),
        |    ('2020','85','Vendée', 8012.0, 1.41e9, NULL, NULL, NULL, NULL,
        |     NULL, NULL, NULL, NULL, NULL, NULL, NULL, NULL)
-       |  ) AS t(annee, dep, libdep, ${wideCols.mkString(", ")})
+       |  ) AS t(annee, dep, libdep, ${wideCols.mkString(", ")})""".stripMargin
+
+  val pipelineSql: String =
+    s"""WITH wide AS (
+       |$wideValues
        |), melted AS (
        |  SELECT annee, dep, libdep, metric AS cod_full, valeur
        |  FROM wide UNPIVOT (valeur FOR metric IN (${wideCols.mkString(", ")}))
@@ -67,4 +70,25 @@ object Dv3fOracle {
        |SELECT sha256(annee || dep || cod) AS uid, annee, dep, libdep, cod,
        |  ${metrics.mkString(", ")}
        |FROM piv""".stripMargin
+
+  /** Oracle for q_dv3f_agg_pushdown: the same wide fixture melted to
+    * the source's long rows (JSON serialization drops null metric
+    * fields, so the emitted cells are exactly the non-null ones) and
+    * aggregated per annee — the numbers the pushed-down partial +
+    * Spark's final merge must reproduce.
+    */
+  val aggPushdownSql: String = {
+    val branches = wideCols
+      .map(c => s"  SELECT annee, $c AS valeur FROM wide WHERE $c IS NOT NULL")
+    s"""WITH wide AS (
+       |$wideValues
+       |), melted AS (
+       |${branches.mkString("\n  UNION ALL\n")}
+       |)
+       |SELECT 'departement' AS scope, '85' AS code, annee,
+       |  CAST(count(*) AS BIGINT) AS n_cells,
+       |  CAST(count(valeur) AS BIGINT) AS n_vals,
+       |  min(valeur) AS min_v, max(valeur) AS max_v
+       |FROM melted GROUP BY annee ORDER BY annee""".stripMargin
+  }
 }

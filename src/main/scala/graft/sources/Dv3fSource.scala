@@ -10,6 +10,7 @@ import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.expressions.aggregate.Aggregation
 import org.apache.spark.sql.connector.read._
 import org.apache.spark.sql.functions.col
 import org.apache.spark.sql.sources.DataSourceRegister
@@ -182,6 +183,16 @@ class Dv3fTable(props: Map[String, String]) extends Table with SupportsRead {
     new Dv3fScanBuilder(options.asScala.toMap)
 }
 
+/** One pushed-down aggregate over the long rows of a partition —
+  * the executor-side PARTIAL of a Spark aggregation (Spark plans the
+  * final merge over the scan output, so any grouping is safe).
+  */
+sealed trait Dv3fAgg extends Serializable
+case object Dv3fCountStar extends Dv3fAgg
+case class Dv3fCount(colName: String) extends Dv3fAgg
+case class Dv3fMin(colName: String) extends Dv3fAgg
+case class Dv3fMax(colName: String) extends Dv3fAgg
+
 /** Filter pushdown (SupportsPushDownFilters): equality predicates on the
   * PARTITION COLUMNS (scope, code) prune InputPartitions at planning
   * time — a `scope = 'region'` query never fetches departement payloads,
@@ -191,13 +202,14 @@ class Dv3fTable(props: Map[String, String]) extends Table with SupportsRead {
   */
 class Dv3fScanBuilder(options: Map[String, String]) extends ScanBuilder
     with SupportsPushDownFilters with SupportsPushDownRequiredColumns
-    with SupportsPushDownLimit {
+    with SupportsPushDownLimit with SupportsPushDownAggregates {
   import org.apache.spark.sql.sources.{EqualTo, Filter}
 
   private var scopeEq: Option[String] = None
   private var codeEq: Option[String] = None
   private var limit: Option[Int] = None
   private var required: StructType = Dv3fSource.schema
+  private var pushedAgg: Option[(Seq[String], Seq[Dv3fAgg])] = None
 
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
     filters.foreach {
@@ -224,15 +236,66 @@ class Dv3fScanBuilder(options: Map[String, String]) extends ScanBuilder
   override def pushLimit(l: Int): Boolean = { limit = Some(l); false }
 
   override def pruneColumns(requiredSchema: StructType): Unit =
-    required = requiredSchema
+    // once an aggregation is pushed the scan's schema IS the
+    // aggregation schema (positional contract with Spark's final agg)
+    // — column pruning no longer applies
+    if (pushedAgg.isEmpty) required = requiredSchema
+
+  /** Aggregate pushdown (SupportsPushDownAggregates): COUNT(*)/
+    * COUNT(col)/MIN(valeur)/MAX(valeur) grouped by any source columns
+    * run INSIDE the partition reader, against the still-paginating
+    * page chain — so for a REST-backed deployment only |groups| rows
+    * per (scope, code) ever leave the edge, instead of every flattened
+    * metric row crossing into the exchange. Pushdown is PARTIAL
+    * (supportCompletePushDown stays false): Spark plans the final
+    * merge over the scan output, which makes per-partition
+    * pre-aggregation semantically safe for any grouping, including
+    * groupings finer or coarser than the (scope, code) partitioning.
+    * Anything not translatable (DISTINCT, SUM/AVG, expressions) is
+    * declined and Spark falls back to the unaggregated scan.
+    */
+  override def pushAggregation(agg: Aggregation): Boolean = {
+    import org.apache.spark.sql.connector.expressions.{Expression, NamedReference}
+    import org.apache.spark.sql.connector.expressions.aggregate.{Count, CountStar, Max, Min}
+    def fieldOf(e: Expression): Option[String] = e match {
+      case nr: NamedReference if nr.fieldNames.length == 1 =>
+        Some(nr.fieldNames()(0)).filter(Dv3fSource.schema.fieldNames.contains)
+      case _ => None
+    }
+    val groups = agg.groupByExpressions.toSeq.map(fieldOf)
+    val aggs = agg.aggregateExpressions.toSeq.map {
+      case _: CountStar => Some(Dv3fCountStar)
+      case c: Count if !c.isDistinct => fieldOf(c.column).map(Dv3fCount)
+      // min/max only on the one numeric column — the string id
+      // columns never carry analytics and keep the reader simple
+      case m: Min => fieldOf(m.column).filter(_ == "valeur").map(Dv3fMin)
+      case m: Max => fieldOf(m.column).filter(_ == "valeur").map(Dv3fMax)
+      case _ => None
+    }
+    if (groups.exists(_.isEmpty) || aggs.exists(_.isEmpty)) return false
+    val g = groups.flatten
+    val a = aggs.flatten
+    pushedAgg = Some((g, a))
+    required = StructType(
+      g.map(n => Dv3fSource.schema(Dv3fSource.schema.fieldIndex(n))) ++
+        a.zipWithIndex.map {
+          case (Dv3fCountStar, i) => StructField(s"agg_$i", LongType, nullable = false)
+          case (Dv3fCount(_), i) => StructField(s"agg_$i", LongType, nullable = false)
+          case (Dv3fMin(_), i) => StructField(s"agg_$i", DoubleType)
+          case (Dv3fMax(_), i) => StructField(s"agg_$i", DoubleType)
+        })
+    true
+  }
 
   override def build(): Scan =
-    new Dv3fScan(options, scopeEq, codeEq, required, limit)
+    new Dv3fScan(options, scopeEq, codeEq, required, limit, pushedAgg)
 }
 
 class Dv3fScan(options: Map[String, String], scopeEq: Option[String],
     codeEq: Option[String], required: StructType,
-    limit: Option[Int] = None) extends Scan with Batch {
+    limit: Option[Int] = None,
+    pushedAgg: Option[(Seq[String], Seq[Dv3fAgg])] = None)
+    extends Scan with Batch {
   private val path = options.getOrElse("path",
     throw new IllegalArgumentException("dv3f source requires option 'path'"))
 
@@ -240,7 +303,10 @@ class Dv3fScan(options: Map[String, String], scopeEq: Option[String],
   override def toBatch: Batch = this
   override def description(): String =
     s"dv3f path=$path pushed=[${(scopeEq.map("scope=" + _) ++
-      codeEq.map("code=" + _) ++ limit.map("limit=" + _)).mkString(", ")}] " +
+      codeEq.map("code=" + _) ++ limit.map("limit=" + _) ++
+      pushedAgg.map { case (g, a) =>
+        s"agg=[${a.mkString(", ")}] groupBy=[${g.mkString(", ")}]"
+      }).mkString(", ")}] " +
       s"columns=[${required.fieldNames.mkString(", ")}]"
 
   /** Planning: explicit `scopes` option ("departement:85,region:11") or
@@ -287,18 +353,109 @@ class Dv3fScan(options: Map[String, String], scopeEq: Option[String],
     val hardened = new RetryingFetcher(fetcher,
       maxRetries = options.getOrElse("fetchretries", "3").toInt,
       baseBackoffMs = options.getOrElse("fetchbackoffms", "100").toLong)
-    new Dv3fReaderFactory(hardened, required, limit)
+    new Dv3fReaderFactory(hardened, required, limit, pushedAgg)
   }
 }
 
 case class Dv3fPartition(scope: String, code: String) extends InputPartition
 
 class Dv3fReaderFactory(fetcher: PageFetcher, required: StructType,
-    limit: Option[Int] = None) extends PartitionReaderFactory {
+    limit: Option[Int] = None,
+    pushedAgg: Option[(Seq[String], Seq[Dv3fAgg])] = None)
+    extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val p = partition.asInstanceOf[Dv3fPartition]
-    new Dv3fPartitionReader(fetcher, p.scope, p.code, required, limit)
+    pushedAgg match {
+      case Some((groups, aggs)) =>
+        // aggregate over the FULL long schema; the page chain still
+        // streams (rows are folded into the group map as pages drain)
+        new Dv3fAggPartitionReader(
+          new Dv3fPartitionReader(fetcher, p.scope, p.code, Dv3fSource.schema),
+          groups, aggs)
+      case None =>
+        new Dv3fPartitionReader(fetcher, p.scope, p.code, required, limit)
+    }
   }
+}
+
+/** Executor-side partial aggregation over one (scope, code) partition's
+  * long rows — the edge half of a pushed-down Spark aggregation. Rows
+  * are folded into a group map AS PAGES DRAIN (nothing buffers beyond
+  * |groups| states), then one row per group is emitted in encounter
+  * order. Spark's final aggregate merges these partials, so semantics
+  * are exactly the unpushed plan's; the win is that only |groups| rows
+  * per partition cross from the fetch edge into the exchange.
+  */
+class Dv3fAggPartitionReader(inner: Dv3fPartitionReader,
+    groups: Seq[String], aggs: Seq[Dv3fAgg])
+    extends PartitionReader[InternalRow] {
+  private val full = Dv3fSource.schema
+  private val gIdx = groups.map(full.fieldIndex).toArray
+  private val aIdx = aggs.map {
+    case Dv3fCount(c) => full.fieldIndex(c)
+    case Dv3fMin(c) => full.fieldIndex(c)
+    case Dv3fMax(c) => full.fieldIndex(c)
+    case Dv3fCountStar => -1
+  }.toArray
+
+  private lazy val out: Iterator[InternalRow] = {
+    // one Array[Any] of agg states per group key: Long for counts,
+    // java.lang.Double (null = unseen) for min/max
+    val acc = scala.collection.mutable.LinkedHashMap[Seq[Any], Array[Any]]()
+    while (inner.next()) {
+      val r = inner.get()
+      val key: Seq[Any] =
+        gIdx.map(i => if (r.isNullAt(i)) null else r.get(i, full(i).dataType)).toSeq
+      val st = acc.getOrElseUpdate(key, aggs.map {
+        case Dv3fCountStar | Dv3fCount(_) => java.lang.Long.valueOf(0L)
+        case _ => null
+      }.toArray[Any])
+      var i = 0
+      while (i < aggs.length) {
+        aggs(i) match {
+          case Dv3fCountStar =>
+            st(i) = java.lang.Long.valueOf(st(i).asInstanceOf[java.lang.Long] + 1L)
+          case Dv3fCount(_) =>
+            if (!r.isNullAt(aIdx(i)))
+              st(i) = java.lang.Long.valueOf(st(i).asInstanceOf[java.lang.Long] + 1L)
+          case Dv3fMin(_) =>
+            if (!r.isNullAt(aIdx(i))) {
+              val v = r.getDouble(aIdx(i))
+              val cur = st(i).asInstanceOf[java.lang.Double]
+              if (cur == null || v < cur) st(i) = java.lang.Double.valueOf(v)
+            }
+          case Dv3fMax(_) =>
+            if (!r.isNullAt(aIdx(i))) {
+              val v = r.getDouble(aIdx(i))
+              val cur = st(i).asInstanceOf[java.lang.Double]
+              if (cur == null || v > cur) st(i) = java.lang.Double.valueOf(v)
+            }
+        }
+        i += 1
+      }
+    }
+    acc.iterator.map { case (key, st) =>
+      val row = new GenericInternalRow(gIdx.length + aggs.length)
+      key.zipWithIndex.foreach { case (v, i) =>
+        if (v == null) row.setNullAt(i) else row.update(i, v)
+      }
+      st.zipWithIndex.foreach { case (v, i) =>
+        val p = gIdx.length + i
+        v match {
+          case null => row.setNullAt(p)
+          case l: java.lang.Long => row.setLong(p, l)
+          case d: java.lang.Double => row.setDouble(p, d)
+        }
+      }
+      row: InternalRow
+    }
+  }
+
+  private var current: InternalRow = _
+  override def next(): Boolean =
+    if (out.hasNext) { current = out.next(); true } else false
+  override def get(): InternalRow = current
+  override def close(): Unit = inner.close()
 }
 
 /** Executor-side payload fetch + flatten + melt for one (scope, code).

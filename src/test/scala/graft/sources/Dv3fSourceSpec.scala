@@ -161,6 +161,62 @@ class Dv3fSourceSpec extends SparkSpec {
     assert(vals == Map("nbtrans_cod111" -> Some(7.0), "pxm2_median_cod111" -> None))
   }
 
+  test("aggregate pushdown: the scan emits partial aggregates; merge matches the raw scan") {
+    import org.apache.spark.sql.functions._
+    val dir = Files.createTempDirectory("dv3fagg").toFile
+    // explicit null metric: a PRESENT-but-null cell is a long row with
+    // null valeur, so COUNT(*) and COUNT(valeur) must diverge
+    Files.writeString(new File(dir, "departement_85.json").toPath,
+      """{"count":2,"next":null,"previous":null,"results":[
+        |{"annee":"2019","dep":"85","libdep":"V","a_cod1":2.0,"b_cod1":null,"c_cod1":8.0},
+        |{"annee":"2020","dep":"85","libdep":"V","a_cod1":4.0,"b_cod1":null}]}""".stripMargin)
+    writePayload(dir, "region", "52",
+      """{"annee":"2019","reg":"52","libreg":"P","a_cod1":6.0}""")
+    val df = spark.read.format("dv3f").option("path", dir.getAbsolutePath).load()
+    val agg = df.groupBy("annee")
+      .agg(count(lit(1)).as("n"), count(col("valeur")).as("nv"),
+        min(col("valeur")).as("mn"), max(col("valeur")).as("mx"))
+    // the physical scan really aggregated: pushed marker in the scan
+    // description and a 5-wide scan output (1 group + 4 aggs), not the
+    // 6-wide long schema
+    val desc = agg.queryExecution.executedPlan.toString
+    assert(desc.contains("agg=["), desc)
+    assert(desc.contains("groupBy=[annee]"), desc)
+    val got = agg.collect().map(r => r.getString(0) ->
+      (r.getLong(1), r.getLong(2),
+        if (r.isNullAt(3)) None else Some(r.getDouble(3)),
+        if (r.isNullAt(4)) None else Some(r.getDouble(4)))).toMap
+    assert(got === Map(
+      "2019" -> ((4L, 3L, Some(2.0), Some(8.0))),
+      "2020" -> ((2L, 1L, Some(4.0), Some(4.0)))))
+    // cross-check against the unpushed scan aggregated in Scala
+    val raw = df.collect().map(r => (r.getString(2),
+      if (r.isNullAt(5)) None else Some(r.getDouble(5))))
+    val expect = raw.groupBy(_._1).map { case (annee, rs) =>
+      val vs = rs.flatMap(_._2)
+      annee -> ((rs.length.toLong, vs.length.toLong,
+        vs.minOption, vs.maxOption))
+    }
+    assert(got === expect)
+  }
+
+  test("aggregate pushdown declines what it cannot partial (sum, distinct) and falls back") {
+    import org.apache.spark.sql.functions._
+    val dir = Files.createTempDirectory("dv3fagg2").toFile
+    writePayload(dir, "departement", "85",
+      """{"annee":"2019","dep":"85","libdep":"V","a_cod1":2.0,"c_cod1":8.0}""")
+    val df = spark.read.format("dv3f").option("path", dir.getAbsolutePath).load()
+    val summed = df.groupBy("annee").agg(sum(col("valeur")).as("s"))
+    assert(!summed.queryExecution.executedPlan.toString.contains("agg=["))
+    assert(summed.collect().map(r => (r.getString(0), r.getDouble(1))).toSeq ==
+      Seq(("2019", 10.0)))
+    val distinctCount = df.groupBy("annee")
+      .agg(countDistinct(col("cod_full")).as("d"))
+    assert(!distinctCount.queryExecution.executedPlan.toString.contains("agg=["))
+    assert(distinctCount.collect().map(r => (r.getString(0), r.getLong(1))).toSeq ==
+      Seq(("2019", 2L)))
+  }
+
   test("golden: source → stage equals the in-memory Reshape.transform pipeline") {
     val viaSource = Dv3fQueries.dv3fSourcePipeline(spark, sf).collect()
       .map(_.toSeq).toSet
