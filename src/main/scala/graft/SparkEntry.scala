@@ -286,6 +286,7 @@ object SparkEntry {
     "q_dp_histogram" -> (Curation.dpHistogram(_, _)),
     "q_dp_stream" -> (Curation.dpStreamMaterialize(_, _)),
     "q_dp_threshold" -> (Curation.dpThresholdRelease(_, _)),
+    "q_dp_quantile" -> (Curation.dpQuantiles(_, _)),
     "q_sample_stream" -> (Curation.sampleStreamMaterialize(_, _)),
     "q_cdc_stream" -> (Maintenance.cdcStreamMaterialize(_, _)),
     "q_incr_agg" -> (Maintenance.incrAgg(_, _)),
@@ -663,6 +664,7 @@ object SparkEntry {
     "q_dp_histogram" -> Curation.dpHistogramSql,
     "q_dp_stream" -> Curation.dpStreamSql,
     "q_dp_threshold" -> Curation.dpThresholdReleaseSql,
+    "q_dp_quantile" -> Curation.dpQuantilesSql,
     "q_sample_stream" -> Curation.sampleStreamSql,
     "q_cdc_stream" -> Maintenance.cdcStreamMaterializeSql,
     "q_incr_agg" -> Maintenance.incrAggSql,

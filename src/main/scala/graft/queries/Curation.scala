@@ -1183,6 +1183,68 @@ object Curation {
        |) ORDER BY release, segment, b""".stripMargin
   }
 
+  // ------------------------------------ DP quantiles by post-processing
+
+  /** DP QUANTILES BY POST-PROCESSING — the invariance face of the
+    * family: any function of an already-released DP output is DP at
+    * the SAME budget (post-processing invariance), so per-segment
+    * acctbal quartiles derived from [[dpHistogram]]'s noisy release
+    * (same g1/g2 salts — literally the same randomness, not a fresh
+    * draw) cost zero additional ε. The released ε = ln 2 rides along
+    * UNCHANGED — the auditable claim this face exists to make.
+    *
+    * Derivation is integer-exact end to end: noisy counts clamped at 0
+    * (negatives are noise artifacts, a standard post-processing step),
+    * per-segment running sums over the bucket order, and quantile q/4
+    * = the first bucket where 4·cum ≥ q·total (integer form of
+    * cum ≥ ceil(q·total/4) — no division anywhere). Shape: the same
+    * one-pass cell aggregate, then window cumsums over |cells| rows —
+    * O(cells) past the scan, nothing collects.
+    */
+  def dpQuantiles(spark: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("segment")).orderBy(col("b"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    val wAll = org.apache.spark.sql.expressions.Window.partitionBy(col("segment"))
+    def qb(q: Int) =
+      min(when(lit(4) * col("cum") >= lit(q) * col("tot"), col("b")))
+        .as(s"q${q * 25}_b")
+    dpNoisyHistogram(Tables.load(spark, dir, "customer"), "g1", "g2")
+      .withColumn("m", greatest(col("noisy"), lit(0L)))
+      .withColumn("cum", sum(col("m")).over(w))
+      .withColumn("tot", sum(col("m")).over(wAll))
+      .groupBy(col("segment"))
+      .agg(qb(1), qb(2), qb(3), max(col("tot")).as("total_m"),
+        first(lit(dpHistEps)).as("epsilon"))
+      .orderBy(col("segment"))
+  }
+
+  lazy val dpQuantilesSql: String = {
+    def draw(salt: String) =
+      s"""coalesce(list_min([i for i in range(0, 16)
+         |    IF ('0x' || substr(md5('$salt:' || cell || ':' || CAST(i AS VARCHAR)),
+         |      1, 15))::BIGINT % 2 = 0]), 16)""".stripMargin
+    def qb(q: Int) =
+      s"CAST(min(CASE WHEN 4 * cum >= $q * tot THEN b END) AS BIGINT) AS q${q * 25}_b"
+    s"""WITH h AS (SELECT c_mktsegment AS segment,
+       |    CAST(floor(c_acctbal / 1000) AS BIGINT) AS b,
+       |    CAST(count(*) AS BIGINT) AS n
+       |  FROM customer GROUP BY 1, 2),
+       |c AS (SELECT segment, b, n,
+       |    segment || '|' || CAST(b AS VARCHAR) AS cell FROM h),
+       |g AS (SELECT segment, b,
+       |    greatest(n + ${draw("g1")} - ${draw("g2")}, 0) AS m
+       |  FROM c),
+       |r AS (SELECT segment, b, m,
+       |    sum(m) OVER (PARTITION BY segment ORDER BY b) AS cum,
+       |    sum(m) OVER (PARTITION BY segment) AS tot
+       |  FROM g)
+       |SELECT segment, ${Seq(1, 2, 3).map(qb).mkString(", ")},
+       |  CAST(max(tot) AS BIGINT) AS total_m,
+       |  CAST($dpHistEps AS DOUBLE) AS epsilon
+       |FROM r GROUP BY segment ORDER BY segment""".stripMargin
+  }
+
   // ------------------------------ thresholded (unknown-domain) DP release
 
   /** Release threshold τ for [[dpThresholdRelease]] and the δ it buys:

@@ -192,6 +192,41 @@ class KAnonymitySpec extends SparkSpec {
     }
   }
 
+  test("dp quantiles: post-processing replays from the SAME release; budget unchanged; ordered") {
+    import graft.functions.GraftStrings
+    val rows = Curation.dpQuantiles(spark, sf).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getDouble(5)))
+    assert(rows.nonEmpty)
+    def g(salt: String, cell: String): Long =
+      (0 until 16).find(i =>
+        GraftStrings.hash60(s"$salt:$cell:$i") % 2 == 0).getOrElse(16).toLong
+    // replay: the same g1/g2 salts as dp_histogram (same randomness —
+    // post-processing, not a fresh release), clamp, cumsum, 4·cum ≥ q·tot
+    val hist = graft.Tables.load(spark, sf, "customer")
+      .groupBy(col("c_mktsegment").as("segment"),
+        floor(col("c_acctbal") / 1000).cast("long").as("b"))
+      .agg(count(lit(1)).as("n"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    rows.foreach { case (seg, (q25, q50, q75, totalM, eps)) =>
+      val cells = hist.filter(_._1 == seg).sortBy(_._2)
+        .map { case (_, b, n) =>
+          (b, math.max(n + g("g1", s"$seg|$b") - g("g2", s"$seg|$b"), 0L))
+        }
+      val tot = cells.map(_._2).sum
+      assert(totalM === tot, s"$seg total drifted")
+      def quant(q: Int): Long = {
+        var cum = 0L
+        cells.collectFirst { case (b, m) if { cum += m; 4 * cum >= q * tot } => b }.get
+      }
+      assert((q25, q50, q75) === ((quant(1), quant(2), quant(3))),
+        s"$seg quantiles drifted")
+      assert(q25 <= q50 && q50 <= q75, s"$seg quantiles unordered")
+      // post-processing invariance: ε is the HISTOGRAM's ln 2, no addition
+      assert(eps === 0.693147)
+    }
+  }
+
   test("census ≡ direct recomputation at L3") {
     val direct = graft.Tables.load(spark, sf, "customer")
       .groupBy(col("c_nationkey"))
