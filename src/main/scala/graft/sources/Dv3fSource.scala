@@ -295,9 +295,43 @@ class Dv3fScan(options: Map[String, String], scopeEq: Option[String],
     codeEq: Option[String], required: StructType,
     limit: Option[Int] = None,
     pushedAgg: Option[(Seq[String], Seq[Dv3fAgg])] = None)
-    extends Scan with Batch {
+    extends Scan with Batch with SupportsRuntimeFiltering {
   private val path = options.getOrElse("path",
     throw new IllegalArgumentException("dv3f source requires option 'path'"))
+
+  // runtime (execution-time) partition pruning state — see filter()
+  private var runtimeScopes: Option[Set[String]] = None
+  private var runtimeCodes: Option[Set[String]] = None
+
+  /** Runtime filtering (SupportsRuntimeFiltering — the DSv2 analog of
+    * dynamic partition pruning): when this scan sits under an equi-join
+    * on scope/code whose other side broadcasts, Spark evaluates the
+    * build side FIRST and hands the observed key set here as IN/=
+    * filters BEFORE input partitions are planned — so a join against a
+    * 10-row dimension of codes fetches 10 payloads, not all 119, with
+    * zero query rewriting. Pruning is best-effort and conservative
+    * (unrecognized predicates are ignored; Spark always re-applies the
+    * join itself), exactly like the planning-time scope/code equality
+    * pushdown this composes with.
+    */
+  override def filterAttributes(): Array[org.apache.spark.sql.connector.expressions.NamedReference] =
+    // only attributes still present in the (pruned/aggregated) scan
+    // output — the planner resolves these against readSchema, so a
+    // pruned-away partition column must not be declared filterable
+    Array("scope", "code").filter(required.fieldNames.contains)
+      .map(org.apache.spark.sql.connector.expressions.Expressions.column)
+
+  override def filter(filters: Array[org.apache.spark.sql.sources.Filter]): Unit = {
+    import org.apache.spark.sql.sources.{EqualTo, In}
+    def strs(vs: Array[Any]): Set[String] = vs.collect { case s: String => s }.toSet
+    filters.foreach {
+      case In("scope", vs) => runtimeScopes = Some(strs(vs))
+      case EqualTo("scope", v: String) => runtimeScopes = Some(Set(v))
+      case In("code", vs) => runtimeCodes = Some(strs(vs))
+      case EqualTo("code", v: String) => runtimeCodes = Some(Set(v))
+      case _ => // best-effort: ignore what we can't prune on
+    }
+  }
 
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
@@ -307,7 +341,8 @@ class Dv3fScan(options: Map[String, String], scopeEq: Option[String],
       pushedAgg.map { case (g, a) =>
         s"agg=[${a.mkString(", ")}] groupBy=[${g.mkString(", ")}]"
       }).mkString(", ")}] " +
-      s"columns=[${required.fieldNames.mkString(", ")}]"
+      s"columns=[${required.fieldNames.mkString(", ")}] " +
+      s"runtimeFilters=[scope, code]"
 
   /** Planning: explicit `scopes` option ("departement:85,region:11") or
     * one partition per payload file found under `path`, minus the
@@ -332,7 +367,8 @@ class Dv3fScan(options: Map[String, String], scopeEq: Option[String],
     }
     scopes
       .filter { case (s, c) =>
-        scopeEq.forall(_ == s) && codeEq.forall(_ == c)
+        scopeEq.forall(_ == s) && codeEq.forall(_ == c) &&
+          runtimeScopes.forall(_.contains(s)) && runtimeCodes.forall(_.contains(c))
       }
       .map { case (s, c) => Dv3fPartition(s, c): InputPartition }.toArray
   }
