@@ -819,6 +819,10 @@ object ScaleBench {
       // filter keeps rows ≤ |nation|·|segment| cells at any corpus
       val (dptSec, dptRows, dptEx) = bestIf("dp_threshold")(
         queries.Curation.dpThresholdRelease(spark, dir))
+      // within-doc window graphs: pair work ≤ maxDf·tokens per doc
+      // (the df cap), so time must grow ∝ corpus with flat exchanges
+      val (txSec, txRows, txEx) = bestIf("textrank")(
+        queries.LlmOps.textrank(spark, dir))
       // personalized PageRank over the same pinned pair graph as
       // "pagerank": identical round shape (time ∝ edges ∝ k), the seed
       // gate a free map-side CASE — the two cells should track
@@ -925,6 +929,7 @@ object ScaleBench {
         "lsh_fitted_dedup" -> (lfSec, lfRows, lfEx),
         "dp_histogram" -> (dphSec, dphRows, dphEx),
         "dp_threshold" -> (dptSec, dptRows, dptEx),
+        "textrank" -> (txSec, txRows, txEx),
         "pagerank_ppr" -> (pprSec, pprRows, pprEx))
         .filter { case (op, _) => wanted(op) }
       row.foreach { case (op, (s, r, e)) =>

@@ -73,6 +73,7 @@ object SparkEntry {
     "q_event_paths" -> (Events.eventPaths(_, _)),
     "q_pagerank" -> ((s, d) => LlmOps.pagerankTopK(s, d)),
     "q_pagerank_ppr" -> ((s, d) => LlmOps.pagerankPersonalized(s, d)),
+    "q_textrank" -> ((s, d) => LlmOps.textrank(s, d)),
     "q_percentiles" -> (Analytics.quantitiesQuartiles(_, _)),
     // — DV3F reshape pipeline (SURVEY §2.5, T1-T4)
     "q_unpivot" -> (Dv3fQueries.unpivotLineitem(_, _)),
@@ -737,6 +738,7 @@ object SparkEntry {
     "q_event_paths" -> Events.eventPathsSql,
     "q_pagerank" -> LlmOps.pagerankTopKSql,
     "q_pagerank_ppr" -> LlmOps.pagerankPersonalizedSql,
+    "q_textrank" -> LlmOps.textrankSql(),
     "q_asof_join" -> Events.asofPurchaseSql,
     "q_asof_join_native" -> Events.asofPurchaseSql,
     "q_asof_join_forward" -> Events.asofNextPurchaseSql,

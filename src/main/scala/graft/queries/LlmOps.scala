@@ -354,6 +354,125 @@ object LlmOps {
        |ORDER BY rank DESC, id LIMIT 50""".stripMargin
   }
 
+  /** TEXTRANK (Mihalcea–Tarau EMNLP'04) — extractive summarization as
+    * the WITHIN-DOC application of the PageRank primitive
+    * (q_textrank): each document's 20-token windows form a similarity
+    * graph (edge when two windows share ≥ `minShared` distinct token
+    * hashes), and 2 rounds of the house integer-exact PageRank pick
+    * the top-2 most central windows per doc — the "which spans
+    * represent this document" face used for summary extraction and
+    * representative-chunk selection in retrieval pipelines.
+    *
+    * Stop-token guard: a token hash occurring in more than `maxDf`
+    * distinct windows OF THE SAME DOC is dropped before pairing (the
+    * PPJoin prefix-filter idea applied per doc — stopwords would
+    * otherwise connect every window to every window, w² per common
+    * token). With the cap, pair work per doc is Σ_h df_w² ≤ maxDf ·
+    * tokens — linear in doc length, never quadratic in it.
+    *
+    * Scale shape: one positional token-hash kernel, a (doc, h)-keyed
+    * df aggregate + semi-filter, a (doc, h)-keyed self-join producing
+    * window pairs (bounded above), then `iters` (doc, window)-keyed
+    * join rounds over pinned edges/degrees — all vertex-keyed
+    * shuffles, graphs never leave their doc. Output is ≤ 2 rows per
+    * doc with any ranked window.
+    */
+  def textrank(spark: SparkSession, dir: String): DataFrame =
+    textrankOver(Tables.load(spark, dir, "documents"))
+
+  private[graft] def textrankOver(docs: DataFrame,
+      windowTokens: Int = 20, maxDf: Int = 8, minShared: Int = 2,
+      iters: Int = 2, scale: Long = 1000000L): DataFrame = {
+    val wtok = docs
+      .select(col("doc_id"),
+        posexplode(graft.functions.GraftFunctions
+          .tokenGramHashes(col("text"), 1)).as(Seq("p0", "h")))
+      .select(col("doc_id"),
+        (col("p0") / windowTokens).cast("int").as("wi"), col("h"))
+      .distinct()
+    val lowDf = wtok.groupBy(col("doc_id"), col("h"))
+      .agg(count(lit(1)).as("dfw"))
+      .filter(col("dfw") <= maxDf)
+      .select(col("doc_id"), col("h"))
+    val wt = CacheBin.pin(wtok.join(lowDf, Seq("doc_id", "h")))
+    val pairs = wt.as("a")
+      .join(wt.as("b"),
+        col("a.doc_id") === col("b.doc_id") && col("a.h") === col("b.h") &&
+          col("a.wi") < col("b.wi"))
+      .groupBy(col("a.doc_id").as("doc_id"),
+        col("a.wi").as("wa"), col("b.wi").as("wb"))
+      .agg(count(lit(1)).as("shared"))
+      .filter(col("shared") >= minShared)
+    val edges = CacheBin.pin(
+      pairs.select(col("doc_id"), col("wa").as("src"), col("wb").as("dst"))
+        .unionAll(pairs.select(col("doc_id"), col("wb").as("src"),
+          col("wa").as("dst"))))
+    val deg = CacheBin.pin(
+      edges.groupBy(col("doc_id"), col("src")).agg(count(lit(1)).as("deg")))
+    var rank = deg.select(col("doc_id"), col("src").as("wi"),
+      lit(scale).as("rank"))
+    for (_ <- 1 to iters) {
+      rank = edges.as("e")
+        .join(rank.as("r"),
+          col("e.doc_id") === col("r.doc_id") && col("e.src") === col("r.wi"))
+        .join(deg.as("d"),
+          col("e.doc_id") === col("d.doc_id") && col("e.src") === col("d.src"))
+        .select(col("e.doc_id").as("doc_id"), col("e.dst").as("wi"),
+          expr("rank div deg").as("contrib"))
+        .groupBy(col("doc_id"), col("wi"))
+        .agg(sum(col("contrib")).as("mass"))
+        .select(col("doc_id"), col("wi"),
+          expr(s"(${15L * scale} + 85 * mass) div 100").as("rank"))
+    }
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("rank").desc, col("wi"))
+    rank.withColumn("rn", row_number().over(w).cast(LongType))
+      .filter(col("rn") <= 2)
+      .orderBy(col("doc_id"), col("rn"))
+  }
+
+  /** Mirrors textrank: the same token-hash windows, per-doc df cap,
+    * shared-token pair counts, and 2 unrolled integer PageRank rounds
+    * (DuckDB `//` ≡ Spark `div` on positive int64), top-2 per doc.
+    */
+  def textrankSql(windowTokens: Int = 20, maxDf: Int = 8,
+      minShared: Int = 2, iters: Int = 2, scale: Long = 1000000L): String = {
+    val steps = (1 to iters).map { i =>
+      s"""r$i AS MATERIALIZED (SELECT e.doc_id, e.dst AS wi,
+         |    CAST((${15L * scale} + 85 * sum(r.rank // d.deg)) // 100 AS BIGINT) AS rank
+         |  FROM edges e JOIN r${i - 1} r ON r.doc_id = e.doc_id AND r.wi = e.src
+         |  JOIN deg d ON d.doc_id = e.doc_id AND d.src = e.src
+         |  GROUP BY 1, 2)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH toks AS (SELECT doc_id,
+       |    string_split_regex(trim(text), '\\s+') AS t FROM documents),
+       |wtok AS MATERIALIZED (SELECT DISTINCT doc_id,
+       |    CAST((i - 1) // $windowTokens AS INT) AS wi,
+       |    ('0x' || substr(md5(t[CAST(i AS INT)]), 1, 15))::BIGINT AS h
+       |  FROM toks, unnest(range(1, len(t)+1)) z(i)),
+       |lowdf AS (SELECT doc_id, h FROM wtok GROUP BY 1, 2
+       |  HAVING count(*) <= $maxDf),
+       |wt AS MATERIALIZED (SELECT wtok.* FROM wtok
+       |  JOIN lowdf USING (doc_id, h)),
+       |pairs AS MATERIALIZED (SELECT a.doc_id, a.wi AS wa, b.wi AS wb
+       |  FROM wt a JOIN wt b
+       |    ON a.doc_id = b.doc_id AND a.h = b.h AND a.wi < b.wi
+       |  GROUP BY 1, 2, 3 HAVING count(*) >= $minShared),
+       |edges AS MATERIALIZED (SELECT doc_id, wa AS src, wb AS dst FROM pairs
+       |  UNION ALL SELECT doc_id, wb, wa FROM pairs),
+       |deg AS MATERIALIZED (SELECT doc_id, src, count(*)::BIGINT AS deg
+       |  FROM edges GROUP BY 1, 2),
+       |r0 AS (SELECT doc_id, src AS wi, CAST($scale AS BIGINT) AS rank
+       |  FROM deg),
+       |$steps
+       |SELECT doc_id, wi, rank, rn FROM (
+       |  SELECT doc_id, wi, rank,
+       |    CAST(row_number() OVER (PARTITION BY doc_id
+       |      ORDER BY rank DESC, wi) AS BIGINT) AS rn
+       |  FROM r$iters)
+       |WHERE rn <= 2 ORDER BY doc_id, rn""".stripMargin
+  }
+
   /** Incremental cluster maintenance: the PERSISTED corpus cluster map
     * (the previous ingest's output, staged by [[dedupArtifacts]])
     * merged with the incoming batch's cross pairs via
