@@ -383,24 +383,28 @@ object LlmOps {
   private[graft] def textrankOver(docs: DataFrame,
       windowTokens: Int = 20, maxDf: Int = 8, minShared: Int = 2,
       iters: Int = 2, scale: Long = 1000000L): DataFrame = {
-    val wtok = docs
+    // per-(doc, token) sorted window list in ONE aggregate (the
+    // collect_list + in-row adjacent-unique convention — dedups the
+    // (doc, wi, h) multiset without a distinct exchange), df cap as an
+    // in-row size filter, and the window PAIRS exploded IN-ROW from
+    // the ≤ maxDf-long list — no distinct, no semi-join, no self-join:
+    // two exchanges from tokens to counted pairs instead of four
+    val pairs = docs
       .select(col("doc_id"),
         posexplode(graft.functions.GraftFunctions
           .tokenGramHashes(col("text"), 1)).as(Seq("p0", "h")))
       .select(col("doc_id"),
         (col("p0") / windowTokens).cast("int").as("wi"), col("h"))
-      .distinct()
-    val lowDf = wtok.groupBy(col("doc_id"), col("h"))
-      .agg(count(lit(1)).as("dfw"))
-      .filter(col("dfw") <= maxDf)
-      .select(col("doc_id"), col("h"))
-    val wt = CacheBin.pin(wtok.join(lowDf, Seq("doc_id", "h")))
-    val pairs = wt.as("a")
-      .join(wt.as("b"),
-        col("a.doc_id") === col("b.doc_id") && col("a.h") === col("b.h") &&
-          col("a.wi") < col("b.wi"))
-      .groupBy(col("a.doc_id").as("doc_id"),
-        col("a.wi").as("wa"), col("b.wi").as("wb"))
+      .groupBy(col("doc_id"), col("h"))
+      .agg(array_sort(collect_list(col("wi"))).as("ws0"))
+      .select(col("doc_id"),
+        expr("filter(ws0, (x, i) -> i = 0 OR x != ws0[i - 1])").as("ws"))
+      .filter(size(col("ws")).between(2, maxDf))
+      .select(col("doc_id"), explode(expr(
+        "flatten(transform(ws, (x, i) -> " +
+          "transform(slice(ws, i + 2, size(ws)), y -> struct(x AS wa, y AS wb))))"))
+        .as("p"))
+      .groupBy(col("doc_id"), col("p.wa").as("wa"), col("p.wb").as("wb"))
       .agg(count(lit(1)).as("shared"))
       .filter(col("shared") >= minShared)
     val edges = CacheBin.pin(
