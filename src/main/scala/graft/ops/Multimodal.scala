@@ -479,8 +479,19 @@ object Multimodal {
     text.trim.split("\\s+").foreach { tok =>
       counts((GraftStrings.hash60(tok) % 65).toInt) += 1
     }
-    buildAvi((0 until 65).map(f =>
-      encodeJpegGray(math.min(counts(f), 255), 8, 8)), 8, 8)
+    // OPTIMIZATION r16 (guide §1.2 "per-task work"): a document's 65
+    // capped cell counts repeat heavily (counts are small, the cap is
+    // 255), so encode each DISTINCT brightness once PER CALL — a local
+    // 256-slot memo of the pure encodeJpegGray(v, 8, 8) function, no
+    // state outliving this invocation (bench iterations stay honest).
+    // Bit-identical container: the codec still runs for every distinct
+    // frame content; identical frames were always identical bytes.
+    val memo = new Array[Array[Byte]](256)
+    def frame(v: Int): Array[Byte] = {
+      if (memo(v) == null) memo(v) = encodeJpegGray(v, 8, 8)
+      memo(v)
+    }
+    buildAvi((0 until 65).map(f => frame(math.min(counts(f), 255))), 8, 8)
   }
 
   /** TEMPORAL dHash from the DECODED frame stream: walk the RIFF tree,
@@ -1085,6 +1096,15 @@ object Multimodal {
       var (w, h, nFrames) = (0, 0, 0)
       var frameIdx = 0
       val feats = scala.collection.mutable.ArrayBuffer.empty[FrameFeat]
+      // OPTIMIZATION r16 (guide §1.2): MJPEG streams repeat frames
+      // (the near-dup fingerprint's uniform-gray frames have ≤256
+      // distinct contents), so memoize the pure jpeg-bytes → channel
+      // means map PER CALL — decode each distinct frame once within
+      // this container walk, no state outliving the invocation.
+      // ByteBuffer keys hash/compare by content. None (undecodable)
+      // still aborts the walk exactly as before.
+      val frameMemo = new java.util.HashMap[java.nio.ByteBuffer,
+        Option[(Double, Double, Double)]]()
       // walk chunks in [bb.position, end); LIST payloads recurse
       def walk(end: Int): Option[Unit] = {
         while (bb.position() < end) {
@@ -1109,23 +1129,33 @@ object Multimodal {
               if (frameIdx % stride == 0) {
                 val jpeg = new Array[Byte](len)
                 bb.get(jpeg)
-                val img = readJpeg(jpeg)
-                if (img == null) return None
-                var (sr, sg, sb) = (0L, 0L, 0L)
-                var y = 0
-                while (y < img.getHeight) {
-                  var x = 0
-                  while (x < img.getWidth) {
-                    val rgb = img.getRGB(x, y)
-                    sr += (rgb >> 16) & 0xff
-                    sg += (rgb >> 8) & 0xff
-                    sb += rgb & 0xff
-                    x += 1
-                  }
-                  y += 1
+                val means = frameMemo.computeIfAbsent(
+                  java.nio.ByteBuffer.wrap(jpeg), _ => {
+                    val img = readJpeg(jpeg)
+                    if (img == null) None
+                    else {
+                      var (sr, sg, sb) = (0L, 0L, 0L)
+                      var y = 0
+                      while (y < img.getHeight) {
+                        var x = 0
+                        while (x < img.getWidth) {
+                          val rgb = img.getRGB(x, y)
+                          sr += (rgb >> 16) & 0xff
+                          sg += (rgb >> 8) & 0xff
+                          sb += rgb & 0xff
+                          x += 1
+                        }
+                        y += 1
+                      }
+                      val n = (img.getWidth * img.getHeight).toDouble
+                      Some((sr / n, sg / n, sb / n))
+                    }
+                  })
+                means match {
+                  case Some((mr, mg, mb)) =>
+                    feats += FrameFeat(frameIdx, mr, mg, mb)
+                  case None => return None
                 }
-                val n = (img.getWidth * img.getHeight).toDouble
-                feats += FrameFeat(frameIdx, sr / n, sg / n, sb / n)
               }
               frameIdx += 1
               bb.position(chunkEnd)

@@ -110,8 +110,20 @@ object Analytics {
     * money rollup. Each iteration is ONE distributed join of the
     * frontier against the base table — the anchor/step shape CC's
     * pointer doubling and the BFS face compose manually; here Catalyst
-    * drives the loop. The oracle runs the IDENTICAL statement (DuckDB
-    * shares the WITH RECURSIVE surface), money in DECIMAL(18,2).
+    * drives the loop. The oracle runs the same WITH RECURSIVE statement
+    * (DuckDB shares the surface), money in DECIMAL(18,2).
+    *
+    * OPTIMIZATION r16: the step join is written child-side as the
+    * EQUI-join `c_custkey div 2 = t.k` rather than the textbook
+    * `c_custkey IN (t.k*2, t.k*2+1)` the oracle keeps — identical sets
+    * for non-negative keys (c div 2 = k ⟺ c ∈ {2k, 2k+1}; custkeys are
+    * 0-based, and the `> t.k` root-loop guard is unchanged), but the IN
+    * form is a disjunction Catalyst cannot extract join keys from, so
+    * EVERY UnionLoop iteration ran a BroadcastNestedLoopJoin of the
+    * frontier against the whole base table (~depth × |customer| ×
+    * |frontier| comparisons); the div form plans each level as a
+    * BroadcastHashJoin. Hash-identical at sf0.001/0.01/0.1; sf0.1
+    * quiet A/B: 2.90 s → see OPTIMIZATION_r16.md.
     */
   def sqlRecursive(spark: SparkSession, dir: String): DataFrame = {
     Tables.load(spark, dir, "customer").createOrReplaceTempView("customer")
@@ -122,7 +134,7 @@ object Analytics {
         |  UNION ALL
         |  SELECT c.c_custkey, t.depth + 1, c.c_acctbal
         |  FROM tree t JOIN customer c
-        |    ON c.c_custkey IN (t.k * 2, t.k * 2 + 1)
+        |    ON c.c_custkey div 2 = t.k
         |    AND c.c_custkey > t.k)
         |SELECT depth, CAST(count(*) AS BIGINT) AS n_nodes,
         |  CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS bal_usd

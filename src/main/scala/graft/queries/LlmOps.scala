@@ -407,31 +407,44 @@ object LlmOps {
       .groupBy(col("doc_id"), col("p.wa").as("wa"), col("p.wb").as("wb"))
       .agg(count(lit(1)).as("shared"))
       .filter(col("shared") >= minShared)
-    val edges = CacheBin.pin(
-      pairs.select(col("doc_id"), col("wa").as("src"), col("wb").as("dst"))
-        .unionAll(pairs.select(col("doc_id"), col("wb").as("src"),
-          col("wa").as("dst"))))
-    val deg = CacheBin.pin(
-      edges.groupBy(col("doc_id"), col("src")).agg(count(lit(1)).as("deg")))
-    var rank = deg.select(col("doc_id"), col("src").as("wi"),
-      lit(scale).as("rank"))
-    for (_ <- 1 to iters) {
-      rank = edges.as("e")
-        .join(rank.as("r"),
-          col("e.doc_id") === col("r.doc_id") && col("e.src") === col("r.wi"))
-        .join(deg.as("d"),
-          col("e.doc_id") === col("d.doc_id") && col("e.src") === col("d.src"))
-        .select(col("e.doc_id").as("doc_id"), col("e.dst").as("wi"),
-          expr("rank div deg").as("contrib"))
-        .groupBy(col("doc_id"), col("wi"))
-        .agg(sum(col("contrib")).as("mass"))
-        .select(col("doc_id"), col("wi"),
-          expr(s"(${15L * scale} + 85 * mass) div 100").as("rank"))
+    // OPTIMIZATION r16: the per-doc graphs are tiny (≤ tokens/window
+    // vertices, pair counts df-capped), so the whole PageRank iteration
+    // runs IN-ROW — one doc-keyed aggregate collects the pair list and
+    // higher-order functions unroll the rounds (integer `div` arithmetic
+    // identical to the join formulation, term-for-term: same contrib =
+    // rank div deg per directed edge, same (15·scale + 85·mass) div 100
+    // damping, and sum() over a per-vertex filter() is the same
+    // left-to-right fold the row-keyed aggregate computed). This deletes
+    // the per-iteration (edges ⋈ rank ⋈ deg → groupBy) stage chain — 2
+    // joins + 1 aggregate exchange PER ROUND — and the final
+    // row_number() window: top-2 is an in-row array_sort + slice. One
+    // exchange from counted pairs to the answer.
+    val g = pairs.groupBy(col("doc_id"))
+      .agg(collect_list(struct(col("wa"), col("wb"))).as("ps"))
+      .withColumn("nodes", expr(
+        "array_sort(array_distinct(flatten(transform(ps, p -> array(p.wa, p.wb)))))"))
+      .withColumn("es", expr(
+        "flatten(transform(ps, p -> array(struct(p.wa AS s, p.wb AS d), " +
+          "struct(p.wb AS s, p.wa AS d))))"))
+      .withColumn("deg", expr(
+        "transform(nodes, n -> size(filter(es, e -> e.s = n)))"))
+      .withColumn("rank", expr(s"transform(nodes, n -> CAST($scale AS BIGINT))"))
+    val iterated = (1 to iters).foldLeft(g) { (df, _) =>
+      df.withColumn("rank", expr(
+        s"""transform(nodes, n ->
+           |  (CAST(${15L * scale} AS BIGINT) + 85 * aggregate(
+           |     filter(es, e -> e.d = n), CAST(0 AS BIGINT),
+           |     (acc, e) -> acc + (element_at(rank, CAST(array_position(nodes, e.s) AS INT))
+           |       div element_at(deg, CAST(array_position(nodes, e.s) AS INT)))))
+           |  div 100)""".stripMargin))
     }
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("doc_id")).orderBy(col("rank").desc, col("wi"))
-    rank.withColumn("rn", row_number().over(w).cast(LongType))
-      .filter(col("rn") <= 2)
+    iterated
+      .select(col("doc_id"), posexplode(expr(
+        "slice(array_sort(zip_with(nodes, rank, " +
+          "(n, r) -> struct(-r AS negr, n AS wi, r AS rank))), 1, 2)"))
+        .as(Seq("i", "t")))
+      .select(col("doc_id"), col("t.wi").as("wi"), col("t.rank").as("rank"),
+        (col("i") + 1).cast(LongType).as("rn"))
       .orderBy(col("doc_id"), col("rn"))
   }
 
