@@ -35,19 +35,23 @@ object LabelPropagation {
     * always defined.
     */
   def run(edges: DataFrame, rounds: Int): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val und = edges.select(col("doc_a").as("src"), col("doc_b").as("dst"))
       .unionByName(edges.select(col("doc_b").as("src"), col("doc_a").as("dst")))
     var labels = und.select(col("src").as("v")).distinct()
       .withColumn("lbl", col("v"))
-    val w = Window.partitionBy(col("src"))
-      .orderBy(col("cnt").desc, col("lbl").asc)
     for (_ <- 1 to rounds) {
+      // OPTIMIZATION r16: the per-src argmax rides a max_by AGGREGATE
+      // instead of a row_number window — (cnt DESC, lbl ASC) spelled as
+      // max over the (cnt, -lbl) key struct — deleting one src-keyed
+      // sort exchange per round. Identical tie-break: max on the struct
+      // compares cnt first, then -lbl (labels are non-negative ids, so
+      // -lbl max ⟺ lbl min).
       labels = CacheBin.pin(
         und.join(labels.withColumnRenamed("v", "dst"), Seq("dst"))
           .groupBy(col("src"), col("lbl")).agg(count(lit(1)).as("cnt"))
-          .withColumn("rn", row_number().over(w))
-          .filter(col("rn") === 1)
+          .groupBy(col("src"))
+          .agg(max_by(col("lbl"),
+            struct(col("cnt"), (-col("lbl")).as("nl"))).as("lbl"))
           .select(col("src").as("v"), col("lbl")))
     }
     labels
