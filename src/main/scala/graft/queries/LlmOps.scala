@@ -383,66 +383,98 @@ object LlmOps {
   private[graft] def textrankOver(docs: DataFrame,
       windowTokens: Int = 20, maxDf: Int = 8, minShared: Int = 2,
       iters: Int = 2, scale: Long = 1000000L): DataFrame = {
-    // per-(doc, token) sorted window list in ONE aggregate (the
-    // collect_list + in-row adjacent-unique convention — dedups the
-    // (doc, wi, h) multiset without a distinct exchange), df cap as an
-    // in-row size filter, and the window PAIRS exploded IN-ROW from
-    // the ≤ maxDf-long list — no distinct, no semi-join, no self-join:
-    // two exchanges from tokens to counted pairs instead of four
-    val pairs = docs
-      .select(col("doc_id"),
-        posexplode(graft.functions.GraftFunctions
-          .tokenGramHashes(col("text"), 1)).as(Seq("p0", "h")))
-      .select(col("doc_id"),
-        (col("p0") / windowTokens).cast("int").as("wi"), col("h"))
-      .groupBy(col("doc_id"), col("h"))
-      .agg(array_sort(collect_list(col("wi"))).as("ws0"))
-      .select(col("doc_id"),
-        expr("filter(ws0, (x, i) -> i = 0 OR x != ws0[i - 1])").as("ws"))
-      .filter(size(col("ws")).between(2, maxDf))
-      .select(col("doc_id"), explode(expr(
-        "flatten(transform(ws, (x, i) -> " +
-          "transform(slice(ws, i + 2, size(ws)), y -> struct(x AS wa, y AS wb))))"))
-        .as("p"))
-      .groupBy(col("doc_id"), col("p.wa").as("wa"), col("p.wb").as("wb"))
-      .agg(count(lit(1)).as("shared"))
-      .filter(col("shared") >= minShared)
-    // OPTIMIZATION r16: the per-doc graphs are tiny (≤ tokens/window
-    // vertices, pair counts df-capped), so the whole PageRank iteration
-    // runs IN-ROW — one doc-keyed aggregate collects the pair list and
-    // higher-order functions unroll the rounds (integer `div` arithmetic
-    // identical to the join formulation, term-for-term: same contrib =
-    // rank div deg per directed edge, same (15·scale + 85·mass) div 100
-    // damping, and sum() over a per-vertex filter() is the same
-    // left-to-right fold the row-keyed aggregate computed). This deletes
-    // the per-iteration (edges ⋈ rank ⋈ deg → groupBy) stage chain — 2
-    // joins + 1 aggregate exchange PER ROUND — and the final
-    // row_number() window: top-2 is an in-row array_sort + slice. One
-    // exchange from counted pairs to the answer.
-    val g = pairs.groupBy(col("doc_id"))
-      .agg(collect_list(struct(col("wa"), col("wb"))).as("ps"))
-      .withColumn("nodes", expr(
-        "array_sort(array_distinct(flatten(transform(ps, p -> array(p.wa, p.wb)))))"))
-      .withColumn("es", expr(
-        "flatten(transform(ps, p -> array(struct(p.wa AS s, p.wb AS d), " +
-          "struct(p.wb AS s, p.wa AS d))))"))
-      .withColumn("deg", expr(
-        "transform(nodes, n -> size(filter(es, e -> e.s = n)))"))
-      .withColumn("rank", expr(s"transform(nodes, n -> CAST($scale AS BIGINT))"))
-    val iterated = (1 to iters).foldLeft(g) { (df, _) =>
-      df.withColumn("rank", expr(
-        s"""transform(nodes, n ->
-           |  (CAST(${15L * scale} AS BIGINT) + 85 * aggregate(
-           |     filter(es, e -> e.d = n), CAST(0 AS BIGINT),
-           |     (acc, e) -> acc + (element_at(rank, CAST(array_position(nodes, e.s) AS INT))
-           |       div element_at(deg, CAST(array_position(nodes, e.s) AS INT)))))
-           |  div 100)""".stripMargin))
+    // OPTIMIZATION r16 (final shape): the ENTIRE per-doc pipeline —
+    // positional token hashes → window ids → per-token-hash distinct
+    // window runs → df cap → window pairs → shared-count filter → the
+    // PageRank rounds → top-2 — is a pure function of one text cell,
+    // and every intermediate grouping key ((doc,h), (doc,wa,wb), doc)
+    // is doc-prefixed, so the whole thing runs IN-ROW with
+    // higher-order functions: a MAP-ONLY plan, zero exchanges before
+    // the output sort. The earlier 3-aggregate formulation (kept in
+    // git history) shuffled nearly-final per-doc rows three times for
+    // data that never leaves its document; a doc_id repartition
+    // sharing one exchange across the three aggregates was measured
+    // and rejected (1.86 s vs 1.40 s baseline — it shuffles the RAW
+    // token stream where the aggregate exchanges carried collapsed
+    // partials). Semantics are replayed term-for-term: array_sort over
+    // (h, wi) structs + adjacent-dedup ≡ the old per-(doc,h)
+    // collect_list + in-row dedup; runs of equal h with 2..maxDf
+    // distinct windows emit ascending (wa < wb) pairs; a second sort +
+    // run-length pass replaces the (doc,wa,wb) count aggregate; the
+    // integer PageRank and top-2 slice are unchanged. Every
+    // intermediate is bound ONCE via the single-element-transform
+    // "let" idiom (element_at(transform(array(v), x -> body), 1)):
+    // lambda variables are opaque to CollapseProject, so the optimizer
+    // cannot inline a step into its (multiple) downstream uses — a
+    // naive withColumn chain of the same steps collapsed into one
+    // Project whose tree re-evaluated the upstream arrays per element
+    // access (924 array_sort nodes in the optimized plan; the job at
+    // sf0.001 did not finish in 500 s).
+    def let(value: String, name: String, body: String): String =
+      s"element_at(transform(array($value), $name -> $body), 1)"
+    val hw0 = s"array_sort(transform(hs, (h, i) -> " +
+      s"struct(h AS h, CAST(i div $windowTokens AS INT) AS wi)))"
+    val hwB = "filter(hw0, (x, i) -> i = 0 OR " +
+      "NOT (x.h = hw0[i-1].h AND x.wi = hw0[i-1].wi))"
+    // run starts per distinct token hash, then (start, end) spans
+    // (sentinel size(hw) closes the last run); zip_with pads the
+    // empty-doc edge with null spans, which the length filter drops
+    val stB = "CASE WHEN size(hw) = 0 THEN array() ELSE " +
+      "filter(sequence(0, size(hw) - 1), i -> i = 0 OR hw[i].h != hw[i-1].h) END"
+    val runsB = s"filter(zip_with(st, concat(slice(st, 2, size(st)), " +
+      s"array(size(hw))), (s, e) -> struct(s AS s, e AS e)), " +
+      s"r -> r.e - r.s BETWEEN 2 AND $maxDf)"
+    val cpsB = "array_sort(flatten(transform(runs, r -> " +
+      "flatten(transform(sequence(r.s, r.e - 2), a -> " +
+      "transform(sequence(a + 1, r.e - 1), b -> " +
+      "struct(hw[a].wi AS wa, hw[b].wi AS wb)))))))"
+    val pstB = "CASE WHEN size(cps) = 0 THEN array() ELSE " +
+      "filter(sequence(0, size(cps) - 1), i -> i = 0 OR " +
+      "NOT (cps[i].wa = cps[i-1].wa AND cps[i].wb = cps[i-1].wb)) END"
+    val psB = s"transform(filter(zip_with(pst, concat(slice(pst, 2, size(pst)), " +
+      s"array(size(cps))), (s, e) -> struct(s AS s, e AS e)), " +
+      s"r -> r.e - r.s >= $minShared), r -> cps[r.s])"
+    val nodesB = "array_sort(array_distinct(flatten(transform(ps, p -> array(p.wa, p.wb)))))"
+    val esB = "flatten(transform(ps, p -> array(struct(p.wa AS s, p.wb AS d), " +
+      "struct(p.wb AS s, p.wa AS d))))"
+    val degB = "transform(nodes, n -> size(filter(es, e -> e.s = n)))"
+    val rank0B = s"transform(nodes, n -> CAST($scale AS BIGINT))"
+    def rankStep(prev: String): String =
+      s"transform(nodes, n -> (CAST(${15L * scale} AS BIGINT) + 85 * aggregate(" +
+        s"filter(es, e -> e.d = n), CAST(0 AS BIGINT), " +
+        s"(acc, e) -> acc + (element_at($prev, CAST(array_position(nodes, e.s) AS INT)) " +
+        s"div element_at(deg, CAST(array_position(nodes, e.s) AS INT))))) div 100)"
+    val top2 = s"slice(array_sort(zip_with(nodes, rank$iters, " +
+      "(n, r) -> struct(-r AS negr, n AS wi, r AS rank))), 1, 2)"
+    val ranked = (iters to 1 by -1).foldLeft(top2) { (body, k) =>
+      let(rankStep(s"rank${k - 1}"), s"rank$k", body)
     }
-    iterated
-      .select(col("doc_id"), posexplode(expr(
-        "slice(array_sort(zip_with(nodes, rank, " +
-          "(n, r) -> struct(-r AS negr, n AS wi, r AS rank))), 1, 2)"))
-        .as(Seq("i", "t")))
+    val mega = let(hw0, "hw0", let(hwB, "hw", let(stB, "st",
+      let(runsB, "runs", let(cpsB, "cps", let(pstB, "pst",
+        let(psB, "ps", let(nodesB, "nodes", let(esB, "es",
+          let(degB, "deg", let(rank0B, "rank0", ranked)))))))))))
+    val hashed = docs
+      .select(col("doc_id"), graft.functions.GraftFunctions
+        .tokenGramHashes(col("text"), 1).as("hs"))
+    // The kernel is CPU-bound per row and needs nothing from other
+    // rows, so at scale the scan's own splits give the parallelism and
+    // the plan stays shuffle-free. Only when the input is too small to
+    // split (fewer scan splits than machine cores — the local-bench
+    // regime, one 0.6 MB file = 1 task running the whole corpus's
+    // interpreted kernel serially) does ONE sub-MB exchange spread the
+    // rows machine-wide. Size-derived, not a pinned constant: the
+    // condition compares relation bytes against cores × maxPartitionBytes,
+    // so any corpus big enough to split never shuffles.
+    val sess = docs.sparkSession
+    val bytes = hashed.queryExecution.optimizedPlan.stats.sizeInBytes
+    val cores = sess.sparkContext.defaultParallelism.toLong
+    val splitBytes = sess.sessionState.conf.filesMaxPartitionBytes
+    val spread =
+      if (bytes.isValidLong && bytes.toLong < cores * splitBytes)
+        hashed.repartition(cores.toInt, col("doc_id"))
+      else hashed
+    spread
+      .select(col("doc_id"), posexplode(expr(mega)).as(Seq("i", "t")))
       .select(col("doc_id"), col("t.wi").as("wi"), col("t.rank").as("rank"),
         (col("i") + 1).cast(LongType).as("rn"))
       .orderBy(col("doc_id"), col("rn"))
