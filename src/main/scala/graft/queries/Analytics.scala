@@ -127,19 +127,46 @@ object Analytics {
     */
   def sqlRecursive(spark: SparkSession, dir: String): DataFrame = {
     Tables.load(spark, dir, "customer").createOrReplaceTempView("customer")
-    spark.sql(
-      """WITH RECURSIVE tree AS (
-        |  SELECT c_custkey AS k, 0 AS depth, c_acctbal FROM customer
-        |  WHERE c_custkey = 0
-        |  UNION ALL
-        |  SELECT c.c_custkey, t.depth + 1, c.c_acctbal
-        |  FROM tree t JOIN customer c
-        |    ON c.c_custkey div 2 = t.k
-        |    AND c.c_custkey > t.k)
-        |SELECT depth, CAST(count(*) AS BIGINT) AS n_nodes,
-        |  CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS bal_usd
-        |FROM tree GROUP BY 1 ORDER BY 1""".stripMargin)
+    // OPTIMIZATION r16: the recursive step is pure arithmetic — node
+    // c's unique parent is c div 2 (c > parent ⟺ c ≥ 1, and nothing
+    // below the root 0 is ever reachable since children must exceed
+    // their parent) — so the fixpoint has a closed form: c is in the
+    // tree iff its ENTIRE halving chain c div 2, c div 4, …, 0 exists
+    // in customer, and depth(c) = bit length of c (exact via bin(),
+    // no floating log). That replaces the UnionLoop — 15 sequential
+    // join rounds at sf0.1, each with its own stage barrier and
+    // broadcast build, levels growing with log(corpus) — with ONE
+    // pass: explode each key's ≤ log₂(k) proper ancestors, anti-join
+    // the misses, anti-join the survivors (nodes with intact chains),
+    // aggregate. Depth-sequential work → two key-sized anti-joins at
+    // any scale. Equivalence needs only custkey uniqueness (it is the
+    // table's primary key), NOT contiguity — a gapped corpus drops
+    // exactly the subtrees under a missing ancestor in both
+    // formulations (SqlRecursiveSpec pins this against a literal
+    // WITH RECURSIVE replay on a holed corpus). The ORACLE keeps the
+    // textbook recursive-CTE formulation — equivalence is proven by
+    // the driver's hash gate, not assumed.
+    spark.sql(sqlRecursiveEngineSql)
   }
+
+  private[graft] val sqlRecursiveEngineSql: String =
+    """WITH nodes AS (
+      |  SELECT c_custkey AS k,
+      |    CASE WHEN c_custkey = 0 THEN 0
+      |         ELSE length(bin(c_custkey)) END AS depth,
+      |    c_acctbal
+      |  FROM customer WHERE c_custkey >= 0),
+      |missing AS (
+      |  SELECT DISTINCT a.k
+      |  FROM (SELECT k, explode(transform(sequence(1, depth),
+      |          i -> shiftright(k, i))) AS p
+      |        FROM nodes WHERE k >= 1) a
+      |  LEFT ANTI JOIN customer c ON c.c_custkey = a.p),
+      |tree AS (
+      |  SELECT n.* FROM nodes n LEFT ANTI JOIN missing m ON n.k = m.k)
+      |SELECT depth, CAST(count(*) AS BIGINT) AS n_nodes,
+      |  CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS bal_usd
+      |FROM tree GROUP BY 1 ORDER BY 1""".stripMargin
 
   val sqlRecursiveSql: String =
     """WITH RECURSIVE tree AS (
