@@ -65,4 +65,21 @@ class TextrankSpec extends SparkSpec {
       assert(byRn === byRn.sorted, s"doc $doc rn disagrees with rank order")
     }
   }
+
+  test("map-only plan shape: no aggregate exchanges, let-bound kernel stays single-copy") {
+    // the r16 rework runs the whole per-doc kernel in-row: at most the
+    // size-conditional spread + the output sort may exchange, and the
+    // let-binding must keep each pipeline step evaluated ONCE — a
+    // regression to inlined withColumn steps multiplied array_sort
+    // ~100× in the optimized plan (924 nodes) and made sf0.001
+    // unrunnable
+    val df = LlmOps.textrank(spark, sf)
+    val plan = df.queryExecution.executedPlan.toString
+    val exchanges = "Exchange".r.findAllIn(plan).length
+    assert(exchanges <= 2, s"expected ≤2 exchanges, got $exchanges")
+    val sorts = "array_sort".r.findAllIn(plan).length
+    // the kernel holds 4 array_sorts (hw0, cps, nodes, top-2); allow
+    // headroom for plan-string repetition but fail the collapse class
+    assert(sorts <= 12, s"array_sort duplicated in plan: $sorts copies")
+  }
 }
