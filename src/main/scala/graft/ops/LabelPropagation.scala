@@ -22,10 +22,12 @@ import org.apache.spark.sql.functions._
   * at the end).
   *
   * Scale shape: each round is one dst-keyed join of the edge list
-  * against the |V|-sized label table, one (src, lbl)-keyed count with
-  * map-side combine, and one src-keyed argmax window — all keyed
-  * exchanges on graph-sized relations, no driver loop, labels pinned
-  * per round so round r+1 never recomputes rounds 1..r.
+  * against the |V|-sized label table and ONE src-keyed deterministic
+  * mode aggregate (map-side partial maps bounded by per-src
+  * neighbor-label cardinality ≤ degree) — all keyed exchanges on
+  * graph-sized relations, no driver loop. Each round's label table is
+  * referenced exactly once (the next round's join), so rounds chain
+  * lazily as one plan: no per-round persist or action.
   */
 object LabelPropagation {
 
@@ -40,19 +42,24 @@ object LabelPropagation {
     var labels = und.select(col("src").as("v")).distinct()
       .withColumn("lbl", col("v"))
     for (_ <- 1 to rounds) {
-      // OPTIMIZATION r16: the per-src argmax rides a max_by AGGREGATE
-      // instead of a row_number window — (cnt DESC, lbl ASC) spelled as
-      // max over the (cnt, -lbl) key struct — deleting one src-keyed
-      // sort exchange per round. Identical tie-break: max on the struct
-      // compares cnt first, then -lbl (labels are non-negative ids, so
-      // -lbl max ⟺ lbl min).
-      labels = CacheBin.pin(
-        und.join(labels.withColumnRenamed("v", "dst"), Seq("dst"))
-          .groupBy(col("src"), col("lbl")).agg(count(lit(1)).as("cnt"))
-          .groupBy(col("src"))
-          .agg(max_by(col("lbl"),
-            struct(col("cnt"), (-col("lbl")).as("nl"))).as("lbl"))
-          .select(col("src").as("v"), col("lbl")))
+      // OPTIMIZATION r17: the round's (count by (src, lbl) → per-src
+      // argmax) pair of aggregates is ONE deterministic-mode aggregate:
+      // mode(lbl, deterministic = true) returns the most frequent
+      // neighbor label and breaks frequency ties by LOWEST value —
+      // exactly the (cnt DESC, lbl ASC) tie-break the oracle's
+      // row_number spells (labels are non-negative ids). Deletes one
+      // keyed exchange + one aggregate per round: the old shape
+      // shuffled (src, lbl) partials and then src partials; mode
+      // shuffles one src-keyed partial whose state is the same
+      // (lbl → count) histogram the first aggregate materialized as
+      // rows. The per-round CacheBin.pin is gone too: each round's
+      // label table is consumed exactly once (the next round's join),
+      // so there is nothing to recompute — the pin only added a
+      // persist write + eviction pressure per round.
+      labels = und.join(labels.withColumnRenamed("v", "dst"), Seq("dst"))
+        .groupBy(col("src"))
+        .agg(mode(col("lbl"), deterministic = true).as("lbl"))
+        .select(col("src").as("v"), col("lbl"))
     }
     labels
   }

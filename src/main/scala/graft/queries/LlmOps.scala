@@ -1581,24 +1581,39 @@ object LlmOps {
     * the end) — a per-doc-fraction macro-average would sum doubles in
     * shuffle order.
     *
-    * Shape: the gram stream (distinct per doc, the shared md5-60-bit
-    * kernel) exchanges once for the df aggregate and once for the
-    * gram-keyed join back onto itself (the spanRemoval shape), then a
-    * parameter-sized per-source rollup.
+    * Shape: ONE h-keyed exchange over the gram stream (distinct per
+    * doc, the shared md5-60-bit kernel). A corpus-df-1 gram has by
+    * definition exactly ONE (doc, source) owner row, so the per-source
+    * unique count needs no join back onto the stream: the df aggregate
+    * carries max(source) (any() over a single row), filters df = 1,
+    * and rolls up by that owner — the r16 formulation's second
+    * corpus-sized exchange (re-shuffling every gram occurrence by h to
+    * decorate it with its own df) is deleted. Totals per source come
+    * straight off the pinned stream via a (source, doc)-keyed partial.
     */
   def sourceNovelty(spark: SparkSession, dir: String, n: Int = 8): DataFrame = {
     val grams = CacheBin.pin(Tables.load(spark, dir, "documents")
       .select(col("doc_id"), col("source"),
         explode(graft.functions.GraftFunctions
           .wordShingleHashes(col("text"), n)).as("h")))
-    val df = grams.groupBy(col("h")).agg(count(lit(1)).as("df"))
-    grams.join(df, Seq("h"))
+    // df=1 grams: the single owner row IS the group, so max(doc_id)
+    // reads the owner exactly (never a tie-break across rows). The
+    // owner travels as the LONG doc_id, not the source string: a
+    // var-length aggregate buffer would demote the corpus-sized h
+    // aggregate from HashAggregate to SortAggregate (measured — the
+    // string-owner variant planned a full sort of the gram stream).
+    val uniqByDoc = grams.groupBy(col("h"))
+      .agg(count(lit(1)).as("df"), max(col("doc_id")).as("doc_id"))
+      .filter(col("df") === 1)
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("u"))
+    val per = grams.groupBy(col("source"), col("doc_id"))
+      .agg(count(lit(1)).as("g"))
+      .join(uniqByDoc, Seq("doc_id"), "left") // doc-sized, broadcast
       .groupBy(col("source"))
-      .agg(
-        countDistinct(col("doc_id")).as("n_docs"),
-        count(lit(1)).as("grams"),
-        sum(when(col("df") === 1, 1L).otherwise(0L)).as("unique_grams"))
-      .select(col("source"), col("n_docs"), col("grams"), col("unique_grams"),
+      .agg(count(lit(1)).as("n_docs"), sum(col("g")).as("grams"),
+        sum(coalesce(col("u"), lit(0L))).as("unique_grams"))
+    per.select(col("source"), col("n_docs"), col("grams"),
+        col("unique_grams"),
         round(col("unique_grams").cast(DoubleType) /
           col("grams").cast(DoubleType), 6).as("novelty"))
       .orderBy(col("source"))
