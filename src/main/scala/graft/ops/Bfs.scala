@@ -21,12 +21,18 @@ import org.apache.spark.sql.types.LongType
   * min(dist) per vertex computed from the full round-(r−1) table.
   * Vertices beyond `rounds` hops stay NULL — reported, not guessed.
   *
-  * Scale shape: each round is one dst-keyed join of the edge list
-  * against the |V|-sized distance table, one src-keyed min with
-  * map-side combine, and one |V|-keyed left join — all keyed exchanges
-  * on graph-sized relations (the near-dup graph is cluster-sized, ∝
-  * duplicated docs, not corpus-sized), no driver loop, rounds pinned
-  * via [[CacheBin]] so round r+1 never recomputes 1..r. For
+  * Scale shape: each round is ONE dst-keyed join of the self-loop-
+  * augmented edge relation against the |V|-sized distance table and
+  * one src-keyed min with map-side combine — keyed exchanges on
+  * graph-sized relations (the near-dup graph is cluster-sized, ∝
+  * duplicated docs, not corpus-sized), no driver loop. The weight-0
+  * self-loop makes `min(dist_r(v), min_nbr(dist_r(u)+1))` a single
+  * `min(dist + w)` over one relation, so each round references the
+  * previous round's table exactly ONCE and the whole sweep chains
+  * lazily as one plan: no per-round persist, no per-round driver
+  * action (the r15 convergence probe paid one graph aggregate + one
+  * job barrier per round; identity rounds of the lazy chain are
+  * cheaper than the probe that skipped them — measured r17). For
   * high-diameter graphs the pointer-doubling variant
   * ([[ConnectedComponents]]) bounds rounds at O(log d); hop-exact
   * distance wants the literal sweeps, and quarantine radii are small
@@ -42,45 +48,34 @@ object Bfs {
   def run(edges: DataFrame, isSeed: Column => Column, rounds: Int): DataFrame = {
     val und = edges.select(col("doc_a").as("src"), col("doc_b").as("dst"))
       .unionByName(edges.select(col("doc_b").as("src"), col("doc_a").as("dst")))
-    var dist = und.select(col("src").as("v")).distinct()
-      .withColumn("dist",
-        when(isSeed(col("v")), 0L).otherwise(lit(null).cast(LongType)))
-    var prev = (-1L, Long.MinValue)
-    var r = 0
-    var converged = false
-    while (r < rounds && !converged) {
-      // one exchange per round: the neighbor candidates (dist+1 via the
-      // dst-keyed edge join) UNION the previous distances, then a
-      // v-keyed min — min() skips NULLs, so an unreached vertex with no
-      // reached neighbor keeps NULL, and a reached one keeps its
-      // settled minimum. Value-equivalent to the two-join
-      // (min-aggregate + left-join + least) formulation the oracle
-      // unrolls. Pinned per round: the next round references this
-      // table twice, and AQE replanning defeats ReusedExchange dedup
-      // (measured: the pin-free lineage re-evaluated rounds
-      // multiplicatively).
-      val viaNbr = und
-        .join(dist.withColumnRenamed("v", "dst"), Seq("dst"))
-        .filter(col("dist").isNotNull)
-        .select(col("src").as("v"), (col("dist") + 1).as("d"))
-      dist = CacheBin.pin(dist.select(col("v"), col("dist").as("d"))
-        .unionByName(viaNbr)
-        .groupBy(col("v")).agg(min(col("d")).as("dist")))
-      // EARLY STOP at the fixpoint: distances only ever go null→finite
-      // or decrease, so (assigned count, assigned sum) is strictly
-      // monotone under any change — equality with the previous round
-      // proves every remaining round is the identity. The oracle still
-      // unrolls the full `rounds` (fixed-round CTEs, the KCore
-      // convention): post-fixpoint rounds are identities, so values
-      // agree exactly. One graph-sized aggregate on the just-pinned
-      // table per round — far cheaper than running identity rounds of
-      // joins on a small-diameter graph.
-      val row = dist.agg(count(col("dist")).as("c"), sum(col("dist")).as("s")).head
-      val sig = (row.getLong(0),
-        if (row.isNullAt(1)) Long.MinValue else row.getLong(1))
-      converged = sig == prev
-      prev = sig
-      r += 1
+    // OPTIMIZATION r17: weight-0 self-loops fold the old "previous
+    // distances UNION neighbor candidates" two-reference round into one
+    // join + one min over a SINGLE relation:
+    //   dist_{r+1}(v) = min over (u -> v, w) of dist_r(u) + w
+    // with w = 0 on the loop (v -> v) and w = 1 on real edges — exactly
+    // min(dist_r(v), min_nbr(dist_r(u)+1)), the value the oracle's
+    // unrolled (min-aggregate + left-join + least) CTEs compute.
+    // Because dist_r is referenced once, the rounds chain as ONE lazy
+    // plan: the r15 per-round CacheBin.pin (needed when the union read
+    // dist twice and AQE defeated ReusedExchange) and the per-round
+    // convergence probe (one aggregate + one job barrier each) are both
+    // gone. NULL dist rides the arithmetic: unreached u contributes
+    // NULL + w = NULL, min() skips NULLs, and the self-loop guarantees
+    // every vertex keeps its row (an all-NULL group stays NULL).
+    val hop = CacheBin.pin(
+      und.withColumn("w", lit(1L)).unionByName(
+        und.select(col("src")).distinct()
+          .select(col("src"), col("src").as("dst"))
+          .withColumn("w", lit(0L))))
+    var dist = hop.filter(col("w") === 0L)
+      .select(col("src").as("v"),
+        when(isSeed(col("src")), 0L).otherwise(lit(null).cast(LongType))
+          .as("dist"))
+    for (_ <- 1 to rounds) {
+      dist = hop.join(dist.withColumnRenamed("v", "dst"), Seq("dst"))
+        .groupBy(col("src"))
+        .agg(min(col("dist") + col("w")).as("dist"))
+        .select(col("src").as("v"), col("dist"))
     }
     dist
   }
