@@ -2637,7 +2637,8 @@ object LlmOps {
     * bounded, the corpus is not — same scale argument as chunking/
     * packing); the chunk aggregate's collect_list state is bounded by
     * the expected chunk length (~16 tokens); the corpus-wide group-by
-    * keys on the chunk text, exact int64 counts.
+    * keys on md5(chunk) — the only chunk identity the output reports —
+    * so the exchange never carries chunk text; exact int64 counts.
     */
   def cdcChunkDedup(spark: SparkSession, dir: String): DataFrame = {
     // Chunking is computed WITHIN each row by higher-order array
@@ -2660,11 +2661,22 @@ object LlmOps {
           val e = coalesce(get(col("starts"), j + 1), size(col("t")))
           concat_ws(" ", slice(col("t"), s + 1, e - s))
         })).as("content"))
-    chunks.groupBy(col("content"))
-      .agg(count(lit(1)).as("occurrences"), min(col("doc_id")).as("first_doc"))
+    // OPTIMIZATION r17 (guide §2.3 — shuffle keys, not payloads): the
+    // output never returns the chunk text, only md5(content) and
+    // length(content), and both are map-side computable — so the
+    // corpus-wide group-by keys on the 32-char digest instead of the
+    // full chunk string. The exchange and the aggregate hash map carry
+    // ~32 bytes per chunk instead of the whole content (the oracle
+    // still groups by content; equality is the hash gate's job).
+    // n_chars is functionally determined by the key — min() reads it
+    // deterministically without widening the partial state.
+    chunks.select(md5(col("content")).as("chunk_md5"),
+        length(col("content")).as("n_chars"), col("doc_id"))
+      .groupBy(col("chunk_md5"))
+      .agg(min(col("n_chars")).as("n_chars"),
+        count(lit(1)).as("occurrences"), min(col("doc_id")).as("first_doc"))
       .filter(col("occurrences") > 1)
-      .select(md5(col("content")).as("chunk_md5"),
-        length(col("content")).as("n_chars"),
+      .select(col("chunk_md5"), col("n_chars"),
         col("occurrences"), col("first_doc"))
   }
 
