@@ -41,6 +41,25 @@ object Multimodal {
   final case class MediaMeta(doc_id: Long, n_bytes: Int, sha: String,
       format: Int, width: Int, height: Int)
 
+  /** Size-conditional spread before a per-row codec kernel (the
+    * textrank idiom, OPTIMIZATION r17): at scale the scan's own splits
+    * parallelize the CPU-bound fingerprint work and the plan stays
+    * shuffle-free — an unconditional repartition would shuffle the
+    * corpus TEXT machine-wide for nothing. Only when the relation is
+    * too small to split (fewer scan splits than cores, the local-bench
+    * regime) does one sub-MB doc_id-keyed exchange spread the rows.
+    * Size-derived, never a pinned constant.
+    */
+  private def spreadIfUnsplittable(df: DataFrame): DataFrame = {
+    val sess = df.sparkSession
+    val bytes = df.queryExecution.optimizedPlan.stats.sizeInBytes
+    val cores = sess.sparkContext.defaultParallelism.toLong
+    val splitBytes = sess.sessionState.conf.filesMaxPartitionBytes
+    if (bytes.isValidLong && bytes.toLong < cores * splitBytes)
+      df.repartition(cores.toInt, col("doc_id"))
+    else df
+  }
+
   private def hex4(v: Column) = lpad(hex(v), 4, "0")
   private def hex8(v: Column) = lpad(hex(v), 8, "0")
   // little-endian u16 as hex: swap the two bytes of the BE form
@@ -437,13 +456,18 @@ object Multimodal {
     val sigText = CacheBin.pin(
       Dedup.minHash(docs, col("doc_id"), col("text"), n = 3, k = 16))
     val cand = Dedup.minHashLshCandidates(sigText, bands = 4, rowsPerBand = 4)
-    val asig = docs
-      .select(col("doc_id").cast(LongType), col("text")).as[(Long, String)]
-      .repartition(spark.sparkContext.defaultParallelism)
+    // pinned (OPTIMIZATION r17): the signature table is joined TWICE
+    // (doc_a and doc_b sides) and the codec fingerprint pass above the
+    // spread is not an exchange — nothing dedups it, so unpinned it
+    // RAN TWICE (two full WAV encode+decode sweeps of the corpus). The
+    // pin is |docs| × (id, 64-bit hash) — signature-sized at any scale.
+    val asig = CacheBin.pin(spreadIfUnsplittable(
+        docs.select(col("doc_id").cast(LongType), col("text")))
+      .as[(Long, String)]
       .mapPartitions(_.flatMap { case (id, text) =>
         audioDHashBits(audioFingerprintWav(text)).map(bits => (id, bits))
       })
-      .toDF("doc_id", "ahash")
+      .toDF("doc_id", "ahash"))
     val exact = Dedup.jaccardVerify(cand, docs, col("doc_id"), col("text"),
         n = 3, threshold = 0.0)
       .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 6).as("jaccard"))
@@ -541,13 +565,16 @@ object Multimodal {
     val sigText = CacheBin.pin(
       Dedup.minHash(docs, col("doc_id"), col("text"), n = 3, k = 16))
     val cand = Dedup.minHashLshCandidates(sigText, bands = 4, rowsPerBand = 4)
-    val vsig = docs
-      .select(col("doc_id").cast(LongType), col("text")).as[(Long, String)]
-      .repartition(spark.sparkContext.defaultParallelism)
+    // pinned (OPTIMIZATION r17): joined twice below; unpinned, the
+    // 65-frame MJPEG encode+decode sweep ran once PER JOIN SIDE (see
+    // audioNearDup). Pin is |docs| × (id, 64-bit hash).
+    val vsig = CacheBin.pin(spreadIfUnsplittable(
+        docs.select(col("doc_id").cast(LongType), col("text")))
+      .as[(Long, String)]
       .mapPartitions(_.flatMap { case (id, text) =>
         videoDHashBits(videoFingerprintAvi(text)).map(bits => (id, bits))
       })
-      .toDF("doc_id", "vhash")
+      .toDF("doc_id", "vhash"))
     val exact = Dedup.jaccardVerify(cand, docs, col("doc_id"), col("text"),
         n = 3, threshold = 0.0)
       .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 6).as("jaccard"))
@@ -671,13 +698,16 @@ object Multimodal {
     val sigText = CacheBin.pin(
       Dedup.minHash(docs, col("doc_id"), col("text"), n = 3, k = 16))
     val cand = Dedup.minHashLshCandidates(sigText, bands = 4, rowsPerBand = 4)
-    val dsig = docs
-      .select(col("doc_id").cast(LongType), col("text")).as[(Long, String)]
-      .repartition(spark.sparkContext.defaultParallelism)
+    // pinned (OPTIMIZATION r17): joined twice below; unpinned, the PNG
+    // encode+decode+dHash sweep ran once PER JOIN SIDE (see
+    // audioNearDup). Pin is |docs| × (id, 64-bit hash).
+    val dsig = CacheBin.pin(spreadIfUnsplittable(
+        docs.select(col("doc_id").cast(LongType), col("text")))
+      .as[(Long, String)]
       .mapPartitions(_.flatMap { case (id, text) =>
         dHashBits(histogramPng(text)).map { case (_, _, bits) => (id, bits) }
       })
-      .toDF("doc_id", "dhash")
+      .toDF("doc_id", "dhash"))
     val exact = Dedup.jaccardVerify(cand, docs, col("doc_id"), col("text"),
         n = 3, threshold = 0.0)
       .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 6).as("jaccard"))
